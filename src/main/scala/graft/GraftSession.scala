@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory so Verify/Bench/tests/CLI all run with the
+  * same Catalyst-friendly settings.
+  *
+  * Scale notes (the same config is what we'd ship to a 1000-executor
+  * cluster, minus `master`):
+  *  - AQE on: runtime coalescing of shuffle partitions + skew-join splitting,
+  *    which is what keeps the TPC-H-style joins healthy at 100 TB.
+  *  - shuffle.partitions sized to the local core count here; on a real
+  *    cluster this would be ~2-3x total cores and AQE coalesces down.
+  *  - `nanosAsLong`: the `events` table carries TIMESTAMP(NANOS) parquet
+  *    columns, which Spark's vectorized reader rejects; reading them as
+  *    raw nanos-since-epoch longs keeps the scan vectorized and we convert
+  *    with integer arithmetic (`ts div 1000`) — never through doubles,
+  *    which cannot represent 1.7e18 exactly.
+  */
+object GraftSession {
+  def tune(b: SparkSession.Builder, cpus: Int): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", cpus.toString)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.ui.enabled", "false")
+
+  /** Local session with N threads (driver/test entry points). */
+  def local(cpus: Int): SparkSession = {
+    val s = tune(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,13 +1,331 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator surfaces here as a named query; queries
+  * with an entry in [[oracleSql]] are hash-compared against DuckDB on the
+  * same parquet tables (column names must match exactly, see check.py).
+  * Approximate operators (MinHash/LSH/SimHash, stubbed multimodal
+  * features) have no SQL equivalent → rows-only check.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational core
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
+    "q5_local_supplier" -> (Relational.q5LocalSupplier _),
+    "q_window_top3" -> (Relational.qWindowTop3 _),
+    "q_rollup" -> (Relational.qRollup _),
+    "q_cube" -> (Relational.qCube _),
+    "q_grouping_sets" -> (Relational.qGroupingSets _),
+    "q_setops" -> (Relational.qSetOps _),
+    "q_distinct_agg" -> (Relational.qDistinctAgg _),
+    "q_semi_join" -> (Relational.qSemiJoin _),
+    "q_anti_join" -> (Relational.qAntiJoin _),
+    "q_scalar_part" -> (Relational.qScalarPart _),
+    "q_date_funcs" -> (Relational.qDateFuncs _),
+    "q_case_having" -> (Relational.qCaseHaving _),
+    "q_above_avg" -> (Relational.qAboveAvg _),
+    "q_custdist" -> (Relational.qCustDist _),
+    "q_topk_parts" -> (Relational.qTopKParts _),
+    // dbt generic data tests as operators
+    "t_unique" -> (Relational.tUnique _),
+    "t_not_null" -> (Relational.tNotNull _),
+    "t_accepted_values" -> (Relational.tAcceptedValues _),
+    "t_relationships" -> (Relational.tRelationships _),
+    // event-stream / incremental-materialization semantics
+    "q_events_daily" -> (Events.qEventsDaily _),
+    "q_sessionize" -> (Events.qSessionize _),
+    "q_merge_latest" -> (Events.qMergeLatest _),
+    "q_scd2" -> (Events.qScd2 _),
+    "q_events_json" -> (Events.qEventsJson _),
+    // text analysis
+    "txt_stats" -> (TextOps.txtStats _),
+    "txt_quality" -> (TextOps.txtQuality _),
+    "txt_langid" -> (TextOps.txtLangId _),
+    "txt_fingerprint" -> (TextOps.txtFingerprint _),
+    // dedup
+    "dedup_exact" -> (DedupOps.dedupExact _),
+    "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (DedupOps.dedupMinHashLsh _),
+    "dedup_simhash" -> (DedupOps.dedupSimHash _),
+    // similarity search
+    "sim_topk" -> (SimilarityOps.simTopK _),
+    "emb_neardup" -> (SimilarityOps.embNearDup _),
+    "sim_lsh_topk" -> (SimilarityOps.simLshTopK _),
+    // multimodal plumbing
+    "mm_meta" -> (Multimodal.mmMeta _),
+    "mm_features" -> (Multimodal.mmFeatures _),
+  )
+
+  /** DuckDB-dialect oracle SQL per query (same column names as the Spark
+    * result — the driver sorts columns by name before hashing). Money
+    * aggregates are integer cents (see Relational) so hashes match
+    * bit-for-bit; every SUM is wrapped in CAST(... AS BIGINT) because
+    * DuckDB's SUM(BIGINT) widens to HUGEINT.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+             CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+             CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+             COUNT(*) AS count_order
+      FROM lineitem GROUP BY 1, 2""",
+    "q3_shipping_priority" -> """
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+      ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+    "q5_local_supplier" -> """
+      SELECT n_name,
+             CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY 1""",
+    "q_window_top3" -> """
+      SELECT o_custkey, o_orderkey, price_cents, rn, CAST(run_cents AS BIGINT) AS run_cents FROM (
+        SELECT o_custkey, o_orderkey, price_cents,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY price_cents DESC, o_orderkey) AS rn,
+               SUM(price_cents) OVER (PARTITION BY o_custkey ORDER BY price_cents DESC, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+        FROM (SELECT o_custkey, o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents FROM orders) t
+      ) w WHERE rn <= 3""",
+    "q_rollup" -> """
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "q_cube" -> """
+      SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, COALESCE(l_linestatus, 'ALL') AS linestatus,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, COUNT(*) AS cnt
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q_grouping_sets" -> """
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    "q_setops" -> """
+      SELECT o_custkey FROM (
+        (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        UNION
+        (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      ) t""",
+    "q_distinct_agg" -> """
+      SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1""",
+    "q_semi_join" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""",
+    "q_anti_join" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q_scalar_part" -> """
+      SELECT p_partkey, UPPER(p_brand) AS brand_u, LENGTH(p_name) AS name_len,
+             SUBSTRING(p_type, 1, 5) AS type5, p_size % 7 AS size_mod,
+             CAST(ROUND(ABS(p_retailprice - 1000.0)*100) AS BIGINT) AS absdiff_cents,
+             CASE WHEN p_size > 25 THEN 'L' WHEN p_size > 10 THEN 'M' ELSE 'S' END AS size_class
+      FROM part""",
+    "q_date_funcs" -> """
+      SELECT o_orderkey, EXTRACT(year FROM o_orderdate) AS yr, EXTRACT(month FROM o_orderdate) AS mo,
+             EXTRACT(day FROM o_orderdate) AS dom, strftime(o_orderdate, '%Y-%m') AS ym,
+             date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+      FROM orders""",
+    "q_case_having" -> """
+      SELECT c_nationkey, COUNT(*) AS n_cust,
+             CAST(SUM(CASE WHEN c_acctbal > 0 THEN CAST(ROUND(c_acctbal*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS pos_bal_cents,
+             CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      FROM customer GROUP BY 1 HAVING COUNT(*) >= 5""",
+    "q_above_avg" -> """
+      SELECT o_orderkey, o_custkey, pc FROM (
+        SELECT o_orderkey, o_custkey, pc,
+               SUM(pc) OVER (PARTITION BY o_custkey) AS s,
+               COUNT(*) OVER (PARTITION BY o_custkey) AS n
+        FROM (SELECT o_orderkey, o_custkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS pc FROM orders) t
+      ) w WHERE pc * n > s""",
+    "q_custdist" -> """
+      SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+      ) t GROUP BY c_count""",
+    "q_topk_parts" -> """
+      SELECT p_partkey, p_name, CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_cents
+      FROM part ORDER BY price_cents DESC, p_partkey LIMIT 20""",
+    "t_unique" -> """
+      SELECT l_orderkey AS value, COUNT(*) AS n FROM lineitem GROUP BY 1 HAVING COUNT(*) > 1""",
+    "t_not_null" -> """
+      SELECT CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate,
+             CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey
+      FROM lineitem""",
+    "t_accepted_values" -> """
+      SELECT o_orderstatus AS value, COUNT(*) AS n FROM orders
+      WHERE o_orderstatus NOT IN ('O', 'F', 'P') GROUP BY 1""",
+    "t_relationships" -> """
+      SELECT COUNT(*) AS n_orphans FROM lineitem
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)""",
+    "q_events_daily" -> """
+      SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1, 2""",
+    "q_sessionize" -> """
+      SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
+        SELECT user_id,
+               CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events) e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      ) x GROUP BY 1""",
+    "q_merge_latest" -> """
+      SELECT user_id, event_type AS last_type, us AS last_us FROM (
+        SELECT user_id, event_type, us,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        FROM (SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS us FROM events) e
+      ) t WHERE rn = 1""",
+    "q_scd2" -> """
+      SELECT user_id, event_type AS state, us AS valid_from_us,
+             LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
+      FROM (
+        SELECT user_id, event_type, us, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        FROM (SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS us FROM events) e
+      ) c WHERE prev_type IS NULL OR event_type <> prev_type""",
+    "q_events_json" -> """
+      SELECT event_type,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             COUNT(*) AS n,
+             MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY 1""",
+    "txt_stats" -> """
+      SELECT doc_id, LENGTH(text) AS n_chars_m,
+             len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS n_tokens_ws,
+             len(regexp_extract_all(text, '[\p{L}]+')) AS n_words,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digits
+      FROM documents""",
+    "txt_quality" -> """
+      SELECT doc_id, len, n_punct, n_letter, n_tok,
+             CASE WHEN len > 0 THEN CAST(n_punct AS DOUBLE) / len ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len > 0 THEN CAST(n_letter AS DOUBLE) / len ELSE 0.0 END AS letter_ratio
+      FROM (
+        SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len,
+               CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS n_punct,
+               CAST(len(regexp_extract_all(text, '[\p{L}]')) AS BIGINT) AS n_letter,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+        FROM documents
+      ) t""",
+    "txt_langid" -> """
+      SELECT doc_id, lang, pred_lang,
+             CAST(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+      FROM (
+        SELECT doc_id, lang,
+               CASE WHEN zh_hits > 0 THEN 'zh'
+                    WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+                    WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+                    WHEN es_hits >= fr_hits THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM (
+          SELECT doc_id, lang,
+                 len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh_hits,
+                 len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|was|for|with)\b')) AS en_hits,
+                 len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS de_hits,
+                 len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|un|una|que|y)\b')) AS es_hits,
+                 len(regexp_extract_all(lower(text), '\b(le|les|des|est|une|dans|et|du)\b')) AS fr_hits
+          FROM documents
+        ) h
+      ) p""",
+    "txt_fingerprint" -> """
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+             LENGTH(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_len
+      FROM documents""",
+    "dedup_exact" -> """
+      SELECT doc_id, fp, keeper, CAST(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END AS BIGINT) AS keep,
+             group_size
+      FROM (
+        SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS keeper,
+               COUNT(*) OVER (PARTITION BY fp) AS group_size
+        FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp FROM documents) a
+      ) b""",
+    "dedup_ngram_jaccard" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          FROM toks WHERE len(w) >= 3
+        ) raw
+      ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+      ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+             CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_inter * 5 >= sa.n + sb.n - n_inter""",
+    "sim_topk" -> """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings
+      ), s AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+               CAST(list_sum(list_transform(a.q, x -> x * x)) AS BIGINT) AS na,
+               CAST(list_sum(list_transform(b.q, x -> x * x)) AS BIGINT) AS nb
+        FROM e a, e b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+      )
+      SELECT qid, cid, dot, CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos, rn
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY qid
+          ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, cid) AS rn
+        FROM s
+      ) t WHERE rn <= 5""",
+    "emb_neardup" -> """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings
+      ), s AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+               CAST(list_sum(list_transform(a.q, x -> x * x)) AS BIGINT) AS na,
+               CAST(list_sum(list_transform(b.q, x -> x * x)) AS BIGINT) AS nb
+        FROM e a, e b WHERE a.vec_id < b.vec_id
+      )
+      SELECT vec_a, vec_b, dot,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+      FROM s
+      WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.4""",
+    "mm_meta" -> """
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest FROM documents""",
+  )
 }

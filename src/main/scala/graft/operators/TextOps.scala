@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language ID, fingerprinting. All pure codegen'd
+  * Spark SQL functions (no UDFs) — row-parallel, zero shuffles, so
+  * throughput scales linearly with executors at 100 TB.
+  *
+  * Regex discipline: patterns are restricted to syntax with identical
+  * semantics in Java regex (Spark) and RE2 (DuckDB oracle): ASCII
+  * classes, alternation, `\p{L}`, explicit unicode ranges.
+  */
+object TextOps {
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** lower + strip non-alphanumerics + collapse runs → canonical text. */
+  def normalized(c: Column): Column = trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Token/char statistics per document. */
+  def txtStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      size(split(normalized(col("text")), " ")).as("n_tokens_ws"),
+      regexp_count(col("text"), lit("[\\p{L}]+")).as("n_words"),
+      regexp_count(col("text"), lit("[0-9]")).as("n_digits"))
+
+  /** Quality scoring: punctuation / letter ratios, mean token length.
+    * Ratios divide exact integer counts → deterministic doubles.
+    */
+  def txtQuality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"),
+        regexp_count(col("text"), lit("[.!?,;:]")).cast("long").as("n_punct"),
+        regexp_count(col("text"), lit("[\\p{L}]")).cast("long").as("n_letter"),
+        size(split(normalized(col("text")), " ")).cast("long").as("n_tok"))
+      .select(col("doc_id"), col("len"), col("n_punct"), col("n_letter"), col("n_tok"),
+        when(col("len") > 0, col("n_punct").cast("double") / col("len")).otherwise(0.0).as("punct_ratio"),
+        when(col("len") > 0, col("n_letter").cast("double") / col("len")).otherwise(0.0).as("letter_ratio"))
+
+  /** Language ID: CJK-range detection for zh, else stopword-hit argmax
+    * over en/fr/es/de with a fixed tie-break order (en>de>es>fr).
+    */
+  def txtLangId(s: SparkSession, dir: String): DataFrame = {
+    def hits(pat: String): Column = regexp_count(lower(col("text")), lit(pat))
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).as("zh_hits"),
+        hits("\\b(the|and|of|to|is|was|for|with)\\b").as("en_hits"),
+        hits("\\b(der|die|das|und|ist|nicht|ein|zu)\\b").as("de_hits"),
+        hits("\\b(el|la|los|las|es|un|una|que|y)\\b").as("es_hits"),
+        hits("\\b(le|les|des|est|une|dans|et|du)\\b").as("fr_hits"))
+      .withColumn("pred_lang",
+        when(col("zh_hits") > 0, "zh")
+          .when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits"), "en")
+          .when(col("de_hits") >= col("es_hits") && col("de_hits") >= col("fr_hits"), "de")
+          .when(col("es_hits") >= col("fr_hits"), "es")
+          .otherwise("fr"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        when(col("lang") === col("pred_lang"), 1L).otherwise(0L).as("correct"))
+  }
+
+  /** Content fingerprint: md5 over normalized text (the exact-dedup key). */
+  def txtFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      md5(normalized(col("text"))).as("fp"),
+      length(normalized(col("text"))).as("norm_len"))
+}
