@@ -1,0 +1,230 @@
+package graft.artifacts
+
+import java.nio.file.{Files, Paths}
+
+import graft.core._
+
+/** Hand-rolled JSON writer (no external deps resolvable — build.sbt). */
+object Json {
+  def write(v: Any): String = v match {
+    case null => "null"
+    case s: String => quote(s)
+    case b: Boolean => b.toString
+    case i: Int => i.toString
+    case l: Long => l.toString
+    case d: Double => if (d.isNaN || d.isInfinite) "null" else d.toString
+    case m: Map[_, _] =>
+      m.map { case (k, x) => s"${quote(String.valueOf(k))}:${write(x)}" }.mkString("{", ",", "}")
+    case s: Seq[_] => s.map(write).mkString("[", ",", "]")
+    case o: Option[_] => o.map(write).getOrElse("null")
+    case i: java.time.Instant => quote(i.toString)
+    case other => quote(other.toString)
+  }
+
+  def quote(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Minimal JSON reader (objects/arrays/strings/numbers/bools/null) for
+    * reading back our own artifacts (state/retry).
+    */
+  def parse(s: String): Any = new P(s).value()
+
+  private final class P(s: String) {
+    private var i = 0
+    private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def value(): Any = {
+      ws()
+      s(i) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => str()
+        case 't' => i += 4; true
+        case 'f' => i += 5; false
+        case 'n' => i += 4; null
+        case _ => num()
+      }
+    }
+    private def obj(): Map[String, Any] = {
+      val out = scala.collection.mutable.LinkedHashMap[String, Any]()
+      i += 1; ws()
+      if (s(i) == '}') { i += 1; return out.toMap }
+      while (true) {
+        ws(); val k = str(); ws()
+        require(s(i) == ':'); i += 1
+        out(k) = value(); ws()
+        if (s(i) == ',') i += 1
+        else { require(s(i) == '}'); i += 1; return out.toMap }
+      }
+      out.toMap
+    }
+    private def arr(): List[Any] = {
+      val out = scala.collection.mutable.ListBuffer[Any]()
+      i += 1; ws()
+      if (s(i) == ']') { i += 1; return out.toList }
+      while (true) {
+        out += value(); ws()
+        if (s(i) == ',') i += 1
+        else { require(s(i) == ']'); i += 1; return out.toList }
+      }
+      out.toList
+    }
+    private def str(): String = {
+      require(s(i) == '"'); i += 1
+      val sb = new StringBuilder
+      while (s(i) != '"') {
+        if (s(i) == '\\') {
+          i += 1
+          s(i) match {
+            case 'n' => sb += '\n'
+            case 't' => sb += '\t'
+            case 'r' => sb += '\r'
+            case 'u' => sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar; i += 4
+            case c => sb += c
+          }
+        } else sb += s(i)
+        i += 1
+      }
+      i += 1
+      sb.toString
+    }
+    private def num(): Any = {
+      val start = i
+      while (i < s.length && (s(i).isDigit || "+-.eE".contains(s(i)))) i += 1
+      val t = s.substring(start, i)
+      if (t.contains('.') || t.contains('e') || t.contains('E')) t.toDouble else t.toLong
+    }
+  }
+}
+
+/** Per-node execution result (reference artifacts/schemas/run/v5
+  * RunResult: status, timing, message, failures, batch_results).
+  */
+final case class RunResult(
+    uniqueId: String,
+    status: String, // success | error | skipped | pass | fail | warn
+    executionTime: Double,
+    message: String = "",
+    failures: Option[Long] = None,
+    batchesSucceeded: Seq[String] = Nil,
+    batchesFailed: Seq[String] = Nil)
+
+object Artifacts {
+  /** run_results.json (reference schema v5, trimmed to executed fields). */
+  def writeRunResults(targetDir: String, results: Seq[RunResult], elapsed: Double,
+      invocationId: String): Unit = {
+    val doc = Map(
+      "metadata" -> Map(
+        "dbt_schema_version" -> "https://schemas.getdbt.com/dbt/run-results/v5.json",
+        "generated_at" -> java.time.Instant.now().toString,
+        "invocation_id" -> invocationId),
+      "elapsed_time" -> elapsed,
+      "results" -> results.map(r => Map(
+        "unique_id" -> r.uniqueId,
+        "status" -> r.status,
+        "execution_time" -> r.executionTime,
+        "message" -> r.message,
+        "failures" -> r.failures,
+        "batch_results" -> (if (r.batchesSucceeded.isEmpty && r.batchesFailed.isEmpty) null
+          else Map("successful" -> r.batchesSucceeded, "failed" -> r.batchesFailed)))))
+    Files.createDirectories(Paths.get(targetDir))
+    Files.writeString(Paths.get(targetDir, "run_results.json"), Json.write(doc))
+  }
+
+  def readRunResultStatuses(targetDir: String): Map[String, String] = {
+    val p = Paths.get(targetDir, "run_results.json")
+    if (!Files.exists(p)) Map.empty
+    else Json.parse(Files.readString(p)) match {
+      case m: Map[String @unchecked, Any @unchecked] =>
+        m.get("results") match {
+          case Some(rs: List[Any @unchecked]) =>
+            rs.collect { case r: Map[String @unchecked, Any @unchecked] =>
+              (r("unique_id").toString, r("status").toString)
+            }.toMap
+          case _ => Map.empty
+        }
+      case _ => Map.empty
+    }
+  }
+
+  /** manifest.json — enough structure for state:modified / defer / docs
+    * (reference manifest v12, heavily trimmed: checksums + configs +
+    * deps per node).
+    */
+  def writeManifest(targetDir: String, manifest: Manifest): Unit = {
+    def nodeDoc(n: Node): Map[String, Any] = Map(
+      "unique_id" -> n.uniqueId,
+      "name" -> n.name,
+      "package_name" -> n.packageName,
+      "resource_type" -> n.resourceType.name,
+      "checksum" -> n.checksum.checksum,
+      "depends_on" -> n.dependsOn,
+      "config" -> Map(
+        "materialized" -> n.config.materialized.name,
+        "incremental_strategy" -> n.config.incrementalStrategy,
+        "unique_key" -> n.config.uniqueKey,
+        "tags" -> n.config.tags,
+        "event_time" -> n.config.eventTime,
+        "batch_size" -> n.config.batchSize.map(_.name),
+        "severity" -> n.config.severity,
+        "alias" -> n.config.alias))
+    val doc = Map(
+      "metadata" -> Map(
+        "dbt_schema_version" -> "https://schemas.getdbt.com/dbt/manifest/v12.json",
+        "project_name" -> manifest.projectName,
+        "generated_at" -> java.time.Instant.now().toString),
+      "nodes" -> manifest.nodes.map { case (id, n) => id -> nodeDoc(n) },
+      "sources" -> manifest.sources.map { case (id, s) => id -> nodeDoc(s) },
+      "unit_tests" -> manifest.unitTests.map { case (id, u) => id -> nodeDoc(u) })
+    Files.createDirectories(Paths.get(targetDir))
+    Files.writeString(Paths.get(targetDir, "manifest.json"), Json.write(doc))
+  }
+
+  /** Read back a (state) manifest for state:modified/defer — only the
+    * fields our selector compares.
+    */
+  def readManifestChecksums(path: String): Map[String, (String, Map[String, Any])] = {
+    Json.parse(Files.readString(Paths.get(path))) match {
+      case m: Map[String @unchecked, Any @unchecked] =>
+        val sections = Seq("nodes", "sources", "unit_tests")
+        sections.flatMap { sec =>
+          m.get(sec) match {
+            case Some(ns: Map[String @unchecked, Any @unchecked]) =>
+              ns.collect { case (id, nd: Map[String @unchecked, Any @unchecked]) =>
+                id -> (nd.getOrElse("checksum", "").toString,
+                  nd.getOrElse("config", Map.empty[String, Any])
+                    .asInstanceOf[Map[String, Any]])
+              }
+            case _ => Nil
+          }
+        }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** catalog.json (docs generate; reference core/dbt/task/docs/
+    * generate.py:59-122) — column name/type/stats per materialized
+    * relation, from the Spark schema.
+    */
+  def writeCatalog(targetDir: String, relations: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit = {
+    val doc = Map(
+      "metadata" -> Map(
+        "dbt_schema_version" -> "https://schemas.getdbt.com/dbt/catalog/v1.json",
+        "generated_at" -> java.time.Instant.now().toString),
+      "nodes" -> relations.map { case (name, df) =>
+        name -> Map(
+          "metadata" -> Map("name" -> name, "type" -> "table"),
+          "columns" -> df.schema.fields.zipWithIndex.map { case (f, i) =>
+            f.name -> Map("name" -> f.name, "type" -> f.dataType.simpleString, "index" -> i)
+          }.toMap)
+      }.toMap)
+    Files.createDirectories(Paths.get(targetDir))
+    Files.writeString(Paths.get(targetDir, "catalog.json"), Json.write(doc))
+  }
+}

@@ -1,0 +1,203 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.GraftSession
+import graft.artifacts.{Artifacts, RunResult}
+import graft.core._
+import graft.exec.{Compiler, RelationStore, Runner, RunOptions, Sources}
+import graft.graph.Linker
+import graft.parser.ProjectLoader
+
+/** CLI verbs (reference core/dbt/cli/main.py commands §2.8):
+  * parse, list, compile, run, seed, snapshot, test, build, show,
+  * docs-generate, source-freshness, clone, retry.
+  *
+  * Usage:
+  *   graft <cmd> --project-dir DIR [--select "..."] [--exclude "..."]
+  *     [--threads N] [--vars k=v,k2=v2] [--full-refresh] [--empty]
+  *     [--state PATH] [--defer] [--warehouse DIR] [--target-dir DIR]
+  *     [--inline SQL] [--indirect-selection MODE]
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val (cmd, flags) = parseArgs(args)
+    val projectDir = flags.getOrElse("project-dir", ".")
+    val warehouse = flags.getOrElse("warehouse", s"$projectDir/warehouse")
+    val targetDir = flags.getOrElse("target-dir", s"$projectDir/target")
+    val cliVars = flags.get("vars").map(_.split(",").map { kv =>
+      val Array(k, v) = kv.split("=", 2); (k, v)
+    }.toMap).getOrElse(Map.empty)
+
+    val spark = GraftSession.local(flags.getOrElse("cpus",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).toInt)
+    try {
+      val exit = dispatch(cmd, flags, projectDir, warehouse, targetDir, cliVars, spark)
+      spark.stop()
+      if (exit != 0) sys.exit(exit)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"error: ${e.getMessage}")
+        spark.stop()
+        sys.exit(2)
+    }
+  }
+
+  def dispatch(
+      cmd: String,
+      flags: Map[String, String],
+      projectDir: String,
+      warehouse: String,
+      targetDir: String,
+      cliVars: Map[String, String],
+      spark: SparkSession): Int = {
+    val project = ProjectLoader.resolveRefs(ProjectLoader.load(projectDir, cliVars))
+    val store = new RelationStore(spark, warehouse)
+    val stateManifest = flags.get("state").map(readStateManifest(project, _))
+
+    def mkOpts(c: String) = RunOptions(
+      cmd = c,
+      select = flags.get("select").map(_.split(" ").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+      exclude = flags.get("exclude").map(_.split(" ").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+      threads = flags.getOrElse("threads", "4").toInt,
+      fullRefresh = flags.contains("full-refresh"),
+      empty = flags.contains("empty"),
+      vars = cliVars,
+      targetDir = targetDir,
+      stateManifest = stateManifest,
+      deferStore = if (flags.contains("defer"))
+        flags.get("defer-warehouse").map(w => new RelationStore(spark, w)) else None,
+      eventTimeStart = flags.get("event-time-start").map(ProjectLoader.parseInstant),
+      eventTimeEnd = flags.get("event-time-end").map(ProjectLoader.parseInstant),
+      indirectSelection = flags.getOrElse("indirect-selection", "eager"),
+      previousStatuses = Artifacts.readRunResultStatuses(targetDir))
+
+    def report(results: Seq[RunResult]): Int = {
+      results.sortBy(_.uniqueId).foreach { r =>
+        println(f"${r.status.toUpperCase}%-8s ${r.uniqueId}%-60s ${r.executionTime}%6.2fs  ${r.message}")
+      }
+      val bad = results.count(r => r.status == "error" || r.status == "fail")
+      println(s"Done. PASS=${results.count(r => Set("success", "pass").contains(r.status))} " +
+        s"WARN=${results.count(_.status == "warn")} ERROR=$bad " +
+        s"SKIP=${results.count(_.status == "skipped")} TOTAL=${results.size}")
+      if (bad > 0) 1 else 0
+    }
+
+    cmd match {
+      case "parse" =>
+        Artifacts.writeManifest(targetDir, project.manifest)
+        println(s"parsed ${project.manifest.nodes.size} nodes, " +
+          s"${project.manifest.sources.size} sources, " +
+          s"${project.manifest.unitTests.size} unit tests -> $targetDir/manifest.json")
+        0
+      case "list" =>
+        val runner = new Runner(spark, project, store, mkOpts("build"))
+        val sel = graft.graph.Selector.select(project.manifest, runner.graph,
+          mkOpts("build").select, mkOpts("build").exclude, stateManifest,
+          Map.empty, flags.getOrElse("indirect-selection", "eager"))
+        sel.toSeq.sorted.foreach(println)
+        0
+      case "compile" =>
+        val compiler = new Compiler(project.manifest, project.vars ++ cliVars)
+        val outDir = Paths.get(targetDir, "compiled")
+        Files.createDirectories(outDir)
+        project.manifest.nodes.values.foreach {
+          case m: ModelNode =>
+            val sql = compiler.compile(m, m.rawCode).executable
+            Files.writeString(outDir.resolve(s"${m.name}.sql"), sql)
+          case _ =>
+        }
+        println(s"compiled -> $outDir")
+        0
+      case "run" | "seed" | "snapshot" | "test" | "build" =>
+        report(new Runner(spark, project, store, mkOpts(cmd)).execute())
+      case "retry" =>
+        // reference task/retry.py:72-174 — rerun error/fail/skipped
+        val prev = Artifacts.readRunResultStatuses(targetDir)
+        val failedIds = prev.collect {
+          case (id, st) if Set("error", "fail", "skipped")(st) => id
+        }.toSeq
+        if (failedIds.isEmpty) { println("nothing to retry"); 0 }
+        else {
+          val sel = failedIds.mkString(" ")
+          report(new Runner(spark, project, store,
+            mkOpts("build").copy(select = failedIds)).execute())
+        }
+      case "show" =>
+        val inline = flags.getOrElse("inline",
+          throw new IllegalArgumentException("show requires --inline SQL"))
+        Sources.registerAll(spark, project.manifest, project.vars ++ cliVars)
+        store.attach()
+        val compiler = new Compiler(project.manifest, project.vars ++ cliVars)
+        val fake = ModelNode("__inline__", project.name, inline, NodeConfig(), Nil, Nil, Nil)
+        val sql = compiler.compile(fake, inline).executable
+        spark.sql(sql).show(flags.getOrElse("limit", "5").toInt, truncate = false)
+        0
+      case "docs-generate" =>
+        Sources.registerAll(spark, project.manifest, project.vars ++ cliVars)
+        store.attach()
+        val rels = store.list().map(n => n -> store.read(n))
+        Artifacts.writeCatalog(targetDir, rels)
+        Artifacts.writeManifest(targetDir, project.manifest)
+        println(s"catalog with ${rels.size} relations -> $targetDir/catalog.json")
+        0
+      case "source-freshness" =>
+        report(new Runner(spark, project, store, mkOpts("run")).sourceFreshness())
+      case "clone" =>
+        // reference task/clone.py — bring state relations into this warehouse
+        val fromW = flags.getOrElse("clone-from",
+          throw new IllegalArgumentException("clone requires --clone-from WAREHOUSE"))
+        val from = new RelationStore(spark, fromW)
+        val names = flags.get("select")
+          .map(_.split(" ").toSeq.filter(_.nonEmpty))
+          .getOrElse(from.list())
+        names.foreach(n => store.clone(from, n))
+        println(s"cloned ${names.size} relations from $fromW")
+        0
+      case other =>
+        System.err.println(s"unknown command: $other")
+        2
+    }
+  }
+
+  /** Rebuild a Manifest skeleton from a state manifest.json (only what
+    * state:modified compares: checksums + configs).
+    */
+  private def readStateManifest(current: ProjectLoader.Project, path: String): Manifest = {
+    val sums = Artifacts.readManifestChecksums(path)
+    // represent old nodes by patching checksums onto current where ids match;
+    // ids only in the old manifest appear as bare models
+    val nodes = sums.collect { case (id, (sum, _)) if !id.startsWith("source.") =>
+      id -> (current.manifest.nodes.get(id) match {
+        case Some(n: ModelNode) => n.copy(checksum = FileHash(sum))
+        case Some(n: SnapshotNode) => n.copy(checksum = FileHash(sum))
+        case Some(n: TestNode) => n.copy(checksum = FileHash(sum))
+        case Some(n: SeedNode) => n.copy(checksum = FileHash(sum))
+        case _ =>
+          val name = id.split("\\.").last
+          ModelNode(name, current.name, "", NodeConfig(), Nil, Nil, Nil,
+            checksum = FileHash(sum)): Node
+      })
+    }
+    Manifest(nodes.toMap, Map.empty, Map.empty, Nil, Nil, current.name)
+  }
+
+  def parseArgs(args: Array[String]): (String, Map[String, String]) = {
+    if (args.isEmpty) throw new IllegalArgumentException("usage: graft <cmd> [flags]")
+    val cmd = args(0)
+    val flags = scala.collection.mutable.Map[String, String]()
+    var i = 1
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        val key = a.stripPrefix("--")
+        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          flags(key) = args(i + 1); i += 2
+        } else { flags(key) = "true"; i += 1 }
+      } else i += 1
+    }
+    (cmd, flags.toMap)
+  }
+}

@@ -1,0 +1,301 @@
+package graft.core
+
+/** Core engine data model — the Spark-native mirror of the reference's
+  * manifest IR (reference: core/dbt/contracts/graph/nodes.py:121 BaseNode
+  * hierarchy, core/dbt/artifacts/resources/types.py:18 NodeType).
+  *
+  * Pure Scala, no Spark: the manifest lives on the driver and is a few
+  * thousand nodes at most (the reference's own perf project is 2,000).
+  */
+
+/** Resource taxonomy (reference types.py:18-37, trimmed to what the
+  * engine executes; Doc/Group/SavedQuery etc. are metadata-only there).
+  */
+sealed abstract class NodeType(val name: String)
+object NodeType {
+  case object Model extends NodeType("model")
+  case object Seed extends NodeType("seed")
+  case object Snapshot extends NodeType("snapshot")
+  case object Test extends NodeType("test")
+  case object UnitTest extends NodeType("unit_test")
+  case object Source extends NodeType("source")
+  case object Operation extends NodeType("operation")
+  case object Analysis extends NodeType("analysis")
+  val executable: Set[NodeType] = Set(Model, Seed, Snapshot, Test, UnitTest)
+  val refable: Set[NodeType] = Set(Model, Seed, Snapshot)
+}
+
+/** Materialization strategies (reference config.py:81 materialized +
+  * config.py:82 incremental_strategy).
+  */
+sealed abstract class Materialized(val name: String)
+object Materialized {
+  case object View extends Materialized("view")
+  case object Table extends Materialized("table")
+  case object Incremental extends Materialized("incremental")
+  case object Ephemeral extends Materialized("ephemeral")
+  case object SeedMat extends Materialized("seed")
+  case object SnapshotMat extends Materialized("snapshot")
+  def parse(s: String): Materialized = s match {
+    case "view" => View
+    case "table" => Table
+    case "incremental" => Incremental
+    case "ephemeral" => Ephemeral
+    case "seed" => SeedMat
+    case "snapshot" => SnapshotMat
+    case other => throw new IllegalArgumentException(s"unknown materialization: $other")
+  }
+}
+
+/** Microbatch batch granularity (reference types.py:72-76 BatchSize). */
+sealed abstract class BatchSize(val name: String)
+object BatchSize {
+  case object Hour extends BatchSize("hour")
+  case object Day extends BatchSize("day")
+  case object Month extends BatchSize("month")
+  case object Year extends BatchSize("year")
+  def parse(s: String): BatchSize = s match {
+    case "hour" => Hour
+    case "day" => Day
+    case "month" => Month
+    case "year" => Year
+    case other => throw new IllegalArgumentException(s"unknown batch_size: $other")
+  }
+}
+
+/** Node configuration (reference config.py:78-129 NodeConfig +
+  * snapshot.py:11 SnapshotConfig + config.py:172 TestConfig, merged —
+  * the reference also flattens these into one config dict per node).
+  */
+final case class NodeConfig(
+    enabled: Boolean = true,
+    materialized: Materialized = Materialized.View,
+    incrementalStrategy: Option[String] = None, // append|merge|delete+insert|insert_overwrite|microbatch
+    uniqueKey: Seq[String] = Nil,
+    onSchemaChange: String = "ignore", // ignore|fail|append_new_columns|sync_all_columns
+    fullRefresh: Option[Boolean] = None,
+    // microbatch (reference config.py:83-85,128)
+    eventTime: Option[String] = None,
+    batchSize: Option[BatchSize] = None,
+    lookback: Int = 1,
+    begin: Option[java.time.Instant] = None,
+    // snapshot (reference snapshot.py:11-77)
+    strategy: Option[String] = None, // timestamp|check
+    updatedAt: Option[String] = None,
+    checkCols: Option[Seq[String]] = None, // None = "all"
+    invalidateHardDeletes: Boolean = false,
+    // test (reference config.py:172-181)
+    severity: String = "error", // error|warn
+    warnIf: String = "!= 0",
+    errorIf: String = "!= 0",
+    failCalc: String = "count(*)",
+    limit: Option[Int] = None,
+    storeFailures: Boolean = false,
+    // common
+    tags: Seq[String] = Nil,
+    preHook: Seq[String] = Nil,
+    postHook: Seq[String] = Nil,
+    meta: Map[String, String] = Map.empty,
+    schema: Option[String] = None,
+    alias: Option[String] = None,
+    partitionBy: Seq[String] = Nil,
+    contractEnforced: Boolean = false)
+
+/** Declared column info (reference components.py:59 ColumnInfo). */
+final case class ColumnInfo(
+    name: String,
+    description: String = "",
+    dataType: Option[String] = None,
+    tests: Seq[TestSpec] = Nil)
+
+/** A generic-test request attached to a column or model in schema YAML
+  * (reference generic_test_builders.py:69 TestBuilder input).
+  */
+final case class TestSpec(
+    testName: String, // unique | not_null | accepted_values | relationships | <custom>
+    kwargs: Map[String, Any] = Map.empty,
+    config: Map[String, String] = Map.empty)
+
+/** File content hash for partial parsing / state:modified
+  * (reference contracts/files.py:110 FileHash).
+  */
+final case class FileHash(checksum: String)
+object FileHash {
+  def of(content: String): FileHash = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    FileHash(md.digest(content.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+}
+
+/** Relation identity: database.schema.identifier
+  * (reference components.py:133 HasRelationMetadata).
+  */
+final case class Relation(schema: String, identifier: String) {
+  def fqn: String = s"$schema.$identifier"
+}
+
+/** Unit of work (reference nodes.py BaseNode subtypes). `uniqueId` is
+  * "<type>.<package>.<name>" exactly like the reference.
+  */
+sealed trait Node {
+  def uniqueId: String
+  def name: String
+  def packageName: String
+  def config: NodeConfig
+  def dependsOn: Seq[String]
+  def resourceType: NodeType
+  def checksum: FileHash
+  def tags: Seq[String] = config.tags
+}
+
+/** SQL model (reference nodes.py:445 ModelNode). rawCode is the
+  * templated SQL; compiledCode is filled by the Compiler.
+  */
+final case class ModelNode(
+    name: String,
+    packageName: String,
+    rawCode: String,
+    config: NodeConfig,
+    dependsOn: Seq[String],
+    refs: Seq[String],
+    sources: Seq[(String, String)],
+    columns: Seq[ColumnInfo] = Nil,
+    path: String = "",
+    checksum: FileHash = FileHash(""))
+  extends Node {
+  val uniqueId = s"model.$packageName.$name"
+  val resourceType: NodeType = NodeType.Model
+}
+
+/** CSV seed (reference nodes.py:846 SeedNode). */
+final case class SeedNode(
+    name: String,
+    packageName: String,
+    csvPath: String,
+    config: NodeConfig,
+    columnTypes: Map[String, String] = Map.empty,
+    delimiter: String = ",",
+    checksum: FileHash = FileHash(""))
+  extends Node {
+  val uniqueId = s"seed.$packageName.$name"
+  val resourceType: NodeType = NodeType.Seed
+  val dependsOn: Seq[String] = Nil
+}
+
+/** SCD-2 snapshot (reference nodes.py:1076 SnapshotNode). */
+final case class SnapshotNode(
+    name: String,
+    packageName: String,
+    rawCode: String,
+    config: NodeConfig,
+    dependsOn: Seq[String],
+    refs: Seq[String],
+    sources: Seq[(String, String)] = Nil,
+    checksum: FileHash = FileHash(""))
+  extends Node {
+  val uniqueId = s"snapshot.$packageName.$name"
+  val resourceType: NodeType = NodeType.Snapshot
+}
+
+/** Data test node — generic (synthesized from YAML) or singular (a .sql
+  * file) (reference nodes.py:973/:989).
+  */
+final case class TestNode(
+    name: String,
+    packageName: String,
+    rawCode: String, // compiled-to-SQL test query returning failing rows
+    config: NodeConfig,
+    dependsOn: Seq[String],
+    refs: Seq[String],
+    attachedTo: Option[String] = None, // uniqueId of the tested node
+    columnName: Option[String] = None,
+    checksum: FileHash = FileHash(""))
+  extends Node {
+  val uniqueId = s"test.$packageName.$name"
+  val resourceType: NodeType = NodeType.Test
+}
+
+/** Declared external table (reference nodes.py:1217 SourceDefinition). */
+final case class SourceNode(
+    sourceName: String,
+    name: String,
+    packageName: String,
+    /** Where the data lives: a parquet path (or path template with
+      * `{dir}`) or an existing relation name.
+      */
+    location: String,
+    loadedAtField: Option[String] = None,
+    freshnessWarnAfter: Option[java.time.Duration] = None,
+    freshnessErrorAfter: Option[java.time.Duration] = None,
+    filter: Option[String] = None,
+    config: NodeConfig = NodeConfig(),
+    columns: Seq[ColumnInfo] = Nil,
+    checksum: FileHash = FileHash(""))
+  extends Node {
+  val uniqueId = s"source.$packageName.$sourceName.$name"
+  val resourceType: NodeType = NodeType.Source
+  val dependsOn: Seq[String] = Nil
+}
+
+/** Unit test with fixture rows (reference nodes.py:1025
+  * UnitTestDefinition; formats unit_test_definition.py:25-67).
+  */
+final case class UnitTestNode(
+    name: String,
+    packageName: String,
+    model: String, // tested model name
+    givens: Map[String, Seq[Map[String, Any]]], // input ref/source name -> fixture rows
+    expect: Seq[Map[String, Any]],
+    config: NodeConfig = NodeConfig(),
+    checksum: FileHash = FileHash(""))
+  extends Node {
+  val uniqueId = s"unit_test.$packageName.$name"
+  val resourceType: NodeType = NodeType.UnitTest
+  val dependsOn: Seq[String] = Seq(s"model.$packageName.$model")
+}
+
+/** Project-level hook (reference nodes.py:438 HookNode, on-run-start/end). */
+final case class HookNode(
+    name: String,
+    packageName: String,
+    rawCode: String,
+    index: Int,
+    config: NodeConfig = NodeConfig(),
+    checksum: FileHash = FileHash(""))
+  extends Node {
+  val uniqueId = s"operation.$packageName.$name"
+  val resourceType: NodeType = NodeType.Operation
+  val dependsOn: Seq[String] = Nil
+}
+
+/** The manifest IR (reference contracts/graph/manifest.py). */
+final case class Manifest(
+    nodes: Map[String, Node],
+    sources: Map[String, SourceNode],
+    unitTests: Map[String, UnitTestNode] = Map.empty,
+    onRunStart: Seq[HookNode] = Nil,
+    onRunEnd: Seq[HookNode] = Nil,
+    projectName: String = "graft") {
+
+  def all: Map[String, Node] = nodes ++ sources ++ unitTests
+
+  def get(uniqueId: String): Option[Node] = all.get(uniqueId)
+
+  /** child -> parents edge map (reference manifest parent_map). */
+  def parentMap: Map[String, Seq[String]] =
+    all.map { case (id, n) => id -> n.dependsOn }
+
+  /** parent -> children (reference manifest child_map). */
+  def childMap: Map[String, Seq[String]] = {
+    val pairs = for ((id, n) <- all.toSeq; p <- n.dependsOn) yield (p, id)
+    pairs.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2) }
+  }
+
+  /** Resolve ref('name') → node (reference manifest.py:1338). */
+  def resolveRef(name: String): Option[Node] =
+    nodes.values.find(n => NodeType.refable(n.resourceType) && n.name == name)
+
+  /** Resolve source('src','table') (reference manifest.py:1375). */
+  def resolveSource(sourceName: String, tableName: String): Option[SourceNode] =
+    sources.values.find(s => s.sourceName == sourceName && s.name == tableName)
+}

@@ -1,0 +1,246 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+
+/** Materialization strategies (reference §2.1: dbt-adapters
+  * materialization macros; contracts in core/dbt/artifacts/resources/v1/
+  * config.py:78-129, snapshot.py:11-77).
+  *
+  * Built on the copy-on-write RelationStore, so every strategy is
+  * "compute new table contents as a DataFrame, commit a new version".
+  * Incremental strategies never rewrite rows they don't have to
+  * LOGICALLY — but physically this store rewrites the table per commit;
+  * at cluster scale the same strategies target a format with file-level
+  * commits (the strategy layer is format-agnostic by design, the
+  * reference's adapter.dispatch seam, providers.py:119-170).
+  */
+final class Materializer(spark: SparkSession, store: RelationStore) {
+
+  def relName(node: Node): String = node.config.alias.getOrElse(node.name)
+
+  /** CREATE OR REPLACE VIEW (default materialization). */
+  def view(node: Node, sql: String): Unit =
+    store.writeView(relName(node), sql)
+
+  /** Full rebuild (CTAS + atomic version swap). */
+  def table(node: Node, df: DataFrame): Unit =
+    store.write(df, relName(node))
+
+  /** Incremental dispatch (reference config.py:82 incremental_strategy;
+    * microbatch handled by the Runner's batch loop calling
+    * [[insertOverwriteWindow]] per batch).
+    */
+  def incremental(node: Node, df: DataFrame, fullRefresh: Boolean): Unit = {
+    val name = relName(node)
+    if (fullRefresh || !store.exists(name)) { table(node, df); return }
+    val strategy = node.config.incrementalStrategy.getOrElse("append")
+    strategy match {
+      case "append" => append(node, df)
+      case "merge" => merge(node, df)
+      case "delete+insert" => deleteInsert(node, df)
+      case "insert_overwrite" => insertOverwrite(node, df)
+      case other => throw new IllegalArgumentException(s"unknown incremental_strategy: $other")
+    }
+  }
+
+  /** Align new rows to the target schema per on_schema_change
+    * (reference config.py:106 on_schema_change; values ignore /
+    * append_new_columns / sync_all_columns / fail).
+    */
+  private def align(node: Node, target: DataFrame, src: DataFrame): (DataFrame, DataFrame) = {
+    val tCols = target.columns.toSeq
+    val sCols = src.columns.toSeq
+    if (tCols == sCols) return (target, src)
+    node.config.onSchemaChange match {
+      case "fail" =>
+        throw new IllegalStateException(
+          s"schema changed for ${node.name}: target=$tCols source=$sCols (on_schema_change=fail)")
+      case "ignore" =>
+        // keep target schema; drop new cols, null-fill missing
+        val s2 = src.select(tCols.map(c =>
+          if (sCols.contains(c)) col(c) else lit(null).as(c)): _*)
+        (target, s2)
+      case "append_new_columns" =>
+        val merged = tCols ++ sCols.filterNot(tCols.contains)
+        val t2 = target.select(merged.map(c =>
+          if (tCols.contains(c)) col(c) else lit(null).as(c)): _*)
+        val s2 = src.select(merged.map(c =>
+          if (sCols.contains(c)) col(c) else lit(null).as(c)): _*)
+        (t2, s2)
+      case "sync_all_columns" =>
+        // adopt the source schema entirely (add + remove)
+        val t2 = target.select(sCols.map(c =>
+          if (tCols.contains(c)) col(c) else lit(null).as(c)): _*)
+        (t2, src)
+      case other => throw new IllegalArgumentException(s"unknown on_schema_change: $other")
+    }
+  }
+
+  /** incremental/append: union new rows in. */
+  def append(node: Node, df: DataFrame): Unit = {
+    val name = relName(node)
+    val (target, src) = align(node, store.read(name), df)
+    store.write(target.unionByName(src), name)
+  }
+
+  private def keyCols(node: Node): Seq[String] = {
+    val ks = node.config.uniqueKey
+    if (ks.isEmpty)
+      throw new IllegalArgumentException(s"${node.name}: strategy requires unique_key")
+    ks
+  }
+
+  /** incremental/merge: upsert on unique_key — rows in the target whose
+    * key appears in the source are replaced (WHEN MATCHED UPDATE SET *),
+    * new keys inserted. Anti-join + union ≡ MERGE with update-all.
+    */
+  def merge(node: Node, df: DataFrame): Unit = {
+    val name = relName(node)
+    val ks = keyCols(node)
+    val (target, src) = align(node, store.read(name), df)
+    val kept = target.join(src.select(ks.map(col): _*).distinct(), ks, "left_anti")
+    store.write(kept.unionByName(src), name)
+  }
+
+  /** incremental/delete+insert: same terminal state as merge for
+    * whole-row sources; kept separate to mirror the reference contract.
+    */
+  def deleteInsert(node: Node, df: DataFrame): Unit = merge(node, df)
+
+  /** incremental/insert_overwrite: replace exactly the partitions
+    * present in the source (dynamic partition overwrite semantics).
+    */
+  def insertOverwrite(node: Node, df: DataFrame): Unit = {
+    val name = relName(node)
+    val parts = node.config.partitionBy
+    if (parts.isEmpty)
+      throw new IllegalArgumentException(s"${node.name}: insert_overwrite requires partition_by")
+    val (target, src) = align(node, store.read(name), df)
+    val kept = target.join(src.select(parts.map(col): _*).distinct(), parts, "left_anti")
+    store.write(kept.unionByName(src), name)
+  }
+
+  /** Microbatch per-batch write: overwrite the [start, end) event-time
+    * window with the batch's rows (the Spark analogue of a
+    * `replaceWhere` write; reference run.py:483-563 batch loop).
+    */
+  def insertOverwriteWindow(
+      node: Node,
+      df: DataFrame,
+      eventTime: String,
+      start: java.time.Instant,
+      end: java.time.Instant): Unit = {
+    val name = relName(node)
+    if (!store.exists(name)) { store.write(df, name); return }
+    val (target, src) = align(node, store.read(name), df)
+    // plain string literals: analyzer coerces to the event-time column's
+    // type (TIMESTAMP or TIMESTAMP_NTZ)
+    val s = lit(Timestamps.sql(start))
+    val e = lit(Timestamps.sql(end))
+    val kept = target.filter(col(eventTime) < s || col(eventTime) >= e)
+    store.write(kept.unionByName(src), name)
+  }
+
+  // ---- snapshots (SCD-2; reference snapshot.py:11-77 + task/snapshot.py) ----
+
+  val ValidFrom = "dbt_valid_from"
+  val ValidTo = "dbt_valid_to"
+  val ScdId = "dbt_scd_id"
+  val UpdatedAt = "dbt_updated_at"
+
+  /** Snapshot a source query result. `strategy` = timestamp (compare
+    * updated_at) or check (compare check_cols / all columns).
+    */
+  def snapshot(node: Node, df: DataFrame, now: java.time.Instant): Unit = {
+    val name = relName(node)
+    val ks = keyCols(node)
+    val strategy = node.config.strategy.getOrElse("timestamp")
+    val nowTs = lit(Timestamps.sql(now)).cast("timestamp")
+
+    val updatedCol: Column = strategy match {
+      case "timestamp" =>
+        val ua = node.config.updatedAt.getOrElse(
+          throw new IllegalArgumentException(s"${node.name}: timestamp strategy requires updated_at"))
+        col(ua).cast("timestamp")
+      case "check" => nowTs
+      case other => throw new IllegalArgumentException(s"unknown snapshot strategy: $other")
+    }
+
+    def withMeta(src: DataFrame): DataFrame = {
+      val scd = md5(concat_ws("|", (ks.map(col) :+ updatedCol.cast("string")): _*))
+      src
+        .withColumn(ScdId, scd)
+        .withColumn(UpdatedAt, updatedCol)
+        .withColumn(ValidFrom, updatedCol)
+        .withColumn(ValidTo, lit(null).cast("timestamp"))
+    }
+
+    if (!store.exists(name)) { store.write(withMeta(df), name); return }
+
+    val target = store.read(name)
+    val open = target.filter(col(ValidTo).isNull)
+    val closed = target.filter(col(ValidTo).isNotNull)
+    val srcCols = df.columns.toSeq
+
+    // pair open rows with their source row by key
+    val joined = open.alias("t").join(df.alias("s"), ks, "full_outer")
+
+    val changeCond: Column = strategy match {
+      case "timestamp" =>
+        val ua = node.config.updatedAt.get
+        col(s"s.$ua").cast("timestamp") > col(s"t.$UpdatedAt")
+      case "check" =>
+        val cols = node.config.checkCols.getOrElse(srcCols.filterNot(ks.contains))
+        cols.map(c => !(col(s"s.$c") <=> col(s"t.$c"))).reduce(_ || _)
+    }
+
+    val inSource = ks.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
+    val inTarget = col(s"t.$ScdId").isNotNull
+
+    // 1. unchanged open rows stay open
+    val unchanged = joined.filter(inTarget && inSource && !changeCond)
+      .select(open.columns.map(c => col(s"t.$c").as(c)): _*)
+    // 2. changed: close old row at the new row's valid_from
+    val newValidFrom: Column = strategy match {
+      case "timestamp" => col(s"s.${node.config.updatedAt.get}").cast("timestamp")
+      case "check" => nowTs
+    }
+    val closedNow = joined.filter(inTarget && inSource && changeCond)
+      .select(open.columns.map(c =>
+        (if (c == ValidTo) newValidFrom else col(s"t.$c")).as(c)): _*)
+    // 3. changed + brand-new keys: insert fresh open rows
+    val inserts = withMeta(
+      joined.filter(inSource && (!inTarget || changeCond))
+        .select(srcCols.map(c => col(s"s.$c").as(c)): _*))
+    // 4. hard deletes: open rows whose key vanished from the source
+    val vanished = joined.filter(inTarget && !inSource)
+      .select(open.columns.map(c =>
+        (if (c == ValidTo && node.config.invalidateHardDeletes) nowTs else col(s"t.$c")).as(c)): _*)
+
+    val next = closed
+      .unionByName(unchanged)
+      .unionByName(closedNow)
+      .unionByName(inserts)
+      .unionByName(vanished)
+    store.write(next, name)
+  }
+
+  /** Seed: CSV → table with optional declared column types (reference
+    * core/dbt/task/seed.py + seed config seed.py:15-18).
+    */
+  def seed(node: SeedNode): Unit = {
+    var reader = spark.read
+      .option("header", "true")
+      .option("sep", node.delimiter)
+      .option("inferSchema", node.columnTypes.isEmpty)
+    val df0 = reader.csv(node.csvPath)
+    val df =
+      if (node.columnTypes.isEmpty) df0
+      else df0.select(df0.columns.map(c =>
+        node.columnTypes.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))): _*)
+    store.write(df, relName(node))
+  }
+}

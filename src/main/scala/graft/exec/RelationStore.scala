@@ -1,0 +1,134 @@
+package graft.exec
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.core.Relation
+
+/** Versioned parquet relation store — the engine's warehouse.
+  *
+  * Every write creates a NEW immutable version directory and then
+  * atomically swaps a pointer file, exactly the copy-on-write commit
+  * discipline lakehouse table formats use. Consequences:
+  *
+  *  - a materialization can read the current version of its own target
+  *    while writing the next (incremental merge = read + join + write,
+  *    no read-overwrite conflict);
+  *  - failed writes never corrupt the table (pointer still names the
+  *    old version);
+  *  - at cluster scale the same layout works on any Hadoop FS; only the
+  *    pointer swap needs an atomic rename, which object stores provide
+  *    for single keys.
+  *
+  * Views are stored as SQL text (`<name>.view.sql`) and re-registered as
+  * session temp views on attach — mirroring `CREATE OR REPLACE VIEW`.
+  */
+final class RelationStore(val spark: SparkSession, val root: String, val schema: String = "main") {
+  private def schemaDir: Path = Paths.get(root, schema)
+  private def tableDir(name: String): Path = schemaDir.resolve(name)
+  private def pointer(name: String): Path = tableDir(name).resolve("_current")
+  private def viewFile(name: String): Path = schemaDir.resolve(s"$name.view.sql")
+
+  def relation(name: String): Relation = Relation(schema, name)
+
+  def exists(name: String): Boolean =
+    Files.exists(pointer(name)) || Files.exists(viewFile(name))
+
+  def isView(name: String): Boolean = Files.exists(viewFile(name))
+
+  private def currentVersion(name: String): Option[Int] =
+    if (Files.exists(pointer(name))) Some(Files.readString(pointer(name)).trim.toInt) else None
+
+  def currentPath(name: String): Option[String] =
+    currentVersion(name).map(v => tableDir(name).resolve(s"v$v").toString)
+
+  def read(name: String): DataFrame = {
+    if (isView(name)) spark.sql(Files.readString(viewFile(name)))
+    else {
+      val p = currentPath(name).getOrElse(
+        throw new IllegalStateException(s"relation not found: $schema.$name"))
+      spark.read.parquet(p)
+    }
+  }
+
+  /** Write a new version and swap the pointer (the "commit"). */
+  def write(df: DataFrame, name: String): Unit = {
+    Files.createDirectories(tableDir(name))
+    val next = currentVersion(name).getOrElse(-1) + 1
+    val dest = tableDir(name).resolve(s"v$next")
+    df.write.mode(SaveMode.Overwrite).parquet(dest.toString)
+    val tmp = tableDir(name).resolve(s"_current.tmp$next")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // older versions are garbage; keep the previous one for time-travel-lite
+    val stale = (0 until next - 1).map(v => tableDir(name).resolve(s"v$v")).filter(Files.exists(_))
+    stale.foreach(deleteRecursively)
+    registerView(name)
+  }
+
+  /** Store a logical view (SQL text) and register it in the session. */
+  def writeView(name: String, sql: String): Unit = {
+    Files.createDirectories(schemaDir)
+    Files.writeString(viewFile(name), sql)
+    spark.sql(sql).createOrReplaceTempView(name)
+  }
+
+  def drop(name: String): Unit = {
+    if (Files.exists(tableDir(name))) deleteRecursively(tableDir(name))
+    Files.deleteIfExists(viewFile(name))
+    spark.catalog.dropTempView(name)
+  }
+
+  /** Shallow clone: new relation pointing at the same data version
+    * (reference CloneRunner, core/dbt/task/clone.py:19-161; Spark-side
+    * analogue of CREATE TABLE ... SHALLOW CLONE). Falls back to a view
+    * when the source is a view.
+    */
+  def clone(fromStore: RelationStore, name: String): Unit = {
+    if (fromStore.isView(name)) {
+      val sql = Files.readString(fromStore.viewFile(name))
+      writeView(name, sql)
+    } else {
+      val srcPath = fromStore.currentPath(name).getOrElse(
+        throw new IllegalStateException(s"cannot clone missing relation $name"))
+      // pointer-only clone: a view over the source's current version dir
+      writeView(name, s"SELECT * FROM parquet.`$srcPath`")
+    }
+  }
+
+  def list(): Seq[String] =
+    if (!Files.exists(schemaDir)) Nil
+    else {
+      val ds = Files.list(schemaDir).iterator()
+      val out = scala.collection.mutable.ListBuffer[String]()
+      while (ds.hasNext) {
+        val p = ds.next()
+        val fn = p.getFileName.toString
+        if (Files.isDirectory(p) && Files.exists(p.resolve("_current"))) out += fn
+        else if (fn.endsWith(".view.sql")) out += fn.stripSuffix(".view.sql")
+      }
+      out.toSeq.sorted
+    }
+
+  /** Register one relation as a session temp view (SQL addressability). */
+  def registerView(name: String): Unit =
+    read(name).createOrReplaceTempView(name)
+
+  /** Re-register everything (fresh session attach). */
+  def attach(): Unit = list().foreach { n =>
+    try registerView(n)
+    catch { case e: Exception =>
+      System.err.println(s"[store] failed to attach $n: ${e.getMessage}")
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val ds = Files.list(p).iterator()
+      while (ds.hasNext) deleteRecursively(ds.next())
+    }
+    Files.deleteIfExists(p)
+  }
+}

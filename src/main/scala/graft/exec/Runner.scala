@@ -1,0 +1,411 @@
+package graft.exec
+
+import java.time.Instant
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.artifacts.{Artifacts, RunResult}
+import graft.core._
+import graft.graph.{Digraph, GraphQueue, Linker, Selector}
+import graft.parser.{ProjectLoader, Template}
+
+final case class RunOptions(
+    cmd: String, // run | test | build | seed | snapshot | unit-test
+    select: Seq[String] = Nil,
+    exclude: Seq[String] = Nil,
+    threads: Int = 4,
+    fullRefresh: Boolean = false,
+    empty: Boolean = false,
+    vars: Map[String, String] = Map.empty,
+    targetDir: String = "target",
+    stateManifest: Option[Manifest] = None,
+    deferStore: Option[RelationStore] = None,
+    eventTimeStart: Option[Instant] = None,
+    eventTimeEnd: Option[Instant] = None,
+    indirectSelection: String = "eager",
+    previousStatuses: Map[String, String] = Map.empty,
+    now: Instant = Instant.now())
+
+/** The execution core (reference GraphRunnableTask, core/dbt/task/
+  * runnable.py:168-443 + ModelRunner run.py:441; scheduling queue.py).
+  *
+  * A pool of driver threads pulls ready nodes off the GraphQueue and
+  * submits Spark jobs — Spark's scheduler interleaves their stages, so
+  * DAG-level parallelism multiplies executor utilization exactly like
+  * the reference's thread-per-connection model (FAIR pools optional).
+  */
+final class Runner(
+    spark: SparkSession,
+    project: ProjectLoader.Project,
+    store: RelationStore,
+    opts: RunOptions) {
+
+  private val manifest = project.manifest
+  private val vars = project.vars ++ opts.vars
+  private val materializer = new Materializer(spark, store)
+  private val auditStore = new RelationStore(spark, store.root, "dbt_test__audit")
+
+  private def compiler(eventWindow: Option[(Instant, Instant)] = None) = new Compiler(
+    manifest, vars,
+    eventTimeFilter = eventWindow,
+    empty = opts.empty,
+    deferResolver = opts.deferStore.map(d =>
+      (name: String) => if (d.exists(name)) Some(name) else None),
+    localExists = name => store.exists(name) || opts.deferStore.forall(_ => true))
+
+  lazy val graph: Digraph = {
+    val g = Linker.link(manifest)
+    if (opts.cmd == "build") Linker.addTestEdges(g, manifest) else g
+  }
+
+  /** Which node types each command executes (reference task classes:
+    * run.py, seed.py, snapshot.py, test.py, build.py).
+    */
+  private def typesFor(cmd: String): Set[NodeType] = cmd match {
+    case "run" => Set(NodeType.Model)
+    case "seed" => Set(NodeType.Seed)
+    case "snapshot" => Set(NodeType.Snapshot)
+    case "test" => Set(NodeType.Test, NodeType.UnitTest)
+    case "build" => Set(NodeType.Model, NodeType.Seed, NodeType.Snapshot, NodeType.Test, NodeType.UnitTest)
+    case other => throw new IllegalArgumentException(s"unknown command: $other")
+  }
+
+  def selectedIds(): Set[String] = {
+    val base = Selector.select(manifest, graph, opts.select, opts.exclude,
+      opts.stateManifest, opts.previousStatuses, opts.indirectSelection)
+    base.filter(id => manifest.get(id).exists(n =>
+      typesFor(opts.cmd).contains(n.resourceType) && n.config.enabled))
+  }
+
+  def execute(): Seq[RunResult] = {
+    val t0 = System.nanoTime()
+    Sources.registerAll(spark, manifest, vars)
+    store.attach()
+    val selected = selectedIds()
+    val results = new ConcurrentLinkedQueue[RunResult]()
+
+    // on-run-start hooks (reference safe_run_hooks, run.py:605-716)
+    manifest.onRunStart.foreach(h => spark.sql(renderHook(h.rawCode)))
+
+    val queue = new GraphQueue(graph, selected)
+    val pool = Executors.newFixedThreadPool(opts.threads)
+    val latch = new CountDownLatch(opts.threads)
+    (1 to opts.threads).foreach { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          try {
+            var next = queue.awaitReady()
+            while (next.isDefined) {
+              val id = next.get
+              val r = runNode(id)
+              results.add(r)
+              if (r.status == "error" || r.status == "fail") {
+                val skipped = queue.markFailed(id)
+                skipped.foreach(s => results.add(RunResult(s, "skipped", 0.0,
+                  s"depends on failed $id")))
+              } else queue.markDone(id)
+              next = queue.awaitReady()
+            }
+          } finally latch.countDown()
+        }
+      })
+    }
+    latch.await(24, TimeUnit.HOURS)
+    pool.shutdown()
+
+    manifest.onRunEnd.foreach(h => spark.sql(renderHook(h.rawCode)))
+
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val out = results.toArray(Array.empty[RunResult]).toSeq
+    Artifacts.writeRunResults(opts.targetDir, out, elapsed,
+      java.util.UUID.randomUUID().toString)
+    Artifacts.writeManifest(opts.targetDir, manifest)
+    out
+  }
+
+  private def renderHook(sql: String): String =
+    Template.render(sql,
+      r => manifest.resolveRef(r).map(n => n.config.alias.getOrElse(n.name)).getOrElse(r),
+      (s, t) => manifest.resolveSource(s, t).map(Sources.viewName).getOrElse(s"$s.$t"),
+      vars)
+
+  def runNode(id: String): RunResult = {
+    val t0 = System.nanoTime()
+    def elapsed = (System.nanoTime() - t0) / 1e9
+    val node = manifest.get(id).get
+    try {
+      node match {
+        case m: ModelNode => runModel(m)
+        case s: SeedNode => materializer.seed(s); RunResult(id, "success", elapsed, "SEED")
+        case s: SnapshotNode => runSnapshot(s)
+        case t: TestNode => runTest(t)
+        case u: UnitTestNode => runUnitTest(u)
+        case other => RunResult(id, "success", elapsed, s"noop ${other.resourceType.name}")
+      }
+    } catch {
+      case e: Exception =>
+        RunResult(id, "error", elapsed, Option(e.getMessage).getOrElse(e.toString).take(500))
+    } finally ()
+  }
+
+  private def hooksAround[A](node: Node)(body: => A): A = {
+    node.config.preHook.foreach(h => spark.sql(renderHook(h)))
+    val r = body
+    node.config.postHook.foreach(h => spark.sql(renderHook(h)))
+    r
+  }
+
+  private def runModel(m: ModelNode): RunResult = {
+    val t0 = System.nanoTime()
+    def elapsed = (System.nanoTime() - t0) / 1e9
+    hooksAround(m) {
+      m.config.materialized match {
+        case Materialized.Ephemeral =>
+          RunResult(m.uniqueId, "success", elapsed, "EPHEMERAL (inlined downstream)")
+        case Materialized.View =>
+          val sql = compiler().compile(m, m.rawCode).executable
+          materializer.view(m, sql)
+          RunResult(m.uniqueId, "success", elapsed, "CREATE VIEW")
+        case Materialized.Table =>
+          val sql = compiler().compile(m, m.rawCode).executable
+          materializer.table(m, spark.sql(sql))
+          RunResult(m.uniqueId, "success", elapsed, "CREATE TABLE")
+        case Materialized.Incremental if m.config.incrementalStrategy.contains("microbatch") =>
+          runMicrobatch(m)
+        case Materialized.Incremental =>
+          val sql = compiler().compile(m, m.rawCode).executable
+          materializer.incremental(m, spark.sql(sql),
+            opts.fullRefresh || m.config.fullRefresh.contains(true))
+          RunResult(m.uniqueId, "success", elapsed,
+            s"INCREMENTAL ${m.config.incrementalStrategy.getOrElse("append")}")
+        case other =>
+          throw new IllegalStateException(s"model ${m.name} has materialization $other")
+      }
+    }
+  }
+
+  /** Microbatch loop (reference run.py:483-563): window arithmetic from
+    * [[Microbatch]], per-batch recompilation with the event-time filter
+    * pushed into refs/sources, per-batch window overwrite, per-batch
+    * result capture for retry.
+    */
+  private def runMicrobatch(m: ModelNode): RunResult = {
+    val t0 = System.nanoTime()
+    def elapsed = (System.nanoTime() - t0) / 1e9
+    val et = m.config.eventTime.getOrElse(
+      throw new IllegalArgumentException(s"${m.name}: microbatch requires event_time"))
+    val bs = m.config.batchSize.getOrElse(
+      throw new IllegalArgumentException(s"${m.name}: microbatch requires batch_size"))
+    val name = materializer.relName(m)
+    val isIncremental = store.exists(name) && !opts.fullRefresh
+    // checkpoint = max event time already in the target (reference
+    // microbatch checkpoint semantics, §2.7)
+    val checkpoint: Option[Instant] =
+      if (!isIncremental) None
+      else {
+        val r = store.read(name).agg(max(col(et))).first()
+        if (r.isNullAt(0)) None else Some(instantOf(r.get(0)))
+      }
+    val start = Microbatch.buildStartTime(checkpoint, isIncremental, m.config.begin, bs,
+      m.config.lookback, opts.eventTimeStart)
+    val end = Microbatch.buildEndTime(opts.eventTimeEnd, opts.now)
+    val batches = Microbatch.buildBatches(start, end, bs)
+    val ok = scala.collection.mutable.ListBuffer[String]()
+    val bad = scala.collection.mutable.ListBuffer[String]()
+    for ((bStart, bEnd) <- batches) {
+      val bid = Microbatch.formatBatchStart(bStart, bs)
+      try {
+        val sql = compiler(Some((bStart, bEnd))).compile(m, m.rawCode).executable
+        materializer.insertOverwriteWindow(m, spark.sql(sql), et, bStart, bEnd)
+        ok += bid
+      } catch {
+        case e: Exception =>
+          bad += bid
+          System.err.println(s"[microbatch] ${m.name} batch $bid failed: ${e.getMessage}")
+      }
+    }
+    val status = if (bad.isEmpty) "success" else "error"
+    RunResult(m.uniqueId, status, elapsed,
+      s"MICROBATCH ${ok.size}/${batches.size} batches", None, ok.toSeq, bad.toSeq)
+  }
+
+  private def runSnapshot(s: SnapshotNode): RunResult = {
+    val t0 = System.nanoTime()
+    def elapsed = (System.nanoTime() - t0) / 1e9
+    hooksAround(s) {
+      val sql = compiler().compile(s, s.rawCode).executable
+      materializer.snapshot(s, spark.sql(sql), opts.now)
+      RunResult(s.uniqueId, "success", elapsed, "SNAPSHOT")
+    }
+  }
+
+  /** Data-test execution + threshold evaluation (reference
+    * TestRunner.execute_data_test test.py:143-198 and
+    * build_test_run_result :294-330).
+    */
+  private def runTest(t: TestNode): RunResult = {
+    val t0 = System.nanoTime()
+    def elapsed = (System.nanoTime() - t0) / 1e9
+    val sql = compiler().compile(t, t.rawCode).executable
+    val failing0 = spark.sql(sql)
+    val failing = t.config.limit.fold(failing0)(failing0.limit)
+    val n: Long = spark.sql(
+      s"SELECT CAST(${t.config.failCalc} AS BIGINT) FROM (${sql}) __dbt_test") match {
+      case df =>
+        val r = df.first()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    if (t.config.storeFailures && n > 0)
+      auditStore.write(failing, t.name)
+    val isError = t.config.severity == "error" && evalCond(n, t.config.errorIf)
+    val isWarn = evalCond(n, t.config.warnIf)
+    val status = if (isError) "fail" else if (isWarn) "warn" else "pass"
+    RunResult(t.uniqueId, status, elapsed,
+      if (n == 0) "PASS" else s"got $n results", Some(n))
+  }
+
+  /** Timestamp cell → Instant: TIMESTAMP yields java.sql.Timestamp,
+    * TIMESTAMP_NTZ yields java.time.LocalDateTime (treated as UTC).
+    */
+  private def instantOf(v: Any): Instant = v match {
+    case t: java.sql.Timestamp => Instant.ofEpochMilli(t.getTime)
+    case d: java.time.LocalDateTime => d.toInstant(java.time.ZoneOffset.UTC)
+    case i: Instant => i
+    case other => throw new IllegalStateException(s"not a timestamp: $other")
+  }
+
+  /** Threshold conditions like "!= 0", "> 5" (reference config.py:177). */
+  private def evalCond(n: Long, cond: String): Boolean = {
+    val c = cond.trim
+    val m = raw"(!=|>=|<=|>|<|=)\s*(-?\d+)".r.findFirstMatchIn(c).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse condition: $cond"))
+    val v = m.group(2).toLong
+    m.group(1) match {
+      case "!=" => n != v
+      case ">" => n > v
+      case ">=" => n >= v
+      case "<" => n < v
+      case "<=" => n <= v
+      case "=" => n == v
+    }
+  }
+
+  /** Unit-test execution (reference execute_unit_test, test.py:199-283):
+    * fixture rows become temp views; the model SQL runs against them;
+    * actual vs expected diffed with exceptAll both ways.
+    */
+  private def runUnitTest(u: UnitTestNode): RunResult = {
+    val t0 = System.nanoTime()
+    def elapsed = (System.nanoTime() - t0) / 1e9
+    val model = manifest.resolveRef(u.model).getOrElse(
+      throw new IllegalArgumentException(s"unit test ${u.name}: model ${u.model} not found"))
+      .asInstanceOf[ModelNode]
+
+    val refOverrides = scala.collection.mutable.Map[String, String]()
+    val srcOverrides = scala.collection.mutable.Map[(String, String), String]()
+    for (((input, rows), i) <- u.givens.zipWithIndex) {
+      val viewName = s"__fixture__${u.name}_$i"
+      fixtureDf(rows).createOrReplaceTempView(viewName)
+      val refPat = raw"""ref\s*\(\s*['"]([^'"]+)['"]\s*\)""".r
+      val srcPat = raw"""source\s*\(\s*['"]([^'"]+)['"]\s*,\s*['"]([^'"]+)['"]\s*\)""".r
+      input.trim match {
+        case refPat(r) => refOverrides(r) = viewName
+        case srcPat(s, t) => srcOverrides((s, t)) = viewName
+        case other => refOverrides(other) = viewName
+      }
+    }
+    val sql = Template.render(model.rawCode,
+      r => refOverrides.getOrElse(r,
+        manifest.resolveRef(r).map(n => n.config.alias.getOrElse(n.name)).getOrElse(r)),
+      (s, t) => srcOverrides.getOrElse((s, t),
+        manifest.resolveSource(s, t).map(Sources.viewName).getOrElse(s"$s.$t")),
+      vars)
+    val actual = spark.sql(sql)
+    val expected = fixtureDf(u.expect)
+    // compare on expected's columns, everything as strings (the
+    // reference diffs rendered tables — daff — which is also textual)
+    val cols = expected.columns.toSeq.sorted
+    def canon(df: DataFrame) =
+      df.select(cols.map(c => col(c).cast("string").as(c)): _*)
+    val a = canon(actual)
+    val e = canon(expected)
+    val extra = a.exceptAll(e).count()
+    val missing = e.exceptAll(a).count()
+    if (extra == 0 && missing == 0)
+      RunResult(u.uniqueId, "pass", elapsed, "PASS")
+    else
+      RunResult(u.uniqueId, "fail", elapsed,
+        s"actual vs expected differ: $extra unexpected rows, $missing missing rows",
+        Some(extra + missing))
+  }
+
+  /** Literal fixture rows → DataFrame (schema inferred per column from
+    * the first non-null value; reference get_fixture_sql builds literal
+    * CTEs the same way).
+    */
+  private def fixtureDf(rows: Seq[Map[String, Any]]): DataFrame = {
+    val cols: Seq[String] = rows.flatMap(_.keys).distinct
+    def typeOf(v: Any): DataType = v match {
+      case _: Long | _: Int => LongType
+      case _: Double => DoubleType
+      case _: Boolean => BooleanType
+      case _ => StringType
+    }
+    val schema = StructType(cols.map { c =>
+      val v = rows.flatMap(_.get(c)).find(_ != null)
+      StructField(c, v.map(typeOf).getOrElse(StringType), nullable = true)
+    })
+    val data: java.util.List[Row] = new java.util.ArrayList[Row]()
+    rows.foreach { r =>
+      val vals = cols.map { c =>
+        val v = r.getOrElse(c, null)
+        (v, schema(c).dataType) match {
+          case (null, _) => null
+          case (x: Int, LongType) => x.toLong
+          case (x: Long, LongType) => x
+          case (x: Long, DoubleType) => x.toDouble
+          case (x: Double, DoubleType) => x
+          case (x, StringType) => String.valueOf(x)
+          case (x, _) => x
+        }
+      }
+      data.add(Row(vals: _*))
+    }
+    spark.createDataFrame(data, schema)
+  }
+
+  /** Source freshness (reference FreshnessTask, core/dbt/task/
+    * freshness.py:36-166): max(loaded_at_field) vs now against
+    * warn_after/error_after thresholds.
+    */
+  def sourceFreshness(): Seq[RunResult] = {
+    Sources.registerAll(spark, manifest, vars)
+    manifest.sources.values.toSeq
+      .filter(s => s.loadedAtField.nonEmpty)
+      .map { s =>
+        val t0 = System.nanoTime()
+        try {
+          val df = spark.table(Sources.viewName(s))
+          val r = df.agg(max(col(s.loadedAtField.get).cast("timestamp"))).first()
+          val loadedAt =
+            if (r.isNullAt(0)) None else Some(Instant.ofEpochMilli(r.getTimestamp(0).getTime))
+          val age = loadedAt.map(l => java.time.Duration.between(l, opts.now))
+          val status = (age, s.freshnessErrorAfter, s.freshnessWarnAfter) match {
+            case (None, _, _) => "error"
+            case (Some(a), Some(err), _) if a.compareTo(err) > 0 => "error"
+            case (Some(a), _, Some(warn)) if a.compareTo(warn) > 0 => "warn"
+            case _ => "pass"
+          }
+          RunResult(s.uniqueId, status, (System.nanoTime() - t0) / 1e9,
+            s"age=${age.map(_.toString).getOrElse("unknown")}")
+        } catch {
+          case e: Exception =>
+            RunResult(s.uniqueId, "error", (System.nanoTime() - t0) / 1e9,
+              Option(e.getMessage).getOrElse("").take(300))
+        }
+      }
+  }
+}

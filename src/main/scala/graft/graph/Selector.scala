@@ -1,0 +1,181 @@
+package graft.graph
+
+import scala.util.matching.Regex
+
+import graft.core._
+
+/** Node-selection spec: `--select "tag:nightly+ @model 2+my_model"` with globs
+  * (reference: regex core/dbt/graph/selector_spec.py:15-22, set ops
+  * selector_spec.py:57+, methods selector_methods.py:45-930, traversal
+  * graph.py:29-96, indirect selection selector.py:229-287).
+  *
+  * Grammar: space-separated criteria are UNIONed; comma-joined criteria
+  * inside one token are INTERSECTed; `--exclude` removes its matches.
+  * Each criterion: [@][N+]method:value[+N] with glob `*` support; bare
+  * values use the fqn/name method.
+  */
+object Selector {
+  final case class Criterion(
+      method: String,
+      value: String,
+      childrenDepth: Option[Int], // suffix +N (None = not requested; Some(MaxValue) = unbounded)
+      parentsDepth: Option[Int], // prefix N+
+      atOperator: Boolean)
+
+  private val critRe: Regex =
+    raw"""^(@?)(?:(\d*)(\+))?((?:[\w.]+):)?(.+?)(?:(\+)(\d*))?$$""".r
+
+  def parseCriterion(tok: String): Criterion = tok match {
+    case critRe(at, pDepth, pPlus, methodColon, value, cPlus, cDepth) =>
+      val method = Option(methodColon).map(_.stripSuffix(":")).getOrElse("fqn")
+      Criterion(
+        method = method,
+        value = value,
+        childrenDepth =
+          if (cPlus == null) None
+          else if (cDepth == null || cDepth.isEmpty) Some(Int.MaxValue)
+          else Some(cDepth.toInt),
+        parentsDepth =
+          if (pPlus == null) None
+          else if (pDepth == null || pDepth.isEmpty) Some(Int.MaxValue)
+          else Some(pDepth.toInt),
+        atOperator = at == "@")
+    case _ => throw new IllegalArgumentException(s"cannot parse selector: $tok")
+  }
+
+  private def globMatch(pattern: String, s: String): Boolean =
+    if (!pattern.contains("*")) pattern == s
+    else s.matches(pattern.split("\\*", -1).map(Regex.quote).mkString(".*"))
+
+  /** Base (pre-graph-operator) match for one criterion — the "method"
+    * dispatch (reference selector_methods.py registry :909).
+    */
+  private def baseMatch(
+      c: Criterion,
+      manifest: Manifest,
+      stateManifest: Option[Manifest],
+      previousStatuses: Map[String, String]): Set[String] = {
+    def all = manifest.all
+    c.method match {
+      case "fqn" =>
+        all.collect { case (id, n) if globMatch(c.value, n.name) || globMatch(c.value, id) => id }.toSet
+      case "tag" =>
+        all.collect { case (id, n) if n.tags.exists(globMatch(c.value, _)) => id }.toSet
+      case "source" =>
+        manifest.sources.collect {
+          case (id, s) if globMatch(c.value, s.sourceName) ||
+            globMatch(c.value, s"${s.sourceName}.${s.name}") => id
+        }.toSet
+      case "path" =>
+        all.collect {
+          case (id, n: ModelNode) if globMatch(c.value, n.path) => id
+        }.toSet
+      case "package" =>
+        all.collect { case (id, n) if globMatch(c.value, n.packageName) => id }.toSet
+      case "resource_type" =>
+        all.collect { case (id, n) if n.resourceType.name == c.value => id }.toSet
+      case "config.materialized" =>
+        all.collect { case (id, n) if n.config.materialized.name == c.value => id }.toSet
+      case "test_type" =>
+        // generic (schema) vs singular (data) — reference selector_methods.py:370
+        all.collect {
+          case (id, t: TestNode)
+            if (c.value == "generic" && t.attachedTo.nonEmpty) ||
+               (c.value == "singular" && t.attachedTo.isEmpty) => id
+        }.toSet
+      case "test_name" =>
+        all.collect {
+          case (id, t: TestNode) if globMatch(c.value + "*", t.name) => id
+        }.toSet
+      case "state" =>
+        val old = stateManifest.getOrElse(
+          throw new IllegalArgumentException("state: selector requires --state manifest"))
+        c.value match {
+          case "modified" => modified(manifest, old)
+          case "new" => all.keySet -- old.all.keySet
+          case other => throw new IllegalArgumentException(s"unsupported state:$other")
+        }
+      case "result" =>
+        previousStatuses.collect { case (id, st) if st == c.value => id }.toSet
+      case "unit_test" =>
+        manifest.unitTests.collect { case (id, u) if globMatch(c.value, u.name) => id }.toSet
+      case other =>
+        throw new IllegalArgumentException(s"unknown selector method: $other")
+    }
+  }
+
+  /** state:modified — checksum or config drift vs the state manifest
+    * (reference StateSelectorMethod, selector_methods.py:610-810).
+    */
+  def modified(current: Manifest, old: Manifest): Set[String] =
+    current.all.collect {
+      case (id, n) =>
+        old.all.get(id) match {
+          case None => Some(id) // new node counts as modified
+          case Some(o) if o.checksum != n.checksum => Some(id)
+          case Some(o) if o.config != n.config => Some(id)
+          case _ => None
+        }
+    }.flatten.toSet
+
+  def select(
+      manifest: Manifest,
+      graph: Digraph,
+      selectTokens: Seq[String],
+      excludeTokens: Seq[String] = Nil,
+      stateManifest: Option[Manifest] = None,
+      previousStatuses: Map[String, String] = Map.empty,
+      indirect: String = "eager"): Set[String] = {
+
+    def evalToken(tok: String): Set[String] =
+      tok.split(",").map(t => evalCriterion(t.trim)).reduce(_ intersect _)
+
+    def evalCriterion(tok: String): Set[String] = {
+      val c = parseCriterion(tok)
+      val base = baseMatch(c, manifest, stateManifest, previousStatuses)
+      var out = base
+      c.parentsDepth.foreach(d => out = out ++ base.flatMap(graph.ancestors(_, d)))
+      c.childrenDepth.foreach(d => out = out ++ base.flatMap(graph.descendants(_, d)))
+      if (c.atOperator) {
+        // @model: node + descendants + ancestors of those descendants
+        // (reference selector_spec.py SELECTOR_AT)
+        val desc = base.flatMap(graph.descendants(_))
+        out = out ++ desc ++ (base ++ desc).flatMap(graph.ancestors(_))
+      }
+      out
+    }
+
+    val selected =
+      if (selectTokens.isEmpty) manifest.all.keySet
+      else selectTokens.map(evalToken).reduce(_ union _)
+    val excluded =
+      if (excludeTokens.isEmpty) Set.empty[String]
+      else excludeTokens.map(evalToken).reduce(_ union _)
+    expandIndirect(manifest, graph, selected -- excluded, indirect)
+  }
+
+  /** Indirect test selection (reference selector.py:229-287
+    * expand_selection / incorporate_indirect_nodes): tests ride along
+    * with their tested nodes per the chosen mode.
+    */
+  def expandIndirect(
+      manifest: Manifest,
+      graph: Digraph,
+      selected: Set[String],
+      mode: String): Set[String] = {
+    if (mode == "empty") return selected
+    val tests = manifest.nodes.collect { case (id, t: TestNode) => (id, t) }
+    val extra = tests.collect {
+      case (id, t) if !selected.contains(id) =>
+        val deps = t.dependsOn.toSet
+        mode match {
+          case "eager" if deps.intersect(selected).nonEmpty => Some(id)
+          case "cautious" if deps.nonEmpty && deps.subsetOf(selected) => Some(id)
+          case "buildable" if deps.nonEmpty &&
+            deps.subsetOf(selected ++ selected.flatMap(graph.ancestors(_))) => Some(id)
+          case _ => None
+        }
+    }.flatten
+    selected ++ extra
+  }
+}

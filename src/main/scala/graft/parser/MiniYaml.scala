@@ -1,0 +1,207 @@
+package graft.parser
+
+import scala.collection.mutable
+
+/** Minimal YAML-subset parser for project/schema files (no external
+  * deps are resolvable in this build — see build.sbt). Supports the
+  * subset dbt-style project files actually use:
+  *
+  *  - nested block maps (indentation-scoped)
+  *  - block lists (`- item`, `- key: value` object lists)
+  *  - inline scalars: strings (bare / single / double quoted), ints,
+  *    floats, booleans, null
+  *  - inline flow lists of scalars: `[a, b, c]`
+  *  - comments (`# ...`) and blank lines
+  *
+  * Not supported (and not needed): anchors, multi-line scalars, flow
+  * maps, tags. Values parse to String | Int | Double | Boolean | null |
+  * List[Any] | Map[String, Any].
+  */
+object MiniYaml {
+  final case class YamlError(msg: String) extends RuntimeException(msg)
+
+  private final case class Line(indent: Int, content: String)
+
+  def parse(text: String): Any = {
+    val lines = text.linesIterator.zipWithIndex
+      .map { case (raw, i) => (stripComment(raw), i) }
+      .filter { case (l, _) => l.trim.nonEmpty }
+      .map { case (l, _) =>
+        val indent = l.takeWhile(_ == ' ').length
+        Line(indent, l.trim)
+      }
+      .toVector
+    if (lines.isEmpty) Map.empty[String, Any]
+    else parseBlock(lines, 0, lines.head.indent)._1
+  }
+
+  def parseMap(text: String): Map[String, Any] = parse(text) match {
+    case m: Map[String @unchecked, Any @unchecked] => m
+    case other => throw YamlError(s"expected top-level map, got $other")
+  }
+
+  private def stripComment(l: String): String = {
+    // strip #-comments not inside quotes
+    var inS = false; var inD = false
+    val sb = new StringBuilder
+    var i = 0
+    while (i < l.length) {
+      val c = l(i)
+      if (c == '\'' && !inD) inS = !inS
+      else if (c == '"' && !inS) inD = !inD
+      if (c == '#' && !inS && !inD) return sb.toString
+      sb += c
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Parse a block starting at index `from` where all entries have
+    * indent `indent`; returns (value, next index).
+    */
+  private def parseBlock(lines: Vector[Line], from: Int, indent: Int): (Any, Int) = {
+    if (lines(from).content.startsWith("- ") || lines(from).content == "-")
+      parseList(lines, from, indent)
+    else parseMapBlock(lines, from, indent)
+  }
+
+  private def parseMapBlock(lines: Vector[Line], from: Int, indent: Int): (Map[String, Any], Int) = {
+    val out = mutable.LinkedHashMap[String, Any]()
+    var i = from
+    while (i < lines.length && lines(i).indent == indent && !lines(i).content.startsWith("- ")) {
+      val Line(_, content) = lines(i)
+      val colon = findColon(content)
+      if (colon < 0) throw YamlError(s"expected 'key: value' at: $content")
+      val key = unquote(content.take(colon).trim)
+      val rest = content.drop(colon + 1).trim
+      if (rest.nonEmpty) {
+        out(key) = scalar(rest)
+        i += 1
+      } else {
+        // nested block (or empty value)
+        if (i + 1 < lines.length && lines(i + 1).indent > indent) {
+          val (v, next) = parseBlock(lines, i + 1, lines(i + 1).indent)
+          out(key) = v
+          i = next
+        } else if (i + 1 < lines.length && lines(i + 1).indent == indent &&
+            lines(i + 1).content.startsWith("- ")) {
+          // list items at the SAME indent as the key (common YAML style)
+          val (v, next) = parseList(lines, i + 1, indent)
+          out(key) = v
+          i = next
+        } else {
+          out(key) = null
+          i += 1
+        }
+      }
+    }
+    (out.toMap, i)
+  }
+
+  private def parseList(lines: Vector[Line], from: Int, indent: Int): (List[Any], Int) = {
+    val out = mutable.ListBuffer[Any]()
+    var i = from
+    while (i < lines.length && lines(i).indent == indent &&
+        (lines(i).content.startsWith("- ") || lines(i).content == "-")) {
+      val item = lines(i).content.drop(1).trim
+      if (item.isEmpty) {
+        // `-` alone: nested block is the item
+        val (v, next) = parseBlock(lines, i + 1, lines(i + 1).indent)
+        out += v
+        i = next
+      } else {
+        val colon = if (item.startsWith("{") || item.startsWith("[")) -1 else findColon(item)
+        if (colon >= 0 && (colon == item.length - 1 || item(colon + 1) == ' ')) {
+          // object list item: the inline key sits at indent+2 ("- " eats
+          // two columns); sibling keys align with it, deeper lines are
+          // nested values
+          val syntheticIndent = lines(i).indent + 2
+          val sub = mutable.ListBuffer[Line](Line(syntheticIndent, item))
+          var j = i + 1
+          while (j < lines.length && lines(j).indent > indent) {
+            sub += lines(j)
+            j += 1
+          }
+          val (v, _) = parseMapBlock(sub.toVector, 0, syntheticIndent)
+          out += v
+          i = j
+        } else {
+          out += scalar(item)
+          i += 1
+        }
+      }
+    }
+    (out.toList, i)
+  }
+
+  /** First colon that acts as a key separator (not inside quotes). */
+  private def findColon(s: String): Int = {
+    var inS = false; var inD = false
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\'' && !inD) inS = !inS
+      else if (c == '"' && !inS) inD = !inD
+      else if (c == ':' && !inS && !inD &&
+          (i == s.length - 1 || s(i + 1) == ' ')) return i
+      i += 1
+    }
+    -1
+  }
+
+  private[parser] def scalar(s: String): Any = s match {
+    case "" | "null" | "~" => null
+    case "true" | "True" => true
+    case "false" | "False" => false
+    case _ if s.startsWith("[") && s.endsWith("]") =>
+      val inner = s.substring(1, s.length - 1).trim
+      if (inner.isEmpty) Nil
+      else splitTopLevel(inner).map(x => scalar(x.trim))
+    case _ if s.startsWith("{") && s.endsWith("}") =>
+      // flow map: {k: v, k2: v2} (fixture-row syntax)
+      val inner = s.substring(1, s.length - 1).trim
+      if (inner.isEmpty) Map.empty[String, Any]
+      else splitTopLevel(inner).map { kv0 =>
+        val kv = kv0.trim
+        val c = findColon(kv + " ") // trailing pad allows "k: v" at end-of-string
+        val cc = if (c >= 0) c else kv.indexOf(':')
+        val k = unquote(kv.take(cc).trim)
+        val v = kv.drop(cc + 1).trim
+        k -> scalar(v)
+      }.toMap
+    case _ if (s.startsWith("'") && s.endsWith("'") && s.length >= 2) ||
+        (s.startsWith("\"") && s.endsWith("\"") && s.length >= 2) => unquote(s)
+    case _ =>
+      // int, then float, then bare string
+      try s.toLong.asInstanceOf[Any]
+      catch {
+        case _: NumberFormatException =>
+          try s.toDouble.asInstanceOf[Any]
+          catch { case _: NumberFormatException => s }
+      }
+  }
+
+  private def splitTopLevel(s: String): List[String] = {
+    val out = mutable.ListBuffer[String]()
+    var depth = 0; var inS = false; var inD = false
+    val cur = new StringBuilder
+    for (c <- s) {
+      if (c == '\'' && !inD) inS = !inS
+      if (c == '"' && !inS) inD = !inD
+      if (!inS && !inD) {
+        if (c == '[' || c == '{') depth += 1
+        if (c == ']' || c == '}') depth -= 1
+      }
+      if (c == ',' && depth == 0 && !inS && !inD) { out += cur.toString; cur.clear() }
+      else cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toList
+  }
+
+  private def unquote(s: String): String =
+    if ((s.startsWith("'") && s.endsWith("'") && s.length >= 2) ||
+        (s.startsWith("\"") && s.endsWith("\"") && s.length >= 2))
+      s.substring(1, s.length - 1)
+    else s
+}

@@ -1,0 +1,390 @@
+package graft.parser
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.core._
+
+/** Project parser: dbt_project.yml + models/seeds/snapshots/tests dirs →
+  * Manifest (reference ManifestLoader.load, core/dbt/parser/manifest.py:327,
+  * with the per-type parsers of manifest.py:400-433).
+  */
+object ProjectLoader {
+  final case class Project(
+      name: String,
+      dir: String,
+      vars: Map[String, String],
+      manifest: Manifest)
+
+  def load(projectDir: String, cliVars: Map[String, String] = Map.empty): Project = {
+    val dir = Paths.get(projectDir)
+    val projFile = dir.resolve("dbt_project.yml")
+    val proj: Map[String, Any] =
+      if (Files.exists(projFile)) MiniYaml.parseMap(Files.readString(projFile))
+      else Map("name" -> "graft")
+    val name = proj.getOrElse("name", "graft").toString
+    val projVars: Map[String, String] = proj.get("vars") match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) =>
+        m.map { case (k, v) => k -> String.valueOf(v) }
+      case _ => Map.empty
+    }
+    val vars = projVars ++ cliVars
+
+    // project-level +config defaults for models (flat subset of the
+    // reference's config hierarchy, config.py merge rules)
+    val modelDefaults: Map[String, Any] = proj.get("models") match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) =>
+        m.collect { case (k, v) if k.startsWith("+") => k.stripPrefix("+") -> v }
+      case _ => Map.empty
+    }
+
+    def files(sub: String, ext: String): Seq[Path] = {
+      val d = dir.resolve(sub)
+      if (!Files.exists(d)) Nil
+      else Files.walk(d).iterator().asScala
+        .filter(p => p.toString.endsWith(ext) && Files.isRegularFile(p))
+        .toSeq.sortBy(_.toString)
+    }
+
+    val nodes = scala.collection.mutable.LinkedHashMap[String, Node]()
+    val sources = scala.collection.mutable.LinkedHashMap[String, SourceNode]()
+    val unitTests = scala.collection.mutable.LinkedHashMap[String, UnitTestNode]()
+    var onRunStart = Seq.empty[HookNode]
+    var onRunEnd = Seq.empty[HookNode]
+
+    // on-run-start / on-run-end hooks (reference RunHookType)
+    def hooks(key: String): Seq[HookNode] = proj.get(key) match {
+      case Some(l: List[Any @unchecked]) => l.zipWithIndex.map { case (sql, i) =>
+        HookNode(s"$name-$key-$i", name, String.valueOf(sql), i,
+          checksum = FileHash.of(String.valueOf(sql)))
+      }
+      case Some(s: String) => Seq(HookNode(s"$name-$key-0", name, s, 0, checksum = FileHash.of(s)))
+      case _ => Nil
+    }
+    onRunStart = hooks("on-run-start")
+    onRunEnd = hooks("on-run-end")
+
+    // ---- models (*.sql under model-paths) ----
+    for (f <- files("models", ".sql")) {
+      val raw = Files.readString(f)
+      val scan = Template.scan(raw)
+      val mname = f.getFileName.toString.stripSuffix(".sql")
+      val cfg = configFrom(modelDefaults ++ scan.config)
+      val deps =
+        scan.refs.map(r => refId(r, name)) ++
+        scan.sources.map { case (s, t) => s"source.$name.$s.$t" }
+      val node = ModelNode(
+        name = mname, packageName = name, rawCode = raw, config = cfg,
+        dependsOn = deps, refs = scan.refs, sources = scan.sources,
+        path = dir.relativize(f).toString, checksum = FileHash.of(raw))
+      nodes(node.uniqueId) = node
+    }
+
+    // ---- snapshots ----
+    for (f <- files("snapshots", ".sql")) {
+      val raw = Files.readString(f)
+      val scan = Template.scan(raw)
+      val sname = f.getFileName.toString.stripSuffix(".sql")
+      val cfg = configFrom(scan.config).copy(materialized = Materialized.SnapshotMat)
+      val deps =
+        scan.refs.map(r => refId(r, name)) ++
+        scan.sources.map { case (s, t) => s"source.$name.$s.$t" }
+      val node = SnapshotNode(sname, name, raw, cfg, deps, scan.refs, scan.sources,
+        checksum = FileHash.of(raw))
+      nodes(node.uniqueId) = node
+    }
+
+    // ---- seeds ----
+    for (f <- files("seeds", ".csv")) {
+      val sname = f.getFileName.toString.stripSuffix(".csv")
+      val node = SeedNode(sname, name, f.toString,
+        NodeConfig(materialized = Materialized.SeedMat),
+        checksum = FileHash.of(Files.readString(f)))
+      nodes(node.uniqueId) = node
+    }
+
+    // ---- singular tests (tests/*.sql; reference singular_test.py) ----
+    for (f <- files("tests", ".sql")) {
+      val raw = Files.readString(f)
+      val scan = Template.scan(raw)
+      val tname = f.getFileName.toString.stripSuffix(".sql")
+      val cfg = configFrom(scan.config).copy(materialized = Materialized.View)
+      val deps = scan.refs.map(r => refId(r, name)) ++
+        scan.sources.map { case (s, t) => s"source.$name.$s.$t" }
+      val node = TestNode(tname, name, raw, cfg, deps, scan.refs,
+        checksum = FileHash.of(raw))
+      nodes(node.uniqueId) = node
+    }
+
+    // ---- schema YAML: sources, model columns/tests, unit tests ----
+    for (f <- files("models", ".yml") ++ files("models", ".yaml")) {
+      val doc = MiniYaml.parseMap(Files.readString(f))
+      // sources
+      doc.get("sources") match {
+        case Some(ss: List[Any @unchecked]) =>
+          for (s0 <- ss) {
+            val s = s0.asInstanceOf[Map[String, Any]]
+            val srcName = s("name").toString
+            val tables = s.getOrElse("tables", Nil).asInstanceOf[List[Any]]
+            for (t0 <- tables) {
+              val t = t0.asInstanceOf[Map[String, Any]]
+              val (warnAfter, errorAfter) = t.get("freshness") match {
+                case Some(fr: Map[String @unchecked, Any @unchecked]) =>
+                  (parsePeriod(fr.get("warn_after")), parsePeriod(fr.get("error_after")))
+                case _ => (None, None)
+              }
+              val src = SourceNode(
+                sourceName = srcName,
+                name = t("name").toString,
+                packageName = name,
+                location = t.getOrElse("location", "").toString,
+                loadedAtField = t.get("loaded_at_field").map(_.toString),
+                freshnessWarnAfter = warnAfter,
+                freshnessErrorAfter = errorAfter,
+                filter = t.get("filter").map(_.toString),
+                config = NodeConfig(eventTime = t.get("event_time").map(_.toString)),
+                checksum = FileHash.of(t.toString))
+              sources(src.uniqueId) = src
+              // generic tests on source columns
+              for (tn <- columnTests(t, name, s"{{ source('$srcName', '${t("name")}') }}",
+                  s"source_${srcName}_${t("name")}", Seq(src.uniqueId)))
+                nodes(tn.uniqueId) = tn
+            }
+          }
+        case _ =>
+      }
+      // model entries: columns + tests
+      doc.get("models") match {
+        case Some(ms: List[Any @unchecked]) =>
+          for (m0 <- ms) {
+            val m = m0.asInstanceOf[Map[String, Any]]
+            val mname = m("name").toString
+            val modelId = s"model.$name.$mname"
+            for (tn <- columnTests(m, name, s"{{ ref('$mname') }}", mname, Seq(modelId)))
+              nodes(tn.uniqueId) = tn
+          }
+        case _ =>
+      }
+      // unit tests (reference parser/unit_tests.py formats: dict rows)
+      doc.get("unit_tests") match {
+        case Some(us: List[Any @unchecked]) =>
+          for (u0 <- us) {
+            val u = u0.asInstanceOf[Map[String, Any]]
+            val uname = u("name").toString
+            val model = u("model").toString
+            val givens: Map[String, Seq[Map[String, Any]]] = u.get("given") match {
+              case Some(gs: List[Any @unchecked]) =>
+                gs.map { g0 =>
+                  val g = g0.asInstanceOf[Map[String, Any]]
+                  val input = g("input").toString
+                  val rows = g.getOrElse("rows", Nil).asInstanceOf[List[Any]]
+                    .map(_.asInstanceOf[Map[String, Any]])
+                  input -> rows
+                }.toMap
+              case _ => Map.empty
+            }
+            val expect: Seq[Map[String, Any]] = u.get("expect") match {
+              case Some(e: Map[String @unchecked, Any @unchecked]) =>
+                e.getOrElse("rows", Nil).asInstanceOf[List[Any]]
+                  .map(_.asInstanceOf[Map[String, Any]])
+              case _ => Nil
+            }
+            val node = UnitTestNode(uname, name, model, givens, expect,
+              checksum = FileHash.of(u.toString))
+            unitTests(node.uniqueId) = node
+          }
+        case _ =>
+      }
+    }
+
+    Project(name, projectDir, vars,
+      Manifest(nodes.toMap, sources.toMap, unitTests.toMap, onRunStart, onRunEnd, name))
+  }
+
+  private def refId(ref: String, pkg: String): String = {
+    // seed/snapshot refs share the ref() namespace; resolved later — at
+    // parse time guess model, fixed in a resolution pass below
+    s"__ref__.$pkg.$ref"
+  }
+
+  /** Freshness period: {count: N, period: minute|hour|day}
+    * (reference components.py:97-130 Time).
+    */
+  private def parsePeriod(v: Option[Any]): Option[java.time.Duration] = v match {
+    case Some(m: Map[String @unchecked, Any @unchecked]) =>
+      val count = m.getOrElse("count", 0).toString.toLong
+      val unit = m.getOrElse("period", "hour").toString match {
+        case "minute" => java.time.Duration.ofMinutes(count)
+        case "hour" => java.time.Duration.ofHours(count)
+        case "day" => java.time.Duration.ofDays(count)
+        case other => throw new IllegalArgumentException(s"bad period: $other")
+      }
+      Some(unit)
+    case _ => None
+  }
+
+  /** Generic-test synthesis from `columns: [{name, tests: [...]}]`
+    * (reference TestBuilder, generic_test_builders.py:69-378).
+    */
+  private def columnTests(
+      entity: Map[String, Any],
+      pkg: String,
+      modelRef: String,
+      attachedName: String,
+      deps: Seq[String]): Seq[TestNode] = {
+    val cols = entity.getOrElse("columns", Nil).asInstanceOf[List[Any]]
+    cols.flatMap { c0 =>
+      val c = c0.asInstanceOf[Map[String, Any]]
+      val colName = c("name").toString
+      val tests = c.getOrElse("tests", c.getOrElse("data_tests", Nil)).asInstanceOf[List[Any]]
+      tests.map { t =>
+        val (testName, kwargs) = t match {
+          case s: String => (s, Map.empty[String, Any])
+          case m: Map[String @unchecked, Any @unchecked] =>
+            val (k, v) = m.head
+            (k, v.asInstanceOf[Map[String, Any]])
+          case other => throw new IllegalArgumentException(s"bad test spec: $other")
+        }
+        TestBuilder.build(testName, modelRef, colName, kwargs, attachedName, pkg, deps)
+      }
+    }
+  }
+
+  def configFrom(cfg: Map[String, Any]): NodeConfig = {
+    def str(k: String): Option[String] = cfg.get(k).map(_.toString)
+    def strSeq(k: String): Seq[String] = cfg.get(k) match {
+      case Some(s: String) => Seq(s)
+      case Some(l: Seq[Any @unchecked]) => l.map(_.toString)
+      case _ => Nil
+    }
+    NodeConfig(
+      enabled = cfg.get("enabled").forall(_ == true),
+      materialized = str("materialized").map(Materialized.parse).getOrElse(Materialized.View),
+      incrementalStrategy = str("incremental_strategy"),
+      uniqueKey = strSeq("unique_key"),
+      onSchemaChange = str("on_schema_change").getOrElse("ignore"),
+      fullRefresh = cfg.get("full_refresh").map(_ == true),
+      eventTime = str("event_time"),
+      batchSize = str("batch_size").map(BatchSize.parse),
+      lookback = str("lookback").map(_.toInt).getOrElse(1),
+      begin = str("begin").map(parseInstant),
+      strategy = str("strategy"),
+      updatedAt = str("updated_at"),
+      checkCols = cfg.get("check_cols") match {
+        case Some("all") => None
+        case Some(l: Seq[Any @unchecked]) => Some(l.map(_.toString))
+        case Some(s: String) => Some(Seq(s))
+        case _ => None
+      },
+      invalidateHardDeletes = cfg.get("invalidate_hard_deletes").contains(true),
+      severity = str("severity").getOrElse("error").toLowerCase,
+      warnIf = str("warn_if").getOrElse("!= 0"),
+      errorIf = str("error_if").getOrElse("!= 0"),
+      failCalc = str("fail_calc").getOrElse("count(*)"),
+      limit = str("limit").map(_.toInt),
+      storeFailures = cfg.get("store_failures").contains(true),
+      tags = strSeq("tags"),
+      preHook = strSeq("pre_hook") ++ strSeq("pre-hook"),
+      postHook = strSeq("post_hook") ++ strSeq("post-hook"),
+      schema = str("schema"),
+      alias = str("alias"),
+      partitionBy = strSeq("partition_by"))
+  }
+
+  def parseInstant(s: String): java.time.Instant = {
+    val t = s.trim
+    if (t.contains("T")) java.time.Instant.parse(if (t.endsWith("Z")) t else t + "Z")
+    else if (t.contains(" "))
+      java.time.LocalDateTime.parse(t.replace(' ', 'T')).toInstant(java.time.ZoneOffset.UTC)
+    else java.time.LocalDate.parse(t).atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+  }
+
+  /** Resolution pass: rewrite `__ref__` placeholders to real unique ids
+    * (reference process_refs, manifest.py:460-470).
+    */
+  def resolveRefs(p: Project): Project = {
+    val m = p.manifest
+    def fix(deps: Seq[String]): Seq[String] = deps.map { d =>
+      if (!d.startsWith("__ref__.")) d
+      else {
+        val refName = d.split("\\.", 3)(2)
+        m.resolveRef(refName).map(_.uniqueId).getOrElse(
+          throw new IllegalArgumentException(s"ref not found: $refName"))
+      }
+    }
+    val nodes2: Map[String, Node] = m.nodes.map {
+      case (id, n: ModelNode) => id -> n.copy(dependsOn = fix(n.dependsOn))
+      case (id, n: SnapshotNode) => id -> n.copy(dependsOn = fix(n.dependsOn))
+      case (id, n: TestNode) => id -> n.copy(dependsOn = fix(n.dependsOn))
+      case (id, n) => id -> n
+    }
+    p.copy(manifest = m.copy(nodes = nodes2))
+  }
+}
+
+/** Generic data tests as SQL templates returning FAILING rows
+  * (reference generic_test_builders.py build_raw_code:360 calling the
+  * dbt-adapters test macros; the four builtins re-expressed directly).
+  */
+object TestBuilder {
+  def build(
+      testName: String,
+      modelRef: String,
+      columnName: String,
+      kwargs: Map[String, Any],
+      attachedName: String,
+      pkg: String,
+      deps: Seq[String]): TestNode = {
+    // `where` config → filtered subquery (reference get_where_subquery)
+    val where = kwargs.get("where").map(_.toString)
+    val rel = where match {
+      case Some(w) => s"(SELECT * FROM $modelRef WHERE $w) __subq"
+      case None => modelRef
+    }
+    val (nodeName, sql, extraDeps) = testName match {
+      case "unique" =>
+        (s"unique_${attachedName}_$columnName",
+          s"""SELECT $columnName AS unique_field, count(*) AS n_records
+             |FROM $rel
+             |WHERE $columnName IS NOT NULL
+             |GROUP BY $columnName HAVING count(*) > 1""".stripMargin, Nil)
+      case "not_null" =>
+        (s"not_null_${attachedName}_$columnName",
+          s"SELECT * FROM $rel WHERE $columnName IS NULL", Nil)
+      case "accepted_values" =>
+        val values = kwargs.getOrElse("values", Nil).asInstanceOf[Seq[Any]]
+        val quoteVals = kwargs.get("quote").forall(_ == true)
+        val list = values.map(v => if (quoteVals) s"'$v'" else v.toString).mkString(", ")
+        (s"accepted_values_${attachedName}_$columnName",
+          s"""SELECT $columnName AS value_field, count(*) AS n_records
+             |FROM $rel
+             |WHERE $columnName NOT IN ($list)
+             |GROUP BY $columnName""".stripMargin, Nil)
+      case "relationships" =>
+        val to = kwargs("to").toString // e.g. ref('parent')
+        val field = kwargs("field").toString
+        (s"relationships_${attachedName}_${columnName}__$field",
+          s"""SELECT child.$columnName AS from_field
+             |FROM $rel child LEFT JOIN {{ $to }} parent
+             |  ON child.$columnName = parent.$field
+             |WHERE child.$columnName IS NOT NULL AND parent.$field IS NULL""".stripMargin,
+          Nil)
+      case other =>
+        throw new IllegalArgumentException(s"unknown generic test: $other")
+    }
+    val scan = graft.parser.Template.scan(sql)
+    val allDeps = deps ++ scan.refs.map(r => s"__ref__.$pkg.$r") ++
+      scan.sources.map { case (s, t) => s"source.$pkg.$s.$t" }
+    val cfgMap = kwargs.get("config") match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) => m
+      case _ => kwargs.filter { case (k, _) =>
+        Set("severity", "warn_if", "error_if", "fail_calc", "limit", "store_failures")(k) }
+    }
+    TestNode(
+      name = nodeName, packageName = pkg, rawCode = sql,
+      config = ProjectLoader.configFrom(cfgMap),
+      dependsOn = allDeps.distinct, refs = scan.refs,
+      attachedTo = deps.headOption, columnName = Some(columnName),
+      checksum = FileHash.of(sql))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.parser
+
+import scala.util.matching.Regex
+
+/** Minimal model-template engine: the `{{ ref() }}` / `{{ source() }}` /
+  * `{{ config(...) }}` / `{{ var() }}` / `{{ this }}` surface.
+  *
+  * The reference itself avoids full Jinja when it can (static parser,
+  * reference core/dbt/parser/models.py:236-295 backed by a Rust
+  * tree-sitter extractor); we take the same static route as the primary
+  * path. Full Jinja (loops, user macros) is an explicit non-goal
+  * (SURVEY.md §7.3).
+  */
+object Template {
+  private val refRe: Regex =
+    raw"""\{\{\s*ref\s*\(\s*['"]([^'"]+)['"]\s*\)\s*\}\}""".r
+  private val sourceRe: Regex =
+    raw"""\{\{\s*source\s*\(\s*['"]([^'"]+)['"]\s*,\s*['"]([^'"]+)['"]\s*\)\s*\}\}""".r
+  private val configRe: Regex =
+    raw"""(?s)\{\{\s*config\s*\((.*?)\)\s*\}\}""".r
+  private val varRe: Regex =
+    raw"""\{\{\s*var\s*\(\s*['"]([^'"]+)['"]\s*(?:,\s*([^)]+))?\)\s*\}\}""".r
+  private val thisRe: Regex = raw"""\{\{\s*this\s*\}\}""".r
+
+  final case class Scan(
+      refs: Seq[String],
+      sources: Seq[(String, String)],
+      config: Map[String, Any],
+      vars: Seq[String])
+
+  /** Static extraction of refs/sources/config/vars without rendering. */
+  def scan(raw: String): Scan = {
+    val refs = refRe.findAllMatchIn(raw).map(_.group(1)).toSeq.distinct
+    val sources = sourceRe.findAllMatchIn(raw).map(m => (m.group(1), m.group(2))).toSeq.distinct
+    val config = configRe.findFirstMatchIn(raw)
+      .map(m => parseKwargs(m.group(1)))
+      .getOrElse(Map.empty[String, Any])
+    val vars = varRe.findAllMatchIn(raw).map(_.group(1)).toSeq.distinct
+    Scan(refs, sources, config, vars)
+  }
+
+  /** Parse `key=value, key2='v2', key3=['a','b']` kwargs (python-ish). */
+  def parseKwargs(s: String): Map[String, Any] = {
+    splitArgs(s).flatMap { kv =>
+      val eq = kv.indexOf('=')
+      if (eq < 0) None
+      else {
+        val k = kv.take(eq).trim
+        val v = kv.drop(eq + 1).trim
+        Some(k -> pyScalar(v))
+      }
+    }.toMap
+  }
+
+  private def pyScalar(v: String): Any = v match {
+    case _ if v.startsWith("[") && v.endsWith("]") =>
+      val inner = v.substring(1, v.length - 1).trim
+      if (inner.isEmpty) Nil else splitArgs(inner).map(x => pyScalar(x.trim))
+    case "True" | "true" => true
+    case "False" | "false" => false
+    case "None" | "null" => null
+    case _ if (v.startsWith("'") && v.endsWith("'")) || (v.startsWith("\"") && v.endsWith("\"")) =>
+      v.substring(1, v.length - 1)
+    case _ =>
+      try v.toLong.asInstanceOf[Any]
+      catch { case _: NumberFormatException =>
+        try v.toDouble.asInstanceOf[Any]
+        catch { case _: NumberFormatException => v }
+      }
+  }
+
+  /** Split on top-level commas (not inside quotes/brackets/parens). */
+  private def splitArgs(s: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var depth = 0; var inS = false; var inD = false
+    val cur = new StringBuilder
+    for (c <- s) {
+      if (c == '\'' && !inD) inS = !inS
+      if (c == '"' && !inS) inD = !inD
+      if (!inS && !inD) {
+        if (c == '[' || c == '(' || c == '{') depth += 1
+        if (c == ']' || c == ')' || c == '}') depth -= 1
+      }
+      if (c == ',' && depth == 0 && !inS && !inD) { out += cur.toString.trim; cur.clear() }
+      else cur += c
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.toList
+  }
+
+  /** Render the template to executable SQL: substitute refs/sources with
+    * resolved relation names, vars with project vars, strip config().
+    * (Reference: Compiler.compile_node, compilation.py:541 — ours swaps
+    * Jinja rendering for direct substitution.)
+    */
+  def render(
+      raw: String,
+      resolveRef: String => String,
+      resolveSource: (String, String) => String,
+      vars: Map[String, String] = Map.empty,
+      thisRelation: Option[String] = None): String = {
+    var out = configRe.replaceAllIn(raw, "")
+    out = refRe.replaceAllIn(out, m => Regex.quoteReplacement(resolveRef(m.group(1))))
+    out = sourceRe.replaceAllIn(out,
+      m => Regex.quoteReplacement(resolveSource(m.group(1), m.group(2))))
+    out = varRe.replaceAllIn(out, { m =>
+      val name = m.group(1)
+      val default = Option(m.group(2)).map(d => pyScalar(d.trim)).map(String.valueOf)
+      Regex.quoteReplacement(
+        vars.get(name).orElse(default).getOrElse(
+          throw new IllegalArgumentException(s"undefined var: $name")))
+    })
+    out = thisRe.replaceAllIn(out,
+      Regex.quoteReplacement(thisRelation.getOrElse("__this__")))
+    out.trim
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.parser.{MiniYaml, Template}
+
+class MiniYamlSpec extends AnyFunSuite {
+  test("nested maps, lists, scalars") {
+    val doc = MiniYaml.parseMap(
+      """name: demo
+        |version: 2
+        |vars:
+        |  data_dir: /tmp/data
+        |  sf: 0.01
+        |models:
+        |  +materialized: view
+        |list_inline: [a, b, 'c d']
+        |flag: true
+        |nothing:
+        |""".stripMargin)
+    assert(doc("name") == "demo")
+    assert(doc("version") == 2L)
+    assert(doc("vars").asInstanceOf[Map[String, Any]]("data_dir") == "/tmp/data")
+    assert(doc("models").asInstanceOf[Map[String, Any]]("+materialized") == "view")
+    assert(doc("list_inline") == List("a", "b", "c d"))
+    assert(doc("flag") == true)
+  }
+
+  test("object lists (schema yml shape)") {
+    val doc = MiniYaml.parseMap(
+      """sources:
+        |  - name: tpch
+        |    tables:
+        |      - name: lineitem
+        |        location: "{data_dir}/lineitem.parquet"
+        |      - name: orders
+        |models:
+        |  - name: stg
+        |    columns:
+        |      - name: k
+        |        tests:
+        |          - unique
+        |          - accepted_values:
+        |              values: ['O', 'F']
+        |""".stripMargin)
+    val srcs = doc("sources").asInstanceOf[List[Map[String, Any]]]
+    assert(srcs.head("name") == "tpch")
+    val tables = srcs.head("tables").asInstanceOf[List[Map[String, Any]]]
+    assert(tables.map(_("name")) == List("lineitem", "orders"))
+    assert(tables.head("location") == "{data_dir}/lineitem.parquet")
+    val cols = doc("models").asInstanceOf[List[Map[String, Any]]]
+      .head("columns").asInstanceOf[List[Map[String, Any]]]
+    val tests = cols.head("tests").asInstanceOf[List[Any]]
+    assert(tests.head == "unique")
+    val av = tests(1).asInstanceOf[Map[String, Any]]("accepted_values")
+      .asInstanceOf[Map[String, Any]]
+    assert(av("values") == List("O", "F"))
+  }
+
+  test("comments and quoted colons") {
+    val doc = MiniYaml.parseMap(
+      """a: 1  # trailing comment
+        |# full-line comment
+        |b: "x: y"
+        |""".stripMargin)
+    assert(doc("a") == 1L)
+    assert(doc("b") == "x: y")
+  }
+}
+
+class TemplateSpec extends AnyFunSuite {
+  val raw =
+    """{{ config(materialized='table', unique_key='k', tags=['nightly']) }}
+      |SELECT * FROM {{ ref('stg_orders') }} o
+      |JOIN {{ source('tpch', 'lineitem') }} l ON o.k = l.k
+      |WHERE sf = {{ var('sf', 1) }}""".stripMargin
+
+  test("static scan extracts refs/sources/config/vars") {
+    val s = Template.scan(raw)
+    assert(s.refs == Seq("stg_orders"))
+    assert(s.sources == Seq(("tpch", "lineitem")))
+    assert(s.config("materialized") == "table")
+    assert(s.config("unique_key") == "k")
+    assert(s.config("tags") == List("nightly"))
+    assert(s.vars == Seq("sf"))
+  }
+
+  test("render substitutes and strips config") {
+    val out = Template.render(raw,
+      r => s"main.$r", (a, b) => s"src__${a}__$b", Map("sf" -> "0.01"))
+    assert(!out.contains("config("))
+    assert(out.contains("FROM main.stg_orders o"))
+    assert(out.contains("JOIN src__tpch__lineitem l"))
+    assert(out.contains("sf = 0.01"))
+  }
+
+  test("var default is used when unset") {
+    val out = Template.render("SELECT {{ var('x', 42) }}", identity, (_, _) => "", Map.empty)
+    assert(out == "SELECT 42")
+  }
+}
