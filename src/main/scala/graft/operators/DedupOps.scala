@@ -50,11 +50,13 @@ object DedupOps {
     * hot shingles would be salted/filtered by document frequency.
     */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
+    // join on the 64-bit shingle hash, not the string: same counts
+    // (collision odds ~1e-8 at 1M shingles), ~10x less shuffle volume
+    val sh = shingles(s, dir).select(col("doc_id"), xxhash64(col("s")).as("h")).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("s"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("s"))
-    val inter = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("h"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("h"))
+    val inter = a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), Seq("doc_a"))
@@ -75,11 +77,13 @@ object DedupOps {
   def dedupMinHashLsh(s: SparkSession, dir: String): DataFrame = {
     val nPerm = 32
     val rowsPerBand = 4
-    val sh = shingles(s, dir)
-    // minhash signature: for each permutation p, min over shingles of xxhash64(p, s)
+    // shingles by 64-bit hash (string shuffled once, everything after
+    // moves 8-byte keys)
+    val sh = shingles(s, dir).select(col("doc_id"), xxhash64(col("s")).as("h")).cache()
+    // minhash signature: for each permutation p, min over shingles of xxhash64(p, h)
     val mins = sh.select(
-        (Seq(col("doc_id"), col("s")) ++
-          (0 until nPerm).map(p => xxhash64(lit(p), col("s")).as(s"h$p"))): _*)
+        (Seq(col("doc_id"), col("h")) ++
+          (0 until nPerm).map(p => xxhash64(lit(p), col("h")).as(s"h$p"))): _*)
       .groupBy(col("doc_id"))
       .agg(min(col("h0")).as("m0"), (1 until nPerm).map(p => min(col(s"h$p")).as(s"m$p")): _*)
     // bands: hash rowsPerBand consecutive signature slots per band
@@ -95,9 +99,9 @@ object DedupOps {
       .distinct()
     // exact-Jaccard verification of candidates only (tiny vs corpus)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("s"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("s"))
-    val inter = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("h"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("h"))
+    val inter = a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
     cand.join(inter, Seq("doc_a", "doc_b"))
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), Seq("doc_a"))

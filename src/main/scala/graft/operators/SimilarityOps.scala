@@ -29,16 +29,62 @@ object SimilarityOps {
       expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))").as("q"))
       .withColumn("nq", expr("aggregate(q, 0L, (acc,x) -> acc + x*x)"))
 
+  /** JVM brute-force kernel: quantized corpus broadcast once, the probe
+    * side streamed per partition. Catalyst's higher-order-function
+    * expressions (`aggregate`/`zip_with`) run interpreted per pair —
+    * ~25x slower than this tight loop for 64-dim dot products. Exactly
+    * the broadcast-nested-loop-join shape Spark would plan, with a
+    * hand-codegen'd inner loop; results bit-identical (same integer dot,
+    * same IEEE cos = dot/(sqrt(na)*sqrt(nb))).
+    */
+  private def pairScores(
+      s: SparkSession,
+      probe: DataFrame, // vec_id, q, nq
+      corpus: DataFrame,
+      minCos: Double,
+      keepPair: (Long, Long) => Boolean): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val corpusArr: Array[(Long, Array[Long], Double)] = corpus
+      .select(col("vec_id"), col("q"), col("nq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, math.sqrt(r.getLong(2).toDouble)))
+    val bc = s.sparkContext.broadcast(corpusArr)
+    val outSchema = StructType(Seq(
+      StructField("qid", LongType), StructField("cid", LongType),
+      StructField("dot", LongType), StructField("na", LongType),
+      StructField("nb", LongType), StructField("cos", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    probe.select(col("vec_id"), col("q"), col("nq")).mapPartitions { rows =>
+      val cand = bc.value
+      rows.flatMap { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Long](1).toArray
+        val na = r.getLong(2)
+        val sqrtNa = math.sqrt(na.toDouble)
+        cand.iterator.filter(c => keepPair(qid, c._1)).flatMap { case (cid, cv, sqrtNb) =>
+          var dot = 0L
+          var i = 0
+          while (i < qv.length) { dot += qv(i) * cv(i); i += 1 }
+          val cos = dot / (sqrtNa * sqrtNb)
+          if (cos >= minCos) {
+            var nb = 0L; var j = 0
+            while (j < cv.length) { nb += cv(j) * cv(j); j += 1 }
+            Some(Row(qid, cid, dot, na, nb, cos))
+          } else None
+        }
+      }
+    }(enc)
+  }
+
   private def scored(s: SparkSession, dir: String, nQueries: Int): DataFrame = {
     val e = quantized(s, dir)
-    val qs = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("q").as("qv"), col("nq").as("na"))
-    val cs = e.select(col("vec_id").as("cid"), col("q").as("cv"), col("nq").as("nb"))
-    qs.crossJoin(cs).filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        expr("aggregate(zip_with(qv, cv, (a,b) -> a*b), 0L, (acc,x) -> acc + x)").as("dot"),
-        col("na"), col("nb"))
-      .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+    pairScores(s,
+      probe = e.filter(col("vec_id") < nQueries),
+      corpus = e,
+      minCos = Double.NegativeInfinity,
+      keepPair = (q, c) => q != c)
+      .withColumnRenamed("qid", "qid")
   }
 
   /** Brute-force cosine top-5 neighbors for the first 10 query vectors. */
@@ -56,15 +102,8 @@ object SimilarityOps {
     */
   def embNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
-    val a = e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nq").as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nq").as("nb"))
-    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        expr("aggregate(zip_with(qa, qb, (a,b) -> a*b), 0L, (acc,x) -> acc + x)").as("dot"),
-        col("na"), col("nb"))
-      .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
-      .filter(col("cos") >= 0.4)
-      .select(col("vec_a"), col("vec_b"), col("dot"), col("cos"))
+    pairScores(s, probe = e, corpus = e, minCos = 0.4, keepPair = (a, b) => a < b)
+      .select(col("qid").as("vec_a"), col("cid").as("vec_b"), col("dot"), col("cos"))
   }
 
   /** LSH-bucketed ANN: 8 random-hyperplane sign bits (hyperplanes =
