@@ -53,7 +53,12 @@ object Main {
       targetDir: String,
       cliVars: Map[String, String],
       spark: SparkSession): Int = {
-    val project = ProjectLoader.resolveRefs(ProjectLoader.load(projectDir, cliVars))
+    if (cmd == "init") return initProject(projectDir)
+    val (project, cacheHit) =
+      if (flags.contains("no-partial-parse"))
+        (ProjectLoader.resolveRefs(ProjectLoader.load(projectDir, cliVars)), false)
+      else graft.parser.PartialParse.loadCached(projectDir, cliVars, targetDir)
+    if (cacheHit) println("[partial-parse] manifest loaded from cache")
     val store = new RelationStore(spark, warehouse)
     val stateManifest = flags.get("state").map(readStateManifest(project, _))
 
@@ -156,10 +161,51 @@ object Main {
         names.foreach(n => store.clone(from, n))
         println(s"cloned ${names.size} relations from $fromW")
         0
+      case "debug" =>
+        // reference cli/main.py debug:396 — sanity-check the environment
+        println(s"project-dir: $projectDir (exists=${Files.exists(Paths.get(projectDir))})")
+        println(s"warehouse:   $warehouse")
+        println(s"spark:       ${spark.version}, master=${spark.sparkContext.master}")
+        println(s"nodes:       ${project.manifest.nodes.size}, sources: ${project.manifest.sources.size}")
+        val probe = spark.range(1).count()
+        println(s"spark probe: SELECT count from range(1) = $probe")
+        0
       case other =>
         System.err.println(s"unknown command: $other")
         2
     }
+  }
+
+  /** `init` — scaffold a starter project (reference cli/main.py init:461). */
+  private def initProject(projectDir: String): Int = {
+    val dir = Paths.get(projectDir)
+    if (Files.exists(dir.resolve("dbt_project.yml"))) {
+      System.err.println(s"$projectDir already contains dbt_project.yml")
+      return 2
+    }
+    Files.createDirectories(dir.resolve("models"))
+    Files.createDirectories(dir.resolve("seeds"))
+    Files.createDirectories(dir.resolve("tests"))
+    Files.createDirectories(dir.resolve("snapshots"))
+    Files.writeString(dir.resolve("dbt_project.yml"),
+      s"""name: my_project
+         |vars:
+         |  data_dir: /root/testdata/sf0.001
+         |""".stripMargin)
+    Files.writeString(dir.resolve("models/sources.yml"),
+      """version: 2
+        |sources:
+        |  - name: tpch
+        |    tables:
+        |      - name: orders
+        |        location: "{data_dir}/orders.parquet"
+        |""".stripMargin)
+    Files.writeString(dir.resolve("models/my_first_model.sql"),
+      """{{ config(materialized='table') }}
+        |SELECT o_orderkey, o_totalprice FROM {{ source('tpch', 'orders') }}
+        |""".stripMargin)
+    println(s"initialized project in $projectDir")
+    0
   }
 
   /** Rebuild a Manifest skeleton from a state manifest.json (only what

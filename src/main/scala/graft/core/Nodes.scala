@@ -11,7 +11,7 @@ package graft.core
 /** Resource taxonomy (reference types.py:18-37, trimmed to what the
   * engine executes; Doc/Group/SavedQuery etc. are metadata-only there).
   */
-sealed abstract class NodeType(val name: String)
+sealed abstract class NodeType(val name: String) extends Serializable
 object NodeType {
   case object Model extends NodeType("model")
   case object Seed extends NodeType("seed")
@@ -28,7 +28,7 @@ object NodeType {
 /** Materialization strategies (reference config.py:81 materialized +
   * config.py:82 incremental_strategy).
   */
-sealed abstract class Materialized(val name: String)
+sealed abstract class Materialized(val name: String) extends Serializable
 object Materialized {
   case object View extends Materialized("view")
   case object Table extends Materialized("table")
@@ -48,7 +48,7 @@ object Materialized {
 }
 
 /** Microbatch batch granularity (reference types.py:72-76 BatchSize). */
-sealed abstract class BatchSize(val name: String)
+sealed abstract class BatchSize(val name: String) extends Serializable
 object BatchSize {
   case object Hour extends BatchSize("hour")
   case object Day extends BatchSize("day")
@@ -137,7 +137,7 @@ final case class Relation(schema: String, identifier: String) {
 /** Unit of work (reference nodes.py BaseNode subtypes). `uniqueId` is
   * "<type>.<package>.<name>" exactly like the reference.
   */
-sealed trait Node {
+sealed trait Node extends Serializable {
   def uniqueId: String
   def name: String
   def packageName: String

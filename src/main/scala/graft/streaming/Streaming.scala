@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.exec.RelationStore
+
+/** Structured Streaming surface (SURVEY.md §2.7): the reference's
+  * microbatch incremental semantics mapped onto a true stream.
+  *
+  *  - tumbling windows  = `window(ts, batchSize)` groupBy
+  *  - late data         = `withWatermark(ts, lookback)`
+  *  - checkpoint        = Spark's own streaming checkpoint dir
+  *  - per-batch commit  = `foreachBatch` → incremental merge into the
+  *    RelationStore (idempotent by key, so retries are safe)
+  *  - Trigger.AvailableNow = "process everything that has landed, then
+  *    stop" — the exact execution contract of a scheduled microbatch
+  *    run, but with streaming bookkeeping
+  *
+  * Source layout matches the batch engine: a directory of parquet files
+  * (at 100 TB: a partitioned landing zone written by upstream
+  * producers; the file source discovers new files per trigger).
+  */
+object Streaming {
+  /** events schema as scanned with nanosAsLong (see GraftSession). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos-since-epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** readStream over an events directory; ts normalized to a proper
+    * timestamp column via integer µs arithmetic.
+    */
+  def eventStream(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(inputDir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+
+  /** Windowed aggregate with watermark: per-day, per-type counts +
+    * exact cent sums. Watermark bounds state exactly like the
+    * reference's `lookback` bounds reprocessing.
+    */
+  def dailyCounts(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts_t", watermark)
+      .groupBy(window(col("ts_t"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("sum_value_cents"))
+
+  /** Run a streaming aggregate to completion over the currently
+    * available files and merge each micro-batch into the store
+    * (upsert on key columns → idempotent across retries).
+    */
+  def runAvailableNow(
+      agg: DataFrame,
+      store: RelationStore,
+      table: String,
+      keys: Seq[String],
+      checkpointDir: String): Unit = {
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (store.exists(table)) {
+          val target = store.read(table)
+          val kept = target.join(batch.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          store.write(kept.unionByName(batch), table)
+        } else store.write(batch, table)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  // ---- custom stateful operator: streaming sessionization ----
+
+  final case class SessionState(lastUs: Long, sessions: Long, events: Long)
+  final case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** flatMapGroupsWithState sessionization: a new session begins after
+    * `gapUs` of silence per user. The streaming twin of the batch
+    * `qSessionize` operator (graft.operators.Events) — state is one
+    * (lastTs, counts) record per user, so memory is O(users), not
+    * O(events): this is what survives an unbounded stream.
+    */
+  def sessionize(events: DataFrame, gapUs: Long = 1800000000L): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), expr("ts div 1000").as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          for (us <- sorted) {
+            val newSession = st.lastUs == Long.MinValue || us - st.lastUs > gapUs
+            st = SessionState(us, st.sessions + (if (newSession) 1 else 0), st.events + 1)
+          }
+          state.update(st)
+          Iterator.single(SessionUpdate(userId, st.sessions, st.events))
+      }
+  }
+
+  /** Drive sessionization over available data, landing results in the
+    * store (complete per-user rows each trigger → merge on user_id).
+    */
+  def runSessionize(
+      events: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit = {
+    val q = sessionize(events).toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (store.exists(table)) {
+          val target = store.read(table)
+          val kept = target.join(batch.select("user_id").distinct(), Seq("user_id"), "left_anti")
+          store.write(kept.unionByName(batch), table)
+        } else store.write(batch, table)
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

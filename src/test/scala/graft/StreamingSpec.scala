@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.RelationStore
+import graft.streaming.Streaming
+
+/** Streaming vs batch equivalence: the streaming daily aggregate and
+  * sessionization must land the same numbers the batch operators
+  * produce over the same files (plus incremental arrival semantics).
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  var spark: SparkSession = _
+  var work: String = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.local(4)
+    work = Files.createTempDirectory("graft_stream").toString
+    // stage the events file as a streaming input dir
+    Files.createDirectories(Paths.get(s"$work/in"))
+    val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src.write.mode("overwrite").parquet(s"$work/in")
+  }
+
+  test("available-now windowed aggregate matches the batch result") {
+    val store = new RelationStore(spark, s"$work/wh")
+    val agg = Streaming.dailyCounts(Streaming.eventStream(spark, s"$work/in"))
+    Streaming.runAvailableNow(agg, store, "daily", Seq("day", "event_type"), s"$work/cp1")
+
+    val streamed = store.read("daily")
+    val batch = spark.read.parquet(s"$work/in")
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .groupBy(date_format(col("ts_t"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("stateful sessionization matches the batch operator") {
+    val store = new RelationStore(spark, s"$work/wh")
+    Streaming.runSessionize(Streaming.eventStream(spark, s"$work/in"), store,
+      "sessions", s"$work/cp2")
+    val streamed = store.read("sessions")
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+    val batch = graft.operators.Events.qSessionize(spark, "/root/testdata/sf0.001")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
+  test("incremental arrival: second file only adds its own windows") {
+    val store = new RelationStore(spark, s"$work/wh2")
+    val in2 = s"$work/in2"
+    val ev = spark.read.parquet(s"$work/in")
+    ev.filter(col("event_id") < 500).write.mode("overwrite").parquet(in2)
+
+    val agg = Streaming.dailyCounts(Streaming.eventStream(spark, in2))
+    Streaming.runAvailableNow(agg, store, "daily2", Seq("day", "event_type"), s"$work/cp3")
+    val afterFirst = store.read("daily2").agg(sum("n")).first().getLong(0)
+    assert(afterFirst == 500)
+
+    // land the remaining events as a new file; rerun available-now
+    ev.filter(col("event_id") >= 500).coalesce(1).write.mode("append").parquet(in2)
+    val agg2 = Streaming.dailyCounts(Streaming.eventStream(spark, in2))
+    Streaming.runAvailableNow(agg2, store, "daily2", Seq("day", "event_type"), s"$work/cp3")
+    val afterSecond = store.read("daily2").agg(sum("n")).first().getLong(0)
+    assert(afterSecond == 1000)
+  }
+}
