@@ -25,12 +25,16 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
+    // FAIR scheduling so the Runner's concurrent DAG nodes share
+    // executors instead of FIFO-starving each other (SURVEY.md §3.1)
+    .config("spark.scheduler.mode", "FAIR")
     .config("spark.ui.enabled", "false")
 
   /** Local session with N threads (driver/test entry points). */
   def local(cpus: Int): SparkSession = {
     val s = tune(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.RollingMinHash.register(s)
     s
   }
 }

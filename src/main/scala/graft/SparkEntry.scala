@@ -53,6 +53,7 @@ object SparkEntry {
     "txt_quality" -> (TextOps.txtQuality _),
     "txt_langid" -> (TextOps.txtLangId _),
     "txt_fingerprint" -> (TextOps.txtFingerprint _),
+    "txt_winnow" -> (TextOps.txtWinnow _),
     // dedup
     "dedup_exact" -> (DedupOps.dedupExact _),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),

@@ -25,9 +25,39 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
   def view(node: Node, sql: String): Unit =
     store.writeView(relName(node), sql)
 
+  /** Contract enforcement (reference components.py:82 Contract +
+    * config.py:125-149): when enforced, the produced schema must match
+    * the declared columns exactly — names and (where declared) types.
+    */
+  def enforceContract(node: Node, df: DataFrame): Unit = node match {
+    case m: ModelNode if m.config.contractEnforced && m.columns.nonEmpty =>
+      val actual = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val declared = m.columns.map(_.name)
+      val missing = declared.filterNot(actual.contains)
+      val extra = df.schema.fieldNames.filterNot(declared.contains)
+      val typeErrs = m.columns.flatMap { c =>
+        c.dataType.flatMap { ddl =>
+          val want = org.apache.spark.sql.types.DataType.fromDDL(ddl)
+          actual.get(c.name).filterNot(got =>
+            got.simpleString.replace("not null", "").trim ==
+              want.simpleString.replace("not null", "").trim)
+            .map(got => s"${c.name}: declared ${want.simpleString}, got ${got.simpleString}")
+        }
+      }
+      if (missing.nonEmpty || extra.nonEmpty || typeErrs.nonEmpty)
+        throw new IllegalStateException(
+          s"contract violation for ${m.name}: " +
+            (if (missing.nonEmpty) s"missing=$missing " else "") +
+            (if (extra.nonEmpty) s"undeclared=${extra.toSeq} " else "") +
+            typeErrs.mkString("; "))
+    case _ => ()
+  }
+
   /** Full rebuild (CTAS + atomic version swap). */
-  def table(node: Node, df: DataFrame): Unit =
+  def table(node: Node, df: DataFrame): Unit = {
+    enforceContract(node, df)
     store.write(df, relName(node))
+  }
 
   /** Incremental dispatch (reference config.py:82 incremental_strategy;
     * microbatch handled by the Runner's batch loop calling
@@ -35,6 +65,7 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
     */
   def incremental(node: Node, df: DataFrame, fullRefresh: Boolean): Unit = {
     val name = relName(node)
+    enforceContract(node, df)
     if (fullRefresh || !store.exists(name)) { table(node, df); return }
     val strategy = node.config.incrementalStrategy.getOrElse("append")
     strategy match {

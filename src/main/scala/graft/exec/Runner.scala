@@ -93,10 +93,14 @@ final class Runner(
     val queue = new GraphQueue(graph, selected)
     val pool = Executors.newFixedThreadPool(opts.threads)
     val latch = new CountDownLatch(opts.threads)
-    (1 to opts.threads).foreach { _ =>
+    (1 to opts.threads).foreach { workerId =>
       pool.submit(new Runnable {
         def run(): Unit = {
           try {
+            // one FAIR pool per worker: concurrent DAG nodes share the
+            // cluster fairly (reference: per-thread connections,
+            // runnable.py:403; Spark analogue is scheduler pools)
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-$workerId")
             var next = queue.awaitReady()
             while (next.isDefined) {
               val id = next.get

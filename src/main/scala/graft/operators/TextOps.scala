@@ -72,4 +72,18 @@ object TextOps {
       col("doc_id"),
       md5(normalized(col("text"))).as("fp"),
       length(normalized(col("text"))).as("norm_len"))
+
+  /** Winnowing fingerprint via the native rolling-hash Expression
+    * ([[graft.functions.RollingMinHash]], codegen'd): one long per
+    * document = min 8-byte-window Karp-Rabin hash of the normalized
+    * text; equal fingerprints are near-dup candidates. Not
+    * SQL-expressible in the oracle → rows-only check.
+    */
+  def txtWinnow(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.RollingMinHash.register(s)
+    val fp = docs(s, dir).select(col("doc_id"),
+      expr("rolling_min_hash(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), 16)").as("fp"))
+    val groups = fp.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+    fp.join(groups, Seq("fp")).select(col("doc_id"), col("fp"), col("n_docs"), col("keeper"))
+  }
 }

@@ -153,7 +153,7 @@ object ProjectLoader {
           }
         case _ =>
       }
-      // model entries: columns + tests
+      // model entries: columns + tests + per-model config (incl. contract)
       doc.get("models") match {
         case Some(ms: List[Any @unchecked]) =>
           for (m0 <- ms) {
@@ -162,6 +162,30 @@ object ProjectLoader {
             val modelId = s"model.$name.$mname"
             for (tn <- columnTests(m, name, s"{{ ref('$mname') }}", mname, Seq(modelId)))
               nodes(tn.uniqueId) = tn
+            // declared columns (for docs + contract enforcement,
+            // reference components.py:59 ColumnInfo + Contract)
+            val declared = m.getOrElse("columns", Nil).asInstanceOf[List[Any]].map { c0 =>
+              val c = c0.asInstanceOf[Map[String, Any]]
+              ColumnInfo(c("name").toString,
+                c.getOrElse("description", "").toString,
+                c.get("data_type").map(_.toString))
+            }
+            val contractEnforced = m.get("config") match {
+              case Some(cm: Map[String @unchecked, Any @unchecked]) =>
+                cm.get("contract") match {
+                  case Some(ct: Map[String @unchecked, Any @unchecked]) =>
+                    ct.get("enforced").contains(true)
+                  case _ => false
+                }
+              case _ => false
+            }
+            nodes.get(modelId) match {
+              case Some(mn: ModelNode) =>
+                nodes(modelId) = mn.copy(columns = declared,
+                  config = mn.config.copy(contractEnforced =
+                    mn.config.contractEnforced || contractEnforced))
+              case _ =>
+            }
           }
         case _ =>
       }

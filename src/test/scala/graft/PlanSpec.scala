@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Plan-shape regression tests: the scale-discipline invariants the
+  * operators rely on at 100 TB — filters reach the parquet scan,
+  * projections prune the read schema, small dims broadcast, hot paths
+  * stay inside whole-stage codegen. If a refactor silently loses one
+  * of these, this suite fails before the benchmark does.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+  val sf = "/root/testdata/sf0.001"
+  var spark: SparkSession = _
+  override def beforeAll(): Unit = { spark = GraftSession.local(4) }
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** AQE finalizes (and reveals WholeStageCodegen spans) only after
+    * execution — run the query, then read the final plan.
+    */
+  private def executedPhysical(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // count() would build a different plan; collect finalizes THIS one
+    // AQE prints "== Final Plan ==" then "== Initial Plan ==" — keep the final
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  test("q3: dim filter pushed to parquet scan + broadcast join") {
+    val plan = physical(Relational.q3ShippingPriority(spark, sf))
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "customer dim should broadcast")
+    // the mktsegment filter must reach the customer scan
+    assert(plan.contains("c_mktsegment"), "filter column missing from scan")
+  }
+
+  test("q_topk_parts: column pruning + TakeOrderedAndProject (no global sort)") {
+    val df = Relational.qTopKParts(spark, sf)
+    val plan = physical(df)
+    assert(plan.contains("TakeOrderedAndProject"), "top-k should not globally sort")
+    // scan must read only the 3 needed columns
+    val readSchema = "ReadSchema: struct<p_partkey:bigint,p_name:string,p_retailprice:double>"
+    assert(plan.replaceAll("\\s", "").contains(readSchema.replaceAll("\\s", "")),
+      plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
+  test("q1: single shuffle with partial (map-side) aggregation, codegen'd") {
+    val plan = executedPhysical(Relational.q1PricingSummary(spark, sf))
+    assert(plan.contains("HashAggregate"), "should hash-aggregate")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "exactly one shuffle expected")
+    // WholeStageCodegen renders as *(n) prefixes in executedPlan.toString
+    assert(plan.contains("*("), "aggregation should be inside a WholeStageCodegen span")
+  }
+
+  test("semi/anti joins plan as semi/anti, not inner+filter") {
+    assert(physical(Relational.qSemiJoin(spark, sf)).contains("LeftSemi"))
+    assert(physical(Relational.qAntiJoin(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("event-time filter is pushed into the source scan (microbatch pruning)") {
+    import graft.core._
+    import graft.exec.{Compiler, Sources}
+    val src = SourceNode("tpch", "orders", "p", s"$sf/orders.parquet",
+      config = NodeConfig(eventTime = Some("o_orderdate")))
+    val manifest = Manifest(Map.empty, Map(src.uniqueId -> src))
+    Sources.registerAll(spark, manifest, Map.empty)
+    val c = new Compiler(manifest, Map.empty,
+      eventTimeFilter = Some((java.time.Instant.parse("1996-01-01T00:00:00Z"),
+        java.time.Instant.parse("1997-01-01T00:00:00Z"))))
+    val model = ModelNode("m", "p", "SELECT * FROM {{ source('tpch','orders') }}",
+      NodeConfig(), Nil, Nil, Nil)
+    val sql = c.compile(model, model.rawCode).executable
+    val plan = physical(spark.sql(sql))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(o_orderdate"),
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("rolling_min_hash: native expression, codegen, deterministic") {
+    val df = spark.sql("SELECT rolling_min_hash('the quick brown fox', 8) AS h")
+    val h1 = df.first().getLong(0)
+    val h2 = spark.sql("SELECT rolling_min_hash('the quick brown fox', 8) AS h").first().getLong(0)
+    assert(h1 == h2)
+    // different text → different fingerprint (overwhelming probability)
+    val other = spark.sql("SELECT rolling_min_hash('jumps over the lazy dog', 8) AS h").first().getLong(0)
+    assert(h1 != other)
+    // shared rare k-gram detection: identical strings share the fingerprint
+    assert(spark.sql("SELECT rolling_min_hash('abcdefghij', 8) = rolling_min_hash('abcdefghij', 8)").first().getBoolean(0))
+    // stays inside whole-stage codegen (no fallback iterator break)
+    val plan = executedPhysical(TextOps.txtWinnow(spark, sf))
+    assert(plan.contains("*("), "expected WholeStageCodegen *(n) spans")
+  }
+
+  test("contract enforcement fails on type/name drift") {
+    import graft.core._
+    import graft.exec.{Materializer, RelationStore}
+    val store = new RelationStore(spark,
+      java.nio.file.Files.createTempDirectory("contract_wh").toString)
+    val mat = new Materializer(spark, store)
+    val good = ModelNode("c_ok", "p", "", NodeConfig(contractEnforced = true), Nil, Nil, Nil,
+      columns = Seq(ColumnInfo("id", dataType = Some("bigint")), ColumnInfo("name", dataType = Some("string"))))
+    val df = spark.sql("SELECT CAST(1 AS BIGINT) AS id, 'x' AS name")
+    mat.table(good, df) // passes
+    val badType = good.copy(name = "c_bad",
+      columns = Seq(ColumnInfo("id", dataType = Some("string")), ColumnInfo("name", dataType = Some("string"))))
+    assertThrows[IllegalStateException](mat.table(badType, df))
+    val missingCol = good.copy(name = "c_miss", columns = Seq(ColumnInfo("id", dataType = Some("bigint"))))
+    assertThrows[IllegalStateException](mat.table(missingCol, df)) // undeclared 'name'
+  }
+}
