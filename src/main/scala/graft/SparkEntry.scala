@@ -37,6 +37,11 @@ object SparkEntry {
     "q_above_avg" -> (Relational.qAboveAvg _),
     "q_custdist" -> (Relational.qCustDist _),
     "q_topk_parts" -> (Relational.qTopKParts _),
+    "q_union_all" -> (Relational.qUnionAll _),
+    "q_cross_join" -> (Relational.qCrossJoin _),
+    "q_null_handling" -> (Relational.qNullHandling _),
+    "q_listagg" -> (Relational.qListAgg _),
+    "q_pivot" -> (Relational.qPivot _),
     // dbt generic data tests as operators
     "t_unique" -> (Relational.tUnique _),
     "t_not_null" -> (Relational.tNotNull _),
@@ -176,6 +181,32 @@ object SparkEntry {
     "q_topk_parts" -> """
       SELECT p_partkey, p_name, CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_cents
       FROM part ORDER BY price_cents DESC, p_partkey LIMIT 20""",
+    "q_union_all" -> """
+      SELECT bucket, COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust FROM (
+        SELECT o_custkey, 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT o_custkey, 'high' AS bucket FROM orders WHERE o_orderpriority = '2-HIGH'
+      ) t GROUP BY 1""",
+    "q_cross_join" -> """
+      SELECT r_name, n_name, CAST(r_regionkey = n_regionkey AS BIGINT) AS is_home
+      FROM region CROSS JOIN nation""",
+    "q_null_handling" -> """
+      SELECT c_custkey,
+             COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(bldg)') AS seg_or_default,
+             CAST((CASE WHEN c_acctbal < 0 THEN c_acctbal ELSE NULL END) IS NULL AS BIGINT) AS non_neg,
+             CAST(c_nationkey IS NOT DISTINCT FROM 0 AS BIGINT) AS is_nation0
+      FROM customer""",
+    "q_listagg" -> """
+      SELECT c_nationkey,
+             string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+             COUNT(*) AS n
+      FROM customer GROUP BY 1""",
+    "q_pivot" -> """
+      SELECT o_orderpriority,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_fulfilled,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending
+      FROM orders GROUP BY 1""",
     "t_unique" -> """
       SELECT l_orderkey AS value, COUNT(*) AS n FROM lineitem GROUP BY 1 HAVING COUNT(*) > 1""",
     "t_not_null" -> """

@@ -161,6 +161,30 @@ object Main {
         names.foreach(n => store.clone(from, n))
         println(s"cloned ${names.size} relations from $fromW")
         0
+      case "clean" =>
+        // reference cli/main.py clean:210 — remove build artifacts
+        def rmrf(p: java.nio.file.Path): Unit = {
+          if (Files.isDirectory(p)) {
+            val it = Files.list(p).iterator()
+            while (it.hasNext) rmrf(it.next())
+          }
+          Files.deleteIfExists(p)
+        }
+        rmrf(Paths.get(targetDir))
+        println(s"cleaned $targetDir")
+        0
+      case "run-operation" =>
+        // reference cli/main.py run-operation:650 — execute an ad-hoc
+        // statement with the project context attached
+        val sql = flags.getOrElse("inline",
+          throw new IllegalArgumentException("run-operation requires --inline SQL"))
+        Sources.registerAll(spark, project.manifest, project.vars ++ cliVars)
+        store.attach()
+        val compiler = new Compiler(project.manifest, project.vars ++ cliVars)
+        val fake = ModelNode("__op__", project.name, sql, NodeConfig(), Nil, Nil, Nil)
+        spark.sql(compiler.compile(fake, sql).executable).collect()
+        println("operation complete")
+        0
       case "debug" =>
         // reference cli/main.py debug:396 — sanity-check the environment
         println(s"project-dir: $projectDir (exists=${Files.exists(Paths.get(projectDir))})")

@@ -211,6 +211,53 @@ object Relational {
       .orderBy(col("price_cents").desc, col("p_partkey"))
       .limit(20)
 
+  /** UNION ALL (duplicates preserved) vs the distinct set ops above. */
+  def qUnionAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"), lit("urgent").as("bucket"))
+    val high = o.filter(col("o_orderpriority") === "2-HIGH")
+      .select(col("o_custkey"), lit("high").as("bucket"))
+    urgent.union(high)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("n_cust"))
+  }
+
+  /** Cross join (small dims — the legitimate use). */
+  def qCrossJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      .select(col("r_name"), col("n_name"),
+        (col("r_regionkey") === col("n_regionkey")).cast("long").as("is_home"))
+
+  /** NULL semantics: coalesce / nullif / null-safe equality / counts. */
+  def qNullHandling(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    c.select(
+      col("c_custkey"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(bldg)")).as("seg_or_default"),
+      when(col("c_acctbal") < 0, col("c_acctbal")).otherwise(lit(null)).isNull.cast("long").as("non_neg"),
+      (col("c_nationkey") <=> lit(0)).cast("long").as("is_nation0"))
+  }
+
+  /** Ordered string aggregation (listagg): deterministic via sorted
+    * distinct sets — collect_set order is partition-dependent, so the
+    * sort is what makes this reproducible on any cluster.
+    */
+  def qListAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"),
+        count(lit(1)).as("n"))
+
+  /** Pivot (orderstatus → columns). */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("O").cast("long").as("n_open"),
+        col("F").cast("long").as("n_fulfilled"), col("P").cast("long").as("n_pending"))
+
   // ---- data-test operators (dbt generic tests as DataFrame ops) ----
 
   /** `unique` test: failing rows (keys occurring more than once). */
