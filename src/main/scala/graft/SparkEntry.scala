@@ -68,6 +68,7 @@ object SparkEntry {
     "sim_topk" -> (SimilarityOps.simTopK _),
     "emb_neardup" -> (SimilarityOps.embNearDup _),
     "sim_lsh_topk" -> (SimilarityOps.simLshTopK _),
+    "sim_ivf_topk" -> (SimilarityOps.simIvfTopK _),
     // multimodal plumbing
     "mm_meta" -> (Multimodal.mmMeta _),
     "mm_features" -> (Multimodal.mmFeatures _),

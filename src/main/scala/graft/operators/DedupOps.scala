@@ -77,22 +77,22 @@ object DedupOps {
   def dedupMinHashLsh(s: SparkSession, dir: String): DataFrame = {
     val nPerm = 32
     val rowsPerBand = 4
+    val nBands = nPerm / rowsPerBand
     // shingles by 64-bit hash (string shuffled once, everything after
     // moves 8-byte keys)
     val sh = shingles(s, dir).select(col("doc_id"), xxhash64(col("s")).as("h")).cache()
-    // minhash signature: for each permutation p, min over shingles of xxhash64(p, h)
-    val mins = sh.select(
-        (Seq(col("doc_id"), col("h")) ++
-          (0 until nPerm).map(p => xxhash64(lit(p), col("h")).as(s"h$p"))): _*)
-      .groupBy(col("doc_id"))
-      .agg(min(col("h0")).as("m0"), (1 until nPerm).map(p => min(col(s"h$p")).as(s"m$p")): _*)
-    // bands: hash rowsPerBand consecutive signature slots per band
-    val bandCols = (0 until nPerm / rowsPerBand).map { b =>
-      val slice = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}").as(s"r$r"))
-      struct(lit(b).as("band") +: slice: _*).as(s"band$b")
+    // one-pass signature via the custom Aggregator: one long[32] buffer
+    // per document instead of 32 min() columns (graft.functions.MinHashAgg)
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhashSig(col("h"), nPerm).as("sig"))
+    // band key = hash of rowsPerBand consecutive signature slots; a
+    // single long per band keeps the bucket join shuffle minimal
+    val bandCols = (0 until nBands).map { b =>
+      val slots = (0 until rowsPerBand).map(r => s"sig[${b * rowsPerBand + r}]").mkString(", ")
+      expr(s"xxhash64($b, $slots)").as(s"band$b")
     }
-    val banded = mins.select(col("doc_id") +: bandCols: _*)
-      .select(col("doc_id"), explode(array((0 until nPerm / rowsPerBand).map(b => col(s"band$b")): _*)).as("bk"))
+    val banded = sigs.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), explode(array((0 until nBands).map(b => col(s"band$b")): _*)).as("bk"))
     val cand = banded.alias("x").join(banded.alias("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

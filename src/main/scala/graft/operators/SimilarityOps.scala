@@ -106,6 +106,80 @@ object SimilarityOps {
       .select(col("qid").as("vec_a"), col("cid").as("vec_b"), col("dot"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into cells around
+    * centroid vectors; a query probes only its nProbe nearest cells.
+    * Centroids here are a deterministic sample of the corpus (every
+    * Nth vector) — at production scale they'd come from a k-means fit,
+    * but the index structure, cell assignment join, and probe-side
+    * pruning are identical. The cell assignment is a broadcast of the
+    * centroid table (tiny) against the corpus (one pass), and the
+    * probe join is a bucket equi-join — the 100 TB-safe shape.
+    * Approximate (probe misses cells) → rows-only driver check.
+    */
+  def simIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val nCentroids = 16
+    val nProbe = 4
+    val e = quantized(s, dir)
+    val total = e.count()
+    val step = math.max(1L, total / nCentroids)
+    val centroids = e.filter(col("vec_id") % step === 0).limit(nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("q").as("cq"), col("nq").as("cn"))
+    // assign every vector to its nearest centroid (broadcast centroids)
+    val assigned = pairScoresAgainst(s, e, centroids, topPerProbe = 1)
+      .select(col("qid").as("vec_id"), col("cid").as("cell"))
+    val cells = e.join(assigned, Seq("vec_id"))
+    // queries probe their nProbe nearest cells
+    val probes = pairScoresAgainst(s, e.filter(col("vec_id") < 10), centroids, topPerProbe = nProbe)
+      .select(col("qid"), col("cid").as("cell"))
+    val qside = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("nq").as("qn"))
+      .join(probes, Seq("qid"))
+    // candidates = vectors in probed cells only, then exact re-score
+    val cand = qside.join(
+        cells.select(col("vec_id").as("cid"), col("q").as("cv"), col("nq").as("cn2"), col("cell")),
+        Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        expr("aggregate(zip_with(qv, cv, (a,b) -> a*b), 0L, (acc,x) -> acc + x)").as("dot"),
+        col("qn"), col("cn2"))
+      .withColumn("cos", col("dot") / (sqrt(col("qn")) * sqrt(col("cn2"))))
+      .dropDuplicates("qid", "cid")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("qid"), col("cid"), col("cos"), col("rn"))
+  }
+
+  /** Top-N centroid/candidate matches of `probe` against a SMALL
+    * `targets` table (collected + broadcast) using the integer kernel.
+    */
+  private def pairScoresAgainst(
+      s: SparkSession,
+      probe: DataFrame,
+      targets: DataFrame,
+      topPerProbe: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tArr: Array[(Long, Array[Long], Double)] = targets.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, math.sqrt(r.getLong(2).toDouble)))
+    val bc = s.sparkContext.broadcast(tArr)
+    val outSchema = StructType(Seq(StructField("qid", LongType), StructField("cid", LongType),
+      StructField("cos", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    probe.select(col("vec_id"), col("q"), col("nq")).mapPartitions { rows =>
+      val cand = bc.value
+      rows.flatMap { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Long](1).toArray
+        val sqrtNa = math.sqrt(r.getLong(2).toDouble)
+        cand.iterator.map { case (cid, cv, sqrtNb) =>
+          var dot = 0L; var i = 0
+          while (i < qv.length) { dot += qv(i) * cv(i); i += 1 }
+          Row(qid, cid, dot / (sqrtNa * sqrtNb))
+        }.toSeq.sortBy(x => (-x.getDouble(2), x.getLong(1))).take(topPerProbe)
+      }
+    }(enc)
+  }
+
   /** LSH-bucketed ANN: 8 random-hyperplane sign bits (hyperplanes =
     * deterministic pseudo-vectors from xxhash64(plane, dim)) → bucket
     * key; candidates only join within a bucket, then exact re-score.
