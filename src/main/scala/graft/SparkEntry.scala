@@ -53,6 +53,7 @@ object SparkEntry {
     "q_merge_latest" -> (Events.qMergeLatest _),
     "q_scd2" -> (Events.qScd2 _),
     "q_events_json" -> (Events.qEventsJson _),
+    "q_skew_salted_agg" -> (ScaleOps.qSkewSaltedAgg _),
     // text analysis
     "txt_stats" -> (TextOps.txtStats _),
     "txt_quality" -> (TextOps.txtQuality _),
@@ -252,6 +253,10 @@ object SparkEntry {
              COUNT(*) AS n,
              MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
              MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY 1""",
+    "q_skew_salted_agg" -> """
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
       FROM events GROUP BY 1""",
     "txt_stats" -> """
       SELECT doc_id, LENGTH(text) AS n_chars_m,

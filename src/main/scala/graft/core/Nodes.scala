@@ -21,6 +21,8 @@ object NodeType {
   case object Source extends NodeType("source")
   case object Operation extends NodeType("operation")
   case object Analysis extends NodeType("analysis")
+  case object Exposure extends NodeType("exposure")
+  case object Metric extends NodeType("metric")
   val executable: Set[NodeType] = Set(Model, Seed, Snapshot, Test, UnitTest)
   val refable: Set[NodeType] = Set(Model, Seed, Snapshot)
 }
@@ -99,7 +101,12 @@ final case class NodeConfig(
     schema: Option[String] = None,
     alias: Option[String] = None,
     partitionBy: Seq[String] = Nil,
-    contractEnforced: Boolean = false)
+    contractEnforced: Boolean = false,
+    // governance (reference: group/access on ModelNode nodes.py:445;
+    // versions manifest.py VERSIONED_NODE_TYPES)
+    group: Option[String] = None,
+    access: Option[String] = None, // public | protected | private
+    version: Option[String] = None)
 
 /** Declared column info (reference components.py:59 ColumnInfo). */
 final case class ColumnInfo(
@@ -252,6 +259,39 @@ final case class UnitTestNode(
   val uniqueId = s"unit_test.$packageName.$name"
   val resourceType: NodeType = NodeType.UnitTest
   val dependsOn: Seq[String] = Seq(s"model.$packageName.$model")
+}
+
+/** Downstream consumer of models — dashboards, ML jobs, notebooks
+  * (reference nodes.py:1334 Exposure). Metadata-only: participates in
+  * the graph and selection, never executed.
+  */
+final case class ExposureNode(
+    name: String,
+    packageName: String,
+    exposureType: String, // dashboard | ml | notebook | application | analysis
+    owner: String,
+    dependsOn: Seq[String],
+    config: NodeConfig = NodeConfig(),
+    checksum: FileHash = FileHash(""))
+  extends Node {
+  val uniqueId = s"exposure.$packageName.$name"
+  val resourceType: NodeType = NodeType.Exposure
+}
+
+/** Declared metric over a model (reference nodes.py:1404 Metric).
+  * Metadata + a calculation expression; selectable, not executed.
+  */
+final case class MetricNode(
+    name: String,
+    packageName: String,
+    calculation: String, // aggregate expression over the model
+    model: String,
+    dependsOn: Seq[String],
+    config: NodeConfig = NodeConfig(),
+    checksum: FileHash = FileHash(""))
+  extends Node {
+  val uniqueId = s"metric.$packageName.$name"
+  val resourceType: NodeType = NodeType.Metric
 }
 
 /** Project-level hook (reference nodes.py:438 HookNode, on-run-start/end). */

@@ -99,6 +99,16 @@ object Selector {
         previousStatuses.collect { case (id, st) if st == c.value => id }.toSet
       case "unit_test" =>
         manifest.unitTests.collect { case (id, u) if globMatch(c.value, u.name) => id }.toSet
+      case "group" =>
+        all.collect { case (id, n) if n.config.group.exists(globMatch(c.value, _)) => id }.toSet
+      case "access" =>
+        all.collect { case (id, n) if n.config.access.contains(c.value) => id }.toSet
+      case "version" =>
+        all.collect { case (id, n) if n.config.version.exists(globMatch(c.value, _)) => id }.toSet
+      case "exposure" =>
+        all.collect { case (id, n: ExposureNode) if globMatch(c.value, n.name) => id }.toSet
+      case "metric" =>
+        all.collect { case (id, n: MetricNode) if globMatch(c.value, n.name) => id }.toSet
       case other =>
         throw new IllegalArgumentException(s"unknown selector method: $other")
     }

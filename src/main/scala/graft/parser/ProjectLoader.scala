@@ -182,10 +182,50 @@ object ProjectLoader {
             nodes.get(modelId) match {
               case Some(mn: ModelNode) =>
                 nodes(modelId) = mn.copy(columns = declared,
-                  config = mn.config.copy(contractEnforced =
-                    mn.config.contractEnforced || contractEnforced))
+                  config = mn.config.copy(
+                    contractEnforced = mn.config.contractEnforced || contractEnforced,
+                    group = m.get("group").map(_.toString).orElse(mn.config.group),
+                    access = m.get("access").map(_.toString).orElse(mn.config.access),
+                    version = m.get("latest_version").map(_.toString).orElse(mn.config.version)))
               case _ =>
             }
+          }
+        case _ =>
+      }
+      // exposures (reference nodes.py:1334) — graph members, never run
+      doc.get("exposures") match {
+        case Some(es: List[Any @unchecked]) =>
+          for (e0 <- es) {
+            val e = e0.asInstanceOf[Map[String, Any]]
+            val deps = e.getOrElse("depends_on", Nil).asInstanceOf[List[Any]].map { d =>
+              val ds = d.toString
+              Template.scan(s"{{ $ds }}") match {
+                case sc if sc.refs.nonEmpty => s"__ref__.$name.${sc.refs.head}"
+                case sc if sc.sources.nonEmpty =>
+                  val (a, b) = sc.sources.head; s"source.$name.$a.$b"
+                case _ => ds
+              }
+            }
+            val node = ExposureNode(e("name").toString, name,
+              e.getOrElse("type", "dashboard").toString,
+              e.getOrElse("owner", "").toString, deps,
+              checksum = FileHash.of(e.toString))
+            nodes(node.uniqueId) = node
+          }
+        case _ =>
+      }
+      // metrics (reference nodes.py:1404)
+      doc.get("metrics") match {
+        case Some(ms: List[Any @unchecked]) =>
+          for (m0 <- ms) {
+            val m = m0.asInstanceOf[Map[String, Any]]
+            val model = m.getOrElse("model", "").toString
+            val modelRef = Template.scan(s"{{ $model }}").refs.headOption.getOrElse(model)
+            val node = MetricNode(m("name").toString, name,
+              m.getOrElse("calculation", "count(*)").toString,
+              modelRef, Seq(s"__ref__.$name.$modelRef"),
+              checksum = FileHash.of(m.toString))
+            nodes(node.uniqueId) = node
           }
         case _ =>
       }
@@ -312,7 +352,14 @@ object ProjectLoader {
       postHook = strSeq("post_hook") ++ strSeq("post-hook"),
       schema = str("schema"),
       alias = str("alias"),
-      partitionBy = strSeq("partition_by"))
+      partitionBy = strSeq("partition_by"),
+      contractEnforced = cfg.get("contract") match {
+        case Some(m: Map[String @unchecked, Any @unchecked]) => m.get("enforced").contains(true)
+        case _ => false
+      },
+      group = str("group"),
+      access = str("access"),
+      version = str("version"))
   }
 
   def parseInstant(s: String): java.time.Instant = {
@@ -340,6 +387,8 @@ object ProjectLoader {
       case (id, n: ModelNode) => id -> n.copy(dependsOn = fix(n.dependsOn))
       case (id, n: SnapshotNode) => id -> n.copy(dependsOn = fix(n.dependsOn))
       case (id, n: TestNode) => id -> n.copy(dependsOn = fix(n.dependsOn))
+      case (id, n: ExposureNode) => id -> n.copy(dependsOn = fix(n.dependsOn))
+      case (id, n: MetricNode) => id -> n.copy(dependsOn = fix(n.dependsOn))
       case (id, n) => id -> n
     }
     p.copy(manifest = m.copy(nodes = nodes2))

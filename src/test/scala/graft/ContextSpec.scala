@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.{Context, RelationStore}
+import graft.operators.ScaleOps
+
+class ContextSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+
+  test("run_query / store_result / load_result registry") {
+    val ctx = new Context(spark,
+      new RelationStore(spark, java.nio.file.Files.createTempDirectory("ctx_wh").toString),
+      Map("answer" -> "42"))
+    val rows = ctx.runQuery("SELECT 1 AS a UNION ALL SELECT 2")
+    assert(rows.map(_.getInt(0)).sorted == Seq(1, 2))
+    ctx.storeResult("probe", rows)
+    assert(ctx.loadResult("probe").exists(_.size == 2))
+    assert(ctx.loadResult("missing").isEmpty)
+    assert(ctx.varOr("answer", "no") == "42")
+    assert(ctx.varOr("nope", "fallback") == "fallback")
+    assert(ctx.localMd5("abc") == "900150983cd24fb0d6963f7d28e17f72")
+  }
+
+  test("salted two-phase aggregation is exact under any partitioning") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("k", (col("id") % 3).cast("string"))
+      .withColumn("v", col("id") * 10)
+      .repartition(13) // arbitrary partitioning; salt must not matter
+    val salted = ScaleOps.saltedAgg(df, Seq("k"), col("v"), buckets = 7)
+      .orderBy("k").collect()
+    val direct = df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("k").collect()
+    assert(salted.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      direct.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+}

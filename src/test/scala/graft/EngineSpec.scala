@@ -98,6 +98,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         |          - relationships:
         |              to: source('tpch', 'customer')
         |              field: c_custkey
+        |exposures:
+        |  - name: revenue_dashboard
+        |    type: dashboard
+        |    owner: analytics
+        |    depends_on:
+        |      - ref('orders_rev')
+        |metrics:
+        |  - name: total_revenue
+        |    model: ref('orders_rev')
+        |    calculation: sum(revenue_cents)
         |unit_tests:
         |  - name: ut_orders_rev
         |    model: orders_rev
@@ -143,6 +153,20 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
   def opts(cmd: String) = RunOptions(cmd = cmd, threads = 2,
     targetDir = dir.resolve("target").toString,
     eventTimeEnd = Some(java.time.Instant.parse("2002-01-01T00:00:00Z")))
+
+  test("00 exposures and metrics parse, link, and select") {
+    val m = project.manifest
+    val exp = m.nodes("exposure.demo.revenue_dashboard")
+    assert(exp.dependsOn == Seq("model.demo.orders_rev"))
+    val met = m.nodes("metric.demo.total_revenue")
+    assert(met.dependsOn == Seq("model.demo.orders_rev"))
+    val g = graft.graph.Linker.link(m)
+    // exposure rides downstream of the model
+    assert(g.descendants("model.demo.orders_rev").contains(exp.uniqueId))
+    val sel = graft.graph.Selector.select(m, g, Seq("exposure:revenue_dashboard"))
+    assert(sel.contains(exp.uniqueId))
+    assert(graft.graph.Selector.select(m, g, Seq("metric:total_revenue")).contains(met.uniqueId))
+  }
 
   test("01 parse: manifest inventory") {
     val m = project.manifest
