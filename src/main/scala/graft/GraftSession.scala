@@ -25,6 +25,10 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
+    // partition columns read back as written (string) — type inference
+    // would turn "2024-01-05" into DATE and the restoring cast would
+    // then block partition pruning
+    .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     // FAIR scheduling so the Runner's concurrent DAG nodes share
     // executors instead of FIFO-starving each other (SURVEY.md §3.1)
     .config("spark.scheduler.mode", "FAIR")

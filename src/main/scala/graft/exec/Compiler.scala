@@ -55,8 +55,11 @@ final class Compiler(
     if (empty) s"(SELECT * FROM $filtered AS __e LIMIT 0)" else filtered
   }
 
-  /** Compile a model/snapshot/test body. */
-  def compile(node: Node, rawCode: String): Compiled = {
+  /** Compile a model/snapshot/test body. `isIncremental` controls
+    * `{% if is_incremental() %}` block rendering (true only when the
+    * node's target relation already exists and no full refresh).
+    */
+  def compile(node: Node, rawCode: String, isIncremental: Boolean = false): Compiled = {
     val ctes = mutable.LinkedHashMap[String, String]()
 
     def resolveRef(name: String): String = {
@@ -88,7 +91,8 @@ final class Compiler(
     }
 
     val body = Template.render(rawCode, resolveRef, resolveSource, vars,
-      thisRelation = Some(node.config.alias.getOrElse(node.name)))
+      thisRelation = Some(node.config.alias.getOrElse(node.name)),
+      isIncremental = isIncremental)
     Compiled(body, ctes.toSeq)
   }
 }

@@ -56,7 +56,7 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
   /** Full rebuild (CTAS + atomic version swap). */
   def table(node: Node, df: DataFrame): Unit = {
     enforceContract(node, df)
-    store.write(df, relName(node))
+    store.write(df, relName(node), node.config.partitionBy)
   }
 
   /** Incremental dispatch (reference config.py:82 incremental_strategy;
@@ -114,7 +114,7 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
   def append(node: Node, df: DataFrame): Unit = {
     val name = relName(node)
     val (target, src) = align(node, store.read(name), df)
-    store.write(target.unionByName(src), name)
+    store.write(target.unionByName(src), name, node.config.partitionBy)
   }
 
   private def keyCols(node: Node): Seq[String] = {
@@ -133,7 +133,7 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
     val ks = keyCols(node)
     val (target, src) = align(node, store.read(name), df)
     val kept = target.join(src.select(ks.map(col): _*).distinct(), ks, "left_anti")
-    store.write(kept.unionByName(src), name)
+    store.write(kept.unionByName(src), name, node.config.partitionBy)
   }
 
   /** incremental/delete+insert: same terminal state as merge for
@@ -151,7 +151,7 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
       throw new IllegalArgumentException(s"${node.name}: insert_overwrite requires partition_by")
     val (target, src) = align(node, store.read(name), df)
     val kept = target.join(src.select(parts.map(col): _*).distinct(), parts, "left_anti")
-    store.write(kept.unionByName(src), name)
+    store.write(kept.unionByName(src), name, node.config.partitionBy)
   }
 
   /** Microbatch per-batch write: overwrite the [start, end) event-time
@@ -165,14 +165,14 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
       start: java.time.Instant,
       end: java.time.Instant): Unit = {
     val name = relName(node)
-    if (!store.exists(name)) { store.write(df, name); return }
+    if (!store.exists(name)) { store.write(df, name, node.config.partitionBy); return }
     val (target, src) = align(node, store.read(name), df)
     // plain string literals: analyzer coerces to the event-time column's
     // type (TIMESTAMP or TIMESTAMP_NTZ)
     val s = lit(Timestamps.sql(start))
     val e = lit(Timestamps.sql(end))
     val kept = target.filter(col(eventTime) < s || col(eventTime) >= e)
-    store.write(kept.unionByName(src), name)
+    store.write(kept.unionByName(src), name, node.config.partitionBy)
   }
 
   // ---- snapshots (SCD-2; reference snapshot.py:11-77 + task/snapshot.py) ----
@@ -209,7 +209,7 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
         .withColumn(ValidTo, lit(null).cast("timestamp"))
     }
 
-    if (!store.exists(name)) { store.write(withMeta(df), name); return }
+    if (!store.exists(name)) { store.write(withMeta(df), name, node.config.partitionBy); return }
 
     val target = store.read(name)
     val open = target.filter(col(ValidTo).isNull)
@@ -256,7 +256,7 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
       .unionByName(closedNow)
       .unionByName(inserts)
       .unionByName(vanished)
-    store.write(next, name)
+    store.write(next, name, node.config.partitionBy)
   }
 
   /** Seed: CSV → table with optional declared column types (reference

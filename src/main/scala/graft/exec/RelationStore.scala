@@ -48,16 +48,35 @@ final class RelationStore(val spark: SparkSession, val root: String, val schema:
     else {
       val p = currentPath(name).getOrElse(
         throw new IllegalStateException(s"relation not found: $schema.$name"))
-      spark.read.parquet(p)
+      val df = spark.read.parquet(p)
+      // restore the exact written schema (column order + types): a
+      // partitioned layout re-infers partition-column types on read,
+      // which would otherwise drift (e.g. "2024-01-01" → DATE)
+      val schemaFile = Paths.get(p, "_graft_schema.json")
+      if (Files.exists(schemaFile)) {
+        val stored = org.apache.spark.sql.types.DataType
+          .fromJson(Files.readString(schemaFile))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        df.select(stored.fields.toSeq.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+      } else df
     }
   }
 
-  /** Write a new version and swap the pointer (the "commit"). */
-  def write(df: DataFrame, name: String): Unit = {
+  /** Write a new version and swap the pointer (the "commit").
+    * `partitionBy` lays the version out as partitioned parquet dirs —
+    * on a cluster that's what makes event-time `replaceWhere` windows
+    * and partition-pruned scans O(touched partitions), not O(table).
+    */
+  def write(df: DataFrame, name: String, partitionBy: Seq[String] = Nil): Unit = {
     Files.createDirectories(tableDir(name))
     val next = currentVersion(name).getOrElse(-1) + 1
     val dest = tableDir(name).resolve(s"v$next")
-    df.write.mode(SaveMode.Overwrite).parquet(dest.toString)
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(dest.toString)
+    // leading "_" files are invisible to parquet FileIndex (like _SUCCESS)
+    Files.writeString(dest.resolve("_graft_schema.json"), df.schema.json)
     val tmp = tableDir(name).resolve(s"_current.tmp$next")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,

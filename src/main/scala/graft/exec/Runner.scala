@@ -180,11 +180,13 @@ final class Runner(
         case Materialized.Incremental if m.config.incrementalStrategy.contains("microbatch") =>
           runMicrobatch(m)
         case Materialized.Incremental =>
-          val sql = compiler().compile(m, m.rawCode).executable
-          materializer.incremental(m, spark.sql(sql),
-            opts.fullRefresh || m.config.fullRefresh.contains(true))
+          val fullRefresh = opts.fullRefresh || m.config.fullRefresh.contains(true)
+          val isIncremental = store.exists(materializer.relName(m)) && !fullRefresh
+          val sql = compiler().compile(m, m.rawCode, isIncremental).executable
+          materializer.incremental(m, spark.sql(sql), fullRefresh)
           RunResult(m.uniqueId, "success", elapsed,
-            s"INCREMENTAL ${m.config.incrementalStrategy.getOrElse("append")}")
+            s"INCREMENTAL ${m.config.incrementalStrategy.getOrElse("append")}" +
+              (if (isIncremental) "" else " (first build)"))
         case other =>
           throw new IllegalStateException(s"model ${m.name} has materialization $other")
       }

@@ -21,6 +21,8 @@ object Template {
   private val varRe: Regex =
     raw"""\{\{\s*var\s*\(\s*['"]([^'"]+)['"]\s*(?:,\s*([^)]+))?\)\s*\}\}""".r
   private val thisRe: Regex = raw"""\{\{\s*this\s*\}\}""".r
+  private val incrementalBlockRe: Regex =
+    raw"""(?s)\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)(?:\{%\s*else\s*%\}(.*?))?\{%\s*endif\s*%\}""".r
 
   final case class Scan(
       refs: Seq[String],
@@ -88,6 +90,17 @@ object Template {
     out.toList
   }
 
+  /** The one supported template conditional: `{% if is_incremental() %}
+    * ... [{% else %} ...] {% endif %}` — THE dbt incremental idiom
+    * (filter new rows against `{{ this }}`). Kept if the model's target
+    * already exists and this isn't a full refresh; else branch (or
+    * nothing) otherwise.
+    */
+  def renderIncrementalBlocks(raw: String, isIncremental: Boolean): String =
+    incrementalBlockRe.replaceAllIn(raw, m => Regex.quoteReplacement(
+      if (isIncremental) m.group(1)
+      else Option(m.group(2)).getOrElse("")))
+
   /** Render the template to executable SQL: substitute refs/sources with
     * resolved relation names, vars with project vars, strip config().
     * (Reference: Compiler.compile_node, compilation.py:541 — ours swaps
@@ -98,8 +111,9 @@ object Template {
       resolveRef: String => String,
       resolveSource: (String, String) => String,
       vars: Map[String, String] = Map.empty,
-      thisRelation: Option[String] = None): String = {
-    var out = configRe.replaceAllIn(raw, "")
+      thisRelation: Option[String] = None,
+      isIncremental: Boolean = false): String = {
+    var out = configRe.replaceAllIn(renderIncrementalBlocks(raw, isIncremental), "")
     out = refRe.replaceAllIn(out, m => Regex.quoteReplacement(resolveRef(m.group(1))))
     out = sourceRe.replaceAllIn(out,
       m => Regex.quoteReplacement(resolveSource(m.group(1), m.group(2))))

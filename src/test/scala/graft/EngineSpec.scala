@@ -71,7 +71,10 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         |GROUP BY 1, 2""".stripMargin)
     write("models/orders_inc.sql",
       """{{ config(materialized='incremental', incremental_strategy='merge', unique_key='o_orderkey') }}
-        |SELECT o_orderkey, o_custkey, o_totalprice FROM {{ ref('stg_orders') }}""".stripMargin)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM {{ ref('stg_orders') }}
+        |{% if is_incremental() %}
+        |WHERE o_orderkey > (SELECT COALESCE(MAX(o_orderkey), -1) - 200 FROM {{ this }})
+        |{% endif %}""".stripMargin)
     write("models/orders_mb.sql",
       """{{ config(materialized='incremental', incremental_strategy='microbatch',
         |          event_time='o_orderdate', batch_size='year', begin='1995-01-01',

@@ -98,4 +98,20 @@ class TemplateSpec extends AnyFunSuite {
     val out = Template.render("SELECT {{ var('x', 42) }}", identity, (_, _) => "", Map.empty)
     assert(out == "SELECT 42")
   }
+
+  test("is_incremental blocks: kept when incremental, else-branch otherwise") {
+    val sql =
+      """SELECT * FROM t
+        |{% if is_incremental() %}WHERE ts > (SELECT max(ts) FROM {{ this }}){% endif %}""".stripMargin
+    val inc = Template.render(sql, identity, (_, _) => "", Map.empty,
+      thisRelation = Some("tgt"), isIncremental = true)
+    assert(inc.contains("WHERE ts > (SELECT max(ts) FROM tgt)"))
+    val first = Template.render(sql, identity, (_, _) => "", Map.empty,
+      thisRelation = Some("tgt"), isIncremental = false)
+    assert(!first.contains("WHERE"))
+
+    val withElse = "{% if is_incremental() %}A{% else %}B{% endif %}"
+    assert(Template.renderIncrementalBlocks(withElse, isIncremental = true) == "A")
+    assert(Template.renderIncrementalBlocks(withElse, isIncremental = false) == "B")
+  }
 }

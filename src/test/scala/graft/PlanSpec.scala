@@ -98,6 +98,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*("), "expected WholeStageCodegen *(n) spans")
   }
 
+  test("partitioned relation writes enable partition-pruned scans") {
+    import org.apache.spark.sql.functions._
+    import graft.exec.RelationStore
+    val store = new RelationStore(spark,
+      java.nio.file.Files.createTempDirectory("part_wh").toString)
+    val events = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        date_format(col("ts_t"), "yyyy-MM-dd").as("day"))
+    store.write(events, "ev_part", partitionBy = Seq("day"))
+    val df = store.read("ev_part").filter(col("day") === "2024-01-05")
+    val plan = physical(df)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("day"), s"expected day in PartitionFilters:\n$pf")
+    assert(!pf.contains("PartitionFilters: []"), s"partition filter not pushed:\n$pf")
+    // schema round-trip: written column order and types survive
+    assert(store.read("ev_part").columns.toSeq == Seq("event_id", "event_type", "value", "day"))
+  }
+
   test("contract enforcement fails on type/name drift") {
     import graft.core._
     import graft.exec.{Materializer, RelationStore}
