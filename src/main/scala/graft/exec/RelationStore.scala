@@ -117,6 +117,18 @@ final class RelationStore(val spark: SparkSession, val root: String, val schema:
     }
   }
 
+  /** View definition text, if this relation is a view. */
+  def viewSql(name: String): Option[String] =
+    if (isView(name)) Some(Files.readString(viewFile(name))) else None
+
+  /** SQL-addressable reference to this relation usable from ANOTHER
+    * session/store (defer/clone): a direct parquet path for tables, an
+    * inline subquery for views.
+    */
+  def addressable(name: String): Option[String] =
+    if (isView(name)) viewSql(name).map(sql => s"(\n$sql\n)")
+    else currentPath(name).map(p => s"parquet.`$p`")
+
   def list(): Seq[String] =
     if (!Files.exists(schemaDir)) Nil
     else {

@@ -52,9 +52,12 @@ final class Runner(
     manifest, vars,
     eventTimeFilter = eventWindow,
     empty = opts.empty,
-    deferResolver = opts.deferStore.map(d =>
-      (name: String) => if (d.exists(name)) Some(name) else None),
-    localExists = name => store.exists(name) || opts.deferStore.forall(_ => true))
+    // defer (reference RuntimeRefResolver, providers.py:529-647): a ref
+    // whose relation is missing locally resolves to the state
+    // warehouse's storage directly (path for tables, inline subquery
+    // for views) — it lives in another store, so session views won't do
+    deferResolver = opts.deferStore.map(d => (name: String) => d.addressable(name)),
+    localExists = name => store.exists(name))
 
   lazy val graph: Digraph = {
     val g = Linker.link(manifest)

@@ -312,6 +312,50 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cloneStore.read("orders_rev").count() == store.read("orders_rev").count())
   }
 
+  test("13 defer: refs missing locally resolve to the state warehouse") {
+    val freshStore = new RelationStore(spark, dir.resolve("warehouse_defer").toString)
+    val revTop = ModelNode("rev_top", "demo",
+      "SELECT * FROM {{ ref('orders_rev') }} ORDER BY revenue_cents DESC LIMIT 10",
+      NodeConfig(materialized = Materialized.Table),
+      Seq("model.demo.orders_rev"), Seq("orders_rev"), Nil)
+    val p2 = project.copy(manifest =
+      project.manifest.copy(nodes = project.manifest.nodes + (revTop.uniqueId -> revTop)))
+    val r = new Runner(spark, p2, freshStore,
+      opts("run").copy(select = Seq("rev_top"), deferStore = Some(store))).execute()
+    assert(r.forall(_.status == "success"), r.mkString("\n"))
+    assert(freshStore.read("rev_top").count() == 10)
+    // orders_rev was NOT rebuilt locally — it was read from the deferred store
+    assert(!freshStore.exists("orders_rev"))
+  }
+
+  test("14 retry: reruns exactly the failed/skipped nodes") {
+    val retryTarget = dir.resolve("target_retry").toString
+    val bad = ModelNode("bad_model", "demo", "SELECT definitely_not_a_column FROM {{ ref('stg_orders') }}",
+      NodeConfig(materialized = Materialized.Table), Seq("model.demo.stg_orders"), Seq("stg_orders"), Nil)
+    val dependent = ModelNode("bad_child", "demo", "SELECT * FROM {{ ref('bad_model') }}",
+      NodeConfig(materialized = Materialized.Table), Seq(bad.uniqueId), Seq("bad_model"), Nil)
+    val m2 = project.manifest.copy(nodes =
+      project.manifest.nodes + (bad.uniqueId -> bad) + (dependent.uniqueId -> dependent))
+    val p2 = project.copy(manifest = m2)
+    val r1 = new Runner(spark, p2, store,
+      opts("run").copy(select = Seq("bad_model+"), targetDir = retryTarget)).execute()
+    assert(r1.exists(x => x.uniqueId == bad.uniqueId && x.status == "error"))
+    assert(r1.exists(x => x.uniqueId == dependent.uniqueId && x.status == "skipped"))
+
+    // fix the model (same id), then retry from recorded statuses
+    val fixed = bad.copy(rawCode = "SELECT o_orderkey FROM {{ ref('stg_orders') }} LIMIT 5")
+    val m3 = m2.copy(nodes = m2.nodes + (fixed.uniqueId -> fixed))
+    val p3 = project.copy(manifest = m3)
+    val statuses = Artifacts.readRunResultStatuses(retryTarget)
+    val failedIds = statuses.collect { case (id, st) if Set("error", "fail", "skipped")(st) => id }.toSeq
+    assert(failedIds.toSet == Set(bad.uniqueId, dependent.uniqueId))
+    val r2 = new Runner(spark, p3, store,
+      opts("run").copy(select = failedIds, targetDir = retryTarget)).execute()
+    assert(r2.map(_.uniqueId).toSet == Set(bad.uniqueId, dependent.uniqueId))
+    assert(r2.forall(_.status == "success"), r2.mkString("\n"))
+    assert(store.read("bad_child").count() == 5)
+  }
+
   test("12 empty mode compiles refs with LIMIT 0") {
     val emptyOpts = opts("run").copy(empty = true, select = Seq("orders_rev"))
     val r = new Runner(spark, project, store, emptyOpts).execute()
