@@ -116,8 +116,9 @@ object ProjectLoader {
       nodes(node.uniqueId) = node
     }
 
-    // ---- schema YAML: sources, model columns/tests, unit tests ----
-    for (f <- files("models", ".yml") ++ files("models", ".yaml")) {
+    // ---- schema YAML: sources, model columns/tests, seeds, unit tests ----
+    for (f <- files("models", ".yml") ++ files("models", ".yaml") ++
+        files("seeds", ".yml") ++ files("snapshots", ".yml")) {
       val doc = MiniYaml.parseMap(Files.readString(f))
       // sources
       doc.get("sources") match {
@@ -187,6 +188,31 @@ object ProjectLoader {
                     group = m.get("group").map(_.toString).orElse(mn.config.group),
                     access = m.get("access").map(_.toString).orElse(mn.config.access),
                     version = m.get("latest_version").map(_.toString).orElse(mn.config.version)))
+              case _ =>
+            }
+          }
+        case _ =>
+      }
+      // seed configs (reference seed.py:15-18: column_types, delimiter)
+      doc.get("seeds") match {
+        case Some(ss: List[Any @unchecked]) =>
+          for (s0 <- ss) {
+            val sm = s0.asInstanceOf[Map[String, Any]]
+            val sid = s"seed.$name.${sm("name")}"
+            val cfg = sm.get("config") match {
+              case Some(c: Map[String @unchecked, Any @unchecked]) => c
+              case _ => Map.empty[String, Any]
+            }
+            nodes.get(sid) match {
+              case Some(sn: SeedNode) =>
+                val colTypes = cfg.get("column_types") match {
+                  case Some(ct: Map[String @unchecked, Any @unchecked]) =>
+                    ct.map { case (k, v) => k -> v.toString }
+                  case _ => Map.empty[String, String]
+                }
+                nodes(sid) = sn.copy(
+                  columnTypes = colTypes,
+                  delimiter = cfg.get("delimiter").map(_.toString).getOrElse(sn.delimiter))
               case _ =>
             }
           }

@@ -146,6 +146,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         |""".stripMargin)
     write("tests/assert_positive_revenue.sql",
       """SELECT * FROM {{ ref('orders_rev') }} WHERE revenue_cents < 0""".stripMargin)
+    write("snapshots/acct_snap.sql",
+      """{{ config(strategy='timestamp', unique_key='id', updated_at='updated_at') }}
+        |SELECT id, amount, updated_at FROM {{ ref('acct_seed') }}""".stripMargin)
+    write("seeds/acct_seed.csv",
+      """id,amount,updated_at
+        |1,100,2024-01-01 00:00:00
+        |2,200,2024-01-01 00:00:00
+        |""".stripMargin)
   }
 
   override def afterAll(): Unit = ()
@@ -174,8 +182,8 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("01 parse: manifest inventory") {
     val m = project.manifest
     assert(m.nodes.values.count(_.resourceType == NodeType.Model) == 5)
-    assert(m.nodes.values.count(_.resourceType == NodeType.Seed) == 2)
-    assert(m.nodes.values.count(_.resourceType == NodeType.Snapshot) == 1)
+    assert(m.nodes.values.count(_.resourceType == NodeType.Seed) == 3)
+    assert(m.nodes.values.count(_.resourceType == NodeType.Snapshot) == 2)
     // 4 generic + 1 singular
     assert(m.nodes.values.count(_.resourceType == NodeType.Test) == 5)
     assert(m.sources.size == 3)
@@ -354,6 +362,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.map(_.uniqueId).toSet == Set(bad.uniqueId, dependent.uniqueId))
     assert(r2.forall(_.status == "success"), r2.mkString("\n"))
     assert(store.read("bad_child").count() == 5)
+  }
+
+  test("15 snapshot timestamp strategy: newer updated_at closes the old row") {
+    // initial snapshot ran in test 05; mutate with a NEWER updated_at
+    write("seeds/acct_seed.csv",
+      """id,amount,updated_at
+        |1,150,2024-02-01 00:00:00
+        |2,200,2024-01-01 00:00:00
+        |""".stripMargin)
+    new Runner(spark, project, store, opts("seed").copy(select = Seq("acct_seed"))).execute()
+    val s = new Runner(spark, project, store,
+      opts("snapshot").copy(select = Seq("acct_snap"))).execute()
+    assert(s.forall(_.status == "success"), s.mkString("\n"))
+    val snap = store.read("acct_snap")
+    snap.createOrReplaceTempView("acct_snap_v")
+    // id 1: closed old (100) + open new (150); id 2 untouched (older/equal updated_at)
+    assert(spark.sql("SELECT count(*) FROM acct_snap_v WHERE id=1 AND dbt_valid_to IS NOT NULL AND amount=100").first().getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM acct_snap_v WHERE id=1 AND dbt_valid_to IS NULL AND amount=150").first().getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM acct_snap_v WHERE id=2").first().getLong(0) == 1)
+    // scd ids are distinct per (key, updated_at)
+    assert(spark.sql("SELECT count(DISTINCT dbt_scd_id) FROM acct_snap_v").first().getLong(0) == 3)
   }
 
   test("12 empty mode compiles refs with LIMIT 0") {
