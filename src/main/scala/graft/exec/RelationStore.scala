@@ -147,12 +147,23 @@ final class RelationStore(val spark: SparkSession, val root: String, val schema:
   def registerView(name: String): Unit =
     read(name).createOrReplaceTempView(name)
 
-  /** Re-register everything (fresh session attach). */
-  def attach(): Unit = list().foreach { n =>
-    try registerView(n)
-    catch { case e: Exception =>
-      System.err.println(s"[store] failed to attach $n: ${e.getMessage}")
+  /** Re-register everything (fresh session attach). Views can reference
+    * other views, so retry failures until a fixpoint — each pass must
+    * register at least one more relation or the leftovers are genuinely
+    * broken (their upstream is gone) and get reported.
+    */
+  def attach(): Unit = {
+    var pending = list()
+    var progressing = true
+    while (pending.nonEmpty && progressing) {
+      val failed = pending.filter { n =>
+        try { registerView(n); false }
+        catch { case _: Exception => true }
+      }
+      progressing = failed.size < pending.size
+      pending = failed
     }
+    pending.foreach(n => System.err.println(s"[store] failed to attach $n"))
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -1,0 +1,70 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cli.Main
+
+/** Drive the CLI verbs in-process (Main.dispatch), including the slim-CI
+  * state:modified flow against a written manifest artifact.
+  */
+class CliSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local(4)
+
+  def run(cmd: String, projectDir: String, flags: Map[String, String] = Map.empty): (Int, String) = {
+    val out = new ByteArrayOutputStream()
+    val code = Console.withOut(out) {
+      Main.dispatch(cmd, flags, projectDir,
+        s"$projectDir/warehouse", s"$projectDir/target", Map.empty, spark)
+    }
+    (code, out.toString)
+  }
+
+  test("init → parse → run → docs-generate → state:modified slim CI") {
+    val dir = Files.createTempDirectory("cli_e2e").resolve("proj").toString
+
+    val (c0, _) = run("init", dir)
+    assert(c0 == 0)
+
+    val (c1, parseOut) = run("parse", dir)
+    assert(c1 == 0)
+    assert(parseOut.contains("parsed"))
+    assert(Files.exists(Paths.get(dir, "target/manifest.json")))
+
+    val (c2, runOut) = run("run", dir)
+    assert(c2 == 0, runOut)
+    assert(runOut.contains("SUCCESS"))
+
+    // keep the artifact as "state", then modify the model
+    val state = Paths.get(dir, "state_manifest.json")
+    Files.copy(Paths.get(dir, "target/manifest.json"), state)
+    Files.writeString(Paths.get(dir, "models/my_first_model.sql"),
+      """{{ config(materialized='table') }}
+        |SELECT o_orderkey, o_totalprice, o_orderstatus FROM {{ source('tpch', 'orders') }}
+        |""".stripMargin)
+
+    val (c3, listOut) = run("list", dir,
+      Map("select" -> "state:modified", "state" -> state.toString))
+    assert(c3 == 0)
+    assert(listOut.contains("model.my_project.my_first_model"), listOut)
+
+    // unmodified state → nothing selected
+    val (c4, listOut2) = run("parse", dir) // refresh manifest
+    Files.delete(state)
+    Files.copy(Paths.get(dir, "target/manifest.json"), state)
+    val (c5, listOut3) = run("list", dir,
+      Map("select" -> "state:modified", "state" -> state.toString))
+    assert(c5 == 0)
+    assert(!listOut3.contains("my_first_model"), listOut3)
+
+    val (c6, docsOut) = run("docs-generate", dir)
+    assert(c6 == 0)
+    assert(Files.exists(Paths.get(dir, "target/catalog.json")))
+
+    val (c7, showOut) = run("show", dir,
+      Map("inline" -> "SELECT count(*) AS n FROM {{ ref('my_first_model') }}"))
+    assert(c7 == 0)
+  }
+}
