@@ -93,14 +93,24 @@ object DedupOps {
     }
     val banded = sigs.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"), explode(array((0 until nBands).map(b => col(s"band$b")): _*)).as("bk"))
+    // cache: candidates feed three consumers (both sides of the doc
+    // restriction + the final join) — uncached, the whole signature +
+    // banding pipeline would recompute per consumer
     val cand = banded.alias("x").join(banded.alias("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact-Jaccard verification of candidates only (tiny vs corpus)
+      .cache()
+    // exact-Jaccard verification of candidates only: restrict the
+    // shingle self-join to documents that appear in some candidate pair
+    // (semi-join first!) — otherwise verification would redo the full
+    // all-pairs intersection work LSH existed to avoid
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("h"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("h"))
+    val a = shc.select(col("doc_id").as("doc_a"), col("h"))
+    val b = shc.select(col("doc_id").as("doc_b"), col("h"))
     val inter = a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
     cand.join(inter, Seq("doc_a", "doc_b"))
