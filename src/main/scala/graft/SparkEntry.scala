@@ -60,6 +60,7 @@ object SparkEntry {
     "txt_langid" -> (TextOps.txtLangId _),
     "txt_fingerprint" -> (TextOps.txtFingerprint _),
     "txt_winnow" -> (TextOps.txtWinnow _),
+    "txt_pipeline_clean" -> (TextOps.txtPipelineClean _),
     // dedup
     "dedup_exact" -> (DedupOps.dedupExact _),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
@@ -295,6 +296,40 @@ object SparkEntry {
           FROM documents
         ) h
       ) p""",
+    "txt_pipeline_clean" -> """
+      WITH q AS (
+        SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok,
+               CASE WHEN LENGTH(text) > 0
+                    THEN CAST(len(regexp_extract_all(text, '[\p{L}]')) AS DOUBLE) / LENGTH(text)
+                    ELSE 0.0 END AS letter_ratio
+        FROM documents
+      ), lg AS (
+        SELECT doc_id, lang,
+               CASE WHEN zh_hits > 0 THEN 'zh'
+                    WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+                    WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+                    WHEN es_hits >= fr_hits THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM (
+          SELECT doc_id, lang,
+                 len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh_hits,
+                 len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|was|for|with)\b')) AS en_hits,
+                 len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS de_hits,
+                 len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|un|una|que|y)\b')) AS es_hits,
+                 len(regexp_extract_all(lower(text), '\b(le|les|des|est|une|dans|et|du)\b')) AS fr_hits
+          FROM documents) h
+      ), kp AS (
+        SELECT doc_id,
+               CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS keep
+        FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+              FROM documents) f
+      )
+      SELECT q.doc_id, lg.lang, q.len, q.n_tok
+      FROM q JOIN lg ON q.doc_id = lg.doc_id JOIN kp ON q.doc_id = kp.doc_id
+      WHERE q.letter_ratio > 0.5 AND q.len >= 50
+        AND lg.pred_lang = lg.lang AND kp.keep = 1
+        AND q.n_tok BETWEEN 10 AND 10000""",
     "txt_fingerprint" -> """
       SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
              LENGTH(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_len

@@ -73,6 +73,26 @@ object TextOps {
       md5(normalized(col("text"))).as("fp"),
       length(normalized(col("text"))).as("norm_len"))
 
+  /** Capstone training-data-prep pipeline composing the text operators:
+    * quality gate (letter ratio + length) → language agreement filter
+    * (predicted == labeled) → exact dedup (keep only group keepers) →
+    * token budget. Each stage is a row-parallel filter or one
+    * fingerprint shuffle; the composition is one linear plan — exactly
+    * the shape a 100 TB corpus-cleaning job runs.
+    */
+  def txtPipelineClean(s: SparkSession, dir: String): DataFrame = {
+    val quality = txtQuality(s, dir)
+      .select(col("doc_id"), col("len"), col("n_tok"), col("letter_ratio"))
+    val lang = txtLangId(s, dir).select(col("doc_id"), col("lang"), col("correct"))
+    val keep = graft.operators.DedupOps.dedupExact(s, dir)
+      .select(col("doc_id"), col("keep"))
+    quality.join(lang, Seq("doc_id")).join(keep, Seq("doc_id"))
+      .filter(col("letter_ratio") > 0.5 && col("len") >= 50 &&
+        col("correct") === 1L && col("keep") === 1L &&
+        col("n_tok").between(10, 10000))
+      .select(col("doc_id"), col("lang"), col("len"), col("n_tok"))
+  }
+
   /** Winnowing fingerprint via the native rolling-hash Expression
     * ([[graft.functions.RollingMinHash]], codegen'd): one long per
     * document = min 8-byte-window Karp-Rabin hash of the normalized
