@@ -137,6 +137,33 @@ object Artifacts {
     Files.writeString(Paths.get(targetDir, "run_results.json"), Json.write(doc))
   }
 
+  /** Failed batch ids per node from the last run (microbatch retry —
+    * reference run.py:494-508 reruns only the failed batches).
+    */
+  def readFailedBatches(targetDir: String): Map[String, Seq[String]] = {
+    val p = Paths.get(targetDir, "run_results.json")
+    if (!Files.exists(p)) return Map.empty
+    Json.parse(Files.readString(p)) match {
+      case m: Map[String @unchecked, Any @unchecked] =>
+        m.get("results") match {
+          case Some(rs: List[Any @unchecked]) =>
+            rs.collect { case r: Map[String @unchecked, Any @unchecked] =>
+              val failed = r.get("batch_results") match {
+                case Some(br: Map[String @unchecked, Any @unchecked]) =>
+                  br.getOrElse("failed", Nil) match {
+                    case l: List[Any @unchecked] => l.map(_.toString)
+                    case _ => Nil
+                  }
+                case _ => Nil
+              }
+              r("unique_id").toString -> failed
+            }.filter(_._2.nonEmpty).toMap
+          case _ => Map.empty
+        }
+      case _ => Map.empty
+    }
+  }
+
   def readRunResultStatuses(targetDir: String): Map[String, String] = {
     val p = Paths.get(targetDir, "run_results.json")
     if (!Files.exists(p)) Map.empty

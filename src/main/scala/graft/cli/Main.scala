@@ -119,16 +119,18 @@ object Main {
       case "run" | "seed" | "snapshot" | "test" | "build" =>
         report(new Runner(spark, project, store, mkOpts(cmd)).execute())
       case "retry" =>
-        // reference task/retry.py:72-174 — rerun error/fail/skipped
+        // reference task/retry.py:72-174 — rerun error/fail/skipped;
+        // microbatch nodes rerun only their recorded failed batches
         val prev = Artifacts.readRunResultStatuses(targetDir)
         val failedIds = prev.collect {
           case (id, st) if Set("error", "fail", "skipped")(st) => id
         }.toSeq
         if (failedIds.isEmpty) { println("nothing to retry"); 0 }
         else {
-          val sel = failedIds.mkString(" ")
+          val failedBatches = Artifacts.readFailedBatches(targetDir)
           report(new Runner(spark, project, store,
-            mkOpts("build").copy(select = failedIds)).execute())
+            mkOpts("build").copy(select = failedIds,
+              retryBatches = failedBatches)).execute())
         }
       case "show" =>
         val inline = flags.getOrElse("inline",

@@ -27,6 +27,11 @@ final case class RunOptions(
     eventTimeEnd: Option[Instant] = None,
     indirectSelection: String = "eager",
     previousStatuses: Map[String, String] = Map.empty,
+    /** microbatch retry: node id → exact batch ids to (re)process,
+      * overriding checkpoint-based window computation
+      * (reference run.py:494-508 failed-batch rerun).
+      */
+    retryBatches: Map[String, Seq[String]] = Map.empty,
     now: Instant = Instant.now())
 
 /** The execution core (reference GraphRunnableTask, core/dbt/task/
@@ -218,10 +223,20 @@ final class Runner(
         val r = store.read(name).agg(max(col(et))).first()
         if (r.isNullAt(0)) None else Some(instantOf(r.get(0)))
       }
-    val start = Microbatch.buildStartTime(checkpoint, isIncremental, m.config.begin, bs,
-      m.config.lookback, opts.eventTimeStart)
-    val end = Microbatch.buildEndTime(opts.eventTimeEnd, opts.now)
-    val batches = Microbatch.buildBatches(start, end, bs)
+    val batches = opts.retryBatches.get(m.uniqueId) match {
+      case Some(ids) =>
+        // retry mode: rebuild exactly the recorded failed windows,
+        // bypassing checkpoint arithmetic (they're older than it)
+        ids.map { id =>
+          val s = ProjectLoader.parseInstant(id)
+          (Microbatch.truncate(s, bs), Microbatch.offset(s, bs, 1))
+        }
+      case None =>
+        val start = Microbatch.buildStartTime(checkpoint, isIncremental, m.config.begin, bs,
+          m.config.lookback, opts.eventTimeStart)
+        val end = Microbatch.buildEndTime(opts.eventTimeEnd, opts.now)
+        Microbatch.buildBatches(start, end, bs)
+    }
     val ok = scala.collection.mutable.ListBuffer[String]()
     val bad = scala.collection.mutable.ListBuffer[String]()
     for ((bStart, bEnd) <- batches) {

@@ -385,6 +385,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(DISTINCT dbt_scd_id) FROM acct_snap_v").first().getLong(0) == 3)
   }
 
+  test("16 microbatch retry reruns exactly the requested batch windows") {
+    val r = new Runner(spark, project, store, opts("run").copy(
+      select = Seq("orders_mb"),
+      retryBatches = Map("model.demo.orders_mb" -> Seq("1996-01-01")))).execute()
+    val mb = r.find(_.uniqueId == "model.demo.orders_mb").get
+    assert(mb.status == "success", mb)
+    assert(mb.batchesSucceeded == Seq("1996-01-01"), mb)
+    assert(store.read("orders_mb").count() == 1500) // window overwrite is idempotent
+  }
+
   test("12 empty mode compiles refs with LIMIT 0") {
     val emptyOpts = opts("run").copy(empty = true, select = Seq("orders_rev"))
     val r = new Runner(spark, project, store, emptyOpts).execute()
