@@ -133,13 +133,24 @@ object Main {
               retryBatches = failedBatches)).execute())
         }
       case "show" =>
-        val inline = flags.getOrElse("inline",
-          throw new IllegalArgumentException("show requires --inline SQL"))
+        // --inline SQL or --select <model> (reference show:347 supports both)
         Sources.registerAll(spark, project.manifest, project.vars ++ cliVars)
         store.attach()
         val compiler = new Compiler(project.manifest, project.vars ++ cliVars)
-        val fake = ModelNode("__inline__", project.name, inline, NodeConfig(), Nil, Nil, Nil)
-        val sql = compiler.compile(fake, inline).executable
+        val sql = flags.get("inline") match {
+          case Some(inline) =>
+            val fake = ModelNode("__inline__", project.name, inline, NodeConfig(), Nil, Nil, Nil)
+            compiler.compile(fake, inline).executable
+          case None =>
+            val name = flags.getOrElse("select",
+              throw new IllegalArgumentException("show requires --inline SQL or --select model"))
+            val node = project.manifest.resolveRef(name).getOrElse(
+              throw new IllegalArgumentException(s"model not found: $name"))
+            node match {
+              case m: ModelNode => compiler.compile(m, m.rawCode).executable
+              case other => s"SELECT * FROM ${other.config.alias.getOrElse(other.name)}"
+            }
+        }
         spark.sql(sql).show(flags.getOrElse("limit", "5").toInt, truncate = false)
         0
       case "docs-generate" =>
