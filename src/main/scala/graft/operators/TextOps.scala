@@ -81,14 +81,33 @@ object TextOps {
     * the shape a 100 TB corpus-cleaning job runs.
     */
   def txtPipelineClean(s: SparkSession, dir: String): DataFrame = {
-    val quality = txtQuality(s, dir)
-      .select(col("doc_id"), col("len"), col("n_tok"), col("letter_ratio"))
-    val lang = txtLangId(s, dir).select(col("doc_id"), col("lang"), col("correct"))
-    val keep = graft.operators.DedupOps.dedupExact(s, dir)
-      .select(col("doc_id"), col("keep"))
-    quality.join(lang, Seq("doc_id")).join(keep, Seq("doc_id"))
+    def hits(pat: String): Column = regexp_count(lower(col("text")), lit(pat))
+    // ONE scan computes every per-row feature (quality, language,
+    // fingerprint); only the dedup keeper needs a shuffle (window on fp)
+    val featured = docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      length(col("text")).cast("long").as("len"),
+      size(split(normalized(col("text")), " ")).cast("long").as("n_tok"),
+      when(length(col("text")) > 0,
+        regexp_count(col("text"), lit("[\\p{L}]")).cast("double") / length(col("text")))
+        .otherwise(0.0).as("letter_ratio"),
+      regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).as("zh_hits"),
+      hits("\\b(the|and|of|to|is|was|for|with)\\b").as("en_hits"),
+      hits("\\b(der|die|das|und|ist|nicht|ein|zu)\\b").as("de_hits"),
+      hits("\\b(el|la|los|las|es|un|una|que|y)\\b").as("es_hits"),
+      hits("\\b(le|les|des|est|une|dans|et|du)\\b").as("fr_hits"),
+      md5(normalized(col("text"))).as("fp"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    featured
+      .withColumn("pred_lang",
+        when(col("zh_hits") > 0, "zh")
+          .when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits"), "en")
+          .when(col("de_hits") >= col("es_hits") && col("de_hits") >= col("fr_hits"), "de")
+          .when(col("es_hits") >= col("fr_hits"), "es")
+          .otherwise("fr"))
+      .withColumn("keeper", min(col("doc_id")).over(w))
       .filter(col("letter_ratio") > 0.5 && col("len") >= 50 &&
-        col("correct") === 1L && col("keep") === 1L &&
+        col("pred_lang") === col("lang") && col("doc_id") === col("keeper") &&
         col("n_tok").between(10, 10000))
       .select(col("doc_id"), col("lang"), col("len"), col("n_tok"))
   }
