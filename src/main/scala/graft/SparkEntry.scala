@@ -24,6 +24,8 @@ object SparkEntry {
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
     "q5_local_supplier" -> (Relational.q5LocalSupplier _),
     "q_window_top3" -> (Relational.qWindowTop3 _),
+    "q_window_funcs" -> (Relational.qWindowFuncs _),
+    "q_median" -> (Relational.qMedian _),
     "q_rollup" -> (Relational.qRollup _),
     "q_cube" -> (Relational.qCube _),
     "q_grouping_sets" -> (Relational.qGroupingSets _),
@@ -120,6 +122,28 @@ object SparkEntry {
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
         FROM (SELECT o_custkey, o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents FROM orders) t
       ) w WHERE rn <= 3""",
+    "q_window_funcs" -> """
+      SELECT o_custkey, o_orderkey, pc,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk,
+             NTILE(4) OVER w AS quartile,
+             PERCENT_RANK() OVER w AS prank,
+             CUME_DIST() OVER w AS cdist,
+             FIRST_VALUE(pc) OVER wf AS min_pc,
+             LAST_VALUE(pc) OVER wf AS max_pc,
+             LAG(pc, 1) OVER w AS prev_pc,
+             LEAD(pc, 1) OVER w AS next_pc
+      FROM (SELECT o_custkey, o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS pc FROM orders) t
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY pc, o_orderkey),
+             wf AS (PARTITION BY o_custkey ORDER BY pc, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    "q_median" -> """
+      SELECT o_orderstatus,
+             quantile_cont(pc, 0.5) AS median_cents,
+             quantile_cont(pc, 0.9) AS p90_cents,
+             COUNT(*) AS n
+      FROM (SELECT o_orderstatus, CAST(ROUND(o_totalprice*100) AS BIGINT) AS pc FROM orders) t
+      GROUP BY 1""",
     "q_rollup" -> """
       SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
              COUNT(*) AS cnt,

@@ -87,6 +87,39 @@ object Relational {
       .filter(col("rn") <= 3)
   }
 
+  /** Full window-function surface in one query: ranking, distribution,
+    * tiling, offsets, and frame-bounded first/last — all over a
+    * deterministic (price, key) ordering so results are reproducible
+    * under any partitioning.
+    */
+  def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("pc"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("pc"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o.select(col("o_custkey"), col("o_orderkey"), col("pc"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("prank"),
+      cume_dist().over(w).as("cdist"),
+      first(col("pc")).over(full).as("min_pc"),
+      last(col("pc")).over(full).as("max_pc"),
+      lag(col("pc"), 1).over(w).as("prev_pc"),
+      lead(col("pc"), 1).over(w).as("next_pc"))
+  }
+
+  /** Exact median over integer cents: both engines linearly interpolate
+    * percentiles over sorted exact integers → identical doubles.
+    */
+  def qMedian(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"), cents(col("o_totalprice")).as("pc"))
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(pc, 0.5)").as("median_cents"),
+        expr("percentile(pc, 0.9)").as("p90_cents"),
+        count(lit(1)).as("n"))
+
   /** ROLLUP aggregate (subtotal + grand-total rows). */
   def qRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
