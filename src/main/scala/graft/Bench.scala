@@ -9,8 +9,15 @@ import org.apache.spark.sql.SparkSession
   * parsing + DAG-linking a 2,000-trivial-model project (BASELINE.md:
   * dbt 1.x parses it in 41-72s on GHA; engine target ≤ 2x best).
   * Prints ONE JSON line.
+  *
+  * Methodology: fixed (sorted) execution order, MEDIAN of 3 runs per
+  * query — a single-shot bench cannot distinguish a real regression
+  * from background machine load (round-1 driver bench varied 2-5x
+  * under load); the median of three is stable to ~20% across reruns.
   */
 object Bench {
+  private val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -21,16 +28,19 @@ object Bench {
       SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
       SparkEntry.queries("txt_stats")(spark, sfDir).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to Reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.size / 2)
     }
     val parseSec = parse2000Bench()
-    val all = results + ("parse_2000_models" -> parseSec)
+    val all = results :+ ("parse_2000_models" -> parseSec)
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.sum
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -424,5 +424,27 @@ object SparkEntry {
       WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.4""",
     "mm_meta" -> """
       SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest FROM documents""",
+    "mm_features" -> """
+      WITH h AS (
+        SELECT doc_id, lower(hex(encode(text))) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents
+      ), b AS (
+        SELECT doc_id, n, CAST(greatest(1, n // 8) AS INT) AS st,
+               list_transform(range(0, CAST(n AS INT)), i ->
+                 CAST((strpos('0123456789abcdef', hx[CAST(2*i+1 AS INT)]) - 1) * 16
+                    + strpos('0123456789abcdef', hx[CAST(2*i+2 AS INT)]) - 1 AS BIGINT)) AS bs
+      FROM h
+      )
+      SELECT doc_id, CAST(n AS INT) AS n_bytes,
+             COALESCE(CAST(list_sum(bs[1 : st]) AS BIGINT), 0) AS f0,
+             COALESCE(CAST(list_sum(bs[st+1 : 2*st]) AS BIGINT), 0) AS f1,
+             COALESCE(CAST(list_sum(bs[2*st+1 : 3*st]) AS BIGINT), 0) AS f2,
+             COALESCE(CAST(list_sum(bs[3*st+1 : 4*st]) AS BIGINT), 0) AS f3,
+             COALESCE(CAST(list_sum(bs[4*st+1 : 5*st]) AS BIGINT), 0) AS f4,
+             COALESCE(CAST(list_sum(bs[5*st+1 : 6*st]) AS BIGINT), 0) AS f5,
+             COALESCE(CAST(list_sum(bs[6*st+1 : 7*st]) AS BIGINT), 0) AS f6,
+             COALESCE(CAST(list_sum(bs[7*st+1 : CAST(n AS INT)]) AS BIGINT), 0) AS f7
+      FROM b""",
   )
 }

@@ -27,7 +27,15 @@ final class Compiler(
       * schema (reference RuntimeRefResolver, providers.py:529-647).
       */
     deferResolver: Option[String => Option[String]] = None,
-    localExists: String => Boolean = _ => true) {
+    localExists: String => Boolean = _ => true,
+    /** Schema-aware relation naming (node, identifier) → SQL name; when
+      * set it REPLACES the localExists/deferResolver logic (the Runner
+      * wires per-node-schema stores through it; reference
+      * generate_schema_name, components.py:133).
+      */
+    relResolver: Option[(Node, String) => String] = None,
+    /** Schema-aware `{{ this }}` name (never deferred). */
+    thisNameOf: Option[Node => String] = None) {
 
   final case class Compiled(sql: String, ctes: Seq[(String, String)]) {
     /** Full executable text with ephemeral CTEs prepended (reference
@@ -77,9 +85,12 @@ final class Compiler(
           cn
         case other =>
           val ident = other.config.alias.getOrElse(other.name)
-          val resolved =
-            if (localExists(ident)) ident
-            else deferResolver.flatMap(_(ident)).getOrElse(ident)
+          val resolved = relResolver match {
+            case Some(f) => f(other, ident)
+            case None =>
+              if (localExists(ident)) ident
+              else deferResolver.flatMap(_(ident)).getOrElse(ident)
+          }
           wrap(resolved, other.config.eventTime)
       }
     }
@@ -91,7 +102,7 @@ final class Compiler(
     }
 
     val body = Template.render(rawCode, resolveRef, resolveSource, vars,
-      thisRelation = Some(node.config.alias.getOrElse(node.name)),
+      thisRelation = Some(thisNameOf.fold(node.config.alias.getOrElse(node.name))(_(node))),
       isIncremental = isIncremental)
     Compiled(body, ctes.toSeq)
   }

@@ -11,19 +11,41 @@ import graft.core._
   *
   * Built on the copy-on-write RelationStore, so every strategy is
   * "compute new table contents as a DataFrame, commit a new version".
-  * Incremental strategies never rewrite rows they don't have to
-  * LOGICALLY — but physically this store rewrites the table per commit;
-  * at cluster scale the same strategies target a format with file-level
-  * commits (the strategy layer is format-agnostic by design, the
-  * reference's adapter.dispatch seam, providers.py:119-170).
+  * When `partition_by` is configured, incremental strategies commit
+  * PARTITION-SCOPED: only the partitions the batch touches are
+  * recomputed and rewritten; untouched partition directories are linked
+  * into the new version unchanged ([[RelationStore.writePartitions]]).
+  * That makes an hourly microbatch O(window), not O(table) — the
+  * lakehouse `replaceWhere` shape. Unpartitioned tables fall back to a
+  * full rewrite per commit (the strategy layer is format-agnostic by
+  * design, the reference's adapter.dispatch seam, providers.py:119-170).
   */
 final class Materializer(spark: SparkSession, store: RelationStore) {
 
   def relName(node: Node): String = node.config.alias.getOrElse(node.name)
 
+  private val schemaStores = scala.collection.mutable.Map[String, RelationStore]()
+
+  /** Store for a node's configured `schema:` (reference
+    * generate_schema_name semantics, components.py:133: default custom
+    * schema lands in `<target_schema>_<custom_schema>`). Non-default
+    * stores qualify their session views so two same-named models in
+    * different schemas address distinctly.
+    */
+  def storeFor(node: Node): RelationStore =
+    node.config.schema.fold(store)(storeForSchema)
+
+  def storeForSchema(customSchema: String): RelationStore = schemaStores.synchronized {
+    schemaStores.getOrElseUpdate(customSchema,
+      new RelationStore(spark, store.root, s"${store.schema}_$customSchema", qualifyViews = true))
+  }
+
+  /** The node's SQL-addressable relation name (schema-qualified alias). */
+  def sqlName(node: Node): String = storeFor(node).sqlName(relName(node))
+
   /** CREATE OR REPLACE VIEW (default materialization). */
   def view(node: Node, sql: String): Unit =
-    store.writeView(relName(node), sql)
+    storeFor(node).writeView(relName(node), sql)
 
   /** Contract enforcement (reference components.py:82 Contract +
     * config.py:125-149): when enforced, the produced schema must match
@@ -56,7 +78,7 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
   /** Full rebuild (CTAS + atomic version swap). */
   def table(node: Node, df: DataFrame): Unit = {
     enforceContract(node, df)
-    store.write(df, relName(node), node.config.partitionBy)
+    storeFor(node).write(df, relName(node), node.config.partitionBy)
   }
 
   /** Incremental dispatch (reference config.py:82 incremental_strategy;
@@ -66,7 +88,7 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
   def incremental(node: Node, df: DataFrame, fullRefresh: Boolean): Unit = {
     val name = relName(node)
     enforceContract(node, df)
-    if (fullRefresh || !store.exists(name)) { table(node, df); return }
+    if (fullRefresh || !storeFor(node).exists(name)) { table(node, df); return }
     val strategy = node.config.incrementalStrategy.getOrElse("append")
     strategy match {
       case "append" => append(node, df)
@@ -110,11 +132,57 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
     }
   }
 
-  /** incremental/append: union new rows in. */
+  /** Partition-scoped commit when possible: `touched` is the full
+    * replacement content of only the partitions the batch touches;
+    * `full` the whole-table content. Partitioned + schema-stable →
+    * commit only the touched partitions (untouched dirs are linked);
+    * otherwise (unpartitioned table, or on_schema_change rewrote the
+    * target schema) → full rewrite, which a schema change forces anyway.
+    */
+  private def commitIncremental(
+      node: Node, name: String,
+      touched: => (Array[org.apache.spark.sql.Row], DataFrame),
+      full: => DataFrame): Unit = {
+    val st = storeFor(node)
+    val parts = node.config.partitionBy
+    if (parts.nonEmpty) {
+      val (pv, t) = touched
+      if (st.schemaMatches(name, t.schema)) {
+        st.writePartitions(t, name, parts, Some(pv)); return
+      }
+    }
+    st.write(full, name, parts)
+  }
+
+  /** Distinct partition-value tuples of `df` — batch-scale METADATA (a
+    * batch touches few partitions by construction), collected to build a
+    * literal partition predicate exactly like a `replaceWhere` commit.
+    * The literal predicate statically prunes the target scan, which a
+    * join-based formulation wouldn't (and a target-derived join side
+    * trips Spark's self-join attribute dedup into keeping everything).
+    */
+  private def partitionValues(df: DataFrame, parts: Seq[String]): Array[org.apache.spark.sql.Row] =
+    df.select(parts.map(col): _*).distinct().collect()
+
+  private def inPartitions(parts: Seq[String], vals: Array[org.apache.spark.sql.Row]): Column =
+    if (vals.isEmpty) lit(false)
+    else vals.toSeq.map(r =>
+      parts.zipWithIndex.map { case (p, i) => col(p) <=> lit(r.get(i)) }.reduce(_ && _)
+    ).reduce(_ || _)
+
+  /** incremental/append: union new rows in. Partitioned: only the
+    * partitions receiving rows are rewritten (their old rows ∪ batch).
+    */
   def append(node: Node, df: DataFrame): Unit = {
     val name = relName(node)
-    val (target, src) = align(node, store.read(name), df)
-    store.write(target.unionByName(src), name, node.config.partitionBy)
+    val parts = node.config.partitionBy
+    val (target, src) = align(node, storeFor(node).read(name), df)
+    commitIncremental(node, name,
+      touched = {
+        val pv = partitionValues(src, parts)
+        (pv, target.filter(inPartitions(parts, pv)).unionByName(src))
+      },
+      full = target.unionByName(src))
   }
 
   private def keyCols(node: Node): Seq[String] = {
@@ -131,9 +199,21 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
   def merge(node: Node, df: DataFrame): Unit = {
     val name = relName(node)
     val ks = keyCols(node)
-    val (target, src) = align(node, store.read(name), df)
-    val kept = target.join(src.select(ks.map(col): _*).distinct(), ks, "left_anti")
-    store.write(kept.unionByName(src), name, node.config.partitionBy)
+    val parts = node.config.partitionBy
+    val (target, src) = align(node, storeFor(node).read(name), df)
+    val srcKeys = src.select(ks.map(col): _*).distinct()
+    commitIncremental(node, name,
+      touched = {
+        // a merge must rewrite (a) partitions receiving new rows and
+        // (b) partitions holding an old row whose key is updated — the
+        // key may have moved partitions. Both sets are batch-sized.
+        val pv = (partitionValues(src, parts) ++
+          partitionValues(target.join(srcKeys, ks, "left_semi"), parts)).distinct
+        (pv, target.filter(inPartitions(parts, pv))
+          .join(srcKeys, ks, "left_anti")
+          .unionByName(src))
+      },
+      full = target.join(srcKeys, ks, "left_anti").unionByName(src))
   }
 
   /** incremental/delete+insert: same terminal state as merge for
@@ -149,9 +229,13 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
     val parts = node.config.partitionBy
     if (parts.isEmpty)
       throw new IllegalArgumentException(s"${node.name}: insert_overwrite requires partition_by")
-    val (target, src) = align(node, store.read(name), df)
-    val kept = target.join(src.select(parts.map(col): _*).distinct(), parts, "left_anti")
-    store.write(kept.unionByName(src), name, node.config.partitionBy)
+    val (target, src) = align(node, storeFor(node).read(name), df)
+    // dynamic partition overwrite: the batch IS the replacement content
+    // of exactly the partitions it covers — nothing else is read
+    commitIncremental(node, name,
+      touched = (partitionValues(src, parts), src),
+      full = target.join(src.select(parts.map(col): _*).distinct(), parts, "left_anti")
+        .unionByName(src))
   }
 
   /** Microbatch per-batch write: overwrite the [start, end) event-time
@@ -165,14 +249,26 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
       start: java.time.Instant,
       end: java.time.Instant): Unit = {
     val name = relName(node)
-    if (!store.exists(name)) { store.write(df, name, node.config.partitionBy); return }
-    val (target, src) = align(node, store.read(name), df)
+    val parts = node.config.partitionBy
+    val st = storeFor(node)
+    if (!st.exists(name)) { st.write(df, name, parts); return }
+    val (target, src) = align(node, storeFor(node).read(name), df)
     // plain string literals: analyzer coerces to the event-time column's
     // type (TIMESTAMP or TIMESTAMP_NTZ)
     val s = lit(Timestamps.sql(start))
     val e = lit(Timestamps.sql(end))
-    val kept = target.filter(col(eventTime) < s || col(eventTime) >= e)
-    store.write(kept.unionByName(src), name, node.config.partitionBy)
+    val inWindow = col(eventTime) >= s && col(eventTime) < e
+    commitIncremental(node, name,
+      touched = {
+        // partitions holding window rows (to be cleared) ∪ partitions
+        // receiving batch rows; inside them keep out-of-window old rows
+        val pv = (partitionValues(target.filter(inWindow), parts) ++
+          partitionValues(src, parts)).distinct
+        (pv, target.filter(inPartitions(parts, pv))
+          .filter(!inWindow)
+          .unionByName(src))
+      },
+      full = target.filter(!inWindow).unionByName(src))
   }
 
   // ---- snapshots (SCD-2; reference snapshot.py:11-77 + task/snapshot.py) ----
@@ -209,9 +305,10 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
         .withColumn(ValidTo, lit(null).cast("timestamp"))
     }
 
-    if (!store.exists(name)) { store.write(withMeta(df), name, node.config.partitionBy); return }
+    val st = storeFor(node)
+    if (!st.exists(name)) { st.write(withMeta(df), name, node.config.partitionBy); return }
 
-    val target = store.read(name)
+    val target = st.read(name)
     val open = target.filter(col(ValidTo).isNull)
     val closed = target.filter(col(ValidTo).isNotNull)
     val srcCols = df.columns.toSeq
@@ -256,7 +353,7 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
       .unionByName(closedNow)
       .unionByName(inserts)
       .unionByName(vanished)
-    store.write(next, name, node.config.partitionBy)
+    st.write(next, name, node.config.partitionBy)
   }
 
   /** Seed: CSV → table with optional declared column types (reference
@@ -272,6 +369,6 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
       if (node.columnTypes.isEmpty) df0
       else df0.select(df0.columns.map(c =>
         node.columnTypes.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))): _*)
-    store.write(df, relName(node))
+    storeFor(node).write(df, relName(node))
   }
 }

@@ -24,13 +24,24 @@ import graft.core.Relation
   * Views are stored as SQL text (`<name>.view.sql`) and re-registered as
   * session temp views on attach — mirroring `CREATE OR REPLACE VIEW`.
   */
-final class RelationStore(val spark: SparkSession, val root: String, val schema: String = "main") {
+final class RelationStore(
+    val spark: SparkSession,
+    val root: String,
+    val schema: String = "main",
+    /** Register session views under `<schema>__<name>` instead of the
+      * bare name — set for non-default schemas so same-named relations
+      * in different schemas don't collide in the flat temp-view space.
+      */
+    val qualifyViews: Boolean = false) {
   private def schemaDir: Path = Paths.get(root, schema)
   private def tableDir(name: String): Path = schemaDir.resolve(name)
   private def pointer(name: String): Path = tableDir(name).resolve("_current")
   private def viewFile(name: String): Path = schemaDir.resolve(s"$name.view.sql")
 
   def relation(name: String): Relation = Relation(schema, name)
+
+  /** SQL-addressable session alias for a relation in this store. */
+  def sqlName(name: String): String = if (qualifyViews) s"${schema}__$name" else name
 
   def exists(name: String): Boolean =
     Files.exists(pointer(name)) || Files.exists(viewFile(name))
@@ -77,11 +88,144 @@ final class RelationStore(val spark: SparkSession, val root: String, val schema:
       .parquet(dest.toString)
     // leading "_" files are invisible to parquet FileIndex (like _SUCCESS)
     Files.writeString(dest.resolve("_graft_schema.json"), df.schema.json)
+    commitPointer(name, next)
+  }
+
+  /** Partition-scoped commit: `df` holds the FULL replacement content of
+    * the partitions it touches (and nothing else); every leaf partition
+    * directory of the current version that the write did not produce is
+    * hard-linked into the new version unchanged. This is what makes
+    * incremental strategies O(touched partitions) physically, not just
+    * logically — a microbatch that lands in one day's partition commits
+    * one partition's worth of bytes no matter how big the table is
+    * (the lakehouse `replaceWhere` commit shape; on a cluster the links
+    * become manifest entries referencing the previous version's files).
+    *
+    * Falls back to a full [[write]] when the table doesn't exist yet or
+    * the schema changed (on_schema_change) — linked old files must share
+    * the table schema or readers would see torn schemas.
+    */
+  def writePartitions(
+      df: DataFrame,
+      name: String,
+      partitionBy: Seq[String],
+      /** Explicit touched partition-value tuples. Required to DROP a
+        * touched partition whose replacement content is empty (e.g. a
+        * merged key moved out of it) — the parquet writer emits no dir
+        * for zero rows, so written dirs alone under-report the touched
+        * set. None ⇒ infer from the written dirs.
+        */
+      touchedValues: Option[Array[org.apache.spark.sql.Row]] = None): Unit = {
+    require(partitionBy.nonEmpty, "writePartitions requires partition columns")
+    val cur = currentVersion(name)
+    if (cur.isEmpty) { write(df, name, partitionBy); return }
+    val prev = tableDir(name).resolve(s"v${cur.get}")
+    if (!schemaMatches(name, df.schema))
+      // linked old files must share the table schema; callers guard with
+      // schemaMatches and take the full-write path on on_schema_change
+      throw new IllegalStateException(
+        s"writePartitions($name): schema drift — use write() for schema-changing commits")
+    val next = cur.get + 1
+    val dest = tableDir(name).resolve(s"v$next")
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(dest.toString)
+    Files.writeString(dest.resolve("_graft_schema.json"), df.schema.json)
+    val dropped: Set[Path] = touchedValues match {
+      case Some(vals) if vals.nonEmpty => touchedLeafDirs(df.schema, partitionBy, vals)
+      case _ => Set.empty
+    }
+    // link every previous leaf dir that was neither re-written (present
+    // in dest) nor touched-to-empty (in `dropped`)
+    leafPartitionDirs(prev, partitionBy.length).foreach { rel =>
+      val target = dest.resolve(rel)
+      if (!Files.exists(target) && !dropped.contains(rel)) linkTree(prev.resolve(rel), target)
+    }
+    commitPointer(name, next)
+  }
+
+  /** Escaped leaf-dir names for partition-value tuples, derived by
+    * writing the tuples through Spark's own partitioned writer into a
+    * scratch dir — value escaping/formatting is guaranteed to match the
+    * data write (no hand-rolled Hive-path escaping to drift).
+    */
+  private def touchedLeafDirs(
+      schema: org.apache.spark.sql.types.StructType,
+      partitionBy: Seq[String],
+      vals: Array[org.apache.spark.sql.Row]): Set[Path] = {
+    import scala.jdk.CollectionConverters._
+    val scratch = Files.createTempDirectory("graft_touched")
+    val pf = org.apache.spark.sql.types.StructType(
+      partitionBy.map(p => schema(p).copy(nullable = true)))
+    spark.createDataFrame(vals.toSeq.asJava, pf)
+      .withColumn("__one", org.apache.spark.sql.functions.lit(1))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
+      .parquet(scratch.toString)
+    val out = leafPartitionDirs(scratch, partitionBy.length).toSet
+    deleteRecursively(scratch)
+    out
+  }
+
+  /** Whether `schema` is byte-identical to the current version's stored
+    * schema (the precondition for a partition-scoped commit).
+    */
+  def schemaMatches(name: String, schema: org.apache.spark.sql.types.StructType): Boolean =
+    currentVersion(name).exists { v =>
+      val f = tableDir(name).resolve(s"v$v").resolve("_graft_schema.json")
+      Files.exists(f) && {
+        val stored = org.apache.spark.sql.types.DataType
+          .fromJson(Files.readString(f))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        // nullability is read-compatible either way (parquet fills nulls);
+        // names + types + order are what linked files must agree on
+        stored.fields.toSeq.map(x => (x.name, x.dataType)) ==
+          schema.fields.toSeq.map(x => (x.name, x.dataType))
+      }
+    }
+
+  /** Leaf partition dirs (depth = #partition cols) relative to `base`. */
+  private def leafPartitionDirs(base: Path, depth: Int): Seq[Path] = {
+    def walk(p: Path, d: Int): Seq[Path] =
+      if (!Files.isDirectory(p)) Nil
+      else if (d == 0) Seq(base.relativize(p))
+      else {
+        val ds = Files.list(p).iterator()
+        val out = scala.collection.mutable.ListBuffer[Path]()
+        while (ds.hasNext) {
+          val c = ds.next()
+          val fn = c.getFileName.toString
+          if (Files.isDirectory(c) && fn.contains("=")) out ++= walk(c, d - 1)
+        }
+        out.toSeq
+      }
+    walk(base, depth)
+  }
+
+  /** Hard-link a directory tree (fall back to copy across filesystems). */
+  private def linkTree(src: Path, dest: Path): Unit = {
+    Files.createDirectories(dest.getParent)
+    if (Files.isDirectory(src)) {
+      Files.createDirectories(dest)
+      val ds = Files.list(src).iterator()
+      while (ds.hasNext) {
+        val c = ds.next()
+        linkTree(c, dest.resolve(c.getFileName))
+      }
+    } else {
+      try Files.createLink(dest, src)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        Files.copy(src, dest, StandardCopyOption.COPY_ATTRIBUTES)
+      }
+    }
+  }
+
+  /** Atomic pointer swap + stale-version GC + session re-register. */
+  private def commitPointer(name: String, next: Int): Unit = {
     val tmp = tableDir(name).resolve(s"_current.tmp$next")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // older versions are garbage; keep the previous one for time-travel-lite
+    // older versions are garbage; keep the previous one for time-travel-lite.
+    // hard links keep shared file data alive across version deletes.
     val stale = (0 until next - 1).map(v => tableDir(name).resolve(s"v$v")).filter(Files.exists(_))
     stale.foreach(deleteRecursively)
     registerView(name)
@@ -91,13 +235,13 @@ final class RelationStore(val spark: SparkSession, val root: String, val schema:
   def writeView(name: String, sql: String): Unit = {
     Files.createDirectories(schemaDir)
     Files.writeString(viewFile(name), sql)
-    spark.sql(sql).createOrReplaceTempView(name)
+    spark.sql(sql).createOrReplaceTempView(sqlName(name))
   }
 
   def drop(name: String): Unit = {
     if (Files.exists(tableDir(name))) deleteRecursively(tableDir(name))
     Files.deleteIfExists(viewFile(name))
-    spark.catalog.dropTempView(name)
+    spark.catalog.dropTempView(sqlName(name))
   }
 
   /** Shallow clone: new relation pointing at the same data version
@@ -145,7 +289,7 @@ final class RelationStore(val spark: SparkSession, val root: String, val schema:
 
   /** Register one relation as a session temp view (SQL addressability). */
   def registerView(name: String): Unit =
-    read(name).createOrReplaceTempView(name)
+    read(name).createOrReplaceTempView(sqlName(name))
 
   /** Re-register everything (fresh session attach). Views can reference
     * other views, so retry failures until a fixpoint — each pass must

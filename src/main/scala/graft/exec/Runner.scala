@@ -62,7 +62,19 @@ final class Runner(
     // warehouse's storage directly (path for tables, inline subquery
     // for views) — it lives in another store, so session views won't do
     deferResolver = opts.deferStore.map(d => (name: String) => d.addressable(name)),
-    localExists = name => store.exists(name))
+    localExists = name => store.exists(name),
+    // per-node schema: resolve into the node's schema store; missing
+    // locally → try the defer warehouse's matching schema namespace
+    relResolver = Some { (n: Node, ident: String) =>
+      val st = materializer.storeFor(n)
+      if (st.exists(ident)) st.sqlName(ident)
+      else opts.deferStore.flatMap { d =>
+        val ds = if (n.config.schema.isEmpty) d
+          else new RelationStore(spark, d.root, st.schema, st.qualifyViews)
+        ds.addressable(ident)
+      }.getOrElse(st.sqlName(ident))
+    },
+    thisNameOf = Some((n: Node) => materializer.sqlName(n)))
 
   lazy val graph: Digraph = {
     val g = Linker.link(manifest)
@@ -92,6 +104,9 @@ final class Runner(
     val t0 = System.nanoTime()
     Sources.registerAll(spark, manifest, vars)
     store.attach()
+    // custom-schema namespaces re-attach too (fresh-session refs)
+    manifest.nodes.values.flatMap(_.config.schema).toSet
+      .foreach((cs: String) => materializer.storeForSchema(cs).attach())
     val selected = selectedIds()
     val results = new ConcurrentLinkedQueue[RunResult]()
 
@@ -140,7 +155,7 @@ final class Runner(
 
   private def renderHook(sql: String): String =
     Template.render(sql,
-      r => manifest.resolveRef(r).map(n => n.config.alias.getOrElse(n.name)).getOrElse(r),
+      r => manifest.resolveRef(r).map(materializer.sqlName).getOrElse(r),
       (s, t) => manifest.resolveSource(s, t).map(Sources.viewName).getOrElse(s"$s.$t"),
       vars)
 
@@ -189,7 +204,7 @@ final class Runner(
           runMicrobatch(m)
         case Materialized.Incremental =>
           val fullRefresh = opts.fullRefresh || m.config.fullRefresh.contains(true)
-          val isIncremental = store.exists(materializer.relName(m)) && !fullRefresh
+          val isIncremental = materializer.storeFor(m).exists(materializer.relName(m)) && !fullRefresh
           val sql = compiler().compile(m, m.rawCode, isIncremental).executable
           materializer.incremental(m, spark.sql(sql), fullRefresh)
           RunResult(m.uniqueId, "success", elapsed,
@@ -214,13 +229,14 @@ final class Runner(
     val bs = m.config.batchSize.getOrElse(
       throw new IllegalArgumentException(s"${m.name}: microbatch requires batch_size"))
     val name = materializer.relName(m)
-    val isIncremental = store.exists(name) && !opts.fullRefresh
+    val mStore = materializer.storeFor(m)
+    val isIncremental = mStore.exists(name) && !opts.fullRefresh
     // checkpoint = max event time already in the target (reference
     // microbatch checkpoint semantics, §2.7)
     val checkpoint: Option[Instant] =
       if (!isIncremental) None
       else {
-        val r = store.read(name).agg(max(col(et))).first()
+        val r = mStore.read(name).agg(max(col(et))).first()
         if (r.isNullAt(0)) None else Some(instantOf(r.get(0)))
       }
     val batches = opts.retryBatches.get(m.uniqueId) match {
@@ -343,7 +359,7 @@ final class Runner(
     }
     val sql = Template.render(model.rawCode,
       r => refOverrides.getOrElse(r,
-        manifest.resolveRef(r).map(n => n.config.alias.getOrElse(n.name)).getOrElse(r)),
+        manifest.resolveRef(r).map(materializer.sqlName).getOrElse(r)),
       (s, t) => srcOverrides.getOrElse((s, t),
         manifest.resolveSource(s, t).map(Sources.viewName).getOrElse(s"$s.$t")),
       vars)

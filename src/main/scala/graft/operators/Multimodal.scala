@@ -49,22 +49,29 @@ object Multimodal {
   /** Full plumbing: binary column → per-partition batched "decode" →
     * fixed-shape feature vector, via mapPartitions (the Scala analogue of
     * mapInPandas batching: one stub call per row, one iterator per
-    * partition, no driver collect). Rows-only driver check (stub output
-    * is not SQL-expressible).
+    * partition, no driver collect).
+    *
+    * The fixed-width feature vector is emitted as scalar columns
+    * `f0..f7` (BIGINT byte-stripe sums — the stub is integer-exact), so
+    * the result is hashable by the driver's canonicalizer and has a
+    * DuckDB oracle; a production decode emitting floats would quantize
+    * the same way the embeddings table does.
     */
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    val nFeat = 8
     val src = Tables.load(s, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("n_bytes", IntegerType, nullable = false),
-      StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val outSchema = StructType(
+      StructField("doc_id", LongType, nullable = false) +:
+      StructField("n_bytes", IntegerType, nullable = false) +:
+      (0 until nFeat).map(i => StructField(s"f$i", LongType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     src.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        Row(id, payload.length, stubDecode(payload).toSeq)
+        val feats = stubDecode(payload)
+        Row.fromSeq(id +: payload.length +: feats.map(_.toLong).toSeq)
       }
     }(enc)
   }

@@ -13,10 +13,13 @@ import graft.sources.Tables
   * are exact integers; cosine = dot/(sqrt(na)*sqrt(nb)) is then a
   * bit-identical double in any engine. Ranking ties broken by id.
   *
-  * Scale design: brute-force top-k is the baseline (query side broadcast
-  * against the corpus — fine for small query sets); the LSH variant
-  * buckets by random-hyperplane sign bits so candidate generation is a
-  * bucket equi-join, the standard ANN pattern at 100 TB corpus scale.
+  * Scale design: the corpus is NEVER collected or broadcast — only
+  * bounded-by-construction sets are (the probe set, the centroid
+  * table). Brute-force top-k broadcasts the probes and streams the
+  * corpus once; exact near-dup is a triangular block self-join; the
+  * LSH variant buckets by random-hyperplane sign bits so candidate
+  * generation is a bucket equi-join, the standard ANN pattern at
+  * 100 TB corpus scale.
   */
 object SimilarityOps {
   /** Quantized vectors with their squared norm computed ONCE per vector
@@ -29,81 +32,126 @@ object SimilarityOps {
       expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))").as("q"))
       .withColumn("nq", expr("aggregate(q, 0L, (acc,x) -> acc + x*x)"))
 
-  /** JVM brute-force kernel: quantized corpus broadcast once, the probe
-    * side streamed per partition. Catalyst's higher-order-function
-    * expressions (`aggregate`/`zip_with`) run interpreted per pair —
-    * ~25x slower than this tight loop for 64-dim dot products. Exactly
-    * the broadcast-nested-loop-join shape Spark would plan, with a
-    * hand-codegen'd inner loop; results bit-identical (same integer dot,
-    * same IEEE cos = dot/(sqrt(na)*sqrt(nb))).
+  /** Brute-force cosine top-5 neighbors for the first 10 query vectors.
+    *
+    * Scale shape: the PROBE set is the bounded side (10 vectors by
+    * construction) — it is collected and broadcast; the corpus streams
+    * through `mapPartitions` exactly once with a per-partition, per-probe
+    * bounded heap (size k), so driver/executor memory is O(probes × k)
+    * regardless of corpus size. Per-partition top-k under the final
+    * ordering (cos desc, cid asc) is a superset of the global top-k, so
+    * the merge (a window over ≤ partitions × probes × k rows) is exact.
+    * The tight JVM loop beats interpreted `aggregate`/`zip_with`
+    * higher-order expressions ~25x for 64-dim integer dot products.
     */
-  private def pairScores(
-      s: SparkSession,
-      probe: DataFrame, // vec_id, q, nq
-      corpus: DataFrame,
-      minCos: Double,
-      keepPair: (Long, Long) => Boolean): DataFrame = {
+  def simTopK(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val corpusArr: Array[(Long, Array[Long], Double)] = corpus
-      .select(col("vec_id"), col("q"), col("nq"))
-      .collect()
+    val k = 5
+    val e = quantized(s, dir)
+    // bounded by construction: first 10 vec_ids only
+    val probes: Array[(Long, Array[Long], Double)] = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("q"), col("nq")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, math.sqrt(r.getLong(2).toDouble)))
-    val bc = s.sparkContext.broadcast(corpusArr)
+    val bc = s.sparkContext.broadcast(probes)
     val outSchema = StructType(Seq(
       StructField("qid", LongType), StructField("cid", LongType),
-      StructField("dot", LongType), StructField("na", LongType),
-      StructField("nb", LongType), StructField("cos", DoubleType)))
+      StructField("dot", LongType), StructField("cos", DoubleType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    probe.select(col("vec_id"), col("q"), col("nq")).mapPartitions { rows =>
-      val cand = bc.value
-      rows.flatMap { r =>
-        val qid = r.getLong(0)
-        val qv = r.getSeq[Long](1).toArray
-        val na = r.getLong(2)
-        val sqrtNa = math.sqrt(na.toDouble)
-        cand.iterator.filter(c => keepPair(qid, c._1)).flatMap { case (cid, cv, sqrtNb) =>
-          var dot = 0L
-          var i = 0
-          while (i < qv.length) { dot += qv(i) * cv(i); i += 1 }
-          val cos = dot / (sqrtNa * sqrtNb)
-          if (cos >= minCos) {
-            var nb = 0L; var j = 0
-            while (j < cv.length) { nb += cv(j) * cv(j); j += 1 }
-            Some(Row(qid, cid, dot, na, nb, cos))
-          } else None
+    // worst-first ordering so the heap root is the candidate to evict
+    val worstFirst = Ordering.by[(Double, Long, Long), (Double, Long)](t => (-t._1, t._2))
+    val partials = e.select(col("vec_id"), col("q"), col("nq")).mapPartitions { rows =>
+      val ps = bc.value
+      val heaps = ps.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long, Long)]()(worstFirst))
+      rows.foreach { r =>
+        val cid = r.getLong(0)
+        val cv = r.getSeq[Long](1).toArray
+        val sqrtNb = math.sqrt(r.getLong(2).toDouble)
+        var p = 0
+        while (p < ps.length) {
+          val (qid, qv, sqrtNa) = ps(p)
+          if (cid != qid) {
+            var dot = 0L; var i = 0
+            while (i < qv.length) { dot += qv(i) * cv(i); i += 1 }
+            val cos = dot / (sqrtNa * sqrtNb)
+            val h = heaps(p)
+            if (h.size < k) h.enqueue((cos, cid, dot))
+            else if (worstFirst.lt((cos, cid, dot), h.head)) { h.dequeue(); h.enqueue((cos, cid, dot)) }
+          }
+          p += 1
         }
       }
+      heaps.iterator.zipWithIndex.flatMap { case (h, p) =>
+        h.iterator.map { case (cos, cid, dot) => Row(ps(p)._1, cid, dot, cos) }
+      }
     }(enc)
-  }
-
-  private def scored(s: SparkSession, dir: String, nQueries: Int): DataFrame = {
-    val e = quantized(s, dir)
-    pairScores(s,
-      probe = e.filter(col("vec_id") < nQueries),
-      corpus = e,
-      minCos = Double.NegativeInfinity,
-      keepPair = (q, c) => q != c)
-      .withColumnRenamed("qid", "qid")
-  }
-
-  /** Brute-force cosine top-5 neighbors for the first 10 query vectors. */
-  def simTopK(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    scored(s, dir, 10)
+    partials
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+      .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), col("dot"), col("cos"), col("rn"))
   }
 
   /** All near-duplicate pairs with cosine ≥ 0.4 (embedding-cosine dedup;
     * threshold sits in the top-0.1% tail of this corpus's similarity
     * distribution — the synthetic embeddings have no true near-dups).
+    *
+    * This is the EXACT ground-truth operator, so the work is inherently
+    * all-pairs; what must not be all-in-one-place is the data. We use a
+    * triangular block self-join (the classic θ-join tiling, Okcan &
+    * Riedewald SIGMOD'11): rows land in B blocks by `vec_id % B`; each
+    * unordered block pair (i ≤ j) is one join key, so the cross product
+    * is computed by B(B+1)/2 independent tasks, each holding two blocks
+    * at most — no driver collect, no full-corpus broadcast, replication
+    * factor ≈ B per side. B scales like sqrt(#cores) (8 here for
+    * local[32]; a 1000-executor cluster would use B ≈ 64). The
+    * sub-quadratic scale path for higher thresholds is the LSH/IVF
+    * family ([[simLshTopK]]/[[simIvfTopK]]); at cos ≥ 0.4 (θ ≈ 66°)
+    * sign-LSH collision gaps are too small to prune without recall loss,
+    * so exact-by-contract means blocked all-pairs.
     */
   def embNearDup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val minCos = 0.4
+    val nBlocks = 8
     val e = quantized(s, dir)
-    pairScores(s, probe = e, corpus = e, minCos = 0.4, keepPair = (a, b) => a < b)
-      .select(col("qid").as("vec_a"), col("cid").as("vec_b"), col("dot"), col("cos"))
+      .withColumn("blk", pmod(col("vec_id"), lit(nBlocks)).cast("int"))
+    // i-side: a row in block b serves every pair (b, j) with j >= b
+    val left = e
+      .withColumn("pj", explode(expr(s"sequence(blk, ${nBlocks - 1})")))
+      .select(col("vec_id").as("ida"), col("q").as("qa"), col("nq").as("na"),
+        col("blk").as("pi"), col("pj"))
+    // j-side: a row in block b serves every pair (i, b) with i <= b
+    val right = e
+      .withColumn("pi", explode(expr("sequence(0, blk)")))
+      .select(col("vec_id").as("idb"), col("q").as("qb"), col("nq").as("nb"),
+        col("pi"), col("blk").as("pj"))
+    val joined = left.join(right, Seq("pi", "pj"))
+      // same-block pairs appear in both orientations: keep one; cross-block
+      // pairs appear exactly once (ida's block == pi, idb's block == pj)
+      .filter((col("pi") =!= col("pj")) || (col("ida") < col("idb")))
+      .filter(col("ida") =!= col("idb"))
+      .select(col("ida"), col("qa"), col("na"), col("idb"), col("qb"), col("nb"))
+    val outSchema = StructType(Seq(
+      StructField("vec_a", LongType), StructField("vec_b", LongType),
+      StructField("dot", LongType), StructField("cos", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    joined.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val ida = r.getLong(0)
+        val qa = r.getSeq[Long](1)
+        val na = r.getLong(2)
+        val idb = r.getLong(3)
+        val qb = r.getSeq[Long](4)
+        val nb = r.getLong(5)
+        var dot = 0L; var i = 0
+        while (i < qa.length) { dot += qa(i) * qb(i); i += 1 }
+        val cos = dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+        if (cos >= minCos) Some(Row(math.min(ida, idb), math.max(ida, idb), dot, cos))
+        else None
+      }
+    }(enc)
   }
 
   /** IVF (inverted-file) ANN: partition the corpus into cells around
@@ -149,8 +197,10 @@ object SimilarityOps {
       .select(col("qid"), col("cid"), col("cos"), col("rn"))
   }
 
-  /** Top-N centroid/candidate matches of `probe` against a SMALL
-    * `targets` table (collected + broadcast) using the integer kernel.
+  /** Top-N centroid/candidate matches of `probe` against a SMALL,
+    * bounded-by-construction `targets` table (collected + broadcast —
+    * callers pass ≤ nCentroids rows, never the corpus) using the
+    * integer kernel.
     */
   private def pairScoresAgainst(
       s: SparkSession,

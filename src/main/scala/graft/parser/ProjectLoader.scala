@@ -64,9 +64,19 @@ object ProjectLoader {
     onRunStart = hooks("on-run-start")
     onRunEnd = hooks("on-run-end")
 
+    // ---- user macros (macros/*.sql; reference core/dbt/parser/
+    // macros.py:27 MacroParser). Parsed first: model/snapshot/test SQL
+    // is macro-expanded BEFORE ref/source scanning so dependencies
+    // introduced by macro bodies land in the DAG.
+    val macroTable: Map[String, Macros.MacroDef] =
+      files("macros", ".sql")
+        .flatMap(f => Macros.parse(Files.readString(f)))
+        .map(m => m.name -> m).toMap
+
     // ---- models (*.sql under model-paths) ----
     for (f <- files("models", ".sql")) {
-      val raw = Files.readString(f)
+      val orig = Files.readString(f)
+      val raw = Macros.expand(orig, macroTable)
       val scan = Template.scan(raw)
       val mname = f.getFileName.toString.stripSuffix(".sql")
       val cfg = configFrom(modelDefaults ++ scan.config)
@@ -76,13 +86,14 @@ object ProjectLoader {
       val node = ModelNode(
         name = mname, packageName = name, rawCode = raw, config = cfg,
         dependsOn = deps, refs = scan.refs, sources = scan.sources,
-        path = dir.relativize(f).toString, checksum = FileHash.of(raw))
+        path = dir.relativize(f).toString, checksum = FileHash.of(orig))
       nodes(node.uniqueId) = node
     }
 
     // ---- snapshots ----
     for (f <- files("snapshots", ".sql")) {
-      val raw = Files.readString(f)
+      val orig = Files.readString(f)
+      val raw = Macros.expand(orig, macroTable)
       val scan = Template.scan(raw)
       val sname = f.getFileName.toString.stripSuffix(".sql")
       val cfg = configFrom(scan.config).copy(materialized = Materialized.SnapshotMat)
@@ -90,7 +101,7 @@ object ProjectLoader {
         scan.refs.map(r => refId(r, name)) ++
         scan.sources.map { case (s, t) => s"source.$name.$s.$t" }
       val node = SnapshotNode(sname, name, raw, cfg, deps, scan.refs, scan.sources,
-        checksum = FileHash.of(raw))
+        checksum = FileHash.of(orig))
       nodes(node.uniqueId) = node
     }
 
@@ -105,14 +116,15 @@ object ProjectLoader {
 
     // ---- singular tests (tests/*.sql; reference singular_test.py) ----
     for (f <- files("tests", ".sql")) {
-      val raw = Files.readString(f)
+      val orig = Files.readString(f)
+      val raw = Macros.expand(orig, macroTable)
       val scan = Template.scan(raw)
       val tname = f.getFileName.toString.stripSuffix(".sql")
       val cfg = configFrom(scan.config).copy(materialized = Materialized.View)
       val deps = scan.refs.map(r => refId(r, name)) ++
         scan.sources.map { case (s, t) => s"source.$name.$s.$t" }
       val node = TestNode(tname, name, raw, cfg, deps, scan.refs,
-        checksum = FileHash.of(raw))
+        checksum = FileHash.of(orig))
       nodes(node.uniqueId) = node
     }
 

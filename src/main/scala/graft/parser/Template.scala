@@ -71,6 +71,11 @@ object Template {
       }
   }
 
+  /** Split on top-level commas (not inside quotes/brackets/parens) —
+    * shared with the macro expander's call-argument parsing.
+    */
+  def topLevelSplit(s: String): List[String] = splitArgs(s)
+
   /** Split on top-level commas (not inside quotes/brackets/parens). */
   private def splitArgs(s: String): List[String] = {
     val out = scala.collection.mutable.ListBuffer[String]()

@@ -404,4 +404,60 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     new Runner(spark, project, store, opts("run").copy(select = Seq("orders_rev"))).execute()
     assert(store.read("orders_rev").count() > 0)
   }
+
+  test("17 custom schema config: same-aliased relations live in separate schemas") {
+    val d2 = Files.createTempDirectory("graft_schema_proj")
+    def w2(rel: String, c: String): Unit = {
+      val p = d2.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    w2("dbt_project.yml", "name: schemas\n")
+    w2("models/a_orders.sql",
+      "{{ config(materialized='table', schema='alpha', alias='orders_x') }}\nSELECT 1 AS k")
+    w2("models/b_orders.sql",
+      "{{ config(materialized='table', schema='beta', alias='orders_x') }}\nSELECT 2 AS k")
+    w2("models/combined.sql",
+      """{{ config(materialized='table') }}
+        |SELECT (SELECT k FROM {{ ref('a_orders') }})
+        |     + (SELECT k FROM {{ ref('b_orders') }}) AS s""".stripMargin)
+    val p2 = ProjectLoader.resolveRefs(ProjectLoader.load(d2.toString))
+    val wh2 = d2.resolve("wh").toString
+    val st2 = new RelationStore(spark, wh2)
+    val r = new Runner(spark, p2, st2,
+      RunOptions(cmd = "run", threads = 2, targetDir = d2.resolve("target").toString)).execute()
+    assert(r.forall(_.status == "success"), r.mkString("\n"))
+    // reference generate_schema_name: custom schema → <target>_<custom>
+    val alpha = new RelationStore(spark, wh2, "main_alpha", qualifyViews = true)
+    val beta = new RelationStore(spark, wh2, "main_beta", qualifyViews = true)
+    assert(alpha.exists("orders_x") && beta.exists("orders_x"))
+    assert(alpha.read("orders_x").first().getInt(0) == 1)
+    assert(beta.read("orders_x").first().getInt(0) == 2)
+    // cross-schema refs resolved through qualified session views
+    assert(st2.read("combined").first().getInt(0) == 3)
+  }
+
+  test("18 user macros expand in models and register macro-introduced refs") {
+    val d3 = Files.createTempDirectory("graft_macro_proj")
+    def w3(rel: String, c: String): Unit = {
+      val p = d3.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    w3("dbt_project.yml", "name: macrodemo\n")
+    w3("macros/cents.sql",
+      """{% macro cents(col) %}CAST(ROUND({{ col }} * 100) AS BIGINT){% endmacro %}
+        |{% macro pick(rel, col) %}SELECT {{ col }} FROM {{ rel }}{% endmacro %}
+        |""".stripMargin)
+    w3("models/base_prices.sql", "SELECT 1.25 AS price UNION ALL SELECT 2.50 AS price")
+    w3("models/price_cents.sql",
+      "{{ config(materialized='table') }}\n" +
+        "SELECT {{ cents(price) }} AS pc FROM ({{ pick(ref('base_prices'), 'price') }}) t")
+    val p3 = ProjectLoader.resolveRefs(ProjectLoader.load(d3.toString))
+    // the ref('base_prices') arrived via the macro body → real DAG edge
+    assert(p3.manifest.nodes("model.macrodemo.price_cents").dependsOn
+      .contains("model.macrodemo.base_prices"))
+    val st3 = new RelationStore(spark, d3.resolve("wh").toString)
+    val r = new Runner(spark, p3, st3,
+      RunOptions(cmd = "run", threads = 2, targetDir = d3.resolve("target").toString)).execute()
+    assert(r.forall(_.status == "success"), r.mkString("\n"))
+    val vals = st3.read("price_cents").collect().map(_.getLong(0)).sorted.toSeq
+    assert(vals == Seq(125L, 250L))
+  }
 }

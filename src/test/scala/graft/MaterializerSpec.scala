@@ -72,6 +72,83 @@ class MaterializerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[IllegalStateException](mat.incremental(n, wider, fullRefresh = false))
   }
 
+  private def partFiles(version: java.nio.file.Path, part: String): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(version.resolve(part)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+  }
+
+  /** Untouched partitions must be the SAME files (hard links) across
+    * versions — the physical proof that the commit was O(touched).
+    */
+  private def assertLinked(v0: java.nio.file.Path, v1: java.nio.file.Path, parts: Seq[String]): Unit =
+    parts.foreach { p =>
+      val (olds, news) = (partFiles(v0, p), partFiles(v1, p))
+      assert(olds.nonEmpty && olds.size == news.size, s"$p: ${olds.size} vs ${news.size}")
+      olds.zip(news).foreach { case (o, n) =>
+        assert(java.nio.file.Files.isSameFile(o, n), s"$p: $o not linked")
+      }
+    }
+
+  test("insert_overwrite commit is partition-scoped: untouched dirs linked byte-identical") {
+    import spark.implicits._
+    val n = node("t_link", parts = Seq("day"))
+    val init = Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"), (3L, "c", "2024-01-03"))
+      .toDF("id", "v", "day")
+    mat.incremental(n, init, fullRefresh = false)
+    val v0 = java.nio.file.Paths.get(store.currentPath("t_link").get)
+    val batch = Seq((9L, "z", "2024-01-02")).toDF("id", "v", "day")
+    mat.incremental(n, batch, fullRefresh = false)
+    val v1 = java.nio.file.Paths.get(store.currentPath("t_link").get)
+    assert(v0 != v1)
+    assertLinked(v0, v1, Seq("day=2024-01-01", "day=2024-01-03"))
+    val out = store.read("t_link")
+    assert(out.count() == 3)
+    assert(out.filter("day = '2024-01-02' AND id = 9").count() == 1)
+    assert(out.filter("day = '2024-01-02' AND id = 2").count() == 0)
+  }
+
+  test("partitioned merge rewrites only partitions holding touched keys") {
+    import spark.implicits._
+    val n = ModelNode("t_pmerge", "p", "", NodeConfig(
+      materialized = Materialized.Incremental,
+      incrementalStrategy = Some("merge"),
+      uniqueKey = Seq("id"), partitionBy = Seq("day")), Nil, Nil, Nil)
+    val init = Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"), (3L, "c", "2024-01-03"))
+      .toDF("id", "v", "day")
+    mat.incremental(n, init, fullRefresh = false)
+    val v0 = java.nio.file.Paths.get(store.currentPath("t_pmerge").get)
+    // update id=2 in place + insert id=9, both day 02 → days 01/03 untouched
+    val batch = Seq((2L, "b2", "2024-01-02"), (9L, "z", "2024-01-02")).toDF("id", "v", "day")
+    mat.incremental(n, batch, fullRefresh = false)
+    val v1 = java.nio.file.Paths.get(store.currentPath("t_pmerge").get)
+    assertLinked(v0, v1, Seq("day=2024-01-01", "day=2024-01-03"))
+    val out = store.read("t_pmerge")
+    assert(out.count() == 4)
+    assert(out.filter("id = 2 AND v = 'b2'").count() == 1)
+  }
+
+  test("partitioned merge rewrites the OLD partition when a key moves partitions") {
+    import spark.implicits._
+    val n = ModelNode("t_pmove", "p", "", NodeConfig(
+      materialized = Materialized.Incremental,
+      incrementalStrategy = Some("merge"),
+      uniqueKey = Seq("id"), partitionBy = Seq("day")), Nil, Nil, Nil)
+    val init = Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02")).toDF("id", "v", "day")
+    mat.incremental(n, init, fullRefresh = false)
+    val v0 = java.nio.file.Paths.get(store.currentPath("t_pmove").get)
+    // id=2 moves from day 02 to day 03: day 02 must drop it, day 01 untouched
+    val batch = Seq((2L, "b3", "2024-01-03")).toDF("id", "v", "day")
+    mat.incremental(n, batch, fullRefresh = false)
+    val v1 = java.nio.file.Paths.get(store.currentPath("t_pmove").get)
+    assertLinked(v0, v1, Seq("day=2024-01-01"))
+    val out = store.read("t_pmove")
+    assert(out.count() == 2)
+    assert(out.filter("day = '2024-01-02'").count() == 0)
+    assert(out.filter("day = '2024-01-03' AND v = 'b3'").count() == 1)
+  }
+
   test("insert_overwrite replaces only the incoming partitions") {
     import spark.implicits._
     val n = node("t_part", parts = Seq("day"))

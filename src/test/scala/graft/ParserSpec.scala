@@ -115,3 +115,56 @@ class TemplateSpec extends AnyFunSuite {
     assert(Template.renderIncrementalBlocks(withElse, isIncremental = false) == "B")
   }
 }
+
+class MacrosSpec extends AnyFunSuite {
+  import graft.parser.Macros
+
+  val defs = Macros.parse(
+    """{% macro cents(col, scale=100) %}
+      |CAST(ROUND({{ col }} * {{ scale }}) AS BIGINT)
+      |{% endmacro %}
+      |
+      |{% macro safe_cents(col) %}
+      |COALESCE({{ cents(col) }}, 0)
+      |{% endmacro %}
+      |
+      |{% macro from_rel(r) %}SELECT * FROM {{ r }}{% endmacro %}
+      |""".stripMargin)
+  val table = defs.map(m => m.name -> m).toMap
+
+  test("definition parsing: names, params, defaults") {
+    assert(defs.map(_.name) == Seq("cents", "safe_cents", "from_rel"))
+    assert(table("cents").params == Seq(("col", None), ("scale", Some("100"))))
+  }
+
+  test("positional + default args expand") {
+    val out = Macros.expand("SELECT {{ cents(o_totalprice) }} AS pc", table)
+    assert(out == "SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc")
+  }
+
+  test("kwargs override defaults") {
+    val out = Macros.expand("{{ cents(x, scale=1000) }}", table)
+    assert(out == "CAST(ROUND(x * 1000) AS BIGINT)")
+  }
+
+  test("nested macro calls expand recursively") {
+    val out = Macros.expand("{{ safe_cents(amt) }}", table)
+    assert(out == "COALESCE(CAST(ROUND(amt * 100) AS BIGINT), 0)")
+  }
+
+  test("ref() arguments re-wrap so the ref pass resolves them") {
+    val out = Macros.expand("{{ from_rel(ref('stg_orders')) }}", table)
+    assert(out == "SELECT * FROM {{ ref('stg_orders') }}")
+  }
+
+  test("string-literal args render unquoted; unknown calls untouched") {
+    val t2 = Macros.parse("{% macro tag(v) %}'{{ v }}'{% endmacro %}").map(m => m.name -> m).toMap
+    assert(Macros.expand("{{ tag('hot') }}", t2) == "'hot'")
+    val keep = "SELECT {{ ref('m') }}, {{ var('x', 1) }}, {{ nosuch(1) }}"
+    assert(Macros.expand(keep, table) == keep)
+  }
+
+  test("missing required argument raises") {
+    assertThrows[IllegalArgumentException](Macros.expand("{{ cents() }}", table))
+  }
+}
