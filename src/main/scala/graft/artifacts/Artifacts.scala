@@ -122,6 +122,7 @@ object Artifacts {
     val doc = Map(
       "metadata" -> Map(
         "dbt_schema_version" -> "https://schemas.getdbt.com/dbt/run-results/v5.json",
+        "dbt_version" -> "1.9.0",
         "generated_at" -> java.time.Instant.now().toString,
         "invocation_id" -> invocationId),
       "elapsed_time" -> elapsed,
@@ -180,35 +181,101 @@ object Artifacts {
     }
   }
 
-  /** manifest.json — enough structure for state:modified / defer / docs
-    * (reference manifest v12, heavily trimmed: checksums + configs +
-    * deps per node).
+  /** manifest.json with v12 FIELD fidelity (reference
+    * core/dbt/artifacts/schemas/manifest/v12): the metadata envelope,
+    * per-node `database/schema/fqn/alias/checksum{name,checksum}/
+    * raw_code/refs/depends_on{nodes,macros}` structure, and every v12
+    * top-level section (empty objects where the engine has no content)
+    * — so external metadata tooling that parses manifest v12 can read
+    * it, not just our own state/defer/retry loop. Exposures and metrics
+    * live in their own sections as v12 requires.
     */
   def writeManifest(targetDir: String, manifest: Manifest): Unit = {
-    def nodeDoc(n: Node): Map[String, Any] = Map(
-      "unique_id" -> n.uniqueId,
-      "name" -> n.name,
-      "package_name" -> n.packageName,
-      "resource_type" -> n.resourceType.name,
-      "checksum" -> n.checksum.checksum,
-      "depends_on" -> n.dependsOn,
-      "config" -> Map(
-        "materialized" -> n.config.materialized.name,
-        "incremental_strategy" -> n.config.incrementalStrategy,
-        "unique_key" -> n.config.uniqueKey,
+    def checksumDoc(n: Node): Map[String, Any] =
+      Map("name" -> "sha256", "checksum" -> n.checksum.checksum)
+    def configDoc(n: Node): Map[String, Any] = Map(
+      "enabled" -> n.config.enabled,
+      "materialized" -> n.config.materialized.name,
+      "incremental_strategy" -> n.config.incrementalStrategy,
+      "unique_key" -> n.config.uniqueKey,
+      "on_schema_change" -> n.config.onSchemaChange,
+      "tags" -> n.config.tags,
+      "event_time" -> n.config.eventTime,
+      "batch_size" -> n.config.batchSize.map(_.name),
+      "severity" -> n.config.severity,
+      "schema" -> n.config.schema,
+      "alias" -> n.config.alias,
+      "partition_by" -> n.config.partitionBy,
+      "group" -> n.config.group,
+      "access" -> n.config.access,
+      "meta" -> n.config.meta)
+    def nodeDoc(n: Node): Map[String, Any] = {
+      val (raw, refs, srcs, path) = n match {
+        case m: ModelNode => (m.rawCode, m.refs, m.sources, m.path)
+        case s: SnapshotNode => (s.rawCode, s.refs, s.sources, "")
+        case t: TestNode => (t.rawCode, t.refs, Nil, "")
+        case _ => ("", Nil, Nil, "")
+      }
+      Map(
+        "unique_id" -> n.uniqueId,
+        "name" -> n.name,
+        "package_name" -> n.packageName,
+        "resource_type" -> n.resourceType.name,
+        "database" -> null,
+        "schema" -> n.config.schema.getOrElse("main"),
+        "alias" -> n.config.alias.getOrElse(n.name),
+        "relation_name" -> (n.config.schema.getOrElse("main") + "." +
+          n.config.alias.getOrElse(n.name)),
+        "fqn" -> Seq(n.packageName, n.name),
+        "path" -> path,
+        "original_file_path" -> path,
+        "checksum" -> checksumDoc(n),
+        "raw_code" -> raw,
+        "language" -> "sql",
+        "refs" -> refs.map(r => Map("name" -> r, "package" -> null, "version" -> null)),
+        "sources" -> srcs.map { case (a, b) => Seq(a, b) },
+        "depends_on" -> Map("nodes" -> n.dependsOn, "macros" -> Nil),
         "tags" -> n.config.tags,
-        "event_time" -> n.config.eventTime,
-        "batch_size" -> n.config.batchSize.map(_.name),
-        "severity" -> n.config.severity,
-        "alias" -> n.config.alias))
+        "description" -> "",
+        "columns" -> Map.empty[String, Any],
+        "meta" -> n.config.meta,
+        "group" -> n.config.group,
+        "docs" -> Map("show" -> true),
+        "config" -> configDoc(n),
+        "created_at" -> 0.0)
+    }
+    val (exposures, metrics, plainNodes) = {
+      val e = manifest.nodes.filter(_._2.resourceType == NodeType.Exposure)
+      val m = manifest.nodes.filter(_._2.resourceType == NodeType.Metric)
+      (e, m, manifest.nodes -- e.keys -- m.keys)
+    }
     val doc = Map(
       "metadata" -> Map(
         "dbt_schema_version" -> "https://schemas.getdbt.com/dbt/manifest/v12.json",
+        "dbt_version" -> "1.9.0",
+        "generated_at" -> java.time.Instant.now().toString,
+        "invocation_id" -> java.util.UUID.randomUUID().toString,
         "project_name" -> manifest.projectName,
-        "generated_at" -> java.time.Instant.now().toString),
-      "nodes" -> manifest.nodes.map { case (id, n) => id -> nodeDoc(n) },
+        "project_id" -> manifest.projectName,
+        "user_id" -> null,
+        "adapter_type" -> "spark",
+        "env" -> Map.empty[String, Any],
+        "send_anonymous_usage_stats" -> false),
+      "nodes" -> plainNodes.map { case (id, n) => id -> nodeDoc(n) },
       "sources" -> manifest.sources.map { case (id, s) => id -> nodeDoc(s) },
-      "unit_tests" -> manifest.unitTests.map { case (id, u) => id -> nodeDoc(u) })
+      "exposures" -> exposures.map { case (id, n) => id -> nodeDoc(n) },
+      "metrics" -> metrics.map { case (id, n) => id -> nodeDoc(n) },
+      "unit_tests" -> manifest.unitTests.map { case (id, u) => id -> nodeDoc(u) },
+      "macros" -> Map.empty[String, Any],
+      "docs" -> Map.empty[String, Any],
+      "groups" -> Map.empty[String, Any],
+      "selectors" -> Map.empty[String, Any],
+      "disabled" -> Map.empty[String, Any],
+      "saved_queries" -> Map.empty[String, Any],
+      "semantic_models" -> Map.empty[String, Any],
+      "group_map" -> Map.empty[String, Any],
+      "parent_map" -> manifest.parentMap,
+      "child_map" -> manifest.childMap)
     Files.createDirectories(Paths.get(targetDir))
     Files.writeString(Paths.get(targetDir, "manifest.json"), Json.write(doc))
   }
@@ -219,12 +286,20 @@ object Artifacts {
   def readManifestChecksums(path: String): Map[String, (String, Map[String, Any])] = {
     Json.parse(Files.readString(Paths.get(path))) match {
       case m: Map[String @unchecked, Any @unchecked] =>
-        val sections = Seq("nodes", "sources", "unit_tests")
+        val sections = Seq("nodes", "sources", "exposures", "metrics", "unit_tests")
         sections.flatMap { sec =>
           m.get(sec) match {
             case Some(ns: Map[String @unchecked, Any @unchecked]) =>
               ns.collect { case (id, nd: Map[String @unchecked, Any @unchecked]) =>
-                id -> (nd.getOrElse("checksum", "").toString,
+                // v12 checksum is {name, checksum}; older state manifests
+                // stored the bare hash string — accept both
+                val ck = nd.get("checksum") match {
+                  case Some(cm: Map[String @unchecked, Any @unchecked]) =>
+                    cm.getOrElse("checksum", "").toString
+                  case Some(s) => String.valueOf(s)
+                  case None => ""
+                }
+                id -> (ck,
                   nd.getOrElse("config", Map.empty[String, Any])
                     .asInstanceOf[Map[String, Any]])
               }

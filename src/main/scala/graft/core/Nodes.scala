@@ -331,9 +331,44 @@ final case class Manifest(
     pairs.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2) }
   }
 
-  /** Resolve ref('name') → node (reference manifest.py:1338). */
-  def resolveRef(name: String): Option[Node] =
-    nodes.values.find(n => NodeType.refable(n.resourceType) && n.name == name)
+  /** Resolve ref('name') → node (reference manifest.py:1338). Accepts
+    * the canonical spec encoding too (`pkg/name@vN`).
+    */
+  def resolveRef(name: String): Option[Node] = resolveRefSpec(name)
+
+  /** Resolve a canonical ref spec `[pkg/]name[@vN]` (reference
+    * providers.py:260-305 RuntimeRefResolver + VERSIONED_NODE_TYPES,
+    * node_types.py:33): package restricts the search; an explicit
+    * version picks that version of the family; a bare name prefers the
+    * exact-name match and otherwise resolves to the LATEST version of a
+    * versioned family (files named `<base>_v<N>.sql` with
+    * config(version=N), the reference's versioned-model convention).
+    */
+  def resolveRefSpec(spec: String): Option[Node] = {
+    val (pkg, rest) = spec.indexOf('/') match {
+      case -1 => (None, spec)
+      case i => (Some(spec.take(i)), spec.drop(i + 1))
+    }
+    val (nm, ver) = rest.lastIndexOf("@v") match {
+      case -1 => (rest, None)
+      case i => (rest.take(i), Some(rest.drop(i + 2)))
+    }
+    def base(n: Node): String =
+      n.config.version.fold(n.name)(v => n.name.stripSuffix(s"_v$v"))
+    val cands = nodes.values
+      .filter(n => NodeType.refable(n.resourceType))
+      .filter(n => pkg.forall(_ == n.packageName)).toSeq
+    ver match {
+      case Some(v) =>
+        cands.find(n => n.config.version.contains(v) && (base(n) == nm || n.name == nm))
+      case None =>
+        cands.find(_.name == nm).orElse {
+          val family = cands.filter(n => n.config.version.nonEmpty && base(n) == nm)
+          if (family.isEmpty) None
+          else Some(family.maxBy(n => n.config.version.flatMap(_.toIntOption).getOrElse(0)))
+        }
+    }
+  }
 
   /** Resolve source('src','table') (reference manifest.py:1375). */
   def resolveSource(sourceName: String, tableName: String): Option[SourceNode] =

@@ -49,7 +49,9 @@ final class Compiler(
       }
   }
 
-  private def cteName(name: String): String = s"__cte__$name"
+  // ref specs may carry package/version punctuation (`pkg/m@v2`) —
+  // flatten to a legal SQL identifier
+  private def cteName(name: String): String = "__cte__" + name.replaceAll("\\W", "_")
 
   /** Wrap a resolved relation with event-time filter / empty limit. */
   private def wrap(relName: String, eventTime: Option[String]): String = {

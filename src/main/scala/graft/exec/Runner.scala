@@ -290,21 +290,22 @@ final class Runner(
     val t0 = System.nanoTime()
     def elapsed = (System.nanoTime() - t0) / 1e9
     val sql = compiler().compile(t, t.rawCode).executable
+    // limit applies BEFORE fail_calc (the reference wraps the test SQL
+    // in LIMIT n, so fail counts and warn/error thresholds cap at the
+    // limit); cached so count + store_failures run the body once
     val failing0 = spark.sql(sql)
-    val failing = t.config.limit.fold(failing0)(failing0.limit)
-    val n: Long = spark.sql(
-      s"SELECT CAST(${t.config.failCalc} AS BIGINT) FROM (${sql}) __dbt_test") match {
-      case df =>
-        val r = df.first()
-        if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
-    if (t.config.storeFailures && n > 0)
-      auditStore.write(failing, t.name)
-    val isError = t.config.severity == "error" && evalCond(n, t.config.errorIf)
-    val isWarn = evalCond(n, t.config.warnIf)
-    val status = if (isError) "fail" else if (isWarn) "warn" else "pass"
-    RunResult(t.uniqueId, status, elapsed,
-      if (n == 0) "PASS" else s"got $n results", Some(n))
+    val failing = t.config.limit.fold(failing0)(failing0.limit).cache()
+    try {
+      val r = failing.agg(expr(s"CAST(${t.config.failCalc} AS BIGINT)")).first()
+      val n: Long = if (r.isNullAt(0)) 0L else r.getLong(0)
+      if (t.config.storeFailures && n > 0)
+        auditStore.write(failing, t.name)
+      val isError = t.config.severity == "error" && evalCond(n, t.config.errorIf)
+      val isWarn = evalCond(n, t.config.warnIf)
+      val status = if (isError) "fail" else if (isWarn) "warn" else "pass"
+      RunResult(t.uniqueId, status, elapsed,
+        if (n == 0) "PASS" else s"got $n results", Some(n))
+    } finally failing.unpersist()
   }
 
   /** Timestamp cell → Instant: TIMESTAMP yields java.sql.Timestamp,

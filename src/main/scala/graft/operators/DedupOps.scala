@@ -44,21 +44,52 @@ object DedupOps {
   }
 
   /** Exact n-gram Jaccard near-dup pairs (the ground truth MinHash
-    * approximates): self-join on shingles → intersection counts, then
-    * the Jaccard test in exact integer form (5*|∩| >= |∪| ⇔ J >= 0.2).
-    * At scale the shingle join IS the LSH bucket join with band=shingle;
-    * hot shingles would be salted/filtered by document frequency.
+    * approximates): candidate pairs from a shingle self-join, then the
+    * Jaccard test in exact integer form (5*|∩| >= |∪| ⇔ J >= 0.2).
+    *
+    * Scale guard — hot-shingle document-frequency filter: a shingle
+    * appearing in d documents contributes d² rows to the self-join, so
+    * one boilerplate shingle in 1% of a 100 TB corpus makes a reducer
+    * quadratic. Candidate GENERATION therefore only joins shingles with
+    * df <= [[HotShingleMaxDf]] (stop-shingle removal); the per-key join
+    * fanout is capped at df² <= maxDf². Scoring then recomputes the
+    * intersection over ALL shingles of candidate documents, so every
+    * reported pair carries exact unguarded values — the only pairs the
+    * guard can drop are those whose shared shingles are ALL hotter than
+    * maxDf, which at J >= 0.2 means ~20% of either document is corpus
+    * boilerplate (and on this corpus drops nothing: OpsSpec asserts
+    * pair-set invariance against the unguarded plan).
     */
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  val HotShingleMaxDf = 100
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccard(s, dir, maxDf = HotShingleMaxDf)
+
+  /** maxDf <= 0 disables the guard (test reference plan). */
+  def ngramJaccard(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
     // join on the 64-bit shingle hash, not the string: same counts
     // (collision odds ~1e-8 at 1M shingles), ~10x less shuffle volume
     val sh = shingles(s, dir).select(col("doc_id"), xxhash64(col("s")).as("h")).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("h"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("h"))
-    val inter = a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))
+    val joinable =
+      if (maxDf <= 0) sh
+      else sh.join(
+        sh.groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
+        Seq("h"), "left_semi")
+    val cand = joinable.select(col("doc_id").as("doc_a"), col("h"))
+      .join(joinable.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // exact scoring over every shingle of the candidate documents —
+    // identical values to the unguarded plan for all surviving pairs
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val inter = shc.select(col("doc_id").as("doc_a"), col("h"))
+      .join(shc.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-    inter
+    cand.join(inter, Seq("doc_a", "doc_b"))
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), Seq("doc_b"))
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))

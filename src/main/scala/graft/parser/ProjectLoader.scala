@@ -16,7 +16,18 @@ object ProjectLoader {
       vars: Map[String, String],
       manifest: Manifest)
 
-  def load(projectDir: String, cliVars: Map[String, String] = Map.empty): Project = {
+  def load(projectDir: String, cliVars: Map[String, String] = Map.empty): Project =
+    load0(projectDir, cliVars, inheritedMacros = None)
+
+  /** `inheritedMacros`: when loading a dependency package, the root
+    * project's (global) macro namespace — dbt macros are project-global
+    * across packages (reference core/dbt/deps/local.py + macro
+    * resolution jinja.py).
+    */
+  private def load0(
+      projectDir: String,
+      cliVars: Map[String, String],
+      inheritedMacros: Option[Map[String, Macros.MacroDef]]): Project = {
     val dir = Paths.get(projectDir)
     val projFile = dir.resolve("dbt_project.yml")
     val proj: Map[String, Any] =
@@ -64,14 +75,34 @@ object ProjectLoader {
     onRunStart = hooks("on-run-start")
     onRunEnd = hooks("on-run-end")
 
+    // ---- local dependency packages (packages.yml `- local: path`;
+    // reference core/dbt/deps/local.py LocalPackage — registry/git/
+    // tarball types need egress and stay out of scope) ----
+    val localPkgDirs: Seq[Path] = {
+      val pf = dir.resolve("packages.yml")
+      if (!Files.exists(pf)) Nil
+      else MiniYaml.parseMap(Files.readString(pf)).get("packages") match {
+        case Some(l: List[Any @unchecked]) => l.flatMap {
+          case m: Map[String @unchecked, Any @unchecked] =>
+            m.get("local").map(p => dir.resolve(p.toString).normalize)
+          case _ => None
+        }
+        case _ => Nil
+      }
+    }
+
     // ---- user macros (macros/*.sql; reference core/dbt/parser/
     // macros.py:27 MacroParser). Parsed first: model/snapshot/test SQL
     // is macro-expanded BEFORE ref/source scanning so dependencies
-    // introduced by macro bodies land in the DAG.
-    val macroTable: Map[String, Macros.MacroDef] =
-      files("macros", ".sql")
+    // introduced by macro bodies land in the DAG. The namespace is
+    // GLOBAL across packages: the root project assembles its own plus
+    // every dependency's macros and hands the table down.
+    val macroTable: Map[String, Macros.MacroDef] = inheritedMacros.getOrElse {
+      (files("macros", ".sql") ++
+        localPkgDirs.flatMap(pd => filesUnder(pd.resolve("macros"), ".sql")))
         .flatMap(f => Macros.parse(Files.readString(f)))
         .map(m => m.name -> m).toMap
+    }
 
     // ---- models (*.sql under model-paths) ----
     for (f <- files("models", ".sql")) {
@@ -299,9 +330,24 @@ object ProjectLoader {
       }
     }
 
-    Project(name, projectDir, vars,
-      Manifest(nodes.toMap, sources.toMap, unitTests.toMap, onRunStart, onRunEnd, name))
+    // merge dependency packages: their nodes carry their own
+    // packageName, so uniqueIds can't collide with the root's; root
+    // vars override package defaults (reference var precedence)
+    val subs = localPkgDirs.map(pd => load0(pd.toString, cliVars, Some(macroTable)))
+    val mergedVars = subs.foldLeft(Map.empty[String, String])(_ ++ _.vars) ++ vars
+    Project(name, projectDir, mergedVars,
+      Manifest(
+        subs.foldLeft(nodes.toMap)((acc, sp) => acc ++ sp.manifest.nodes),
+        subs.foldLeft(sources.toMap)((acc, sp) => acc ++ sp.manifest.sources),
+        subs.foldLeft(unitTests.toMap)((acc, sp) => acc ++ sp.manifest.unitTests),
+        onRunStart, onRunEnd, name))
   }
+
+  private def filesUnder(d: Path, ext: String): Seq[Path] =
+    if (!Files.exists(d)) Nil
+    else Files.walk(d).iterator().asScala
+      .filter(p => p.toString.endsWith(ext) && Files.isRegularFile(p))
+      .toSeq.sortBy(_.toString)
 
   private def refId(ref: String, pkg: String): String = {
     // seed/snapshot refs share the ref() namespace; resolved later — at

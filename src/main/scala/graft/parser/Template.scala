@@ -12,8 +12,38 @@ import scala.util.matching.Regex
   * (SURVEY.md §7.3).
   */
 object Template {
+  /** Full ref() surface: `ref('m')`, `ref('pkg','m')`, `ref('m', v=2)`,
+    * `ref('pkg','m', version=2)` (reference providers.py:260-305).
+    * Group 1 = the raw argument list, parsed by [[refSpec]].
+    */
   private val refRe: Regex =
-    raw"""\{\{\s*ref\s*\(\s*['"]([^'"]+)['"]\s*\)\s*\}\}""".r
+    raw"""\{\{\s*ref\s*\(([^()]*)\)\s*\}\}""".r
+
+  /** Canonical encoding of a ref's arguments: `[pkg/]name[@vN]` — a
+    * single string key that flows through scan → dependsOn placeholders
+    * → Manifest.resolveRefSpec without widening every `refs: Seq[String]`
+    * signature in between.
+    */
+  def refSpec(argText: String): String = {
+    val args = splitArgs(argText).map(_.trim).filter(_.nonEmpty)
+    def unq(s: String): String =
+      if (s.length >= 2 && ((s.head == '\'' && s.last == '\'') || (s.head == '"' && s.last == '"')))
+        s.substring(1, s.length - 1)
+      else s
+    val (kwargs, positional) = args.partition(a =>
+      a.indexOf('=') > 0 && a.take(a.indexOf('=')).trim.matches(raw"[A-Za-z_]\w*"))
+    val kw = kwargs.map { a =>
+      val eq = a.indexOf('=')
+      a.take(eq).trim -> unq(a.drop(eq + 1).trim)
+    }.toMap
+    val ver = kw.get("v").orElse(kw.get("version"))
+    val (pkg, nm) = positional.map(unq) match {
+      case Seq(n) => (None, n)
+      case Seq(p, n) => (Some(p), n)
+      case other => throw new IllegalArgumentException(s"cannot parse ref($argText): $other")
+    }
+    pkg.fold("")(_ + "/") + nm + ver.fold("")("@v" + _)
+  }
   private val sourceRe: Regex =
     raw"""\{\{\s*source\s*\(\s*['"]([^'"]+)['"]\s*,\s*['"]([^'"]+)['"]\s*\)\s*\}\}""".r
   private val configRe: Regex =
@@ -30,9 +60,11 @@ object Template {
       config: Map[String, Any],
       vars: Seq[String])
 
-  /** Static extraction of refs/sources/config/vars without rendering. */
+  /** Static extraction of refs/sources/config/vars without rendering.
+    * Refs come back as canonical [[refSpec]] strings.
+    */
   def scan(raw: String): Scan = {
-    val refs = refRe.findAllMatchIn(raw).map(_.group(1)).toSeq.distinct
+    val refs = refRe.findAllMatchIn(raw).map(m => refSpec(m.group(1))).toSeq.distinct
     val sources = sourceRe.findAllMatchIn(raw).map(m => (m.group(1), m.group(2))).toSeq.distinct
     val config = configRe.findFirstMatchIn(raw)
       .map(m => parseKwargs(m.group(1)))
@@ -119,7 +151,7 @@ object Template {
       thisRelation: Option[String] = None,
       isIncremental: Boolean = false): String = {
     var out = configRe.replaceAllIn(renderIncrementalBlocks(raw, isIncremental), "")
-    out = refRe.replaceAllIn(out, m => Regex.quoteReplacement(resolveRef(m.group(1))))
+    out = refRe.replaceAllIn(out, m => Regex.quoteReplacement(resolveRef(refSpec(m.group(1)))))
     out = sourceRe.replaceAllIn(out,
       m => Regex.quoteReplacement(resolveSource(m.group(1), m.group(2))))
     out = varRe.replaceAllIn(out, { m =>

@@ -460,4 +460,92 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val vals = st3.read("price_cents").collect().map(_.getLong(0)).sorted.toSeq
     assert(vals == Seq(125L, 250L))
   }
+
+  test("20 local packages + package-qualified and versioned refs") {
+    val d4 = Files.createTempDirectory("graft_pkg_proj")
+    def w4(rel: String, c: String): Unit = {
+      val p = d4.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    // dependency package: its own models + a macro shared globally
+    w4("pkg_util/dbt_project.yml", "name: util\n")
+    w4("pkg_util/macros/double_it.sql",
+      "{% macro double_it(x) %}({{ x }} * 2){% endmacro %}")
+    w4("pkg_util/models/util_base.sql", "SELECT 10 AS v")
+    // root project depends on it via packages.yml local path
+    w4("dbt_project.yml", "name: rootproj\n")
+    w4("packages.yml", "packages:\n  - local: pkg_util\n")
+    // versioned family: rates_v1 / rates_v2 (config(version=N))
+    w4("models/rates_v1.sql", "{{ config(version=1) }}\nSELECT 100 AS r")
+    w4("models/rates_v2.sql", "{{ config(version=2) }}\nSELECT 200 AS r")
+    w4("models/consumer.sql",
+      """{{ config(materialized='table') }}
+        |SELECT (SELECT v FROM {{ ref('util', 'util_base') }}) AS from_pkg,
+        |       (SELECT {{ double_it(r) }} FROM {{ ref('rates') }}) AS latest_doubled,
+        |       (SELECT r FROM {{ ref('rates', v=1) }}) AS pinned_v1""".stripMargin)
+    val p4 = ProjectLoader.resolveRefs(ProjectLoader.load(d4.toString))
+    // package nodes merged under their own package name
+    assert(p4.manifest.nodes.contains("model.util.util_base"))
+    // version pinning resolved in the DAG: consumer depends on v1 AND v2
+    val deps = p4.manifest.nodes("model.rootproj.consumer").dependsOn.toSet
+    assert(deps == Set("model.util.util_base", "model.rootproj.rates_v1",
+      "model.rootproj.rates_v2"), deps.toString)
+    val st4 = new RelationStore(spark, d4.resolve("wh").toString)
+    val r = new Runner(spark, p4, st4,
+      RunOptions(cmd = "run", threads = 2, targetDir = d4.resolve("target").toString)).execute()
+    assert(r.forall(_.status == "success"), r.mkString("\n"))
+    val row = st4.read("consumer").first()
+    assert(row.getInt(0) == 10)   // package-qualified ref
+    assert(row.getInt(1) == 400)  // latest version (200) through pkg macro
+    assert(row.getInt(2) == 100)  // pinned v=1
+  }
+
+  test("21 manifest.json is v12-shaped (envelope, sections, node fields)") {
+    val target = dir.resolve("target").toString
+    Artifacts.writeManifest(target, project.manifest)
+    val doc = graft.artifacts.Json.parse(
+      Files.readString(dir.resolve("target/manifest.json")))
+      .asInstanceOf[Map[String, Any]]
+    // v12 top-level sections (reference artifacts/schemas/manifest/v12)
+    val sections = Seq("metadata", "nodes", "sources", "macros", "docs",
+      "exposures", "metrics", "groups", "selectors", "disabled", "parent_map",
+      "child_map", "group_map", "saved_queries", "semantic_models", "unit_tests")
+    sections.foreach(s => assert(doc.contains(s), s"missing section $s"))
+    val meta = doc("metadata").asInstanceOf[Map[String, Any]]
+    Seq("dbt_schema_version", "dbt_version", "generated_at", "invocation_id",
+      "project_name", "adapter_type", "env").foreach(k =>
+      assert(meta.contains(k), s"missing metadata.$k"))
+    assert(meta("dbt_schema_version").toString.endsWith("manifest/v12.json"))
+    // exposures/metrics live in their own sections, not nodes
+    val nodes = doc("nodes").asInstanceOf[Map[String, Any]]
+    assert(!nodes.keys.exists(_.startsWith("exposure.")))
+    assert(doc("exposures").asInstanceOf[Map[String, Any]].nonEmpty)
+    assert(doc("metrics").asInstanceOf[Map[String, Any]].nonEmpty)
+    // node field fidelity
+    val n = nodes("model.demo.orders_rev").asInstanceOf[Map[String, Any]]
+    Seq("unique_id", "name", "package_name", "resource_type", "schema", "alias",
+      "relation_name", "fqn", "path", "original_file_path", "checksum", "raw_code",
+      "language", "refs", "sources", "depends_on", "tags", "description", "columns",
+      "meta", "docs", "config").foreach(k => assert(n.contains(k), s"missing node.$k"))
+    val ck = n("checksum").asInstanceOf[Map[String, Any]]
+    assert(ck("name") == "sha256" && ck("checksum").toString.length == 64)
+    val dep = n("depends_on").asInstanceOf[Map[String, Any]]
+    assert(dep.contains("nodes") && dep.contains("macros"))
+    // parent_map round-trips through the selector reader (checksum nested form)
+    val back = Artifacts.readManifestChecksums(dir.resolve("target/manifest.json").toString)
+    assert(back("model.demo.orders_rev")._1 == ck("checksum").toString)
+  }
+
+  test("19 test limit caps the fail count before warn/error thresholds") {
+    // stg_orders has 1500 rows; limit=3 must cap fail_calc at 3
+    // (reference wraps the test SQL in LIMIT n)
+    val lim = TestNode("limited_probe", "demo",
+      "SELECT o_orderkey FROM {{ ref('stg_orders') }}",
+      NodeConfig(limit = Some(3)), Seq("model.demo.stg_orders"), Seq("stg_orders"),
+      checksum = FileHash.of("lim"))
+    val m2 = project.manifest.copy(nodes = project.manifest.nodes + (lim.uniqueId -> lim))
+    val r = new Runner(spark, project.copy(manifest = m2), store,
+      opts("test").copy(select = Seq("limited_probe"))).execute()
+    assert(r.size == 1)
+    assert(r.head.failures.contains(3L), r.head)
+  }
 }

@@ -34,6 +34,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(found >= 0.9, s"recall $found on ${strong.size} strong pairs")
   }
 
+  test("hot-shingle df guard leaves the Jaccard pair set invariant") {
+    def pairs(maxDf: Int) = DedupOps.ngramJaccard(spark, sf, maxDf)
+      .select("doc_a", "doc_b", "n_inter", "n_a", "n_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val unguarded = pairs(0)
+    val guarded = pairs(DedupOps.HotShingleMaxDf)
+    assert(guarded == unguarded,
+      s"guard changed the result: missing=${unguarded -- guarded} extra=${guarded -- unguarded}")
+    assert(unguarded.nonEmpty)
+  }
+
   test("IVF top-k: meaningful overlap with brute-force top-k") {
     val exact = SimilarityOps.simTopK(spark, sf)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
