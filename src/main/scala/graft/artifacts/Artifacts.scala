@@ -310,6 +310,53 @@ object Artifacts {
     }
   }
 
+  /** sources.json — freshness results (reference artifacts/schemas/
+    * freshness/v3 FreshnessExecutionResultArtifact): max_loaded_at +
+    * status per source, the input to `source_status:fresher`.
+    */
+  def writeSources(
+      targetDir: String,
+      results: Seq[(String, Option[java.time.Instant], String)]): Unit = {
+    val doc = Map(
+      "metadata" -> Map(
+        "dbt_schema_version" -> "https://schemas.getdbt.com/dbt/sources/v3.json",
+        "dbt_version" -> "1.9.0",
+        "generated_at" -> java.time.Instant.now().toString),
+      "results" -> results.map { case (id, loadedAt, status) => Map(
+        "unique_id" -> id,
+        "max_loaded_at" -> loadedAt.map(_.toString),
+        "status" -> status) })
+    Files.createDirectories(Paths.get(targetDir))
+    Files.writeString(Paths.get(targetDir, "sources.json"), Json.write(doc))
+  }
+
+  def readSourceLoadedAt(path: String): Map[String, java.time.Instant] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return Map.empty
+    Json.parse(Files.readString(p)) match {
+      case m: Map[String @unchecked, Any @unchecked] =>
+        m.get("results") match {
+          case Some(rs: List[Any @unchecked]) =>
+            rs.collect {
+              case r: Map[String @unchecked, Any @unchecked]
+                if r.get("max_loaded_at").exists(v => v != null) =>
+                r("unique_id").toString -> java.time.Instant.parse(r("max_loaded_at").toString)
+            }.toMap
+          case _ => Map.empty
+        }
+      case _ => Map.empty
+    }
+  }
+
+  /** Sources whose max_loaded_at advanced vs the state run — the
+    * `source_status:fresher` set (reference selector_methods.py:45-114).
+    */
+  def fresherSources(currentTargetDir: String, stateDir: String): Set[String] = {
+    val cur = readSourceLoadedAt(s"$currentTargetDir/sources.json")
+    val old = readSourceLoadedAt(s"$stateDir/sources.json")
+    cur.collect { case (id, t) if old.get(id).forall(t.isAfter) => id }.toSet
+  }
+
   /** catalog.json (docs generate; reference core/dbt/task/docs/
     * generate.py:59-122) — column name/type/stats per materialized
     * relation, from the Spark schema.

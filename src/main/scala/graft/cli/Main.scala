@@ -64,7 +64,14 @@ object Main {
 
     def mkOpts(c: String) = RunOptions(
       cmd = c,
-      select = flags.get("select").map(_.split(" ").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+      // --selector NAME resolves a named selector from selectors.yml
+      // (reference core/dbt/graph/cli.py); --select wins if both given
+      select = flags.get("select").map(_.split(" ").toSeq.filter(_.nonEmpty)).getOrElse(
+        flags.get("selector").map { n =>
+          project.selectors.getOrElse(n,
+            throw new IllegalArgumentException(s"unknown selector: $n"))
+            .split(" ").toSeq.filter(_.nonEmpty)
+        }.getOrElse(Nil)),
       exclude = flags.get("exclude").map(_.split(" ").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
       threads = flags.getOrElse("threads", "4").toInt,
       fullRefresh = flags.contains("full-refresh"),
@@ -77,7 +84,16 @@ object Main {
       eventTimeStart = flags.get("event-time-start").map(ProjectLoader.parseInstant),
       eventTimeEnd = flags.get("event-time-end").map(ProjectLoader.parseInstant),
       indirectSelection = flags.getOrElse("indirect-selection", "eager"),
-      previousStatuses = Artifacts.readRunResultStatuses(targetDir))
+      previousStatuses = Artifacts.readRunResultStatuses(targetDir),
+      // source_status:fresher compares this run's sources.json with the
+      // state dir's (both written by `source-freshness`)
+      fresherSources = flags.get("state")
+        .map(st => Artifacts.fresherSources(targetDir,
+          java.nio.file.Paths.get(st).getParent match {
+            case null => st
+            case p => p.toString
+          }))
+        .getOrElse(Set.empty))
 
     def report(results: Seq[RunResult]): Int = {
       results.sortBy(_.uniqueId).foreach { r =>
@@ -160,6 +176,13 @@ object Main {
         Artifacts.writeCatalog(targetDir, rels)
         Artifacts.writeManifest(targetDir, project.manifest)
         println(s"catalog with ${rels.size} relations -> $targetDir/catalog.json")
+        0
+      case "docs-serve" =>
+        // reference cli/main.py:292 docs serve — localhost-only static
+        // server over target/ (catalog.json + manifest.json)
+        val srv = serveDocs(targetDir, flags.getOrElse("port", "8080").toInt)
+        println(s"serving $targetDir on http://127.0.0.1:${srv.getAddress.getPort} (ctrl-c to stop)")
+        while (true) Thread.sleep(60000)
         0
       case "source-freshness" =>
         report(new Runner(spark, project, store, mkOpts("run")).sourceFreshness())
@@ -248,6 +271,39 @@ object Main {
   /** Rebuild a Manifest skeleton from a state manifest.json (only what
     * state:modified compares: checksums + configs).
     */
+  /** Static file server over the artifacts dir (docs serve). JDK
+    * built-in httpserver — zero dependencies, binds loopback only;
+    * port 0 picks an ephemeral port (tests). Caller stops it.
+    */
+  def serveDocs(targetDir: String, port: Int): com.sun.net.httpserver.HttpServer = {
+    val root = java.nio.file.Paths.get(targetDir).toAbsolutePath.normalize
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", new com.sun.net.httpserver.HttpHandler {
+      def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val rel = ex.getRequestURI.getPath.stripPrefix("/") match {
+          case "" => "manifest.json"
+          case p => p
+        }
+        val f = root.resolve(rel).normalize
+        if (!f.startsWith(root) || !java.nio.file.Files.isRegularFile(f)) {
+          val msg = "not found".getBytes("UTF-8")
+          ex.sendResponseHeaders(404, msg.length)
+          ex.getResponseBody.write(msg)
+        } else {
+          val bytes = java.nio.file.Files.readAllBytes(f)
+          ex.getResponseHeaders.set("Content-Type",
+            if (rel.endsWith(".json")) "application/json" else "text/plain")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    server
+  }
+
   private def readStateManifest(current: ProjectLoader.Project, path: String): Manifest = {
     val sums = Artifacts.readManifestChecksums(path)
     // represent old nodes by patching checksums onto current where ids match;

@@ -23,6 +23,8 @@ object NodeType {
   case object Analysis extends NodeType("analysis")
   case object Exposure extends NodeType("exposure")
   case object Metric extends NodeType("metric")
+  case object SemanticModel extends NodeType("semantic_model")
+  case object SavedQuery extends NodeType("saved_query")
   val executable: Set[NodeType] = Set(Model, Seed, Snapshot, Test, UnitTest)
   val refable: Set[NodeType] = Set(Model, Seed, Snapshot)
 }
@@ -292,6 +294,36 @@ final case class MetricNode(
   extends Node {
   val uniqueId = s"metric.$packageName.$name"
   val resourceType: NodeType = NodeType.Metric
+}
+
+/** Semantic-layer model over a base model (reference nodes.py
+  * SemanticModel; semantic_models: in schema YAML). Metadata-only:
+  * participates in the graph and selection, never executed.
+  */
+final case class SemanticModelNode(
+    name: String,
+    packageName: String,
+    model: String, // ref target
+    dependsOn: Seq[String],
+    config: NodeConfig = NodeConfig(),
+    checksum: FileHash = FileHash(""))
+  extends Node {
+  val uniqueId = s"semantic_model.$packageName.$name"
+  val resourceType: NodeType = NodeType.SemanticModel
+}
+
+/** Saved query over semantic models (reference nodes.py SavedQuery;
+  * saved_queries: in schema YAML). Metadata-only.
+  */
+final case class SavedQueryNode(
+    name: String,
+    packageName: String,
+    dependsOn: Seq[String],
+    config: NodeConfig = NodeConfig(),
+    checksum: FileHash = FileHash(""))
+  extends Node {
+  val uniqueId = s"saved_query.$packageName.$name"
+  val resourceType: NodeType = NodeType.SavedQuery
 }
 
 /** Project-level hook (reference nodes.py:438 HookNode, on-run-start/end). */

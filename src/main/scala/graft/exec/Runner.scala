@@ -32,6 +32,10 @@ final case class RunOptions(
       * (reference run.py:494-508 failed-batch rerun).
       */
     retryBatches: Map[String, Seq[String]] = Map.empty,
+    /** `source_status:fresher` inputs (uniqueIds whose max_loaded_at
+      * advanced vs the state artifacts; Artifacts.fresherSources).
+      */
+    fresherSources: Set[String] = Set.empty,
     now: Instant = Instant.now())
 
 /** The execution core (reference GraphRunnableTask, core/dbt/task/
@@ -95,7 +99,8 @@ final class Runner(
 
   def selectedIds(): Set[String] = {
     val base = Selector.select(manifest, graph, opts.select, opts.exclude,
-      opts.stateManifest, opts.previousStatuses, opts.indirectSelection)
+      opts.stateManifest, opts.previousStatuses, opts.indirectSelection,
+      opts.fresherSources)
     base.filter(id => manifest.get(id).exists(n =>
       typesFor(opts.cmd).contains(n.resourceType) && n.config.enabled))
   }
@@ -424,7 +429,7 @@ final class Runner(
     */
   def sourceFreshness(): Seq[RunResult] = {
     Sources.registerAll(spark, manifest, vars)
-    manifest.sources.values.toSeq
+    val rows = manifest.sources.values.toSeq
       .filter(s => s.loadedAtField.nonEmpty)
       .map { s =>
         val t0 = System.nanoTime()
@@ -440,13 +445,17 @@ final class Runner(
             case (Some(a), _, Some(warn)) if a.compareTo(warn) > 0 => "warn"
             case _ => "pass"
           }
-          RunResult(s.uniqueId, status, (System.nanoTime() - t0) / 1e9,
-            s"age=${age.map(_.toString).getOrElse("unknown")}")
+          (loadedAt, RunResult(s.uniqueId, status, (System.nanoTime() - t0) / 1e9,
+            s"age=${age.map(_.toString).getOrElse("unknown")}"))
         } catch {
           case e: Exception =>
-            RunResult(s.uniqueId, "error", (System.nanoTime() - t0) / 1e9,
-              Option(e.getMessage).getOrElse("").take(300))
+            (None, RunResult(s.uniqueId, "error", (System.nanoTime() - t0) / 1e9,
+              Option(e.getMessage).getOrElse("").take(300)))
         }
       }
+    // persist sources.json — the input to `source_status:fresher`
+    Artifacts.writeSources(opts.targetDir,
+      rows.map { case (loadedAt, r) => (r.uniqueId, loadedAt, r.status) })
+    rows.map(_._2)
   }
 }

@@ -54,7 +54,8 @@ object Selector {
       c: Criterion,
       manifest: Manifest,
       stateManifest: Option[Manifest],
-      previousStatuses: Map[String, String]): Set[String] = {
+      previousStatuses: Map[String, String],
+      fresherSources: Set[String]): Set[String] = {
     def all = manifest.all
     c.method match {
       case "fqn" =>
@@ -109,6 +110,16 @@ object Selector {
         all.collect { case (id, n: ExposureNode) if globMatch(c.value, n.name) => id }.toSet
       case "metric" =>
         all.collect { case (id, n: MetricNode) if globMatch(c.value, n.name) => id }.toSet
+      case "semantic_model" =>
+        all.collect { case (id, n: SemanticModelNode) if globMatch(c.value, n.name) => id }.toSet
+      case "saved_query" =>
+        all.collect { case (id, n: SavedQueryNode) if globMatch(c.value, n.name) => id }.toSet
+      case "source_status" =>
+        // sources whose max_loaded_at advanced vs the state artifacts
+        // (reference SourceStatusSelectorMethod, selector_methods.py:45-114)
+        if (c.value != "fresher")
+          throw new IllegalArgumentException(s"unsupported source_status:${c.value}")
+        fresherSources
       case other =>
         throw new IllegalArgumentException(s"unknown selector method: $other")
     }
@@ -135,14 +146,15 @@ object Selector {
       excludeTokens: Seq[String] = Nil,
       stateManifest: Option[Manifest] = None,
       previousStatuses: Map[String, String] = Map.empty,
-      indirect: String = "eager"): Set[String] = {
+      indirect: String = "eager",
+      fresherSources: Set[String] = Set.empty): Set[String] = {
 
     def evalToken(tok: String): Set[String] =
       tok.split(",").map(t => evalCriterion(t.trim)).reduce(_ intersect _)
 
     def evalCriterion(tok: String): Set[String] = {
       val c = parseCriterion(tok)
-      val base = baseMatch(c, manifest, stateManifest, previousStatuses)
+      val base = baseMatch(c, manifest, stateManifest, previousStatuses, fresherSources)
       var out = base
       c.parentsDepth.foreach(d => out = out ++ base.flatMap(graph.ancestors(_, d)))
       c.childrenDepth.foreach(d => out = out ++ base.flatMap(graph.descendants(_, d)))

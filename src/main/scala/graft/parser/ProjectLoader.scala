@@ -14,7 +14,11 @@ object ProjectLoader {
       name: String,
       dir: String,
       vars: Map[String, String],
-      manifest: Manifest)
+      manifest: Manifest,
+      /** Named selectors from selectors.yml (reference
+        * core/dbt/graph/cli.py): name → definition token string.
+        */
+      selectors: Map[String, String] = Map.empty)
 
   def load(projectDir: String, cliVars: Map[String, String] = Map.empty): Project =
     load0(projectDir, cliVars, inheritedMacros = None)
@@ -298,6 +302,35 @@ object ProjectLoader {
           }
         case _ =>
       }
+      // semantic models (reference nodes.py SemanticModel) — metadata
+      // over a base model, selectable, never executed
+      doc.get("semantic_models") match {
+        case Some(ss: List[Any @unchecked]) =>
+          for (s0 <- ss) {
+            val sm = s0.asInstanceOf[Map[String, Any]]
+            val model = sm.getOrElse("model", "").toString
+            val modelRef = Template.scan(s"{{ $model }}").refs.headOption.getOrElse(model)
+            val node = SemanticModelNode(sm("name").toString, name,
+              modelRef, Seq(s"__ref__.$name.$modelRef"),
+              checksum = FileHash.of(sm.toString))
+            nodes(node.uniqueId) = node
+          }
+        case _ =>
+      }
+      // saved queries (reference nodes.py SavedQuery) — depend on
+      // semantic models / metrics by name
+      doc.get("saved_queries") match {
+        case Some(qs: List[Any @unchecked]) =>
+          for (q0 <- qs) {
+            val q = q0.asInstanceOf[Map[String, Any]]
+            val deps = q.getOrElse("depends_on", Nil).asInstanceOf[List[Any]]
+              .map(_.toString)
+            val node = SavedQueryNode(q("name").toString, name, deps,
+              checksum = FileHash.of(q.toString))
+            nodes(node.uniqueId) = node
+          }
+        case _ =>
+      }
       // unit tests (reference parser/unit_tests.py formats: dict rows)
       doc.get("unit_tests") match {
         case Some(us: List[Any @unchecked]) =>
@@ -335,12 +368,26 @@ object ProjectLoader {
     // vars override package defaults (reference var precedence)
     val subs = localPkgDirs.map(pd => load0(pd.toString, cliVars, Some(macroTable)))
     val mergedVars = subs.foldLeft(Map.empty[String, String])(_ ++ _.vars) ++ vars
+    // named selectors (selectors.yml; the string-definition form)
+    val selectors: Map[String, String] = {
+      val sf = dir.resolve("selectors.yml")
+      if (!Files.exists(sf)) Map.empty
+      else MiniYaml.parseMap(Files.readString(sf)).get("selectors") match {
+        case Some(l: List[Any @unchecked]) => l.collect {
+          case m: Map[String @unchecked, Any @unchecked]
+            if m.contains("name") && m.contains("definition") =>
+            m("name").toString -> m("definition").toString
+        }.toMap
+        case _ => Map.empty
+      }
+    }
     Project(name, projectDir, mergedVars,
       Manifest(
         subs.foldLeft(nodes.toMap)((acc, sp) => acc ++ sp.manifest.nodes),
         subs.foldLeft(sources.toMap)((acc, sp) => acc ++ sp.manifest.sources),
         subs.foldLeft(unitTests.toMap)((acc, sp) => acc ++ sp.manifest.unitTests),
-        onRunStart, onRunEnd, name))
+        onRunStart, onRunEnd, name),
+      selectors)
   }
 
   private def filesUnder(d: Path, ext: String): Seq[Path] =
@@ -473,6 +520,8 @@ object ProjectLoader {
       case (id, n: TestNode) => id -> n.copy(dependsOn = fix(n.dependsOn))
       case (id, n: ExposureNode) => id -> n.copy(dependsOn = fix(n.dependsOn))
       case (id, n: MetricNode) => id -> n.copy(dependsOn = fix(n.dependsOn))
+      case (id, n: SemanticModelNode) => id -> n.copy(dependsOn = fix(n.dependsOn))
+      case (id, n: SavedQueryNode) => id -> n.copy(dependsOn = fix(n.dependsOn))
       case (id, n) => id -> n
     }
     p.copy(manifest = m.copy(nodes = nodes2))

@@ -535,6 +535,70 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back("model.demo.orders_rev")._1 == ck("checksum").toString)
   }
 
+  test("22 semantic models, saved queries, named selectors, source_status, docs serve") {
+    val d5 = Files.createTempDirectory("graft_sl_proj")
+    def w5(rel: String, c: String): Unit = {
+      val p = d5.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    w5("dbt_project.yml", "name: sl\n")
+    w5("models/base.sql", "SELECT 1 AS x")
+    w5("models/schema.yml",
+      """version: 2
+        |semantic_models:
+        |  - name: sm_base
+        |    model: ref('base')
+        |saved_queries:
+        |  - name: sq_daily
+        |    depends_on:
+        |      - semantic_model.sl.sm_base
+        |""".stripMargin)
+    w5("selectors.yml",
+      """selectors:
+        |  - name: sl_all
+        |    definition: "+saved_query:sq_daily"
+        |""".stripMargin)
+    val p5 = ProjectLoader.resolveRefs(ProjectLoader.load(d5.toString))
+    val m = p5.manifest
+    val sm = m.nodes("semantic_model.sl.sm_base")
+    assert(sm.dependsOn == Seq("model.sl.base"))
+    assert(m.nodes("saved_query.sl.sq_daily").dependsOn == Seq("semantic_model.sl.sm_base"))
+    val g = graft.graph.Linker.link(m)
+    assert(graft.graph.Selector.select(m, g, Seq("semantic_model:sm_base"))
+      .contains("semantic_model.sl.sm_base"))
+    assert(graft.graph.Selector.select(m, g, Seq("saved_query:sq_daily"))
+      .contains("saved_query.sl.sq_daily"))
+    // named selector from selectors.yml: +saved_query pulls ancestors
+    assert(p5.selectors("sl_all") == "+saved_query:sq_daily")
+    val viaNamed = graft.graph.Selector.select(m, g,
+      p5.selectors("sl_all").split(" ").toSeq)
+    assert(viaNamed.contains("model.sl.base"), viaNamed.toString)
+
+    // source_status:fresher — current sources.json newer than state's
+    val curT = d5.resolve("target").toString
+    val oldT = d5.resolve("state").toString
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    Artifacts.writeSources(oldT, Seq(("source.sl.a.t1", Some(t0), "pass"),
+      ("source.sl.a.t2", Some(t0), "pass")))
+    Artifacts.writeSources(curT, Seq(("source.sl.a.t1", Some(t0.plusSeconds(3600)), "pass"),
+      ("source.sl.a.t2", Some(t0), "pass")))
+    val fresher = Artifacts.fresherSources(curT, oldT)
+    assert(fresher == Set("source.sl.a.t1"))
+    assert(graft.graph.Selector.select(m, g, Seq("source_status:fresher"),
+      fresherSources = fresher) == Set("source.sl.a.t1"))
+
+    // docs serve: static artifacts over loopback http
+    Artifacts.writeManifest(curT, m)
+    val srv = graft.cli.Main.serveDocs(curT, 0)
+    try {
+      val url = new java.net.URI(
+        s"http://127.0.0.1:${srv.getAddress.getPort}/manifest.json").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(body.contains("manifest/v12.json"))
+    } finally srv.stop(0)
+  }
+
   test("19 test limit caps the fail count before warn/error thresholds") {
     // stg_orders has 1500 rows; limit=3 must cap fail_calc at 3
     // (reference wraps the test SQL in LIMIT n)
