@@ -76,6 +76,8 @@ object SparkEntry {
     // multimodal plumbing
     "mm_meta" -> (Multimodal.mmMeta _),
     "mm_features" -> (Multimodal.mmFeatures _),
+    "mm_resize" -> (Multimodal.mmResize _),
+    "mm_frame_sample" -> (Multimodal.mmFrameSample _),
   )
 
   /** DuckDB-dialect oracle SQL per query (same column names as the Spark
@@ -446,5 +448,29 @@ object SparkEntry {
              COALESCE(CAST(list_sum(bs[6*st+1 : 7*st]) AS BIGINT), 0) AS f6,
              COALESCE(CAST(list_sum(bs[7*st+1 : CAST(n AS INT)]) AS BIGINT), 0) AS f7
       FROM b""",
+    "mm_resize" -> ("""
+      WITH h AS (
+        SELECT doc_id, lower(hex(encode(text))) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents
+      )
+      SELECT doc_id, n AS n_bytes,
+      """ + (0 until 16).map { k =>
+        s"""CASE WHEN n > 0 THEN
+             (strpos('0123456789abcdef', hx[CAST(2*((n*$k)//16) + 1 AS INT)]) - 1) * 16
+             + strpos('0123456789abcdef', hx[CAST(2*((n*$k)//16) + 2 AS INT)]) - 1
+           ELSE 0 END AS t$k"""
+      }.mkString(",\n") + "\nFROM h"),
+    "mm_frame_sample" -> """
+      WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
+        FROM documents
+      )
+      SELECT doc_id, frame_idx,
+             CAST(length(substr(hx, CAST(frame_idx*512 + 1 AS INT), 512)) / 2 AS INT) AS frame_bytes,
+             substr(hx, CAST(frame_idx*512 + 1 AS INT), 512) AS frame_hex
+      FROM (SELECT doc_id, hx, unnest(range(0, n_frames, 4)) AS frame_idx
+            FROM p WHERE n_frames > 0) f""",
   )
 }

@@ -193,6 +193,8 @@ final class Runner(
   private def runModel(m: ModelNode): RunResult = {
     val t0 = System.nanoTime()
     def elapsed = (System.nanoTime() - t0) / 1e9
+    if (m.config.meta.get("language").contains("python"))
+      return hooksAround(m)(runPythonModel(m, elapsed))
     hooksAround(m) {
       m.config.materialized match {
         case Materialized.Ephemeral =>
@@ -219,6 +221,37 @@ final class Runner(
           throw new IllegalStateException(s"model ${m.name} has materialization $other")
       }
     }
+  }
+
+  /** Python model execution (reference ModelRunner → submit_python_job,
+    * providers.py:1513): the declared refs/sources become the inputs
+    * map, the registered JVM implementation stands in for the Python
+    * job submission, and the result materializes like any model.
+    */
+  private def runPythonModel(m: ModelNode, elapsed: => Double): RunResult = {
+    val impl = PythonModels.get(m.name).getOrElse(throw new IllegalStateException(
+      s"python model ${m.name}: no in-process Python runtime — register a JVM " +
+        s"""implementation via PythonModels.register("${m.name}")(...) """ +
+        "(on a cluster this seam submits the .py source as a batch job)"))
+    val inputs: Map[String, DataFrame] =
+      m.refs.map { r =>
+        val target = manifest.resolveRefSpec(r).getOrElse(
+          throw new IllegalArgumentException(s"python model ${m.name}: ref not found: $r"))
+        r -> spark.table(materializer.sqlName(target))
+      }.toMap ++
+      m.sources.map { case (a, b) =>
+        val sn = manifest.resolveSource(a, b).getOrElse(
+          throw new IllegalArgumentException(s"python model ${m.name}: source not found: $a.$b"))
+        s"$a.$b" -> spark.table(Sources.viewName(sn))
+      }
+    val df = impl(spark, inputs)
+    m.config.materialized match {
+      case Materialized.Incremental =>
+        materializer.incremental(m, df,
+          opts.fullRefresh || m.config.fullRefresh.contains(true))
+      case _ => materializer.table(m, df)
+    }
+    RunResult(m.uniqueId, "success", elapsed, s"PYTHON ${m.config.materialized.name.toUpperCase}")
   }
 
   /** Microbatch loop (reference run.py:483-563): window arithmetic from

@@ -75,4 +75,50 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** "Resize" plumbing: a fixed-size thumbnail from an opaque payload —
+    * here 16 evenly-spaced byte samples t0..t15 (a real image resize
+    * swaps the sampling kernel for a codec call; the Spark-side shape —
+    * binary column in, fixed-width numeric columns out, all codegen'd
+    * built-ins, no UDF — is the production shape). Byte k reads
+    * position floor(k*n/16); hex+conv turns the 1-byte slice into its
+    * integer value without leaving whole-stage codegen.
+    */
+  def mmResize(s: SparkSession, dir: String): DataFrame = {
+    val n = 16
+    val base = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("n", length(col("payload")).cast("long"))
+    val samples = (0 until n).map { k =>
+      when(col("n") > 0,
+        conv(hex(expr(s"substring(payload, cast((n * $k div $n) + 1 as int), 1)")), 16, 10)
+          .cast("long"))
+        .otherwise(0L).as(s"t$k")
+    }
+    base.select(col("doc_id") +: col("n").as("n_bytes") +: samples: _*)
+  }
+
+  /** "Frame sample" plumbing: treat the payload as fixed-size frames
+    * (256 bytes) and take every 4th frame — the Spark shape of video
+    * frame extraction (sequence + posexplode + substring are all native
+    * expressions; a real pipeline replaces the digest with a decode
+    * UDF over the frame bytes). Output one row per sampled frame.
+    */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val frameLen = 256
+    val stride = 4
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("n_frames", ceil(length(col("payload")) / lit(frameLen.toDouble)).cast("long"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("payload"),
+        explode(expr(s"sequence(0L, n_frames - 1, $stride)")).as("frame_idx"))
+      .withColumn("frame",
+        expr(s"substring(payload, cast(frame_idx * $frameLen + 1 as int), $frameLen)"))
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).as("frame_bytes"),
+        // hex, not md5: the oracle engine can only slice blobs via
+        // their hex encoding, so emit the comparable form directly
+        hex(col("frame")).as("frame_hex"))
+  }
 }

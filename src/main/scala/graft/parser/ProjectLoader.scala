@@ -125,6 +125,41 @@ object ProjectLoader {
       nodes(node.uniqueId) = node
     }
 
+    // ---- python models (models/*.py; reference parser
+    // core/dbt/parser/models.py:31-173 PythonParser — static extraction
+    // of dbt.ref/dbt.source/dbt.config, no Python execution at parse
+    // time there either). Execution goes through exec.PythonModels.
+    for (f <- files("models", ".py")) {
+      val raw = Files.readString(f)
+      val pyRef =
+        raw"""dbt\.ref\(\s*['"]([^'"]+)['"](?:\s*,\s*['"]([^'"]+)['"])?\s*\)""".r
+      val pySrc =
+        raw"""dbt\.source\(\s*['"]([^'"]+)['"]\s*,\s*['"]([^'"]+)['"]\s*\)""".r
+      val pyCfg = raw"""(?s)dbt\.config\((.*?)\)""".r
+      // dbt.ref('pkg','model') → the canonical pkg/model spec
+      val refs = pyRef.findAllMatchIn(raw).map { m =>
+        Option(m.group(2)).map(x => s"${m.group(1)}/$x").getOrElse(m.group(1))
+      }.toSeq.distinct
+      val srcs = pySrc.findAllMatchIn(raw).map(m => (m.group(1), m.group(2))).toSeq.distinct
+      val cfgMap = pyCfg.findFirstMatchIn(raw)
+        .map(m => Template.parseKwargs(m.group(1))).getOrElse(Map.empty[String, Any])
+      val mname = f.getFileName.toString.stripSuffix(".py")
+      val cfg0 = configFrom(modelDefaults ++ cfgMap)
+      val cfg = cfg0.copy(
+        meta = cfg0.meta + ("language" -> "python"),
+        // python models default to table (view is invalid for them in
+        // the reference, parser/models.py)
+        materialized =
+          if (cfgMap.contains("materialized")) cfg0.materialized else Materialized.Table)
+      val deps = refs.map(r => refId(r, name)) ++
+        srcs.map { case (a, b) => s"source.$name.$a.$b" }
+      val node = ModelNode(
+        name = mname, packageName = name, rawCode = raw, config = cfg,
+        dependsOn = deps, refs = refs, sources = srcs,
+        path = dir.relativize(f).toString, checksum = FileHash.of(raw))
+      nodes(node.uniqueId) = node
+    }
+
     // ---- snapshots ----
     for (f <- files("snapshots", ".sql")) {
       val orig = Files.readString(f)

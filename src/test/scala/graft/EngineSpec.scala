@@ -599,6 +599,46 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.stop(0)
   }
 
+  test("23 python models: static ingestion into the DAG + JVM execution seam") {
+    val d6 = Files.createTempDirectory("graft_py_proj")
+    def w6(rel: String, c: String): Unit = {
+      val p = d6.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    w6("dbt_project.yml", "name: pydemo\n")
+    w6("models/base_nums.sql", "SELECT 1 AS k UNION ALL SELECT 2 AS k UNION ALL SELECT 3 AS k")
+    w6("models/py_sum.py",
+      """import pandas  # noqa — parsed statically, never executed here
+        |
+        |def model(dbt, session):
+        |    dbt.config(materialized="table", tags=["py"])
+        |    base = dbt.ref("base_nums")
+        |    return base.groupBy().sum("k")
+        |""".stripMargin)
+    val p6 = ProjectLoader.resolveRefs(ProjectLoader.load(d6.toString))
+    val py = p6.manifest.nodes("model.pydemo.py_sum").asInstanceOf[ModelNode]
+    // static extraction: ref edge, config kwargs, python marker, table default
+    assert(py.dependsOn == Seq("model.pydemo.base_nums"))
+    assert(py.config.meta.get("language").contains("python"))
+    assert(py.config.materialized == Materialized.Table)
+    assert(py.tags == Seq("py"))
+    val st6 = new RelationStore(spark, d6.resolve("wh").toString)
+    // without a registered implementation, the run reports the seam error
+    val r0 = new Runner(spark, p6, st6,
+      RunOptions(cmd = "run", threads = 1, targetDir = d6.resolve("target").toString)).execute()
+    assert(r0.find(_.uniqueId == "model.pydemo.py_sum").exists(r =>
+      r.status == "error" && r.message.contains("no in-process Python runtime")))
+    // with one, the model runs and materializes like any other
+    graft.exec.PythonModels.register("py_sum") { (_, inputs) =>
+      inputs("base_nums").groupBy().sum("k").withColumnRenamed("sum(k)", "total")
+    }
+    try {
+      val r1 = new Runner(spark, p6, st6,
+        RunOptions(cmd = "run", threads = 1, targetDir = d6.resolve("target").toString)).execute()
+      assert(r1.forall(_.status == "success"), r1.mkString("\n"))
+      assert(st6.read("py_sum").first().getLong(0) == 6L)
+    } finally graft.exec.PythonModels.unregister("py_sum")
+  }
+
   test("19 test limit caps the fail count before warn/error thresholds") {
     // stg_orders has 1500 rows; limit=3 must cap fail_calc at 3
     // (reference wraps the test SQL in LIMIT n)
