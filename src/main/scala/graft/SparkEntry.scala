@@ -61,6 +61,7 @@ object SparkEntry {
     "txt_quality" -> (TextOps.txtQuality _),
     "txt_langid" -> (TextOps.txtLangId _),
     "txt_fingerprint" -> (TextOps.txtFingerprint _),
+    "txt_bpe_tokens" -> (TextOps.txtBpeTokens _),
     "txt_winnow" -> (TextOps.txtWinnow _),
     "txt_pipeline_clean" -> (TextOps.txtPipelineClean _),
     // dedup
@@ -359,6 +360,12 @@ object SparkEntry {
     "txt_fingerprint" -> """
       SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
              LENGTH(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_len
+      FROM documents""",
+    "txt_bpe_tokens" -> """
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+')) AS BIGINT) AS n_pieces,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha_pieces,
+             CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_pieces
       FROM documents""",
     "dedup_exact" -> """
       SELECT doc_id, fp, keeper, CAST(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END AS BIGINT) AS keep,

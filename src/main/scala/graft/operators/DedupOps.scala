@@ -71,17 +71,40 @@ object DedupOps {
     // (collision odds ~1e-8 at 1M shingles), ~10x less shuffle volume
     val sh = shingles(s, dir).select(col("doc_id"), xxhash64(col("s")).as("h")).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val joinable =
-      if (maxDf <= 0) sh
-      else sh.join(
-        sh.groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
-        Seq("h"), "left_semi")
+    // the guard's two-phase plan (candidate join on rare shingles +
+    // exact re-score over candidate docs) costs ~2x the single-pass
+    // join — only pay it when hot shingles actually exist. The probe
+    // is one partial-aggregated scan of the cached shingles; at scale
+    // this is the same metadata-cost decision AQE makes at runtime.
+    val hasHot = maxDf > 0 &&
+      !sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).isEmpty
+    def scored(inter: DataFrame): DataFrame = inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), Seq("doc_b"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .filter(col("n_inter") * 5 >= col("n_union"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
+    if (!hasHot) {
+      // no hot shingles → the single self-join is already df-bounded
+      val inter = sh.select(col("doc_id").as("doc_a"), col("h"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+      return scored(inter)
+    }
+    // hot shingles present: candidate generation joins only rare
+    // shingles (per-key fanout capped at maxDf²), then exact scoring
+    // over every shingle of the candidate documents — identical values
+    // to the unguarded plan for all surviving pairs
+    val joinable = sh.join(
+      sh.groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
+      Seq("h"), "left_semi")
     val cand = joinable.select(col("doc_id").as("doc_a"), col("h"))
       .join(joinable.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    // exact scoring over every shingle of the candidate documents —
-    // identical values to the unguarded plan for all surviving pairs
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
@@ -89,13 +112,7 @@ object DedupOps {
       .join(shc.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-    cand.join(inter, Seq("doc_a", "doc_b"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), Seq("doc_b"))
-      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
-      .filter(col("n_inter") * 5 >= col("n_union"))
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
-        (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
+    scored(cand.join(inter, Seq("doc_a", "doc_b")))
   }
 
   /** MinHash + LSH banding near-dup candidates, verified by exact

@@ -30,7 +30,7 @@ object SimilarityOps {
     Tables.load(s, dir, "embeddings").select(
       col("vec_id"),
       expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))").as("q"))
-      .withColumn("nq", expr("aggregate(q, 0L, (acc,x) -> acc + x*x)"))
+      .withColumn("nq", expr("dot_i64(q, q)")) // native codegen'd dot (functions.DotI64)
 
   /** Brute-force cosine top-5 neighbors for the first 10 query vectors.
     *
@@ -111,8 +111,6 @@ object SimilarityOps {
     * so exact-by-contract means blocked all-pairs.
     */
   def embNearDup(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
     val minCos = 0.4
     val nBlocks = 8
     val e = quantized(s, dir)
@@ -127,31 +125,19 @@ object SimilarityOps {
       .withColumn("pi", explode(expr("sequence(0, blk)")))
       .select(col("vec_id").as("idb"), col("q").as("qb"), col("nq").as("nb"),
         col("pi"), col("blk").as("pj"))
-    val joined = left.join(right, Seq("pi", "pj"))
+    left.join(right, Seq("pi", "pj"))
       // same-block pairs appear in both orientations: keep one; cross-block
       // pairs appear exactly once (ida's block == pi, idb's block == pj)
       .filter((col("pi") =!= col("pj")) || (col("ida") < col("idb")))
       .filter(col("ida") =!= col("idb"))
-      .select(col("ida"), col("qa"), col("na"), col("idb"), col("qb"), col("nb"))
-    val outSchema = StructType(Seq(
-      StructField("vec_a", LongType), StructField("vec_b", LongType),
-      StructField("dot", LongType), StructField("cos", DoubleType)))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    joined.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val ida = r.getLong(0)
-        val qa = r.getSeq[Long](1)
-        val na = r.getLong(2)
-        val idb = r.getLong(3)
-        val qb = r.getSeq[Long](4)
-        val nb = r.getLong(5)
-        var dot = 0L; var i = 0
-        while (i < qa.length) { dot += qa(i) * qb(i); i += 1 }
-        val cos = dot / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
-        if (cos >= minCos) Some(Row(math.min(ida, idb), math.max(ida, idb), dot, cos))
-        else None
-      }
-    }(enc)
+      // the native dot expression keeps scoring inside whole-stage
+      // codegen right through the filter (no mapPartitions break)
+      .withColumn("dot", expr("dot_i64(qa, qb)"))
+      .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cos") >= minCos)
+      .select(least(col("ida"), col("idb")).as("vec_a"),
+        greatest(col("ida"), col("idb")).as("vec_b"),
+        col("dot"), col("cos"))
   }
 
   /** IVF (inverted-file) ANN: partition the corpus into cells around
@@ -188,7 +174,7 @@ object SimilarityOps {
         Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        expr("aggregate(zip_with(qv, cv, (a,b) -> a*b), 0L, (acc,x) -> acc + x)").as("dot"),
+        expr("dot_i64(qv, cv)").as("dot"),
         col("qn"), col("cn2"))
       .withColumn("cos", col("dot") / (sqrt(col("qn")) * sqrt(col("cn2"))))
       .dropDuplicates("qid", "cid")
@@ -252,7 +238,7 @@ object SimilarityOps {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     qs.join(cs, Seq("bucket")).filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        expr("aggregate(zip_with(qv, cv, (a,b) -> a*b), 0L, (acc,x) -> acc + x)").as("dot"),
+        expr("dot_i64(qv, cv)").as("dot"),
         col("na"), col("nb"))
       .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
       .withColumn("rn", row_number().over(w))

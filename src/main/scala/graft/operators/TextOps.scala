@@ -67,6 +67,21 @@ object TextOps {
   }
 
   /** Content fingerprint: md5 over normalized text (the exact-dedup key). */
+  /** BPE-ish token counting: a GPT-2-style piece pattern (contraction
+    * suffixes, letter runs, digit runs, punctuation runs) — the
+    * standard pre-tokenizer shape, so the count tracks real BPE token
+    * budgets closely without a merges table. Pure regexp_count →
+    * row-parallel, codegen'd, zero shuffles.
+    */
+  private val BpePiece = """'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s']+"""
+
+  def txtBpeTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(BpePiece)).cast("long").as("n_pieces"),
+      regexp_count(col("text"), lit("[A-Za-z]+")).cast("long").as("n_alpha_pieces"),
+      regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_num_pieces"))
+
   def txtFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),

@@ -39,10 +39,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_a", "doc_b", "n_inter", "n_a", "n_b").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
     val unguarded = pairs(0)
+    assert(unguarded.nonEmpty)
+    // production threshold: pair set identical (fast path when the
+    // corpus has no hot shingles at all)
     val guarded = pairs(DedupOps.HotShingleMaxDf)
     assert(guarded == unguarded,
       s"guard changed the result: missing=${unguarded -- guarded} extra=${guarded -- unguarded}")
-    assert(unguarded.nonEmpty)
+    // force the two-phase branch with a tight df cut (df <= 2 — the
+    // corpus HAS shingles above that, so candidate generation actually
+    // filters): every emitted pair must carry EXACT unguarded values
+    // (the full-shingle re-score), i.e. the guard can only lose pairs
+    // whose every shared shingle is hot, never corrupt one
+    val tight = pairs(2)
+    assert(tight.nonEmpty)
+    assert(tight.subsetOf(unguarded), s"two-phase emitted wrong values: ${tight -- unguarded}")
   }
 
   test("IVF top-k: meaningful overlap with brute-force top-k") {

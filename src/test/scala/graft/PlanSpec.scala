@@ -98,6 +98,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*("), "expected WholeStageCodegen *(n) spans")
   }
 
+  test("dot_i64: native expression, correct, codegen'd in similarity plans") {
+    // correctness against the interpreted higher-order spelling
+    val row = spark.sql(
+      """SELECT dot_i64(array(1L,2L,3L), array(4L,5L,6L)) AS d,
+        |       aggregate(zip_with(array(1L,2L,3L), array(4L,5L,6L), (a,b) -> a*b),
+        |                 0L, (acc,x) -> acc + x) AS ref""".stripMargin).first()
+    assert(row.getLong(0) == 32L && row.getLong(0) == row.getLong(1))
+    // empty/mismatched lengths take the common prefix
+    assert(spark.sql("SELECT dot_i64(array(), array(1L))").first().getLong(0) == 0L)
+    // the exact near-dup scorer stays inside whole-stage codegen
+    val plan = executedPhysical(SimilarityOps.embNearDup(spark, sf))
+    assert(plan.contains("*("), "expected WholeStageCodegen spans")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "corpus must never broadcast for the exact near-dup")
+  }
+
+  test("simTopK streams the corpus once — no corpus-side broadcast or extra shuffle") {
+    val df = SimilarityOps.simTopK(spark, sf)
+    val plan = executedPhysical(df)
+    // the only exchange is the final per-probe top-k merge
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "corpus must not be join-broadcast")
+  }
+
   test("partitioned relation writes enable partition-pruned scans") {
     import org.apache.spark.sql.functions._
     import graft.exec.RelationStore
