@@ -210,10 +210,21 @@ object Main {
         println(s"cleaned $targetDir")
         0
       case "run-operation" =>
-        // reference cli/main.py run-operation:650 — execute an ad-hoc
-        // statement with the project context attached
-        val sql = flags.getOrElse("inline",
-          throw new IllegalArgumentException("run-operation requires --inline SQL"))
+        // reference task/run_operation.py — execute a project macro (the
+        // primary form: `run-operation my_macro --args k=v,...`) or an
+        // ad-hoc statement (--inline) with the project context attached
+        val sql = flags.get("inline").getOrElse {
+          val macroName = flags.getOrElse("macro",
+            throw new IllegalArgumentException(
+              "run-operation requires --macro NAME [--args k=v,...] or --inline SQL"))
+          val args = flags.get("args")
+            .map(_.split(",").toSeq.filter(_.nonEmpty).mkString(", ")).getOrElse("")
+          val call = s"{{ $macroName($args) }}"
+          val expanded = graft.parser.Macros.expand(call, project.macros)
+          if (expanded == call)
+            throw new IllegalArgumentException(s"macro not found: $macroName")
+          expanded
+        }
         Sources.registerAll(spark, project.manifest, project.vars ++ cliVars)
         store.attach()
         val compiler = new Compiler(project.manifest, project.vars ++ cliVars)

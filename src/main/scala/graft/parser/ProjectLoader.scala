@@ -18,7 +18,11 @@ object ProjectLoader {
       /** Named selectors from selectors.yml (reference
         * core/dbt/graph/cli.py): name → definition token string.
         */
-      selectors: Map[String, String] = Map.empty)
+      selectors: Map[String, String] = Map.empty,
+      /** The project's (global) macro table — exposed for
+        * `run-operation <macro>` (reference task/run_operation.py).
+        */
+      macros: Map[String, Macros.MacroDef] = Map.empty)
 
   def load(projectDir: String, cliVars: Map[String, String] = Map.empty): Project =
     load0(projectDir, cliVars, inheritedMacros = None)
@@ -67,17 +71,19 @@ object ProjectLoader {
     var onRunStart = Seq.empty[HookNode]
     var onRunEnd = Seq.empty[HookNode]
 
-    // on-run-start / on-run-end hooks (reference RunHookType)
-    def hooks(key: String): Seq[HookNode] = proj.get(key) match {
-      case Some(l: List[Any @unchecked]) => l.zipWithIndex.map { case (sql, i) =>
-        HookNode(s"$name-$key-$i", name, String.valueOf(sql), i,
-          checksum = FileHash.of(String.valueOf(sql)))
+    // on-run-start / on-run-end hooks (reference RunHookType); bodies
+    // are macro-expanded like model SQL — called after macroTable below
+    def hooks(key: String, macroTable: Map[String, Macros.MacroDef]): Seq[HookNode] = {
+      def mk(sql: String, i: Int) =
+        HookNode(s"$name-$key-$i", name, Macros.expand(sql, macroTable), i,
+          checksum = FileHash.of(sql))
+      proj.get(key) match {
+        case Some(l: List[Any @unchecked]) =>
+          l.zipWithIndex.map { case (sql, i) => mk(String.valueOf(sql), i) }
+        case Some(s: String) => Seq(mk(s, 0))
+        case _ => Nil
       }
-      case Some(s: String) => Seq(HookNode(s"$name-$key-0", name, s, 0, checksum = FileHash.of(s)))
-      case _ => Nil
     }
-    onRunStart = hooks("on-run-start")
-    onRunEnd = hooks("on-run-end")
 
     // ---- local dependency packages (packages.yml `- local: path`;
     // reference core/dbt/deps/local.py LocalPackage — registry/git/
@@ -107,6 +113,8 @@ object ProjectLoader {
         .flatMap(f => Macros.parse(Files.readString(f)))
         .map(m => m.name -> m).toMap
     }
+    onRunStart = hooks("on-run-start", macroTable)
+    onRunEnd = hooks("on-run-end", macroTable)
 
     // ---- models (*.sql under model-paths) ----
     for (f <- files("models", ".sql")) {
@@ -422,7 +430,7 @@ object ProjectLoader {
         subs.foldLeft(sources.toMap)((acc, sp) => acc ++ sp.manifest.sources),
         subs.foldLeft(unitTests.toMap)((acc, sp) => acc ++ sp.manifest.unitTests),
         onRunStart, onRunEnd, name),
-      selectors)
+      selectors, macroTable)
   }
 
   private def filesUnder(d: Path, ext: String): Seq[Path] =

@@ -67,4 +67,33 @@ class CliSpec extends AnyFunSuite {
       Map("inline" -> "SELECT count(*) AS n FROM {{ ref('my_first_model') }}"))
     assert(c7 == 0)
   }
+
+  test("run-operation executes a project macro; hooks expand macros") {
+    val dir = Files.createTempDirectory("cli_macro").resolve("proj")
+    Files.createDirectories(dir.resolve("macros"))
+    Files.createDirectories(dir.resolve("models"))
+    Files.writeString(dir.resolve("dbt_project.yml"),
+      """name: opdemo
+        |on-run-start:
+        |  - "{{ audit_stmt('started') }}"
+        |""".stripMargin)
+    Files.writeString(dir.resolve("macros/ops.sql"),
+      """{% macro audit_stmt(tag) %}SELECT '{{ tag }}' AS tag{% endmacro %}
+        |{% macro make_view(v) %}CREATE OR REPLACE TEMPORARY VIEW op_made AS SELECT {{ v }} AS x{% endmacro %}
+        |""".stripMargin)
+    Files.writeString(dir.resolve("models/noop.sql"), "SELECT 1 AS one")
+    // hook body was macro-expanded at parse time and runs cleanly
+    val (cr, _) = run("run", dir.toString)
+    assert(cr == 0)
+    // run-operation by macro name (the reference's primary form)
+    val (c1, out1) = run("run-operation", dir.toString,
+      Map("macro" -> "make_view", "args" -> "41+1"))
+    assert(c1 == 0, out1)
+    assert(spark.sql("SELECT x FROM op_made").first().getInt(0) == 42)
+    // unknown macro is a clear error
+    assertThrows[IllegalArgumentException] {
+      graft.cli.Main.dispatch("run-operation", Map("macro" -> "nope"),
+        dir.toString, s"$dir/warehouse", s"$dir/target", Map.empty, spark)
+    }
+  }
 }
