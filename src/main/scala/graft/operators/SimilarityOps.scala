@@ -140,24 +140,49 @@ object SimilarityOps {
         col("dot"), col("cos"))
   }
 
+  /** Lloyd iterations refining IVF centroids, expressed as DataFrame
+    * ops: assign each vector to its nearest centroid (broadcast kernel,
+    * one corpus pass), then recompute each cell's elementwise mean via
+    * posexplode → groupBy(cell, pos) → re-assemble — two bounded
+    * shuffles per iteration, centroid table stays k rows. Means are
+    * re-quantized to bigint so the integer dot kernel contract holds.
+    */
+  private def kmeansRefine(
+      s: SparkSession, e: DataFrame, centroids0: DataFrame, iters: Int): DataFrame = {
+    var centroids = centroids0
+    for (_ <- 1 to iters) {
+      val assign = pairScoresAgainst(s, e, centroids, topPerProbe = 1)
+        .select(col("qid").as("vec_id"), col("cid").as("cell"))
+      centroids = e.join(assign, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cell")).agg(
+          expr("transform(array_sort(collect_list(struct(pos, m))), x -> cast(round(x.m) as bigint))")
+            .as("cq"))
+        .select(col("cell").as("centroid_id"), col("cq"),
+          expr("dot_i64(cq, cq)").as("cn"))
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into cells around
     * centroid vectors; a query probes only its nProbe nearest cells.
-    * Centroids here are a deterministic sample of the corpus (every
-    * Nth vector) — at production scale they'd come from a k-means fit,
-    * but the index structure, cell assignment join, and probe-side
-    * pruning are identical. The cell assignment is a broadcast of the
-    * centroid table (tiny) against the corpus (one pass), and the
-    * probe join is a bucket equi-join — the 100 TB-safe shape.
+    * Centroids = a deterministic corpus sample refined by 3 Lloyd
+    * iterations ([[kmeansRefine]]) — real k-means, distributed. The
+    * cell assignment is a broadcast of the centroid table (tiny)
+    * against the corpus (one pass), and the probe join is a bucket
+    * equi-join — the 100 TB-safe shape.
     * Approximate (probe misses cells) → rows-only driver check.
     */
   def simIvfTopK(s: SparkSession, dir: String): DataFrame = {
     val nCentroids = 16
     val nProbe = 4
-    val e = quantized(s, dir)
+    val e = quantized(s, dir).cache()
     val total = e.count()
     val step = math.max(1L, total / nCentroids)
-    val centroids = e.filter(col("vec_id") % step === 0).limit(nCentroids)
+    val seed = e.filter(col("vec_id") % step === 0).limit(nCentroids)
       .select(col("vec_id").as("centroid_id"), col("q").as("cq"), col("nq").as("cn"))
+    val centroids = kmeansRefine(s, e, seed, iters = 3)
     // assign every vector to its nearest centroid (broadcast centroids)
     val assigned = pairScoresAgainst(s, e, centroids, topPerProbe = 1)
       .select(col("qid").as("vec_id"), col("cid").as("cell"))

@@ -114,6 +114,67 @@ object Streaming {
       }
   }
 
+  // ---- custom stateful operator: streaming exact dedup ----
+
+  final case class DedupState(keeper: Long)
+  final case class DedupVerdict(doc_id: Long, fp: String, keeper: Long, keep: Long)
+
+  /** documents schema (the corpus landing zone). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("text", StringType)))
+
+  def documentStream(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream.schema(documentsSchema).parquet(inputDir)
+
+  /** Streaming exact dedup for corpus ingest: state is ONE keeper id per
+    * content fingerprint (md5 of normalized text), so memory is
+    * O(distinct documents) — the streaming twin of the batch
+    * [[graft.operators.DedupOps.dedupExact]]. Semantics are
+    * first-arrival-wins (a stream cannot retract an already-emitted
+    * keeper): the first batch that introduces a fingerprint elects the
+    * smallest doc_id in that batch; every later duplicate arrives with
+    * keep=0. When all data lands in one AvailableNow batch this equals
+    * the batch operator's min-id-keeper exactly.
+    */
+  def streamingExactDedup(docs: DataFrame): Dataset[DedupVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"),
+        md5(graft.operators.TextOps.normalized(col("text"))).as("fp"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[DedupState, DedupVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (fp, rows, state: GroupState[DedupState]) =>
+          val ids = rows.map(_._1).toSeq.sorted
+          val keeper = state.getOption.map(_.keeper).getOrElse(ids.min)
+          state.update(DedupState(keeper))
+          ids.iterator.map(id =>
+            DedupVerdict(id, fp, keeper, if (id == keeper) 1L else 0L))
+      }
+  }
+
+  /** Drive streaming dedup over available data, appending verdicts. */
+  def runExactDedup(
+      docs: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit = {
+    val q = streamingExactDedup(docs).toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (store.exists(table)) store.write(store.read(table).unionByName(batch), table)
+        else store.write(batch, table)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drive sessionization over available data, landing results in the
     * store (complete per-user rows each trigger → merge on user_id).
     */

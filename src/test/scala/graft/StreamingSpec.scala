@@ -71,4 +71,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val afterSecond = store.read("daily2").agg(sum("n")).first().getLong(0)
     assert(afterSecond == 1000)
   }
+
+  test("streaming exact dedup matches batch keepers; later duplicates are dropped") {
+    val store = new RelationStore(spark, s"$work/wh3")
+    val docsIn = s"$work/docs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(docsIn)
+
+    Streaming.runExactDedup(Streaming.documentStream(spark, docsIn), store,
+      "dedup", s"$work/cp4")
+    val streamed = store.read("dedup").select("doc_id", "fp", "keeper", "keep")
+    val batch = graft.operators.DedupOps.dedupExact(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "fp", "keeper", "keep")
+    // single AvailableNow batch → identical to the batch operator
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+
+    // re-land an existing document under a NEW id: state remembers the
+    // fingerprint, so the late duplicate arrives with keep=0
+    val dupRow = docs.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(999999L))
+    dupRow.coalesce(1).write.mode("append").parquet(docsIn)
+    Streaming.runExactDedup(Streaming.documentStream(spark, docsIn), store,
+      "dedup", s"$work/cp4")
+    val late = store.read("dedup").filter(col("doc_id") === 999999L)
+    assert(late.count() == 1)
+    val r = late.first()
+    assert(r.getAs[Long]("keep") == 0L)
+    assert(r.getAs[Long]("keeper") == batch.filter(col("doc_id") === 0)
+      .first().getAs[Long]("keeper"))
+  }
 }
