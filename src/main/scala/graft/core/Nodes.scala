@@ -76,6 +76,12 @@ final case class NodeConfig(
     materialized: Materialized = Materialized.View,
     incrementalStrategy: Option[String] = None, // append|merge|delete+insert|insert_overwrite|microbatch
     uniqueKey: Seq[String] = Nil,
+    /** SQL predicates limiting which TARGET rows a merge may update
+      * (reference config.py incremental_predicates — the warehouse-side
+      * MERGE scan limiter; rows outside the predicates are never
+      * touched, and at scale never even scanned).
+      */
+    incrementalPredicates: Seq[String] = Nil,
     onSchemaChange: String = "ignore", // ignore|fail|append_new_columns|sync_all_columns
     fullRefresh: Option[Boolean] = None,
     // microbatch (reference config.py:83-85,128)

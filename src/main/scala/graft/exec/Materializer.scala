@@ -202,18 +202,32 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
     val parts = node.config.partitionBy
     val (target, src) = align(node, storeFor(node).read(name), df)
     val srcKeys = src.select(ks.map(col): _*).distinct()
+    // incremental_predicates (reference config.py): only target rows
+    // matching every predicate are update-eligible — rows outside stay
+    // untouched even when their key appears in the batch, and at scale
+    // the predicate bounds the MERGE's target scan (e.g. a recency
+    // window). null predicate values count as non-matching.
+    val pred: Option[Column] = node.config.incrementalPredicates
+      .map(p => coalesce(expr(p), lit(false))).reduceOption(_ && _)
+    def updatable(t: DataFrame): DataFrame = pred.fold(t)(t.filter)
+    def frozen(t: DataFrame): DataFrame =
+      pred.fold(t.limit(0))(p => t.filter(!p))
     commitIncremental(node, name,
       touched = {
         // a merge must rewrite (a) partitions receiving new rows and
-        // (b) partitions holding an old row whose key is updated — the
-        // key may have moved partitions. Both sets are batch-sized.
+        // (b) partitions holding an update-eligible row whose key is in
+        // the batch — the key may have moved partitions. Both sets are
+        // batch-sized.
         val pv = (partitionValues(src, parts) ++
-          partitionValues(target.join(srcKeys, ks, "left_semi"), parts)).distinct
-        (pv, target.filter(inPartitions(parts, pv))
-          .join(srcKeys, ks, "left_anti")
+          partitionValues(updatable(target).join(srcKeys, ks, "left_semi"), parts)).distinct
+        val tt = target.filter(inPartitions(parts, pv))
+        (pv, updatable(tt).join(srcKeys, ks, "left_anti")
+          .unionByName(frozen(tt))
           .unionByName(src))
       },
-      full = target.join(srcKeys, ks, "left_anti").unionByName(src))
+      full = updatable(target).join(srcKeys, ks, "left_anti")
+        .unionByName(frozen(target))
+        .unionByName(src))
   }
 
   /** incremental/delete+insert: same terminal state as merge for

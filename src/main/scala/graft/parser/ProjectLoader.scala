@@ -500,6 +500,7 @@ object ProjectLoader {
       materialized = str("materialized").map(Materialized.parse).getOrElse(Materialized.View),
       incrementalStrategy = str("incremental_strategy"),
       uniqueKey = strSeq("unique_key"),
+      incrementalPredicates = strSeq("incremental_predicates"),
       onSchemaChange = str("on_schema_change").getOrElse("ignore"),
       fullRefresh = cfg.get("full_refresh").map(_ == true),
       eventTime = str("event_time"),

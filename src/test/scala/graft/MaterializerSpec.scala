@@ -149,6 +149,29 @@ class MaterializerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter("day = '2024-01-03' AND v = 'b3'").count() == 1)
   }
 
+  test("incremental_predicates freeze target rows outside the predicate window") {
+    import spark.implicits._
+    val n = ModelNode("t_pred", "p", "", NodeConfig(
+      materialized = Materialized.Incremental,
+      incrementalStrategy = Some("merge"),
+      uniqueKey = Seq("id"),
+      incrementalPredicates = Seq("day >= '2024-01-02'")), Nil, Nil, Nil)
+    val init = Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02")).toDF("id", "v", "day")
+    mat.incremental(n, init, fullRefresh = false)
+    val batch = Seq((1L, "x", "2024-01-01"), (2L, "y", "2024-01-02")).toDF("id", "v", "day")
+    mat.incremental(n, batch, fullRefresh = false)
+    val out = store.read("t_pred")
+    // id=2 is inside the predicate window → updated in place
+    assert(out.filter("id = 2").count() == 1)
+    assert(out.filter("id = 2 AND v = 'y'").count() == 1)
+    // id=1 is OUTSIDE: the old row is frozen and the batch row inserts
+    // alongside it — SQL MERGE semantics when predicates unmatch the
+    // target row (the reference documents the same duplication hazard)
+    assert(out.filter("id = 1").count() == 2)
+    assert(out.filter("id = 1 AND v = 'a'").count() == 1)
+    assert(out.filter("id = 1 AND v = 'x'").count() == 1)
+  }
+
   test("insert_overwrite replaces only the incoming partitions") {
     import spark.implicits._
     val n = node("t_part", parts = Seq("day"))
