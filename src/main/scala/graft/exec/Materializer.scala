@@ -145,7 +145,10 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
       full: => DataFrame): Unit = {
     val st = storeFor(node)
     val parts = node.config.partitionBy
-    if (parts.nonEmpty) {
+    // partition-scoped only when the existing layout IS partitioned —
+    // a table that predates a partition_by config change has no
+    // partition dirs to link and must be re-laid-out by a full write
+    if (parts.nonEmpty && st.isPartitionedLayout(name)) {
       val (pv, t) = touched
       if (st.schemaMatches(name, t.schema)) {
         st.writePartitions(t, name, parts, Some(pv)); return

@@ -165,6 +165,26 @@ final class RelationStore(
     out
   }
 
+  /** Whether the current version is laid out as partitioned parquet —
+    * the other precondition for a partition-scoped commit. A table
+    * first written WITHOUT partition_by has no partition dirs to link,
+    * so a partition-scoped commit against it would silently drop every
+    * untouched row; callers must full-write once to re-layout.
+    */
+  def isPartitionedLayout(name: String): Boolean =
+    currentPath(name).exists { p =>
+      val d = Paths.get(p)
+      Files.exists(d) && {
+        val ds = Files.list(d).iterator()
+        var found = false
+        while (ds.hasNext && !found) {
+          val c = ds.next()
+          found = Files.isDirectory(c) && c.getFileName.toString.contains("=")
+        }
+        found
+      }
+    }
+
   /** Whether `schema` is byte-identical to the current version's stored
     * schema (the precondition for a partition-scoped commit).
     */

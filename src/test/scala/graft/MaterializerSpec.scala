@@ -149,6 +149,34 @@ class MaterializerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter("day = '2024-01-03' AND v = 'b3'").count() == 1)
   }
 
+  test("adding partition_by to an existing unpartitioned table falls back to a full re-layout") {
+    import spark.implicits._
+    // first build WITHOUT partition_by → flat parquet layout
+    val flat = ModelNode("t_relayout", "p", "", NodeConfig(
+      materialized = Materialized.Incremental,
+      incrementalStrategy = Some("merge"), uniqueKey = Seq("id")), Nil, Nil, Nil)
+    mat.incremental(flat, Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"))
+      .toDF("id", "v", "day"), fullRefresh = false)
+    assert(!store.isPartitionedLayout("t_relayout"))
+    // config evolves: same model now partitioned — the merge must NOT
+    // take the partition-scoped path (nothing to link) and must keep
+    // every untouched row via the full rewrite
+    val parted = flat.copy(config = flat.config.copy(partitionBy = Seq("day")))
+    mat.incremental(parted, Seq((2L, "b2", "2024-01-02")).toDF("id", "v", "day"),
+      fullRefresh = false)
+    val out = store.read("t_relayout")
+    assert(out.count() == 2)
+    assert(out.filter("id = 1 AND v = 'a'").count() == 1) // untouched row survives
+    assert(out.filter("id = 2 AND v = 'b2'").count() == 1)
+    assert(store.isPartitionedLayout("t_relayout")) // re-laid-out partitioned
+    // subsequent merges take the partition-scoped path again
+    val v1 = java.nio.file.Paths.get(store.currentPath("t_relayout").get)
+    mat.incremental(parted, Seq((2L, "b3", "2024-01-02")).toDF("id", "v", "day"),
+      fullRefresh = false)
+    val v2 = java.nio.file.Paths.get(store.currentPath("t_relayout").get)
+    assertLinked(v1, v2, Seq("day=2024-01-01"))
+  }
+
   test("incremental_predicates freeze target rows outside the predicate window") {
     import spark.implicits._
     val n = ModelNode("t_pred", "p", "", NodeConfig(
