@@ -21,14 +21,24 @@ object DedupOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** doc_id → distinct word-3-gram shingles (the unit of Jaccard). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  /** doc_id → word-3-gram shingles WITH duplicates (no shuffle — one
+    * narrow scan). Min-hash signatures and band keys are multiset-
+    * invariant (min is idempotent), so the LSH pipeline reads this
+    * directly; only exact-Jaccard set sizes need [[shingles]].
+    */
+  private def shinglesRaw(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), split(TextOps.normalized(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
         explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
-      .distinct()
+
+  /** doc_id → distinct word-3-gram shingles (the unit of Jaccard).
+    * The distinct is a full shuffle of the largest intermediate — only
+    * pay it where set semantics matter.
+    */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesRaw(s, dir).distinct()
 
   /** Exact dedup: md5-fingerprint groups; keeper = min doc_id per group.
     * One shuffle on the 16-byte fingerprint — the cheapest possible
@@ -126,9 +136,10 @@ object DedupOps {
     val nPerm = 32
     val rowsPerBand = 4
     val nBands = nPerm / rowsPerBand
-    // shingles by 64-bit hash (string shuffled once, everything after
-    // moves 8-byte keys)
-    val sh = shingles(s, dir).select(col("doc_id"), xxhash64(col("s")).as("h")).cache()
+    // shingles by 64-bit hash, WITH duplicates: min-hash is multiset-
+    // invariant, so the signature pipeline skips the corpus-wide
+    // distinct (a full shuffle of the largest intermediate) entirely
+    val sh = shinglesRaw(s, dir).select(col("doc_id"), xxhash64(col("s")).as("h")).cache()
     // one-pass signature via the custom Aggregator: one long[32] buffer
     // per document instead of 32 min() columns (graft.functions.MinHashAgg)
     val sigs = sh.groupBy(col("doc_id"))
@@ -155,8 +166,11 @@ object DedupOps {
     // all-pairs intersection work LSH existed to avoid
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // set semantics (distinct) restored AFTER the candidate restriction:
+    // the distinct shuffle now covers only candidate docs' shingles, and
+    // sizes are only ever joined for candidate docs
+    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").distinct()
+    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = shc.select(col("doc_id").as("doc_a"), col("h"))
     val b = shc.select(col("doc_id").as("doc_b"), col("h"))
     val inter = a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))
