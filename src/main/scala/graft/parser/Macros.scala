@@ -22,12 +22,20 @@ object Macros {
   private val defRe =
     raw"(?s)\{%-?\s*macro\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*-?%\}(.*?)\{%-?\s*endmacro\s*-?%\}".r
 
+  /** Custom generic tests: `{% test name(model, column_name) %}` blocks
+    * (reference generic_test_builders — the test IS a macro whose body
+    * selects failing rows; dbt stores it as `test_<name>` and schema
+    * YAML calls it by the bare name).
+    */
+  private val testDefRe =
+    raw"(?s)\{%-?\s*test\s+([A-Za-z_]\w*)\s*\(([^)]*)\)\s*-?%\}(.*?)\{%-?\s*endtest\s*-?%\}".r
+
   /** Names that look like calls but belong to the base template surface. */
   private val builtins = Set("ref", "source", "var", "config")
 
-  /** Parse every macro definition in a macros-file's text. */
-  def parse(text: String): Seq[MacroDef] =
-    defRe.findAllMatchIn(text).map { m =>
+  /** Parse every macro + test-block definition in a macros-file's text. */
+  def parse(text: String): Seq[MacroDef] = {
+    def defs(re: scala.util.matching.Regex) = re.findAllMatchIn(text).map { m =>
       val params = m.group(2).split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
         val eq = p.indexOf('=')
         if (eq < 0) (p, None)
@@ -35,6 +43,8 @@ object Macros {
       }
       MacroDef(m.group(1), params, m.group(3).trim)
     }.toSeq
+    defs(defRe) ++ defs(testDefRe)
+  }
 
   /** Expand `{{ name(args) }}` calls against `table`, recursively (a
     * macro body may call other macros), bounded to `maxDepth` passes.

@@ -238,7 +238,7 @@ object ProjectLoader {
               sources(src.uniqueId) = src
               // generic tests on source columns
               for (tn <- columnTests(t, name, s"{{ source('$srcName', '${t("name")}') }}",
-                  s"source_${srcName}_${t("name")}", Seq(src.uniqueId)))
+                  s"source_${srcName}_${t("name")}", Seq(src.uniqueId), macroTable))
                 nodes(tn.uniqueId) = tn
             }
           }
@@ -251,7 +251,7 @@ object ProjectLoader {
             val m = m0.asInstanceOf[Map[String, Any]]
             val mname = m("name").toString
             val modelId = s"model.$name.$mname"
-            for (tn <- columnTests(m, name, s"{{ ref('$mname') }}", mname, Seq(modelId)))
+            for (tn <- columnTests(m, name, s"{{ ref('$mname') }}", mname, Seq(modelId), macroTable))
               nodes(tn.uniqueId) = tn
             // declared columns (for docs + contract enforcement,
             // reference components.py:59 ColumnInfo + Contract)
@@ -469,7 +469,8 @@ object ProjectLoader {
       pkg: String,
       modelRef: String,
       attachedName: String,
-      deps: Seq[String]): Seq[TestNode] = {
+      deps: Seq[String],
+      macros: Map[String, Macros.MacroDef]): Seq[TestNode] = {
     val cols = entity.getOrElse("columns", Nil).asInstanceOf[List[Any]]
     cols.flatMap { c0 =>
       val c = c0.asInstanceOf[Map[String, Any]]
@@ -483,7 +484,7 @@ object ProjectLoader {
             (k, v.asInstanceOf[Map[String, Any]])
           case other => throw new IllegalArgumentException(s"bad test spec: $other")
         }
-        TestBuilder.build(testName, modelRef, colName, kwargs, attachedName, pkg, deps)
+        TestBuilder.build(testName, modelRef, colName, kwargs, attachedName, pkg, deps, macros)
       }
     }
   }
@@ -584,7 +585,8 @@ object TestBuilder {
       kwargs: Map[String, Any],
       attachedName: String,
       pkg: String,
-      deps: Seq[String]): TestNode = {
+      deps: Seq[String],
+      macros: Map[String, Macros.MacroDef] = Map.empty): TestNode = {
     // `where` config → filtered subquery (reference get_where_subquery)
     val where = kwargs.get("where").map(_.toString)
     val rel = where match {
@@ -619,6 +621,28 @@ object TestBuilder {
              |  ON child.$columnName = parent.$field
              |WHERE child.$columnName IS NOT NULL AND parent.$field IS NULL""".stripMargin,
           Nil)
+      case other if macros.contains(other) =>
+        // custom generic test (reference generic_test_builders: a user
+        // {% test %} macro called by name from schema YAML). Standard
+        // params model/column_name get the resolved relation + column;
+        // every other YAML kwarg passes through as a macro kwarg.
+        val reserved = Set("where", "config", "severity", "warn_if", "error_if",
+          "fail_calc", "limit", "store_failures")
+        val extra = kwargs.filterNot { case (k, _) => reserved(k) }
+          .map { case (k, v) =>
+            val lit = v match {
+              case s: String => s"'$s'"
+              case other2 => String.valueOf(other2)
+            }
+            s", $k=$lit"
+          }.mkString
+        val call = s"{{ $other(model=$rel, column_name='$columnName'$extra) }}"
+        val expanded = Macros.expand(call, macros)
+        require(expanded != call, s"custom test macro failed to expand: $other")
+        // kwargs-hash suffix keeps two parameterizations of the same
+        // test on one column distinct (reference get_hashable_md)
+        val suffix = if (extra.isEmpty) "" else "_" + FileHash.of(extra).checksum.take(8)
+        (s"${other}_${attachedName}_$columnName$suffix", expanded, Nil)
       case other =>
         throw new IllegalArgumentException(s"unknown generic test: $other")
     }

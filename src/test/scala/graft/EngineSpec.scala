@@ -639,6 +639,44 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.exec.PythonModels.unregister("py_sum")
   }
 
+  test("24 custom generic tests: {% test %} macros called from schema YAML") {
+    val d7 = Files.createTempDirectory("graft_ctest_proj")
+    def w7(rel: String, c: String): Unit = {
+      val p = d7.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    w7("dbt_project.yml", "name: ctest\n")
+    w7("macros/my_tests.sql",
+      """{% test at_least(model, column_name, floor=0) %}
+        |SELECT * FROM {{ model }} WHERE {{ column_name }} < {{ floor }}
+        |{% endtest %}
+        |""".stripMargin)
+    w7("models/amounts.sql",
+      "SELECT 5 AS amt UNION ALL SELECT 12 AS amt UNION ALL SELECT 7 AS amt")
+    w7("models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: amounts
+        |    columns:
+        |      - name: amt
+        |        tests:
+        |          - at_least
+        |          - at_least:
+        |              floor: 10
+        |""".stripMargin)
+    val p7 = ProjectLoader.resolveRefs(ProjectLoader.load(d7.toString))
+    val testIds = p7.manifest.nodes.keys.filter(_.startsWith("test.ctest.at_least")).toSeq
+    assert(testIds.size == 2, testIds.toString)
+    val st7 = new RelationStore(spark, d7.resolve("wh").toString)
+    new Runner(spark, p7, st7,
+      RunOptions(cmd = "run", threads = 1, targetDir = d7.resolve("target").toString)).execute()
+    val r = new Runner(spark, p7, st7,
+      RunOptions(cmd = "test", threads = 1, targetDir = d7.resolve("target").toString)).execute()
+    assert(r.size == 2, r.mkString("\n"))
+    // default floor=0: all values >= 0 → pass; floor=10: 5 and 7 fail
+    assert(r.count(_.status == "pass") == 1, r.mkString("\n"))
+    assert(r.exists(x => x.status == "fail" && x.failures.contains(2L)), r.mkString("\n"))
+  }
+
   test("19 test limit caps the fail count before warn/error thresholds") {
     // stg_orders has 1500 rows; limit=3 must cap fail_calc at 3
     // (reference wraps the test SQL in LIMIT n)
