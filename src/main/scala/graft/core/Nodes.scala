@@ -40,6 +40,7 @@ object Materialized {
   case object Ephemeral extends Materialized("ephemeral")
   case object SeedMat extends Materialized("seed")
   case object SnapshotMat extends Materialized("snapshot")
+  case object MaterializedView extends Materialized("materialized_view")
   def parse(s: String): Materialized = s match {
     case "view" => View
     case "table" => Table
@@ -47,6 +48,7 @@ object Materialized {
     case "ephemeral" => Ephemeral
     case "seed" => SeedMat
     case "snapshot" => SnapshotMat
+    case "materialized_view" => MaterializedView
     case other => throw new IllegalArgumentException(s"unknown materialization: $other")
   }
 }
@@ -83,6 +85,10 @@ final case class NodeConfig(
       */
     incrementalPredicates: Seq[String] = Nil,
     onSchemaChange: String = "ignore", // ignore|fail|append_new_columns|sync_all_columns
+    /** materialized_view redefinition policy (reference
+      * config.py on_configuration_change): apply|continue|fail.
+      */
+    onConfigurationChange: String = "apply",
     fullRefresh: Option[Boolean] = None,
     // microbatch (reference config.py:83-85,128)
     eventTime: Option[String] = None,

@@ -81,6 +81,39 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
     storeFor(node).write(df, relName(node), node.config.partitionBy)
   }
 
+  /** materialized_view (reference §2.1 + on_configuration_change,
+    * config.py): a table snapshot plus its RECORDED definition. Spark
+    * has no native MV, so every run refreshes by re-executing the
+    * stored definition — the contract a warehouse scheduler provides.
+    * Redefinition follows on_configuration_change: apply (recreate,
+    * default), continue (keep the existing definition, still refresh),
+    * fail (error). Returns the status message for the run result.
+    */
+  def materializedView(node: Node, sql: String, run: String => DataFrame): String = {
+    val st = storeFor(node)
+    val name = relName(node)
+    val prior = st.mvDefinition(name)
+    val changed = prior.exists(_ != sql)
+    (changed, node.config.onConfigurationChange) match {
+      case (true, "fail") =>
+        throw new IllegalStateException(
+          s"materialized view ${node.name}: definition changed (on_configuration_change=fail)")
+      case (true, "continue") =>
+        st.write(run(prior.get), name, node.config.partitionBy)
+        "REFRESH MATERIALIZED VIEW (definition change ignored: continue)"
+      case (true, "apply") =>
+        st.writeMvDefinition(name, sql)
+        st.write(run(sql), name, node.config.partitionBy)
+        "RECREATE MATERIALIZED VIEW"
+      case (true, other) =>
+        throw new IllegalArgumentException(s"unknown on_configuration_change: $other")
+      case (false, _) =>
+        st.writeMvDefinition(name, sql)
+        st.write(run(sql), name, node.config.partitionBy)
+        if (prior.isEmpty) "CREATE MATERIALIZED VIEW" else "REFRESH MATERIALIZED VIEW"
+    }
+  }
+
   /** Incremental dispatch (reference config.py:82 incremental_strategy;
     * microbatch handled by the Runner's batch loop calling
     * [[insertOverwriteWindow]] per batch).

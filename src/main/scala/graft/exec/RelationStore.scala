@@ -261,8 +261,26 @@ final class RelationStore(
   def drop(name: String): Unit = {
     if (Files.exists(tableDir(name))) deleteRecursively(tableDir(name))
     Files.deleteIfExists(viewFile(name))
+    Files.deleteIfExists(mvDefFile(name))
     spark.catalog.dropTempView(sqlName(name))
   }
+
+  // ---- materialized-view definition bookkeeping ----
+
+  private def mvDefFile(name: String): Path = schemaDir.resolve(s"$name.mv.sql")
+
+  /** Record a materialized view's defining SQL alongside its table data
+    * (the piece that distinguishes an MV from a plain table: the engine
+    * can re-run the definition to refresh, and detect redefinition for
+    * on_configuration_change).
+    */
+  def writeMvDefinition(name: String, sql: String): Unit = {
+    Files.createDirectories(schemaDir)
+    Files.writeString(mvDefFile(name), sql)
+  }
+
+  def mvDefinition(name: String): Option[String] =
+    if (Files.exists(mvDefFile(name))) Some(Files.readString(mvDefFile(name))) else None
 
   /** Shallow clone: new relation pointing at the same data version
     * (reference CloneRunner, core/dbt/task/clone.py:19-161; Spark-side

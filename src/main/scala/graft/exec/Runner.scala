@@ -207,6 +207,10 @@ final class Runner(
           val sql = compiler().compile(m, m.rawCode).executable
           materializer.table(m, spark.sql(sql))
           RunResult(m.uniqueId, "success", elapsed, "CREATE TABLE")
+        case Materialized.MaterializedView =>
+          val sql = compiler().compile(m, m.rawCode).executable
+          val msg = materializer.materializedView(m, sql, s2 => spark.sql(s2))
+          RunResult(m.uniqueId, "success", elapsed, msg)
         case Materialized.Incremental if m.config.incrementalStrategy.contains("microbatch") =>
           runMicrobatch(m)
         case Materialized.Incremental =>

@@ -503,6 +503,7 @@ object ProjectLoader {
       uniqueKey = strSeq("unique_key"),
       incrementalPredicates = strSeq("incremental_predicates"),
       onSchemaChange = str("on_schema_change").getOrElse("ignore"),
+      onConfigurationChange = str("on_configuration_change").getOrElse("apply"),
       fullRefresh = cfg.get("full_refresh").map(_ == true),
       eventTime = str("event_time"),
       batchSize = str("batch_size").map(BatchSize.parse),

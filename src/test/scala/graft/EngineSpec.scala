@@ -677,6 +677,48 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.exists(x => x.status == "fail" && x.failures.contains(2L)), r.mkString("\n"))
   }
 
+  test("25 materialized_view: create, refresh, on_configuration_change protocol") {
+    val d8 = Files.createTempDirectory("graft_mv_proj")
+    def w8(rel: String, c: String): Unit = {
+      val p = d8.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    w8("dbt_project.yml", "name: mvdemo\n")
+    w8("models/mv_sum.sql",
+      "{{ config(materialized='materialized_view') }}\nSELECT 1 AS v")
+    def runIt(): Seq[graft.artifacts.RunResult] = {
+      val pr = ProjectLoader.resolveRefs(ProjectLoader.load(d8.toString))
+      new Runner(spark, pr, st8,
+        RunOptions(cmd = "run", threads = 1,
+          targetDir = d8.resolve("target").toString)).execute()
+    }
+    lazy val st8 = new RelationStore(spark, d8.resolve("wh").toString)
+    val r1 = runIt()
+    assert(r1.head.message == "CREATE MATERIALIZED VIEW", r1.mkString("\n"))
+    assert(st8.read("mv_sum").first().getInt(0) == 1)
+    assert(st8.mvDefinition("mv_sum").nonEmpty)
+    // unchanged definition → refresh
+    val r2 = runIt()
+    assert(r2.head.message == "REFRESH MATERIALIZED VIEW", r2.mkString("\n"))
+    // redefinition with default apply → recreate with the new results
+    w8("models/mv_sum.sql",
+      "{{ config(materialized='materialized_view') }}\nSELECT 2 AS v")
+    val r3 = runIt()
+    assert(r3.head.message == "RECREATE MATERIALIZED VIEW", r3.mkString("\n"))
+    assert(st8.read("mv_sum").first().getInt(0) == 2)
+    // redefinition with continue → old definition still refreshes
+    w8("models/mv_sum.sql",
+      "{{ config(materialized='materialized_view', on_configuration_change='continue') }}\nSELECT 3 AS v")
+    val r4 = runIt()
+    assert(r4.head.message.contains("continue"), r4.mkString("\n"))
+    assert(st8.read("mv_sum").first().getInt(0) == 2) // unchanged definition applied
+    // redefinition with fail → error status
+    w8("models/mv_sum.sql",
+      "{{ config(materialized='materialized_view', on_configuration_change='fail') }}\nSELECT 4 AS v")
+    val r5 = runIt()
+    assert(r5.head.status == "error" && r5.head.message.contains("definition changed"),
+      r5.mkString("\n"))
+  }
+
   test("19 test limit caps the fail count before warn/error thresholds") {
     // stg_orders has 1500 rows; limit=3 must cap fail_calc at 3
     // (reference wraps the test SQL in LIMIT n)
