@@ -35,7 +35,9 @@ final class Compiler(
       */
     relResolver: Option[(Node, String) => String] = None,
     /** Schema-aware `{{ this }}` name (never deferred). */
-    thisNameOf: Option[Node => String] = None) {
+    thisNameOf: Option[Node => String] = None,
+    /** Run-context substitutions ({{ run_started_at }} etc.). */
+    templateContext: Map[String, String] = Map.empty) {
 
   final case class Compiled(sql: String, ctes: Seq[(String, String)]) {
     /** Full executable text with ephemeral CTEs prepended (reference
@@ -105,7 +107,8 @@ final class Compiler(
 
     val body = Template.render(rawCode, resolveRef, resolveSource, vars,
       thisRelation = Some(thisNameOf.fold(node.config.alias.getOrElse(node.name))(_(node))),
-      isIncremental = isIncremental)
+      isIncremental = isIncremental,
+      context = templateContext)
     Compiled(body, ctes.toSeq)
   }
 }

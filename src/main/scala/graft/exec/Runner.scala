@@ -56,6 +56,7 @@ final class Runner(
   private val vars = project.vars ++ opts.vars
   private val materializer = new Materializer(spark, store)
   private val auditStore = new RelationStore(spark, store.root, "dbt_test__audit")
+  val invocationId: String = java.util.UUID.randomUUID().toString
 
   private def compiler(eventWindow: Option[(Instant, Instant)] = None) = new Compiler(
     manifest, vars,
@@ -78,7 +79,12 @@ final class Runner(
         ds.addressable(ident)
       }.getOrElse(st.sqlName(ident))
     },
-    thisNameOf = Some((n: Node) => materializer.sqlName(n)))
+    thisNameOf = Some((n: Node) => materializer.sqlName(n)),
+    // audit-column context (reference base.py:590 run_started_at /
+    // :618 invocation_id): users quote these in SQL themselves
+    templateContext = Map(
+      "run_started_at" -> Timestamps.sql(opts.now),
+      "invocation_id" -> invocationId))
 
   lazy val graph: Digraph = {
     val g = Linker.link(manifest)
@@ -152,8 +158,7 @@ final class Runner(
 
     val elapsed = (System.nanoTime() - t0) / 1e9
     val out = results.toArray(Array.empty[RunResult]).toSeq
-    Artifacts.writeRunResults(opts.targetDir, out, elapsed,
-      java.util.UUID.randomUUID().toString)
+    Artifacts.writeRunResults(opts.targetDir, out, elapsed, invocationId)
     Artifacts.writeManifest(opts.targetDir, manifest)
     out
   }

@@ -149,7 +149,12 @@ object Template {
       resolveSource: (String, String) => String,
       vars: Map[String, String] = Map.empty,
       thisRelation: Option[String] = None,
-      isIncremental: Boolean = false): String = {
+      isIncremental: Boolean = false,
+      /** Run-context values substituted for bare `{{ name }}` uses —
+        * the reference's run_started_at / invocation_id audit-column
+        * idiom (base.py:590/:618).
+        */
+      context: Map[String, String] = Map.empty): String = {
     var out = configRe.replaceAllIn(renderIncrementalBlocks(raw, isIncremental), "")
     out = refRe.replaceAllIn(out, m => Regex.quoteReplacement(resolveRef(refSpec(m.group(1)))))
     out = sourceRe.replaceAllIn(out,
@@ -163,6 +168,11 @@ object Template {
     })
     out = thisRe.replaceAllIn(out,
       Regex.quoteReplacement(thisRelation.getOrElse("__this__")))
+    context.foreach { case (k, v) =>
+      out = out.replaceAll(
+        raw"\{\{\s*" + java.util.regex.Pattern.quote(k) + raw"\s*\}\}",
+        Regex.quoteReplacement(v))
+    }
     out.trim
   }
 }

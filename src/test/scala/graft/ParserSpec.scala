@@ -99,6 +99,15 @@ class TemplateSpec extends AnyFunSuite {
     assert(out == "SELECT 42")
   }
 
+  test("run context substitutes run_started_at / invocation_id") {
+    val out = Template.render(
+      "SELECT *, '{{ run_started_at }}' AS loaded_at, '{{ invocation_id }}' AS run_id FROM t",
+      identity, (_, _) => "", Map.empty,
+      context = Map("run_started_at" -> "2024-01-01 00:00:00", "invocation_id" -> "abc-123"))
+    assert(out.contains("'2024-01-01 00:00:00' AS loaded_at"))
+    assert(out.contains("'abc-123' AS run_id"))
+  }
+
   test("is_incremental blocks: kept when incremental, else-branch otherwise") {
     val sql =
       """SELECT * FROM t
