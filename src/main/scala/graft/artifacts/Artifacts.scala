@@ -244,10 +244,12 @@ object Artifacts {
         "config" -> configDoc(n),
         "created_at" -> 0.0)
     }
-    val (exposures, metrics, plainNodes) = {
+    val (exposures, metrics, semanticModels, savedQueries, plainNodes) = {
       val e = manifest.nodes.filter(_._2.resourceType == NodeType.Exposure)
       val m = manifest.nodes.filter(_._2.resourceType == NodeType.Metric)
-      (e, m, manifest.nodes -- e.keys -- m.keys)
+      val sm = manifest.nodes.filter(_._2.resourceType == NodeType.SemanticModel)
+      val sq = manifest.nodes.filter(_._2.resourceType == NodeType.SavedQuery)
+      (e, m, sm, sq, manifest.nodes -- e.keys -- m.keys -- sm.keys -- sq.keys)
     }
     val doc = Map(
       "metadata" -> Map(
@@ -271,8 +273,8 @@ object Artifacts {
       "groups" -> Map.empty[String, Any],
       "selectors" -> Map.empty[String, Any],
       "disabled" -> Map.empty[String, Any],
-      "saved_queries" -> Map.empty[String, Any],
-      "semantic_models" -> Map.empty[String, Any],
+      "saved_queries" -> savedQueries.map { case (id, n) => id -> nodeDoc(n) },
+      "semantic_models" -> semanticModels.map { case (id, n) => id -> nodeDoc(n) },
       "group_map" -> Map.empty[String, Any],
       "parent_map" -> manifest.parentMap,
       "child_map" -> manifest.childMap)
@@ -286,7 +288,8 @@ object Artifacts {
   def readManifestChecksums(path: String): Map[String, (String, Map[String, Any])] = {
     Json.parse(Files.readString(Paths.get(path))) match {
       case m: Map[String @unchecked, Any @unchecked] =>
-        val sections = Seq("nodes", "sources", "exposures", "metrics", "unit_tests")
+        val sections = Seq("nodes", "sources", "exposures", "metrics",
+          "semantic_models", "saved_queries", "unit_tests")
         sections.flatMap { sec =>
           m.get(sec) match {
             case Some(ns: Map[String @unchecked, Any @unchecked]) =>
@@ -354,7 +357,11 @@ object Artifacts {
   def fresherSources(currentTargetDir: String, stateDir: String): Set[String] = {
     val cur = readSourceLoadedAt(s"$currentTargetDir/sources.json")
     val old = readSourceLoadedAt(s"$stateDir/sources.json")
-    cur.collect { case (id, t) if old.get(id).forall(t.isAfter) => id }.toSet
+    // no previous freshness state → NOTHING is provably fresher (the
+    // reference errors here; selecting everything would silently defeat
+    // the filter)
+    if (old.isEmpty) Set.empty
+    else cur.collect { case (id, t) if old.get(id).forall(t.isAfter) => id }.toSet
   }
 
   /** catalog.json (docs generate; reference core/dbt/task/docs/

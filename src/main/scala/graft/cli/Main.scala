@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import graft.GraftSession
 import graft.artifacts.{Artifacts, RunResult}
 import graft.core._
-import graft.exec.{Compiler, RelationStore, Runner, RunOptions, Sources}
+import graft.exec.{Compiler, Materializer, RelationStore, Runner, RunOptions, Sources}
 import graft.graph.Linker
 import graft.parser.ProjectLoader
 
@@ -60,6 +60,22 @@ object Main {
       else graft.parser.PartialParse.loadCached(projectDir, cliVars, targetDir)
     if (cacheHit) println("[partial-parse] manifest loaded from cache")
     val store = new RelationStore(spark, warehouse)
+    // schema-aware relation addressing for the ad-hoc (non-Runner)
+    // paths: compile/show/run-operation/docs-generate must resolve
+    // custom-schema models to their qualified session views
+    val materializer = new Materializer(spark, store)
+    def adHocCompiler() = new Compiler(project.manifest, project.vars ++ cliVars,
+      relResolver = Some((n: graft.core.Node, ident: String) =>
+        materializer.storeFor(n).sqlName(ident)),
+      thisNameOf = Some((n: graft.core.Node) => materializer.sqlName(n)),
+      templateContext = Map(
+        "run_started_at" -> graft.exec.Timestamps.sql(java.time.Instant.now()),
+        "invocation_id" -> java.util.UUID.randomUUID().toString))
+    def attachAll(): Unit = {
+      store.attach()
+      project.manifest.nodes.values.flatMap(_.config.schema).toSet
+        .foreach((cs: String) => materializer.storeForSchema(cs).attach())
+    }
     val stateManifest = flags.get("state").map(readStateManifest(project, _))
 
     def mkOpts(c: String) = RunOptions(
@@ -121,7 +137,7 @@ object Main {
         sel.toSeq.sorted.foreach(println)
         0
       case "compile" =>
-        val compiler = new Compiler(project.manifest, project.vars ++ cliVars)
+        val compiler = adHocCompiler()
         val outDir = Paths.get(targetDir, "compiled")
         Files.createDirectories(outDir)
         project.manifest.nodes.values.foreach {
@@ -151,8 +167,8 @@ object Main {
       case "show" =>
         // --inline SQL or --select <model> (reference show:347 supports both)
         Sources.registerAll(spark, project.manifest, project.vars ++ cliVars)
-        store.attach()
-        val compiler = new Compiler(project.manifest, project.vars ++ cliVars)
+        attachAll()
+        val compiler = adHocCompiler()
         val sql = flags.get("inline") match {
           case Some(inline) =>
             val fake = ModelNode("__inline__", project.name, inline, NodeConfig(), Nil, Nil, Nil)
@@ -171,8 +187,12 @@ object Main {
         0
       case "docs-generate" =>
         Sources.registerAll(spark, project.manifest, project.vars ++ cliVars)
-        store.attach()
-        val rels = store.list().map(n => n -> store.read(n))
+        attachAll()
+        val customStores = project.manifest.nodes.values
+          .flatMap(_.config.schema).toSet.toSeq.sorted
+          .map((cs: String) => materializer.storeForSchema(cs))
+        val rels = (store +: customStores).flatMap(st =>
+          st.list().map(n => st.sqlName(n) -> st.read(n)))
         Artifacts.writeCatalog(targetDir, rels)
         Artifacts.writeManifest(targetDir, project.manifest)
         println(s"catalog with ${rels.size} relations -> $targetDir/catalog.json")
@@ -226,8 +246,8 @@ object Main {
           expanded
         }
         Sources.registerAll(spark, project.manifest, project.vars ++ cliVars)
-        store.attach()
-        val compiler = new Compiler(project.manifest, project.vars ++ cliVars)
+        attachAll()
+        val compiler = adHocCompiler()
         val fake = ModelNode("__op__", project.name, sql, NodeConfig(), Nil, Nil, Nil)
         spark.sql(compiler.compile(fake, sql).executable).collect()
         println("operation complete")

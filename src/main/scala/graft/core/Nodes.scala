@@ -388,7 +388,7 @@ final case class Manifest(
     * versioned family (files named `<base>_v<N>.sql` with
     * config(version=N), the reference's versioned-model convention).
     */
-  def resolveRefSpec(spec: String): Option[Node] = {
+  def resolveRefSpec(spec: String, callerPkg: Option[String] = None): Option[Node] = {
     val (pkg, rest) = spec.indexOf('/') match {
       case -1 => (None, spec)
       case i => (Some(spec.take(i)), spec.drop(i + 1))
@@ -399,17 +399,24 @@ final case class Manifest(
     }
     def base(n: Node): String =
       n.config.version.fold(n.name)(v => n.name.stripSuffix(s"_v$v"))
+    // resolution is deterministic: the caller's own package wins on a
+    // name collision across merged packages (reference resolve_ref
+    // package preference), then uniqueId order breaks remaining ties
+    def pick(xs: Seq[Node]): Option[Node] =
+      xs.find(n => callerPkg.contains(n.packageName))
+        .orElse(xs.sortBy(_.uniqueId).headOption)
     val cands = nodes.values
       .filter(n => NodeType.refable(n.resourceType))
       .filter(n => pkg.forall(_ == n.packageName)).toSeq
     ver match {
       case Some(v) =>
-        cands.find(n => n.config.version.contains(v) && (base(n) == nm || n.name == nm))
+        pick(cands.filter(n => n.config.version.contains(v) && (base(n) == nm || n.name == nm)))
       case None =>
-        cands.find(_.name == nm).orElse {
+        pick(cands.filter(_.name == nm)).orElse {
           val family = cands.filter(n => n.config.version.nonEmpty && base(n) == nm)
           if (family.isEmpty) None
-          else Some(family.maxBy(n => n.config.version.flatMap(_.toIntOption).getOrElse(0)))
+          else Some(family.maxBy(n =>
+            (n.config.version.flatMap(_.toIntOption).getOrElse(0), n.uniqueId)))
         }
     }
   }

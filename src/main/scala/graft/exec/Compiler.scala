@@ -75,7 +75,7 @@ final class Compiler(
     val ctes = mutable.LinkedHashMap[String, String]()
 
     def resolveRef(name: String): String = {
-      val target = manifest.resolveRef(name).getOrElse(
+      val target = manifest.resolveRefSpec(name, callerPkg = Some(node.packageName)).getOrElse(
         throw new IllegalArgumentException(
           s"${node.uniqueId} depends on a node named '$name' which was not found"))
       target match {

@@ -122,14 +122,20 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
     val name = relName(node)
     enforceContract(node, df)
     if (fullRefresh || !storeFor(node).exists(name)) { table(node, df); return }
-    val strategy = node.config.incrementalStrategy.getOrElse("append")
-    strategy match {
-      case "append" => append(node, df)
-      case "merge" => merge(node, df)
-      case "delete+insert" => deleteInsert(node, df)
-      case "insert_overwrite" => insertOverwrite(node, df)
-      case other => throw new IllegalArgumentException(s"unknown incremental_strategy: $other")
-    }
+    // the batch feeds several consumers (touched-partition discovery,
+    // key extraction, the final write) — without a cache the model's
+    // full SQL would recompute 2-3x per commit
+    val cached = df.cache()
+    try {
+      val strategy = node.config.incrementalStrategy.getOrElse("append")
+      strategy match {
+        case "append" => append(node, cached)
+        case "merge" => merge(node, cached)
+        case "delete+insert" => deleteInsert(node, cached)
+        case "insert_overwrite" => insertOverwrite(node, cached)
+        case other => throw new IllegalArgumentException(s"unknown incremental_strategy: $other")
+      }
+    } finally df.unpersist()
   }
 
   /** Align new rows to the target schema per on_schema_change
@@ -302,7 +308,17 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
     val parts = node.config.partitionBy
     val st = storeFor(node)
     if (!st.exists(name)) { st.write(df, name, parts); return }
-    val (target, src) = align(node, storeFor(node).read(name), df)
+    // the batch window feeds partition discovery + the final write
+    val cached = df.cache()
+    try insertOverwriteWindow0(node, cached, eventTime, start, end, name, parts, st)
+    finally df.unpersist()
+  }
+
+  private def insertOverwriteWindow0(
+      node: Node, df: DataFrame, eventTime: String,
+      start: java.time.Instant, end: java.time.Instant,
+      name: String, parts: Seq[String], st: RelationStore): Unit = {
+    val (target, src) = align(node, st.read(name), df)
     // plain string literals: analyzer coerces to the event-time column's
     // type (TIMESTAMP or TIMESTAMP_NTZ)
     val s = lit(Timestamps.sql(start))

@@ -58,7 +58,20 @@ final class Runner(
   private val auditStore = new RelationStore(spark, store.root, "dbt_test__audit")
   val invocationId: String = java.util.UUID.randomUUID().toString
 
-  private def compiler(eventWindow: Option[(Instant, Instant)] = None) = new Compiler(
+  /** Audit-column substitutions (reference base.py:590/:618). */
+  private val runContext: Map[String, String] = Map(
+    "run_started_at" -> Timestamps.sql(opts.now),
+    "invocation_id" -> invocationId)
+
+  private def substContext(sql: String): String =
+    runContext.foldLeft(sql) { case (acc, (k, v)) =>
+      acc.replaceAll(raw"\{\{\s*" + k + raw"\s*\}\}",
+        java.util.regex.Matcher.quoteReplacement(v))
+    }
+
+  private def compiler(
+      eventWindow: Option[(Instant, Instant)] = None,
+      withContext: Boolean = true) = new Compiler(
     manifest, vars,
     eventTimeFilter = eventWindow,
     empty = opts.empty,
@@ -82,9 +95,7 @@ final class Runner(
     thisNameOf = Some((n: Node) => materializer.sqlName(n)),
     // audit-column context (reference base.py:590 run_started_at /
     // :618 invocation_id): users quote these in SQL themselves
-    templateContext = Map(
-      "run_started_at" -> Timestamps.sql(opts.now),
-      "invocation_id" -> invocationId))
+    templateContext = if (withContext) runContext else Map.empty)
 
   lazy val graph: Digraph = {
     val g = Linker.link(manifest)
@@ -167,7 +178,7 @@ final class Runner(
     Template.render(sql,
       r => manifest.resolveRef(r).map(materializer.sqlName).getOrElse(r),
       (s, t) => manifest.resolveSource(s, t).map(Sources.viewName).getOrElse(s"$s.$t"),
-      vars)
+      vars, context = runContext)
 
   def runNode(id: String): RunResult = {
     val t0 = System.nanoTime()
@@ -213,8 +224,12 @@ final class Runner(
           materializer.table(m, spark.sql(sql))
           RunResult(m.uniqueId, "success", elapsed, "CREATE TABLE")
         case Materialized.MaterializedView =>
-          val sql = compiler().compile(m, m.rawCode).executable
-          val msg = materializer.materializedView(m, sql, s2 => spark.sql(s2))
+          // definition compiled WITHOUT run context — otherwise a model
+          // using {{ invocation_id }} would read as a redefinition every
+          // run; context substitutes only at execution time
+          val defSql = compiler(withContext = false).compile(m, m.rawCode).executable
+          val msg = materializer.materializedView(m, defSql,
+            s2 => spark.sql(substContext(s2)))
           RunResult(m.uniqueId, "success", elapsed, msg)
         case Materialized.Incremental if m.config.incrementalStrategy.contains("microbatch") =>
           runMicrobatch(m)

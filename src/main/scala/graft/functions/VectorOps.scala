@@ -51,7 +51,11 @@ object DotI64 {
       FunctionIdentifier("dot_i64"),
       new ExpressionInfo(classOf[DotI64].getName, "dot_i64"),
       (children: Seq[Expression]) => children match {
-        case Seq(a, b) => DotI64(a, b)
+        // cast both sides to array<bigint>: without it, array<int>
+        // inputs would pass analysis and getLong would read garbage
+        case Seq(a, b) =>
+          val t = ArrayType(LongType, containsNull = true)
+          DotI64(Cast(a, t), Cast(b, t))
         case other => throw new IllegalArgumentException(
           s"dot_i64(array<bigint>, array<bigint>) got ${other.size} args")
       })

@@ -23,15 +23,35 @@ object PartialParse {
   def fileHashes(projectDir: String): Map[String, String] = {
     val root = Paths.get(projectDir)
     if (!Files.exists(root)) return Map.empty
-    Files.walk(root).iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .filter { p =>
-        val s = p.toString
-        (s.endsWith(".sql") || s.endsWith(".yml") || s.endsWith(".yaml") || s.endsWith(".csv")) &&
-          !s.contains("/target/") && !s.contains("/warehouse/")
+    def hashTree(base: Path, prefix: String): Map[String, String] =
+      Files.walk(base).iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filter { p =>
+          val s = p.toString
+          (s.endsWith(".sql") || s.endsWith(".yml") || s.endsWith(".yaml") ||
+            s.endsWith(".csv") || s.endsWith(".py")) &&
+            !s.contains("/target/") && !s.contains("/warehouse/")
+        }
+        .map(p => (prefix + base.relativize(p).toString) ->
+          FileHash.of(Files.readString(p)).checksum)
+        .toMap
+    // local dependency packages may live OUTSIDE the project tree —
+    // their edits must invalidate the cache too
+    val pkgDirs: Seq[Path] = {
+      val pf = root.resolve("packages.yml")
+      if (!Files.exists(pf)) Nil
+      else MiniYaml.parseMap(Files.readString(pf)).get("packages") match {
+        case Some(l: List[Any @unchecked]) => l.flatMap {
+          case m: Map[String @unchecked, Any @unchecked] =>
+            m.get("local").map(x => root.resolve(x.toString).normalize)
+          case _ => None
+        }
+        case _ => Nil
       }
-      .map(p => root.relativize(p).toString -> FileHash.of(Files.readString(p)).checksum)
-      .toMap
+    }
+    hashTree(root, "") ++ pkgDirs.filter(Files.exists(_)).zipWithIndex.flatMap {
+      case (d, i) => hashTree(d, s"__pkg${i}__/")
+    }
   }
 
   /** Load with cache; second element reports whether the cache was used

@@ -126,10 +126,13 @@ object ProjectLoader {
       val deps =
         scan.refs.map(r => refId(r, name)) ++
         scan.sources.map { case (s, t) => s"source.$name.$s.$t" }
+      // checksum covers the EXPANDED text: a macro-body edit changes
+      // every caller's compiled SQL and must register as state:modified
+      // (the reference tracks this via depends_on.macros)
       val node = ModelNode(
         name = mname, packageName = name, rawCode = raw, config = cfg,
         dependsOn = deps, refs = scan.refs, sources = scan.sources,
-        path = dir.relativize(f).toString, checksum = FileHash.of(orig))
+        path = dir.relativize(f).toString, checksum = FileHash.of(raw))
       nodes(node.uniqueId) = node
     }
 
@@ -179,7 +182,7 @@ object ProjectLoader {
         scan.refs.map(r => refId(r, name)) ++
         scan.sources.map { case (s, t) => s"source.$name.$s.$t" }
       val node = SnapshotNode(sname, name, raw, cfg, deps, scan.refs, scan.sources,
-        checksum = FileHash.of(orig))
+        checksum = FileHash.of(raw))
       nodes(node.uniqueId) = node
     }
 
@@ -202,7 +205,7 @@ object ProjectLoader {
       val deps = scan.refs.map(r => refId(r, name)) ++
         scan.sources.map { case (s, t) => s"source.$name.$s.$t" }
       val node = TestNode(tname, name, raw, cfg, deps, scan.refs,
-        checksum = FileHash.of(orig))
+        checksum = FileHash.of(raw))
       nodes(node.uniqueId) = node
     }
 
@@ -555,8 +558,9 @@ object ProjectLoader {
     def fix(deps: Seq[String]): Seq[String] = deps.map { d =>
       if (!d.startsWith("__ref__.")) d
       else {
-        val refName = d.split("\\.", 3)(2)
-        m.resolveRef(refName).map(_.uniqueId).getOrElse(
+        val parts = d.split("\\.", 3)
+        val (callerPkg, refName) = (parts(1), parts(2))
+        m.resolveRefSpec(refName, callerPkg = Some(callerPkg)).map(_.uniqueId).getOrElse(
           throw new IllegalArgumentException(s"ref not found: $refName"))
       }
     }
