@@ -359,8 +359,13 @@ object Artifacts {
     val old = readSourceLoadedAt(s"$stateDir/sources.json")
     // no previous freshness state → NOTHING is provably fresher (the
     // reference errors here; selecting everything would silently defeat
-    // the filter)
-    if (old.isEmpty) Set.empty
+    // the filter) — warn loudly so a state-path typo isn't invisible
+    if (old.isEmpty) {
+      System.err.println(
+        s"[source_status] no previous sources.json under $stateDir — " +
+          "source_status:fresher selects nothing (run source-freshness in the state target first)")
+      Set.empty
+    }
     else cur.collect { case (id, t) if old.get(id).forall(t.isAfter) => id }.toSet
   }
 

@@ -413,7 +413,10 @@ final case class Manifest(
         pick(cands.filter(n => n.config.version.contains(v) && (base(n) == nm || n.name == nm)))
       case None =>
         pick(cands.filter(_.name == nm)).orElse {
-          val family = cands.filter(n => n.config.version.nonEmpty && base(n) == nm)
+          val family0 = cands.filter(n => n.config.version.nonEmpty && base(n) == nm)
+          // caller's package owns its versioned family on a collision
+          val own = family0.filter(n => callerPkg.contains(n.packageName))
+          val family = if (own.nonEmpty) own else family0
           if (family.isEmpty) None
           else Some(family.maxBy(n =>
             (n.config.version.flatMap(_.toIntOption).getOrElse(0), n.uniqueId)))

@@ -89,27 +89,41 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
     * default), continue (keep the existing definition, still refresh),
     * fail (error). Returns the status message for the run result.
     */
-  def materializedView(node: Node, sql: String, run: String => DataFrame): String = {
+  def materializedView(
+      node: Node, sql: String, run: String => DataFrame,
+      fullRefresh: Boolean = false): String = {
     val st = storeFor(node)
     val name = relName(node)
     val prior = st.mvDefinition(name)
     val changed = prior.exists(_ != sql)
-    (changed, node.config.onConfigurationChange) match {
+    // contract applies like any table-producing materialization, and the
+    // definition is persisted only AFTER the refresh succeeds — a broken
+    // redefinition must not be recorded over a working one
+    def build(defSql: String): Unit = {
+      val df = run(defSql)
+      enforceContract(node, df)
+      st.write(df, name, node.config.partitionBy)
+      st.writeMvDefinition(name, defSql)
+    }
+    if (fullRefresh) {
+      // --full-refresh replaces the MV regardless of
+      // on_configuration_change (the reference's recovery path)
+      build(sql)
+      "RECREATE MATERIALIZED VIEW (full refresh)"
+    } else (changed, node.config.onConfigurationChange) match {
       case (true, "fail") =>
         throw new IllegalStateException(
           s"materialized view ${node.name}: definition changed (on_configuration_change=fail)")
       case (true, "continue") =>
-        st.write(run(prior.get), name, node.config.partitionBy)
+        build(prior.get)
         "REFRESH MATERIALIZED VIEW (definition change ignored: continue)"
       case (true, "apply") =>
-        st.writeMvDefinition(name, sql)
-        st.write(run(sql), name, node.config.partitionBy)
+        build(sql)
         "RECREATE MATERIALIZED VIEW"
       case (true, other) =>
         throw new IllegalArgumentException(s"unknown on_configuration_change: $other")
       case (false, _) =>
-        st.writeMvDefinition(name, sql)
-        st.write(run(sql), name, node.config.partitionBy)
+        build(sql)
         if (prior.isEmpty) "CREATE MATERIALIZED VIEW" else "REFRESH MATERIALIZED VIEW"
     }
   }

@@ -224,12 +224,18 @@ final class Runner(
           materializer.table(m, spark.sql(sql))
           RunResult(m.uniqueId, "success", elapsed, "CREATE TABLE")
         case Materialized.MaterializedView =>
-          // definition compiled WITHOUT run context — otherwise a model
-          // using {{ invocation_id }} would read as a redefinition every
-          // run; context substitutes only at execution time
-          val defSql = compiler(withContext = false).compile(m, m.rawCode).executable
+          // the PERSISTED definition must be mode-independent: no run
+          // context (a {{ invocation_id }} would read as redefinition),
+          // no defer (would bake in GC-able state-warehouse paths), no
+          // --empty LIMIT 0. Context substitutes at execution time only.
+          val defCompiler = new Compiler(manifest, vars,
+            relResolver = Some((n: Node, ident: String) =>
+              materializer.storeFor(n).sqlName(ident)),
+            thisNameOf = Some((n: Node) => materializer.sqlName(n)))
+          val defSql = defCompiler.compile(m, m.rawCode).executable
           val msg = materializer.materializedView(m, defSql,
-            s2 => spark.sql(substContext(s2)))
+            s2 => spark.sql(substContext(s2)),
+            fullRefresh = opts.fullRefresh || m.config.fullRefresh.contains(true))
           RunResult(m.uniqueId, "success", elapsed, msg)
         case Materialized.Incremental if m.config.incrementalStrategy.contains("microbatch") =>
           runMicrobatch(m)

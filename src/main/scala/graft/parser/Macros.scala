@@ -43,7 +43,10 @@ object Macros {
       }
       MacroDef(m.group(1), params, m.group(3).trim)
     }.toSeq
-    defs(defRe) ++ defs(testDefRe)
+    // test blocks live under the test_ prefix (dbt stores them as
+    // test_<name>), so a macro and a test sharing a bare name never
+    // shadow each other
+    defs(defRe) ++ defs(testDefRe).map(d => d.copy(name = "test_" + d.name))
   }
 
   /** Expand `{{ name(args) }}` calls against `table`, recursively (a

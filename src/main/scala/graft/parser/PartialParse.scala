@@ -37,18 +37,7 @@ object PartialParse {
         .toMap
     // local dependency packages may live OUTSIDE the project tree —
     // their edits must invalidate the cache too
-    val pkgDirs: Seq[Path] = {
-      val pf = root.resolve("packages.yml")
-      if (!Files.exists(pf)) Nil
-      else MiniYaml.parseMap(Files.readString(pf)).get("packages") match {
-        case Some(l: List[Any @unchecked]) => l.flatMap {
-          case m: Map[String @unchecked, Any @unchecked] =>
-            m.get("local").map(x => root.resolve(x.toString).normalize)
-          case _ => None
-        }
-        case _ => Nil
-      }
-    }
+    val pkgDirs: Seq[Path] = ProjectLoader.localPackageDirs(root)
     hashTree(root, "") ++ pkgDirs.filter(Files.exists(_)).zipWithIndex.flatMap {
       case (d, i) => hashTree(d, s"__pkg${i}__/")
     }

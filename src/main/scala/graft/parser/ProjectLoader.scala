@@ -88,18 +88,7 @@ object ProjectLoader {
     // ---- local dependency packages (packages.yml `- local: path`;
     // reference core/dbt/deps/local.py LocalPackage — registry/git/
     // tarball types need egress and stay out of scope) ----
-    val localPkgDirs: Seq[Path] = {
-      val pf = dir.resolve("packages.yml")
-      if (!Files.exists(pf)) Nil
-      else MiniYaml.parseMap(Files.readString(pf)).get("packages") match {
-        case Some(l: List[Any @unchecked]) => l.flatMap {
-          case m: Map[String @unchecked, Any @unchecked] =>
-            m.get("local").map(p => dir.resolve(p.toString).normalize)
-          case _ => None
-        }
-        case _ => Nil
-      }
-    }
+    val localPkgDirs: Seq[Path] = localPackageDirs(dir)
 
     // ---- user macros (macros/*.sql; reference core/dbt/parser/
     // macros.py:27 MacroParser). Parsed first: model/snapshot/test SQL
@@ -436,6 +425,22 @@ object ProjectLoader {
       selectors, macroTable)
   }
 
+  /** packages.yml `- local:` entries resolved against `dir` — shared
+    * with the partial-parse cache so package edits invalidate it.
+    */
+  def localPackageDirs(dir: Path): Seq[Path] = {
+    val pf = dir.resolve("packages.yml")
+    if (!Files.exists(pf)) Nil
+    else MiniYaml.parseMap(Files.readString(pf)).get("packages") match {
+      case Some(l: List[Any @unchecked]) => l.flatMap {
+        case m: Map[String @unchecked, Any @unchecked] =>
+          m.get("local").map(p => dir.resolve(p.toString).normalize)
+        case _ => None
+      }
+      case _ => Nil
+    }
+  }
+
   private def filesUnder(d: Path, ext: String): Seq[Path] =
     if (!Files.exists(d)) Nil
     else Files.walk(d).iterator().asScala
@@ -626,27 +631,33 @@ object TestBuilder {
              |  ON child.$columnName = parent.$field
              |WHERE child.$columnName IS NOT NULL AND parent.$field IS NULL""".stripMargin,
           Nil)
-      case other if macros.contains(other) =>
+      case other if macros.contains("test_" + other) || macros.contains(other) =>
         // custom generic test (reference generic_test_builders: a user
-        // {% test %} macro called by name from schema YAML). Standard
-        // params model/column_name get the resolved relation + column;
-        // every other YAML kwarg passes through as a macro kwarg.
+        // {% test %} macro called by name from schema YAML — stored as
+        // test_<name>; a plain macro of the same name also works).
+        // Standard params model/column_name get the resolved relation +
+        // column; every other YAML kwarg passes through as a macro kwarg.
+        val macroName = if (macros.contains("test_" + other)) "test_" + other else other
         val reserved = Set("where", "config", "severity", "warn_if", "error_if",
           "fail_calc", "limit", "store_failures")
+        def kwLit(v: Any): String = v match {
+          case s: String => "'" + s.replace("'", "''") + "'"
+          case xs: Seq[_] => xs.map(kwLit).mkString("(", ", ", ")")
+          case other2 => String.valueOf(other2)
+        }
         val extra = kwargs.filterNot { case (k, _) => reserved(k) }
-          .map { case (k, v) =>
-            val lit = v match {
-              case s: String => s"'$s'"
-              case other2 => String.valueOf(other2)
-            }
-            s", $k=$lit"
-          }.mkString
-        val call = s"{{ $other(model=$rel, column_name='$columnName'$extra) }}"
+          .map { case (k, v) => s", $k=${kwLit(v)}" }.mkString
+        val call = s"{{ $macroName(model=$rel, column_name='$columnName'$extra) }}"
         val expanded = Macros.expand(call, macros)
         require(expanded != call, s"custom test macro failed to expand: $other")
-        // kwargs-hash suffix keeps two parameterizations of the same
-        // test on one column distinct (reference get_hashable_md)
-        val suffix = if (extra.isEmpty) "" else "_" + FileHash.of(extra).checksum.take(8)
+        // kwargs-hash suffix covers ALL kwargs (incl. where/config), so
+        // two parameterizations of one test on one column stay distinct
+        // (reference get_hashable_md)
+        val suffix =
+          if (kwargs.isEmpty) ""
+          else "_" + FileHash.of(kwargs.toSeq
+            .map { case (k, v) => s"$k=${String.valueOf(v)}" }.sorted.mkString(","))
+            .checksum.take(8)
         (s"${other}_${attachedName}_$columnName$suffix", expanded, Nil)
       case other =>
         throw new IllegalArgumentException(s"unknown generic test: $other")
