@@ -717,6 +717,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r5 = runIt()
     assert(r5.head.status == "error" && r5.head.message.contains("definition changed"),
       r5.mkString("\n"))
+    // the failed redefinition must NOT have been recorded: the stored
+    // definition still builds the old results
+    assert(st8.read("mv_sum").first().getInt(0) == 2)
+    // --full-refresh is the recovery path: replaces regardless of policy
+    val pr = ProjectLoader.resolveRefs(ProjectLoader.load(d8.toString))
+    val r6 = new Runner(spark, pr, st8,
+      RunOptions(cmd = "run", threads = 1, fullRefresh = true,
+        targetDir = d8.resolve("target").toString)).execute()
+    assert(r6.head.status == "success" && r6.head.message.contains("full refresh"),
+      r6.mkString("\n"))
+    assert(st8.read("mv_sum").first().getInt(0) == 4)
   }
 
   test("19 test limit caps the fail count before warn/error thresholds") {

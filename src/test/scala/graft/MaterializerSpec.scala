@@ -200,6 +200,31 @@ class MaterializerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter("id = 1 AND v = 'x'").count() == 1)
   }
 
+  test("incremental_predicates compose with partition-scoped commits") {
+    import spark.implicits._
+    val n = ModelNode("t_pred_part", "p", "", NodeConfig(
+      materialized = Materialized.Incremental,
+      incrementalStrategy = Some("merge"),
+      uniqueKey = Seq("id"), partitionBy = Seq("day"),
+      incrementalPredicates = Seq("day >= '2024-01-02'")), Nil, Nil, Nil)
+    val init = Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"), (3L, "c", "2024-01-03"))
+      .toDF("id", "v", "day")
+    mat.incremental(n, init, fullRefresh = false)
+    val v0 = java.nio.file.Paths.get(store.currentPath("t_pred_part").get)
+    // id=1 is outside the predicate window (frozen + batch row inserts);
+    // id=2 is inside (updated); day 03 untouched → linked
+    val batch = Seq((1L, "x", "2024-01-01"), (2L, "y", "2024-01-02")).toDF("id", "v", "day")
+    mat.incremental(n, batch, fullRefresh = false)
+    val v1 = java.nio.file.Paths.get(store.currentPath("t_pred_part").get)
+    assertLinked(v0, v1, Seq("day=2024-01-03"))
+    val out = store.read("t_pred_part")
+    assert(out.filter("id = 2").count() == 1)
+    assert(out.filter("id = 2 AND v = 'y'").count() == 1)
+    assert(out.filter("id = 1").count() == 2) // frozen original + inserted batch row
+    assert(out.filter("id = 1 AND v = 'a'").count() == 1)
+    assert(out.count() == 4)
+  }
+
   test("insert_overwrite replaces only the incoming partitions") {
     import spark.implicits._
     val n = node("t_part", parts = Seq("day"))
