@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (DedupOps.dedupMinHashLsh _),
     "dedup_simhash" -> (DedupOps.dedupSimHash _),
+    "dedup_simhash_pairs" -> (DedupOps.dedupSimHashPairs _),
     // similarity search
     "sim_topk" -> (SimilarityOps.simTopK _),
     "emb_neardup" -> (SimilarityOps.embNearDup _),

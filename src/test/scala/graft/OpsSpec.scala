@@ -55,6 +55,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tight.subsetOf(unguarded), s"two-phase emitted wrong values: ${tight -- unguarded}")
   }
 
+  test("simhash banding retrieves EXACTLY the brute-force hamming pairs") {
+    val sigs = DedupOps.dedupSimHash(spark, sf)
+      .select("doc_id", "simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force ground truth, driver-side (500 docs → 125k pairs)
+    val brute = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= DedupOps.SimHashMaxHamming
+    } yield {
+      val (a, b) = (sigs(i), sigs(j))
+      (math.min(a._1, b._1), math.max(a._1, b._1), h.toLong)
+    }).toSet
+    val banded = DedupOps.dedupSimHashPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // pigeonhole guarantees recall 1; the hamming filter precision 1
+    assert(banded == brute,
+      s"missing=${brute -- banded} extra=${banded -- brute}")
+    assert(brute.nonEmpty, "corpus should contain simhash near-dups")
+  }
+
   test("IVF top-k: meaningful overlap with brute-force top-k") {
     val exact = SimilarityOps.simTopK(spark, sf)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
