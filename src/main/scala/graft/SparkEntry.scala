@@ -56,6 +56,8 @@ object SparkEntry {
     "q_scd2" -> (Events.qScd2 _),
     "q_events_json" -> (Events.qEventsJson _),
     "q_skew_salted_agg" -> (ScaleOps.qSkewSaltedAgg _),
+    "q_asof_join" -> (Events.qAsofJoin _),
+    "q_range_join" -> (Events.qRangeJoin _),
     // text analysis
     "txt_stats" -> (TextOps.txtStats _),
     "txt_quality" -> (TextOps.txtQuality _),
@@ -70,6 +72,12 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (DedupOps.dedupMinHashLsh _),
     "dedup_simhash" -> (DedupOps.dedupSimHash _),
     "dedup_simhash_pairs" -> (DedupOps.dedupSimHashPairs _),
+    "dedup_decontaminate" -> (CurateOps.dedupDecontaminate _),
+    // corpus curation
+    "txt_repetition" -> (CurateOps.txtRepetition _),
+    "txt_pii_scrub" -> (CurateOps.txtPiiScrub _),
+    "split_assign" -> (CurateOps.splitAssign _),
+    "emb_cluster_assign" -> (CurateOps.embClusterAssign _),
     // similarity search
     "sim_topk" -> (SimilarityOps.simTopK _),
     "emb_neardup" -> (SimilarityOps.embNearDup _),
@@ -287,6 +295,156 @@ object SparkEntry {
       SELECT event_type, COUNT(*) AS n,
              CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
       FROM events GROUP BY 1""",
+    "q_asof_join" -> """
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events)
+      SELECT a.user_id, a.event_id, a.us, b.us AS purchase_us, a.us - b.us AS lag_us
+      FROM (SELECT user_id, event_id, us FROM e WHERE event_type = 'click') a
+      ASOF LEFT JOIN (SELECT user_id, us FROM e WHERE event_type = 'purchase') b
+        ON a.user_id = b.user_id AND a.us >= b.us""",
+    "q_range_join" -> """
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events)
+      SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id, c.us - v.us AS delta_us
+      FROM (SELECT user_id, event_id, us FROM e WHERE event_type = 'view') v
+      JOIN (SELECT user_id, event_id, us FROM e WHERE event_type = 'click') c
+        ON v.user_id = c.user_id AND c.us >= v.us AND c.us - v.us <= 3600000000
+           AND c.event_id <> v.event_id""",
+    "txt_repetition" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        FROM documents
+      ), g2 AS (
+        SELECT doc_id, MAX(c) AS top_2gram_n, CAST(SUM(c) AS BIGINT) AS n_2grams FROM (
+          SELECT doc_id, g, COUNT(*) AS c FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+            FROM toks WHERE len(w) >= 2) x GROUP BY 1, 2) y GROUP BY 1
+      ), g3 AS (
+        SELECT doc_id, COUNT(*) AS n_3grams, COUNT(DISTINCT g) AS nd FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          FROM toks WHERE len(w) >= 3) x GROUP BY 1
+      )
+      SELECT d.doc_id,
+             COALESCE(n_2grams, 0) AS n_2grams,
+             COALESCE(top_2gram_n, 0) AS top_2gram_n,
+             CASE WHEN n_2grams > 0 THEN CAST(top_2gram_n AS DOUBLE) / n_2grams ELSE 0.0 END AS top_2gram_frac,
+             COALESCE(n_3grams, 0) AS n_3grams,
+             COALESCE(n_3grams - nd, 0) AS n_dup_3grams,
+             CASE WHEN n_3grams > 0 THEN CAST(n_3grams - nd AS DOUBLE) / n_3grams ELSE 0.0 END AS dup_3gram_frac
+      FROM documents d LEFT JOIN g2 ON d.doc_id = g2.doc_id LEFT JOIN g3 ON d.doc_id = g3.doc_id""",
+    "txt_pii_scrub" -> """
+      WITH a AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com phone 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+        FROM documents
+      )
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+             CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+             md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{4}\b', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrubbed_md5
+      FROM a""",
+    "dedup_decontaminate" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        FROM documents
+      ), grams AS (
+        SELECT DISTINCT doc_id, g FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))) AS g
+          FROM toks WHERE len(w) >= 8) x
+      ), ev AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0
+      ), tr AS (
+        SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0
+      ), shared AS (
+        SELECT doc_id, COUNT(*) AS n_shared FROM tr JOIN ev USING (g) GROUP BY 1
+      ), perdoc AS (
+        SELECT doc_id, COUNT(*) AS n_8grams FROM tr GROUP BY 1
+      )
+      SELECT d.doc_id, COALESCE(n_8grams, 0) AS n_8grams, COALESCE(n_shared, 0) AS n_shared,
+             CAST(COALESCE(n_shared, 0) > 0 AS BIGINT) AS contaminated
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+      LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
+      LEFT JOIN shared ON d.doc_id = shared.doc_id""",
+    "split_assign" -> """
+      SELECT doc_id, bucket,
+             CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        FROM documents) b""",
+    "emb_cluster_assign" -> """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings
+      ), en AS (
+        SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq FROM e
+      ), s AS (
+        SELECT a.vec_id, c.vec_id AS cell,
+               CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * c.q[i])) AS BIGINT) AS dot,
+               a.nq AS na, c.nq AS nc
+        FROM en a CROSS JOIN (SELECT vec_id, q, nq FROM en WHERE vec_id < 8) c
+      )
+      SELECT vec_id, cell, cos FROM (
+        SELECT vec_id, cell,
+               CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) DESC, cell) AS rn
+        FROM s
+      ) t WHERE rn = 1""",
+    "dedup_simhash" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS t
+        FROM documents
+      ), h AS (
+        SELECT doc_id,
+               (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END) * 4294967296 + lo AS h
+        FROM (
+          SELECT doc_id,
+                 ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+                 ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+          FROM tok WHERE t <> '') x
+      ), bits AS (
+        SELECT doc_id, i, SUM(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+        FROM h, (SELECT unnest(range(0, 64)) AS i) r
+        GROUP BY 1, 2
+      )
+      SELECT doc_id, simhash, CAST(bit_count(simhash) AS BIGINT) AS popcnt FROM (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN sgn > 0
+                 THEN CASE WHEN i = 63 THEN -9223372036854775807 - 1 ELSE 1::BIGINT << CAST(i AS INT) END
+                 ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id) s""",
+    "dedup_simhash_pairs" -> """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS t
+        FROM documents
+      ), h AS (
+        SELECT doc_id,
+               (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END) * 4294967296 + lo AS h
+        FROM (
+          SELECT doc_id,
+                 ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+                 ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+          FROM tok WHERE t <> '') x
+      ), bits AS (
+        SELECT doc_id, i, SUM(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+        FROM h, (SELECT unnest(range(0, 64)) AS i) r
+        GROUP BY 1, 2
+      ), sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN sgn > 0
+                 THEN CASE WHEN i = 63 THEN -9223372036854775807 - 1 ELSE 1::BIGINT << CAST(i AS INT) END
+                 ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
     "txt_stats" -> """
       SELECT doc_id, LENGTH(text) AS n_chars_m,
              len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS n_tokens_ws,

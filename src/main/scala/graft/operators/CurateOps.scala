@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus-curation operators for training-data pipelines: repetition
+  * signals, PII scrubbing, eval-set decontamination, and deterministic
+  * train/val/test splitting.
+  *
+  * Every operator is a row-parallel projection or an explode →
+  * groupBy/join on an n-gram key — the same shuffle-bounded shapes as
+  * [[DedupOps]] — and every output is integer/exact-double so the
+  * DuckDB oracle hashes bit-identically.
+  */
+object CurateOps {
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), split(TextOps.normalized(col("text")), " ").as("w"))
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    * fraction of the document covered by its most frequent word 2-gram,
+    * and the fraction of 3-gram occurrences that are repeats. High
+    * values flag boilerplate / TV-transcript / keyword-stuffed pages.
+    *
+    * Shape: explode n-grams → partial-aggregated groupBy(doc_id, gram)
+    * → groupBy(doc_id). Per-key fanout is O(doc length); no join ever
+    * crosses documents, so the plan is embarrassingly scalable.
+    */
+  def txtRepetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(s, dir)
+    val g2 = toks.filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_2gram_n"), sum(col("c")).as("n_2grams"))
+    val g3 = toks.filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_3grams"), countDistinct(col("g")).as("n_distinct_3grams"))
+    docs(s, dir).select(col("doc_id"))
+      .join(g2, Seq("doc_id"), "left")
+      .join(g3, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+        coalesce(col("top_2gram_n"), lit(0L)).as("top_2gram_n"),
+        when(col("n_2grams") > 0, col("top_2gram_n").cast("double") / col("n_2grams"))
+          .otherwise(0.0).as("top_2gram_frac"),
+        coalesce(col("n_3grams"), lit(0L)).as("n_3grams"),
+        coalesce(col("n_3grams") - col("n_distinct_3grams"), lit(0L)).as("n_dup_3grams"),
+        when(col("n_3grams") > 0,
+          (col("n_3grams") - col("n_distinct_3grams")).cast("double") / col("n_3grams"))
+          .otherwise(0.0).as("dup_3gram_frac"))
+  }
+
+  /** PII detection + scrubbing. The synthetic corpus contains no PII, so
+    * the operator first ANNOTATES each document with deterministic
+    * doc_id-derived contact lines (email, phone, IPv4) — identically in
+    * Spark and the DuckDB oracle — then detects and redacts them with
+    * Java∩RE2-safe regexes. Output: per-class counts + md5 of the
+    * scrubbed text (proves the replacement text, not just the counts).
+    * Pure row-parallel regex projection: zero shuffles at any scale.
+    */
+  def txtPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val ann = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com phone 555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" host 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".1"))
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\b\\d{3}-\\d{4}\\b"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    docs(s, dir)
+      .select(col("doc_id"), ann.as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(phone)).cast("long").as("n_phones"),
+        regexp_count(col("t"), lit(ip)).cast("long").as("n_ips"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+          email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>")).as("scrubbed_md5"))
+  }
+
+  /** Benchmark-decontamination (GPT-3 appendix C / PaLM style): flag
+    * training documents sharing any word-8-gram with the held-out eval
+    * set (here: every 20th doc_id — deterministic, so the oracle agrees
+    * on the split). Output: one row per TRAINING doc with its distinct-
+    * 8-gram count, the number shared with the eval set, and the flag.
+    *
+    * Shape: distinct 8-grams per side, equi-join on the gram — the eval
+    * side of a real run is tiny (benchmarks, not corpora) so Catalyst
+    * broadcasts it; the training side never self-joins. In production
+    * the join key would be xxhash64(gram) to cut shuffle bytes (~10x);
+    * the oracle joins the string itself so the comparison stays exact.
+    */
+  def dedupDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val grams = tokens(s, dir).filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))")).as("g"))
+      .distinct()
+    val isEval = pmod(col("doc_id"), lit(20)) === 0
+    val evalGrams = grams.filter(isEval).select(col("g")).distinct()
+    val trainGrams = grams.filter(!isEval)
+    val shared = trainGrams.join(evalGrams, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    val perDoc = trainGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_8grams"))
+    docs(s, dir).select(col("doc_id")).filter(!isEval)
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_8grams"), lit(0L)).as("n_8grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).cast("long").as("contaminated"))
+  }
+
+  /** Deterministic train/val/test assignment: bucket = first 32 bits of
+    * md5(doc_id) mod 100 → 80/10/10 split. Hash-based (not random, not
+    * positional) so the split is stable under corpus growth and
+    * reshuffling — the property a 100 TB pipeline needs for exactly-
+    * reproducible holdouts. Row-parallel projection, zero shuffles.
+    */
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)") % 100)
+        .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+
+  /** Embedding clustering: assign every vector to its nearest of 8
+    * deterministic centroids (the vectors with vec_id < 8) by cosine.
+    * The centroid table is bounded by construction → broadcast join;
+    * scoring is the native integer-dot kernel inside whole-stage
+    * codegen; argmax is a window over k=8 rows per vector. One corpus
+    * pass — the assignment step of distributed k-means at any scale.
+    */
+  def embClusterAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings").select(
+      col("vec_id"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))").as("q"))
+      .withColumn("nq", expr("dot_i64(q, q)"))
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("q").as("cq"), col("nq").as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cell"))
+    e.crossJoin(broadcast(centroids))
+      .withColumn("dot", expr("dot_i64(q, cq)"))
+      .withColumn("cos", col("dot") / (sqrt(col("nq")) * sqrt(col("cn"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("cos"))
+  }
+}

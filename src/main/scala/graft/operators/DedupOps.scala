@@ -184,16 +184,31 @@ object DedupOps {
         (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
   }
 
+  /** 64-bit token hash derived from md5 — chosen over xxhash64 ONLY so
+    * the DuckDB oracle can compute the identical value (both engines
+    * ship md5; neither shares the other's native 64-bit hash). First 16
+    * hex chars reassembled as a signed two's-complement long:
+    * (signed hi32) * 2^32 + lo32, which cannot overflow and matches
+    * `('0x' || substr(md5(x), 1, 8))::BIGINT` arithmetic in DuckDB.
+    */
+  private[operators] def md5Hash64(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val hex = md5(c)
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    (hi - when(hi >= 2147483648L, lit(4294967296L)).otherwise(lit(0L))) * lit(4294967296L) + lo
+  }
+
   /** SimHash (64-bit) per document: sign-sum of per-token hash bits.
     * Output is the signature + its popcount; near-dup = low Hamming
     * distance between signatures (the pair step reuses the LSH band
-    * pattern on signature chunks at scale).
+    * pattern on signature chunks at scale). Token hash is md5-derived
+    * ([[md5Hash64]]) so the signature is oracle-checkable bit-for-bit.
     */
   def dedupSimHash(s: SparkSession, dir: String): DataFrame = {
     val tok = docs(s, dir)
       .select(col("doc_id"), explode(split(TextOps.normalized(col("text")), " ")).as("t"))
       .filter(col("t") =!= "")
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .select(col("doc_id"), md5Hash64(col("t")).as("h"))
     // for each of 64 bits: +1 if set else -1; simhash bit = (sum > 0)
     val bitSums = tok.groupBy(col("doc_id")).agg(
       sum(when(expr("shiftright(h, 0) & 1") === 1, 1L).otherwise(-1L)).as("b0"),

@@ -79,6 +79,67 @@ object Events {
         col("ts_us").as("valid_from_us"), col("valid_to_us"))
   }
 
+  /** As-of join — an operator Spark lacks natively (DuckDB/kdb have it;
+    * the oracle uses DuckDB's ASOF LEFT JOIN): each 'click' event picks
+    * up the most recent 'purchase' AT OR BEFORE it for the same user.
+    *
+    * Implementation is the scalable union-and-scan formulation, NOT a
+    * per-row probe or range cross-join: tag both streams, sort each
+    * user's timeline once (a single shuffle on user_id), and carry the
+    * last reference timestamp forward with `last(_, ignoreNulls)` over
+    * an unbounded-preceding window. O(n log n) per user partition, one
+    * shuffle total, no broadcast of either stream — the plan a 100 TB
+    * event log needs. Reference rows sort before probes at equal
+    * timestamps (tag 0 < 1) giving ASOF's inclusive `>=` semantics.
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val refs = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("us"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"))
+    val probes = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("us"), lit(1).as("tag"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    refs.unionByName(probes)
+      .withColumn("purchase_us", last(when(col("tag") === 0, col("us")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("user_id"), col("event_id"), col("us"), col("purchase_us"),
+        (col("us") - col("purchase_us")).as("lag_us"))
+  }
+
+  /** Range (interval) join — 'view' events followed by a 'click' from
+    * the same user within one hour. The naive plan is a cross join
+    * with an inequality filter (quadratic per user); this is the
+    * bucketed formulation: both sides key by floor(us / 60s), the click
+    * side also emits its predecessor bucket, and a pair within the
+    * window must land on exactly one shared key — so the join is a pure
+    * equi-join with bounded per-key fanout, followed by the exact range
+    * filter. Standard interval-join shape (Flink's interval join does
+    * the same internally); survives any corpus size.
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val windowUs = 3600000000L // 1 h
+    val e = ev(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts_us").as("view_us"))
+      // integer `div`, not floor(x/y): double division rounds epoch-us
+      // quotients at bucket boundaries
+      .withColumn("bk", expr(s"view_us div ${windowUs}L"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts_us").as("click_us"))
+      // a matching view is in this bucket or the previous one; emitting
+      // {bk-1, bk} makes every qualifying pair match on EXACTLY one key
+      // (no post-join dedup needed)
+      .withColumn("bk", explode(expr(s"array(click_us div ${windowUs}L - 1, click_us div ${windowUs}L)")))
+    views.join(clicks, Seq("user_id", "bk"))
+      .filter(col("click_us") >= col("view_us") &&
+        col("click_us") - col("view_us") <= windowUs &&
+        col("click_id") =!= col("view_id"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (col("click_us") - col("view_us")).as("delta_us"))
+  }
+
   /** JSON extraction (the `props` column) + aggregation. */
   def qEventsJson(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)

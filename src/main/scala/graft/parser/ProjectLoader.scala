@@ -22,7 +22,13 @@ object ProjectLoader {
       /** The project's (global) macro table — exposed for
         * `run-operation <macro>` (reference task/run_operation.py).
         */
-      macros: Map[String, Macros.MacroDef] = Map.empty)
+      macros: Map[String, Macros.MacroDef] = Map.empty,
+      /** Packages whose dbt_project.yml sets `restrict-access: true`:
+        * their protected models may only be ref'd from inside the same
+        * package (reference project.py restrict_access +
+        * manifest.py is_invalid_protected_ref).
+        */
+      restrictAccess: Set[String] = Set.empty)
 
   def load(projectDir: String, cliVars: Map[String, String] = Map.empty): Project =
     load0(projectDir, cliVars, inheritedMacros = None)
@@ -422,7 +428,11 @@ object ProjectLoader {
         subs.foldLeft(sources.toMap)((acc, sp) => acc ++ sp.manifest.sources),
         subs.foldLeft(unitTests.toMap)((acc, sp) => acc ++ sp.manifest.unitTests),
         onRunStart, onRunEnd, name),
-      selectors, macroTable)
+      selectors, macroTable,
+      restrictAccess =
+        subs.foldLeft(Set.empty[String])(_ ++ _.restrictAccess) ++
+          (if (proj.get("restrict-access").exists(v => String.valueOf(v).toBoolean)) Set(name)
+           else Set.empty[String]))
   }
 
   /** packages.yml `- local:` entries resolved against `dir` — shared
@@ -560,23 +570,50 @@ object ProjectLoader {
     */
   def resolveRefs(p: Project): Project = {
     val m = p.manifest
-    def fix(deps: Seq[String]): Seq[String] = deps.map { d =>
+    /** Model-governance gate (reference manifest.py
+      * is_invalid_private_ref / is_invalid_protected_ref, nodes.py:445
+      * ModelNode.access): a `private` model is only visible inside its
+      * group; a `protected` (the default) model of a package that sets
+      * `restrict-access: true` is only visible inside that package.
+      * Enforced at resolution time, like the reference's parse-time
+      * DbtReferenceError — not at runtime.
+      */
+    def checkAccess(caller: Node, target: Node): Unit = (caller, target) match {
+      case (c: ModelNode, t: ModelNode) =>
+        t.config.access match {
+          case Some("private") if c.config.group != t.config.group =>
+            throw new IllegalArgumentException(
+              s"access violation: ${c.uniqueId} cannot ref private model ${t.uniqueId} " +
+                s"(group ${t.config.group.getOrElse("<none>")})")
+          case _ if p.restrictAccess.contains(t.packageName) &&
+              t.packageName != c.packageName &&
+              !t.config.access.contains("public") =>
+            throw new IllegalArgumentException(
+              s"access violation: ${c.uniqueId} cannot ref protected model ${t.uniqueId} " +
+                s"of restricted package ${t.packageName}")
+          case _ => ()
+        }
+      case _ => ()
+    }
+    def fix(caller: Node): Seq[String] = caller.dependsOn.map { d =>
       if (!d.startsWith("__ref__.")) d
       else {
         val parts = d.split("\\.", 3)
         val (callerPkg, refName) = (parts(1), parts(2))
-        m.resolveRefSpec(refName, callerPkg = Some(callerPkg)).map(_.uniqueId).getOrElse(
+        val target = m.resolveRefSpec(refName, callerPkg = Some(callerPkg)).getOrElse(
           throw new IllegalArgumentException(s"ref not found: $refName"))
+        checkAccess(caller, target)
+        target.uniqueId
       }
     }
     val nodes2: Map[String, Node] = m.nodes.map {
-      case (id, n: ModelNode) => id -> n.copy(dependsOn = fix(n.dependsOn))
-      case (id, n: SnapshotNode) => id -> n.copy(dependsOn = fix(n.dependsOn))
-      case (id, n: TestNode) => id -> n.copy(dependsOn = fix(n.dependsOn))
-      case (id, n: ExposureNode) => id -> n.copy(dependsOn = fix(n.dependsOn))
-      case (id, n: MetricNode) => id -> n.copy(dependsOn = fix(n.dependsOn))
-      case (id, n: SemanticModelNode) => id -> n.copy(dependsOn = fix(n.dependsOn))
-      case (id, n: SavedQueryNode) => id -> n.copy(dependsOn = fix(n.dependsOn))
+      case (id, n: ModelNode) => id -> n.copy(dependsOn = fix(n))
+      case (id, n: SnapshotNode) => id -> n.copy(dependsOn = fix(n))
+      case (id, n: TestNode) => id -> n.copy(dependsOn = fix(n))
+      case (id, n: ExposureNode) => id -> n.copy(dependsOn = fix(n))
+      case (id, n: MetricNode) => id -> n.copy(dependsOn = fix(n))
+      case (id, n: SemanticModelNode) => id -> n.copy(dependsOn = fix(n))
+      case (id, n: SavedQueryNode) => id -> n.copy(dependsOn = fix(n))
       case (id, n) => id -> n
     }
     p.copy(manifest = m.copy(nodes = nodes2))

@@ -51,6 +51,8 @@ object Template {
   private val varRe: Regex =
     raw"""\{\{\s*var\s*\(\s*['"]([^'"]+)['"]\s*(?:,\s*([^)]+))?\)\s*\}\}""".r
   private val thisRe: Regex = raw"""\{\{\s*this\s*\}\}""".r
+  private val envVarRe: Regex =
+    raw"""\{\{\s*env_var\s*\(\s*['"]([^'"]+)['"]\s*(?:,\s*([^)]+))?\)\s*\}\}""".r
   private val incrementalBlockRe: Regex =
     raw"""(?s)\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)(?:\{%\s*else\s*%\}(.*?))?\{%\s*endif\s*%\}""".r
 
@@ -154,7 +156,9 @@ object Template {
         * the reference's run_started_at / invocation_id audit-column
         * idiom (base.py:590/:618).
         */
-      context: Map[String, String] = Map.empty): String = {
+      context: Map[String, String] = Map.empty,
+      /** env_var() source — injectable for tests; sys.env in production. */
+      env: Map[String, String] = sys.env): String = {
     var out = configRe.replaceAllIn(renderIncrementalBlocks(raw, isIncremental), "")
     out = refRe.replaceAllIn(out, m => Regex.quoteReplacement(resolveRef(refSpec(m.group(1)))))
     out = sourceRe.replaceAllIn(out,
@@ -165,6 +169,19 @@ object Template {
       Regex.quoteReplacement(
         vars.get(name).orElse(default).getOrElse(
           throw new IllegalArgumentException(s"undefined var: $name")))
+    })
+    // env_var('NAME'[, default]) (reference base.py:304); names with the
+    // secret prefix are for profile rendering only and must never land
+    // in compiled SQL (reference SECRET_ENV_PREFIX, context/secret.py:15)
+    out = envVarRe.replaceAllIn(out, { m =>
+      val name = m.group(1)
+      if (name.startsWith("DBT_ENV_SECRET_"))
+        throw new IllegalArgumentException(
+          s"secret env var $name may not be used in a model template")
+      val default = Option(m.group(2)).map(d => String.valueOf(pyScalar(d.trim)))
+      Regex.quoteReplacement(
+        env.get(name).orElse(default).getOrElse(
+          throw new IllegalArgumentException(s"env_var required but not provided: $name")))
     })
     out = thisRe.replaceAllIn(out,
       Regex.quoteReplacement(thisRelation.getOrElse("__this__")))

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Property tests for the corpus-curation operators (CurateOps) and the
+  * as-of / range joins — invariants that hold at any scale factor, on
+  * top of the DuckDB value-equality oracle the driver runs.
+  */
+class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
+  val sf = "/root/testdata/sf0.001"
+  var spark: SparkSession = _
+  override def beforeAll(): Unit = { spark = GraftSession.local(4) }
+
+  test("split_assign: deterministic hash split with full coverage") {
+    val rows = CurateOps.splitAssign(spark, sf).collect()
+    val docs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(rows.length == docs)
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 100))
+    val bySplit = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    // 80/10/10 by construction of the bucket ranges — allow hash noise
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    // split is a pure function of doc_id: two runs agree exactly
+    val again = CurateOps.splitAssign(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("txt_repetition: fractions are consistent and detect repeats") {
+    val rows = CurateOps.txtRepetition(spark, sf).collect()
+    rows.foreach { r =>
+      val (n2, top2, n3, dup3) = (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))
+      assert(top2 <= n2 && dup3 <= n3 && dup3 >= 0)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+    // the synthetic corpus has a tiny vocabulary: repeated 3-grams must exist
+    assert(rows.exists(_.getLong(5) > 0), "no repeated 3-grams detected")
+  }
+
+  test("txt_pii_scrub: every annotated doc yields exactly one hit per class") {
+    val rows = CurateOps.txtPiiScrub(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 1L, s"emails ${r.getLong(1)} for doc ${r.getLong(0)}")
+      assert(r.getLong(2) == 1L, s"phones ${r.getLong(2)} for doc ${r.getLong(0)}")
+      assert(r.getLong(3) == 1L, s"ips ${r.getLong(3)} for doc ${r.getLong(0)}")
+    }
+    // scrubbing is idempotent: re-scrubbing the scrubbed text changes
+    // nothing, so scrubbed digests must be as numerous as docs (md5 set)
+    assert(rows.map(_.getString(4)).toSet.size >= rows.length / 2)
+  }
+
+  test("dedup_decontaminate: exact duplicates of eval docs are flagged") {
+    val flags = CurateOps.dedupDecontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // training docs only, every one present
+    assert(flags.keySet.forall(_ % 20 != 0))
+    flags.values.foreach { case (nShared, flag) =>
+      assert((flag == 1L) == (nShared > 0L))
+    }
+    // ground truth from exact dedup: a train doc whose text-fingerprint
+    // group contains an eval doc shares ALL its 8-grams with the eval
+    // set, so it MUST be contaminated (docs are long enough: >= 8 tokens)
+    val groups = DedupOps.dedupExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byFp = groups.groupBy(_._2).values.filter(_.length > 1)
+    val crossDup = byFp.flatMap { g =>
+      val ids = g.map(_._1)
+      if (ids.exists(_ % 20 == 0)) ids.filter(_ % 20 != 0) else Nil
+    }.toSet
+    crossDup.foreach { id =>
+      assert(flags(id)._2 == 1L, s"exact dup of an eval doc not flagged: $id")
+    }
+  }
+
+  test("emb_cluster_assign: total assignment, centroids self-assign") {
+    val rows = CurateOps.embClusterAssign(spark, sf).collect()
+    val n = graft.sources.Tables.load(spark, sf, "embeddings").count()
+    assert(rows.length == n)
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 8))
+    rows.filter(_.getLong(0) < 8).foreach { r =>
+      assert(r.getLong(1) == r.getLong(0), s"centroid ${r.getLong(0)} -> cell ${r.getLong(1)}")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+  }
+
+  test("as-of join: every purchase_us is the latest at-or-before the click") {
+    val out = Events.qAsofJoin(spark, sf)
+    assert(out.filter(col("purchase_us") > col("us")).isEmpty)
+    assert(out.filter(col("lag_us") < 0).isEmpty)
+    // cross-check one user against a window-free computation
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    val sample = out.filter(col("purchase_us").isNotNull).limit(20).collect()
+    assert(sample.nonEmpty)
+    sample.foreach { r =>
+      val (u, us, pUs) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      val expected = purchases(u).filter(_ <= us).max
+      assert(pUs == expected, s"user $u click@$us: got $pUs want $expected")
+    }
+  }
+
+  test("range join: bucketing loses no pair and duplicates none") {
+    val bucketed = Events.qRangeJoin(spark, sf)
+      .select("user_id", "view_id", "click_id", "delta_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute-force reference: plain inequality join, driver-side
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type")).collect()
+    val views = ev.filter(_.getString(3) == "view")
+    val clicks = ev.filter(_.getString(3) == "click")
+    val brute = (for {
+      v <- views; c <- clicks
+      if c.getLong(0) == v.getLong(0)
+      if c.getLong(2) >= v.getLong(2) && c.getLong(2) - v.getLong(2) <= 3600000000L
+      if c.getLong(1) != v.getLong(1)
+    } yield (v.getLong(0), v.getLong(1), c.getLong(1), c.getLong(2) - v.getLong(2))).toSet
+    assert(bucketed.length == bucketed.toSet.size, "bucketed join emitted duplicates")
+    assert(bucketed.toSet == brute,
+      s"missing=${brute -- bucketed.toSet} extra=${bucketed.toSet -- brute}")
+  }
+}
