@@ -32,6 +32,12 @@ object GraftSession {
     // FAIR scheduling so the Runner's concurrent DAG nodes share
     // executors instead of FIFO-starving each other (SURVEY.md §3.1)
     .config("spark.scheduler.mode", "FAIR")
+    // ObjectHashAggregate (TypedImperativeAggregate ops like
+    // minhash_sig) falls back to SORT-BASED aggregation after only 128
+    // in-memory groups by default — that silently turns the one-pass
+    // signature scan into a full sort of every shingle row. 100k
+    // groups × 256-byte buffers ≈ 25 MB/task: cheap insurance.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "100000")
     .config("spark.ui.enabled", "false")
 
   /** Local session with N threads (driver/test entry points). */
@@ -40,6 +46,7 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     graft.functions.RollingMinHash.register(s)
     graft.functions.DotI64.register(s)
+    graft.functions.MinHashAgg.register(s)
     s
   }
 }

@@ -9,8 +9,10 @@ import graft.operators._
   * Every implemented operator surfaces here as a named query; queries
   * with an entry in [[oracleSql]] are hash-compared against DuckDB on the
   * same parquet tables (column names must match exactly, see check.py).
-  * Approximate operators (MinHash/LSH/SimHash, stubbed multimodal
-  * features) have no SQL equivalent → rows-only check.
+  * Only genuinely approximate operators (MinHash/LSH, IVF probing) have
+  * no SQL equivalent → rows-only check + property-based specs; even the
+  * custom-Expression fingerprints (SimHash, winnow) are replayed exactly
+  * in DuckDB arithmetic.
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -526,6 +528,85 @@ object SparkEntry {
              CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha_pieces,
              CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_pieces
       FROM documents""",
+    // the ENTIRE MinHash-LSH pipeline replayed in DuckDB: md5-derived
+    // base hash, the SAME affine permutation constants (MinHashAgg.A/B,
+    // interpolated below), band keys, bucket join, exact-Jaccard verify
+    "dedup_minhash_lsh" -> {
+      val al = graft.functions.MinHashAgg.A.take(32)
+        .map(a => s"$a::HUGEINT").mkString("[", ",", "]")
+      val mask = (BigInt(1) << 64) - 1
+      val bl = graft.functions.MinHashAgg.B.take(32)
+        .map(b => s"${BigInt(b) & mask}::HUGEINT").mkString("[", ",", "]")
+      val bandKey = (0 until 8).map { b =>
+        s"CAST($b AS VARCHAR) || ',' || " + (1 to 4).map(r =>
+          s"CAST(sig[${4 * b + r}] AS VARCHAR)").mkString(" || ',' || ")
+      }.map(k => s"SELECT doc_id, $k AS bk FROM sigs")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id, g FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          FROM toks WHERE len(w) >= 3) x
+      ), dh AS (
+        SELECT doc_id, list(('0x' || substr(md5(g), 1, 8))::BIGINT::HUGEINT * 4294967296
+                          + ('0x' || substr(md5(g), 9, 8))::BIGINT::HUGEINT) AS hs
+        FROM sh GROUP BY 1
+      ), sigs AS (
+        SELECT doc_id,
+          list_transform(range(0, 32), p ->
+            list_min(list_transform(
+              list_transform(hs, x -> (x * $al[p+1] + $bl[p+1]) % 18446744073709551616::HUGEINT),
+              m -> CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+                             THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT)))) AS sig
+        FROM dh
+      ), bands AS (
+        $bandKey
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+      ), inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                    JOIN sh b ON b.doc_id = c.doc_b AND a.g = b.g
+        GROUP BY 1, 2
+      )
+      SELECT i.doc_a, i.doc_b,
+             CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                   JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE n_inter * 5 >= sa.n + sb.n - n_inter"""
+    },
+    // txt_winnow's rolling Karp-Rabin hash (functions.RollingMinHash:
+    // h = h*FNV_PRIME + byte, wraparound mod 2^64, signed min over all
+    // 16-byte windows) replayed with HUGEINT mod-2^64 arithmetic; the
+    // literal list is FNV_PRIME^0..^15 mod 2^64
+    "txt_winnow" -> """
+      WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        FROM documents
+      ), p AS (
+        SELECT doc_id, t, len(t) AS n, least(16, len(t)) AS w FROM d
+      ), f AS (
+        SELECT doc_id,
+          CASE WHEN n = 0 THEN 0 ELSE
+            CAST(list_min(list_transform(
+              list_transform(range(1, n - w + 2), p2 ->
+                list_sum(list_transform(range(0, w), j -> ord(t[p2+j]) *
+                  [1::HUGEINT,1099511628211::HUGEINT,956575116354345::HUGEINT,624165263380053675::HUGEINT,11527715348014283921::HUGEINT,913917546033277539::HUGEINT,15895002104753931833::HUGEINT,14218562807570617051::HUGEINT,2232315406967589409::HUGEINT,10622396531520239123::HUGEINT,1775861927039214153::HUGEINT,3510945102848213515::HUGEINT,17673114087473428657::HUGEINT,10372170898125509827::HUGEINT,104005896588101465::HUGEINT,2442422338666789947::HUGEINT][w-j]))
+                % 18446744073709551616::HUGEINT),
+              hu -> CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+                              THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT)))
+            AS BIGINT) END AS fp
+        FROM p
+      ), g AS (
+        SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper FROM f GROUP BY 1
+      )
+      SELECT f.doc_id, f.fp, g.n_docs, g.keeper FROM f JOIN g USING (fp)""",
     "dedup_exact" -> """
       SELECT doc_id, fp, keeper, CAST(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END AS BIGINT) AS keep,
              group_size
@@ -557,6 +638,36 @@ object SparkEntry {
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE n_inter * 5 >= sa.n + sb.n - n_inter""",
+    // sign-LSH with the SAME literal hyperplanes as the Spark plan
+    // (SimilarityOps.planeSign), bucket equi-join, exact re-score
+    "sim_lsh_topk" -> {
+      val bucketExpr = (0 until 8).map { p =>
+        val w = (0 until SimilarityOps.Dim).map(i => SimilarityOps.planeSign(p, i))
+          .map(v => s"$v::BIGINT").mkString("[", ",", "]")
+        s"(CASE WHEN list_sum(list_transform(range(1, ${SimilarityOps.Dim + 1}), i -> q[i] * $w[i])) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("\n               + ")
+      s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings
+      ), en AS (
+        SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq,
+               $bucketExpr AS bucket
+        FROM e
+      ), s AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               CAST(list_sum(list_transform(range(1, ${SimilarityOps.Dim + 1}), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+               a.nq AS na, b.nq AS nb
+        FROM en a JOIN en b ON a.bucket = b.bucket AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+      )
+      SELECT qid, cid, cos, rn FROM (
+        SELECT qid, cid,
+               CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, cid) AS rn
+        FROM s
+      ) t WHERE rn <= 5"""
+    },
     "sim_topk" -> """
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q

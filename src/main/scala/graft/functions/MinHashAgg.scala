@@ -1,8 +1,13 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
 
 /** One-pass MinHash signature aggregate: given the stream of a
   * document's shingle hashes, produce the nPerm-slot signature
@@ -16,46 +21,110 @@ import org.apache.spark.sql.functions.udaf
   * merges map-side partials elementwise — the shuffle carries one
   * 256-byte buffer per document instead of nPerm columns.
   *
-  * The per-permutation mix is a Murmur3-style finalizer over
-  * (h XOR seed(p)) — independent enough permutations for banding.
+  * The per-permutation mix is the affine family h*A(p)+B(p) with odd
+  * 32-bit multipliers, wraparound mod 2^64 — a bijection per p (odd A),
+  * so each p is a genuine permutation of the hash space. Chosen over a
+  * Murmur finalizer because the DuckDB oracle can replay it exactly
+  * with HUGEINT arithmetic (hu*A stays under 2^96 < 2^127), making the
+  * whole LSH pipeline hash-verifiable; OpsSpec pins recall/precision so
+  * the weaker mixing is load-bearing-tested, not assumed.
   */
 object MinHashAgg {
   final val DefaultPerms = 32
 
-  def mix(h: Long, p: Int): Long = {
-    var x = h ^ (0x9e3779b97f4a7c15L * (p + 1))
-    x ^= x >>> 33
-    x *= 0xff51afd7ed558ccdL
-    x ^= x >>> 33
-    x *= 0xc4ceb9fe1a85ec53L
-    x ^= x >>> 33
-    x
+  /** splitmix64 — only used to derive the A/B constants below. */
+  private def splitmix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+    x ^= x >>> 27; x *= 0x94d049bb133111ebL
+    x ^= x >>> 31; x
   }
 
-  final class SigAggregator(nPerm: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
-    def zero: Array[Long] = Array.fill(nPerm)(Long.MaxValue)
-    def reduce(sig: Array[Long], h: Long): Array[Long] = {
-      var p = 0
-      while (p < nPerm) {
-        val m = mix(h, p)
-        if (m < sig(p)) sig(p) = m
-        p += 1
-      }
-      sig
-    }
-    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-      var p = 0
-      while (p < nPerm) { if (b(p) < a(p)) a(p) = b(p); p += 1 }
-      a
-    }
-    def finish(sig: Array[Long]): Seq[Long] = sig.toSeq
-    def bufferEncoder: Encoder[Array[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-    def outputEncoder: Encoder[Seq[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  /** Odd 32-bit multipliers (bijective mod 2^64, HUGEINT-safe). */
+  val A: IndexedSeq[Long] = IndexedSeq.tabulate(64)(p => (splitmix(p.toLong) & 0xffffffffL) | 1L)
+  /** 64-bit offsets. */
+  val B: IndexedSeq[Long] = IndexedSeq.tabulate(64)(p => splitmix(1000L + p))
+
+  def mix(h: Long, p: Int): Long = h * A(p) + B(p)
+
+  /** Register `minhash_sig(hashCol, nPerm)` (GraftSession does this). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => MinHashSig(c, DefaultPerms)
+        case Seq(c, Literal(n: Int, IntegerType)) => MinHashSig(c, n)
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig(hash[, nPerm]) got ${other.size} args")
+      })
   }
 
   /** Column form: minhash_sig(hashCol) → array<long> of length nPerm. */
   def minhashSig(hashCol: Column, nPerm: Int = DefaultPerms): Column =
-    udaf(new SigAggregator(nPerm), Encoders.scalaLong).apply(hashCol)
+    call_function("minhash_sig", hashCol, lit(nPerm))
+}
+
+/** The one-pass signature aggregate as a native
+  * `TypedImperativeAggregate`: one primitive long[nPerm] buffer per
+  * group mutated in place, raw `getLong` input access, byte-packed
+  * ser/de only at shuffle boundaries. Replaces the earlier
+  * `Aggregator`+`udaf` formulation, whose per-row encoder round-trip
+  * (box input, wrap buffer) cost ~1.7 µs/row — the dominant stage of
+  * the whole LSH pipeline under profiling (tools.Profile).
+  */
+case class MinHashSig(
+    child: Expression,
+    nPerm: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def createAggregationBuffer(): Array[Long] = Array.fill(nPerm)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var p = 0
+      while (p < nPerm) {
+        val m = MinHashAgg.mix(h, p)
+        if (m < buf(p)) buf(p) = m
+        p += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var p = 0
+    while (p < nPerm) { if (b(p) < a(p)) a(p) = b(p); p += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashSig =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashSig =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MinHashSig =
+    copy(child = newChildren.head)
 }

@@ -126,11 +126,13 @@ object DedupOps {
   }
 
   /** MinHash + LSH banding near-dup candidates, verified by exact
-    * Jaccard. 32 permutations (xxhash64 with per-permutation seed),
-    * 8 bands × 4 rows: candidate recall ~1 at J≥0.5. The band join is
-    * the scale path — pair enumeration only inside identical-signature
-    * buckets. Approximate by construction → rows-only driver check; the
-    * exact-Jaccard re-verification keeps precision at 1.0.
+    * Jaccard. 32 permutations (md5-derived base hash × the affine
+    * permutation family in [[graft.functions.MinHashAgg]]), 8 bands ×
+    * 4 rows: candidate recall ~1 at J≥0.5. The band join is the scale
+    * path — pair enumeration only inside identical-signature buckets.
+    * Every stage is deterministic and DuckDB-replicable, so despite
+    * being an "approximate" operator the whole pipeline is
+    * hash-verified against the oracle.
     */
   def dedupMinHashLsh(s: SparkSession, dir: String): DataFrame = {
     val nPerm = 32
@@ -139,16 +141,18 @@ object DedupOps {
     // shingles by 64-bit hash, WITH duplicates: min-hash is multiset-
     // invariant, so the signature pipeline skips the corpus-wide
     // distinct (a full shuffle of the largest intermediate) entirely
-    val sh = shinglesRaw(s, dir).select(col("doc_id"), xxhash64(col("s")).as("h")).cache()
+    val sh = shinglesRaw(s, dir).select(col("doc_id"), md5Hash64(col("s")).as("h")).cache()
     // one-pass signature via the custom Aggregator: one long[32] buffer
     // per document instead of 32 min() columns (graft.functions.MinHashAgg)
     val sigs = sh.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg.minhashSig(col("h"), nPerm).as("sig"))
-    // band key = hash of rowsPerBand consecutive signature slots; a
-    // single long per band keeps the bucket join shuffle minimal
+    // band key = the band index + its rowsPerBand signature slots
+    // rendered as one string (oracle-replicable; at 100 TB you'd hash
+    // this key down to 8 bytes to cut shuffle width — the bucket-join
+    // shape is identical either way)
     val bandCols = (0 until nBands).map { b =>
       val slots = (0 until rowsPerBand).map(r => s"sig[${b * rowsPerBand + r}]").mkString(", ")
-      expr(s"xxhash64($b, $slots)").as(s"band$b")
+      expr(s"concat_ws(',', $b, $slots)").as(s"band$b")
     }
     val banded = sigs.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"), explode(array((0 until nBands).map(b => col(s"band$b")): _*)).as("bk"))
@@ -191,7 +195,7 @@ object DedupOps {
     * (signed hi32) * 2^32 + lo32, which cannot overflow and matches
     * `('0x' || substr(md5(x), 1, 8))::BIGINT` arithmetic in DuckDB.
     */
-  private[operators] def md5Hash64(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def md5Hash64(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val hex = md5(c)
     val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
     val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")

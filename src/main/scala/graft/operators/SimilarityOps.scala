@@ -241,19 +241,34 @@ object SimilarityOps {
     }(enc)
   }
 
+  /** Deterministic ±1 hyperplane component for sign-LSH: md5("p:i")
+    * parity — pure JVM (no Spark hashing), so the SAME vectors are
+    * interpolated as literals into both the Spark plan and the DuckDB
+    * oracle SQL (SparkEntry).
+    */
+  def planeSign(p: Int, i: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s"$p:$i".getBytes("UTF-8"))
+    if ((d(0) & 1) == 1) 1 else -1
+  }
+
+  /** Embedding dimensionality of the test corpus (TESTDATA.md). */
+  val Dim = 64
+
   /** LSH-bucketed ANN: 8 random-hyperplane sign bits (hyperplanes =
-    * deterministic pseudo-vectors from xxhash64(plane, dim)) → bucket
-    * key; candidates only join within a bucket, then exact re-score.
-    * Approximate (bucket recall < 1) → rows-only driver check.
+    * deterministic ±1 literal vectors from [[planeSign]], constant-
+    * folded into the plan) → bucket key; candidates only join within a
+    * bucket, then exact re-score. The bucketing (recall < 1) is the
+    * approximation; the computation itself is deterministic and
+    * oracle-verified end to end.
     */
   def simLshTopK(s: SparkSession, dir: String): DataFrame = {
     val nPlanes = 8
     val e = quantized(s, dir)
-    // sign bit p = sign(sum_i q[i] * w_p[i]) with w_p[i] = hash-derived ±1
+    // sign bit p = sign(<q, w_p>) via the native integer-dot kernel
+    // against a literal hyperplane — stays in whole-stage codegen
     val sig = (0 until nPlanes).map { p =>
-      val dotP = expr(
-        s"aggregate(zip_with(q, sequence(0, size(q)-1), (x, i) -> " +
-        s"if((shiftright(xxhash64($p, i), 7) & 1) = 1, x, -x)), 0L, (acc, x) -> acc + x)")
+      val w = (0 until Dim).map(i => s"${planeSign(p, i)}L").mkString(", ")
+      val dotP = expr(s"dot_i64(q, array($w))")
       when(dotP >= 0, lit(1L << p)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     val bucketed = e.withColumn("bucket", sig)

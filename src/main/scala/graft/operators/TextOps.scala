@@ -129,9 +129,10 @@ object TextOps {
 
   /** Winnowing fingerprint via the native rolling-hash Expression
     * ([[graft.functions.RollingMinHash]], codegen'd): one long per
-    * document = min 8-byte-window Karp-Rabin hash of the normalized
-    * text; equal fingerprints are near-dup candidates. Not
-    * SQL-expressible in the oracle → rows-only check.
+    * document = min 16-byte-window Karp-Rabin hash of the normalized
+    * text; equal fingerprints are near-dup candidates. The oracle
+    * replays the wraparound polynomial with HUGEINT mod-2^64 math, so
+    * this IS hash-verified despite the custom Expression.
     */
   def txtWinnow(s: SparkSession, dir: String): DataFrame = {
     graft.functions.RollingMinHash.register(s)
