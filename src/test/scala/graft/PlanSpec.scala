@@ -122,6 +122,46 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "corpus must not be join-broadcast")
   }
 
+  test("as-of join: one shuffle + window scan, never a per-row probe join") {
+    val plan = executedPhysical(Events.qAsofJoin(spark, sf))
+    assert(plan.contains("Window"), "as-of should be the union-and-scan window plan")
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "as-of must not plan as a range cross join")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "exactly one shuffle (on user_id) expected:\n" + plan.take(3000))
+  }
+
+  test("range join: bucketed equi-join, no cartesian expansion") {
+    val plan = executedPhysical(Events.qRangeJoin(spark, sf))
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "interval join must stay an equi-join on (user, bucket)")
+    assert(plan.contains("Join"), "expected a join operator")
+  }
+
+  test("split_assign and txt_pii_scrub are pure projections — zero shuffles") {
+    val p1 = executedPhysical(CurateOps.splitAssign(spark, sf))
+    assert(!p1.contains("Exchange"), "hash split must not shuffle:\n" + p1.take(2000))
+    val p2 = executedPhysical(CurateOps.txtPiiScrub(spark, sf))
+    assert(!p2.contains("Exchange"), "regex scrub must not shuffle:\n" + p2.take(2000))
+  }
+
+  test("cluster assign broadcasts the bounded centroid table") {
+    val plan = executedPhysical(CurateOps.embClusterAssign(spark, sf))
+    assert(plan.contains("Broadcast"), "centroids should broadcast")
+  }
+
+  test("minhash signatures aggregate in-memory, not via sort-based fallback") {
+    import org.apache.spark.sql.functions._
+    val sig = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), DedupOps.md5Hash64(col("text")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhashSig(col("h"), 32).as("sig"))
+    val plan = executedPhysical(sig)
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(!plan.contains("SortAggregate"),
+      "TypedImperativeAggregate fell back to sort-based aggregation")
+  }
+
   test("partitioned relation writes enable partition-pruned scans") {
     import org.apache.spark.sql.functions._
     import graft.exec.RelationStore
