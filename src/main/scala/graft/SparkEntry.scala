@@ -701,6 +701,82 @@ object SparkEntry {
              CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
       FROM s
       WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.4""",
+    "sim_ivf_topk" -> {
+      // The full IVF pipeline replayed in SQL: strided seed centroids,
+      // THREE unrolled Lloyd iterations (argmax-cos assignment → exact
+      // long sum / count mean per position → re-quantized centroid),
+      // then cell assignment, nProbe=4 probing, exact re-score, top-5.
+      // Arithmetic mirrors SimilarityOps.simIvfTopK operation-for-
+      // operation (integer dots; one double division per mean) so the
+      // hashes match bit-for-bit.
+      val dot = "CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * c.cq[i])) AS BIGINT)"
+      def assign(cent: String, name: String) = s"""$name AS (
+        SELECT vec_id, cell FROM (
+          SELECT a.vec_id, c.centroid_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                   CAST($dot AS DOUBLE) / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) DESC,
+                   c.centroid_id) AS rnk
+          FROM en a, $cent c
+        ) WHERE rnk = 1
+      )"""
+      def refine(asg: String, name: String) = s"""$name AS (
+        SELECT cell AS centroid_id, cq,
+               CAST(list_sum(list_transform(range(1, 65), i -> cq[i] * cq[i])) AS BIGINT) AS cn
+        FROM (
+          SELECT cell, list(CAST(ROUND(m) AS BIGINT) ORDER BY pos) AS cq
+          FROM (
+            SELECT s.cell, t.i AS pos,
+                   CAST(SUM(en.q[t.i]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+            FROM $asg s JOIN en ON en.vec_id = s.vec_id,
+                 UNNEST(range(1, 65)) AS t(i)
+            GROUP BY s.cell, t.i
+          ) GROUP BY cell
+        )
+      )"""
+      val iters = (1 to 3).map { k =>
+        val prev = if (k == 1) "c0" else s"c${k - 1}"
+        assign(prev, s"a$k") + ", " + refine(s"a$k", s"c$k")
+      }.mkString(",\n      ")
+      s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings
+      ), en AS (
+        SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq FROM e
+      ), st AS (
+        SELECT GREATEST(1, COUNT(*) // 16) AS step FROM en
+      ), c0 AS (
+        SELECT vec_id AS centroid_id, q AS cq, nq AS cn FROM en, st
+        WHERE vec_id % step = 0 AND vec_id < step * 16
+      ),
+      $iters,
+      ${assign("c3", "cells")},
+      probes AS (
+        SELECT qid, cell FROM (
+          SELECT a.vec_id AS qid, c.centroid_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                   CAST($dot AS DOUBLE) / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) DESC,
+                   c.centroid_id) AS rnk
+          FROM en a, c3 c WHERE a.vec_id < 10
+        ) WHERE rnk <= 4
+      ), cand AS (
+        SELECT p.qid, en2.vec_id AS cid,
+               CAST(list_sum(list_transform(range(1, 65), i -> q1.q[i] * en2.q[i])) AS BIGINT) AS dot,
+               q1.nq AS qn, en2.nq AS cn2
+        FROM probes p
+        JOIN en q1 ON q1.vec_id = p.qid
+        JOIN cells cl ON cl.cell = p.cell
+        JOIN en en2 ON en2.vec_id = cl.vec_id
+        WHERE en2.vec_id <> p.qid
+      )
+      SELECT qid, cid, cos, rn FROM (
+        SELECT qid, cid,
+               CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) DESC, cid) AS rn
+        FROM cand
+      ) t WHERE rn <= 5"""
+    },
     "mm_meta" -> """
       SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest FROM documents""",
     "mm_features" -> """

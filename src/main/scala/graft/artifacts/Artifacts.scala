@@ -191,6 +191,16 @@ object Artifacts {
     * live in their own sections as v12 requires.
     */
   def writeManifest(targetDir: String, manifest: Manifest): Unit = {
+    Files.createDirectories(Paths.get(targetDir))
+    Files.writeString(Paths.get(targetDir, "manifest.json"),
+      Json.write(manifestDoc(manifest)))
+  }
+
+  /** The manifest.json document, as a pure value — shared between the
+    * writer and `StateView.of` so state comparison sees EXACTLY what a
+    * previous run persisted.
+    */
+  def manifestDoc(manifest: Manifest): Map[String, Any] = {
     def checksumDoc(n: Node): Map[String, Any] =
       Map("name" -> "sha256", "checksum" -> n.checksum.checksum)
     def configDoc(n: Node): Map[String, Any] = Map(
@@ -208,6 +218,7 @@ object Artifacts {
       "partition_by" -> n.config.partitionBy,
       "group" -> n.config.group,
       "access" -> n.config.access,
+      "contract" -> Map("enforced" -> n.config.contractEnforced),
       "meta" -> n.config.meta)
     def nodeDoc(n: Node): Map[String, Any] = {
       val (raw, refs, srcs, path) = n match {
@@ -234,10 +245,19 @@ object Artifacts {
         "language" -> "sql",
         "refs" -> refs.map(r => Map("name" -> r, "package" -> null, "version" -> null)),
         "sources" -> srcs.map { case (a, b) => Seq(a, b) },
-        "depends_on" -> Map("nodes" -> n.dependsOn, "macros" -> Nil),
+        "depends_on" -> Map(
+          "nodes" -> n.dependsOn,
+          "macros" -> manifest.macroDeps.getOrElse(n.uniqueId, Nil)
+            .map(m => s"macro.${manifest.projectName}.$m")),
         "tags" -> n.config.tags,
-        "description" -> "",
-        "columns" -> Map.empty[String, Any],
+        "description" -> n.description,
+        "columns" -> n.declaredColumns.map(c => c.name -> Map(
+          "name" -> c.name,
+          "description" -> c.description,
+          "data_type" -> c.dataType,
+          "constraints" -> Nil,
+          "meta" -> Map.empty[String, Any],
+          "tags" -> Nil)).toMap,
         "meta" -> n.config.meta,
         "group" -> n.config.group,
         "docs" -> Map("show" -> true),
@@ -268,7 +288,14 @@ object Artifacts {
       "exposures" -> exposures.map { case (id, n) => id -> nodeDoc(n) },
       "metrics" -> metrics.map { case (id, n) => id -> nodeDoc(n) },
       "unit_tests" -> manifest.unitTests.map { case (id, u) => id -> nodeDoc(u) },
-      "macros" -> Map.empty[String, Any],
+      "macros" -> manifest.macroSums.map { case (nm, sum) =>
+        s"macro.${manifest.projectName}.$nm" -> Map(
+          "unique_id" -> s"macro.${manifest.projectName}.$nm",
+          "name" -> nm,
+          "package_name" -> manifest.projectName,
+          "resource_type" -> "macro",
+          "checksum" -> Map("name" -> "sha256", "checksum" -> sum))
+      },
       "docs" -> Map.empty[String, Any],
       "groups" -> Map.empty[String, Any],
       "selectors" -> Map.empty[String, Any],
@@ -278,8 +305,7 @@ object Artifacts {
       "group_map" -> Map.empty[String, Any],
       "parent_map" -> manifest.parentMap,
       "child_map" -> manifest.childMap)
-    Files.createDirectories(Paths.get(targetDir))
-    Files.writeString(Paths.get(targetDir, "manifest.json"), Json.write(doc))
+    doc
   }
 
   /** Read back a (state) manifest for state:modified/defer — only the

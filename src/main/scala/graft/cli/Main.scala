@@ -76,7 +76,10 @@ object Main {
       project.manifest.nodes.values.flatMap(_.config.schema).toSet
         .foreach((cs: String) => materializer.storeForSchema(cs).attach())
     }
-    val stateManifest = flags.get("state").map(readStateManifest(project, _))
+    // --state points at a previous run's manifest.json; comparison is
+    // doc-level (StateView) so config/description/contract drift is
+    // visible even though the old run's NodeConfig is not reconstructed
+    val stateManifest = flags.get("state").map(graft.graph.StateView.read)
 
     def mkOpts(c: String) = RunOptions(
       cmd = c,
@@ -333,25 +336,6 @@ object Main {
     })
     server.start()
     server
-  }
-
-  private def readStateManifest(current: ProjectLoader.Project, path: String): Manifest = {
-    val sums = Artifacts.readManifestChecksums(path)
-    // represent old nodes by patching checksums onto current where ids match;
-    // ids only in the old manifest appear as bare models
-    val nodes = sums.collect { case (id, (sum, _)) if !id.startsWith("source.") =>
-      id -> (current.manifest.nodes.get(id) match {
-        case Some(n: ModelNode) => n.copy(checksum = FileHash(sum))
-        case Some(n: SnapshotNode) => n.copy(checksum = FileHash(sum))
-        case Some(n: TestNode) => n.copy(checksum = FileHash(sum))
-        case Some(n: SeedNode) => n.copy(checksum = FileHash(sum))
-        case _ =>
-          val name = id.split("\\.").last
-          ModelNode(name, current.name, "", NodeConfig(), Nil, Nil, Nil,
-            checksum = FileHash(sum)): Node
-      })
-    }
-    Manifest(nodes.toMap, Map.empty, Map.empty, Nil, Nil, current.name)
   }
 
   def parseArgs(args: Array[String]): (String, Map[String, String]) = {

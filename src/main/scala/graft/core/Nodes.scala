@@ -167,6 +167,11 @@ sealed trait Node extends Serializable {
   def resourceType: NodeType
   def checksum: FileHash
   def tags: Seq[String] = config.tags
+  /** Doc text from schema YAML (reference ParsedNode.description) —
+    * compared by state:modified.persisted_descriptions. */
+  def description: String = ""
+  /** Declared columns, where the node has any (docs + contract). */
+  def declaredColumns: Seq[ColumnInfo] = Nil
 }
 
 /** SQL model (reference nodes.py:445 ModelNode). rawCode is the
@@ -182,10 +187,12 @@ final case class ModelNode(
     sources: Seq[(String, String)],
     columns: Seq[ColumnInfo] = Nil,
     path: String = "",
-    checksum: FileHash = FileHash(""))
+    checksum: FileHash = FileHash(""),
+    override val description: String = "")
   extends Node {
   val uniqueId = s"model.$packageName.$name"
   val resourceType: NodeType = NodeType.Model
+  override def declaredColumns: Seq[ColumnInfo] = columns
 }
 
 /** CSV seed (reference nodes.py:846 SeedNode). */
@@ -359,7 +366,13 @@ final case class Manifest(
     unitTests: Map[String, UnitTestNode] = Map.empty,
     onRunStart: Seq[HookNode] = Nil,
     onRunEnd: Seq[HookNode] = Nil,
-    projectName: String = "graft") {
+    projectName: String = "graft",
+    /** node uniqueId -> macro names its raw code calls, transitively
+      * closed through macro bodies (reference depends_on.macros). */
+    macroDeps: Map[String, Seq[String]] = Map.empty,
+    /** macro name -> content checksum (reference Macro.checksum;
+      * feeds state:modified.macros). */
+    macroSums: Map[String, String] = Map.empty) {
 
   def all: Map[String, Node] = nodes ++ sources ++ unitTests
 

@@ -21,7 +21,7 @@ final case class RunOptions(
     empty: Boolean = false,
     vars: Map[String, String] = Map.empty,
     targetDir: String = "target",
-    stateManifest: Option[Manifest] = None,
+    stateManifest: Option[graft.graph.StateView] = None,
     deferStore: Option[RelationStore] = None,
     eventTimeStart: Option[Instant] = None,
     eventTimeEnd: Option[Instant] = None,

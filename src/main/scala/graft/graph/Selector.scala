@@ -53,7 +53,7 @@ object Selector {
   private def baseMatch(
       c: Criterion,
       manifest: Manifest,
-      stateManifest: Option[Manifest],
+      stateManifest: Option[StateView],
       previousStatuses: Map[String, String],
       fresherSources: Set[String]): Set[String] = {
     def all = manifest.all
@@ -91,11 +91,7 @@ object Selector {
       case "state" =>
         val old = stateManifest.getOrElse(
           throw new IllegalArgumentException("state: selector requires --state manifest"))
-        c.value match {
-          case "modified" => modified(manifest, old)
-          case "new" => all.keySet -- old.all.keySet
-          case other => throw new IllegalArgumentException(s"unsupported state:$other")
-        }
+        stateMatch(c.value, manifest, old)
       case "result" =>
         previousStatuses.collect { case (id, st) if st == c.value => id }.toSet
       case "unit_test" =>
@@ -125,26 +121,53 @@ object Selector {
     }
   }
 
-  /** state:modified — checksum or config drift vs the state manifest
-    * (reference StateSelectorMethod, selector_methods.py:610-810).
+  /** The `state:` method family (reference StateSelectorMethod
+    * `state_checks`, selector_methods.py:734-760): new / old /
+    * modified / unmodified plus the modified.* submethods. Both sides
+    * compare through the v12 document shape (StateView), so drift in
+    * ANY persisted facet — body checksum, config, relation addressing,
+    * descriptions, contract, upstream macros — is visible.
     */
+  def stateMatch(value: String, current: Manifest, old: StateView): Set[String] = {
+    val cur = StateView.of(current)
+    def check(f: (Option[StateView.NodeState], StateView.NodeState) => Boolean): Set[String] =
+      cur.nodes.collect { case (id, n) if f(old.nodes.get(id), n) => id }.toSet
+    def macrosModified(n: StateView.NodeState): Boolean =
+      n.macros.exists(m => !old.macroSums.get(m).contains(cur.macroSums.getOrElse(m, "")))
+    def contentModified(o: Option[StateView.NodeState], n: StateView.NodeState): Boolean =
+      o match {
+        case None => true // new node counts as modified
+        case Some(s) =>
+          s.checksum != n.checksum || s.config != n.config ||
+          s.relation != n.relation || s.descriptions != n.descriptions ||
+          s.contract != n.contract || macrosModified(n)
+      }
+    value match {
+      case "new" => check((o, _) => o.isEmpty)
+      case "old" => check((o, _) => o.nonEmpty)
+      case "modified" => check(contentModified)
+      case "unmodified" => check((o, n) => !contentModified(o, n))
+      case "modified.body" => check((o, n) => !o.exists(_.checksum == n.checksum))
+      case "modified.configs" => check((o, n) => !o.exists(_.config == n.config))
+      case "modified.relation" => check((o, n) => !o.exists(_.relation == n.relation))
+      case "modified.persisted_descriptions" =>
+        check((o, n) => !o.exists(_.descriptions == n.descriptions))
+      case "modified.contract" => check((o, n) => !o.exists(_.contract == n.contract))
+      case "modified.macros" => check((_, n) => macrosModified(n))
+      case other => throw new IllegalArgumentException(s"unsupported state:$other")
+    }
+  }
+
+  /** Back-compat entry: state:modified between two live manifests. */
   def modified(current: Manifest, old: Manifest): Set[String] =
-    current.all.collect {
-      case (id, n) =>
-        old.all.get(id) match {
-          case None => Some(id) // new node counts as modified
-          case Some(o) if o.checksum != n.checksum => Some(id)
-          case Some(o) if o.config != n.config => Some(id)
-          case _ => None
-        }
-    }.flatten.toSet
+    stateMatch("modified", current, StateView.of(old))
 
   def select(
       manifest: Manifest,
       graph: Digraph,
       selectTokens: Seq[String],
       excludeTokens: Seq[String] = Nil,
-      stateManifest: Option[Manifest] = None,
+      stateManifest: Option[StateView] = None,
       previousStatuses: Map[String, String] = Map.empty,
       indirect: String = "eager",
       fresherSources: Set[String] = Set.empty): Set[String] = {

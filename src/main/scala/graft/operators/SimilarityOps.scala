@@ -155,7 +155,10 @@ object SimilarityOps {
         .select(col("qid").as("vec_id"), col("cid").as("cell"))
       centroids = e.join(assign, Seq("vec_id"))
         .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+        // exact long sum then ONE double division — bit-replayable in
+        // the DuckDB oracle (Spark's avg(long) accumulates doubles)
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("v")).cast("double") / count(col("v")).cast("double")).as("m"))
         .groupBy(col("cell")).agg(
           expr("transform(array_sort(collect_list(struct(pos, m))), x -> cast(round(x.m) as bigint))")
             .as("cq"))
@@ -180,7 +183,9 @@ object SimilarityOps {
     val e = quantized(s, dir).cache()
     val total = e.count()
     val step = math.max(1L, total / nCentroids)
-    val seed = e.filter(col("vec_id") % step === 0).limit(nCentroids)
+    // deterministic strided sample (no LIMIT — order-independent, so
+    // the exact seed set is replayable by the SQL oracle)
+    val seed = e.filter(col("vec_id") % step === 0 && col("vec_id") < step * nCentroids)
       .select(col("vec_id").as("centroid_id"), col("q").as("cq"), col("nq").as("cn"))
     val centroids = kmeansRefine(s, e, seed, iters = 3)
     // assign every vector to its nearest centroid (broadcast centroids)

@@ -2,6 +2,7 @@ package graft.parser
 
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
+import scala.util.matching.Regex
 
 import graft.core._
 
@@ -111,6 +112,29 @@ object ProjectLoader {
     onRunStart = hooks("on-run-start", macroTable)
     onRunEnd = hooks("on-run-end", macroTable)
 
+    // Per-node macro dependencies (reference depends_on.macros,
+    // manifest.py build_macro_edges): direct calls found in the
+    // PRE-expansion text, transitively closed through macro bodies so
+    // an edit to a helper a macro calls still selects its users via
+    // state:modified.macros.
+    def directMacroCalls(text: String): Set[String] =
+      macroTable.keysIterator
+        .filter(k => raw"(?<![\w])${Regex.quote(k)}\s*\(".r.findFirstIn(text).isDefined)
+        .toSet
+    val macroClosure: Map[String, Set[String]] = {
+      val direct = macroTable.map { case (k, d) => k -> directMacroCalls(d.body) }
+      def close(seen: Set[String]): Set[String] = {
+        val next = seen ++ seen.flatMap(direct.getOrElse(_, Set.empty))
+        if (next == seen) seen else close(next)
+      }
+      macroTable.keys.map(k => k -> close(Set(k))).toMap
+    }
+    val macroDeps = scala.collection.mutable.Map[String, Seq[String]]()
+    def recordMacroDeps(uniqueId: String, origText: String): Unit = {
+      val ms = directMacroCalls(origText).flatMap(macroClosure.getOrElse(_, Set.empty))
+      if (ms.nonEmpty) macroDeps(uniqueId) = ms.toSeq.sorted
+    }
+
     // ---- models (*.sql under model-paths) ----
     for (f <- files("models", ".sql")) {
       val orig = Files.readString(f)
@@ -129,6 +153,7 @@ object ProjectLoader {
         dependsOn = deps, refs = scan.refs, sources = scan.sources,
         path = dir.relativize(f).toString, checksum = FileHash.of(raw))
       nodes(node.uniqueId) = node
+      recordMacroDeps(node.uniqueId, orig)
     }
 
     // ---- python models (models/*.py; reference parser
@@ -179,6 +204,7 @@ object ProjectLoader {
       val node = SnapshotNode(sname, name, raw, cfg, deps, scan.refs, scan.sources,
         checksum = FileHash.of(raw))
       nodes(node.uniqueId) = node
+      recordMacroDeps(node.uniqueId, orig)
     }
 
     // ---- seeds ----
@@ -202,6 +228,7 @@ object ProjectLoader {
       val node = TestNode(tname, name, raw, cfg, deps, scan.refs,
         checksum = FileHash.of(raw))
       nodes(node.uniqueId) = node
+      recordMacroDeps(node.uniqueId, orig)
     }
 
     // ---- schema YAML: sources, model columns/tests, seeds, unit tests ----
@@ -271,6 +298,7 @@ object ProjectLoader {
             nodes.get(modelId) match {
               case Some(mn: ModelNode) =>
                 nodes(modelId) = mn.copy(columns = declared,
+                  description = m.getOrElse("description", mn.description).toString,
                   config = mn.config.copy(
                     contractEnforced = mn.config.contractEnforced || contractEnforced,
                     group = m.get("group").map(_.toString).orElse(mn.config.group),
@@ -427,7 +455,10 @@ object ProjectLoader {
         subs.foldLeft(nodes.toMap)((acc, sp) => acc ++ sp.manifest.nodes),
         subs.foldLeft(sources.toMap)((acc, sp) => acc ++ sp.manifest.sources),
         subs.foldLeft(unitTests.toMap)((acc, sp) => acc ++ sp.manifest.unitTests),
-        onRunStart, onRunEnd, name),
+        onRunStart, onRunEnd, name,
+        macroDeps = subs.foldLeft(macroDeps.toMap)((acc, sp) => acc ++ sp.manifest.macroDeps),
+        macroSums = macroTable.map { case (k, d) =>
+          k -> FileHash.of(d.params.mkString(",") + "|" + d.body).checksum }),
       selectors, macroTable,
       restrictAccess =
         subs.foldLeft(Set.empty[String])(_ ++ _.restrictAccess) ++

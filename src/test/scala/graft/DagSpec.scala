@@ -77,6 +77,40 @@ class DagSpec extends AnyFunSuite {
     assert(Selector.modified(old, old) == Set.empty)
   }
 
+  test("state submethods: new/old/unmodified and the modified.* family") {
+    import graft.graph.StateView
+    val a1 = model("a"); val b1 = model("b"); val c1 = model("c"); val d1 = model("d")
+    val old = StateView.of(manifestOf(a1, b1, c1, d1).copy(
+      macroDeps = Map("model.p.d" -> Seq("fmt")),
+      macroSums = Map("fmt" -> "sum_v1")))
+    val a2 = a1.copy(rawCode = "select 2", checksum = FileHash.of("select 2")) // body
+    val b2 = b1.copy(config = b1.config.copy(schema = Some("alt")))           // relation+config
+    val c2 = c1.copy(                                                          // docs + contract
+      description = "documented",
+      columns = Seq(ColumnInfo("id", "the id", Some("bigint"))))
+    val cur = manifestOf(a2, b2, c2, d1, model("e")).copy(                     // e is new
+      macroDeps = Map("model.p.d" -> Seq("fmt")),
+      macroSums = Map("fmt" -> "sum_v2"))                                      // macro edited
+    def st(v: String) = Selector.stateMatch(v, cur, old)
+    assert(st("new") == Set("model.p.e"))
+    assert(st("old") == Set("model.p.a", "model.p.b", "model.p.c", "model.p.d"))
+    assert(st("modified.body") == Set("model.p.a", "model.p.e"))
+    assert(st("modified.configs").contains("model.p.b"))
+    assert(!st("modified.configs").contains("model.p.a"))
+    assert(st("modified.relation") == Set("model.p.b", "model.p.e"))
+    assert(st("modified.persisted_descriptions") == Set("model.p.c", "model.p.e"))
+    assert(st("modified.contract") == Set("model.p.c", "model.p.e"))
+    assert(st("modified.macros") == Set("model.p.d"))
+    assert(st("modified") ==
+      Set("model.p.a", "model.p.b", "model.p.c", "model.p.d", "model.p.e"))
+    assert(st("unmodified") == Set.empty)
+    // a state round-trip through JSON text is identical to the in-memory view
+    val dir = java.nio.file.Files.createTempDirectory("state_rt")
+    graft.artifacts.Artifacts.writeManifest(dir.toString, manifestOf(a1, b1, c1, d1))
+    val fromDisk = StateView.read(dir.resolve("manifest.json").toString)
+    assert(Selector.stateMatch("modified", manifestOf(a1, b1, c1, d1), fromDisk) == Set.empty)
+  }
+
   test("indirect test selection modes") {
     val a = model("a"); val b = model("b")
     val t = TestNode("t_ab", "p", "select 1", NodeConfig(),
