@@ -135,10 +135,17 @@ object ProjectLoader {
       if (ms.nonEmpty) macroDeps(uniqueId) = ms.toSeq.sorted
     }
 
+    // macro expansion, then parse-time control flow ({% if %}/{% for %};
+    // reference get_rendered — refs inside untaken branches never reach
+    // the DAG, exactly like rendered Jinja)
+    def renderSql(orig: String): String =
+      ControlFlow.render(Macros.expand(orig, macroTable), vars,
+        vars.getOrElse("target", "dev"))
+
     // ---- models (*.sql under model-paths) ----
     for (f <- files("models", ".sql")) {
       val orig = Files.readString(f)
-      val raw = Macros.expand(orig, macroTable)
+      val raw = renderSql(orig)
       val scan = Template.scan(raw)
       val mname = f.getFileName.toString.stripSuffix(".sql")
       val cfg = configFrom(modelDefaults ++ scan.config)
@@ -194,7 +201,7 @@ object ProjectLoader {
     // ---- snapshots ----
     for (f <- files("snapshots", ".sql")) {
       val orig = Files.readString(f)
-      val raw = Macros.expand(orig, macroTable)
+      val raw = renderSql(orig)
       val scan = Template.scan(raw)
       val sname = f.getFileName.toString.stripSuffix(".sql")
       val cfg = configFrom(scan.config).copy(materialized = Materialized.SnapshotMat)
@@ -219,7 +226,7 @@ object ProjectLoader {
     // ---- singular tests (tests/*.sql; reference singular_test.py) ----
     for (f <- files("tests", ".sql")) {
       val orig = Files.readString(f)
-      val raw = Macros.expand(orig, macroTable)
+      val raw = renderSql(orig)
       val scan = Template.scan(raw)
       val tname = f.getFileName.toString.stripSuffix(".sql")
       val cfg = configFrom(scan.config).copy(materialized = Materialized.View)

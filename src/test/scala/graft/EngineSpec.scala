@@ -461,6 +461,39 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vals == Seq(125L, 250L))
   }
 
+  test("26 control flow: if/for render at parse time and prune untaken refs") {
+    val dcf = Files.createTempDirectory("graft_cf_proj")
+    def wcf(rel: String, c: String): Unit = {
+      val p = dcf.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    wcf("dbt_project.yml", "name: cfdemo\nvars:\n  env: prod\n")
+    wcf("models/src_prod.sql", "SELECT 1 AS v")
+    wcf("models/src_dev.sql", "SELECT 2 AS v")
+    wcf("models/picker.sql",
+      """{{ config(materialized='table') }}
+        |{% if var('env') == 'prod' %}SELECT v FROM {{ ref('src_prod') }}
+        |{% else %}SELECT v FROM {{ ref('src_dev') }}
+        |{% endif %}""".stripMargin)
+    wcf("models/wide.sql",
+      "SELECT {% for c in ['a', 'b', 'c'] %}{{ loop.index }} AS {{ c }}" +
+        "{% if not loop.last %}, {% endif %}{% endfor %}")
+    val pcf = ProjectLoader.resolveRefs(ProjectLoader.load(dcf.toString))
+    val picker = pcf.manifest.nodes("model.cfdemo.picker")
+    // the untaken branch's ref never reaches the DAG (rendered Jinja semantics)
+    assert(picker.dependsOn == Seq("model.cfdemo.src_prod"))
+    val stcf = new RelationStore(spark, dcf.resolve("wh").toString)
+    val rcf = new Runner(spark, pcf, stcf,
+      RunOptions(cmd = "run", threads = 2, targetDir = dcf.resolve("target").toString)).execute()
+    assert(rcf.forall(_.status == "success"), rcf.mkString("\n"))
+    assert(stcf.read("picker").collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(stcf.read("wide").columns.toSeq == Seq("a", "b", "c"))
+    // same project with a CLI var override flips the branch
+    val pcf2 = ProjectLoader.resolveRefs(
+      ProjectLoader.load(dcf.toString, Map("env" -> "dev")))
+    assert(pcf2.manifest.nodes("model.cfdemo.picker").dependsOn
+      == Seq("model.cfdemo.src_dev"))
+  }
+
   test("20 local packages + package-qualified and versioned refs") {
     val d4 = Files.createTempDirectory("graft_pkg_proj")
     def w4(rel: String, c: String): Unit = {

@@ -177,3 +177,55 @@ class MacrosSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Macros.expand("{{ cents() }}", table))
   }
 }
+
+class ControlFlowSpec extends AnyFunSuite {
+  import graft.parser.ControlFlow
+
+  test("if / elif / else pick the right branch from vars") {
+    val t = """SELECT *
+      {% if var('env') == 'prod' %}FROM big{% elif var('env') == 'ci' %}FROM small{% else %}FROM dev{% endif %}"""
+    assert(ControlFlow.render(t, Map("env" -> "prod")).contains("FROM big"))
+    assert(ControlFlow.render(t, Map("env" -> "ci")).contains("FROM small"))
+    assert(ControlFlow.render(t, Map.empty).contains("FROM dev"))
+    assert(!ControlFlow.render(t, Map("env" -> "prod")).contains("{%"))
+  }
+
+  test("conditions: and/or/not, comparisons, in, numbers, target") {
+    def r(c: String, vars: Map[String, String] = Map.empty) =
+      ControlFlow.render(s"{% if $c %}Y{% else %}N{% endif %}", vars, target = "prod")
+    assert(r("1 < 2 and not false") == "Y")
+    assert(r("var('n', 3) >= 4") == "N")
+    assert(r("var('n') >= 4", Map("n" -> "10")) == "Y")
+    assert(r("'b' in ['a', 'b']") == "Y")
+    assert(r("'z' not in ['a', 'b']") == "Y")
+    assert(r("target.name == 'prod'") == "Y")
+    assert(r("(1 > 2) or ('x' != 'y')") == "Y")
+  }
+
+  test("for loop binds the variable and loop metadata") {
+    val t = "SELECT {% for c in ['a', 'b', 'c'] %}sum({{ c }}) AS {{ c }}_{{ loop.index }}{% if not loop.last %}, {% endif %}{% endfor %}"
+    assert(ControlFlow.render(t) ==
+      "SELECT sum(a) AS a_1, sum(b) AS b_2, sum(c) AS c_3")
+  }
+
+  test("nested for + if and untouched jinja pass through") {
+    val t = "{% for s in ['x', 'y'] %}{% if s == 'x' %}{{ ref('m_x') }}{% else %}{{ ref('m_y') }}{% endif %}|{% endfor %}"
+    assert(ControlFlow.render(t) == "{{ ref('m_x') }}|{{ ref('m_y') }}|")
+    val plain = "SELECT {{ ref('a') }} FROM {{ source('s', 't') }}"
+    assert(ControlFlow.render(plain) == plain)
+  }
+
+  test("is_incremental blocks survive verbatim for the compile-time pass") {
+    val t = "SELECT * FROM t {% if is_incremental() %}WHERE ts > (SELECT max(ts) FROM {{ this }}){% endif %}"
+    assert(ControlFlow.render(t) == t)
+    // …and inner parse-time tags inside them still render
+    val t2 = "{% if is_incremental() %}{% for c in ['k'] %}{{ c }}{% endfor %}{% endif %}"
+    assert(ControlFlow.render(t2) == "{% if is_incremental() %}k{% endif %}")
+  }
+
+  test("unbalanced tags raise") {
+    assertThrows[IllegalArgumentException](ControlFlow.render("{% if true %}x"))
+    assertThrows[IllegalArgumentException](
+      ControlFlow.render("{% if true %}x{% endif %}{% endfor %}"))
+  }
+}
