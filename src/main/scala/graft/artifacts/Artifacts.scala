@@ -255,7 +255,8 @@ object Artifacts {
           "name" -> c.name,
           "description" -> c.description,
           "data_type" -> c.dataType,
-          "constraints" -> Nil,
+          "constraints" -> c.constraints.map { case (t, e) =>
+            Map("type" -> t, "expression" -> e.orNull) },
           "meta" -> Map.empty[String, Any],
           "tags" -> Nil)).toMap,
         "meta" -> n.config.meta,

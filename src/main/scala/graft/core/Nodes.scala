@@ -127,7 +127,14 @@ final case class ColumnInfo(
     name: String,
     description: String = "",
     dataType: Option[String] = None,
-    tests: Seq[TestSpec] = Nil)
+    tests: Seq[TestSpec] = Nil,
+    /** Declared constraints (reference components.py:39
+      * ColumnLevelConstraint): (type, optional expression). not_null
+      * and check are ENFORCED at materialization; unique/primary_key/
+      * foreign_key are metadata-only (the reference's "not enforced"
+      * support level on most adapters).
+      */
+    constraints: Seq[(String, Option[String])] = Nil)
 
 /** A generic-test request attached to a column or model in schema YAML
   * (reference generic_test_builders.py:69 TestBuilder input).
@@ -258,11 +265,19 @@ final case class SourceNode(
     filter: Option[String] = None,
     config: NodeConfig = NodeConfig(),
     columns: Seq[ColumnInfo] = Nil,
+    /** File format of `location`: parquet (default) | csv | json | orc.
+      * Reference SourceDefinition.external (source_definition.py) — the
+      * "external table" escape hatch; Spark reads all of these natively.
+      */
+    format: Option[String] = None,
+    /** Reader options (header, delimiter, multiLine, …). */
+    options: Map[String, String] = Map.empty,
     checksum: FileHash = FileHash(""))
   extends Node {
   val uniqueId = s"source.$packageName.$sourceName.$name"
   val resourceType: NodeType = NodeType.Source
   val dependsOn: Seq[String] = Nil
+  override def declaredColumns: Seq[ColumnInfo] = columns
 }
 
 /** Unit test with fixture rows (reference nodes.py:1025

@@ -125,6 +125,14 @@ object Sources {
 
   /** Register every declared source as a temp view over its location
     * (path template `{dir}` expands from vars, e.g. the test-data dir).
+    *
+    * `format: csv|json|orc|parquet` reads external files natively
+    * (reference SourceDefinition.external — warehouse "external
+    * tables"). When the source declares typed columns, they become an
+    * explicit read schema: no inference pass (CSV/JSON inference is a
+    * full extra scan of the data — at 100 TB that matters), and
+    * malformed rows surface as nulls under the declared types instead
+    * of silently widening the column.
     */
   def registerAll(
       spark: org.apache.spark.sql.SparkSession,
@@ -132,9 +140,26 @@ object Sources {
       vars: Map[String, String]): Unit =
     manifest.sources.values.foreach { s =>
       val loc = vars.foldLeft(s.location) { case (acc, (k, v)) => acc.replace(s"{$k}", v) }
+      val fmt = s.format.getOrElse {
+        val ext = loc.drop(loc.lastIndexOf('.') + 1)
+        if (Seq("csv", "json", "orc").contains(ext)) ext else "parquet"
+      }
+      val declared = s.columns.filter(_.dataType.nonEmpty)
+      val reader0 = spark.read.options(s.options)
+      val reader =
+        if (declared.nonEmpty && declared.size == s.columns.size && fmt != "parquet")
+          reader0.schema(org.apache.spark.sql.types.StructType.fromDDL(
+            declared.map(c => s"${c.name} ${c.dataType.get}").mkString(", ")))
+        else reader0
       val df0 =
-        if (loc.endsWith(".parquet") || loc.contains("/")) spark.read.parquet(loc)
-        else spark.table(loc)
+        if (!loc.contains("/") && fmt == "parquet" && !loc.endsWith(".parquet"))
+          spark.table(loc)
+        else fmt match {
+          case "csv" => reader.csv(loc)
+          case "json" => reader.json(loc)
+          case "orc" => reader.orc(loc)
+          case _ => reader.parquet(loc)
+        }
       val df = s.filter.fold(df0)(df0.filter)
       df.createOrReplaceTempView(viewName(s))
     }

@@ -72,7 +72,36 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
             (if (missing.nonEmpty) s"missing=$missing " else "") +
             (if (extra.nonEmpty) s"undeclared=${extra.toSeq} " else "") +
             typeErrs.mkString("; "))
+      enforceConstraints(m, df)
     case _ => ()
+  }
+
+  /** Enforced column constraints (reference ColumnLevelConstraint,
+    * components.py:39; adapter support matrix: not_null and check are
+    * ENFORCED, unique/primary_key/foreign_key are metadata-only on
+    * most warehouses — same here). All declared constraints are
+    * evaluated in ONE aggregate pass over the batch (count_if per
+    * violation), so the cost is a single scan regardless of how many
+    * constraints a model declares.
+    */
+  private def enforceConstraints(m: ModelNode, df: DataFrame): Unit = {
+    val checks: Seq[(String, String)] = m.columns.flatMap { c =>
+      c.constraints.collect {
+        case ("not_null", _) =>
+          s"${c.name} not_null" -> s"count_if(${c.name} IS NULL)"
+        case ("check", Some(expr)) =>
+          s"${c.name} check($expr)" -> s"count_if(NOT ($expr))"
+      }
+    }
+    if (checks.nonEmpty) {
+      val row = df.selectExpr(checks.map(_._2): _*).head()
+      val bad = checks.zipWithIndex.collect {
+        case ((label, _), i) if row.getLong(i) > 0 => s"$label (${row.getLong(i)} rows)"
+      }
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          s"constraint violation for ${m.name}: ${bad.mkString(", ")}")
+    }
   }
 
   /** Full rebuild (CTAS + atomic version swap). */

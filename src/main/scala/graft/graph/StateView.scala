@@ -85,7 +85,8 @@ object StateView {
               cols.map(c => c.getOrElse("name", "") + "=" + c.getOrElse("description", ""))),
           contract = canon(
             Seq(obj(nd.getOrElse("config", Map.empty)).getOrElse("contract", null)) ++
-              cols.map(c => c.getOrElse("name", "") + ":" + c.getOrElse("data_type", ""))),
+              cols.map(c => Seq(c.getOrElse("name", ""), c.getOrElse("data_type", null),
+                c.getOrElse("constraints", Nil)))),
           macros = nd.get("depends_on") match {
             case Some(dm: Map[String @unchecked, Any @unchecked]) =>
               dm.getOrElse("macros", Nil) match {

@@ -266,6 +266,13 @@ object ProjectLoader {
                 freshnessErrorAfter = errorAfter,
                 filter = t.get("filter").map(_.toString),
                 config = NodeConfig(eventTime = t.get("event_time").map(_.toString)),
+                columns = declaredColumnsOf(t),
+                format = t.get("format").map(_.toString),
+                options = t.get("options") match {
+                  case Some(om: Map[String @unchecked, Any @unchecked]) =>
+                    om.map { case (k, v) => k -> String.valueOf(v) }
+                  case _ => Map.empty
+                },
                 checksum = FileHash.of(t.toString))
               sources(src.uniqueId) = src
               // generic tests on source columns
@@ -287,12 +294,7 @@ object ProjectLoader {
               nodes(tn.uniqueId) = tn
             // declared columns (for docs + contract enforcement,
             // reference components.py:59 ColumnInfo + Contract)
-            val declared = m.getOrElse("columns", Nil).asInstanceOf[List[Any]].map { c0 =>
-              val c = c0.asInstanceOf[Map[String, Any]]
-              ColumnInfo(c("name").toString,
-                c.getOrElse("description", "").toString,
-                c.get("data_type").map(_.toString))
-            }
+            val declared = declaredColumnsOf(m)
             val contractEnforced = m.get("config") match {
               case Some(cm: Map[String @unchecked, Any @unchecked]) =>
                 cm.get("contract") match {
@@ -494,6 +496,25 @@ object ProjectLoader {
     else Files.walk(d).iterator().asScala
       .filter(p => p.toString.endsWith(ext) && Files.isRegularFile(p))
       .toSeq.sortBy(_.toString)
+
+  /** Declared columns of a model/source YAML entry: name, description,
+    * data_type, constraints (reference components.py:59 ColumnInfo +
+    * :39 ColumnLevelConstraint — `- not_null` shorthand or
+    * `{type: check, expression: …}` maps).
+    */
+  private def declaredColumnsOf(m: Map[String, Any]): Seq[ColumnInfo] =
+    m.getOrElse("columns", Nil).asInstanceOf[List[Any]].map { c0 =>
+      val c = c0.asInstanceOf[Map[String, Any]]
+      val cons = c.getOrElse("constraints", Nil).asInstanceOf[List[Any]].map {
+        case cm: Map[String @unchecked, Any @unchecked] =>
+          (cm.getOrElse("type", "").toString, cm.get("expression").map(_.toString))
+        case s => (String.valueOf(s), None)
+      }
+      ColumnInfo(c("name").toString,
+        c.getOrElse("description", "").toString,
+        c.get("data_type").map(_.toString),
+        constraints = cons)
+    }
 
   private def refId(ref: String, pkg: String): String = {
     // seed/snapshot refs share the ref() namespace; resolved later — at

@@ -494,6 +494,114 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq("model.cfdemo.src_dev"))
   }
 
+  test("27 external sources: csv and json with declared read schemas") {
+    val ds = Files.createTempDirectory("graft_src_proj")
+    def ws(rel: String, c: String): Unit = {
+      val p = ds.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    ws("data/people.csv", "id|full_name\n1|ada\n2|grace\n")
+    ws("data/clicks.json",
+      """{"user_id": 1, "n": 5}
+        |{"user_id": 2, "n": 7}
+        |""".stripMargin)
+    ws("dbt_project.yml", "name: extsrc\n")
+    ws("models/schema.yml",
+      s"""version: 2
+         |sources:
+         |  - name: raw
+         |    tables:
+         |      - name: people
+         |        location: ${ds.resolve("data/people.csv")}
+         |        format: csv
+         |        options:
+         |          header: "true"
+         |          sep: "|"
+         |        columns:
+         |          - name: id
+         |            data_type: bigint
+         |          - name: full_name
+         |            data_type: string
+         |      - name: clicks
+         |        location: ${ds.resolve("data/clicks.json")}
+         |        format: json
+         |        columns:
+         |          - name: user_id
+         |            data_type: bigint
+         |          - name: n
+         |            data_type: bigint
+         |""".stripMargin)
+    ws("models/joined.sql",
+      "{{ config(materialized='table') }}\n" +
+        "SELECT p.full_name, c.n FROM {{ source('raw', 'people') }} p " +
+        "JOIN {{ source('raw', 'clicks') }} c ON p.id = c.user_id")
+    val ps = ProjectLoader.resolveRefs(ProjectLoader.load(ds.toString))
+    // declared types became the read schema (no inference pass)
+    graft.exec.Sources.registerAll(spark, ps.manifest, ps.vars)
+    val people = spark.table("src__raw__people")
+    assert(people.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq(("id", "bigint"), ("full_name", "string")))
+    val sts = new RelationStore(spark, ds.resolve("wh").toString)
+    val rs = new Runner(spark, ps, sts,
+      RunOptions(cmd = "run", threads = 2, targetDir = ds.resolve("target").toString)).execute()
+    assert(rs.forall(_.status == "success"), rs.mkString("\n"))
+    assert(sts.read("joined").orderBy("full_name").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq == Seq(("ada", 5L), ("grace", 7L)))
+  }
+
+  test("28 enforced column constraints: not_null and check") {
+    val dc = Files.createTempDirectory("graft_cons_proj")
+    def wc(rel: String, c: String): Unit = {
+      val p = dc.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    wc("dbt_project.yml", "name: consdemo\n")
+    wc("models/amounts.sql",
+      "{{ config(materialized='table') }}\n" +
+        "SELECT CAST(v AS BIGINT) AS amount FROM VALUES (5), (NULL) AS t(v)")
+    wc("models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: amounts
+        |    config:
+        |      contract:
+        |        enforced: true
+        |    columns:
+        |      - name: amount
+        |        data_type: bigint
+        |        constraints:
+        |          - not_null
+        |""".stripMargin)
+    val pc = ProjectLoader.resolveRefs(ProjectLoader.load(dc.toString))
+    val stc = new RelationStore(spark, dc.resolve("wh").toString)
+    val rc = new Runner(spark, pc, stc,
+      RunOptions(cmd = "run", targetDir = dc.resolve("target").toString)).execute()
+    val res = rc.find(_.uniqueId == "model.consdemo.amounts").get
+    assert(res.status == "error", res)
+    assert(res.message.contains("constraint violation"), res.message)
+    // fix the data → same contract passes, and a satisfied check passes too
+    wc("models/amounts.sql",
+      "{{ config(materialized='table') }}\n" +
+        "SELECT CAST(v AS BIGINT) AS amount FROM VALUES (5), (7) AS t(v)")
+    wc("models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: amounts
+        |    config:
+        |      contract:
+        |        enforced: true
+        |    columns:
+        |      - name: amount
+        |        data_type: bigint
+        |        constraints:
+        |          - not_null
+        |          - type: check
+        |            expression: "amount > 0"
+        |""".stripMargin)
+    val pc2 = ProjectLoader.resolveRefs(ProjectLoader.load(dc.toString))
+    val rc2 = new Runner(spark, pc2, stc,
+      RunOptions(cmd = "run", targetDir = dc.resolve("target").toString)).execute()
+    assert(rc2.forall(_.status == "success"), rc2.mkString("\n"))
+  }
+
   test("20 local packages + package-qualified and versioned refs") {
     val d4 = Files.createTempDirectory("graft_pkg_proj")
     def w4(rel: String, c: String): Unit = {
