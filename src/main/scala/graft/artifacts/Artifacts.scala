@@ -216,6 +216,8 @@ object Artifacts {
       "schema" -> n.config.schema,
       "alias" -> n.config.alias,
       "partition_by" -> n.config.partitionBy,
+      "bucket_by" -> n.config.bucketBy,
+      "buckets" -> n.config.buckets,
       "group" -> n.config.group,
       "access" -> n.config.access,
       "contract" -> Map("enforced" -> n.config.contractEnforced),

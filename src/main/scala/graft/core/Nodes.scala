@@ -115,6 +115,12 @@ final case class NodeConfig(
     schema: Option[String] = None,
     alias: Option[String] = None,
     partitionBy: Seq[String] = Nil,
+    /** Bucketed (clustered) table layout: co-locates rows by key so
+      * same-bucketed relations join without a shuffle (warehouse
+      * CLUSTERED BY; Spark honors it via the session catalog).
+      */
+    bucketBy: Seq[String] = Nil,
+    buckets: Int = 0,
     contractEnforced: Boolean = false,
     // governance (reference: group/access on ModelNode nodes.py:445;
     // versions manifest.py VERSIONED_NODE_TYPES)

@@ -104,10 +104,16 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
     }
   }
 
-  /** Full rebuild (CTAS + atomic version swap). */
+  /** Full rebuild (CTAS + atomic version swap). `bucket_by`+`buckets`
+    * lays the table out bucketed (clustered) so downstream joins on the
+    * bucket key are shuffle-free — see RelationStore.writeBucketed.
+    */
   def table(node: Node, df: DataFrame): Unit = {
     enforceContract(node, df)
-    storeFor(node).write(df, relName(node), node.config.partitionBy)
+    if (node.config.bucketBy.nonEmpty && node.config.buckets > 0)
+      storeFor(node).writeBucketed(df, relName(node), node.config.bucketBy, node.config.buckets)
+    else
+      storeFor(node).write(df, relName(node), node.config.partitionBy)
   }
 
   /** materialized_view (reference §2.1 + on_configuration_change,

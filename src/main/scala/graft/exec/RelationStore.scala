@@ -56,6 +56,10 @@ final class RelationStore(
 
   def read(name: String): DataFrame = {
     if (isView(name)) spark.sql(Files.readString(viewFile(name)))
+    else if (isBucketed(name))
+      // the catalog relation carries the bucket spec; a raw path read
+      // would lose it and joins would re-shuffle
+      spark.table(Files.readString(bucketedFile(name)).trim)
     else {
       val p = currentPath(name).getOrElse(
         throw new IllegalStateException(s"relation not found: $schema.$name"))
@@ -89,6 +93,47 @@ final class RelationStore(
     // leading "_" files are invisible to parquet FileIndex (like _SUCCESS)
     Files.writeString(dest.resolve("_graft_schema.json"), df.schema.json)
     commitPointer(name, next)
+  }
+
+  /** Bucketed CTAS (reference: warehouse clustering/bucketing DDL the
+    * adapters render; Spark-side this is `CLUSTERED BY … INTO n BUCKETS`).
+    * The version directory is identical to [[write]]'s, but the commit
+    * ALSO records a session-catalog table whose metadata carries the
+    * bucket spec — Spark only honors bucketing through the catalog, a
+    * path read silently discards it. Two relations bucketed on the same
+    * keys into the same bucket count join with ZERO Exchange (and zero
+    * Sort, thanks to sortBy): at 100 TB that deletes the dominant
+    * shuffle of every recurring fact-to-fact join on the bucket key.
+    */
+  def writeBucketed(df: DataFrame, name: String, bucketBy: Seq[String], buckets: Int): Unit = {
+    require(bucketBy.nonEmpty && buckets > 0, "bucketed write needs keys and a bucket count")
+    Files.createDirectories(tableDir(name))
+    val next = currentVersion(name).getOrElse(-1) + 1
+    val dest = tableDir(name).resolve(s"v$next")
+    val cat = catalogName(name)
+    // external table (explicit path): DROP leaves prior version dirs alone
+    spark.sql(s"DROP TABLE IF EXISTS $cat")
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketBy.head, bucketBy.tail: _*)
+      .sortBy(bucketBy.head, bucketBy.tail: _*)
+      .option("path", dest.toString)
+      .saveAsTable(cat)
+    Files.writeString(bucketedFile(name), cat)
+    commitPointer(name, next)
+  }
+
+  private def bucketedFile(name: String): Path = tableDir(name).resolve("_bucketed")
+
+  def isBucketed(name: String): Boolean = Files.exists(bucketedFile(name))
+
+  /** Session-catalog identifier for a bucketed relation — root-hashed so
+    * stores over different warehouse dirs (parallel tests, defer stores)
+    * never collide in the shared catalog.
+    */
+  private def catalogName(name: String): String = {
+    val rootTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"graft_${rootTag}_${schema}__$name".replaceAll("[^A-Za-z0-9_]", "_")
   }
 
   /** Partition-scoped commit: `df` holds the FULL replacement content of
@@ -309,6 +354,7 @@ final class RelationStore(
     */
   def addressable(name: String): Option[String] =
     if (isView(name)) viewSql(name).map(sql => s"(\n$sql\n)")
+    else if (isBucketed(name)) Some(Files.readString(bucketedFile(name)).trim)
     else currentPath(name).map(p => s"parquet.`$p`")
 
   def list(): Seq[String] =

@@ -607,6 +607,8 @@ object ProjectLoader {
       schema = str("schema"),
       alias = str("alias"),
       partitionBy = strSeq("partition_by"),
+      bucketBy = strSeq("bucket_by"),
+      buckets = str("buckets").map(_.toInt).getOrElse(0),
       contractEnforced = cfg.get("contract") match {
         case Some(m: Map[String @unchecked, Any @unchecked]) => m.get("enforced").contains(true)
         case _ => false

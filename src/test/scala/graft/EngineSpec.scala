@@ -602,6 +602,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rc2.forall(_.status == "success"), rc2.mkString("\n"))
   }
 
+  test("29 bucket_by config materializes a catalog-bucketed table") {
+    val db = Files.createTempDirectory("graft_bucket_proj")
+    def wb(rel: String, c: String): Unit = {
+      val p = db.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    wb("dbt_project.yml", "name: bdemo\n")
+    wb("models/facts.sql",
+      "{{ config(materialized='table', bucket_by='k', buckets=4) }}\n" +
+        "SELECT id % 10 AS k, id AS v FROM RANGE(100) AS t(id)")
+    val pb = ProjectLoader.resolveRefs(ProjectLoader.load(db.toString))
+    val stb = new RelationStore(spark, db.resolve("wh").toString)
+    val rb = new Runner(spark, pb, stb,
+      RunOptions(cmd = "run", targetDir = db.resolve("target").toString)).execute()
+    assert(rb.forall(_.status == "success"), rb.mkString("\n"))
+    assert(stb.isBucketed("facts"))
+    assert(stb.read("facts").count() == 100)
+    // the catalog relation carries the bucket spec into downstream plans
+    val cat = stb.addressable("facts").get
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $cat").collect().map(_.mkString("|")).mkString("\n")
+    assert(desc.contains("Num Buckets") && desc.contains("4"), desc)
+  }
+
   test("20 local packages + package-qualified and versioned refs") {
     val d4 = Files.createTempDirectory("graft_pkg_proj")
     def w4(rel: String, c: String): Unit = {

@@ -180,6 +180,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.read("ev_part").columns.toSeq == Seq("event_id", "event_type", "value", "day"))
   }
 
+  test("co-bucketed relations join with zero Exchange") {
+    import org.apache.spark.sql.functions._
+    import graft.exec.RelationStore
+    val store = new RelationStore(spark,
+      java.nio.file.Files.createTempDirectory("bucket_wh").toString)
+    val orders = graft.sources.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val items = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    store.writeBucketed(orders, "ord_b", Seq("o_orderkey"), 8)
+    store.writeBucketed(items, "li_b", Seq("l_orderkey"), 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = store.read("ord_b").join(store.read("li_b"),
+        col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")).as("q"))
+      val plan = executedPhysical(joined)
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      // the whole point of co-bucketing: neither side shuffles, and the
+      // groupBy on the bucket key reuses the layout too
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n${plan.take(2500)}")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    // a fresh attach still reads through the catalog (bucket spec intact)
+    store.registerView("ord_b")
+    assert(spark.table("ord_b").count() == orders.count())
+  }
+
   test("contract enforcement fails on type/name drift") {
     import graft.core._
     import graft.exec.{Materializer, RelationStore}
