@@ -744,10 +744,12 @@ object SparkEntry {
       ), en AS (
         SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq FROM e
       ), st AS (
-        SELECT GREATEST(1, COUNT(*) // 16) AS step FROM en
+        SELECT MIN(vec_id) AS mn,
+               GREATEST(1, (MAX(vec_id) - MIN(vec_id) + 1) // 16) AS step
+        FROM en
       ), c0 AS (
         SELECT vec_id AS centroid_id, q AS cq, nq AS cn FROM en, st
-        WHERE vec_id % step = 0 AND vec_id < step * 16
+        WHERE (vec_id - mn) % step = 0 AND vec_id - mn < step * 16
       ),
       $iters,
       ${assign("c3", "cells")},

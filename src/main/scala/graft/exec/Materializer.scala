@@ -72,20 +72,12 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
             (if (missing.nonEmpty) s"missing=$missing " else "") +
             (if (extra.nonEmpty) s"undeclared=${extra.toSeq} " else "") +
             typeErrs.mkString("; "))
-      enforceConstraints(m, df)
     case _ => ()
   }
 
-  /** Enforced column constraints (reference ColumnLevelConstraint,
-    * components.py:39; adapter support matrix: not_null and check are
-    * ENFORCED, unique/primary_key/foreign_key are metadata-only on
-    * most warehouses — same here). All declared constraints are
-    * evaluated in ONE aggregate pass over the batch (count_if per
-    * violation), so the cost is a single scan regardless of how many
-    * constraints a model declares.
-    */
-  private def enforceConstraints(m: ModelNode, df: DataFrame): Unit = {
-    val checks: Seq[(String, String)] = m.columns.flatMap { c =>
+  private def constraintChecks(m: ModelNode): Seq[(String, String)] =
+    if (!m.config.contractEnforced) Nil
+    else m.columns.flatMap { c =>
       c.constraints.collect {
         case ("not_null", _) =>
           s"${c.name} not_null" -> s"count_if(${c.name} IS NULL)"
@@ -93,8 +85,20 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
           s"${c.name} check($expr)" -> s"count_if(NOT ($expr))"
       }
     }
+
+  /** Enforced column constraints (reference ColumnLevelConstraint,
+    * components.py:39; adapter support matrix: not_null and check are
+    * ENFORCED, unique/primary_key/foreign_key are metadata-only on
+    * most warehouses — same here). All declared constraints are
+    * evaluated in ONE aggregate pass (count_if per violation) over
+    * `data` — for table materializations that is the WRITTEN parquet
+    * (a column-pruned scan pre-commit, not a recompute of the model);
+    * for incremental paths it is the already-cached batch.
+    */
+  private def validateConstraints(m: ModelNode, data: DataFrame): Unit = {
+    val checks = constraintChecks(m)
     if (checks.nonEmpty) {
-      val row = df.selectExpr(checks.map(_._2): _*).head()
+      val row = data.selectExpr(checks.map(_._2): _*).head()
       val bad = checks.zipWithIndex.collect {
         case ((label, _), i) if row.getLong(i) > 0 => s"$label (${row.getLong(i)} rows)"
       }
@@ -104,16 +108,27 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
     }
   }
 
+  /** Staged-validation hook for [[RelationStore.write]]. */
+  private def constraintValidator(node: Node): Option[DataFrame => Unit] = node match {
+    case m: ModelNode if constraintChecks(m).nonEmpty =>
+      Some((written: DataFrame) => validateConstraints(m, written))
+    case _ => None
+  }
+
   /** Full rebuild (CTAS + atomic version swap). `bucket_by`+`buckets`
     * lays the table out bucketed (clustered) so downstream joins on the
     * bucket key are shuffle-free — see RelationStore.writeBucketed.
     */
   def table(node: Node, df: DataFrame): Unit = {
     enforceContract(node, df)
-    if (node.config.bucketBy.nonEmpty && node.config.buckets > 0)
+    if (node.config.bucketBy.nonEmpty && node.config.buckets > 0) {
+      // bucketed writes stage through the catalog — run the constraint
+      // pass on the input plan instead of the written files
+      constraintValidator(node).foreach(_(df))
       storeFor(node).writeBucketed(df, relName(node), node.config.bucketBy, node.config.buckets)
-    else
-      storeFor(node).write(df, relName(node), node.config.partitionBy)
+    } else
+      storeFor(node).write(df, relName(node), node.config.partitionBy,
+        validate = constraintValidator(node))
   }
 
   /** materialized_view (reference §2.1 + on_configuration_change,
@@ -137,7 +152,7 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
     def build(defSql: String): Unit = {
       val df = run(defSql)
       enforceContract(node, df)
-      st.write(df, name, node.config.partitionBy)
+      st.write(df, name, node.config.partitionBy, validate = constraintValidator(node))
       st.writeMvDefinition(name, defSql)
     }
     if (fullRefresh) {
@@ -176,6 +191,7 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
     // full SQL would recompute 2-3x per commit
     val cached = df.cache()
     try {
+      node match { case m: ModelNode => validateConstraints(m, cached); case _ => () }
       val strategy = node.config.incrementalStrategy.getOrElse("append")
       strategy match {
         case "append" => append(node, cached)

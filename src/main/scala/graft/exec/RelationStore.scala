@@ -59,7 +59,7 @@ final class RelationStore(
     else if (isBucketed(name))
       // the catalog relation carries the bucket spec; a raw path read
       // would lose it and joins would re-shuffle
-      spark.table(Files.readString(bucketedFile(name)).trim)
+      spark.table(ensureBucketedRegistered(name))
     else {
       val p = currentPath(name).getOrElse(
         throw new IllegalStateException(s"relation not found: $schema.$name"))
@@ -83,7 +83,13 @@ final class RelationStore(
     * on a cluster that's what makes event-time `replaceWhere` windows
     * and partition-pruned scans O(touched partitions), not O(table).
     */
-  def write(df: DataFrame, name: String, partitionBy: Seq[String] = Nil): Unit = {
+  def write(df: DataFrame, name: String, partitionBy: Seq[String] = Nil,
+      /** Pre-commit validation over the WRITTEN files (constraint
+        * checks): runs against a parquet read of the staged version —
+        * a column-pruned scan, not a recompute of the model plan. A
+        * throw leaves the previous version current.
+        */
+      validate: Option[DataFrame => Unit] = None): Unit = {
     Files.createDirectories(tableDir(name))
     val next = currentVersion(name).getOrElse(-1) + 1
     val dest = tableDir(name).resolve(s"v$next")
@@ -92,6 +98,11 @@ final class RelationStore(
       .parquet(dest.toString)
     // leading "_" files are invisible to parquet FileIndex (like _SUCCESS)
     Files.writeString(dest.resolve("_graft_schema.json"), df.schema.json)
+    validate.foreach { v =>
+      try v(spark.read.parquet(dest.toString))
+      catch { case e: Throwable => deleteRecursively(dest); throw e }
+    }
+    dropBucketing(name)
     commitPointer(name, next)
   }
 
@@ -111,20 +122,77 @@ final class RelationStore(
     val next = currentVersion(name).getOrElse(-1) + 1
     val dest = tableDir(name).resolve(s"v$next")
     val cat = catalogName(name)
-    // external table (explicit path): DROP leaves prior version dirs alone
-    spark.sql(s"DROP TABLE IF EXISTS $cat")
+    // Stage through a scratch catalog name: the LIVE table (and the
+    // pointer) stay intact until the data write has fully succeeded —
+    // same failed-writes-never-corrupt discipline as write().
+    val staging = cat + "__staging"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketBy.head, bucketBy.tail: _*)
       .sortBy(bucketBy.head, bucketBy.tail: _*)
       .option("path", dest.toString)
-      .saveAsTable(cat)
-    Files.writeString(bucketedFile(name), cat)
+      .saveAsTable(staging)
+    Files.writeString(dest.resolve("_graft_schema.json"), df.schema.json)
+    spark.sql(s"DROP TABLE IF EXISTS $staging") // metadata only (external)
+    // point of no return: data is durable at dest
+    spark.sql(s"DROP TABLE IF EXISTS $cat")
+    Files.writeString(bucketedFile(name), graft.artifacts.Json.write(Map(
+      "catalog" -> cat, "bucket_by" -> bucketBy, "buckets" -> buckets)))
+    registerCatalog(cat, dest, bucketBy, buckets)
     commitPointer(name, next)
   }
 
   private def bucketedFile(name: String): Path = tableDir(name).resolve("_bucketed")
 
   def isBucketed(name: String): Boolean = Files.exists(bucketedFile(name))
+
+  /** Catalog name + spec recorded by the last bucketed commit. */
+  private def bucketSpec(name: String): (String, Seq[String], Int) =
+    graft.artifacts.Json.parse(Files.readString(bucketedFile(name))) match {
+      case m: Map[String @unchecked, Any @unchecked] =>
+        (m("catalog").toString,
+          m.getOrElse("bucket_by", Nil).asInstanceOf[Seq[Any]].map(String.valueOf(_)),
+          m("buckets").toString.toDouble.toInt)
+      // pre-JSON markers stored the bare catalog name
+      case s => (String.valueOf(s), Nil, 0)
+    }
+
+  /** The session catalog is in-memory — a fresh JVM forgets the table
+    * even though marker + files survive. Recreate the external bucketed
+    * table over the current version on demand (CLUSTERED BY metadata;
+    * the bucket ids live in the file names, so re-registration is pure
+    * metadata).
+    */
+  private def ensureBucketedRegistered(name: String): String = {
+    val (cat, keys, n) = bucketSpec(name)
+    if (!spark.catalog.tableExists(cat)) {
+      val p = currentPath(name).getOrElse(
+        throw new IllegalStateException(s"bucketed relation without version: $schema.$name"))
+      registerCatalog(cat, Paths.get(p), keys, n)
+    }
+    cat
+  }
+
+  private def registerCatalog(cat: String, dest: Path, keys: Seq[String], n: Int): Unit = {
+    val stored = org.apache.spark.sql.types.DataType
+      .fromJson(Files.readString(dest.resolve("_graft_schema.json")))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val keyList = keys.mkString(", ")
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $cat (${stored.toDDL}) USING parquet
+         |CLUSTERED BY ($keyList) SORTED BY ($keyList) INTO $n BUCKETS
+         |LOCATION '${dest.toString}'""".stripMargin)
+  }
+
+  /** A relation that stops being bucketed (config removed, or an
+    * incremental path writes it) must not keep serving the stale
+    * catalog table — clear marker + metadata before the new commit.
+    */
+  private def dropBucketing(name: String): Unit =
+    if (isBucketed(name)) {
+      spark.sql(s"DROP TABLE IF EXISTS ${bucketSpec(name)._1}")
+      Files.delete(bucketedFile(name))
+    }
 
   /** Session-catalog identifier for a bucketed relation — root-hashed so
     * stores over different warehouse dirs (parallel tests, defer stores)
@@ -184,6 +252,7 @@ final class RelationStore(
       val target = dest.resolve(rel)
       if (!Files.exists(target) && !dropped.contains(rel)) linkTree(prev.resolve(rel), target)
     }
+    dropBucketing(name)
     commitPointer(name, next)
   }
 
@@ -354,7 +423,7 @@ final class RelationStore(
     */
   def addressable(name: String): Option[String] =
     if (isView(name)) viewSql(name).map(sql => s"(\n$sql\n)")
-    else if (isBucketed(name)) Some(Files.readString(bucketedFile(name)).trim)
+    else if (isBucketed(name)) Some(ensureBucketedRegistered(name))
     else currentPath(name).map(p => s"parquet.`$p`")
 
   def list(): Seq[String] =

@@ -55,7 +55,8 @@ object Selector {
       manifest: Manifest,
       stateManifest: Option[StateView],
       previousStatuses: Map[String, String],
-      fresherSources: Set[String]): Set[String] = {
+      fresherSources: Set[String],
+      currentView: () => StateView): Set[String] = {
     def all = manifest.all
     c.method match {
       case "fqn" =>
@@ -91,7 +92,7 @@ object Selector {
       case "state" =>
         val old = stateManifest.getOrElse(
           throw new IllegalArgumentException("state: selector requires --state manifest"))
-        stateMatch(c.value, manifest, old)
+        stateMatchView(c.value, currentView(), old)
       case "result" =>
         previousStatuses.collect { case (id, st) if st == c.value => id }.toSet
       case "unit_test" =>
@@ -128,8 +129,13 @@ object Selector {
     * ANY persisted facet — body checksum, config, relation addressing,
     * descriptions, contract, upstream macros — is visible.
     */
-  def stateMatch(value: String, current: Manifest, old: StateView): Set[String] = {
-    val cur = StateView.of(current)
+  def stateMatch(value: String, current: Manifest, old: StateView): Set[String] =
+    stateMatchView(value, StateView.of(current), old)
+
+  /** Same, with the current-side view precomputed — select() evaluates
+    * many criteria against one manifest and the doc render is O(nodes).
+    */
+  def stateMatchView(value: String, cur: StateView, old: StateView): Set[String] = {
     def check(f: (Option[StateView.NodeState], StateView.NodeState) => Boolean): Set[String] =
       cur.nodes.collect { case (id, n) if f(old.nodes.get(id), n) => id }.toSet
     def macrosModified(n: StateView.NodeState): Boolean =
@@ -172,12 +178,16 @@ object Selector {
       indirect: String = "eager",
       fresherSources: Set[String] = Set.empty): Set[String] = {
 
+    // rendered at most once per select(), only if a state: criterion asks
+    lazy val curView: StateView = StateView.of(manifest)
+
     def evalToken(tok: String): Set[String] =
       tok.split(",").map(t => evalCriterion(t.trim)).reduce(_ intersect _)
 
     def evalCriterion(tok: String): Set[String] = {
       val c = parseCriterion(tok)
-      val base = baseMatch(c, manifest, stateManifest, previousStatuses, fresherSources)
+      val base = baseMatch(c, manifest, stateManifest, previousStatuses, fresherSources,
+        () => curView)
       var out = base
       c.parentsDepth.foreach(d => out = out ++ base.flatMap(graph.ancestors(_, d)))
       c.childrenDepth.foreach(d => out = out ++ base.flatMap(graph.descendants(_, d)))

@@ -181,11 +181,14 @@ object SimilarityOps {
     val nCentroids = 16
     val nProbe = 4
     val e = quantized(s, dir).cache()
-    val total = e.count()
-    val step = math.max(1L, total / nCentroids)
-    // deterministic strided sample (no LIMIT — order-independent, so
-    // the exact seed set is replayable by the SQL oracle)
-    val seed = e.filter(col("vec_id") % step === 0 && col("vec_id") < step * nCentroids)
+    // deterministic strided sample over the ID RANGE (no LIMIT — order-
+    // independent and replayable by the SQL oracle; anchored at min so
+    // sparse or offset id spaces still yield centroids)
+    val bounds = e.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+    val step = math.max(1L, (maxId - minId + 1) / nCentroids)
+    val seed = e.filter((col("vec_id") - minId) % step === 0 &&
+        col("vec_id") - minId < step * nCentroids)
       .select(col("vec_id").as("centroid_id"), col("q").as("cq"), col("nq").as("cn"))
     val centroids = kmeansRefine(s, e, seed, iters = 3)
     // assign every vector to its nearest centroid (broadcast centroids)

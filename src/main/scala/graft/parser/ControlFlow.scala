@@ -108,8 +108,20 @@ object ControlFlow {
           throw new IllegalArgumentException(s"missing endif (found $other)")
       }
     }
-    val incr = open.group(2).contains("is_incremental()")
-    (If(branches.result(), orElse, incr), rest, endPos)
+    val allBranches = branches.result()
+    val incr = allBranches.exists(_._1.contains("is_incremental()"))
+    // The compile-time pass (Template.renderIncrementalBlocks) only
+    // understands the bare `{% if is_incremental() %}…{% else %}…{% endif %}`
+    // form; anything fancier (elif, compound conditions) would either
+    // crash the evaluator here or leak raw tags into compiled SQL —
+    // fail at parse time with a usable message instead.
+    if (incr &&
+        !(allBranches.size == 1 && allBranches.head._1.trim == "is_incremental()"))
+      throw new IllegalArgumentException(
+        "is_incremental() is only supported as the sole condition of a plain " +
+          s"{% if %}/{% else %} block (got: {% if ${allBranches.head._1} %} with " +
+          s"${allBranches.size} branch(es))")
+    (If(allBranches, orElse, incr), rest, endPos)
   }
 
   private def emit(nodes: Seq[Node], env: Map[String, Any],
@@ -186,8 +198,9 @@ object ControlFlow {
       private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
       private def kw(word: String): Boolean = {
         ws()
+        def identChar(c: Char) = c.isLetterOrDigit || c == '_'
         if (s.startsWith(word, i) &&
-            (i + word.length >= s.length || !s(i + word.length).isLetterOrDigit)) {
+            (i + word.length >= s.length || !identChar(s(i + word.length)))) {
           i += word.length; true
         } else false
       }

@@ -117,10 +117,10 @@ object ProjectLoader {
     // PRE-expansion text, transitively closed through macro bodies so
     // an edit to a helper a macro calls still selects its users via
     // state:modified.macros.
+    val macroCallRes: Map[String, Regex] =
+      macroTable.keys.map(k => k -> raw"(?<![\w])${Regex.quote(k)}\s*\(".r).toMap
     def directMacroCalls(text: String): Set[String] =
-      macroTable.keysIterator
-        .filter(k => raw"(?<![\w])${Regex.quote(k)}\s*\(".r.findFirstIn(text).isDefined)
-        .toSet
+      macroCallRes.collect { case (k, re) if re.findFirstIn(text).isDefined => k }.toSet
     val macroClosure: Map[String, Set[String]] = {
       val direct = macroTable.map { case (k, d) => k -> directMacroCalls(d.body) }
       def close(seen: Set[String]): Set[String] = {

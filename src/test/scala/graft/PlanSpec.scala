@@ -207,6 +207,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a fresh attach still reads through the catalog (bucket spec intact)
     store.registerView("ord_b")
     assert(spark.table("ord_b").count() == orders.count())
+    // fresh-JVM simulation: the in-memory catalog forgot the table, but
+    // the on-disk marker re-registers it (bucket ids live in file names)
+    val cat = store.addressable("ord_b").get
+    spark.sql(s"DROP TABLE IF EXISTS $cat")
+    assert(store.read("ord_b").count() == orders.count())
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED ${store.addressable("ord_b").get}")
+      .collect().map(_.mkString("|")).mkString("\n")
+    assert(desc.contains("Num Buckets"), desc)
+    // a plain write over a bucketed relation clears the stale catalog
+    // binding instead of serving the old version
+    store.write(orders.limit(10), "ord_b")
+    assert(!store.isBucketed("ord_b"))
+    assert(store.read("ord_b").count() == 10)
   }
 
   test("contract enforcement fails on type/name drift") {
