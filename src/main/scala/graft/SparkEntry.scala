@@ -80,6 +80,9 @@ object SparkEntry {
     "txt_pii_scrub" -> (CurateOps.txtPiiScrub _),
     "split_assign" -> (CurateOps.splitAssign _),
     "emb_cluster_assign" -> (CurateOps.embClusterAssign _),
+    "curate_pack_sequences" -> ((s, dir) => CurateOps.curatePackSequences(s, dir)),
+    "curate_sample_stratified" -> ((s, dir) => CurateOps.curateSampleStratified(s, dir)),
+    "txt_top_terms" -> (CurateOps.txtTopTerms _),
     // similarity search
     "sim_topk" -> (SimilarityOps.simTopK _),
     "emb_neardup" -> (SimilarityOps.embNearDup _),
@@ -378,6 +381,45 @@ object SparkEntry {
         SELECT doc_id,
                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
         FROM documents) b""",
+    "curate_pack_sequences" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+      ), cum AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+        FROM toks
+      )
+      SELECT doc_id, n_tokens, tok_before,
+             tok_before // 256 AS start_seq,
+             tok_before % 256 AS start_offset,
+             (tok_before + GREATEST(n_tokens, 1) - 1) // 256 AS end_seq
+      FROM cum""",
+    "curate_sample_stratified" -> """
+      SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rnk
+        FROM documents
+      ) t WHERE rnk <= 50""",
+    "txt_top_terms" -> """
+      WITH dw AS (
+        SELECT DISTINCT doc_id, term
+        FROM (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+          FROM documents
+        ) x WHERE len(term) >= 3
+      ), dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM dw GROUP BY term
+      )
+      SELECT doc_id, term, df, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT dw.doc_id, dw.term, dfreq.df,
+               ROW_NUMBER() OVER (PARTITION BY dw.doc_id ORDER BY dfreq.df, dw.term) AS rnk
+        FROM dw JOIN dfreq USING (term)
+      ) t WHERE rnk <= 3""",
     "emb_cluster_assign" -> """
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q

@@ -102,6 +102,8 @@ object Main {
         flags.get("defer-warehouse").map(w => new RelationStore(spark, w)) else None,
       eventTimeStart = flags.get("event-time-start").map(ProjectLoader.parseInstant),
       eventTimeEnd = flags.get("event-time-end").map(ProjectLoader.parseInstant),
+      failFast = flags.contains("fail-fast"),
+      warnError = flags.contains("warn-error"),
       indirectSelection = flags.getOrElse("indirect-selection", "eager"),
       previousStatuses = Artifacts.readRunResultStatuses(targetDir),
       // source_status:fresher compares this run's sources.json with the

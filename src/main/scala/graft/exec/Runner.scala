@@ -25,6 +25,11 @@ final case class RunOptions(
     deferStore: Option[RelationStore] = None,
     eventTimeStart: Option[Instant] = None,
     eventTimeEnd: Option[Instant] = None,
+    /** Stop scheduling new nodes after the first failure (reference
+      * --fail-fast); in-flight nodes finish. */
+    failFast: Boolean = false,
+    /** Promote warn statuses to errors (reference --warn-error). */
+    warnError: Boolean = false,
     indirectSelection: String = "eager",
     previousStatuses: Map[String, String] = Map.empty,
     /** microbatch retry: node id → exact batch ids to (re)process,
@@ -149,12 +154,21 @@ final class Runner(
             var next = queue.awaitReady()
             while (next.isDefined) {
               val id = next.get
-              val r = runNode(id)
+              val r0 = runNode(id)
+              // --warn-error (reference flags.py WARN_ERROR): a warning
+              // is promoted to a real failure, skipping descendants
+              val r =
+                if (opts.warnError && r0.status == "warn")
+                  r0.copy(status = "error", message = s"warn escalated: ${r0.message}")
+                else r0
               results.add(r)
               if (r.status == "error" || r.status == "fail") {
                 val skipped = queue.markFailed(id)
                 skipped.foreach(s => results.add(RunResult(s, "skipped", 0.0,
                   s"depends on failed $id")))
+                if (opts.failFast)
+                  queue.abort().foreach(s => results.add(RunResult(s, "skipped", 0.0,
+                    s"fail-fast: aborted after $id failed")))
               } else queue.markDone(id)
               next = queue.awaitReady()
             }

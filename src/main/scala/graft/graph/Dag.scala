@@ -171,6 +171,17 @@ final class GraphQueue(graph: Digraph, selected: Set[String]) {
     skipped
   }
 
+  /** fail-fast: mark every node that hasn't started as done and return
+    * that set (reference --fail-fast, runnable.py FailFast handling —
+    * in-flight nodes finish, nothing new is scheduled).
+    */
+  def abort(): Set[String] = synchronized {
+    val remaining = g.nodes.toSet -- done -- inFlight
+    done ++= remaining
+    notifyAll()
+    remaining
+  }
+
   /** Block until a node is ready or everything is complete. */
   def awaitReady(): Option[String] = synchronized {
     var r = nextReady()

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -130,6 +131,83 @@ object CurateOps {
         .as("bucket"))
       .withColumn("split",
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+
+  /** Concat-then-chunk sequence packing (the GPT-style pretraining
+    * layout: concatenate the token stream in doc_id order, cut every
+    * `block` tokens). Emits, per document, its token count and where
+    * its tokens land: starting sequence id, offset within it, and
+    * ending sequence id.
+    *
+    * Scale shape: the global running token count is a DISTRIBUTED
+    * prefix sum — per-range partial sums (one shuffle to ≤ a few
+    * thousand range buckets), a tiny cumulative table that broadcasts,
+    * then a window cumsum WITHIN each range bucket. No global
+    * single-partition window anywhere, so the plan parallelizes at any
+    * corpus size (the naive `Window.orderBy(doc_id)` with no partition
+    * key funnels 100 TB through one task).
+    */
+  def curatePackSequences(s: SparkSession, dir: String, block: Int = 256): DataFrame = {
+    val bucketSpan = 100L // doc_ids per range bucket
+    val toks = docs(s, dir).select(
+      col("doc_id"),
+      size(split(TextOps.normalized(col("text")), " ")).cast("long").as("n_tokens"),
+      // integer division — a double `/` would lose exactness past 2^53
+      expr(s"doc_id div $bucketSpan").as("bk"))
+    // phase 1: partial sum per range bucket; phase 2: exclusive prefix
+    // over the (tiny) bucket table — broadcast back
+    val prefixW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bk")).rowsBetween(Window.unboundedPreceding, -1)
+    val bucketPrefix = toks.groupBy(col("bk")).agg(sum(col("n_tokens")).as("bk_sum"))
+      .withColumn("bk_before", coalesce(sum(col("bk_sum")).over(prefixW), lit(0L)))
+      .select(col("bk"), col("bk_before"))
+    // phase 3: within-bucket running sum (parallel across buckets)
+    val inBucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(bucketPrefix), Seq("bk"))
+      .withColumn("tok_before",
+        col("bk_before") + coalesce(sum(col("n_tokens")).over(inBucketW), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("tok_before"),
+        expr(s"tok_before div $block").as("start_seq"),
+        pmod(col("tok_before"), lit(block.toLong)).as("start_offset"),
+        expr(s"(tok_before + greatest(n_tokens, 1) - 1) div $block").as("end_seq"))
+  }
+
+  /** Deterministic stratified sampling: keep the k hash-lowest
+    * documents per language stratum (quota sampling — the standard way
+    * to rebalance a web corpus's language mix). md5-rank makes the
+    * sample stable under corpus growth ordering; each stratum is an
+    * independent window partition, so strata process in parallel.
+    */
+  def curateSampleStratified(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
+    docs(s, dir).select(col("doc_id"), col("lang"),
+        expr("substring(md5(cast(doc_id as string)), 1, 8)").as("hk"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("lang"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Keyword extraction without floats: the 3 RAREST terms per document
+    * by global document frequency (ties broken lexically) — integer-
+    * exact, so the oracle hashes bit-for-bit where a TF-IDF double
+    * would drift. Shape: distinct (doc, term) → term df (one shuffle,
+    * partial-aggregated) → join back → per-doc top-3 window.
+    */
+  def txtTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val dw = tokens(s, dir)
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .filter(length(col("term")) >= 3)
+      .distinct()
+    val dfreq = dw.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("term"))
+    dw.join(dfreq, Seq("term"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("df"), col("rnk").cast("long").as("rnk"))
+  }
 
   /** Embedding clustering: assign every vector to its nearest of 8
     * deterministic centroids (the vectors with vec_id < 8) by cosine.

@@ -126,4 +126,57 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bucketed.toSet == brute,
       s"missing=${brute -- bucketed.toSet} extra=${bucketed.toSet -- brute}")
   }
+
+  test("pack_sequences: distributed prefix sum equals the naive global window") {
+    val out = CurateOps.curatePackSequences(spark, sf)
+      .select("doc_id", "n_tokens", "tok_before").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // naive reference: running sum in doc_id order on the driver
+    var running = 0L
+    out.foreach { case (id, n, before) =>
+      assert(before == running, s"doc $id: tok_before=$before, expected $running")
+      running += n
+    }
+    assert(running == out.map(_._2).sum)
+    // chunk arithmetic: a document starts in the sequence its first token lands in
+    val packed = CurateOps.curatePackSequences(spark, sf).collect()
+    packed.foreach { r =>
+      val (before, n) = (r.getAs[Long]("tok_before"), r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("start_seq") == before / 256)
+      assert(r.getAs[Long]("start_offset") == before % 256)
+      assert(r.getAs[Long]("end_seq") == (before + math.max(n, 1) - 1) / 256)
+    }
+  }
+
+  test("sample_stratified: exact per-stratum quota, deterministic") {
+    val s1 = CurateOps.curateSampleStratified(spark, sf, k = 7).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val sizes = graft.sources.Tables.load(spark, sf, "documents")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perLang = s1.groupBy(_._2).view.mapValues(_.length).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(perLang.getOrElse(lang, 0) == math.min(7L, n), s"stratum $lang")
+    }
+    // rank is 1..k and the sample is stable across runs
+    assert(s1.groupBy(_._2).values.forall(g => g.map(_._3).sorted.toSeq == (1L to g.length)))
+    val s2 = CurateOps.curateSampleStratified(spark, sf, k = 7).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(s1.toSet == s2.toSet)
+  }
+
+  test("top_terms: rarest-first ranking agrees with a driver-side recount") {
+    val out = CurateOps.txtTopTerms(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && out.forall(_._4 <= 3))
+    // recount document frequency for the terms of one document
+    val docsArr = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.replaceAll("[^a-z0-9]+", " ")
+        .trim.split(" ").filter(_.length >= 3).toSet)
+    val someDoc = out.head._1
+    out.filter(_._1 == someDoc).foreach { case (_, term, df, _) =>
+      val expected = docsArr.count(_._2.contains(term))
+      assert(df == expected, s"term '$term': df=$df, recount=$expected")
+    }
+  }
 }

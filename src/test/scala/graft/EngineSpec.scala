@@ -624,6 +624,50 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(desc.contains("Num Buckets") && desc.contains("4"), desc)
   }
 
+  test("30 fail-fast aborts unscheduled nodes; warn-error escalates warnings") {
+    val df = Files.createTempDirectory("graft_ff_proj")
+    def wf(rel: String, c: String): Unit = {
+      val p = df.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    wf("dbt_project.yml", "name: ffdemo\n")
+    wf("models/a_fail.sql", "SELECT * FROM this_table_does_not_exist_anywhere")
+    wf("models/z_ok.sql", "SELECT 1 AS v")
+    val pf = ProjectLoader.resolveRefs(ProjectLoader.load(df.toString))
+    val stf = new RelationStore(spark, df.resolve("wh").toString)
+    // without fail-fast the independent model still runs
+    val plain = new Runner(spark, pf, stf,
+      RunOptions(cmd = "run", threads = 1, targetDir = df.resolve("target").toString)).execute()
+    assert(plain.find(_.uniqueId == "model.ffdemo.z_ok").get.status == "success")
+    // with fail-fast it is aborted before it starts
+    val ff = new Runner(spark, pf, stf,
+      RunOptions(cmd = "run", threads = 1, failFast = true,
+        targetDir = df.resolve("target").toString)).execute()
+    assert(ff.find(_.uniqueId == "model.ffdemo.a_fail").get.status == "error")
+    val zr = ff.find(_.uniqueId == "model.ffdemo.z_ok").get
+    assert(zr.status == "skipped" && zr.message.contains("fail-fast"), zr)
+
+    // warn-error: a warn-severity failing test escalates to error
+    wf("models/a_fail.sql", "SELECT CAST(NULL AS BIGINT) AS id")
+    wf("models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: a_fail
+        |    columns:
+        |      - name: id
+        |        tests:
+        |          - not_null:
+        |              config:
+        |                severity: warn
+        |""".stripMargin)
+    val pf2 = ProjectLoader.resolveRefs(ProjectLoader.load(df.toString))
+    def testStatuses(warnError: Boolean) =
+      new Runner(spark, pf2, stf, RunOptions(cmd = "build", threads = 1,
+        warnError = warnError, targetDir = df.resolve("target").toString))
+        .execute().filter(_.uniqueId.startsWith("test.")).map(_.status).toSet
+    assert(testStatuses(warnError = false) == Set("warn"))
+    assert(testStatuses(warnError = true) == Set("error"))
+  }
+
   test("20 local packages + package-qualified and versioned refs") {
     val d4 = Files.createTempDirectory("graft_pkg_proj")
     def w4(rel: String, c: String): Unit = {
