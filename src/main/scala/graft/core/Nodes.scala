@@ -296,6 +296,12 @@ final case class UnitTestNode(
     givens: Map[String, Seq[Map[String, Any]]], // input ref/source name -> fixture rows
     expect: Seq[Map[String, Any]],
     config: NodeConfig = NodeConfig(),
+    /** `format: sql` fixtures (reference UnitTestFormat.SQL): the input
+      * (or expected output) is a SELECT evaluated at run time instead
+      * of literal rows.
+      */
+    givenSql: Map[String, String] = Map.empty,
+    expectSql: Option[String] = None,
     checksum: FileHash = FileHash(""))
   extends Node {
   val uniqueId = s"unit_test.$packageName.$name"

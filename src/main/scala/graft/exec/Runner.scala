@@ -429,9 +429,14 @@ final class Runner(
 
     val refOverrides = scala.collection.mutable.Map[String, String]()
     val srcOverrides = scala.collection.mutable.Map[(String, String), String]()
-    for (((input, rows), i) <- u.givens.zipWithIndex) {
+    // dict/csv fixtures are literal rows; sql fixtures (format: sql,
+    // reference UnitTestFormat.SQL) evaluate a SELECT at run time
+    val fixtures: Seq[(String, DataFrame)] =
+      u.givens.toSeq.map { case (in, rows) => in -> fixtureDf(rows) } ++
+        u.givenSql.toSeq.map { case (in, sql) => in -> spark.sql(sql) }
+    for (((input, df), i) <- fixtures.zipWithIndex) {
       val viewName = s"__fixture__${u.name}_$i"
-      fixtureDf(rows).createOrReplaceTempView(viewName)
+      df.createOrReplaceTempView(viewName)
       val refPat = raw"""ref\s*\(\s*['"]([^'"]+)['"]\s*\)""".r
       val srcPat = raw"""source\s*\(\s*['"]([^'"]+)['"]\s*,\s*['"]([^'"]+)['"]\s*\)""".r
       input.trim match {
@@ -447,7 +452,7 @@ final class Runner(
         manifest.resolveSource(s, t).map(Sources.viewName).getOrElse(s"$s.$t")),
       vars)
     val actual = spark.sql(sql)
-    val expected = fixtureDf(u.expect)
+    val expected = u.expectSql.map(spark.sql).getOrElse(fixtureDf(u.expect))
     // compare on expected's columns, everything as strings (the
     // reference diffs rendered tables — daff — which is also textual)
     val cols = expected.columns.toSeq.sorted

@@ -74,7 +74,18 @@ object MiniYaml {
       if (colon < 0) throw YamlError(s"expected 'key: value' at: $content")
       val key = unquote(content.take(colon).trim)
       val rest = content.drop(colon + 1).trim
-      if (rest.nonEmpty) {
+      if (rest == "|" || rest == "|-" || rest == ">") {
+        // literal block scalar: deeper-indented lines joined verbatim
+        // (the subset unit-test csv/sql fixtures need)
+        val body = mutable.ListBuffer[String]()
+        var j = i + 1
+        while (j < lines.length && lines(j).indent > indent) {
+          body += lines(j).content
+          j += 1
+        }
+        out(key) = body.mkString("\n")
+        i = j
+      } else if (rest.nonEmpty) {
         out(key) = scalar(rest)
         i += 1
       } else {

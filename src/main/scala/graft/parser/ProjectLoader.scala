@@ -409,31 +409,48 @@ object ProjectLoader {
           }
         case _ =>
       }
-      // unit tests (reference parser/unit_tests.py formats: dict rows)
+      // unit tests (reference parser/unit_tests.py; fixture formats
+      // dict | csv (inline or tests/fixtures/<name>.csv) | sql —
+      // UnitTestFormat, artifacts unit_test_definition.py:25-55)
       doc.get("unit_tests") match {
         case Some(us: List[Any @unchecked]) =>
+          // one fixture spec → Left(sql) or Right(rows)
+          def fixtureOf(f: Map[String, Any]): Either[String, Seq[Map[String, Any]]] =
+            f.getOrElse("format", "dict").toString match {
+              case "sql" => Left(f.getOrElse("rows", "").toString)
+              case "csv" =>
+                val text = f.get("fixture") match {
+                  case Some(fx) =>
+                    Files.readString(dir.resolve(s"tests/fixtures/$fx.csv"))
+                  case None => f.getOrElse("rows", "").toString
+                }
+                Right(parseCsvRows(text))
+              case _ => Right(f.getOrElse("rows", Nil).asInstanceOf[List[Any]]
+                .map(_.asInstanceOf[Map[String, Any]]))
+            }
           for (u0 <- us) {
             val u = u0.asInstanceOf[Map[String, Any]]
             val uname = u("name").toString
             val model = u("model").toString
-            val givens: Map[String, Seq[Map[String, Any]]] = u.get("given") match {
-              case Some(gs: List[Any @unchecked]) =>
-                gs.map { g0 =>
-                  val g = g0.asInstanceOf[Map[String, Any]]
-                  val input = g("input").toString
-                  val rows = g.getOrElse("rows", Nil).asInstanceOf[List[Any]]
-                    .map(_.asInstanceOf[Map[String, Any]])
-                  input -> rows
-                }.toMap
-              case _ => Map.empty
-            }
-            val expect: Seq[Map[String, Any]] = u.get("expect") match {
-              case Some(e: Map[String @unchecked, Any @unchecked]) =>
-                e.getOrElse("rows", Nil).asInstanceOf[List[Any]]
-                  .map(_.asInstanceOf[Map[String, Any]])
-              case _ => Nil
-            }
-            val node = UnitTestNode(uname, name, model, givens, expect,
+            val givenFixtures: Seq[(String, Either[String, Seq[Map[String, Any]]])] =
+              u.get("given") match {
+                case Some(gs: List[Any @unchecked]) =>
+                  gs.map { g0 =>
+                    val g = g0.asInstanceOf[Map[String, Any]]
+                    g("input").toString -> fixtureOf(g)
+                  }
+                case _ => Nil
+              }
+            val expectFixture: Either[String, Seq[Map[String, Any]]] =
+              u.get("expect") match {
+                case Some(e: Map[String @unchecked, Any @unchecked]) => fixtureOf(e)
+                case _ => Right(Nil)
+              }
+            val node = UnitTestNode(uname, name, model,
+              givens = givenFixtures.collect { case (in, Right(rows)) => in -> rows }.toMap,
+              expect = expectFixture.getOrElse(Nil),
+              givenSql = givenFixtures.collect { case (in, Left(sql)) => in -> sql }.toMap,
+              expectSql = expectFixture.left.toOption,
               checksum = FileHash.of(u.toString))
             unitTests(node.uniqueId) = node
           }
@@ -496,6 +513,21 @@ object ProjectLoader {
     else Files.walk(d).iterator().asScala
       .filter(p => p.toString.endsWith(ext) && Files.isRegularFile(p))
       .toSeq.sortBy(_.toString)
+
+  /** Inline/file CSV fixture rows (reference UnitTestFormat.CSV): first
+    * line is the header; empty cells read as null, like the reference's
+    * agate load.
+    */
+  private def parseCsvRows(text: String): Seq[Map[String, Any]] = {
+    val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+    if (lines.length < 2) return Nil
+    val header = lines.head.split(",", -1).map(_.trim)
+    lines.tail.toSeq.map { line =>
+      header.zip(line.split(",", -1).map(_.trim)).collect {
+        case (h, v) if v.nonEmpty => h -> (v: Any)
+      }.toMap
+    }
+  }
 
   /** Declared columns of a model/source YAML entry: name, description,
     * data_type, constraints (reference components.py:59 ColumnInfo +

@@ -668,6 +668,55 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(testStatuses(warnError = true) == Set("error"))
   }
 
+  test("31 unit-test fixtures: inline csv, csv file, and sql formats") {
+    val du = Files.createTempDirectory("graft_ut_proj")
+    def wu(rel: String, c: String): Unit = {
+      val p = du.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    wu("dbt_project.yml", "name: utdemo\n")
+    wu("models/base.sql", "SELECT 0 AS id, 0 AS v") // replaced by fixtures
+    wu("models/doubled.sql", "SELECT id, v * 2 AS v2 FROM {{ ref('base') }}")
+    wu("tests/fixtures/base_rows.csv", "id,v\n3,30\n4,40\n")
+    wu("models/schema.yml",
+      """version: 2
+        |unit_tests:
+        |  - name: ut_csv_inline
+        |    model: doubled
+        |    given:
+        |      - input: ref('base')
+        |        format: csv
+        |        rows: |
+        |          id,v
+        |          1,10
+        |          2,20
+        |    expect:
+        |      format: csv
+        |      rows: |
+        |        id,v2
+        |        1,20
+        |        2,40
+        |  - name: ut_csv_file
+        |    model: doubled
+        |    given:
+        |      - input: ref('base')
+        |        format: csv
+        |        fixture: base_rows
+        |    expect:
+        |      format: sql
+        |      rows: SELECT 3 AS id, 60 AS v2 UNION ALL SELECT 4, 80
+        |""".stripMargin)
+    val pu = ProjectLoader.resolveRefs(ProjectLoader.load(du.toString))
+    assert(pu.manifest.unitTests.size == 2)
+    val stu = new RelationStore(spark, du.resolve("wh").toString)
+    val ru = new Runner(spark, pu, stu,
+      RunOptions(cmd = "test", threads = 1, targetDir = du.resolve("target").toString)).execute()
+    val byId = ru.map(r => r.uniqueId -> r).toMap
+    assert(byId("unit_test.utdemo.ut_csv_inline").status == "pass",
+      byId("unit_test.utdemo.ut_csv_inline"))
+    assert(byId("unit_test.utdemo.ut_csv_file").status == "pass",
+      byId("unit_test.utdemo.ut_csv_file"))
+  }
+
   test("20 local packages + package-qualified and versioned refs") {
     val d4 = Files.createTempDirectory("graft_pkg_proj")
     def w4(rel: String, c: String): Unit = {
