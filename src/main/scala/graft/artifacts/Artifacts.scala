@@ -226,6 +226,7 @@ object Artifacts {
       val (raw, refs, srcs, path) = n match {
         case m: ModelNode => (m.rawCode, m.refs, m.sources, m.path)
         case s: SnapshotNode => (s.rawCode, s.refs, s.sources, "")
+        case a: AnalysisNode => (a.rawCode, a.refs, a.sources, "")
         case t: TestNode => (t.rawCode, t.refs, Nil, "")
         case _ => ("", Nil, Nil, "")
       }

@@ -238,6 +238,24 @@ final case class SnapshotNode(
   val resourceType: NodeType = NodeType.Snapshot
 }
 
+/** Compile-only analysis (reference nodes.py AnalysisNode,
+  * parser/analysis.py:9): a SQL file under analyses/ that `compile`
+  * renders but no command ever executes.
+  */
+final case class AnalysisNode(
+    name: String,
+    packageName: String,
+    rawCode: String,
+    config: NodeConfig,
+    dependsOn: Seq[String],
+    refs: Seq[String],
+    sources: Seq[(String, String)] = Nil,
+    checksum: FileHash = FileHash(""))
+  extends Node {
+  val uniqueId = s"analysis.$packageName.$name"
+  val resourceType: NodeType = NodeType.Analysis
+}
+
 /** Data test node — generic (synthesized from YAML) or singular (a .sql
   * file) (reference nodes.py:973/:989).
   */

@@ -214,6 +214,20 @@ object ProjectLoader {
       recordMacroDeps(node.uniqueId, orig)
     }
 
+    // ---- analyses (compile-only; reference parser/analysis.py:9) ----
+    for (f <- files("analyses", ".sql") ++ files("analysis", ".sql")) {
+      val orig = Files.readString(f)
+      val raw = renderSql(orig)
+      val scan = Template.scan(raw)
+      val aname = f.getFileName.toString.stripSuffix(".sql")
+      val deps = scan.refs.map(r => refId(r, name)) ++
+        scan.sources.map { case (s, t) => s"source.$name.$s.$t" }
+      val node = AnalysisNode(aname, name, raw, configFrom(scan.config), deps,
+        scan.refs, scan.sources, checksum = FileHash.of(raw))
+      nodes(node.uniqueId) = node
+      recordMacroDeps(node.uniqueId, orig)
+    }
+
     // ---- seeds ----
     for (f <- files("seeds", ".csv")) {
       val sname = f.getFileName.toString.stripSuffix(".csv")
@@ -339,6 +353,37 @@ object ProjectLoader {
                   columnTypes = colTypes,
                   delimiter = cfg.get("delimiter").map(_.toString).getOrElse(sn.delimiter))
               case _ =>
+            }
+          }
+        case _ =>
+      }
+      // YAML-defined snapshots (reference schemas.py:268
+      // _add_yaml_snapshot_nodes_to_manifest): an entry carrying a
+      // `relation:` synthesizes `select * from {{ relation }}` with the
+      // entry's config; entries without one are patches for SQL-block
+      // snapshots and are left to the block definition.
+      doc.get("snapshots") match {
+        case Some(ss: List[Any @unchecked]) =>
+          for (s0 <- ss) {
+            val sm = s0.asInstanceOf[Map[String, Any]]
+            sm.get("relation").map(_.toString) match {
+              case Some(relation) =>
+                val sname = sm.getOrElse("name",
+                  throw new IllegalArgumentException(
+                    "A snapshot must define the 'name' property.")).toString
+                val cfgMap = sm.get("config") match {
+                  case Some(c: Map[String @unchecked, Any @unchecked]) => c
+                  case _ => Map.empty[String, Any]
+                }
+                val raw = s"select * from {{ $relation }}"
+                val scan = Template.scan(raw)
+                val deps = scan.refs.map(r => refId(r, name)) ++
+                  scan.sources.map { case (s, t) => s"source.$name.$s.$t" }
+                val node = SnapshotNode(sname, name, raw,
+                  configFrom(cfgMap).copy(materialized = Materialized.SnapshotMat),
+                  deps, scan.refs, scan.sources, checksum = FileHash.of(sm.toString))
+                nodes(node.uniqueId) = node
+              case None =>
             }
           }
         case _ =>
@@ -702,6 +747,7 @@ object ProjectLoader {
     val nodes2: Map[String, Node] = m.nodes.map {
       case (id, n: ModelNode) => id -> n.copy(dependsOn = fix(n))
       case (id, n: SnapshotNode) => id -> n.copy(dependsOn = fix(n))
+      case (id, n: AnalysisNode) => id -> n.copy(dependsOn = fix(n))
       case (id, n: TestNode) => id -> n.copy(dependsOn = fix(n))
       case (id, n: ExposureNode) => id -> n.copy(dependsOn = fix(n))
       case (id, n: MetricNode) => id -> n.copy(dependsOn = fix(n))

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.artifacts.Artifacts
 import graft.core._
-import graft.exec.{RelationStore, Runner, RunOptions}
+import graft.exec.{Compiler, RelationStore, Runner, RunOptions}
 import graft.parser.ProjectLoader
 
 /** End-to-end functional test: a real project directory over the
@@ -715,6 +715,45 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       byId("unit_test.utdemo.ut_csv_inline"))
     assert(byId("unit_test.utdemo.ut_csv_file").status == "pass",
       byId("unit_test.utdemo.ut_csv_file"))
+  }
+
+  test("32 yaml-defined snapshot and compile-only analyses") {
+    val dy = Files.createTempDirectory("graft_yamlsnap")
+    def wy(rel: String, c: String): Unit = {
+      val p = dy.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    wy("dbt_project.yml", "name: ysnap\n")
+    wy("models/cust.sql", "SELECT 1 AS id, 'a' AS status")
+    wy("analyses/audit.sql", "SELECT count(*) AS n FROM {{ ref('cust') }}")
+    wy("snapshots/snaps.yml",
+      """snapshots:
+        |  - name: cust_snap_y
+        |    relation: ref('cust')
+        |    config:
+        |      strategy: check
+        |      unique_key: id
+        |      check_cols: all
+        |""".stripMargin)
+    val py = ProjectLoader.resolveRefs(ProjectLoader.load(dy.toString))
+    val snapNode = py.manifest.nodes("snapshot.ysnap.cust_snap_y")
+    assert(snapNode.dependsOn == Seq("model.ysnap.cust"))
+    assert(snapNode.config.strategy.contains("check"))
+    val analysisNode = py.manifest.nodes("analysis.ysnap.audit")
+    assert(analysisNode.dependsOn == Seq("model.ysnap.cust"))
+    val sty = new RelationStore(spark, dy.resolve("wh").toString)
+    val ry = new Runner(spark, py, sty,
+      RunOptions(cmd = "build", threads = 1,
+        targetDir = dy.resolve("target").toString)).execute()
+    // build materializes the model and the YAML snapshot, never the analysis
+    assert(!ry.exists(_.uniqueId.startsWith("analysis.")))
+    assert(ry.find(_.uniqueId == "snapshot.ysnap.cust_snap_y").exists(_.status == "success"),
+      ry.mkString("\n"))
+    val snap = sty.read("cust_snap_y")
+    assert(snap.count() == 1 && snap.columns.contains("dbt_valid_from"))
+    // the analysis still compiles (ref resolved), like `dbt compile`
+    val comp = new Compiler(py.manifest, Map.empty)
+    val compiled = comp.compile(analysisNode, "SELECT count(*) AS n FROM {{ ref('cust') }}").executable
+    assert(compiled.contains("cust") && !compiled.contains("{{"))
   }
 
   test("20 local packages + package-qualified and versioned refs") {
