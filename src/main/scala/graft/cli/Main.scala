@@ -149,6 +149,11 @@ object Main {
           case m: ModelNode =>
             val sql = compiler.compile(m, m.rawCode).executable
             Files.writeString(outDir.resolve(s"${m.name}.sql"), sql)
+          case a: AnalysisNode =>
+            // compiled but never executed (reference analysis.py:20
+            // get_compiled_path → target/compiled/.../analysis/)
+            val sql = compiler.compile(a, a.rawCode).executable
+            Files.writeString(outDir.resolve(s"analysis_${a.name}.sql"), sql)
           case _ =>
         }
         println(s"compiled -> $outDir")
@@ -233,6 +238,27 @@ object Main {
         }
         rmrf(Paths.get(targetDir))
         println(s"cleaned $targetDir")
+        0
+      case "optimize" =>
+        // warehouse maintenance: selective small-file compaction over
+        // the versioned store (see RelationStore.compact). `--select`
+        // names specific relations; default is every table in every
+        // schema the project writes. `--target-file-mb` tunes the goal.
+        val targetBytes =
+          flags.get("target-file-mb").map(_.toLong << 20).getOrElse(128L << 20)
+        val stores = store +: project.manifest.nodes.values
+          .flatMap(_.config.schema).toSet.toSeq.map((cs: String) =>
+            materializer.storeForSchema(cs))
+        val wanted = flags.get("select").map(_.split(",").toSet)
+        var rewritten = 0
+        for (st <- stores; rel <- st.list()
+            if !st.isView(rel) && !st.isBucketed(rel)
+            if wanted.forall(_.contains(rel))) {
+          val n = st.compact(rel, targetBytes)
+          if (n > 0) println(s"optimize ${st.schema}.$rel: rewrote $n partition(s)")
+          rewritten += n
+        }
+        println(s"optimize complete: $rewritten partition(s) rewritten")
         0
       case "run-operation" =>
         // reference task/run_operation.py — execute a project macro (the

@@ -352,6 +352,89 @@ final class RelationStore(
     }
   }
 
+  /** Selective small-file compaction — the lakehouse OPTIMIZE shape.
+    *
+    * Incremental commits write up to `spark.sql.shuffle.partitions`
+    * task files into every touched partition; after enough microbatches
+    * a 100 TB table's scan cost is dominated by file opens, not bytes.
+    * This rewrites ONLY over-fragmented leaf partitions (more files
+    * than `ceil(bytes / targetBytes)`) down to their ideal file count
+    * and hard-links every well-sized partition unchanged into the new
+    * version — O(fragmented partitions), not O(table), and a no-op
+    * commit is skipped entirely.
+    *
+    * Bucketed relations are refused: their file names carry bucket ids
+    * and coalescing would silently break the shuffle-free join contract.
+    *
+    * @return number of partitions rewritten (0 ⇒ no new version)
+    */
+  def compact(name: String, targetBytes: Long = 128L << 20): Int = {
+    require(!isView(name), s"cannot compact view $schema.$name")
+    require(!isBucketed(name),
+      s"cannot compact bucketed relation $schema.$name — rewrite via its model instead")
+    val cur = currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"relation not found: $schema.$name"))
+    val prev = tableDir(name).resolve(s"v$cur")
+    val depth = partitionDepth(prev)
+    val units: Seq[Path] =
+      if (depth == 0) Seq(prev.relativize(prev)) else leafPartitionDirs(prev, depth)
+    def dataFiles(dir: Path): Seq[Path] = {
+      val ds = Files.list(dir).iterator()
+      val out = scala.collection.mutable.ListBuffer[Path]()
+      while (ds.hasNext) {
+        val c = ds.next()
+        val fn = c.getFileName.toString
+        if (Files.isRegularFile(c) && fn.endsWith(".parquet") && !fn.startsWith("_")
+          && !fn.startsWith(".")) out += c
+      }
+      out.toSeq
+    }
+    val fragmented = units.filter { rel =>
+      val fs = dataFiles(prev.resolve(rel))
+      val ideal = math.max(1L, (fs.map(Files.size).sum + targetBytes - 1) / targetBytes)
+      fs.size > ideal
+    }
+    if (fragmented.isEmpty) return 0
+    val next = cur + 1
+    val dest = tableDir(name).resolve(s"v$next")
+    val fragSet = fragmented.toSet
+    for (rel <- fragmented) {
+      val src = prev.resolve(rel)
+      val fs = dataFiles(src)
+      val ideal = math.max(1L, (fs.map(Files.size).sum + targetBytes - 1) / targetBytes)
+      // leaf files exclude partition columns, so a per-leaf round-trip
+      // preserves the written data schema exactly
+      spark.read.parquet(src.toString).coalesce(ideal.toInt)
+        .write.mode(SaveMode.Overwrite).parquet(dest.resolve(rel).toString)
+    }
+    for (rel <- units if !fragSet.contains(rel)) linkTree(prev.resolve(rel), dest.resolve(rel))
+    val schemaFile = prev.resolve("_graft_schema.json")
+    if (Files.exists(schemaFile))
+      Files.copy(schemaFile, dest.resolve("_graft_schema.json"),
+        StandardCopyOption.REPLACE_EXISTING)
+    commitPointer(name, next)
+    fragmented.size
+  }
+
+  /** Partition-dir nesting depth of a version layout (0 = unpartitioned),
+    * inferred by walking the first `col=value` chain.
+    */
+  private def partitionDepth(base: Path): Int = {
+    def firstEqDir(p: Path): Option[Path] = {
+      val ds = Files.list(p).iterator()
+      while (ds.hasNext) {
+        val c = ds.next()
+        if (Files.isDirectory(c) && c.getFileName.toString.contains("=")) return Some(c)
+      }
+      None
+    }
+    var d = 0
+    var p = base
+    var next = firstEqDir(p)
+    while (next.isDefined) { d += 1; p = next.get; next = firstEqDir(p) }
+    d
+  }
+
   /** Atomic pointer swap + stale-version GC + session re-register. */
   private def commitPointer(name: String, next: Int): Unit = {
     val tmp = tableDir(name).resolve(s"_current.tmp$next")

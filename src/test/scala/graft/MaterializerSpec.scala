@@ -238,4 +238,44 @@ class MaterializerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter("day = '2024-01-02'").count() == 1)
     assert(out.filter("day = '2024-01-02' AND id = 9").count() == 1)
   }
+
+  test("compact coalesces fragmented partitions and links well-sized ones") {
+    import spark.implicits._
+    // day 1: eight tiny task files (fragmented); day 2: already one file
+    val frag = (1L to 8L).map(i => (i, s"v$i", "2024-01-01")).toDF("id", "v", "day")
+      .repartition(8)
+    val fine = Seq((100L, "w", "2024-01-02")).toDF("id", "v", "day").coalesce(1)
+    store.write(frag.unionAll(fine), "t_compact", partitionBy = Seq("day"))
+    val v0 = java.nio.file.Paths.get(store.currentPath("t_compact").get)
+    // hash split may leave some of the 8 tasks empty; several files remain
+    assert(partFiles(v0, "day=2024-01-01").size >= 2)
+    val before = store.read("t_compact").collect().map(_.toString).sorted
+    val rewritten = store.compact("t_compact")
+    assert(rewritten == 1)
+    val v1 = java.nio.file.Paths.get(store.currentPath("t_compact").get)
+    assert(v0 != v1)
+    // fragmented partition now a single file; the fine one is hard-linked
+    assert(partFiles(v1, "day=2024-01-01").size == 1)
+    assertLinked(v0, v1, Seq("day=2024-01-02"))
+    assert(store.read("t_compact").collect().map(_.toString).sorted.sameElements(before))
+    // idempotent: a second compact finds nothing to rewrite, commits nothing
+    assert(store.compact("t_compact") == 0)
+    assert(java.nio.file.Paths.get(store.currentPath("t_compact").get) == v1)
+  }
+
+  test("compact on an unpartitioned table coalesces the root") {
+    import spark.implicits._
+    val many = (1L to 500L).map(i => (i, s"r$i")).toDF("id", "v").repartition(12)
+    store.write(many, "t_compact_flat")
+    val before = store.read("t_compact_flat").collect().map(_.toString).sorted
+    assert(store.compact("t_compact_flat") == 1)
+    val v1 = java.nio.file.Paths.get(store.currentPath("t_compact_flat").get)
+    val files = java.nio.file.Files.list(v1).iterator()
+    var n = 0
+    while (files.hasNext) {
+      if (files.next().getFileName.toString.endsWith(".parquet")) n += 1
+    }
+    assert(n == 1)
+    assert(store.read("t_compact_flat").collect().map(_.toString).sorted.sameElements(before))
+  }
 }
