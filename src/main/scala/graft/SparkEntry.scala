@@ -580,8 +580,13 @@ object SparkEntry {
       val bl = graft.functions.MinHashAgg.B.take(32)
         .map(b => s"${BigInt(b) & mask}::HUGEINT").mkString("[", ",", "]")
       val bandKey = (0 until 8).map { b =>
-        s"CAST($b AS VARCHAR) || ',' || " + (1 to 4).map(r =>
+        val str = s"CAST($b AS VARCHAR) || ',' || " + (1 to 4).map(r =>
           s"CAST(sig[${4 * b + r}] AS VARCHAR)").mkString(" || ',' || ")
+        // same 8-byte band key the Spark side shuffles on (md5Hash64:
+        // signed hi32 * 2^32 + lo32 — sign-correct, cannot overflow)
+        val hi = s"('0x' || substr(md5($str), 1, 8))::BIGINT"
+        s"($hi - CASE WHEN $hi >= 2147483648 THEN 4294967296 ELSE 0 END)" +
+          s" * 4294967296 + ('0x' || substr(md5($str), 9, 8))::BIGINT"
       }.map(k => s"SELECT doc_id, $k AS bk FROM sigs")
         .mkString("\n        UNION ALL ")
       s"""

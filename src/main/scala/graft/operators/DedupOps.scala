@@ -146,13 +146,14 @@ object DedupOps {
     // per document instead of 32 min() columns (graft.functions.MinHashAgg)
     val sigs = sh.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg.minhashSig(col("h"), nPerm).as("sig"))
-    // band key = the band index + its rowsPerBand signature slots
-    // rendered as one string (oracle-replicable; at 100 TB you'd hash
-    // this key down to 8 bytes to cut shuffle width — the bucket-join
-    // shape is identical either way)
+    // band key = md5-derived 64-bit hash of (band index + its
+    // rowsPerBand signature slots): the join/shuffle key is 8 bytes
+    // instead of a ~90-char string — at 100 TB the banded exchange is
+    // the widest shuffle in the pipeline, so key width is shuffle
+    // volume. md5 (not xxhash64) so the oracle replays it exactly.
     val bandCols = (0 until nBands).map { b =>
       val slots = (0 until rowsPerBand).map(r => s"sig[${b * rowsPerBand + r}]").mkString(", ")
-      expr(s"concat_ws(',', $b, $slots)").as(s"band$b")
+      md5Hash64(expr(s"concat_ws(',', $b, $slots)")).as(s"band$b")
     }
     val banded = sigs.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"), explode(array((0 until nBands).map(b => col(s"band$b")): _*)).as("bk"))
