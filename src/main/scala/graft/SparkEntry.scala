@@ -46,6 +46,13 @@ object SparkEntry {
     "q_null_handling" -> (Relational.qNullHandling _),
     "q_listagg" -> (Relational.qListAgg _),
     "q_pivot" -> (Relational.qPivot _),
+    // subquery surface (decorrelation: EXISTS/NOT IN/IN-agg/scalars/LATERAL)
+    "q_exists_lateship" -> (SubQueries.qExistsLateShip _),
+    "q_notin_urgent" -> (SubQueries.qNotInUrgent _),
+    "q_in_large_orders" -> (SubQueries.qInLargeOrders _),
+    "q_scalar_small_qty" -> (SubQueries.qScalarSmallQty _),
+    "q_scalar_idle_customers" -> (SubQueries.qScalarIdleCustomers _),
+    "q_lateral_top_supp" -> (SubQueries.qLateralTopSupp _),
     // dbt generic data tests as operators
     "t_unique" -> (Relational.tUnique _),
     "t_not_null" -> (Relational.tNotNull _),
@@ -251,6 +258,58 @@ object SparkEntry {
              CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_fulfilled,
              CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending
       FROM orders GROUP BY 1""",
+    "q_exists_lateship" -> """
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 100 DAY)
+      GROUP BY o_orderpriority""",
+    "q_notin_urgent" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_cust
+      FROM customer
+      WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment""",
+    "q_in_large_orders" -> """
+      SELECT c_name, o_orderkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 200)
+      GROUP BY c_name, o_orderkey""",
+    "q_scalar_small_qty" -> """
+      SELECT p_brand, COUNT(*) AS n_small,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE CAST(l_quantity AS BIGINT) * 5 *
+            (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+            < (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      GROUP BY p_brand""",
+    "q_scalar_idle_customers" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_cust,
+             CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+      FROM customer
+      WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) *
+            (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+            > (SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment""",
+    "q_lateral_top_supp" -> """
+      SELECT n_name, s_name,
+             CAST(ROUND(s_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM nation,
+      LATERAL (
+        SELECT s_name, s_acctbal FROM supplier
+        WHERE s_nationkey = n_nationkey
+        ORDER BY s_acctbal DESC, s_name LIMIT 2) t""",
     "t_unique" -> """
       SELECT l_orderkey AS value, COUNT(*) AS n FROM lineitem GROUP BY 1 HAVING COUNT(*) > 1""",
     "t_not_null" -> """

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Tables
+
+/** Subquery surface (TPC-H q4/q17/q18/q22 shapes adapted to the test
+  * schema): correlated EXISTS / NOT EXISTS, null-aware NOT IN, IN over
+  * an aggregated subquery, and correlated scalar subqueries.
+  *
+  * These run through `spark.sql` deliberately — the value under test is
+  * Catalyst's subquery decorrelation (reference: dbt delegates exactly
+  * this SQL to the warehouse, core/dbt/context/providers.py execute
+  * path): EXISTS becomes a left-semi join, NOT IN a null-aware anti
+  * join (BroadcastNestedLoopJoin only when nullability forces it),
+  * correlated scalars become an aggregate + equi-join. All shapes stay
+  * shuffle-bounded at 100 TB: every decorrelated join keys on the
+  * correlation column, so there is no nested-loop re-execution per
+  * outer row as in a naive interpreter.
+  *
+  * Numeric hygiene: money/average comparisons are integer-exact
+  * (cents × counts, never float AVG) so the DuckDB oracle hashes
+  * bit-for-bit — a float AVG boundary could flip a row between
+  * engines (see SparkEntry.oracleSql scaladoc).
+  */
+object SubQueries {
+  private def views(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
+
+  /** TPC-H q4 shape — correlated EXISTS: orders having at least one
+    * line item shipped more than 100 days after the order date.
+    * Plan: left-semi join on l_orderkey = o_orderkey with the date
+    * predicate as the residual condition; one shuffle pair.
+    */
+  def qExistsLateShip(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "orders", "lineitem")
+    s.sql("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 100 DAY)
+      GROUP BY o_orderpriority""")
+  }
+
+  /** Null-aware NOT IN: market-segment counts of customers with no
+    * urgent order. o_custkey is nullable in the catalog, so Catalyst
+    * must preserve three-valued NOT IN semantics (any NULL in the
+    * subquery empties the result) — planned as a null-aware anti join
+    * with the subquery side broadcast when small.
+    */
+  def qNotInUrgent(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "customer", "orders")
+    s.sql("""
+      SELECT c_mktsegment, COUNT(*) AS n_cust
+      FROM customer
+      WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment""")
+  }
+
+  /** TPC-H q18 shape — IN over an aggregated subquery: large orders
+    * (total quantity > 200) with customer detail. The IN subquery is
+    * itself a groupBy+HAVING; Catalyst plans it as an aggregate
+    * feeding a left-semi join on the group key.
+    */
+  def qInLargeOrders(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "customer", "orders", "lineitem")
+    s.sql("""
+      SELECT c_name, o_orderkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 200)
+      GROUP BY c_name, o_orderkey""")
+  }
+
+  /** TPC-H q17 shape — correlated scalar subqueries: per-brand count
+    * of line items whose quantity is below 20% of that part's average
+    * quantity. The average is compared in exact integer form
+    * (qty * 5 * count < sum) via TWO correlated scalars; Catalyst
+    * decorrelates both into one aggregate over lineitem joined on
+    * l_partkey, so lineitem is scanned twice, not once per outer row.
+    */
+  def qScalarSmallQty(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "part", "lineitem")
+    s.sql("""
+      SELECT p_brand, COUNT(*) AS n_small,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE CAST(l_quantity AS BIGINT) * 5 *
+            (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+            < (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      GROUP BY p_brand""")
+  }
+
+  /** TPC-H q22 shape — uncorrelated scalar subquery + NOT EXISTS:
+    * customers with above-average positive balance and no urgent
+    * orders. The global average is exact integer math (cents × count
+    * vs sum-of-cents); NOT EXISTS plans as a left-anti join on custkey.
+    */
+  def qScalarIdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "customer", "orders")
+    s.sql("""
+      SELECT c_mktsegment, COUNT(*) AS n_cust,
+             CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+      FROM customer
+      WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) *
+            (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+            > (SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment""")
+  }
+
+  /** LATERAL correlated subquery with LIMIT: each nation's two
+    * highest-balance suppliers. The per-group top-k via LATERAL is the
+    * SQL-standard spelling of what qWindowTop3 does with a window —
+    * Catalyst rewrites it to a window under DecorrelateInnerQuery, so
+    * the physical plan is the same single shuffle on the group key.
+    */
+  def qLateralTopSupp(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "nation", "supplier")
+    s.sql("""
+      SELECT n_name, s_name,
+             CAST(ROUND(s_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM nation,
+      LATERAL (
+        SELECT s_name, s_acctbal FROM supplier
+        WHERE s_nationkey = n_nationkey
+        ORDER BY s_acctbal DESC, s_name LIMIT 2)""")
+  }
+}

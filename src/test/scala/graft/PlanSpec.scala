@@ -238,4 +238,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val missingCol = good.copy(name = "c_miss", columns = Seq(ColumnInfo("id", dataType = Some("bigint"))))
     assertThrows[IllegalStateException](mat.table(missingCol, df)) // undeclared 'name'
   }
+
+  test("EXISTS decorrelates to a semi join, not per-row re-execution") {
+    val plan = physical(SubQueries.qExistsLateShip(spark, sf))
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(!plan.contains("InSubqueryExec"), "subquery should be joined, not re-executed")
+  }
+
+  test("NOT IN plans as a null-aware anti join with pushed subquery filter") {
+    val plan = physical(SubQueries.qNotInUrgent(spark, sf))
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    // the urgent-priority filter must reach the subquery-side scan
+    assert(plan.contains("EqualTo(o_orderpriority,1-URGENT)"), "filter not pushed")
+  }
+
+  test("correlated scalar subqueries decorrelate into aggregate joins") {
+    val plan = physical(SubQueries.qScalarSmallQty(spark, sf))
+    // both correlated scalars become aggregates joined on l_partkey —
+    // a surviving ScalarSubquery node would mean per-row re-execution
+    assert(!plan.contains("ScalarSubquery"), plan.take(2000))
+    assert(plan.contains("HashAggregate"), "decorrelated aggregate missing")
+  }
+
+  test("LATERAL ... LIMIT rewrites to a group-limited window, one shuffle") {
+    val plan = physical(SubQueries.qLateralTopSupp(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), "lateral must not plan as cartesian")
+  }
 }
