@@ -81,6 +81,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (DedupOps.dedupMinHashLsh _),
     "dedup_simhash" -> (DedupOps.dedupSimHash _),
     "dedup_simhash_pairs" -> (DedupOps.dedupSimHashPairs _),
+    "dedup_clusters" -> (GraphOps.dedupClusters _),
     "dedup_decontaminate" -> (CurateOps.dedupDecontaminate _),
     // corpus curation
     "txt_repetition" -> (CurateOps.txtRepetition _),
@@ -108,6 +109,34 @@ object SparkEntry {
     * bit-for-bit; every SUM is wrapped in CAST(... AS BIGINT) because
     * DuckDB's SUM(BIGINT) widens to HUGEINT.
     */
+  private val SimhashPairsSql = """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS t
+        FROM documents
+      ), h AS (
+        SELECT doc_id,
+               (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END) * 4294967296 + lo AS h
+        FROM (
+          SELECT doc_id,
+                 ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+                 ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+          FROM tok WHERE t <> '') x
+      ), bits AS (
+        SELECT doc_id, i, SUM(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+        FROM h, (SELECT unnest(range(0, 64)) AS i) r
+        GROUP BY 1, 2
+      ), sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN sgn > 0
+                 THEN CASE WHEN i = 63 THEN -9223372036854775807 - 1 ELSE 1::BIGINT << CAST(i AS INT) END
+                 ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
@@ -521,33 +550,27 @@ object SparkEntry {
                  THEN CASE WHEN i = 63 THEN -9223372036854775807 - 1 ELSE 1::BIGINT << CAST(i AS INT) END
                  ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id) s""",
-    "dedup_simhash_pairs" -> """
-      WITH tok AS (
-        SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS t
-        FROM documents
-      ), h AS (
-        SELECT doc_id,
-               (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END) * 4294967296 + lo AS h
-        FROM (
-          SELECT doc_id,
-                 ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
-                 ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
-          FROM tok WHERE t <> '') x
-      ), bits AS (
-        SELECT doc_id, i, SUM(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
-        FROM h, (SELECT unnest(range(0, 64)) AS i) r
-        GROUP BY 1, 2
-      ), sig AS (
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN sgn > 0
-                 THEN CASE WHEN i = 63 THEN -9223372036854775807 - 1 ELSE 1::BIGINT << CAST(i AS INT) END
-                 ELSE 0 END) AS BIGINT) AS simhash
-        FROM bits GROUP BY doc_id
+    "dedup_simhash_pairs" -> SimhashPairsSql,
+    // transitive closure of the simhash pair graph: DuckDB replays the
+    // distributed label propagation as a recursive CTE (min reachable
+    // doc_id == hash-to-min fixpoint, both are the component minimum)
+    "dedup_clusters" -> s"""
+      WITH RECURSIVE pairs AS ($SimhashPairsSql
+      ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ), reach(node, lab) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+      ), cl AS (
+        SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY 1
       )
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+      SELECT doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+             CAST(doc_id = cluster_id AS BIGINT) AS keep
+      FROM cl""",
     "txt_stats" -> """
       SELECT doc_id, LENGTH(text) AS n_chars_m,
              len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS n_tokens_ws,

@@ -104,4 +104,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .first().getInt(0)
     assert(d <= 12, s"hamming distance $d for a near-dup pair (J=${top.getDouble(2)})")
   }
+
+  test("connected components: chains close transitively, components stay apart") {
+    val ss = spark
+    import ss.implicits._
+    // 1-2-3-4 is one chain (diameter 3 — needs multiple propagation
+    // rounds), 10-11 a separate pair, 20-21-22 a triangle with a
+    // redundant edge; 30 never appears (singletons are not emitted)
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("src", "dst")
+    val got = GraphOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("dedup clusters: exactly one keeper per cluster, id = component min") {
+    val rows = GraphOps.dedupClusters(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min == cid, s"cluster $cid id is not its min doc")
+      assert(members.count(_.getLong(3) == 1L) == 1, s"cluster $cid keeper count != 1")
+      assert(members.forall(_.getLong(2) == members.length), s"cluster $cid size column wrong")
+    }
+  }
 }
