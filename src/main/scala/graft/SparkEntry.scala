@@ -91,6 +91,10 @@ object SparkEntry {
     "curate_pack_sequences" -> ((s, dir) => CurateOps.curatePackSequences(s, dir)),
     "curate_sample_stratified" -> ((s, dir) => CurateOps.curateSampleStratified(s, dir)),
     "txt_top_terms" -> (CurateOps.txtTopTerms _),
+    "curate_budget_select" -> ((s, dir) => CurateOps.curateBudgetSelect(s, dir)),
+    "curate_resample_lang" -> (CurateOps.curateResampleLang _),
+    "curate_corpus_shuffle" -> (CurateOps.curateCorpusShuffle _),
+    "emb_quantize" -> (CurateOps.embQuantize _),
     // similarity search
     "sim_topk" -> (SimilarityOps.simTopK _),
     "emb_neardup" -> (SimilarityOps.embNearDup _),
@@ -485,6 +489,46 @@ object SparkEntry {
              tok_before % 256 AS start_offset,
              (tok_before + GREATEST(n_tokens, 1) - 1) // 256 AS end_seq
       FROM cum""",
+    "curate_budget_select" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+      )
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 20000 AS BIGINT) AS selected
+      FROM toks""",
+    "curate_resample_lang" -> """
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
+             CASE WHEN lang = 'en' THEN 100 WHEN lang = 'zh' THEN 25 ELSE 50 END::BIGINT AS quota,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                  < CASE WHEN lang = 'en' THEN 100 WHEN lang = 'zh' THEN 25 ELSE 50 END AS BIGINT) AS kept
+      FROM documents""",
+    "curate_corpus_shuffle" -> """
+      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS hk,
+             CAST(ROW_NUMBER() OVER (ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 16), doc_id) - 1 AS BIGINT) AS rank
+      FROM documents""",
+    "emb_quantize" -> """
+      WITH m AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        FROM embeddings
+      ), q AS (
+        SELECT vec_id,
+               CAST(ROUND(maxabs * 1e9) AS BIGINT) AS scale_nano,
+               list_transform(embedding, x ->
+                 CAST(ROUND(CAST(x AS DOUBLE) * 127.0 / GREATEST(maxabs, 1e-30)) AS BIGINT)) AS qv
+        FROM m
+      )
+      SELECT vec_id, scale_nano,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm,
+             CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1,
+             CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+      FROM q""",
     "curate_sample_stratified" -> """
       SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk FROM (
         SELECT doc_id, lang,

@@ -209,6 +209,94 @@ object CurateOps {
       .select(col("doc_id"), col("term"), col("df"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Token-budget corpus selection: admit documents in (n_tokens desc,
+    * doc_id) order until the token budget fills — the greedy order that
+    * minimizes per-document overhead when packing fixed-length training
+    * sequences. The running total is the same DISTRIBUTED prefix sum as
+    * [[curatePackSequences]], re-keyed: range buckets on the ORDER key
+    * (negated token count), tiny bucket-prefix table broadcast back,
+    * window cumsum only within a bucket. No single-task global window
+    * at any corpus size.
+    */
+  def curateBudgetSelect(s: SparkSession, dir: String, budget: Long = 20000L): DataFrame = {
+    val toks = docs(s, dir).select(
+      col("doc_id"),
+      size(split(TextOps.normalized(col("text")), " ")).cast("long").as("n_tokens"))
+      // bucket on the order key so bucket order == global order
+      .withColumn("bk", expr("-(n_tokens div 64)"))
+    val prefixW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bk")).rowsBetween(Window.unboundedPreceding, -1)
+    val bucketPrefix = toks.groupBy(col("bk")).agg(sum(col("n_tokens")).as("bk_sum"))
+      .withColumn("bk_before", coalesce(sum(col("bk_sum")).over(prefixW), lit(0L)))
+      .select(col("bk"), col("bk_before"))
+    val inBucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bk")).orderBy(col("n_tokens").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(bucketPrefix), Seq("bk"))
+      .withColumn("tok_before",
+        col("bk_before") + coalesce(sum(col("n_tokens")).over(inBucketW), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("tok_before"),
+        (col("tok_before") < budget).cast("long").as("selected"))
+  }
+
+  /** Language-rebalancing resampler (domain/language reweighting à la
+    * Pile/RefinedWeb mixture tuning): per-language keep-quotas applied
+    * by deterministic md5 bucket — en kept whole, mid-resource halved,
+    * zh quartered. Pure projection + broadcast-sized CASE: zero
+    * shuffles, stable under corpus growth (a document's fate never
+    * depends on other rows).
+    */
+  def curateResampleLang(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("lang"),
+        (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)") % 100)
+          .as("bucket"))
+      .withColumn("quota",
+        when(col("lang") === "en", 100L).when(col("lang") === "zh", 25L).otherwise(50L))
+      .withColumn("kept", (col("bucket") < col("quota")).cast("long"))
+
+  /** Deterministic global training-order shuffle: rank every document
+    * by md5(doc_id) — uniform, seedable (concat a salt), reproducible
+    * across runs. The global rank is two-phase like the prefix sums
+    * above: 256 hash-prefix buckets whose counts form a broadcast
+    * exclusive prefix, then row_number only within a bucket. This is
+    * the scalable spelling of ORDER BY random() over 100 TB.
+    */
+  def curateCorpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    val hashed = docs(s, dir).select(col("doc_id"),
+      expr("substring(md5(cast(doc_id as string)), 1, 16)").as("hk"))
+      .withColumn("bk", expr("cast(conv(substring(hk, 1, 2), 16, 10) as bigint)"))
+    val prefixW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bk")).rowsBetween(Window.unboundedPreceding, -1)
+    val bucketPrefix = hashed.groupBy(col("bk")).agg(count(lit(1)).as("bk_n"))
+      .withColumn("bk_before", coalesce(sum(col("bk_n")).over(prefixW), lit(0L)))
+      .select(col("bk"), col("bk_before"))
+    val inBucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bk")).orderBy(col("hk"), col("doc_id"))
+    hashed.join(broadcast(bucketPrefix), Seq("bk"))
+      .withColumn("rank", col("bk_before") + row_number().over(inBucketW).cast("long") - 1L)
+      .select(col("doc_id"), col("hk"), col("rank"))
+  }
+
+  /** Symmetric int8 embedding quantization (the storage/serving format
+    * for trillion-scale ANN): per-vector scale = max|x|/127, elements
+    * rounded to [-127, 127]. Emits integer-exact audit stats (quantized
+    * norm, L1 mass, element count at saturation) plus the scale in
+    * nano-units — all BIGINT so the oracle hashes bit-for-bit without
+    * float tolerance. Row-parallel: zero shuffles.
+    */
+  def embQuantize(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        expr("cast(aggregate(embedding, cast(0 as double), (m, x) -> greatest(m, abs(cast(x as double)))) as double)").as("maxabs"),
+        col("embedding"))
+      .select(col("vec_id"),
+        expr("cast(round(maxabs * 1e9) as bigint)").as("scale_nano"),
+        // greatest(·, 1e-30) guards the all-zero vector (no-op otherwise)
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 127.0 / greatest(maxabs, 1e-30)) as bigint))").as("q"))
+      .select(col("vec_id"), col("scale_nano"),
+        expr("dot_i64(q, q)").as("qnorm"),
+        expr("cast(aggregate(q, cast(0 as bigint), (a, x) -> a + abs(x)) as bigint)").as("l1"),
+        expr("cast(size(filter(q, x -> abs(x) = 127)) as bigint)").as("n_sat"))
+
   /** Embedding clustering: assign every vector to its nearest of 8
     * deterministic centroids (the vectors with vec_id < 8) by cosine.
     * The centroid table is bounded by construction → broadcast join;

@@ -164,6 +164,53 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1.toSet == s2.toSet)
   }
 
+  test("budget_select: prefix property — selected docs dominate unselected") {
+    val rows = CurateOps.curateBudgetSelect(spark, sf, budget = 5000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.exists(_._4 == 1L) && rows.exists(_._4 == 0L), "budget should split the corpus")
+    // greedy order: every selected doc sorts before every unselected one
+    // in (n_tokens desc, doc_id), and tok_before is the exact prefix sum
+    val ordered = rows.sortBy { case (id, n, _, _) => (-n, id) }
+    var cum = 0L
+    ordered.foreach { case (id, n, before, sel) =>
+      assert(before == cum, s"doc $id prefix sum $before != $cum")
+      assert(sel == (if (cum < 5000L) 1L else 0L), s"doc $id selection flag")
+      cum += n
+    }
+  }
+
+  test("corpus_shuffle: rank is a permutation of 0..n-1 in hash order") {
+    val rows = CurateOps.curateCorpusShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq, "not a permutation")
+    val byRank = rows.sortBy(_._3).map(x => (x._2, x._1))
+    assert(byRank.toSeq == byRank.sortBy(identity).toSeq, "rank order != (hash, id) order")
+  }
+
+  test("resample_lang: quotas keep roughly the configured fraction per language") {
+    val rows = CurateOps.curateResampleLang(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(4)))
+    rows.foreach { case (lang, bucket, kept) =>
+      val quota = lang match { case "en" => 100L; case "zh" => 25L; case _ => 50L }
+      assert(kept == (if (bucket < quota) 1L else 0L))
+    }
+    val en = rows.filter(_._1 == "en"); val zh = rows.filter(_._1 == "zh")
+    assert(en.forall(_._3 == 1L), "en must be kept whole")
+    val zhFrac = zh.count(_._3 == 1L).toDouble / zh.length
+    assert(zhFrac > 0.05 && zhFrac < 0.5, s"zh kept fraction $zhFrac implausible for quota 25%")
+  }
+
+  test("emb_quantize: elements bounded by 127, max element saturates, scale positive") {
+    val rows = CurateOps.embQuantize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, "scale must be positive for nonzero vectors")
+      assert(r.getLong(4) >= 1, "the max-|x| element must land exactly on ±127")
+      // qnorm <= 64 * 127^2 (64-dim), l1 <= 64 * 127
+      assert(r.getLong(2) <= 64L * 127 * 127 && r.getLong(3) <= 64L * 127)
+    }
+  }
+
   test("top_terms: rarest-first ranking agrees with a driver-side recount") {
     val out = CurateOps.txtTopTerms(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
