@@ -175,6 +175,45 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Watermarked stream-stream interval join: every purchase matched to
+    * the same user's clicks in the preceding hour (last-touch
+    * attribution). BOTH sides carry watermarks and the join condition
+    * bounds event time in BOTH directions, so Spark can evict join
+    * state as watermarks advance — without the interval + watermark
+    * pair a stream-stream join buffers its inputs forever, which is the
+    * classic unbounded-state failure at production scale.
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts_t").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_t").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+  }
+
+  /** Streaming dedup on event_id bounded by the watermark:
+    * `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    * watermark passes the key's event time — the streaming analogue of
+    * the batch exact-dedup operator with O(watermark-window) state
+    * instead of O(stream history). Duplicates arriving later than the
+    * delay are the deliberate trade (at 100 TB/day, unbounded exact
+    * state is not an option; route late data to the batch dedup).
+    */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts_t", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
   /** Drive sessionization over available data, landing results in the
     * store (complete per-user rows each trigger → merge on user_id).
     */

@@ -102,4 +102,62 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("keeper") == batch.filter(col("doc_id") === 0)
       .first().getAs[Long]("keeper"))
   }
+
+  test("stream-stream interval join matches the batch join") {
+    val store = new RelationStore(spark, s"$work/wh4")
+    val joined = Streaming.clickPurchaseJoin(Streaming.eventStream(spark, s"$work/in"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$work/cp5")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (store.exists("attrib")) store.write(store.read("attrib").unionByName(batch), "attrib")
+        else store.write(batch, "attrib")
+      }
+      .start()
+    q.awaitTermination()
+    val streamed = store.read("attrib")
+
+    val ev = spark.read.parquet(s"$work/in")
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts_t").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_t").as("purchase_ts"), col("value"))
+    val batchJoin = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+    assert(streamed.count() > 0, "interval join should produce attributions on this data")
+    assert(streamed.count() == batchJoin.count())
+    assert(streamed.exceptAll(batchJoin).count() == 0)
+    assert(batchJoin.exceptAll(streamed).count() == 0)
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-window duplicate event ids") {
+    // land the events plus a duplicated slice of themselves
+    val in3 = s"$work/in3"
+    val ev = spark.read.parquet(s"$work/in")
+    ev.write.mode("overwrite").parquet(in3)
+    ev.filter(col("event_id") < 100).coalesce(1).write.mode("append").parquet(in3)
+
+    val store = new RelationStore(spark, s"$work/wh5")
+    val deduped = Streaming.dedupWithinWatermark(Streaming.eventStream(spark, in3))
+    val q = deduped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$work/cp6")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (store.exists("ev_dedup")) store.write(store.read("ev_dedup").unionByName(batch), "ev_dedup")
+        else store.write(batch, "ev_dedup")
+      }
+      .start()
+    q.awaitTermination()
+    val got = store.read("ev_dedup")
+    // every event id exactly once, despite the duplicated input slice
+    assert(got.count() == ev.count())
+    assert(got.groupBy("event_id").count().filter(col("count") > 1).isEmpty)
+  }
 }
