@@ -46,6 +46,8 @@ object SparkEntry {
     "q_null_handling" -> (Relational.qNullHandling _),
     "q_listagg" -> (Relational.qListAgg _),
     "q_pivot" -> (Relational.qPivot _),
+    "q_unpivot" -> (Relational.qUnpivot _),
+    "q_approx_sketch" -> (Relational.qApproxSketch _),
     // subquery surface (decorrelation: EXISTS/NOT IN/IN-agg/scalars/LATERAL)
     "q_exists_lateship" -> (SubQueries.qExistsLateShip _),
     "q_notin_urgent" -> (SubQueries.qNotInUrgent _),
@@ -291,6 +293,18 @@ object SparkEntry {
              CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_fulfilled,
              CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending
       FROM orders GROUP BY 1""",
+    "q_unpivot" -> """
+      WITH p AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_fulfilled,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending
+        FROM orders GROUP BY 1)
+      SELECT o_orderpriority, status, n FROM (
+        SELECT o_orderpriority, 'open' AS status, n_open AS n FROM p
+        UNION ALL SELECT o_orderpriority, 'fulfilled', n_fulfilled FROM p
+        UNION ALL SELECT o_orderpriority, 'pending', n_pending FROM p) u
+      WHERE n > 0""",
     "q_exists_lateship" -> """
       SELECT o_orderpriority, COUNT(*) AS order_count
       FROM orders

@@ -291,6 +291,31 @@ object Relational {
       .select(col("o_orderpriority"), col("O").cast("long").as("n_open"),
         col("F").cast("long").as("n_fulfilled"), col("P").cast("long").as("n_pending"))
 
+  /** UNPIVOT (wide → long): the inverse of [[qPivot]], via the codegen'd
+    * `stack` table generator — one narrow scan, no shuffle before the
+    * aggregate that follows in a real pipeline.
+    */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    qPivot(s, dir).select(col("o_orderpriority"),
+      expr("stack(3, 'open', n_open, 'fulfilled', n_fulfilled, 'pending', n_pending) AS (status, n)"))
+      .filter(col("n") > 0)
+
+  /** Approximate sketches next to their exact answers: HyperLogLog++
+    * distinct counts and an approximate median per return flag. At
+    * 100 TB the approx forms are the only affordable ones (mergeable
+    * fixed-size sketches, one map-side pass, no distinct shuffle);
+    * the exact columns exist so OpsSpec can bound the relative error.
+    * No DuckDB oracle — sketch values are implementation-defined.
+    */
+  def qApproxSketch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_p50_qty"),
+        expr("percentile(l_quantity, 0.5)").as("exact_p50_qty"))
+
   // ---- data-test operators (dbt generic tests as DataFrame ops) ----
 
   /** `unique` test: failing rows (keys occurring more than once). */

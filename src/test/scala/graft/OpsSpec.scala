@@ -105,6 +105,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d <= 12, s"hamming distance $d for a near-dup pair (J=${top.getDouble(2)})")
   }
 
+  test("approx sketches: HLL++ and approx-median stay within error bounds") {
+    Relational.qApproxSketch(spark, sf).collect().foreach { r =>
+      val (approxNd, exactNd) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approxNd - exactNd).toDouble / exactNd < 0.05,
+        s"${r.getString(0)}: HLL $approxNd vs exact $exactNd drifts > 5%")
+      val (approxP50, exactP50) = (r.getDouble(3), r.getDouble(4))
+      // quantity is 1..50 integral — accuracy 10000 must land within one step
+      assert(math.abs(approxP50 - exactP50) <= 1.0,
+        s"${r.getString(0)}: approx p50 $approxP50 vs exact $exactP50")
+    }
+  }
+
   test("connected components: chains close transitively, components stay apart") {
     val ss = spark
     import ss.implicits._
