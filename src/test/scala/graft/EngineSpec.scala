@@ -1038,4 +1038,78 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.size == 1)
     assert(r.head.failures.contains(3L), r.head)
   }
+
+  test("33 cross-run fingerprint dedup: incremental ledger survives batches") {
+    // the fingerprint-store pattern: an incremental model IS the dedup
+    // ledger — each run admits only fingerprints unseen in {{ this }},
+    // collapsing within-batch duplicates via GROUP BY. At 100 TB the
+    // NOT IN subquery is a shuffle anti-join against the stored ledger,
+    // and the incremental materialization keeps commits O(batch).
+    val d9 = Files.createTempDirectory("graft_fpdedup_proj")
+    def w9(rel: String, c: String): Unit = {
+      val p = d9.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    val docsIn = d9.resolve("docs_in").toString
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").cache()
+    // batch 1: docs 0..249 plus an in-batch duplicate of doc 0's text
+    val dup0 = all.filter("doc_id = 0").withColumn("doc_id",
+      org.apache.spark.sql.functions.lit(9001L))
+    all.filter("doc_id < 250").union(dup0).write.mode("overwrite").parquet(docsIn)
+
+    w9("dbt_project.yml", "name: fpdedup\n")
+    w9("models/sources.yml",
+      s"""version: 2
+         |sources:
+         |  - name: corpus
+         |    tables:
+         |      - name: docs
+         |        location: "$docsIn"
+         |""".stripMargin)
+    w9("models/docs_clean.sql",
+      """{{ config(materialized='incremental', incremental_strategy='append') }}
+        |SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_merged
+        |FROM {{ source('corpus', 'docs') }}
+        |{% if is_incremental() %}
+        |WHERE md5(text) NOT IN (SELECT fp FROM {{ this }})
+        |{% endif %}
+        |GROUP BY md5(text)""".stripMargin)
+    val st9 = new RelationStore(spark, d9.resolve("wh").toString)
+    def run(): Unit = {
+      val pr = ProjectLoader.resolveRefs(ProjectLoader.load(d9.toString))
+      val r = new Runner(spark, pr, st9,
+        RunOptions(cmd = "run", threads = 1,
+          targetDir = d9.resolve("target").toString)).execute()
+      assert(r.forall(_.status == "success"), r.mkString("\n"))
+    }
+    run()
+    assert(st9.read("docs_clean").count() == 250)
+    // the in-batch duplicate collapsed onto the original, not dropped
+    val merged = st9.read("docs_clean").filter("doc_id = 0").first()
+    assert(merged.getAs[Long]("n_merged") == 2L)
+
+    // batch 2 lands: docs 250..299, a cross-batch duplicate of doc 5,
+    // and two copies of one new text (in-batch duplicate)
+    val dup5 = all.filter("doc_id = 5").withColumn("doc_id",
+      org.apache.spark.sql.functions.lit(9002L))
+    val fresh260 = all.filter("doc_id = 260")
+    val dup260 = fresh260.withColumn("doc_id",
+      org.apache.spark.sql.functions.lit(9003L))
+    all.filter("doc_id >= 250 AND doc_id < 300").union(dup5).union(dup260)
+      .coalesce(1).write.mode("append").parquet(docsIn)
+    run()
+    val after = st9.read("docs_clean")
+    // 250 + 50 new texts; 9002 blocked by the ledger, 9003 collapsed
+    assert(after.count() == 300, s"got ${after.count()}")
+    assert(after.filter("doc_id >= 9000").isEmpty, "duplicate ids must never win")
+    assert(after.groupBy("fp").count().filter("count > 1").isEmpty, "ledger must stay unique")
+    // doc 260's row records the collapse; doc 5's row still shows batch-1 state
+    assert(after.filter("doc_id = 260").first().getAs[Long]("n_merged") == 2L)
+    assert(after.filter("doc_id = 5").first().getAs[Long]("n_merged") == 1L)
+
+    // idempotence: a third run with nothing new admits nothing
+    run()
+    assert(st9.read("docs_clean").count() == 300)
+    all.unpersist()
+  }
 }
