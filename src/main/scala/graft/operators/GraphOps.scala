@@ -32,8 +32,12 @@ object GraphOps {
     *    driver boolean per round, never a collect of labels.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list ONCE: without this every round's join
+    // re-executes the upstream pair-generation pipeline (for
+    // dedupClusters, the full SimHash banding) inside its own job
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     val nodes = sym.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("lab", col("node")).localCheckpoint()
     var iter = 0
