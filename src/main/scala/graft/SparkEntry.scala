@@ -67,6 +67,7 @@ object SparkEntry {
     "q_scd2" -> (Events.qScd2 _),
     "q_events_json" -> (Events.qEventsJson _),
     "q_skew_salted_agg" -> (ScaleOps.qSkewSaltedAgg _),
+    "q_skew_salted_join" -> (ScaleOps.qSkewSaltedJoin _),
     "q_asof_join" -> (Events.qAsofJoin _),
     "q_range_join" -> (Events.qRangeJoin _),
     // text analysis
@@ -406,6 +407,16 @@ object SparkEntry {
       SELECT event_type, COUNT(*) AS n,
              CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
       FROM events GROUP BY 1""",
+    "q_skew_salted_join" -> """
+      WITH d AS (
+        SELECT event_type,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS type_sum_cents,
+               COUNT(*) AS type_n
+        FROM events GROUP BY 1)
+      SELECT e.event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(CAST(ROUND(e.value*100) AS BIGINT) * d.type_n > d.type_sum_cents AS BIGINT)) AS BIGINT) AS n_above_avg
+      FROM events e JOIN d ON e.event_type = d.event_type
+      GROUP BY 1""",
     "q_asof_join" -> """
       WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events)
       SELECT a.user_id, a.event_id, a.us, b.us AS purchase_us, a.us - b.us AS lag_us

@@ -239,6 +239,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[IllegalStateException](mat.table(missingCol, df)) // undeclared 'name'
   }
 
+  test("salted join partitions on (key, salt), spreading hot keys") {
+    val plan = physical(ScaleOps.qSkewSaltedJoin(spark, sf))
+    // the join's exchange must include the salt column — that IS the
+    // skew fix; without it all rows of a hot key hit one reducer
+    assert(plan.contains("__salt") ||
+      plan.contains("BroadcastHashJoin"), // tiny dim at sf0.001 may broadcast
+      plan.take(2000))
+  }
+
   test("EXISTS decorrelates to a semi join, not per-row re-execution") {
     val plan = physical(SubQueries.qExistsLateShip(spark, sf))
     assert(plan.contains("LeftSemi"), plan.take(2000))
