@@ -38,6 +38,9 @@ object GraftSession {
     // signature scan into a full sort of every shingle row. 100k
     // groups × 256-byte buffers ≈ 25 MB/task: cheap insurance.
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "100000")
+    // engine Catalyst extensions (automatic range-join bucketing —
+    // inert until spark.graft.rangeJoin.binSize is set)
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.ui.enabled", "false")
 
   /** Local session with N threads (driver/test entry points). */

@@ -70,6 +70,7 @@ object SparkEntry {
     "q_skew_salted_join" -> (ScaleOps.qSkewSaltedJoin _),
     "q_asof_join" -> (Events.qAsofJoin _),
     "q_range_join" -> (Events.qRangeJoin _),
+    "q_range_join_auto" -> (Events.qRangeJoinAuto _),
     // text analysis
     "txt_stats" -> (TextOps.txtStats _),
     "txt_quality" -> (TextOps.txtQuality _),
@@ -407,6 +408,15 @@ object SparkEntry {
       SELECT event_type, COUNT(*) AS n,
              CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
       FROM events GROUP BY 1""",
+    "q_range_join_auto" -> """
+      WITH e AS (SELECT event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+      v AS (SELECT event_id AS view_id, us AS view_us FROM e WHERE event_type = 'view'),
+      c AS (SELECT event_id AS click_id, us AS click_us FROM e WHERE event_type = 'click')
+      SELECT COUNT(*) AS n_pairs,
+             COUNT(DISTINCT click_id) AS n_clicks,
+             COUNT(DISTINCT view_id) AS n_views,
+             CAST(SUM(click_us - view_us) AS BIGINT) AS sum_delta_us
+      FROM c JOIN v ON view_us <= click_us AND click_us - view_us <= 3600000000""",
     "q_skew_salted_join" -> """
       WITH d AS (
         SELECT event_type,

@@ -140,6 +140,30 @@ object Events {
         (col("click_us") - col("view_us")).as("delta_us"))
   }
 
+  /** The same interval join written NAIVELY (pure inequality, no
+    * manual bucketing) and fixed by the automatic range-join rewrite
+    * (plans/RangeJoinRewrite, enabled here via its bin-size conf): the
+    * optimizer turns the would-be BroadcastNestedLoopJoin into the
+    * bucketed equi-join that [[qRangeJoin]] builds by hand. Aggregated
+    * so the oracle compare is compact; RangeJoinRuleSpec proves the
+    * row-level rewrite equality and plan shape.
+    */
+  def qRangeJoinAuto(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set(graft.plans.RangeJoinRewrite.BinConf, "3600000000") // 1 h bins
+    val e = ev(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts_us").as("view_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts_us").as("click_us"))
+    clicks.join(views,
+        col("view_us") <= col("click_us") &&
+          col("click_us") - col("view_us") <= 3600000000L)
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("click_id")).as("n_clicks"),
+        countDistinct(col("view_id")).as("n_views"),
+        sum(col("click_us") - col("view_us")).as("sum_delta_us"))
+  }
+
   /** JSON extraction (the `props` column) + aggregation. */
   def qEventsJson(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
