@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{MinHashAgg, RollingMinHash}
+import graft.operators.GraphOps
+
+/** Generative properties for the custom Catalyst pieces and the
+  * iterative graph operator — randomized (seeded, deterministic)
+  * inputs where the fixed oracles can't reach: adversarial shapes,
+  * boundary lengths, duplicate-heavy multisets.
+  */
+class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+  var spark: SparkSession = _
+  override def beforeAll(): Unit = { spark = GraftSession.local(4) }
+
+  test("RollingMinHash.compute == naive per-window recompute (200 cases)") {
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 200).foreach { _ =>
+      val n = rnd.nextInt(64) // includes 0 (empty) and sub-window lengths
+      val bytes = Array.fill(n)(rnd.nextInt(256).toByte)
+      val k = 1 + rnd.nextInt(24)
+      def naiveWindow(off: Int, w: Int): Long = {
+        var h = 0L
+        (off until off + w).foreach(i => h = h * RollingMinHash.Base + (bytes(i) & 0xff))
+        h
+      }
+      val expect =
+        if (n == 0) 0L
+        else {
+          val w = math.min(k, n)
+          (0 to n - w).map(naiveWindow(_, w)).min
+        }
+      assert(RollingMinHash.compute(bytes, k) == expect,
+        s"n=$n k=$k bytes=${bytes.take(8).mkString(",")}…")
+    }
+  }
+
+  test("minhash signature is multiset-invariant (order + duplication, 100 cases)") {
+    // the affine-permutation signature formula (the one the DuckDB
+    // oracle replays): sig[p] = min over h of (h * A(p) + B(p))
+    def sig(hs: Seq[Long], nPerm: Int): Seq[Long] =
+      (0 until nPerm).map(p => hs.map(h => h * MinHashAgg.A(p) + MinHashAgg.B(p)).min)
+    val rnd = new scala.util.Random(4712L)
+    (1 to 100).foreach { _ =>
+      val hs = Seq.fill(1 + rnd.nextInt(50))(rnd.nextLong())
+      val shuffledWithDups = rnd.shuffle(hs ++ Seq.fill(rnd.nextInt(10))(hs(rnd.nextInt(hs.size))))
+      assert(sig(shuffledWithDups, 16) == sig(hs, 16))
+    }
+  }
+
+  test("connected components == driver union-find on random graphs") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(991L)
+    (1 to 6).foreach { _ =>
+      val n = 2 + rnd.nextInt(60)
+      val edges = Seq.fill(1 + rnd.nextInt(80))((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driver-side union-find ground truth
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expect = nodes.groupBy(find).flatMap { case (_, ns) =>
+          val m = ns.min; ns.map(_ -> m)
+        }.toMap
+        val got = GraphOps.connectedComponents(edges.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expect, s"n=$n edges=$edges")
+      }
+    }
+  }
+
+  test("long chains converge within the doubling bound") {
+    val ss = spark
+    import ss.implicits._
+    // a 400-hop path: diameter 400 — propagation alone would need 400
+    // rounds; pointer doubling closes it within the default maxIter
+    val chain = (0L until 400L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labs = GraphOps.connectedComponents(chain)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(labs.toSeq == Seq(0L))
+  }
+}
