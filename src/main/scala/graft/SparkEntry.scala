@@ -71,6 +71,7 @@ object SparkEntry {
     "q_asof_join" -> (Events.qAsofJoin _),
     "q_range_join" -> (Events.qRangeJoin _),
     "q_range_join_auto" -> (Events.qRangeJoinAuto _),
+    "q_funnel" -> (Events.qFunnel _),
     // text analysis
     "txt_stats" -> (TextOps.txtStats _),
     "txt_quality" -> (TextOps.txtQuality _),
@@ -408,6 +409,17 @@ object SparkEntry {
       SELECT event_type, COUNT(*) AS n,
              CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
       FROM events GROUP BY 1""",
+    "q_funnel" -> """
+      WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+      v AS (SELECT user_id, MIN(us) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, MIN(us) AS t_click FROM e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND us > t_view GROUP BY 1),
+      b AS (SELECT e.user_id, t_click, MIN(us) AS t_buy FROM e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND us > t_click GROUP BY 1, 2)
+      SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+             (SELECT COUNT(*) FROM c) AS n_click_users,
+             (SELECT COUNT(*) FROM b) AS n_buy_users,
+             (SELECT CAST(SUM(t_buy - t_click) AS BIGINT) FROM b) AS sum_buy_lag_us""",
     "q_range_join_auto" -> """
       WITH e AS (SELECT event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
       v AS (SELECT event_id AS view_id, us AS view_us FROM e WHERE event_type = 'view'),

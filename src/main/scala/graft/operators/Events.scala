@@ -164,6 +164,34 @@ object Events {
         sum(col("click_us") - col("view_us")).as("sum_delta_us"))
   }
 
+  /** Ordered conversion funnel (view → click → purchase): per user,
+    * the first view, the first click strictly after it, the first
+    * purchase strictly after that — then one global roll-up row.
+    * Every stage is a groupBy/join on user_id, so all three shuffles
+    * share one key (at scale: co-partitioned, and each stage's input
+    * is already the much smaller per-user table after stage one).
+    */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
+    val clicks = e.filter(col("event_type") === "click")
+      .join(views, Seq("user_id"))
+      .filter(col("ts_us") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"), first(col("t_view")).as("t_view"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter(col("ts_us") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_buy"), first(col("t_click")).as("t_click"))
+    views.select(lit(1).as("j"), col("user_id"))
+      .groupBy("j").agg(count(lit(1)).as("n_view_users"))
+      .join(clicks.select(lit(1).as("j"), col("user_id"))
+        .groupBy("j").agg(count(lit(1)).as("n_click_users")), Seq("j"))
+      .join(buys.select(lit(1).as("j"), (col("t_buy") - col("t_click")).as("lag"))
+        .groupBy("j").agg(count(lit(1)).as("n_buy_users"), sum(col("lag")).as("sum_buy_lag_us")), Seq("j"))
+      .drop("j")
+  }
+
   /** JSON extraction (the `props` column) + aggregation. */
   def qEventsJson(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
