@@ -278,4 +278,22 @@ class MaterializerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 1)
     assert(store.read("t_compact_flat").collect().map(_.toString).sorted.sameElements(before))
   }
+
+  test("failed commit leaves the previous version current and readable") {
+    store.write(df(Seq((1L, "a"), (2L, "b"))), "t_crash")
+    val v0 = store.currentPath("t_crash").get
+    // a validation failure mid-commit (constraint check, write fault)
+    // must leave the pointer on v0 and remove the staged version
+    intercept[RuntimeException] {
+      store.write(df(Seq((3L, "c"))), "t_crash",
+        validate = Some(_ => throw new RuntimeException("constraint violated")))
+    }
+    assert(store.currentPath("t_crash").get == v0, "pointer must still name v0")
+    assert(store.read("t_crash").count() == 2)
+    val staged = java.nio.file.Paths.get(v0).getParent.resolve("v1")
+    assert(!java.nio.file.Files.exists(staged), "failed staged version must be cleaned up")
+    // and the next successful commit proceeds normally
+    store.write(df(Seq((3L, "c"))), "t_crash")
+    assert(store.read("t_crash").count() == 1)
+  }
 }
