@@ -419,7 +419,7 @@ object SparkEntry {
       SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
              (SELECT COUNT(*) FROM c) AS n_click_users,
              (SELECT COUNT(*) FROM b) AS n_buy_users,
-             (SELECT CAST(SUM(t_buy - t_click) AS BIGINT) FROM b) AS sum_buy_lag_us""",
+             (SELECT CAST(COALESCE(SUM(t_buy - t_click), 0) AS BIGINT) FROM b) AS sum_buy_lag_us""",
     "q_range_join_auto" -> """
       WITH e AS (SELECT event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
       v AS (SELECT event_id AS view_id, us AS view_us FROM e WHERE event_type = 'view'),

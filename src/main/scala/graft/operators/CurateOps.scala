@@ -132,6 +132,33 @@ object CurateOps {
       .withColumn("split",
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
 
+  /** Distributed exclusive prefix sum over a global ordering — the
+    * scalable spelling of `SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)`, which Spark would otherwise execute
+    * as a single-task window over the whole table.
+    *
+    * Phases: (1) partial sum per range bucket, (2) exclusive prefix
+    * over the tiny bucket table (the only global window — bucket-count
+    * rows), broadcast back, (3) within-bucket window cumsum, parallel
+    * across buckets. CALLER CONTRACT: ascending `bucket` order must
+    * agree with the global `order` (bucket on the leading order key).
+    */
+  private def prefixSum(df: DataFrame, bucket: Column, order: Seq[Column],
+      value: Column, out: String): DataFrame = {
+    val withBk = df.withColumn("__bk", bucket).withColumn("__v", value)
+    val prefixW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__bk")).rowsBetween(Window.unboundedPreceding, -1)
+    val bucketPrefix = withBk.groupBy(col("__bk")).agg(sum(col("__v")).as("__bksum"))
+      .withColumn("__bkbefore", coalesce(sum(col("__bksum")).over(prefixW), lit(0L)))
+      .select(col("__bk"), col("__bkbefore"))
+    val inBucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bk")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withBk.join(broadcast(bucketPrefix), Seq("__bk"))
+      .withColumn(out, col("__bkbefore") + coalesce(sum(col("__v")).over(inBucketW), lit(0L)))
+      .drop("__bk", "__v", "__bkbefore")
+  }
+
   /** Concat-then-chunk sequence packing (the GPT-style pretraining
     * layout: concatenate the token stream in doc_id order, cut every
     * `block` tokens). Emits, per document, its token count and where
@@ -147,26 +174,12 @@ object CurateOps {
     * key funnels 100 TB through one task).
     */
   def curatePackSequences(s: SparkSession, dir: String, block: Int = 256): DataFrame = {
-    val bucketSpan = 100L // doc_ids per range bucket
     val toks = docs(s, dir).select(
       col("doc_id"),
-      size(split(TextOps.normalized(col("text")), " ")).cast("long").as("n_tokens"),
-      // integer division — a double `/` would lose exactness past 2^53
-      expr(s"doc_id div $bucketSpan").as("bk"))
-    // phase 1: partial sum per range bucket; phase 2: exclusive prefix
-    // over the (tiny) bucket table — broadcast back
-    val prefixW = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bk")).rowsBetween(Window.unboundedPreceding, -1)
-    val bucketPrefix = toks.groupBy(col("bk")).agg(sum(col("n_tokens")).as("bk_sum"))
-      .withColumn("bk_before", coalesce(sum(col("bk_sum")).over(prefixW), lit(0L)))
-      .select(col("bk"), col("bk_before"))
-    // phase 3: within-bucket running sum (parallel across buckets)
-    val inBucketW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bk")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    toks.join(broadcast(bucketPrefix), Seq("bk"))
-      .withColumn("tok_before",
-        col("bk_before") + coalesce(sum(col("n_tokens")).over(inBucketW), lit(0L)))
+      size(split(TextOps.normalized(col("text")), " ")).cast("long").as("n_tokens"))
+    // integer division — a double `/` would lose exactness past 2^53
+    prefixSum(toks, expr("doc_id div 100L"), Seq(col("doc_id")),
+        col("n_tokens"), "tok_before")
       .select(col("doc_id"), col("n_tokens"), col("tok_before"),
         expr(s"tok_before div $block").as("start_seq"),
         pmod(col("tok_before"), lit(block.toLong)).as("start_offset"),
@@ -222,19 +235,9 @@ object CurateOps {
     val toks = docs(s, dir).select(
       col("doc_id"),
       size(split(TextOps.normalized(col("text")), " ")).cast("long").as("n_tokens"))
-      // bucket on the order key so bucket order == global order
-      .withColumn("bk", expr("-(n_tokens div 64)"))
-    val prefixW = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bk")).rowsBetween(Window.unboundedPreceding, -1)
-    val bucketPrefix = toks.groupBy(col("bk")).agg(sum(col("n_tokens")).as("bk_sum"))
-      .withColumn("bk_before", coalesce(sum(col("bk_sum")).over(prefixW), lit(0L)))
-      .select(col("bk"), col("bk_before"))
-    val inBucketW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bk")).orderBy(col("n_tokens").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    toks.join(broadcast(bucketPrefix), Seq("bk"))
-      .withColumn("tok_before",
-        col("bk_before") + coalesce(sum(col("n_tokens")).over(inBucketW), lit(0L)))
+    // bucket on the (negated) order key so bucket order == global order
+    prefixSum(toks, expr("-(n_tokens div 64)"),
+        Seq(col("n_tokens").desc, col("doc_id")), col("n_tokens"), "tok_before")
       .select(col("doc_id"), col("n_tokens"), col("tok_before"),
         (col("tok_before") < budget).cast("long").as("selected"))
   }
@@ -264,16 +267,9 @@ object CurateOps {
   def curateCorpusShuffle(s: SparkSession, dir: String): DataFrame = {
     val hashed = docs(s, dir).select(col("doc_id"),
       expr("substring(md5(cast(doc_id as string)), 1, 16)").as("hk"))
-      .withColumn("bk", expr("cast(conv(substring(hk, 1, 2), 16, 10) as bigint)"))
-    val prefixW = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bk")).rowsBetween(Window.unboundedPreceding, -1)
-    val bucketPrefix = hashed.groupBy(col("bk")).agg(count(lit(1)).as("bk_n"))
-      .withColumn("bk_before", coalesce(sum(col("bk_n")).over(prefixW), lit(0L)))
-      .select(col("bk"), col("bk_before"))
-    val inBucketW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bk")).orderBy(col("hk"), col("doc_id"))
-    hashed.join(broadcast(bucketPrefix), Seq("bk"))
-      .withColumn("rank", col("bk_before") + row_number().over(inBucketW).cast("long") - 1L)
+    // exclusive prefix COUNT (value = 1) over hash order == 0-based rank
+    prefixSum(hashed, expr("cast(conv(substring(hk, 1, 2), 16, 10) as bigint)"),
+        Seq(col("hk"), col("doc_id")), lit(1L), "rank")
       .select(col("doc_id"), col("hk"), col("rank"))
   }
 

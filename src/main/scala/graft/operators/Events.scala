@@ -178,18 +178,18 @@ object Events {
     val clicks = e.filter(col("event_type") === "click")
       .join(views, Seq("user_id"))
       .filter(col("ts_us") > col("t_view"))
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"), first(col("t_view")).as("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
     val buys = e.filter(col("event_type") === "purchase")
       .join(clicks, Seq("user_id"))
       .filter(col("ts_us") > col("t_click"))
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_buy"), first(col("t_click")).as("t_click"))
-    views.select(lit(1).as("j"), col("user_id"))
-      .groupBy("j").agg(count(lit(1)).as("n_view_users"))
-      .join(clicks.select(lit(1).as("j"), col("user_id"))
-        .groupBy("j").agg(count(lit(1)).as("n_click_users")), Seq("j"))
-      .join(buys.select(lit(1).as("j"), (col("t_buy") - col("t_click")).as("lag"))
-        .groupBy("j").agg(count(lit(1)).as("n_buy_users"), sum(col("lag")).as("sum_buy_lag_us")), Seq("j"))
-      .drop("j")
+    // global aggregates (no grouping) so an empty stage still yields
+    // the one roll-up row with zero counts, matching the oracle's
+    // scalar subqueries; the cross joins multiply three 1-row inputs
+    views.agg(count(lit(1)).as("n_view_users"))
+      .crossJoin(clicks.agg(count(lit(1)).as("n_click_users")))
+      .crossJoin(buys.agg(count(lit(1)).as("n_buy_users"),
+        coalesce(sum(col("t_buy") - col("t_click")), lit(0L)).as("sum_buy_lag_us")))
   }
 
   /** JSON extraction (the `props` column) + aggregation. */

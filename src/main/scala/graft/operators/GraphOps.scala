@@ -46,11 +46,15 @@ object GraphOps {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // checkpointed before the doubling self-join: both join sides
+      // read it, so an unmaterialized plan would run the propagate
+      // join+aggregate twice per round
       val propagated = sym
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("lab"))
         .union(labels)
         .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint()
       // pointer doubling: lab := label(lab). Every lab IS a node id
       // (labels start as ids and min() keeps them in the id domain),
       // so the self-join always finds it.

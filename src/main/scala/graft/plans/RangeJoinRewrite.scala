@@ -35,7 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * never duplicate: each probe row has exactly ONE bucket. Bin size
   * only affects efficiency (explode fanout ≈ interval width / bin), so
   * it is user-set per workload: `spark.graft.rangeJoin.binSize` in the
-  * probe column's units; 0 (default) disables the rule.
+  * probe column's units; 0 (default) disables the rule. The conf is
+  * deliberately SESSION-scoped (the same interface Databricks'
+  * range-join bin size uses): set it for the interval-join workload,
+  * unset to fall back to nested-loop planning. Joins that already have
+  * a cross-side equi conjunct are never touched.
   *
   * The manual twin of this rewrite is Events.qRangeJoin (bucketed by
   * hand, oracle-checked); Databricks exposes the same idea as a range
@@ -46,7 +50,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   private val BucketName = "__rjb"
 
   def apply(plan: LogicalPlan): LogicalPlan = {
-    val bin = conf.getConfString(BinConf, "0").toLong
+    val raw = conf.getConfString(BinConf, "0").trim
+    val bin = raw.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"$BinConf must be a whole number of probe-column units, got '$raw'"))
     if (bin <= 0) plan
     else plan.transformUp {
       case j @ Join(_, _, Inner, Some(_), _) => rewrite(j, bin).getOrElse(j)

@@ -240,12 +240,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("salted join partitions on (key, salt), spreading hot keys") {
-    val plan = physical(ScaleOps.qSkewSaltedJoin(spark, sf))
-    // the join's exchange must include the salt column — that IS the
-    // skew fix; without it all rows of a hot key hit one reducer
-    assert(plan.contains("__salt") ||
-      plan.contains("BroadcastHashJoin"), // tiny dim at sf0.001 may broadcast
-      plan.take(2000))
+    // force a shuffle join: with broadcast on, the tiny dim side would
+    // broadcast and no salt-keyed exchange would exist to inspect
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = physical(ScaleOps.qSkewSaltedJoin(spark, sf))
+      // the join's EXCHANGE must partition on the salt column — that IS
+      // the skew fix; a plan that merely projects __salt but shuffles
+      // on event_type alone funnels each hot key through one reducer
+      assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(plan).isDefined,
+        plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("EXISTS decorrelates to a semi join, not per-row re-execution") {
