@@ -100,6 +100,7 @@ object SparkEntry {
     "curate_resample_lang" -> (CurateOps.curateResampleLang _),
     "curate_corpus_shuffle" -> (CurateOps.curateCorpusShuffle _),
     "emb_quantize" -> (CurateOps.embQuantize _),
+    "curate_pipeline_full" -> (CurateOps.curatePipelineFull _),
     // similarity search
     "sim_topk" -> (SimilarityOps.simTopK _),
     "emb_neardup" -> (SimilarityOps.embNearDup _),
@@ -576,6 +577,31 @@ object SparkEntry {
              CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1,
              CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
       FROM q""",
+    "curate_pipeline_full" -> """
+      WITH ded AS (
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+        FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp FROM documents) a
+      ), spl AS (
+        SELECT doc_id,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b FROM documents) x
+      ), lng AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                    < CASE WHEN lang = 'en' THEN 100 WHEN lang = 'zh' THEN 25 ELSE 50 END AS BIGINT) AS lang_kept
+        FROM documents
+      ), bud AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 20000 AS BIGINT) AS budget_selected
+        FROM (SELECT doc_id,
+                CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+              FROM documents) t
+      )
+      SELECT d.doc_id, d.is_canonical, s.split, l.lang, l.lang_kept, b.n_tokens, b.budget_selected,
+             CAST(d.is_canonical = 1 AND l.lang_kept = 1 AND b.budget_selected = 1 AS BIGINT) AS admitted
+      FROM ded d JOIN spl s USING (doc_id) JOIN lng l USING (doc_id) JOIN bud b USING (doc_id)""",
     "curate_sample_stratified" -> """
       SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk FROM (
         SELECT doc_id, lang,

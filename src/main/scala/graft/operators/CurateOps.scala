@@ -293,6 +293,27 @@ object CurateOps {
         expr("cast(aggregate(q, cast(0 as bigint), (a, x) -> a + abs(x)) as bigint)").as("l1"),
         expr("cast(size(filter(q, x -> abs(x) = 127)) as bigint)").as("n_sat"))
 
+  /** Capstone: the full curation decision table — one row per document
+    * with every pipeline verdict joined on doc_id: exact-dedup
+    * canonicality, hash split, language quota, token-budget admission,
+    * and the final AND. At 100 TB all four inputs shuffle on the same
+    * key (or are shuffle-free projections), so the joins co-partition;
+    * this is the table a training run actually consumes.
+    */
+  def curatePipelineFull(s: SparkSession, dir: String): DataFrame = {
+    val dedup = DedupOps.dedupExact(s, dir)
+      .select(col("doc_id"), col("keep").as("is_canonical"))
+    val split = splitAssign(s, dir).select(col("doc_id"), col("split"))
+    val lang = curateResampleLang(s, dir)
+      .select(col("doc_id"), col("lang"), col("kept").as("lang_kept"))
+    val budget = curateBudgetSelect(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("selected").as("budget_selected"))
+    dedup.join(split, Seq("doc_id")).join(lang, Seq("doc_id")).join(budget, Seq("doc_id"))
+      .withColumn("admitted",
+        (col("is_canonical") === 1 && col("lang_kept") === 1 && col("budget_selected") === 1)
+          .cast("long"))
+  }
+
   /** Embedding clustering: assign every vector to its nearest of 8
     * deterministic centroids (the vectors with vec_id < 8) by cosine.
     * The centroid table is bounded by construction → broadcast join;
