@@ -214,6 +214,19 @@ object Streaming {
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"))
 
+  /** Stream-static enrichment: the event stream joined to a bounded
+    * static dimension (user tiers) via broadcast — no stream state at
+    * all, the static side re-reads per micro-batch. This is the
+    * workhorse production shape (enrich a firehose against reference
+    * data); at scale the only constraint is that the dim broadcasts,
+    * which is the same bound the batch engine's dimension joins obey.
+    */
+  def enrichWithDim(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"))
+      .groupBy(col("tier"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+
   /** Drive sessionization over available data, landing results in the
     * store (complete per-user rows each trigger → merge on user_id).
     */

@@ -136,6 +136,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batchJoin.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-static broadcast enrichment matches the batch join") {
+    val ev = spark.read.parquet(s"$work/in")
+    // bounded static dimension: deterministic user tiers
+    val dim = ev.select(col("user_id")).distinct()
+      .withColumn("tier", (pmod(col("user_id"), lit(3))).cast("int"))
+    val store = new RelationStore(spark, s"$work/wh6")
+    val enriched = Streaming.enrichWithDim(Streaming.eventStream(spark, s"$work/in"), dim)
+    val q = enriched.writeStream
+      .outputMode("complete") // unwatermarked aggregate → full result per trigger
+      .option("checkpointLocation", s"$work/cp7")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        store.write(batch, "enriched")
+      }
+      .start()
+    q.awaitTermination()
+    val streamed = store.read("enriched")
+    val batchSide = ev.join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("tier"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+    assert(streamed.count() == batchSide.count())
+    assert(streamed.exceptAll(batchSide).count() == 0)
+    assert(batchSide.exceptAll(streamed).count() == 0)
+  }
+
   test("dropDuplicatesWithinWatermark removes in-window duplicate event ids") {
     // land the events plus a duplicated slice of themselves
     val in3 = s"$work/in3"
