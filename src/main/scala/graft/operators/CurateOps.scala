@@ -301,14 +301,32 @@ object CurateOps {
     * this is the table a training run actually consumes.
     */
   def curatePipelineFull(s: SparkSession, dir: String): DataFrame = {
-    val dedup = DedupOps.dedupExact(s, dir)
-      .select(col("doc_id"), col("keep").as("is_canonical"))
-    val split = splitAssign(s, dir).select(col("doc_id"), col("split"))
-    val lang = curateResampleLang(s, dir)
-      .select(col("doc_id"), col("lang"), col("kept").as("lang_kept"))
-    val budget = curateBudgetSelect(s, dir)
-      .select(col("doc_id"), col("n_tokens"), col("selected").as("budget_selected"))
-    dedup.join(split, Seq("doc_id")).join(lang, Seq("doc_id")).join(budget, Seq("doc_id"))
+    // ONE corpus scan computes every row-parallel feature, then the two
+    // verdicts that need cross-row context stack on top: the dedup
+    // window (one shuffle on fp) and the budget prefix sum (one bucket
+    // shuffle + broadcast). No self-joins — at 100 TB this reads the
+    // corpus once where running the four stages separately would scan
+    // it four times and join three times.
+    val base = docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      md5(TextOps.normalized(col("text"))).as("fp"),
+      size(split(TextOps.normalized(col("text")), " ")).cast("long").as("n_tokens"),
+      (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)") % 100)
+        .as("hb"))
+    val flat = base
+      .withColumn("split",
+        when(col("hb") < 80, "train").when(col("hb") < 90, "val").otherwise("test"))
+      .withColumn("lang_kept", (col("hb") <
+        when(col("lang") === "en", 100L).when(col("lang") === "zh", 25L).otherwise(50L))
+        .cast("long"))
+    val withDedup = flat.withColumn("is_canonical",
+      (col("doc_id") === min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp")))).cast("long"))
+    prefixSum(withDedup, expr("-(n_tokens div 64)"),
+        Seq(col("n_tokens").desc, col("doc_id")), col("n_tokens"), "tok_before")
+      .select(col("doc_id"), col("is_canonical"), col("split"), col("lang"),
+        col("lang_kept"), col("n_tokens"),
+        (col("tok_before") < 20000L).cast("long").as("budget_selected"))
       .withColumn("admitted",
         (col("is_canonical") === 1 && col("lang_kept") === 1 && col("budget_selected") === 1)
           .cast("long"))

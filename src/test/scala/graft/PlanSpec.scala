@@ -253,6 +253,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("curation capstone reads the corpus once, no self-joins") {
+    val plan = physical(CurateOps.curatePipelineFull(spark, sf))
+    // one main lineage + the prefix-sum's tiny bucket branch (fully
+    // partial-aggregated) — the old 4-stage join version scanned 8×
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"expected ≤2 corpus scans, got $scans\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "verdicts must stack on one lineage, not shuffle-join stage outputs")
+  }
+
   test("EXISTS decorrelates to a semi join, not per-row re-execution") {
     val plan = physical(SubQueries.qExistsLateShip(spark, sf))
     assert(plan.contains("LeftSemi"), plan.take(2000))
