@@ -260,6 +260,25 @@ object Main {
         }
         println(s"optimize complete: $rewritten partition(s) rewritten")
         0
+      case "vacuum" =>
+        // warehouse retention: reclaim old immutable version dirs
+        // (time-travel history) beyond --keep-last (default 2); the
+        // current version always survives. Mirrors lakehouse VACUUM.
+        val keepLast = flags.get("keep-last").map(_.toInt).getOrElse(2)
+        val stores = store +: project.manifest.nodes.values
+          .flatMap(_.config.schema).toSet.toSeq.map((cs: String) =>
+            materializer.storeForSchema(cs))
+        val wanted = flags.get("select").map(_.split(",").toSet)
+        var reclaimed = 0
+        for (st <- stores; rel <- st.list()
+            if !st.isView(rel)
+            if wanted.forall(_.contains(rel))) {
+          val n = st.vacuum(rel, keepLast)
+          if (n > 0) println(s"vacuum ${st.schema}.$rel: reclaimed $n version(s)")
+          reclaimed += n
+        }
+        println(s"vacuum complete: $reclaimed version(s) reclaimed")
+        0
       case "run-operation" =>
         // reference task/run_operation.py — execute a project macro (the
         // primary form: `run-operation my_macro --args k=v,...`) or an

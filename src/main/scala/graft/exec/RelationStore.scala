@@ -32,7 +32,13 @@ final class RelationStore(
       * bare name — set for non-default schemas so same-named relations
       * in different schemas don't collide in the flat temp-view space.
       */
-    val qualifyViews: Boolean = false) {
+    val qualifyViews: Boolean = false,
+    /** How many committed versions each table retains (≥ 1). Commits GC
+      * beyond this automatically; [[read]]`(name, Some(v))` time-travels
+      * within it and [[vacuum]] trims below it on demand. Production
+      * analogue: lakehouse table retention for time travel.
+      */
+    val retainVersions: Int = 2) {
   private def schemaDir: Path = Paths.get(root, schema)
   private def tableDir(name: String): Path = schemaDir.resolve(name)
   private def pointer(name: String): Path = tableDir(name).resolve("_current")
@@ -54,15 +60,29 @@ final class RelationStore(
   def currentPath(name: String): Option[String] =
     currentVersion(name).map(v => tableDir(name).resolve(s"v$v").toString)
 
-  def read(name: String): DataFrame = {
+  def read(name: String): DataFrame = read(name, None)
+
+  /** Read a table, optionally a PAST version (time travel). Versions
+    * are immutable commit directories, so reading an old one is just a
+    * scan of its path — the lakehouse time-travel model. Old versions
+    * live until [[vacuum]] reclaims them.
+    */
+  def read(name: String, asOfVersion: Option[Int]): DataFrame = {
     if (isView(name)) spark.sql(Files.readString(viewFile(name)))
-    else if (isBucketed(name))
+    else if (isBucketed(name) && asOfVersion.isEmpty)
       // the catalog relation carries the bucket spec; a raw path read
       // would lose it and joins would re-shuffle
       spark.table(ensureBucketedRegistered(name))
     else {
-      val p = currentPath(name).getOrElse(
-        throw new IllegalStateException(s"relation not found: $schema.$name"))
+      val p = asOfVersion match {
+        case Some(v) =>
+          val dir = tableDir(name).resolve(s"v$v")
+          if (!Files.exists(dir)) throw new IllegalStateException(
+            s"version $v of $schema.$name not found (have: ${versions(name).mkString(",")})")
+          dir.toString
+        case None => currentPath(name).getOrElse(
+          throw new IllegalStateException(s"relation not found: $schema.$name"))
+      }
       val df = spark.read.parquet(p)
       // restore the exact written schema (column order + types): a
       // partitioned layout re-infers partition-column types on read,
@@ -76,6 +96,33 @@ final class RelationStore(
           org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
       } else df
     }
+  }
+
+  /** All committed version numbers of a table, ascending. */
+  def versions(name: String): Seq[Int] =
+    if (!Files.exists(tableDir(name))) Nil
+    else {
+      val it = Files.list(tableDir(name)).iterator()
+      val vs = scala.collection.mutable.ArrayBuffer[Int]()
+      while (it.hasNext) {
+        val f = it.next().getFileName.toString
+        if (f.startsWith("v") && f.drop(1).forall(_.isDigit)) vs += f.drop(1).toInt
+      }
+      vs.toSeq.sorted
+    }
+
+  /** Retention: delete all version directories except the newest
+    * `keepLast` (the current pointer target always survives — keepLast
+    * is clamped to ≥ 1). Returns the number of versions reclaimed.
+    * Old versions pin disk linearly in commit count; a production
+    * deployment vacuums on a schedule exactly like lakehouse VACUUM.
+    */
+  def vacuum(name: String, keepLast: Int = 2): Int = {
+    val keep = math.max(1, keepLast)
+    val cur = currentVersion(name).getOrElse(return 0)
+    val candidates = versions(name).filter(_ != cur).sorted.reverse.drop(keep - 1)
+    candidates.foreach(v => deleteRecursively(tableDir(name).resolve(s"v$v")))
+    candidates.size
   }
 
   /** Write a new version and swap the pointer (the "commit").
@@ -441,9 +488,10 @@ final class RelationStore(
     Files.writeString(tmp, next.toString)
     Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // older versions are garbage; keep the previous one for time-travel-lite.
-    // hard links keep shared file data alive across version deletes.
-    val stale = (0 until next - 1).map(v => tableDir(name).resolve(s"v$v")).filter(Files.exists(_))
+    // versions beyond the retention window are garbage; hard links keep
+    // shared file data alive across version deletes.
+    val keep = math.max(1, retainVersions)
+    val stale = (0 to next - keep).map(v => tableDir(name).resolve(s"v$v")).filter(Files.exists(_))
     stale.foreach(deleteRecursively)
     registerView(name)
   }

@@ -279,6 +279,35 @@ class MaterializerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.read("t_compact_flat").collect().map(_.toString).sorted.sameElements(before))
   }
 
+  test("time travel reads past versions; vacuum reclaims beyond retention") {
+    // wide retention: commits keep history, vacuum trims on demand
+    val tt = new graft.exec.RelationStore(spark,
+      java.nio.file.Files.createTempDirectory("tt_wh").toString, retainVersions = 10)
+    tt.write(df(Seq((1L, "v0"))), "t_tt")
+    tt.write(df(Seq((1L, "v1"), (2L, "v1"))), "t_tt")
+    tt.write(df(Seq((1L, "v2"))), "t_tt")
+    assert(tt.versions("t_tt") == Seq(0, 1, 2))
+    assert(tt.read("t_tt", Some(0)).collect().map(_.getString(1)).toSeq == Seq("v0"))
+    assert(tt.read("t_tt", Some(1)).count() == 2)
+    assert(tt.read("t_tt").collect().map(_.getString(1)).toSeq == Seq("v2"))
+    // keepLast=1 → only the current version survives
+    assert(tt.vacuum("t_tt", keepLast = 1) == 2)
+    assert(tt.versions("t_tt") == Seq(2))
+    assert(tt.read("t_tt").count() == 1)
+    val err = intercept[IllegalStateException](tt.read("t_tt", Some(0)))
+    assert(err.getMessage.contains("version 0"))
+    // vacuum is idempotent and never touches the current version
+    assert(tt.vacuum("t_tt", keepLast = 1) == 0)
+  }
+
+  test("default retention keeps current + previous across commits") {
+    store.write(df(Seq((1L, "a"))), "t_ret")
+    store.write(df(Seq((1L, "b"))), "t_ret")
+    store.write(df(Seq((1L, "c"))), "t_ret")
+    assert(store.versions("t_ret") == Seq(1, 2))
+    assert(store.read("t_ret", Some(1)).collect().map(_.getString(1)).toSeq == Seq("b"))
+  }
+
   test("failed commit leaves the previous version current and readable") {
     store.write(df(Seq((1L, "a"), (2L, "b"))), "t_crash")
     val v0 = store.currentPath("t_crash").get
