@@ -126,7 +126,11 @@ final case class NodeConfig(
     // versions manifest.py VERSIONED_NODE_TYPES)
     group: Option[String] = None,
     access: Option[String] = None, // public | protected | private
-    version: Option[String] = None)
+    version: Option[String] = None,
+    /** Privilege → grantee roles (reference config.py grants; applied
+      * post-materialization, full desired state each run).
+      */
+    grants: Map[String, Seq[String]] = Map.empty)
 
 /** Declared column info (reference components.py:59 ColumnInfo). */
 final case class ColumnInfo(

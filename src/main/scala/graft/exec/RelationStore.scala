@@ -510,6 +510,33 @@ final class RelationStore(
     spark.catalog.dropTempView(sqlName(name))
   }
 
+  // ---- grants bookkeeping (reference: adapter apply_grants) ----
+
+  private def grantsFile(name: String): Path = schemaDir.resolve(s"$name.grants.json")
+
+  /** Record the FULL desired grant state for a relation (privilege →
+    * grantee roles). Each write replaces the previous state — the
+    * reference computes grant/revoke diffs against the warehouse; with
+    * the store as the warehouse, replacing the recorded state is the
+    * same semantics.
+    */
+  def writeGrants(name: String, grants: Map[String, Seq[String]]): Unit = {
+    Files.createDirectories(schemaDir)
+    val body = grants.toSeq.sortBy(_._1).map { case (priv, roles) =>
+      "\"" + priv + "\": [" + roles.map("\"" + _ + "\"").mkString(", ") + "]"
+    }.mkString("{", ", ", "}")
+    Files.writeString(grantsFile(name), body)
+  }
+
+  def grants(name: String): Map[String, Seq[String]] =
+    if (!Files.exists(grantsFile(name))) Map.empty
+    else {
+      val txt = Files.readString(grantsFile(name))
+      raw""""([^"]+)":\s*\[([^\]]*)\]""".r.findAllMatchIn(txt).map { m =>
+        m.group(1) -> raw""""([^"]+)"""".r.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
+      }.toMap
+    }
+
   // ---- materialized-view definition bookkeeping ----
 
   private def mvDefFile(name: String): Path = schemaDir.resolve(s"$name.mv.sql")

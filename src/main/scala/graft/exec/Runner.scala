@@ -217,6 +217,13 @@ final class Runner(
     node.config.preHook.foreach(h => spark.sql(renderHook(h)))
     val r = body
     node.config.postHook.foreach(h => spark.sql(renderHook(h)))
+    // grants apply AFTER the relation exists, full desired state each
+    // run (reference: standardize_grants_dict + apply_grants diff; in
+    // a single-engine deployment the ACL store is the warehouse dir,
+    // and the Spark-cluster analogue dispatches to the catalog's
+    // GRANT/REVOKE — the recorded state is the same either way)
+    if (node.config.grants.nonEmpty)
+      materializer.storeFor(node).writeGrants(materializer.relName(node), node.config.grants)
     r
   }
 

@@ -318,6 +318,19 @@ object ProjectLoader {
                 }
               case _ => false
             }
+            // yml-config grants merge UNDER any SQL-file config()
+            // (reference precedence: in-model config > schema yml)
+            val ymlGrants: Map[String, Seq[String]] = m.get("config") match {
+              case Some(cm: Map[String @unchecked, Any @unchecked]) =>
+                cm.get("grants") match {
+                  case Some(gm: Map[String @unchecked, Any @unchecked]) => gm.map {
+                    case (k, v: Seq[Any @unchecked]) => k.toString -> v.map(_.toString)
+                    case (k, v) => k.toString -> Seq(v.toString)
+                  }
+                  case _ => Map.empty
+                }
+              case _ => Map.empty
+            }
             nodes.get(modelId) match {
               case Some(mn: ModelNode) =>
                 nodes(modelId) = mn.copy(columns = declared,
@@ -326,7 +339,8 @@ object ProjectLoader {
                     contractEnforced = mn.config.contractEnforced || contractEnforced,
                     group = m.get("group").map(_.toString).orElse(mn.config.group),
                     access = m.get("access").map(_.toString).orElse(mn.config.access),
-                    version = m.get("latest_version").map(_.toString).orElse(mn.config.version)))
+                    version = m.get("latest_version").map(_.toString).orElse(mn.config.version),
+                    grants = if (mn.config.grants.nonEmpty) mn.config.grants else ymlGrants))
               case _ =>
             }
           }
@@ -692,7 +706,14 @@ object ProjectLoader {
       },
       group = str("group"),
       access = str("access"),
-      version = str("version"))
+      version = str("version"),
+      grants = cfg.get("grants") match {
+        case Some(m: Map[String @unchecked, Any @unchecked]) => m.map {
+          case (k, v: Seq[Any @unchecked]) => k.toString -> v.map(_.toString)
+          case (k, v) => k.toString -> Seq(v.toString)
+        }
+        case _ => Map.empty
+      })
   }
 
   def parseInstant(s: String): java.time.Instant = {

@@ -1039,6 +1039,46 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.head.failures.contains(3L), r.head)
   }
 
+  test("34 grants config records full desired state, replaced per run") {
+    val dg = Files.createTempDirectory("graft_grants_proj")
+    def wg(rel: String, c: String): Unit = {
+      val p = dg.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    wg("dbt_project.yml", "name: grants\n")
+    wg("models/reporting.sql", "{{ config(materialized='table') }}\nSELECT 1 AS k")
+    wg("models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: reporting
+        |    config:
+        |      grants:
+        |        select: ['analyst', 'bi_tool']
+        |        insert: ['loader']
+        |""".stripMargin)
+    val stg = new RelationStore(spark, dg.resolve("wh").toString)
+    def run(): Unit = {
+      val pr = ProjectLoader.resolveRefs(ProjectLoader.load(dg.toString))
+      val r = new Runner(spark, pr, stg,
+        RunOptions(cmd = "run", threads = 1,
+          targetDir = dg.resolve("target").toString)).execute()
+      assert(r.forall(_.status == "success"), r.mkString("\n"))
+    }
+    run()
+    assert(stg.grants("reporting") ==
+      Map("select" -> Seq("analyst", "bi_tool"), "insert" -> Seq("loader")))
+    // narrowing the config replaces the whole state (revoke semantics)
+    wg("models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: reporting
+        |    config:
+        |      grants:
+        |        select: ['analyst']
+        |""".stripMargin)
+    run()
+    assert(stg.grants("reporting") == Map("select" -> Seq("analyst")))
+  }
+
   test("33 cross-run fingerprint dedup: incremental ledger survives batches") {
     // the fingerprint-store pattern: an incremental model IS the dedup
     // ledger — each run admits only fingerprints unseen in {{ this }},
