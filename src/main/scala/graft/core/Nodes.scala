@@ -100,6 +100,14 @@ final case class NodeConfig(
     updatedAt: Option[String] = None,
     checkCols: Option[Seq[String]] = None, // None = "all"
     invalidateHardDeletes: Boolean = false,
+    /** Open rows carry this timestamp in valid_to instead of NULL
+      * (reference snapshot.py dbt_valid_to_current, dbt 1.9).
+      */
+    dbtValidToCurrent: Option[String] = None,
+    /** Rename the four snapshot meta columns (reference
+      * snapshot_meta_column_names, dbt 1.9); keys are the defaults.
+      */
+    snapshotMetaColumnNames: Map[String, String] = Map.empty,
     // test (reference config.py:172-181)
     severity: String = "error", // error|warn
     warnIf: String = "!= 0",

@@ -417,6 +417,17 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
     val ks = keyCols(node)
     val strategy = node.config.strategy.getOrElse("timestamp")
     val nowTs = lit(Timestamps.sql(now)).cast("timestamp")
+    // reference snapshot.py:31: renamed meta columns + the
+    // dbt_valid_to_current sentinel ("open rows carry 9999-12-31, not
+    // NULL" — BI tools can BETWEEN-filter without IFNULL)
+    val mn = node.config.snapshotMetaColumnNames
+    val vFrom = mn.getOrElse("dbt_valid_from", ValidFrom)
+    val vTo = mn.getOrElse("dbt_valid_to", ValidTo)
+    val cScdId = mn.getOrElse("dbt_scd_id", ScdId)
+    val cUpdAt = mn.getOrElse("dbt_updated_at", UpdatedAt)
+    val sentinel: Option[Column] =
+      node.config.dbtValidToCurrent.map(v => lit(v).cast("timestamp"))
+    val openValidTo: Column = sentinel.getOrElse(lit(null).cast("timestamp"))
 
     val updatedCol: Column = strategy match {
       case "timestamp" =>
@@ -430,18 +441,21 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
     def withMeta(src: DataFrame): DataFrame = {
       val scd = md5(concat_ws("|", (ks.map(col) :+ updatedCol.cast("string")): _*))
       src
-        .withColumn(ScdId, scd)
-        .withColumn(UpdatedAt, updatedCol)
-        .withColumn(ValidFrom, updatedCol)
-        .withColumn(ValidTo, lit(null).cast("timestamp"))
+        .withColumn(cScdId, scd)
+        .withColumn(cUpdAt, updatedCol)
+        .withColumn(vFrom, updatedCol)
+        .withColumn(vTo, openValidTo)
     }
 
     val st = storeFor(node)
     if (!st.exists(name)) { st.write(withMeta(df), name, node.config.partitionBy); return }
 
     val target = st.read(name)
-    val open = target.filter(col(ValidTo).isNull)
-    val closed = target.filter(col(ValidTo).isNotNull)
+    val isOpen = sentinel
+      .map(sn => col(vTo).isNull || col(vTo) === sn)
+      .getOrElse(col(vTo).isNull)
+    val open = target.filter(isOpen)
+    val closed = target.filter(!isOpen)
     val srcCols = df.columns.toSeq
 
     // pair open rows with their source row by key
@@ -450,14 +464,14 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
     val changeCond: Column = strategy match {
       case "timestamp" =>
         val ua = node.config.updatedAt.get
-        col(s"s.$ua").cast("timestamp") > col(s"t.$UpdatedAt")
+        col(s"s.$ua").cast("timestamp") > col(s"t.$cUpdAt")
       case "check" =>
         val cols = node.config.checkCols.getOrElse(srcCols.filterNot(ks.contains))
         cols.map(c => !(col(s"s.$c") <=> col(s"t.$c"))).reduce(_ || _)
     }
 
     val inSource = ks.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
-    val inTarget = col(s"t.$ScdId").isNotNull
+    val inTarget = col(s"t.$cScdId").isNotNull
 
     // 1. unchanged open rows stay open
     val unchanged = joined.filter(inTarget && inSource && !changeCond)
@@ -469,7 +483,7 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
     }
     val closedNow = joined.filter(inTarget && inSource && changeCond)
       .select(open.columns.map(c =>
-        (if (c == ValidTo) newValidFrom else col(s"t.$c")).as(c)): _*)
+        (if (c == vTo) newValidFrom else col(s"t.$c")).as(c)): _*)
     // 3. changed + brand-new keys: insert fresh open rows
     val inserts = withMeta(
       joined.filter(inSource && (!inTarget || changeCond))
@@ -477,7 +491,7 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
     // 4. hard deletes: open rows whose key vanished from the source
     val vanished = joined.filter(inTarget && !inSource)
       .select(open.columns.map(c =>
-        (if (c == ValidTo && node.config.invalidateHardDeletes) nowTs else col(s"t.$c")).as(c)): _*)
+        (if (c == vTo && node.config.invalidateHardDeletes) nowTs else col(s"t.$c")).as(c)): _*)
 
     val next = closed
       .unionByName(unchanged)

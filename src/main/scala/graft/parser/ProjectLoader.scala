@@ -686,6 +686,12 @@ object ProjectLoader {
         case _ => None
       },
       invalidateHardDeletes = cfg.get("invalidate_hard_deletes").contains(true),
+      dbtValidToCurrent = str("dbt_valid_to_current"),
+      snapshotMetaColumnNames = cfg.get("snapshot_meta_column_names") match {
+        case Some(m: Map[String @unchecked, Any @unchecked]) =>
+          m.map { case (k, v) => k.toString -> v.toString }
+        case _ => Map.empty
+      },
       severity = str("severity").getOrElse("error").toLowerCase,
       warnIf = str("warn_if").getOrElse("!= 0"),
       errorIf = str("error_if").getOrElse("!= 0"),

@@ -1039,6 +1039,54 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.head.failures.contains(3L), r.head)
   }
 
+  test("35 snapshot sentinel valid_to and renamed meta columns") {
+    val ds = Files.createTempDirectory("graft_snapmeta")
+    def ws(rel: String, c: String): Unit = {
+      val p = ds.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    ws("dbt_project.yml", "name: snapmeta\n")
+    ws("seeds/accounts.csv", "id,bal\n1,10\n2,20\n")
+    ws("snapshots/snaps.yml",
+      """snapshots:
+        |  - name: acct_meta_snap
+        |    relation: ref('accounts')
+        |    config:
+        |      strategy: check
+        |      unique_key: id
+        |      check_cols: all
+        |      dbt_valid_to_current: '9999-12-31 00:00:00'
+        |      snapshot_meta_column_names:
+        |        dbt_valid_from: effective_from
+        |        dbt_valid_to: effective_to
+        |""".stripMargin)
+    val sts = new RelationStore(spark, ds.resolve("wh").toString)
+    def run(cmd: String): Unit = {
+      val pr = ProjectLoader.resolveRefs(ProjectLoader.load(ds.toString))
+      val r = new Runner(spark, pr, sts,
+        RunOptions(cmd = cmd, threads = 1,
+          targetDir = ds.resolve("target").toString)).execute()
+      assert(r.forall(s => s.status == "success" || s.status == "pass"), r.mkString("\n"))
+    }
+    run("build")
+    val snap1 = sts.read("acct_meta_snap")
+    // renamed meta columns; default names absent
+    assert(snap1.columns.contains("effective_from") && snap1.columns.contains("effective_to"))
+    assert(!snap1.columns.contains("dbt_valid_from") && !snap1.columns.contains("dbt_valid_to"))
+    // open rows carry the sentinel, not NULL
+    import org.apache.spark.sql.functions.col
+    assert(snap1.filter(col("effective_to").isNull).count() == 0)
+    assert(snap1.filter(col("effective_to") === "9999-12-31 00:00:00").count() == 2)
+
+    // change one row: old row closes at a real timestamp, new opens at sentinel
+    ws("seeds/accounts.csv", "id,bal\n1,99\n2,20\n")
+    run("build")
+    val snap2 = sts.read("acct_meta_snap")
+    assert(snap2.count() == 3)
+    val closed = snap2.filter(col("effective_to") =!= "9999-12-31 00:00:00")
+    assert(closed.count() == 1 && closed.first().getAs[Any]("id").toString == "1")
+    assert(snap2.filter(col("effective_to") === "9999-12-31 00:00:00").count() == 2)
+  }
+
   test("34 grants config records full desired state, replaced per run") {
     val dg = Files.createTempDirectory("graft_grants_proj")
     def wg(rel: String, c: String): Unit = {
