@@ -76,6 +76,14 @@ object Main {
       project.manifest.nodes.values.flatMap(_.config.schema).toSet
         .foreach((cs: String) => materializer.storeForSchema(cs).attach())
     }
+
+    /** Every store the project writes (default + custom schemas), in a
+      * stable order — shared by docs-generate / optimize / vacuum.
+      */
+    def projectStores(): Seq[graft.exec.RelationStore] =
+      store +: project.manifest.nodes.values
+        .flatMap(_.config.schema).toSet.toSeq.sorted
+        .map((cs: String) => materializer.storeForSchema(cs))
     // --state points at a previous run's manifest.json; comparison is
     // doc-level (StateView) so config/description/contract drift is
     // visible even though the old run's NodeConfig is not reconstructed
@@ -198,10 +206,7 @@ object Main {
       case "docs-generate" =>
         Sources.registerAll(spark, project.manifest, project.vars ++ cliVars)
         attachAll()
-        val customStores = project.manifest.nodes.values
-          .flatMap(_.config.schema).toSet.toSeq.sorted
-          .map((cs: String) => materializer.storeForSchema(cs))
-        val rels = (store +: customStores).flatMap(st =>
+        val rels = projectStores().flatMap(st =>
           st.list().map(n => st.sqlName(n) -> st.read(n)))
         Artifacts.writeCatalog(targetDir, rels)
         Artifacts.writeManifest(targetDir, project.manifest)
@@ -246,9 +251,7 @@ object Main {
         // schema the project writes. `--target-file-mb` tunes the goal.
         val targetBytes =
           flags.get("target-file-mb").map(_.toLong << 20).getOrElse(128L << 20)
-        val stores = store +: project.manifest.nodes.values
-          .flatMap(_.config.schema).toSet.toSeq.map((cs: String) =>
-            materializer.storeForSchema(cs))
+        val stores = projectStores()
         val wanted = flags.get("select").map(_.split(",").toSet)
         var rewritten = 0
         for (st <- stores; rel <- st.list()
@@ -265,9 +268,7 @@ object Main {
         // (time-travel history) beyond --keep-last (default 2); the
         // current version always survives. Mirrors lakehouse VACUUM.
         val keepLast = flags.get("keep-last").map(_.toInt).getOrElse(2)
-        val stores = store +: project.manifest.nodes.values
-          .flatMap(_.config.schema).toSet.toSeq.map((cs: String) =>
-            materializer.storeForSchema(cs))
+        val stores = projectStores()
         val wanted = flags.get("select").map(_.split(",").toSet)
         var reclaimed = 0
         for (st <- stores; rel <- st.list()

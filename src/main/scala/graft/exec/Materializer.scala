@@ -37,7 +37,8 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
 
   def storeForSchema(customSchema: String): RelationStore = schemaStores.synchronized {
     schemaStores.getOrElseUpdate(customSchema,
-      new RelationStore(spark, store.root, s"${store.schema}_$customSchema", qualifyViews = true))
+      new RelationStore(spark, store.root, s"${store.schema}_$customSchema",
+        qualifyViews = true, retainVersions = store.retainVersions))
   }
 
   /** The node's SQL-addressable relation name (schema-qualified alias). */
@@ -425,6 +426,12 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
     val vTo = mn.getOrElse("dbt_valid_to", ValidTo)
     val cScdId = mn.getOrElse("dbt_scd_id", ScdId)
     val cUpdAt = mn.getOrElse("dbt_updated_at", UpdatedAt)
+    val metaCols = Seq(vFrom, vTo, cScdId, cUpdAt)
+    require(metaCols.distinct.size == 4,
+      s"${node.name}: snapshot meta column names must be distinct, got $metaCols")
+    val clash = metaCols.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"${node.name}: snapshot meta column name(s) ${clash.mkString(", ")} collide with source columns")
     val sentinel: Option[Column] =
       node.config.dbtValidToCurrent.map(v => lit(v).cast("timestamp"))
     val openValidTo: Column = sentinel.getOrElse(lit(null).cast("timestamp"))

@@ -68,7 +68,12 @@ final class RelationStore(
     * live until [[vacuum]] reclaims them.
     */
   def read(name: String, asOfVersion: Option[Int]): DataFrame = {
-    if (isView(name)) spark.sql(Files.readString(viewFile(name)))
+    if (isView(name)) {
+      // a view has no versioned storage — silently returning current
+      // data labeled as a past version would be wrong
+      require(asOfVersion.isEmpty, s"$schema.$name is a view; views have no version history")
+      spark.sql(Files.readString(viewFile(name)))
+    }
     else if (isBucketed(name) && asOfVersion.isEmpty)
       // the catalog relation carries the bucket spec; a raw path read
       // would lose it and joins would re-shuffle
@@ -76,9 +81,12 @@ final class RelationStore(
     else {
       val p = asOfVersion match {
         case Some(v) =>
+          val cur = currentVersion(name).getOrElse(-1)
           val dir = tableDir(name).resolve(s"v$v")
-          if (!Files.exists(dir)) throw new IllegalStateException(
-            s"version $v of $schema.$name not found (have: ${versions(name).mkString(",")})")
+          // v > cur means a torn directory from a crashed write, never
+          // a committed version — reading it would scan partial files
+          if (v > cur || !Files.exists(dir)) throw new IllegalStateException(
+            s"version $v of $schema.$name not found (have: ${versions(name).filter(_ <= cur).mkString(",")})")
           dir.toString
         case None => currentPath(name).getOrElse(
           throw new IllegalStateException(s"relation not found: $schema.$name"))
@@ -120,7 +128,11 @@ final class RelationStore(
   def vacuum(name: String, keepLast: Int = 2): Int = {
     val keep = math.max(1, keepLast)
     val cur = currentVersion(name).getOrElse(return 0)
-    val candidates = versions(name).filter(_ != cur).sorted.reverse.drop(keep - 1)
+    // anything above the pointer is a torn directory from a crashed
+    // write — always garbage; retention counts committed versions only
+    val torn = versions(name).filter(_ > cur)
+    val stale = versions(name).filter(v => v != cur && v <= cur).sorted.reverse.drop(keep - 1)
+    val candidates = torn ++ stale
     candidates.foreach(v => deleteRecursively(tableDir(name).resolve(s"v$v")))
     candidates.size
   }
@@ -507,6 +519,7 @@ final class RelationStore(
     if (Files.exists(tableDir(name))) deleteRecursively(tableDir(name))
     Files.deleteIfExists(viewFile(name))
     Files.deleteIfExists(mvDefFile(name))
+    Files.deleteIfExists(grantsFile(name))
     spark.catalog.dropTempView(sqlName(name))
   }
 
@@ -520,21 +533,23 @@ final class RelationStore(
     * the store as the warehouse, replacing the recorded state is the
     * same semantics.
     */
-  def writeGrants(name: String, grants: Map[String, Seq[String]]): Unit = {
-    Files.createDirectories(schemaDir)
-    val body = grants.toSeq.sortBy(_._1).map { case (priv, roles) =>
-      "\"" + priv + "\": [" + roles.map("\"" + _ + "\"").mkString(", ") + "]"
-    }.mkString("{", ", ", "}")
-    Files.writeString(grantsFile(name), body)
-  }
+  def writeGrants(name: String, grants: Map[String, Seq[String]]): Unit =
+    if (grants.isEmpty) Files.deleteIfExists(grantsFile(name))
+    else {
+      Files.createDirectories(schemaDir)
+      Files.writeString(grantsFile(name),
+        graft.artifacts.Json.write(
+          scala.collection.immutable.SortedMap.from(grants)))
+    }
 
   def grants(name: String): Map[String, Seq[String]] =
     if (!Files.exists(grantsFile(name))) Map.empty
-    else {
-      val txt = Files.readString(grantsFile(name))
-      raw""""([^"]+)":\s*\[([^\]]*)\]""".r.findAllMatchIn(txt).map { m =>
-        m.group(1) -> raw""""([^"]+)"""".r.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
-      }.toMap
+    else graft.artifacts.Json.parse(Files.readString(grantsFile(name))) match {
+      case m: Map[String @unchecked, Any @unchecked] => m.map {
+        case (k, v: Seq[Any @unchecked]) => k -> v.map(_.toString)
+        case (k, v) => k -> Seq(v.toString)
+      }
+      case _ => Map.empty
     }
 
   // ---- materialized-view definition bookkeeping ----

@@ -218,12 +218,16 @@ final class Runner(
     val r = body
     node.config.postHook.foreach(h => spark.sql(renderHook(h)))
     // grants apply AFTER the relation exists, full desired state each
-    // run (reference: standardize_grants_dict + apply_grants diff; in
-    // a single-engine deployment the ACL store is the warehouse dir,
-    // and the Spark-cluster analogue dispatches to the catalog's
-    // GRANT/REVOKE — the recorded state is the same either way)
-    if (node.config.grants.nonEmpty)
-      materializer.storeFor(node).writeGrants(materializer.relName(node), node.config.grants)
+    // run — UNCONDITIONALLY, so removing the config revokes recorded
+    // privileges (reference: standardize_grants_dict + apply_grants
+    // diff; in a single-engine deployment the ACL store is the
+    // warehouse dir, and the Spark-cluster analogue dispatches to the
+    // catalog's GRANT/REVOKE — the recorded state is the same either way)
+    node match {
+      case _: graft.core.ModelNode | _: graft.core.SeedNode | _: graft.core.SnapshotNode =>
+        materializer.storeFor(node).writeGrants(materializer.relName(node), node.config.grants)
+      case _ => ()
+    }
     r
   }
 
