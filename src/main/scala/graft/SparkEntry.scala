@@ -72,6 +72,7 @@ object SparkEntry {
     "q_range_join" -> (Events.qRangeJoin _),
     "q_range_join_auto" -> (Events.qRangeJoinAuto _),
     "q_funnel" -> (Events.qFunnel _),
+    "q_cohort_retention" -> (Events.qCohortRetention _),
     // text analysis
     "txt_stats" -> (TextOps.txtStats _),
     "txt_quality" -> (TextOps.txtQuality _),
@@ -410,6 +411,16 @@ object SparkEntry {
       SELECT event_type, COUNT(*) AS n,
              CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
       FROM events GROUP BY 1""",
+    "q_cohort_retention" -> """
+      WITH e AS (
+        SELECT user_id, (epoch_ns(ts) // 1000) // 604800000000 AS week FROM events
+      ), fs AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1
+      )
+      SELECT cohort_week, e.week - cohort_week AS weeks_since,
+             COUNT(DISTINCT e.user_id) AS n_users
+      FROM e JOIN fs USING (user_id)
+      GROUP BY 1, 2""",
     "q_funnel" -> """
       WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
       v AS (SELECT user_id, MIN(us) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),

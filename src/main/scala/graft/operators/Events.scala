@@ -192,6 +192,24 @@ object Events {
         coalesce(sum(col("t_buy") - col("t_click")), lit(0L)).as("sum_buy_lag_us")))
   }
 
+  /** Cohort retention matrix: users bucketed by first-seen week, then
+    * distinct active users per (cohort_week, weeks_since) cell — the
+    * standard product-analytics retention triangle. Two shuffles, both
+    * on bounded keys: first-seen is a groupBy(user) min; the cell
+    * aggregate joins it back (co-keyed on user_id, then aggregates on
+    * the tiny (cohort, offset) key space). Weeks are integer epoch-us
+    * arithmetic so the oracle hashes exactly.
+    */
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400000000L
+    val e = ev(s, dir).select(col("user_id"), col("ts_us"))
+      .withColumn("week", expr(s"ts_us div ${weekUs}L"))
+    val firstSeen = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    e.join(firstSeen, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** JSON extraction (the `props` column) + aggregation. */
   def qEventsJson(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)

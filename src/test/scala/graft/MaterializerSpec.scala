@@ -308,6 +308,25 @@ class MaterializerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.read("t_ret", Some(1)).collect().map(_.getString(1)).toSeq == Seq("b"))
   }
 
+  test("vacuum reclaims torn (uncommitted) versions, never committed history") {
+    val tv = new graft.exec.RelationStore(spark,
+      java.nio.file.Files.createTempDirectory("torn_wh").toString, retainVersions = 10)
+    tv.write(df(Seq((1L, "a"))), "t_torn")
+    tv.write(df(Seq((1L, "b"))), "t_torn")
+    // simulate a crash mid-write: a version dir above the pointer
+    val torn = java.nio.file.Paths.get(tv.currentPath("t_torn").get).getParent.resolve("v7")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.writeString(torn.resolve("part-00000.parquet"), "partial garbage")
+    assert(tv.versions("t_torn") == Seq(0, 1, 7))
+    // time travel refuses the uncommitted version
+    val err = intercept[IllegalStateException](tv.read("t_torn", Some(7)))
+    assert(err.getMessage.contains("version 7"))
+    // vacuum with wide retention removes ONLY the torn dir
+    assert(tv.vacuum("t_torn", keepLast = 5) == 1)
+    assert(tv.versions("t_torn") == Seq(0, 1))
+    assert(tv.read("t_torn", Some(0)).first().getString(1) == "a")
+  }
+
   test("failed commit leaves the previous version current and readable") {
     store.write(df(Seq((1L, "a"), (2L, "b"))), "t_crash")
     val v0 = store.currentPath("t_crash").get
