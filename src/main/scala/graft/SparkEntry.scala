@@ -73,6 +73,7 @@ object SparkEntry {
     "q_range_join_auto" -> (Events.qRangeJoinAuto _),
     "q_funnel" -> (Events.qFunnel _),
     "q_cohort_retention" -> (Events.qCohortRetention _),
+    "q_event_transitions" -> (Events.qEventTransitions _),
     // text analysis
     "txt_stats" -> (TextOps.txtStats _),
     "txt_quality" -> (TextOps.txtQuality _),
@@ -411,6 +412,15 @@ object SparkEntry {
       SELECT event_type, COUNT(*) AS n,
              CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
       FROM events GROUP BY 1""",
+    "q_event_transitions" -> """
+      WITH e AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type FROM events
+      ), t AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+        FROM e)
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2""",
     "q_cohort_retention" -> """
       WITH e AS (
         SELECT user_id, (epoch_ns(ts) // 1000) // 604800000000 AS week FROM events

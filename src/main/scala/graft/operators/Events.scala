@@ -210,6 +210,23 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Event-transition mining (first-order path analysis): per user,
+    * consecutive event-type pairs in time order, counted globally —
+    * the Markov transition table behind "what do users do after X".
+    * One shuffle on user_id for the lead() window, then a partial-
+    * aggregated count on the tiny (from, to) key space. Ties on ts are
+    * broken by event_id so the sequence is total and deterministic.
+    */
+  def qEventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    ev(s, dir).select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** JSON extraction (the `props` column) + aggregation. */
   def qEventsJson(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
