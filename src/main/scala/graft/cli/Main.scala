@@ -71,19 +71,14 @@ object Main {
       templateContext = Map(
         "run_started_at" -> graft.exec.Timestamps.sql(java.time.Instant.now()),
         "invocation_id" -> java.util.UUID.randomUUID().toString))
-    def attachAll(): Unit = {
-      store.attach()
-      project.manifest.nodes.values.flatMap(_.config.schema).toSet
-        .foreach((cs: String) => materializer.storeForSchema(cs).attach())
-    }
-
     /** Every store the project writes (default + custom schemas), in a
-      * stable order — shared by docs-generate / optimize / vacuum.
+      * stable order — shared by attach / docs-generate / optimize / vacuum.
       */
     def projectStores(): Seq[graft.exec.RelationStore] =
       store +: project.manifest.nodes.values
         .flatMap(_.config.schema).toSet.toSeq.sorted
         .map((cs: String) => materializer.storeForSchema(cs))
+    def attachAll(): Unit = projectStores().foreach(_.attach())
     // --state points at a previous run's manifest.json; comparison is
     // doc-level (StateView) so config/description/contract drift is
     // visible even though the old run's NodeConfig is not reconstructed

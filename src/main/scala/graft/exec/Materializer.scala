@@ -432,8 +432,11 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
     val clash = metaCols.filter(df.columns.contains)
     require(clash.isEmpty,
       s"${node.name}: snapshot meta column name(s) ${clash.mkString(", ")} collide with source columns")
-    val sentinel: Option[Column] =
-      node.config.dbtValidToCurrent.map(v => lit(v).cast("timestamp"))
+    // parse eagerly: lit(bad).cast("timestamp") would silently become
+    // NULL and quietly revert every open row to NULL semantics
+    val sentinel: Option[Column] = node.config.dbtValidToCurrent.map { v =>
+      lit(Timestamps.sql(graft.parser.ProjectLoader.parseInstant(v))).cast("timestamp")
+    }
     val openValidTo: Column = sentinel.getOrElse(lit(null).cast("timestamp"))
 
     val updatedCol: Column = strategy match {

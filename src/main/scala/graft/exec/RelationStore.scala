@@ -106,7 +106,10 @@ final class RelationStore(
     }
   }
 
-  /** All committed version numbers of a table, ascending. */
+  /** All version directories of a table, ascending — committed ones
+    * are those ≤ the current pointer; anything above it is a torn
+    * leftover from a crashed write (vacuum reclaims those).
+    */
   def versions(name: String): Seq[Int] =
     if (!Files.exists(tableDir(name))) Nil
     else {
@@ -130,8 +133,8 @@ final class RelationStore(
     val cur = currentVersion(name).getOrElse(return 0)
     // anything above the pointer is a torn directory from a crashed
     // write — always garbage; retention counts committed versions only
-    val torn = versions(name).filter(_ > cur)
-    val stale = versions(name).filter(v => v != cur && v <= cur).sorted.reverse.drop(keep - 1)
+    val (torn, committed) = versions(name).partition(_ > cur)
+    val stale = committed.filter(_ < cur).sorted.reverse.drop(keep - 1)
     val candidates = torn ++ stale
     candidates.foreach(v => deleteRecursively(tableDir(name).resolve(s"v$v")))
     candidates.size

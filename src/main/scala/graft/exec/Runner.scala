@@ -201,7 +201,8 @@ final class Runner(
     try {
       node match {
         case m: ModelNode => runModel(m)
-        case s: SeedNode => materializer.seed(s); RunResult(id, "success", elapsed, "SEED")
+        case s: SeedNode =>
+          hooksAround(s)(materializer.seed(s)); RunResult(id, "success", elapsed, "SEED")
         case s: SnapshotNode => runSnapshot(s)
         case t: TestNode => runTest(t)
         case u: UnitTestNode => runUnitTest(u)
@@ -224,6 +225,8 @@ final class Runner(
     // warehouse dir, and the Spark-cluster analogue dispatches to the
     // catalog's GRANT/REVOKE — the recorded state is the same either way)
     node match {
+      case m: graft.core.ModelNode if m.config.materialized == Materialized.Ephemeral =>
+        () // ephemeral models have no relation to grant on
       case _: graft.core.ModelNode | _: graft.core.SeedNode | _: graft.core.SnapshotNode =>
         materializer.storeFor(node).writeGrants(materializer.relName(node), node.config.grants)
       case _ => ()

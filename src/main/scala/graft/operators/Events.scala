@@ -218,8 +218,7 @@ object Events {
     * broken by event_id so the sequence is total and deterministic.
     */
   def qEventTransitions(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     ev(s, dir).select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
       .filter(col("next_type").isNotNull)

@@ -689,7 +689,12 @@ object ProjectLoader {
       dbtValidToCurrent = str("dbt_valid_to_current"),
       snapshotMetaColumnNames = cfg.get("snapshot_meta_column_names") match {
         case Some(m: Map[String @unchecked, Any @unchecked]) =>
-          m.map { case (k, v) => k.toString -> v.toString }
+          val renames = m.map { case (k, v) => k.toString -> v.toString }
+          val known = Set("dbt_valid_from", "dbt_valid_to", "dbt_scd_id", "dbt_updated_at")
+          val bad = renames.keySet -- known
+          require(bad.isEmpty,
+            s"snapshot_meta_column_names: unknown key(s) ${bad.mkString(", ")} (valid: ${known.mkString(", ")})")
+          renames
         case _ => Map.empty
       },
       severity = str("severity").getOrElse("error").toLowerCase,

@@ -253,6 +253,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("analytics ops: retention joins co-keyed, transitions one window shuffle") {
+    // cohort retention: the first-seen join must NOT broadcast-nested-loop
+    // and the final aggregate is partial-aggregated
+    val ret = executedPhysical(Events.qCohortRetention(spark, sf))
+    assert(!ret.contains("BroadcastNestedLoopJoin") && !ret.contains("CartesianProduct"))
+    assert(ret.contains("partial_count") || ret.contains("HashAggregate"), ret.take(1200))
+    // transitions: exactly one exchange feeds the window (user_id), the
+    // (from,to) aggregate coalesces via AQE rather than reshuffling wide
+    val tr = executedPhysical(Events.qEventTransitions(spark, sf))
+    assert(tr.contains("Window") || tr.contains("WindowExec"), tr.take(1200))
+    assert(!tr.contains("CartesianProduct"))
+  }
+
   test("curation capstone reads the corpus once, no self-joins") {
     val plan = physical(CurateOps.curatePipelineFull(spark, sf))
     // one main lineage + the prefix-sum's tiny bucket branch (fully
