@@ -227,6 +227,32 @@ object Main {
         names.foreach(n => store.clone(from, n))
         println(s"cloned ${names.size} relations from $fromW")
         0
+      case "export" =>
+        // the write side of the external-source surface: land relations
+        // as csv / json / orc / parquet for downstream consumers.
+        // Distributed writers — each format writes partition files in
+        // parallel; --partition-by lays out a pruned directory tree.
+        val outRoot = flags.getOrElse("out",
+          throw new IllegalArgumentException("export requires --out DIR"))
+        val format = flags.getOrElse("format", "parquet")
+        require(Set("csv", "json", "orc", "parquet").contains(format),
+          s"unsupported export format: $format")
+        attachAll()
+        val names = flags.get("select")
+          .map(_.split("[ ,]").toSeq.filter(_.nonEmpty))
+          .getOrElse(projectStores().flatMap(_.list()))
+        var n = 0
+        for (st <- projectStores(); rel <- st.list() if names.contains(rel)) {
+          val df = st.read(rel)
+          var w = df.write.mode("overwrite").format(format)
+          if (format == "csv") w = w.option("header", "true")
+          flags.get("partition-by").foreach(cols =>
+            w = w.partitionBy(cols.split(","). map(_.trim): _*))
+          w.save(s"$outRoot/${st.sqlName(rel)}")
+          n += 1
+        }
+        println(s"exported $n relation(s) as $format -> $outRoot")
+        0
       case "clean" =>
         // reference cli/main.py clean:210 — remove build artifacts
         def rmrf(p: java.nio.file.Path): Unit = {

@@ -96,4 +96,26 @@ class CliSpec extends AnyFunSuite {
         dir.toString, s"$dir/warehouse", s"$dir/target", Map.empty, spark)
     }
   }
+
+  test("export lands relations as csv and json for downstream consumers") {
+    val dir = Files.createTempDirectory("cli_export").resolve("proj").toString
+    assert(run("init", dir)._1 == 0)
+    assert(run("run", dir)._1 == 0)
+    val outDir = s"$dir/exports"
+    val (c1, out1) = run("export", dir,
+      Map("out" -> outDir, "format" -> "csv", "select" -> "my_first_model"))
+    assert(c1 == 0, out1)
+    val back = spark.read.option("header", "true").csv(s"$outDir/my_first_model")
+    assert(back.count() > 0)
+    assert(back.columns.sameElements(spark.read
+      .parquet(s"$dir/warehouse/main/my_first_model/v0").columns))
+    val (c2, _) = run("export", dir, Map("out" -> s"$dir/exports2", "format" -> "json"))
+    assert(c2 == 0)
+    assert(spark.read.json(s"$dir/exports2/my_first_model").count() == back.count())
+    // unsupported format is a clear error
+    assertThrows[IllegalArgumentException] {
+      graft.cli.Main.dispatch("export", Map("out" -> outDir, "format" -> "xlsx"),
+        dir, s"$dir/warehouse", s"$dir/target", Map.empty, spark)
+    }
+  }
 }
