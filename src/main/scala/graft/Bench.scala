@@ -41,12 +41,56 @@ object Bench {
       name -> times((times.size - 1) / 2)
     }
     val parseSec = parse2000Bench()
-    val all = results :+ ("parse_2000_models" -> parseSec)
+    val runSec = runProjectBench(spark, sfDir)
+    val all = results :+ ("parse_2000_models" -> parseSec) :+
+      ("engine_run_60_models" -> runSec)
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Engine-execution throughput: parse + schedule + materialize a
+    * 60-model project (20 staging views over the lineitem source, 20
+    * ref-chained table marts, 20 second-level views) with 8 worker
+    * threads at the bench scale factor. Measures the DAG scheduler +
+    * materialization path, not query speed — the engine-side analogue
+    * of `dbt run` wall time, which the reference delegates entirely to
+    * the warehouse and therefore never reports.
+    */
+  def runProjectBench(spark: SparkSession, sfDir: String): Double = {
+    val dir = Files.createTempDirectory("graft_run_bench")
+    Files.createDirectories(dir.resolve("models"))
+    Files.writeString(dir.resolve("dbt_project.yml"), "name: runbench\n")
+    Files.writeString(dir.resolve("models/sources.yml"),
+      s"""version: 2
+         |sources:
+         |  - name: tpch
+         |    tables:
+         |      - name: lineitem
+         |        location: "$sfDir/lineitem.parquet"
+         |""".stripMargin)
+    (0 until 20).foreach { i =>
+      Files.writeString(dir.resolve(s"models/stg_$i.sql"),
+        s"SELECT l_orderkey, l_partkey, l_quantity FROM {{ source('tpch', 'lineitem') }} WHERE l_partkey % 20 = $i\n")
+      Files.writeString(dir.resolve(s"models/mart_$i.sql"),
+        s"{{ config(materialized='table') }}\n" +
+          s"SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q FROM {{ ref('stg_$i') }} GROUP BY 1\n")
+      Files.writeString(dir.resolve(s"models/top_$i.sql"),
+        s"SELECT * FROM {{ ref('mart_$i') }} WHERE q > 40\n")
+    }
+    val t0 = System.nanoTime()
+    val project = graft.parser.ProjectLoader.resolveRefs(
+      graft.parser.ProjectLoader.load(dir.toString))
+    val store = new graft.exec.RelationStore(spark, dir.resolve("wh").toString)
+    val results = new graft.exec.Runner(spark, project, store,
+      graft.exec.RunOptions(cmd = "run", threads = 8,
+        targetDir = dir.resolve("target").toString)).execute()
+    val sec = (System.nanoTime() - t0) / 1e9
+    require(results.size == 60 && results.forall(_.status == "success"),
+      s"run bench: ${results.count(_.status != "success")} failures of ${results.size}")
+    sec
   }
 
   /** Mirror of reference performance/projects/01_2000_simple_models:
