@@ -221,6 +221,16 @@ object Artifacts {
       "group" -> n.config.group,
       "access" -> n.config.access,
       "contract" -> Map("enforced" -> n.config.contractEnforced),
+      "grants" -> n.config.grants,
+      "pre_hook" -> n.config.preHook,
+      "post_hook" -> n.config.postHook,
+      "strategy" -> n.config.strategy,
+      "updated_at" -> n.config.updatedAt,
+      "check_cols" -> n.config.checkCols,
+      "dbt_valid_to_current" -> n.config.dbtValidToCurrent,
+      "snapshot_meta_column_names" -> n.config.snapshotMetaColumnNames,
+      "warn_if" -> n.config.warnIf,
+      "error_if" -> n.config.errorIf,
       "meta" -> n.config.meta)
     def nodeDoc(n: Node): Map[String, Any] = {
       val (raw, refs, srcs, path) = n match {

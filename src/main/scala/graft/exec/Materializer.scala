@@ -124,9 +124,15 @@ final class Materializer(spark: SparkSession, store: RelationStore) {
     enforceContract(node, df)
     if (node.config.bucketBy.nonEmpty && node.config.buckets > 0) {
       // bucketed writes stage through the catalog — run the constraint
-      // pass on the input plan instead of the written files
-      constraintValidator(node).foreach(_(df))
-      storeFor(node).writeBucketed(df, relName(node), node.config.bucketBy, node.config.buckets)
+      // pass on the input plan instead of the written files; cache so
+      // the model plan executes once, not once for validation and
+      // again for the CTAS
+      val validator = constraintValidator(node)
+      val input = if (validator.isDefined) df.cache() else df
+      try {
+        validator.foreach(_(input))
+        storeFor(node).writeBucketed(input, relName(node), node.config.bucketBy, node.config.buckets)
+      } finally if (validator.isDefined) input.unpersist()
     } else
       storeFor(node).write(df, relName(node), node.config.partitionBy,
         validate = constraintValidator(node))

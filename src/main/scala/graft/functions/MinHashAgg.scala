@@ -55,6 +55,8 @@ object MinHashAgg {
       (children: Seq[Expression]) => children match {
         case Seq(c) => MinHashSig(c, DefaultPerms)
         case Seq(c, Literal(n: Int, IntegerType)) => MinHashSig(c, n)
+        case Seq(_, other) => throw new IllegalArgumentException(
+          s"minhash_sig's nPerm must be an integer literal, got: $other")
         case other => throw new IllegalArgumentException(
           s"minhash_sig(hash[, nPerm]) got ${other.size} args")
       })
@@ -84,6 +86,14 @@ case class MinHashSig(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+
+  // a clear analysis error instead of a mid-job ClassCastException when
+  // a user hands the SQL function a non-BIGINT column
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires a BIGINT hash column, got ${child.dataType.simpleString}")
 
   override def createAggregationBuffer(): Array[Long] = Array.fill(nPerm)(Long.MaxValue)
 

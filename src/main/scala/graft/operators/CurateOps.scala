@@ -118,6 +118,14 @@ object CurateOps {
         (coalesce(col("n_shared"), lit(0L)) > 0).cast("long").as("contaminated"))
   }
 
+  /** First 32 bits of md5(doc_id) mod 100 — THE shared routing bucket
+    * for split assignment, language quotas, and the capstone. One
+    * definition: these must stay bit-identical or the capstone's
+    * columns silently disagree with the standalone operators.
+    */
+  private def md5Bucket100: org.apache.spark.sql.Column =
+    expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)") % 100
+
   /** Deterministic train/val/test assignment: bucket = first 32 bits of
     * md5(doc_id) mod 100 → 80/10/10 split. Hash-based (not random, not
     * positional) so the split is stable under corpus growth and
@@ -127,8 +135,7 @@ object CurateOps {
   def splitAssign(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
-      (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)") % 100)
-        .as("bucket"))
+      md5Bucket100.as("bucket"))
       .withColumn("split",
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
 
@@ -250,9 +257,7 @@ object CurateOps {
     * depends on other rows).
     */
   def curateResampleLang(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), col("lang"),
-        (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)") % 100)
-          .as("bucket"))
+    docs(s, dir).select(col("doc_id"), col("lang"), md5Bucket100.as("bucket"))
       .withColumn("quota",
         when(col("lang") === "en", 100L).when(col("lang") === "zh", 25L).otherwise(50L))
       .withColumn("kept", (col("bucket") < col("quota")).cast("long"))
@@ -311,8 +316,7 @@ object CurateOps {
       col("doc_id"), col("lang"),
       md5(TextOps.normalized(col("text"))).as("fp"),
       size(split(TextOps.normalized(col("text")), " ")).cast("long").as("n_tokens"),
-      (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)") % 100)
-        .as("hb"))
+      md5Bucket100.as("hb"))
     val flat = base
       .withColumn("split",
         when(col("hb") < 80, "train").when(col("hb") < 90, "val").otherwise("test"))

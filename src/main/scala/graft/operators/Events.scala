@@ -147,6 +147,14 @@ object Events {
     * bucketed equi-join that [[qRangeJoin]] builds by hand. Aggregated
     * so the oracle compare is compact; RangeJoinRuleSpec proves the
     * row-level rewrite equality and plan shape.
+    *
+    * The bin-size conf is SESSION-scoped by design (the same interface
+    * Databricks' range-join bin size uses) and stays set after this
+    * query: the rewrite is semantics-preserving and guarded (equi
+    * joins and already-bucketed plans are never touched), so arming it
+    * for the rest of the battery is safe; a deployment with
+    * heterogeneous interval widths should scope the conf per workload
+    * and pick bins near its typical width (fanout ≈ width / bin).
     */
   def qRangeJoinAuto(s: SparkSession, dir: String): DataFrame = {
     s.conf.set(graft.plans.RangeJoinRewrite.BinConf, "3600000000") // 1 h bins

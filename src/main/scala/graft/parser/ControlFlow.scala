@@ -163,7 +163,7 @@ object ControlFlow {
     * var, this…) is left for Template.
     */
   private def substitute(s: String, env: Map[String, Any]): String =
-    if (env.size <= 1 || !s.contains("{{")) s
+    if (env.isEmpty || !s.contains("{{")) s
     else raw"""\{\{\s*([A-Za-z_][\w.]*)\s*\}\}""".r.replaceAllIn(s, m =>
       env.get(m.group(1)) match {
         case Some(v) => Regex.quoteReplacement(Expr.show(v))

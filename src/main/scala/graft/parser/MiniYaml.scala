@@ -20,19 +20,30 @@ import scala.collection.mutable
 object MiniYaml {
   final case class YamlError(msg: String) extends RuntimeException(msg)
 
-  private final case class Line(indent: Int, content: String)
+  private final case class Line(indent: Int, content: String, rawIdx: Int)
+
+  /** The unprocessed source lines of the current parse — block scalars
+    * must read these, because comment stripping and blank-line
+    * filtering would corrupt literal bodies (`#` inside csv/sql
+    * fixtures, blank lines inside SQL).
+    */
+  private val rawLines = new ThreadLocal[Vector[String]]
 
   def parse(text: String): Any = {
-    val lines = text.linesIterator.zipWithIndex
-      .map { case (raw, i) => (stripComment(raw), i) }
+    val raw = text.linesIterator.toVector
+    val lines = raw.zipWithIndex
+      .map { case (l, i) => (stripComment(l), i) }
       .filter { case (l, _) => l.trim.nonEmpty }
-      .map { case (l, _) =>
+      .map { case (l, i) =>
         val indent = l.takeWhile(_ == ' ').length
-        Line(indent, l.trim)
+        Line(indent, l.trim, i)
       }
-      .toVector
     if (lines.isEmpty) Map.empty[String, Any]
-    else parseBlock(lines, 0, lines.head.indent)._1
+    else {
+      rawLines.set(raw)
+      try parseBlock(lines, 0, lines.head.indent)._1
+      finally rawLines.remove()
+    }
   }
 
   def parseMap(text: String): Map[String, Any] = parse(text) match {
@@ -69,21 +80,30 @@ object MiniYaml {
     val out = mutable.LinkedHashMap[String, Any]()
     var i = from
     while (i < lines.length && lines(i).indent == indent && !lines(i).content.startsWith("- ")) {
-      val Line(_, content) = lines(i)
+      val content = lines(i).content
       val colon = findColon(content)
       if (colon < 0) throw YamlError(s"expected 'key: value' at: $content")
       val key = unquote(content.take(colon).trim)
       val rest = content.drop(colon + 1).trim
       if (rest == "|" || rest == "|-" || rest == ">") {
-        // literal block scalar: deeper-indented lines joined verbatim
-        // (the subset unit-test csv/sql fixtures need)
-        val body = mutable.ListBuffer[String]()
+        // block scalar: find the boundary on the FILTERED lines, then
+        // take the body VERBATIM from the raw source — '#' and blank
+        // lines inside a literal body are data, not syntax
         var j = i + 1
-        while (j < lines.length && lines(j).indent > indent) {
-          body += lines(j).content
-          j += 1
-        }
-        out(key) = body.mkString("\n")
+        while (j < lines.length && lines(j).indent > indent) j += 1
+        // past the end of THIS vector (which may be a synthetic
+        // object-list slice), the body stops at the slice's own last
+        // raw line — the file may continue with sibling keys
+        val rawEnd = if (j < lines.length) lines(j).rawIdx else lines.last.rawIdx + 1
+        val slice = rawLines.get().slice(lines(i).rawIdx + 1, rawEnd)
+          .reverse.dropWhile(_.trim.isEmpty).reverse // clip trailing blanks
+        val bodyIndent = slice.filter(_.trim.nonEmpty)
+          .map(_.takeWhile(_ == ' ').length).minOption.getOrElse(0)
+        val body = slice.map(l => if (l.trim.isEmpty) "" else l.drop(bodyIndent))
+        // ">" folds non-blank lines with spaces (YAML folded scalar);
+        // "|"/"|-" keep line structure
+        out(key) = if (rest == ">") body.filter(_.nonEmpty).mkString(" ")
+          else body.mkString("\n")
         i = j
       } else if (rest.nonEmpty) {
         out(key) = scalar(rest)
@@ -127,7 +147,7 @@ object MiniYaml {
           // two columns); sibling keys align with it, deeper lines are
           // nested values
           val syntheticIndent = lines(i).indent + 2
-          val sub = mutable.ListBuffer[Line](Line(syntheticIndent, item))
+          val sub = mutable.ListBuffer[Line](Line(syntheticIndent, item, lines(i).rawIdx))
           var j = i + 1
           while (j < lines.length && lines(j).indent > indent) {
             sub += lines(j)

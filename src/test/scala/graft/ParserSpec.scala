@@ -228,4 +228,22 @@ class ControlFlowSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       ControlFlow.render("{% if true %}x{% endif %}{% endfor %}"))
   }
+
+  test("block scalars keep '#' and blank lines verbatim; '>' folds with spaces") {
+    val y = MiniYaml.parseMap(
+      """a:
+        |  sql: |
+        |    SELECT 1 -- #not-a-comment
+        |
+        |    FROM t
+        |  folded: >
+        |    one
+        |    two
+        |b: 2
+        |""".stripMargin)
+    val a = y("a").asInstanceOf[Map[String, Any]]
+    assert(a("sql") == "SELECT 1 -- #not-a-comment\n\nFROM t", s"got: ${a("sql")}")
+    assert(a("folded") == "one two")
+    assert(y("b") == 2)
+  }
 }
