@@ -68,6 +68,7 @@ object SparkEntry {
     "q_events_json" -> (Events.qEventsJson _),
     "q_skew_salted_agg" -> (ScaleOps.qSkewSaltedAgg _),
     "q_skew_salted_join" -> (ScaleOps.qSkewSaltedJoin _),
+    "q_heavy_users" -> (ScaleOps.qHeavyUsers _),
     "q_asof_join" -> (Events.qAsofJoin _),
     "q_range_join" -> (Events.qRangeJoin _),
     "q_range_join_auto" -> (Events.qRangeJoinAuto _),

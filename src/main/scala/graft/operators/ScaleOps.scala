@@ -46,6 +46,24 @@ object ScaleOps {
       .select(col("event_type"), col("n"),
         col("sum_value_cents").cast("long").as("sum_value_cents"))
 
+  /** Global heavy hitters WITHOUT a groupBy(item) shuffle: the
+    * Misra–Gries sketch ([[graft.functions.FreqSketch]]) aggregates
+    * map-side into <=k-entry buffers, so the exchange carries one tiny
+    * sketch per partition no matter the item cardinality. Emits the
+    * sketch rows next to exact counts (computed here at test scale);
+    * OpsSpec bounds the estimates. Rows-only driver check — the
+    * surviving counter SET below the guarantee threshold is
+    * partitioning-dependent by design.
+    */
+  def qHeavyUsers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    val sk = e.agg(graft.functions.FreqSketch.freqSketch(col("user_id"), 32).as("sk"))
+      .select(explode(col("sk")).as("x"))
+      .select(col("x.item").as("user_id"), col("x.est").as("est"))
+    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_true"))
+    sk.join(exact, Seq("user_id"))
+  }
+
   /** Salted join for skewed keys: replicate the dimension side `buckets`
     * times (explode over the salt domain) and salt the fact side from
     * its partition id, so one hot key spreads over `buckets` reducers

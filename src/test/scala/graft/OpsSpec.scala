@@ -105,6 +105,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d <= 12, s"hamming distance $d for a near-dup pair (J=${top.getDouble(2)})")
   }
 
+  test("freq_sketch: Misra-Gries guarantees hold under any partitioning") {
+    val ss = spark
+    import ss.implicits._
+    // skewed stream: item 1 × 500, item 2 × 200, 300 distinct tail items
+    val data = Seq.fill(500)(1L) ++ Seq.fill(200)(2L) ++ (100L until 400L)
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = data.size
+    val k = 16
+    for (parts <- Seq(1, 4, 32)) {
+      val rows = new scala.util.Random(7).shuffle(data).toDF("item").repartition(parts)
+        .agg(org.apache.spark.sql.functions.expr(s"freq_sketch(item, $k)").as("sk"))
+        .selectExpr("explode(sk) AS x").selectExpr("x.item", "x.est")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows.size <= k)
+      // every estimate bounded: f - n/(k+1) <= est <= f
+      rows.foreach { case (item, est) =>
+        val f = exact(item)
+        assert(est <= f, s"parts=$parts item $item overestimated: $est > $f")
+        assert(est >= f - n / (k + 1), s"parts=$parts item $item est $est below bound")
+      }
+      // every true heavy hitter (f > n/(k+1)) must be present
+      exact.filter(_._2 > n / (k + 1)).keys.foreach { hh =>
+        assert(rows.contains(hh), s"parts=$parts heavy hitter $hh missing")
+      }
+    }
+  }
+
+  test("q_heavy_users: sketch rows respect bounds against exact counts") {
+    val rows = ScaleOps.qHeavyUsers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = spark.read.parquet(s"$sf/events.parquet").count()
+    rows.foreach { r =>
+      val (est, t) = (r.getLong(1), r.getLong(2))
+      assert(est <= t && est >= t - n / 33, s"user ${r.getLong(0)}: est $est true $t")
+    }
+  }
+
   test("approx sketches: HLL++ and approx-median stay within error bounds") {
     Relational.qApproxSketch(spark, sf).collect().foreach { r =>
       val (approxNd, exactNd) = (r.getLong(1), r.getLong(2))
