@@ -51,6 +51,38 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("freq_sketch bounds hold for random streams and random merge splits") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.LongType
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 50).foreach { _ =>
+      val k = 4 + rnd.nextInt(28)
+      val agg = graft.functions.FreqSketchAgg(BoundReference(0, LongType, nullable = false), k)
+      // zipf-ish stream: a few hot items + a long uniform tail
+      val stream = Seq.fill(rnd.nextInt(300))(rnd.nextInt(3).toLong) ++
+        Seq.fill(rnd.nextInt(300))(rnd.nextInt(100).toLong)
+      if (stream.nonEmpty) {
+        // split into random chunks, update each into its own buffer, merge
+        val chunks = stream.grouped(1 + rnd.nextInt(stream.size)).toSeq
+        val merged = chunks.map { chunk =>
+          val b = agg.createAggregationBuffer()
+          chunk.foreach(v => agg.update(b, InternalRow(v)))
+          b
+        }.reduce(agg.merge)
+        val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val n = stream.size
+        assert(merged.size <= k)
+        merged.foreach { case (item, est) =>
+          val f = exact(item)
+          assert(est <= f && est >= f - n / (k + 1), s"k=$k item $item est $est f $f n $n")
+        }
+        exact.filter(_._2 > n / (k + 1)).keys
+          .foreach(hh => assert(merged.contains(hh), s"k=$k heavy hitter $hh missing"))
+      }
+    }
+  }
+
   test("connected components == driver union-find on random graphs") {
     val ss = spark
     import ss.implicits._
