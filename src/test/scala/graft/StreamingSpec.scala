@@ -161,6 +161,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batchSide.exceptAll(streamed).count() == 0)
   }
 
+  test("freq_sketch aggregates over a stream with the same MG guarantees") {
+    val store = new RelationStore(spark, s"$work/wh7")
+    val sk = Streaming.eventStream(spark, s"$work/in")
+      .agg(graft.functions.FreqSketch.freqSketch(col("user_id"), 32).as("sk"))
+      .select(explode(col("sk")).as("x"))
+      .select(col("x.item").as("user_id"), col("x.est").as("est"))
+    val q = sk.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$work/cp8")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        store.write(batch, "hh")
+      }
+      .start()
+    q.awaitTermination()
+    val got = store.read("hh").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got.size <= 32)
+    val ev = spark.read.parquet(s"$work/in")
+    val n = ev.count()
+    val exact = ev.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (u, est) =>
+      val f = exact(u)
+      assert(est <= f && est >= f - n / 33, s"user $u est $est true $f")
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes in-window duplicate event ids") {
     // land the events plus a duplicated slice of themselves
     val in3 = s"$work/in3"
