@@ -102,6 +102,7 @@ object SparkEntry {
     "curate_budget_select" -> ((s, dir) => CurateOps.curateBudgetSelect(s, dir)),
     "curate_resample_lang" -> (CurateOps.curateResampleLang _),
     "curate_corpus_shuffle" -> (CurateOps.curateCorpusShuffle _),
+    "curate_shard_assign" -> ((s, dir) => CurateOps.curateShardAssign(s, dir)),
     "emb_quantize" -> (CurateOps.embQuantize _),
     "curate_pipeline_full" -> (CurateOps.curatePipelineFull _),
     // similarity search
@@ -578,6 +579,12 @@ object SparkEntry {
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
                   < CASE WHEN lang = 'en' THEN 100 WHEN lang = 'zh' THEN 25 ELSE 50 END AS BIGINT) AS kept
       FROM documents""",
+    "curate_shard_assign" -> """
+      WITH r AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 16), doc_id) - 1 AS BIGINT) AS rank
+        FROM documents)
+      SELECT doc_id, rank, rank % 8 AS shard, rank // 8 AS pos_in_shard FROM r""",
     "curate_corpus_shuffle" -> """
       SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS hk,
              CAST(ROW_NUMBER() OVER (ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 16), doc_id) - 1 AS BIGINT) AS rank

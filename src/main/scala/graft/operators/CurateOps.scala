@@ -278,6 +278,19 @@ object CurateOps {
       .select(col("doc_id"), col("hk"), col("rank"))
   }
 
+  /** Training shard layout: the corpus-shuffle rank dealt round-robin
+    * into `nShards` equal shards (shard = rank mod N keeps shard sizes
+    * within 1 of each other for ANY corpus size; pos = rank div N is
+    * the document's offset inside its shard). This is the file-layout
+    * endpoint of [[curateCorpusShuffle]] — at 100 TB each shard is one
+    * writer task's output, so shard balance IS writer balance.
+    */
+  def curateShardAssign(s: SparkSession, dir: String, nShards: Int = 8): DataFrame =
+    curateCorpusShuffle(s, dir)
+      .select(col("doc_id"), col("rank"),
+        pmod(col("rank"), lit(nShards.toLong)).as("shard"),
+        expr(s"rank div $nShards").as("pos_in_shard"))
+
   /** Symmetric int8 embedding quantization (the storage/serving format
     * for trillion-scale ANN): per-vector scale = max|x|/127, elements
     * rounded to [-127, 127]. Emits integer-exact audit stats (quantized
