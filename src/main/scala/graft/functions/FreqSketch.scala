@@ -81,18 +81,20 @@ case class FreqSketchAgg(
     val v = child.eval(input)
     if (v != null) {
       val item = v.asInstanceOf[Long]
-      buf.get(item) match {
-        case Some(c) => buf(item) = c + 1L
-        case None if buf.size < k => buf(item) = 1L
-        case None =>
-          // Misra–Gries decrement step: no free counter → all counters
-          // pay one (zeroed counters are evicted); the arriving item is
-          // absorbed by the same decrement. Iterate over a key snapshot
-          // — mutating a LongMap mid-iteration is undefined.
-          buf.keysIterator.toArray.foreach { it =>
-            val c = buf(it)
-            if (c == 1L) buf.remove(it) else buf(it) = c - 1L
-          }
+      // contains+apply, not get: LongMap's Option boxes on every row
+      if (buf.contains(item)) buf(item) = buf(item) + 1L
+      else if (buf.size < k) buf(item) = 1L
+      else {
+        // Misra–Gries decrement step: no free counter → all counters
+        // pay one (zeroed counters are evicted); the arriving item is
+        // absorbed by the same decrement. The O(k) walk (over a key
+        // snapshot — mutating a LongMap mid-iteration is undefined)
+        // amortizes to O(1)/row: each walk destroys k count units and
+        // rows only ever add one each.
+        buf.keysIterator.toArray.foreach { it =>
+          val c = buf(it)
+          if (c == 1L) buf.remove(it) else buf(it) = c - 1L
+        }
       }
     }
     buf

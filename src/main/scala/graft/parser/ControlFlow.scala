@@ -38,9 +38,12 @@ object ControlFlow {
     */
   def render(text: String, vars: Map[String, String] = Map.empty,
       target: String = "dev"): String = {
-    if (!text.contains("{%")) return text
+    val base = Map[String, Any]("target.name" -> target)
+    // no control tags still substitutes {{ target.name }} — its
+    // rendering must not depend on an unrelated tag elsewhere in the file
+    if (!text.contains("{%")) return substitute(text, base)
     val tags = tagRe.findAllMatchIn(text).toList
-    if (!tags.exists(t => Set("if", "for").contains(t.group(1)))) return text
+    if (!tags.exists(t => Set("if", "for").contains(t.group(1)))) return substitute(text, base)
     val (nodes, rest) = parseNodes(text, tags, 0)
     require(rest.isEmpty, s"unbalanced control tags: ${rest.map(_.group(1)).mkString(",")}")
     val sb = new StringBuilder

@@ -13,8 +13,10 @@ import scala.collection.mutable
   *  - inline flow lists of scalars: `[a, b, c]`
   *  - comments (`# ...`) and blank lines
   *
-  * Not supported (and not needed): anchors, multi-line scalars, flow
-  * maps, tags. Values parse to String | Int | Double | Boolean | null |
+  * Block scalars (`|`, `|-`, `>`): bodies read VERBATIM from the raw
+  * source (comments/blank lines inside are data), '>' folds
+  * paragraphs. Not supported (and not needed): anchors, flow maps,
+  * tags. Values parse to String | Int | Double | Boolean | null |
   * List[Any] | Map[String, Any].
   */
 object MiniYaml {
@@ -86,24 +88,43 @@ object MiniYaml {
       val key = unquote(content.take(colon).trim)
       val rest = content.drop(colon + 1).trim
       if (rest == "|" || rest == "|-" || rest == ">") {
-        // block scalar: find the boundary on the FILTERED lines, then
-        // take the body VERBATIM from the raw source — '#' and blank
-        // lines inside a literal body are data, not syntax
-        var j = i + 1
-        while (j < lines.length && lines(j).indent > indent) j += 1
-        // past the end of THIS vector (which may be a synthetic
-        // object-list slice), the body stops at the slice's own last
-        // raw line — the file may continue with sibling keys
-        val rawEnd = if (j < lines.length) lines(j).rawIdx else lines.last.rawIdx + 1
-        val slice = rawLines.get().slice(lines(i).rawIdx + 1, rawEnd)
+        // block scalar: scan the RAW source for the boundary (first
+        // non-blank raw line at the key's indent or shallower) — '#'
+        // and blank lines inside a literal body are data, not syntax,
+        // so the comment-stripped line vector cannot define the body
+        val raw = Option(rawLines.get).getOrElse(
+          throw YamlError("block scalar parsed outside MiniYaml.parse"))
+        // the scan is safe inside synthetic object-list slices too: the
+        // synthetic indent equals the keys' true raw indent, and every
+        // construct that ends the body (sibling key, next list item,
+        // parent key) sits at raw indent <= the key's
+        var rawEnd = lines(i).rawIdx + 1
+        while (rawEnd < raw.length && {
+          val l = raw(rawEnd)
+          l.trim.isEmpty || l.takeWhile(_ == ' ').length > indent
+        }) rawEnd += 1
+        val slice = raw.slice(lines(i).rawIdx + 1, rawEnd)
           .reverse.dropWhile(_.trim.isEmpty).reverse // clip trailing blanks
         val bodyIndent = slice.filter(_.trim.nonEmpty)
           .map(_.takeWhile(_ == ' ').length).minOption.getOrElse(0)
         val body = slice.map(l => if (l.trim.isEmpty) "" else l.drop(bodyIndent))
-        // ">" folds non-blank lines with spaces (YAML folded scalar);
-        // "|"/"|-" keep line structure
-        out(key) = if (rest == ">") body.filter(_.nonEmpty).mkString(" ")
-          else body.mkString("\n")
+        // ">" folds lines within a paragraph with spaces and blank
+        // lines to newlines (YAML folding); "|"/"|-" keep lines (both
+        // clip the trailing newline — fixture consumers are csv/sql
+        // parsers, not byte comparers)
+        out(key) =
+          if (rest == ">") {
+            val paras = mutable.ListBuffer[List[String]](); var cur = List.empty[String]
+            body.foreach { l =>
+              if (l.isEmpty) { if (cur.nonEmpty) paras += cur.reverse; cur = Nil }
+              else cur = l :: cur
+            }
+            if (cur.nonEmpty) paras += cur.reverse
+            paras.map(_.mkString(" ")).mkString("\n")
+          } else body.mkString("\n")
+        // advance the filtered cursor past every consumed raw line
+        var j = i + 1
+        while (j < lines.length && lines(j).rawIdx < rawEnd) j += 1
         i = j
       } else if (rest.nonEmpty) {
         out(key) = scalar(rest)

@@ -229,21 +229,31 @@ class ControlFlowSpec extends AnyFunSuite {
       ControlFlow.render("{% if true %}x{% endif %}{% endfor %}"))
   }
 
-  test("block scalars keep '#' and blank lines verbatim; '>' folds with spaces") {
+  test("block scalars keep '#' and blank lines verbatim; '>' folds paragraphs") {
     val y = MiniYaml.parseMap(
       """a:
         |  sql: |
         |    SELECT 1 -- #not-a-comment
         |
         |    FROM t
+        |  # a comment line between keys must not leak into the body
         |  folded: >
         |    one
         |    two
+        |
+        |    three
         |b: 2
         |""".stripMargin)
     val a = y("a").asInstanceOf[Map[String, Any]]
     assert(a("sql") == "SELECT 1 -- #not-a-comment\n\nFROM t", s"got: ${a("sql")}")
-    assert(a("folded") == "one two")
+    assert(a("folded") == "one two\nthree", s"got: ${a("folded")}")
     assert(y("b") == 2)
+  }
+
+  test("target.name renders with or without control tags present") {
+    assert(ControlFlow.render("SELECT '{{ target.name }}' AS env", target = "prod")
+      == "SELECT 'prod' AS env")
+    assert(ControlFlow.render("{% if true %}x{% endif %} '{{ target.name }}'", target = "prod")
+      == "x 'prod'")
   }
 }
