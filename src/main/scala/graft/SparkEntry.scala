@@ -75,6 +75,7 @@ object SparkEntry {
     "q_funnel" -> (Events.qFunnel _),
     "q_cohort_retention" -> (Events.qCohortRetention _),
     "q_event_transitions" -> (Events.qEventTransitions _),
+    "q_rolling_window" -> (Events.qRollingWindow _),
     // text analysis
     "txt_stats" -> (TextOps.txtStats _),
     "txt_quality" -> (TextOps.txtQuality _),
@@ -414,6 +415,17 @@ object SparkEntry {
       SELECT event_type, COUNT(*) AS n,
              CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
       FROM events GROUP BY 1""",
+    "q_rolling_window" -> """
+      WITH e AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+               CAST(ROUND(value*100) AS BIGINT) AS cents
+        FROM events)
+      SELECT user_id, event_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS n_24h,
+             CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_24h
+      FROM e""",
     "q_event_transitions" -> """
       WITH e AS (
         SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type FROM events

@@ -200,6 +200,24 @@ object Events {
         coalesce(sum(col("t_buy") - col("t_click")), lit(0L)).as("sum_buy_lag_us")))
   }
 
+  /** RANGE-frame moving aggregate: per user, the count and cent-sum of
+    * their events in the trailing 24 hours of VALUE range (not row
+    * count — ties and gaps behave per SQL RANGE semantics). One shuffle
+    * on user_id; the frame arithmetic is integer microseconds so the
+    * oracle hashes exactly.
+    */
+  def qRollingWindow(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-dayUs, 0L)
+    ev(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        Relational.cents(col("value")).as("cents"))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_24h"),
+        sum(col("cents")).over(w).as("cents_24h"))
+  }
+
   /** Cohort retention matrix: users bucketed by first-seen week, then
     * distinct active users per (cohort_week, weeks_since) cell — the
     * standard product-analytics retention triangle. Two shuffles, both
