@@ -13,7 +13,8 @@ import graft.parser.ProjectLoader
 
 /** CLI verbs (reference core/dbt/cli/main.py commands §2.8):
   * parse, list, compile, run, seed, snapshot, test, build, show,
-  * docs-generate, source-freshness, clone, retry.
+  * docs-generate, docs-serve, source-freshness, clone, retry,
+  * run-operation, optimize, vacuum, export, clean, init, debug.
   *
   * Usage:
   *   graft <cmd> --project-dir DIR [--select "..."] [--exclude "..."]
