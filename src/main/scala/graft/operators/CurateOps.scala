@@ -166,6 +166,22 @@ object CurateOps {
       .drop("__bk", "__v", "__bkbefore")
   }
 
+  /** Bucket divisor for range-keyed prefix sums: the smallest `d` with
+    * `ceil(idRange / d) <= maxBuckets`, from a bounded 1-row min/max
+    * aggregate (same strided-bounds pattern as `simIvfTopK`'s centroid
+    * seed). Truncating `div` is monotone non-decreasing, so
+    * `key div d` preserves the prefix-sum caller contract for any `d`.
+    * Empty input → 1 (nothing to bucket).
+    */
+  private def rangeDivisor(df: DataFrame, maxBuckets: Int, key: String = "doc_id"): Long = {
+    val bounds = df.agg(min(col(key)), max(col(key))).head()
+    if (bounds.isNullAt(0)) 1L
+    else {
+      val range = bounds.getLong(1) - bounds.getLong(0) + 1
+      math.max(1L, (range + maxBuckets - 1) / maxBuckets)
+    }
+  }
+
   /** Concat-then-chunk sequence packing (the GPT-style pretraining
     * layout: concatenate the token stream in doc_id order, cut every
     * `block` tokens). Emits, per document, its token count and where
@@ -173,20 +189,28 @@ object CurateOps {
     * ending sequence id.
     *
     * Scale shape: the global running token count is a DISTRIBUTED
-    * prefix sum — per-range partial sums (one shuffle to ≤ a few
-    * thousand range buckets), a tiny cumulative table that broadcasts,
-    * then a window cumsum WITHIN each range bucket. No global
-    * single-partition window anywhere, so the plan parallelizes at any
-    * corpus size (the naive `Window.orderBy(doc_id)` with no partition
-    * key funnels 100 TB through one task).
+    * prefix sum — per-range partial sums (one shuffle to ≤ `maxBuckets`
+    * range buckets), a tiny cumulative table that broadcasts, then a
+    * window cumsum WITHIN each range bucket. No global single-partition
+    * window anywhere, so the plan parallelizes at any corpus size (the
+    * naive `Window.orderBy(doc_id)` with no partition key funnels
+    * 100 TB through one task).
+    *
+    * The bucket divisor derives from the corpus id RANGE (one bounded
+    * min/max agg — parquet footer stats make it near-free), so the
+    * bucket-prefix table is ≤ `maxBuckets` rows at ANY corpus size.
+    * A fixed divisor would make the "tiny" table O(corpus): at 10^11
+    * documents, `doc_id div 100` is 10^9 rows through the one global
+    * window. The output is divisor-invariant (CurateSpec proves it).
     */
-  def curatePackSequences(s: SparkSession, dir: String, block: Int = 256): DataFrame = {
+  def curatePackSequences(s: SparkSession, dir: String, block: Int = 256,
+      maxBuckets: Int = 4096): DataFrame = {
     val toks = docs(s, dir).select(
       col("doc_id"),
       size(split(TextOps.normalized(col("text")), " ")).cast("long").as("n_tokens"))
     // integer division — a double `/` would lose exactness past 2^53
-    prefixSum(toks, expr("doc_id div 100L"), Seq(col("doc_id")),
-        col("n_tokens"), "tok_before")
+    prefixSum(toks, expr(s"doc_id div ${rangeDivisor(toks, maxBuckets)}L"),
+        Seq(col("doc_id")), col("n_tokens"), "tok_before")
       .select(col("doc_id"), col("n_tokens"), col("tok_before"),
         expr(s"tok_before div $block").as("start_seq"),
         pmod(col("tok_before"), lit(block.toLong)).as("start_offset"),

@@ -148,6 +148,26 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pack_sequences: output is divisor-invariant and bucket table is bounded") {
+    // the packing result must not depend on how the prefix sum buckets
+    def snapshot(maxBuckets: Int) =
+      CurateOps.curatePackSequences(spark, sf, maxBuckets = maxBuckets).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+    val ref = snapshot(4096)
+    Seq(3, 7, 64).foreach { m => assert(snapshot(m) == ref, s"maxBuckets=$m diverged") }
+    // the divisor bounds the bucket-prefix table at ANY id range: with
+    // d = ceil(range / maxBuckets), distinct (doc_id div d) <= maxBuckets
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val range = b.getLong(1) - b.getLong(0) + 1
+    Seq(3L, 7L, 64L, 4096L).foreach { m =>
+      val d = math.max(1L, (range + m - 1) / m)
+      val nBuckets = docs.select(expr(s"doc_id div ${d}L")).distinct().count()
+      assert(nBuckets <= m, s"maxBuckets=$m produced $nBuckets buckets (divisor $d)")
+    }
+  }
+
   test("sample_stratified: exact per-stratum quota, deterministic") {
     val s1 = CurateOps.curateSampleStratified(spark, sf, k = 7).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
