@@ -148,17 +148,20 @@ object Events {
     * so the oracle compare is compact; RangeJoinRuleSpec proves the
     * row-level rewrite equality and plan shape.
     *
-    * The bin-size conf is SESSION-scoped by design (the same interface
-    * Databricks' range-join bin size uses) and stays set after this
-    * query: the rewrite is semantics-preserving and guarded (equi
-    * joins and already-bucketed plans are never touched), so arming it
-    * for the rest of the battery is safe; a deployment with
-    * heterogeneous interval widths should scope the conf per workload
-    * and pick bins near its typical width (fanout ≈ width / bin).
+    * The bin-size conf arms the rewrite for EVERY inequality join in
+    * the session, so it is scoped to a child `newSession()` here: same
+    * SparkContext, caches, and injected extensions, but its own
+    * SQLConf. The conf must be live at EXECUTION time (DataFrames are
+    * lazy — a set/restore around construction would be undone before
+    * the optimizer ever runs), and the caller's session must stay
+    * untouched: a 1-hour bin constant silently applied to a future
+    * unrelated inequality join over non-time longs would explode
+    * fanout. RangeJoinRuleSpec pins both properties.
     */
   def qRangeJoinAuto(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set(graft.plans.RangeJoinRewrite.BinConf, "3600000000") // 1 h bins
-    val e = ev(s, dir)
+    val scoped = s.newSession()
+    scoped.conf.set(graft.plans.RangeJoinRewrite.BinConf, "3600000000") // 1 h bins
+    val e = ev(scoped, dir)
     val views = e.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("ts_us").as("view_us"))
     val clicks = e.filter(col("event_type") === "click")

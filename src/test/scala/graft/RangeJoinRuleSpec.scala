@@ -67,6 +67,21 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() > 0)
   }
 
+  test("qRangeJoinAuto fires the rewrite without arming the caller's session") {
+    spark.conf.unset(RangeJoinRewrite.BinConf)
+    val df = graft.operators.Events.qRangeJoinAuto(spark, sf)
+    // the rewrite fired inside the query's scoped child session...
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("__rjb"), p.take(1500))
+    assert(df.count() == 1)
+    // ...and the caller's conf is untouched: a fresh inequality join in
+    // THIS session still plans as a nested loop (rule disarmed here)
+    assert(spark.conf.getOption(RangeJoinRewrite.BinConf).isEmpty,
+      "qRangeJoinAuto leaked its bin-size conf into the caller's session")
+    assert(plan(intervalJoin()).contains("BroadcastNestedLoopJoin"))
+  }
+
   test("inverted and null intervals produce no rows and no errors") {
     val ss = spark
     import ss.implicits._
