@@ -26,42 +26,48 @@ object GraphOps {
     *    the shortcut halves remaining distance each round, so
     *    convergence is O(log diameter) — a 1M-hop chain closes in ~20
     *    rounds instead of 1M.
-    *  - `localCheckpoint` after every round truncates lineage —
-    *    without it each iteration's plan embeds all previous ones and
-    *    Catalyst re-optimizes an exponentially growing tree.
+    *  - a checkpoint after every round truncates lineage — without it
+    *    each iteration's plan embeds all previous ones and Catalyst
+    *    re-optimizes an exponentially growing tree. When the session
+    *    has a checkpoint dir configured (`sc.setCheckpointDir` /
+    *    `spark.checkpoint.dir`), the RELIABLE `checkpoint()` is used:
+    *    on a real cluster an executor loss mid-iteration invalidates
+    *    non-replicated localCheckpoint blocks and the lineage is
+    *    already gone. Without a dir (this harness's local[32]) it
+    *    falls back to `localCheckpoint` — right call single-JVM.
     *  - convergence test is `isEmpty` on the changed-label diff: a
     *    driver boolean per round, never a collect of labels.
     *  - non-convergence within maxIter THROWS — truncated labels would
     *    silently split clusters downstream.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def save(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     // materialize the edge list ONCE: without this every round's join
     // re-executes the upstream pair-generation pipeline (for
     // dedupClusters, the full SimHash banding) inside its own job
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+    val sym = save(edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
     val nodes = sym.select(col("src").as("node")).distinct()
-    var labels = nodes.withColumn("lab", col("node")).localCheckpoint()
+    var labels = save(nodes.withColumn("lab", col("node")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       // checkpointed before the doubling self-join: both join sides
       // read it, so an unmaterialized plan would run the propagate
       // join+aggregate twice per round
-      val propagated = sym
+      val propagated = save(sym
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("lab"))
         .union(labels)
-        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
-        .localCheckpoint()
+        .groupBy(col("node")).agg(min(col("lab")).as("lab")))
       // pointer doubling: lab := label(lab). Every lab IS a node id
       // (labels start as ids and min() keeps them in the id domain),
       // so the self-join always finds it.
-      val next = propagated
+      val next = save(propagated
         .join(propagated.select(col("node").as("lab"), col("lab").as("lab2")), Seq("lab"))
-        .select(col("node"), col("lab2").as("lab"))
-        .localCheckpoint()
+        .select(col("node"), col("lab2").as("lab")))
       converged = next.alias("n")
         .join(labels.alias("o"), Seq("node"))
         .filter(col("n.lab") < col("o.lab"))

@@ -168,6 +168,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connected components: reliable-checkpoint mode gives identical labels") {
+    val ss = spark
+    import ss.implicits._
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("src", "dst")
+    val local = GraphOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val reliable = GraphOps.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      // the reliable path actually wrote checkpoint files
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable mode produced no checkpoint files")
+    } finally {
+      // SparkContext has no unsetCheckpointDir; null restores the
+      // localCheckpoint fallback for the suite's remaining tests
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("dedup clusters: exactly one keeper per cluster, id = component min") {
     val rows = GraphOps.dedupClusters(spark, sf).collect()
     assert(rows.nonEmpty)
