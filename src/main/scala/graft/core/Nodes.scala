@@ -332,6 +332,16 @@ final case class UnitTestNode(
       */
     givenSql: Map[String, String] = Map.empty,
     expectSql: Option[String] = None,
+    /** Per-test overrides (reference UnitTestOverrides,
+      * unit_test_definition.py:40-44): `vars` shadow project vars and
+      * `env_vars` shadow the process environment during this test's
+      * render; `overrideCode` is the model body re-expanded with the
+      * test's macro overrides (macros expand at parse time here, so the
+      * override is baked into a per-test copy of the compiled text).
+      */
+    overrideVars: Map[String, String] = Map.empty,
+    overrideEnv: Map[String, String] = Map.empty,
+    overrideCode: Option[String] = None,
     checksum: FileHash = FileHash(""))
   extends Node {
   val uniqueId = s"unit_test.$packageName.$name"

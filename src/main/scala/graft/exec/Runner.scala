@@ -459,12 +459,17 @@ final class Runner(
         case other => refOverrides(other) = viewName
       }
     }
-    val sql = Template.render(model.rawCode,
+    // per-test overrides (reference UnitTestOverrides): macro/var
+    // overrides arrive pre-baked in overrideCode (macros expand at
+    // parse time), vars shadow project vars at render, env_vars shadow
+    // the process environment for this render only
+    val sql = Template.render(u.overrideCode.getOrElse(model.rawCode),
       r => refOverrides.getOrElse(r,
         manifest.resolveRef(r).map(materializer.sqlName).getOrElse(r)),
       (s, t) => srcOverrides.getOrElse((s, t),
         manifest.resolveSource(s, t).map(Sources.viewName).getOrElse(s"$s.$t")),
-      vars)
+      vars ++ u.overrideVars,
+      env = sys.env ++ u.overrideEnv)
     val actual = spark.sql(sql)
     val expected = u.expectSql.map(spark.sql).getOrElse(fixtureDf(u.expect))
     // compare on expected's columns, everything as strings (the

@@ -75,6 +75,10 @@ object ProjectLoader {
     val nodes = scala.collection.mutable.LinkedHashMap[String, Node]()
     val sources = scala.collection.mutable.LinkedHashMap[String, SourceNode]()
     val unitTests = scala.collection.mutable.LinkedHashMap[String, UnitTestNode]()
+    // model name -> PRE-expansion file text; unit-test macro overrides
+    // (unit_test_definition.py:40-44) re-expand from this with the
+    // overridden macro table
+    val modelOrig = scala.collection.mutable.Map[String, String]()
     var onRunStart = Seq.empty[HookNode]
     var onRunEnd = Seq.empty[HookNode]
 
@@ -148,6 +152,7 @@ object ProjectLoader {
       val raw = renderSql(orig)
       val scan = Template.scan(raw)
       val mname = f.getFileName.toString.stripSuffix(".sql")
+      modelOrig(mname) = orig
       val cfg = configFrom(modelDefaults ++ scan.config)
       val deps =
         scan.refs.map(r => refId(r, name)) ++
@@ -505,11 +510,43 @@ object ProjectLoader {
                 case Some(e: Map[String @unchecked, Any @unchecked]) => fixtureOf(e)
                 case _ => Right(Nil)
               }
+            // per-test overrides (reference UnitTestOverrides,
+            // unit_test_definition.py:40-44; functional coverage
+            // tests/functional/unit_testing/). macros: the body is the
+            // override VALUE — a zero-param MacroDef whose expansion
+            // ignores call args, exactly Jinja's behavior when a macro
+            // is shadowed by a constant
+            val ov = u.get("overrides") match {
+              case Some(o: Map[String @unchecked, Any @unchecked]) => o
+              case _ => Map.empty[String, Any]
+            }
+            def ovMap(key: String): Map[String, String] = ov.get(key) match {
+              case Some(m: Map[String @unchecked, Any @unchecked]) =>
+                m.map { case (k, v) => k -> String.valueOf(v) }
+              case _ => Map.empty
+            }
+            val oMacros = ovMap("macros")
+            val oVars = ovMap("vars")
+            val oEnv = ovMap("env_vars")
+            // macro/var overrides change parse-time expansion → bake a
+            // per-test copy of the model body from the original text
+            val overrideCode: Option[String] =
+              if (oMacros.isEmpty && oVars.isEmpty) None
+              else modelOrig.get(model).map { orig =>
+                val t2 = macroTable ++ oMacros.map { case (n, v) =>
+                  n -> Macros.MacroDef(n, Nil, v) }
+                val v2 = vars ++ oVars
+                ControlFlow.render(Macros.expand(orig, t2), v2,
+                  v2.getOrElse("target", "dev"))
+              }
             val node = UnitTestNode(uname, name, model,
               givens = givenFixtures.collect { case (in, Right(rows)) => in -> rows }.toMap,
               expect = expectFixture.getOrElse(Nil),
               givenSql = givenFixtures.collect { case (in, Left(sql)) => in -> sql }.toMap,
               expectSql = expectFixture.left.toOption,
+              overrideVars = oVars,
+              overrideEnv = oEnv,
+              overrideCode = overrideCode,
               checksum = FileHash.of(u.toString))
             unitTests(node.uniqueId) = node
           }

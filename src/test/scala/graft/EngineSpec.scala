@@ -1200,4 +1200,63 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st9.read("docs_clean").count() == 300)
     all.unpersist()
   }
+
+  test("36 unit-test overrides: per-test vars, env_vars, and macros") {
+    // reference UnitTestOverrides (unit_test_definition.py:40-44),
+    // exercised by tests/functional/unit_testing/: a unit test may pin
+    // var()/env_var()/macro values for its own render only
+    val dv = Files.createTempDirectory("graft_ut_overrides")
+    def wv(rel: String, c: String): Unit = {
+      val p = dv.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    wv("dbt_project.yml", "name: ovdemo\nvars:\n  rate: 2\n")
+    wv("macros/bonus.sql", "{% macro bonus(x) %}0{% endmacro %}")
+    wv("models/base.sql", "SELECT 0 AS id, 0 AS v")
+    wv("models/pay.sql",
+      "SELECT id, v * {{ var('rate') }} + {{ env_var('PAY_SHIFT', '0') }}" +
+        " + {{ bonus(1) }} AS pay FROM {{ ref('base') }}")
+    wv("models/schema.yml",
+      """version: 2
+        |unit_tests:
+        |  - name: ut_defaults
+        |    model: pay
+        |    given:
+        |      - input: ref('base')
+        |        rows:
+        |          - {id: 1, v: 10}
+        |    expect:
+        |      rows:
+        |        - {id: 1, pay: 20}
+        |  - name: ut_overridden
+        |    model: pay
+        |    overrides:
+        |      vars:
+        |        rate: 3
+        |      env_vars:
+        |        PAY_SHIFT: 7
+        |      macros:
+        |        bonus: 100
+        |    given:
+        |      - input: ref('base')
+        |        rows:
+        |          - {id: 1, v: 10}
+        |    expect:
+        |      rows:
+        |        - {id: 1, pay: 137}
+        |""".stripMargin)
+    val pv = ProjectLoader.resolveRefs(ProjectLoader.load(dv.toString))
+    val ut = pv.manifest.unitTests("unit_test.ovdemo.ut_overridden")
+    assert(ut.overrideVars == Map("rate" -> "3"))
+    assert(ut.overrideEnv == Map("PAY_SHIFT" -> "7"))
+    assert(ut.overrideCode.exists(_.contains("100")), ut.overrideCode)
+    val stv = new RelationStore(spark, dv.resolve("wh").toString)
+    val rv = new Runner(spark, pv, stv,
+      RunOptions(cmd = "test", threads = 1,
+        targetDir = dv.resolve("target").toString)).execute()
+    val byIdV = rv.map(r => r.uniqueId -> r).toMap
+    assert(byIdV("unit_test.ovdemo.ut_defaults").status == "pass",
+      byIdV("unit_test.ovdemo.ut_defaults"))
+    assert(byIdV("unit_test.ovdemo.ut_overridden").status == "pass",
+      byIdV("unit_test.ovdemo.ut_overridden"))
+  }
 }
