@@ -50,4 +50,18 @@ final class Context(
 
   /** reference base.py:557 log. */
   def log(msg: String): Unit = System.err.println(s"[graft] $msg")
+
+  /** Data-shaping context members (reference base.py:375-631) — same
+    * implementations the parse-time template callables use
+    * (parser.ContextFuncs; ControlFlow evaluates them inside `{{ }}`
+    * spans and tag conditions).
+    */
+  def fromjson(s: String): Any = graft.parser.ContextFuncs.fromJson(s)
+  def tojson(v: Any): String = graft.parser.ContextFuncs.toJson(v)
+  def fromyaml(s: String): Any = graft.parser.MiniYaml.parse(s)
+  def toyaml(v: Any): String = graft.parser.ContextFuncs.toYaml(v)
+  def setOf(l: Seq[Any]): Seq[Any] = l.distinct
+  def zipOf(ls: Seq[Any]*): Seq[Seq[Any]] =
+    graft.parser.ContextFuncs.call("zip", ls.toList)
+      .asInstanceOf[Seq[Seq[Any]]]
 }

@@ -41,9 +41,9 @@ object ControlFlow {
     val base = Map[String, Any]("target.name" -> target)
     // no control tags still substitutes {{ target.name }} — its
     // rendering must not depend on an unrelated tag elsewhere in the file
-    if (!text.contains("{%")) return substitute(text, base)
+    if (!text.contains("{%")) return substitute(text, base, vars)
     val tags = tagRe.findAllMatchIn(text).toList
-    if (!tags.exists(t => Set("if", "for").contains(t.group(1)))) return substitute(text, base)
+    if (!tags.exists(t => Set("if", "for").contains(t.group(1)))) return substitute(text, base, vars)
     val (nodes, rest) = parseNodes(text, tags, 0)
     require(rest.isEmpty, s"unbalanced control tags: ${rest.map(_.group(1)).mkString(",")}")
     val sb = new StringBuilder
@@ -130,7 +130,7 @@ object ControlFlow {
   private def emit(nodes: Seq[Node], env: Map[String, Any],
       vars: Map[String, String], sb: StringBuilder): Unit =
     nodes.foreach {
-      case Text(s) => sb ++= substitute(s, env)
+      case Text(s) => sb ++= substitute(s, env, vars)
       case If(branches, orElse, incremental) =>
         if (incremental) {
           // re-emit for the compile-time incremental pass
@@ -149,6 +149,7 @@ object ControlFlow {
       case For(ident, listExpr, body) =>
         val items = Expr.eval(listExpr, env, vars) match {
           case l: Seq[_] => l
+          case m: Map[_, _] => m.keys.toSeq // Jinja iterates a dict's keys
           case other => throw new IllegalArgumentException(
             s"for-loop needs a list, got $other")
         }
@@ -163,15 +164,57 @@ object ControlFlow {
 
   /** `{{ x }}` / `{{ loop.index }}` substitution for bound variables —
     * only identifiers present in `env`; everything else (ref, source,
-    * var, this…) is left for Template.
+    * var, this…) is left for Template — plus `{{ fromjson(...)[...] }}`
+    * data-function spans (reference context members, base.py:375-631),
+    * evaluated here at parse time like any rendered Jinja expression.
     */
-  private def substitute(s: String, env: Map[String, Any]): String =
-    if (env.isEmpty || !s.contains("{{")) s
-    else raw"""\{\{\s*([A-Za-z_][\w.]*)\s*\}\}""".r.replaceAllIn(s, m =>
-      env.get(m.group(1)) match {
-        case Some(v) => Regex.quoteReplacement(Expr.show(v))
-        case None => Regex.quoteReplacement(m.matched)
-      })
+  private def substitute(s: String, env: Map[String, Any],
+      vars: Map[String, String]): String = {
+    if (!s.contains("{{")) return s
+    var out = s
+    if (env.nonEmpty)
+      out = raw"""\{\{\s*([A-Za-z_][\w.]*)\s*\}\}""".r.replaceAllIn(out, m =>
+        env.get(m.group(1)) match {
+          case Some(v) => Regex.quoteReplacement(Expr.show(v))
+          case None => Regex.quoteReplacement(m.matched)
+        })
+    substituteFuncs(out, env, vars)
+  }
+
+  /** Evaluate `{{ fromjson(...)['k'] }}`-style data-function spans.
+    * A hand scan (not a regex): the expression may contain `}}` inside
+    * a string literal (any JSON object argument does), so the span end
+    * is found by PARSING the expression, not by searching for braces.
+    */
+  private def substituteFuncs(s: String, env: Map[String, Any],
+      vars: Map[String, String]): String = {
+    if (!s.contains("{{")) return s
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val open = s.indexOf("{{", i)
+      if (open < 0) { sb.append(s.substring(i)); i = s.length }
+      else {
+        sb.append(s.substring(i, open))
+        var j = open + 2
+        while (j < s.length && s(j).isWhitespace) j += 1
+        val idStart = j
+        while (j < s.length && (s(j).isLetterOrDigit || s(j) == '_')) j += 1
+        val ident = s.substring(idStart, j)
+        var k = j
+        while (k < s.length && s(k).isWhitespace) k += 1
+        val span =
+          if (ContextFuncs.names.contains(ident) && k < s.length && s(k) == '(')
+            Expr.evalSpan(s, idStart, env, vars)
+          else None
+        span match {
+          case Some((v, end)) => sb.append(ContextFuncs.show(v)); i = end
+          case None => sb.append("{{"); i = open + 2
+        }
+      }
+    }
+    sb.toString
+  }
 
   private[parser] def truthy(v: Any): Boolean = v match {
     case b: Boolean => b
@@ -190,14 +233,32 @@ object ControlFlow {
         require(p.atEnd, s"trailing input in condition: $src"); v
       }
 
-    def show(v: Any): String = v match {
-      case d: Double if d == d.floor && !d.isInfinite => d.toLong.toString
-      case other => String.valueOf(other)
+    /** Parse one expression starting at `from` inside a larger text and
+      * require it to end at a `}}` — returns (value, index-after-`}}`),
+      * or None when it isn't a complete well-formed span.
+      */
+    def evalSpan(src: String, from: Int, env: Map[String, Any],
+        vars: Map[String, String]): Option[(Any, Int)] = {
+      val p = new P(src, env, vars)
+      p.i = from
+      try {
+        val (v, _) = p.parseOr()
+        if (p.closeBraces()) Some((v, p.i)) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
+
+    // container/boolean/null rendering matches Jinja via ContextFuncs
+    // (a zip/set/fromjson result may land in a {{ x }} loop-var span)
+    def show(v: Any): String = ContextFuncs.show(v)
 
     private final class P(s: String, env: Map[String, Any], vars: Map[String, String]) {
       var i = 0
       def atEnd: Boolean = { ws(); i >= s.length }
+      /** Consume a closing `}}` (the end of a `{{ … }}` span). */
+      def closeBraces(): Boolean = {
+        ws()
+        if (s.startsWith("}}", i)) { i += 2; true } else false
+      }
       private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
       private def kw(word: String): Boolean = {
         ws()
@@ -220,19 +281,41 @@ object ControlFlow {
       private def parseNot(): (Any, P) =
         if (kw("not")) { val (v, _) = parseNot(); (!truthy(v), this) } else parseCmp()
       private def parseCmp(): (Any, P) = {
-        val (l, _) = parsePrimary()
+        val (l, _) = parsePostfix()
         ws()
         val ops = Seq("==", "!=", "<=", ">=", "<", ">")
         ops.find(o => s.startsWith(o, i)) match {
           case Some(op) =>
             i += op.length
-            val (r, _) = parsePrimary()
+            val (r, _) = parsePostfix()
             (compare(op, l, r), this)
           case None =>
-            if (kw("not") && kw("in")) { val (r, _) = parsePrimary(); (!isIn(l, r), this) }
-            else if (kw("in")) { val (r, _) = parsePrimary(); (isIn(l, r), this) }
+            if (kw("not") && kw("in")) { val (r, _) = parsePostfix(); (!isIn(l, r), this) }
+            else if (kw("in")) { val (r, _) = parsePostfix(); (isIn(l, r), this) }
             else (l, this)
         }
+      }
+      /** `expr[key]` / `expr[idx]` subscript chains after any primary —
+        * how a fromjson/fromyaml result reaches a scalar.
+        */
+      private def parsePostfix(): (Any, P) = {
+        var (v, _) = parsePrimary()
+        ws()
+        while (i < s.length && s(i) == '[') {
+          i += 1
+          val (idx, _) = parseOr(); ws()
+          require(i < s.length && s(i) == ']', s"missing ] in $s"); i += 1
+          v = subscript(v, idx)
+          ws()
+        }
+        (v, this)
+      }
+      private def subscript(v: Any, idx: Any): Any = (v, idx) match {
+        case (m: Map[_, _], k) =>
+          m.asInstanceOf[Map[String, Any]].getOrElse(String.valueOf(k), null)
+        case (l: Seq[_], n: Long) if n >= 0 && n < l.length => l(n.toInt)
+        case (str: String, n: Long) if n >= 0 && n < str.length => str(n.toInt).toString
+        case _ => null
       }
       private def compare(op: String, l: Any, r: Any): Boolean = (l, r) match {
         case (a: Long, b: Long) => cmpNum(op, a.toDouble, b.toDouble)
@@ -304,14 +387,28 @@ object ControlFlow {
             require(i > start, s"cannot parse condition at '${s.drop(i)}'")
             val ident = s.substring(start, i)
             ws()
-            if (i < s.length && s(i) == '(' && ident == "var") {
+            if (i < s.length && s(i) == '(' &&
+                (ident == "var" || ContextFuncs.names.contains(ident))) {
               i += 1
-              val (nameV, _) = parseOr(); ws()
-              var default: Any = null
-              if (i < s.length && s(i) == ',') { i += 1; val (d, _) = parseOr(); default = d; ws() }
-              require(i < s.length && s(i) == ')', s"missing ) after var( in $s"); i += 1
-              val name = String.valueOf(nameV)
-              (vars.get(name).map(coerce).getOrElse(default), this)
+              val args = Vector.newBuilder[Any]
+              ws()
+              if (i < s.length && s(i) == ')') i += 1
+              else {
+                var done = false
+                while (!done) {
+                  val (v, _) = parseOr(); args += v; ws()
+                  if (i < s.length && s(i) == ',') i += 1
+                  else {
+                    require(i < s.length && s(i) == ')',
+                      s"missing ) after $ident( in $s"); i += 1; done = true
+                  }
+                }
+              }
+              val as = args.result()
+              if (ident == "var")
+                (vars.get(String.valueOf(as.head)).map(coerce)
+                  .getOrElse(as.lift(1).orNull), this)
+              else (ContextFuncs.call(ident, as.toList), this)
             } else ident match {
               case "true" | "True" => (true, this)
               case "false" | "False" => (false, this)

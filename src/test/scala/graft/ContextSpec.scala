@@ -22,6 +22,21 @@ class ContextSpec extends AnyFunSuite {
     assert(ctx.localMd5("abc") == "900150983cd24fb0d6963f7d28e17f72")
   }
 
+  test("data-shaping context members: fromjson/tojson/fromyaml/toyaml/set/zip") {
+    val ctx = new Context(spark,
+      new RelationStore(spark, java.nio.file.Files.createTempDirectory("ctx_wh2").toString),
+      Map.empty)
+    val parsed = ctx.fromjson("""{"b": [1, 2], "a": "x"}""")
+    assert(parsed == Map("b" -> List(1L, 2L), "a" -> "x"))
+    // key order preserved through a round-trip (insertion-ordered maps)
+    assert(ctx.tojson(parsed) == """{"b": [1, 2], "a": "x"}""")
+    assert(ctx.fromyaml("dogs:\n - good\n - bad") ==
+      Map("dogs" -> List("good", "bad")))
+    assert(ctx.fromyaml(ctx.toyaml(parsed)) == Map("b" -> List(1, 2), "a" -> "x"))
+    assert(ctx.setOf(Seq(1, 2, 2, 3)) == Seq(1, 2, 3))
+    assert(ctx.zipOf(Seq(1, 2), Seq("a", "b")) == Seq(Seq(1, "a"), Seq(2, "b")))
+  }
+
   test("salted two-phase aggregation is exact under any partitioning") {
     import org.apache.spark.sql.functions._
     val df = spark.range(0, 10000).toDF("id")

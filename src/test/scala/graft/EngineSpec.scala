@@ -1259,4 +1259,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byIdV("unit_test.ovdemo.ut_overridden").status == "pass",
       byIdV("unit_test.ovdemo.ut_overridden"))
   }
+
+  test("37 template data functions end-to-end: fromjson(var()) in a macro") {
+    // reference context members fromjson/tojson/... (base.py:375-631):
+    // a macro unpacks a JSON project var and shapes the model's SQL
+    val dj = Files.createTempDirectory("graft_datafuncs")
+    def wj(rel: String, c: String): Unit = {
+      val p = dj.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    wj("dbt_project.yml",
+      "name: djdemo\nvars:\n  cfg: '{\"col\": \"v\", \"mult\": 3}'\n")
+    wj("macros/pick.sql",
+      "{% macro pick(cfg_json) %}" +
+        "{{ fromjson(cfg_json)['col'] }} * {{ fromjson(cfg_json)['mult'] }}" +
+        "{% endmacro %}")
+    wj("models/base.sql", "SELECT 10 AS v")
+    wj("models/shaped.sql",
+      "SELECT {{ pick(var('cfg')) }} AS x FROM {{ ref('base') }}")
+    val pj = ProjectLoader.resolveRefs(ProjectLoader.load(dj.toString))
+    val stj = new RelationStore(spark, dj.resolve("wh").toString)
+    val rj = new Runner(spark, pj, stj,
+      RunOptions(cmd = "run", threads = 1,
+        targetDir = dj.resolve("target").toString)).execute()
+    assert(rj.forall(_.status == "success"), rj.mkString("\n"))
+    assert(stj.read("shaped").first().getAs[Int]("x") == 30)
+  }
 }

@@ -250,6 +250,43 @@ class ControlFlowSpec extends AnyFunSuite {
     assert(y("b") == 2)
   }
 
+  test("data functions: fromjson/tojson/fromyaml/toyaml/set/zip") {
+    import graft.parser.MiniYaml
+    // span substitution with subscript chains (reference context
+    // members, base.py:375-631)
+    assert(ControlFlow.render(
+      "SELECT * FROM {{ fromjson(var('cfg'))['schema'] }}.t",
+      Map("cfg" -> """{"schema": "analytics", "retries": 3}""")) ==
+      "SELECT * FROM analytics.t")
+    assert(ControlFlow.render("{{ fromjson('[10, 20, 30]')[1] }}") == "20")
+    assert(ControlFlow.render(
+      """{{ fromjson('{"a": {"b": [1, 2]}}')['a']['b'][0] }}""") == "1")
+    // tojson round-trips preserving key order
+    assert(ControlFlow.render(
+      """{{ tojson(fromjson('{"z": 1, "a": [true, null]}')) }}""") ==
+      """{"z": 1, "a": [true, null]}""")
+    // fromyaml / toyaml: emitted yaml re-parses to the same value
+    assert(ControlFlow.render("{{ fromyaml(var('y'))['dogs'][0] }}",
+      Map("y" -> "dogs:\n - good\n - bad")) == "good")
+    val y = ControlFlow.render(
+      """{{ toyaml(fromjson('{"a": 1, "b": ["x", "y"]}')) }}""")
+    assert(MiniYaml.parseMap(y) == Map("a" -> 1, "b" -> List("x", "y")), y)
+    // set: first-occurrence-order distinct; zip: parallel iteration
+    assert(ControlFlow.render(
+      "{% for x in set([1, 2, 2, 3]) %}{{ x }}{% endfor %}") == "123")
+    assert(ControlFlow.render(
+      "{% for p in zip([1, 2], ['a', 'b']) %}{{ p }}|{% endfor %}") ==
+      "[1, 'a']|[2, 'b']|")
+    // data functions compose into tag conditions and dict iteration
+    assert(ControlFlow.render(
+      "{% if fromjson(var('cfg'))['retries'] > 2 %}Y{% else %}N{% endif %}",
+      Map("cfg" -> """{"retries": 3}""")) == "Y")
+    assert(ControlFlow.render(
+      """{% for k in fromjson('{"b": 1, "a": 2}') %}{{ k }}{% endfor %}""") == "ba")
+    // malformed input falls back to the provided default
+    assert(ControlFlow.render("{{ fromjson('oops', 'dflt') }}") == "dflt")
+  }
+
   test("target.name renders with or without control tags present") {
     assert(ControlFlow.render("SELECT '{{ target.name }}' AS env", target = "prod")
       == "SELECT 'prod' AS env")
