@@ -531,14 +531,24 @@ final class Runner(
   def sourceFreshness(): Seq[RunResult] = {
     Sources.registerAll(spark, manifest, vars)
     val rows = manifest.sources.values.toSeq
-      .filter(s => s.loadedAtField.nonEmpty)
+      .filter(s => s.loadedAtField.nonEmpty ||
+        s.freshnessWarnAfter.nonEmpty || s.freshnessErrorAfter.nonEmpty)
       .map { s =>
         val t0 = System.nanoTime()
         try {
-          val df = spark.table(Sources.viewName(s))
-          val r = df.agg(max(col(s.loadedAtField.get).cast("timestamp"))).first()
-          val loadedAt =
-            if (r.isNullAt(0)) None else Some(Instant.ofEpochMilli(r.getTimestamp(0).getTime))
+          val loadedAt: Option[Instant] = s.loadedAtField match {
+            case Some(f) =>
+              val df = spark.table(Sources.viewName(s))
+              val r = df.agg(max(col(f).cast("timestamp"))).first()
+              if (r.isNullAt(0)) None
+              else Some(Instant.ofEpochMilli(r.getTimestamp(0).getTime))
+            // no loaded_at_field → metadata freshness (reference
+            // freshness.py:125-166, Capability.TableLastModifiedMetadata):
+            // the storage layer's last-modified time, a pure metadata
+            // read with no data scan — at 100 TB the difference between
+            // a listing call and a full-column max matters
+            case None => metadataLoadedAt(s)
+          }
           val age = loadedAt.map(l => java.time.Duration.between(l, opts.now))
           val status = (age, s.freshnessErrorAfter, s.freshnessWarnAfter) match {
             case (None, _, _) => "error"
@@ -558,5 +568,27 @@ final class Runner(
     Artifacts.writeSources(opts.targetDir,
       rows.map { case (loadedAt, r) => (r.uniqueId, loadedAt, r.status) })
     rows.map(_._2)
+  }
+
+  /** Storage-metadata freshness for sources without a
+    * `loaded_at_field`: newest last-modified time across the source's
+    * files, through the Hadoop FileSystem API so any supported scheme
+    * (file://, hdfs://, s3a://…) answers from its listing metadata.
+    */
+  private def metadataLoadedAt(s: SourceNode): Option[Instant] = {
+    val loc = vars.foldLeft(s.location) { case (acc, (k, v)) => acc.replace(s"{$k}", v) }
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      var maxT = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getModificationTime > maxT) maxT = f.getModificationTime
+      }
+      Some(Instant.ofEpochMilli(
+        if (maxT > 0L) maxT else fs.getFileStatus(p).getModificationTime))
+    }
   }
 }
