@@ -596,12 +596,69 @@ object ProjectLoader {
     if (!Files.exists(pf)) Nil
     else MiniYaml.parseMap(Files.readString(pf)).get("packages") match {
       case Some(l: List[Any @unchecked]) => l.flatMap {
-        case m: Map[String @unchecked, Any @unchecked] =>
+        case m: Map[String @unchecked, Any @unchecked] if m.contains("local") =>
           m.get("local").map(p => dir.resolve(p.toString).normalize)
+        case m: Map[String @unchecked, Any @unchecked] if m.contains("tarball") =>
+          Some(untarPackage(dir, m("tarball").toString,
+            m.getOrElse("name", "package").toString))
         case _ => None
       }
       case _ => Nil
     }
+  }
+
+  /** packages.yml `- tarball:` entries (reference TarballPinnedPackage,
+    * core/dbt/deps/tarball.py:30-90): the archive is extracted into
+    * `dbt_packages/<name>_untarred` and must contain exactly one
+    * top-level folder — that folder is the package root (reference
+    * structure check, tarball.py:63-70). Only `file://` / plain-path
+    * archives resolve here; http(s) needs egress (hub/git likewise)
+    * and stays out of scope. Extraction is cached on the archive's
+    * mtime so repeated parses don't re-untar.
+    */
+  private def untarPackage(dir: Path, tarball: String, name: String): Path = {
+    val raw = tarball.stripPrefix("file://")
+    if (raw.matches("^[a-z+]+://.*"))
+      throw new IllegalArgumentException(
+        s"tarball package '$name': only file:// archives resolve in this " +
+          s"environment (got $tarball)")
+    val tarPath = dir.resolve(raw).normalize
+    require(Files.exists(tarPath), s"tarball package '$name': $tarPath not found")
+    val untarred = dir.resolve("dbt_packages").resolve(s"${name}_untarred")
+    val fresh = Files.exists(untarred) &&
+      Files.getLastModifiedTime(untarred).compareTo(Files.getLastModifiedTime(tarPath)) >= 0
+    if (!fresh) {
+      if (Files.exists(untarred))
+        Files.walk(untarred).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      Files.createDirectories(untarred)
+      val base = Files.newInputStream(tarPath)
+      val in = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+        if (raw.endsWith(".gz") || raw.endsWith(".tgz"))
+          new org.apache.commons.compress.compressors.gzip.GzipCompressorInputStream(base)
+        else base)
+      try {
+        var e = in.getNextEntry
+        while (e != null) {
+          val out = untarred.resolve(e.getName).normalize
+          // zip-slip guard: an entry must not escape the package dir
+          require(out.startsWith(untarred), s"tar entry escapes package dir: ${e.getName}")
+          if (e.isDirectory) Files.createDirectories(out)
+          else {
+            Files.createDirectories(out.getParent)
+            Files.copy(in, out, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+          e = in.getNextEntry
+        }
+      } finally in.close()
+      Files.setLastModifiedTime(untarred, Files.getLastModifiedTime(tarPath))
+    }
+    val children = Files.list(untarred).iterator().asScala
+      .filter(Files.isDirectory(_)).toSeq
+    require(children.size == 1,
+      s"tarball package '$name': the archive must contain exactly one " +
+        s"top-level folder (found ${children.size})")
+    children.head
   }
 
   private def filesUnder(d: Path, ext: String): Seq[Path] =

@@ -298,9 +298,56 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("09 source freshness evaluates thresholds") {
     val fr = new Runner(spark, project, store, opts("run")).sourceFreshness()
-    assert(fr.size == 1) // only orders declares loaded_at_field
+    assert(fr.size == 1) // only orders declares freshness config
     // data is from 1995-2001, far older than 24h ⇒ warn (no error_after set)
     assert(fr.head.status == "warn", fr.head)
+
+    // metadata freshness (reference freshness.py:125-166): a source
+    // with freshness thresholds but NO loaded_at_field answers from
+    // storage last-modified metadata — no data scan
+    val dm = Files.createTempDirectory("graft_meta_fresh")
+    spark.range(3).toDF("id").write.parquet(dm.resolve("fresh_tbl").toString)
+    spark.range(3).toDF("id").write.parquet(dm.resolve("stale_tbl").toString)
+    // age the second table's files 3 days into the past
+    Files.walk(dm.resolve("stale_tbl")).forEach { p =>
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.from(
+        java.time.Instant.now().minus(java.time.Duration.ofDays(3))))
+    }
+    def wm(rel: String, c: String): Unit = {
+      val p = dm.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    wm("dbt_project.yml", "name: metafresh\n")
+    wm("models/sources.yml",
+      s"""version: 2
+         |sources:
+         |  - name: lake
+         |    tables:
+         |      - name: fresh_tbl
+         |        location: "${dm.resolve("fresh_tbl")}"
+         |        freshness:
+         |          warn_after:
+         |            count: 24
+         |            period: hour
+         |      - name: stale_tbl
+         |        location: "${dm.resolve("stale_tbl")}"
+         |        freshness:
+         |          warn_after:
+         |            count: 24
+         |            period: hour
+         |          error_after:
+         |            count: 48
+         |            period: hour
+         |""".stripMargin)
+    val pm = ProjectLoader.resolveRefs(ProjectLoader.load(dm.toString))
+    val stm = new RelationStore(spark, dm.resolve("wh").toString)
+    val frm = new Runner(spark, pm, stm,
+      RunOptions(cmd = "source-freshness", threads = 1,
+        targetDir = dm.resolve("target").toString)).sourceFreshness()
+    val byId = frm.map(r => r.uniqueId -> r).toMap
+    assert(byId("source.metafresh.lake.fresh_tbl").status == "pass",
+      byId("source.metafresh.lake.fresh_tbl"))
+    assert(byId("source.metafresh.lake.stale_tbl").status == "error",
+      byId("source.metafresh.lake.stale_tbl"))
   }
 
   test("10 artifacts: run_results + manifest round-trip, retry selection") {
@@ -1283,5 +1330,61 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         targetDir = dj.resolve("target").toString)).execute()
     assert(rj.forall(_.status == "success"), rj.mkString("\n"))
     assert(stj.read("shaped").first().getAs[Int]("x") == 30)
+  }
+
+  test("38 tarball package deps: file:// archive resolves like a local package") {
+    // reference TarballPinnedPackage (core/dbt/deps/tarball.py): the
+    // archive must hold exactly one top-level folder = the package root
+    val dt = Files.createTempDirectory("graft_tarpkg")
+    def wt(rel: String, c: String): Unit = {
+      val p = dt.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    // build the package content, then tar.gz it with the archive
+    // layout the reference requires (single "tarpkg/" root folder)
+    wt("src_pkg/tarpkg/dbt_project.yml", "name: tarpkg\n")
+    wt("src_pkg/tarpkg/macros/triple.sql",
+      "{% macro triple(x) %}({{ x }} * 3){% endmacro %}")
+    wt("src_pkg/tarpkg/models/tar_base.sql", "SELECT 7 AS v")
+    val tarFile = dt.resolve("tarpkg.tar.gz")
+    locally {
+      import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+      import org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream
+      val out = new TarArchiveOutputStream(
+        new GzipCompressorOutputStream(Files.newOutputStream(tarFile)))
+      val root = dt.resolve("src_pkg")
+      Files.walk(root).filter(Files.isRegularFile(_)).forEach { f =>
+        val e = new TarArchiveEntry(f.toFile, root.relativize(f).toString)
+        out.putArchiveEntry(e)
+        out.write(Files.readAllBytes(f))
+        out.closeArchiveEntry()
+      }
+      out.close()
+    }
+    wt("dbt_project.yml", "name: tarroot\n")
+    wt("packages.yml",
+      s"packages:\n  - tarball: file://$tarFile\n    name: tarpkg\n")
+    wt("models/uses_pkg.sql",
+      """{{ config(materialized='table') }}
+        |SELECT (SELECT v FROM {{ ref('tarpkg', 'tar_base') }}) AS from_pkg,
+        |       {{ triple(4) }} AS from_pkg_macro""".stripMargin)
+    val pt = ProjectLoader.resolveRefs(ProjectLoader.load(dt.toString))
+    assert(pt.manifest.nodes.contains("model.tarpkg.tar_base"))
+    val stt = new RelationStore(spark, dt.resolve("wh").toString)
+    val rt = new Runner(spark, pt, stt,
+      RunOptions(cmd = "run", threads = 2,
+        targetDir = dt.resolve("target").toString)).execute()
+    assert(rt.forall(_.status == "success"), rt.mkString("\n"))
+    val rowT = stt.read("uses_pkg").first()
+    assert(rowT.getInt(0) == 7)   // package-qualified ref into the archive
+    assert(rowT.getInt(1) == 12)  // package macro shared globally
+    // re-parse reuses the cached extraction (same archive mtime)
+    val extracted = dt.resolve("dbt_packages/tarpkg_untarred")
+    val mtime = Files.getLastModifiedTime(extracted)
+    ProjectLoader.load(dt.toString)
+    assert(Files.getLastModifiedTime(extracted) == mtime)
+    // a remote scheme is refused, not silently ignored
+    wt("packages.yml",
+      "packages:\n  - tarball: https://example.com/p.tar.gz\n    name: nope\n")
+    assertThrows[IllegalArgumentException](ProjectLoader.load(dt.toString))
   }
 }
