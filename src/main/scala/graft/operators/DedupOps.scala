@@ -26,7 +26,7 @@ object DedupOps {
     * invariant (min is idempotent), so the LSH pipeline reads this
     * directly; only exact-Jaccard set sizes need [[shingles]].
     */
-  private def shinglesRaw(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shinglesRaw(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), split(TextOps.normalized(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
@@ -37,7 +37,7 @@ object DedupOps {
     * The distinct is a full shuffle of the largest intermediate — only
     * pay it where set semantics matter.
     */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
     shinglesRaw(s, dir).distinct()
 
   /** Exact dedup: md5-fingerprint groups; keeper = min doc_id per group.

@@ -55,6 +55,87 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tight.subsetOf(unguarded), s"two-phase emitted wrong values: ${tight -- unguarded}")
   }
 
+  test("growth curve: guarded/banded candidate pairs scale linearly with the corpus") {
+    import org.apache.spark.sql.functions._
+    // Synthetic corpora at N, 2N, 4N docs with FIXED structure: every
+    // doc carries a hot boilerplate shingle (df = corpus size, far
+    // above the guard), 1/6 of docs have one near-duplicate. The 100 TB
+    // claim under test: candidate-pair cardinality — the widest
+    // intermediate in both dedup pipelines — tracks the true duplicate
+    // count (linear in N), not the hot-shingle join (quadratic in N).
+    def corpus(n: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"growth_$n")
+      val rows: Seq[(Long, String)] = (0 until n).map { i =>
+        val base = (0 until 20).map(j => s"d${i}a$j").mkString(" ")
+        (i.toLong, s"$base common boiler plate")
+      } ++ (0 until n / 6).map { i =>
+        // near-dup of doc i: one token inserted before the boilerplate
+        val base = (0 until 20).map(j => s"d${i}a$j").mkString(" ")
+        ((n + i).toLong, s"$base zz$i common boiler plate")
+      }
+      val sess = spark
+      import sess.implicits._
+      rows.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+      dir.toString
+    }
+    // mirror of ngramJaccard's candidate stage (DedupOps.scala:109-117;
+    // keep in sync) — pairs sharing a rare (df <= maxDf) shingle
+    def ngramCands(dir: String, maxDf: Int): Long = {
+      val sh = DedupOps.shingles(spark, dir)
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      val joinable = if (maxDf <= 0) sh else sh.join(
+        sh.groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
+        Seq("h"), "left_semi")
+      joinable.select(col("doc_id").as("doc_a"), col("h"))
+        .join(joinable.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct().count()
+    }
+    // mirror of dedupMinHashLsh's banding stage (DedupOps.scala:150-170;
+    // keep in sync) — pairs colliding in >= 1 of 8 bands
+    def bandCands(dir: String): Long = {
+      val nPerm = 32; val rowsPerBand = 4; val nBands = nPerm / rowsPerBand
+      val sh = DedupOps.shinglesRaw(spark, dir)
+        .select(col("doc_id"), DedupOps.md5Hash64(col("s")).as("h"))
+      val sigs = sh.groupBy(col("doc_id"))
+        .agg(graft.functions.MinHashAgg.minhashSig(col("h"), nPerm).as("sig"))
+      val bandCols = (0 until nBands).map { b =>
+        val slots = (0 until rowsPerBand).map(r => s"sig[${b * rowsPerBand + r}]").mkString(", ")
+        DedupOps.md5Hash64(expr(s"concat_ws(',', $b, $slots)")).as(s"band$b")
+      }
+      val banded = sigs.select(col("doc_id") +: bandCols: _*)
+        .select(col("doc_id"),
+          explode(array((0 until nBands).map(b => col(s"band$b")): _*)).as("bk"))
+      banded.alias("x").join(banded.alias("y"), col("x.bk") === col("y.bk"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct().count()
+    }
+    val dirs = Seq(120, 240, 480).map(corpus)
+    val guarded = dirs.map(ngramCands(_, DedupOps.HotShingleMaxDf))
+    assert(guarded.head > 0)
+    // true dup pairs are n/6 → doubling the corpus doubles candidates
+    assert(guarded(1).toDouble / guarded(0) <= 2.6,
+      s"guarded ngram candidates superlinear: $guarded")
+    assert(guarded(2).toDouble / guarded(0) <= 5.2,
+      s"guarded ngram candidates superlinear: $guarded")
+    // without the guard, the hot shingle joins all-pairs: quadratic
+    val unguarded = dirs.map(ngramCands(_, 0))
+    assert(unguarded(1).toDouble / unguarded(0) >= 3.0,
+      s"expected quadratic unguarded growth: $unguarded")
+    assert(unguarded(2).toDouble / unguarded(0) >= 10.0,
+      s"expected quadratic unguarded growth: $unguarded")
+    // LSH banding never sees the hot-shingle explosion at all: band
+    // collisions track near-dups (J≈0.8 here → P(candidate)≈0.98)
+    val banded = dirs.map(bandCands)
+    assert(banded.head > 0)
+    assert(banded(1).toDouble / banded(0) <= 2.9,
+      s"banded candidates superlinear: $banded")
+    assert(banded(2).toDouble / banded(0) <= 5.8,
+      s"banded candidates superlinear: $banded")
+  }
+
   test("simhash banding retrieves EXACTLY the brute-force hamming pairs") {
     val sigs = DedupOps.dedupSimHash(spark, sf)
       .select("doc_id", "simhash").collect()
