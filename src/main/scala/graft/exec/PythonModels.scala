@@ -26,3 +26,114 @@ object PythonModels {
   def unregister(name: String): Unit = impls.remove(name)
   def get(name: String): Option[Impl] = impls.get(name)
 }
+
+/** Local `python3` executor for python models configured with
+  * `submission_method="subprocess"` — the concrete stand-in for the
+  * reference's job submission (`submit_python_job`, providers.py:1513,
+  * whose dataproc/databricks methods ship the .py source to external
+  * compute and read the result relation back).
+  *
+  * Protocol (stdlib-only on the Python side — no pyspark/pandas
+  * dependency): inputs land as JSON-lines directories, a generated
+  * shim exposes `dbt.ref()/source()/config()` over them as lists of
+  * dict rows, the model's returned rows come back as JSON lines and
+  * re-enter Spark via `spark.read.json`. Deliberately driver-scale:
+  * the seam exists to run real Python end-to-end; a 100 TB python
+  * model belongs on cluster compute behind the same interface (the
+  * registry in [[PythonModels]] is that hook).
+  */
+object PythonSubprocess {
+  import java.nio.file.{Files, Path}
+
+  def available: Boolean =
+    try {
+      val p = new ProcessBuilder("python3", "--version")
+        .redirectErrorStream(true).start()
+      p.getInputStream.readAllBytes()
+      p.waitFor() == 0
+    } catch { case _: Exception => false }
+
+  /** The Python side of the protocol. Not an interpolated string — it
+    * is Python, not Scala.
+    */
+  private val shim: String =
+    """import glob, importlib.util, json, os, sys
+      |
+      |job = json.load(open(sys.argv[1]))
+      |
+      |class Relation:
+      |    def __init__(self, rows):
+      |        self.rows = rows
+      |    def __iter__(self):
+      |        return iter(self.rows)
+      |    def __len__(self):
+      |        return len(self.rows)
+      |
+      |def _load(d):
+      |    rows = []
+      |    for f in sorted(glob.glob(os.path.join(d, "part-*"))):
+      |        if f.endswith(".crc"):
+      |            continue
+      |        with open(f) as fh:
+      |            for line in fh:
+      |                line = line.strip()
+      |                if line:
+      |                    rows.append(json.loads(line))
+      |    return Relation(rows)
+      |
+      |inputs = {k: _load(d) for k, d in job["inputs"].items()}
+      |
+      |class Dbt:
+      |    def config(self, *a, **kw):
+      |        pass
+      |    def ref(self, *parts, **kw):
+      |        for key in ("/".join(parts), parts[-1]):
+      |            if key in inputs:
+      |                return inputs[key]
+      |        raise KeyError("ref not in declared inputs: " + "/".join(parts))
+      |    def source(self, s, t):
+      |        return inputs[s + "." + t]
+      |
+      |spec = importlib.util.spec_from_file_location("graft_user_model", job["model_path"])
+      |mod = importlib.util.module_from_spec(spec)
+      |spec.loader.exec_module(mod)
+      |result = mod.model(Dbt(), None)
+      |rows = result.rows if isinstance(result, Relation) else list(result)
+      |with open(job["output"], "w") as out:
+      |    for r in rows:
+      |        if not isinstance(r, dict):
+      |            raise TypeError("model must return rows as dicts, got %r" % (r,))
+      |        out.write(json.dumps(r) + "\n")
+      |""".stripMargin
+
+  def run(
+      spark: SparkSession,
+      modelName: String,
+      modelSource: String,
+      inputs: Map[String, DataFrame]): DataFrame = {
+    val work: Path = Files.createTempDirectory(s"graft_py_$modelName")
+    val inputDirs: Map[String, String] = inputs.map { case (k, df) =>
+      val d = work.resolve("in_" + k.replaceAll("\\W", "_")).toString
+      df.write.json(d)
+      k -> d
+    }
+    val modelPath = work.resolve("model_src.py")
+    Files.writeString(modelPath, modelSource)
+    val outPath = work.resolve("out.jsonl")
+    val jobPath = work.resolve("job.json")
+    Files.writeString(jobPath, graft.parser.ContextFuncs.toJson(Map(
+      "inputs" -> inputDirs,
+      "model_path" -> modelPath.toString,
+      "output" -> outPath.toString)))
+    val shimPath = work.resolve("graft_runner.py")
+    Files.writeString(shimPath, shim)
+    val proc = new ProcessBuilder("python3", shimPath.toString, jobPath.toString)
+      .redirectErrorStream(true).start()
+    val log = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val code = proc.waitFor()
+    if (code != 0)
+      throw new IllegalStateException(
+        s"python model $modelName: subprocess exited $code\n${log.takeRight(2000)}")
+    spark.read.json(outPath.toString)
+  }
+}

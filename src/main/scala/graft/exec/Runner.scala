@@ -287,10 +287,23 @@ final class Runner(
     * job submission, and the result materializes like any model.
     */
   private def runPythonModel(m: ModelNode, elapsed: => Double): RunResult = {
-    val impl = PythonModels.get(m.name).getOrElse(throw new IllegalStateException(
-      s"python model ${m.name}: no in-process Python runtime — register a JVM " +
-        s"""implementation via PythonModels.register("${m.name}")(...) """ +
-        "(on a cluster this seam submits the .py source as a batch job)"))
+    // dispatch: an explicitly registered JVM impl wins; a model
+    // configured submission_method="subprocess" executes its real .py
+    // source under local python3 (PythonSubprocess); otherwise the
+    // seam reports itself
+    val subprocess =
+      m.config.meta.get("submission_method").contains("subprocess") &&
+        PythonModels.get(m.name).isEmpty
+    val impl: PythonModels.Impl =
+      PythonModels.get(m.name).getOrElse {
+        if (subprocess)
+          (sp, ins) => PythonSubprocess.run(sp, m.name, m.rawCode, ins)
+        else throw new IllegalStateException(
+          s"python model ${m.name}: no in-process Python runtime — register a JVM " +
+            s"""implementation via PythonModels.register("${m.name}")(...) """ +
+            """or set dbt.config(submission_method="subprocess") """ +
+            "(on a cluster this seam submits the .py source as a batch job)")
+      }
     val inputs: Map[String, DataFrame] =
       m.refs.map { r =>
         val target = manifest.resolveRefSpec(r).getOrElse(

@@ -189,7 +189,11 @@ object ProjectLoader {
       val mname = f.getFileName.toString.stripSuffix(".py")
       val cfg0 = configFrom(modelDefaults ++ cfgMap)
       val cfg = cfg0.copy(
-        meta = cfg0.meta + ("language" -> "python"),
+        meta = cfg0.meta + ("language" -> "python") ++
+          // submission_method (reference python-model config, e.g.
+          // dataproc cluster/serverless): "subprocess" selects the
+          // local python3 executor seam (exec.PythonSubprocess)
+          cfgMap.get("submission_method").map(v => "submission_method" -> v.toString),
         // python models default to table (view is invalid for them in
         // the reference, parser/models.py)
         materialized =

@@ -1387,4 +1387,47 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "packages:\n  - tarball: https://example.com/p.tar.gz\n    name: nope\n")
     assertThrows[IllegalArgumentException](ProjectLoader.load(dt.toString))
   }
+
+  test("39 python models: subprocess submission executes the real .py source") {
+    assume(graft.exec.PythonSubprocess.available, "python3 not on PATH")
+    val dp = Files.createTempDirectory("graft_py_subproc")
+    def wp(rel: String, c: String): Unit = {
+      val p = dp.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    wp("dbt_project.yml", "name: pysub\n")
+    wp("models/base_nums.sql",
+      "SELECT 1 AS k UNION ALL SELECT 2 AS k UNION ALL SELECT 3 AS k")
+    // stdlib-protocol model: dbt.ref() yields iterable dict rows, the
+    // returned rows materialize as the relation
+    wp("models/py_stats.py",
+      """def model(dbt, session):
+        |    dbt.config(materialized="table", submission_method="subprocess")
+        |    base = dbt.ref("base_nums")
+        |    ks = [r["k"] for r in base]
+        |    return [{"total": sum(ks), "n": len(ks), "top": max(ks)}]
+        |""".stripMargin)
+    val pp = ProjectLoader.resolveRefs(ProjectLoader.load(dp.toString))
+    val node = pp.manifest.nodes("model.pysub.py_stats").asInstanceOf[ModelNode]
+    assert(node.config.meta.get("submission_method").contains("subprocess"))
+    val stp = new RelationStore(spark, dp.resolve("wh").toString)
+    val rp = new Runner(spark, pp, stp,
+      RunOptions(cmd = "run", threads = 1,
+        targetDir = dp.resolve("target").toString)).execute()
+    assert(rp.forall(_.status == "success"), rp.mkString("\n"))
+    val rowP = stp.read("py_stats").selectExpr("total", "n", "top").first()
+    assert((rowP.getLong(0), rowP.getLong(1), rowP.getLong(2)) == ((6L, 3L, 3L)))
+    // a crashing model surfaces the python traceback in the result
+    wp("models/py_boom.py",
+      """def model(dbt, session):
+        |    dbt.config(materialized="table", submission_method="subprocess")
+        |    raise RuntimeError("deliberate")
+        |""".stripMargin)
+    val pp2 = ProjectLoader.resolveRefs(ProjectLoader.load(dp.toString))
+    val rp2 = new Runner(spark, pp2, stp,
+      RunOptions(cmd = "run", threads = 1, select = Seq("py_boom"),
+        targetDir = dp.resolve("target").toString)).execute()
+    val boom = rp2.find(_.uniqueId == "model.pysub.py_boom").get
+    assert(boom.status == "error", boom)
+    assert(boom.message.contains("deliberate"), boom.message)
+  }
 }
