@@ -62,6 +62,7 @@ final class Runner(
   private val materializer = new Materializer(spark, store)
   private val auditStore = new RelationStore(spark, store.root, "dbt_test__audit")
   val invocationId: String = java.util.UUID.randomUUID().toString
+  private val events = new EventLog(opts.targetDir, invocationId)
 
   /** Audit-column substitutions (reference base.py:590/:618). */
   private val runContext: Map[String, String] = Map(
@@ -129,6 +130,7 @@ final class Runner(
 
   def execute(): Seq[RunResult] = {
     val t0 = System.nanoTime()
+    events.mainReportVersion(opts.cmd)
     Sources.registerAll(spark, manifest, vars)
     store.attach()
     // custom-schema namespaces re-attach too (fresh-session refs)
@@ -154,6 +156,7 @@ final class Runner(
             var next = queue.awaitReady()
             while (next.isDefined) {
               val id = next.get
+              events.nodeStart(id)
               val r0 = runNode(id)
               // --warn-error (reference flags.py WARN_ERROR): a warning
               // is promoted to a real failure, skipping descendants
@@ -161,6 +164,7 @@ final class Runner(
                 if (opts.warnError && r0.status == "warn")
                   r0.copy(status = "error", message = s"warn escalated: ${r0.message}")
                 else r0
+              events.nodeFinished(r)
               results.add(r)
               if (r.status == "error" || r.status == "fail") {
                 val skipped = queue.markFailed(id)
@@ -185,6 +189,8 @@ final class Runner(
     val out = results.toArray(Array.empty[RunResult]).toSeq
     Artifacts.writeRunResults(opts.targetDir, out, elapsed, invocationId)
     Artifacts.writeManifest(opts.targetDir, manifest)
+    events.commandCompleted(opts.cmd,
+      !out.exists(r => Set("error", "fail").contains(r.status)), elapsed)
     out
   }
 

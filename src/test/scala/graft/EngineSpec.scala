@@ -1430,4 +1430,58 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(boom.status == "error", boom)
     assert(boom.message.contains("deliberate"), boom.message)
   }
+
+  test("40 structured event log: parseable JSON lines with stable codes") {
+    // reference core/dbt/events/types.py: typed events with stable
+    // codes, json-serialized for external log consumers
+    val de = Files.createTempDirectory("graft_eventlog")
+    def we(rel: String, c: String): Unit = {
+      val p = de.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    we("dbt_project.yml", "name: evdemo\n")
+    we("models/a.sql", "SELECT 1 AS x")
+    we("models/b.sql", "SELECT * FROM {{ ref('a') }}")
+    val pe = ProjectLoader.resolveRefs(ProjectLoader.load(de.toString))
+    val ste = new RelationStore(spark, de.resolve("wh").toString)
+    val runner = new Runner(spark, pe, ste,
+      RunOptions(cmd = "run", threads = 2,
+        targetDir = de.resolve("target").toString))
+    val re = runner.execute()
+    assert(re.forall(_.status == "success"), re.mkString("\n"))
+    val lines = Files.readAllLines(de.resolve("target/dbt.log"))
+    assert(lines.size >= 6, s"expected >=6 events, got ${lines.size}") // A001 + 2x(Q024+Q025) + Q039
+    val events = lines.toArray.toSeq.map(l =>
+      graft.artifacts.Json.parse(l.toString).asInstanceOf[Map[String, Any]])
+    def info(e: Map[String, Any]) = e("info").asInstanceOf[Map[String, Any]]
+    // every line carries the full info envelope
+    events.foreach { e =>
+      val i = info(e)
+      Seq("code", "invocation_id", "level", "msg", "name", "pid", "thread", "ts")
+        .foreach(k => assert(i.contains(k), s"missing info.$k in $e"))
+      assert(i("invocation_id") == runner.invocationId)
+    }
+    val codes = events.map(e => info(e)("code").toString)
+    assert(codes.head == "A001", codes)
+    assert(codes.last == "Q039", codes)
+    assert(codes.count(_ == "Q024") == 2 && codes.count(_ == "Q025") == 2, codes)
+    // run_result payload round-trips for a finished node
+    val fin = events.find(e => info(e)("code") == "Q025").get
+    val rr = fin("data").asInstanceOf[Map[String, Any]]("run_result")
+      .asInstanceOf[Map[String, Any]]
+    assert(rr("status") == "success", rr)
+    // a failing run flags CommandCompleted success=false and an
+    // error-level NodeFinished
+    we("models/bad.sql", "SELECT definitely_not_a_column FROM {{ ref('a') }}")
+    val pe2 = ProjectLoader.resolveRefs(ProjectLoader.load(de.toString))
+    val log2 = de.resolve("target2")
+    new Runner(spark, pe2, ste,
+      RunOptions(cmd = "run", threads = 1, select = Seq("bad"),
+        targetDir = log2.toString)).execute()
+    val events2 = Files.readAllLines(log2.resolve("dbt.log")).toArray.toSeq
+      .map(l => graft.artifacts.Json.parse(l.toString).asInstanceOf[Map[String, Any]])
+    val done = events2.find(e => info(e)("code") == "Q039").get
+    assert(done("data").asInstanceOf[Map[String, Any]]("success") == false, done)
+    assert(events2.exists(e =>
+      info(e)("code") == "Q025" && info(e)("level") == "error"), events2)
+  }
 }
