@@ -92,6 +92,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (DedupOps.dedupSimHashPairs _),
     "dedup_clusters" -> (GraphOps.dedupClusters _),
     "dedup_decontaminate" -> (CurateOps.dedupDecontaminate _),
+    "dedup_semantic" -> (SimilarityOps.semDedup _),
     // corpus curation
     "txt_repetition" -> (CurateOps.txtRepetition _),
     "txt_pii_scrub" -> (CurateOps.txtPiiScrub _),
@@ -151,6 +152,63 @@ object SparkEntry {
              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+  /** Integer dot product of a probe row `a` against centroid `c` in
+    * DuckDB list arithmetic — shared by the k-means/IVF oracle family.
+    */
+  private val IvfDot = "CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * c.cq[i])) AS BIGINT)"
+
+  private def ivfAssignCte(cent: String, name: String) = s"""$name AS (
+        SELECT vec_id, cell FROM (
+          SELECT a.vec_id, c.centroid_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                   CAST($IvfDot AS DOUBLE) / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) DESC,
+                   c.centroid_id) AS rnk
+          FROM en a, $cent c
+        ) WHERE rnk = 1
+      )"""
+
+  private def ivfRefineCte(asg: String, name: String) = s"""$name AS (
+        SELECT cell AS centroid_id, cq,
+               CAST(list_sum(list_transform(range(1, 65), i -> cq[i] * cq[i])) AS BIGINT) AS cn
+        FROM (
+          SELECT cell, list(CAST(ROUND(m) AS BIGINT) ORDER BY pos) AS cq
+          FROM (
+            SELECT s.cell, t.i AS pos,
+                   CAST(SUM(en.q[t.i]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+            FROM $asg s JOIN en ON en.vec_id = s.vec_id,
+                 UNNEST(range(1, 65)) AS t(i)
+            GROUP BY s.cell, t.i
+          ) GROUP BY cell
+        )
+      )"""
+
+  /** WITH-body replaying SimilarityOps.kmeansCells: quantized vectors
+    * (`en`), strided seed centroids (`c0`), three Lloyd iterations
+    * (`a1..a3`/`c1..c3`), and the final per-vector assignment (`cells`).
+    * Shared by the sim_ivf_topk and dedup_semantic oracles.
+    */
+  private lazy val IvfCellCtes: String = {
+    val iters = (1 to 3).map { k =>
+      val prev = if (k == 1) "c0" else s"c${k - 1}"
+      ivfAssignCte(prev, s"a$k") + ", " + ivfRefineCte(s"a$k", s"c$k")
+    }.mkString(",\n      ")
+    s"""e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings
+      ), en AS (
+        SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq FROM e
+      ), st AS (
+        SELECT MIN(vec_id) AS mn,
+               GREATEST(1, (MAX(vec_id) - MIN(vec_id) + 1) // 16) AS step
+        FROM en
+      ), c0 AS (
+        SELECT vec_id AS centroid_id, q AS cq, nq AS cn FROM en, st
+        WHERE (vec_id - mn) % step = 0 AND vec_id - mn < step * 16
+      ),
+      $iters,
+      ${ivfAssignCte("c3", "cells")}"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> """
@@ -988,58 +1046,36 @@ object SparkEntry {
              CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
       FROM s
       WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.4""",
-    "sim_ivf_topk" -> {
-      // The full IVF pipeline replayed in SQL: strided seed centroids,
-      // THREE unrolled Lloyd iterations (argmax-cos assignment → exact
-      // long sum / count mean per position → re-quantized centroid),
-      // then cell assignment, nProbe=4 probing, exact re-score, top-5.
-      // Arithmetic mirrors SimilarityOps.simIvfTopK operation-for-
-      // operation (integer dots; one double division per mean) so the
-      // hashes match bit-for-bit.
-      val dot = "CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * c.cq[i])) AS BIGINT)"
-      def assign(cent: String, name: String) = s"""$name AS (
-        SELECT vec_id, cell FROM (
-          SELECT a.vec_id, c.centroid_id AS cell,
-                 ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-                   CAST($dot AS DOUBLE) / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) DESC,
-                   c.centroid_id) AS rnk
-          FROM en a, $cent c
-        ) WHERE rnk = 1
-      )"""
-      def refine(asg: String, name: String) = s"""$name AS (
-        SELECT cell AS centroid_id, cq,
-               CAST(list_sum(list_transform(range(1, 65), i -> cq[i] * cq[i])) AS BIGINT) AS cn
-        FROM (
-          SELECT cell, list(CAST(ROUND(m) AS BIGINT) ORDER BY pos) AS cq
-          FROM (
-            SELECT s.cell, t.i AS pos,
-                   CAST(SUM(en.q[t.i]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
-            FROM $asg s JOIN en ON en.vec_id = s.vec_id,
-                 UNNEST(range(1, 65)) AS t(i)
-            GROUP BY s.cell, t.i
-          ) GROUP BY cell
-        )
-      )"""
-      val iters = (1 to 3).map { k =>
-        val prev = if (k == 1) "c0" else s"c${k - 1}"
-        assign(prev, s"a$k") + ", " + refine(s"a$k", s"c$k")
-      }.mkString(",\n      ")
+    "dedup_semantic" -> {
+      // SemDeDup replay: same k-means CTEs as sim_ivf_topk, then the
+      // within-cell pair join — a vector is dropped iff some lower-id
+      // cell-mate has cosine >= 0.3 against it.
+      val pairDot = "CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS BIGINT)"
       s"""
-      WITH e AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
-        FROM embeddings
-      ), en AS (
-        SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq FROM e
-      ), st AS (
-        SELECT MIN(vec_id) AS mn,
-               GREATEST(1, (MAX(vec_id) - MIN(vec_id) + 1) // 16) AS step
-        FROM en
-      ), c0 AS (
-        SELECT vec_id AS centroid_id, q AS cq, nq AS cn FROM en, st
-        WHERE (vec_id - mn) % step = 0 AND vec_id - mn < step * 16
-      ),
-      $iters,
-      ${assign("c3", "cells")},
+      WITH $IvfCellCtes,
+      rm AS (
+        SELECT DISTINCT cb.vec_id
+        FROM cells ca
+        JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+        JOIN en a ON a.vec_id = ca.vec_id
+        JOIN en b ON b.vec_id = cb.vec_id
+        WHERE CAST($pairDot AS DOUBLE)
+              / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= 0.3
+      )
+      SELECT c.vec_id, c.cell,
+             CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM cells c LEFT JOIN rm r ON r.vec_id = c.vec_id"""
+    },
+    "sim_ivf_topk" -> {
+      // The full IVF pipeline replayed in SQL: the shared k-means CTEs
+      // (IvfCellCtes — strided seed, three unrolled Lloyd iterations,
+      // final cell assignment), then nProbe=4 probing, exact re-score,
+      // top-5. Arithmetic mirrors SimilarityOps.simIvfTopK operation-
+      // for-operation (integer dots; one double division per mean) so
+      // the hashes match bit-for-bit.
+      val dot = IvfDot
+      s"""
+      WITH $IvfCellCtes,
       probes AS (
         SELECT qid, cell FROM (
           SELECT a.vec_id AS qid, c.centroid_id AS cell,

@@ -177,10 +177,14 @@ object SimilarityOps {
     * equi-join — the 100 TB-safe shape.
     * Approximate (probe misses cells) → rows-only driver check.
     */
-  def simIvfTopK(s: SparkSession, dir: String): DataFrame = {
+  /** Shared IVF/k-means front half: strided deterministic seed over the
+    * id RANGE, 3 Lloyd iterations, and the final nearest-centroid
+    * assignment. Returns (refined centroids, per-vector cell
+    * assignment). `e` must be [[quantized]] output (cached by caller —
+    * it is scanned once per Lloyd iteration).
+    */
+  private def kmeansCells(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
     val nCentroids = 16
-    val nProbe = 4
-    val e = quantized(s, dir).cache()
     // deterministic strided sample over the ID RANGE (no LIMIT — order-
     // independent and replayable by the SQL oracle; anchored at min so
     // sparse or offset id spaces still yield centroids)
@@ -194,6 +198,13 @@ object SimilarityOps {
     // assign every vector to its nearest centroid (broadcast centroids)
     val assigned = pairScoresAgainst(s, e, centroids, topPerProbe = 1)
       .select(col("qid").as("vec_id"), col("cid").as("cell"))
+    (centroids, assigned)
+  }
+
+  def simIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val nProbe = 4
+    val e = quantized(s, dir).cache()
+    val (centroids, assigned) = kmeansCells(s, e)
     val cells = e.join(assigned, Seq("vec_id"))
     // queries probe their nProbe nearest cells
     val probes = pairScoresAgainst(s, e.filter(col("vec_id") < 10), centroids, topPerProbe = nProbe)
@@ -292,5 +303,42 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("qid"), col("cid"), col("cos"), col("rn"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means the corpus into cells, then inside each
+    * cell drop every vector whose cosine to a LOWER-id cell-mate is ≥ θ
+    * (keep-lowest-id is the deterministic stand-in for the paper's
+    * keep-farthest-from-centroid tie-break). Emits the full corpus with
+    * its cell and a kept flag so downstream curation can filter or audit.
+    *
+    * Scale shape: the quadratic term is confined to within-cluster
+    * pairs — the SemDeDup design point: k grows with the corpus so the
+    * expected cell size stays bounded, and the pair join is a cell
+    * equi-join (co-partitioned shuffle, no cross-cell traffic, no
+    * driver collect). Cluster assignment reuses [[kmeansCells]]:
+    * bounded centroid broadcast, one corpus pass per Lloyd iteration.
+    * Exactly deterministic (integer dots, id tie-breaks) → the DuckDB
+    * oracle replays the whole pipeline including the k-means.
+    */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val theta = 0.3
+    val e = quantized(s, dir).cache()
+    val (_, assigned) = kmeansCells(s, e)
+    val cells = e.join(assigned, Seq("vec_id"))
+    val a = cells.select(col("vec_id").as("ida"), col("q").as("qa"), col("nq").as("na"), col("cell"))
+    val b = cells.select(col("vec_id").as("idb"), col("q").as("qb"), col("nq").as("nb"), col("cell"))
+    val removed = a.join(b, Seq("cell"))
+      .filter(col("ida") < col("idb"))
+      // native dot keeps pair scoring inside whole-stage codegen
+      .withColumn("dot", expr("dot_i64(qa, qb)"))
+      .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cos") >= theta)
+      .select(col("idb").as("vec_id")).distinct()
+      .withColumn("rm", lit(1))
+    cells.select(col("vec_id"), col("cell"))
+      .join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("rm").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))
   }
 }
