@@ -25,6 +25,9 @@ object SparkEntry {
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
     "q5_local_supplier" -> (Relational.q5LocalSupplier _),
+    "q10_returned_items" -> (Relational.q10ReturnedItems _),
+    "q12_late_by_priority" -> (Relational.q12LateByPriority _),
+    "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
     "q_window_top3" -> (Relational.qWindowTop3 _),
     "q_window_funcs" -> (Relational.qWindowFuncs _),
     "q_median" -> (Relational.qMedian _),
@@ -84,6 +87,7 @@ object SparkEntry {
     "txt_bpe_tokens" -> (TextOps.txtBpeTokens _),
     "txt_winnow" -> (TextOps.txtWinnow _),
     "txt_pipeline_clean" -> (TextOps.txtPipelineClean _),
+    "txt_char_lm_score" -> (TextOps.txtCharLmScore _),
     // dedup
     "dedup_exact" -> (DedupOps.dedupExact _),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
@@ -100,6 +104,7 @@ object SparkEntry {
     "emb_cluster_assign" -> (CurateOps.embClusterAssign _),
     "curate_pack_sequences" -> ((s, dir) => CurateOps.curatePackSequences(s, dir)),
     "curate_sample_stratified" -> ((s, dir) => CurateOps.curateSampleStratified(s, dir)),
+    "curate_weighted_sample" -> ((s, dir) => CurateOps.curateWeightedSample(s, dir)),
     "txt_top_terms" -> (CurateOps.txtTopTerms _),
     "curate_budget_select" -> ((s, dir) => CurateOps.curateBudgetSelect(s, dir)),
     "curate_resample_lang" -> (CurateOps.curateResampleLang _),
@@ -229,6 +234,33 @@ object SparkEntry {
         AND l_shipdate > TIMESTAMP '1998-01-01'
       GROUP BY 1, 2
       ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+    "q10_returned_items" -> """
+      SELECT c_custkey, c_name, n_name,
+             CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue_cents DESC, c_custkey LIMIT 20""",
+    "q12_late_by_priority" -> """
+      SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+             CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 0 ELSE 1 END) AS BIGINT) AS ontime_lines
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1""",
+    "q14_promo_revenue" -> """
+      WITH s AS (
+        SELECT
+          CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+          CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+      )
+      SELECT promo_cents, total_cents,
+             CAST((1000 * promo_cents) // total_cents AS BIGINT) AS promo_millis
+      FROM s""",
     "q5_local_supplier" -> """
       SELECT n_name,
              CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
@@ -708,6 +740,15 @@ object SparkEntry {
                  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rnk
         FROM documents
       ) t WHERE rnk <= 50""",
+    "curate_weighted_sample" -> """
+      WITH keyed AS (
+        SELECT doc_id, n_chars,
+               -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE) + 1.0)
+                   / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS k
+        FROM documents
+      )
+      SELECT doc_id, n_chars, CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS rk
+      FROM keyed ORDER BY k, doc_id LIMIT 100""",
     "txt_top_terms" -> """
       WITH dw AS (
         SELECT DISTINCT doc_id, term
@@ -952,6 +993,30 @@ object SparkEntry {
         SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper FROM f GROUP BY 1
       )
       SELECT f.doc_id, f.fp, g.n_docs, g.keeper FROM f JOIN g USING (fp)""",
+    "txt_char_lm_score" -> """
+      WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        FROM documents
+      ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> substr(t, CAST(i AS INT), 2))) AS bg
+        FROM d WHERE len(t) >= 2
+      ), perdoc AS (
+        SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS m FROM g GROUP BY 1, 2
+      ), model AS (
+        SELECT bg, CAST(SUM(m) AS BIGINT) AS cnt FROM perdoc GROUP BY bg
+      ), ctx AS (
+        SELECT substr(bg, 1, 1) AS c1, CAST(SUM(cnt) AS BIGINT) AS ctx FROM model GROUP BY 1
+      ), scored AS (
+        SELECT bg, CAST(len(bin(ctx.ctx)) - len(bin(model.cnt)) AS BIGINT) AS bits
+        FROM model JOIN ctx ON substr(model.bg, 1, 1) = ctx.c1
+      )
+      SELECT doc_id,
+             CAST(SUM(m) AS BIGINT) AS n_bigrams,
+             CAST(SUM(m * bits) AS BIGINT) AS surprisal_bits,
+             CAST((1000 * CAST(SUM(m * bits) AS BIGINT)) // CAST(SUM(m) AS BIGINT) AS BIGINT) AS avg_millibits
+      FROM perdoc JOIN scored USING (bg)
+      GROUP BY doc_id""",
     "dedup_exact" -> """
       SELECT doc_id, fp, keeper, CAST(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END AS BIGINT) AS keep,
              group_size

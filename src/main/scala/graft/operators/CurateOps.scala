@@ -253,6 +253,35 @@ object CurateOps {
       .select(col("doc_id"), col("term"), col("df"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006
+    * exponential-clocks form): each document draws an arrival time
+    * key_i = -ln(u_i) / w_i ~ Exp(w_i) with weight w_i = n_chars and
+    * u_i a deterministic md5-derived uniform (52 mantissa bits from
+    * the doc_id hash, +1 so u is never 0); the k earliest arrivals are
+    * an exact weighted sample. Deterministic — same corpus, same
+    * sample — and weight-SCALE-invariant (scaling all w by c scales
+    * every key by 1/c, preserving order; CurateSpec pins this).
+    *
+    * Scale shape: one row-parallel projection then a global top-k,
+    * which Spark executes as TakeOrderedAndProject — per-partition
+    * bounded heaps merged on the driver, k rows, no full sort, no
+    * shuffle of the corpus. The 100 TB path for a k too large for one
+    * driver merge is the same key with the [[prefixSum]] bucket
+    * machinery; at sample sizes (k ≤ 10⁶) top-k is the right plan.
+    */
+  def curateWeightedSample(s: SparkSession, dir: String, k: Int = 100,
+      wScale: Double = 1.0): DataFrame = {
+    val keyed = docs(s, dir).select(col("doc_id"), col("n_chars"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10) as bigint)").as("h"))
+      .withColumn("u", (col("h").cast("double") + 1.0) / lit(4503599627370496.0)) // 2^52
+      .withColumn("k", -log(col("u")) / (col("n_chars").cast("double") * lit(wScale)))
+    val top = keyed.orderBy(col("k"), col("doc_id")).limit(k)
+    val w = Window.orderBy(col("k"), col("doc_id"))
+    // rank window runs over the k surviving rows only
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("n_chars"), col("rk"))
+  }
+
   /** Token-budget corpus selection: admit documents in (n_tokens desc,
     * doc_id) order until the token budget fills — the greedy order that
     * minimizes per-document overhead when packing fixed-length training

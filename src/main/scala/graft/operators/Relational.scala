@@ -77,6 +77,56 @@ object Relational {
       .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
   }
 
+  /** TPC-H Q10-style returned-item report: which customers returned the
+    * most revenue. Fact-side filter pushed to the scan, nation
+    * broadcast, top-20 via TakeOrdered — no full sort.
+    */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q12-style shipping-lateness report (adapted to this schema's
+    * columns: no commit/receipt dates, so "late" = shipped more than 60
+    * days after the order date), bucketed by order priority. The
+    * classic two-CASE-sum single-shuffle shape.
+    */
+  def q12LateByPriority(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(when(late, 1L).otherwise(0L)).as("late_lines"),
+        sum(when(late, 0L).otherwise(1L)).as("ontime_lines"))
+  }
+
+  /** TPC-H Q14-style promotion-revenue share: fraction of revenue from
+    * PROMO parts, as an exact integer ratio (milli-units via integer
+    * division — no cross-engine double division in the output). Global
+    * two-CASE aggregate; part joins on its key (broadcast at dim scale).
+    */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).otherwise(0L))
+          .as("promo_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("total_cents"))
+      .withColumn("promo_millis", expr("(1000 * promo_cents) div total_cents"))
+  }
+
   /** Window functions: rank + running total inside each customer. */
   def qWindowTop3(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")

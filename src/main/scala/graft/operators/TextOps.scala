@@ -141,4 +141,45 @@ object TextOps {
     val groups = fp.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
     fp.join(groups, Seq("fp")).select(col("doc_id"), col("fp"), col("n_docs"), col("keeper"))
   }
+
+  /** Character-bigram language-model quality score — the integer-exact
+    * analogue of CCNet/KenLM perplexity filtering (Wenzek et al. 2020):
+    * train a char-bigram model on the corpus itself, then score each
+    * document by its total surprisal under that model. Surprisal of a
+    * bigram ab is measured in FLOORED BITS:
+    * floor(log2(ctx_a)) - floor(log2(cnt_ab)), computed as
+    * `length(bin(c)) - 1` — pure integer/string arithmetic, identical
+    * in Spark and DuckDB, no transcendental drift. High avg surprisal
+    * = improbable character transitions (gibberish / wrong charset);
+    * low = fluent text. Output: per-doc bigram count, total surprisal
+    * bits, and avg millibits (integer division).
+    *
+    * Scale shape: one explode → groupBy(doc_id, bg) partial-aggregated
+    * shuffle; the model itself is the global bigram count table —
+    * bounded by the alphabet (≤ 37² rows for normalized text), so the
+    * model join is a broadcast no matter the corpus size. The context
+    * (first-char) marginals derive from that tiny table. This is the
+    * 100 TB LM-filter shape: corpus-sized shuffles never carry more
+    * than (doc_id, bigram-id, count).
+    */
+  def txtCharLmScore(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir).select(col("doc_id"), normalized(col("text")).as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("bg"))
+    val perDoc = grams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
+    // the "model": global bigram counts — alphabet-bounded (≤ 37² rows)
+    val model = perDoc.groupBy(col("bg")).agg(sum(col("m")).as("cnt"))
+      .withColumn("c1", substring(col("bg"), 1, 1))
+    val ctx = model.groupBy(col("c1")).agg(sum(col("cnt")).as("ctx"))
+    val scored = model.join(ctx, Seq("c1"))
+      .select(col("bg"),
+        (length(expr("bin(ctx)")) - length(expr("bin(cnt)"))).cast("long").as("bits"))
+    perDoc.join(broadcast(scored), Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("bits")).as("surprisal_bits"))
+      .withColumn("avg_millibits",
+        expr("(1000 * surprisal_bits) div n_bigrams"))
+  }
 }

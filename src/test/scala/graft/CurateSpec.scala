@@ -168,6 +168,46 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("weighted_sample: matches driver-side E-S computation, weight-scale invariant") {
+    val k = 20
+    val got = CurateOps.curateWeightedSample(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.length == k)
+    // brute-force replay of the exponential-clocks keys on the driver
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = docs.map { case (id, w) =>
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+      val u = (h.toDouble + 1.0) / 4503599627370496.0
+      (id, -math.log(u) / w.toDouble)
+    }.sortBy { case (id, key) => (key, id) }.take(k).map(_._1)
+    assert(got.sortBy(_._2).map(_._1).toSeq == expect.toSeq)
+    // scaling every weight by a constant cannot change the sample
+    val scaled = CurateOps.curateWeightedSample(spark, sf, k, wScale = 7.0).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(scaled == got.toSet)
+  }
+
+  test("char_lm_score: bounds hold and totals match a driver recount") {
+    val rows = TextOps.txtCharLmScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, bits, avg) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 0 && bits >= 0 && avg == (1000 * bits) / n)
+      assert(avg <= 64000, s"avg surprisal out of range: $avg")
+    }
+    // recount one document's bigrams on the driver
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val someId = rows.head.getLong(0)
+    val norm = docs(someId).toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    assert(rows.head.getLong(1) == (norm.length - 1).toLong)
+  }
+
   test("sample_stratified: exact per-stratum quota, deterministic") {
     val s1 = CurateOps.curateSampleStratified(spark, sf, k = 7).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

@@ -273,6 +273,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("semantic dedup: removal rule replays exactly from the emitted cells") {
+    val out = SimilarityOps.semDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings").collect()
+      .map { r =>
+        val q = r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000.0)).toArray
+        (r.getLong(0), q, math.sqrt(q.map(v => v * v).sum.toDouble))
+      }.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out.length == emb.size)
+    def cos(a: Long, b: Long): Double = {
+      val ((qa, na), (qb, nb)) = (emb(a), emb(b))
+      qa.zip(qb).map { case (x, y) => x * y }.sum / (na * nb)
+    }
+    // kept(b) == 0 iff some lower-id cell-mate has cosine >= 0.3
+    val byCell = out.groupBy(_._2)
+    for ((_, members) <- byCell; (b, _, keptB) <- members) {
+      val hasCloseEarlier = members.exists { case (a, _, _) => a < b && cos(a, b) >= 0.3 }
+      assert((keptB == 0L) == hasCloseEarlier, s"vec $b kept=$keptB close=$hasCloseEarlier")
+    }
+  }
+
   test("dedup clusters: exactly one keeper per cluster, id = component min") {
     val rows = GraphOps.dedupClusters(spark, sf).collect()
     assert(rows.nonEmpty)
