@@ -96,7 +96,9 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (DedupOps.dedupSimHashPairs _),
     "dedup_clusters" -> (GraphOps.dedupClusters _),
     "dedup_decontaminate" -> (CurateOps.dedupDecontaminate _),
+    "dedup_decontaminate_bloom" -> (CurateOps.dedupDecontaminateBloom _),
     "dedup_semantic" -> (SimilarityOps.semDedup _),
+    "dedup_substring_spans" -> (DedupOps.dedupSubstringSpans _),
     // corpus curation
     "txt_repetition" -> (CurateOps.txtRepetition _),
     "txt_pii_scrub" -> (CurateOps.txtPiiScrub _),
@@ -214,6 +216,29 @@ object SparkEntry {
       $iters,
       ${ivfAssignCte("c3", "cells")}"""
   }
+
+  private val DecontaminateSql = """
+      WITH toks AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        FROM documents
+      ), grams AS (
+        SELECT DISTINCT doc_id, g FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))) AS g
+          FROM toks WHERE len(w) >= 8) x
+      ), ev AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0
+      ), tr AS (
+        SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0
+      ), shared AS (
+        SELECT doc_id, COUNT(*) AS n_shared FROM tr JOIN ev USING (g) GROUP BY 1
+      ), perdoc AS (
+        SELECT doc_id, COUNT(*) AS n_8grams FROM tr GROUP BY 1
+      )
+      SELECT d.doc_id, COALESCE(n_8grams, 0) AS n_8grams, COALESCE(n_shared, 0) AS n_shared,
+             CAST(COALESCE(n_shared, 0) > 0 AS BIGINT) AS contaminated
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+      LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
+      LEFT JOIN shared ON d.doc_id = shared.doc_id"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> """
@@ -617,28 +642,10 @@ object SparkEntry {
                '\b\d{3}-\d{4}\b', '<PHONE>', 'g'),
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrubbed_md5
       FROM a""",
-    "dedup_decontaminate" -> """
-      WITH toks AS (
-        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
-        FROM documents
-      ), grams AS (
-        SELECT DISTINCT doc_id, g FROM (
-          SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))) AS g
-          FROM toks WHERE len(w) >= 8) x
-      ), ev AS (
-        SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0
-      ), tr AS (
-        SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0
-      ), shared AS (
-        SELECT doc_id, COUNT(*) AS n_shared FROM tr JOIN ev USING (g) GROUP BY 1
-      ), perdoc AS (
-        SELECT doc_id, COUNT(*) AS n_8grams FROM tr GROUP BY 1
-      )
-      SELECT d.doc_id, COALESCE(n_8grams, 0) AS n_8grams, COALESCE(n_shared, 0) AS n_shared,
-             CAST(COALESCE(n_shared, 0) > 0 AS BIGINT) AS contaminated
-      FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
-      LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
-      LEFT JOIN shared ON d.doc_id = shared.doc_id""",
+    "dedup_decontaminate" -> DecontaminateSql,
+    // the Bloom prefilter is exact-by-construction (no false negatives;
+    // false positives die in the verify join) → same oracle
+    "dedup_decontaminate_bloom" -> DecontaminateSql,
     "split_assign" -> """
       SELECT doc_id, bucket,
              CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
@@ -1111,6 +1118,32 @@ object SparkEntry {
              CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
       FROM s
       WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.4""",
+    "dedup_substring_spans" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        FROM documents
+      ), starts AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i, array_to_string(w[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ') AS g
+        FROM toks, UNNEST(range(0, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8
+      ), dup AS (
+        SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM starts GROUP BY g) x WHERE nd > 1
+      ), ds AS (
+        SELECT doc_id, i FROM starts WHERE g IN (SELECT g FROM dup)
+      ), perdoc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams FROM ds GROUP BY 1
+      ), cov AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_positions FROM (
+          SELECT DISTINCT doc_id, p FROM ds, UNNEST(range(i, i + 8)) AS u(p)
+        ) y GROUP BY 1
+      )
+      SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             COALESCE(n_dup_grams, 0) AS n_dup_grams,
+             COALESCE(n_dup_positions, 0) AS n_dup_positions,
+             CAST((1000 * COALESCE(n_dup_positions, 0)) // len(w) AS BIGINT) AS dup_frac_millis
+      FROM toks t
+      LEFT JOIN perdoc USING (doc_id)
+      LEFT JOIN cov USING (doc_id)""",
     "dedup_semantic" -> {
       // SemDeDup replay: same k-means CTEs as sim_ivf_topk, then the
       // within-cell pair join — a vector is dropped iff some lower-id

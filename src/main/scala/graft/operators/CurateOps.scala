@@ -118,6 +118,59 @@ object CurateOps {
         (coalesce(col("n_shared"), lit(0L)) > 0).cast("long").as("contaminated"))
   }
 
+  /** Bloom-prefiltered decontamination — same contract and output as
+    * [[dedupDecontaminate]], different (100 TB-shaped) plan: the eval
+    * set's 8-gram hashes are folded into a Bloom filter (Spark's own
+    * mergeable [[graft.functions.BloomOps]] aggregate), the corpus is
+    * prefiltered row-parallel by `bloom_might_contain`, and only the
+    * surviving candidate grams reach the exact verification join. The
+    * Bloom filter has NO false negatives, and false positives are
+    * killed by the verify join — so the output is bit-identical to the
+    * exact operator (the oracle is the SAME SQL) while the shuffle
+    * carries candidates instead of the whole corpus's gram set.
+    *
+    * Sizing: numBits = 16 × estItems ⇒ ~0.5% FPR at capacity; the
+    * filter is ~200 KB serialized — driver-collected and shipped as a
+    * plan literal regardless of corpus size. An empty eval side yields
+    * a null sketch → nothing can be contaminated.
+    */
+  def dedupDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val (trainGrams, evalGrams, cand) = bloomCandidateGrams(s, dir)
+    val shared = cand.join(evalGrams, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    val perDoc = trainGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_8grams"))
+    docs(s, dir).select(col("doc_id")).filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_8grams"), lit(0L)).as("n_8grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).cast("long").as("contaminated"))
+  }
+
+  /** The Bloom build/probe halves of [[dedupDecontaminateBloom]],
+    * exposed so OpsSpec can measure false negatives (must be zero) and
+    * the realized FPR. Returns (train grams, eval grams, candidates).
+    */
+  def bloomCandidateGrams(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.BloomOps.register(s)
+    val n = 8
+    val grams = tokens(s, dir).filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))")).as("g"))
+      .distinct()
+    val isEval = pmod(col("doc_id"), lit(20)) === 0
+    val evalGrams = grams.filter(isEval).select(col("g")).distinct()
+    val trainGrams = grams.filter(!isEval)
+    val bf = evalGrams
+      .agg(call_function("bloom_agg", xxhash64(col("g")), lit(100000L), lit(1600000L)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val cand =
+      if (bf == null) trainGrams.filter(lit(false))
+      else trainGrams.filter(graft.functions.BloomOps.mightContain(bf, xxhash64(col("g"))))
+    (trainGrams, evalGrams, cand)
+  }
+
   /** First 32 bits of md5(doc_id) mod 100 — THE shared routing bucket
     * for split assignment, language quotas, and the capstone. One
     * definition: these must stay bit-identical or the capstone's

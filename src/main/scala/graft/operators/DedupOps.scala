@@ -259,4 +259,49 @@ object DedupOps {
       .filter(col("hamming") <= SimHashMaxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Duplicated-span detection (the word-gram form of Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better", which
+    * removes verbatim spans shared across documents rather than whole
+    * near-dup documents): an 8-token gram is DUP if it occurs in more
+    * than one document; a token position is COVERED if any dup gram
+    * overlaps it. Emits per-document totals — dup-gram starts, covered
+    * token count, and the covered fraction in exact milli-units — the
+    * signal a span-removal rewrite (or a boilerplate filter) keys on.
+    *
+    * Scale shape: gram df is one groupBy on the gram key with map-side
+    * combine; dup-ness flows back as a LEFT SEMI join on the same key
+    * (no pair materialization — unlike pairwise Jaccard, fanout per
+    * gram is its occurrence count, not its count²). Coverage is a
+    * bounded 8× positional explode of dup starts, then distinct+count
+    * per document. All keys are (gram) or (doc_id) — co-partitioned,
+    * skew-free-by-hash, no driver state.
+    */
+  def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val toks = docs(s, dir)
+      .select(col("doc_id"), split(TextOps.normalized(col("text")), " ").as("w"))
+    val starts = toks.filter(size(col("w")) >= n)
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))"))
+        .as(Seq("i", "g")))
+    val dupGrams = starts.select(col("g"), col("doc_id")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") > 1)
+      .select(col("g"))
+    val dupStarts = starts.join(dupGrams, Seq("g"), "left_semi")
+    val perDocDup = dupStarts.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_grams"))
+    val covered = dupStarts
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_positions"))
+    toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(perDocDup, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+        expr("(1000 * coalesce(n_dup_positions, 0L)) div n_tokens").as("dup_frac_millis"))
+  }
 }

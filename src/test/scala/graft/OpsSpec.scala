@@ -273,6 +273,46 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bloom decontamination: zero false negatives, bounded FPR, exact-equal output") {
+    val (train, eval, cand) = CurateOps.bloomCandidateGrams(spark, sf)
+    val trainSet = train.select("g").distinct().collect().map(_.getString(0)).toSet
+    val evalSet = eval.collect().map(_.getString(0)).toSet
+    val candSet = cand.select("g").distinct().collect().map(_.getString(0)).toSet
+    // no false negatives: every truly-shared gram survives the prefilter
+    val trueShared = trainSet.intersect(evalSet)
+    assert(trueShared.subsetOf(candSet))
+    // realized FPR on the non-shared grams stays far under the 0.5% design
+    // point (generous 5% bound to keep the test robust at tiny SF)
+    val nonShared = trainSet.diff(evalSet)
+    if (nonShared.nonEmpty) {
+      val fpr = candSet.diff(trueShared).size.toDouble / nonShared.size
+      assert(fpr <= 0.05, s"bloom FPR $fpr")
+    }
+    // the full operator output is bit-identical to the exact one
+    val exact = CurateOps.dedupDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val bloom = CurateOps.dedupDecontaminateBloom(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(bloom == exact)
+  }
+
+  test("substring spans: coverage bounds and cross-doc consistency") {
+    val rows = DedupOps.dedupSubstringSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nTok, nDup, nCov, millis) =>
+      if (nDup == 0) assert(nCov == 0, s"doc $id covered without dup grams")
+      else {
+        // one dup gram covers 8 positions; k grams cover at most 7+k
+        // (max overlap) and at most all tokens
+        assert(nCov >= 8 && nCov <= math.min(nTok, nDup + 7), s"doc $id cov=$nCov")
+      }
+      assert(millis == 1000 * nCov / nTok)
+    }
+    // dup-ness is symmetric: a corpus can't have exactly one doc with spans
+    assert(rows.count(_._3 > 0) != 1)
+  }
+
   test("semantic dedup: removal rule replays exactly from the emitted cells") {
     val out = SimilarityOps.semDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
