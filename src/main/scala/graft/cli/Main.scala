@@ -55,11 +55,18 @@ object Main {
       cliVars: Map[String, String],
       spark: SparkSession): Int = {
     if (cmd == "init") return initProject(projectDir)
-    val (project, cacheHit) =
+    val (project, parseOutcome) =
       if (flags.contains("no-partial-parse"))
-        (ProjectLoader.resolveRefs(ProjectLoader.load(projectDir, cliVars)), false)
-      else graft.parser.PartialParse.loadCached(projectDir, cliVars, targetDir)
-    if (cacheHit) println("[partial-parse] manifest loaded from cache")
+        (ProjectLoader.resolveRefs(ProjectLoader.load(projectDir, cliVars)),
+          graft.parser.PartialParse.Full)
+      else graft.parser.PartialParse.loadCachedDetailed(projectDir, cliVars, targetDir)
+    parseOutcome match {
+      case graft.parser.PartialParse.Hit =>
+        println("[partial-parse] manifest loaded from cache")
+      case graft.parser.PartialParse.Partial(fs) =>
+        println(s"[partial-parse] re-parsed ${fs.size} changed file(s): ${fs.mkString(", ")}")
+      case graft.parser.PartialParse.Full =>
+    }
     val store = new RelationStore(spark, warehouse)
     // schema-aware relation addressing for the ad-hoc (non-Runner)
     // paths: compile/show/run-operation/docs-generate must resolve

@@ -9,16 +9,29 @@ import graft.core.FileHash
 /** Partial-parsing gate (reference core/dbt/parser/partial.py:68 +
   * msgpack state manifest.py:778-941): cache the parsed project keyed
   * by every project file's checksum; when nothing changed, reload the
-  * manifest from the cache instead of re-parsing.
+  * manifest from the cache; when ONLY root-project model .sql bodies
+  * changed, re-parse just those files into the cached project
+  * ([[ProjectLoader.reparseModelFile]]) — the reference's headline
+  * "edit one model of a 2,000-model project" case.
   *
-  * The reference re-parses only the changed files; our full parse is
-  * regex-static (no template rendering) and runs in milliseconds even
-  * at the reference's own 2,000-model benchmark scale, so the cache's
-  * all-or-nothing granularity costs nothing while keeping the same
-  * invalidation contract (file content, project file, cli vars).
+  * Anything with cross-file parse effects falls back to a full parse,
+  * mirroring partial.py's own conservative scheduling: file adds or
+  * deletes (selection/test wiring may change), yml/csv/py edits,
+  * macro edits (every caller's expansion changes), package files,
+  * dbt_project.yml / selectors.yml, cli-var changes, and models
+  * targeted by unit tests with macro/var overrides (their
+  * overrideCode was baked from the old model text).
   */
 object PartialParse {
   private val CacheName = "partial_parse.bin"
+
+  /** How a load was satisfied — surfaced in logs and pinned by
+    * PartialParseSpec.
+    */
+  sealed trait Outcome
+  case object Hit extends Outcome
+  case object Full extends Outcome
+  final case class Partial(reparsed: Seq[String]) extends Outcome
 
   def fileHashes(projectDir: String): Map[String, String] = {
     val root = Paths.get(projectDir)
@@ -43,28 +56,84 @@ object PartialParse {
     }
   }
 
-  /** Load with cache; second element reports whether the cache was used
-    * (surfaced in logs, mirroring the reference's partial-parse events).
+  /** Load with cache; second element reports whether the load avoided a
+    * full parse (cache hit or fine-grained re-parse), mirroring the
+    * reference's partial-parse events.
     */
   def loadCached(
       projectDir: String,
       cliVars: Map[String, String],
       targetDir: String): (ProjectLoader.Project, Boolean) = {
+    val (p, outcome) = loadCachedDetailed(projectDir, cliVars, targetDir)
+    (p, outcome != Full)
+  }
+
+  def loadCachedDetailed(
+      projectDir: String,
+      cliVars: Map[String, String],
+      targetDir: String): (ProjectLoader.Project, Outcome) = {
     val cachePath = Paths.get(targetDir, CacheName)
     val hashes = fileHashes(projectDir)
-    if (Files.exists(cachePath)) {
+    def full(): (ProjectLoader.Project, Outcome) = {
+      val project = ProjectLoader.resolveRefs(ProjectLoader.load(projectDir, cliVars))
+      writeCache(cachePath, hashes, cliVars, project)
+      (project, Full)
+    }
+    if (!Files.exists(cachePath)) return full()
+    val cached =
       try {
         val in = new ObjectInputStream(new ByteArrayInputStream(Files.readAllBytes(cachePath)))
         val cachedHashes = in.readObject().asInstanceOf[Map[String, String]]
         val cachedVars = in.readObject().asInstanceOf[Map[String, String]]
         val cachedProject = in.readObject().asInstanceOf[ProjectLoader.Project]
-        if (cachedHashes == hashes && cachedVars == cliVars)
-          return (cachedProject, true)
+        Some((cachedHashes, cachedVars, cachedProject))
       } catch {
-        case _: Exception => // cache unreadable (version skew) → full parse
+        case _: Exception => None // cache unreadable (version skew) → full parse
       }
+    cached match {
+      case Some((cachedHashes, cachedVars, cachedProject)) if cachedVars == cliVars =>
+        if (cachedHashes == hashes) (cachedProject, Hit)
+        else partialDelta(cachedHashes, hashes, cachedProject) match {
+          case Some(changed) =>
+            try {
+              val patched = changed.foldLeft(cachedProject) { (p, rel) =>
+                ProjectLoader.reparseModelFile(p, projectDir, cliVars, rel)
+              }
+              writeCache(cachePath, hashes, cliVars, patched)
+              (patched, Partial(changed))
+            } catch {
+              case _: Exception => full() // any re-parse surprise → full parse
+            }
+          case None => full()
+        }
+      case _ => full()
     }
-    val project = ProjectLoader.resolveRefs(ProjectLoader.load(projectDir, cliVars))
+  }
+
+  /** The changed files iff EVERY change is a content edit to a root
+    * model .sql whose node already exists and has no override-bearing
+    * unit test; None ⇒ full parse required.
+    */
+  private def partialDelta(
+      old: Map[String, String],
+      nw: Map[String, String],
+      p: ProjectLoader.Project): Option[Seq[String]] = {
+    if (old.keySet != nw.keySet) return None // adds/deletes rewire the graph
+    val changed = nw.keys.filter(k => old(k) != nw(k)).toSeq.sorted
+    def eligible(rel: String): Boolean = {
+      val mname = rel.substring(rel.lastIndexOf('/') + 1).stripSuffix(".sql")
+      rel.startsWith("models/") && rel.endsWith(".sql") &&
+        p.manifest.nodes.get(s"model.${p.name}.$mname").exists(_.isInstanceOf[graft.core.ModelNode]) &&
+        !p.manifest.unitTests.values.exists(u => u.model == mname && u.overrideCode.isDefined)
+    }
+    if (changed.nonEmpty && changed.forall(eligible)) Some(changed) else None
+  }
+
+  private def writeCache(
+      cachePath: Path,
+      hashes: Map[String, String],
+      cliVars: Map[String, String],
+      project: ProjectLoader.Project): Unit = {
     try {
       Files.createDirectories(cachePath.getParent)
       val bos = new ByteArrayOutputStream()
@@ -78,6 +147,5 @@ object PartialParse {
       case e: Exception =>
         System.err.println(s"[partial-parse] cache write failed: ${e.getMessage}")
     }
-    (project, false)
   }
 }

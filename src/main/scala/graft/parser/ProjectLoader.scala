@@ -315,41 +315,8 @@ object ProjectLoader {
             val modelId = s"model.$name.$mname"
             for (tn <- columnTests(m, name, s"{{ ref('$mname') }}", mname, Seq(modelId), macroTable))
               nodes(tn.uniqueId) = tn
-            // declared columns (for docs + contract enforcement,
-            // reference components.py:59 ColumnInfo + Contract)
-            val declared = declaredColumnsOf(m)
-            val contractEnforced = m.get("config") match {
-              case Some(cm: Map[String @unchecked, Any @unchecked]) =>
-                cm.get("contract") match {
-                  case Some(ct: Map[String @unchecked, Any @unchecked]) =>
-                    ct.get("enforced").contains(true)
-                  case _ => false
-                }
-              case _ => false
-            }
-            // yml-config grants merge UNDER any SQL-file config()
-            // (reference precedence: in-model config > schema yml)
-            val ymlGrants: Map[String, Seq[String]] = m.get("config") match {
-              case Some(cm: Map[String @unchecked, Any @unchecked]) =>
-                cm.get("grants") match {
-                  case Some(gm: Map[String @unchecked, Any @unchecked]) => gm.map {
-                    case (k, v: Seq[Any @unchecked]) => k.toString -> v.map(_.toString)
-                    case (k, v) => k.toString -> Seq(v.toString)
-                  }
-                  case _ => Map.empty
-                }
-              case _ => Map.empty
-            }
             nodes.get(modelId) match {
-              case Some(mn: ModelNode) =>
-                nodes(modelId) = mn.copy(columns = declared,
-                  description = m.getOrElse("description", mn.description).toString,
-                  config = mn.config.copy(
-                    contractEnforced = mn.config.contractEnforced || contractEnforced,
-                    group = m.get("group").map(_.toString).orElse(mn.config.group),
-                    access = m.get("access").map(_.toString).orElse(mn.config.access),
-                    version = m.get("latest_version").map(_.toString).orElse(mn.config.version),
-                    grants = if (mn.config.grants.nonEmpty) mn.config.grants else ymlGrants))
+              case Some(mn: ModelNode) => nodes(modelId) = applyModelYmlEntry(mn, m)
               case _ =>
             }
           }
@@ -590,6 +557,135 @@ object ProjectLoader {
         subs.foldLeft(Set.empty[String])(_ ++ _.restrictAccess) ++
           (if (proj.get("restrict-access").exists(v => String.valueOf(v).toBoolean)) Set(name)
            else Set.empty[String]))
+  }
+
+  /** Schema-yml patch for one model entry: declared columns, contract,
+    * governance, grants (reference schemas.py patch_node_properties).
+    * Shared by the full parse and [[reparseModelFile]] so both paths
+    * produce identical nodes.
+    */
+  private def applyModelYmlEntry(mn: ModelNode, m: Map[String, Any]): ModelNode = {
+    // declared columns (for docs + contract enforcement,
+    // reference components.py:59 ColumnInfo + Contract)
+    val declared = declaredColumnsOf(m)
+    val contractEnforced = m.get("config") match {
+      case Some(cm: Map[String @unchecked, Any @unchecked]) =>
+        cm.get("contract") match {
+          case Some(ct: Map[String @unchecked, Any @unchecked]) =>
+            ct.get("enforced").contains(true)
+          case _ => false
+        }
+      case _ => false
+    }
+    // yml-config grants merge UNDER any SQL-file config()
+    // (reference precedence: in-model config > schema yml)
+    val ymlGrants: Map[String, Seq[String]] = m.get("config") match {
+      case Some(cm: Map[String @unchecked, Any @unchecked]) =>
+        cm.get("grants") match {
+          case Some(gm: Map[String @unchecked, Any @unchecked]) => gm.map {
+            case (k, v: Seq[Any @unchecked]) => k.toString -> v.map(_.toString)
+            case (k, v) => k.toString -> Seq(v.toString)
+          }
+          case _ => Map.empty
+        }
+      case _ => Map.empty
+    }
+    mn.copy(columns = declared,
+      description = m.getOrElse("description", mn.description).toString,
+      config = mn.config.copy(
+        contractEnforced = mn.config.contractEnforced || contractEnforced,
+        group = m.get("group").map(_.toString).orElse(mn.config.group),
+        access = m.get("access").map(_.toString).orElse(mn.config.access),
+        version = m.get("latest_version").map(_.toString).orElse(mn.config.version),
+        grants = if (mn.config.grants.nonEmpty) mn.config.grants else ymlGrants))
+  }
+
+  /** Fine-grained partial re-parse of ONE changed root-project model
+    * .sql file into an already-loaded project (reference
+    * core/dbt/parser/partial.py:68 — the "schedule only changed files"
+    * half; [[PartialParse]] owns the eligibility gate that falls back
+    * to a full parse for files with cross-file effects). Rebuilds the
+    * node exactly as load0 would — macro expansion with the project's
+    * (unchanged) macro table, parse-time control flow, config merge,
+    * schema-yml patch re-application, macro-dependency closure — then
+    * re-resolves refs (resolveRefs is idempotent: already-resolved
+    * dependsOn ids pass through untouched).
+    */
+  def reparseModelFile(
+      p: Project,
+      projectDir: String,
+      cliVars: Map[String, String],
+      rel: String): Project = {
+    val dir = Paths.get(projectDir)
+    val projFile = dir.resolve("dbt_project.yml")
+    val proj: Map[String, Any] =
+      if (Files.exists(projFile)) MiniYaml.parseMap(Files.readString(projFile))
+      else Map("name" -> "graft")
+    val name = proj.getOrElse("name", "graft").toString
+    val projVars: Map[String, String] = proj.get("vars") match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) =>
+        m.map { case (k, v) => k -> String.valueOf(v) }
+      case _ => Map.empty
+    }
+    val vars = projVars ++ cliVars
+    val modelDefaults: Map[String, Any] = proj.get("models") match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) =>
+        m.collect { case (k, v) if k.startsWith("+") => k.stripPrefix("+") -> v }
+      case _ => Map.empty
+    }
+    val macroTable = p.macros
+    val f = dir.resolve(rel)
+    val orig = Files.readString(f)
+    val raw = ControlFlow.render(Macros.expand(orig, macroTable), vars,
+      vars.getOrElse("target", "dev"))
+    val scan = Template.scan(raw)
+    val mname = f.getFileName.toString.stripSuffix(".sql")
+    val cfg = configFrom(modelDefaults ++ scan.config)
+    val deps =
+      scan.refs.map(r => refId(r, name)) ++
+      scan.sources.map { case (s, t) => s"source.$name.$s.$t" }
+    var node = ModelNode(
+      name = mname, packageName = name, rawCode = raw, config = cfg,
+      dependsOn = deps, refs = scan.refs, sources = scan.sources,
+      path = dir.relativize(f).toString, checksum = FileHash.of(raw))
+    // re-apply this model's schema-yml patches (yml files are unchanged
+    // under PartialParse's eligibility contract)
+    val ymlFiles = Seq("models", "seeds", "snapshots").flatMap { sub =>
+      val d = dir.resolve(sub)
+      if (!Files.exists(d)) Nil
+      else Files.walk(d).iterator().asScala
+        .filter(pp => (pp.toString.endsWith(".yml") || pp.toString.endsWith(".yaml")) &&
+          Files.isRegularFile(pp))
+        .toSeq.sortBy(_.toString)
+    }
+    for (yf <- ymlFiles) {
+      MiniYaml.parseMap(Files.readString(yf)).get("models") match {
+        case Some(ms: List[Any @unchecked]) =>
+          for (m0 <- ms) {
+            val m = m0.asInstanceOf[Map[String, Any]]
+            if (m("name").toString == mname) node = applyModelYmlEntry(node, m)
+          }
+        case _ =>
+      }
+    }
+    // macro-dependency closure for state:modified.macros (as in load0)
+    val macroCallRes: Map[String, Regex] =
+      macroTable.keys.map(k => k -> raw"(?<![\w])${Regex.quote(k)}\s*\(".r).toMap
+    def direct(text: String): Set[String] =
+      macroCallRes.collect { case (k, re) if re.findFirstIn(text).isDefined => k }.toSet
+    val directTable = macroTable.map { case (k, d) => k -> direct(d.body) }
+    def close(seen: Set[String]): Set[String] = {
+      val next = seen ++ seen.flatMap(directTable.getOrElse(_, Set.empty))
+      if (next == seen) seen else close(next)
+    }
+    val ms = direct(orig).flatMap(k => close(Set(k)))
+    val uid = node.uniqueId
+    val macroDeps2 =
+      if (ms.nonEmpty) p.manifest.macroDeps + (uid -> ms.toSeq.sorted)
+      else p.manifest.macroDeps - uid
+    resolveRefs(p.copy(manifest = p.manifest.copy(
+      nodes = p.manifest.nodes + (uid -> node),
+      macroDeps = macroDeps2)))
   }
 
   /** packages.yml `- local:` entries resolved against `dir` — shared
