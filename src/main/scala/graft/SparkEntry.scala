@@ -28,6 +28,9 @@ object SparkEntry {
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
     "q12_late_by_priority" -> (Relational.q12LateByPriority _),
     "q14_promo_revenue" -> (Relational.q14PromoRevenue _),
+    "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
+    "q9_product_profit" -> (Relational.q9ProductProfit _),
+    "q19_disjunctive_revenue" -> (Relational.q19DisjunctiveRevenue _),
     "q_window_top3" -> (Relational.qWindowTop3 _),
     "q_window_funcs" -> (Relational.qWindowFuncs _),
     "q_median" -> (Relational.qMedian _),
@@ -58,6 +61,8 @@ object SparkEntry {
     "q_scalar_small_qty" -> (SubQueries.qScalarSmallQty _),
     "q_scalar_idle_customers" -> (SubQueries.qScalarIdleCustomers _),
     "q_lateral_top_supp" -> (SubQueries.qLateralTopSupp _),
+    "q15_top_supplier" -> (SubQueries.qTopRevenueSupplier _),
+    "q21_sole_late_supplier" -> (SubQueries.qSoleLateSupplier _),
     // dbt generic data tests as operators
     "t_unique" -> (Relational.tUnique _),
     "t_not_null" -> (Relational.tNotNull _),
@@ -88,6 +93,8 @@ object SparkEntry {
     "txt_winnow" -> (TextOps.txtWinnow _),
     "txt_pipeline_clean" -> (TextOps.txtPipelineClean _),
     "txt_char_lm_score" -> (TextOps.txtCharLmScore _),
+    "txt_quality_classify" -> (TextOps.txtQualityClassify _),
+    "txt_bpe_train" -> (TextOps.txtBpeTrain _),
     // dedup
     "dedup_exact" -> (DedupOps.dedupExact _),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
@@ -114,6 +121,7 @@ object SparkEntry {
     "curate_shard_assign" -> ((s, dir) => CurateOps.curateShardAssign(s, dir)),
     "emb_quantize" -> (CurateOps.embQuantize _),
     "curate_pipeline_full" -> (CurateOps.curatePipelineFull _),
+    "curate_source_overlap" -> (CurateOps.curateSourceOverlap _),
     // similarity search
     "sim_topk" -> (SimilarityOps.simTopK _),
     "emb_neardup" -> (SimilarityOps.embNearDup _),
@@ -159,6 +167,51 @@ object SparkEntry {
              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+  /** BPE merge-training oracle: replays TextOps.txtBpeTrain's 8 merge
+    * rounds as unrolled CTEs — word histogram → per-round weighted
+    * pair counts (p_r) → argmax with the same (count DESC, pair ASC)
+    * tie-break (b_r) → `replace` application preserving the
+    * double-space symbol encoding (w_r). DuckDB's `replace` is the
+    * same left-to-right non-overlapping scan as Spark's, so every
+    * round's merge decision is bit-identical.
+    */
+  private lazy val BpeTrainSql: String = {
+    val rounds = 8
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"w${r - 1}"
+      s"""p$r AS (
+        SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pcnt FROM (
+          SELECT cnt, unnest(list_transform(range(1, len(syms)), i -> syms[i] || '|' || syms[i+1])) AS pair
+          FROM (SELECT cnt, list_filter(string_split(w, '  '), x -> x <> '') AS syms FROM $prev) s
+          WHERE len(syms) >= 2
+        ) x GROUP BY 1
+      ), b$r AS (
+        SELECT pair, pcnt FROM p$r ORDER BY pcnt DESC, pair ASC LIMIT 1
+      ), w$r AS (
+        SELECT word, cnt,
+               replace(w, ' ' || split_part(pair, '|', 1) || '  ' || split_part(pair, '|', 2) || ' ',
+                          ' ' || split_part(pair, '|', 1) || split_part(pair, '|', 2) || ' ') AS w
+        FROM $prev CROSS JOIN b$r
+      )"""
+    }.mkString(",\n      ")
+    val union = (1 to rounds)
+      .map(r => s"SELECT $r AS merge_rank, pair, pcnt FROM b$r")
+      .mkString("\n        UNION ALL ")
+    s"""
+      WITH words AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+          FROM documents
+        ) t WHERE word <> '' GROUP BY 1
+      ), w0 AS (
+        SELECT word, cnt, ' ' || regexp_replace(word, '(.)', ' \\1 ', 'g') || ' ' AS w FROM words
+      ),
+      $roundCtes
+      SELECT merge_rank, split_part(pair, '|', 1) AS lhs, split_part(pair, '|', 2) AS rhs,
+             split_part(pair, '|', 1) || split_part(pair, '|', 2) AS merged, pcnt AS cnt
+      FROM ($union) u"""
+  }
 
   /** Integer dot product of a probe row `a` against centroid `c` in
     * DuckDB list arithmetic — shared by the k-means/IVF oracle family.
@@ -286,6 +339,60 @@ object SparkEntry {
       SELECT promo_cents, total_cents,
              CAST((1000 * promo_cents) // total_cents AS BIGINT) AS promo_millis
       FROM s""",
+    "q15_top_supplier" -> """
+      WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= DATE '2000-01-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_cents
+      FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      WHERE total_cents = (SELECT MAX(total_cents) FROM rev)""",
+    "q21_sole_late_supplier" -> """
+      SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s_name""",
+    "q7_volume_shipping" -> """
+      SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+             EXTRACT(year FROM l_shipdate) AS l_year,
+             CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      GROUP BY 1, 2, 3""",
+    "q9_product_profit" -> """
+      SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(SUM(CAST(ROUND((l_extendedprice*(1.0-l_discount) - p_retailprice*l_quantity*0.5)*100) AS BIGINT)) AS BIGINT) AS profit_cents
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY 1, 2""",
+    "q19_disjunctive_revenue" -> """
+      SELECT CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 10 AND 30)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 40)""",
     "q5_local_supplier" -> """
       SELECT n_name,
              CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
@@ -1024,6 +1131,50 @@ object SparkEntry {
              CAST((1000 * CAST(SUM(m * bits) AS BIGINT)) // CAST(SUM(m) AS BIGINT) AS BIGINT) AS avg_millibits
       FROM perdoc JOIN scored USING (bg)
       GROUP BY doc_id""",
+    "txt_quality_classify" -> {
+      val vals = graft.operators.TextOps.QualityWeights
+        .map { case (t, w) => s"('$t', ${w}::BIGINT)" }.mkString(", ")
+      val thr = graft.operators.TextOps.QualityThresholdMilli
+      s"""
+      WITH wts(term, w_milli) AS (VALUES $vals),
+      d AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS w
+        FROM documents
+      ), base AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM d
+      ), hits AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, CAST(SUM(w_milli) AS BIGINT) AS hit_milli
+        FROM (SELECT doc_id, unnest(w) AS term FROM d) t JOIN wts USING (term)
+        GROUP BY 1
+      )
+      SELECT b.doc_id, b.n_tokens,
+             COALESCE(n_hits, 0) AS n_hits,
+             COALESCE(hit_milli, 0) AS hit_milli,
+             CASE WHEN COALESCE(hit_milli, 0) >= $thr * b.n_tokens THEN 'keep' ELSE 'drop' END AS label
+      FROM base b LEFT JOIN hits USING (doc_id)"""
+    },
+    "txt_bpe_train" -> BpeTrainSql,
+    "curate_source_overlap" -> """
+      WITH toks AS (
+        SELECT source, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        FROM documents
+      ), grams AS (
+        SELECT DISTINCT source, g FROM (
+          SELECT source, unnest(list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))) AS g
+          FROM toks WHERE len(w) >= 8) x
+      ), sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams GROUP BY 1
+      ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2
+      )
+      SELECT src_a, src_b, n_common, sa.n_grams AS n_a, sb.n_grams AS n_b,
+             CAST((1000 * n_common) // (sa.n_grams + sb.n_grams - n_common) AS BIGINT) AS jaccard_milli
+      FROM inter
+      JOIN sizes sa ON sa.source = src_a
+      JOIN sizes sb ON sb.source = src_b""",
     "dedup_exact" -> """
       SELECT doc_id, fp, keeper, CAST(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END AS BIGINT) AS keep,
              group_size

@@ -22,6 +22,35 @@ object CurateOps {
   private def tokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), split(TextOps.normalized(col("text")), " ").as("w"))
 
+  /** Cross-source contamination matrix: for every pair of corpus
+    * sources, the 8-gram overlap (|A∩B|, |A|, |B|, Jaccard in integer
+    * milli-units). The diagnostics every multi-source training mix
+    * needs before weighting sources — high overlap means double-counted
+    * content. Scale shape: distinct (source, gram) is one shuffle on
+    * the gram key; the pair join is gram-keyed (never a source×source
+    * cartesian over documents), and its output is bounded by
+    * sources² — a metadata-sized result at any corpus size.
+    */
+  def curateSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val grams = docs(s, dir)
+      .select(col("source"), split(TextOps.normalized(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("source"),
+        explode(expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))")).as("g"))
+      .distinct()
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val inter = grams.select(col("source").as("src_a"), col("g"))
+      .join(grams.select(col("source").as("src_b"), col("g")), Seq("g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n_grams").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n_grams").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"), col("n_b"),
+        expr("(1000 * n_common) div (n_a + n_b - n_common)").as("jaccard_milli"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
     * fraction of the document covered by its most frequent word 2-gram,
     * and the fraction of 3-gram occurrences that are repeats. High

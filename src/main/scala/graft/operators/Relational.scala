@@ -127,6 +127,75 @@ object Relational {
       .withColumn("promo_millis", expr("(1000 * promo_cents) div total_cents"))
   }
 
+  /** TPC-H Q7-style volume shipping: revenue flowing between a pair of
+    * nations (customer nation vs supplier nation), by ship year. Two
+    * distinct dimension paths out of the same fact row — supplier side
+    * and customer side each broadcast; the only big shuffle is
+    * lineitem⋈orders on the order key. The symmetric-pair disjunction
+    * is applied AFTER both nation names are in scope, as one residual
+    * filter on broadcast-joined rows.
+    */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val n2 = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = t(s, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .filter((col("cust_nation") === "NATION_1" && col("supp_nation") === "NATION_2") ||
+        (col("cust_nation") === "NATION_2" && col("supp_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+  }
+
+  /** TPC-H Q9-style product-type profit (adapted: no partsupp table, so
+    * supply cost is modeled as half the part's retail price). Profit is
+    * computed per-row in doubles (identical IEEE ops both engines) and
+    * rounded to cents BEFORE the sum, keeping the aggregate exact under
+    * any partitioning. p_name filter prunes the broadcast part side
+    * before the fact join.
+    */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_name").contains("widget"))
+    val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val l = t(s, dir, "lineitem")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        - col("p_retailprice") * col("l_quantity") * lit(0.5))).as("profit_cents"))
+  }
+
+  /** TPC-H Q19-style discounted revenue under a disjunction of
+    * (brand, size-range, quantity-range) triples. The join key
+    * (l_partkey = p_partkey) is common to every disjunct, so Catalyst
+    * keeps a single broadcast hash join and evaluates the OR as a
+    * residual — the shape that verifies disjunctive predicates don't
+    * degrade the join into a cartesian.
+    */
+  def q19DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val d1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(1, 20)
+    val d2 = col("p_brand") === "Brand#2" && col("p_size").between(5, 25) &&
+      col("l_quantity").between(10, 30)
+    val d3 = col("p_brand") === "Brand#3" && col("p_size").between(10, 40) &&
+      col("l_quantity").between(20, 40)
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey") && (d1 || d2 || d3))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** Window functions: rank + running total inside each customer. */
   def qWindowTop3(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")

@@ -125,6 +125,52 @@ object SubQueries {
     * Catalyst rewrites it to a window under DecorrelateInnerQuery, so
     * the physical plan is the same single shuffle on the group key.
     */
+  /** TPC-H q15 shape — argmax over an aggregated derived table: the
+    * supplier(s) with the maximum recent revenue. The CTE aggregates
+    * once; the scalar MAX subquery over it becomes a single-row
+    * broadcast, so the "top" filter costs one more pass over the
+    * 100-row aggregate, never over the fact table.
+    */
+  def qTopRevenueSupplier(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "supplier", "lineitem")
+    s.sql("""
+      WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= DATE '2000-01-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_cents
+      FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      WHERE total_cents = (SELECT MAX(total_cents) FROM rev)""")
+  }
+
+  /** TPC-H q21 shape — double correlated quantifier (EXISTS + NOT
+    * EXISTS on the same correlation key): suppliers that were the SOLE
+    * late supplier on a multi-supplier order ("late" adapted to this
+    * schema: shipped >60 days after the order date; the NOT EXISTS
+    * correlates on both l1.l_orderkey and the outer o_orderdate).
+    * Catalyst decorrelates both quantifiers into semi/anti joins keyed
+    * on the order key — no per-row re-execution at any scale.
+    */
+  def qSoleLateSupplier(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "supplier", "lineitem", "orders")
+    s.sql("""
+      SELECT s_name, COUNT(*) AS numwait
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s_name""")
+  }
+
   def qLateralTopSupp(s: SparkSession, dir: String): DataFrame = {
     views(s, dir, "nation", "supplier")
     s.sql("""

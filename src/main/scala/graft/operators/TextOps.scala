@@ -142,6 +142,104 @@ object TextOps {
     fp.join(groups, Seq("fp")).select(col("doc_id"), col("fp"), col("n_docs"), col("keeper"))
   }
 
+  /** Fixed linear quality classifier — fasttext-style serving (Joulin et
+    * al. 2017): a trained model is just a (term → weight) table, and
+    * scoring a corpus is a broadcast join + one aggregate. Weights here
+    * are fixed integer milli-units (training happens offline; this is
+    * the 100 TB inference path). Score = bias + mean token weight in
+    * micro-units, all integer arithmetic (`div`), so the label is exact
+    * under any partitioning. Scale shape: the weight table is
+    * vocabulary-bounded → always a broadcast; the corpus-sized shuffle
+    * carries only (doc_id, weight-sum) after map-side combine.
+    */
+  val QualityWeights: Seq[(String, Long)] = Seq(
+    "fast" -> 900L, "spark" -> 800L, "query" -> 600L, "data" -> 500L,
+    "stream" -> 400L, "merge" -> 350L, "table" -> 300L, "batch" -> 250L,
+    "big" -> 200L, "row" -> -50L, "scan" -> -100L, "value" -> -150L,
+    "small" -> -250L, "a" -> -350L, "the" -> -400L, "slow" -> -1200L)
+
+  /** Decision threshold: keep iff mean token weight ≥ 50 milli-units,
+    * tested as `hit_milli ≥ 50 · n_tokens` — a pure integer
+    * multiply-compare, no division, so there is no rounding-mode or
+    * negative-integer-division semantics to align across engines.
+    */
+  val QualityThresholdMilli: Long = 50L
+
+  def txtQualityClassify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weights = QualityWeights.toDF("term", "w_milli")
+    val d = docs(s, dir).select(col("doc_id"), split(normalized(col("text")), " ").as("w"))
+      .select(col("doc_id"),
+        size(filter(col("w"), x => x =!= "")).cast("long").as("n_tokens"), col("w"))
+    val hits = d.select(col("doc_id"), explode(col("w")).as("term"))
+      .filter(col("term") =!= "")
+      .join(broadcast(weights), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), sum(col("w_milli")).as("hit_milli"))
+    d.select(col("doc_id"), col("n_tokens"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("hit_milli"), lit(0L)).as("hit_milli"))
+      .withColumn("label",
+        when(col("hit_milli") >= lit(QualityThresholdMilli) * col("n_tokens"), "keep")
+          .otherwise("drop"))
+  }
+
+  /** Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+    * merge-table learner itself, not just piece counting. The corpus is
+    * scanned ONCE into a word-frequency histogram (vocabulary-bounded,
+    * the classic BPE pre-tokenization); every merge round then runs on
+    * that small table: weighted adjacent-symbol-pair counts → global
+    * argmax (count DESC, pair ASC) → apply the merge. At 100 TB only
+    * the histogram build touches the corpus; rounds are
+    * vocabulary-sized jobs and each argmax collects exactly one row.
+    *
+    * Symbol sequences are encoded as double-space-separated strings
+    * with a leading/trailing double space ("␣␣h␣␣e␣␣l␣␣l␣␣o␣␣");
+    * replacing " l  l " with " ll " preserves the invariant AND gives
+    * left-to-right non-overlapping application — exactly BPE's greedy
+    * pair semantics — identically in Spark's and DuckDB's `replace`.
+    * Output: the learned merge table (rank, lhs, rhs, merged, cnt).
+    */
+  def txtBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rounds = 8
+    val words = docs(s, dir)
+      .select(explode(split(normalized(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w", concat(lit(" "), regexp_replace(col("word"), "(.)", " $1 "), lit(" ")))
+      .cache()
+    var cur = words.select(col("cnt"), col("w"))
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = cur
+        .select(col("cnt"), expr("filter(split(w, '  '), x -> x <> '')").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(
+          expr("transform(sequence(1, size(syms) - 1), i -> concat(syms[i-1], '|', syms[i]))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("pcnt"))
+        .orderBy(col("pcnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val pcnt = best(0).getLong(1)
+        val i = pair.indexOf('|')
+        val (lhs, rhs) = (pair.substring(0, i), pair.substring(i + 1))
+        merges += ((r, lhs, rhs, lhs + rhs, pcnt))
+        cur = cur.withColumn("w",
+          expr(s"replace(w, ' $lhs  $rhs ', ' ${lhs + rhs} ')"))
+        r += 1
+      }
+    }
+    words.unpersist()
+    merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "cnt")
+  }
+
   /** Character-bigram language-model quality score — the integer-exact
     * analogue of CCNet/KenLM perplexity filtering (Wenzek et al. 2020):
     * train a char-bigram model on the corpus itself, then score each

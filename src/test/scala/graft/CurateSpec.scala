@@ -286,4 +286,75 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(df == expected, s"term '$term': df=$df, recount=$expected")
     }
   }
+
+  test("bpe_train: merge sequence matches hand-computed BPE on a fixture") {
+    // word histogram: aaab x2, ab x3, aaaaa x1 — hand-run of weighted BPE:
+    //   r1: (a,a)=2*2+4=8 beats (a,b)=2+3=5        -> aa
+    //   r2: (a,b)=5 beats (aa,a)=3, (aa,aa)=1      -> ab
+    //   r3: (aa,ab)=2 beats (aa,aa)=1, (aa,a)=1    -> aaab
+    //   r4: tie at 1 — 'aa|a' < 'aa|aa' lexically  -> aaa   (greedy
+    //       left-to-right: aaaaa = [aa,aa,a] merges at (2,3) -> [aa,aaa])
+    //   r5: (aa,aaa)=1                             -> aaaaa
+    //   r6: no pairs left -> training stops at 5 merges
+    val dir = java.nio.file.Files.createTempDirectory("bpe")
+    val sess = spark
+    import sess.implicits._
+    Seq((0L, "aaab aaab ab ab ab aaaaa"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val merges = TextOps.txtBpeTrain(spark, dir.toString).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(merges.toSeq == Seq(
+      (1, "a", "a", "aa", 8L),
+      (2, "a", "b", "ab", 5L),
+      (3, "aa", "ab", "aaab", 2L),
+      (4, "aa", "a", "aaa", 1L),
+      (5, "aa", "aaa", "aaaaa", 1L)),
+      s"got: ${merges.toSeq}")
+  }
+
+  test("quality_classify: totals match a driver-side recount, labels follow the threshold") {
+    val wts = TextOps.QualityWeights.toMap
+    val expected = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.replaceAll("[^a-z0-9]+", " ")
+          .trim.split(" ").filter(_.nonEmpty)
+        val hitMilli = toks.flatMap(wts.get).sum
+        (r.getLong(0), (toks.length.toLong, toks.count(wts.contains).toLong, hitMilli))
+      }.toMap
+    val out = TextOps.txtQualityClassify(spark, sf).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (nTok, nHits, hitMilli) = expected(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((nTok, nHits, hitMilli)))
+      val keep = hitMilli >= TextOps.QualityThresholdMilli * nTok
+      assert(r.getString(4) == (if (keep) "keep" else "drop"))
+    }
+  }
+
+  test("source_overlap: bounds hold and one pair matches a set recount") {
+    val out = CurateOps.curateSourceOverlap(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    out.foreach { case ((a, b), (common, na, nb, jac)) =>
+      assert(a < b)
+      assert(common <= math.min(na, nb))
+      assert(jac >= 0 && jac <= 1000)
+    }
+    // recount one pair's gram sets driver-side
+    def grams(src: String): Set[String] =
+      graft.sources.Tables.load(spark, sf, "documents")
+        .filter(col("source") === src).select("text").collect()
+        .flatMap { r =>
+          val w = r.getString(0).toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ")
+          if (w.length < 8) Seq.empty else w.sliding(8).map(_.mkString(" ")).toSeq
+        }.toSet
+    out.headOption.foreach { case ((a, b), (common, na, nb, _)) =>
+      val (ga, gb) = (grams(a), grams(b))
+      assert((na, nb) == ((ga.size.toLong, gb.size.toLong)))
+      assert(common == ga.intersect(gb).size.toLong)
+    }
+  }
 }
