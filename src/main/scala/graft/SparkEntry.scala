@@ -95,6 +95,7 @@ object SparkEntry {
     "txt_char_lm_score" -> (TextOps.txtCharLmScore _),
     "txt_quality_classify" -> (TextOps.txtQualityClassify _),
     "txt_bpe_train" -> (TextOps.txtBpeTrain _),
+    "txt_bpe_segment" -> (TextOps.txtBpeSegment _),
     // dedup
     "dedup_exact" -> (DedupOps.dedupExact _),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
@@ -176,9 +177,14 @@ object SparkEntry {
     * same left-to-right non-overlapping scan as Spark's, so every
     * round's merge decision is bit-identical.
     */
-  private lazy val BpeTrainSql: String = {
-    val rounds = 8
-    val roundCtes = (1 to rounds).map { r =>
+  private val BpeRounds = 8
+
+  /** WITH-body shared by the BPE train/segment oracles: word histogram
+    * (words/w0), then per-round pair counts (p_r), argmax (b_r), and
+    * merge application (w_r) up to round 8.
+    */
+  private lazy val BpeCtes: String = {
+    val roundCtes = (1 to BpeRounds).map { r =>
       val prev = s"w${r - 1}"
       s"""p$r AS (
         SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pcnt FROM (
@@ -189,17 +195,16 @@ object SparkEntry {
       ), b$r AS (
         SELECT pair, pcnt FROM p$r ORDER BY pcnt DESC, pair ASC LIMIT 1
       ), w$r AS (
+        -- LEFT JOIN ON TRUE so an exhausted round (empty b_r) passes
+        -- words through unchanged instead of emptying the table
         SELECT word, cnt,
-               replace(w, ' ' || split_part(pair, '|', 1) || '  ' || split_part(pair, '|', 2) || ' ',
-                          ' ' || split_part(pair, '|', 1) || split_part(pair, '|', 2) || ' ') AS w
-        FROM $prev CROSS JOIN b$r
+               CASE WHEN pair IS NULL THEN w ELSE
+                 replace(w, ' ' || split_part(pair, '|', 1) || '  ' || split_part(pair, '|', 2) || ' ',
+                            ' ' || split_part(pair, '|', 1) || split_part(pair, '|', 2) || ' ') END AS w
+        FROM $prev LEFT JOIN b$r ON TRUE
       )"""
     }.mkString(",\n      ")
-    val union = (1 to rounds)
-      .map(r => s"SELECT $r AS merge_rank, pair, pcnt FROM b$r")
-      .mkString("\n        UNION ALL ")
-    s"""
-      WITH words AS (
+    s"""WITH words AS (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
           SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
           FROM documents
@@ -207,11 +212,24 @@ object SparkEntry {
       ), w0 AS (
         SELECT word, cnt, ' ' || regexp_replace(word, '(.)', ' \\1 ', 'g') || ' ' AS w FROM words
       ),
-      $roundCtes
+      $roundCtes"""
+  }
+
+  private lazy val BpeTrainSql: String = {
+    val union = (1 to BpeRounds)
+      .map(r => s"SELECT $r AS merge_rank, pair, pcnt FROM b$r")
+      .mkString("\n        UNION ALL ")
+    s"""
+      $BpeCtes
       SELECT merge_rank, split_part(pair, '|', 1) AS lhs, split_part(pair, '|', 2) AS rhs,
              split_part(pair, '|', 1) || split_part(pair, '|', 2) AS merged, pcnt AS cnt
       FROM ($union) u"""
   }
+
+  private lazy val BpeSegmentSql: String = s"""
+      $BpeCtes
+      SELECT word, cnt, CAST(len(syms) AS BIGINT) AS n_pieces, array_to_string(syms, ' ') AS pieces
+      FROM (SELECT word, cnt, list_filter(string_split(w, '  '), x -> x <> '') AS syms FROM w$BpeRounds) f"""
 
   /** Integer dot product of a probe row `a` against centroid `c` in
     * DuckDB list arithmetic — shared by the k-means/IVF oracle family.
@@ -1155,6 +1173,7 @@ object SparkEntry {
       FROM base b LEFT JOIN hits USING (doc_id)"""
     },
     "txt_bpe_train" -> BpeTrainSql,
+    "txt_bpe_segment" -> BpeSegmentSql,
     "curate_source_overlap" -> """
       WITH toks AS (
         SELECT source, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w

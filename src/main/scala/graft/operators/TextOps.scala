@@ -202,16 +202,20 @@ object TextOps {
     * pair semantics — identically in Spark's and DuckDB's `replace`.
     * Output: the learned merge table (rank, lhs, rhs, merged, cnt).
     */
-  def txtBpeTrain(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val rounds = 8
+  /** Shared merge-training loop: returns the learned merge list and the
+    * final segmented word table (word, cnt, w). The word table stays
+    * cached for the duration of the rounds; each round's argmax
+    * collects exactly one row.
+    */
+  private def bpeRun(s: SparkSession, dir: String, rounds: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     val words = docs(s, dir)
       .select(explode(split(normalized(col("text")), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("w", concat(lit(" "), regexp_replace(col("word"), "(.)", " $1 "), lit(" ")))
       .cache()
-    var cur = words.select(col("cnt"), col("w"))
+    var cur = words
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -237,8 +241,27 @@ object TextOps {
       }
     }
     words.unpersist()
-    merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "cnt")
+    (merges.result(), cur)
   }
+
+  def txtBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeRun(s, dir, 8)._1.toDF("merge_rank", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** Tokenize the vocabulary with the LEARNED merge table — the serving
+    * half of BPE: every word's final segmentation after the 8 trained
+    * merges, with its corpus frequency and piece count. Downstream, a
+    * doc's exact BPE token count is one broadcast join against this
+    * vocabulary-bounded table (no per-character work at read time).
+    */
+  def txtBpeSegment(s: SparkSession, dir: String): DataFrame =
+    bpeRun(s, dir, 8)._2
+      .select(col("word"), col("cnt"),
+        expr("filter(split(w, '  '), x -> x <> '')").as("syms"))
+      .select(col("word"), col("cnt"),
+        size(col("syms")).cast("long").as("n_pieces"),
+        array_join(col("syms"), " ").as("pieces"))
 
   /** Character-bigram language-model quality score — the integer-exact
     * analogue of CCNet/KenLM perplexity filtering (Wenzek et al. 2020):

@@ -314,6 +314,28 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got: ${merges.toSeq}")
   }
 
+  test("bpe_segment: pieces reconstruct each word; fixture fully merges") {
+    // at sf0.001: every word's segmentation concatenates back to the word
+    val seg = TextOps.txtBpeSegment(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(seg.nonEmpty)
+    seg.foreach { case (word, cnt, nPieces, pieces) =>
+      assert(pieces.replace(" ", "") == word, s"'$pieces' !~ '$word'")
+      assert(nPieces == pieces.split(" ").length.toLong)
+      assert(cnt > 0)
+    }
+    // the 5-merge fixture from the train test collapses every word to 1 piece
+    val dir = java.nio.file.Files.createTempDirectory("bpeseg")
+    val sess = spark
+    import sess.implicits._
+    Seq((0L, "aaab aaab ab ab ab aaaaa"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val fix = TextOps.txtBpeSegment(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(fix == Map("aaab" -> 1L, "ab" -> 1L, "aaaaa" -> 1L), s"got: $fix")
+  }
+
   test("quality_classify: totals match a driver-side recount, labels follow the threshold") {
     val wts = TextOps.QualityWeights.toMap
     val expected = graft.sources.Tables.load(spark, sf, "documents")

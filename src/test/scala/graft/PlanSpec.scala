@@ -302,4 +302,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), "lateral must not plan as cartesian")
   }
+
+  test("q19: disjunctive predicates stay on ONE broadcast join, no cartesian") {
+    val plan = physical(Relational.q19DisjunctiveRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "OR-of-ANDs must not degrade the equi-join")
+    // exactly one join: the common l_partkey = p_partkey key is extracted once
+    assert("HashJoin".r.findAllIn(plan).size == 1, "expected a single join node")
+  }
+
+  test("q7: both nation paths and supplier broadcast; one fact-side shuffle pair") {
+    val plan = physical(Relational.q7VolumeShipping(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      "supplier + two nation dims should broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q21: double quantifier decorrelates to semi + anti joins") {
+    val plan = physical(SubQueries.qSoleLateSupplier(spark, sf))
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("InSubqueryExec"), "subqueries should be joined, not re-executed")
+  }
+
+  test("quality classifier: weight table broadcasts, corpus never shuffles rows") {
+    val plan = executedPhysical(TextOps.txtQualityClassify(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "weights must broadcast")
+    // the only hash exchanges carry (doc_id, ...) aggregates/joins, never text
+    assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(plan).isDefined,
+      "document text must not cross a shuffle")
+  }
 }
