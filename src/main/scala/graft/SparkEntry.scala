@@ -77,6 +77,7 @@ object SparkEntry {
     "q_skew_salted_agg" -> (ScaleOps.qSkewSaltedAgg _),
     "q_skew_salted_join" -> (ScaleOps.qSkewSaltedJoin _),
     "q_heavy_users" -> (ScaleOps.qHeavyUsers _),
+    "q_zorder_layout" -> (ScaleOps.qZorderLayout _),
     "q_asof_join" -> (Events.qAsofJoin _),
     "q_range_join" -> (Events.qRangeJoin _),
     "q_range_join_auto" -> (Events.qRangeJoinAuto _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "dedup_decontaminate_bloom" -> (CurateOps.dedupDecontaminateBloom _),
     "dedup_semantic" -> (SimilarityOps.semDedup _),
     "dedup_substring_spans" -> (DedupOps.dedupSubstringSpans _),
+    "dedup_fuzzy_parts" -> (DedupOps.dedupFuzzyParts _),
     // corpus curation
     "txt_repetition" -> (CurateOps.txtRepetition _),
     "txt_pii_scrub" -> (CurateOps.txtPiiScrub _),
@@ -1174,6 +1176,42 @@ object SparkEntry {
     },
     "txt_bpe_train" -> BpeTrainSql,
     "txt_bpe_segment" -> BpeSegmentSql,
+    "q_zorder_layout" -> {
+      val bits = graft.operators.ScaleOps.ZorderBits
+      val fb = graft.operators.ScaleOps.ZorderFileBits
+      val gmax = (1 << bits) - 1
+      val z = (0 until bits).map(i =>
+        s"((((xn >> $i) & 1) << ${2 * i}) | (((yn >> $i) & 1) << ${2 * i + 1}))"
+      ).mkString(" | ")
+      s"""
+      WITH b AS (
+        SELECT MIN(l_partkey) AS min_p, MAX(l_partkey) AS max_p,
+               MIN(l_suppkey) AS min_s, MAX(l_suppkey) AS max_s
+        FROM lineitem
+      ), n AS (
+        SELECT l_partkey, l_suppkey,
+               ((l_partkey - min_p) * $gmax) // greatest(max_p - min_p, 1) AS xn,
+               ((l_suppkey - min_s) * $gmax) // greatest(max_s - min_s, 1) AS yn
+        FROM lineitem CROSS JOIN b
+      )
+      SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+             MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+      FROM (SELECT l_partkey, l_suppkey, ($z) >> ${2 * bits - fb} AS file_id FROM n) t
+      GROUP BY 1"""
+    },
+    "dedup_fuzzy_parts" -> """
+      WITH counts AS (
+        SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts FROM part GROUP BY 1
+      ), nm AS (
+        SELECT p_name, n_parts, string_split(p_name, ' ')[2] AS blk
+        FROM counts WHERE len(string_split(p_name, ' ')) = 2
+      )
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+             a.n_parts AS n_a, b.n_parts AS n_b
+      FROM nm a JOIN nm b ON a.blk = b.blk AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 3""",
     "curate_source_overlap" -> """
       WITH toks AS (
         SELECT source, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w

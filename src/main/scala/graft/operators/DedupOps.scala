@@ -304,4 +304,32 @@ object DedupOps {
         coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
         expr("(1000 * coalesce(n_dup_positions, 0L)) div n_tokens").as("dup_frac_millis"))
   }
+
+  /** Blocked fuzzy matching (record-linkage / entity-resolution shape):
+    * near-identical part names by edit distance, with a blocking key so
+    * the pair join NEVER goes cartesian. Candidate pairs must share
+    * their final token (the noun of "adj noun" names); within a block,
+    * `levenshtein` — identical DP semantics in Spark and DuckDB —
+    * scores each pair exactly, keeping distance ≤ 3. Scale shape: the
+    * distinct-name table is vocabulary-bounded, the self-join is
+    * equi-keyed on the block, and per-block fanout is |block|² with
+    * |block| bounded by the adjective vocabulary — the standard
+    * blocking argument that makes fuzzy joins feasible at any corpus
+    * size. Output also carries each name's part count so the pair can
+    * be weighted by how many records a merge would affect.
+    */
+  def dedupFuzzyParts(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.load(s, dir, "part")
+    val counts = parts.groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .filter(size(split(col("p_name"), " ")) === 2)
+      .withColumn("blk", element_at(split(col("p_name"), " "), 2))
+    val a = counts.select(col("p_name").as("name_a"), col("n_parts").as("n_a"), col("blk"))
+    val b = counts.select(col("p_name").as("name_b"), col("n_parts").as("n_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
+        col("n_a"), col("n_b"))
+      .filter(col("dist") <= 3)
+  }
 }

@@ -106,4 +106,55 @@ object ScaleOps {
           .cast("long")).as("n_above_avg"))
       .select(col("event_type"), col("n"), col("n_above_avg"))
   }
+
+  /** Bits per dimension in the Z-order interleave (8 → a 16-bit
+    * Z-value over a 256×256 normalized grid); the file id is the top
+    * [[ZorderFileBits]] bits of the Z-value, i.e. a fixed Z-prefix
+    * region of the 2-D key space. Dimensions are range-normalized to
+    * the grid first (integer min/max binning) — raw keys rarely fill
+    * their bit-width, and Z-prefix regions are only meaningful over
+    * the occupied range.
+    */
+  val ZorderBits = 8
+  val ZorderFileBits = 6
+
+  /** Morton/Z-order bit interleave of two non-negative integer columns:
+    * bit i of x lands at position 2i, bit i of y at 2i+1. Pure shift/
+    * mask/or — codegen'd, row-parallel, zero shuffles to compute.
+    */
+  def zValue(x: Column, y: Column, bits: Int = ZorderBits): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-order data-layout assignment (the engine-side analogue of Delta
+    * OPTIMIZE ZORDER BY / the classic UB-tree layout): assign every
+    * lineitem row to a "file" by the top bits of the Morton interleave
+    * of (l_partkey, l_suppkey), then report each file's row count and
+    * per-dimension min/max envelope. Because a fixed Z-prefix IS a
+    * rectangular region of the key space, every file's envelope is
+    * tight in BOTH dimensions — the property that lets a scan prune
+    * files for predicates on EITHER column. At scale the write path is
+    * `repartitionByRange($"zval")` + sortWithinPartitions (range
+    * exchange, no global sort); this query returns the deterministic
+    * layout stats the pruning argument rests on.
+    */
+  def qZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+    // column bounds: one metadata-sized aggregate, broadcast to every row
+    val bounds = li.agg(
+      min(col("l_partkey")).as("min_p"), max(col("l_partkey")).as("max_p"),
+      min(col("l_suppkey")).as("min_s"), max(col("l_suppkey")).as("max_s"))
+    val gmax = (1 << ZorderBits) - 1
+    li.crossJoin(broadcast(bounds))
+      .withColumn("xn", expr(s"((l_partkey - min_p) * $gmax) div greatest(max_p - min_p, 1)"))
+      .withColumn("yn", expr(s"((l_suppkey - min_s) * $gmax) div greatest(max_s - min_s, 1)"))
+      .withColumn("file_id",
+        shiftright(zValue(col("xn"), col("yn")), 2 * ZorderBits - ZorderFileBits))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+  }
 }

@@ -344,4 +344,55 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(members.forall(_.getLong(2) == members.length), s"cluster $cid size column wrong")
     }
   }
+
+  test("zorder layout: file assignment matches a driver interleave; envelopes prune") {
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (minP, maxP) = (li.map(_._1).min, li.map(_._1).max)
+    val (minS, maxS) = (li.map(_._2).min, li.map(_._2).max)
+    val gmax = (1L << ScaleOps.ZorderBits) - 1
+    def mortonFile(p: Long, s: Long): Long = {
+      val x = (p - minP) * gmax / math.max(maxP - minP, 1)
+      val y = (s - minS) * gmax / math.max(maxS - minS, 1)
+      var z = 0L
+      for (i <- 0 until ScaleOps.ZorderBits)
+        z |= (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      z >> (2 * ScaleOps.ZorderBits - ScaleOps.ZorderFileBits)
+    }
+    val files = ScaleOps.qZorderLayout(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // totals and per-file assignment agree with the driver-side Morton code
+    assert(files.values.map(_._1).sum == li.length)
+    val expected = li.groupBy { case (p, s) => mortonFile(p, s) }.view.mapValues(_.length.toLong).toMap
+    assert(files.view.mapValues(_._1).toMap == expected)
+    // pruning property: a point predicate on l_partkey touches only files
+    // whose min/max envelope contains it — strictly fewer than all files
+    val probe = li.head._1
+    val touched = files.values.count { case (_, minP, maxP, _, _) => probe >= minP && probe <= maxP }
+    assert(touched < files.size, s"envelope pruning eliminated nothing ($touched/${files.size})")
+  }
+
+  test("fuzzy parts: blocked pairs equal a brute-force levenshtein recount") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) => if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = graft.sources.Tables.load(spark, sf, "part")
+      .select("p_name").collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .filter { case (n, _) => n.split(" ").length == 2 }
+    val expected = (for {
+      (a, na) <- names; (b, nb) <- names
+      if a < b && a.split(" ")(1) == b.split(" ")(1) && lev(a, b) <= 3
+    } yield (a, b, lev(a, b).toLong, na, nb)).toSet
+    val got = DedupOps.dedupFuzzyParts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(got.nonEmpty, "corpus should contain fuzzy-similar part names")
+  }
 }
