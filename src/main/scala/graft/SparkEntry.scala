@@ -31,6 +31,8 @@ object SparkEntry {
     "q7_volume_shipping" -> (Relational.q7VolumeShipping _),
     "q9_product_profit" -> (Relational.q9ProductProfit _),
     "q19_disjunctive_revenue" -> (Relational.q19DisjunctiveRevenue _),
+    "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
+    "q8_market_share" -> (Relational.q8MarketShare _),
     "q_window_top3" -> (Relational.qWindowTop3 _),
     "q_window_funcs" -> (Relational.qWindowFuncs _),
     "q_median" -> (Relational.qMedian _),
@@ -63,6 +65,10 @@ object SparkEntry {
     "q_lateral_top_supp" -> (SubQueries.qLateralTopSupp _),
     "q15_top_supplier" -> (SubQueries.qTopRevenueSupplier _),
     "q21_sole_late_supplier" -> (SubQueries.qSoleLateSupplier _),
+    "q2_min_balance_supplier" -> (SubQueries.qMinBalanceSupplier _),
+    "q11_important_parts" -> (SubQueries.qImportantParts _),
+    "q16_supplier_count" -> (SubQueries.qSupplierCount _),
+    "q20_dominant_supplier" -> (SubQueries.qDominantSupplier _),
     // dbt generic data tests as operators
     "t_unique" -> (Relational.tUnique _),
     "t_not_null" -> (Relational.tNotNull _),
@@ -359,6 +365,74 @@ object SparkEntry {
       SELECT promo_cents, total_cents,
              CAST((1000 * promo_cents) // total_cents AS BIGINT) AS promo_millis
       FROM s""",
+    "q6_forecast_revenue" -> """
+      SELECT CAST(SUM(CAST(ROUND(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q8_market_share" -> """
+      WITH j AS (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year, n2.n_name AS supp_nation,
+               CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT) AS vol
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+      ), agg AS (
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) AS BIGINT) AS nation_cents,
+               CAST(SUM(vol) AS BIGINT) AS total_cents
+        FROM j GROUP BY 1
+      )
+      SELECT o_year, nation_cents, total_cents,
+             CAST((1000 * nation_cents) // total_cents AS BIGINT) AS share_millis
+      FROM agg""",
+    "q2_min_balance_supplier" -> """
+      WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      mins AS (
+        SELECT ps2.l_partkey, MIN(CAST(ROUND(s2.s_acctbal*100) AS BIGINT)) AS min_cents
+        FROM ps ps2 JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        GROUP BY 1)
+      SELECT p_partkey, s_suppkey, s_name,
+             CAST(ROUND(s_acctbal*100) AS BIGINT) AS acct_cents
+      FROM part
+      JOIN ps ON p_partkey = ps.l_partkey
+      JOIN supplier ON s_suppkey = ps.l_suppkey
+      JOIN mins ON mins.l_partkey = p_partkey
+      WHERE p_size = 10 AND CAST(ROUND(s_acctbal*100) AS BIGINT) = min_cents""",
+    "q11_important_parts" -> """
+      WITH pv AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM lineitem GROUP BY l_partkey)
+      SELECT l_partkey, value_cents
+      FROM pv
+      WHERE 1500 * value_cents > (SELECT CAST(SUM(value_cents) AS BIGINT) FROM pv)""",
+    "q16_supplier_count" -> """
+      SELECT p_brand, p_type, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      WHERE p_size IN (1, 5, 10, 15, 20)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type""",
+    "q20_dominant_supplier" -> """
+      WITH pq AS (
+        SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+      pt AS (
+        SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tq
+        FROM lineitem GROUP BY l_partkey)
+      SELECT s_suppkey, s_name
+      FROM supplier
+      WHERE s_suppkey IN (
+        SELECT pq.l_suppkey
+        FROM pq JOIN pt USING (l_partkey) JOIN part ON p_partkey = pq.l_partkey
+        WHERE p_name LIKE 'red%' AND 8 * sq > tq)""",
     "q15_top_supplier" -> """
       WITH rev AS (
         SELECT l_suppkey,

@@ -196,6 +196,50 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q6-style forecasting revenue: the pure-scan aggregate — every
+    * predicate (date range, discount band, quantity cap) is a
+    * conjunctive filter the scan can evaluate, so the plan is scan →
+    * filter → partial agg → one-row exchange. The 100 TB shape where
+    * pushdown IS the query plan.
+    */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q8-style market share: one nation's fraction of yearly
+    * revenue into a region, as a two-CASE aggregate over the same
+    * joined rows (never two passes) with the share as an exact integer
+    * ratio. Region restriction travels customer→nation→region, the
+    * measured nation comes from the supplier path.
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nCust = t(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+    val nSupp = t(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val p = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val vol = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    t(s, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nCust), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nSupp), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_3", vol).otherwise(0L)).as("nation_cents"),
+        sum(vol).as("total_cents"))
+      .withColumn("share_millis", expr("(1000 * nation_cents) div total_cents"))
+  }
+
   /** Window functions: rank + running total inside each customer. */
   def qWindowTop3(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")

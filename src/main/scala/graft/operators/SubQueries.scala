@@ -125,6 +125,87 @@ object SubQueries {
     * Catalyst rewrites it to a window under DecorrelateInnerQuery, so
     * the physical plan is the same single shuffle on the group key.
     */
+  /** TPC-H q2 shape — correlated scalar MIN over a join: for each part
+    * of the size filter, the shipper(s) holding the minimum account
+    * balance among that part's suppliers. The (part, supplier) bridge
+    * is a DISTINCT projection of lineitem (this schema has no
+    * partsupp); the correlated MIN decorrelates into an aggregate
+    * joined back on the part key — one pass, no per-part re-execution.
+    */
+  def qMinBalanceSupplier(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "part", "supplier", "lineitem")
+    s.sql("""
+      WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      SELECT p_partkey, s_suppkey, s_name,
+             CAST(ROUND(s_acctbal*100) AS BIGINT) AS acct_cents
+      FROM part
+      JOIN ps ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE p_size = 10
+        AND CAST(ROUND(s_acctbal*100) AS BIGINT) = (
+          SELECT MIN(CAST(ROUND(s2.s_acctbal*100) AS BIGINT))
+          FROM ps ps2 JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+          WHERE ps2.l_partkey = p_partkey)""")
+  }
+
+  /** TPC-H q11 shape — HAVING against a global scalar of the same
+    * aggregate: parts whose lineitem value exceeds 1/1500 of the total.
+    * The threshold is a multiply-compare (1500·v > Σv), the CTE
+    * aggregates once, and the scalar total is a single-row broadcast.
+    */
+  def qImportantParts(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "lineitem")
+    s.sql("""
+      WITH pv AS (
+        SELECT l_partkey,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS value_cents
+        FROM lineitem GROUP BY l_partkey)
+      SELECT l_partkey, value_cents
+      FROM pv
+      WHERE 1500 * value_cents > (SELECT SUM(value_cents) FROM pv)""")
+  }
+
+  /** TPC-H q16 shape — COUNT(DISTINCT) per group with a NOT IN
+    * exclusion list: how many distinct suppliers shipped each
+    * (brand, type) for the size filter, excluding negative-balance
+    * suppliers. The NOT IN side is metadata-sized → broadcast anti
+    * join; the distinct count is one (brand, type, suppkey) shuffle.
+    */
+  def qSupplierCount(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "part", "supplier", "lineitem")
+    s.sql("""
+      SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      WHERE p_size IN (1, 5, 10, 15, 20)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type""")
+  }
+
+  /** TPC-H q20 shape — IN over a multi-join aggregated subquery:
+    * suppliers who shipped more than an eighth of some red part's total
+    * quantity (the "dominant supplier" adaptation of q20's
+    * availability test; this schema has no partsupp). The share test
+    * is the integer comparison 8·sq > tq; both aggregates group on
+    * the part key, so the subquery is two co-keyed shuffles + a
+    * broadcast part filter, then a semi join into supplier.
+    */
+  def qDominantSupplier(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "part", "supplier", "lineitem")
+    s.sql("""
+      WITH pq AS (
+        SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS sq
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+      pt AS (
+        SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS tq
+        FROM lineitem GROUP BY l_partkey)
+      SELECT s_suppkey, s_name
+      FROM supplier
+      WHERE s_suppkey IN (
+        SELECT pq.l_suppkey
+        FROM pq JOIN pt USING (l_partkey) JOIN part ON p_partkey = pq.l_partkey
+        WHERE p_name LIKE 'red%' AND 8 * sq > tq)""")
+  }
+
   /** TPC-H q15 shape — argmax over an aggregated derived table: the
     * supplier(s) with the maximum recent revenue. The CTE aggregates
     * once; the scalar MAX subquery over it becomes a single-row
