@@ -146,17 +146,7 @@ object DedupOps {
     // per document instead of 32 min() columns (graft.functions.MinHashAgg)
     val sigs = sh.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg.minhashSig(col("h"), nPerm).as("sig"))
-    // band key = md5-derived 64-bit hash of (band index + its
-    // rowsPerBand signature slots): the join/shuffle key is 8 bytes
-    // instead of a ~90-char string — at 100 TB the banded exchange is
-    // the widest shuffle in the pipeline, so key width is shuffle
-    // volume. md5 (not xxhash64) so the oracle replays it exactly.
-    val bandCols = (0 until nBands).map { b =>
-      val slots = (0 until rowsPerBand).map(r => s"sig[${b * rowsPerBand + r}]").mkString(", ")
-      md5Hash64(expr(s"concat_ws(',', $b, $slots)")).as(s"band$b")
-    }
-    val banded = sigs.select(col("doc_id") +: bandCols: _*)
-      .select(col("doc_id"), explode(array((0 until nBands).map(b => col(s"band$b")): _*)).as("bk"))
+    val banded = bandKeys(sigs, nBands, rowsPerBand)
     // cache: candidates feed three consumers (both sides of the doc
     // restriction + the final join) — uncached, the whole signature +
     // banding pipeline would recompute per consumer
@@ -187,6 +177,92 @@ object DedupOps {
       .filter(col("n_inter") * 5 >= col("n_union"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
+  }
+
+  /** (doc_id, bk) LSH band keys from signature rows. Band key =
+    * md5-derived 64-bit hash of (band index + its rowsPerBand signature
+    * slots): the join/shuffle key is 8 bytes instead of a ~90-char
+    * string — at 100 TB the banded exchange is the widest shuffle in
+    * the pipeline, so key width is shuffle volume. md5 (not xxhash64)
+    * so the oracle replays it exactly. Shared by [[dedupMinHashLsh]]
+    * (full self-dedup) and [[dedupIncremental]] (batch-vs-index).
+    */
+  private def bandKeys(sigs: DataFrame, nBands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until nBands).map { b =>
+      val slots = (0 until rowsPerBand).map(r => s"sig[${b * rowsPerBand + r}]").mkString(", ")
+      md5Hash64(expr(s"concat_ws(',', $b, $slots)")).as(s"band$b")
+    }
+    sigs.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), explode(array((0 until nBands).map(b => col(s"band$b")): _*)).as("bk"))
+  }
+
+  /** Incremental (batch-vs-index) dedup — the shape a 100 TB pipeline
+    * actually runs: new documents arrive in batches and are admitted
+    * only if they duplicate NOTHING in the already-ingested corpus.
+    * Rescanning the full corpus per batch is off the table at scale, so
+    * the corpus side is represented by exactly the two artifacts a
+    * production pipeline persists as INDEX TABLES keyed for equi-join:
+    * (1) the exact-dup fingerprint set (16-byte md5 of normalized
+    * text), and (2) the MinHash LSH band keys ([[bandKeys]], 8 bytes
+    * each, 8 per doc). Per batch the cost is then O(batch) probe work:
+    * a semi-join against (1) for exact dups and a band-key equi-join
+    * against (2) for near-dup candidates, verified by exact Jaccard
+    * restricted to candidate documents — identical arithmetic to
+    * [[dedupMinHashLsh]], so OpsSpec can prove the incremental result
+    * equals the full-corpus run restricted to (new, index) pairs.
+    *
+    * Batch membership here is deterministic (doc_id mod 10 ∈ {8,9} ⇒
+    * "new", 20%) so the operator is oracle-replayable; in production
+    * the split is the ingestion boundary. Output (one row per new doc):
+    * `exact_dup` — fingerprint already in the index; `n_near` — number
+    * of index documents with verified Jaccard ≥ 0.2; `admit` — no
+    * exact and no near duplicate.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val nPerm = 32
+    val rowsPerBand = 4
+    val nBands = nPerm / rowsPerBand
+    val d = docs(s, dir)
+    val isNew = pmod(col("doc_id"), lit(10)) >= 8
+    // exact-dup probe: batch fingerprints semi-joined against the
+    // index fingerprint set (the persisted artifact at scale)
+    val fps = d.select(col("doc_id"), md5(TextOps.normalized(col("text"))).as("fp"))
+    val exactDup = fps.filter(isNew)
+      .join(fps.filter(!isNew).select(col("fp")).distinct(), Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(1L).as("exact_dup"))
+    // near-dup probe: band keys for both sides from one signature pass
+    // (in production the index side is read back, not recomputed)
+    val sh = shinglesRaw(s, dir).select(col("doc_id"), md5Hash64(col("s")).as("h")).cache()
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhashSig(col("h"), nPerm).as("sig"))
+    val banded = bandKeys(sigs, nBands, rowsPerBand)
+    val cand = banded.filter(isNew).alias("x")
+      .join(banded.filter(!isNew).alias("y"), col("x.bk") === col("y.bk"))
+      .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_idx"))
+      .distinct()
+      .cache()
+    // exact-Jaccard verification restricted to candidate documents,
+    // same arithmetic as dedupMinHashLsh (J >= 0.2 ⇔ 5|∩| >= |∪|)
+    val candDocs = cand.select(col("doc_new").as("doc_id"))
+      .union(cand.select(col("doc_idx").as("doc_id"))).distinct()
+    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").distinct()
+    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = shc.select(col("doc_id").as("doc_new"), col("h"))
+      .join(shc.select(col("doc_id").as("doc_idx"), col("h")), Seq("h"))
+      .groupBy(col("doc_new"), col("doc_idx")).agg(count(lit(1)).as("n_inter"))
+    val near = cand.join(inter, Seq("doc_new", "doc_idx"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_new").withColumnRenamed("n", "n_a"), Seq("doc_new"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_idx").withColumnRenamed("n", "n_b"), Seq("doc_idx"))
+      .filter(col("n_inter") * 5 >= col("n_a") + col("n_b") - col("n_inter"))
+      .groupBy(col("doc_new")).agg(count(lit(1)).as("n_near"))
+    d.filter(isNew).select(col("doc_id"))
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(near.withColumnRenamed("doc_new", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(0L)).as("exact_dup"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        (coalesce(col("exact_dup"), lit(0L)) === 0 &&
+          coalesce(col("n_near"), lit(0L)) === 0).cast("long").as("admit"))
   }
 
   /** 64-bit token hash derived from md5 — chosen over xxhash64 ONLY so

@@ -55,6 +55,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tight.subsetOf(unguarded), s"two-phase emitted wrong values: ${tight -- unguarded}")
   }
 
+  test("incremental dedup equals the full-corpus run restricted to (new, index) pairs") {
+    def isNew(id: Long) = id % 10 >= 8
+    val inc = DedupOps.dedupIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // expected near counts: the FULL-corpus LSH pair set (both
+    // orientations), restricted to new x index — the incremental run
+    // must see exactly these pairs because band keys and the exact-
+    // Jaccard verify arithmetic are shared
+    val nearExp = DedupOps.dedupMinHashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .filter { case (n, i) => isNew(n) && !isNew(i) }
+      .groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+    // expected exact dups: fingerprint groups straddling the boundary
+    val fps = DedupOps.dedupExact(spark, sf).select("doc_id", "fp").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val idxFps = fps.collect { case (id, fp) if !isNew(id) => fp }.toSet
+    val exactExp = fps.collect { case (id, fp) if isNew(id) =>
+      (id, if (idxFps(fp)) 1L else 0L) }.toMap
+    assert(inc.keySet == exactExp.keySet, "one output row per new doc")
+    exactExp.foreach { case (id, e) =>
+      val (gotE, gotN, gotA) = inc(id)
+      assert(gotE == e, s"doc $id exact_dup: got $gotE want $e")
+      assert(gotN == nearExp.getOrElse(id, 0L),
+        s"doc $id n_near: got $gotN want ${nearExp.getOrElse(id, 0L)}")
+      assert(gotA == (if (e == 0L && gotN == 0L) 1L else 0L), s"doc $id admit")
+    }
+  }
+
   test("growth curve: guarded/banded candidate pairs scale linearly with the corpus") {
     import org.apache.spark.sql.functions._
     // Synthetic corpora at N, 2N, 4N docs with FIXED structure: every
