@@ -137,6 +137,7 @@ object SparkEntry {
     "emb_neardup" -> (SimilarityOps.embNearDup _),
     "sim_lsh_topk" -> (SimilarityOps.simLshTopK _),
     "sim_ivf_topk" -> (SimilarityOps.simIvfTopK _),
+    "sim_pq_topk" -> (SimilarityOps.simPqTopK _),
     // multimodal plumbing
     "mm_meta" -> (Multimodal.mmMeta _),
     "mm_features" -> (Multimodal.mmFeatures _),
@@ -295,6 +296,67 @@ object SparkEntry {
       ),
       $iters,
       ${ivfAssignCte("c3", "cells")}"""
+  }
+
+  /** Integer squared-L2 distance of subvector row `s` against codeword
+    * `c` in DuckDB list arithmetic: |sv|² − 2⟨sv,cv⟩ + |cv|² — the PQ
+    * oracle's per-subspace distance (mirrors SimilarityOps.nearestCode).
+    */
+  private val PqDist =
+    "s.sn - 2 * CAST(list_sum(list_transform(range(1, 9), i -> s.sv[i] * c.cv[i])) AS BIGINT) + c.cn"
+
+  private def pqAssignCte(cbk: String, name: String) = s"""$name AS (
+        SELECT vec_id, m, c FROM (
+          SELECT s.vec_id, s.m, c.c,
+                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY $PqDist, c.c) AS rnk
+          FROM subsn s JOIN $cbk c ON s.m = c.m
+        ) WHERE rnk = 1
+      )"""
+
+  private def pqRefineCte(asg: String, name: String) = s"""$name AS (
+        SELECT m, c, cv,
+               CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn
+        FROM (
+          SELECT m, c, list(CAST(ROUND(mv) AS BIGINT) ORDER BY pos) AS cv
+          FROM (
+            SELECT a.m, a.c, t.i AS pos,
+                   CAST(SUM(s.sv[t.i]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mv
+            FROM $asg a JOIN subsn s ON s.vec_id = a.vec_id AND s.m = a.m,
+                 UNNEST(range(1, 9)) AS t(i)
+            GROUP BY a.m, a.c, t.i
+          ) GROUP BY m, c
+        )
+      )"""
+
+  /** WITH-body replaying SimilarityOps.simPqTopK's codebook training:
+    * quantized subvectors (`subsn`), strided seed codebooks (`cb0`,
+    * jointly keyed (m, c)), two unrolled Lloyd iterations, and the
+    * final per-(vector, subspace) code assignment (`codes`).
+    */
+  private lazy val PqCodeCtes: String = {
+    val iters = (1 to 2).map { k =>
+      val prev = if (k == 1) "cb0" else s"cb${k - 1}"
+      pqAssignCte(prev, s"pa$k") + ", " + pqRefineCte(s"pa$k", s"cb$k")
+    }.mkString(",\n      ")
+    s"""e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings
+      ), subsn AS (
+        SELECT vec_id, CAST(t.j AS BIGINT) AS m,
+               q[CAST(t.j*8+1 AS INT):CAST(t.j*8+8 AS INT)] AS sv,
+               CAST(list_sum(list_transform(q[CAST(t.j*8+1 AS INT):CAST(t.j*8+8 AS INT)], x -> x * x)) AS BIGINT) AS sn
+        FROM e, UNNEST(range(0, 8)) AS t(j)
+      ), st AS (
+        SELECT MIN(vec_id) AS mn,
+               GREATEST(1, (MAX(vec_id) - MIN(vec_id) + 1) // 8) AS step
+        FROM e
+      ), cb0 AS (
+        SELECT m, vec_id AS c, sv AS cv, sn AS cn FROM subsn, st
+        WHERE (vec_id - mn) % step = 0 AND vec_id - mn < step * 8
+      ),
+      $iters,
+      ${pqAssignCte("cb2", "codes")}"""
   }
 
   private val DecontaminateSql = """
@@ -1556,6 +1618,30 @@ object SparkEntry {
                ROW_NUMBER() OVER (PARTITION BY qid
                  ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) DESC, cid) AS rn
         FROM cand
+      ) t WHERE rn <= 5"""
+    },
+    "sim_pq_topk" -> {
+      // The full PQ pipeline replayed in SQL: subvector reshaping, the
+      // joint (subspace, codeword)-keyed k-means (PqCodeCtes — strided
+      // seed, two unrolled Lloyd iterations, final code assignment),
+      // then the ADC lookup-table scoring — all integer-exact, so the
+      // hashes match bit-for-bit.
+      s"""
+      WITH $PqCodeCtes,
+      lut AS (
+        SELECT s.vec_id AS qid, s.m, c.c, $PqDist AS pd
+        FROM subsn s JOIN cb2 c ON s.m = c.m
+        WHERE s.vec_id < 10
+      ), scored AS (
+        SELECT l.qid, k.vec_id AS cid, CAST(SUM(l.pd) AS BIGINT) AS adist
+        FROM codes k JOIN lut l ON l.m = k.m AND l.c = k.c
+        WHERE l.qid <> k.vec_id
+        GROUP BY 1, 2
+      )
+      SELECT qid, cid, adist, rn FROM (
+        SELECT qid, cid, adist,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn
+        FROM scored
       ) t WHERE rn <= 5"""
     },
     "mm_meta" -> """

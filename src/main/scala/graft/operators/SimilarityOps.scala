@@ -305,6 +305,97 @@ object SimilarityOps {
       .select(col("qid"), col("cid"), col("cos"), col("rn"))
   }
 
+  /** Nearest codeword per (vector, subspace) under integer squared-L2
+    * distance `d = |sv|² − 2⟨sv,cv⟩ + |cv|²` (exact long arithmetic via
+    * the native dot kernel; ties broken by lower codeword id). The
+    * codebook is M×K rows — broadcast by construction — so encoding is
+    * one map-side pass with a partial-aggregated argmin: the
+    * per-(vec,subspace) `min(struct(d, c))` combines map-side, so no
+    * full-corpus volume of scored candidates ever crosses the network.
+    */
+  private def nearestCode(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("c"),
+        (col("sn") - lit(2L) * expr("dot_i64(sv, cv)") + col("cn")).as("d"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("c"))).as("mc"))
+      .select(col("vec_id"), col("m"), col("mc.c").as("c"))
+
+  /** Product-quantization ANN (Jégou, Douze & Schmid, TPAMI 2011): the
+    * 64-dim space splits into M=8 subspaces of 8 dims; each subspace
+    * gets its own K=8 codeword codebook (deterministic strided seed + 2
+    * distributed Lloyd iterations, run JOINTLY for all subspaces — the
+    * iteration key is (subspace, codeword), so one shuffle refines all
+    * 8 codebooks). A vector's code is its per-subspace nearest codeword;
+    * a query is answered by ADC (asymmetric distance computation): a
+    * per-probe lookup table of M×K exact subspace distances, then
+    * per-candidate distance = Σ_m LUT[m, code_m] — a (m, code) equi-join
+    * against the broadcast LUT plus one groupBy(qid, cid) sum.
+    *
+    * Scale shape: the corpus is scanned, never collected — codebook
+    * (M×K = 64 rows) and LUT (probes × M×K) are the only broadcasts;
+    * encoding compresses 64×8 B vectors to M small codes, which is the
+    * POINT of PQ at 10⁹+ vectors (the code table, not the vectors, is
+    * what the query-time scan touches). K=8 (3-bit codes) keeps the
+    * oracle replay tractable; production would use K=256 and an IVF
+    * front ([[simIvfTopK]]) — the plan shape is identical.
+    *
+    * Everything is integer-exact (squared-L2 ADC distances — no cosine
+    * double division anywhere), so the WHOLE pipeline including both
+    * Lloyd iterations replays in the DuckDB oracle and hash-matches.
+    */
+  def simPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val m = 8
+    val subDim = Dim / m
+    val k = 8
+    val iters = 2
+    val e = quantized(s, dir).cache()
+    // (vec_id, m, sv, sn): the corpus re-shaped to subvectors — narrow
+    // explode, no shuffle
+    val subs = e.select(col("vec_id"),
+        posexplode(expr(s"transform(sequence(0, ${m - 1}), j -> slice(q, j*$subDim+1, $subDim))"))
+          .as(Seq("m", "sv")))
+      .withColumn("sn", expr("dot_i64(sv, sv)"))
+      .cache()
+    // strided seed over the id range (order-independent, oracle-
+    // replayable): seed vector i donates its m-th subvector to
+    // subspace m's codebook, codeword id = seed vec_id
+    val bounds = e.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+    val step = math.max(1L, (maxId - minId + 1) / k)
+    var cb = subs.filter((col("vec_id") - minId) % step === 0 &&
+        col("vec_id") - minId < step * k)
+      .select(col("m"), col("vec_id").as("c"), col("sv").as("cv"), col("sn").as("cn"))
+    for (_ <- 1 to iters) {
+      val assign = nearestCode(subs, cb)
+      cb = subs.join(assign, Seq("vec_id", "m"))
+        .select(col("m"), col("c"), posexplode(col("sv")).as(Seq("pos", "v")))
+        // exact long sum, ONE double division per mean (bit-replayable)
+        .groupBy(col("m"), col("c"), col("pos"))
+        .agg((sum(col("v")).cast("double") / count(col("v")).cast("double")).as("mv"))
+        .groupBy(col("m"), col("c"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), x -> cast(round(x.mv) as bigint))")
+          .as("cv"))
+        .withColumn("cn", expr("dot_i64(cv, cv)"))
+    }
+    // corpus encoding: the PQ "index" a production system persists
+    val codes = nearestCode(subs, cb)
+    // per-probe ADC lookup table: exact distance from each probe
+    // subvector to every codeword (probes × M × K rows — bounded)
+    val lut = subs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("m"), col("sv"), col("sn"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("qid"), col("m"), col("c"),
+        (col("sn") - lit(2L) * expr("dot_i64(sv, cv)") + col("cn")).as("pd"))
+    val scored = codes.select(col("vec_id").as("cid"), col("m"), col("c"))
+      .join(broadcast(lut), Seq("m", "c"))
+      .groupBy(col("qid"), col("cid")).agg(sum(col("pd")).as("adist"))
+      .filter(col("qid") =!= col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("qid"), col("cid"), col("adist"), col("rn"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): k-means the corpus into cells, then inside each
     * cell drop every vector whose cosine to a LOWER-id cell-mate is ≥ θ

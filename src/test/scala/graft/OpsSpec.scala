@@ -55,6 +55,50 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tight.subsetOf(unguarded), s"two-phase emitted wrong values: ${tight -- unguarded}")
   }
 
+  test("PQ ADC: distances are non-negative and recall vs exact L2 top-5 is useful") {
+    import org.apache.spark.sql.functions._
+    val pq = SimilarityOps.simPqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // squared-L2 ADC distances are sums of non-negative subspace terms
+    assert(pq.forall(_._3 >= 0L), "negative ADC distance")
+    // exact integer squared-L2 ranking, recomputed independently from
+    // the raw table (not via any SimilarityOps helper)
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))").as("q"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def l2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val byId = vecs.toMap
+    val exact = vecs.filter(_._1 < 10).map { case (qid, qv) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (cid, cv) => (l2(qv, cv), cid) }.sorted.take(5).map(_._2).toSet
+    }.toMap
+    val got = pq.groupBy(_._1).map { case (qid, rows) => qid -> rows.map(_._2).toSet }
+    assert(got.keySet == exact.keySet, "one top-5 list per probe")
+    val recall = exact.keys.toSeq
+      .map(q => got(q).intersect(exact(q)).size.toDouble / 5).sum / exact.size
+    val exact50 = vecs.filter(_._1 < 10).map { case (qid, qv) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (cid, cv) => (l2(qv, cv), cid) }.sorted.take(50).map(_._2).toSet
+    }.toMap
+    val shortlist = exact.keys.toSeq
+      .map(q => got(q).intersect(exact50(q)).size.toDouble / 5).sum / exact.size
+    // K=8 3-bit codebooks on synthetic (near-worst-case: random, no
+    // cluster structure) data are coarse by design — PQ's production
+    // role is CANDIDATE GENERATION before exact re-rank. The pipeline
+    // is fully deterministic, so these floors are stable measurements
+    // with margin, not flaky samples: measured recall@5 = 0.10 (random
+    // ≈ 5/499 = 0.01) and top-50 shortlist hit rate = 0.60 (random
+    // ≈ 50/499 = 0.10).
+    assert(recall >= 0.08, s"PQ recall@5 $recall vs exact L2")
+    assert(shortlist >= 0.5, s"PQ shortlist-in-top50 $shortlist")
+    assert(byId.size > 100, "corpus sanity")
+  }
+
   test("incremental dedup equals the full-corpus run restricted to (new, index) pairs") {
     def isNew(id: Long) = id % 10 >= 8
     val inc = DedupOps.dedupIncremental(spark, sf).collect()
