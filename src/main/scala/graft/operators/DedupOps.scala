@@ -27,8 +27,14 @@ object DedupOps {
     * directly; only exact-Jaccard set sizes need [[shingles]].
     */
   private[graft] def shinglesRaw(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), split(TextOps.normalized(col("text")), " ").as("w"))
+    shinglesOf(docs(s, dir))
+
+  /** Same shingling over an arbitrary documents DataFrame (streaming
+    * micro-batches, index subsets) — one definition so every consumer
+    * shares the exact token arithmetic.
+    */
+  private[graft] def shinglesOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(TextOps.normalized(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
         explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
@@ -219,43 +225,74 @@ object DedupOps {
     * exact and no near duplicate.
     */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val nPerm = 32
-    val rowsPerBand = 4
-    val nBands = nPerm / rowsPerBand
     val d = docs(s, dir)
     val isNew = pmod(col("doc_id"), lit(10)) >= 8
-    // exact-dup probe: batch fingerprints semi-joined against the
-    // index fingerprint set (the persisted artifact at scale)
-    val fps = d.select(col("doc_id"), md5(TextOps.normalized(col("text"))).as("fp"))
-    val exactDup = fps.filter(isNew)
-      .join(fps.filter(!isNew).select(col("fp")).distinct(), Seq("fp"), "left_semi")
-      .select(col("doc_id"), lit(1L).as("exact_dup"))
-    // near-dup probe: band keys for both sides from one signature pass
-    // (in production the index side is read back, not recomputed)
-    val sh = shinglesRaw(s, dir).select(col("doc_id"), md5Hash64(col("s")).as("h")).cache()
+    probeAgainstIndex(d.filter(isNew), buildDedupIndex(d.filter(!isNew)))
+  }
+
+  /** The persisted dedup-index artifacts, as DataFrames: at 100 TB
+    * these are TABLES a production pipeline writes once and reads per
+    * ingest batch — probing never rescans the corpus.
+    *
+    * @param fps      distinct exact-dup fingerprints (16-byte md5)
+    * @param bands    (doc_id, bk) LSH band keys, 8 per doc
+    * @param shingles distinct (doc_id, h) shingle hashes of the index
+    *                 side, for the exact-Jaccard verify join
+    * @param sizes    distinct-shingle count per index doc
+    */
+  final case class DedupIndex(
+      fps: DataFrame, bands: DataFrame, shingles: DataFrame, sizes: DataFrame)
+
+  /** Build [[DedupIndex]] from an already-ingested corpus slice. */
+  def buildDedupIndex(corpus: DataFrame): DedupIndex = {
+    val nPerm = 32
+    val sh = shinglesOf(corpus).select(col("doc_id"), md5Hash64(col("s")).as("h"))
+    val shd = sh.distinct()
     val sigs = sh.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg.minhashSig(col("h"), nPerm).as("sig"))
-    val banded = bandKeys(sigs, nBands, rowsPerBand)
-    val cand = banded.filter(isNew).alias("x")
-      .join(banded.filter(!isNew).alias("y"), col("x.bk") === col("y.bk"))
+    DedupIndex(
+      fps = corpus.select(md5(TextOps.normalized(col("text"))).as("fp")).distinct(),
+      bands = bandKeys(sigs, nBands = 8, rowsPerBand = 4),
+      shingles = shd,
+      sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
+  }
+
+  /** Probe a batch of new documents against a prebuilt [[DedupIndex]]:
+    * O(batch) work — fingerprint semi-join, band-key equi-join, and an
+    * exact-Jaccard verify restricted to candidate documents (identical
+    * arithmetic to [[dedupMinHashLsh]]: J ≥ 0.2 ⇔ 5|∩| ≥ |∪|). Shared
+    * verbatim by the batch operator and the Structured Streaming driver
+    * ([[graft.streaming.Streaming.runIncrementalDedup]]), so
+    * stream ≡ batch holds by construction and StreamingSpec proves it.
+    */
+  def probeAgainstIndex(newDocs: DataFrame, idx: DedupIndex): DataFrame = {
+    val nPerm = 32
+    val fpsNew = newDocs.select(col("doc_id"), md5(TextOps.normalized(col("text"))).as("fp"))
+    val exactDup = fpsNew.join(idx.fps, Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(1L).as("exact_dup"))
+    val shNewRaw = shinglesOf(newDocs).select(col("doc_id"), md5Hash64(col("s")).as("h")).cache()
+    val sigsNew = shNewRaw.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhashSig(col("h"), nPerm).as("sig"))
+    val cand = bandKeys(sigsNew, nBands = 8, rowsPerBand = 4).alias("x")
+      .join(idx.bands.alias("y"), col("x.bk") === col("y.bk"))
       .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_idx"))
       .distinct()
       .cache()
-    // exact-Jaccard verification restricted to candidate documents,
-    // same arithmetic as dedupMinHashLsh (J >= 0.2 ⇔ 5|∩| >= |∪|)
-    val candDocs = cand.select(col("doc_new").as("doc_id"))
-      .union(cand.select(col("doc_idx").as("doc_id"))).distinct()
-    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").distinct()
-    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = shc.select(col("doc_id").as("doc_new"), col("h"))
-      .join(shc.select(col("doc_id").as("doc_idx"), col("h")), Seq("h"))
+    // verify join restricted to candidate documents on BOTH sides
+    val shNew = shNewRaw.distinct()
+      .join(cand.select(col("doc_new").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val shIdx = idx.shingles
+      .join(cand.select(col("doc_idx").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val sizesNew = shNewRaw.distinct().groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = shNew.select(col("doc_id").as("doc_new"), col("h"))
+      .join(shIdx.select(col("doc_id").as("doc_idx"), col("h")), Seq("h"))
       .groupBy(col("doc_new"), col("doc_idx")).agg(count(lit(1)).as("n_inter"))
     val near = cand.join(inter, Seq("doc_new", "doc_idx"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_new").withColumnRenamed("n", "n_a"), Seq("doc_new"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_idx").withColumnRenamed("n", "n_b"), Seq("doc_idx"))
+      .join(sizesNew.withColumnRenamed("doc_id", "doc_new").withColumnRenamed("n", "n_a"), Seq("doc_new"))
+      .join(idx.sizes.withColumnRenamed("doc_id", "doc_idx").withColumnRenamed("n", "n_b"), Seq("doc_idx"))
       .filter(col("n_inter") * 5 >= col("n_a") + col("n_b") - col("n_inter"))
       .groupBy(col("doc_new")).agg(count(lit(1)).as("n_near"))
-    d.filter(isNew).select(col("doc_id"))
+    newDocs.select(col("doc_id"))
       .join(exactDup, Seq("doc_id"), "left")
       .join(near.withColumnRenamed("doc_new", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -175,6 +175,35 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Drive incremental (batch-vs-index) dedup over a stream of newly
+    * arriving documents: each micro-batch probes a PREBUILT static
+    * index via the exact same [[graft.operators.DedupOps.probeAgainstIndex]]
+    * plan the batch operator uses — the stream-static join pattern, so
+    * stream ≡ batch holds by construction (StreamingSpec proves it).
+    * The index DataFrames are static: at scale they are the persisted
+    * index tables, re-read per micro-batch, never recomputed from the
+    * corpus — per-batch cost stays O(batch), the property that makes
+    * continuous ingest dedup viable at 100 TB corpus size.
+    */
+  def runIncrementalDedup(
+      newDocs: DataFrame,
+      index: graft.operators.DedupOps.DedupIndex,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit = {
+    val q = newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val verdicts = graft.operators.DedupOps.probeAgainstIndex(batch, index)
+        if (store.exists(table)) store.write(store.read(table).unionByName(verdicts), table)
+        else store.write(verdicts, table)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Watermarked stream-stream interval join: every purchase matched to
     * the same user's clicks in the preceding hour (last-touch
     * attribution). BOTH sides carry watermarks and the join condition

@@ -103,6 +103,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .first().getAs[Long]("keeper"))
   }
 
+  test("streaming incremental dedup over two arrivals equals the batch probe") {
+    val store = new RelationStore(spark, s"$work/wh_inc")
+    val newIn = s"$work/newdocs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 8
+    // the static index: the already-ingested corpus slice
+    val index = graft.operators.DedupOps.buildDedupIndex(docs.filter(!isNew))
+    // land the new docs in TWO files: stream sees two arrivals; each
+    // micro-batch probes the same static index
+    docs.filter(isNew && col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runIncrementalDedup(Streaming.documentStream(spark, newIn), index,
+      store, "inc_dedup", s"$work/cp_inc")
+    val afterFirst = store.read("inc_dedup").count()
+    docs.filter(isNew && col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runIncrementalDedup(Streaming.documentStream(spark, newIn), index,
+      store, "inc_dedup", s"$work/cp_inc")
+    val streamed = store.read("inc_dedup")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    // per-doc verdicts are batch-independent (each probe only joins the
+    // batch against the static index), so the union over arrivals must
+    // equal the one-shot batch operator exactly
+    val batch = graft.operators.DedupOps.dedupIncremental(spark, "/root/testdata/sf0.001")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val store = new RelationStore(spark, s"$work/wh4")
     val joined = Streaming.clickPurchaseJoin(Streaming.eventStream(spark, s"$work/in"))
