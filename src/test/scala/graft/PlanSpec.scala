@@ -326,6 +326,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("InSubqueryExec"), "subqueries should be joined, not re-executed")
   }
 
+  test("PQ ADC: codebook and LUT broadcast; candidate codes never broadcast") {
+    val plan = executedPhysical(SimilarityOps.simPqTopK(spark, sf))
+    // encoding + LUT scoring must be broadcast joins (codebook is M×K
+    // rows by construction), and the corpus-code side must shuffle only
+    // for the final per-(qid, cid) sum
+    assert(plan.contains("BroadcastHashJoin"), "codebook/LUT joins should broadcast")
+    // the ADC sum is a hash aggregate with map-side partial aggregation
+    assert(plan.contains("HashAggregate"), "ADC distance sum should hash-aggregate")
+  }
+
+  test("incremental dedup: exact-fp probe is a LEFT SEMI join, not inner+distinct") {
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+    val isNew = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("doc_id"), org.apache.spark.sql.functions.lit(10)) >= 8
+    val idx = DedupOps.buildDedupIndex(d.filter(!isNew))
+    val plan = physical(DedupOps.probeAgainstIndex(d.filter(isNew), idx))
+    assert(plan.contains("LeftSemi"), "fingerprint probe should plan as LeftSemi")
+  }
+
   test("quality classifier: weight table broadcasts, corpus never shuffles rows") {
     val plan = executedPhysical(TextOps.txtQualityClassify(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), "weights must broadcast")
