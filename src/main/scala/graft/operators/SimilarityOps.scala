@@ -377,6 +377,10 @@ object SimilarityOps {
         .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), x -> cast(round(x.mv) as bigint))")
           .as("cv"))
         .withColumn("cn", expr("dot_i64(cv, cv)"))
+        // M×K = 64 rows, but referenced by the next assign AND the
+        // final encode/LUT: uncached, every consumer re-runs the whole
+        // Lloyd chain from the leaves
+        .cache()
     }
     // corpus encoding: the PQ "index" a production system persists
     val codes = nearestCode(subs, cb)
