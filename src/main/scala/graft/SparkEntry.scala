@@ -143,6 +143,8 @@ object SparkEntry {
     "mm_features" -> (Multimodal.mmFeatures _),
     "mm_resize" -> (Multimodal.mmResize _),
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),
+    "mm_phash" -> (Multimodal.mmPhash _),
+    "mm_phash_pairs" -> ((s, d) => Multimodal.mmPhashPairs(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same column names as the Spark
@@ -1692,5 +1694,44 @@ object SparkEntry {
              substr(hx, CAST(frame_idx*512 + 1 AS INT), 512) AS frame_hex
       FROM (SELECT doc_id, hx, unnest(range(0, n_frames, 4)) AS frame_idx
             FROM p WHERE n_frames > 0) f""",
+    "mm_phash" -> (PhashCte + """
+      SELECT doc_id, phash, CAST(bit_count(phash) AS BIGINT) AS popcnt
+      FROM ph"""),
+    "mm_phash_pairs" -> (PhashCte + """
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+      FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 8"""),
   )
+
+  /** aHash oracle: 64 evenly-spaced payload bytes (the mm_resize hex
+    * slicing, widened to 64 samples), bit k = 64*s_k > sum — integer
+    * arithmetic identical to [[graft.operators.Multimodal.mmPhash]].
+    */
+  private lazy val PhashCte: String = {
+    val samples = (0 until 64).map { k =>
+      s"""(strpos('0123456789abcdef', hx[CAST(2*((n*$k)//64) + 1 AS INT)]) - 1) * 16
+           + strpos('0123456789abcdef', hx[CAST(2*((n*$k)//64) + 2 AS INT)]) - 1 AS s$k"""
+    }.mkString(",\n")
+    val tot = (0 until 64).map(k => s"s$k").mkString(" + ")
+    val bits = (0 until 64).map { k =>
+      val term = if (k == 63) "-9223372036854775807 - 1" else s"(1::BIGINT << $k)"
+      s"(CASE WHEN s$k * 64 > tot THEN $term ELSE 0::BIGINT END)"
+    }.mkString("\n           + ")
+    s"""
+      WITH h AS (
+        SELECT doc_id, lower(hex(encode(text))) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents
+      ), s AS (
+        SELECT doc_id,
+        $samples
+        FROM h WHERE n > 0
+      ), t AS (
+        SELECT *, $tot AS tot FROM s
+      ), ph AS (
+        SELECT doc_id, CAST($bits AS BIGINT) AS phash FROM t
+      )
+      """
+  }
 }

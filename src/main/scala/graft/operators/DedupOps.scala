@@ -353,15 +353,30 @@ object DedupOps {
   val SimHashMaxHamming = 3
 
   def dedupSimHashPairs(s: SparkSession, dir: String): DataFrame = {
-    val nChunks = SimHashMaxHamming + 1 // pigeonhole needs maxHam+1 bands
     val sigs = dedupSimHash(s, dir).select(col("doc_id"), col("simhash")).cache()
+    hammingPairs(sigs, "simhash", SimHashMaxHamming)
+  }
+
+  /** EXACT Hamming-≤-`maxHamming` pairs over any 64-bit signature column
+    * via pigeonhole banding (shared by [[dedupSimHashPairs]] and the
+    * multimodal perceptual-hash dedup): the signature splits into
+    * `maxHamming + 1` equal-width chunks; a pair within the Hamming
+    * bound must agree exactly on at least one chunk, so candidates come
+    * from a plain equi-join on (chunk index, chunk value) — recall 1 by
+    * construction, then the exact `bit_count(xor)` filter gives
+    * precision 1. Input: (doc_id, <sig>); output (doc_a, doc_b, hamming).
+    */
+  private[graft] def hammingPairs(sigs: DataFrame, sig: String, maxHamming: Int): DataFrame = {
+    val nChunks = maxHamming + 1 // pigeonhole needs maxHam+1 bands
+    val width = 64 / nChunks
+    val mask = (1L << width) - 1
     val chunked = sigs
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col(sig).as("__sig"),
         explode(expr(s"sequence(0, ${nChunks - 1})")).as("ci"))
-      .withColumn("chunk", expr("shiftright(simhash, cast(ci * 16 as int)) & 65535"))
-    val a = chunked.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+      .withColumn("chunk", expr(s"shiftright(__sig, cast(ci * $width as int)) & $mask"))
+    val a = chunked.select(col("doc_id").as("doc_a"), col("__sig").as("sig_a"),
       col("ci"), col("chunk"))
-    val b = chunked.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+    val b = chunked.select(col("doc_id").as("doc_b"), col("__sig").as("sig_b"),
       col("ci"), col("chunk"))
     a.join(b, Seq("ci", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
@@ -369,7 +384,7 @@ object DedupOps {
       .distinct() // a pair may collide in several chunks
       .withColumn("hamming",
         expr("cast(bit_count(sig_a ^ sig_b) as bigint)"))
-      .filter(col("hamming") <= SimHashMaxHamming)
+      .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 

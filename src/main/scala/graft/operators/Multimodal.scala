@@ -98,6 +98,59 @@ object Multimodal {
     base.select(col("doc_id") +: col("n").as("n_bytes") +: samples: _*)
   }
 
+  /** Perceptual average-hash (aHash) per payload — the image-dedup
+    * signature web-scale multimodal pipelines compute per image (LAION
+    * dedups on exactly this 64-bit shape): sample 64 evenly-spaced
+    * "pixels" (bytes) from the payload, bit k = sample_k above the
+    * payload mean. The mean compare is kept integer-exact
+    * (`64 * s_k > sum(s)`) so the oracle hashes bit-for-bit. A real
+    * image pipeline swaps the byte sampler for decode + 8×8 grayscale
+    * downsample; the hash arithmetic and everything downstream is
+    * unchanged.
+    *
+    * Scale shape: one row-parallel projection, all codegen'd built-ins
+    * (substring/hex/conv), no UDF, no shuffle.
+    */
+  def mmPhash(s: SparkSession, dir: String): DataFrame = {
+    val n = 64
+    val base = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("n", length(col("payload")).cast("long"))
+      .filter(col("n") > 0)
+    val samples = (0 until n).map { k =>
+      conv(hex(expr(s"substring(payload, cast((n * $k div $n) + 1 as int), 1)")), 16, 10)
+        .cast("long").as(s"s$k")
+    }
+    val sampled = base.select(col("doc_id") +: samples: _*)
+    val total = (0 until n).map(k => col(s"s$k")).reduce(_ + _)
+    sampled.withColumn("tot", total)
+      .select(col("doc_id"),
+        (0 until n).map(k =>
+          when(col(s"s$k") * n > col("tot"), lit(1L << k)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("phash"))
+      .withColumn("popcnt", expr("bit_count(phash)").cast("long"))
+  }
+
+  /** Near-duplicate payload pairs by Hamming distance on the aHash —
+    * candidate generation and exact verification reuse the pigeonhole
+    * chunk join from the SimHash dedup ([[DedupOps.hammingPairs]]):
+    * an equi-join on signature chunks, never all-pairs, recall 1 by
+    * construction. This is the multimodal member of the dedup family:
+    * same banding machinery, image-hash signature instead of text-hash.
+    *
+    * Threshold vs fanout at scale: `maxHamming` = 3 gives 16-bit
+    * chunks (64 K values — the Manku et al. web-dedup setting and the
+    * right one at 100 TB). The registered query uses 8 (9 chunks × 7
+    * bits) because synthetic text payloads shift under edits — unlike
+    * spatially-stable image rasters — so no pair lands under 4; 7-bit
+    * chunks (128 values) still bound per-bucket fanout at this SF but
+    * a 100 TB image corpus should stay at 3, or layer Manku's
+    * multi-permutation tables for wider radii.
+    */
+  def mmPhashPairs(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame =
+    DedupOps.hammingPairs(
+      mmPhash(s, dir).select(col("doc_id"), col("phash")), "phash", maxHamming)
+
   /** "Frame sample" plumbing: treat the payload as fixed-size frames
     * (256 bytes) and take every 4th frame — the Spark shape of video
     * frame extraction (sequence + posexplode + substring are all native

@@ -468,4 +468,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
     assert(got.nonEmpty, "corpus should contain fuzzy-similar part names")
   }
+
+  test("phash pigeonhole banding == brute-force pairs at radius 3 and 8") {
+    val sigs = Multimodal.mmPhash(spark, sf)
+      .select("doc_id", "phash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force ground truth: all pairs within each radius
+    def brute(maxHam: Int) = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs
+      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= maxHam
+    } yield (ida, idb, java.lang.Long.bitCount(sa ^ sb).toLong)).toSet
+    // radius 8 exercises the 9-chunk x 7-bit generalization (bit 63
+    // uncovered — pigeonhole must still hold); radius 3 the 16-bit path
+    for (r <- Seq(3, 8)) {
+      val got = Multimodal.mmPhashPairs(spark, sf, r).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(got == brute(r), s"radius $r: missing=${brute(r) -- got} extra=${got -- brute(r)}")
+    }
+  }
 }
