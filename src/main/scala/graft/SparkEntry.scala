@@ -124,6 +124,7 @@ object SparkEntry {
     "curate_pack_sequences" -> ((s, dir) => CurateOps.curatePackSequences(s, dir)),
     "curate_sample_stratified" -> ((s, dir) => CurateOps.curateSampleStratified(s, dir)),
     "curate_weighted_sample" -> ((s, dir) => CurateOps.curateWeightedSample(s, dir)),
+    "curate_temperature_sample" -> (CurateOps.curateTemperatureSample _),
     "txt_top_terms" -> (CurateOps.txtTopTerms _),
     "curate_budget_select" -> ((s, dir) => CurateOps.curateBudgetSelect(s, dir)),
     "curate_resample_lang" -> (CurateOps.curateResampleLang _),
@@ -1013,6 +1014,17 @@ object SparkEntry {
                  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rnk
         FROM documents
       ) t WHERE rnk <= 50""",
+    "curate_temperature_sample" -> """
+      WITH stats AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM documents GROUP BY source
+      ), mn AS (
+        SELECT MIN(n_src) AS n_min FROM stats
+      )
+      SELECT d.doc_id, d.source, stats.n_src,
+             CAST(((CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE) + 1.0)
+                     / 4503599627370496.0
+                   < sqrt(CAST(n_min AS DOUBLE) / CAST(n_src AS DOUBLE))) AS BIGINT) AS selected
+      FROM documents d JOIN stats USING (source) CROSS JOIN mn""",
     "curate_weighted_sample" -> """
       WITH keyed AS (
         SELECT doc_id, n_chars,

@@ -397,6 +397,39 @@ object CurateOps {
         when(col("lang") === "en", 100L).when(col("lang") === "zh", 25L).otherwise(50L))
       .withColumn("kept", (col("bucket") < col("quota")).cast("long"))
 
+  /** Temperature-flattened source mixture (the multilingual-LM sampling
+    * rule — UniMax / mT5-style: sample shares ∝ n_s^(1/T) instead of
+    * n_s, so low-resource sources are upweighted relative to their raw
+    * frequency). Admission probability per source at T = 2:
+    * q_s = sqrt(n_min / n_s) — the smallest source is kept whole and
+    * every larger source is thinned toward a flat mix. Per-document
+    * admission is the same md5-derived 52-bit uniform as
+    * [[curateWeightedSample]], so the sample is deterministic and
+    * stable under reshuffling.
+    *
+    * Float determinism: q_s is one division + one sqrt (both IEEE
+    * correctly-rounded, bit-identical across engines) and u is an
+    * exact dyadic rational, so `u < q_s` is oracle-stable; only
+    * integers leave the operator.
+    *
+    * Scale shape: per-source counts are a broadcast-sized aggregate
+    * (sources are a bounded vocabulary), admission is row-parallel —
+    * the corpus never shuffles.
+    */
+  def curateTemperatureSample(s: SparkSession, dir: String): DataFrame = {
+    val stats = docs(s, dir).groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val minN = stats.agg(min(col("n_src")).as("n_min"))
+    docs(s, dir).select(col("doc_id"), col("source"))
+      .join(broadcast(stats), Seq("source"))
+      .crossJoin(broadcast(minN))
+      .withColumn("q", sqrt(col("n_min").cast("double") / col("n_src").cast("double")))
+      .withColumn("u",
+        (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10) as bigint)")
+          .cast("double") + 1.0) / lit(4503599627370496.0)) // 2^52
+      .select(col("doc_id"), col("source"), col("n_src"),
+        (col("u") < col("q")).cast("long").as("selected"))
+  }
+
   /** Deterministic global training-order shuffle: rank every document
     * by md5(doc_id) — uniform, seedable (concat a salt), reproducible
     * across runs. The global rank is two-phase like the prefix sums

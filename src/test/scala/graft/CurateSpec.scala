@@ -379,4 +379,27 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(common == ga.intersect(gb).size.toLong)
     }
   }
+
+  test("temperature_sample: min source kept whole, keep-rate flattens with size") {
+    val rows = CurateOps.curateTemperatureSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySrc = rows.groupBy(_._2).map { case (src, rs) =>
+      (src, rs.head._3, rs.count(_._4 == 1L).toLong)
+    }.toSeq
+    val nMin = bySrc.map(_._2).min
+    // q = sqrt(n_min/n_s): the smallest source admits every document
+    bySrc.filter(_._2 == nMin).foreach { case (src, n, kept) =>
+      assert(kept == n, s"min-size source $src lost docs: $kept/$n")
+    }
+    // realized keep RATE decreases as source size grows (flattening);
+    // md5-uniform concentration at these sizes keeps this deterministic
+    val rates = bySrc.sortBy(_._2).map { case (_, n, kept) => kept.toDouble / n }
+    rates.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 0.1) case _ => }
+    // and the flattened mix is no more skewed than the raw mix (equal
+    // when the corpus is already uniform, as at this SF): max/min share
+    val rawSkew = bySrc.map(_._2).max.toDouble / nMin
+    val keptCounts = bySrc.map(_._3)
+    val keptSkew = keptCounts.max.toDouble / keptCounts.min
+    assert(keptSkew <= rawSkew, s"mix not flattened: $keptSkew vs $rawSkew")
+  }
 }
