@@ -83,6 +83,7 @@ object SparkEntry {
     "q_skew_salted_agg" -> (ScaleOps.qSkewSaltedAgg _),
     "q_skew_salted_join" -> (ScaleOps.qSkewSaltedJoin _),
     "q_heavy_users" -> (ScaleOps.qHeavyUsers _),
+    "q_cms_counts" -> ((s, d) => ScaleOps.qCmsCounts(s, d)),
     "q_zorder_layout" -> (ScaleOps.qZorderLayout _),
     "q_asof_join" -> (Events.qAsofJoin _),
     "q_range_join" -> (Events.qRangeJoin _),
@@ -1706,6 +1707,31 @@ object SparkEntry {
              substr(hx, CAST(frame_idx*512 + 1 AS INT), 512) AS frame_hex
       FROM (SELECT doc_id, hx, unnest(range(0, n_frames, 4)) AS frame_idx
             FROM p WHERE n_frames > 0) f""",
+    "q_cms_counts" -> """
+      WITH tok AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS t
+        FROM documents
+      ), tk AS (
+        SELECT t FROM tok WHERE t <> ''
+      ), bb AS (
+        SELECT t, r, ((h % 16) + 16) % 16 AS b FROM (
+          SELECT t, r,
+                 (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END) * 4294967296 + lo AS h
+          FROM (
+            SELECT t, r,
+                   ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || t), 1, 8))::BIGINT AS hi,
+                   ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || t), 9, 8))::BIGINT AS lo
+            FROM tk CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rs) x) y
+      ), cnt AS (
+        SELECT r, b, CAST(COUNT(*) AS BIGINT) AS c FROM bb GROUP BY 1, 2
+      ), probes AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS n_true FROM tk GROUP BY t ORDER BY t LIMIT 20
+      ), pb AS (
+        SELECT DISTINCT t, r, b FROM bb WHERE t IN (SELECT t FROM probes)
+      )
+      SELECT p.t AS token, p.n_true, MIN(cnt.c) AS est
+      FROM probes p JOIN pb USING (t) JOIN cnt USING (r, b)
+      GROUP BY 1, 2""",
     "mm_phash" -> (PhashCte + """
       SELECT doc_id, phash, CAST(bit_count(phash) AS BIGINT) AS popcnt
       FROM ph"""),

@@ -64,6 +64,37 @@ object ScaleOps {
     sk.join(exact, Seq("user_id"))
   }
 
+  /** Point-frequency estimates from a Count-min sketch
+    * ([[graft.functions.CountMin]]) next to exact counts: the corpus
+    * token stream folds into ONE d×w counter table (map-side combined,
+    * pointwise-merged — the exchange carries d*w longs per partition,
+    * never a per-item shuffle), probes are the 20 lexically-smallest
+    * tokens, and each estimate is the min over the d addressed
+    * counters. Unlike the Misra–Gries survivor set the sketch content
+    * is partitioning-INdependent (pointwise sums commute), so est is
+    * deterministic and the query is oracle-hashed, with the CMS
+    * guarantee est >= n_true visible in the output. Width 16 here
+    * (vocabulary-scale, forces real collisions so the test is not
+    * trivially exact); production default is [[graft.functions
+    * .CountMin.DefaultWidth]].
+    */
+  def qCmsCounts(s: SparkSession, dir: String, w: Int = 16): DataFrame = {
+    graft.functions.CountMin.register(s)
+    val toks = Tables.load(s, dir, "documents")
+      .select(explode(split(TextOps.normalized(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val sketch = toks.agg(graft.functions.CountMin.cmsSketch(col("t"), w).as("cms"))
+    val probes = toks.groupBy(col("t")).agg(count(lit(1)).as("n_true"))
+      .orderBy(col("t")).limit(20)
+    val ests = (0 until graft.functions.CountMin.Depth).map { r =>
+      element_at(col("cms"),
+        (pmod(DedupOps.md5Hash64(concat(lit(s"$r:"), col("t"))), lit(w.toLong))
+          + lit(r.toLong * w) + 1L).cast("int"))
+    }
+    probes.crossJoin(broadcast(sketch))
+      .select(col("t").as("token"), col("n_true"), least(ests: _*).as("est"))
+  }
+
   /** Salted join for skewed keys: replicate the dimension side `buckets`
     * times (explode over the salt domain) and salt the fact side from
     * its partition id, so one hot key spreads over `buckets` reducers

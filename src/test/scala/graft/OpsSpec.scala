@@ -469,6 +469,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty, "corpus should contain fuzzy-similar part names")
   }
 
+  test("count-min: est >= exact for every item, conserves mass, partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    graft.functions.CountMin.register(spark)
+    val w = 16
+    val toks = graft.sources.Tables.load(spark, sf, "documents")
+      .select(explode(split(TextOps.normalized(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "")
+    def sketchOf(parts: Int): Array[Long] =
+      toks.repartition(parts)
+        .agg(graft.functions.CountMin.cmsSketch(col("t"), w))
+        .head().getSeq[Long](0).toArray
+    val sk = sketchOf(4)
+    // pointwise merge commutes => identical under any partitioning
+    assert(sketchOf(1).sameElements(sk) && sketchOf(32).sameElements(sk))
+    val exact = toks.groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    // each of the d rows distributes ALL n items over its buckets
+    (0 until graft.functions.CountMin.Depth).foreach { r =>
+      assert((0 until w).map(b => sk(r * w + b)).sum == total)
+    }
+    // CMS one-sided bound: min over addressed counters never underestimates
+    exact.foreach { case (t, n) =>
+      val est = (0 until graft.functions.CountMin.Depth)
+        .map(r => sk(r * w + graft.functions.CountMin.bucket(r, t, w))).min
+      assert(est >= n, s"underestimate for '$t': $est < $n")
+    }
+  }
+
   test("phash pigeonhole banding == brute-force pairs at radius 3 and 8") {
     val sigs = Multimodal.mmPhash(spark, sf)
       .select("doc_id", "phash").collect()
