@@ -127,6 +127,7 @@ object SparkEntry {
     "curate_weighted_sample" -> ((s, dir) => CurateOps.curateWeightedSample(s, dir)),
     "curate_temperature_sample" -> (CurateOps.curateTemperatureSample _),
     "txt_top_terms" -> (CurateOps.txtTopTerms _),
+    "txt_inverted_index" -> (CurateOps.txtInvertedIndex _),
     "curate_budget_select" -> ((s, dir) => CurateOps.curateBudgetSelect(s, dir)),
     "curate_resample_lang" -> (CurateOps.curateResampleLang _),
     "curate_corpus_shuffle" -> (CurateOps.curateCorpusShuffle _),
@@ -1035,6 +1036,18 @@ object SparkEntry {
       )
       SELECT doc_id, n_chars, CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS rk
       FROM keyed ORDER BY k, doc_id LIMIT 100""",
+    "txt_inverted_index" -> """
+      WITH dw AS (
+        SELECT DISTINCT doc_id, term
+        FROM (
+          SELECT doc_id,
+                 unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+          FROM documents
+        ) x WHERE len(term) >= 3
+      )
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             list_aggregate(list_sort(list(doc_id))[1:20], 'string_agg', ',') AS postings
+      FROM dw GROUP BY term""",
     "txt_top_terms" -> """
       WITH dw AS (
         SELECT DISTINCT doc_id, term

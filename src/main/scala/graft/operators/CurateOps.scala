@@ -335,6 +335,25 @@ object CurateOps {
       .select(col("doc_id"), col("term"), col("df"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Inverted-index build (the IR/search half of a corpus pipeline):
+    * term → document frequency + a capped posting list (the 20 lowest
+    * doc_ids, comma-joined — bounded row width no matter how hot the
+    * term; `df` keeps the true total). One distinct (term, doc) set,
+    * one shuffle on the term key with map-side combine; the per-term
+    * truncation is a bounded array sort inside the aggregate row, not
+    * a window over the corpus. At 100 TB this is exactly the shape a
+    * distributed index build runs per shard before segment merge.
+    */
+  def txtInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val dw = tokens(s, dir)
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .filter(length(col("term")) >= 3)
+      .distinct()
+    dw.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        expr("concat_ws(',', slice(array_sort(collect_list(doc_id)), 1, 20))").as("postings"))
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006
     * exponential-clocks form): each document draws an arrival time
     * key_i = -ln(u_i) / w_i ~ Exp(w_i) with weight w_i = n_chars and

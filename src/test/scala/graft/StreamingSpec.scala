@@ -215,6 +215,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cms_sketch streams in complete mode and equals the batch sketch exactly") {
+    graft.functions.CountMin.register(spark)
+    val store = new RelationStore(spark, s"$work/wh8")
+    val w = 16
+    val sk = Streaming.eventStream(spark, s"$work/in")
+      .agg(graft.functions.CountMin.cmsSketch(col("event_type"), w).as("cms"))
+    val q = sk.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$work/cp9")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        store.write(batch.select(posexplode(col("cms")).as(Seq("i", "c"))), "cms")
+      }
+      .start()
+    q.awaitTermination()
+    val streamed = store.read("cms").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).map(_._2)
+    // CMS merge is pointwise addition — the streamed sketch is not
+    // approximately but EXACTLY the batch sketch, per cell
+    val batch = spark.read.parquet(s"$work/in")
+      .agg(graft.functions.CountMin.cmsSketch(col("event_type"), w))
+      .head().getSeq[Long](0).toArray
+    assert(streamed.sameElements(batch))
+  }
+
   test("dropDuplicatesWithinWatermark removes in-window duplicate event ids") {
     // land the events plus a duplicated slice of themselves
     val in3 = s"$work/in3"
