@@ -352,4 +352,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(plan).isDefined,
       "document text must not cross a shuffle")
   }
+
+  test("phash pairs: chunk equi-join, no cartesian product") {
+    val plan = executedPhysical(Multimodal.mmPhashPairs(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be the chunk equi-join, not all-pairs")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findFirstIn(plan).isDefined,
+      "expected a hash/merge equi-join on (ci, chunk)")
+  }
+
+  test("cms: sketch aggregates map-side; no per-item exchange feeds it") {
+    val plan = executedPhysical(ScaleOps.qCmsCounts(spark, sf))
+    // the sketch agg must be an ObjectHashAggregate pair (partial then
+    // merge) — the exchange between them carries ONE buffer per
+    // partition, so no hashpartitioning on the token column may appear
+    // upstream of the partial sketch aggregate
+    assert(plan.contains("ObjectHashAggregate"), "typed sketch aggregate expected")
+    val sketchAggs = plan.linesIterator.filter(_.contains("cms_sketch")).size
+    assert(sketchAggs >= 2, s"expected partial+final sketch aggregate, got $sketchAggs")
+  }
+
+  test("temperature sample: stats broadcast, corpus has zero exchanges") {
+    val plan = executedPhysical(CurateOps.curateTemperatureSample(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "per-source stats and n_min must broadcast")
+    // the docs->admission path is row-parallel: the only Exchanges
+    // allowed are inside the tiny stats aggregations (on `source`)
+    val badExchange = "Exchange hashpartitioning\\(doc_id".r.findFirstIn(plan)
+    assert(badExchange.isEmpty, s"corpus rows must not shuffle: $badExchange")
+  }
 }
