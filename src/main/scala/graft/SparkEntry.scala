@@ -86,6 +86,7 @@ object SparkEntry {
     "q_cms_counts" -> ((s, d) => ScaleOps.qCmsCounts(s, d)),
     "q_zorder_layout" -> (ScaleOps.qZorderLayout _),
     "q_asof_join" -> (Events.qAsofJoin _),
+    "q_asof_forward" -> (Events.qAsofForward _),
     "q_range_join" -> (Events.qRangeJoin _),
     "q_range_join_auto" -> (Events.qRangeJoinAuto _),
     "q_funnel" -> (Events.qFunnel _),
@@ -140,6 +141,7 @@ object SparkEntry {
     "emb_neardup" -> (SimilarityOps.embNearDup _),
     "sim_lsh_topk" -> (SimilarityOps.simLshTopK _),
     "sim_ivf_topk" -> (SimilarityOps.simIvfTopK _),
+    "sim_rrf_fusion" -> (SimilarityOps.simRrfFusion _),
     "sim_pq_topk" -> (SimilarityOps.simPqTopK _),
     // multimodal plumbing
     "mm_meta" -> (Multimodal.mmMeta _),
@@ -156,6 +158,77 @@ object SparkEntry {
     * bit-for-bit; every SUM is wrapped in CAST(... AS BIGINT) because
     * DuckDB's SUM(BIGINT) widens to HUGEINT.
     */
+  /** sign-LSH ANN oracle with the SAME literal hyperplanes as the Spark
+    * plan (SimilarityOps.planeSign), bucket equi-join, exact re-score —
+    * factored so the RRF fusion oracle can reuse it as a CTE body.
+    */
+  private lazy val LshTopkSql: String = {
+    val bucketExpr = (0 until 8).map { p =>
+      val w = (0 until SimilarityOps.Dim).map(i => SimilarityOps.planeSign(p, i))
+        .map(v => s"$v::BIGINT").mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, ${SimilarityOps.Dim + 1}), i -> q[i] * $w[i])) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n               + ")
+    s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings
+      ), en AS (
+        SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq,
+               $bucketExpr AS bucket
+        FROM e
+      ), s AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               CAST(list_sum(list_transform(range(1, ${SimilarityOps.Dim + 1}), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+               a.nq AS na, b.nq AS nb
+        FROM en a JOIN en b ON a.bucket = b.bucket AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+      )
+      SELECT qid, cid, cos, rn FROM (
+        SELECT qid, cid,
+               CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, cid) AS rn
+        FROM s
+      ) t WHERE rn <= 5"""
+  }
+
+  /** The full IVF pipeline replayed in SQL: the shared k-means CTEs
+    * (IvfCellCtes — strided seed, three unrolled Lloyd iterations,
+    * final cell assignment), then nProbe=4 probing, exact re-score,
+    * top-5. Arithmetic mirrors SimilarityOps.simIvfTopK operation-
+    * for-operation (integer dots; one double division per mean) so the
+    * hashes match bit-for-bit. Factored for reuse by the fusion oracle.
+    */
+  private lazy val IvfTopkSql: String = {
+    val dot = IvfDot
+    s"""
+      WITH $IvfCellCtes,
+      probes AS (
+        SELECT qid, cell FROM (
+          SELECT a.vec_id AS qid, c.centroid_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                   CAST($dot AS DOUBLE) / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) DESC,
+                   c.centroid_id) AS rnk
+          FROM en a, c3 c WHERE a.vec_id < 10
+        ) WHERE rnk <= 4
+      ), cand AS (
+        SELECT p.qid, en2.vec_id AS cid,
+               CAST(list_sum(list_transform(range(1, 65), i -> q1.q[i] * en2.q[i])) AS BIGINT) AS dot,
+               q1.nq AS qn, en2.nq AS cn2
+        FROM probes p
+        JOIN en q1 ON q1.vec_id = p.qid
+        JOIN cells cl ON cl.cell = p.cell
+        JOIN en en2 ON en2.vec_id = cl.vec_id
+        WHERE en2.vec_id <> p.qid
+      )
+      SELECT qid, cid, cos, rn FROM (
+        SELECT qid, cid,
+               CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) DESC, cid) AS rn
+        FROM cand
+      ) t WHERE rn <= 5"""
+  }
+
   private val SimhashPairsSql = """
       WITH tok AS (
         SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS t
@@ -865,6 +938,12 @@ object SparkEntry {
       FROM (SELECT user_id, event_id, us FROM e WHERE event_type = 'click') a
       ASOF LEFT JOIN (SELECT user_id, us FROM e WHERE event_type = 'purchase') b
         ON a.user_id = b.user_id AND a.us >= b.us""",
+    "q_asof_forward" -> """
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events)
+      SELECT a.user_id, a.event_id, a.us, b.us AS purchase_us, b.us - a.us AS lead_us
+      FROM (SELECT user_id, event_id, us FROM e WHERE event_type = 'click') a
+      ASOF LEFT JOIN (SELECT user_id, us FROM e WHERE event_type = 'purchase') b
+        ON a.user_id = b.user_id AND a.us <= b.us""",
     "q_range_join" -> """
       WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events)
       SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id, c.us - v.us AS delta_us
@@ -1505,34 +1584,7 @@ object SparkEntry {
       WHERE n_inter * 5 >= sa.n + sb.n - n_inter""",
     // sign-LSH with the SAME literal hyperplanes as the Spark plan
     // (SimilarityOps.planeSign), bucket equi-join, exact re-score
-    "sim_lsh_topk" -> {
-      val bucketExpr = (0 until 8).map { p =>
-        val w = (0 until SimilarityOps.Dim).map(i => SimilarityOps.planeSign(p, i))
-          .map(v => s"$v::BIGINT").mkString("[", ",", "]")
-        s"(CASE WHEN list_sum(list_transform(range(1, ${SimilarityOps.Dim + 1}), i -> q[i] * $w[i])) >= 0 THEN ${1L << p} ELSE 0 END)"
-      }.mkString("\n               + ")
-      s"""
-      WITH e AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
-        FROM embeddings
-      ), en AS (
-        SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq,
-               $bucketExpr AS bucket
-        FROM e
-      ), s AS (
-        SELECT a.vec_id AS qid, b.vec_id AS cid,
-               CAST(list_sum(list_transform(range(1, ${SimilarityOps.Dim + 1}), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
-               a.nq AS na, b.nq AS nb
-        FROM en a JOIN en b ON a.bucket = b.bucket AND a.vec_id < 10 AND a.vec_id <> b.vec_id
-      )
-      SELECT qid, cid, cos, rn FROM (
-        SELECT qid, cid,
-               CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos,
-               ROW_NUMBER() OVER (PARTITION BY qid
-                 ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, cid) AS rn
-        FROM s
-      ) t WHERE rn <= 5"""
-    },
+    "sim_lsh_topk" -> LshTopkSql,
     "sim_topk" -> """
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
@@ -1612,42 +1664,19 @@ object SparkEntry {
              CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
       FROM cells c LEFT JOIN rm r ON r.vec_id = c.vec_id"""
     },
-    "sim_ivf_topk" -> {
-      // The full IVF pipeline replayed in SQL: the shared k-means CTEs
-      // (IvfCellCtes — strided seed, three unrolled Lloyd iterations,
-      // final cell assignment), then nProbe=4 probing, exact re-score,
-      // top-5. Arithmetic mirrors SimilarityOps.simIvfTopK operation-
-      // for-operation (integer dots; one double division per mean) so
-      // the hashes match bit-for-bit.
-      val dot = IvfDot
-      s"""
-      WITH $IvfCellCtes,
-      probes AS (
-        SELECT qid, cell FROM (
-          SELECT a.vec_id AS qid, c.centroid_id AS cell,
-                 ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-                   CAST($dot AS DOUBLE) / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) DESC,
-                   c.centroid_id) AS rnk
-          FROM en a, c3 c WHERE a.vec_id < 10
-        ) WHERE rnk <= 4
-      ), cand AS (
-        SELECT p.qid, en2.vec_id AS cid,
-               CAST(list_sum(list_transform(range(1, 65), i -> q1.q[i] * en2.q[i])) AS BIGINT) AS dot,
-               q1.nq AS qn, en2.nq AS cn2
-        FROM probes p
-        JOIN en q1 ON q1.vec_id = p.qid
-        JOIN cells cl ON cl.cell = p.cell
-        JOIN en en2 ON en2.vec_id = cl.vec_id
-        WHERE en2.vec_id <> p.qid
+    "sim_ivf_topk" -> IvfTopkSql,
+    "sim_rrf_fusion" -> s"""
+      WITH la AS (SELECT * FROM ($LshTopkSql) x),
+      ib AS (SELECT * FROM ($IvfTopkSql) y),
+      fused AS (
+        SELECT COALESCE(la.qid, ib.qid) AS qid, COALESCE(la.cid, ib.cid) AS cid,
+               COALESCE(1000000000 // (60 + la.rn), 0) + COALESCE(1000000000 // (60 + ib.rn), 0) AS rrf
+        FROM la FULL OUTER JOIN ib ON la.qid = ib.qid AND la.cid = ib.cid
       )
-      SELECT qid, cid, cos, rn FROM (
-        SELECT qid, cid,
-               CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS cos,
-               ROW_NUMBER() OVER (PARTITION BY qid
-                 ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) DESC, cid) AS rn
-        FROM cand
-      ) t WHERE rn <= 5"""
-    },
+      SELECT qid, cid, CAST(rrf AS BIGINT) AS rrf, CAST(fused_rank AS BIGINT) AS fused_rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS fused_rank
+        FROM fused
+      ) t WHERE fused_rank <= 5""",
     "sim_pq_topk" -> {
       // The full PQ pipeline replayed in SQL: subvector reshaping, the
       // joint (subspace, codeword)-keyed k-means (PqCodeCtes — strided

@@ -108,6 +108,32 @@ object Events {
         (col("us") - col("purchase_us")).as("lag_us"))
   }
 
+  /** Forward as-of join — the other direction kdb/DuckDB expose: each
+    * 'click' picks up the EARLIEST 'purchase' at or after it for the
+    * same user (attribution "time to next conversion"). Same
+    * union-and-scan shape as [[qAsofJoin]], mirrored: the window scans
+    * [current row, unbounded following] and takes the FIRST reference
+    * timestamp. Probes sort before refs at equal timestamps (tag
+    * 0 < 1) so an equal-time purchase is inside the window — the
+    * inclusive `<=` ASOF semantics. Still one user_id shuffle, no
+    * broadcast, no per-row probe.
+    */
+  def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val refs = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("us"), lit(1).as("tag"),
+        lit(null).cast("long").as("event_id"))
+    val probes = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("us"), lit(0).as("tag"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("tag"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    refs.unionByName(probes)
+      .withColumn("purchase_us", first(when(col("tag") === 1, col("us")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 0)
+      .select(col("user_id"), col("event_id"), col("us"), col("purchase_us"),
+        (col("purchase_us") - col("us")).as("lead_us"))
+  }
+
   /** Range (interval) join — 'view' events followed by a 'click' from
     * the same user within one hour. The naive plan is a cross join
     * with an inequality filter (quadratic per user); this is the

@@ -149,7 +149,8 @@ object Multimodal {
     */
   def mmPhashPairs(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame =
     DedupOps.hammingPairs(
-      mmPhash(s, dir).select(col("doc_id"), col("phash")), "phash", maxHamming)
+      // cached: both sides of the chunk join scan the signature table
+      mmPhash(s, dir).select(col("doc_id"), col("phash")).cache(), "phash", maxHamming)
 
   /** "Frame sample" plumbing: treat the payload as fixed-size frames
     * (256 bytes) and take every 4th frame — the Spark shape of video

@@ -436,4 +436,31 @@ object SimilarityOps {
       .select(col("vec_id"), col("cell"),
         when(col("rm").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009 — the standard way a
+    * retrieval stack combines heterogeneous rankers) over the two ANN
+    * indexes: score(c) = Σ_systems 1/(60 + rank_sys(c)), here in exact
+    * integer micro-units (`10^9 div (60 + rn)`) so the fused ranking
+    * is oracle-hashable — floats would tie-break differently across
+    * engines. Candidates absent from one ranking contribute 0 from it
+    * (the full-outer join), exactly RRF's convention.
+    *
+    * Scale shape: both inputs are per-query top-5 tables (bounded:
+    * 5 rows × #queries), so the fusion join keys on (qid, cid) with
+    * tiny cardinality either side; the final per-query rank is a
+    * window over ≤10 rows per qid. The expensive work happens — and
+    * is already scale-shaped — inside the two index scans being fused.
+    */
+  def simRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val lsh = simLshTopK(s, dir).select(col("qid"), col("cid"), col("rn").as("rank_lsh"))
+    val ivf = simIvfTopK(s, dir).select(col("qid"), col("cid"), col("rn").as("rank_ivf"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("cid"))
+    lsh.join(ivf, Seq("qid", "cid"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr("1000000000L div (60 + rank_lsh)"), lit(0L)) +
+          coalesce(expr("1000000000L div (60 + rank_ivf)"), lit(0L)))
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= 5)
+      .select(col("qid"), col("cid"), col("rrf"), col("fused_rank"))
+  }
 }
