@@ -112,6 +112,7 @@ object SparkEntry {
     "dedup_simhash" -> (DedupOps.dedupSimHash _),
     "dedup_simhash_pairs" -> (DedupOps.dedupSimHashPairs _),
     "dedup_clusters" -> (GraphOps.dedupClusters _),
+    "graph_pagerank" -> ((s, d) => GraphOps.graphPageRank(s, d)),
     "dedup_decontaminate" -> (CurateOps.dedupDecontaminate _),
     "dedup_decontaminate_bloom" -> (CurateOps.dedupDecontaminateBloom _),
     "dedup_semantic" -> (SimilarityOps.semDedup _),
@@ -142,6 +143,7 @@ object SparkEntry {
     "sim_lsh_topk" -> (SimilarityOps.simLshTopK _),
     "sim_ivf_topk" -> (SimilarityOps.simIvfTopK _),
     "sim_rrf_fusion" -> (SimilarityOps.simRrfFusion _),
+    "sim_filtered_topk" -> ((s, d) => SimilarityOps.simFilteredTopK(s, d)),
     "sim_pq_topk" -> (SimilarityOps.simPqTopK _),
     // multimodal plumbing
     "mm_meta" -> (Multimodal.mmMeta _),
@@ -1189,6 +1191,29 @@ object SparkEntry {
     // transitive closure of the simhash pair graph: DuckDB replays the
     // distributed label propagation as a recursive CTE (min reachable
     // doc_id == hash-to-min fixpoint, both are the component minimum)
+    "graph_pagerank" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""r$i AS (
+        SELECT e.dst AS id,
+               CAST(150000 + (850 * CAST(SUM(r.pr // d.deg) AS BIGINT)) // 1000 AS BIGINT) AS pr
+        FROM edges e JOIN r${i - 1} r ON r.id = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      )"""
+      }.mkString(", ")
+      s"""
+      WITH pairs AS ($SimhashPairsSql
+      ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ), deg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+      ), r0 AS (
+        SELECT src AS id, CAST(1000000 AS BIGINT) AS pr FROM deg
+      ), $rounds
+      SELECT d.src AS doc_id, d.deg, r3.pr
+      FROM r3 JOIN deg d ON d.src = r3.id"""
+    },
     "dedup_clusters" -> s"""
       WITH RECURSIVE pairs AS ($SimhashPairsSql
       ), edges AS (
@@ -1585,6 +1610,25 @@ object SparkEntry {
     // sign-LSH with the SAME literal hyperplanes as the Spark plan
     // (SimilarityOps.planeSign), bucket equi-join, exact re-score
     "sim_lsh_topk" -> LshTopkSql,
+    "sim_filtered_topk" -> """
+      WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings
+      ), s AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(a.label AS BIGINT) AS label,
+               CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+               CAST(list_sum(list_transform(a.q, x -> x * x)) AS BIGINT) AS na,
+               CAST(list_sum(list_transform(b.q, x -> x * x)) AS BIGINT) AS nb
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+      )
+      SELECT qid, cid, label, cos, rn FROM (
+        SELECT qid, cid, label,
+               CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qid
+                 ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, cid) AS rn
+        FROM s
+      ) t WHERE rn <= 5""",
     "sim_topk" -> """
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q

@@ -98,4 +98,43 @@ object GraphOps {
       .withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("long"))
   }
+
+  /** PageRank (3 power iterations, damping 0.85) over the undirected
+    * SimHash near-dup graph — the centrality signal a curation pipeline
+    * uses to pick the CANONICAL copy of a duplicate neighborhood (the
+    * most-connected variant), complementing [[dedupClusters]]'s min-id
+    * survivor rule.
+    *
+    * Exact integer arithmetic in micro-units so the fixpoint prefix is
+    * oracle-replayable: share(u) = pr(u) div deg(u) computed per edge,
+    * pr'(v) = 150000 + (850 · Σ shares) div 1000 — integer sums
+    * commute, so the result is partitioning-independent (a float
+    * PageRank would hash-drift across engines and reducer orders).
+    *
+    * Scale shape: each iteration is one edges⋈ranks equi-join on the
+    * source key plus a dst-keyed sum — the same co-partitioned shuffle
+    * pair as a round of [[connectedComponents]], no broadcast of
+    * anything rank-sized. Fixed iteration count keeps the lineage
+    * bounded (3 rounds; a convergence loop would reuse the
+    * checkpoint-per-round machinery above).
+    */
+  def graphPageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val pairs = DedupOps.dedupSimHashPairs(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")).cache()
+    val edges = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("id"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("pr div deg").as("share"))
+      ranks = contrib.groupBy(col("dst")).agg(sum(col("share")).as("in_sum"))
+        .select(col("dst").as("id"),
+          (lit(150000L) + expr("(850 * in_sum) div 1000")).as("pr"))
+    }
+    ranks.join(deg, ranks("id") === deg("src"))
+      .select(col("id").as("doc_id"), col("deg"), col("pr"))
+  }
 }

@@ -437,6 +437,35 @@ object SimilarityOps {
         when(col("rm").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))
   }
 
+  /** Filtered vector search — top-k restricted by a metadata predicate
+    * (here: candidate.label == probe.label), the "filtered ANN" shape
+    * every production vector store exposes. PRE-filtering as an
+    * equi-join on the label key: probes and candidates co-partition by
+    * label, each label's search runs independently, and the per-probe
+    * top-k window sees only same-label rows — no post-hoc re-ranking
+    * that can return < k survivors, and at 100 TB the label key doubles
+    * as the partition-pruning column of the index layout. Native
+    * `dot_i64` keeps scoring in whole-stage codegen.
+    */
+  def simFilteredTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings").select(
+      col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))").as("q"))
+      .withColumn("nq", expr("dot_i64(q, q)"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label"), col("q").as("qv"), col("nq").as("na"))
+    val cands = e.select(col("vec_id").as("cid"), col("label"), col("q").as("cv"), col("nq").as("nb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    probes.join(cands, Seq("label"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("dot", expr("dot_i64(qv, cv)"))
+      .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("label").cast("long").as("label"),
+        col("cos"), col("rn"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009 — the standard way a
     * retrieval stack combines heterogeneous rankers) over the two ANN
     * indexes: score(c) = Σ_systems 1/(60 + rank_sys(c)), here in exact
