@@ -42,6 +42,15 @@ final class Context(
   val invocationId: String = java.util.UUID.randomUUID().toString
   def threadId: String = Thread.currentThread().getName
 
+  /** reference base.py:215 dbt_version — the reference fork's version,
+    * so macros branching on it behave identically.
+    */
+  val dbtVersion: String = "1.9.0b2"
+
+  /** reference base.py:691 diff_of_two_dicts (the grants-diff helper). */
+  def diffOfTwoDicts(a: Map[String, Any], b: Map[String, Any]): Any =
+    graft.parser.ContextFuncs.call("diff_of_two_dicts", List(a, b))
+
   /** reference base.py:720 local_md5. */
   def localMd5(s: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -17,7 +17,7 @@ object ContextFuncs {
 
   val names: Set[String] = Set(
     "fromjson", "tojson", "fromyaml", "toyaml",
-    "set", "set_strict", "zip", "zip_strict")
+    "set", "set_strict", "zip", "zip_strict", "diff_of_two_dicts")
 
   /** Dispatch a call by name (args already evaluated). */
   def call(name: String, args: List[Any]): Any = name match {
@@ -61,6 +61,29 @@ object ContextFuncs {
     case "zip" =>
       try zipLists(args) catch { case _: Exception => null }
     case "zip_strict" => zipLists(args)
+    // reference base.py:691 — dict_a minus dict_b per key, values
+    // compared case-insensitively, original casing of dict_a kept;
+    // empty remainders drop. (The grants-diff helper.)
+    case "diff_of_two_dicts" => args match {
+      case (a: Map[_, _]) :: (b: Map[_, _]) :: _ =>
+        val bNorm = b.map { case (k, v) =>
+          String.valueOf(k).toLowerCase -> (v match {
+            case l: Seq[_] => l.map(x => String.valueOf(x).toLowerCase).toSet
+            case other => Set(String.valueOf(other).toLowerCase)
+          })
+        }
+        scala.collection.immutable.VectorMap.from(
+          a.toSeq.flatMap { case (k, v) =>
+            val bVals = bNorm.getOrElse(String.valueOf(k).toLowerCase, Set.empty)
+            val rem = (v match {
+              case l: Seq[_] => l.toList
+              case other => List(other)
+            }).filterNot(x => bVals.contains(String.valueOf(x).toLowerCase))
+            if (rem.isEmpty) None else Some(String.valueOf(k) -> rem)
+          })
+      case other => throw new IllegalArgumentException(
+        s"diff_of_two_dicts(dict_a, dict_b) got: $other")
+    }
     case other => throw new IllegalArgumentException(s"unknown context function: $other")
   }
 

@@ -37,6 +37,21 @@ class ContextSpec extends AnyFunSuite {
     assert(ctx.zipOf(Seq(1, 2), Seq("a", "b")) == Seq(Seq(1, "a"), Seq(2, "b")))
   }
 
+  test("diff_of_two_dicts matches the reference docstring; dbt_version present") {
+    // base.py:691 docstring example: case-insensitive value compare,
+    // dict_a casing preserved, empty remainders dropped
+    val a = Map[String, Any]("key_x" -> List("value_1", "VALUE_2"), "key_y" -> List("value_3"))
+    val b = Map[String, Any]("key_x" -> List("value_1"), "key_z" -> List("value_4"))
+    val got = graft.parser.ContextFuncs.call("diff_of_two_dicts", List(a, b))
+    assert(got == Map("key_x" -> List("VALUE_2"), "key_y" -> List("value_3")))
+    val ctx = new graft.exec.Context(spark,
+      new graft.exec.RelationStore(spark,
+        java.nio.file.Files.createTempDirectory("ctx_wh2").toString),
+      Map.empty)
+    assert(ctx.dbtVersion == "1.9.0b2")
+    assert(ctx.diffOfTwoDicts(a, b) == got)
+  }
+
   test("salted two-phase aggregation is exact under any partitioning") {
     import org.apache.spark.sql.functions._
     val df = spark.range(0, 10000).toDF("id")
