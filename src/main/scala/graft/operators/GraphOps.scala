@@ -120,15 +120,18 @@ object GraphOps {
     */
   def graphPageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     val pairs = DedupOps.dedupSimHashPairs(s, dir)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst")).cache()
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = pairs.unionByName(
-      pairs.select(col("dst").as("src"), col("src").as("dst"))).cache()
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // degree pre-joined ONCE and cached: each iteration then touches a
+    // single equi-join (edges⋈ranks) instead of re-joining deg — and
+    // the cache cuts the SimHash pair pipeline to one execution
+    val edgesDeg = edges.join(deg, Seq("src")).cache()
     var ranks = deg.select(col("src").as("id"), lit(1000000L).as("pr"))
     for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(ranks, edges("src") === ranks("id"))
-        .join(deg, Seq("src"))
+      val contrib = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("id"))
         .select(col("dst"), expr("pr div deg").as("share"))
       ranks = contrib.groupBy(col("dst")).agg(sum(col("share")).as("in_sum"))
         .select(col("dst").as("id"),
