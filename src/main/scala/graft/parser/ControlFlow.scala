@@ -3,8 +3,9 @@ package graft.parser
 import scala.util.matching.Regex
 
 /** Parse-time evaluation of a bounded Jinja control-flow subset:
-  * `{% if c %}…{% elif c %}…{% else %}…{% endif %}` and
-  * `{% for x in [a, b] %}…{% endfor %}`.
+  * `{% if c %}…{% elif c %}…{% else %}…{% endif %}`,
+  * `{% for x in [a, b] %}…{% endfor %}`,
+  * `{% set x = expr %}`, and `{% set x %}…{% endset %}`.
   *
   * The reference renders full Jinja at parse time
   * (core/dbt/clients/jinja.py:49-113, get_rendered); we evaluate the
@@ -23,7 +24,7 @@ import scala.util.matching.Regex
   */
 object ControlFlow {
   private val tagRe: Regex =
-    raw"""(?s)\{%-?\s*(if|elif|else|endif|for|endfor)\b(.*?)-?%\}""".r
+    raw"""(?s)\{%-?\s*(if|elif|else|endif|for|endfor|set|endset)\b(.*?)-?%\}""".r
 
   private sealed trait Node
   private final case class Text(s: String) extends Node
@@ -32,6 +33,8 @@ object ControlFlow {
       orElse: Seq[Node],
       incremental: Boolean) extends Node
   private final case class For(ident: String, listExpr: String, body: Seq[Node]) extends Node
+  private final case class SetVar(ident: String, expr: String) extends Node
+  private final case class SetBlock(ident: String, body: Seq[Node]) extends Node
 
   /** Render control flow away. `vars` feeds `var()`; `target` is the
     * profile target name surfaced as `target.name`.
@@ -43,7 +46,7 @@ object ControlFlow {
     // rendering must not depend on an unrelated tag elsewhere in the file
     if (!text.contains("{%")) return substitute(text, base, vars)
     val tags = tagRe.findAllMatchIn(text).toList
-    if (!tags.exists(t => Set("if", "for").contains(t.group(1)))) return substitute(text, base, vars)
+    if (!tags.exists(t => Set("if", "for", "set").contains(t.group(1)))) return substitute(text, base, vars)
     val (nodes, rest) = parseNodes(text, tags, 0)
     require(rest.isEmpty, s"unbalanced control tags: ${rest.map(_.group(1)).mkString(",")}")
     val sb = new StringBuilder
@@ -57,7 +60,7 @@ object ControlFlow {
     val out = Vector.newBuilder[Node]
     var pos = from
     var rest = tags
-    while (rest.nonEmpty && !Set("elif", "else", "endif", "endfor").contains(rest.head.group(1))) {
+    while (rest.nonEmpty && !Set("elif", "else", "endif", "endfor", "endset").contains(rest.head.group(1))) {
       val t = rest.head
       out += Text(text.substring(pos, t.start))
       t.group(1) match {
@@ -75,6 +78,23 @@ object ControlFlow {
               pos = afterBody.head.end; rest = afterBody.tail
             case other =>
               throw new IllegalArgumentException(s"cannot parse for-tag: $other")
+          }
+        case "set" =>
+          // inline `{% set x = expr %}` vs block `{% set x %}…{% endset %}`
+          val inline = raw"""(?s)^\s*([A-Za-z_]\w*)\s*=\s*(.+?)\s*$$""".r
+          val blockHead = raw"""(?s)^\s*([A-Za-z_]\w*)\s*$$""".r
+          t.group(2) match {
+            case inline(ident, expr) =>
+              out += SetVar(ident, expr)
+              pos = t.end; rest = rest.tail
+            case blockHead(ident) =>
+              val (body, afterBody) = parseNodes(text, rest.tail, t.end)
+              require(afterBody.headOption.exists(_.group(1) == "endset"),
+                s"missing endset for set block at offset ${t.start}")
+              out += SetBlock(ident, body)
+              pos = afterBody.head.end; rest = afterBody.tail
+            case other =>
+              throw new IllegalArgumentException(s"cannot parse set-tag: $other")
           }
       }
     }
@@ -127,13 +147,28 @@ object ControlFlow {
     (If(allBranches, orElse, incr), rest, endPos)
   }
 
-  private def emit(nodes: Seq[Node], env: Map[String, Any],
-      vars: Map[String, String], sb: StringBuilder): Unit =
+  /** Render `nodes` into `sb`, returning the environment as updated by
+    * any `{% set %}` bindings. Scoping follows Jinja: `set` bindings
+    * flow forward through the sequence and OUT of `if` blocks (if does
+    * not introduce a scope), but stay inside a `for` body (each
+    * iteration starts from the loop's entry env + loop vars).
+    */
+  private def emit(nodes: Seq[Node], env0: Map[String, Any],
+      vars: Map[String, String], sb: StringBuilder): Map[String, Any] = {
+    var env = env0
     nodes.foreach {
       case Text(s) => sb ++= substitute(s, env, vars)
+      case SetVar(ident, expr) =>
+        env += (ident -> Expr.eval(expr, env, vars))
+      case SetBlock(ident, body) =>
+        val inner = new StringBuilder
+        emit(body, env, vars, inner)
+        env += (ident -> inner.toString)
       case If(branches, orElse, incremental) =>
         if (incremental) {
-          // re-emit for the compile-time incremental pass
+          // re-emit for the compile-time incremental pass; bindings made
+          // inside a branch whose text survives to compile time must not
+          // leak (only one branch textually survives), so discard them
           branches.zipWithIndex.foreach { case ((c, body), i) =>
             sb ++= (if (i == 0) s"{% if $c %}" else s"{% elif $c %}")
             emit(body, env, vars, sb)
@@ -142,8 +177,8 @@ object ControlFlow {
           sb ++= "{% endif %}"
         } else {
           branches.find { case (c, _) => truthy(Expr.eval(c, env, vars)) } match {
-            case Some((_, body)) => emit(body, env, vars, sb)
-            case None => emit(orElse, env, vars, sb)
+            case Some((_, body)) => env = emit(body, env, vars, sb)
+            case None => env = emit(orElse, env, vars, sb)
           }
         }
       case For(ident, listExpr, body) =>
@@ -161,6 +196,8 @@ object ControlFlow {
             "loop.first" -> (i == 0), "loop.last" -> (i == n - 1)), vars, sb)
         }
     }
+    env
+  }
 
   /** `{{ x }}` / `{{ loop.index }}` substitution for bound variables —
     * only identifiers present in `env`; everything else (ref, source,
@@ -204,7 +241,8 @@ object ControlFlow {
         var k = j
         while (k < s.length && s(k).isWhitespace) k += 1
         val span =
-          if (ContextFuncs.names.contains(ident) && k < s.length && s(k) == '(')
+          if ((ContextFuncs.names.contains(ident) && k < s.length && s(k) == '(') ||
+              (env.contains(ident) && k < s.length && s(k) == '['))
             Expr.evalSpan(s, idStart, env, vars)
           else None
         span match {
@@ -368,6 +406,23 @@ object ControlFlow {
               }
             }
             (items.result(), this)
+          case '{' =>
+            // dict literal {'k': v, …} — keys stringified like Jinja
+            i += 1
+            val pairs = scala.collection.immutable.ListMap.newBuilder[String, Any]
+            ws()
+            if (i < s.length && s(i) == '}') i += 1
+            else {
+              var done = false
+              while (!done) {
+                val (k, _) = parseOr(); ws()
+                require(i < s.length && s(i) == ':', s"missing : in dict in $s"); i += 1
+                val (v, _) = parseOr(); pairs += (String.valueOf(k) -> v); ws()
+                if (i < s.length && s(i) == ',') i += 1
+                else { require(i < s.length && s(i) == '}', s"missing } in $s"); i += 1; done = true }
+              }
+            }
+            (pairs.result(), this)
           case '\'' | '"' =>
             val q = s(i); i += 1
             val start = i

@@ -524,6 +524,10 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     wcf("models/wide.sql",
       "SELECT {% for c in ['a', 'b', 'c'] %}{{ loop.index }} AS {{ c }}" +
         "{% if not loop.last %}, {% endif %}{% endfor %}")
+    wcf("models/pay.sql",
+      "{% set methods = ['cash', 'card'] %}" +
+        "SELECT {% for m in methods %}{{ loop.index }} AS {{ m }}_amt" +
+        "{% if not loop.last %}, {% endif %}{% endfor %}")
     val pcf = ProjectLoader.resolveRefs(ProjectLoader.load(dcf.toString))
     val picker = pcf.manifest.nodes("model.cfdemo.picker")
     // the untaken branch's ref never reaches the DAG (rendered Jinja semantics)
@@ -534,6 +538,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rcf.forall(_.status == "success"), rcf.mkString("\n"))
     assert(stcf.read("picker").collect().map(_.getInt(0)).toSeq == Seq(1))
     assert(stcf.read("wide").columns.toSeq == Seq("a", "b", "c"))
+    assert(stcf.read("pay").columns.toSeq == Seq("cash_amt", "card_amt"))
     // same project with a CLI var override flips the branch
     val pcf2 = ProjectLoader.resolveRefs(
       ProjectLoader.load(dcf.toString, Map("env" -> "dev")))

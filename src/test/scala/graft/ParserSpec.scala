@@ -229,6 +229,39 @@ class ControlFlowSpec extends AnyFunSuite {
       ControlFlow.render("{% if true %}x{% endif %}{% endfor %}"))
   }
 
+  test("set binds scalars, lists and dicts for later tags (dbt docs idiom)") {
+    val t = "{% set methods = ['cash', 'card'] %}" +
+      "SELECT {% for m in methods %}sum({{ m }}) AS {{ m }}_amt" +
+      "{% if not loop.last %}, {% endif %}{% endfor %}"
+    assert(ControlFlow.render(t) == "SELECT sum(cash) AS cash_amt, sum(card) AS card_amt")
+    // scalar + subscripted dict rendering
+    val t2 = "{% set n = 3 %}{% set cfg = {'kind': 'daily', 'n': n} %}" +
+      "{{ cfg['kind'] }}_{{ cfg['n'] }}_{{ n }}"
+    assert(ControlFlow.render(t2) == "daily_3_3")
+    // set from var() with default
+    assert(ControlFlow.render("{% set x = var('missing', 'dflt') %}{{ x }}") == "dflt")
+    assert(ControlFlow.render("{% set x = var('v') %}{{ x }}", Map("v" -> "7")) == "7")
+  }
+
+  test("set scoping: flows out of if, stays inside for") {
+    val t = "{% if true %}{% set x = 'a' %}{% endif %}{{ x }}"
+    assert(ControlFlow.render(t) == "a")
+    // for-body bindings are loop-scoped; outer binding wins after endfor
+    val t2 = "{% set x = 'outer' %}{% for i in [1, 2] %}{% set x = i %}{{ x }}{% endfor %}{{ x }}"
+    assert(ControlFlow.render(t2) == "12outer")
+  }
+
+  test("set block captures rendered body as a string") {
+    // body renders with the current env; {{ var(...) }}/{{ ref(...) }}
+    // spans inside it stay verbatim for the Template layer, like any text
+    val t = "{% set col = 'qty' %}{% set frag %}{{ col }} > {{ min }}{% endset %}" +
+      "SELECT * FROM t WHERE {{ frag }} AND {{ frag }}"
+    assert(ControlFlow.render(t) ==
+      "SELECT * FROM t WHERE qty > {{ min }} AND qty > {{ min }}")
+    assertThrows[IllegalArgumentException](
+      ControlFlow.render("{% set frag %}no end"))
+  }
+
   test("block scalars keep '#' and blank lines verbatim; '>' folds paragraphs") {
     val y = MiniYaml.parseMap(
       """a:
