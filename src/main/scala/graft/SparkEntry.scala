@@ -113,6 +113,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (DedupOps.dedupSimHashPairs _),
     "dedup_clusters" -> (GraphOps.dedupClusters _),
     "graph_pagerank" -> ((s, d) => GraphOps.graphPageRank(s, d)),
+    "graph_triangles" -> (GraphOps.graphTriangles _),
     "dedup_decontaminate" -> (CurateOps.dedupDecontaminate _),
     "dedup_decontaminate_bloom" -> (CurateOps.dedupDecontaminateBloom _),
     "dedup_semantic" -> (SimilarityOps.semDedup _),
@@ -1214,6 +1215,35 @@ object SparkEntry {
       SELECT d.src AS doc_id, d.deg, r3.pr
       FROM r3 JOIN deg d ON d.src = r3.id"""
     },
+    // triangles replayed by id-order edge chaining (u<v<w each triangle
+    // once) — orientation-free, so it matches Spark's degree-ordered
+    // node-iterator bit-for-bit
+    "graph_triangles" -> s"""
+      WITH pairs AS ($SimhashPairsSql
+      ), e AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+      ), deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+          SELECT a AS node FROM e UNION ALL SELECT b FROM e) n
+        GROUP BY node
+      ), tri AS (
+        SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+      ), cnt AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+          SELECT u AS node FROM tri
+          UNION ALL SELECT v FROM tri
+          UNION ALL SELECT w FROM tri) t
+        GROUP BY node
+      )
+      SELECT d.node AS doc_id, d.deg,
+             COALESCE(c.tri, 0) AS tri,
+             CASE WHEN d.deg > 1
+               THEN (2000000 * COALESCE(c.tri, 0)) // (d.deg * (d.deg - 1))
+               ELSE 0 END AS cc_ppm
+      FROM deg d LEFT JOIN cnt c ON c.node = d.node""",
     "dedup_clusters" -> s"""
       WITH RECURSIVE pairs AS ($SimhashPairsSql
       ), edges AS (

@@ -322,6 +322,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("triangle counts: degree-ordered node-iterator == brute force on a skewed graph") {
+    val ss = spark
+    import ss.implicits._
+    // deterministic skewed graph: a hub (0) wired to everything, plus a
+    // pseudo-random sparse layer — exercises the orientation tie-breaks
+    // (hub degree >> others) and zero-triangle nodes
+    val n = 40
+    val hub = (1 until n).map(i => (0L, i.toLong))
+    val sparse = for {
+      i <- 1 until n; j <- i + 1 until n
+      if (i * 31 + j * 17) % 13 == 0
+    } yield (i.toLong, j.toLong)
+    val all = (hub ++ sparse).distinct
+    val edges = all.toDF("a", "b")
+    val got = GraphOps.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // brute force on the driver
+    val adj = all.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val triBrute = adj.keys.map { v =>
+      val nb = adj(v).toSeq
+      v -> nb.combinations(2).count { case Seq(x, y) => adj(x)(y) }.toLong
+    }.toMap
+    assert(got.keySet == adj.keySet)
+    got.foreach { case (node, (deg, tri, ccPpm)) =>
+      assert(deg == adj(node).size.toLong, s"deg($node)")
+      assert(tri == triBrute(node), s"tri($node): got $tri want ${triBrute(node)}")
+      val want = if (deg > 1) 2000000L * tri / (deg * (deg - 1)) else 0L
+      assert(ccPpm == want, s"cc_ppm($node)")
+    }
+    // the graph must actually contain triangles for this to mean anything
+    assert(triBrute.values.sum > 0)
+  }
+
   test("connected components: reliable-checkpoint mode gives identical labels") {
     val ss = spark
     import ss.implicits._

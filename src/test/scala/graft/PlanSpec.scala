@@ -361,6 +361,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "expected a hash/merge equi-join on (ci, chunk)")
   }
 
+  test("triangle counting: wedge + closing joins are equi-joins, never all-pairs") {
+    val plan = executedPhysical(GraphOps.graphTriangles(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "wedge generation must equi-join on src and close on (v, w)")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findFirstIn(plan).isDefined,
+      "expected hash/merge equi-joins in the triangle plan")
+  }
+
   test("cms: sketch aggregates map-side; no per-item exchange feeds it") {
     val plan = executedPhysical(ScaleOps.qCmsCounts(spark, sf))
     // the sketch agg must be an ObjectHashAggregate pair (partial then
