@@ -83,6 +83,7 @@ object SparkEntry {
     "q_skew_salted_agg" -> (ScaleOps.qSkewSaltedAgg _),
     "q_skew_salted_join" -> (ScaleOps.qSkewSaltedJoin _),
     "q_heavy_users" -> (ScaleOps.qHeavyUsers _),
+    "q_approx_distinct" -> (ScaleOps.qApproxDistinct _),
     "q_cms_counts" -> ((s, d) => ScaleOps.qCmsCounts(s, d)),
     "q_zorder_layout" -> (ScaleOps.qZorderLayout _),
     "q_asof_join" -> (Events.qAsofJoin _),

@@ -64,6 +64,28 @@ object ScaleOps {
     sk.join(exact, Seq("user_id"))
   }
 
+  /** Approximate distinct users per event type via Spark's native
+    * HLL++ (`approx_count_distinct`, rsd 1%), emitted next to the
+    * exact distinct count. The sketch aggregates map-side into
+    * fixed-size register blocks — the exchange carries one block per
+    * (group, partition) regardless of user cardinality, which is the
+    * 100 TB shape for COUNT(DISTINCT) over high-cardinality keys
+    * (the exact form below needs the full (type, user) pair stream
+    * shuffled before its second aggregate; at billions of users the
+    * sketch is the only one that finishes). Rows-only driver check
+    * like q_heavy_users: estimates are engine-specific; OpsSpec
+    * bounds the relative error and proves partitioning invariance
+    * (HLL register merge is a pointwise max — commutative).
+    */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    val approx = e.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("est_users"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    approx.join(exact, Seq("event_type"))
+  }
+
   /** Point-frequency estimates from a Count-min sketch
     * ([[graft.functions.CountMin]]) next to exact counts: the corpus
     * token stream folds into ONE d×w counter table (map-side combined,

@@ -322,6 +322,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("approx distinct: HLL estimate within rsd bound, partitioning-invariant") {
+    val base = ScaleOps.qApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(base.nonEmpty)
+    base.foreach { case (tpe, (est, exact)) =>
+      // rsd 0.01 → generous 5% acceptance so the test never flakes on
+      // a different hash seed across Spark upgrades
+      assert(math.abs(est - exact) <= math.max(1L, (0.05 * exact).toLong),
+        s"$tpe: est $est vs exact $exact")
+    }
+    // register merge is a pointwise max — the estimate must not depend
+    // on how the rows were partitioned
+    val e = graft.sources.Tables.load(spark, sf, "events")
+    def estOf(parts: Int) = e.repartition(parts)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"))
+      .agg(org.apache.spark.sql.functions
+        .approx_count_distinct(org.apache.spark.sql.functions.col("user_id"), 0.01)
+        .as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estOf(1) == estOf(32))
+  }
+
   test("triangle counts: degree-ordered node-iterator == brute force on a skewed graph") {
     val ss = spark
     import ss.implicits._
