@@ -21,6 +21,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // optional comma-separated query filter (same contract as Verify) —
+    // dev iteration on one slow query without a 120-query sweep
+    val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
     val spark = GraftSession.local(cpus)
     // untimed warmup: JIT + codegen + parquet footer caches, so the
     // first timed query isn't charged for JVM cold start
@@ -28,7 +31,9 @@ object Bench {
       SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
       SparkEntry.queries("txt_stats")(spark, sfDir).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to Reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -40,10 +45,12 @@ object Bench {
       // report pure cold-start cost, not steady-state throughput
       name -> times((times.size - 1) / 2)
     }
-    val parseSec = parse2000Bench()
-    val runSec = runProjectBench(spark, sfDir)
-    val all = results :+ ("parse_2000_models" -> parseSec) :+
-      ("engine_run_60_models" -> runSec)
+    // filtered runs are dev iteration on specific queries — skip the
+    // fixed-cost engine benches
+    val all =
+      if (only.isDefined) results
+      else results :+ ("parse_2000_models" -> parse2000Bench()) :+
+        ("engine_run_60_models" -> runProjectBench(spark, sfDir))
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -196,13 +196,13 @@ object GraphOps {
       .filter(col("v_deg") < col("w_deg") ||
         (col("v_deg") === col("w_deg") && col("v") < col("w")))
     // close: the (v, w) edge must exist in the oriented list
+    // each triangle increments all three corners; explode keeps it ONE
+    // execution of the wedge+closing pipeline (a 3-way union of
+    // projections would run the join three times)
     val tris = wedges.join(
       directed.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
-      .select(col("src").as("u"), col("v"), col("w"))
-    val perNode = tris.select(col("u").as("node"))
-      .unionByName(tris.select(col("v").as("node")))
-      .unionByName(tris.select(col("w").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+      .select(explode(array(col("src"), col("v"), col("w"))).as("node"))
+    val perNode = tris.groupBy(col("node")).agg(count(lit(1)).as("tri"))
     deg.join(perNode, Seq("node"), "left")
       .select(col("node").as("doc_id"), col("deg"),
         coalesce(col("tri"), lit(0L)).as("tri"))
