@@ -101,6 +101,7 @@ object SparkEntry {
     "txt_fingerprint" -> (TextOps.txtFingerprint _),
     "txt_bpe_tokens" -> (TextOps.txtBpeTokens _),
     "txt_winnow" -> (TextOps.txtWinnow _),
+    "txt_chunk_overlap" -> ((s, dir) => TextOps.txtChunkOverlap(s, dir)),
     "txt_pipeline_clean" -> (TextOps.txtPipelineClean _),
     "txt_char_lm_score" -> (TextOps.txtCharLmScore _),
     "txt_quality_classify" -> (TextOps.txtQualityClassify _),
@@ -127,6 +128,7 @@ object SparkEntry {
     "split_assign" -> (CurateOps.splitAssign _),
     "emb_cluster_assign" -> (CurateOps.embClusterAssign _),
     "curate_pack_sequences" -> ((s, dir) => CurateOps.curatePackSequences(s, dir)),
+    "curate_length_batches" -> ((s, dir) => CurateOps.curateLengthBatches(s, dir)),
     "curate_sample_stratified" -> ((s, dir) => CurateOps.curateSampleStratified(s, dir)),
     "curate_weighted_sample" -> ((s, dir) => CurateOps.curateWeightedSample(s, dir)),
     "curate_temperature_sample" -> (CurateOps.curateTemperatureSample _),
@@ -1021,6 +1023,23 @@ object SparkEntry {
              tok_before % 256 AS start_offset,
              (tok_before + GREATEST(n_tokens, 1) - 1) // 256 AS end_seq
       FROM cum""",
+    "curate_length_batches" -> """
+      WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) % 8 AS shard
+        FROM documents
+      ), a AS (
+        SELECT shard, n_tok,
+               (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY n_tok DESC, doc_id) - 1) // 16 AS batch_id
+        FROM d
+      )
+      SELECT shard, batch_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+             CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+             CAST(MAX(n_tok) * COUNT(*) - SUM(n_tok) AS BIGINT) AS pad_tokens
+      FROM a GROUP BY shard, batch_id""",
     "curate_budget_select" -> """
       WITH toks AS (
         SELECT doc_id,
@@ -1480,6 +1499,23 @@ object SparkEntry {
     // h = h*FNV_PRIME + byte, wraparound mod 2^64, signed min over all
     // 16-byte windows) replayed with HUGEINT mod-2^64 arithmetic; the
     // literal list is FNV_PRIME^0..^15 mod 2^64
+    // chunk starts = stride multiples < n (one [0] chunk when n = 0);
+    // list_slice end-inclusive == Spark slice(start, len) element-for-element
+    "txt_chunk_overlap" -> """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                           x -> x <> '') AS toks
+        FROM documents
+      ), s AS (
+        SELECT doc_id, toks, len(toks) AS n FROM t
+      )
+      SELECT doc_id,
+             CAST(st // 24 AS BIGINT) AS chunk_id,
+             CAST(st AS BIGINT) AS start_tok,
+             CAST(GREATEST(LEAST(32, n - st), 0) AS BIGINT) AS n_tok,
+             array_to_string(list_slice(toks, st + 1, st + 32), ' ') AS chunk_text
+      FROM s, unnest(range(0, GREATEST(n, 1), 24)) AS u(st)""",
     "txt_winnow" -> """
       WITH d AS (
         SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t

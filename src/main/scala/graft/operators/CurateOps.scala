@@ -299,6 +299,36 @@ object CurateOps {
         expr(s"(tok_before + greatest(n_tokens, 1) - 1) div $block").as("end_seq"))
   }
 
+  /** Length-bucketed inference batching: group documents of similar
+    * token length into fixed-size batches so padding-to-max inside a
+    * batch wastes the fewest tokens (the standard serving-side
+    * counterpart of [[curatePackSequences]]'s training-side packing).
+    * Documents route to one of `shards` md5 shards, each shard sorts
+    * by descending length and cuts every `batch` docs. Emits per-batch
+    * padding accounting (`pad_tokens = max_tok·n_docs − sum_tok`).
+    *
+    * Scale shape: the only sort is a WINDOW partitioned by shard —
+    * each shard sorts independently (no global ORDER BY), so at 100 TB
+    * you raise `shards` to the executor count and every partition
+    * sorts its own slice. Routing reuses the md5 bucket family, so
+    * batches are stable under corpus reshuffling.
+    */
+  def curateLengthBatches(s: SparkSession, dir: String,
+      shards: Int = 8, batch: Int = 16): DataFrame = {
+    val d = docs(s, dir).select(
+      col("doc_id"),
+      size(split(TextOps.normalized(col("text")), " ")).cast("long").as("n_tok"),
+      (md5Bucket100 % shards).as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("n_tok").desc, col("doc_id"))
+    d.withColumn("rn", (row_number().over(w) - 1).cast("long"))
+      .withColumn("batch_id", expr(s"rn div $batch"))
+      .groupBy(col("shard"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("sum_tok"))
+      .withColumn("pad_tokens",
+        (col("max_tok") * col("n_docs") - col("sum_tok")).cast("long"))
+  }
+
   /** Deterministic stratified sampling: keep the k hash-lowest
     * documents per language stratum (quota sampling — the standard way
     * to rebalance a web corpus's language mix). md5-rank makes the

@@ -303,4 +303,29 @@ object TextOps {
       .withColumn("avg_millibits",
         expr("(1000 * surprisal_bits) div n_bigrams"))
   }
+
+  /** Overlapping token-window chunking (the retrieval-ingest shape:
+    * long documents split into `window`-token chunks every `stride`
+    * tokens so no span longer than `window - stride` falls across a
+    * chunk boundary un-retrievable). Pure row-parallel generate —
+    * `sequence` + `explode` + `slice`, zero shuffles, no UDF — so a
+    * 100 TB corpus chunks at scan throughput. Chunk starts are the
+    * stride multiples below the token count (an empty document still
+    * emits its one empty chunk, keeping doc coverage auditable).
+    */
+  def txtChunkOverlap(s: SparkSession, dir: String,
+      window: Int = 32, stride: Int = 24): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        filter(split(normalized(col("text")), " "), t => t =!= "").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("start_tok",
+        explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride))))
+      .select(col("doc_id"),
+        (col("start_tok") / stride).cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        greatest(least(lit(window), col("n") - col("start_tok")), lit(0))
+          .cast("long").as("n_tok"),
+        array_join(slice(col("toks"), col("start_tok") + 1, lit(window)), " ")
+          .as("chunk_text"))
 }
