@@ -241,7 +241,8 @@ object ControlFlow {
         var k = j
         while (k < s.length && s(k).isWhitespace) k += 1
         val span =
-          if ((ContextFuncs.names.contains(ident) && k < s.length && s(k) == '(') ||
+          if (((ContextFuncs.names.contains(ident) || Expr.RewrapCalls.contains(ident)) &&
+                k < s.length && s(k) == '(') ||
               (env.contains(ident) && k < s.length && s(k) == '['))
             Expr.evalSpan(s, idStart, env, vars)
           else None
@@ -266,6 +267,12 @@ object ControlFlow {
 
   /** Tiny recursive-descent expression evaluator for tag conditions. */
   private[parser] object Expr {
+    /** Calls whose ARGUMENTS evaluate here but whose call survives to
+      * the Template ref/source pass, re-emitted with literal args —
+      * this is what makes `{% for m in ['a','b'] %}…{{ ref(m) }}…`
+      * (the union-all-models idiom) resolve each loop iteration's ref.
+      */
+    val RewrapCalls: Set[String] = Set("ref", "source")
     def eval(src: String, env: Map[String, Any], vars: Map[String, String]): Any =
       new P(src, env, vars).parseOr() match { case (v, p) =>
         require(p.atEnd, s"trailing input in condition: $src"); v
@@ -443,7 +450,8 @@ object ControlFlow {
             val ident = s.substring(start, i)
             ws()
             if (i < s.length && s(i) == '(' &&
-                (ident == "var" || ContextFuncs.names.contains(ident))) {
+                (ident == "var" || ContextFuncs.names.contains(ident) ||
+                  RewrapCalls.contains(ident))) {
               i += 1
               val args = Vector.newBuilder[Any]
               ws()
@@ -463,7 +471,15 @@ object ControlFlow {
               if (ident == "var")
                 (vars.get(String.valueOf(as.head)).map(coerce)
                   .getOrElse(as.lift(1).orNull), this)
-              else (ContextFuncs.call(ident, as.toList), this)
+              else if (RewrapCalls.contains(ident)) {
+                // evaluate args (loop vars, set bindings, literals) and
+                // re-emit the call with literal string args for the
+                // Template ref/source pass; non-string args (a kwarg,
+                // a null) abort the whole span via require → untouched
+                require(as.nonEmpty && as.forall(_.isInstanceOf[String]),
+                  s"$ident() args must evaluate to strings")
+                (as.map(a => s"'$a'").mkString(s"{{ $ident(", ", ", ") }}"), this)
+              } else (ContextFuncs.call(ident, as.toList), this)
             } else ident match {
               case "true" | "True" => (true, this)
               case "false" | "False" => (false, this)

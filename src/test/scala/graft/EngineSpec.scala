@@ -528,6 +528,9 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "{% set methods = ['cash', 'card'] %}" +
         "SELECT {% for m in methods %}{{ loop.index }} AS {{ m }}_amt" +
         "{% if not loop.last %}, {% endif %}{% endfor %}")
+    wcf("models/all_srcs.sql",
+      "{% for m in ['src_prod', 'src_dev'] %}SELECT v FROM {{ ref(m) }}" +
+        "{% if not loop.last %} UNION ALL {% endif %}{% endfor %}")
     val pcf = ProjectLoader.resolveRefs(ProjectLoader.load(dcf.toString))
     val picker = pcf.manifest.nodes("model.cfdemo.picker")
     // the untaken branch's ref never reaches the DAG (rendered Jinja semantics)
@@ -539,6 +542,10 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stcf.read("picker").collect().map(_.getInt(0)).toSeq == Seq(1))
     assert(stcf.read("wide").columns.toSeq == Seq("a", "b", "c"))
     assert(stcf.read("pay").columns.toSeq == Seq("cash_amt", "card_amt"))
+    // loop-var refs resolved per iteration → both deps in the DAG
+    assert(pcf.manifest.nodes("model.cfdemo.all_srcs").dependsOn.toSet
+      == Set("model.cfdemo.src_prod", "model.cfdemo.src_dev"))
+    assert(stcf.read("all_srcs").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
     // same project with a CLI var override flips the branch
     val pcf2 = ProjectLoader.resolveRefs(
       ProjectLoader.load(dcf.toString, Map("env" -> "dev")))

@@ -251,6 +251,22 @@ class ControlFlowSpec extends AnyFunSuite {
     assert(ControlFlow.render(t2) == "12outer")
   }
 
+  test("ref/source calls re-wrap evaluated args for the Template pass") {
+    // the union-all-models idiom: a loop var inside ref()
+    val t = "{% for m in ['x', 'y'] %}SELECT * FROM {{ ref(m) }};{% endfor %}"
+    assert(ControlFlow.render(t) ==
+      "SELECT * FROM {{ ref('x') }};SELECT * FROM {{ ref('y') }};")
+    // set bindings reach ref args too; two-arg source keeps both
+    val t2 = "{% set tbl = 'orders' %}{{ source('raw', tbl) }}"
+    assert(ControlFlow.render(t2) == "{{ source('raw', 'orders') }}")
+    // literal-arg calls pass through byte-identical
+    val plain = "SELECT {{ ref('a') }} FROM {{ source('s', 't') }}"
+    assert(ControlFlow.render(plain) == plain)
+    // unsupported arg shapes (kwargs) stay verbatim for Template
+    val kw = "{{ ref('m', v=2) }}"
+    assert(ControlFlow.render(kw) == kw)
+  }
+
   test("set block captures rendered body as a string") {
     // body renders with the current env; {{ var(...) }}/{{ ref(...) }}
     // spans inside it stay verbatim for the Template layer, like any text
