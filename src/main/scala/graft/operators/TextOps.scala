@@ -315,7 +315,14 @@ object TextOps {
     */
   def txtChunkOverlap(s: SparkSession, dir: String,
       window: Int = 32, stride: Int = 24): DataFrame =
-    docs(s, dir)
+    chunkOverlap(docs(s, dir), window, stride)
+
+  /** DataFrame-in form of [[txtChunkOverlap]] — stateless, so the SAME
+    * plan serves batch and Structured Streaming ingest (StreamingSpec
+    * proves stream ≡ batch over a document stream).
+    */
+  def chunkOverlap(documents: DataFrame, window: Int = 32, stride: Int = 24): DataFrame =
+    documents
       .select(col("doc_id"),
         filter(split(normalized(col("text")), " "), t => t =!= "").as("toks"))
       .withColumn("n", size(col("toks")))

@@ -103,6 +103,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .first().getAs[Long]("keeper"))
   }
 
+  test("streaming chunking equals the batch operator (stateless transform)") {
+    val docsIn = s"$work/chunkdocs"
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.mode("overwrite").parquet(docsIn)
+    val out = s"$work/chunks"
+    val q = graft.operators.TextOps
+      .chunkOverlap(Streaming.documentStream(spark, docsIn))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$work/cp_chunk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", out)
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+    val batch = graft.operators.TextOps.txtChunkOverlap(spark, "/root/testdata/sf0.001")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming incremental dedup over two arrivals equals the batch probe") {
     val store = new RelationStore(spark, s"$work/wh_inc")
     val newIn = s"$work/newdocs"
