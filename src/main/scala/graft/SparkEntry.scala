@@ -120,6 +120,7 @@ object SparkEntry {
     "dedup_decontaminate_bloom" -> (CurateOps.dedupDecontaminateBloom _),
     "dedup_semantic" -> (SimilarityOps.semDedup _),
     "dedup_substring_spans" -> (DedupOps.dedupSubstringSpans _),
+    "dedup_substring_remove" -> (DedupOps.dedupSubstringRemove _),
     "dedup_fuzzy_parts" -> (DedupOps.dedupFuzzyParts _),
     "dedup_incremental" -> (DedupOps.dedupIncremental _),
     // corpus curation
@@ -149,6 +150,7 @@ object SparkEntry {
     "sim_rrf_fusion" -> (SimilarityOps.simRrfFusion _),
     "sim_filtered_topk" -> ((s, d) => SimilarityOps.simFilteredTopK(s, d)),
     "sim_pq_topk" -> (SimilarityOps.simPqTopK _),
+    "sim_knn_graph" -> ((s, d) => SimilarityOps.simKnnGraph(s, d)),
     // multimodal plumbing
     "mm_meta" -> (Multimodal.mmMeta _),
     "mm_features" -> (Multimodal.mmFeatures _),
@@ -1755,6 +1757,35 @@ object SparkEntry {
       FROM toks t
       LEFT JOIN perdoc USING (doc_id)
       LEFT JOIN cov USING (doc_id)""",
+    "dedup_substring_remove" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        FROM documents
+      ), starts AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i, array_to_string(w[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ') AS g
+        FROM toks, UNNEST(range(0, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8
+      ), gstat AS (
+        SELECT g, MIN(doc_id) AS keeper
+        FROM starts GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+      ), rm AS (
+        SELECT DISTINCT s.doc_id, p
+        FROM starts s JOIN gstat t USING (g), UNNEST(range(s.i, s.i + 8)) AS u(p)
+        WHERE s.doc_id <> t.keeper
+      ), pos AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS p, w[CAST(i+1 AS INT)] AS tok
+        FROM toks, UNNEST(range(0, len(w))) AS t(i)
+      ), kept AS (
+        SELECT pos.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(pos.tok, ' ' ORDER BY pos.p) AS cleaned
+        FROM pos LEFT JOIN rm ON pos.doc_id = rm.doc_id AND pos.p = rm.p
+        WHERE rm.p IS NULL
+        GROUP BY pos.doc_id
+      )
+      SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(w) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+             COALESCE(cleaned, '') AS cleaned_text
+      FROM toks t LEFT JOIN kept USING (doc_id)""",
     "dedup_semantic" -> {
       // SemDeDup replay: same k-means CTEs as sim_ivf_topk, then the
       // within-cell pair join — a vector is dropped iff some lower-id
@@ -1775,6 +1806,24 @@ object SparkEntry {
              CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
       FROM cells c LEFT JOIN rm r ON r.vec_id = c.vec_id"""
     },
+    "sim_knn_graph" -> """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings
+      ), s AS (
+        SELECT a.vec_id AS src, b.vec_id AS nbr,
+               CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+               CAST(list_sum(list_transform(a.q, x -> x * x)) AS BIGINT) AS ns,
+               CAST(list_sum(list_transform(b.q, x -> x * x)) AS BIGINT) AS nn
+        FROM e a, e b WHERE a.vec_id <> b.vec_id
+      )
+      SELECT src, nbr, dot, CAST(dot AS DOUBLE) / (sqrt(CAST(ns AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE))) AS cos, rn
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY src
+          ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(ns AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE))) DESC, nbr) AS rn
+        FROM s
+      ) t WHERE rn <= 5""",
     "sim_ivf_topk" -> IvfTopkSql,
     "sim_rrf_fusion" -> s"""
       WITH la AS (SELECT * FROM ($LshTopkSql) x),

@@ -433,6 +433,58 @@ object DedupOps {
         expr("(1000 * coalesce(n_dup_positions, 0L)) div n_tokens").as("dup_frac_millis"))
   }
 
+  /** Duplicated-span REMOVAL — the rewrite half of Lee et al. 2022
+    * (ExactSubstr deduplication): [[dedupSubstringSpans]] measures
+    * cross-document duplicated 8-token grams; this operator actually
+    * produces the cleaned corpus. Keeper rule (deterministic, so the
+    * oracle can replay it): for each dup gram the LOWEST doc_id that
+    * contains it keeps its occurrences; every occurrence in any other
+    * document marks its 8 positions for removal, and the surviving
+    * tokens are reassembled in order. A gram's keeper occurrence is
+    * never removed BY that gram (the paper's "remove all but one"
+    * semantics); it can still lose tokens to a DIFFERENT dup gram
+    * overlapping it in the same document — removal is per-position,
+    * the union of all non-keeper span marks.
+    *
+    * Scale shape: gram stats are one map-side-combined groupBy on the
+    * gram key (df + min doc_id in the same pass); removal positions
+    * flow back via an equi-join on that key with fanout = occurrence
+    * count (never count²); the rebuild is one doc_id-keyed shuffle
+    * whose per-group state is bounded by document length — the same
+    * row-width bound every per-doc aggregation in this suite relies on.
+    * No driver state, no pair materialization.
+    */
+  def dedupSubstringRemove(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val toks = docs(s, dir)
+      .select(col("doc_id"), split(TextOps.normalized(col("text")), " ").as("w"))
+    val starts = toks.filter(size(col("w")) >= n)
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))"))
+        .as(Seq("i", "g")))
+    // df and keeper in ONE pass over the gram key
+    val gramStats = starts.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"), min(col("doc_id")).as("keeper"))
+      .filter(col("ndocs") > 1)
+      .select(col("g"), col("keeper"))
+    val removedPos = starts.join(gramStats, Seq("g"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
+      .distinct()
+    val rebuilt = toks
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tok")))
+      .join(removedPos, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("concat_ws(' ', transform(array_sort(collect_list(struct(p, tok))), x -> x.tok))")
+          .as("cleaned_text"))
+    toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** Blocked fuzzy matching (record-linkage / entity-resolution shape):
     * near-identical part names by edit distance, with a blocking key so
     * the pair join NEVER goes cartesian. Candidate pairs must share

@@ -112,9 +112,23 @@ object SimilarityOps {
     */
   def embNearDup(s: SparkSession, dir: String): DataFrame = {
     val minCos = 0.4
-    val nBlocks = 8
-    val e = quantized(s, dir)
-      .withColumn("blk", pmod(col("vec_id"), lit(nBlocks)).cast("int"))
+    triangularPairs(quantized(s, dir), nBlocks = 8)
+      .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cos") >= minCos)
+      .select(least(col("ida"), col("idb")).as("vec_a"),
+        greatest(col("ida"), col("idb")).as("vec_b"),
+        col("dot"), col("cos"))
+  }
+
+  /** Every distinct unordered vector pair scored EXACTLY ONCE via the
+    * triangular block tiling ([[embNearDup]]'s scale argument): rows
+    * land in B blocks by id, each unordered block pair (i ≤ j) is one
+    * join key → B(B+1)/2 independent tasks, replication ≈ B per side,
+    * no collect/broadcast of the corpus. Emits (ida, idb, dot, na, nb);
+    * ida < idb is NOT guaranteed (cross-block order is by block, not id).
+    */
+  private def triangularPairs(e0: DataFrame, nBlocks: Int): DataFrame = {
+    val e = e0.withColumn("blk", pmod(col("vec_id"), lit(nBlocks)).cast("int"))
     // i-side: a row in block b serves every pair (b, j) with j >= b
     val left = e
       .withColumn("pj", explode(expr(s"sequence(blk, ${nBlocks - 1})")))
@@ -133,11 +147,38 @@ object SimilarityOps {
       // the native dot expression keeps scoring inside whole-stage
       // codegen right through the filter (no mapPartitions break)
       .withColumn("dot", expr("dot_i64(qa, qb)"))
-      .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
-      .filter(col("cos") >= minCos)
-      .select(least(col("ida"), col("idb")).as("vec_a"),
-        greatest(col("ida"), col("idb")).as("vec_b"),
-        col("dot"), col("cos"))
+      .select(col("ida"), col("idb"), col("dot"), col("na"), col("nb"))
+  }
+
+  /** Exact k-nearest-neighbor GRAPH: for EVERY corpus vector, its k
+    * nearest neighbors by cosine (ties by neighbor id) — the backbone
+    * structure of graph-based curation (SemDeDup-style cluster pruning,
+    * NN-descent seeding, label propagation over embeddings).
+    *
+    * Scale shape: pair scoring reuses the triangular block tiling (the
+    * all-pairs work is inherent to an EXACT kNN graph; what must not
+    * happen is any single task or the driver holding the corpus). Each
+    * unordered pair is scored once and emitted in both orientations,
+    * then per-source top-k is ONE row_number window on src — and the
+    * rank ≤ k filter compiles to WindowGroupLimit (pinned in PlanSpec),
+    * so each map task keeps only its local top-k per src before the
+    * shuffle: shuffled bytes are O(N·k·partitions), not O(N²). The
+    * sub-quadratic scale path at higher thresholds is seeding from the
+    * IVF cells ([[simIvfTopK]]) — the exact operator is the recall
+    * oracle those approximations are judged against.
+    */
+  def simKnnGraph(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val pairs = triangularPairs(quantized(s, dir), nBlocks = 8)
+    val directed = pairs.select(col("ida").as("src"), col("idb").as("nbr"),
+        col("dot"), col("na").as("ns"), col("nb").as("nn"))
+      .unionByName(pairs.select(col("idb").as("src"), col("ida").as("nbr"),
+        col("dot"), col("nb").as("ns"), col("na").as("nn")))
+      .withColumn("cos", col("dot") / (sqrt(col("ns")) * sqrt(col("nn"))))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr"))
+    directed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("nbr"), col("dot"), col("cos"), col("rn"))
   }
 
   /** Lloyd iterations refining IVF centroids, expressed as DataFrame

@@ -442,6 +442,66 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.count(_._3 > 0) != 1)
   }
 
+  test("substring removal: bounded by span coverage, token accounting exact") {
+    val spans = DedupOps.dedupSubstringSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val removed = DedupOps.dedupSubstringRemove(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(removed.length == spans.size)
+    removed.foreach { case (id, nTok, nRm, cleaned) =>
+      val (nTokSpans, nCov) = spans(id)
+      assert(nTok == nTokSpans)
+      // removal marks only NON-keeper occurrences; coverage counts all
+      assert(nRm <= nCov, s"doc $id removed $nRm > covered $nCov")
+      val keptToks = cleaned.split(" ").count(_.nonEmpty)
+      assert(nTok - nRm == keptToks, s"doc $id accounting: $nTok - $nRm != $keptToks")
+    }
+    // the corpus has cross-doc spans, so something must actually be removed
+    assert(removed.exists(_._3 > 0))
+  }
+
+  test("substring removal: keeper keeps the span, later docs lose exactly it") {
+    val dir = java.nio.file.Files.createTempDirectory("substr_rm")
+    val span = (0 until 8).map(i => s"shared$i").mkString(" ")
+    val sess = spark
+    import sess.implicits._
+    Seq(
+      (1L, s"alpha one $span beta two"),   // keeper (lowest doc_id with the span)
+      (2L, s"gamma three $span delta four"), // loses the 8 span tokens only
+      (3L, "totally unrelated text with no duplicated grams here at all"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val out = DedupOps.dedupSubstringRemove(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((0L, s"alpha one $span beta two")))
+    assert(out(2L) == ((8L, "gamma three delta four")))
+    assert(out(3L)._1 == 0L)
+  }
+
+  test("knn graph: every vector gets exactly k mutual-consistent neighbors") {
+    val out = SimilarityOps.simKnnGraph(spark, sf, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    val n = graft.sources.Tables.load(spark, sf, "embeddings").count()
+    assert(out.length == n * 5, s"expected ${n * 5} edges, got ${out.length}")
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc.size == n)
+    for ((src, edges) <- bySrc) {
+      assert(edges.map(_._5).sorted.toSeq == Seq(1, 2, 3, 4, 5), s"src $src ranks")
+      assert(!edges.exists(_._2 == src), s"src $src lists itself")
+      // ranks follow (cos desc, nbr asc)
+      val ordered = edges.sortBy(_._5)
+      ordered.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 && a._2 < b._2), s"src $src order")
+      case _ => ()
+      }
+      // pair symmetry: the dot product of (src, nbr) equals that of (nbr, src)
+      edges.foreach { case (s0, nb, dot, _, _) =>
+        out.find(e => e._1 == nb && e._2 == s0)
+          .foreach(rev => assert(rev._3 == dot, s"asymmetric dot $s0 <-> $nb"))
+      }
+    }
+  }
+
   test("semantic dedup: removal rule replays exactly from the emitted cells") {
     val out = SimilarityOps.semDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

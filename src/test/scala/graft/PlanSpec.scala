@@ -303,6 +303,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"), "lateral must not plan as cartesian")
   }
 
+  test("knn graph: per-src top-k map-side limits (WindowGroupLimit), no cartesian") {
+    val plan = physical(graft.operators.SimilarityOps.simKnnGraph(spark, sf))
+    // the rank <= k filter must push a partial group limit below the
+    // src shuffle — shuffled bytes O(N*k*partitions), not O(N^2)
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "block tiling must stay an equi-join")
+  }
+
   test("q19: disjunctive predicates stay on ONE broadcast join, no cartesian") {
     val plan = physical(Relational.q19DisjunctiveRevenue(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
