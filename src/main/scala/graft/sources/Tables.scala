@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet test tables (TESTDATA.md).
   *
@@ -9,12 +10,33 @@ import org.apache.spark.sql.functions._
   * pruning + predicate pushdown into the scan. At cluster scale the same
   * API reads a partitioned table directory; nothing here assumes local mode.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS); with
-  * `spark.sql.legacy.parquet.nanosAsLong=true` it scans as a long. We
-  * expose `ts_us` (microseconds, integer division — doubles would corrupt
-  * epoch-nanos > 2^53) plus a proper timestamp column `ts_t`.
+  * `events.ts` has shipped as parquet TIMESTAMP(NANOS) (scanned as a raw
+  * long under `spark.sql.legacy.parquet.nanosAsLong=true`) and as
+  * TIMESTAMP(MICROS) (scanned as TIMESTAMP_NTZ). [[normalizeEventTs]]
+  * derives the same two columns from either physical type: `ts_us`
+  * (integer microseconds — integer arithmetic throughout; doubles cannot
+  * represent epoch-nanos > 2^53 exactly) and a session-TZ timestamp
+  * `ts_t`. The session timezone is pinned to UTC (GraftSession), so the
+  * NTZ→instant reading matches DuckDB's naive-epoch interpretation and
+  * the oracle's `epoch_ns(ts) // 1000` is identical for every source
+  * precision.
   */
 object Tables {
+  /** Add `ts_us` (µs since epoch, long) + `ts_t` (timestamp) derived
+    * from whatever physical type the `ts` column scanned as. Works on
+    * batch and streaming DataFrames (stateless projections only).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    val tsUs: Column = df.schema("ts").dataType match {
+      case LongType => expr("ts div 1000") // legacy nanos-as-long
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case TimestampType => unix_micros(col("ts"))
+      case t => throw new IllegalArgumentException(s"unsupported events.ts type: $t")
+    }
+    df.withColumn("ts_us", tsUs)
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+  }
+
   val tpch: Seq[String] =
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
   val extra: Seq[String] = Seq("events", "documents", "embeddings")
@@ -22,10 +44,7 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts_us", expr("ts div 1000"))
-        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
   }
 
   /** Register every table as a temp view named after itself (for spark.sql paths). */

@@ -24,23 +24,27 @@ import graft.exec.RelationStore
   * producers; the file source discovers new files per trigger).
   */
 object Streaming {
-  /** events schema as scanned with nanosAsLong (see GraftSession). */
+  /** events schema as landed by upstream producers (TESTDATA.md:
+    * TIMESTAMP(MICROS) without timezone → TIMESTAMP_NTZ).
+    */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-since-epoch
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** readStream over an events directory; ts normalized to a proper
-    * timestamp column via integer µs arithmetic.
+  /** readStream over an events directory; ts normalized to `ts_us`
+    * (integer µs) + `ts_t` (timestamp) via the same type-driven rule
+    * the batch loader uses — stateless projections, so the streaming
+    * plan is identical to batch upstream of any stateful operator.
     */
   def eventStream(spark: SparkSession, inputDir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(inputDir)
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(eventsSchema)
+        .parquet(inputDir))
 
   /** Windowed aggregate with watermark: per-day, per-type counts +
     * exact cent sums. Watermark bounds state exactly like the
@@ -97,7 +101,7 @@ object Streaming {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(col("user_id"), expr("ts div 1000").as("us"))
+      .select(col("user_id"), col("ts_us").as("us"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionUpdate](

@@ -23,7 +23,6 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** views × clicks interval join, deliberately with NO equi conjunct. */
   private def intervalJoin(): DataFrame = {
     val e = graft.sources.Tables.load(spark, sf, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
     val views = e.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("ts_us").as("view_us"))
     val clicks = e.filter(col("event_type") === "click")

@@ -33,8 +33,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Streaming.runAvailableNow(agg, store, "daily", Seq("day", "event_type"), s"$work/cp1")
 
     val streamed = store.read("daily")
-    val batch = spark.read.parquet(s"$work/in")
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val batch = graft.sources.Tables.normalizeEventTs(spark.read.parquet(s"$work/in"))
       .groupBy(date_format(col("ts_t"), "yyyy-MM-dd").as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
     assert(streamed.count() == batch.count())
@@ -167,8 +166,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.awaitTermination()
     val streamed = store.read("attrib")
 
-    val ev = spark.read.parquet(s"$work/in")
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.sources.Tables.normalizeEventTs(spark.read.parquet(s"$work/in"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts_t").as("click_ts"))
     val purchases = ev.filter(col("event_type") === "purchase")
