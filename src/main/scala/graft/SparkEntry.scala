@@ -142,6 +142,7 @@ object SparkEntry {
     "emb_quantize" -> (CurateOps.embQuantize _),
     "curate_pipeline_full" -> (CurateOps.curatePipelineFull _),
     "curate_source_overlap" -> (CurateOps.curateSourceOverlap _),
+    "curate_dsir_select" -> (CurateOps.curateDsirSelect _),
     // similarity search
     "sim_topk" -> (SimilarityOps.simTopK _),
     "emb_neardup" -> (SimilarityOps.embNearDup _),
@@ -151,6 +152,9 @@ object SparkEntry {
     "sim_filtered_topk" -> ((s, d) => SimilarityOps.simFilteredTopK(s, d)),
     "sim_pq_topk" -> (SimilarityOps.simPqTopK _),
     "sim_knn_graph" -> ((s, d) => SimilarityOps.simKnnGraph(s, d)),
+    "sim_recall_eval" -> (SimilarityOps.simRecallEval _),
+    "sim_hard_negatives" -> (SimilarityOps.simHardNegatives _),
+    "sim_kcenter_select" -> ((s, d) => SimilarityOps.simKcenterSelect(s, d)),
     // multimodal plumbing
     "mm_meta" -> (Multimodal.mmMeta _),
     "mm_features" -> (Multimodal.mmFeatures _),
@@ -166,6 +170,70 @@ object SparkEntry {
     * bit-for-bit; every SUM is wrapped in CAST(... AS BIGINT) because
     * DuckDB's SUM(BIGINT) widens to HUGEINT.
     */
+  /** Exact brute-force cosine top-5 oracle — the ground truth
+    * (SimilarityOps.simTopK). Factored so the recall-eval oracle can
+    * reuse it as a CTE body alongside the LSH/IVF oracles.
+    */
+  private lazy val ExactTopkSql: String = """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings
+      ), s AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+               CAST(list_sum(list_transform(a.q, x -> x * x)) AS BIGINT) AS na,
+               CAST(list_sum(list_transform(b.q, x -> x * x)) AS BIGINT) AS nb
+        FROM e a, e b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+      )
+      SELECT qid, cid, dot, CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos, rn
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY qid
+          ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, cid) AS rn
+        FROM s
+      ) t WHERE rn <= 5"""
+
+  /** Greedy k-center selection oracle: the seed plus 7 unrolled
+    * farthest-point rounds (SimilarityOps.simKcenterSelect). Each round
+    * r computes every unselected vector's min integer squared-L2
+    * distance to the selected set s1..s(r-1) and takes the argmax
+    * (ties by lower vec_id) — nested-CTE unrolling in the IvfCellCtes
+    * style, integer-exact throughout.
+    */
+  private lazy val KcenterSql: String = {
+    val k = 8
+    val dist = "a.nq + c.nq - 2 * CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * c.q[i])) AS BIGINT)"
+    val rounds = (2 to k).map { r =>
+      val prior = (1 until r).map(i => s"SELECT vec_id, q, nq FROM s$i").mkString(" UNION ALL ")
+      s"""m$r AS (
+        SELECT a.vec_id, MIN($dist) AS mind
+        FROM en a, ($prior) c
+        WHERE a.vec_id NOT IN (SELECT vec_id FROM ($prior) x)
+        GROUP BY a.vec_id
+      ), s$r AS (
+        SELECT en.vec_id, en.q, en.nq, m.mind AS d2, $r AS r
+        FROM (SELECT vec_id, mind, ROW_NUMBER() OVER (ORDER BY mind DESC, vec_id) AS rk
+              FROM m$r) m
+        JOIN en ON en.vec_id = m.vec_id
+        WHERE m.rk = 1
+      )"""
+    }.mkString(",\n      ")
+    val all = (1 to k).map(i => s"SELECT vec_id, d2, r FROM s$i").mkString("\n        UNION ALL ")
+    s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings
+      ), en AS (
+        SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq FROM e
+      ), s1 AS (
+        SELECT vec_id, q, nq, CAST(0 AS BIGINT) AS d2, 1 AS r
+        FROM en WHERE vec_id = (SELECT MIN(vec_id) FROM en)
+      ),
+      $rounds
+      SELECT CAST(r AS BIGINT) AS sel_round, vec_id, CAST(d2 AS BIGINT) AS d2
+      FROM ($all) u"""
+  }
+
   /** sign-LSH ANN oracle with the SAME literal hyperplanes as the Spark
     * plan (SimilarityOps.planeSign), bucket equi-join, exact re-score —
     * factored so the RRF fusion oracle can reuse it as a CTE body.
@@ -1698,24 +1766,7 @@ object SparkEntry {
                  ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, cid) AS rn
         FROM s
       ) t WHERE rn <= 5""",
-    "sim_topk" -> """
-      WITH e AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
-        FROM embeddings
-      ), s AS (
-        SELECT a.vec_id AS qid, b.vec_id AS cid,
-               CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
-               CAST(list_sum(list_transform(a.q, x -> x * x)) AS BIGINT) AS na,
-               CAST(list_sum(list_transform(b.q, x -> x * x)) AS BIGINT) AS nb
-        FROM e a, e b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
-      )
-      SELECT qid, cid, dot, CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos, rn
-      FROM (
-        SELECT *, ROW_NUMBER() OVER (
-          PARTITION BY qid
-          ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, cid) AS rn
-        FROM s
-      ) t WHERE rn <= 5""",
+    "sim_topk" -> ExactTopkSql,
     "emb_neardup" -> """
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
@@ -1861,6 +1912,77 @@ object SparkEntry {
         FROM scored
       ) t WHERE rn <= 5"""
     },
+    "sim_recall_eval" -> s"""
+      WITH ex AS (SELECT qid, cid FROM ($ExactTopkSql) x),
+      la AS (SELECT qid, cid FROM ($LshTopkSql) y),
+      ib AS (SELECT qid, cid FROM ($IvfTopkSql) z),
+      ne AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex GROUP BY qid),
+      lh AS (SELECT la.qid, CAST(COUNT(*) AS BIGINT) AS lsh_hits
+             FROM la JOIN ex ON la.qid = ex.qid AND la.cid = ex.cid GROUP BY la.qid),
+      ih AS (SELECT ib.qid, CAST(COUNT(*) AS BIGINT) AS ivf_hits
+             FROM ib JOIN ex ON ib.qid = ex.qid AND ib.cid = ex.cid GROUP BY ib.qid)
+      SELECT ne.qid, ne.n_exact,
+             CAST(COALESCE(lh.lsh_hits, 0) AS BIGINT) AS lsh_hits,
+             CAST(COALESCE(ih.ivf_hits, 0) AS BIGINT) AS ivf_hits,
+             CAST((1000 * COALESCE(lh.lsh_hits, 0)) // ne.n_exact AS BIGINT) AS lsh_recall_milli,
+             CAST((1000 * COALESCE(ih.ivf_hits, 0)) // ne.n_exact AS BIGINT) AS ivf_recall_milli
+      FROM ne LEFT JOIN lh ON lh.qid = ne.qid LEFT JOIN ih ON ih.qid = ne.qid""",
+    "sim_hard_negatives" -> """
+      WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings
+      ), en AS (
+        SELECT vec_id, label, q,
+               CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq
+        FROM e
+      ), s AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               CASE WHEN a.label = b.label THEN 'pos' ELSE 'neg' END AS kind,
+               CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+               a.nq AS na, b.nq AS nb
+        FROM en a, en b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+      )
+      SELECT qid, cid, kind,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos,
+             CAST(rn AS BIGINT) AS rn
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY qid, kind
+          ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, cid) AS rn
+        FROM s
+      ) t WHERE rn <= 3""",
+    "sim_kcenter_select" -> KcenterSql,
+    "curate_dsir_select" -> """
+      WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS tok
+        FROM documents
+      ), tb AS (
+        SELECT doc_id, lang, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS b FROM toks
+      ), buckets AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS q_cnt,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
+        FROM tb GROUP BY b
+      ), wtab AS (
+        SELECT b,
+               1000 * (CAST(len(bin(p_cnt + 1)) AS BIGINT) - CAST(len(bin(q_cnt + 1)) AS BIGINT)) AS w_milli
+        FROM buckets
+      ), norm AS (
+        SELECT 1000 * (CAST(len(bin(CAST(SUM(p_cnt) AS BIGINT) + 1)) AS BIGINT)
+                     - CAST(len(bin(CAST(SUM(q_cnt) AS BIGINT) + 1)) AS BIGINT)) AS k_milli
+        FROM buckets
+      )
+      SELECT doc_id, n_toks, score_milli,
+             CAST(score_milli // n_toks AS BIGINT) AS avg_milli,
+             CAST(CASE WHEN score_milli >= 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
+      FROM (
+        SELECT tb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(CAST(SUM(w.w_milli) AS BIGINT)
+                    - CAST(COUNT(*) AS BIGINT) * (SELECT k_milli FROM norm) AS BIGINT) AS score_milli
+        FROM tb JOIN wtab w ON w.b = tb.b
+        GROUP BY tb.doc_id
+      ) t""",
     "mm_meta" -> """
       SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest FROM documents""",
     "mm_features" -> """

@@ -566,6 +566,57 @@ object CurateOps {
           .cast("long"))
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its tokens are under a TARGET
+    * domain's hashed-feature distribution than under the full corpus's,
+    * then admit docs whose importance weight is non-negative. Target
+    * here = the `lang = 'en'` slice (the paper's target is any trusted
+    * high-quality subset; the operator only assumes target ⊆ corpus).
+    *
+    * Hashed n-gram features: token → first-32-bits-of-md5 mod 64
+    * buckets (the paper's hashed unigram model, B = 64). Importance
+    * weight of a doc in FLOORED-BITS integer arithmetic (the same
+    * `length(bin(x)) - 1 = floor(log2 x)` device as
+    * [[TextOps.txtCharLmScore]] — no transcendental drift, replayable
+    * bit-for-bit in the oracle):
+    *   w_b   = flog2(p_b + 1) − flog2(q_b + 1)   per-bucket log-ratio
+    *   K     = flog2(P + 1)   − flog2(Q + 1)     normalizer (P,Q totals)
+    *   score = Σ_tokens 1000·w_bucket(tok) − n_toks·1000·K  (millibits)
+    *
+    * Scale shape: the "model" is the 64-row bucket table (+ 1 totals
+    * row) — broadcast at any corpus size; per-doc scoring is one
+    * explode → broadcast join → groupBy(doc_id) sum, i.e. a single
+    * doc-keyed shuffle carrying (doc_id, bucket) rows. Selection is a
+    * row-parallel threshold (score ≥ 0), NOT a global sort — no
+    * single-task window anywhere.
+    */
+  def curateDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val nBuckets = 64
+    def flog2(c: Column): Column = (length(bin(c)) - lit(1)).cast("long")
+    val toks = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(filter(split(TextOps.normalized(col("text")), " "), t => t =!= "")).as("tok"))
+      .withColumn("b",
+        expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)") % nBuckets)
+    val buckets = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("q_cnt"),
+      sum((col("lang") === "en").cast("long")).as("p_cnt"))
+    val wtab = buckets.select(col("b"),
+      ((flog2(col("p_cnt") + 1) - flog2(col("q_cnt") + 1)) * 1000).as("w_milli"))
+    val norm = buckets.agg(
+      ((flog2(sum(col("p_cnt")) + 1) - flog2(sum(col("q_cnt")) + 1)) * 1000).as("k_milli"))
+    toks
+      .join(broadcast(wtab), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("w_milli")).as("w_sum"))
+      .crossJoin(broadcast(norm))
+      .select(col("doc_id"), col("n_toks"),
+        (col("w_sum") - col("n_toks") * col("k_milli")).as("score_milli"))
+      .withColumn("avg_milli", expr("score_milli div n_toks"))
+      .withColumn("selected", (col("score_milli") >= 0).cast("long"))
+  }
+
   /** Embedding clustering: assign every vector to its nearest of 8
     * deterministic centroids (the vectors with vec_id < 8) by cosine.
     * The centroid table is bounded by construction → broadcast join;

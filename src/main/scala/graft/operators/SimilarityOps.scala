@@ -533,4 +533,103 @@ object SimilarityOps {
       .filter(col("fused_rank") <= 5)
       .select(col("qid"), col("cid"), col("rrf"), col("fused_rank"))
   }
+
+  /** ANN index-quality evaluation: per-probe recall@5 of the LSH and
+    * IVF indexes against the EXACT brute-force top-5 ([[simTopK]] is
+    * the ground truth the approximate indexes are judged by — this
+    * operator is the judging). The measurement loop every production
+    * vector index runs before swapping an index build into serving.
+    *
+    * Scale shape: the three inputs are per-query top-5 tables —
+    * bounded at 5 × #probes rows each — so the hit-counting semi-joins
+    * and per-probe aggregates are metadata-sized regardless of corpus
+    * size; all real work is inside the index scans being evaluated
+    * (each already scale-shaped).
+    */
+  def simRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val exact = simTopK(s, dir).select(col("qid"), col("cid")).cache()
+    val lsh = simLshTopK(s, dir).select(col("qid"), col("cid"))
+    val ivf = simIvfTopK(s, dir).select(col("qid"), col("cid"))
+    def hits(approx: DataFrame, name: String): DataFrame = approx
+      .join(exact, Seq("qid", "cid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as(name))
+    exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hits(lsh, "lsh_hits"), Seq("qid"), "left")
+      .join(hits(ivf, "ivf_hits"), Seq("qid"), "left")
+      .na.fill(0L, Seq("lsh_hits", "ivf_hits"))
+      .select(col("qid"), col("n_exact"), col("lsh_hits"), col("ivf_hits"),
+        expr("(1000 * lsh_hits) div n_exact").as("lsh_recall_milli"),
+        expr("(1000 * ivf_hits) div n_exact").as("ivf_recall_milli"))
+  }
+
+  /** Contrastive-pair mining over the labeled embedding corpus: for
+    * each probe, the top-3 most similar SAME-label vectors (positives)
+    * and the top-3 most similar DIFFERENT-label vectors (hard
+    * negatives — the near-boundary examples contrastive/metric
+    * training actually learns from; random negatives are too easy).
+    *
+    * Scale shape: [[simTopK]]'s contract — the bounded probe set
+    * broadcasts, the corpus streams through ONE codegen'd pass (native
+    * dot kernel), and the per-(probe, kind) top-3 is a row_number
+    * window whose rank filter compiles to WindowGroupLimit, so each
+    * map task ships only its local top-3 per group.
+    */
+  def simHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val lab = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val e = quantized(s, dir).join(lab, Seq("vec_id"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("nq").as("qn"),
+        col("label").as("qlab"))
+    val cs = e.select(col("vec_id").as("cid"), col("q").as("cv"), col("nq").as("cn"),
+      col("label").as("clab"))
+    val w = Window.partitionBy(col("qid"), col("kind")).orderBy(col("cos").desc, col("cid"))
+    cs.join(broadcast(qs), col("qid") =!= col("cid"))
+      .withColumn("dot", expr("dot_i64(qv, cv)"))
+      .withColumn("cos", col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))))
+      .withColumn("kind", when(col("qlab") === col("clab"), "pos").otherwise("neg"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("kind"), col("cos"), col("rn"))
+  }
+
+  /** Greedy k-center (max-min / farthest-point) diversity selection —
+    * Gonzalez's 2-approximation: seed with the lowest vec_id, then k−1
+    * times pick the vector FARTHEST (max over candidates of its min
+    * integer squared-L2 distance to the selected set, ties by lower
+    * vec_id). The diversity-subset primitive (coreset seeding, diverse
+    * eval-set picking, k-means++-style initialization) — the selected
+    * set maximizes spread, the opposite of [[semDedup]]'s density
+    * pruning.
+    *
+    * Scale shape: the selected set is bounded (k = 8 rows) and lives as
+    * LITERALS in each round's plan — never a corpus-sized structure.
+    * Each round is ONE codegen'd corpus pass (d² = nq + |c|² − 2⟨q,c⟩
+    * via the native dot kernel against the literal center, `least` over
+    * ≤ k centers) followed by a TakeOrdered(1) — no global sort, no
+    * driver collect beyond the 1-row argmax. k passes total, the
+    * classic distributed k-center loop.
+    */
+  def simKcenterSelect(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import s.implicits._
+    val e = quantized(s, dir).cache()
+    val seed = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("q"), col("nq")).head()
+    // (round, id, d2-at-selection, quantized vector, |c|²)
+    var centers = Vector[(Long, Long, Long, Array[Long], Long)](
+      (1L, seed.getLong(0), 0L, seed.getSeq[Long](1).toArray, seed.getLong(2)))
+    for (r <- 2 to k) {
+      val minDist = centers.map { case (_, _, _, cq, cn) =>
+        val lits = cq.map(v => s"${v}L").mkString(", ")
+        lit(cn) + col("nq") - lit(2L) * expr(s"dot_i64(q, array($lits))")
+      }.reduce(least(_, _))
+      val next = e.filter(!col("vec_id").isInCollection(centers.map(_._2)))
+        .select(col("vec_id"), minDist.as("d2"), col("q"), col("nq"))
+        .orderBy(col("d2").desc, col("vec_id")).limit(1).head()
+      centers = centers :+ ((r.toLong, next.getLong(0), next.getLong(1),
+        next.getSeq[Long](2).toArray, next.getLong(3)))
+    }
+    centers.map { case (r, id, d2, _, _) => (r, id, d2) }
+      .toDF("sel_round", "vec_id", "d2")
+  }
 }

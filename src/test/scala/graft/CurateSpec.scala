@@ -402,4 +402,41 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     val keptSkew = keptCounts.max.toDouble / keptCounts.min
     assert(keptSkew <= rawSkew, s"mix not flattened: $keptSkew vs $rawSkew")
   }
+
+  test("dsir_select: scores match a driver recount; target slice scores higher") {
+    val rows = CurateOps.curateDsirSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // driver recount of the full hashed-bucket model
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "lang",
+        "filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), t -> t <> '') as toks")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+    def bucket(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
+      (d.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))) % 64
+    }
+    def flog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val all = docs.flatMap { case (id, lang, toks) => toks.map(t => (id, lang, bucket(t))) }
+    val q = all.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val p = all.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val k = 1000L * (flog2(all.count(_._2 == "en") + 1L) - flog2(all.length + 1L))
+    rows.foreach { case (id, nToks, score, avg, sel) =>
+      val toks = docs.find(_._1 == id).get._3
+      assert(nToks == toks.length)
+      val w = toks.map { t =>
+        val b = bucket(t)
+        1000L * (flog2(p.getOrElse(b, 0L) + 1) - flog2(q(b) + 1))
+      }.sum
+      assert(score == w - nToks * k, s"doc $id: $score != ${w - nToks * k}")
+      assert(avg == score / nToks, s"doc $id avg mismatch") // both truncate toward zero
+      assert(sel == (if (score >= 0) 1L else 0L))
+    }
+    // the point of DSIR: the target (en) slice's mean importance score
+    // exceeds the non-target mean (by construction of the weights)
+    val en = rows.filter(r => docs.find(_._1 == r._1).get._2 == "en").map(_._4)
+    val other = rows.filter(r => docs.find(_._1 == r._1).get._2 != "en").map(_._4)
+    assert(en.nonEmpty && other.nonEmpty)
+    assert(en.sum.toDouble / en.length > other.sum.toDouble / other.length,
+      "target slice does not score higher — weights inverted?")
+  }
 }

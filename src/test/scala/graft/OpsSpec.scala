@@ -631,4 +631,95 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == brute(r), s"radius $r: missing=${brute(r) -- got} extra=${got -- brute(r)}")
     }
   }
+
+  /** Quantized corpus collected once for the driver-side recounts of
+    * the k-center / hard-negative operators (sf0.001 is small by
+    * construction; the operators themselves never collect it).
+    */
+  private lazy val vecs: Array[(Long, Array[Long], Long)] =
+    graft.sources.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint)) as q")
+      .collect()
+      .map { r =>
+        val q = r.getSeq[Long](1).toArray
+        (r.getLong(0), q, q.map(x => x * x).sum)
+      }
+
+  test("k-center: matches a driver-side greedy replay; radii non-increasing") {
+    val got = SimilarityOps.simKcenterSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // greedy farthest-point replay over the collected corpus
+    def d2(a: Array[Long], na: Long, b: Array[Long], nb: Long): Long = {
+      var dot = 0L; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      na + nb - 2 * dot
+    }
+    var centers = Vector(vecs.minBy(_._1))
+    var expect = Vector((1L, centers.head._1, 0L))
+    for (r <- 2 to 8) {
+      val cand = vecs.filter(v => !centers.exists(_._1 == v._1))
+        .map(v => (v, centers.map(c => d2(v._2, v._3, c._2, c._3)).min))
+      val best = cand.minBy { case (v, mind) => (-mind, v._1) }
+      centers = centers :+ best._1
+      expect = expect :+ ((r.toLong, best._1._1, best._2))
+    }
+    assert(got.toSeq == expect, s"got=${got.toSeq}\nexpect=$expect")
+    // Gonzalez invariant: the max-min radius achieved at each selection
+    // never increases as the set grows
+    val radii = got.toSeq.drop(1).map(_._3)
+    assert(radii == radii.sorted.reverse, s"radii not non-increasing: $radii")
+  }
+
+  test("hard negatives: label partition correct, top-3 per kind by brute force") {
+    val labels = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val got = SimilarityOps.simHardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+    // every emitted row's kind agrees with the label table
+    got.foreach { case (qid, cid, kind, _, _) =>
+      val expectKind = if (labels(qid) == labels(cid)) "pos" else "neg"
+      assert(kind == expectKind, s"($qid,$cid) tagged $kind, labels say $expectKind")
+    }
+    // brute-force recount per (probe, kind)
+    val byQ = vecs.map(v => (v._1, v)).toMap
+    for (qid <- got.map(_._1).distinct; kind <- Seq("pos", "neg")) {
+      val (_, qv, qn) = byQ(qid)
+      val want = vecs.filter(v => v._1 != qid)
+        .filter(v => (labels(v._1) == labels(qid)) == (kind == "pos"))
+        .map { case (cid, cv, cn) =>
+          var dot = 0L; var i = 0
+          while (i < cv.length) { dot += qv(i) * cv(i); i += 1 }
+          (cid, dot / (math.sqrt(qn.toDouble) * math.sqrt(cn.toDouble)))
+        }
+        .sortBy { case (cid, cos) => (-cos, cid) }.take(3).map(_._1).toSeq
+      val have = got.filter(g => g._1 == qid && g._3 == kind)
+        .sortBy(_._5).map(_._2).toSeq
+      assert(have == want, s"qid=$qid kind=$kind: have=$have want=$want")
+    }
+  }
+
+  test("recall eval: hits bounded by n_exact, recall in [0,1000], consistent") {
+    val rows = SimilarityOps.simRecallEval(spark, sf).collect()
+    assert(rows.length == 10, "one row per probe")
+    rows.foreach { r =>
+      val (n, lh, ih) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (lr, ir) = (r.getLong(4), r.getLong(5))
+      assert(n == 5)
+      assert(lh >= 0 && lh <= n && ih >= 0 && ih <= n)
+      assert(lr == 1000 * lh / n && ir == 1000 * ih / n)
+    }
+    // the recall this operator reports must agree with a direct
+    // intersection of the underlying operators' outputs
+    val exact = SimilarityOps.simTopK(spark, sf)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.simIvfTopK(spark, sf)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      val want = ivf.filter(_._1 == qid).count(exact.contains)
+      assert(r.getLong(3) == want, s"ivf_hits for $qid: ${r.getLong(3)} != $want")
+    }
+  }
 }
