@@ -398,4 +398,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val badExchange = "Exchange hashpartitioning\\(doc_id".r.findFirstIn(plan)
     assert(badExchange.isEmpty, s"corpus rows must not shuffle: $badExchange")
   }
+
+  test("hard negatives: probe set broadcasts, top-3 limits map-side") {
+    val plan = physical(SimilarityOps.simHardNegatives(spark, sf))
+    // bounded probe side must be the broadcast side of the non-equi join
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // rank <= 3 pushes a partial group limit below the (qid, kind) shuffle
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  test("dsir select: model broadcasts, no global window, one doc-keyed shuffle") {
+    val plan = executedPhysical(CurateOps.curateDsirSelect(spark, sf))
+    // the 64-row weight table and 1-row normalizer join as broadcasts
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+    // selection is a threshold, never a corpus-wide sort/rank
+    assert(!plan.contains("Window "), "no window over the corpus expected")
+    assert(!plan.contains("Sort [score"), "no global score sort expected")
+  }
+
+  test("k-center rounds: literal centers, codegen'd distance, TakeOrdered argmax") {
+    // one round's candidate plan: distance to the (literal) selected
+    // set + TakeOrdered(1) — the corpus never sorts globally and the
+    // selected set never becomes a joined relation
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.load(spark, sf, "embeddings").selectExpr(
+      "vec_id",
+      "transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint)) as q")
+      .withColumn("nq", expr("dot_i64(q, q)"))
+    val lits = (1 to 64).map(_ => "1L").mkString(", ")
+    val round = e
+      .select(col("vec_id"), (col("nq") + lit(5L) - lit(2L) * expr(s"dot_i64(q, array($lits))")).as("d2"))
+      .orderBy(col("d2").desc, col("vec_id")).limit(1)
+    val plan = physical(round)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("Exchange rangepartitioning"), "argmax must not global-sort")
+  }
 }
