@@ -97,7 +97,7 @@ object PartialParse {
           case Some(changed) =>
             try {
               val patched = changed.foldLeft(cachedProject) { (p, rel) =>
-                ProjectLoader.reparseModelFile(p, projectDir, cliVars, rel)
+                ProjectLoader.reparseFile(p, projectDir, cliVars, rel)
               }
               writeCache(cachePath, hashes, cliVars, patched)
               (patched, Partial(changed))
@@ -110,9 +110,13 @@ object PartialParse {
     }
   }
 
-  /** The changed files iff EVERY change is a content edit to a root
-    * model .sql whose node already exists and has no override-bearing
-    * unit test; None ⇒ full parse required.
+  /** The changed files iff EVERY change is a content edit to a file
+    * class with a single-file re-parser (reference partial.py
+    * schedules per file class): root model .sql (no override-bearing
+    * unit test — its overrideCode was baked from the old text), seed
+    * .csv (checksum-only refresh), singular test .sql, or analysis
+    * .sql. Unit-test fixtures (under tests/fixtures/) and everything
+    * else with cross-file parse effects ⇒ None ⇒ full parse.
     */
   private def partialDelta(
       old: Map[String, String],
@@ -120,11 +124,27 @@ object PartialParse {
       p: ProjectLoader.Project): Option[Seq[String]] = {
     if (old.keySet != nw.keySet) return None // adds/deletes rewire the graph
     val changed = nw.keys.filter(k => old(k) != nw(k)).toSeq.sorted
+    def baseName(rel: String, ext: String): String =
+      rel.substring(rel.lastIndexOf('/') + 1).stripSuffix(ext)
+    def nodeIs[T <: graft.core.Node : scala.reflect.ClassTag](uid: String): Boolean =
+      p.manifest.nodes.get(uid).exists {
+        n => scala.reflect.classTag[T].runtimeClass.isInstance(n)
+      }
     def eligible(rel: String): Boolean = {
-      val mname = rel.substring(rel.lastIndexOf('/') + 1).stripSuffix(".sql")
-      rel.startsWith("models/") && rel.endsWith(".sql") &&
-        p.manifest.nodes.get(s"model.${p.name}.$mname").exists(_.isInstanceOf[graft.core.ModelNode]) &&
-        !p.manifest.unitTests.values.exists(u => u.model == mname && u.overrideCode.isDefined)
+      val isModel = rel.startsWith("models/") && rel.endsWith(".sql") && {
+        val mname = baseName(rel, ".sql")
+        nodeIs[graft.core.ModelNode](s"model.${p.name}.$mname") &&
+          !p.manifest.unitTests.values.exists(u => u.model == mname && u.overrideCode.isDefined)
+      }
+      val isSeed = rel.startsWith("seeds/") && rel.endsWith(".csv") &&
+        nodeIs[graft.core.SeedNode](s"seed.${p.name}.${baseName(rel, ".csv")}")
+      val isSingularTest = rel.startsWith("tests/") && rel.endsWith(".sql") &&
+        !rel.startsWith("tests/fixtures/") &&
+        nodeIs[graft.core.TestNode](s"test.${p.name}.${baseName(rel, ".sql")}")
+      val isAnalysis = (rel.startsWith("analyses/") || rel.startsWith("analysis/")) &&
+        rel.endsWith(".sql") &&
+        nodeIs[graft.core.AnalysisNode](s"analysis.${p.name}.${baseName(rel, ".sql")}")
+      isModel || isSeed || isSingularTest || isAnalysis
     }
     if (changed.nonEmpty && changed.forall(eligible)) Some(changed) else None
   }

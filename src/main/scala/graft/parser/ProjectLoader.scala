@@ -688,6 +688,104 @@ object ProjectLoader {
       macroDeps = macroDeps2)))
   }
 
+  /** Fine-grained re-parse dispatch (reference partial.py schedules
+    * changed files per file CLASS — models, tests, seeds, analyses each
+    * have their own handler): route a changed file to the matching
+    * single-file re-parser. [[PartialParse]] has already gated
+    * eligibility; anything unrecognized here falls back to the model
+    * path (which PartialParse only feeds model files).
+    */
+  def reparseFile(
+      p: Project,
+      projectDir: String,
+      cliVars: Map[String, String],
+      rel: String): Project =
+    if (rel.startsWith("seeds/") && rel.endsWith(".csv"))
+      reparseSeedFile(p, projectDir, rel)
+    else if (rel.startsWith("tests/") && rel.endsWith(".sql"))
+      reparseAuxSqlFile(p, projectDir, cliVars, rel, isTest = true)
+    else if ((rel.startsWith("analyses/") || rel.startsWith("analysis/")) && rel.endsWith(".sql"))
+      reparseAuxSqlFile(p, projectDir, cliVars, rel, isTest = false)
+    else reparseModelFile(p, projectDir, cliVars, rel)
+
+  /** Seed .csv content edit: the node's identity/config come from the
+    * file NAME and schema yml (both unchanged under the eligibility
+    * contract) — only the checksum tracks content, and it must, or
+    * `state:modified` misses seed data changes (the reference hashes
+    * seed file content into the manifest the same way).
+    */
+  private def reparseSeedFile(p: Project, projectDir: String, rel: String): Project = {
+    val f = Paths.get(projectDir).resolve(rel)
+    val sname = f.getFileName.toString.stripSuffix(".csv")
+    val uid = s"seed.${p.name}.$sname"
+    p.manifest.nodes.get(uid) match {
+      case Some(n: graft.core.SeedNode) =>
+        p.copy(manifest = p.manifest.copy(nodes = p.manifest.nodes +
+          (uid -> n.copy(checksum = FileHash.of(Files.readString(f))))))
+      case _ => throw new IllegalStateException(s"no seed node for $rel")
+    }
+  }
+
+  /** Singular test / analysis .sql content edit: re-render with the
+    * project's (unchanged) macro table, re-scan refs (edits may rewire
+    * the DAG — resolveRefs re-resolves), rebuild the node exactly as
+    * load0 would, and refresh the macro-dependency closure.
+    */
+  private def reparseAuxSqlFile(
+      p: Project,
+      projectDir: String,
+      cliVars: Map[String, String],
+      rel: String,
+      isTest: Boolean): Project = {
+    val dir = Paths.get(projectDir)
+    val projFile = dir.resolve("dbt_project.yml")
+    val proj: Map[String, Any] =
+      if (Files.exists(projFile)) MiniYaml.parseMap(Files.readString(projFile))
+      else Map("name" -> "graft")
+    val name = proj.getOrElse("name", "graft").toString
+    val projVars: Map[String, String] = proj.get("vars") match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) =>
+        m.map { case (k, v) => k -> String.valueOf(v) }
+      case _ => Map.empty
+    }
+    val vars = projVars ++ cliVars
+    val macroTable = p.macros
+    val f = dir.resolve(rel)
+    val orig = Files.readString(f)
+    val raw = ControlFlow.render(Macros.expand(orig, macroTable), vars,
+      vars.getOrElse("target", "dev"))
+    val scan = Template.scan(raw)
+    val bname = f.getFileName.toString.stripSuffix(".sql")
+    val deps = scan.refs.map(r => refId(r, name)) ++
+      scan.sources.map { case (s, t) => s"source.$name.$s.$t" }
+    val node: graft.core.Node =
+      if (isTest)
+        graft.core.TestNode(bname, name, raw,
+          configFrom(scan.config).copy(materialized = Materialized.View),
+          deps, scan.refs, checksum = FileHash.of(raw))
+      else
+        graft.core.AnalysisNode(bname, name, raw, configFrom(scan.config),
+          deps, scan.refs, scan.sources, checksum = FileHash.of(raw))
+    // macro-dependency closure, as in load0/reparseModelFile
+    val macroCallRes: Map[String, Regex] =
+      macroTable.keys.map(k => k -> raw"(?<![\w])${Regex.quote(k)}\s*\(".r).toMap
+    def direct(text: String): Set[String] =
+      macroCallRes.collect { case (k, re) if re.findFirstIn(text).isDefined => k }.toSet
+    val directTable = macroTable.map { case (k, d) => k -> direct(d.body) }
+    def close(seen: Set[String]): Set[String] = {
+      val next = seen ++ seen.flatMap(directTable.getOrElse(_, Set.empty))
+      if (next == seen) seen else close(next)
+    }
+    val ms = direct(orig).flatMap(k => close(Set(k)))
+    val uid = node.uniqueId
+    val macroDeps2 =
+      if (ms.nonEmpty) p.manifest.macroDeps + (uid -> ms.toSeq.sorted)
+      else p.manifest.macroDeps - uid
+    resolveRefs(p.copy(manifest = p.manifest.copy(
+      nodes = p.manifest.nodes + (uid -> node),
+      macroDeps = macroDeps2)))
+  }
+
   /** packages.yml `- local:` entries resolved against `dir` — shared
     * with the partial-parse cache so package edits invalidate it.
     */

@@ -116,6 +116,58 @@ class PartialParseSpec extends AnyFunSuite {
     assert(out4 == PartialParse.Partial(Seq("models/m2.sql")))
   }
 
+  test("seed csv, singular test, and analysis edits re-parse fine-grained") {
+    val dir = Files.createTempDirectory("pp_classes")
+    val target = dir.resolve("target").toString
+    Files.createDirectories(dir.resolve("models"))
+    Files.createDirectories(dir.resolve("seeds"))
+    Files.createDirectories(dir.resolve("tests"))
+    Files.createDirectories(dir.resolve("tests/fixtures"))
+    Files.createDirectories(dir.resolve("analyses"))
+    Files.writeString(dir.resolve("dbt_project.yml"), "name: pp\n")
+    Files.writeString(dir.resolve("models/a.sql"), "select 1 as id\n")
+    Files.writeString(dir.resolve("models/b.sql"), "select 2 as id\n")
+    Files.writeString(dir.resolve("seeds/ref_data.csv"), "id,v\n1,x\n")
+    Files.writeString(dir.resolve("tests/no_neg.sql"),
+      "select * from {{ ref('a') }} where id < 0\n")
+    Files.writeString(dir.resolve("tests/fixtures/fx.csv"), "id\n1\n")
+    Files.writeString(dir.resolve("analyses/report.sql"),
+      "select count(*) as n from {{ ref('a') }}\n")
+    val (p0, out0) = PartialParse.loadCachedDetailed(dir.toString, Map.empty, target)
+    assert(out0 == PartialParse.Full)
+
+    // seed CONTENT edit: partial; only the checksum moves
+    Files.writeString(dir.resolve("seeds/ref_data.csv"), "id,v\n1,x\n2,y\n")
+    val (p1, out1) = PartialParse.loadCachedDetailed(dir.toString, Map.empty, target)
+    assert(out1 == PartialParse.Partial(Seq("seeds/ref_data.csv")))
+    assert(p1.manifest.nodes("seed.pp.ref_data").checksum !=
+      p0.manifest.nodes("seed.pp.ref_data").checksum)
+
+    // singular-test edit that REWIRES its ref: partial, dependsOn updates
+    Files.writeString(dir.resolve("tests/no_neg.sql"),
+      "select * from {{ ref('b') }} where id < 0\n")
+    val (p2, out2) = PartialParse.loadCachedDetailed(dir.toString, Map.empty, target)
+    assert(out2 == PartialParse.Partial(Seq("tests/no_neg.sql")))
+    assert(p2.manifest.nodes("test.pp.no_neg").dependsOn == Seq("model.pp.b"))
+
+    // analysis edit: partial
+    Files.writeString(dir.resolve("analyses/report.sql"),
+      "select count(*) as n, max(id) as mx from {{ ref('b') }}\n")
+    val (p3, out3) = PartialParse.loadCachedDetailed(dir.toString, Map.empty, target)
+    assert(out3 == PartialParse.Partial(Seq("analyses/report.sql")))
+    assert(p3.manifest.nodes("analysis.pp.report").dependsOn == Seq("model.pp.b"))
+
+    // all three patched states equal a from-scratch full parse
+    val full = ProjectLoader.resolveRefs(ProjectLoader.load(dir.toString, Map.empty))
+    assert(p3.manifest.nodes == full.manifest.nodes)
+    assert(p3.manifest.macroDeps == full.manifest.macroDeps)
+
+    // unit-test FIXTURE edits have cross-file effects → full parse
+    Files.writeString(dir.resolve("tests/fixtures/fx.csv"), "id\n1\n2\n")
+    val (_, out4) = PartialParse.loadCachedDetailed(dir.toString, Map.empty, target)
+    assert(out4 == PartialParse.Full)
+  }
+
   test("parse bench project loads well under the baseline target") {
     val sec = Bench.parse2000Bench()
     // reference baselines: 41-72 s; target ≤ 90 s; JVM static parse ≪ 10 s
