@@ -15,8 +15,12 @@ object Explain {
     val spark = GraftSession.local(8)
     val names = args.headOption.map(_.split(',').toSeq)
       .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
+    // SPARK_GRAFT_EXPLAIN_EXEC=1: execute first so AQE finalizes —
+    // runtime exchange/stage reuse only shows in the final plan
+    val exec = sys.env.get("SPARK_GRAFT_EXPLAIN_EXEC").contains("1")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
+      if (exec) df.collect()
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       Files.writeString(outDir.resolve(s"$n.txt"), plan)

@@ -348,18 +348,22 @@ object CurateOps {
   /** Keyword extraction without floats: the 3 RAREST terms per document
     * by global document frequency (ties broken lexically) — integer-
     * exact, so the oracle hashes bit-for-bit where a TF-IDF double
-    * would drift. Shape: distinct (doc, term) → term df (one shuffle,
-    * partial-aggregated) → join back → per-doc top-3 window.
+    * would drift. Shape: distinct (doc, term) → df via an UNORDERED
+    * count window on the term partitioning → per-doc top-3 window.
+    * The window (not a groupBy + self-join) means the distinct set is
+    * computed and shuffled ONCE — Spark does not reuse the distinct's
+    * exchange across a join's two branches, so the join spelling ran
+    * the corpus-keyed dedup twice.
     */
   def txtTopTerms(s: SparkSession, dir: String): DataFrame = {
     val dw = tokens(s, dir)
       .select(col("doc_id"), explode(col("w")).as("term"))
       .filter(length(col("term")) >= 3)
       .distinct()
-    val dfreq = dw.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("term"))
-    dw.join(dfreq, Seq("term"))
+    dw.withColumn("df", count(lit(1)).over(wTerm))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("term"), col("df"), col("rnk").cast("long").as("rnk"))

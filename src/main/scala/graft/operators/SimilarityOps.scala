@@ -169,6 +169,13 @@ object SimilarityOps {
     */
   def simKnnGraph(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val pairs = triangularPairs(quantized(s, dir), nBlocks = 8)
+    // Both orientations as a UNION of two selects. Measured against the
+    // explode-of-two-structs alternative (one Generate over the scored
+    // pair): the union re-executes the block join per branch, but the
+    // branches run as independent parallel stages and project-collapse
+    // duplicates the dot into both struct arms of the explode anyway —
+    // union: 3.5 s vs explode: 5.8 s at sf0.1/local[32]. Each branch
+    // still carries its own map-side WindowGroupLimit.
     val directed = pairs.select(col("ida").as("src"), col("idb").as("nbr"),
         col("dot"), col("na").as("ns"), col("nb").as("nn"))
       .unionByName(pairs.select(col("idb").as("src"), col("ida").as("nbr"),

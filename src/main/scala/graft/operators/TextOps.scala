@@ -289,8 +289,13 @@ object TextOps {
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("bg"))
     val perDoc = grams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
-    // the "model": global bigram counts — alphabet-bounded (≤ 37² rows)
-    val model = perDoc.groupBy(col("bg")).agg(sum(col("m")).as("cnt"))
+    // the "model": global bigram counts — alphabet-bounded (≤ 37² rows).
+    // Aggregated DIRECTLY from the gram stream (not via perDoc): Spark
+    // does not reuse the (doc_id, bg) exchange across the two consumers,
+    // and the direct groupBy(bg) partial-aggregates map-side to ≤ 37²
+    // rows per task — a near-free shuffle vs re-running the corpus-keyed
+    // one. Same numbers: Σ_docs per-doc counts ≡ global counts.
+    val model = grams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
       .withColumn("c1", substring(col("bg"), 1, 1))
     val ctx = model.groupBy(col("c1")).agg(sum(col("cnt")).as("ctx"))
     val scored = model.join(ctx, Seq("c1"))
