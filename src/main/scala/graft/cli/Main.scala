@@ -52,9 +52,23 @@ object Main {
       projectDir: String,
       warehouse: String,
       targetDir: String,
-      cliVars: Map[String, String],
+      cliVars0: Map[String, String],
       spark: SparkSession): Int = {
     if (cmd == "init") return initProject(projectDir)
+    // profiles.yml target resolution (reference config/profile.py):
+    // --target overrides the profile's default; the resolved target
+    // feeds `target.name`/`target.schema`/`target.threads` in the
+    // template context (via dotted var keys), the scheduler thread
+    // default, and the store's base schema namespace
+    val profileTarget = graft.parser.Profiles.resolve(
+      projectDir, flags.get("target"), flags.get("profiles-dir"))
+    val profileVars: Map[String, String] = profileTarget.map { t =>
+      Map("target" -> t.name) ++
+        t.schema.map("target.schema" -> _) ++
+        t.threads.map(th => "target.threads" -> th.toString)
+    }.getOrElse(Map.empty)
+    // explicit --vars still win over profile-derived context
+    val cliVars = profileVars ++ cliVars0
     val (project, parseOutcome) =
       if (flags.contains("no-partial-parse"))
         (ProjectLoader.resolveRefs(ProjectLoader.load(projectDir, cliVars)),
@@ -67,7 +81,13 @@ object Main {
         println(s"[partial-parse] re-parsed ${fs.size} changed file(s): ${fs.mkString(", ")}")
       case graft.parser.PartialParse.Full =>
     }
-    val store = new RelationStore(spark, warehouse)
+    // profile schema = the base namespace materializations land in
+    // (reference credentials.schema); custom per-node schemas become
+    // `<schema>_<custom>` siblings via Materializer.storeFor
+    val store = profileTarget.flatMap(_.schema) match {
+      case Some(sc) => new RelationStore(spark, warehouse, sc)
+      case None => new RelationStore(spark, warehouse)
+    }
     // schema-aware relation addressing for the ad-hoc (non-Runner)
     // paths: compile/show/run-operation/docs-generate must resolve
     // custom-schema models to their qualified session views
@@ -103,7 +123,9 @@ object Main {
             .split(" ").toSeq.filter(_.nonEmpty)
         }.getOrElse(Nil)),
       exclude = flags.get("exclude").map(_.split(" ").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
-      threads = flags.getOrElse("threads", "4").toInt,
+      // --threads > profile target's threads > engine default
+      threads = flags.get("threads").map(_.toInt)
+        .orElse(profileTarget.flatMap(_.threads)).getOrElse(4),
       fullRefresh = flags.contains("full-refresh"),
       empty = flags.contains("empty"),
       vars = cliVars,
@@ -150,7 +172,54 @@ object Main {
         val sel = graft.graph.Selector.select(project.manifest, runner.graph,
           mkOpts("build").select, mkOpts("build").exclude, stateManifest,
           Map.empty, flags.getOrElse("indirect-selection", "eager"))
-        sel.toSeq.sorted.foreach(println)
+        val ids = sel.toSeq.sorted
+        // --output name|selector|path|json (reference task/list.py
+        // generate_names/selectors/paths/json); default = unique ids,
+        // the engine's historical behavior (a superset of `name`)
+        val byId = project.manifest.all
+        def pathOf(n: graft.core.Node): String = n match {
+          case m: graft.core.ModelNode => m.path
+          case sd: graft.core.SeedNode => sd.csvPath
+          case _ => ""
+        }
+        val lines: Seq[String] = flags.getOrElse("output", "unique_id") match {
+          case "unique_id" => ids
+          case "name" => ids.flatMap(byId.get).map {
+            case s: graft.core.SourceNode => s"${s.sourceName}.${s.name}"
+            case n => n.name
+          }
+          case "selector" => ids.flatMap(byId.get).map {
+            case s: graft.core.SourceNode =>
+              s"source:${s.packageName}.${s.sourceName}.${s.name}"
+            case u: graft.core.UnitTestNode => s"unit_test:${u.packageName}.${u.name}"
+            case n => s"${n.packageName}.${n.name}"
+          }
+          case "path" => ids.flatMap(byId.get).map(pathOf)
+          case "json" =>
+            // ALLOWED_KEYS subset (task/list.py), restrictable by
+            // --output-keys k1,k2
+            val keys = flags.get("output-keys").map(_.split(",").toSeq)
+              .getOrElse(Seq("name", "package_name", "depends_on", "tags",
+                "config", "resource_type", "original_file_path", "unique_id"))
+            def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+            def arr(xs: Seq[String]) = xs.map(js).mkString("[", ",", "]")
+            ids.flatMap(byId.get).map { n =>
+              val fields: Seq[(String, String)] = Seq(
+                "name" -> js(n.name),
+                "package_name" -> js(n.packageName),
+                "depends_on" -> s"""{"nodes":${arr(n.dependsOn)}}""",
+                "tags" -> arr(n.tags),
+                "config" -> s"""{"materialized":${js(n.config.materialized.toString)},"enabled":${n.config.enabled}}""",
+                "resource_type" -> js(n.resourceType.toString),
+                "original_file_path" -> js(pathOf(n)),
+                "unique_id" -> js(n.uniqueId))
+              fields.filter(f => keys.contains(f._1))
+                .map { case (k, v) => s"${js(k)}:$v" }.mkString("{", ",", "}")
+            }
+          case other =>
+            throw new IllegalArgumentException(s"invalid --output: $other")
+        }
+        lines.foreach(println)
         0
       case "compile" =>
         val compiler = adHocCompiler()

@@ -37,11 +37,17 @@ object ControlFlow {
   private final case class SetBlock(ident: String, body: Seq[Node]) extends Node
 
   /** Render control flow away. `vars` feeds `var()`; `target` is the
-    * profile target name surfaced as `target.name`.
+    * profile target name surfaced as `target.name`. The other
+    * target members the reference exposes from the profile output
+    * (`target.schema`, `target.threads` — context/target.py) arrive
+    * as dotted var keys injected by the CLI's profiles.yml resolution,
+    * with the reference-flavored defaults when no profile is active.
     */
   def render(text: String, vars: Map[String, String] = Map.empty,
       target: String = "dev"): String = {
-    val base = Map[String, Any]("target.name" -> target)
+    val base = Map[String, Any]("target.name" -> target,
+      "target.schema" -> vars.getOrElse("target.schema", "main"),
+      "target.threads" -> vars.getOrElse("target.threads", "1"))
     // no control tags still substitutes {{ target.name }} — its
     // rendering must not depend on an unrelated tag elsewhere in the file
     if (!text.contains("{%")) return substitute(text, base, vars)
@@ -50,7 +56,7 @@ object ControlFlow {
     val (nodes, rest) = parseNodes(text, tags, 0)
     require(rest.isEmpty, s"unbalanced control tags: ${rest.map(_.group(1)).mkString(",")}")
     val sb = new StringBuilder
-    emit(nodes, Map("target.name" -> target), vars, sb)
+    emit(nodes, base, vars, sb)
     sb.toString
   }
 

@@ -118,4 +118,72 @@ class CliSpec extends AnyFunSuite {
         dir, s"$dir/warehouse", s"$dir/target", Map.empty, spark)
     }
   }
+
+  test("profiles.yml: target schema + threads + target.name; --target switch; bad target") {
+    val dir = Files.createTempDirectory("cli_prof").resolve("proj").toString
+    run("init", dir)
+    Files.writeString(Paths.get(dir, "profiles.yml"),
+      """my_project:
+        |  target: dev
+        |  outputs:
+        |    dev:
+        |      type: spark
+        |      schema: dev_wh
+        |      threads: 2
+        |    prod:
+        |      type: spark
+        |      schema: prod_wh
+        |      threads: 8
+        |""".stripMargin)
+    // a model that renders the target context
+    Files.writeString(Paths.get(dir, "models/tgt.sql"),
+      "SELECT '{{ target.name }}' AS tname, '{{ target.schema }}' AS tschema, " +
+        "{{ target.threads }} AS tthreads")
+
+    val (c1, out1) = run("run", dir)
+    assert(c1 == 0, out1)
+    // materializations land in the PROFILE schema namespace
+    assert(Files.exists(Paths.get(dir, "warehouse/dev_wh")), "profile schema dir missing")
+    val row = spark.sql("SELECT * FROM tgt").collect().head
+    assert(row.getString(0) == "dev" && row.getString(1) == "dev_wh" && row.getInt(2) == 2)
+
+    // --target switches output: new schema namespace + context
+    val (c2, out2) = run("run", dir, Map("target" -> "prod", "no-partial-parse" -> ""))
+    assert(c2 == 0, out2)
+    assert(Files.exists(Paths.get(dir, "warehouse/prod_wh")))
+    val row2 = spark.sql("SELECT * FROM tgt").collect().head
+    assert(row2.getString(0) == "prod" && row2.getString(1) == "prod_wh" && row2.getInt(2) == 8)
+
+    // unknown target fails listing the valid names (reference error)
+    val err = intercept[IllegalArgumentException] {
+      Main.dispatch("run", Map("target" -> "staging"), dir,
+        s"$dir/warehouse", s"$dir/target", Map.empty, spark)
+    }
+    assert(err.getMessage.contains("does not have a target named 'staging'"))
+    assert(err.getMessage.contains("- dev") && err.getMessage.contains("- prod"))
+  }
+
+  test("list --output name/selector/path/json formats") {
+    val dir = Files.createTempDirectory("cli_list").resolve("proj").toString
+    run("init", dir)
+    run("parse", dir)
+
+    val (_, names) = run("list", dir, Map("output" -> "name", "select" -> "my_first_model+"))
+    assert(names.linesIterator.toSeq.contains("my_first_model"), names)
+
+    val (_, sels) = run("list", dir, Map("output" -> "selector"))
+    assert(sels.contains("my_project.my_first_model"), sels)
+    assert(sels.contains("source:my_project.tpch.orders"), sels)
+
+    val (_, paths) = run("list", dir,
+      Map("output" -> "path", "select" -> "my_first_model"))
+    assert(paths.contains("models/my_first_model.sql"), paths)
+
+    val (_, json) = run("list", dir,
+      Map("output" -> "json", "output-keys" -> "name,resource_type,unique_id",
+        "select" -> "my_first_model"))
+    assert(json.contains("\"unique_id\":\"model.my_project.my_first_model\""), json)
+    assert(json.contains("\"resource_type\""), json)
+    assert(!json.contains("\"package_name\""), "output-keys must restrict fields")
+  }
 }
