@@ -116,6 +116,7 @@ object SparkEntry {
     "dedup_clusters" -> (GraphOps.dedupClusters _),
     "graph_pagerank" -> ((s, d) => GraphOps.graphPageRank(s, d)),
     "graph_triangles" -> (GraphOps.graphTriangles _),
+    "graph_kcore" -> ((s, d) => GraphOps.graphKCore(s, d)),
     "dedup_decontaminate" -> (CurateOps.dedupDecontaminate _),
     "dedup_decontaminate_bloom" -> (CurateOps.dedupDecontaminateBloom _),
     "dedup_semantic" -> (SimilarityOps.semDedup _),
@@ -303,6 +304,49 @@ object SparkEntry {
                  ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) DESC, cid) AS rn
         FROM cand
       ) t WHERE rn <= 5"""
+  }
+
+  /** k-core peeling oracle: 8 unrolled rounds over the SimHash pair
+    * graph (GraphOps.graphKCore) — round r computes alive degrees,
+    * removes nodes below k=2, shrinking the alive set monotonically;
+    * removal rounds are unioned into removed_round (0 = in core).
+    */
+  private lazy val KcoreSql: String = {
+    val k = 2
+    val rounds = (1 to 8).map { r =>
+      val prev = s"a${r - 1}"
+      s"""d$r AS MATERIALIZED (
+        SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym e
+        JOIN $prev x ON x.node = e.src
+        JOIN $prev y ON y.node = e.dst
+        GROUP BY 1
+      ), rm$r AS MATERIALIZED (
+        SELECT p.node, CAST($r AS BIGINT) AS rr
+        FROM $prev p LEFT JOIN d$r USING (node)
+        WHERE COALESCE(d$r.d, 0) < $k
+      ), a$r AS MATERIALIZED (
+        SELECT node FROM $prev WHERE node NOT IN (SELECT node FROM rm$r)
+      )"""
+    }.mkString(",\n      ")
+    val removedUnion = (1 to 8).map(r => s"SELECT node, rr FROM rm$r").mkString("\n        UNION ALL ")
+    s"""
+      WITH pairs AS MATERIALIZED ($SimhashPairsSql
+      ), sym AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ), deg0 AS MATERIALIZED (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg0 FROM sym GROUP BY 1
+      ), a0 AS MATERIALIZED (
+        SELECT node FROM deg0
+      ),
+      $rounds,
+      removed AS ($removedUnion)
+      SELECT deg0.node AS doc_id, deg0.deg0,
+             CAST(COALESCE(removed.rr, 0) AS BIGINT) AS removed_round,
+             CAST(CASE WHEN removed.rr IS NULL THEN 1 ELSE 0 END AS BIGINT) AS in_core
+      FROM deg0 LEFT JOIN removed ON removed.node = deg0.node"""
   }
 
   private val SimhashPairsSql = """
@@ -1334,6 +1378,7 @@ object SparkEntry {
                THEN (2000000 * COALESCE(c.tri, 0)) // (d.deg * (d.deg - 1))
                ELSE 0 END AS cc_ppm
       FROM deg d LEFT JOIN cnt c ON c.node = d.node""",
+    "graph_kcore" -> KcoreSql,
     "dedup_clusters" -> s"""
       WITH RECURSIVE pairs AS ($SimhashPairsSql
       ), edges AS (

@@ -210,4 +210,64 @@ object GraphOps {
         when(col("deg") > 1, expr("(2000000 * tri) div (deg * (deg - 1))"))
           .otherwise(lit(0L)))
   }
+
+  /** k-core decomposition by iterative peeling (Matula & Beck 1983;
+    * the distributed formulation of Montresor et al. 2013) over the
+    * SimHash near-dup graph: repeatedly remove nodes with fewer than k
+    * alive neighbors until none remain. The surviving 2-core separates
+    * DENSE duplication neighborhoods (template families, mirror farms
+    * — structure that survives peeling) from incidental pairwise
+    * collisions (trees/chains — peeled away), refining what
+    * [[graphTriangles]]' clustering coefficient measures pointwise.
+    *
+    * Rounds are UNROLLED to a fixed count, like the Lloyd iterations
+    * in the IVF family: both engines run exactly `rounds` peels, so
+    * the output is oracle-replayable without a fixpoint probe; the
+    * spec asserts the graph actually converges within the bound (an
+    * extra round changes nothing) and [[OpsSpec]] recounts against a
+    * driver-side peel. Peeling is monotone — once the alive set stops
+    * shrinking every later round is a no-op — so bounded unrolling is
+    * exact whenever convergence lands inside the bound.
+    *
+    * Scale shape: each round = two semi-joins of the edge list against
+    * the alive set (both endpoints alive) + one src-keyed count — the
+    * same co-partitioned shuffle family as a [[connectedComponents]]
+    * round; state per round is one (node, removed_round) row per node,
+    * checkpointed to keep the 8-round lineage flat. No driver
+    * materialization of anything node-sized.
+    */
+  def graphKCore(s: SparkSession, dir: String, k: Int = 2, rounds: Int = 8): DataFrame = {
+    val pairs = DedupOps.dedupSimHashPairs(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    kCore(pairs, k, rounds)
+  }
+
+  private[graft] def kCore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def save(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val sym = save(pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst"))))
+    val deg0 = sym.groupBy(col("src")).agg(count(lit(1)).as("deg0"))
+      .select(col("src").as("node"), col("deg0"))
+    // removed_round = 0 while alive; set to the peel round on removal
+    var state = save(deg0.select(col("node"), lit(0L).as("removed_round")))
+    for (r <- 1 to rounds) {
+      val alive = state.filter(col("removed_round") === 0L).select(col("node"))
+      val aliveDeg = sym
+        .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .select(col("src").as("node"), col("d"))
+      val dropped = alive.join(aliveDeg, Seq("node"), "left")
+        .filter(coalesce(col("d"), lit(0L)) < k)
+        .select(col("node"), lit(r.toLong).as("rr"))
+      state = save(state.join(dropped, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("rr"), col("removed_round")).as("removed_round")))
+    }
+    state.join(deg0, Seq("node"))
+      .select(col("node").as("doc_id"), col("deg0"), col("removed_round"),
+        (col("removed_round") === 0L).cast("long").as("in_core"))
+  }
 }

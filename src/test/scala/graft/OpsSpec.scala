@@ -700,6 +700,52 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("k-core: matches a driver peel; converges within bound; clique/chain fixture") {
+    val sp = spark
+    import sp.implicits._
+    // corpus graph: output equals a driver-side peel to fixpoint AND
+    // an extra round changes nothing (the 8-round unroll is exact)
+    val edges = DedupOps.dedupSimHashPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    def peel(k: Int): Map[Long, Long] = {
+      var alive = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      var removedAt = Map.empty[Long, Long]
+      var r = 1L
+      var changed = true
+      while (changed) {
+        val deg = alive.map(n => n -> edges.count(e =>
+          (e._1 == n && alive(e._2)) || (e._2 == n && alive(e._1))).toLong).toMap
+        val drop = alive.filter(deg(_) < k)
+        changed = drop.nonEmpty
+        removedAt = removedAt ++ drop.map(_ -> r)
+        alive = alive -- drop
+        r += 1
+      }
+      removedAt.withDefaultValue(0L)
+    }
+    val expect = peel(2)
+    for (rounds <- Seq(8, 9)) {
+      val got = GraphOps.kCore(
+        DedupOps.dedupSimHashPairs(spark, sf)
+          .selectExpr("doc_a as src", "doc_b as dst"), 2, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      got.foreach { case (n, rr, core) =>
+        assert(rr == expect(n), s"node $n removed at $rr, expected ${expect(n)}")
+        assert(core == (if (expect(n) == 0L) 1L else 0L))
+      }
+    }
+    // synthetic: a 4-clique survives the 2-core, a pendant chain peels
+    val fixture = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 10L), (10L, 11L), (11L, 12L)).toDF("src", "dst")
+    val out = GraphOps.kCore(fixture, 2, 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    for (n <- Seq(1L, 2L, 3L, 4L)) assert(out(n) == (0L, 1L), s"clique node $n peeled")
+    assert(out(12L)._2 == 0L && out(11L)._2 == 0L && out(10L)._2 == 0L,
+      "chain must peel out of the 2-core")
+    // peeling order: the chain unravels outside-in
+    assert(out(12L)._1 < out(11L)._1 || out(12L)._1 == 1L)
+  }
+
   test("recall eval: hits bounded by n_exact, recall in [0,1000], consistent") {
     val rows = SimilarityOps.simRecallEval(spark, sf).collect()
     assert(rows.length == 10, "one row per probe")
