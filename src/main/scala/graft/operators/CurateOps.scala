@@ -596,21 +596,46 @@ object CurateOps {
     * single-task window anywhere.
     */
   def curateDsirSelect(s: SparkSession, dir: String): DataFrame = {
-    val nBuckets = 64
-    def flog2(c: Column): Column = (length(bin(c)) - lit(1)).cast("long")
-    val toks = docs(s, dir)
+    val d = docs(s, dir)
+    val (wtab, norm) = dsirModel(d)
+    dsirScore(d, wtab, norm)
+  }
+
+  private val DsirBuckets = 64
+
+  private def dsirFlog2(c: Column): Column = (length(bin(c)) - lit(1)).cast("long")
+
+  private def dsirTokens(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), col("lang"),
         explode(filter(split(TextOps.normalized(col("text")), " "), t => t =!= "")).as("tok"))
       .withColumn("b",
-        expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)") % nBuckets)
-    val buckets = toks.groupBy(col("b")).agg(
+        expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)") % DsirBuckets)
+
+  /** Train the DSIR hashed-bucket importance model on a reference
+    * corpus: (64-row per-bucket log-ratio weight table, 1-row
+    * normalizer). Both are model ARTIFACTS — bounded, broadcastable,
+    * and reusable across scoring runs (the streaming scorer re-reads
+    * them per micro-batch exactly like a persisted index).
+    */
+  def dsirModel(documents: DataFrame): (DataFrame, DataFrame) = {
+    val buckets = dsirTokens(documents).groupBy(col("b")).agg(
       count(lit(1)).as("q_cnt"),
       sum((col("lang") === "en").cast("long")).as("p_cnt"))
     val wtab = buckets.select(col("b"),
-      ((flog2(col("p_cnt") + 1) - flog2(col("q_cnt") + 1)) * 1000).as("w_milli"))
+      ((dsirFlog2(col("p_cnt") + 1) - dsirFlog2(col("q_cnt") + 1)) * 1000).as("w_milli"))
     val norm = buckets.agg(
-      ((flog2(sum(col("p_cnt")) + 1) - flog2(sum(col("q_cnt")) + 1)) * 1000).as("k_milli"))
-    toks
+      ((dsirFlog2(sum(col("p_cnt")) + 1) - dsirFlog2(sum(col("q_cnt")) + 1)) * 1000).as("k_milli"))
+    (wtab, norm)
+  }
+
+  /** Score documents under a TRAINED DSIR model — pure stream-safe
+    * shape: explode → broadcast model join → one doc-keyed aggregate.
+    * Batch and micro-batch run the identical plan
+    * ([[graft.streaming.Streaming.runDsirScore]] drives it per batch).
+    */
+  def dsirScore(documents: DataFrame, wtab: DataFrame, norm: DataFrame): DataFrame =
+    dsirTokens(documents)
       .join(broadcast(wtab), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"), sum(col("w_milli")).as("w_sum"))
@@ -619,7 +644,6 @@ object CurateOps {
         (col("w_sum") - col("n_toks") * col("k_milli")).as("score_milli"))
       .withColumn("avg_milli", expr("score_milli div n_toks"))
       .withColumn("selected", (col("score_milli") >= 0).cast("long"))
-  }
 
   /** Embedding clustering: assign every vector to its nearest of 8
     * deterministic centroids (the vectors with vec_id < 8) by cosine.

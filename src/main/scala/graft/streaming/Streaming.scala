@@ -179,6 +179,36 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Score a stream of arriving documents under a PRE-TRAINED DSIR
+    * importance model (graft.operators.CurateOps.dsirModel) — the
+    * stream-static pattern shared with [[runIncrementalDedup]]: the
+    * model tables are bounded artifacts (64 weights + 1 normalizer)
+    * broadcast into each micro-batch's scoring plan, which is the
+    * EXACT batch plan (CurateOps.dsirScore), so stream ≡ batch holds
+    * by construction. Per-batch cost is O(batch); the model is never
+    * retrained in the hot path — the shape continuous corpus
+    * admission runs at ingest time.
+    */
+  def runDsirScore(
+      newDocs: DataFrame,
+      wtab: DataFrame,
+      norm: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit = {
+    val q = newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val scored = graft.operators.CurateOps.dsirScore(batch, wtab, norm)
+        if (store.exists(table)) store.write(store.read(table).unionByName(scored), table)
+        else store.write(scored, table)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drive incremental (batch-vs-index) dedup over a stream of newly
     * arriving documents: each micro-batch probes a PREBUILT static
     * index via the exact same [[graft.operators.DedupOps.probeAgainstIndex]]

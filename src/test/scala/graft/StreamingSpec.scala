@@ -151,6 +151,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming DSIR scoring over two arrivals equals the batch scorer") {
+    val store = new RelationStore(spark, s"$work/wh_dsir")
+    val newIn = s"$work/dsirdocs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 8
+    // model trained ONCE on the already-ingested slice (the artifact)
+    val (wtab, norm) = graft.operators.CurateOps.dsirModel(docs.filter(!isNew))
+    docs.filter(isNew && col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runDsirScore(Streaming.documentStream(spark, newIn), wtab, norm,
+      store, "dsir_scores", s"$work/cp_dsir")
+    val afterFirst = store.read("dsir_scores").count()
+    docs.filter(isNew && col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runDsirScore(Streaming.documentStream(spark, newIn), wtab, norm,
+      store, "dsir_scores", s"$work/cp_dsir")
+    val streamed = store.read("dsir_scores")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    // scoring is per-document under a FIXED model, so the union over
+    // arrivals equals the one-shot batch scorer exactly
+    val batch = graft.operators.CurateOps.dsirScore(docs.filter(isNew), wtab, norm)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val store = new RelationStore(spark, s"$work/wh4")
     val joined = Streaming.clickPurchaseJoin(Streaming.eventStream(spark, s"$work/in"))
