@@ -136,6 +136,7 @@ object SparkEntry {
     "curate_temperature_sample" -> (CurateOps.curateTemperatureSample _),
     "txt_top_terms" -> (CurateOps.txtTopTerms _),
     "txt_inverted_index" -> (CurateOps.txtInvertedIndex _),
+    "txt_bm25_topk" -> (TextOps.txtBm25TopK _),
     "curate_budget_select" -> ((s, dir) => CurateOps.curateBudgetSelect(s, dir)),
     "curate_resample_lang" -> (CurateOps.curateResampleLang _),
     "curate_corpus_shuffle" -> (CurateOps.curateCorpusShuffle _),
@@ -303,6 +304,54 @@ object SparkEntry {
                ROW_NUMBER() OVER (PARTITION BY qid
                  ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) DESC, cid) AS rn
         FROM cand
+      ) t WHERE rn <= 5"""
+  }
+
+  /** Integer BM25 oracle — formulas and the literal query workload
+    * shared with TextOps.txtBm25TopK (same milli-unit k1/b constants,
+    * same floored-bits idf, same division order).
+    */
+  private lazy val Bm25Sql: String = {
+    val qvals = TextOps.Bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }.mkString(", ")
+    s"""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS term
+        FROM documents
+      ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+      ), dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+      ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST((1000 * CAST(SUM(dl) AS BIGINT)) // COUNT(*) AS BIGINT) AS avgdl_milli
+        FROM dl
+      ), dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      ), q(qid, term) AS (
+        SELECT * FROM (VALUES $qvals) v(qid, term)
+      ), scored AS (
+        SELECT q.qid, tf.doc_id,
+               (CAST(len(bin(s.n_docs + 1)) AS BIGINT) - CAST(len(bin(d.df + 1)) AS BIGINT)) * 1000 AS idf_milli,
+               tf.tf, dl.dl, s.avgdl_milli
+        FROM tf
+        JOIN q ON q.term = tf.term
+        JOIN dfreq d ON d.term = tf.term
+        JOIN dl ON dl.doc_id = tf.doc_id, stats s
+      ), ts AS (
+        SELECT qid, doc_id,
+               idf_milli * ((tf * 2200 * 1000) // (tf * 1000 + (1200 * (250 + (750 * dl * 1000) // avgdl_milli)) // 1000)) AS term_score
+        FROM scored
+      ), agg AS (
+        SELECT qid, doc_id, CAST(SUM(term_score) AS BIGINT) AS score_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        FROM ts GROUP BY 1, 2
+      )
+      SELECT CAST(qid AS BIGINT) AS qid, doc_id, score_micro, n_terms_hit, CAST(rn AS BIGINT) AS rn
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS rn
+        FROM agg
       ) t WHERE rn <= 5"""
   }
 
@@ -1252,6 +1301,7 @@ object SparkEntry {
       )
       SELECT doc_id, n_chars, CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS rk
       FROM keyed ORDER BY k, doc_id LIMIT 100""",
+    "txt_bm25_topk" -> Bm25Sql,
     "txt_inverted_index" -> """
       WITH dw AS (
         SELECT DISTINCT doc_id, term

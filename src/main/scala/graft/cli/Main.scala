@@ -273,7 +273,13 @@ object Main {
               case other => s"SELECT * FROM ${other.config.alias.getOrElse(other.name)}"
             }
         }
-        spark.sql(sql).show(flags.getOrElse("limit", "5").toInt, truncate = false)
+        // --output json emits one JSON object per row (reference
+        // task/show.py: preview as JSON for programmatic consumers);
+        // default stays the tabular preview
+        val preview = spark.sql(sql).limit(flags.getOrElse("limit", "5").toInt)
+        if (flags.get("output").contains("json"))
+          preview.toJSON.collect().foreach(println)
+        else preview.show(flags.getOrElse("limit", "5").toInt, truncate = false)
         0
       case "docs-generate" =>
         Sources.registerAll(spark, project.manifest, project.vars ++ cliVars)

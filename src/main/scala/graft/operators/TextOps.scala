@@ -309,6 +309,73 @@ object TextOps {
         expr("(1000 * surprisal_bits) div n_bigrams"))
   }
 
+  /** The fixed query workload for [[txtBm25TopK]] — literal constants
+    * shared verbatim with the oracle SQL (the [[graft.operators.SimilarityOps.planeSign]]
+    * pattern: data-independent parameters live in ONE place).
+    */
+  val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("table", "scan"),
+    2L -> Seq("window", "sort"),
+    3L -> Seq("hash", "join"),
+    4L -> Seq("stream", "batch"),
+    5L -> Seq("query", "fast"))
+
+  /** BM25 retrieval (Robertson-Spärck Jones) in exact integer
+    * arithmetic — the ranking half of the IR family next to
+    * [[graft.operators.CurateOps.txtInvertedIndex]]'s index build:
+    * score every document against a fixed query workload, top-5 per
+    * query. k1 = 1.2 and b = 0.75 live in milli-units (1200/750);
+    * idf uses the floored-bits log2 device (`length(bin(x)) - 1`)
+    * shared with [[txtCharLmScore]], so every engine computes the
+    * identical longs — a float BM25 would hash-drift.
+    *
+    *   idf_milli = 1000·(flog2(N+1) − flog2(df+1))
+    *   dlnorm    = 250 + (750·dl·1000) div avgdl_milli
+    *   denom     = tf·1000 + (1200·dlnorm) div 1000
+    *   score     = Σ_terms idf_milli · ((tf·2200·1000) div denom)
+    *
+    * Scale shape: one explode → groupBy(doc, term) postings shuffle
+    * (map-side combined); df and the (N, avgdl) stats are
+    * term-bounded / 1-row aggregates joined back as broadcasts; the
+    * query workload is a literal broadcast table, so scoring touches
+    * only postings of query terms (a semi-join-sized slice), and the
+    * per-query top-5 compiles to WindowGroupLimit. This is the
+    * distributed BM25 evaluation loop a retrieval-quality harness
+    * runs over a 100 TB corpus.
+    */
+  def txtBm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def flog2(c: Column): Column = (length(bin(c)) - lit(1)).cast("long")
+    val toks = docs(s, dir)
+      .select(col("doc_id"),
+        explode(filter(split(normalized(col("text")), " "), t => t =!= "")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      expr("(1000 * sum(dl)) div count(1)").as("avgdl_milli"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = Bm25Queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("qid", "term")
+    val scored = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq.join(broadcast(qterms.select("term").distinct()), Seq("term"))),
+        Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_milli",
+        (flog2(col("n_docs") + 1) - flog2(col("df") + 1)) * 1000)
+      .withColumn("dlnorm", expr("250L + (750L * dl * 1000L) div avgdl_milli"))
+      .withColumn("denom", expr("tf * 1000L + (1200L * dlnorm) div 1000L"))
+      .withColumn("term_score", expr("idf_milli * ((tf * 2200L * 1000L) div denom)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score_micro").desc, col("doc_id"))
+    scored.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score_micro"), count(lit(1)).as("n_terms_hit"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("doc_id"), col("score_micro"), col("n_terms_hit"), col("rn"))
+  }
+
   /** Overlapping token-window chunking (the retrieval-ingest shape:
     * long documents split into `window`-token chunks every `stride`
     * tokens so no span longer than `window - stride` falls across a

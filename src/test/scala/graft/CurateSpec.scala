@@ -403,6 +403,40 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keptSkew <= rawSkew, s"mix not flattened: $keptSkew vs $rawSkew")
   }
 
+  test("bm25: scores match a driver recount for every query") {
+    val rows = TextOps.txtBm25TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id",
+        "filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), t -> t <> '') as toks")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    def flog2len(x: Long): Long = 64 - java.lang.Long.numberOfLeadingZeros(x) // len(bin(x))
+    val dl = docs.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    val n = dl.size.toLong
+    val avgdlMilli = 1000 * dl.values.sum / n
+    val tf = docs.flatMap { case (id, ts) => ts.map(t => (id, t)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def score(qid: Long): Seq[(Long, Long, Long)] = docs.flatMap { case (id, _) =>
+      val hits = TextOps.Bm25Queries.toMap.apply(qid).filter(t => tf.contains((id, t)))
+      if (hits.isEmpty) None else Some {
+        val s = hits.map { t =>
+          val idf = (flog2len(n + 1) - flog2len(df(t) + 1)) * 1000
+          val tfv = tf((id, t))
+          val dlnorm = 250 + (750 * dl(id) * 1000) / avgdlMilli
+          val denom = tfv * 1000 + (1200 * dlnorm) / 1000
+          idf * ((tfv * 2200 * 1000) / denom)
+        }.sum
+        (id, s, hits.length.toLong)
+      }
+    }.sortBy { case (id, s, _) => (-s, id) }.take(5).toSeq
+    for ((qid, _) <- TextOps.Bm25Queries) {
+      val want = score(qid)
+      val have = rows.filter(_._1 == qid).sortBy(_._5).map(r => (r._2, r._3, r._4)).toSeq
+      assert(have == want, s"qid=$qid\nhave=$have\nwant=$want")
+    }
+  }
+
   test("dsir_select: scores match a driver recount; target slice scores higher") {
     val rows = CurateOps.curateDsirSelect(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

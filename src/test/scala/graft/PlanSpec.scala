@@ -417,6 +417,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Sort [score"), "no global score sort expected")
   }
 
+  test("bm25: query workload broadcasts, per-query top-5 limits map-side") {
+    val plan = physical(TextOps.txtBm25TopK(spark, sf))
+    // the literal query table and the df/stats sides join as broadcasts
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // rank <= 5 pushes a partial group limit below the qid shuffle
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), "scoring must stay equi-join + broadcast")
+  }
+
   test("k-center rounds: literal centers, codegen'd distance, TakeOrdered argmax") {
     // one round's candidate plan: distance to the (literal) selected
     // set + TakeOrdered(1) — the corpus never sorts globally and the
