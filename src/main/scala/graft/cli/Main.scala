@@ -225,7 +225,17 @@ object Main {
         val compiler = adHocCompiler()
         val outDir = Paths.get(targetDir, "compiled")
         Files.createDirectories(outDir)
-        project.manifest.nodes.values.foreach {
+        // --select narrows compilation like every other verb
+        // (reference compile.py via GraphRunnableTask selection)
+        val compileSel: Option[Set[String]] =
+          if (flags.contains("select") || flags.contains("selector")) Some {
+            val r = new Runner(spark, project, store, mkOpts("build"))
+            graft.graph.Selector.select(project.manifest, r.graph,
+              mkOpts("build").select, mkOpts("build").exclude, stateManifest,
+              Map.empty, flags.getOrElse("indirect-selection", "eager")).toSet
+          } else None
+        project.manifest.nodes.values
+          .filter(n => compileSel.forall(_.contains(n.uniqueId))).foreach {
           case m: ModelNode =>
             val sql = compiler.compile(m, m.rawCode).executable
             Files.writeString(outDir.resolve(s"${m.name}.sql"), sql)

@@ -185,5 +185,14 @@ class CliSpec extends AnyFunSuite {
     assert(json.contains("\"unique_id\":\"model.my_project.my_first_model\""), json)
     assert(json.contains("\"resource_type\""), json)
     assert(!json.contains("\"package_name\""), "output-keys must restrict fields")
+
+    // compile respects --select: only the selected model's SQL lands
+    Files.writeString(Paths.get(dir, "models/other_model.sql"),
+      "SELECT 1 AS one")
+    val (cc, _) = run("compile", dir, Map("select" -> "my_first_model"))
+    assert(cc == 0)
+    assert(Files.exists(Paths.get(dir, "target/compiled/my_first_model.sql")))
+    assert(!Files.exists(Paths.get(dir, "target/compiled/other_model.sql")),
+      "unselected model must not compile")
   }
 }
