@@ -145,6 +145,7 @@ object SparkEntry {
     "curate_pipeline_full" -> (CurateOps.curatePipelineFull _),
     "curate_source_overlap" -> (CurateOps.curateSourceOverlap _),
     "curate_dsir_select" -> (CurateOps.curateDsirSelect _),
+    "curate_split_leakfree" -> (CurateOps.curateSplitLeakfree _),
     // similarity search
     "sim_topk" -> (SimilarityOps.simTopK _),
     "emb_neardup" -> (SimilarityOps.embNearDup _),
@@ -1429,6 +1430,27 @@ object SparkEntry {
                ELSE 0 END AS cc_ppm
       FROM deg d LEFT JOIN cnt c ON c.node = d.node""",
     "graph_kcore" -> KcoreSql,
+    "curate_split_leakfree" -> s"""
+      WITH RECURSIVE pairs AS ($SimhashPairsSql
+      ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ), reach(node, lab) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+      ), cl AS (
+        SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY 1
+      ), assigned AS (
+        SELECT d.doc_id,
+               COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+               ('0x' || substr(md5(CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+      )
+      SELECT doc_id, cluster_id, bucket,
+             CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      FROM assigned""",
     "dedup_clusters" -> s"""
       WITH RECURSIVE pairs AS ($SimhashPairsSql
       ), edges AS (

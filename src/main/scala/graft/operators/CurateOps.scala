@@ -205,8 +205,10 @@ object CurateOps {
     * definition: these must stay bit-identical or the capstone's
     * columns silently disagree with the standalone operators.
     */
-  private def md5Bucket100: org.apache.spark.sql.Column =
-    expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)") % 100
+  private def md5Bucket100: org.apache.spark.sql.Column = md5Bucket100Of("doc_id")
+
+  private def md5Bucket100Of(c: String): org.apache.spark.sql.Column =
+    expr(s"cast(conv(substring(md5(cast($c as string)), 1, 8), 16, 10) as bigint)") % 100
 
   /** Deterministic train/val/test assignment: bucket = first 32 bits of
     * md5(doc_id) mod 100 → 80/10/10 split. Hash-based (not random, not
@@ -220,6 +222,31 @@ object CurateOps {
       md5Bucket100.as("bucket"))
       .withColumn("split",
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+
+  /** Leakage-free train/val/test split: the split key is the NEAR-DUP
+    * CLUSTER, not the document — every member of a duplicate cluster
+    * lands in the same split, so no eval example has a near-copy in
+    * training (the train/test-contamination failure mode a plain
+    * per-doc hash split ships silently; cf. the decontamination
+    * operators, which catch it AFTER the fact — this prevents it by
+    * construction). Singleton documents form their own cluster.
+    *
+    * Shape: [[GraphOps.dedupClusters]] supplies (doc, cluster) for
+    * pair-connected docs; one left join assigns singletons; the
+    * bucket/split is the same first-32-md5-bits routing as
+    * [[splitAssign]], applied to the cluster id — row-parallel after
+    * the cluster join, stable under corpus growth.
+    */
+  def curateSplitLeakfree(s: SparkSession, dir: String): DataFrame = {
+    val clusters = GraphOps.dedupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    docs(s, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", md5Bucket100Of("cluster_id"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+  }
 
   /** Distributed exclusive prefix sum over a global ordering — the
     * scalable spelling of `SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED

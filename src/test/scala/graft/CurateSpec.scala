@@ -403,6 +403,32 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keptSkew <= rawSkew, s"mix not flattened: $keptSkew vs $rawSkew")
   }
 
+  test("leakfree split: no near-dup pair straddles a split boundary") {
+    val split = CurateOps.curateSplitLeakfree(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    // THE guarantee: both ends of every near-dup pair share a split
+    val pairs = DedupOps.dedupSimHashPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus should contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._2 == split(b)._2,
+        s"leak: pair ($a, $b) split across ${split(a)._2}/${split(b)._2}")
+      assert(split(a)._1 == split(b)._1, "pair must share a cluster")
+    }
+    // every document is assigned, singletons route like splitAssign
+    val n = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(split.size == n)
+    val plain = CurateOps.splitAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    split.foreach { case (id, (cid, sp)) =>
+      if (!clustered.contains(id)) {
+        assert(cid == id, s"singleton $id must be its own cluster")
+        assert(sp == plain(id), s"singleton $id must route like the per-doc split")
+      }
+    }
+  }
+
   test("bm25: scores match a driver recount for every query") {
     val rows = TextOps.txtBm25TopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
