@@ -156,6 +156,7 @@ object SparkEntry {
     "sim_pq_topk" -> (SimilarityOps.simPqTopK _),
     "sim_knn_graph" -> ((s, d) => SimilarityOps.simKnnGraph(s, d)),
     "sim_recall_eval" -> (SimilarityOps.simRecallEval _),
+    "sim_matryoshka_eval" -> (SimilarityOps.simMatryoshkaEval _),
     "sim_hard_negatives" -> (SimilarityOps.simHardNegatives _),
     "sim_kcenter_select" -> ((s, d) => SimilarityOps.simKcenterSelect(s, d)),
     // multimodal plumbing
@@ -2029,6 +2030,37 @@ object SparkEntry {
         FROM scored
       ) t WHERE rn <= 5"""
     },
+    "sim_matryoshka_eval" -> """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings
+      ), en AS (
+        SELECT vec_id, q, q[1:16] AS q16,
+               CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq,
+               CAST(list_sum(list_transform(q[1:16], x -> x * x)) AS BIGINT) AS nq16
+        FROM e
+      ), s AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS BIGINT) AS d64,
+               CAST(list_sum(list_transform(range(1, 17), i -> a.q16[i] * b.q16[i])) AS BIGINT) AS d16,
+               a.nq AS na, b.nq AS nb, a.nq16 AS na16, b.nq16 AS nb16
+        FROM en a, en b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+      ), ranked AS (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                 CAST(d64 AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, cid) AS rn64,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                 CAST(d16 AS DOUBLE) / (sqrt(CAST(na16 AS DOUBLE)) * sqrt(CAST(nb16 AS DOUBLE))) DESC, cid) AS rn16
+        FROM s
+      ), t64 AS (SELECT qid, cid, rn64 FROM ranked WHERE rn64 <= 5),
+      t16 AS (SELECT qid, cid, rn16 FROM ranked WHERE rn16 <= 5)
+      SELECT t64.qid,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(SUM(CASE WHEN t16.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+             CAST(SUM(CASE WHEN t64.rn64 = 1 AND t16.rn16 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS top1_match,
+             CAST((1000 * SUM(CASE WHEN t16.cid IS NOT NULL THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS overlap_milli
+      FROM t64 LEFT JOIN t16 ON t16.qid = t64.qid AND t16.cid = t64.cid
+      GROUP BY t64.qid""",
     "sim_recall_eval" -> s"""
       WITH ex AS (SELECT qid, cid FROM ($ExactTopkSql) x),
       la AS (SELECT qid, cid FROM ($LshTopkSql) y),

@@ -600,6 +600,46 @@ object SimilarityOps {
       .select(col("qid"), col("cid"), col("kind"), col("cos"), col("rn"))
   }
 
+  /** Matryoshka truncation evaluation (Kusupati et al. 2022): how well
+    * does the FIRST-16-dims prefix of each embedding preserve the
+    * full-64-dim cosine ranking? Per probe: |top-5 under prefix-16 ∩
+    * top-5 under full-64|, and whether the top-1 neighbor agrees — the
+    * measurement that decides whether a pipeline can serve truncated
+    * vectors (4× cheaper storage/compute) without recall loss.
+    *
+    * Scale shape: ONE corpus pass scores both rankings (the bounded
+    * probe set broadcasts; both dots are native-kernel columns in the
+    * same codegen'd projection); the two per-probe top-5 windows
+    * compile to WindowGroupLimit, and the overlap join runs on two
+    * 5-rows-per-probe tables — metadata-sized at any corpus size.
+    */
+  def simMatryoshkaEval(s: SparkSession, dir: String): DataFrame = {
+    val prefix = 16
+    val e = quantized(s, dir)
+      .withColumn("q16", expr(s"slice(q, 1, $prefix)"))
+      .withColumn("nq16", expr("dot_i64(q16, q16)"))
+    val qs = e.filter(col("vec_id") < 10).select(
+      col("vec_id").as("qid"), col("q").as("qv"), col("nq").as("qn"),
+      col("q16").as("qv16"), col("nq16").as("qn16"))
+    val scored = e.select(col("vec_id").as("cid"), col("q").as("cv"), col("nq").as("cn"),
+        col("q16").as("cv16"), col("nq16").as("cn16"))
+      .join(broadcast(qs), col("qid") =!= col("cid"))
+      .withColumn("cos64", expr("dot_i64(qv, cv)") / (sqrt(col("qn")) * sqrt(col("cn"))))
+      .withColumn("cos16", expr("dot_i64(qv16, cv16)") / (sqrt(col("qn16")) * sqrt(col("cn16"))))
+    val w64 = Window.partitionBy(col("qid")).orderBy(col("cos64").desc, col("cid"))
+    val w16 = Window.partitionBy(col("qid")).orderBy(col("cos16").desc, col("cid"))
+    val top64 = scored.withColumn("rn", row_number().over(w64)).filter(col("rn") <= 5)
+      .select(col("qid"), col("cid"), col("rn").as("rn64"))
+    val top16 = scored.withColumn("rn", row_number().over(w16)).filter(col("rn") <= 5)
+      .select(col("qid"), col("cid"), col("rn").as("rn16"))
+    top64.join(top16, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("rn16").isNotNull, 1L).otherwise(0L)).as("n_overlap"),
+        sum(when(col("rn64") === 1 && col("rn16") === 1, 1L).otherwise(0L)).as("top1_match"))
+      .withColumn("overlap_milli", expr("(1000 * n_overlap) div n_exact"))
+  }
+
   /** Greedy k-center (max-min / farthest-point) diversity selection —
     * Gonzalez's 2-approximation: seed with the lowest vec_id, then k−1
     * times pick the vector FARTHEST (max over candidates of its min

@@ -746,6 +746,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(12L)._1 < out(11L)._1 || out(12L)._1 == 1L)
   }
 
+  test("matryoshka eval: overlap matches a driver recount of both rankings") {
+    val rows = SimilarityOps.simMatryoshkaEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 10)
+    def top5(qid: Long, dims: Int): Seq[Long] = {
+      val (_, qv, _) = vecs.find(_._1 == qid).get
+      val qs = qv.take(dims)
+      val qn = math.sqrt(qs.map(x => x * x).sum.toDouble)
+      vecs.filter(_._1 != qid).map { case (cid, cv, _) =>
+        val cs = cv.take(dims)
+        var dot = 0L; var i = 0
+        while (i < dims) { dot += qs(i) * cs(i); i += 1 }
+        (cid, dot / (qn * math.sqrt(cs.map(x => x * x).sum.toDouble)))
+      }.sortBy { case (cid, cos) => (-cos, cid) }.take(5).map(_._1).toSeq
+    }
+    rows.foreach { case (qid, nExact, nOverlap, top1, overlapMilli) =>
+      val t64 = top5(qid, 64)
+      val t16 = top5(qid, 16)
+      assert(nExact == 5)
+      assert(nOverlap == t64.toSet.intersect(t16.toSet).size.toLong,
+        s"qid=$qid overlap $nOverlap vs driver ${t64.toSet.intersect(t16.toSet).size}")
+      assert(top1 == (if (t64.head == t16.head) 1L else 0L))
+      assert(overlapMilli == 1000 * nOverlap / 5)
+    }
+  }
+
   test("recall eval: hits bounded by n_exact, recall in [0,1000], consistent") {
     val rows = SimilarityOps.simRecallEval(spark, sf).collect()
     assert(rows.length == 10, "one row per probe")
