@@ -146,6 +146,7 @@ object SparkEntry {
     "curate_source_overlap" -> (CurateOps.curateSourceOverlap _),
     "curate_dsir_select" -> (CurateOps.curateDsirSelect _),
     "curate_split_leakfree" -> (CurateOps.curateSplitLeakfree _),
+    "curate_quality_drift" -> (CurateOps.curateQualityDrift _),
     // similarity search
     "sim_topk" -> (SimilarityOps.simTopK _),
     "emb_neardup" -> (SimilarityOps.embNearDup _),
@@ -1431,6 +1432,27 @@ object SparkEntry {
                ELSE 0 END AS cc_ppm
       FROM deg d LEFT JOIN cnt c ON c.node = d.node""",
     "graph_kcore" -> KcoreSql,
+    "curate_quality_drift" -> """
+      WITH lens AS (
+        SELECT source,
+               LEAST(CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS BIGINT) // 32, 7) AS bucket
+        FROM documents
+      ), per_src AS (
+        SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM lens GROUP BY 1, 2
+      ), src_tot AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM lens GROUP BY 1
+      ), corpus AS (
+        SELECT bucket, CAST((1000000 * CAST(COUNT(*) AS BIGINT)) // (SELECT COUNT(*) FROM lens) AS BIGINT) AS ppm_corpus
+        FROM lens GROUP BY 1
+      ), scaffold AS (
+        SELECT s.source, s.n_docs, b.bucket FROM src_tot s, (SELECT unnest(range(0, 8)) AS bucket) b
+      )
+      SELECT sc.source, sc.n_docs,
+             CAST(SUM(ABS((1000000 * COALESCE(p.cnt, 0)) // sc.n_docs - c.ppm_corpus)) AS BIGINT) AS l1_ppm
+      FROM scaffold sc
+      LEFT JOIN per_src p ON p.source = sc.source AND p.bucket = sc.bucket
+      JOIN corpus c ON c.bucket = sc.bucket
+      GROUP BY 1, 2""",
     "curate_split_leakfree" -> s"""
       WITH RECURSIVE pairs AS ($SimhashPairsSql
       ), edges AS (

@@ -223,6 +223,44 @@ object CurateOps {
       .withColumn("split",
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
 
+  /** Per-source distribution drift: the integer L1 distance (in ppm)
+    * between each source's document-length histogram and the whole
+    * corpus's — the data-quality monitoring signal that catches a
+    * source whose content shifted (scraper broke, boilerplate crept
+    * in, truncation bug) BEFORE it pollutes a training mix. Histogram
+    * = 8 fixed token-count buckets (`least(n_toks div 32, 7)`);
+    * distance = Σ_buckets |ppm_source − ppm_corpus|, so sources of any
+    * size compare on normalized shape, exactly.
+    *
+    * Scale shape: per-doc length is a row-parallel projection (no
+    * explode — `size(split(...))`); both histograms are
+    * (sources × 8)-bounded aggregates; the bucket scaffold is a
+    * literal 8-row table cross-joined against the bounded source list,
+    * so missing buckets count their full corpus mass. Output is
+    * sources-bounded — metadata at any corpus size.
+    */
+  def curateQualityDrift(s: SparkSession, dir: String): DataFrame = {
+    val lens = docs(s, dir).select(col("source"),
+        size(filter(split(TextOps.normalized(col("text")), " "), t => t =!= "")).cast("long").as("dl"))
+      .withColumn("bucket", least(expr("dl div 32"), lit(7L)))
+    val perSrc = lens.groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val srcTot = lens.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val corpus = lens.groupBy(col("bucket")).agg(count(lit(1)).as("bcnt"))
+      .crossJoin(broadcast(lens.agg(count(lit(1)).as("n_total"))))
+      .select(col("bucket"), expr("(1000000 * bcnt) div n_total").as("ppm_corpus"))
+    // full (source × bucket) scaffold so absent buckets still count
+    val buckets = s.range(0, 8).select(col("id").as("bucket"))
+    val scaffold = srcTot.select(col("source"), col("n_docs")).crossJoin(broadcast(buckets))
+    scaffold
+      .join(perSrc, Seq("source", "bucket"), "left")
+      .join(broadcast(corpus), Seq("bucket"))
+      .select(col("source"), col("n_docs"),
+        (expr("(1000000 * coalesce(cnt, 0L)) div n_docs") - col("ppm_corpus")).as("d"))
+      .groupBy(col("source"), col("n_docs"))
+      .agg(sum(abs(col("d"))).as("l1_ppm"))
+      .select(col("source"), col("n_docs"), col("l1_ppm"))
+  }
+
   /** Leakage-free train/val/test split: the split key is the NEAR-DUP
     * CLUSTER, not the document — every member of a duplicate cluster
     * lands in the same split, so no eval example has a near-copy in

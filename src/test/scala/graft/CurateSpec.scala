@@ -403,6 +403,28 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keptSkew <= rawSkew, s"mix not flattened: $keptSkew vs $rawSkew")
   }
 
+  test("quality drift: L1 distances match a driver recount; bounds hold") {
+    val rows = CurateOps.curateQualityDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val lens = graft.sources.Tables.load(spark, sf, "documents")
+      .selectExpr("source",
+        "size(filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), t -> t <> '')) as dl")
+      .collect().map(r => (r.getString(0), math.min(r.getInt(1).toLong / 32, 7L)))
+    val n = lens.length.toLong
+    val corpusPpm = lens.groupBy(_._2).view.mapValues(b => 1000000L * b.length / n).toMap
+    rows.foreach { case (src, nDocs, l1) =>
+      val mine = lens.filter(_._1 == src)
+      assert(nDocs == mine.length.toLong)
+      val byB = mine.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val want = (0L until 8L).filter(corpusPpm.contains).map { b =>
+        math.abs(1000000L * byB.getOrElse(b, 0L) / nDocs - corpusPpm(b))
+      }.sum
+      assert(l1 == want, s"source $src: $l1 != $want")
+      assert(l1 >= 0 && l1 <= 2000000L, "L1 of two distributions is within [0, 2e6] ppm")
+    }
+    assert(rows.map(_._2).sum == n, "every document counted exactly once")
+  }
+
   test("leakfree split: no near-dup pair straddles a split boundary") {
     val split = CurateOps.curateSplitLeakfree(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
