@@ -31,19 +31,28 @@ object Bench {
       SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
       SparkEntry.queries("txt_stats")(spark, sfDir).count()
     } catch { case _: Throwable => () }
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to Reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a failed rep must NOT masquerade as a fast time — record the
+        // query as failed and pin its reported time to a sentinel
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            if (!failed.contains(name)) {
+              failed += name
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            }
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       // lower-middle median: for even n this picks the faster half —
       // rep 1 pays one-time codegen/JIT for the whole pipeline (10s+
       // for the deep LSH plan), so the upper-middle of n=2 would
       // report pure cold-start cost, not steady-state throughput
-      name -> times((times.size - 1) / 2)
+      name -> (if (failed.contains(name)) -1.0 else times((times.size - 1) / 2))
     }
     // filtered runs are dev iteration on specific queries — skip the
     // fixed-cost engine benches
@@ -53,8 +62,9 @@ object Bench {
         ("engine_run_60_models" -> runProjectBench(spark, sfDir))
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedJson = failed.sorted.map(n => s"\"$n\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 
