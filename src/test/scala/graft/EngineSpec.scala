@@ -1496,4 +1496,69 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(events2.exists(e =>
       info(e)("code") == "Q025" && info(e)("level") == "error"), events2)
   }
+
+  test("41 curation project: dedup + quality gate + split as dbt models, verified against the operators") {
+    // the two halves of the engine compose: a training-data curation
+    // pipeline expressed as PLAIN dbt SQL models over the documents
+    // source, built and tested by the engine — and its admission
+    // decisions must equal the dedicated Scala operators' output
+    val dc = Files.createTempDirectory("graft_curation")
+    def wc(rel: String, c: String): Unit = {
+      val p = dc.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    wc("dbt_project.yml", "name: curation\n")
+    wc("models/sources.yml",
+      s"""version: 2
+         |sources:
+         |  - name: corpus
+         |    tables:
+         |      - name: documents
+         |        location: "$sf/documents.parquet"
+         |""".stripMargin)
+    wc("models/stg_docs.sql",
+      """SELECT doc_id, lang, text,
+        |       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))) AS fp,
+        |       size(filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '),
+        |            t -> t != '')) AS n_toks
+        |FROM {{ source('corpus', 'documents') }}""".stripMargin)
+    wc("models/dedup.sql",
+      """{{ config(materialized='table') }}
+        |SELECT doc_id, fp, n_toks,
+        |       CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS keep
+        |FROM {{ ref('stg_docs') }}""".stripMargin)
+    wc("models/admitted.sql",
+      """{{ config(materialized='table') }}
+        |SELECT doc_id, fp, n_toks,
+        |       cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100 AS bucket
+        |FROM {{ ref('dedup') }}
+        |WHERE keep = 1 AND n_toks >= 10""".stripMargin)
+    wc("models/schema.yml",
+      """models:
+        |  - name: admitted
+        |    columns:
+        |      - name: fp
+        |        tests: [unique, not_null]
+        |      - name: doc_id
+        |        tests: [unique]
+        |""".stripMargin)
+    val pc = ProjectLoader.resolveRefs(ProjectLoader.load(dc.toString))
+    val stc = new RelationStore(spark, dc.resolve("wh").toString)
+    val rc = new Runner(spark, pc, stc,
+      RunOptions(cmd = "build", threads = 2, targetDir = dc.resolve("target").toString))
+    val res = rc.execute()
+    assert(res.forall(r => r.status == "success" || r.status == "pass"), res.mkString("\n"))
+    assert(res.exists(_.uniqueId.startsWith("test.curation.unique_admitted_fp")),
+      "generic tests must have run in the build")
+    // the SQL pipeline's keeper set equals the Scala operator's
+    val admitted = stc.read("admitted").collect().map(_.getLong(0)).toSet
+    val opKeepers = graft.operators.DedupOps.dedupExact(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("keep") === 1)
+      .collect().map(_.getLong(0)).toSet
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id",
+        "size(filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), t -> t != '')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(admitted == opKeepers.filter(lens(_) >= 10),
+      "dbt-surface admission must equal the operator pipeline")
+  }
 }
