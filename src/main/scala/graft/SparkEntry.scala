@@ -117,6 +117,7 @@ object SparkEntry {
     "graph_pagerank" -> ((s, d) => GraphOps.graphPageRank(s, d)),
     "graph_triangles" -> (GraphOps.graphTriangles _),
     "graph_kcore" -> ((s, d) => GraphOps.graphKCore(s, d)),
+    "dedup_canonical_quality" -> (GraphOps.dedupCanonicalQuality _),
     "dedup_decontaminate" -> (CurateOps.dedupDecontaminate _),
     "dedup_decontaminate_bloom" -> (CurateOps.dedupDecontaminateBloom _),
     "dedup_semantic" -> (SimilarityOps.semDedup _),
@@ -1432,6 +1433,36 @@ object SparkEntry {
                ELSE 0 END AS cc_ppm
       FROM deg d LEFT JOIN cnt c ON c.node = d.node""",
     "graph_kcore" -> KcoreSql,
+    "dedup_canonical_quality" -> s"""
+      WITH RECURSIVE pairs AS ($SimhashPairsSql
+      ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ), reach(node, lab) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+      ), cl AS (
+        SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY 1
+      ), q AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS BIGINT) * 1000
+                 + (1000 * CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)) // GREATEST(LENGTH(text), 1)
+                 AS quality
+        FROM documents
+      ), members AS (
+        SELECT cl.cluster_id, cl.doc_id, q.quality FROM cl JOIN q ON q.doc_id = cl.doc_id
+      ), keepers AS (
+        SELECT cluster_id, doc_id AS keeper_id, quality AS keeper_quality FROM (
+          SELECT cluster_id, doc_id, quality,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rk
+          FROM members
+        ) WHERE rk = 1
+      )
+      SELECT m.doc_id, m.cluster_id, m.quality, k.keeper_id,
+             CAST(m.doc_id = k.keeper_id AS BIGINT) AS keep
+      FROM members m JOIN keepers k ON k.cluster_id = m.cluster_id""",
     "curate_quality_drift" -> """
       WITH lens AS (
         SELECT source,

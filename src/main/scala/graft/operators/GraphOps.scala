@@ -211,6 +211,41 @@ object GraphOps {
           .otherwise(lit(0L)))
   }
 
+  /** Canonical selection by QUALITY: within each near-dup cluster keep
+    * the highest-quality member, not the lowest id — what production
+    * dedup actually ships (the min-id rule of [[dedupClusters]] is the
+    * deterministic baseline; the quality rule keeps the cleanest copy
+    * of a template family). Quality here = the integer token count ×
+    * alpha-ratio signal (longer, text-ier variants win), ties by lower
+    * doc_id so the choice stays total and replayable.
+    *
+    * Shape: clusters come from the CC fixpoint; the per-cluster argmax
+    * is ONE `max(struct(quality, -doc_id))` aggregate on the cluster
+    * key — map-side combined, no window over the corpus, no driver
+    * materialization.
+    */
+  def dedupCanonicalQuality(s: SparkSession, dir: String): DataFrame = {
+    val quality = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(filter(split(TextOps.normalized(col("text")), " "), t => t =!= ""))
+          .cast("long").as("n_toks"),
+        expr("(1000 * length(regexp_replace(text, '[^A-Za-z]', ''))) div greatest(length(text), 1)")
+          .as("alpha_milli"))
+      .withColumn("quality", expr("n_toks * 1000L + alpha_milli"))
+    val clusters = dedupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+    val members = clusters.join(quality, Seq("doc_id"))
+    // keepers is O(clusters) — co-partitioned shuffle join on the
+    // cluster key, NOT a broadcast (cluster count grows with the corpus)
+    val keepers = members
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"), (-col("best.neg_id")).as("keeper_id"),
+        col("best.quality").as("keeper_quality"))
+    members.join(keepers, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        col("keeper_id"), (col("doc_id") === col("keeper_id")).cast("long").as("keep"))
+  }
+
   /** k-core decomposition by iterative peeling (Matula & Beck 1983;
     * the distributed formulation of Montresor et al. 2013) over the
     * SimHash near-dup graph: repeatedly remove nodes with fewer than k

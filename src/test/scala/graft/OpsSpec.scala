@@ -772,6 +772,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("canonical-by-quality: one keeper per cluster, keeper maximizes (quality, -id)") {
+    val rows = GraphOps.dedupCanonicalQuality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val keepers = members.filter(_._5 == 1L)
+      assert(keepers.length == 1, s"cluster $cid has ${keepers.length} keepers")
+      val best = members.maxBy { case (id, _, q, _, _) => (q, -id) }
+      assert(keepers.head._1 == best._1, s"cluster $cid keeper ${keepers.head._1} != ${best._1}")
+      members.foreach { m => assert(m._4 == best._1, "keeper_id must be uniform per cluster") }
+    }
+    // same clusters as the min-id rule — only the survivor choice differs
+    val minIdKeepers = GraphOps.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, cid, _, _, _) => assert(minIdKeepers(id) == cid) }
+  }
+
+  test("dsir model artifacts stay bounded as the corpus doubles") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val doubled = docs.unionByName(docs.selectExpr("doc_id + 1000000 as doc_id",
+      "text", "lang", "source", "n_chars"))
+    val (w1, n1) = CurateOps.dsirModel(docs)
+    val (w2, n2) = CurateOps.dsirModel(doubled)
+    // the model is the 64-bucket table + 1 normalizer row at ANY corpus
+    // size — the property that makes it broadcastable at 100 TB
+    assert(w1.count() <= 64 && w2.count() <= 64)
+    assert(n1.count() == 1 && n2.count() == 1)
+    // duplicating every document doubles all counts: the +1 smoothing
+    // can shift a floored log by at most one bit per bucket
+    val m1 = w1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m2 = w2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1.keySet == m2.keySet)
+    m1.foreach { case (b, w) => assert(math.abs(m2(b) - w) <= 1000, s"bucket $b: $w vs ${m2(b)}") }
+  }
+
   test("recall eval: hits bounded by n_exact, recall in [0,1000], consistent") {
     val rows = SimilarityOps.simRecallEval(spark, sf).collect()
     assert(rows.length == 10, "one row per probe")
