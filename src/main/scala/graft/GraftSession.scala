@@ -50,6 +50,7 @@ object GraftSession {
     graft.functions.RollingMinHash.register(s)
     graft.functions.DotI64.register(s)
     graft.functions.MinHashAgg.register(s)
+    graft.functions.MinKAgg.register(s)
     graft.functions.FreqSketch.register(s)
     s
   }

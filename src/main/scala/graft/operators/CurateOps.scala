@@ -413,22 +413,28 @@ object CurateOps {
   /** Keyword extraction without floats: the 3 RAREST terms per document
     * by global document frequency (ties broken lexically) — integer-
     * exact, so the oracle hashes bit-for-bit where a TF-IDF double
-    * would drift. Shape: distinct (doc, term) → df via an UNORDERED
-    * count window on the term partitioning → per-doc top-3 window.
-    * The window (not a groupBy + self-join) means the distinct set is
-    * computed and shuffled ONCE — Spark does not reuse the distinct's
-    * exchange across a join's two branches, so the join spelling ran
-    * the corpus-keyed dedup twice.
+    * would drift. Shape: distinct (doc, term) → df via a map-side-
+    * combined `groupBy(term).count()` joined back on term → per-doc
+    * top-3 window. The df aggregate (NOT a `count() over (partition by
+    * term)` window) is the skew defense: a window hands the hottest
+    * term's entire posting set to one task with no partial
+    * aggregation, while the groupBy ships one partial row per map
+    * task for the hot key, and the join back runs under AQE's
+    * skew-join splitting. The distinct subtree appears in both join
+    * branches (Spark does not reuse a distinct's exchange across
+    * branches — the known trade, audited in PlanSpec): two map-side-
+    * combinable exchanges beat one straggler that serializes the
+    * hottest term at 100 TB.
     */
   def txtTopTerms(s: SparkSession, dir: String): DataFrame = {
     val dw = tokens(s, dir)
       .select(col("doc_id"), explode(col("w")).as("term"))
       .filter(length(col("term")) >= 3)
       .distinct()
-    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val dfTbl = dw.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("term"))
-    dw.withColumn("df", count(lit(1)).over(wTerm))
+    dw.join(dfTbl, "term")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("term"), col("df"), col("rnk").cast("long").as("rnk"))
@@ -438,9 +444,13 @@ object CurateOps {
     * term → document frequency + a capped posting list (the 20 lowest
     * doc_ids, comma-joined — bounded row width no matter how hot the
     * term; `df` keeps the true total). One distinct (term, doc) set,
-    * one shuffle on the term key with map-side combine; the per-term
-    * truncation is a bounded array sort inside the aggregate row, not
-    * a window over the corpus. At 100 TB this is exactly the shape a
+    * one shuffle on the term key with map-side combine; the posting
+    * cap is the bounded [[graft.functions.MinK]] aggregate, whose
+    * per-term state is a fixed 20-slot buffer at ANY document
+    * frequency — a stop-wordy term (df ≈ corpus size) costs the same
+    * 164 aggregate-buffer bytes as a rare one, where the earlier
+    * `collect_list`-then-slice spelling accumulated the full posting
+    * set before truncating. At 100 TB this is exactly the shape a
     * distributed index build runs per shard before segment merge.
     */
   def txtInvertedIndex(s: SparkSession, dir: String): DataFrame = {
@@ -450,7 +460,7 @@ object CurateOps {
       .distinct()
     dw.groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
-        expr("concat_ws(',', slice(array_sort(collect_list(doc_id)), 1, 20))").as("postings"))
+        concat_ws(",", graft.functions.MinKAgg.minK(col("doc_id"), 20)).as("postings"))
   }
 
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006

@@ -829,4 +829,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getLong(3) == want, s"ivf_hits for $qid: ${r.getLong(3)} != $want")
     }
   }
+
+  test("min_k: buffer stays O(k) at any group size; equals sorted-take-k") {
+    import graft.functions.{MinK, MinKBuffer}
+    // buffer-level bound: feed a buffer far more values than k and
+    // assert the serialized state never exceeds the fixed 4+8k bytes —
+    // the exact property collect_list-then-slice lacks (its buffer is
+    // O(group), which OOMs on a stop-word term at corpus scale)
+    val k = 20
+    val buf = new MinKBuffer(k)
+    val rng = new scala.util.Random(11)
+    val fed = Array.fill(100000)(rng.nextLong())
+    fed.foreach(buf.insert)
+    val agg = MinK(org.apache.spark.sql.catalyst.expressions.Literal(0L), k)
+    assert(agg.serialize(buf).length == 4 + 8 * k,
+      "aggregate state must be the fixed k-slot buffer regardless of group size")
+    assert(java.util.Arrays.copyOfRange(buf.slots, 0, buf.n).toSeq ==
+      fed.sorted.take(k).toSeq)
+    // merge: two disjoint halves merge to the global min-k
+    val (l, r) = (new MinKBuffer(k), new MinKBuffer(k))
+    fed.take(50000).foreach(l.insert); fed.drop(50000).foreach(r.insert)
+    val m = l.mergeWith(r)
+    assert(java.util.Arrays.copyOfRange(m.slots, 0, m.n).toSeq == fed.sorted.take(k).toSeq)
+    // end-to-end: a term present in EVERY document (the hot-key case)
+    // aggregates under multiple partitionings to the same bounded list
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions._
+    val docsDf = (1L to 500L).map(i => (i, s"the doc$i")).toDF("doc_id", "text")
+    def run(parts: Int) = docsDf.repartition(parts)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) >= 3).distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", graft.functions.MinKAgg.minK(col("doc_id"), k)).as("postings"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    val one = run(1)
+    assert(one("the")._1 == 500L, "hot term must keep its true df")
+    assert(one("the")._2 == (1L to 20L).mkString(","),
+      s"hot term postings must be the 20 smallest doc_ids: ${one("the")._2}")
+    assert(run(7) == one && run(32) == one, "result must be partitioning-invariant")
+  }
 }

@@ -443,4 +443,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
     assert(!plan.contains("Exchange rangepartitioning"), "argmax must not global-sort")
   }
+
+  test("top-terms df: partial aggregation feeds the exchange, no term-keyed window") {
+    val plan = physical(CurateOps.txtTopTerms(spark, sf))
+    // a count window partitioned by term would hand the hottest term's
+    // full posting set to one task with NO map-side shrink — the df
+    // must come from a partial_count HashAggregate instead
+    assert(!plan.contains("windowspecdefinition(term"),
+      "df must not be a window over the term partitioning")
+    assert(plan.contains("partial_count"),
+      "df exchange must be fed by map-side partial aggregation")
+    // the only window left is the per-doc top-3 rank
+    assert(plan.contains("windowspecdefinition(doc_id"), plan.take(3000))
+  }
+
+  test("inverted index: bounded min_k aggregate, single term-keyed exchange") {
+    val plan = executedPhysical(CurateOps.txtInvertedIndex(spark, sf))
+    assert(plan.contains("min_k"), "posting cap must be the bounded min_k aggregate")
+    assert(!plan.contains("collect_list"),
+      "collect_list state grows with df — must not appear")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      "one distinct exchange + one term-keyed agg exchange expected")
+  }
 }
