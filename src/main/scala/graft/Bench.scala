@@ -18,12 +18,36 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
 
+  /** Dead-store sink so the JIT cannot eliminate the sentinel spin. */
+  @volatile private var sink: Long = 0L
+
+  /** Machine-load sentinel: median-of-3 timings of a FIXED single-thread
+    * CPU spin (100M xorshift64 steps). On an idle machine this is a
+    * stable hardware constant; under co-tenant load it inflates
+    * proportionally — emitted before/after the sweep so a reader of the
+    * JSON can quantify contamination from the artifact alone instead of
+    * guessing whether a slow tail was code or load.
+    */
+  private def loadSentinelMs(): Double = {
+    def spin(): Double = {
+      var x = 88172645463325252L
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 100000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      sink = x
+      (System.nanoTime() - t0) / 1e6
+    }
+    val ts = Seq(spin(), spin(), spin()).sorted
+    math.round(ts(1) * 10) / 10.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // optional comma-separated query filter (same contract as Verify) —
     // dev iteration on one slow query without a 120-query sweep
     val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
+    val sentinelBefore = loadSentinelMs()
     val spark = GraftSession.local(cpus)
     // untimed warmup: JIT + codegen + parquet footer caches, so the
     // first timed query isn't charged for JVM cold start
@@ -64,7 +88,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.sorted.map(n => s"\"$n\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val sentinelAfter = loadSentinelMs()
+    val sentinelJson = s"""{"before_ms":$sentinelBefore,"after_ms":$sentinelAfter,""" +
+      s""""work":"100e6 xorshift64 steps, 1 thread, median of 3"}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"load_sentinel":$sentinelJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 

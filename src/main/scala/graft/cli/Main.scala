@@ -62,11 +62,18 @@ object Main {
     // default, and the store's base schema namespace
     val profileTarget = graft.parser.Profiles.resolve(
       projectDir, flags.get("target"), flags.get("profiles-dir"))
+    // an explicit --target that no profiles.yml can resolve must not be
+    // silently dropped (the reference errors on a missing profile/target;
+    // the engine runs profile-less by design, so: honor the name for
+    // {{ target.name }} and say so, instead of rendering 'dev')
+    if (flags.contains("target") && profileTarget.isEmpty)
+      System.err.println(s"[graft] warning: --target '${flags("target")}' has no " +
+        "matching profiles.yml target; using the name without profile settings")
     val profileVars: Map[String, String] = profileTarget.map { t =>
       Map("target" -> t.name) ++
         t.schema.map("target.schema" -> _) ++
         t.threads.map(th => "target.threads" -> th.toString)
-    }.getOrElse(Map.empty)
+    }.getOrElse(flags.get("target").map("target" -> _).toMap)
     // explicit --vars still win over profile-derived context
     val cliVars = profileVars ++ cliVars0
     val (project, parseOutcome) =
@@ -180,6 +187,9 @@ object Main {
         def pathOf(n: graft.core.Node): String = n match {
           case m: graft.core.ModelNode => m.path
           case sd: graft.core.SeedNode => sd.csvPath
+          case t: graft.core.TestNode => t.path
+          case a: graft.core.AnalysisNode => a.path
+          case s: graft.core.SourceNode => s.path
           case _ => ""
         }
         val lines: Seq[String] = flags.getOrElse("output", "unique_id") match {

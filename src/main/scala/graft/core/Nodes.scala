@@ -262,7 +262,8 @@ final case class AnalysisNode(
     dependsOn: Seq[String],
     refs: Seq[String],
     sources: Seq[(String, String)] = Nil,
-    checksum: FileHash = FileHash(""))
+    checksum: FileHash = FileHash(""),
+    path: String = "")
   extends Node {
   val uniqueId = s"analysis.$packageName.$name"
   val resourceType: NodeType = NodeType.Analysis
@@ -280,7 +281,11 @@ final case class TestNode(
     refs: Seq[String],
     attachedTo: Option[String] = None, // uniqueId of the tested node
     columnName: Option[String] = None,
-    checksum: FileHash = FileHash(""))
+    checksum: FileHash = FileHash(""),
+    /** Originating file: the .sql for singular tests, the schema yml
+      * for synthesized generic tests (reference original_file_path).
+      */
+    path: String = "")
   extends Node {
   val uniqueId = s"test.$packageName.$name"
   val resourceType: NodeType = NodeType.Test
@@ -308,7 +313,9 @@ final case class SourceNode(
     format: Option[String] = None,
     /** Reader options (header, delimiter, multiLine, …). */
     options: Map[String, String] = Map.empty,
-    checksum: FileHash = FileHash(""))
+    checksum: FileHash = FileHash(""),
+    /** The schema yml that declared this source (original_file_path). */
+    path: String = "")
   extends Node {
   val uniqueId = s"source.$packageName.$sourceName.$name"
   val resourceType: NodeType = NodeType.Source

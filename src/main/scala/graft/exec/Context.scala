@@ -73,4 +73,13 @@ final class Context(
   def zipOf(ls: Seq[Any]*): Seq[Seq[Any]] =
     graft.parser.ContextFuncs.call("zip", ls.toList)
       .asInstanceOf[Seq[Seq[Any]]]
+
+  /** reference base.py:630 `modules` (datetime/re subset) — same
+    * dispatch the template evaluator uses; e.g.
+    * `moduleCall("modules.datetime.datetime.strptime", List(s, f))`.
+    */
+  def moduleCall(name: String, args: List[Any],
+      kw: Map[String, Any] = Map.empty): Any =
+    graft.parser.Modules.call(name, args,
+      scala.collection.immutable.ListMap.from(kw))
 }

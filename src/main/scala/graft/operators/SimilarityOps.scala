@@ -416,6 +416,7 @@ object SimilarityOps {
       .select(col("m"), col("vec_id").as("c"), col("sv").as("cv"), col("sn").as("cn"))
     for (_ <- 1 to iters) {
       val assign = nearestCode(subs, cb)
+      val prev = cb
       cb = subs.join(assign, Seq("vec_id", "m"))
         .select(col("m"), col("c"), posexplode(col("sv")).as(Seq("pos", "v")))
         // exact long sum, ONE double division per mean (bit-replayable)
@@ -429,6 +430,14 @@ object SimilarityOps {
         // final encode/LUT: uncached, every consumer re-runs the whole
         // Lloyd chain from the leaves
         .cache()
+      // materialize the refined codebook, then release the superseded
+      // one — eager count() first, or the unpersist would force the new
+      // codebook to recompute through the freed parent; without the
+      // release every Lloyd iteration leaks a cached plan for the
+      // duration of the session (KBs here, but the pattern must be
+      // safe to copy into loops over bigger per-iteration state)
+      cb.count()
+      prev.unpersist(false)
     }
     // corpus encoding: the PQ "index" a production system persists
     val codes = nearestCode(subs, cb)
@@ -649,13 +658,18 @@ object SimilarityOps {
     * set maximizes spread, the opposite of [[semDedup]]'s density
     * pruning.
     *
-    * Scale shape: the selected set is bounded (k = 8 rows) and lives as
-    * LITERALS in each round's plan — never a corpus-sized structure.
-    * Each round is ONE codegen'd corpus pass (d² = nq + |c|² − 2⟨q,c⟩
-    * via the native dot kernel against the literal center, `least` over
-    * ≤ k centers) followed by a TakeOrdered(1) — no global sort, no
-    * driver collect beyond the 1-row argmax. k passes total, the
-    * classic distributed k-center loop.
+    * Scale shape: the selected set is bounded (k rows) and never a
+    * corpus-sized structure; each round is ONE corpus pass followed by
+    * a TakeOrdered(1) — no global sort, no driver collect beyond the
+    * 1-row argmax, k passes total. Two spellings of the per-round
+    * distance, dispatched on k ([[kcenterRound]]): small k inlines the
+    * centers as plan LITERALS (`least` over k codegen'd dot kernels —
+    * fastest, but plan text grows O(k·dim) and each round recompiles a
+    * bigger codegen function); large k ships the centers as ONE
+    * broadcast single-row array-of-structs and takes `array_min` over
+    * a `transform` lambda — plan size constant in k, the 100 TB shape
+    * when k reaches the thousands. OpsSpec pins both paths equal and
+    * the broadcast plan's size flat in k.
     */
   def simKcenterSelect(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import s.implicits._
@@ -666,17 +680,44 @@ object SimilarityOps {
     var centers = Vector[(Long, Long, Long, Array[Long], Long)](
       (1L, seed.getLong(0), 0L, seed.getSeq[Long](1).toArray, seed.getLong(2)))
     for (r <- 2 to k) {
-      val minDist = centers.map { case (_, _, _, cq, cn) =>
-        val lits = cq.map(v => s"${v}L").mkString(", ")
-        lit(cn) + col("nq") - lit(2L) * expr(s"dot_i64(q, array($lits))")
-      }.reduce(least(_, _))
-      val next = e.filter(!col("vec_id").isInCollection(centers.map(_._2)))
-        .select(col("vec_id"), minDist.as("d2"), col("q"), col("nq"))
-        .orderBy(col("d2").desc, col("vec_id")).limit(1).head()
+      val next = kcenterRound(s, e, centers, literalCenters = k <= 16).head()
       centers = centers :+ ((r.toLong, next.getLong(0), next.getLong(1),
         next.getSeq[Long](2).toArray, next.getLong(3)))
     }
     centers.map { case (r, id, d2, _, _) => (r, id, d2) }
       .toDF("sel_round", "vec_id", "d2")
+  }
+
+  /** One k-center round: the 1-row argmax-of-min-distance candidate
+    * (vec_id, d2, q, nq), ordered so `.head()` is the selection.
+    * Exposed package-private so OpsSpec can compare the two center
+    * spellings and assert the broadcast plan stays flat in k.
+    */
+  private[graft] def kcenterRound(
+      s: SparkSession,
+      e: DataFrame,
+      centers: Seq[(Long, Long, Long, Array[Long], Long)],
+      literalCenters: Boolean): DataFrame = {
+    import s.implicits._
+    val cand = e.filter(!col("vec_id").isInCollection(centers.map(_._2)))
+    val scored =
+      if (literalCenters) {
+        val minDist = centers.map { case (_, _, _, cq, cn) =>
+          val lits = cq.map(v => s"${v}L").mkString(", ")
+          lit(cn) + col("nq") - lit(2L) * expr(s"dot_i64(q, array($lits))")
+        }.reduce(least(_, _))
+        cand.select(col("vec_id"), minDist.as("d2"), col("q"), col("nq"))
+      } else {
+        // centers as ONE broadcast row holding an array<struct<cq,cn>>
+        // attribute — the per-round plan references the attribute, not
+        // k·dim literals, so plan text and codegen stay O(1) in k
+        val cdf = centers.map(c => (c._4.toSeq, c._5)).toDF("ccq", "ccn")
+          .agg(collect_list(struct(col("ccq"), col("ccn"))).as("cs"))
+        cand.crossJoin(broadcast(cdf))
+          .select(col("vec_id"),
+            expr("array_min(transform(cs, c -> c.ccn + nq - 2L * dot_i64(q, c.ccq)))").as("d2"),
+            col("q"), col("nq"))
+      }
+    scored.orderBy(col("d2").desc, col("vec_id")).limit(1)
   }
 }

@@ -1,5 +1,6 @@
 package graft.parser
 
+import scala.collection.immutable.ListMap
 import scala.util.matching.Regex
 
 /** Parse-time evaluation of a bounded Jinja control-flow subset:
@@ -244,12 +245,18 @@ object ControlFlow {
         val idStart = j
         while (j < s.length && (s(j).isLetterOrDigit || s(j) == '_')) j += 1
         val ident = s.substring(idStart, j)
+        while (j < s.length && (s(j).isLetterOrDigit || s(j) == '_' || s(j) == '.'))
+          j += 1 // dotted spans: modules.* calls, env-value attr/method chains
+        val dotted = s.substring(idStart, j)
         var k = j
         while (k < s.length && s(k).isWhitespace) k += 1
+        val headPrefix = dotted.takeWhile(_ != '.')
         val span =
           if (((ContextFuncs.names.contains(ident) || Expr.RewrapCalls.contains(ident)) &&
-                k < s.length && s(k) == '(') ||
-              (env.contains(ident) && k < s.length && s(k) == '['))
+                k < s.length && s(k) == '(' && dotted == ident) ||
+              (env.contains(ident) && k < s.length && s(k) == '[' && dotted == ident) ||
+              (Modules.handles(dotted) && k < s.length && s(k) == '(') ||
+              (dotted.contains('.') && env.contains(headPrefix)))
             Expr.evalSpan(s, idStart, env, vars)
           else None
         span match {
@@ -332,34 +339,125 @@ object ControlFlow {
       private def parseNot(): (Any, P) =
         if (kw("not")) { val (v, _) = parseNot(); (!truthy(v), this) } else parseCmp()
       private def parseCmp(): (Any, P) = {
-        val (l, _) = parsePostfix()
+        val (l, _) = parseAdd()
         ws()
         val ops = Seq("==", "!=", "<=", ">=", "<", ">")
         ops.find(o => s.startsWith(o, i)) match {
           case Some(op) =>
             i += op.length
-            val (r, _) = parsePostfix()
+            val (r, _) = parseAdd()
             (compare(op, l, r), this)
           case None =>
-            if (kw("not") && kw("in")) { val (r, _) = parsePostfix(); (!isIn(l, r), this) }
-            else if (kw("in")) { val (r, _) = parsePostfix(); (isIn(l, r), this) }
+            if (kw("not") && kw("in")) { val (r, _) = parseAdd(); (!isIn(l, r), this) }
+            else if (kw("in")) { val (r, _) = parseAdd(); (isIn(l, r), this) }
             else (l, this)
         }
       }
-      /** `expr[key]` / `expr[idx]` subscript chains after any primary —
-        * how a fromjson/fromyaml result reaches a scalar.
+      /** Binary `+`/`-` — numeric, string/list concat, and the
+        * datetime ± timedelta algebra ([[Modules.arith]]).
+        */
+      private def parseAdd(): (Any, P) = {
+        var (v, _) = parsePostfix()
+        ws()
+        while (i < s.length && (s(i) == '+' || s(i) == '-')) {
+          val op = s(i); i += 1
+          val (r, _) = parsePostfix()
+          v = Modules.arith(op, v, r)
+          ws()
+        }
+        (v, this)
+      }
+      /** `expr[key]` / `expr[idx]` subscripts and `.name(…)` / `.name`
+        * method/attribute chains after any primary — how a fromjson
+        * result reaches a scalar and a modules.datetime value reaches
+        * `.strftime(…)` / `.year`.
         */
       private def parsePostfix(): (Any, P) = {
         var (v, _) = parsePrimary()
         ws()
-        while (i < s.length && s(i) == '[') {
-          i += 1
-          val (idx, _) = parseOr(); ws()
-          require(i < s.length && s(i) == ']', s"missing ] in $s"); i += 1
-          v = subscript(v, idx)
-          ws()
+        var more = true
+        while (more && i < s.length) {
+          if (s(i) == '[') {
+            i += 1
+            val (idx, _) = parseOr(); ws()
+            require(i < s.length && s(i) == ']', s"missing ] in $s"); i += 1
+            v = subscript(v, idx)
+            ws()
+          } else if (s(i) == '.' && i + 1 < s.length &&
+              (s(i + 1).isLetter || s(i + 1) == '_')) {
+            i += 1
+            val start = i
+            while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+            val name = s.substring(start, i)
+            ws()
+            if (i < s.length && s(i) == '(') {
+              i += 1
+              val (pos, kwArgs) = parseArgs(s"$name(")
+              v = Modules.method(v, name, pos, kwArgs)
+            } else v = Modules.attr(v, name)
+            ws()
+          } else more = false
         }
         (v, this)
+      }
+      /** Call arguments after a consumed `(` — positional plus Python
+        * kwargs (`name=value`, told apart from `==` by lookahead).
+        */
+      private def parseArgs(what: String): (List[Any], ListMap[String, Any]) = {
+        val pos = List.newBuilder[Any]
+        val kwArgs = ListMap.newBuilder[String, Any]
+        ws()
+        if (i < s.length && s(i) == ')') { i += 1 }
+        else {
+          var done = false
+          while (!done) {
+            ws()
+            val save = i
+            var j = i
+            while (j < s.length && (s(j).isLetterOrDigit || s(j) == '_')) j += 1
+            var isKw = false
+            if (j > i) {
+              var k = j
+              while (k < s.length && s(k).isWhitespace) k += 1
+              if (k < s.length && s(k) == '=' &&
+                  (k + 1 >= s.length || s(k + 1) != '=')) {
+                val nm = s.substring(i, j)
+                i = k + 1
+                val (v, _) = parseOr()
+                kwArgs += (nm -> v)
+                isKw = true
+              }
+            }
+            if (!isKw) { i = save; val (v, _) = parseOr(); pos += v }
+            ws()
+            if (i < s.length && s(i) == ',') i += 1
+            else {
+              require(i < s.length && s(i) == ')', s"missing ) after $what in $s")
+              i += 1; done = true
+            }
+          }
+        }
+        (pos.result(), kwArgs.result())
+      }
+      /** A dotted name whose head (longest env-key prefix — env keys
+        * themselves may be dotted, e.g. `loop.index`) is bound, with
+        * the remaining segments resolved as attributes.
+        */
+      private def resolveDotted(name: String): Option[Any] = {
+        if (env.contains(name)) return Some(env(name))
+        if (!name.contains('.')) return None
+        val parts = name.split('.')
+        var len = parts.length - 1
+        while (len >= 1) {
+          val key = parts.take(len).mkString(".")
+          if (env.contains(key)) {
+            var v: Any = env(key)
+            parts.drop(len).foreach(seg => v = Modules.attr(v, seg))
+            return Some(v)
+          }
+          len -= 1
+        }
+        None
       }
       private def subscript(v: Any, idx: Any): Any = (v, idx) match {
         case (m: Map[_, _], k) =>
@@ -457,42 +555,45 @@ object ControlFlow {
             ws()
             if (i < s.length && s(i) == '(' &&
                 (ident == "var" || ContextFuncs.names.contains(ident) ||
-                  RewrapCalls.contains(ident))) {
+                  RewrapCalls.contains(ident) || Modules.handles(ident))) {
               i += 1
-              val args = Vector.newBuilder[Any]
-              ws()
-              if (i < s.length && s(i) == ')') i += 1
+              val (posArgs, kwArgs) = parseArgs(s"$ident(")
+              if (Modules.handles(ident)) (Modules.call(ident, posArgs, kwArgs), this)
               else {
-                var done = false
-                while (!done) {
-                  val (v, _) = parseOr(); args += v; ws()
-                  if (i < s.length && s(i) == ',') i += 1
-                  else {
-                    require(i < s.length && s(i) == ')',
-                      s"missing ) after $ident( in $s"); i += 1; done = true
-                  }
-                }
+                require(kwArgs.isEmpty, s"$ident() does not take keyword arguments")
+                val as = posArgs.toVector
+                if (ident == "var")
+                  (vars.get(String.valueOf(as.head)).map(coerce)
+                    .getOrElse(as.lift(1).orNull), this)
+                else if (RewrapCalls.contains(ident)) {
+                  // evaluate args (loop vars, set bindings, literals) and
+                  // re-emit the call with literal string args for the
+                  // Template ref/source pass; non-string args (a kwarg,
+                  // a null) abort the whole span via require → untouched
+                  require(as.nonEmpty && as.forall(_.isInstanceOf[String]),
+                    s"$ident() args must evaluate to strings")
+                  (as.map(a => s"'$a'").mkString(s"{{ $ident(", ", ", ") }}"), this)
+                } else (ContextFuncs.call(ident, as.toList), this)
               }
-              val as = args.result()
-              if (ident == "var")
-                (vars.get(String.valueOf(as.head)).map(coerce)
-                  .getOrElse(as.lift(1).orNull), this)
-              else if (RewrapCalls.contains(ident)) {
-                // evaluate args (loop vars, set bindings, literals) and
-                // re-emit the call with literal string args for the
-                // Template ref/source pass; non-string args (a kwarg,
-                // a null) abort the whole span via require → untouched
-                require(as.nonEmpty && as.forall(_.isInstanceOf[String]),
-                  s"$ident() args must evaluate to strings")
-                (as.map(a => s"'$a'").mkString(s"{{ $ident(", ", ", ") }}"), this)
-              } else (ContextFuncs.call(ident, as.toList), this)
+            } else if (i < s.length && s(i) == '(' && ident.contains('.') &&
+                resolveDotted(ident.substring(0, ident.lastIndexOf('.'))).isDefined) {
+              // method call on a dotted env value: `d.strftime('%Y')`
+              // (the ident scan ate the dots, so split target.method here)
+              val target = resolveDotted(ident.substring(0, ident.lastIndexOf('.'))).get
+              i += 1
+              val (posArgs, kwArgs) = parseArgs(s"$ident(")
+              (Modules.method(target, ident.substring(ident.lastIndexOf('.') + 1),
+                posArgs, kwArgs), this)
             } else ident match {
               case "true" | "True" => (true, this)
               case "false" | "False" => (false, this)
               case "none" | "None" => (null, this)
               case other =>
-                (env.getOrElse(other,
-                  throw new IllegalArgumentException(s"unknown identifier '$other' in: $s")), this)
+                env.get(other).orElse(resolveDotted(other)) match {
+                  case Some(v) => (v, this)
+                  case None => throw new IllegalArgumentException(
+                    s"unknown identifier '$other' in: $s")
+                }
             }
         }
       }

@@ -150,9 +150,16 @@ object Macros {
       acc.replaceAll(raw"\{\{-?\s*" + java.util.regex.Pattern.quote(p) + raw"\s*-?\}\}",
         scala.util.matching.Regex.quoteReplacement(renderArg(v)))
     }
-    raw"(?s)\{\{(.*?)\}\}".r.replaceAllIn(direct, sp =>
+    val inExprs = raw"(?s)\{\{(.*?)\}\}".r.replaceAllIn(direct, sp =>
       scala.util.matching.Regex.quoteReplacement(
         "{{" + rewriteTokens(sp.group(1), rawBound) + "}}"))
+    // params are also visible inside the body's control-flow tags —
+    // `{% set d = strptime(as_of, …) %}` must see the caller's arg text
+    // (ControlFlow renders tags AFTER expansion, so the substitution
+    // has to happen here, token-wise, skipping string literals)
+    raw"(?s)\{%(.*?)%\}".r.replaceAllIn(inExprs, sp =>
+      scala.util.matching.Regex.quoteReplacement(
+        "{%" + rewriteTokens(sp.group(1), rawBound) + "%}"))
   }
 
   /** Replace bare identifier tokens with their raw arg text, skipping

@@ -232,7 +232,7 @@ object ProjectLoader {
       val deps = scan.refs.map(r => refId(r, name)) ++
         scan.sources.map { case (s, t) => s"source.$name.$s.$t" }
       val node = AnalysisNode(aname, name, raw, configFrom(scan.config), deps,
-        scan.refs, scan.sources, checksum = FileHash.of(raw))
+        scan.refs, scan.sources, checksum = FileHash.of(raw), path = f.toString)
       nodes(node.uniqueId) = node
       recordMacroDeps(node.uniqueId, orig)
     }
@@ -256,7 +256,7 @@ object ProjectLoader {
       val deps = scan.refs.map(r => refId(r, name)) ++
         scan.sources.map { case (s, t) => s"source.$name.$s.$t" }
       val node = TestNode(tname, name, raw, cfg, deps, scan.refs,
-        checksum = FileHash.of(raw))
+        checksum = FileHash.of(raw), path = f.toString)
       nodes(node.uniqueId) = node
       recordMacroDeps(node.uniqueId, orig)
     }
@@ -296,11 +296,13 @@ object ProjectLoader {
                     om.map { case (k, v) => k -> String.valueOf(v) }
                   case _ => Map.empty
                 },
-                checksum = FileHash.of(t.toString))
+                checksum = FileHash.of(t.toString),
+                path = f.toString)
               sources(src.uniqueId) = src
               // generic tests on source columns
               for (tn <- columnTests(t, name, s"{{ source('$srcName', '${t("name")}') }}",
-                  s"source_${srcName}_${t("name")}", Seq(src.uniqueId), macroTable))
+                  s"source_${srcName}_${t("name")}", Seq(src.uniqueId), macroTable,
+                  f.toString))
                 nodes(tn.uniqueId) = tn
             }
           }
@@ -313,7 +315,8 @@ object ProjectLoader {
             val m = m0.asInstanceOf[Map[String, Any]]
             val mname = m("name").toString
             val modelId = s"model.$name.$mname"
-            for (tn <- columnTests(m, name, s"{{ ref('$mname') }}", mname, Seq(modelId), macroTable))
+            for (tn <- columnTests(m, name, s"{{ ref('$mname') }}", mname,
+                Seq(modelId), macroTable, f.toString))
               nodes(tn.uniqueId) = tn
             nodes.get(modelId) match {
               case Some(mn: ModelNode) => nodes(modelId) = applyModelYmlEntry(mn, m)
@@ -762,10 +765,11 @@ object ProjectLoader {
       if (isTest)
         graft.core.TestNode(bname, name, raw,
           configFrom(scan.config).copy(materialized = Materialized.View),
-          deps, scan.refs, checksum = FileHash.of(raw))
+          deps, scan.refs, checksum = FileHash.of(raw), path = f.toString)
       else
         graft.core.AnalysisNode(bname, name, raw, configFrom(scan.config),
-          deps, scan.refs, scan.sources, checksum = FileHash.of(raw))
+          deps, scan.refs, scan.sources, checksum = FileHash.of(raw),
+          path = f.toString)
     // macro-dependency closure, as in load0/reparseModelFile
     val macroCallRes: Map[String, Regex] =
       macroTable.keys.map(k => k -> raw"(?<![\w])${Regex.quote(k)}\s*\(".r).toMap
@@ -799,9 +803,96 @@ object ProjectLoader {
         case m: Map[String @unchecked, Any @unchecked] if m.contains("tarball") =>
           Some(untarPackage(dir, m("tarball").toString,
             m.getOrElse("name", "package").toString))
+        case m: Map[String @unchecked, Any @unchecked] if m.contains("package") =>
+          Some(hubPackage(dir, m("package").toString, m.get("version"),
+            m.get("hub").map(_.toString)))
         case _ => None
       }
       case _ => Nil
+    }
+  }
+
+  /** packages.yml `- package: org/name` + `version:` entries — the hub
+    * registry protocol (reference RegistryPinnedPackage,
+    * core/dbt/deps/registry.py) against a LOCAL index: the sandbox has
+    * zero egress, so the index base comes from the entry's `hub:` key
+    * or the reference's `DBT_PACKAGE_HUB_URL` env var and must be a
+    * `file://` (or plain) path. Index layout mirrors the registry's
+    * org/name/version addressing:
+    *
+    *   <index>/<org>/<name>/<version>/        an unpacked package root
+    *   <index>/<org>/<name>/<version>.tar.gz  or a pinned tarball
+    *
+    * `version` may be an exact string or a list of range clauses
+    * (">=1.0.0", "<2.0.0") — the resolver picks the HIGHEST available
+    * version satisfying every clause (reference resolve_ranges), and
+    * errors listing the available versions when none does.
+    */
+  private def hubPackage(
+      dir: Path, spec: String, version: Option[Any], hub: Option[String]): Path = {
+    val base0 = hub.orElse(sys.env.get("DBT_PACKAGE_HUB_URL")).getOrElse(
+      throw new IllegalArgumentException(
+        s"hub package '$spec': no registry reachable in this environment — " +
+          "set `hub: file://<index-dir>` on the entry or DBT_PACKAGE_HUB_URL"))
+    val raw = base0.stripPrefix("file://")
+    if (raw.matches("^[a-z+]+://.*"))
+      throw new IllegalArgumentException(
+        s"hub package '$spec': only file:// indexes resolve here (got $base0)")
+    val pkgDir = dir.resolve(raw).resolve(spec).normalize
+    require(Files.exists(pkgDir),
+      s"hub package '$spec': not in the index at $pkgDir")
+    // available versions: unpacked dirs and/or tarballs
+    val tarRe = raw"(.+)\.(?:tar\.gz|tgz)".r
+    val avail: Seq[(String, Path)] = Files.list(pkgDir).iterator().asScala.toSeq
+      .flatMap { p =>
+        val n = p.getFileName.toString
+        if (Files.isDirectory(p)) Some(n -> p)
+        else n match { case tarRe(v) => Some(v -> p); case _ => None }
+      }.sortBy { case (v, _) => semver(v) }(semverOrd)
+    require(avail.nonEmpty, s"hub package '$spec': no versions in index $pkgDir")
+    val clauses: Seq[String] = version match {
+      case None => Nil
+      case Some(l: Seq[Any @unchecked]) => l.map(_.toString)
+      case Some(v) => Seq(v.toString)
+    }
+    avail.reverseIterator.find { case (v, _) => clauses.forall(satisfies(v, _)) } match {
+      case Some((v, p)) =>
+        if (Files.isDirectory(p)) p
+        else untarPackage(dir, dir.relativize(p).toString,
+          spec.replace('/', '_') + "_" + v)
+      case None => throw new IllegalArgumentException(
+        s"hub package '$spec': no version matching ${clauses.mkString(", ")} " +
+          s"(available: ${avail.map(_._1).mkString(", ")})")
+    }
+  }
+
+  /** Dotted-numeric version key; non-numeric tails (pre-releases) sort
+    * by their text after the numeric segments.
+    */
+  private def semver(v: String): (Seq[Int], String) = {
+    val core = v.stripPrefix("v").takeWhile(c => c.isDigit || c == '.')
+    (core.split('.').toSeq.filter(_.nonEmpty).map(_.toInt).padTo(3, 0),
+      v.drop(core.length + (if (v.startsWith("v")) 1 else 0)))
+  }
+
+  private val semverOrd: Ordering[(Seq[Int], String)] = {
+    import Ordering.Implicits._
+    Ordering.Tuple2(implicitly[Ordering[Seq[Int]]], Ordering.String)
+  }
+
+  private def satisfies(v: String, clause: String): Boolean = {
+    val c = clause.trim
+    val (op, bound) = c.span(ch => ch == '>' || ch == '<' || ch == '=' || ch == '!')
+    val cmp = semverOrd.compare(semver(v), semver(bound.trim))
+    op match {
+      case ">=" => cmp >= 0
+      case "<=" => cmp <= 0
+      case ">" => cmp > 0
+      case "<" => cmp < 0
+      case "!=" => cmp != 0
+      case "" | "=" | "==" => cmp == 0
+      case other => throw new IllegalArgumentException(
+        s"bad version clause '$clause' (operator '$other')")
     }
   }
 
@@ -930,7 +1021,8 @@ object ProjectLoader {
       modelRef: String,
       attachedName: String,
       deps: Seq[String],
-      macros: Map[String, Macros.MacroDef]): Seq[TestNode] = {
+      macros: Map[String, Macros.MacroDef],
+      path: String = ""): Seq[TestNode] = {
     val cols = entity.getOrElse("columns", Nil).asInstanceOf[List[Any]]
     cols.flatMap { c0 =>
       val c = c0.asInstanceOf[Map[String, Any]]
@@ -944,7 +1036,8 @@ object ProjectLoader {
             (k, v.asInstanceOf[Map[String, Any]])
           case other => throw new IllegalArgumentException(s"bad test spec: $other")
         }
-        TestBuilder.build(testName, modelRef, colName, kwargs, attachedName, pkg, deps, macros)
+        TestBuilder.build(testName, modelRef, colName, kwargs, attachedName, pkg,
+          deps, macros, path)
       }
     }
   }
@@ -1096,7 +1189,8 @@ object TestBuilder {
       attachedName: String,
       pkg: String,
       deps: Seq[String],
-      macros: Map[String, Macros.MacroDef] = Map.empty): TestNode = {
+      macros: Map[String, Macros.MacroDef] = Map.empty,
+      path: String = ""): TestNode = {
     // `where` config → filtered subquery (reference get_where_subquery)
     val where = kwargs.get("where").map(_.toString)
     val rel = where match {
@@ -1175,6 +1269,6 @@ object TestBuilder {
       config = ProjectLoader.configFrom(cfgMap),
       dependsOn = allDeps.distinct, refs = scan.refs,
       attachedTo = deps.headOption, columnName = Some(columnName),
-      checksum = FileHash.of(sql))
+      checksum = FileHash.of(sql), path = path)
   }
 }

@@ -24,16 +24,18 @@ import graft.exec.RelationStore
   * producers; the file source discovers new files per trigger).
   */
 object Streaming {
-  /** events schema as landed by upstream producers (TESTDATA.md:
-    * TIMESTAMP(MICROS) without timezone → TIMESTAMP_NTZ).
+  /** events schema as landed by upstream producers. `readStream`
+    * requires a declared schema, but the `ts` physical type has ALREADY
+    * flipped once across testdata generations (TIMESTAMP(NANOS) scanned
+    * as long vs TIMESTAMP(MICROS) as NTZ — see Tables.normalizeEventTs),
+    * so a hard-coded type would break streaming reads silently on the
+    * next regeneration while batch kept working. Instead the schema is
+    * DERIVED from a one-file batch scan of the same directory — a
+    * driver-side footer read, no data pass — so stream and batch always
+    * agree on the physical type and `normalizeEventTs` handles either.
     */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", TimestampNTZType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def eventsSchemaOf(spark: SparkSession, inputDir: String): StructType =
+    spark.read.parquet(inputDir).schema
 
   /** readStream over an events directory; ts normalized to `ts_us`
     * (integer µs) + `ts_t` (timestamp) via the same type-driven rule
@@ -43,7 +45,7 @@ object Streaming {
   def eventStream(spark: SparkSession, inputDir: String): DataFrame =
     graft.sources.Tables.normalizeEventTs(
       spark.readStream
-        .schema(eventsSchema)
+        .schema(eventsSchemaOf(spark, inputDir))
         .parquet(inputDir))
 
   /** Windowed aggregate with watermark: per-day, per-type counts +

@@ -163,6 +163,20 @@ class CliSpec extends AnyFunSuite {
     assert(err.getMessage.contains("- dev") && err.getMessage.contains("- prod"))
   }
 
+  test("--target without any profiles.yml honors the name (with a warning)") {
+    // the reference errors when the profile can't resolve; the engine
+    // runs profile-less by design, so the flag must at least reach
+    // {{ target.name }} instead of silently rendering 'dev'
+    val dir = Files.createTempDirectory("cli_tgt").resolve("proj").toString
+    run("init", dir)
+    Files.writeString(Paths.get(dir, "models/tgt_bare.sql"),
+      "SELECT '{{ target.name }}' AS tname")
+    val (c, out) = run("run", dir, Map("target" -> "ci"))
+    assert(c == 0, out)
+    assert(spark.sql("SELECT * FROM tgt_bare").collect().head.getString(0) == "ci",
+      "--target must reach the template context without profiles.yml")
+  }
+
   test("list --output name/selector/path/json formats") {
     val dir = Files.createTempDirectory("cli_list").resolve("proj").toString
     run("init", dir)
@@ -178,6 +192,23 @@ class CliSpec extends AnyFunSuite {
     val (_, paths) = run("list", dir,
       Map("output" -> "path", "select" -> "my_first_model"))
     assert(paths.contains("models/my_first_model.sql"), paths)
+
+    // every node kind reports its originating file (reference
+    // generate_paths yields original_file_path for ALL selected nodes —
+    // tests and analyses from their .sql, sources and generic tests
+    // from the declaring schema yml)
+    Files.createDirectories(Paths.get(dir, "analyses"))
+    Files.writeString(Paths.get(dir, "tests/assert_positive.sql"),
+      "SELECT * FROM {{ ref('my_first_model') }} WHERE o_totalprice < 0")
+    Files.writeString(Paths.get(dir, "analyses/revenue.sql"),
+      "SELECT sum(o_totalprice) AS r FROM {{ ref('my_first_model') }}")
+    val (_, aps) = run("list", dir,
+      Map("output" -> "path", "no-partial-parse" -> ""))
+    assert(aps.contains("tests/assert_positive.sql"), aps)
+    assert(aps.contains("analyses/revenue.sql"), aps)
+    assert(aps.contains("models/sources.yml"), aps)
+    assert(!aps.linesIterator.exists(_.trim.isEmpty),
+      s"every selected node must report a path:\n$aps")
 
     val (_, json) = run("list", dir,
       Map("output" -> "json", "output-keys" -> "name,resource_type,unique_id",

@@ -1561,4 +1561,76 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(admitted == opKeepers.filter(lens(_) >= 10),
       "dbt-surface admission must equal the operator pipeline")
   }
+
+  test("40 modules.datetime/.re end-to-end: date window macro shapes a model") {
+    // reference base.py:630 `modules` — the rolling-window macro idiom:
+    // a macro computes cutoff dates with strptime + timedelta and
+    // sanitizes a var with modules.re, all at parse time
+    val dm = Files.createTempDirectory("graft_modules")
+    def wm(rel: String, c: String): Unit = {
+      val p = dm.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    wm("dbt_project.yml",
+      "name: moddemo\nvars:\n  as_of: '2024-03-15'\n  tbl_raw: 'base table'\n")
+    wm("macros/window.sql",
+      "{% macro window_start(as_of, days_back) %}" +
+        "{% set d = modules.datetime.datetime.strptime(as_of, '%Y-%m-%d') " +
+        "- modules.datetime.timedelta(days=days_back) %}" +
+        "{{ d.strftime('%Y-%m-%d') }}" +
+        "{% endmacro %}")
+    wm("models/base_table.sql", "SELECT '2024-03-08' AS d UNION ALL SELECT '2024-02-01' AS d")
+    wm("models/windowed.sql",
+      // modules.re strips the var to a valid identifier, resolving the ref
+      "{% set tbl = modules.re.sub('[^a-z0-9_]', '_', var('tbl_raw')) %}" +
+        "SELECT d FROM {{ ref(tbl) }} WHERE d >= '{{ window_start(var('as_of'), 10) }}'")
+    val pm = ProjectLoader.resolveRefs(ProjectLoader.load(dm.toString))
+    val stm = new RelationStore(spark, dm.resolve("wh").toString)
+    val rm = new Runner(spark, pm, stm,
+      RunOptions(cmd = "run", threads = 1,
+        targetDir = dm.resolve("target").toString)).execute()
+    assert(rm.forall(_.status == "success"), rm.mkString("\n"))
+    val rows = stm.read("windowed").collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("2024-03-08"), s"window cutoff must be 2024-03-05, got rows $rows")
+  }
+
+  test("41 hub-index deps: version-pinned package resolves from a file:// index") {
+    // reference RegistryPinnedPackage (core/dbt/deps/registry.py) over a
+    // local registry layout <index>/<org>/<name>/<version>/
+    val dh = Files.createTempDirectory("graft_hubpkg")
+    def wh(rel: String, c: String): Unit = {
+      val p = dh.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    for (v <- Seq("1.0.0", "1.2.0", "2.0.0")) {
+      wh(s"index/acme/util/$v/dbt_project.yml", "name: hubutil\n")
+      wh(s"index/acme/util/$v/models/hub_base.sql",
+        s"SELECT '$v' AS pkg_version")
+    }
+    wh("dbt_project.yml", "name: hubroot\n")
+    wh("packages.yml",
+      """packages:
+        |  - package: acme/util
+        |    version: [">=1.0.0", "<2.0.0"]
+        |    hub: file://index
+        |""".stripMargin)
+    wh("models/uses_hub.sql",
+      "SELECT pkg_version FROM {{ ref('hubutil', 'hub_base') }}")
+    val ph = ProjectLoader.resolveRefs(ProjectLoader.load(dh.toString))
+    assert(ph.manifest.nodes.contains("model.hubutil.hub_base"))
+    val sth = new RelationStore(spark, dh.resolve("wh").toString)
+    val rh = new Runner(spark, ph, sth,
+      RunOptions(cmd = "run", threads = 2,
+        targetDir = dh.resolve("target").toString)).execute()
+    assert(rh.forall(_.status == "success"), rh.mkString("\n"))
+    // highest in-range version wins: 1.2.0, not 1.0.0, not 2.0.0
+    assert(sth.read("uses_hub").first().getString(0) == "1.2.0")
+    // no satisfying version errors listing what IS available
+    wh("packages.yml",
+      "packages:\n  - package: acme/util\n    version: \">=3.0.0\"\n    hub: file://index\n")
+    val e = intercept[IllegalArgumentException](ProjectLoader.load(dh.toString))
+    assert(e.getMessage.contains("available: 1.0.0, 1.2.0, 2.0.0"), e.getMessage)
+    // an http hub is refused, not silently ignored
+    wh("packages.yml",
+      "packages:\n  - package: acme/util\n    hub: https://hub.getdbt.com\n")
+    assertThrows[IllegalArgumentException](ProjectLoader.load(dh.toString))
+  }
 }

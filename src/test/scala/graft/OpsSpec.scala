@@ -870,4 +870,108 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hot term postings must be the 20 smallest doc_ids: ${one("the")._2}")
     assert(run(7) == one && run(32) == one, "result must be partitioning-invariant")
   }
+
+  test("graph family on a power-law hub: exact at 1x/2x/4x hub degree") {
+    // the 100 TB graph hazard is the skewed key: one hub node whose
+    // degree is ~half the node count. CC, k-core, and triangles must
+    // stay EXACT as the hub degree doubles twice — the degree-ordered
+    // wedge orientation and the semi-join peels are the mechanisms;
+    // this pins their output on a graph shaped to break naive
+    // formulations (a hub wedge set is O(deg²) if oriented wrong).
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions._
+    def hubGraph(n: Int) = {
+      val hub = (1 to n).map(i => (0L, i.toLong))          // star: hub 0 → 1..n
+      val fan = (1 until n).map(i => (i.toLong, (i + 1).toLong)) // spoke path: triangles (0,i,i+1)
+      val clique = for { i <- 1 to 4; j <- i + 1 to 4 }
+        yield ((n + i).toLong, (n + j).toLong)             // detached 4-clique
+      val chain = (0 until 9).map(i => ((n + 5 + i).toLong, (n + 6 + i).toLong))
+      (hub ++ fan ++ clique ++ chain).toDF("src", "dst")
+    }
+    for (n <- Seq(500, 1000, 2000)) {
+      val edges = hubGraph(n)
+      val labs = GraphOps.connectedComponents(edges).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert((0 to n).forall(i => labs(i.toLong) == 0L), s"hub component broken at n=$n")
+      assert((n + 1 to n + 4).forall(i => labs(i.toLong) == (n + 1).toLong))
+      assert((n + 5 to n + 14).forall(i => labs(i.toLong) == (n + 5).toLong))
+      // k=3, 8 bounded peels: path-end spokes (degree 2) cascade inward
+      // one step per round, so after 8 rounds the cascade has removed
+      // exactly the 8 outermost spokes each side — hub and interior
+      // spokes are alive (bounded-peel semantics), the 4-clique
+      // (degree 3 each) survives any number of rounds, the chain
+      // peels entirely within 5 rounds
+      val core = GraphOps.kCore(edges.select(col("src"), col("dst")), 3, 8).collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toMap
+      assert((n + 1 to n + 4).forall(i => core(i.toLong) == 1L), "clique must be in the 3-core")
+      assert((n + 5 to n + 14).forall(i => core(i.toLong) == 0L), "chain must peel")
+      assert(core(0L) == 1L && core((n / 2).toLong) == 1L,
+        "hub and interior spokes must survive 8 peels at k=3")
+      assert(core(1L) == 0L && core(8L) == 0L && core(9L) == 1L,
+        "cascade must reach exactly depth 8 in 8 rounds")
+      // triangles: each path edge (i, i+1) closes with the hub → n−1
+      // hub triangles; the clique adds C(4,3)=4. Hub count = n−1 —
+      // LINEAR in hub degree, which only holds when wedges are
+      // generated from the degree-ordered orientation
+      val tri = GraphOps.triangleCounts(
+          edges.select(col("src").as("a"), col("dst").as("b")))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(tri(0L) == (n - 1).toLong, s"hub triangle count at n=$n: ${tri(0L)}")
+      assert((n + 1 to n + 4).forall(i => tri(i.toLong) == 3L), "clique corners close 3 each")
+      assert(tri(1L) == 1L && tri(2L) == 2L, "path ends close 1, interior spokes 2")
+    }
+  }
+
+  test("k-center: literal and broadcast center paths select identically; broadcast plan flat in k") {
+    // equality at the default k: the operator dispatches to the literal
+    // path at k=8 — re-run the same greedy loop through the broadcast
+    // path and require the identical selection
+    val lit8 = SimilarityOps.simKcenterSelect(spark, sf, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))").as("q"))
+      .withColumn("nq", expr("dot_i64(q, q)")).cache()
+    val seed = e.orderBy(col("vec_id")).limit(1).head()
+    var centers = Vector[(Long, Long, Long, Array[Long], Long)](
+      (1L, seed.getLong(0), 0L, seed.getSeq[Long](1).toArray, seed.getLong(2)))
+    for (r <- 2 to 8) {
+      val n = SimilarityOps.kcenterRound(spark, e, centers, literalCenters = false).head()
+      centers = centers :+ ((r.toLong, n.getLong(0), n.getLong(1),
+        n.getSeq[Long](2).toArray, n.getLong(3)))
+    }
+    assert(centers.map(c => (c._1, c._2, c._3)) == lit8,
+      "broadcast-centers path must reproduce the literal path's selection")
+    // plan-size: the broadcast round's per-k growth must be an order of
+    // magnitude under the literal path's O(k·dim) literal inlining (the
+    // reason the dispatch exists). Both still carry the k-sized
+    // excluded-id list — an InSet hash lookup, not a codegen concern —
+    // so compare GROWTH between k=16 and k=64, not absolute size.
+    val rng = new scala.util.Random(3)
+    def fake(k: Int) = (1 to k).map(i =>
+      (i.toLong, 100000L + i, 0L, Array.fill(64)(rng.nextInt(2000).toLong), 1L))
+    def planLen(k: Int, literal: Boolean) = SimilarityOps
+      .kcenterRound(spark, e, fake(k), literalCenters = literal)
+      .queryExecution.executedPlan.toString.length
+    val bGrow = planLen(64, false) - planLen(16, false)
+    val lGrow = planLen(64, true) - planLen(16, true)
+    assert(bGrow * 10 <= lGrow,
+      s"broadcast-round plan growth $bGrow not an order under literal growth $lGrow")
+  }
+
+  test("PQ Lloyd loop releases superseded codebook caches") {
+    // the loop caches a refined codebook per iteration; each superseded
+    // one must be unpersisted or a bigger copy of this loop leaks
+    // executor storage for the session. Expected survivors: the vector
+    // cache, the subvector cache, and the FINAL codebook — growth ≤ 3
+    // cached RDDs, independent of the iteration count.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    SimilarityOps.simPqTopK(spark, sf).collect()
+    val grown = spark.sparkContext.getPersistentRDDs.size - before
+    assert(grown <= 3, s"cached-RDD growth $grown: superseded Lloyd codebooks leaked")
+  }
 }

@@ -342,4 +342,62 @@ class ControlFlowSpec extends AnyFunSuite {
     assert(ControlFlow.render("{% if true %}x{% endif %} '{{ target.name }}'", target = "prod")
       == "x 'prod'")
   }
+
+  test("modules.datetime: construction, strptime/strftime, timedelta algebra") {
+    def r(e: String) = ControlFlow.render(s"{{ $e }}")
+    assert(r("modules.datetime.date(2024, 3, 5)") == "2024-03-05")
+    assert(r("modules.datetime.datetime(2024, 3, 5, 7, 8, 9)") == "2024-03-05 07:08:09")
+    assert(r("modules.datetime.datetime.strptime('2024-03-05', '%Y-%m-%d')" +
+      ".strftime('%d/%m/%Y')") == "05/03/2024")
+    assert(r("modules.datetime.datetime.strptime('05 Mar 2024 01:30 PM', " +
+      "'%d %b %Y %I:%M %p').strftime('%Y-%m-%dT%H:%M:%S')") == "2024-03-05T13:30:00")
+    // the macro idiom the reference's modules exist for: date arithmetic
+    assert(r("modules.datetime.datetime.strptime('2024-03-05', '%Y-%m-%d') " +
+      "+ modules.datetime.timedelta(days=10)") == "2024-03-15 00:00:00")
+    assert(r("modules.datetime.date(2024, 3, 1) - modules.datetime.timedelta(days=1)")
+      == "2024-02-29") // leap-aware
+    assert(r("modules.datetime.timedelta(weeks=1, hours=2)") == "7 days, 2:00:00")
+    assert(r("modules.datetime.timedelta(hours=26).days") == "1")
+    // set-bound values chain methods and attributes
+    val t = "{% set d = modules.datetime.datetime.strptime('2024-12-31 23:30', " +
+      "'%Y-%m-%d %H:%M') %}{{ d.year }}|{{ d.strftime('%H%M') }}|{{ d.date() }}"
+    assert(ControlFlow.render(t) == "2024|2330|2024-12-31")
+    val t2 = "{% set dd = modules.datetime.date(2024, 3, 5) - " +
+      "modules.datetime.date(2024, 2, 5) %}{{ dd.days }}"
+    assert(ControlFlow.render(t2) == "29")
+    // conditions see the same algebra
+    assert(ControlFlow.render("{% if modules.datetime.date(2024, 1, 2) - " +
+      "modules.datetime.date(2024, 1, 1) == modules.datetime.timedelta(days=1) %}" +
+      "Y{% endif %}") == "Y")
+  }
+
+  test("modules.re: match/search/sub/findall/split/escape in spans and conditions") {
+    def r(e: String) = ControlFlow.render(s"{{ $e }}")
+    assert(r("modules.re.sub('[^0-9]', '', 'a1b2c3')") == "123")
+    assert(r("""modules.re.sub('(\w+)@(\w+)', '\2.\1', 'user@host')""") == "host.user")
+    assert(r("modules.re.search('[0-9]+', 'order 417 shipped').group(0)") == "417")
+    assert(r("modules.re.match('(a+)(b*)', 'aabbb').group(2)") == "bbb")
+    assert(r("modules.re.findall('[0-9]+', 'a1 b22 c333')") == "['1', '22', '333']")
+    assert(r("modules.re.split(',\\s*', 'x, y,z')") == "['x', 'y', 'z']")
+    assert(r("modules.re.escape('a.b*c')") == "a\\.b\\*c")
+    // match is anchored, search is not; a failed match is falsy
+    assert(ControlFlow.render("{% if modules.re.match('[0-9]', 'a1') %}Y{% else %}N{% endif %}") == "N")
+    assert(ControlFlow.render("{% if modules.re.search('[0-9]', 'a1') %}Y{% else %}N{% endif %}") == "Y")
+    // env-var-driven condition (the macro gate idiom)
+    assert(ControlFlow.render(
+      "{% if modules.re.match('prod', var('env', 'dev')) %}big{% else %}small{% endif %}",
+      Map("env" -> "produs-east")) == "big")
+  }
+
+  test("string methods and +/- arithmetic compose with set and for") {
+    assert(ControlFlow.render("{% set s = 'Hello World' %}{{ s.lower().replace(' ', '_') }}")
+      == "hello_world")
+    assert(ControlFlow.render("{% set csv = 'a,b,c' %}{{ csv.split(',') }}")
+      == "['a', 'b', 'c']")
+    assert(ControlFlow.render("{% set sep = '_' %}{{ sep.join(['x', 'y']) }}") == "x_y")
+    assert(ControlFlow.render("{% set n = 3 + 4 - 1 %}{{ n }}") == "6")
+    assert(ControlFlow.render("{% set p = 'pre' + '_' + 'fix' %}{{ p }}") == "pre_fix")
+    assert(ControlFlow.render(
+      "{% if 'x'.upper() == 'X' and 10 - 3 > 5 %}Y{% endif %}") == "Y")
+  }
 }
