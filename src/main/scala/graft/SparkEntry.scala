@@ -104,6 +104,7 @@ object SparkEntry {
     "txt_chunk_overlap" -> ((s, dir) => TextOps.txtChunkOverlap(s, dir)),
     "txt_pipeline_clean" -> (TextOps.txtPipelineClean _),
     "txt_char_lm_score" -> (TextOps.txtCharLmScore _),
+    "txt_ccnet_buckets" -> (TextOps.txtCcnetBuckets _),
     "txt_quality_classify" -> (TextOps.txtQualityClassify _),
     "txt_bpe_train" -> (TextOps.txtBpeTrain _),
     "txt_bpe_segment" -> (TextOps.txtBpeSegment _),
@@ -157,6 +158,7 @@ object SparkEntry {
     "sim_filtered_topk" -> ((s, d) => SimilarityOps.simFilteredTopK(s, d)),
     "sim_pq_topk" -> (SimilarityOps.simPqTopK _),
     "sim_knn_graph" -> ((s, d) => SimilarityOps.simKnnGraph(s, d)),
+    "sim_knn_classify" -> ((s, d) => SimilarityOps.simKnnClassify(s, d)),
     "sim_recall_eval" -> (SimilarityOps.simRecallEval _),
     "sim_matryoshka_eval" -> (SimilarityOps.simMatryoshkaEval _),
     "sim_hard_negatives" -> (SimilarityOps.simHardNegatives _),
@@ -244,6 +246,34 @@ object SparkEntry {
     * plan (SimilarityOps.planeSign), bucket equi-join, exact re-score —
     * factored so the RRF fusion oracle can reuse it as a CTE body.
     */
+  /** Char-bigram LM scoring oracle — shared by txt_char_lm_score and
+    * the ccnet-bucket query built on top of it.
+    */
+  private lazy val CharLmSql: String = """
+      WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        FROM documents
+      ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> substr(t, CAST(i AS INT), 2))) AS bg
+        FROM d WHERE len(t) >= 2
+      ), perdoc AS (
+        SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS m FROM g GROUP BY 1, 2
+      ), model AS (
+        SELECT bg, CAST(SUM(m) AS BIGINT) AS cnt FROM perdoc GROUP BY bg
+      ), ctx AS (
+        SELECT substr(bg, 1, 1) AS c1, CAST(SUM(cnt) AS BIGINT) AS ctx FROM model GROUP BY 1
+      ), scored AS (
+        SELECT bg, CAST(len(bin(ctx.ctx)) - len(bin(model.cnt)) AS BIGINT) AS bits
+        FROM model JOIN ctx ON substr(model.bg, 1, 1) = ctx.c1
+      )
+      SELECT doc_id,
+             CAST(SUM(m) AS BIGINT) AS n_bigrams,
+             CAST(SUM(m * bits) AS BIGINT) AS surprisal_bits,
+             CAST((1000 * CAST(SUM(m * bits) AS BIGINT)) // CAST(SUM(m) AS BIGINT) AS BIGINT) AS avg_millibits
+      FROM perdoc JOIN scored USING (bg)
+      GROUP BY doc_id"""
+
   private lazy val LshTopkSql: String = {
     val bucketExpr = (0 until 8).map { p =>
       val w = (0 until SimilarityOps.Dim).map(i => SimilarityOps.planeSign(p, i))
@@ -1779,30 +1809,20 @@ object SparkEntry {
         SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper FROM f GROUP BY 1
       )
       SELECT f.doc_id, f.fp, g.n_docs, g.keeper FROM f JOIN g USING (fp)""",
-    "txt_char_lm_score" -> """
-      WITH d AS (
-        SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
-        FROM documents
-      ), g AS (
-        SELECT doc_id,
-               unnest(list_transform(range(1, len(t)), i -> substr(t, CAST(i AS INT), 2))) AS bg
-        FROM d WHERE len(t) >= 2
-      ), perdoc AS (
-        SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS m FROM g GROUP BY 1, 2
-      ), model AS (
-        SELECT bg, CAST(SUM(m) AS BIGINT) AS cnt FROM perdoc GROUP BY bg
-      ), ctx AS (
-        SELECT substr(bg, 1, 1) AS c1, CAST(SUM(cnt) AS BIGINT) AS ctx FROM model GROUP BY 1
-      ), scored AS (
-        SELECT bg, CAST(len(bin(ctx.ctx)) - len(bin(model.cnt)) AS BIGINT) AS bits
-        FROM model JOIN ctx ON substr(model.bg, 1, 1) = ctx.c1
-      )
-      SELECT doc_id,
-             CAST(SUM(m) AS BIGINT) AS n_bigrams,
-             CAST(SUM(m * bits) AS BIGINT) AS surprisal_bits,
-             CAST((1000 * CAST(SUM(m * bits) AS BIGINT)) // CAST(SUM(m) AS BIGINT) AS BIGINT) AS avg_millibits
-      FROM perdoc JOIN scored USING (bg)
-      GROUP BY doc_id""",
+    "txt_char_lm_score" -> CharLmSql,
+    "txt_ccnet_buckets" -> s"""
+      WITH scored AS ($CharLmSql),
+      c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
+      h AS (SELECT avg_millibits AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM scored GROUP BY 1),
+      cum AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cu FROM h),
+      t AS (SELECT MIN(CASE WHEN 3 * cu >= (SELECT n FROM c) THEN v END) AS t1,
+                   MIN(CASE WHEN 3 * cu >= 2 * (SELECT n FROM c) THEN v END) AS t2
+            FROM cum)
+      SELECT doc_id, avg_millibits,
+             CASE WHEN avg_millibits <= t.t1 THEN 'head'
+                  WHEN avg_millibits <= t.t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM scored, t""",
     "txt_quality_classify" -> {
       val vals = graft.operators.TextOps.QualityWeights
         .map { case (t, w) => s"('$t', ${w}::BIGINT)" }.mkString(", ")
@@ -2047,6 +2067,34 @@ object SparkEntry {
         FROM s
       ) t WHERE rn <= 5""",
     "sim_ivf_topk" -> IvfTopkSql,
+    "sim_knn_classify" -> """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings
+      ), l AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+      ), s AS (
+        SELECT a.vec_id AS src, b.vec_id AS nbr,
+               CAST(CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS BIGINT) AS DOUBLE)
+                 / (sqrt(CAST(CAST(list_sum(list_transform(a.q, x -> x * x)) AS BIGINT) AS DOUBLE))
+                    * sqrt(CAST(CAST(list_sum(list_transform(b.q, x -> x * x)) AS BIGINT) AS DOUBLE))) AS cos
+        FROM e a, e b
+        WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
+      ), topk AS (
+        SELECT src, nbr FROM (
+          SELECT src, nbr, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, nbr) AS rn
+          FROM s
+        ) t WHERE rn <= 5
+      ), votes AS (
+        SELECT tk.src, l.label AS nbr_label, CAST(COUNT(*) AS BIGINT) AS votes
+        FROM topk tk JOIN l ON tk.nbr = l.vec_id GROUP BY 1, 2
+      ), best AS (
+        SELECT src, nbr_label, votes,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY votes DESC, nbr_label) AS rn
+        FROM votes
+      )
+      SELECT b.src AS vec_id, l.label AS true_label, b.nbr_label AS pred_label, b.votes
+      FROM best b JOIN l ON b.src = l.vec_id WHERE b.rn = 1""",
     "sim_rrf_fusion" -> s"""
       WITH la AS (SELECT * FROM ($LshTopkSql) x),
       ib AS (SELECT * FROM ($IvfTopkSql) y),

@@ -649,6 +649,53 @@ object SimilarityOps {
       .withColumn("overlap_milli", expr("(1000 * n_overlap) div n_exact"))
   }
 
+  /** kNN majority-vote classification (label propagation over the
+    * embedding space): every 5th vector (`vec_id % 5 == 0`) is the
+    * held-out TEST set; the rest keep their labels as TRAIN. Each test
+    * vector takes the majority label of its k nearest train vectors by
+    * cosine (ties: more votes win, then the smaller label) — the
+    * standard embedding-quality probe (a good embedding space
+    * classifies by neighborhood), and the label-transfer primitive for
+    * weak supervision over an unlabeled corpus slice.
+    *
+    * Scale shape: a RECTANGULAR block tiling, not the full triangle —
+    * train partitions into `nBlocks` by id, each test vector replicates
+    * once per block (test·nBlocks + train shuffled rows, never N²
+    * through one task), scoring stays inside codegen via the native dot
+    * kernel, and the per-test top-k rank-filter compiles to a map-side
+    * WindowGroupLimit before the vote. The vote argmax is one
+    * `max(struct(votes, -label))` aggregate — co-keyed, no window over
+    * the candidate set.
+    */
+  def simKnnClassify(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val nBlocks = 8
+    val e = quantized(s, dir)
+    val lbl = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val test = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .withColumn("blk", explode(expr(s"sequence(0, ${nBlocks - 1})")))
+      .select(col("vec_id").as("src"), col("q").as("qa"), col("nq").as("na"), col("blk"))
+    val train = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      .withColumn("blk", pmod(col("vec_id"), lit(nBlocks)).cast("int"))
+      .select(col("vec_id").as("nbr"), col("q").as("qb"), col("nq").as("nn"), col("blk"))
+    val scoredPairs = test.join(train, Seq("blk"))
+      .withColumn("cos",
+        expr("dot_i64(qa, qb)").cast("double") / (sqrt(col("na")) * sqrt(col("nn"))))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr"))
+    val topk = scoredPairs
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("src"), col("nbr"))
+    topk.join(lbl.select(col("vec_id").as("nbr"), col("label").as("nbr_label")), Seq("nbr"))
+      .groupBy(col("src"), col("nbr_label")).agg(count(lit(1)).as("votes"))
+      .groupBy(col("src"))
+      .agg(max(struct(col("votes"), (-col("nbr_label")).as("neg"))).as("top"))
+      .select(col("src").as("vec_id"), (-col("top.neg")).as("pred_label"),
+        col("top.votes").as("votes"))
+      .join(lbl, Seq("vec_id"))
+      .select(col("vec_id"), col("label").as("true_label"),
+        col("pred_label"), col("votes"))
+  }
+
   /** Greedy k-center (max-min / farthest-point) diversity selection —
     * Gonzalez's 2-approximation: seed with the lowest vec_id, then k−1
     * times pick the vector FARTHEST (max over candidates of its min

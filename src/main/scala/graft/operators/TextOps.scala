@@ -309,6 +309,43 @@ object TextOps {
         expr("(1000 * surprisal_bits) div n_bigrams"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
+    * corpus into head/middle/tail terciles of the char-LM score —
+    * head = the best-modeled (lowest average surprisal) third, the
+    * slice CCNet keeps for LM training; tail = the noisiest. Bucket
+    * boundaries are VALUE thresholds (the smallest score whose
+    * cumulative count covers ⌈N/3⌉ / ⌈2N/3⌉ docs), so score ties land
+    * in one bucket together — the thresholds are what a production
+    * pipeline freezes and reuses on new data.
+    *
+    * Scale shape: no global sort. `avg_millibits` has a bounded value
+    * domain (integer milli-bits of a ≤ 37-symbol alphabet model, ≤
+    * ~20k distinct values), so the threshold pass is a map-side-
+    * combined groupBy(value) histogram collected at metadata scale,
+    * prefix-summed on the driver, and re-broadcast as two literal
+    * thresholds — then bucket assignment is a row-parallel projection.
+    * The ntile/row_number spelling would shove the corpus through ONE
+    * ordering task; this is the [[graft.operators.CurateOps]] prefix-sum
+    * discipline applied to quantiles.
+    */
+  def txtCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scored = txtCharLmScore(s, dir)
+      .select(col("doc_id"), col("avg_millibits"))
+    val hist = scored.groupBy(col("avg_millibits")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    def thresholdAt(target: Long): Long = {
+      var cum = 0L
+      hist.find { case (_, c) => cum += c; 3 * cum >= target }.map(_._1)
+        .getOrElse(hist.last._1)
+    }
+    val (t1, t2) = (thresholdAt(n), thresholdAt(2 * n))
+    scored.withColumn("bucket",
+      when(col("avg_millibits") <= t1, lit("head"))
+        .when(col("avg_millibits") <= t2, lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
   /** The fixed query workload for [[txtBm25TopK]] — literal constants
     * shared verbatim with the oracle SQL (the [[graft.operators.SimilarityOps.planeSign]]
     * pattern: data-independent parameters live in ONE place).

@@ -963,6 +963,61 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"broadcast-round plan growth $bGrow not an order under literal growth $lGrow")
   }
 
+  test("knn classify: vote accounting exact vs a driver recount; beats chance") {
+    val out = SimilarityOps.simKnnClassify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && out.forall(r => r._1 % 5 == 0), "test split is vec_id % 5 == 0")
+    assert(out.forall(r => r._4 >= 1 && r._4 <= 5), "votes bounded by k")
+    // driver recount for every test vector: exact 5-NN among train by
+    // cosine (ties by id), then majority with smaller-label tie-break
+    val all = graft.sources.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "cast(label as long) label",
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint)) q")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    val train = all.filter(_._1 % 5 != 0)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var d = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    out.foreach { case (vid, trueLbl, pred, votes) =>
+      val me = all.find(_._1 == vid).get
+      assert(me._2 == trueLbl)
+      val nn = train.map(t => (cos(me._3, t._3), t._1, t._2))
+        .sortBy { case (c, id, _) => (-c, id) }.take(5)
+      val tally = nn.groupBy(_._3).map { case (l, g) => (l, g.size.toLong) }
+      val (bestLbl, bestVotes) = tally.toSeq.maxBy { case (l, v) => (v, -l) }
+      assert(pred == bestLbl && votes == bestVotes,
+        s"vec $vid: engine ($pred, $votes) vs recount ($bestLbl, $bestVotes)")
+    }
+    // the synthetic labels are NOT embedding-correlated (measured
+    // accuracy ≈ the 1-in-10 chance rate), so there is no meaningful
+    // accuracy bar here — the recount above IS the correctness pin;
+    // every emitted prediction must come from the train label domain
+    val trainLabels = train.map(_._2).toSet
+    assert(out.forall(r => trainLabels.contains(r._3)))
+  }
+
+  test("ccnet buckets: value-threshold terciles, monotone and ~N/3 up to ties") {
+    val rows = operators.TextOps.txtCcnetBuckets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val n = rows.length
+    val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // monotone: every head score <= every middle score <= every tail
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    // threshold semantics: head holds at least ceil(N/3) docs (ties can
+    // only push it OVER, never under), and head+middle at least 2N/3
+    assert(3 * byBucket("head").size >= n,
+      s"head ${byBucket("head").size} of $n under the tercile")
+    assert(3 * (byBucket("head").size + byBucket("middle").size) >= 2 * n)
+    // ties land together: no score value appears in two buckets
+    val perValue = rows.groupBy(_._2).view.mapValues(_.map(_._3).distinct.size)
+    assert(perValue.values.forall(_ == 1), "a score value straddles buckets")
+  }
+
   test("PQ Lloyd loop releases superseded codebook caches") {
     // the loop caches a refined codebook per iteration; each superseded
     // one must be unpersisted or a bigger copy of this loop leaks

@@ -457,6 +457,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("windowspecdefinition(doc_id"), plan.take(3000))
   }
 
+  test("knn classify: rectangular block equi-join with map-side group limit") {
+    val plan = physical(SimilarityOps.simKnnClassify(spark, sf))
+    assert(!plan.contains("CartesianProduct"), "test×train must block-tile, not cross")
+    assert(plan.contains("WindowGroupLimit"),
+      "per-test top-k must rank-limit map-side before the shuffle")
+    assert(plan.contains("dot_i64"), "scoring must stay on the native kernel")
+  }
+
   test("inverted index: bounded min_k aggregate, single term-keyed exchange") {
     val plan = executedPhysical(CurateOps.txtInvertedIndex(spark, sf))
     assert(plan.contains("min_k"), "posting cap must be the bounded min_k aggregate")
