@@ -126,6 +126,7 @@ object SparkEntry {
     "dedup_substring_remove" -> (DedupOps.dedupSubstringRemove _),
     "dedup_fuzzy_parts" -> (DedupOps.dedupFuzzyParts _),
     "dedup_incremental" -> (DedupOps.dedupIncremental _),
+    "dedup_decontaminate_fuzzy" -> (DedupOps.dedupDecontaminateFuzzy _),
     // corpus curation
     "txt_repetition" -> (CurateOps.txtRepetition _),
     "txt_pii_scrub" -> (CurateOps.txtPiiScrub _),
@@ -246,6 +247,85 @@ object SparkEntry {
     * plan (SimilarityOps.planeSign), bucket equi-join, exact re-score —
     * factored so the RRF fusion oracle can reuse it as a CTE body.
     */
+  /** MinHash probe-vs-index oracle, parameterized by the probe/index
+    * split predicates — the full replay (HUGEINT signature mixing, band
+    * keys, candidate join, exact-Jaccard verify) shared by
+    * dedup_incremental (new-batch % 10 split) and
+    * dedup_decontaminate_fuzzy (eval-set % 20 split).
+    */
+  private def minhashProbeSql(probePred: String, indexPred: String): String = {
+    val al = graft.functions.MinHashAgg.A.take(32)
+      .map(a => s"$a::HUGEINT").mkString("[", ",", "]")
+    val mask = (BigInt(1) << 64) - 1
+    val bl = graft.functions.MinHashAgg.B.take(32)
+      .map(b => s"${BigInt(b) & mask}::HUGEINT").mkString("[", ",", "]")
+    val bandKey = (0 until 8).map { b =>
+      val str = s"CAST($b AS VARCHAR) || ',' || " + (1 to 4).map(r =>
+        s"CAST(sig[${4 * b + r}] AS VARCHAR)").mkString(" || ',' || ")
+      val hi = s"('0x' || substr(md5($str), 1, 8))::BIGINT"
+      s"($hi - CASE WHEN $hi >= 2147483648 THEN 4294967296 ELSE 0 END)" +
+        s" * 4294967296 + ('0x' || substr(md5($str), 9, 8))::BIGINT"
+    }.map(k => s"SELECT doc_id, $k AS bk FROM sigs")
+      .mkString("\n        UNION ALL ")
+    s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id, g FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          FROM toks WHERE len(w) >= 3) x
+      ), fps AS (
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM documents
+      ), exact_dup AS (
+        SELECT n.doc_id, CAST(1 AS BIGINT) AS exact_dup
+        FROM fps n
+        WHERE n.$probePred
+          AND EXISTS (SELECT 1 FROM fps i WHERE i.$indexPred AND i.fp = n.fp)
+      ), dh AS (
+        SELECT doc_id, list(('0x' || substr(md5(g), 1, 8))::BIGINT::HUGEINT * 4294967296
+                          + ('0x' || substr(md5(g), 9, 8))::BIGINT::HUGEINT) AS hs
+        FROM sh GROUP BY 1
+      ), sigs AS (
+        SELECT doc_id,
+          list_transform(range(0, 32), p ->
+            list_min(list_transform(
+              list_transform(hs, x -> (x * $al[p+1] + $bl[p+1]) % 18446744073709551616::HUGEINT),
+              m -> CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+                             THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT)))) AS sig
+        FROM dh
+      ), bands AS (
+        $bandKey
+      ), cand AS (
+        SELECT DISTINCT x.doc_id AS doc_new, y.doc_id AS doc_idx
+        FROM bands x JOIN bands y ON x.bk = y.bk
+        WHERE x.$probePred AND y.$indexPred
+      ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+      ), inter AS (
+        SELECT c.doc_new, c.doc_idx, COUNT(*) AS n_inter
+        FROM cand c JOIN sh a ON a.doc_id = c.doc_new
+                    JOIN sh b ON b.doc_id = c.doc_idx AND a.g = b.g
+        GROUP BY 1, 2
+      ), near AS (
+        SELECT i.doc_new, CAST(COUNT(*) AS BIGINT) AS n_near
+        FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_new
+                     JOIN sizes sb ON sb.doc_id = i.doc_idx
+        WHERE n_inter * 5 >= sa.n + sb.n - n_inter
+        GROUP BY 1
+      )
+      SELECT d.doc_id,
+             CAST(COALESCE(e.exact_dup, 0) AS BIGINT) AS exact_dup,
+             CAST(COALESCE(nr.n_near, 0) AS BIGINT) AS n_near,
+             CAST(CASE WHEN COALESCE(e.exact_dup, 0) = 0 AND COALESCE(nr.n_near, 0) = 0
+                       THEN 1 ELSE 0 END AS BIGINT) AS admit
+      FROM documents d
+      LEFT JOIN exact_dup e ON e.doc_id = d.doc_id
+      LEFT JOIN near nr ON nr.doc_new = d.doc_id
+      WHERE d.$probePred"""
+  }
+
   /** Char-bigram LM scoring oracle — shared by txt_char_lm_score and
     * the ccnet-bucket query built on top of it.
     */
@@ -1694,78 +1774,8 @@ object SparkEntry {
     // incremental (batch-vs-index) dedup: the SAME minhash pipeline
     // constants as dedup_minhash_lsh, restricted to (new=doc_id%10>=8,
     // index) pairs, plus the exact-fingerprint probe — replayed 1:1
-    "dedup_incremental" -> {
-      val al = graft.functions.MinHashAgg.A.take(32)
-        .map(a => s"$a::HUGEINT").mkString("[", ",", "]")
-      val mask = (BigInt(1) << 64) - 1
-      val bl = graft.functions.MinHashAgg.B.take(32)
-        .map(b => s"${BigInt(b) & mask}::HUGEINT").mkString("[", ",", "]")
-      val bandKey = (0 until 8).map { b =>
-        val str = s"CAST($b AS VARCHAR) || ',' || " + (1 to 4).map(r =>
-          s"CAST(sig[${4 * b + r}] AS VARCHAR)").mkString(" || ',' || ")
-        val hi = s"('0x' || substr(md5($str), 1, 8))::BIGINT"
-        s"($hi - CASE WHEN $hi >= 2147483648 THEN 4294967296 ELSE 0 END)" +
-          s" * 4294967296 + ('0x' || substr(md5($str), 9, 8))::BIGINT"
-      }.map(k => s"SELECT doc_id, $k AS bk FROM sigs")
-        .mkString("\n        UNION ALL ")
-      s"""
-      WITH toks AS (
-        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
-        FROM documents
-      ), sh AS (
-        SELECT DISTINCT doc_id, g FROM (
-          SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
-          FROM toks WHERE len(w) >= 3) x
-      ), fps AS (
-        SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
-        FROM documents
-      ), exact_dup AS (
-        SELECT n.doc_id, CAST(1 AS BIGINT) AS exact_dup
-        FROM fps n
-        WHERE n.doc_id % 10 >= 8
-          AND EXISTS (SELECT 1 FROM fps i WHERE i.doc_id % 10 < 8 AND i.fp = n.fp)
-      ), dh AS (
-        SELECT doc_id, list(('0x' || substr(md5(g), 1, 8))::BIGINT::HUGEINT * 4294967296
-                          + ('0x' || substr(md5(g), 9, 8))::BIGINT::HUGEINT) AS hs
-        FROM sh GROUP BY 1
-      ), sigs AS (
-        SELECT doc_id,
-          list_transform(range(0, 32), p ->
-            list_min(list_transform(
-              list_transform(hs, x -> (x * $al[p+1] + $bl[p+1]) % 18446744073709551616::HUGEINT),
-              m -> CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
-                             THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT)))) AS sig
-        FROM dh
-      ), bands AS (
-        $bandKey
-      ), cand AS (
-        SELECT DISTINCT x.doc_id AS doc_new, y.doc_id AS doc_idx
-        FROM bands x JOIN bands y ON x.bk = y.bk
-        WHERE x.doc_id % 10 >= 8 AND y.doc_id % 10 < 8
-      ), sizes AS (
-        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
-      ), inter AS (
-        SELECT c.doc_new, c.doc_idx, COUNT(*) AS n_inter
-        FROM cand c JOIN sh a ON a.doc_id = c.doc_new
-                    JOIN sh b ON b.doc_id = c.doc_idx AND a.g = b.g
-        GROUP BY 1, 2
-      ), near AS (
-        SELECT i.doc_new, CAST(COUNT(*) AS BIGINT) AS n_near
-        FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_new
-                     JOIN sizes sb ON sb.doc_id = i.doc_idx
-        WHERE n_inter * 5 >= sa.n + sb.n - n_inter
-        GROUP BY 1
-      )
-      SELECT d.doc_id,
-             CAST(COALESCE(e.exact_dup, 0) AS BIGINT) AS exact_dup,
-             CAST(COALESCE(nr.n_near, 0) AS BIGINT) AS n_near,
-             CAST(CASE WHEN COALESCE(e.exact_dup, 0) = 0 AND COALESCE(nr.n_near, 0) = 0
-                       THEN 1 ELSE 0 END AS BIGINT) AS admit
-      FROM documents d
-      LEFT JOIN exact_dup e ON e.doc_id = d.doc_id
-      LEFT JOIN near nr ON nr.doc_new = d.doc_id
-      WHERE d.doc_id % 10 >= 8"""
-    },
+    "dedup_incremental" -> minhashProbeSql("doc_id % 10 >= 8", "doc_id % 10 < 8"),
+    "dedup_decontaminate_fuzzy" -> minhashProbeSql("doc_id % 20 <> 0", "doc_id % 20 = 0"),
     // txt_winnow's rolling Karp-Rabin hash (functions.RollingMinHash:
     // h = h*FNV_PRIME + byte, wraparound mod 2^64, signed min over all
     // 16-byte windows) replayed with HUGEINT mod-2^64 arithmetic; the

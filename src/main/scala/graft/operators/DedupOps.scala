@@ -244,6 +244,29 @@ object DedupOps {
       fps: DataFrame, bands: DataFrame, shingles: DataFrame, sizes: DataFrame)
 
   /** Build [[DedupIndex]] from an already-ingested corpus slice. */
+  /** FUZZY eval-set decontamination — the near-duplicate complement of
+    * [[graft.operators.CurateOps.dedupDecontaminate]]'s exact 8-gram
+    * test: a training document is flagged when it is an exact
+    * fingerprint duplicate of an eval document OR a verified MinHash
+    * near-duplicate (Jaccard ≥ 0.2) of one — catching the lightly
+    * paraphrased/reformatted benchmark copies the exact-overlap test
+    * misses. Pure composition of the incremental-dedup machinery with
+    * the roles recast: the EVAL set is the index, the training corpus
+    * is the probe batch.
+    *
+    * Scale shape: eval sets are bounded (thousands of docs against a
+    * 100 TB corpus), so the index tables are tiny and every probe-side
+    * step is O(corpus) row-parallel work plus equi-joins against
+    * eval-sized tables; the exact-Jaccard verify touches only banding
+    * candidates. Output: (doc_id, exact_dup, n_near, admit) — admit=1
+    * is the decontaminated training set.
+    */
+  def dedupDecontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isEval = pmod(col("doc_id"), lit(20)) === 0
+    probeAgainstIndex(d.filter(!isEval), buildDedupIndex(d.filter(isEval)))
+  }
+
   def buildDedupIndex(corpus: DataFrame): DedupIndex = {
     val nPerm = 32
     val sh = shinglesOf(corpus).select(col("doc_id"), md5Hash64(col("s")).as("h"))

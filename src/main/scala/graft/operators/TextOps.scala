@@ -283,25 +283,45 @@ object TextOps {
     * 100 TB LM-filter shape: corpus-sized shuffles never carry more
     * than (doc_id, bigram-id, count).
     */
-  def txtCharLmScore(s: SparkSession, dir: String): DataFrame = {
+  def txtCharLmScore(s: SparkSession, dir: String): DataFrame =
+    charLmScoreWith(docs(s, dir), charLmModel(s, dir))
+
+  /** The trained char-LM: bigram → floored-bits surprisal — the
+    * alphabet-bounded (≤ 37² rows) artifact a production pipeline
+    * persists and reuses on new data (the streaming scorer applies it
+    * frozen). Aggregated DIRECTLY from the gram stream (not via the
+    * per-doc counts): Spark does not reuse the (doc_id, bg) exchange
+    * across two consumers, and the direct groupBy(bg) partial-
+    * aggregates map-side to ≤ 37² rows per task — a near-free shuffle
+    * vs re-running the corpus-keyed one. Same numbers: Σ_docs per-doc
+    * counts ≡ global counts.
+    */
+  def charLmModel(s: SparkSession, dir: String): DataFrame = {
     val grams = docs(s, dir).select(col("doc_id"), normalized(col("text")).as("t"))
       .filter(length(col("t")) >= 2)
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("bg"))
-    val perDoc = grams.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
-    // the "model": global bigram counts — alphabet-bounded (≤ 37² rows).
-    // Aggregated DIRECTLY from the gram stream (not via perDoc): Spark
-    // does not reuse the (doc_id, bg) exchange across the two consumers,
-    // and the direct groupBy(bg) partial-aggregates map-side to ≤ 37²
-    // rows per task — a near-free shuffle vs re-running the corpus-keyed
-    // one. Same numbers: Σ_docs per-doc counts ≡ global counts.
     val model = grams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
       .withColumn("c1", substring(col("bg"), 1, 1))
     val ctx = model.groupBy(col("c1")).agg(sum(col("cnt")).as("ctx"))
-    val scored = model.join(ctx, Seq("c1"))
+    model.join(ctx, Seq("c1"))
       .select(col("bg"),
         (length(expr("bin(ctx)")) - length(expr("bin(cnt)"))).cast("long").as("bits"))
-    perDoc.join(broadcast(scored), Seq("bg"))
+  }
+
+  /** Score any (doc_id, text) set under a frozen [[charLmModel]] —
+    * shared verbatim by the batch operator and the streaming scorer,
+    * so stream ≡ batch holds by construction. Bigrams absent from the
+    * model (possible only for docs the model never saw) drop out of
+    * the inner join, i.e. contribute zero surprisal.
+    */
+  def charLmScoreWith(docsDf: DataFrame, model: DataFrame): DataFrame = {
+    val perDoc = docsDf.select(col("doc_id"), normalized(col("text")).as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
+    perDoc.join(broadcast(model), Seq("bg"))
       .groupBy(col("doc_id"))
       .agg(sum(col("m")).as("n_bigrams"),
         sum(col("m") * col("bits")).as("surprisal_bits"))
@@ -331,6 +351,16 @@ object TextOps {
   def txtCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
     val scored = txtCharLmScore(s, dir)
       .select(col("doc_id"), col("avg_millibits"))
+    val (t1, t2) = ccnetThresholds(scored)
+    ccnetBucketWith(scored, t1, t2)
+  }
+
+  /** Tercile value thresholds of a scored corpus — the bounded-
+    * histogram quantile pass (see [[txtCcnetBuckets]]'s scale note).
+    * These two longs are the frozen model the streaming bucketer
+    * applies to new data.
+    */
+  def ccnetThresholds(scored: DataFrame): (Long, Long) = {
     val hist = scored.groupBy(col("avg_millibits")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val n = hist.map(_._2).sum
@@ -339,12 +369,17 @@ object TextOps {
       hist.find { case (_, c) => cum += c; 3 * cum >= target }.map(_._1)
         .getOrElse(hist.last._1)
     }
-    val (t1, t2) = (thresholdAt(n), thresholdAt(2 * n))
+    (thresholdAt(n), thresholdAt(2 * n))
+  }
+
+  /** Row-parallel bucket assignment under frozen thresholds — shared
+    * by the batch operator and the streaming scorer.
+    */
+  def ccnetBucketWith(scored: DataFrame, t1: Long, t2: Long): DataFrame =
     scored.withColumn("bucket",
       when(col("avg_millibits") <= t1, lit("head"))
         .when(col("avg_millibits") <= t2, lit("middle"))
         .otherwise(lit("tail")))
-  }
 
   /** The fixed query workload for [[txtBm25TopK]] — literal constants
     * shared verbatim with the oracle SQL (the [[graft.operators.SimilarityOps.planeSign]]

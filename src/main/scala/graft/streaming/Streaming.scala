@@ -211,6 +211,39 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Bucket a stream of arriving documents under a FROZEN CCNet model
+    * (the char-LM bits table + the two tercile thresholds trained by
+    * the batch pass — exactly what [[graft.operators.TextOps.txtCcnetBuckets]]
+    * computes once and a production pipeline persists): per micro-batch
+    * the scoring plan is the batch plan verbatim
+    * (TextOps.charLmScoreWith + ccnetBucketWith), so stream ≡ batch
+    * holds by construction. The model is alphabet-bounded (≤ 37² rows
+    * + 2 longs) — broadcast into every batch, never retrained in the
+    * hot path.
+    */
+  def runCcnetBuckets(
+      newDocs: DataFrame,
+      model: DataFrame,
+      t1: Long,
+      t2: Long,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit = {
+    val q = newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bucketed = graft.operators.TextOps.ccnetBucketWith(
+          graft.operators.TextOps.charLmScoreWith(batch, model)
+            .select(col("doc_id"), col("avg_millibits")), t1, t2)
+        if (store.exists(table)) store.write(store.read(table).unionByName(bucketed), table)
+        else store.write(bucketed, table)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drive incremental (batch-vs-index) dedup over a stream of newly
     * arriving documents: each micro-batch probes a PREBUILT static
     * index via the exact same [[graft.operators.DedupOps.probeAgainstIndex]]

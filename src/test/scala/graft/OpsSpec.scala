@@ -999,6 +999,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(r => trainLabels.contains(r._3)))
   }
 
+  test("fuzzy decontamination: coverage, admit consistency, fingerprint recount") {
+    val out = DedupOps.dedupDecontaminateFuzzy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))) fp")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // exactly the training (non-eval) docs are judged, each once
+    assert(out.map(_._1).toSet == docs.map(_._1).filter(_ % 20 != 0).toSet)
+    assert(out.length == out.map(_._1).distinct.length)
+    // admit is exactly "no exact hit and no fuzzy hit"
+    out.foreach { case (_, ex, near, admit) =>
+      assert(admit == (if (ex == 0 && near == 0) 1L else 0L))
+    }
+    // exact_dup agrees with a driver fingerprint recount vs the eval set
+    val evalFps = docs.filter(_._1 % 20 == 0).map(_._2).toSet
+    val fpOf = docs.toMap
+    out.foreach { case (id, ex, _, _) =>
+      assert(ex == (if (evalFps.contains(fpOf(id))) 1L else 0L),
+        s"doc $id exact_dup=$ex disagrees with fingerprint recount")
+    }
+    // the exact-overlap operator and the fuzzy one must agree that an
+    // exact fingerprint copy of an eval doc is contaminated (identical
+    // normalized text shares every 8-gram)
+    val exactTest = graft.operators.CurateOps.dedupDecontaminate(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    out.filter(_._2 == 1L).foreach { case (id, _, _, _) =>
+      val (n8, contaminated) = exactTest(id)
+      assert(n8 == 0 || contaminated == 1L,
+        s"doc $id: fingerprint copy of an eval doc but 8-gram test says clean")
+    }
+  }
+
   test("ccnet buckets: value-threshold terciles, monotone and ~N/3 up to ties") {
     val rows = operators.TextOps.txtCcnetBuckets(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))

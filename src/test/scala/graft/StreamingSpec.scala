@@ -175,6 +175,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming ccnet bucketing under a frozen model equals the batch pass") {
+    val store = new RelationStore(spark, s"$work/wh_ccnet")
+    val newIn = s"$work/ccnetdocs"
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // model + thresholds trained ONCE on the full batch corpus — the
+    // persisted artifact a production pipeline freezes
+    val model = graft.operators.TextOps.charLmModel(spark, sf)
+    val batchScored = graft.operators.TextOps.txtCharLmScore(spark, sf)
+      .select(col("doc_id"), col("avg_millibits"))
+    val (t1, t2) = graft.operators.TextOps.ccnetThresholds(batchScored)
+    docs.filter(col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runCcnetBuckets(Streaming.documentStream(spark, newIn), model, t1, t2,
+      store, "ccnet_buckets", s"$work/cp_ccnet")
+    val afterFirst = store.read("ccnet_buckets").count()
+    docs.filter(col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runCcnetBuckets(Streaming.documentStream(spark, newIn), model, t1, t2,
+      store, "ccnet_buckets", s"$work/cp_ccnet")
+    val streamed = store.read("ccnet_buckets")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    // scoring + bucketing are per-document under the frozen artifacts,
+    // so the union over arrivals equals the one-shot batch operator
+    val batch = graft.operators.TextOps.txtCcnetBuckets(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val store = new RelationStore(spark, s"$work/wh4")
     val joined = Streaming.clickPurchaseJoin(Streaming.eventStream(spark, s"$work/in"))
