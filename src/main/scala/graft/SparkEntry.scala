@@ -171,6 +171,7 @@ object SparkEntry {
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),
     "mm_phash" -> (Multimodal.mmPhash _),
     "mm_phash_pairs" -> ((s, d) => Multimodal.mmPhashPairs(s, d)),
+    "mm_canonical" -> (Multimodal.mmCanonical _),
   )
 
   /** DuckDB-dialect oracle SQL per query (same column names as the Spark
@@ -2324,6 +2325,30 @@ object SparkEntry {
              CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
       FROM ph a JOIN ph b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.phash, b.phash)) <= 8"""),
+    "mm_canonical" -> (PhashCte.replaceFirst("WITH", "WITH RECURSIVE") + """
+      , pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 8
+      ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ), reach(node, lab) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+      ), cl AS (
+        SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY 1
+      ), sizes AS (
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+      )
+      SELECT cl.doc_id, cl.cluster_id, sizes.n_bytes,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY cl.cluster_id
+               ORDER BY sizes.n_bytes DESC, cl.doc_id) = 1 AS BIGINT) AS keep
+      FROM cl JOIN sizes USING (doc_id)"""),
   )
 
   /** aHash oracle: 64 evenly-spaced payload bytes (the mm_resize hex

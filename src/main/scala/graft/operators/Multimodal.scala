@@ -152,6 +152,36 @@ object Multimodal {
       // cached: both sides of the chunk join scan the signature table
       mmPhash(s, dir).select(col("doc_id"), col("phash")).cache(), "phash", maxHamming)
 
+  /** Canonical payload per near-duplicate cluster: cluster the
+    * [[mmPhashPairs]] graph with the checkpointed connected-components
+    * fixpoint, then keep the LARGEST payload per cluster (the
+    * best-resolution analog; ties by lower doc_id) — the multimodal
+    * member of the canonical-survivor family next to
+    * [[GraphOps.dedupCanonicalQuality]]'s text rule. Only clustered
+    * payloads are emitted; at scale you left-join back and treat null
+    * as "keep", exactly like the text dedup tables.
+    *
+    * Shape: the per-cluster argmax is ONE `max(struct(n_bytes,
+    * -doc_id))` aggregate on the cluster key — map-side combined, no
+    * window over the corpus, co-partitioned with the membership join.
+    */
+  def mmCanonical(s: SparkSession, dir: String): DataFrame = {
+    val pairs = mmPhashPairs(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = graft.operators.GraphOps.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("lab").as("cluster_id"))
+    val sizes = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("cast(octet_length(encode(text, 'UTF-8')) as bigint)").as("n_bytes"))
+    val member = labels.join(sizes, Seq("doc_id"))
+    val best = member.groupBy(col("cluster_id"))
+      .agg(max(struct(col("n_bytes"), (-col("doc_id")).as("neg"))).as("b"))
+      .select(col("cluster_id"), (-col("b.neg")).as("keeper"))
+    member.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_bytes"),
+        (col("doc_id") === col("keeper")).cast("long").as("keep"))
+  }
+
   /** "Frame sample" plumbing: treat the payload as fixed-size frames
     * (256 bytes) and take every 4th frame — the Spark shape of video
     * frame extraction (sequence + posexplode + substring are all native

@@ -1031,6 +1031,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mm canonical: one keeper per phash cluster, keeper maximizes (bytes, -id)") {
+    val rows = Multimodal.mmCanonical(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "sf0.001 corpus must contain phash near-dups")
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.count(_._4 == 1L) == 1, s"cluster $cid keeper count != 1")
+      val keeper = members.find(_._4 == 1L).get
+      val best = members.maxBy(m => (m._3, -m._1))
+      assert(keeper._1 == best._1,
+        s"cluster $cid keeper ${keeper._1} is not argmax(bytes, -id) ${best._1}")
+      // every member connects into the cluster via the pair graph
+      assert(members.forall(_._2 == cid))
+    }
+  }
+
   test("ccnet buckets: value-threshold terciles, monotone and ~N/3 up to ties") {
     val rows = operators.TextOps.txtCcnetBuckets(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
