@@ -74,8 +74,13 @@ object Main {
         t.schema.map("target.schema" -> _) ++
         t.threads.map(th => "target.threads" -> th.toString)
     }.getOrElse(flags.get("target").map("target" -> _).toMap)
-    // explicit --vars still win over profile-derived context
-    val cliVars = profileVars ++ cliVars0
+    // `flags` context member (reference base.py:655) as dotted vars;
+    // explicit --vars still win over profile- and flag-derived context
+    val flagVars = Map(
+      "flags.WHICH" -> cmd,
+      "flags.FULL_REFRESH" -> flags.contains("full-refresh").toString,
+      "flags.EMPTY" -> flags.contains("empty").toString)
+    val cliVars = profileVars ++ flagVars ++ cliVars0
     val (project, parseOutcome) =
       if (flags.contains("no-partial-parse"))
         (ProjectLoader.resolveRefs(ProjectLoader.load(projectDir, cliVars)),

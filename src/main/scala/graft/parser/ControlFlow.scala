@@ -48,7 +48,15 @@ object ControlFlow {
       target: String = "dev"): String = {
     val base = Map[String, Any]("target.name" -> target,
       "target.schema" -> vars.getOrElse("target.schema", "main"),
-      "target.threads" -> vars.getOrElse("target.threads", "1"))
+      "target.threads" -> vars.getOrElse("target.threads", "1"),
+      // reference base.py:655 `flags` — invocation flags macros branch
+      // on; the CLI seeds the real values as dotted vars, and defaults
+      // here keep {% if flags.FULL_REFRESH %} parseable in programmatic
+      // runs that never set them. Booleans are typed so truthiness and
+      // Python-style True/False rendering both work.
+      "flags.WHICH" -> vars.getOrElse("flags.WHICH", "run"),
+      "flags.FULL_REFRESH" -> (vars.getOrElse("flags.FULL_REFRESH", "false") == "true"),
+      "flags.EMPTY" -> (vars.getOrElse("flags.EMPTY", "false") == "true"))
     // no control tags still substitutes {{ target.name }} — its
     // rendering must not depend on an unrelated tag elsewhere in the file
     if (!text.contains("{%")) return substitute(text, base, vars)

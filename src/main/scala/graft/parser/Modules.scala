@@ -132,8 +132,32 @@ object Modules {
     case "modules.re.escape" =>
       asStr(args(0), name).flatMap(c =>
         if (c.isLetterOrDigit || c == '_') c.toString else s"\\$c")
+    case "modules.itertools.chain" =>
+      args.flatMap {
+        case l: Seq[_] => l
+        case s: String => s.toSeq.map(_.toString)
+        case other => throw new IllegalArgumentException(s"chain: not iterable: $other")
+      }
+    case "modules.itertools.product" =>
+      args.map {
+        case l: Seq[_] => l
+        case s: String => s.toSeq.map(_.toString)
+        case other => throw new IllegalArgumentException(s"product: not iterable: $other")
+      }.foldLeft(List(List.empty[Any]))((acc, l) =>
+        acc.flatMap(tuple => l.map(x => tuple :+ x)))
+    case "modules.itertools.combinations" =>
+      val l = args.head match {
+        case l0: Seq[_] => l0.toList
+        case s: String => s.toSeq.map(_.toString).toList
+        case other => throw new IllegalArgumentException(s"combinations: not iterable: $other")
+      }
+      val r = asLong(args(1), name).toInt
+      // positional (Python) semantics: duplicate VALUES still yield
+      // distinct combinations — combine indices, not values
+      l.indices.combinations(r).map(idx => idx.map(l).toList).toList
     case other => throw new IllegalArgumentException(
-      s"unsupported modules member: $other (scoped to modules.datetime / modules.re)")
+      s"unsupported modules member: $other " +
+        "(scoped to modules.datetime / modules.re / modules.itertools)")
   }
 
   private def reMatch(args: List[Any], anchored: Boolean): Any = {

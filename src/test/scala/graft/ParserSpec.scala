@@ -389,6 +389,42 @@ class ControlFlowSpec extends AnyFunSuite {
       Map("env" -> "produs-east")) == "big")
   }
 
+  test("flags context member: typed defaults, CLI-seeded values, renderable") {
+    val t = "{% if flags.FULL_REFRESH %}drop{% else %}keep{% endif %}"
+    assert(ControlFlow.render(t) == "keep", "default FULL_REFRESH is false")
+    assert(ControlFlow.render(t, Map("flags.FULL_REFRESH" -> "true")) == "drop")
+    assert(ControlFlow.render("{{ flags.WHICH }}") == "run")
+    assert(ControlFlow.render("{{ flags.WHICH }}", Map("flags.WHICH" -> "build")) == "build")
+    // renders Python-style booleans like the reference's Jinja would
+    assert(ControlFlow.render("{{ flags.FULL_REFRESH }}") == "False")
+  }
+
+  test("modules.itertools: chain/product/combinations drive for loops") {
+    assert(ControlFlow.render(
+      "{% for x in modules.itertools.chain(['a', 'b'], ['c']) %}{{ x }}{% endfor %}")
+      == "abc")
+    assert(ControlFlow.render(
+      "{% for p in modules.itertools.product(['x', 'y'], [1, 2]) %}{{ p }}|{% endfor %}")
+      == "['x', 1]|['x', 2]|['y', 1]|['y', 2]|")
+    assert(ControlFlow.render(
+      "{% for c in modules.itertools.combinations(['a', 'b', 'c'], 2) %}{{ c }}|{% endfor %}")
+      == "['a', 'b']|['a', 'c']|['b', 'c']|")
+    // positional semantics: duplicate values still pair
+    assert(ControlFlow.render(
+      "{% for c in modules.itertools.combinations(['a', 'a'], 2) %}{{ c }}{% endfor %}")
+      == "['a', 'a']")
+  }
+
+  test("expression precedence: arithmetic binds tighter than compare/bool") {
+    def r(c: String) = ControlFlow.render(s"{% if $c %}Y{% else %}N{% endif %}")
+    assert(r("1 + 2 == 3") == "Y")
+    assert(r("10 - 3 > 5 and 1 + 1 == 2") == "Y")
+    assert(r("2 + 2 == 5") == "N")
+    assert(r("'a' + 'b' == 'ab'") == "Y")
+    assert(r("1 - 2 + 3 == 2") == "Y") // left assoc
+    assert(r("'b' in ['a'] + ['b']") == "Y")
+  }
+
   test("string methods and +/- arithmetic compose with set and for") {
     assert(ControlFlow.render("{% set s = 'Hello World' %}{{ s.lower().replace(' ', '_') }}")
       == "hello_world")
