@@ -129,6 +129,7 @@ object SparkEntry {
     "dedup_decontaminate_fuzzy" -> (DedupOps.dedupDecontaminateFuzzy _),
     // corpus curation
     "txt_repetition" -> (CurateOps.txtRepetition _),
+    "curate_gopher_gate" -> (CurateOps.curateGopherGate _),
     "txt_pii_scrub" -> (CurateOps.txtPiiScrub _),
     "split_assign" -> (CurateOps.splitAssign _),
     "emb_cluster_assign" -> (CurateOps.embClusterAssign _),
@@ -1257,6 +1258,44 @@ object SparkEntry {
              COALESCE(n_3grams - nd, 0) AS n_dup_3grams,
              CASE WHEN n_3grams > 0 THEN CAST(n_3grams - nd AS DOUBLE) / n_3grams ELSE 0.0 END AS dup_3gram_frac
       FROM documents d LEFT JOIN g2 ON d.doc_id = g2.doc_id LEFT JOIN g3 ON d.doc_id = g3.doc_id""",
+    "curate_gopher_gate" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        FROM documents
+      ), base AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) AS sum_len,
+               CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha
+        FROM toks
+      ), g2 AS (
+        SELECT doc_id, MAX(c) AS top2, CAST(SUM(c) AS BIGINT) AS n2 FROM (
+          SELECT doc_id, g, COUNT(*) AS c FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+            FROM toks WHERE len(w) >= 2) x GROUP BY 1, 2) y GROUP BY 1
+      ), g3 AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n3, COUNT(DISTINCT g) AS nd3 FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          FROM toks WHERE len(w) >= 3) x GROUP BY 1
+      ), sig AS (
+        SELECT b.doc_id, b.n_tokens,
+               CASE WHEN b.n_tokens > 0 THEN (1000 * b.sum_len) // b.n_tokens ELSE 0 END AS mean_len_milli,
+               CASE WHEN b.n_tokens > 0 THEN (1000 * b.n_alpha) // b.n_tokens ELSE 0 END AS alpha_milli,
+               CASE WHEN COALESCE(g2.n2, 0) > 0 THEN (1000 * g2.top2) // g2.n2 ELSE 0 END AS top2_milli,
+               CASE WHEN COALESCE(g3.n3, 0) > 0 THEN (1000 * (g3.n3 - g3.nd3)) // g3.n3 ELSE 0 END AS dup3_milli
+        FROM base b LEFT JOIN g2 ON b.doc_id = g2.doc_id LEFT JOIN g3 ON b.doc_id = g3.doc_id
+      )
+      SELECT doc_id, n_tokens,
+             CAST(mean_len_milli AS BIGINT) AS mean_len_milli,
+             CAST(alpha_milli AS BIGINT) AS alpha_milli,
+             CAST(top2_milli AS BIGINT) AS top2_milli,
+             CAST(dup3_milli AS BIGINT) AS dup3_milli,
+             CAST(n_tokens BETWEEN 50 AND 100000
+                  AND mean_len_milli BETWEEN 3000 AND 10000
+                  AND alpha_milli >= 800
+                  AND top2_milli <= 200
+                  AND dup3_milli <= 300 AS BIGINT) AS admitted
+      FROM sig""",
     "txt_pii_scrub" -> """
       WITH a AS (
         SELECT doc_id,

@@ -87,6 +87,58 @@ object CurateOps {
           .otherwise(0.0).as("dup_3gram_frac"))
   }
 
+  /** Gopher-rules quality GATE (Rae et al. 2021, Appendix A1.1 —
+    * the rule set production corpus filters actually ship, adapted to
+    * this corpus's short documents and to INTEGER milli-units so the
+    * verdict is bit-replayable): a document is admitted iff
+    *   1. 50 ≤ token count ≤ 100000
+    *   2. mean token length ∈ [3000, 10000] milli-chars
+    *   3. ≥ 800 milli (80%) of tokens contain a letter
+    *   4. top 2-gram ≤ 200 milli (20%) of all 2-grams
+    *   5. duplicate 3-grams ≤ 300 milli (30%) of all 3-grams
+    * Signals 4-5 are [[txtRepetition]]'s, re-derived here in milli
+    * form; the gate emits every per-rule signal so a tuning pass can
+    * sweep thresholds from the saved table without recomputing.
+    *
+    * Scale shape: rules 1-3 are one row-parallel projection; 4-5 are
+    * the (doc, gram) map-side-combined shuffles of the repetition
+    * operator; the verdict is a projection over the joined signals —
+    * no windows, no self-joins, nothing corpus-sized on one task.
+    */
+  def curateGopherGate(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(s, dir)
+    val base = toks.select(col("doc_id"),
+      size(col("w")).cast("long").as("n_tokens"),
+      expr("aggregate(w, 0L, (acc, t) -> acc + length(t))").as("sum_len"),
+      expr("cast(size(filter(w, t -> t rlike '[a-z]')) as long)").as("n_alpha"))
+    val g2 = toks.filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top2"), sum(col("c")).as("n2"))
+    val g3 = toks.filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n3"), countDistinct(col("g")).as("nd3"))
+    base.join(g2, Seq("doc_id"), "left").join(g3, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        expr("case when n_tokens > 0 then (1000 * sum_len) div n_tokens else 0 end")
+          .as("mean_len_milli"),
+        expr("case when n_tokens > 0 then (1000 * n_alpha) div n_tokens else 0 end")
+          .as("alpha_milli"),
+        expr("case when coalesce(n2, 0) > 0 then (1000 * top2) div n2 else 0 end")
+          .as("top2_milli"),
+        expr("case when coalesce(n3, 0) > 0 then (1000 * (n3 - nd3)) div n3 else 0 end")
+          .as("dup3_milli"))
+      .withColumn("admitted",
+        (col("n_tokens").between(50L, 100000L) &&
+          col("mean_len_milli").between(3000L, 10000L) &&
+          col("alpha_milli") >= 800L &&
+          col("top2_milli") <= 200L &&
+          col("dup3_milli") <= 300L).cast("long"))
+  }
+
   /** PII detection + scrubbing. The synthetic corpus contains no PII, so
     * the operator first ANNOTATES each document with deterministic
     * doc_id-derived contact lines (email, phone, IPv4) — identically in

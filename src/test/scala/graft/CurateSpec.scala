@@ -521,4 +521,24 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(en.sum.toDouble / en.length > other.sum.toDouble / other.length,
       "target slice does not score higher — weights inverted?")
   }
+
+  test("gopher gate: verdict is exactly the conjunction of its rule signals") {
+    val rows = CurateOps.curateGopherGate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length == graft.sources.Tables.load(spark, sf, "documents").count(),
+      "every document must get a verdict")
+    rows.foreach { case (id, nTok, meanLen, alpha, top2, dup3, admitted) =>
+      val want = (nTok >= 50 && nTok <= 100000 &&
+        meanLen >= 3000 && meanLen <= 10000 &&
+        alpha >= 800 && top2 <= 200 && dup3 <= 300)
+      assert(admitted == (if (want) 1L else 0L), s"doc $id verdict drift")
+      // milli signals live in their domains
+      assert(alpha >= 0 && alpha <= 1000 && top2 >= 0 && top2 <= 1000 &&
+        dup3 >= 0 && dup3 <= 1000)
+    }
+    // the corpus must be discriminative for the gate to mean anything
+    assert(rows.exists(_._7 == 1L) && rows.exists(_._7 == 0L),
+      "gate admits or rejects everything — thresholds not load-bearing")
+  }
 }
