@@ -81,6 +81,7 @@ object SparkEntry {
     "q_scd2" -> (Events.qScd2 _),
     "q_events_json" -> (Events.qEventsJson _),
     "q_skew_salted_agg" -> (ScaleOps.qSkewSaltedAgg _),
+    "q_exact_quantiles" -> (ScaleOps.qExactQuantiles _),
     "q_skew_salted_join" -> (ScaleOps.qSkewSaltedJoin _),
     "q_heavy_users" -> (ScaleOps.qHeavyUsers _),
     "q_approx_distinct" -> (ScaleOps.qApproxDistinct _),
@@ -1157,6 +1158,23 @@ object SparkEntry {
       SELECT event_type, COUNT(*) AS n,
              CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
       FROM events GROUP BY 1""",
+    "q_exact_quantiles" -> """
+      WITH src AS (
+        SELECT 'quantity' AS col_name, CAST(l_quantity AS BIGINT) AS v FROM lineitem
+        UNION ALL
+        SELECT 'price_cents', CAST(ROUND(l_extendedprice * 100) AS BIGINT) FROM lineitem
+      ), h AS (
+        SELECT col_name, v, COUNT(*) AS cnt FROM src GROUP BY 1, 2
+      ), c AS (
+        SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n FROM src GROUP BY 1
+      ), cum AS (
+        SELECT col_name, v, SUM(cnt) OVER (PARTITION BY col_name ORDER BY v) AS cu
+        FROM h
+      ), qs(q) AS (VALUES (25), (50), (75), (99))
+      SELECT cum.col_name, CAST(qs.q AS BIGINT) AS q, MIN(cum.v) AS value
+      FROM cum JOIN c USING (col_name) CROSS JOIN qs
+      WHERE 100 * cum.cu >= qs.q * c.n
+      GROUP BY 1, 2""",
     "q_rolling_window" -> """
       WITH e AS (
         SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,

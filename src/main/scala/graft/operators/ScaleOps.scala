@@ -210,4 +210,64 @@ object ScaleOps {
         min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
         min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
   }
+
+  /** EXACT quantiles of an integer column WITHOUT a global sort — the
+    * two-pass bucketed histogram (the classic distributed exact-median
+    * construction; same discipline as the CCNet threshold pass, scaled
+    * to high-cardinality domains): pass 1 histograms `v div B` (bounded
+    * by range/B rows, map-side combined), the driver prefix-sums that
+    * metadata-sized table to locate each quantile's bucket; pass 2
+    * histograms exact values WITHIN the located buckets only (≤ B
+    * distinct values per bucket, and the bucket filter pushes down to
+    * the scan). The q-th (discrete, percent) quantile is
+    * min{v : 100·cum(v) ≥ q·N} — integer arithmetic end to end, so the
+    * oracle replay hashes exactly.
+    *
+    * A `percentile`/`ntile` spelling would range-partition the full
+    * column through a sort; this touches the corpus twice with only
+    * bounded aggregates crossing the wire — the shape that survives a
+    * 100 TB fact column.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: Column, qs: Seq[Int],
+      bucketWidth: Long = 16384L): Seq[(Int, Long)] = {
+    val v = valueCol.cast("long")
+    val coarse = df.select((v.divide(bucketWidth)).cast("long").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = coarse.map(_._2).sum
+    // locate each quantile's bucket via the coarse prefix sum
+    val targets = qs.map(q => q -> {
+      var cum = 0L
+      coarse.find { case (_, c) => cum += c; 100L * cum >= q.toLong * n }
+        .map(_._1).getOrElse(coarse.last._1)
+    })
+    val needed = targets.map(_._2).distinct
+    val fine = df.select(v.as("v"))
+      .filter((col("v").divide(bucketWidth)).cast("long").isInCollection(needed))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // mass strictly below each needed bucket, from the coarse histogram
+    val below = needed.map(b => b -> coarse.filter(_._1 < b).map(_._2).sum).toMap
+    targets.map { case (q, b) =>
+      var cum = below(b)
+      val inBucket = fine.filter(_._1 / bucketWidth == b)
+      q -> inBucket.find { case (_, c) => cum += c; 100L * cum >= q.toLong * n }
+        .map(_._1).getOrElse(inBucket.last._1)
+    }
+  }
+
+  /** Oracle-checked demonstration over lineitem: exact p25/p50/p75/p99
+    * of the (bounded-domain) quantity column and the (high-cardinality)
+    * extended-price-in-cents column, via [[exactQuantiles]].
+    */
+  def qExactQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val qs = Seq(25, 50, 75, 99)
+    val qty = exactQuantiles(li, col("l_quantity"), qs)
+    val cents = exactQuantiles(li, expr("cast(round(l_extendedprice * 100) as bigint)"), qs)
+    import s.implicits._
+    (qty.map { case (q, v) => ("quantity", q.toLong, v) } ++
+      cents.map { case (q, v) => ("price_cents", q.toLong, v) })
+      .toDF("col_name", "q", "value")
+  }
 }

@@ -1031,6 +1031,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("exact quantiles: bucket-width invariant, equals a driver-side sort") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    val centsCol = expr("cast(round(l_extendedprice * 100) as bigint)")
+    val vals = li.select(centsCol.as("v")).collect().map(_.getLong(0)).sorted
+    val n = vals.length
+    // min v with 100*cum >= q*n  ⇔  the ceil(q*n/100)-th sorted value
+    def ref(q: Int) = vals((((q.toLong * n + 99) / 100).toInt - 1).max(0))
+    val qs = Seq(25, 50, 75, 99)
+    // the distributed two-pass answer must not depend on bucketing:
+    // width 1 (coarse pass IS the histogram), the default, and a width
+    // larger than the domain (fine pass does all the work)
+    for (b <- Seq(1L, 16384L, 1L << 40)) {
+      val got = ScaleOps.exactQuantiles(li, centsCol, qs, b).toMap
+      qs.foreach(q => assert(got(q) == ref(q),
+        s"q$q at bucketWidth=$b: got ${got(q)}, sort says ${ref(q)}"))
+    }
+  }
+
   test("mm canonical: one keeper per phash cluster, keeper maximizes (bytes, -id)") {
     val rows = Multimodal.mmCanonical(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
