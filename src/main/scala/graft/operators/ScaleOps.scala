@@ -230,8 +230,11 @@ object ScaleOps {
     */
   def exactQuantiles(df: DataFrame, valueCol: Column, qs: Seq[Int],
       bucketWidth: Long = 16384L): Seq[(Int, Long)] = {
+    // bucket by INTEGER division: a double `/` disagrees with the
+    // driver's Long arithmetic above 2^53 (epoch-nanos territory)
     val v = valueCol.cast("long")
-    val coarse = df.select((v.divide(bucketWidth)).cast("long").as("b"))
+    val coarse = df.select(v.as("__v"))
+      .selectExpr(s"__v div ${bucketWidth}L as b")
       .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val n = coarse.map(_._2).sum
@@ -243,7 +246,7 @@ object ScaleOps {
     })
     val needed = targets.map(_._2).distinct
     val fine = df.select(v.as("v"))
-      .filter((col("v").divide(bucketWidth)).cast("long").isInCollection(needed))
+      .filter(expr(s"v div ${bucketWidth}L").isInCollection(needed))
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     // mass strictly below each needed bucket, from the coarse histogram

@@ -156,10 +156,19 @@ object Macros {
     // params are also visible inside the body's control-flow tags —
     // `{% set d = strptime(as_of, …) %}` must see the caller's arg text
     // (ControlFlow renders tags AFTER expansion, so the substitution
-    // has to happen here, token-wise, skipping string literals)
+    // has to happen here, token-wise, skipping string literals). The
+    // tag's own BINDER stays untouched: `{% for c in … %}` / `{% set c
+    // = … %}` must keep `c` as an identifier even when a param shares
+    // the name — otherwise the tag text turns syntactically invalid.
+    // (Full Jinja shadowing inside the bound body is out of scope like
+    // the rest of the macro system's textual semantics.)
+    val binderRe = raw"(?s)^(\s*(?:for|set)\s+)([A-Za-z_]\w*)(.*)$$".r
     raw"(?s)\{%(.*?)%\}".r.replaceAllIn(inExprs, sp =>
-      scala.util.matching.Regex.quoteReplacement(
-        "{%" + rewriteTokens(sp.group(1), rawBound) + "%}"))
+      scala.util.matching.Regex.quoteReplacement("{%" + (sp.group(1) match {
+        case binderRe(head, binder, rest) =>
+          head + binder + rewriteTokens(rest, rawBound)
+        case other => rewriteTokens(other, rawBound)
+      }) + "%}"))
   }
 
   /** Replace bare identifier tokens with their raw arg text, skipping

@@ -114,8 +114,18 @@ object Modules {
     case "modules.re.search" => reMatch(args, anchored = false)
     case "modules.re.sub" =>
       val Seq(p, repl, s) = args.take(3).toSeq
-      java.util.regex.Pattern.compile(asStr(p, name)).matcher(asStr(s, name))
-        .replaceAll(pyReplacement(asStr(repl, name)))
+      val count = args.lift(3).map(asLong(_, name)).getOrElse(0L)
+      val m = java.util.regex.Pattern.compile(asStr(p, name)).matcher(asStr(s, name))
+      val jRepl = pyReplacement(asStr(repl, name))
+      if (count <= 0L) m.replaceAll(jRepl)
+      else {
+        // Python's count arg: replace only the first `count` matches
+        val sb = new java.lang.StringBuilder
+        var done = 0L
+        while (done < count && m.find()) { m.appendReplacement(sb, jRepl); done += 1 }
+        m.appendTail(sb)
+        sb.toString
+      }
     case "modules.re.findall" =>
       val m = java.util.regex.Pattern.compile(asStr(args(0), name))
         .matcher(asStr(args(1), name))

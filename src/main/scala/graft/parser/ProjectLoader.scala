@@ -232,7 +232,7 @@ object ProjectLoader {
       val deps = scan.refs.map(r => refId(r, name)) ++
         scan.sources.map { case (s, t) => s"source.$name.$s.$t" }
       val node = AnalysisNode(aname, name, raw, configFrom(scan.config), deps,
-        scan.refs, scan.sources, checksum = FileHash.of(raw), path = f.toString)
+        scan.refs, scan.sources, checksum = FileHash.of(raw), path = dir.relativize(f).toString)
       nodes(node.uniqueId) = node
       recordMacroDeps(node.uniqueId, orig)
     }
@@ -256,7 +256,7 @@ object ProjectLoader {
       val deps = scan.refs.map(r => refId(r, name)) ++
         scan.sources.map { case (s, t) => s"source.$name.$s.$t" }
       val node = TestNode(tname, name, raw, cfg, deps, scan.refs,
-        checksum = FileHash.of(raw), path = f.toString)
+        checksum = FileHash.of(raw), path = dir.relativize(f).toString)
       nodes(node.uniqueId) = node
       recordMacroDeps(node.uniqueId, orig)
     }
@@ -297,12 +297,12 @@ object ProjectLoader {
                   case _ => Map.empty
                 },
                 checksum = FileHash.of(t.toString),
-                path = f.toString)
+                path = dir.relativize(f).toString)
               sources(src.uniqueId) = src
               // generic tests on source columns
               for (tn <- columnTests(t, name, s"{{ source('$srcName', '${t("name")}') }}",
                   s"source_${srcName}_${t("name")}", Seq(src.uniqueId), macroTable,
-                  f.toString))
+                  dir.relativize(f).toString))
                 nodes(tn.uniqueId) = tn
             }
           }
@@ -316,7 +316,7 @@ object ProjectLoader {
             val mname = m("name").toString
             val modelId = s"model.$name.$mname"
             for (tn <- columnTests(m, name, s"{{ ref('$mname') }}", mname,
-                Seq(modelId), macroTable, f.toString))
+                Seq(modelId), macroTable, dir.relativize(f).toString))
               nodes(tn.uniqueId) = tn
             nodes.get(modelId) match {
               case Some(mn: ModelNode) => nodes(modelId) = applyModelYmlEntry(mn, m)
@@ -765,11 +765,11 @@ object ProjectLoader {
       if (isTest)
         graft.core.TestNode(bname, name, raw,
           configFrom(scan.config).copy(materialized = Materialized.View),
-          deps, scan.refs, checksum = FileHash.of(raw), path = f.toString)
+          deps, scan.refs, checksum = FileHash.of(raw), path = dir.relativize(f).toString)
       else
         graft.core.AnalysisNode(bname, name, raw, configFrom(scan.config),
           deps, scan.refs, scan.sources, checksum = FileHash.of(raw),
-          path = f.toString)
+          path = dir.relativize(f).toString)
     // macro-dependency closure, as in load0/reparseModelFile
     val macroCallRes: Map[String, Regex] =
       macroTable.keys.map(k => k -> raw"(?<![\w])${Regex.quote(k)}\s*\(".r).toMap
@@ -843,18 +843,20 @@ object ProjectLoader {
       s"hub package '$spec': not in the index at $pkgDir")
     // available versions: unpacked dirs and/or tarballs
     val tarRe = raw"(.+)\.(?:tar\.gz|tgz)".r
-    val avail: Seq[(String, Path)] = Files.list(pkgDir).iterator().asScala.toSeq
+    val avail: Seq[(String, Path)] = listDir(pkgDir)
       .flatMap { p =>
         val n = p.getFileName.toString
         if (Files.isDirectory(p)) Some(n -> p)
         else n match { case tarRe(v) => Some(v -> p); case _ => None }
       }.sortBy { case (v, _) => semver(v) }(semverOrd)
     require(avail.nonEmpty, s"hub package '$spec': no versions in index $pkgDir")
-    val clauses: Seq[String] = version match {
+    // dbt accepts both the list form and a comma-separated range string
+    // (">=1.0.0,<2.0.0") — split either into individual clauses
+    val clauses: Seq[String] = (version match {
       case None => Nil
       case Some(l: Seq[Any @unchecked]) => l.map(_.toString)
       case Some(v) => Seq(v.toString)
-    }
+    }).flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     avail.reverseIterator.find { case (v, _) => clauses.forall(satisfies(v, _)) } match {
       case Some((v, p)) =>
         if (Files.isDirectory(p)) p
@@ -866,13 +868,15 @@ object ProjectLoader {
     }
   }
 
-  /** Dotted-numeric version key; non-numeric tails (pre-releases) sort
-    * by their text after the numeric segments.
+  /** Dotted-numeric version key. Pre-release tails sort BELOW the bare
+    * release (semver: 1.2.0-rc1 < 1.2.0), so the empty tail maps to a
+    * sentinel above any printable tail text.
     */
   private def semver(v: String): (Seq[Int], String) = {
     val core = v.stripPrefix("v").takeWhile(c => c.isDigit || c == '.')
+    val tail = v.drop(core.length + (if (v.startsWith("v")) 1 else 0))
     (core.split('.').toSeq.filter(_.nonEmpty).map(_.toInt).padTo(3, 0),
-      v.drop(core.length + (if (v.startsWith("v")) 1 else 0)))
+      if (tail.isEmpty) "\uffff" else tail)
   }
 
   private val semverOrd: Ordering[(Seq[Int], String)] = {
@@ -942,12 +946,19 @@ object ProjectLoader {
       } finally in.close()
       Files.setLastModifiedTime(untarred, Files.getLastModifiedTime(tarPath))
     }
-    val children = Files.list(untarred).iterator().asScala
-      .filter(Files.isDirectory(_)).toSeq
+    val children = listDir(untarred).filter(Files.isDirectory(_))
     require(children.size == 1,
       s"tarball package '$name': the archive must contain exactly one " +
         s"top-level folder (found ${children.size})")
     children.head
+  }
+
+  /** Files.list with the stream CLOSED (an unclosed stream leaks the
+    * directory fd until GC).
+    */
+  private def listDir(d: Path): Seq[Path] = {
+    val st = Files.list(d)
+    try st.iterator().asScala.toSeq finally st.close()
   }
 
   private def filesUnder(d: Path, ext: String): Seq[Path] =

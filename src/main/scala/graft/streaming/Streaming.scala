@@ -35,7 +35,20 @@ object Streaming {
     * agree on the physical type and `normalizeEventTs` handles either.
     */
   def eventsSchemaOf(spark: SparkSession, inputDir: String): StructType =
-    spark.read.parquet(inputDir).schema
+    // consumer-before-producer startup: with no file landed yet there is
+    // nothing to scan, so fall back to the static current-generation
+    // schema (NTZ micros) — the stream starts and waits; once files
+    // exist, restarts always re-derive from the actual physical type
+    try spark.read.parquet(inputDir).schema
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampNTZType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType)))
+    }
 
   /** readStream over an events directory; ts normalized to `ts_us`
     * (integer µs) + `ts_t` (timestamp) via the same type-driven rule

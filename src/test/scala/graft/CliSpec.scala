@@ -209,6 +209,11 @@ class CliSpec extends AnyFunSuite {
     assert(aps.contains("models/sources.yml"), aps)
     assert(!aps.linesIterator.exists(_.trim.isEmpty),
       s"every selected node must report a path:\n$aps")
+    // paths are PROJECT-RELATIVE for every node kind (reference
+    // original_file_path), except seeds whose csvPath doubles as the
+    // absolute read location
+    aps.linesIterator.filterNot(_.endsWith(".csv")).foreach(l =>
+      assert(!l.startsWith("/"), s"absolute path leaked into list output: $l"))
 
     val (_, json) = run("list", dir,
       Map("output" -> "json", "output-keys" -> "name,resource_type,unique_id",

@@ -1600,7 +1600,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     def wh(rel: String, c: String): Unit = {
       val p = dh.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
     }
-    for (v <- Seq("1.0.0", "1.2.0", "2.0.0")) {
+    for (v <- Seq("1.0.0", "1.2.0", "1.2.0-rc1", "2.0.0")) {
       wh(s"index/acme/util/$v/dbt_project.yml", "name: hubutil\n")
       wh(s"index/acme/util/$v/models/hub_base.sql",
         s"SELECT '$v' AS pkg_version")
@@ -1621,13 +1621,20 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       RunOptions(cmd = "run", threads = 2,
         targetDir = dh.resolve("target").toString)).execute()
     assert(rh.forall(_.status == "success"), rh.mkString("\n"))
-    // highest in-range version wins: 1.2.0, not 1.0.0, not 2.0.0
+    // highest in-range RELEASE wins: 1.2.0 — not 1.0.0, not the 2.0.0
+    // outside the cap, and not 1.2.0-rc1 (pre-releases sort BELOW their
+    // release, semver-style)
     assert(sth.read("uses_hub").first().getString(0) == "1.2.0")
+    // the dbt comma-range string form resolves identically to the list
+    wh("packages.yml",
+      "packages:\n  - package: acme/util\n    version: \">=1.0.0,<2.0.0\"\n    hub: file://index\n")
+    assert(ProjectLoader.localPackageDirs(dh).exists(_.toString.endsWith("1.2.0")),
+      "comma-separated range must honor the upper clause")
     // no satisfying version errors listing what IS available
     wh("packages.yml",
       "packages:\n  - package: acme/util\n    version: \">=3.0.0\"\n    hub: file://index\n")
     val e = intercept[IllegalArgumentException](ProjectLoader.load(dh.toString))
-    assert(e.getMessage.contains("available: 1.0.0, 1.2.0, 2.0.0"), e.getMessage)
+    assert(e.getMessage.contains("available: 1.0.0, 1.2.0-rc1, 1.2.0, 2.0.0"), e.getMessage)
     // an http hub is refused, not silently ignored
     wh("packages.yml",
       "packages:\n  - package: acme/util\n    hub: https://hub.getdbt.com\n")

@@ -380,6 +380,9 @@ class ControlFlowSpec extends AnyFunSuite {
     assert(r("modules.re.findall('[0-9]+', 'a1 b22 c333')") == "['1', '22', '333']")
     assert(r("modules.re.split(',\\s*', 'x, y,z')") == "['x', 'y', 'z']")
     assert(r("modules.re.escape('a.b*c')") == "a\\.b\\*c")
+    // Python's 4th (count) argument bounds the replacements
+    assert(r("modules.re.sub('a', 'b', 'aaa', 1)") == "baa")
+    assert(r("modules.re.sub('a', 'b', 'aaa', 2)") == "bba")
     // match is anchored, search is not; a failed match is falsy
     assert(ControlFlow.render("{% if modules.re.match('[0-9]', 'a1') %}Y{% else %}N{% endif %}") == "N")
     assert(ControlFlow.render("{% if modules.re.search('[0-9]', 'a1') %}Y{% else %}N{% endif %}") == "Y")
@@ -387,6 +390,24 @@ class ControlFlowSpec extends AnyFunSuite {
     assert(ControlFlow.render(
       "{% if modules.re.match('prod', var('env', 'dev')) %}big{% else %}small{% endif %}",
       Map("env" -> "produs-east")) == "big")
+  }
+
+  test("macro params leave a tag's own for/set binder identifier intact") {
+    import graft.parser.Macros
+    // param name shadows the body's loop variable: the binder must stay
+    // an identifier (not become the arg literal), so the tag still parses
+    val defs = Macros.parse(
+      "{% macro m(c) %}{{ c }}:{% for c in ['a', 'b'] %}{{ c }}{% endfor %}{% endmacro %}")
+      .map(d => d.name -> d).toMap
+    val expanded = Macros.expand("{{ m('x') }}", defs)
+    assert(ControlFlow.render(expanded) == "x:xx" || ControlFlow.render(expanded) == "x:ab",
+      s"render broke on shadowed binder: '${ControlFlow.render(expanded)}'")
+    // set binder likewise survives
+    val defs2 = Macros.parse(
+      "{% macro n(v) %}{% set v = 'inner' %}{{ v }}{% endmacro %}")
+      .map(d => d.name -> d).toMap
+    val out2 = ControlFlow.render(Macros.expand("{{ n('outer') }}", defs2))
+    assert(out2 == "inner" || out2 == "outer", s"set binder corrupted: '$out2'")
   }
 
   test("flags context member: typed defaults, CLI-seeded values, renderable") {

@@ -175,6 +175,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("event stream starts before any file lands (schema falls back)") {
+    // consumer-before-producer: deriving the schema from an empty input
+    // dir must not crash — the static fallback lets readStream start
+    val emptyIn = s"$work/no_files_yet"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(emptyIn))
+    val schema = Streaming.eventsSchemaOf(spark, emptyIn)
+    assert(schema.fieldNames.contains("ts") && schema.fieldNames.contains("event_id"))
+    val stream = Streaming.eventStream(spark, emptyIn)
+    assert(stream.isStreaming, "stream must construct against an empty dir")
+  }
+
   test("streaming ccnet bucketing under a frozen model equals the batch pass") {
     val store = new RelationStore(spark, s"$work/wh_ccnet")
     val newIn = s"$work/ccnetdocs"
