@@ -105,8 +105,15 @@ object CurateOps {
     * operator; the verdict is a projection over the joined signals —
     * no windows, no self-joins, nothing corpus-sized on one task.
     */
-  def curateGopherGate(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(s, dir)
+  def curateGopherGate(s: SparkSession, dir: String): DataFrame =
+    gopherGateOf(tokens(s, dir))
+
+  /** The gate over any (doc_id, w: array<string>) token set — shared
+    * verbatim by the batch operator and the streaming driver
+    * ([[graft.streaming.Streaming.runGopherGate]]): every signal is
+    * per-document, so stream ≡ batch holds by construction.
+    */
+  def gopherGateOf(toks: DataFrame): DataFrame = {
     val base = toks.select(col("doc_id"),
       size(col("w")).cast("long").as("n_tokens"),
       expr("aggregate(w, 0L, (acc, t) -> acc + length(t))").as("sum_len"),

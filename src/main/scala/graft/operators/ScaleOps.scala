@@ -218,8 +218,11 @@ object ScaleOps {
     * by range/B rows, map-side combined), the driver prefix-sums that
     * metadata-sized table to locate each quantile's bucket; pass 2
     * histograms exact values WITHIN the located buckets only (≤ B
-    * distinct values per bucket, and the bucket filter pushes down to
-    * the scan). The q-th (discrete, percent) quantile is
+    * distinct values per bucket; the bucket membership is spelled as
+    * value-range predicates, which reach the parquet scan's min/max
+    * pruning when the value is a plain column). Non-negative values
+    * assumed (shift a signed domain before calling). The q-th
+    * (discrete, percent) quantile is
     * min{v : 100·cum(v) ≥ q·N} — integer arithmetic end to end, so the
     * oracle replay hashes exactly.
     *
@@ -245,8 +248,12 @@ object ScaleOps {
         .map(_._1).getOrElse(coarse.last._1)
     })
     val needed = targets.map(_._2).distinct
-    val fine = df.select(v.as("v"))
-      .filter(expr(s"v div ${bucketWidth}L").isInCollection(needed))
+    // bucket membership spelled as RANGE predicates on the value —
+    // min/max-pushable into the parquet scan when valueCol is a plain
+    // column (an `v div B in (...)` expression filter never is)
+    val inNeeded = needed.map(b =>
+      v.between(b * bucketWidth, b * bucketWidth + bucketWidth - 1)).reduce(_ || _)
+    val fine = df.filter(inNeeded).select(v.as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     // mass strictly below each needed bucket, from the coarse histogram

@@ -257,6 +257,34 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Apply the Gopher quality gate to arriving documents — every rule
+    * signal is PER-DOCUMENT ([[graft.operators.CurateOps.gopherGateOf]]
+    * is the batch plan verbatim over each micro-batch's tokens), so
+    * stream ≡ batch holds by construction with no model artifact at
+    * all: the thresholds are the operator's fixed rule set. The
+    * quality-admission shape a continuous ingest pipeline runs before
+    * anything corpus-relative (dedup, budgets) sees the document.
+    */
+  def runGopherGate(
+      newDocs: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit = {
+    val q = newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val verdicts = graft.operators.CurateOps.gopherGateOf(
+          batch.select(col("doc_id"),
+            split(graft.operators.TextOps.normalized(col("text")), " ").as("w")))
+        if (store.exists(table)) store.write(store.read(table).unionByName(verdicts), table)
+        else store.write(verdicts, table)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drive incremental (batch-vs-index) dedup over a stream of newly
     * arriving documents: each micro-batch probes a PREBUILT static
     * index via the exact same [[graft.operators.DedupOps.probeAgainstIndex]]

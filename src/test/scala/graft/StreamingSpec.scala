@@ -214,6 +214,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming gopher gate over two arrivals equals the batch gate") {
+    val store = new RelationStore(spark, s"$work/wh_gopher")
+    val newIn = s"$work/gopherdocs"
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.filter(col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runGopherGate(Streaming.documentStream(spark, newIn),
+      store, "gopher_verdicts", s"$work/cp_gopher")
+    val afterFirst = store.read("gopher_verdicts").count()
+    docs.filter(col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runGopherGate(Streaming.documentStream(spark, newIn),
+      store, "gopher_verdicts", s"$work/cp_gopher")
+    val streamed = store.read("gopher_verdicts")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    val batch = graft.operators.CurateOps.curateGopherGate(spark, sfDir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val store = new RelationStore(spark, s"$work/wh4")
     val joined = Streaming.clickPurchaseJoin(Streaming.eventStream(spark, s"$work/in"))
