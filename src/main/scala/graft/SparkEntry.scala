@@ -109,6 +109,9 @@ object SparkEntry {
     "txt_quality_classify" -> (TextOps.txtQualityClassify _),
     "txt_bpe_train" -> (TextOps.txtBpeTrain _),
     "txt_bpe_segment" -> (TextOps.txtBpeSegment _),
+    "txt_pmi_collocations" -> (TextOps.txtPmiCollocations _),
+    "txt_ngram_diversity" -> (TextOps.txtNgramDiversity _),
+    "txt_tfidf_topk" -> (TextOps.txtTfidfTopK _),
     // dedup
     "dedup_exact" -> (DedupOps.dedupExact _),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
@@ -116,6 +119,8 @@ object SparkEntry {
     "dedup_simhash" -> (DedupOps.dedupSimHash _),
     "dedup_simhash_pairs" -> (DedupOps.dedupSimHashPairs _),
     "dedup_clusters" -> (GraphOps.dedupClusters _),
+    "dedup_cluster_sizes" -> (GraphOps.dedupClusterSizes _),
+    "graph_label_prop" -> ((s, d) => GraphOps.graphLabelProp(s, d)),
     "graph_pagerank" -> ((s, d) => GraphOps.graphPageRank(s, d)),
     "graph_triangles" -> (GraphOps.graphTriangles _),
     "graph_kcore" -> ((s, d) => GraphOps.graphKCore(s, d)),
@@ -1474,6 +1479,87 @@ object SparkEntry {
       SELECT doc_id, n_chars, CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS rk
       FROM keyed ORDER BY k, doc_id LIMIT 100""",
     "txt_bm25_topk" -> Bm25Sql,
+    "txt_pmi_collocations" -> """
+      WITH words AS (
+        SELECT list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '') AS w
+        FROM documents
+      ), uni AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(w) AS term FROM words) GROUP BY 1
+      ), ntok AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM uni
+      ), bgrams AS (
+        SELECT w[i+1] AS w1, w[i+2] AS w2
+        FROM words, unnest(range(0, len(w)-1)) t(i)
+        WHERE len(w) >= 2
+      ), bg AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt_ab
+        FROM bgrams GROUP BY 1, 2 HAVING COUNT(*) >= 5
+      )
+      SELECT b.w1, b.w2, b.cnt_ab,
+             CAST(len(bin(b.cnt_ab)) + len(bin(n.n_tokens))
+                - len(bin(a.cnt)) - len(bin(c.cnt)) AS BIGINT) AS pmi_bits
+      FROM bg b
+      JOIN uni a ON a.term = b.w1
+      JOIN uni c ON c.term = b.w2, ntok n
+      ORDER BY pmi_bits DESC, cnt_ab DESC, w1, w2
+      LIMIT 20""",
+    "txt_ngram_diversity" -> """
+      WITH words AS (
+        SELECT source, list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '') AS w
+        FROM documents
+      ), grams AS (
+        SELECT source, w[i+1] || ' ' || w[i+2] AS gram
+        FROM words, unnest(range(0, len(w)-1)) t(i)
+        WHERE len(w) >= 2
+      ), g2 AS (
+        SELECT source, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM grams GROUP BY 1, 2
+      )
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(cnt) AS BIGINT) AS n_grams,
+             CAST((1000000 * COUNT(*)) // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS ttr_ppm
+      FROM g2 GROUP BY 1""",
+    "txt_tfidf_topk" -> """
+      WITH words AS (
+        SELECT doc_id, list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '') AS w
+        FROM documents
+      ), toks AS (
+        SELECT doc_id, w[i+1] || ' ' || w[i+2] AS term
+        FROM words, unnest(range(0, len(w)-1)) t(i)
+        WHERE len(w) >= 2
+      ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+      ), nd AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf
+      ), dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      ), wnz AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * (CAST(len(bin(n.n_docs + 1)) AS BIGINT) - CAST(len(bin(d.df + 1)) AS BIGINT)) * 1000 AS w
+        FROM tf JOIN dfreq d USING (term), nd n
+        WHERE tf.tf * (CAST(len(bin(n.n_docs + 1)) AS BIGINT) - CAST(len(bin(d.df + 1)) AS BIGINT)) * 1000 > 0
+      ), norms AS (
+        SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS norm FROM wnz GROUP BY 1
+      ), unitv AS (
+        SELECT w.doc_id, w.term,
+               (w.w * 1000) // GREATEST(CAST(FLOOR(SQRT(CAST(n.norm AS DOUBLE))) AS BIGINT), 1) AS u
+        FROM wnz w JOIN norms n USING (doc_id)
+      ), probes AS (
+        SELECT doc_id AS probe_id, term, u AS pu FROM unitv WHERE doc_id < 10
+      ), agg AS (
+        SELECT p.probe_id, c.doc_id,
+               CAST(SUM(c.u * p.pu) AS BIGINT) AS score_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM unitv c JOIN probes p USING (term)
+        WHERE c.doc_id <> p.probe_id
+        GROUP BY 1, 2
+      )
+      SELECT probe_id, doc_id, score_micro, n_terms, CAST(rn AS BIGINT) AS rn
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY score_micro DESC, doc_id) AS rn
+        FROM agg
+      ) t WHERE rn <= 3""",
     "txt_inverted_index" -> """
       WITH dw AS (
         SELECT DISTINCT doc_id, term
@@ -1690,6 +1776,71 @@ object SparkEntry {
              COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
              CAST(doc_id = cluster_id AS BIGINT) AS keep
       FROM cl""",
+    "dedup_cluster_sizes" -> s"""
+      WITH RECURSIVE pairs AS ($SimhashPairsSql
+      ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ), reach(node, lab) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+      ), cl AS (
+        SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY 1
+      ), sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz FROM cl GROUP BY 1
+      )
+      SELECT CAST(len(bin(sz)) AS BIGINT) - 1 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(sz) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY 1""",
+    "graph_label_prop" -> s"""
+      WITH pairs AS MATERIALIZED ($SimhashPairsSql
+      ), edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ), nodes AS MATERIALIZED (
+        SELECT DISTINCT src AS node FROM edges
+      ), seeds AS MATERIALIZED (
+        SELECT n.node, d.lang AS seed_label
+        FROM nodes n JOIN documents d ON d.doc_id = n.node
+        WHERE n.node % 3 = 0
+      ), l0 AS MATERIALIZED (
+        SELECT n.node, s.seed_label AS label FROM nodes n LEFT JOIN seeds s USING (node)
+      ), c1 AS MATERIALIZED (
+        SELECT node, label FROM (
+          SELECT g.node, g.label,
+                 ROW_NUMBER() OVER (PARTITION BY g.node ORDER BY g.cnt DESC, g.label) AS rn
+          FROM (SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+                FROM edges e JOIN l0 l ON l.node = e.src
+                WHERE l.label IS NOT NULL GROUP BY 1, 2) g
+        ) t WHERE rn = 1
+      ), l1 AS MATERIALIZED (
+        SELECT n.node, COALESCE(s.seed_label, c.label, l.label) AS label
+        FROM nodes n
+        LEFT JOIN seeds s USING (node)
+        LEFT JOIN c1 c USING (node)
+        LEFT JOIN l0 l USING (node)
+      ), c2 AS MATERIALIZED (
+        SELECT node, label FROM (
+          SELECT g.node, g.label,
+                 ROW_NUMBER() OVER (PARTITION BY g.node ORDER BY g.cnt DESC, g.label) AS rn
+          FROM (SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+                FROM edges e JOIN l1 l ON l.node = e.src
+                WHERE l.label IS NOT NULL GROUP BY 1, 2) g
+        ) t WHERE rn = 1
+      ), l2 AS (
+        SELECT n.node, COALESCE(s.seed_label, c.label, l.label) AS label
+        FROM nodes n
+        LEFT JOIN seeds s USING (node)
+        LEFT JOIN c2 c USING (node)
+        LEFT JOIN l1 l USING (node)
+      )
+      SELECT node AS doc_id, label,
+             CAST(CASE WHEN node % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+      FROM l2""",
     "txt_stats" -> """
       SELECT doc_id, LENGTH(text) AS n_chars_m,
              len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS n_tokens_ws,

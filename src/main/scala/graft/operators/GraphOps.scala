@@ -305,4 +305,70 @@ object GraphOps {
       .select(col("node").as("doc_id"), col("deg0"), col("removed_round"),
         (col("removed_round") === 0L).cast("long").as("in_core"))
   }
+
+  /** Semi-supervised label propagation (Zhu-Ghahramani style majority
+    * vote, unrolled rounds) over the SimHash near-dup graph: seed
+    * nodes (doc_id % 3 == 0) carry their known `lang`; each round
+    * every node adopts the most frequent label among its labeled
+    * neighbors (tie → lexicographically smallest label), seeds stay
+    * clamped. The curation use: spread a trusted-subset annotation
+    * (human lang labels, license class, toxicity flags) across a
+    * duplicate neighborhood without scoring every member.
+    *
+    * Determinism: majority + total-order tie-break, so the result is
+    * partitioning-independent and the unrolled rounds replay as DuckDB
+    * CTEs. Scale shape per round: one edges⋈labels equi-join on src,
+    * a map-side-combined `groupBy(node, label)` count, then the argmax
+    * window runs over ≤ |labels| rows per node (label cardinality,
+    * NOT degree — the groupBy collapsed degree already), so a hub
+    * node costs the same as a leaf in the window stage.
+    */
+  def graphLabelProp(s: SparkSession, dir: String, rounds: Int = 2): DataFrame = {
+    val docs = graft.sources.Tables.load(s, dir, "documents")
+    val pairs = DedupOps.dedupSimHashPairs(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = pairs
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    val nodes = edges.select(col("src").as("node")).distinct().cache()
+    val seeds = nodes.filter(col("node") % 3 === 0)
+      .join(docs.select(col("doc_id").as("node"), col("lang").as("seed_label")), Seq("node"))
+    var labels = nodes.join(seeds, Seq("node"), "left")
+      .select(col("node"), col("seed_label").as("label"))
+    for (_ <- 1 to rounds) {
+      val cand = edges
+        .join(labels.filter(col("label").isNotNull)
+          .select(col("node").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("node")).orderBy(col("cnt").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label").as("new_label"))
+      labels = labels
+        .join(seeds, Seq("node"), "left")
+        .join(cand, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("seed_label"), col("new_label"), col("label")).as("label"))
+    }
+    labels.select(col("node").as("doc_id"), col("label"),
+      (col("node") % 3 === 0).cast("long").as("is_seed"))
+  }
+
+  /** Duplicate-cluster size histogram (log2 buckets) — the audit
+    * report read AFTER [[dedupClusters]]: a corpus whose mass sits in
+    * a few giant clusters needs different dedup economics (and
+    * different LSH parameters) than one full of pairs, and this is
+    * the one-page number that says which. Shape: the CC fixpoint,
+    * then two count aggregations — cluster-keyed, then over the
+    * cluster-count-sized table (≤ one row per cluster). Bucket =
+    * floor(log2(size)) via the floored-bits device.
+    */
+  def dedupClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.dedupSimHashPairs(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponents(pairs)
+      .groupBy(col("lab")).agg(count(lit(1)).as("sz"))
+      .groupBy((length(bin(col("sz"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).cast("long").as("n_docs"))
+  }
 }

@@ -479,4 +479,142 @@ object TextOps {
           .cast("long").as("n_tok"),
         array_join(slice(col("toks"), col("start_tok") + 1, lit(window)), " ")
           .as("chunk_text"))
+
+  /** PMI collocation mining (Church-Hanks pointwise mutual information)
+    * — the phrase-discovery pass a tokenizer-training pipeline runs
+    * before deciding which adjacent pairs deserve a merged vocab entry
+    * (complementing [[txtBpeTrain]]'s frequency-argmax merges with an
+    * association-strength ranking).
+    *
+    * PMI = log2( P(ab) / (P(a)·P(b)) ), computed in the floored-bits
+    * log2 device shared with [[txtCharLmScore]]/[[txtBm25TopK]]:
+    *   pmi_bits = flog2(cnt_ab) + flog2(N) − flog2(cnt_a) − flog2(cnt_b)
+    * Each count gets its own flog2 (never flog2 of a product), so no
+    * term can overflow a long at any corpus size — at 100 TB,
+    * cnt_ab·N would be ~10²⁶; the per-count form never exceeds the
+    * count itself.
+    *
+    * Scale shape: one corpus scan explodes adjacent-pair grams into a
+    * map-side-combined `groupBy(w1, w2)` count; the `cnt_ab >= 5`
+    * support floor (standard in collocation work — PMI of singletons
+    * is noise) prunes the candidate set before the two vocab-keyed
+    * unigram joins; the final top-20 with a total-order tie-break
+    * compiles to TakeOrderedAndProject (per-partition heaps, 20 rows
+    * to the driver). No window, no broadcast of anything corpus-sized.
+    */
+  def txtPmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    def flog2(c: Column): Column = (length(bin(c)) - lit(1)).cast("long")
+    val words = docs(s, dir)
+      .select(filter(split(normalized(col("text")), " "), t => t =!= "").as("w"))
+    val uni = words
+      .select(explode(col("w")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val nTokens = uni.agg(sum(col("cnt")).cast("long").as("n_tokens"))
+    val bg = words
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w)-2), i -> struct(w[i] as w1, w[i+1] as w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt_ab"))
+      .filter(col("cnt_ab") >= 5)
+    bg
+      .join(uni.select(col("term").as("w1"), col("cnt").as("cnt_a")), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("cnt").as("cnt_b")), Seq("w2"))
+      .crossJoin(broadcast(nTokens))
+      .select(col("w1"), col("w2"), col("cnt_ab"),
+        (flog2(col("cnt_ab")) + flog2(col("n_tokens"))
+          - flog2(col("cnt_a")) - flog2(col("cnt_b"))).as("pmi_bits"))
+      .orderBy(col("pmi_bits").desc, col("cnt_ab").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  /** Per-source bigram type-token ratio — the lexical-diversity signal
+    * a mixture planner reads next to [[graft.operators.CurateOps.curateQualityDrift]]:
+    * a source whose distinct-gram ratio collapses is template spam /
+    * boilerplate even when every per-document quality gate passes
+    * (per-doc signals cannot see cross-document repetition).
+    *
+    * Scale shape: two map-side-combined aggregations — corpus →
+    * `groupBy(source, gram)` (the heavy one, combine shrinks each hot
+    * gram to one partial row per map task) → `groupBy(source)`.
+    * Output is source-bounded. Ratio in exact integer ppm.
+    */
+  def txtNgramDiversity(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"),
+        filter(split(normalized(col("text")), " "), t => t =!= "").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("gram"))
+      .groupBy(col("source"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("cnt")).cast("long").as("n_grams"))
+      .select(col("source"), col("n_distinct"), col("n_grams"),
+        expr("(1000000L * n_distinct) div n_grams").as("ttr_ppm"))
+
+  /** Sparse TF-IDF cosine retrieval: top-3 nearest documents for each
+    * of 10 probe docs over unit-normalized tf·idf term vectors — the
+    * SPARSE half of the similarity family next to the dense
+    * [[graft.operators.SimilarityOps.simTopK]], and the similarity-join
+    * counterpart of [[txtBm25TopK]]'s query-workload ranking. Terms
+    * are adjacent-word bigram shingles, not unigrams: the floored-bits
+    * idf needs df spread to discriminate (a 31-word vocabulary puts
+    * every unigram in most documents → idf 0 across the board), and
+    * shingles are what sparse near-dup/similarity systems key on
+    * anyway (same term space as the repo's Jaccard/winnowing family).
+    *
+    * Exact integer arithmetic end-to-end so the oracle hash-matches:
+    * w = tf · idf_milli (idf via the floored-bits log2 device);
+    * unit weight u = (w·1000) div isqrt(Σw²) where isqrt =
+    * floor(sqrt(double(n))) — IEEE sqrt is correctly rounded and
+    * Σw² < 2⁵³, so Spark and DuckDB floor the same value; cosine then
+    * = Σ u·u′ in micro-units with NO square root at join time.
+    *
+    * Scale shape (Bayardo et al., WWW'07 prefix filtering, adapted):
+    * `w > 0` drops zero-idf stop-shingle postings from BOTH sides —
+    * the highest-df terms never enter the join at all, which is what
+    * makes a sparse similarity join survive a boilerplate-heavy
+    * 100 TB corpus. The probe side (10 docs × their nonzero-idf
+    * shingles) is a bounded broadcast; the corpus posting list streams
+    * once through the term-keyed hash join; per-probe top-3 compiles
+    * to WindowGroupLimit (map-side partial top-k before the single
+    * probe-keyed exchange).
+    */
+  def txtTfidfTopK(s: SparkSession, dir: String): DataFrame = {
+    def flog2(c: Column): Column = (length(bin(c)) - lit(1)).cast("long")
+    val toks = docs(s, dir)
+      .select(col("doc_id"),
+        filter(split(normalized(col("text")), " "), t => t =!= "").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val nDocs = tf.select(col("doc_id")).distinct().agg(count(lit(1)).as("n_docs"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val weights = tf
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * (flog2(col("n_docs") + 1) - flog2(col("df") + 1)) * 1000).as("w"))
+      .filter(col("w") > 0)
+    val norms = weights.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).cast("long").as("norm"))
+    val unit = weights.join(norms, Seq("doc_id"))
+      .select(col("doc_id"), col("term"),
+        expr("(w * 1000L) div greatest(cast(floor(sqrt(cast(norm as double))) as bigint), 1L)")
+          .as("u"))
+    val probes = unit.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("probe_id"), col("term"), col("u").as("pu"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("score_micro").desc, col("doc_id"))
+    unit
+      .join(broadcast(probes), Seq("term"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(sum(col("u") * col("pu")).cast("long").as("score_micro"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("doc_id"), col("score_micro"), col("n_terms"), col("rn"))
+  }
 }

@@ -541,4 +541,64 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(_._7 == 1L) && rows.exists(_._7 == 0L),
       "gate admits or rejects everything — thresholds not load-bearing")
   }
+
+  private def tokensOf: Array[(Long, Seq[String])] =
+    graft.sources.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id",
+        "filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), t -> t <> '') as toks")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+
+  private def flog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+
+  test("pmi collocations: top-20 matches a driver recount exactly") {
+    val toks = tokensOf
+    val uni = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTokens = uni.values.sum
+    val bg = toks.flatMap(_._2.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).filter(_._2 >= 5)
+    val want = bg.toSeq.map { case ((w1, w2), cab) =>
+      (w1, w2, cab, flog2(cab) + flog2(nTokens) - flog2(uni(w1)) - flog2(uni(w2)))
+    }.sortBy { case (w1, w2, cab, pmi) => (-pmi, -cab, w1, w2) }.take(20)
+    val got = TextOps.txtPmiCollocations(spark, sf)
+      .select("w1", "w2", "cnt_ab", "pmi_bits").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"pmi drift: got ${got.take(3)} want ${want.take(3)}")
+  }
+
+  test("ngram diversity: per-source ratios match a driver recount") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .selectExpr("source",
+        "filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), t -> t <> '') as toks")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    val grams = docs.filter(_._2.length >= 2)
+      .flatMap { case (src, ts) => ts.sliding(2).filter(_.length == 2).map(p => (src, p.mkString(" "))) }
+    val want = grams.groupBy(_._1).map { case (src, gs) =>
+      val total = gs.length.toLong
+      val distinct = gs.map(_._2).distinct.length.toLong
+      (src, distinct, total, 1000000L * distinct / total)
+    }.toSet
+    val got = TextOps.txtNgramDiversity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"diversity drift")
+  }
+
+  test("tfidf topk: ranked, self-free, within-probe scores non-increasing") {
+    val rows = TextOps.txtTfidfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, d, _, nTerms, rn) =>
+      assert(p != d, "self-match must be excluded")
+      assert(rn >= 1 && rn <= 3 && nTerms >= 1)
+    }
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      val byRank = rs.sortBy(_._5)
+      assert(byRank.map(_._5).toSeq == (1L to byRank.length).toSeq, s"probe $p rank gap")
+      // ranks follow (score desc, doc_id asc)
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2), s"probe $p misordered")
+        case _ =>
+      }
+    }
+  }
 }

@@ -1095,4 +1095,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val grown = spark.sparkContext.getPersistentRDDs.size - before
     assert(grown <= 3, s"cached-RDD growth $grown: superseded Lloyd codebooks leaked")
   }
+
+  test("label propagation: seeds clamp, labels spread only along edges") {
+    val langOf = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val edges = DedupOps.dedupSimHashPairs(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = GraphOps.graphLabelProp(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2)))
+    assert(rows.nonEmpty, "sf0.001 pair graph must be nonempty")
+    assert(rows.map(_._1).toSet == adj.keySet, "one row per graph node")
+    val seedSet = adj.keySet.filter(_ % 3 == 0)
+    rows.foreach { case (node, label, isSeed) =>
+      assert((isSeed == 1L) == (node % 3 == 0))
+      if (seedSet.contains(node))
+        assert(label.contains(langOf(node)), s"seed $node lost its clamped label")
+      // a non-seed label must be reachable: some node within 2 hops is a
+      // seed carrying that lang (2 = the unrolled round count)
+      else label.foreach { l =>
+        val twoHop = adj(node) ++ adj(node).flatMap(adj.getOrElse(_, Set.empty))
+        assert(twoHop.exists(m => seedSet.contains(m) && langOf(m) == l),
+          s"node $node label $l has no 2-hop seed source")
+      }
+    }
+    // deterministic: a second run (different partitioning) agrees exactly
+    val again = GraphOps.graphLabelProp(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(again == rows.toSet, "label propagation must be partitioning-independent")
+  }
+
+  test("cluster-size histogram: buckets tile the dedupClusters sizes") {
+    val sizes = GraphOps.dedupClusters(spark, sf).collect()
+      .groupBy(_.getLong(1)).map { case (_, m) => m.length.toLong }.toSeq
+    val rows = GraphOps.dedupClusterSizes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).sum == sizes.length, "cluster count mismatch")
+    assert(rows.map(_._3).sum == sizes.sum, "doc mass mismatch")
+    rows.foreach { case (bucket, nClusters, nDocs) =>
+      val inBucket = sizes.filter(sz => (63 - java.lang.Long.numberOfLeadingZeros(sz)) == bucket)
+      assert(inBucket.length.toLong == nClusters, s"bucket $bucket cluster count")
+      assert(inBucket.sum == nDocs, s"bucket $bucket doc mass")
+    }
+  }
 }

@@ -426,6 +426,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"), "scoring must stay equi-join + broadcast")
   }
 
+  test("tfidf topk: bounded probe side broadcasts, top-3 limits map-side") {
+    val plan = physical(TextOps.txtTfidfTopK(spark, sf))
+    // the 10-probe posting slice is the broadcast side of the term join
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // rank <= 3 pushes a partial group limit below the probe_id shuffle
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), "corpus must stream through an equi-join")
+  }
+
   test("k-center rounds: literal centers, codegen'd distance, TakeOrdered argmax") {
     // one round's candidate plan: distance to the (literal) selected
     // set + TakeOrdered(1) — the corpus never sorts globally and the
