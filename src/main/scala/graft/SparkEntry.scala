@@ -112,6 +112,7 @@ object SparkEntry {
     "txt_pmi_collocations" -> (TextOps.txtPmiCollocations _),
     "txt_ngram_diversity" -> (TextOps.txtNgramDiversity _),
     "txt_tfidf_topk" -> (TextOps.txtTfidfTopK _),
+    "txt_tfidf_route" -> (TextOps.txtTfidfRoute _),
     // dedup
     "dedup_exact" -> (DedupOps.dedupExact _),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
@@ -1560,6 +1561,47 @@ object SparkEntry {
         SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY score_micro DESC, doc_id) AS rn
         FROM agg
       ) t WHERE rn <= 3""",
+    "txt_tfidf_route" -> """
+      WITH words AS (
+        SELECT doc_id, list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '') AS w
+        FROM documents
+      ), toks AS (
+        SELECT doc_id, w[i+1] || ' ' || w[i+2] AS term
+        FROM words, unnest(range(0, len(w)-1)) t(i)
+        WHERE len(w) >= 2
+      ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+      ), nd AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf
+      ), idf AS (
+        SELECT term,
+               (CAST(len(bin(n.n_docs + 1)) AS BIGINT) - CAST(len(bin(CAST(COUNT(*) AS BIGINT) + 1)) AS BIGINT)) * 1000 AS idf_milli
+        FROM tf, nd n GROUP BY term, n.n_docs
+      ), wnz AS (
+        SELECT tf.doc_id, tf.term, tf.tf * i.idf_milli AS w
+        FROM tf JOIN idf i USING (term)
+        WHERE tf.tf * i.idf_milli > 0
+      ), norms AS (
+        SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS norm FROM wnz GROUP BY 1
+      ), unitv AS (
+        SELECT w.doc_id, w.term,
+               (w.w * 1000) // GREATEST(CAST(FLOOR(SQRT(CAST(n.norm AS DOUBLE))) AS BIGINT), 1) AS u
+        FROM wnz w JOIN norms n USING (doc_id)
+      ), probes AS (
+        SELECT doc_id AS probe_id, term, u AS pu FROM unitv WHERE doc_id < 10
+      ), agg AS (
+        SELECT c.doc_id, p.probe_id,
+               CAST(SUM(c.u * p.pu) AS BIGINT) AS score_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM unitv c JOIN probes p USING (term)
+        WHERE c.doc_id <> p.probe_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_id, probe_id, score_micro, n_terms
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, probe_id) AS rn
+        FROM agg
+      ) t WHERE rn = 1""",
     "txt_inverted_index" -> """
       WITH dw AS (
         SELECT DISTINCT doc_id, term

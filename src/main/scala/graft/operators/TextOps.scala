@@ -581,28 +581,7 @@ object TextOps {
     * probe-keyed exchange).
     */
   def txtTfidfTopK(s: SparkSession, dir: String): DataFrame = {
-    def flog2(c: Column): Column = (length(bin(c)) - lit(1)).cast("long")
-    val toks = docs(s, dir)
-      .select(col("doc_id"),
-        filter(split(normalized(col("text")), " "), t => t =!= "").as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val nDocs = tf.select(col("doc_id")).distinct().agg(count(lit(1)).as("n_docs"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val weights = tf
-      .join(dfreq, Seq("term"))
-      .crossJoin(broadcast(nDocs))
-      .select(col("doc_id"), col("term"),
-        (col("tf") * (flog2(col("n_docs") + 1) - flog2(col("df") + 1)) * 1000).as("w"))
-      .filter(col("w") > 0)
-    val norms = weights.groupBy(col("doc_id"))
-      .agg(sum(col("w") * col("w")).cast("long").as("norm"))
-    val unit = weights.join(norms, Seq("doc_id"))
-      .select(col("doc_id"), col("term"),
-        expr("(w * 1000L) div greatest(cast(floor(sqrt(cast(norm as double))) as bigint), 1L)")
-          .as("u"))
+    val unit = tfidfUnitVecs(docs(s, dir), tfidfIdf(docs(s, dir)))
     val probes = unit.filter(col("doc_id") < 10)
       .select(col("doc_id").as("probe_id"), col("term"), col("u").as("pu"))
     val w = org.apache.spark.sql.expressions.Window
@@ -616,5 +595,87 @@ object TextOps {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("probe_id"), col("doc_id"), col("score_micro"), col("n_terms"), col("rn"))
+  }
+
+  /** Frozen idf statistics trained from a corpus: one row per bigram
+    * shingle with its floored-bits `idf_milli`, as [[txtTfidfTopK]]
+    * weighs them. Vocabulary-bounded — the persistable model artifact
+    * the streaming scorer broadcasts (never retrained in the hot path).
+    */
+  def tfidfIdf(documents: DataFrame): DataFrame = {
+    def flog2(c: Column): Column = (length(bin(c)) - lit(1)).cast("long")
+    val tf = shingleTf(documents)
+    val nDocs = tf.select(col("doc_id")).distinct().agg(count(lit(1)).as("n_docs"))
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        ((flog2(col("n_docs") + 1) - flog2(col("df") + 1)) * 1000).as("idf_milli"))
+  }
+
+  /** Per-document bigram-shingle term frequencies (DataFrame-in, so
+    * batch and streaming micro-batches share the plan verbatim). */
+  private def shingleTf(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        filter(split(normalized(col("text")), " "), t => t =!= "").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Unit-normalized tf·idf vectors (doc_id, term, u) for `documents`
+    * under a FROZEN idf table — the shared kernel of [[txtTfidfTopK]]
+    * (which trains idf on the same corpus) and the streaming router
+    * (which broadcasts a pre-trained idf). Integer arithmetic as
+    * documented on [[txtTfidfTopK]]; unseen shingles (no idf row)
+    * drop out via the inner join — the standard out-of-vocabulary
+    * treatment for a frozen model.
+    */
+  def tfidfUnitVecs(documents: DataFrame, idf: DataFrame): DataFrame = {
+    val weights = shingleTf(documents)
+      .join(idf, Seq("term"))
+      .select(col("doc_id"), col("term"), (col("tf") * col("idf_milli")).as("w"))
+      .filter(col("w") > 0)
+    val norms = weights.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).cast("long").as("norm"))
+    weights.join(norms, Seq("doc_id"))
+      .select(col("doc_id"), col("term"),
+        expr("(w * 1000L) div greatest(cast(floor(sqrt(cast(norm as double))) as bigint), 1L)")
+          .as("u"))
+  }
+
+  /** Route each document to its best-matching probe by sparse TF-IDF
+    * cosine (doc-side argmax — the dual of [[txtTfidfTopK]]'s
+    * probe-side top-3): the content-based routing step a streaming
+    * ingest runs to tag arriving documents with the nearest canonical
+    * exemplar / topic anchor. DataFrame-in with a frozen idf + frozen
+    * probe vectors, so the streaming micro-batch plan IS this plan;
+    * per-doc the argmax window sees ≤ |probes| rows. Docs sharing no
+    * nonzero-idf shingle with any probe are dropped (no match — the
+    * caller left-joins and treats null as "unrouted").
+    */
+  def tfidfRouteWith(documents: DataFrame, idf: DataFrame, probes: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score_micro").desc, col("probe_id"))
+    tfidfUnitVecs(documents, idf)
+      .join(broadcast(probes), Seq("term"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(sum(col("u") * col("pu")).cast("long").as("score_micro"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("probe_id"), col("score_micro"), col("n_terms"))
+  }
+
+  /** Batch form of [[tfidfRouteWith]] over the corpus directory —
+    * trains idf and takes docs 0-9 as probes, mirroring
+    * [[txtTfidfTopK]]'s setup so both share one oracle vocabulary.
+    */
+  def txtTfidfRoute(s: SparkSession, dir: String): DataFrame = {
+    val idf = tfidfIdf(docs(s, dir))
+    val probes = tfidfUnitVecs(docs(s, dir), idf).filter(col("doc_id") < 10)
+      .select(col("doc_id").as("probe_id"), col("term"), col("u").as("pu"))
+    tfidfRouteWith(docs(s, dir), idf, probes)
   }
 }

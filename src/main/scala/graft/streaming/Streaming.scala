@@ -257,6 +257,37 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Route arriving documents to their nearest probe exemplar by
+    * sparse TF-IDF cosine under a FROZEN retrieval model (the idf
+    * table + probe unit vectors the batch pass trains —
+    * graft.operators.TextOps.tfidfIdf / tfidfUnitVecs): per
+    * micro-batch the scoring plan is the batch plan verbatim
+    * (TextOps.tfidfRouteWith), so stream ≡ batch holds by
+    * construction. Both model tables are bounded (vocabulary /
+    * 10 probes × their shingles) — broadcast into every batch, never
+    * retrained in the hot path. The content-routing shape a streaming
+    * ingest uses to tag documents with a topic anchor at arrival.
+    */
+  def runTfidfRoute(
+      newDocs: DataFrame,
+      idf: DataFrame,
+      probes: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit = {
+    val q = newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val routed = graft.operators.TextOps.tfidfRouteWith(batch, idf, probes)
+        if (store.exists(table)) store.write(store.read(table).unionByName(routed), table)
+        else store.write(routed, table)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Apply the Gopher quality gate to arriving documents — every rule
     * signal is PER-DOCUMENT ([[graft.operators.CurateOps.gopherGateOf]]
     * is the batch plan verbatim over each micro-batch's tokens), so

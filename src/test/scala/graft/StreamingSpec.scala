@@ -214,6 +214,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming tfidf routing under a frozen model equals the batch pass") {
+    val store = new RelationStore(spark, s"$work/wh_tfidf")
+    val newIn = s"$work/tfidfdocs"
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // idf + probe vectors trained ONCE on the full batch corpus — the
+    // frozen retrieval artifacts a production router broadcasts
+    val idf = graft.operators.TextOps.tfidfIdf(docs)
+    val probes = graft.operators.TextOps.tfidfUnitVecs(docs, idf)
+      .filter(col("doc_id") < 10)
+      .selectExpr("doc_id as probe_id", "term", "u as pu")
+    docs.filter(col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runTfidfRoute(Streaming.documentStream(spark, newIn), idf, probes,
+      store, "tfidf_route", s"$work/cp_tfidf")
+    val afterFirst = store.read("tfidf_route").count()
+    docs.filter(col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runTfidfRoute(Streaming.documentStream(spark, newIn), idf, probes,
+      store, "tfidf_route", s"$work/cp_tfidf")
+    val streamed = store.read("tfidf_route")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    // a doc's unit vector depends only on its own shingles + the frozen
+    // idf, and routing is a per-doc argmax over the frozen probes — so
+    // the union over arrivals equals the one-shot batch operator
+    val batch = graft.operators.TextOps.tfidfRouteWith(docs, idf, probes)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming gopher gate over two arrivals equals the batch gate") {
     val store = new RelationStore(spark, s"$work/wh_gopher")
     val newIn = s"$work/gopherdocs"
