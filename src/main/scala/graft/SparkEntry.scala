@@ -172,6 +172,10 @@ object SparkEntry {
     "sim_matryoshka_eval" -> (SimilarityOps.simMatryoshkaEval _),
     "sim_hard_negatives" -> (SimilarityOps.simHardNegatives _),
     "sim_kcenter_select" -> ((s, d) => SimilarityOps.simKcenterSelect(s, d)),
+    "sim_hybrid_search" -> (SimilarityOps.simHybridSearch _),
+    "sim_mmr_select" -> ((s, d) => SimilarityOps.simMmrSelect(s, d)),
+    "txt_boilerplate_remove" -> ((s, d) => TextOps.txtBoilerplateRemove(s, d)),
+    "txt_vocab_coverage" -> ((s, d) => TextOps.txtVocabCoverage(s, d)),
     // multimodal plumbing
     "mm_meta" -> (Multimodal.mmMeta _),
     "mm_features" -> (Multimodal.mmFeatures _),
@@ -218,6 +222,65 @@ object SparkEntry {
     * (ties by lower vec_id) — nested-CTE unrolling in the IvfCellCtes
     * style, integer-exact throughout.
     */
+  /** MMR oracle (SimilarityOps.simMmrSelect): cosine top-10 for probe
+    * vec_id 0, then rounds 2..4 unrolled KcenterSql-style — each
+    * scores remaining candidates 0.7·rel − 0.3·max-sim-to-selected
+    * and takes the argmax (ties by lower cid). All cosines from
+    * integer milli-unit dots, so the doubles are bit-identical.
+    */
+  private lazy val MmrSql: String = {
+    val nSel = 4
+    val rounds = (2 to nSel).map { r =>
+      val prior = (1 until r).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
+      s"""m$r AS (
+        SELECT t.vec_id, t.rel,
+               0.7 * t.rel - 0.3 * (
+                 SELECT MAX(pc.sim) FROM pc
+                 WHERE pc.ai = t.vec_id AND pc.bi IN ($prior)
+               ) AS mmr
+        FROM top t WHERE t.vec_id NOT IN ($prior)
+      ), s$r AS (
+        SELECT $r AS r, vec_id, rel, mmr
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY mmr DESC, vec_id) AS rk FROM m$r) x
+        WHERE rk = 1
+      )"""
+    }.mkString(",\n      ")
+    val all = (1 to nSel).map(i => s"SELECT r, vec_id, rel, mmr FROM s$i")
+      .mkString("\n        UNION ALL ")
+    s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings
+      ), en AS (
+        SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq FROM e
+      ), p AS (
+        SELECT q, nq FROM en WHERE vec_id = 0
+      ), cand AS (
+        SELECT a.vec_id, a.q, a.nq,
+               CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * p.q[i])) AS BIGINT) AS DOUBLE)
+                 / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(p.nq AS DOUBLE))) AS rel
+        FROM en a, p WHERE a.vec_id <> 0
+      ), top AS (
+        SELECT vec_id, q, nq, rel
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS rk FROM cand) x
+        WHERE rk <= 10
+      ), pc AS (
+        SELECT a.vec_id AS ai, b.vec_id AS bi,
+               CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS BIGINT) AS DOUBLE)
+                 / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS sim
+        FROM top a, top b WHERE a.vec_id <> b.vec_id
+      ), m1 AS (
+        SELECT vec_id, rel, 0.7 * rel - 0.3 * 0.0 AS mmr FROM top
+      ), s1 AS (
+        SELECT 1 AS r, vec_id, rel, mmr
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY mmr DESC, vec_id) AS rk FROM m1) x
+        WHERE rk = 1
+      ),
+      $rounds
+      SELECT CAST(r AS BIGINT) AS sel_round, vec_id AS cid, rel AS rel_cos, mmr AS mmr_score
+      FROM ($all) u"""
+  }
+
   private lazy val KcenterSql: String = {
     val k = 8
     val dist = "a.nq + c.nq - 2 * CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * c.q[i])) AS BIGINT)"
@@ -2048,6 +2111,48 @@ object SparkEntry {
              CAST(GREATEST(LEAST(32, n - st), 0) AS BIGINT) AS n_tok,
              array_to_string(list_slice(toks, st + 1, st + 32), ' ') AS chunk_text
       FROM s, unnest(range(0, GREATEST(n, 1), 24)) AS u(st)""",
+    "txt_boilerplate_remove" -> """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                           x -> x <> '') AS toks
+        FROM documents
+      ), s AS (
+        SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+      ), segs AS (
+        SELECT doc_id, CAST(st // 8 AS BIGINT) AS seg_id,
+               array_to_string(list_slice(toks, st + 1, st + 8), ' ') AS seg_text
+        FROM s, unnest(range(0, n, 8)) AS u(st)
+      ), boiler AS (
+        SELECT seg_text FROM (SELECT DISTINCT doc_id, seg_text FROM segs) d
+        GROUP BY 1 HAVING COUNT(*) >= 3
+      ), kept AS (
+        SELECT * FROM segs WHERE seg_text NOT IN (SELECT seg_text FROM boiler)
+      )
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(seg_text, ' ' ORDER BY seg_id) AS clean_text
+      FROM kept GROUP BY 1""",
+    "txt_vocab_coverage" -> """
+      WITH toks AS (
+        SELECT unnest(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                      x -> x <> '')) AS term
+        FROM documents
+      ), counts AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1
+      ), h AS (
+        SELECT cnt AS f, CAST(SUM(cnt) AS BIGINT) AS mass FROM counts GROUP BY 1
+      ), tot AS (
+        SELECT CAST(SUM(mass) AS BIGINT) AS total FROM h
+      ), cum AS (
+        SELECT f, SUM(mass) OVER (ORDER BY f DESC) AS cu FROM h
+      ), fs AS (
+        SELECT CAST(MAX(f) AS BIGINT) AS fstar
+        FROM cum WHERE cu * 1000000 >= 950000 * (SELECT total FROM tot)
+      )
+      SELECT term, cnt,
+             CAST(CASE WHEN cnt >= fstar THEN 1 ELSE 0 END AS BIGINT) AS in_vocab,
+             fstar AS cutoff_freq
+      FROM counts, fs""",
     "txt_winnow" -> """
       WITH d AS (
         SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
@@ -2464,6 +2569,30 @@ object SparkEntry {
         FROM s
       ) t WHERE rn <= 3""",
     "sim_kcenter_select" -> KcenterSql,
+    "sim_hybrid_search" -> s"""
+      WITH lex AS (SELECT * FROM ($Bm25Sql) b),
+      dense AS (
+        SELECT qid, cid AS doc_id, rn AS dense_rank
+        FROM ($ExactTopkSql) e WHERE qid IN (1, 2, 3, 4, 5)
+      ), j AS (
+        SELECT COALESCE(l.qid, d.qid) AS qid,
+               COALESCE(l.doc_id, d.doc_id) AS doc_id,
+               COALESCE(l.rn, 0) AS lex_rank,
+               COALESCE(d.dense_rank, 0) AS dense_rank,
+               COALESCE(1000000000 // (60 + l.rn), 0) +
+               COALESCE(1000000000 // (60 + d.dense_rank), 0) AS rrf_micro
+        FROM (SELECT qid, doc_id, rn FROM lex) l
+        FULL OUTER JOIN dense d ON l.qid = d.qid AND l.doc_id = d.doc_id
+      )
+      SELECT qid, doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+             CAST(dense_rank AS BIGINT) AS dense_rank,
+             CAST(rrf_micro AS BIGINT) AS rrf_micro,
+             CAST(rk AS BIGINT) AS fused_rank
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, doc_id) AS rk
+        FROM j
+      ) t WHERE rk <= 5""",
+    "sim_mmr_select" -> MmrSql,
     "curate_dsir_select" -> """
       WITH toks AS (
         SELECT doc_id, lang,

@@ -767,4 +767,94 @@ object SimilarityOps {
       }
     scored.orderBy(col("d2").desc, col("vec_id")).limit(1)
   }
+
+  /** Hybrid lexical + dense retrieval (the production RAG pattern:
+    * BM25 candidates and embedding-cosine candidates fused by
+    * reciprocal-rank): for each of the five fixed queries
+    * ([[graft.operators.TextOps.Bm25Queries]]) the lexical rank comes
+    * from [[graft.operators.TextOps.txtBm25TopK]] and the dense rank
+    * from [[simTopK]] with the query's own embedding (vec_id = qid —
+    * doc and vector ids share the key space in the testdata corpus),
+    * fused with the same integer RRF-60 convention as [[simRrfFusion]].
+    *
+    * Scale shape: everything AFTER the two retrievers is bounded —
+    * two (queries × 5)-row tables full-outer-joined; the heavy lifting
+    * keeps each retriever's own 100 TB shape (BM25's semi-join-sized
+    * postings slice, top-k's single broadcast-probe corpus stream).
+    */
+  def simHybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val qids = graft.operators.TextOps.Bm25Queries.map(_._1)
+    val lex = graft.operators.TextOps.txtBm25TopK(s, dir)
+      .select(col("qid"), col("doc_id"), col("rn").as("lex_rank"))
+    val dense = simTopK(s, dir)
+      .filter(col("qid").isInCollection(qids))
+      .select(col("qid"), col("cid").as("doc_id"), col("rn").as("dense_rank"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rrf_micro").desc, col("doc_id"))
+    lex.join(dense, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000000L div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000000L div (60 + dense_rank)"), lit(0L)))
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= 5)
+      .select(col("qid"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"),
+        col("rrf_micro"), col("fused_rank"))
+  }
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998)
+    * — the diversity re-rank a RAG stack applies to its candidate
+    * list: from the cosine top-`nCand` of one probe (vec_id 0), pick
+    * `nSel` results greedily by mmr = 0.7·cos(q,d) − 0.3·max_{s∈S}
+    * cos(d,s), ties by lower cid. Round 1 is pure relevance (empty
+    * selected set ⇒ redundancy term 0).
+    *
+    * Scale shape: candidate generation is the distributed part — one
+    * corpus pass against the broadcast probe, `TakeOrderedAndProject`
+    * for the top-nCand (no global sort). The MMR loop then runs
+    * driver-side over the COLLECTED candidates, which is correct at
+    * any corpus size because the candidate list is bounded by
+    * construction (nCand rows of dim-64 integer vectors — the same
+    * bounded-by-construction discipline as [[simTopK]]'s probe set);
+    * its pairwise-cosine matrix is nCand², never corpus².
+    */
+  def simMmrSelect(s: SparkSession, dir: String,
+      nCand: Int = 10, nSel: Int = 4): DataFrame = {
+    import s.implicits._
+    val e = quantized(s, dir)
+    val probe = e.filter(col("vec_id") === 0L)
+      .select(col("q"), col("nq")).head()
+    val pq = probe.getSeq[Long](0).toArray
+    val lits = pq.map(v => s"${v}L").mkString(", ")
+    val sqrtNp = math.sqrt(probe.getLong(1).toDouble)
+    val cand = e.filter(col("vec_id") =!= 0L)
+      .withColumn("dot", expr(s"dot_i64(q, array($lits))"))
+      .withColumn("cos",
+        col("dot").cast("double") / (sqrt(col("nq").cast("double")) * sqrtNp))
+      .orderBy(col("cos").desc, col("vec_id")).limit(nCand)
+      .select(col("vec_id"), col("q"), col("nq"), col("cos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray,
+        math.sqrt(r.getLong(2).toDouble), r.getDouble(3)))
+    def cosBetween(a: (Long, Array[Long], Double, Double),
+        b: (Long, Array[Long], Double, Double)): Double = {
+      var dot = 0L; var i = 0
+      while (i < a._2.length) { dot += a._2(i) * b._2(i); i += 1 }
+      dot / (a._3 * b._3)
+    }
+    val byId = cand.map(c => c._1 -> c).toMap
+    var selected = Vector.empty[(Long, Long, Double, Double)] // (round, cid, rel, mmr)
+    var remaining = cand.toVector
+    for (r <- 1 to nSel) {
+      val best = remaining.map { c =>
+        val redundancy =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => cosBetween(c, byId(s._2))).max
+        (c, 0.7 * c._4 - 0.3 * redundancy)
+      }.minBy { case (c, m) => (-m, c._1) }
+      selected = selected :+ ((r.toLong, best._1._1, best._1._4, best._2))
+      remaining = remaining.filterNot(_._1 == best._1._1)
+    }
+    selected.toDF("sel_round", "cid", "rel_cos", "mmr_score")
+  }
 }

@@ -678,4 +678,96 @@ object TextOps {
       .select(col("doc_id").as("probe_id"), col("term"), col("u").as("pu"))
     tfidfRouteWith(docs(s, dir), idf, probes)
   }
+
+  /** Non-overlapping `width`-token segments of each document —
+    * the "line" granularity for cross-corpus boilerplate removal
+    * (the testdata corpus is newline-free, so fixed token windows
+    * stand in for CCNet's physical lines). Row-parallel generate:
+    * one `sequence`+`explode` per doc, chunk text by `slice` — no
+    * shuffle, no UDF, scan-throughput at 100 TB.
+    */
+  private[graft] def segments(documents: DataFrame, width: Int): DataFrame =
+    documents
+      .select(col("doc_id"),
+        filter(split(normalized(col("text")), " "), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("start_tok",
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(width))))
+      .select(col("doc_id"),
+        (col("start_tok") / width).cast("long").as("seg_id"),
+        array_join(slice(col("toks"), col("start_tok") + 1, lit(width)), " ")
+          .as("seg_text"))
+
+  /** Cross-document boilerplate removal (CCNet line-dedup, Wenzek et
+    * al. 2020 §3.1; RefinedWeb does the same at line level): a text
+    * segment appearing verbatim in ≥ `maxDf` distinct documents is
+    * boilerplate (headers, navigation, license banners) and is struck
+    * from EVERY document; survivors are re-joined in original order.
+    *
+    * Scale shape: segment df is computed on md5 keys — distinct
+    * (doc, seg-hash) then a map-side-combined `groupBy(hash).count`
+    * (the [[graft.operators.CurateOps.txtTopTerms]] de-skew
+    * discipline: a corpus-wide boilerplate segment ships one partial
+    * row per map task, never its full posting set to one reducer).
+    * The df table is then semi-join-shaped: only hashes with df ≥
+    * maxDf are kept (boilerplate is by definition the SMALL distinct
+    * set — a banner repeated 10⁹× is ONE row here), broadcast back as
+    * an anti-join, so the corpus is never re-shuffled to re-assemble:
+    * reassembly groups by doc_id with per-doc bounded state (a
+    * document's own segment list).
+    */
+  def txtBoilerplateRemove(s: SparkSession, dir: String,
+      width: Int = 8, maxDf: Int = 3): DataFrame = {
+    val segs = segments(docs(s, dir), width)
+      .withColumn("h", md5(col("seg_text")))
+    val boiler = segs.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= maxDf)
+    segs
+      .join(broadcast(boiler.select(col("h"))), Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("seg_id"), col("seg_text"))))
+        .as("kept"))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(expr("transform(kept, x -> x.seg_text)"), " ").as("clean_text"))
+  }
+
+  /** Vocabulary truncation by cumulative token coverage — the
+    * tokenizer-vocab selection step: keep the most frequent terms
+    * whose combined occurrence mass reaches `coverPpm` of all token
+    * occurrences (ties at the cutoff frequency all kept, so the rule
+    * is deterministic and value-based — the frozen artifact a
+    * production tokenizer reuses on new text).
+    *
+    * Scale shape: no global sort of the vocabulary. Term counts are
+    * one map-side-combined shuffle; the cutoff frequency comes from
+    * the COUNT-OF-COUNTS histogram (rows = distinct frequency values
+    * — O(√total) under any Zipf-ish law, metadata-scale at 100 TB),
+    * collected and prefix-summed descending on the driver, then
+    * re-applied as one literal predicate. The `ORDER BY count` +
+    * running-sum spelling would funnel the full vocabulary through a
+    * single ordering task.
+    */
+  def txtVocabCoverage(s: SparkSession, dir: String,
+      coverPpm: Long = 950000L): DataFrame = {
+    val counts = docs(s, dir)
+      .select(explode(filter(split(normalized(col("text")), " "), t => t =!= ""))
+        .as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val hist = counts.groupBy(col("cnt"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("cnt")).as("mass"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1)
+    val total = hist.map(_._3).sum
+    // smallest frequency f* whose descending cumulative mass reaches
+    // coverPpm of total; all terms with cnt >= f* are in-vocab
+    var cum = 0L
+    val fStar = hist.find { case (_, _, m) =>
+      cum += m; cum * 1000000L >= coverPpm * total
+    }.map(_._1).getOrElse(hist.lastOption.map(_._1).getOrElse(1L))
+    counts.select(col("term"), col("cnt"),
+      (col("cnt") >= fStar).cast("long").as("in_vocab"),
+      lit(fStar).as("cutoff_freq"))
+  }
 }

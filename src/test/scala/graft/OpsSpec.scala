@@ -1139,4 +1139,92 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(inBucket.sum == nDocs, s"bucket $bucket doc mass")
     }
   }
+
+  test("boilerplate removal: struck segments are exactly the df>=3 set, order kept") {
+    val segs = TextOps.segments(
+      graft.sources.Tables.load(spark, sf, "documents"), 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val df = segs.map(t => (t._1, t._3)).distinct.groupBy(_._2).map { case (s, m) => (s, m.length) }
+    val boiler = df.filter(_._2 >= 3).keySet
+    assert(boiler.nonEmpty, "corpus should contain cross-doc boilerplate")
+    val out = TextOps.txtBoilerplateRemove(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    val expected = segs.groupBy(_._1).flatMap { case (doc, ss) =>
+      val kept = ss.sortBy(_._2).filterNot(s => boiler.contains(s._3))
+      if (kept.isEmpty) None
+      else Some((doc, kept.length.toLong, kept.map(_._3).mkString(" ")))
+    }.toSet
+    assert(out.toSet == expected, "clean corpus mismatch vs replayed rule")
+    assert(out.map(_._1).distinct.size == out.size, "one row per surviving doc")
+  }
+
+  test("vocab coverage: in-vocab mass >= 95% and the cutoff tier is load-bearing") {
+    val rows = TextOps.txtVocabCoverage(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2) == 1L, r.getLong(3)))
+    val total = rows.map(_._2).sum
+    val fStar = rows.head._4
+    rows.foreach { case (t, cnt, in, f) =>
+      assert(f == fStar); assert(in == (cnt >= fStar), s"flag rule broken for $t")
+    }
+    val inMass = rows.filter(_._3).map(_._2).sum
+    assert(inMass * 1000000L >= 950000L * total, "coverage target missed")
+    // minimality: excluding the cutoff tier must drop below the target —
+    // f* is the SMALLEST qualifying frequency, not an arbitrary one
+    val withoutTier = rows.filter(t => t._2 > fStar).map(_._2).sum
+    assert(withoutTier * 1000000L < 950000L * total, "cutoff tier not minimal")
+  }
+
+  test("hybrid search: RRF fuses the two retrievers' ranks exactly") {
+    val lex = TextOps.txtBm25TopK(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    val dense = SimilarityOps.simTopK(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(4).toLong)).toMap
+    val out = SimilarityOps.simHybridSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty && out.groupBy(_._1).forall(_._2.length == 5), "5 fused per query")
+    out.foreach { case (qid, doc, lr, dr, rrf, _) =>
+      assert(lr == lex.getOrElse((qid, doc), 0L), s"lex rank drift q$qid d$doc")
+      assert(dr == dense.getOrElse((qid, doc), 0L), s"dense rank drift q$qid d$doc")
+      val want = (if (lr > 0) 1000000000L / (60 + lr) else 0L) +
+        (if (dr > 0) 1000000000L / (60 + dr) else 0L)
+      assert(rrf == want, s"rrf recompute mismatch q$qid d$doc")
+    }
+    // fused_rank really orders by rrf desc, doc asc within each query
+    out.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(t => (-t._5, t._2)).map(t => (t._2, t._6))
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, "rank sequence")
+    }
+  }
+
+  test("MMR: round 1 is pure relevance, later rounds penalize redundancy") {
+    val out = SimilarityOps.simMmrSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.map(_._2).distinct.length == 4, "selections must be distinct")
+    val top = SimilarityOps.simTopK(spark, sf).collect()
+      .filter(r => r.getLong(0) == 0L && r.getInt(4) == 1)
+    assert(out.head._2 == top.head.getLong(1), "round 1 must equal the cosine argmax")
+    assert(out.head._4 == 0.7 * out.head._3 - 0.3 * 0.0)
+    // replay the scoring rule from raw vectors: mmr_r must equal
+    // 0.7·rel − 0.3·max-cos-to-prior-selections exactly (signed cosines —
+    // a negatively-correlated selection RAISES a later candidate's score,
+    // so a "≤ pure relevance" bound would be wrong, not conservative)
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint)) as q")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def cosOf(a: Long, b: Long): Double = {
+      val (va, vb) = (vecs(a), vecs(b))
+      var dot = 0L; var i = 0
+      while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+      dot / (math.sqrt(va.map(x => x * x).sum.toDouble) * math.sqrt(vb.map(x => x * x).sum.toDouble))
+    }
+    out.tail.foreach { case (r, cid, rel, mmr) =>
+      val prior = out.filter(_._1 < r).map(_._2)
+      val redundancy = prior.map(p => cosOf(cid, p)).max
+      assert(math.abs(mmr - (0.7 * rel - 0.3 * redundancy)) < 1e-9,
+        s"round $r mmr replay mismatch")
+    }
+  }
 }
