@@ -174,8 +174,12 @@ object SparkEntry {
     "sim_kcenter_select" -> ((s, d) => SimilarityOps.simKcenterSelect(s, d)),
     "sim_hybrid_search" -> (SimilarityOps.simHybridSearch _),
     "sim_mmr_select" -> ((s, d) => SimilarityOps.simMmrSelect(s, d)),
+    "sim_triplets" -> (SimilarityOps.simTriplets _),
     "txt_boilerplate_remove" -> ((s, d) => TextOps.txtBoilerplateRemove(s, d)),
     "txt_vocab_coverage" -> ((s, d) => TextOps.txtVocabCoverage(s, d)),
+    "txt_topic_tag" -> (TextOps.txtTopicTag _),
+    "txt_prefix_groups" -> (TextOps.txtPrefixGroups _),
+    "txt_novelty" -> (TextOps.txtNovelty _),
     // multimodal plumbing
     "mm_meta" -> (Multimodal.mmMeta _),
     "mm_features" -> (Multimodal.mmFeatures _),
@@ -2132,6 +2136,52 @@ object SparkEntry {
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
              string_agg(seg_text, ' ' ORDER BY seg_id) AS clean_text
       FROM kept GROUP BY 1""",
+    "txt_topic_tag" -> {
+      val lexVals = graft.operators.TextOps.TopicLexicon
+        .flatMap { case (t, ks) => ks.map(k => s"('$k', '$t')") }.mkString(", ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                      x -> x <> '')) AS term
+        FROM documents
+      ), lex(term, topic) AS (
+        SELECT * FROM (VALUES $lexVals) v(term, topic)
+      ), hits AS (
+        SELECT doc_id, topic, CAST(COUNT(*) AS BIGINT) AS hits
+        FROM toks JOIN lex USING (term) GROUP BY 1, 2
+      )
+      SELECT doc_id, topic, hits
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, topic) AS rn FROM hits) t
+      WHERE rn = 1"""
+    },
+    "txt_prefix_groups" -> """
+      WITH p AS (
+        SELECT doc_id,
+               substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), 1, 32) AS prefix
+        FROM documents
+      )
+      SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM p GROUP BY 1 HAVING COUNT(*) >= 2""",
+    "txt_novelty" -> """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                           x -> x <> '') AS w
+        FROM documents
+      ), s AS (
+        SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) >= 8
+      ), gr AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(w, i + 1, i + 8), ' ') AS gm
+        FROM s, unnest(range(0, n - 8 + 1)) AS u(i)
+      ), f AS (
+        SELECT gm, MIN(doc_id) AS first_doc FROM gr GROUP BY 1
+      )
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             CAST((1000000 * SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS novelty_ppm
+      FROM gr JOIN f USING (gm) GROUP BY 1""",
     "txt_vocab_coverage" -> """
       WITH toks AS (
         SELECT unnest(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
@@ -2568,6 +2618,39 @@ object SparkEntry {
           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, cid) AS rn
         FROM s
       ) t WHERE rn <= 3""",
+    "sim_triplets" -> """
+      WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings
+      ), en AS (
+        SELECT vec_id, label, q,
+               CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq
+        FROM e
+      ), s AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               CASE WHEN a.label = b.label THEN 'pos' ELSE 'neg' END AS kind,
+               CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+               a.nq AS na, b.nq AS nb
+        FROM en a, en b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+      ), tk AS (
+        SELECT qid, cid, kind,
+               CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos,
+               CAST(rn AS BIGINT) AS rn
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid, kind
+            ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, cid) AS rn
+          FROM s
+        ) t WHERE rn <= 3
+      ), p AS (
+        SELECT qid AS anchor, cid AS pos_id, cos AS pos_cos, rn AS pos_rank FROM tk WHERE kind = 'pos'
+      ), ng AS (
+        SELECT qid AS anchor, cid AS neg_id, cos AS neg_cos, rn AS neg_rank FROM tk WHERE kind = 'neg'
+      )
+      SELECT anchor, pos_id, neg_id, pos_rank, neg_rank, pos_cos - neg_cos AS margin
+      FROM p JOIN ng USING (anchor)
+      WHERE neg_cos + CAST(0.2 AS DOUBLE) > pos_cos""",
     "sim_kcenter_select" -> KcenterSql,
     "sim_hybrid_search" -> s"""
       WITH lex AS (SELECT * FROM ($Bm25Sql) b),

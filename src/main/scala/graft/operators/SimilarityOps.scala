@@ -768,6 +768,35 @@ object SimilarityOps {
     scored.orderBy(col("d2").desc, col("vec_id")).limit(1)
   }
 
+  /** Contrastive triplet assembly (the training-data form of
+    * [[simHardNegatives]]'s mining): per anchor, cross its top-3
+    * same-label positives with its top-3 different-label hard
+    * negatives and keep the triplets that PRODUCE GRADIENT under a
+    * margin-0.2 triplet loss — cos(a,n) + 0.2 > cos(a,p), the
+    * semi-hard/hard band (Schroff et al. 2015); easy triplets whose
+    * negative is already separated by the margin contribute zero loss
+    * and are dropped before they waste a training step.
+    *
+    * Scale shape: the pos/neg inputs are bounded per-anchor top-3
+    * tables, so the assembly join is (anchors × 9)-sized metadata;
+    * the corpus-scale work stays in the mining pass's broadcast-probe
+    * scan.
+    */
+  def simTriplets(s: SparkSession, dir: String): DataFrame = {
+    val hn = simHardNegatives(s, dir)
+    val pos = hn.filter(col("kind") === "pos")
+      .select(col("qid").as("anchor"), col("cid").as("pos_id"),
+        col("cos").as("pos_cos"), col("rn").as("pos_rank"))
+    val neg = hn.filter(col("kind") === "neg")
+      .select(col("qid").as("anchor"), col("cid").as("neg_id"),
+        col("cos").as("neg_cos"), col("rn").as("neg_rank"))
+    pos.join(neg, Seq("anchor"))
+      .withColumn("margin", col("pos_cos") - col("neg_cos"))
+      .filter(col("neg_cos") + 0.2 > col("pos_cos"))
+      .select(col("anchor"), col("pos_id"), col("neg_id"),
+        col("pos_rank"), col("neg_rank"), col("margin"))
+  }
+
   /** Hybrid lexical + dense retrieval (the production RAG pattern:
     * BM25 candidates and embedding-cosine candidates fused by
     * reciprocal-rank): for each of the five fixed queries

@@ -717,20 +717,123 @@ object TextOps {
     * document's own segment list).
     */
   def txtBoilerplateRemove(s: SparkSession, dir: String,
-      width: Int = 8, maxDf: Int = 3): DataFrame = {
-    val segs = segments(docs(s, dir), width)
-      .withColumn("h", md5(col("seg_text")))
-    val boiler = segs.select(col("doc_id"), col("h")).distinct()
+      width: Int = 8, maxDf: Int = 3): DataFrame =
+    boilerplateFilterWith(docs(s, dir),
+      boilerplateHashes(docs(s, dir), width, maxDf), width)
+
+  /** The frozen boilerplate model: md5 keys of every segment appearing
+    * in ≥ maxDf distinct documents — the small-by-definition artifact
+    * a continuous ingest pipeline trains on the existing corpus and
+    * applies to arriving documents ([[graft.streaming.Streaming.runBoilerplateFilter]]).
+    */
+  def boilerplateHashes(documents: DataFrame, width: Int = 8,
+      maxDf: Int = 3): DataFrame =
+    segments(documents, width)
+      .select(col("doc_id"), md5(col("seg_text")).as("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= maxDf)
-    segs
-      .join(broadcast(boiler.select(col("h"))), Seq("h"), "left_anti")
+      .select(col("h"))
+
+  /** Strike the frozen hash set from each document and re-join the
+    * survivors in order — DataFrame-in, so the SAME plan serves batch
+    * and each streaming micro-batch (stream ≡ batch by construction).
+    */
+  def boilerplateFilterWith(documents: DataFrame, boiler: DataFrame,
+      width: Int = 8): DataFrame =
+    segments(documents, width)
+      .withColumn("h", md5(col("seg_text")))
+      .join(broadcast(boiler), Seq("h"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("seg_id"), col("seg_text"))))
         .as("kept"))
       .select(col("doc_id"),
         size(col("kept")).cast("long").as("n_kept"),
         array_join(expr("transform(kept, x -> x.seg_text)"), " ").as("clean_text"))
+
+  /** The fixed topic lexicon for [[txtTopicTag]] — literal constants
+    * shared verbatim with the oracle SQL (the [[Bm25Queries]]
+    * discipline: data-independent parameters live in ONE place).
+    * Keyword sets are disjoint so a term votes for exactly one topic.
+    */
+  val TopicLexicon: Seq[(String, Seq[String])] = Seq(
+    "analytics"  -> Seq("agg", "group", "sort", "order", "filter"),
+    "ml"         -> Seq("vector", "data", "spark"),
+    "relational" -> Seq("join", "hash", "scan", "table", "row", "query"),
+    "storage"    -> Seq("column", "key", "value", "part", "merge"),
+    "streaming"  -> Seq("stream", "batch", "window", "line"))
+
+  /** Keyword-lexicon topic tagging (the FlashText/domain-taxonomy
+    * labeling step a pretraining pipeline runs to stratify a crawl by
+    * subject before mixing): each document is tagged with the topic
+    * whose keyword set it hits most (ties by topic name). Documents
+    * hitting no keyword are absent — the caller left-joins and treats
+    * null as "untagged".
+    *
+    * Scale shape: the lexicon is a literal broadcast table, so the
+    * join touches only keyword occurrences (a semi-join-sized slice of
+    * the token stream); per-(doc, topic) counts are map-side combined
+    * and the per-doc argmax window sees ≤ |topics| rows.
+    */
+  def txtTopicTag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lex = TopicLexicon.flatMap { case (t, ks) => ks.map(k => (k, t)) }
+      .toDF("term", "topic")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("hits").desc, col("topic"))
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode(filter(split(normalized(col("text")), " "), t => t =!= "")).as("term"))
+      .join(broadcast(lex), Seq("term"))
+      .groupBy(col("doc_id"), col("topic")).agg(count(lit(1)).as("hits"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("topic"), col("hits"))
+  }
+
+  /** Shared-prefix groups (the memorization-risk audit: verbatim
+    * common openings — extraction attacks recover exactly these, and
+    * dedup-by-prefix is how memorization studies bucket them): all
+    * groups of ≥ 2 documents sharing their first 32 normalized
+    * characters. One map-side-combined groupBy on the prefix key —
+    * the cheapest cross-doc audit in the battery, runs at scan
+    * throughput + one bounded shuffle.
+    */
+  def txtPrefixGroups(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), substring(normalized(col("text")), 1, 32).as("prefix"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") >= 2)
+
+  /** Cross-document n-gram novelty by corpus order (the contribution
+    * curve dedup papers plot: how much text a document adds that no
+    * EARLIER document already contains): per doc, the ppm fraction of
+    * its distinct 8-grams whose first corpus occurrence (min doc_id)
+    * is the doc itself. The complement of [[txtNgramDiversity]]'s
+    * within-doc repetition: this one is corpus-relative.
+    *
+    * Scale shape: distinct (doc, gram) then a gram-keyed min — both
+    * map-side combined; the first-doc table joins back on the gram key
+    * (co-partitioned with the min's exchange, one row per distinct
+    * gram regardless of its df), then one doc-keyed count. No windows,
+    * no corpus-wide broadcast.
+    */
+  def txtNovelty(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val grams = docs(s, dir)
+      .select(col("doc_id"), split(normalized(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))")).as("g"))
+      .distinct()
+    val firstDoc = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstDoc, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("(1000000 * n_novel) div n_grams").as("novelty_ppm"))
   }
 
   /** Vocabulary truncation by cumulative token coverage — the

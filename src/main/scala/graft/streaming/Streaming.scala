@@ -316,6 +316,36 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Strip corpus-trained boilerplate from arriving documents: the
+    * strike set ([[graft.operators.TextOps.boilerplateHashes]], frozen
+    * from the existing corpus) is a static broadcast table and each
+    * micro-batch runs [[graft.operators.TextOps.boilerplateFilterWith]]
+    * — the batch plan verbatim, so stream ≡ batch holds by
+    * construction (every document arrives whole, so its per-doc
+    * reassembly is complete within its own micro-batch). Per-batch
+    * cost is O(batch): the corpus is touched only at model-training
+    * time, the same frozen-model discipline as the DSIR/CCNet/TF-IDF
+    * streaming scorers.
+    */
+  def runBoilerplateFilter(
+      newDocs: DataFrame,
+      boiler: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit = {
+    val q = newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cleaned = graft.operators.TextOps.boilerplateFilterWith(batch, boiler)
+        if (store.exists(table)) store.write(store.read(table).unionByName(cleaned), table)
+        else store.write(cleaned, table)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drive incremental (batch-vs-index) dedup over a stream of newly
     * arriving documents: each micro-batch probes a PREBUILT static
     * index via the exact same [[graft.operators.DedupOps.probeAgainstIndex]]

@@ -1227,4 +1227,69 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"round $r mmr replay mismatch")
     }
   }
+
+  test("topic tag: per-doc argmax replays from raw tokens") {
+    val lex = TextOps.TopicLexicon.flatMap { case (t, ks) => ks.map(_ -> t) }.toMap
+    val toks = graft.sources.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id",
+        "filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), t -> t <> '') as w")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val expected = toks.flatMap { case (doc, ws) =>
+      val hits = ws.flatMap(lex.get).groupBy(identity).map { case (t, m) => (t, m.size.toLong) }
+      if (hits.isEmpty) None
+      else Some((doc, hits.toSeq.minBy { case (t, h) => (-h, t) }))
+    }.map { case (d, (t, h)) => (d, t, h) }.toSet
+    val got = TextOps.txtTopicTag(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected, "topic argmax mismatch vs driver replay")
+  }
+
+  test("prefix groups: exactly the >=2 shared-32-char-prefix sets") {
+    val prefixes = graft.sources.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "substring(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), 1, 32) as p")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = prefixes.groupBy(_._2).filter(_._2.length >= 2).map { case (p, m) =>
+      (p, m.length.toLong, m.map(_._1).min, m.map(_._1).max)
+    }.toSet
+    val got = TextOps.txtPrefixGroups(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "corpus should contain shared openings")
+  }
+
+  test("novelty: earliest doc is all-novel, ppm replays from gram first-claims") {
+    val rows = TextOps.txtNovelty(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val first = rows.minBy(_._1)
+    assert(first._2 == first._3 && first._4 == 1000000L,
+      "the earliest doc's grams have no earlier claimant")
+    rows.foreach { case (d, g, nv, ppm) =>
+      assert(nv <= g && ppm == 1000000L * nv / g, s"doc $d ppm arithmetic")
+    }
+    // novelty mass conservation: every distinct corpus gram is claimed as
+    // novel by exactly one doc (its first), so the novel counts sum to the
+    // corpus-wide distinct-gram count — recounted here from raw text
+    val distinctGrams = graft.sources.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id",
+        "filter(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), t -> t <> '') as w")
+      .collect().flatMap(r => r.getSeq[String](1).sliding(8).filter(_.length == 8).map(_.mkString(" ")))
+      .distinct.length.toLong
+    assert(rows.map(_._3).sum == distinctGrams, "novel mass != distinct gram count")
+  }
+
+  test("triplets: pos x neg assembly keeps exactly the margin-violating band") {
+    val hn = SimilarityOps.simHardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+    val pos = hn.filter(_._3 == "pos").groupBy(_._1)
+    val neg = hn.filter(_._3 == "neg").groupBy(_._1)
+    val expected = pos.keySet.intersect(neg.keySet).flatMap { a =>
+      for {
+        p <- pos(a).toSeq; n <- neg(a).toSeq
+        if n._4 + 0.2 > p._4
+      } yield (a, p._2, n._2, p._5, n._5, p._4 - n._4)
+    }
+    val got = SimilarityOps.simTriplets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got == expected, "triplet band mismatch vs driver replay")
+  }
 }

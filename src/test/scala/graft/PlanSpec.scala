@@ -482,4 +482,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
       "one distinct exchange + one term-keyed agg exchange expected")
   }
+
+  test("boilerplate removal: partial-agg df, broadcast anti-join strike set") {
+    val plan = executedPhysical(TextOps.txtBoilerplateRemove(spark, sf))
+    // segment df must be a map-side-combined count (a corpus-wide banner
+    // ships one partial row per map task), never a window over the hash
+    assert(plan.contains("partial_count"), "df needs map-side partial aggregation")
+    assert(!plan.contains("windowspecdefinition(h"),
+      "df must not be a window over the segment-hash partitioning")
+    // the strike set (df >= 3 hashes — small by the boilerplate definition)
+    // is the broadcast side of the anti-join; the corpus is never
+    // re-shuffled to apply it
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(3000))
+  }
+
+  test("vocab coverage: cutoff is a literal predicate, no vocabulary sort") {
+    val df = TextOps.txtVocabCoverage(spark, sf)
+    val plan = executedPhysical(df)
+    assert(plan.contains("partial_count"), "term counts need map-side combine")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "no global sort of the vocabulary")
+    // the cutoff frequency was resolved driver-side from the
+    // count-of-counts histogram and applied as a literal comparison
+    assert(df.queryExecution.optimizedPlan.toString.contains(">= "),
+      "in_vocab flag must be a literal threshold projection")
+  }
 }

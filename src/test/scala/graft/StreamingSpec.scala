@@ -396,4 +396,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() == ev.count())
     assert(got.groupBy("event_id").count().filter(col("count") > 1).isEmpty)
   }
+
+  test("streaming boilerplate filter under the frozen strike set equals batch") {
+    val store = new RelationStore(spark, s"$work/wh_boiler")
+    val newIn = s"$work/boilerdocs"
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the strike set is trained ONCE on the full corpus (the frozen
+    // model), then applied to the document stream in two arrivals
+    val boiler = graft.operators.TextOps.boilerplateHashes(docs).cache()
+    assert(boiler.count() > 0, "corpus should train a non-empty strike set")
+    docs.filter(col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runBoilerplateFilter(Streaming.documentStream(spark, newIn),
+      boiler, store, "clean_docs", s"$work/cp_boiler")
+    val afterFirst = store.read("clean_docs").count()
+    docs.filter(col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runBoilerplateFilter(Streaming.documentStream(spark, newIn),
+      boiler, store, "clean_docs", s"$work/cp_boiler")
+    val streamed = store.read("clean_docs")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    val batch = graft.operators.TextOps.txtBoilerplateRemove(spark, sfDir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    boiler.unpersist()
+  }
 }
