@@ -180,6 +180,9 @@ object SparkEntry {
     "txt_topic_tag" -> (TextOps.txtTopicTag _),
     "txt_prefix_groups" -> (TextOps.txtPrefixGroups _),
     "txt_novelty" -> (TextOps.txtNovelty _),
+    "q_session_text" -> (Events.qSessionText _),
+    "q_event_debounce" -> (Events.qEventDebounce _),
+    "dedup_source_matrix" -> (DedupOps.dedupSourceMatrix _),
     // multimodal plumbing
     "mm_meta" -> (Multimodal.mmMeta _),
     "mm_features" -> (Multimodal.mmFeatures _),
@@ -1206,6 +1209,29 @@ object SparkEntry {
         FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events) e
         WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
       ) x GROUP BY 1""",
+    "q_session_text" -> """
+      SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
+             MIN(us) AS start_us,
+             string_agg(event_type, ' ' ORDER BY us, event_id) AS session_text
+      FROM (
+        SELECT user_id, event_id, event_type, us,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        FROM (
+          SELECT user_id, event_id, event_type, us,
+                 CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+          FROM (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events) e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ) b
+      ) c GROUP BY 1, 2""",
+    "q_event_debounce" -> """
+      SELECT event_id, user_id, event_type, us AS ts_us,
+             COALESCE(us - prev_us, -1) AS gap_us
+      FROM (
+        SELECT event_id, user_id, event_type, us,
+               LAG(us) OVER (PARTITION BY user_id, event_type ORDER BY us, event_id) AS prev_us
+        FROM (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events) e
+      ) t WHERE prev_us IS NULL OR us - prev_us > 300000000""",
     "q_merge_latest" -> """
       SELECT user_id, event_type AS last_type, us AS last_us FROM (
         SELECT user_id, event_type, us,
@@ -1740,6 +1766,17 @@ object SparkEntry {
                  ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id) s""",
     "dedup_simhash_pairs" -> SimhashPairsSql,
+    "dedup_source_matrix" -> s"""
+      WITH pairs AS MATERIALIZED ($SimhashPairsSql
+      ), m AS (
+        SELECT LEAST(sa.source, sb.source) AS src_a,
+               GREATEST(sa.source, sb.source) AS src_b
+        FROM pairs p
+        JOIN documents sa ON sa.doc_id = p.doc_a
+        JOIN documents sb ON sb.doc_id = p.doc_b
+      )
+      SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM m GROUP BY 1, 2""",
     // transitive closure of the simhash pair graph: DuckDB replays the
     // distributed label propagation as a recursive CTE (min reachable
     // doc_id == hash-to-min fixpoint, both are the component minimum)

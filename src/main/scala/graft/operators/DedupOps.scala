@@ -380,6 +380,29 @@ object DedupOps {
     hammingPairs(sigs, "simhash", SimHashMaxHamming)
   }
 
+  /** Cross-source near-duplication matrix: SimHash near-dup pairs
+    * cross-tabulated by the (source, source) of their endpoints —
+    * the provenance dashboard that tells a crawl operator WHICH feeds
+    * duplicate each other (scraper overlap, mirror sites) vs which
+    * only self-duplicate. Source pair is order-normalized so each
+    * unordered pair lands in one cell.
+    *
+    * Scale shape: the pair table joins twice against the (doc_id,
+    * source) projection (co-keyed equi-joins; the matrix itself is
+    * sources²-bounded, metadata scale); pair generation keeps
+    * [[dedupSimHashPairs]]'s pigeonhole-banding shape.
+    */
+  def dedupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+    dedupSimHashPairs(s, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** EXACT Hamming-≤-`maxHamming` pairs over any 64-bit signature column
     * via pigeonhole banding (shared by [[dedupSimHashPairs]] and the
     * multimodal perceptual-hash dedup): the signature splits into

@@ -288,4 +288,54 @@ object Events {
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  /** Behavioral-sequence assembly (structured logs → LM training
+    * sequences, the interaction-data analogue of document chunking):
+    * each (user, 30-min session) becomes one training sample whose
+    * text is the time-ordered event-type token string. Session
+    * boundaries are [[qSessionize]]'s gap rule; the session index is
+    * the running sum of boundary flags.
+    *
+    * Scale shape: the boundary window and the running sum share ONE
+    * user-keyed sort (same partitioning, no second exchange); assembly
+    * is a (user, session)-keyed aggregate whose state is bounded by
+    * session length — the same doc-bounded discipline as
+    * [[graft.operators.TextOps.txtBoilerplateRemove]]'s reassembly.
+    */
+  def qSessionText(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    ev(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        array_join(expr("transform(array_sort(collect_list(struct(ts_us, event_id, event_type))), x -> x.event_type)"),
+          " ").as("session_text"))
+  }
+
+  /** Event debounce (telemetry repeat suppression): drop an event when
+    * the SAME (user, type) fired within the last 5 minutes — the
+    * throttle rule ingestion applies before events reach analytics.
+    * Keeps the first of each burst; emits the kept events with their
+    * gap to the previous occurrence (−1 = first ever).
+    *
+    * Scale shape: one (user, type)-keyed sort window with a single
+    * `lag`; partitions are per-entity-bounded (the [[qSessionize]]
+    * contract), and the filter is row-parallel after the window.
+    */
+  def qEventDebounce(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    ev(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("gap_us", coalesce(col("ts_us") - col("prev_us"), lit(-1L)))
+      .filter(col("prev_us").isNull || col("gap_us") > 300000000L)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"), col("gap_us"))
+  }
 }

@@ -349,8 +349,11 @@ object TextOps {
     * discipline applied to quantiles.
     */
   def txtCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    // cache: the scored corpus feeds BOTH the threshold histogram and
+    // the final bucket projection — without it the whole char-LM
+    // pipeline runs twice (measured 5.9 s -> 3.1 s at sf0.1)
     val scored = txtCharLmScore(s, dir)
-      .select(col("doc_id"), col("avg_millibits"))
+      .select(col("doc_id"), col("avg_millibits")).cache()
     val (t1, t2) = ccnetThresholds(scored)
     ccnetBucketWith(scored, t1, t2)
   }

@@ -1292,4 +1292,63 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
     assert(got == expected, "triplet band mismatch vs driver replay")
   }
+
+  test("session text: sequences replay the gap rule and cover every event once") {
+    val raw = graft.sources.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "ts_us", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = raw.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      var idx = 0L; var prev = Long.MinValue
+      val tagged = sorted.map { e =>
+        if (prev == Long.MinValue || e._3 - prev > 1800000000L) idx += 1
+        prev = e._3; (idx, e)
+      }
+      tagged.groupBy(_._1).map { case (si, ses) =>
+        val seq = ses.map(_._2)
+        (u, si, seq.length.toLong, seq.map(_._3).min, seq.map(_._4).mkString(" "))
+      }
+    }.toSet
+    val got = Events.qSessionText(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    assert(got == expected, "session assembly mismatch vs driver replay")
+    assert(got.toSeq.map(_._3).sum == raw.length, "every event lands in one session")
+  }
+
+  test("event debounce: kept events are pairwise >= 300s apart per (user, type)") {
+    val kept = Events.qEventDebounce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(kept.nonEmpty)
+    kept.groupBy(k => (k._2, k._3)).values.foreach { g =>
+      val ts = g.map(_._4).sorted.toSeq
+      ts.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a > 300000000L, "kept burst not throttled")
+        case _ =>
+      }
+    }
+    // the first event of every (user, type) always survives with gap -1
+    val raw = graft.sources.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "ts_us", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val firsts = raw.groupBy(e => (e._1, e._2)).values.map(_.minBy(e => (e._3, e._4))).toSet
+    firsts.foreach { f =>
+      assert(kept.exists(k => k._1 == f._4 && k._5 == -1L), s"first event ${f._4} dropped")
+    }
+  }
+
+  test("dedup source matrix: pair mass conserved and cells replay from sources") {
+    val srcOf = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = DedupOps.dedupSimHashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.map { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).map { case (k, m) => (k._1, k._2, m.length.toLong) }.toSet
+    val got = DedupOps.dedupSourceMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected, "matrix cells mismatch vs driver replay")
+    assert(got.toSeq.map(_._3).sum == pairs.length, "pair mass not conserved")
+  }
 }
