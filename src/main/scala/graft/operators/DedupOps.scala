@@ -243,6 +243,33 @@ object DedupOps {
   final case class DedupIndex(
       fps: DataFrame, bands: DataFrame, shingles: DataFrame, sizes: DataFrame)
 
+  /** Persist a [[DedupIndex]] as BUCKETED tables, each clustered on its
+    * probe-join key (fp / band key / shingle hash / doc_id). This is
+    * the 100 TB form of the index: every [[probeAgainstIndex]] join
+    * then reads the index side pre-partitioned — only the O(batch)
+    * probe side shuffles, the corpus-sized index NEVER re-exchanges on
+    * any probe (OpsSpec pins the exchange counts). Bucket count is the
+    * layout's parallelism knob — size it to the cluster, not the batch.
+    */
+  def persistDedupIndex(idx: DedupIndex, store: graft.exec.RelationStore,
+      prefix: String, buckets: Int = 32): Unit = {
+    store.writeBucketed(idx.fps, s"${prefix}_fps", Seq("fp"), buckets)
+    store.writeBucketed(idx.bands, s"${prefix}_bands", Seq("bk"), buckets)
+    store.writeBucketed(idx.shingles, s"${prefix}_shingles", Seq("h"), buckets)
+    store.writeBucketed(idx.sizes, s"${prefix}_sizes", Seq("doc_id"), buckets)
+  }
+
+  /** Reload a bucketed index written by [[persistDedupIndex]] — reads
+    * go through the catalog relation so the bucket spec survives and
+    * probe joins keep their shuffle-free index side.
+    */
+  def loadDedupIndex(store: graft.exec.RelationStore, prefix: String): DedupIndex =
+    DedupIndex(
+      fps = store.read(s"${prefix}_fps"),
+      bands = store.read(s"${prefix}_bands"),
+      shingles = store.read(s"${prefix}_shingles"),
+      sizes = store.read(s"${prefix}_sizes"))
+
   /** Build [[DedupIndex]] from an already-ingested corpus slice. */
   /** FUZZY eval-set decontamination — the near-duplicate complement of
     * [[graft.operators.CurateOps.dedupDecontaminate]]'s exact 8-gram

@@ -1351,4 +1351,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected, "matrix cells mismatch vs driver replay")
     assert(got.toSeq.map(_._3).sum == pairs.length, "pair mass not conserved")
   }
+
+  test("bucketed dedup index: probe equals in-memory index, index side never re-exchanges") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft_bidx").toString
+    val store = new graft.exec.RelationStore(spark, work)
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 8
+    val mem = DedupOps.buildDedupIndex(d.filter(!isNew))
+    DedupOps.persistDedupIndex(mem, store, "idx", buckets = 8)
+    val disk = DedupOps.loadDedupIndex(store, "idx")
+    val fromMem = DedupOps.probeAgainstIndex(d.filter(isNew), mem).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val probe = DedupOps.probeAgainstIndex(d.filter(isNew), disk)
+    val fromDisk = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(fromDisk == fromMem, "bucketed index changed probe verdicts")
+    // the bucketed layout must show up as bucket-pruned scans, and no
+    // Exchange may sit directly above an index-table file scan — the
+    // probe side is the only thing allowed to shuffle
+    val plan = probe.queryExecution.executedPlan.toString
+    val cut = plan.indexOf("== Initial Plan ==")
+    val fp = if (cut >= 0) plan.substring(0, cut) else plan
+    assert(fp.contains("SelectedBucketsCount"), "index scans should be bucketed")
+    val exchangesOverIndexScan =
+      "Exchange hashpartitioning[^\\n]*\\n[^\\n]*Scan parquet[^\\n]*idx_".r
+        .findAllIn(fp).size
+    assert(exchangesOverIndexScan == 0,
+      s"index side re-exchanged:\n${fp.take(3000)}")
+    // and the bucketing must actually SAVE shuffles: the same probe
+    // against the in-memory (unbucketed) index exchanges strictly more
+    val memProbe = DedupOps.probeAgainstIndex(d.filter(isNew), mem)
+    memProbe.collect()
+    val mp = memProbe.queryExecution.executedPlan.toString
+    val mcut = mp.indexOf("== Initial Plan ==")
+    val mfp = if (mcut >= 0) mp.substring(0, mcut) else mp
+    def nExch(p: String) = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nExch(fp) < nExch(mfp),
+      s"bucketed probe should shuffle less: ${nExch(fp)} vs ${nExch(mfp)}")
+  }
 }

@@ -129,8 +129,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val newIn = s"$work/newdocs"
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val isNew = pmod(col("doc_id"), lit(10)) >= 8
-    // the static index: the already-ingested corpus slice
-    val index = graft.operators.DedupOps.buildDedupIndex(docs.filter(!isNew))
+    // the static index: the already-ingested corpus slice, persisted as
+    // BUCKETED tables and re-read through the catalog — the production
+    // shape where each micro-batch probes storage, never a recompute
+    graft.operators.DedupOps.persistDedupIndex(
+      graft.operators.DedupOps.buildDedupIndex(docs.filter(!isNew)),
+      store, "idx", buckets = 8)
+    val index = graft.operators.DedupOps.loadDedupIndex(store, "idx")
     // land the new docs in TWO files: stream sees two arrivals; each
     // micro-batch probes the same static index
     docs.filter(isNew && col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
