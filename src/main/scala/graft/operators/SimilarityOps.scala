@@ -257,6 +257,15 @@ object SimilarityOps {
     // queries probe their nProbe nearest cells
     val probes = pairScoresAgainst(s, e.filter(col("vec_id") < 10), centroids, topPerProbe = nProbe)
       .select(col("qid"), col("cid").as("cell"))
+    ivfRescore(s, e, probes, cells)
+  }
+
+  /** Exact re-score of the probed cells' members — shared by the
+    * in-memory and persisted-index IVF paths so both produce the
+    * identical ranking.
+    */
+  private def ivfRescore(s: SparkSession, e: DataFrame, probes: DataFrame,
+      cells: DataFrame): DataFrame = {
     val qside = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("q").as("qv"), col("nq").as("qn"))
       .join(probes, Seq("qid"))
@@ -273,6 +282,45 @@ object SimilarityOps {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
       .select(col("qid"), col("cid"), col("cos"), col("rn"))
+  }
+
+  /** Persist the IVF index: the 16-row centroid table plus the
+    * assigned corpus written PARTITIONED BY cell. At 100 TB this is
+    * the index's storage layout — each cell is its own partition
+    * directory, so a probe's `cell IN (...)` predicate prunes the scan
+    * to the nProbe cells it actually needs and the other ~n_cells/
+    * n_probe of the corpus is never read (OpsSpec pins the
+    * PartitionFilters and the pruned-scan equality).
+    */
+  def persistIvfIndex(s: SparkSession, dir: String, path: String): Unit = {
+    val e = quantized(s, dir).cache()
+    val (centroids, assigned) = kmeansCells(s, e)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    e.join(assigned, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    e.unpersist()
+  }
+
+  /** IVF probe against a [[persistIvfIndex]] layout: centroid scoring
+    * is unchanged (16-row broadcast); the candidate scan reads ONLY
+    * the probed cells' partition directories via a literal
+    * `isInCollection` partition filter (the probed-cell set is bounded
+    * by construction: probes × nProbe ids, collected like the probe
+    * vectors themselves). Ranking is [[ivfRescore]] verbatim, so the
+    * result equals [[simIvfTopK]] exactly.
+    */
+  def simIvfTopKPersisted(s: SparkSession, dir: String, path: String,
+      nProbe: Int = 4): DataFrame = {
+    val e = quantized(s, dir)
+    val centroids = s.read.parquet(s"$path/centroids")
+    val probes = pairScoresAgainst(s, e.filter(col("vec_id") < 10), centroids, topPerProbe = nProbe)
+      .select(col("qid"), col("cid").as("cell"))
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0))
+    val cells = s.read.parquet(s"$path/cells")
+      .filter(col("cell").cast("long").isInCollection(probedCells))
+      .withColumn("cell", col("cell").cast("long"))
+    ivfRescore(s, e, probes, cells)
   }
 
   /** Top-N centroid/candidate matches of `probe` against a SMALL,

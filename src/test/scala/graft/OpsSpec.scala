@@ -1390,4 +1390,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nExch(fp) < nExch(mfp),
       s"bucketed probe should shuffle less: ${nExch(fp)} vs ${nExch(mfp)}")
   }
+
+  test("persisted IVF index: probe equals in-memory IVF, scan pruned to probed cells") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    SimilarityOps.persistIvfIndex(spark, sf, path)
+    val persisted = SimilarityOps.simIvfTopKPersisted(spark, sf, path)
+    val got = persisted.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val mem = SimilarityOps.simIvfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == mem, "persisted IVF ranking drifted from the in-memory path")
+    // the cells scan must carry a partition filter on cell — the layout's
+    // whole point is that unprobed cell directories are never read
+    val plan = persisted.queryExecution.executedPlan.toString
+    val m = "PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r.findFirstIn(plan)
+    assert(m.isDefined, s"no cell partition filter in:\n${plan.take(3000)}")
+    // and the pruning is real: at nProbe=1 the filter must enumerate a
+    // strict subset of the 16 cells (at nProbe=4 the 10 probes happen
+    // to cover every cell of this small corpus — pruning still applies,
+    // just with nothing left to skip)
+    val allCells = spark.read.parquet(s"$path/cells")
+      .select("cell").distinct().count()
+    assert(allCells == 16L, s"expected 16 cells, got $allCells")
+    val one = SimilarityOps.simIvfTopKPersisted(spark, sf, path, nProbe = 1)
+    one.collect()
+    val onePlan = one.queryExecution.executedPlan.toString
+    val m1 = "PartitionFilters: \\[[^\\]]*cell[^\\]]*INSET[^\\]]*\\]".r.findFirstIn(onePlan)
+      .orElse("PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r.findFirstIn(onePlan))
+    assert(m1.isDefined, "nProbe=1 probe lost its partition filter")
+    val enumerated = ",".r.findAllIn(m1.get).size + 1
+    assert(enumerated < allCells,
+      s"nProbe=1 filter should enumerate a strict cell subset: $enumerated of $allCells — ${m1.get}")
+  }
 }
