@@ -20,7 +20,7 @@ import graft.parser.ProjectLoader
   *   graft <cmd> --project-dir DIR [--select "..."] [--exclude "..."]
   *     [--threads N] [--vars k=v,k2=v2] [--full-refresh] [--empty]
   *     [--state PATH] [--defer] [--warehouse DIR] [--target-dir DIR]
-  *     [--inline SQL] [--indirect-selection MODE]
+  *     [--inline SQL] [--inline-direct SQL] [--indirect-selection MODE]
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -240,28 +240,41 @@ object Main {
         val compiler = adHocCompiler()
         val outDir = Paths.get(targetDir, "compiled")
         Files.createDirectories(outDir)
-        // --select narrows compilation like every other verb
-        // (reference compile.py via GraphRunnableTask selection)
-        val compileSel: Option[Set[String]] =
-          if (flags.contains("select") || flags.contains("selector")) Some {
-            val r = new Runner(spark, project, store, mkOpts("build"))
-            graft.graph.Selector.select(project.manifest, r.graph,
-              mkOpts("build").select, mkOpts("build").exclude, stateManifest,
-              Map.empty, flags.getOrElse("indirect-selection", "eager")).toSet
-          } else None
-        project.manifest.nodes.values
-          .filter(n => compileSel.forall(_.contains(n.uniqueId))).foreach {
-          case m: ModelNode =>
-            val sql = compiler.compile(m, m.rawCode).executable
-            Files.writeString(outDir.resolve(s"${m.name}.sql"), sql)
-          case a: AnalysisNode =>
-            // compiled but never executed (reference analysis.py:20
-            // get_compiled_path → target/compiled/.../analysis/)
-            val sql = compiler.compile(a, a.rawCode).executable
-            Files.writeString(outDir.resolve(s"analysis_${a.name}.sql"), sql)
-          case _ =>
+        // --inline SQL: compile one ad-hoc query with the project context
+        // (refs/sources/macros resolve) and print it — the reference adds
+        // an "inline_query" node to the manifest (task/compile.py:103)
+        // and reports only its compiled SQL
+        flags.get("inline") match {
+          case Some(inline) =>
+            val fake = ModelNode("inline_query", project.name, inline,
+              NodeConfig(), Nil, Nil, Nil)
+            val compiled = compiler.compile(fake, inline).executable
+            Files.writeString(outDir.resolve("inline_query.sql"), compiled)
+            println(compiled)
+          case None =>
+            // --select narrows compilation like every other verb
+            // (reference compile.py via GraphRunnableTask selection)
+            val compileSel: Option[Set[String]] =
+              if (flags.contains("select") || flags.contains("selector")) Some {
+                val r = new Runner(spark, project, store, mkOpts("build"))
+                graft.graph.Selector.select(project.manifest, r.graph,
+                  mkOpts("build").select, mkOpts("build").exclude, stateManifest,
+                  Map.empty, flags.getOrElse("indirect-selection", "eager")).toSet
+              } else None
+            project.manifest.nodes.values
+              .filter(n => compileSel.forall(_.contains(n.uniqueId))).foreach {
+              case m: ModelNode =>
+                val sql = compiler.compile(m, m.rawCode).executable
+                Files.writeString(outDir.resolve(s"${m.name}.sql"), sql)
+              case a: AnalysisNode =>
+                // compiled but never executed (reference analysis.py:20
+                // get_compiled_path → target/compiled/.../analysis/)
+                val sql = compiler.compile(a, a.rawCode).executable
+                Files.writeString(outDir.resolve(s"analysis_${a.name}.sql"), sql)
+              case _ =>
+            }
+            println(s"compiled -> $outDir")
         }
-        println(s"compiled -> $outDir")
         0
       case "run" | "seed" | "snapshot" | "test" | "build" =>
         report(new Runner(spark, project, store, mkOpts(cmd)).execute())
@@ -280,23 +293,28 @@ object Main {
               retryBatches = failedBatches)).execute())
         }
       case "show" =>
-        // --inline SQL or --select <model> (reference show:347 supports both)
+        // --inline SQL or --select <model> (reference show:347 supports both);
+        // --inline-direct runs the SQL VERBATIM with no templating and no
+        // manifest compile (reference main.py:374 ShowTaskDirect)
         Sources.registerAll(spark, project.manifest, project.vars ++ cliVars)
         attachAll()
         val compiler = adHocCompiler()
-        val sql = flags.get("inline") match {
-          case Some(inline) =>
-            val fake = ModelNode("__inline__", project.name, inline, NodeConfig(), Nil, Nil, Nil)
-            compiler.compile(fake, inline).executable
-          case None =>
-            val name = flags.getOrElse("select",
-              throw new IllegalArgumentException("show requires --inline SQL or --select model"))
-            val node = project.manifest.resolveRef(name).getOrElse(
-              throw new IllegalArgumentException(s"model not found: $name"))
-            node match {
-              case m: ModelNode => compiler.compile(m, m.rawCode).executable
-              case other => s"SELECT * FROM ${other.config.alias.getOrElse(other.name)}"
-            }
+        val sql = flags.get("inline-direct") match {
+          case Some(direct) => direct
+          case None => flags.get("inline") match {
+            case Some(inline) =>
+              val fake = ModelNode("__inline__", project.name, inline, NodeConfig(), Nil, Nil, Nil)
+              compiler.compile(fake, inline).executable
+            case None =>
+              val name = flags.getOrElse("select",
+                throw new IllegalArgumentException("show requires --inline SQL or --select model"))
+              val node = project.manifest.resolveRef(name).getOrElse(
+                throw new IllegalArgumentException(s"model not found: $name"))
+              node match {
+                case m: ModelNode => compiler.compile(m, m.rawCode).executable
+                case other => s"SELECT * FROM ${other.config.alias.getOrElse(other.name)}"
+              }
+          }
         }
         // --output json emits one JSON object per row (reference
         // task/show.py: preview as JSON for programmatic consumers);

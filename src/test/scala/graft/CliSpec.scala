@@ -66,6 +66,19 @@ class CliSpec extends AnyFunSuite {
     val (c7, showOut) = run("show", dir,
       Map("inline" -> "SELECT count(*) AS n FROM {{ ref('my_first_model') }}"))
     assert(c7 == 0)
+
+    // --inline-direct: verbatim SQL, no templating (reference ShowTaskDirect)
+    val (c8, directOut) = run("show", dir,
+      Map("inline-direct" -> "SELECT 41 + 1 AS answer", "output" -> "json"))
+    assert(c8 == 0)
+    assert(directOut.contains("\"answer\":42"), directOut)
+
+    // compile --inline prints the compiled ad-hoc SQL and writes it
+    val (c9, inlineOut) = run("compile", dir,
+      Map("inline" -> "SELECT * FROM {{ ref('my_first_model') }}"))
+    assert(c9 == 0)
+    assert(!inlineOut.contains("{{"), s"templating must be resolved: $inlineOut")
+    assert(Files.exists(Paths.get(dir, "target/compiled/inline_query.sql")))
   }
 
   test("run-operation executes a project macro; hooks expand macros") {
