@@ -158,6 +158,7 @@ object SparkEntry {
     "curate_dsir_select" -> (CurateOps.curateDsirSelect _),
     "curate_split_leakfree" -> (CurateOps.curateSplitLeakfree _),
     "curate_quality_drift" -> (CurateOps.curateQualityDrift _),
+    "curate_datacard" -> (CurateOps.curateDatacard _),
     // similarity search
     "sim_topk" -> (SimilarityOps.simTopK _),
     "emb_neardup" -> (SimilarityOps.embNearDup _),
@@ -229,6 +230,45 @@ object SparkEntry {
     * (ties by lower vec_id) — nested-CTE unrolling in the IvfCellCtes
     * style, integer-exact throughout.
     */
+  private lazy val GopherGateSql: String = """
+      WITH toks AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        FROM documents
+      ), base AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) AS sum_len,
+               CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha
+        FROM toks
+      ), g2 AS (
+        SELECT doc_id, MAX(c) AS top2, CAST(SUM(c) AS BIGINT) AS n2 FROM (
+          SELECT doc_id, g, COUNT(*) AS c FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+            FROM toks WHERE len(w) >= 2) x GROUP BY 1, 2) y GROUP BY 1
+      ), g3 AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n3, COUNT(DISTINCT g) AS nd3 FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          FROM toks WHERE len(w) >= 3) x GROUP BY 1
+      ), sig AS (
+        SELECT b.doc_id, b.n_tokens,
+               CASE WHEN b.n_tokens > 0 THEN (1000 * b.sum_len) // b.n_tokens ELSE 0 END AS mean_len_milli,
+               CASE WHEN b.n_tokens > 0 THEN (1000 * b.n_alpha) // b.n_tokens ELSE 0 END AS alpha_milli,
+               CASE WHEN COALESCE(g2.n2, 0) > 0 THEN (1000 * g2.top2) // g2.n2 ELSE 0 END AS top2_milli,
+               CASE WHEN COALESCE(g3.n3, 0) > 0 THEN (1000 * (g3.n3 - g3.nd3)) // g3.n3 ELSE 0 END AS dup3_milli
+        FROM base b LEFT JOIN g2 ON b.doc_id = g2.doc_id LEFT JOIN g3 ON b.doc_id = g3.doc_id
+      )
+      SELECT doc_id, n_tokens,
+             CAST(mean_len_milli AS BIGINT) AS mean_len_milli,
+             CAST(alpha_milli AS BIGINT) AS alpha_milli,
+             CAST(top2_milli AS BIGINT) AS top2_milli,
+             CAST(dup3_milli AS BIGINT) AS dup3_milli,
+             CAST(n_tokens BETWEEN 50 AND 100000
+                  AND mean_len_milli BETWEEN 3000 AND 10000
+                  AND alpha_milli >= 800
+                  AND top2_milli <= 200
+                  AND dup3_milli <= 300 AS BIGINT) AS admitted
+      FROM sig"""
+
   /** MMR oracle (SimilarityOps.simMmrSelect): cosine top-10 for probe
     * vec_id 0, then rounds 2..4 unrolled KcenterSql-style — each
     * scores remaining candidates 0.7·rel − 0.3·max-sim-to-selected
@@ -1375,44 +1415,42 @@ object SparkEntry {
              COALESCE(n_3grams - nd, 0) AS n_dup_3grams,
              CASE WHEN n_3grams > 0 THEN CAST(n_3grams - nd AS DOUBLE) / n_3grams ELSE 0.0 END AS dup_3gram_frac
       FROM documents d LEFT JOIN g2 ON d.doc_id = g2.doc_id LEFT JOIN g3 ON d.doc_id = g3.doc_id""",
-    "curate_gopher_gate" -> """
-      WITH toks AS (
-        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
-        FROM documents
-      ), base AS (
+    "curate_gopher_gate" -> GopherGateSql,
+    "curate_datacard" -> s"""
+      WITH gate AS ($GopherGateSql),
+      d AS (
+        SELECT doc_id, source, lang FROM documents
+      ), fp AS (
         SELECT doc_id,
-               CAST(len(w) AS BIGINT) AS n_tokens,
-               CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) AS sum_len,
-               CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha
-        FROM toks
-      ), g2 AS (
-        SELECT doc_id, MAX(c) AS top2, CAST(SUM(c) AS BIGINT) AS n2 FROM (
-          SELECT doc_id, g, COUNT(*) AS c FROM (
-            SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
-            FROM toks WHERE len(w) >= 2) x GROUP BY 1, 2) y GROUP BY 1
-      ), g3 AS (
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n3, COUNT(DISTINCT g) AS nd3 FROM (
-          SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
-          FROM toks WHERE len(w) >= 3) x GROUP BY 1
-      ), sig AS (
-        SELECT b.doc_id, b.n_tokens,
-               CASE WHEN b.n_tokens > 0 THEN (1000 * b.sum_len) // b.n_tokens ELSE 0 END AS mean_len_milli,
-               CASE WHEN b.n_tokens > 0 THEN (1000 * b.n_alpha) // b.n_tokens ELSE 0 END AS alpha_milli,
-               CASE WHEN COALESCE(g2.n2, 0) > 0 THEN (1000 * g2.top2) // g2.n2 ELSE 0 END AS top2_milli,
-               CASE WHEN COALESCE(g3.n3, 0) > 0 THEN (1000 * (g3.n3 - g3.nd3)) // g3.n3 ELSE 0 END AS dup3_milli
-        FROM base b LEFT JOIN g2 ON b.doc_id = g2.doc_id LEFT JOIN g3 ON b.doc_id = g3.doc_id
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM documents
+      ), dup AS (
+        SELECT fp FROM fp GROUP BY 1 HAVING COUNT(*) > 1
+      ), perdoc AS (
+        SELECT d.doc_id, d.source, g.n_tokens, g.admitted,
+               CASE WHEN f.fp IN (SELECT fp FROM dup) THEN 1 ELSE 0 END AS is_dup
+        FROM d JOIN gate g USING (doc_id) JOIN fp f USING (doc_id)
+      ), base AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(admitted) AS BIGINT) AS n_admitted,
+               CAST(SUM(is_dup) AS BIGINT) AS n_dup
+        FROM perdoc GROUP BY 1
+      ), lc AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2
+      ), tl AS (
+        SELECT source, lang AS top_lang, c AS top_c
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn FROM lc) x
+        WHERE rn = 1
+      ), nl AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_langs FROM lc GROUP BY 1
       )
-      SELECT doc_id, n_tokens,
-             CAST(mean_len_milli AS BIGINT) AS mean_len_milli,
-             CAST(alpha_milli AS BIGINT) AS alpha_milli,
-             CAST(top2_milli AS BIGINT) AS top2_milli,
-             CAST(dup3_milli AS BIGINT) AS dup3_milli,
-             CAST(n_tokens BETWEEN 50 AND 100000
-                  AND mean_len_milli BETWEEN 3000 AND 10000
-                  AND alpha_milli >= 800
-                  AND top2_milli <= 200
-                  AND dup3_milli <= 300 AS BIGINT) AS admitted
-      FROM sig""",
+      SELECT b.source, b.n_docs, b.n_tokens,
+             (1000000 * b.n_admitted) // b.n_docs AS gopher_pass_ppm,
+             (1000000 * b.n_dup) // b.n_docs AS dup_ppm,
+             nl.n_langs, tl.top_lang,
+             (1000000 * tl.top_c) // b.n_docs AS top_lang_ppm
+      FROM base b JOIN tl USING (source) JOIN nl USING (source)""",
     "txt_pii_scrub" -> """
       WITH a AS (
         SELECT doc_id,

@@ -802,4 +802,53 @@ object CurateOps {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cell"), col("cos"))
   }
+
+  /** Dataset card (the per-source release report shipped next to a
+    * corpus drop — the Datasheets-for-Datasets numbers a consumer
+    * checks before training): for each source, volume (docs, tokens),
+    * Gopher-gate pass rate, exact-duplicate rate (corpus-wide
+    * fingerprint collisions attributed back to the source), language
+    * spread, and the dominant language with its share. One query so
+    * the report is always internally consistent — every column comes
+    * from the same corpus snapshot.
+    *
+    * Scale shape: all per-doc signals are row-parallel or reuse the
+    * gate's doc-keyed aggregates; the only corpus-keyed shuffles are
+    * the fingerprint dup detection (map-side-combined groupBy(fp) —
+    * the dup set is then a semi-join, never a broadcast claim) and the
+    * source-keyed final aggregates whose output is sources-bounded;
+    * the lang argmax window runs over the sources×langs table
+    * (metadata scale).
+    */
+  def curateDatacard(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val gate = curateGopherGate(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("admitted"))
+    val fp = d.select(col("doc_id"), md5(TextOps.normalized(col("text"))).as("fp"))
+    val dupFps = fp.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("fp"))
+    val dupped = fp.join(dupFps, Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(1L).as("is_dup"))
+    val base = d.select(col("doc_id"), col("source"))
+      .join(gate, Seq("doc_id"))
+      .join(dupped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("admitted")).as("n_admitted"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+    val lc = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("c").desc, col("lang"))
+    val topLang = lc.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("c").as("top_c"))
+    val nLangs = lc.groupBy(col("source")).agg(count(lit(1)).as("n_langs"))
+    base.join(broadcast(topLang), Seq("source"))
+      .join(broadcast(nLangs), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(1000000 * n_admitted) div n_docs").as("gopher_pass_ppm"),
+        expr("(1000000 * n_dup) div n_docs").as("dup_ppm"),
+        col("n_langs"), col("top_lang"),
+        expr("(1000000 * top_c) div n_docs").as("top_lang_ppm"))
+  }
 }

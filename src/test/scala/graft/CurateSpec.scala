@@ -601,4 +601,29 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("datacard: every column replays from the per-doc signals") {
+    val card = CurateOps.curateDatacard(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getString(6), r.getLong(7))).toSet
+    val docsRaw = graft.sources.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "source", "lang",
+        "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))) as fp")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val gate = CurateOps.curateGopherGate(spark, sf)
+      .selectExpr("doc_id", "n_tokens", "admitted").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dupFps = docsRaw.groupBy(_._4).filter(_._2.length > 1).keySet
+    val expected = docsRaw.groupBy(_._2).map { case (src, ds) =>
+      val n = ds.length.toLong
+      val langs = ds.groupBy(_._3).map { case (l, m) => (l, m.length.toLong) }
+      val (topLang, topC) = langs.toSeq.minBy { case (l, c) => (-c, l) }
+      (src, n, ds.map(d => gate(d._1)._1).sum,
+        1000000L * ds.map(d => gate(d._1)._2).sum / n,
+        1000000L * ds.count(d => dupFps.contains(d._4)) / n,
+        langs.size.toLong, topLang, 1000000L * topC / n)
+    }.toSet
+    assert(card == expected, "datacard drifted from the per-doc replay")
+    assert(card.toSeq.map(_._2).sum == docsRaw.length, "card must cover every doc")
+  }
 }
