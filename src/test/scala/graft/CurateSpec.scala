@@ -626,4 +626,25 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(card == expected, "datacard drifted from the per-doc replay")
     assert(card.toSeq.map(_._2).sum == docsRaw.length, "card must cover every doc")
   }
+
+  test("boilerplate removal strikes a planted banner from every doc, content survives") {
+    val sp = spark
+    import sp.implicits._
+    // synthetic corpus: every doc opens with the SAME 8-token banner
+    // (license header / nav bar), then unique content
+    val banner = "all rights reserved terms of service apply here"
+    val docs = (0L until 40L).map { i =>
+      val content = (0 until 16).map(j => s"w${i}x$j").mkString(" ")
+      (i, s"$banner $content")
+    }.toDF("doc_id", "text")
+    val boiler = TextOps.boilerplateHashes(docs, width = 8, maxDf = 3)
+    assert(boiler.count() == 1L, "exactly the banner segment is boilerplate")
+    val cleaned = TextOps.boilerplateFilterWith(docs, boiler, width = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(cleaned.length == 40, "no doc may vanish — each has unique content")
+    cleaned.foreach { case (id, nKept, text) =>
+      assert(!text.contains("rights reserved"), s"doc $id kept the banner")
+      assert(nKept == 2L && text.startsWith(s"w${id}x0"), s"doc $id lost content")
+    }
+  }
 }
