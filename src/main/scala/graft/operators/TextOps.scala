@@ -18,6 +18,21 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** At most ONE resident cached plan per (session, operator slot):
+    * caching a new invocation's intermediate releases the previous
+    * one's — the [[graft.operators.SimilarityOps]] PQ-loop unpersist
+    * discipline applied to repeatedly-invoked two-pass operators, so a
+    * long-lived session (bench sweeps, verify drives, notebooks) holds
+    * bounded cache storage no matter how often the operator runs.
+    */
+  private val residentCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def cacheResident(s: SparkSession, slot: String, df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    Option(residentCache.put((s, slot), cached)).foreach(_.unpersist(false))
+    cached
+  }
+
   /** lower + strip non-alphanumerics + collapse runs → canonical text. */
   def normalized(c: Column): Column = trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
 
@@ -351,9 +366,10 @@ object TextOps {
   def txtCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
     // cache: the scored corpus feeds BOTH the threshold histogram and
     // the final bucket projection — without it the whole char-LM
-    // pipeline runs twice (measured 5.9 s -> 3.1 s at sf0.1)
-    val scored = txtCharLmScore(s, dir)
-      .select(col("doc_id"), col("avg_millibits")).cache()
+    // pipeline runs twice (measured 5.9 s -> 3.1 s at sf0.1); resident
+    // slot so re-invocation frees the previous copy
+    val scored = cacheResident(s, "ccnet_scored", txtCharLmScore(s, dir)
+      .select(col("doc_id"), col("avg_millibits")))
     val (t1, t2) = ccnetThresholds(scored)
     ccnetBucketWith(scored, t1, t2)
   }
@@ -857,10 +873,13 @@ object TextOps {
     */
   def txtVocabCoverage(s: SparkSession, dir: String,
       coverPpm: Long = 950000L): DataFrame = {
-    val counts = docs(s, dir)
+    // vocabulary-sized (bounded) table consumed by both the histogram
+    // collect and the returned projection — cached so the corpus scan
+    // + term shuffle run once; resident slot frees the previous copy
+    val counts = cacheResident(s, "vocab_counts", docs(s, dir)
       .select(explode(filter(split(normalized(col("text")), " "), t => t =!= ""))
         .as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt")))
     val hist = counts.groupBy(col("cnt"))
       .agg(count(lit(1)).as("n_terms"), sum(col("cnt")).as("mass"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

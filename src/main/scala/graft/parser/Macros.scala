@@ -162,7 +162,10 @@ object Macros {
     // the name — otherwise the tag text turns syntactically invalid.
     // (Full Jinja shadowing inside the bound body is out of scope like
     // the rest of the macro system's textual semantics.)
-    val binderRe = raw"(?s)^(\s*(?:for|set)\s+)([A-Za-z_]\w*)(.*)$$".r
+    // the leading `-?` covers whitespace-trim tags (`{%- for x … -%}`):
+    // the captured tag body then starts with '-', and the binder must
+    // still be protected
+    val binderRe = raw"(?s)^(-?\s*(?:for|set)\s+)([A-Za-z_]\w*)(.*)$$".r
     raw"(?s)\{%(.*?)%\}".r.replaceAllIn(inExprs, sp =>
       scala.util.matching.Regex.quoteReplacement("{%" + (sp.group(1) match {
         case binderRe(head, binder, rest) =>

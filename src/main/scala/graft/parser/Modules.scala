@@ -81,11 +81,17 @@ object Modules {
   /** Dispatch `modules.…(args, kwargs)`. */
   def call(name: String, args: List[Any], kw: ListMap[String, Any]): Any = name match {
     case "modules.datetime.date" =>
+      require(args.length >= 3,
+        s"modules.datetime.date missing required arguments (year, month, day), got ${args.length}")
       PyDate(LocalDate.of(asLong(args(0), name).toInt, asLong(args(1), name).toInt,
         asLong(args(2), name).toInt))
     case "modules.datetime.date.today" =>
       PyDate(LocalDate.now(ZoneOffset.UTC))
     case "modules.datetime.datetime" =>
+      // Python raises "function missing required argument" below 3 args;
+      // padding month/day with 0 would throw an opaque DateTimeException
+      require(args.length >= 3,
+        s"modules.datetime.datetime missing required arguments (year, month, day), got ${args.length}")
       val p = args.map(asLong(_, name).toInt).padTo(7, 0)
       PyDateTime(LocalDateTime.of(p(0), p(1), p(2), p(3), p(4), p(5), p(6) * 1000))
     case "modules.datetime.datetime.now" | "modules.datetime.datetime.utcnow" =>

@@ -204,6 +204,30 @@ object Streaming {
     * retrained in the hot path — the shape continuous corpus
     * admission runs at ingest time.
     */
+  /** Shared scaffold for the frozen-model micro-batch scorers:
+    * Append + AvailableNow + foreachBatch applying `transform` (the
+    * batch plan verbatim) and appending the result to `table`. Every
+    * run* driver is this plus its transform, so a change to the
+    * append/write semantics (restart dedup, write mode) lands ONCE.
+    */
+  private def runAppendScorer(
+      newDocs: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String)(transform: DataFrame => DataFrame): Unit = {
+    val q = newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val out = transform(batch)
+        if (store.exists(table)) store.write(store.read(table).unionByName(out), table)
+        else store.write(out, table)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   def runDsirScore(
       newDocs: DataFrame,
       wtab: DataFrame,
@@ -211,17 +235,9 @@ object Streaming {
       store: RelationStore,
       table: String,
       checkpointDir: String): Unit = {
-    val q = newDocs.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val scored = graft.operators.CurateOps.dsirScore(batch, wtab, norm)
-        if (store.exists(table)) store.write(store.read(table).unionByName(scored), table)
-        else store.write(scored, table)
-      }
-      .start()
-    q.awaitTermination()
+    runAppendScorer(newDocs, store, table, checkpointDir) { batch =>
+      graft.operators.CurateOps.dsirScore(batch, wtab, norm)
+    }
   }
 
   /** Bucket a stream of arriving documents under a FROZEN CCNet model
@@ -242,19 +258,11 @@ object Streaming {
       store: RelationStore,
       table: String,
       checkpointDir: String): Unit = {
-    val q = newDocs.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bucketed = graft.operators.TextOps.ccnetBucketWith(
+    runAppendScorer(newDocs, store, table, checkpointDir) { batch =>
+      graft.operators.TextOps.ccnetBucketWith(
           graft.operators.TextOps.charLmScoreWith(batch, model)
             .select(col("doc_id"), col("avg_millibits")), t1, t2)
-        if (store.exists(table)) store.write(store.read(table).unionByName(bucketed), table)
-        else store.write(bucketed, table)
-      }
-      .start()
-    q.awaitTermination()
+    }
   }
 
   /** Route arriving documents to their nearest probe exemplar by
@@ -275,17 +283,9 @@ object Streaming {
       store: RelationStore,
       table: String,
       checkpointDir: String): Unit = {
-    val q = newDocs.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val routed = graft.operators.TextOps.tfidfRouteWith(batch, idf, probes)
-        if (store.exists(table)) store.write(store.read(table).unionByName(routed), table)
-        else store.write(routed, table)
-      }
-      .start()
-    q.awaitTermination()
+    runAppendScorer(newDocs, store, table, checkpointDir) { batch =>
+      graft.operators.TextOps.tfidfRouteWith(batch, idf, probes)
+    }
   }
 
   /** Apply the Gopher quality gate to arriving documents — every rule
@@ -301,19 +301,11 @@ object Streaming {
       store: RelationStore,
       table: String,
       checkpointDir: String): Unit = {
-    val q = newDocs.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val verdicts = graft.operators.CurateOps.gopherGateOf(
+    runAppendScorer(newDocs, store, table, checkpointDir) { batch =>
+      graft.operators.CurateOps.gopherGateOf(
           batch.select(col("doc_id"),
             split(graft.operators.TextOps.normalized(col("text")), " ").as("w")))
-        if (store.exists(table)) store.write(store.read(table).unionByName(verdicts), table)
-        else store.write(verdicts, table)
-      }
-      .start()
-    q.awaitTermination()
+    }
   }
 
   /** Strip corpus-trained boilerplate from arriving documents: the
@@ -333,17 +325,9 @@ object Streaming {
       store: RelationStore,
       table: String,
       checkpointDir: String): Unit = {
-    val q = newDocs.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val cleaned = graft.operators.TextOps.boilerplateFilterWith(batch, boiler)
-        if (store.exists(table)) store.write(store.read(table).unionByName(cleaned), table)
-        else store.write(cleaned, table)
-      }
-      .start()
-    q.awaitTermination()
+    runAppendScorer(newDocs, store, table, checkpointDir) { batch =>
+      graft.operators.TextOps.boilerplateFilterWith(batch, boiler)
+    }
   }
 
   /** Drive incremental (batch-vs-index) dedup over a stream of newly
@@ -362,17 +346,9 @@ object Streaming {
       store: RelationStore,
       table: String,
       checkpointDir: String): Unit = {
-    val q = newDocs.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val verdicts = graft.operators.DedupOps.probeAgainstIndex(batch, index)
-        if (store.exists(table)) store.write(store.read(table).unionByName(verdicts), table)
-        else store.write(verdicts, table)
-      }
-      .start()
-    q.awaitTermination()
+    runAppendScorer(newDocs, store, table, checkpointDir) { batch =>
+      graft.operators.DedupOps.probeAgainstIndex(batch, index)
+    }
   }
 
   /** Watermarked stream-stream interval join: every purchase matched to

@@ -1096,6 +1096,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(grown <= 3, s"cached-RDD growth $grown: superseded Lloyd codebooks leaked")
   }
 
+  test("two-pass text operators hold one resident cache across re-invocations") {
+    // ccnet/vocab cache their shared intermediate (threshold pass +
+    // output pass); re-invoking must FREE the previous copy — bounded
+    // storage however often a bench sweep or notebook calls them
+    TextOps.txtCcnetBuckets(spark, sf).collect()
+    TextOps.txtVocabCoverage(spark, sf).collect()
+    val after2 = spark.sparkContext.getPersistentRDDs.size
+    TextOps.txtCcnetBuckets(spark, sf).collect()
+    TextOps.txtVocabCoverage(spark, sf).collect()
+    TextOps.txtCcnetBuckets(spark, sf).collect()
+    val after5 = spark.sparkContext.getPersistentRDDs.size
+    assert(after5 <= after2,
+      s"resident caches grew across invocations: $after2 -> $after5")
+  }
+
   test("label propagation: seeds clamp, labels spread only along edges") {
     val langOf = graft.sources.Tables.load(spark, sf, "documents")
       .select("doc_id", "lang").collect()

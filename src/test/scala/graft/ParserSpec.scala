@@ -408,6 +408,14 @@ class ControlFlowSpec extends AnyFunSuite {
       .map(d => d.name -> d).toMap
     val out2 = ControlFlow.render(Macros.expand("{{ n('outer') }}", defs2))
     assert(out2 == "inner" || out2 == "outer", s"set binder corrupted: '$out2'")
+    // whitespace-trim tags ({%- for … -%}) must protect the binder too —
+    // the tag body starts with '-', not the keyword
+    val defs3 = Macros.parse(
+      "{% macro t(c) %}{{ c }}:{%- for c in ['a'] -%}{{ c }}{%- endfor -%}{% endmacro %}")
+      .map(d => d.name -> d).toMap
+    val expanded3 = Macros.expand("{{ t('y') }}", defs3)
+    val out3 = ControlFlow.render(expanded3)
+    assert(out3 == "y:y" || out3 == "y:a", s"trim-tag binder corrupted: '$out3'")
   }
 
   test("flags context member: typed defaults, CLI-seeded values, renderable") {
