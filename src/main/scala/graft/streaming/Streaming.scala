@@ -157,6 +157,47 @@ object Streaming {
     * keep=0. When all data lands in one AvailableNow batch this equals
     * the batch operator's min-id-keeper exactly.
     */
+  final case class ThrottleState(lastUs: Long)
+  final case class ThrottleVerdict(event_id: Long, user_id: Long,
+      event_type: String, ts_us: Long, gap_us: Long)
+
+  /** Streaming event debounce — the stateful twin of the batch
+    * [[graft.operators.Events.qEventDebounce]]: suppress an event when
+    * the SAME (user, type) fired within `minGapUs` of the previous
+    * occurrence. State is ONE last-seen timestamp per entity, so
+    * memory is O(active entities), not O(events) — the throttle an
+    * ingest tier runs before analytics on an unbounded stream. The
+    * state advances on every SEEN event (kept or dropped), matching
+    * the batch operator's lag-over-raw-events rule exactly, so
+    * stream ≡ batch holds whenever arrivals respect per-entity time
+    * order across micro-batches (the landing-zone contract;
+    * StreamingSpec proves parity over ordered arrivals).
+    */
+  def streamingDebounce(events: DataFrame,
+      minGapUs: Long = 300000000L): Dataset[ThrottleVerdict] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[ThrottleState, ThrottleVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((user, typ), rows, state: GroupState[ThrottleState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e._4, e._3))
+          var last = state.getOption.map(_.lastUs).getOrElse(Long.MinValue)
+          val out = sorted.flatMap { e =>
+            val first = last == Long.MinValue
+            val gap = if (first) -1L else e._4 - last
+            val keep = first || gap > minGapUs
+            last = e._4
+            if (keep) Some(ThrottleVerdict(e._3, user, typ, e._4, gap)) else None
+          }
+          state.update(ThrottleState(last))
+          out.iterator
+      }
+  }
+
   def streamingExactDedup(docs: DataFrame): Dataset[DedupVerdict] = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -402,6 +402,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.groupBy("event_id").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("streaming debounce over time-ordered arrivals equals the batch throttle") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"), col("ts_us"))
+    // split at the median ts so each (user, type) sees its events in
+    // order across the two arrivals — the landing-zone contract the
+    // operator documents
+    val midUs = ev.selectExpr("percentile_approx(ts_us, 0.5) as m").head().getLong(0)
+    val in = s"$work/debounce_in"
+    ev.filter(col("ts_us") <= midUs).drop("ts_us")
+      .write.mode("overwrite").parquet(in)
+    val store = new RelationStore(spark, s"$work/wh_debounce")
+    def drive(): Unit = {
+      val verdicts = Streaming.streamingDebounce(Streaming.eventStream(spark, in))
+      val q = verdicts.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$work/cp_debounce")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (store.exists("kept")) store.write(store.read("kept").unionByName(batch), "kept")
+          else store.write(batch, "kept")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drive()
+    val afterFirst = store.read("kept").count()
+    ev.filter(col("ts_us") > midUs).drop("ts_us")
+      .coalesce(1).write.mode("append").parquet(in)
+    drive()
+    val streamed = store.read("kept")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    val batch = graft.operators.Events.qEventDebounce(spark, sfDir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming boilerplate filter under the frozen strike set equals batch") {
     val store = new RelationStore(spark, s"$work/wh_boiler")
     val newIn = s"$work/boilerdocs"
