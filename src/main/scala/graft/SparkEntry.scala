@@ -176,6 +176,7 @@ object SparkEntry {
     "sim_hybrid_search" -> (SimilarityOps.simHybridSearch _),
     "sim_mmr_select" -> ((s, d) => SimilarityOps.simMmrSelect(s, d)),
     "sim_triplets" -> (SimilarityOps.simTriplets _),
+    "sim_diversity_eval" -> (SimilarityOps.simDiversityEval _),
     "txt_boilerplate_remove" -> ((s, d) => TextOps.txtBoilerplateRemove(s, d)),
     "txt_vocab_coverage" -> ((s, d) => TextOps.txtVocabCoverage(s, d)),
     "txt_topic_tag" -> (TextOps.txtTopicTag _),
@@ -333,12 +334,12 @@ object SparkEntry {
     val dist = "a.nq + c.nq - 2 * CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * c.q[i])) AS BIGINT)"
     val rounds = (2 to k).map { r =>
       val prior = (1 until r).map(i => s"SELECT vec_id, q, nq FROM s$i").mkString(" UNION ALL ")
-      s"""m$r AS (
+      s"""m$r AS MATERIALIZED (
         SELECT a.vec_id, MIN($dist) AS mind
         FROM en a, ($prior) c
         WHERE a.vec_id NOT IN (SELECT vec_id FROM ($prior) x)
         GROUP BY a.vec_id
-      ), s$r AS (
+      ), s$r AS MATERIALIZED (
         SELECT en.vec_id, en.q, en.nq, m.mind AS d2, $r AS r
         FROM (SELECT vec_id, mind, ROW_NUMBER() OVER (ORDER BY mind DESC, vec_id) AS rk
               FROM m$r) m
@@ -351,9 +352,9 @@ object SparkEntry {
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
         FROM embeddings
-      ), en AS (
+      ), en AS MATERIALIZED (
         SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq FROM e
-      ), s1 AS (
+      ), s1 AS MATERIALIZED (
         SELECT vec_id, q, nq, CAST(0 AS BIGINT) AS d2, 1 AS r
         FROM en WHERE vec_id = (SELECT MIN(vec_id) FROM en)
       ),
@@ -2693,6 +2694,34 @@ object SparkEntry {
           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, cid) AS rn
         FROM s
       ) t WHERE rn <= 3""",
+    "sim_diversity_eval" -> s"""
+      WITH kcsel AS MATERIALIZED (SELECT vec_id FROM ($KcenterSql) k),
+      mmrsel AS MATERIALIZED (SELECT cid AS vec_id FROM ($MmrSql) mm),
+      sel AS MATERIALIZED (
+        SELECT 'kcenter' AS method, vec_id FROM kcsel
+        UNION ALL SELECT 'mmr' AS method, vec_id FROM mmrsel
+        UNION ALL SELECT 'first_k' AS method, CAST(u AS BIGINT) AS vec_id
+                  FROM unnest(range(0, 8)) AS t(u)
+      ), e2 AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings
+      ), en2 AS (
+        SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq FROM e2
+      ), mem AS (
+        SELECT s.method, s.vec_id, en2.q, en2.nq FROM sel s JOIN en2 USING (vec_id)
+      ), pr AS (
+        SELECT a.method,
+               CAST(FLOOR(1000000.0 * (CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS BIGINT) AS DOUBLE)
+                    / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))))) AS BIGINT) AS cos_micro
+        FROM mem a JOIN mem b ON a.method = b.method AND a.vec_id < b.vec_id
+      )
+      SELECT method, n_pairs,
+             CAST((sum_cos_micro - (((sum_cos_micro % n_pairs) + n_pairs) % n_pairs)) // n_pairs AS BIGINT) AS mean_cos_micro
+      FROM (
+        SELECT method, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(cos_micro) AS BIGINT) AS sum_cos_micro
+        FROM pr GROUP BY 1
+      ) z""",
     "sim_triplets" -> """
       WITH e AS (
         SELECT vec_id, label,

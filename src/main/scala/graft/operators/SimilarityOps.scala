@@ -816,6 +816,51 @@ object SimilarityOps {
     scored.orderBy(col("d2").desc, col("vec_id")).limit(1)
   }
 
+  /** Selection-diversity evaluation: mean pairwise cosine (micro-unit
+    * quantized so the aggregate is an exact integer sum) within each
+    * diversity-selection method's output — [[simKcenterSelect]]'s 8
+    * farthest-point picks vs [[simMmrSelect]]'s 4 MMR picks vs the
+    * first-k baseline a naive pipeline would take. Lower mean cosine =
+    * more diverse subset; the eval a curation harness runs to justify
+    * paying for a selection pass at all.
+    *
+    * Scale shape: every selected set is bounded by construction
+    * (k ≤ 8 ids), so after each method's own distributed selection the
+    * eval itself is a ≤ 28-pair join over id-filtered vectors —
+    * metadata scale; cosines are quantized per-pair BEFORE summation
+    * so the result is partitioning- and order-independent.
+    */
+  def simDiversityEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = quantized(s, dir)
+    val kc = simKcenterSelect(s, dir).select(col("vec_id")).collect().map(_.getLong(0))
+    val mmr = simMmrSelect(s, dir).select(col("cid")).collect().map(_.getLong(0))
+    val naive = (0L until 8L).toArray
+    val sel = (kc.map(("kcenter", _)) ++ mmr.map(("mmr", _)) ++ naive.map(("first_k", _)))
+      .toSeq.toDF("method", "vec_id")
+    val m = e.join(broadcast(sel), Seq("vec_id"))
+      .select(col("method"), col("vec_id"), col("q"), col("nq"))
+    m.alias("a").join(m.alias("b"), Seq("method"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("method"),
+        expr("dot_i64(a.q, b.q)").as("dot"),
+        col("a.nq").as("na"), col("b.nq").as("nb"))
+      // FLOOR, not ROUND: a product landing exactly on a .5 boundary
+      // rounds differently across engines (HALF_UP vs half-to-even);
+      // floor is bit-identical everywhere
+      .withColumn("cos_micro",
+        expr("cast(floor(1000000.0 * (cast(dot as double) / (sqrt(cast(na as double)) * sqrt(cast(nb as double))))) as bigint)"))
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("cos_micro")).as("sum_cos_micro"))
+      .select(col("method"), col("n_pairs"),
+        // FLOOR division (pmod keeps the remainder non-negative):
+        // sum_cos_micro can be negative, and Spark's `div` truncates
+        // toward zero while the DuckDB oracle's `//` floors — this
+        // spelling is exact and engine-agnostic
+        expr("(sum_cos_micro - pmod(sum_cos_micro, n_pairs)) div n_pairs")
+          .as("mean_cos_micro"))
+  }
+
   /** Contrastive triplet assembly (the training-data form of
     * [[simHardNegatives]]'s mining): per anchor, cross its top-3
     * same-label positives with its top-3 different-label hard

@@ -1111,6 +1111,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"resident caches grew across invocations: $after2 -> $after5")
   }
 
+  test("diversity eval: full pair sets per method, means replay from raw vectors") {
+    val rows = SimilarityOps.simDiversityEval(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("kcenter", "mmr", "first_k"))
+    assert(rows("kcenter")._1 == 28L && rows("first_k")._1 == 28L && rows("mmr")._1 == 6L,
+      s"pair counts: $rows")
+    // replay first_k's mean from the raw embeddings (ids 0..7)
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint)) as q")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val cosMicros = for {
+      a <- 0L until 8L; b <- (a + 1) until 8L
+    } yield {
+      val (va, vb) = (vecs(a), vecs(b))
+      var dot = 0L; var i = 0
+      while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+      val cos = dot / (math.sqrt(va.map(x => x * x).sum.toDouble) *
+        math.sqrt(vb.map(x => x * x).sum.toDouble))
+      math.floor(1000000.0 * cos).toLong
+    }
+    val sum = cosMicros.sum; val n = cosMicros.length
+    val mean = (sum - (((sum % n) + n) % n)) / n
+    assert(rows("first_k")._2 == mean, s"first_k mean ${rows("first_k")._2} != replay $mean")
+  }
+
   test("label propagation: seeds clamp, labels spread only along edges") {
     val langOf = graft.sources.Tables.load(spark, sf, "documents")
       .select("doc_id", "lang").collect()
