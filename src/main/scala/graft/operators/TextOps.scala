@@ -27,11 +27,23 @@ object TextOps {
     */
   private val residentCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def cacheResident(s: SparkSession, slot: String, df: DataFrame): DataFrame = {
-    val cached = df.cache()
-    Option(residentCache.put((s, slot), cached)).foreach(_.unpersist(false))
-    cached
-  }
+  private def cacheResident(s: SparkSession, slot: String, df: DataFrame): DataFrame =
+    residentCache.synchronized {
+      val prev = residentCache.get((s, slot))
+      if (prev != null &&
+          prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)) {
+        // identical plan → the CacheManager already holds ONE shared
+        // entry for it; re-invocation must REUSE the warm cache, not
+        // cache-then-uncache it (unpersisting the "previous" df would
+        // evict the shared plan entry and silently de-cache this one)
+        prev
+      } else {
+        val cached = df.cache()
+        val old = residentCache.put((s, slot), cached)
+        if (old != null) old.unpersist(false)
+        cached
+      }
+    }
 
   /** lower + strip non-alphanumerics + collapse runs → canonical text. */
   def normalized(c: Column): Column = trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))

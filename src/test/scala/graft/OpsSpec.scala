@@ -1100,9 +1100,12 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ccnet/vocab cache their shared intermediate (threshold pass +
     // output pass); re-invoking must FREE the previous copy — bounded
     // storage however often a bench sweep or notebook calls them
+    val before = spark.sparkContext.getPersistentRDDs.size
     TextOps.txtCcnetBuckets(spark, sf).collect()
     TextOps.txtVocabCoverage(spark, sf).collect()
     val after2 = spark.sparkContext.getPersistentRDDs.size
+    assert(after2 > before, "the shared intermediates must actually be cached " +
+      "(a cache-then-uncache bug makes this trivially zero)")
     TextOps.txtCcnetBuckets(spark, sf).collect()
     TextOps.txtVocabCoverage(spark, sf).collect()
     TextOps.txtCcnetBuckets(spark, sf).collect()
