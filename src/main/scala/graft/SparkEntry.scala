@@ -182,6 +182,8 @@ object SparkEntry {
     "txt_topic_tag" -> (TextOps.txtTopicTag _),
     "txt_prefix_groups" -> (TextOps.txtPrefixGroups _),
     "txt_novelty" -> (TextOps.txtNovelty _),
+    "txt_lang_confusion" -> (TextOps.txtLangConfusion _),
+    "txt_readability" -> (TextOps.txtReadability _),
     "q_session_text" -> (Events.qSessionText _),
     "q_event_debounce" -> (Events.qEventDebounce _),
     "dedup_source_matrix" -> (DedupOps.dedupSourceMatrix _),
@@ -231,6 +233,27 @@ object SparkEntry {
     * (ties by lower vec_id) — nested-CTE unrolling in the IvfCellCtes
     * style, integer-exact throughout.
     */
+  private lazy val LangIdSql: String = """
+      SELECT doc_id, lang, pred_lang,
+             CAST(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+      FROM (
+        SELECT doc_id, lang,
+               CASE WHEN zh_hits > 0 THEN 'zh'
+                    WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+                    WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+                    WHEN es_hits >= fr_hits THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM (
+          SELECT doc_id, lang,
+                 len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh_hits,
+                 len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|was|for|with)\b')) AS en_hits,
+                 len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS de_hits,
+                 len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|un|una|que|y)\b')) AS es_hits,
+                 len(regexp_extract_all(lower(text), '\b(le|les|des|est|une|dans|et|du)\b')) AS fr_hits
+          FROM documents
+        ) h
+      ) p"""
+
   private lazy val GopherGateSql: String = """
       WITH toks AS (
         SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
@@ -2043,26 +2066,17 @@ object SparkEntry {
                CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
         FROM documents
       ) t""",
-    "txt_langid" -> """
-      SELECT doc_id, lang, pred_lang,
-             CAST(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END AS BIGINT) AS correct
-      FROM (
-        SELECT doc_id, lang,
-               CASE WHEN zh_hits > 0 THEN 'zh'
-                    WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
-                    WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
-                    WHEN es_hits >= fr_hits THEN 'es'
-                    ELSE 'fr' END AS pred_lang
-        FROM (
-          SELECT doc_id, lang,
-                 len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh_hits,
-                 len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|was|for|with)\b')) AS en_hits,
-                 len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS de_hits,
-                 len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|un|una|que|y)\b')) AS es_hits,
-                 len(regexp_extract_all(lower(text), '\b(le|les|des|est|une|dans|et|du)\b')) AS fr_hits
-          FROM documents
-        ) h
-      ) p""",
+    "txt_langid" -> LangIdSql,
+    "txt_lang_confusion" -> s"""
+      WITH l AS ($LangIdSql),
+      cm AS (
+        SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n FROM l GROUP BY 1, 2
+      ), t AS (
+        SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_total FROM cm GROUP BY 1
+      )
+      SELECT cm.lang, cm.pred_lang, cm.n, t.lang_total,
+             (1000000 * cm.n) // t.lang_total AS share_ppm
+      FROM cm JOIN t USING (lang)""",
     "txt_pipeline_clean" -> """
       WITH q AS (
         SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len,
@@ -2258,6 +2272,16 @@ object SparkEntry {
              CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
              CAST((1000000 * SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS novelty_ppm
       FROM gr JOIN f USING (gm) GROUP BY 1""",
+    "txt_readability" -> """
+      SELECT doc_id, words, sentences, syllables,
+             206835 - (1015 * words) // sentences - (84600 * syllables) // words AS fre_milli
+      FROM (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS BIGINT) AS words,
+               CAST(GREATEST(len(regexp_extract_all(text, '[.!?]')), 1) AS BIGINT) AS sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables
+        FROM documents
+      ) b WHERE words > 0""",
     "txt_vocab_coverage" -> """
       WITH toks AS (
         SELECT unnest(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),

@@ -781,6 +781,47 @@ object TextOps {
         size(col("kept")).cast("long").as("n_kept"),
         array_join(expr("transform(kept, x -> x.seg_text)"), " ").as("clean_text"))
 
+  /** Language-ID confusion matrix (the classifier-eval view of
+    * [[txtLangId]]): per (true lang, predicted lang) cell counts plus
+    * the per-true-lang share in ppm — the diagonal is recall, the
+    * off-diagonal cells name exactly WHICH languages the n-gram
+    * heuristic confuses (the number a pipeline owner checks before
+    * trusting lang-routed processing).
+    *
+    * Scale shape: the per-doc prediction is [[txtLangId]]'s
+    * row-parallel regex pass; the matrix is one map-side-combined
+    * groupBy whose output is langs²-bounded, and the share window runs
+    * over that bounded table.
+    */
+  def txtLangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    txtLangId(s, dir)
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+      .withColumn("lang_total", sum(col("n")).over(w))
+      .select(col("lang"), col("pred_lang"), col("n"), col("lang_total"),
+        expr("(1000000 * n) div lang_total").as("share_ppm"))
+  }
+
+  /** Flesch-style readability proxy in exact integer milli-units:
+    * fre_milli = 206835 − (1015·words) div sentences − (84600·vowel-
+    * groups) div words, with sentence count floored at 1 (the corpus
+    * is punctuation-free) and vowel groups as the syllable stand-in —
+    * the classic readability-band quality signal, all row-parallel
+    * codegen'd regex counts, zero shuffles.
+    */
+  def txtReadability(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(filter(split(normalized(col("text")), " "), t => t =!= ""))
+          .cast("long").as("words"),
+        greatest(regexp_count(col("text"), lit("[.!?]")), lit(1)).cast("long")
+          .as("sentences"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+          .as("syllables"))
+      .filter(col("words") > 0)
+      .withColumn("fre_milli",
+        expr("206835L - (1015L * words) div sentences - (84600L * syllables) div words"))
+
   /** The fixed topic lexicon for [[txtTopicTag]] — literal constants
     * shared verbatim with the oracle SQL (the [[Bm25Queries]]
     * discipline: data-independent parameters live in ONE place).

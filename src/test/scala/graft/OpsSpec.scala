@@ -1141,6 +1141,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("first_k")._2 == mean, s"first_k mean ${rows("first_k")._2} != replay $mean")
   }
 
+  test("lang confusion matrix: mass conserved, diagonal equals langid correct count") {
+    val rows = TextOps.txtLangConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val li = TextOps.txtLangId(spark, sf).collect()
+    assert(rows.map(_._3).sum == li.length, "matrix must cover every doc")
+    val diag = rows.filter(r => r._1 == r._2).map(_._3).sum
+    assert(diag == li.map(_.getLong(3)).sum, "diagonal != langid correct total")
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._3).sum == g.head._4, "lang_total must equal the row mass")
+      g.foreach(r => assert(r._5 == 1000000L * r._3 / r._4, "share arithmetic"))
+    }
+  }
+
+  test("readability: formula replays and tracks vowel density") {
+    val rows = TextOps.txtReadability(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, w, se, sy, fre) =>
+      assert(w > 0 && se >= 1)
+      assert(fre == 206835L - (1015L * w) / se - (84600L * sy) / w, s"doc $d formula")
+    }
+  }
+
   test("label propagation: seeds clamp, labels spread only along edges") {
     val langOf = graft.sources.Tables.load(spark, sf, "documents")
       .select("doc_id", "lang").collect()
