@@ -177,6 +177,7 @@ object SparkEntry {
     "sim_mmr_select" -> ((s, d) => SimilarityOps.simMmrSelect(s, d)),
     "sim_triplets" -> (SimilarityOps.simTriplets _),
     "sim_diversity_eval" -> (SimilarityOps.simDiversityEval _),
+    "emb_norm_stats" -> (SimilarityOps.embNormStats _),
     "txt_boilerplate_remove" -> ((s, d) => TextOps.txtBoilerplateRemove(s, d)),
     "txt_vocab_coverage" -> ((s, d) => TextOps.txtVocabCoverage(s, d)),
     "txt_topic_tag" -> (TextOps.txtTopicTag _),
@@ -2718,6 +2719,19 @@ object SparkEntry {
           ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, cid) AS rn
         FROM s
       ) t WHERE rn <= 3""",
+    "emb_norm_stats" -> """
+      WITH e AS (
+        SELECT vec_id, label,
+               CAST(list_sum(list_transform(
+                 list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)),
+                 q -> q * q)) AS BIGINT) AS nq
+        FROM embeddings
+      )
+      SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             MIN(nq) AS min_nq, MAX(nq) AS max_nq,
+             CAST(SUM(nq) // COUNT(*) AS BIGINT) AS mean_nq,
+             CAST(SUM(CASE WHEN nq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+      FROM e GROUP BY 1""",
     "sim_diversity_eval" -> s"""
       WITH kcsel AS MATERIALIZED (SELECT vec_id FROM ($KcenterSql) k),
       mmrsel AS MATERIALIZED (SELECT cid AS vec_id FROM ($MmrSql) mm),

@@ -816,6 +816,26 @@ object SimilarityOps {
     scored.orderBy(col("d2").desc, col("vec_id")).limit(1)
   }
 
+  /** Embedding sanity stats per label — the ingest-time health check a
+    * vector pipeline runs before building anything on new embeddings
+    * (an all-zero or norm-collapsed batch silently poisons every
+    * downstream cosine): per label, the count plus min/mean/max integer
+    * squared norm and the degenerate (zero-vector) count. One
+    * row-parallel norm projection + a labels-bounded aggregate.
+    */
+  def embNormStats(s: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    quantized(s, dir).join(lab, Seq("vec_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("nq")).as("min_nq"),
+        max(col("nq")).as("max_nq"),
+        expr("sum(nq) div count(1)").as("mean_nq"),
+        sum(when(col("nq") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        col("min_nq"), col("max_nq"), col("mean_nq"), col("n_zero"))
+  }
+
   /** Selection-diversity evaluation: mean pairwise cosine (micro-unit
     * quantized so the aggregate is an exact integer sum) within each
     * diversity-selection method's output — [[simKcenterSelect]]'s 8
