@@ -846,13 +846,22 @@ object TextOps {
     * the token stream); per-(doc, topic) counts are map-side combined
     * and the per-doc argmax window sees ≤ |topics| rows.
     */
-  def txtTopicTag(s: SparkSession, dir: String): DataFrame = {
+  def txtTopicTag(s: SparkSession, dir: String): DataFrame =
+    topicTagWith(s, docs(s, dir))
+
+  /** DataFrame-in form of [[txtTopicTag]] — the lexicon is a fixed
+    * literal, so the SAME plan serves batch and each streaming
+    * micro-batch ([[graft.streaming.Streaming.runTopicTag]];
+    * StreamingSpec proves stream ≡ batch — every signal is
+    * per-document, no corpus-relative state).
+    */
+  def topicTagWith(s: SparkSession, documents: DataFrame): DataFrame = {
     import s.implicits._
     val lex = TopicLexicon.flatMap { case (t, ks) => ks.map(k => (k, t)) }
       .toDF("term", "topic")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("hits").desc, col("topic"))
-    docs(s, dir)
+    documents
       .select(col("doc_id"),
         explode(filter(split(normalized(col("text")), " "), t => t =!= "")).as("term"))
       .join(broadcast(lex), Seq("term"))

@@ -349,6 +349,22 @@ object Streaming {
     }
   }
 
+  /** Tag arriving documents with their dominant lexicon topic — the
+    * subject-stratification step at ingest. The lexicon is a fixed
+    * literal ([[graft.operators.TextOps.TopicLexicon]]) and every
+    * signal is per-document, so stream ≡ batch holds by construction
+    * with no trained artifact at all; per micro-batch the plan is
+    * [[graft.operators.TextOps.topicTagWith]] verbatim.
+    */
+  def runTopicTag(
+      newDocs: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit =
+    runAppendScorer(newDocs, store, table, checkpointDir) { batch =>
+      graft.operators.TextOps.topicTagWith(batch.sparkSession, batch)
+    }
+
   /** Strip corpus-trained boilerplate from arriving documents: the
     * strike set ([[graft.operators.TextOps.boilerplateHashes]], frozen
     * from the existing corpus) is a static broadcast table and each

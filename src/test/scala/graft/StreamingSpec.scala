@@ -441,6 +441,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming topic tag over two arrivals equals the batch tagger") {
+    val store = new RelationStore(spark, s"$work/wh_topic")
+    val newIn = s"$work/topicdocs"
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.filter(col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runTopicTag(Streaming.documentStream(spark, newIn),
+      store, "topics", s"$work/cp_topic")
+    val afterFirst = store.read("topics").count()
+    docs.filter(col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runTopicTag(Streaming.documentStream(spark, newIn),
+      store, "topics", s"$work/cp_topic")
+    val streamed = store.read("topics")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    val batch = graft.operators.TextOps.txtTopicTag(spark, sfDir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming boilerplate filter under the frozen strike set equals batch") {
     val store = new RelationStore(spark, s"$work/wh_boiler")
     val newIn = s"$work/boilerdocs"
