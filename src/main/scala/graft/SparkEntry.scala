@@ -188,6 +188,7 @@ object SparkEntry {
     "q_session_text" -> (Events.qSessionText _),
     "q_event_debounce" -> (Events.qEventDebounce _),
     "dedup_source_matrix" -> (DedupOps.dedupSourceMatrix _),
+    "dedup_threshold_histogram" -> (DedupOps.dedupThresholdHistogram _),
     // multimodal plumbing
     "mm_meta" -> (Multimodal.mmMeta _),
     "mm_features" -> (Multimodal.mmFeatures _),
@@ -234,6 +235,30 @@ object SparkEntry {
     * (ties by lower vec_id) — nested-CTE unrolling in the IvfCellCtes
     * style, integer-exact throughout.
     */
+  private lazy val NgramJaccardSql: String = """
+      WITH toks AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          FROM toks WHERE len(w) >= 3
+        ) raw
+      ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+      ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+             CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_inter * 5 >= sa.n + sb.n - n_inter"""
+
   private lazy val LangIdSql: String = """
       SELECT doc_id, lang, pred_lang,
              CAST(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END AS BIGINT) AS correct
@@ -2429,29 +2454,18 @@ object SparkEntry {
                COUNT(*) OVER (PARTITION BY fp) AS group_size
         FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp FROM documents) a
       ) b""",
-    "dedup_ngram_jaccard" -> """
-      WITH toks AS (
-        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
-        FROM documents
-      ), sh AS (
-        SELECT DISTINCT doc_id, s FROM (
-          SELECT doc_id,
-                 unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-          FROM toks WHERE len(w) >= 3
-        ) raw
-      ), sizes AS (
-        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
-      ), inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
+    "dedup_ngram_jaccard" -> NgramJaccardSql,
+    "dedup_threshold_histogram" -> s"""
+      WITH pairs AS MATERIALIZED ($NgramJaccardSql
+      ), b AS (
+        SELECT ((1000 * n_inter) // (n_a + n_b - n_inter)) // 100 AS bucket
+        FROM pairs
+      ), h AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM b GROUP BY 1
       )
-      SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
-             CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
-      FROM inter
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE n_inter * 5 >= sa.n + sb.n - n_inter""",
+      SELECT CAST(bucket AS BIGINT) AS bucket, n_pairs,
+             CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC) AS BIGINT) AS cum_pairs_at_or_above
+      FROM h""",
     // sign-LSH with the SAME literal hyperplanes as the Spark plan
     // (SimilarityOps.planeSign), bucket equi-join, exact re-score
     "sim_lsh_topk" -> LshTopkSql,

@@ -81,6 +81,25 @@ object DedupOps {
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramJaccard(s, dir, maxDf = HotShingleMaxDf)
 
+  /** Threshold-sensitivity histogram over the verified near-dup pairs:
+    * how many pairs each Jaccard cutoff would merge (per-decile counts
+    * + the descending cumulative "pairs at or above this bucket").
+    * THE tuning artifact for picking a dedup threshold — the pair set
+    * is computed once, the sweep reads it at every candidate cutoff.
+    *
+    * Scale shape: the expensive part is [[dedupNgramJaccard]]'s own
+    * guarded pipeline; the histogram is a ≤ 10-bucket map-side-combined
+    * aggregate and the cumulative window runs over those 10 rows.
+    */
+  def dedupThresholdHistogram(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dedupNgramJaccard(s, dir)
+      .select(expr("((1000L * n_inter) div (n_a + n_b - n_inter)) div 100L").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cum_pairs_at_or_above", sum(col("n_pairs")).over(w))
+  }
+
   /** maxDf <= 0 disables the guard (test reference plan). */
   def ngramJaccard(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
     // join on the 64-bit shingle hash, not the string: same counts
