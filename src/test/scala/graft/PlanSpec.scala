@@ -497,6 +497,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.take(3000))
   }
 
+  test("topic tag: lexicon joins as a broadcast, hits map-side combined") {
+    val plan = executedPhysical(TextOps.txtTopicTag(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the literal lexicon must broadcast — shuffling the token stream by term for it would be absurd")
+    assert(plan.contains("partial_count"), "(doc, topic) counts need map-side combine")
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("datacard: partial aggregates, no cartesian, no fp-keyed window") {
+    val plan = executedPhysical(CurateOps.curateDatacard(spark, sf))
+    assert(plan.contains("partial_count"), "source aggregates need map-side combine")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the dup-fp detection must stay a groupBy(fp) (map-side combined)
+    // applied back as a join — never a count window partitioned by fp
+    // (the hot-fingerprint straggler the top-terms fix removed)
+    assert(!plan.contains("windowspecdefinition(fp"),
+      "dup detection must not be a window over the fingerprint partitioning")
+  }
+
   test("vocab coverage: cutoff is a literal predicate, no vocabulary sort") {
     val df = TextOps.txtVocabCoverage(spark, sf)
     val plan = executedPhysical(df)
