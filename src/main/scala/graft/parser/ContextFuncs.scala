@@ -17,10 +17,15 @@ object ContextFuncs {
 
   val names: Set[String] = Set(
     "fromjson", "tojson", "fromyaml", "toyaml",
-    "set", "set_strict", "zip", "zip_strict", "diff_of_two_dicts")
+    "set", "set_strict", "zip", "zip_strict", "diff_of_two_dicts", "print")
 
   /** Dispatch a call by name (args already evaluated). */
   def call(name: String, args: List[Any]): Any = name match {
+    // reference base.py:672 — prints to stdout, renders EMPTY (returns
+    // ""), so {{ print(...) }} leaves no residue in the compiled SQL
+    case "print" =>
+      println(args.headOption.map(String.valueOf).getOrElse(""))
+      ""
     case "fromjson" => args match {
       case (s: String) :: rest =>
         try fromJson(s) catch { case _: Exception => rest.headOption.orNull }

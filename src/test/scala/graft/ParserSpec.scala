@@ -428,6 +428,13 @@ class ControlFlowSpec extends AnyFunSuite {
     assert(ControlFlow.render("{{ flags.FULL_REFRESH }}") == "False")
   }
 
+  test("print context member renders empty (reference base.py:672)") {
+    assert(ControlFlow.render("a{{ print('side channel') }}b") == "ab")
+    // still composes inside control flow without leaving residue
+    assert(ControlFlow.render(
+      "{% for x in ['1', '2'] %}{{ print(x) }}{{ x }}{% endfor %}") == "12")
+  }
+
   test("modules.itertools: chain/product/combinations drive for loops") {
     assert(ControlFlow.render(
       "{% for x in modules.itertools.chain(['a', 'b'], ['c']) %}{{ x }}{% endfor %}")
