@@ -1361,6 +1361,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected, "triplet band mismatch vs driver replay")
   }
 
+  test("threshold histogram: buckets tile the verified pair set, cumulative exact") {
+    val pairs = DedupOps.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))) // n_inter, n_a, n_b
+    val expected = pairs.map { case (i, a, b) => (1000L * i / (a + b - i)) / 100L }
+      .groupBy(identity).map { case (bk, m) => (bk, m.length.toLong) }
+    val rows = DedupOps.dedupThresholdHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(r => (r._1, r._2)).toMap == expected, "decile counts mismatch")
+    assert(rows.map(_._2).sum == pairs.length, "pair mass not conserved")
+    rows.sortBy(-_._1).foldLeft(0L) { case (cum, (_, n, c)) =>
+      assert(c == cum + n, "cumulative-at-or-above broken"); cum + n
+    }
+  }
+
   test("session text: sequences replay the gap rule and cover every event once") {
     val raw = graft.sources.Tables.load(spark, sf, "events")
       .selectExpr("user_id", "event_id", "ts_us", "event_type").collect()
