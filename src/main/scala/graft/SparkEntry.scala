@@ -1314,14 +1314,14 @@ object SparkEntry {
           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
         ) b
       ) c GROUP BY 1, 2""",
-    "q_event_debounce" -> """
+    "q_event_debounce" -> s"""
       SELECT event_id, user_id, event_type, us AS ts_us,
              COALESCE(us - prev_us, -1) AS gap_us
       FROM (
         SELECT event_id, user_id, event_type, us,
                LAG(us) OVER (PARTITION BY user_id, event_type ORDER BY us, event_id) AS prev_us
         FROM (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events) e
-      ) t WHERE prev_us IS NULL OR us - prev_us > 300000000""",
+      ) t WHERE prev_us IS NULL OR us - prev_us > ${Events.DebounceMinGapUs}""",
     "q_merge_latest" -> """
       SELECT user_id, event_type AS last_type, us AS last_us FROM (
         SELECT user_id, event_type, us,

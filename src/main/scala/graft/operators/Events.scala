@@ -328,6 +328,12 @@ object Events {
     * `lag`; partitions are per-entity-bounded (the [[qSessionize]]
     * contract), and the filter is row-parallel after the window.
     */
+  /** Shared throttle window (5 min in µs) — the batch operator, the
+    * streaming twin, and the oracle SQL all read this ONE value, so a
+    * tuning change cannot silently break stream ≡ batch parity.
+    */
+  val DebounceMinGapUs: Long = 300000000L
+
   def qEventDebounce(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts_us"), col("event_id"))
@@ -335,7 +341,7 @@ object Events {
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"))
       .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
       .withColumn("gap_us", coalesce(col("ts_us") - col("prev_us"), lit(-1L)))
-      .filter(col("prev_us").isNull || col("gap_us") > 300000000L)
+      .filter(col("prev_us").isNull || col("gap_us") > DebounceMinGapUs)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"), col("gap_us"))
   }
 }

@@ -29,9 +29,18 @@ object TextOps {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def cacheResident(s: SparkSession, slot: String, df: DataFrame): DataFrame =
     residentCache.synchronized {
+      // sweep entries of stopped sessions — a session-per-job server
+      // must not pin dead SparkSessions (and their plans) for the JVM
+      // lifetime
+      residentCache.keySet.removeIf(_._1.sparkContext.isStopped)
       val prev = residentCache.get((s, slot))
-      if (prev != null &&
-          prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)) {
+      val prevWarm = prev != null &&
+        prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed) &&
+        // an external clearCache()/unpersist invalidates the entry —
+        // returning a de-cached prev would silently reinstate the
+        // double evaluation forever
+        prev.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+      if (prevWarm) {
         // identical plan → the CacheManager already holds ONE shared
         // entry for it; re-invocation must REUSE the warm cache, not
         // cache-then-uncache it (unpersisting the "previous" df would
@@ -40,7 +49,9 @@ object TextOps {
       } else {
         val cached = df.cache()
         val old = residentCache.put((s, slot), cached)
-        if (old != null) old.unpersist(false)
+        if (old != null && !(old eq cached) &&
+            !old.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
+          old.unpersist(false)
         cached
       }
     }

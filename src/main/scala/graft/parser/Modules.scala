@@ -63,6 +63,25 @@ object Modules {
 
   def handles(name: String): Boolean = name.startsWith("modules.")
 
+  /** Python-style argument binding: positionals first, then keywords by
+    * parameter name (Python accepts `datetime(year=..., month=...,
+    * day=...)`); missing required parameters raise the Python-shaped
+    * "missing required argument" error instead of an opaque
+    * DateTimeException from zero-padding.
+    */
+  private def positional(args: List[Any], kw: ListMap[String, Any],
+      names: List[String], required: Int, what: String): List[Int] = {
+    val bound = names.zipWithIndex.map { case (n, i) =>
+      if (i < args.length) Some(args(i)) else kw.get(n)
+    }
+    val missing = names.take(required).zip(bound).collect { case (n, None) => n }
+    require(missing.isEmpty,
+      s"$what missing required argument${if (missing.size > 1) "s" else ""}: ${missing.mkString(", ")}")
+    // absent optionals default to 0 (Python's datetime defaults), so
+    // `datetime(2026, 8, 14, second=30)` binds hour/minute to 0
+    bound.map(_.map(asLong(_, what).toInt).getOrElse(0))
+  }
+
   private def asLong(v: Any, what: String): Long = v match {
     case l: Long => l
     case d: Double if d == d.floor => d.toLong
@@ -81,18 +100,15 @@ object Modules {
   /** Dispatch `modules.…(args, kwargs)`. */
   def call(name: String, args: List[Any], kw: ListMap[String, Any]): Any = name match {
     case "modules.datetime.date" =>
-      require(args.length >= 3,
-        s"modules.datetime.date missing required arguments (year, month, day), got ${args.length}")
-      PyDate(LocalDate.of(asLong(args(0), name).toInt, asLong(args(1), name).toInt,
-        asLong(args(2), name).toInt))
+      val p = positional(args, kw,
+        List("year", "month", "day"), required = 3, name)
+      PyDate(LocalDate.of(p(0), p(1), p(2)))
     case "modules.datetime.date.today" =>
       PyDate(LocalDate.now(ZoneOffset.UTC))
     case "modules.datetime.datetime" =>
-      // Python raises "function missing required argument" below 3 args;
-      // padding month/day with 0 would throw an opaque DateTimeException
-      require(args.length >= 3,
-        s"modules.datetime.datetime missing required arguments (year, month, day), got ${args.length}")
-      val p = args.map(asLong(_, name).toInt).padTo(7, 0)
+      val p = positional(args, kw,
+        List("year", "month", "day", "hour", "minute", "second", "microsecond"),
+        required = 3, name).padTo(7, 0)
       PyDateTime(LocalDateTime.of(p(0), p(1), p(2), p(3), p(4), p(5), p(6) * 1000))
     case "modules.datetime.datetime.now" | "modules.datetime.datetime.utcnow" =>
       PyDateTime(LocalDateTime.now(ZoneOffset.UTC))

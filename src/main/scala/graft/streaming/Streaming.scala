@@ -174,7 +174,7 @@ object Streaming {
     * StreamingSpec proves parity over ordered arrivals).
     */
   def streamingDebounce(events: DataFrame,
-      minGapUs: Long = 300000000L): Dataset[ThrottleVerdict] = {
+      minGapUs: Long = graft.operators.Events.DebounceMinGapUs): Dataset[ThrottleVerdict] = {
     val spark = events.sparkSession
     import spark.implicits._
     events

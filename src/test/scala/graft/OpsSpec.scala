@@ -1112,6 +1112,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after5 = spark.sparkContext.getPersistentRDDs.size
     assert(after5 <= after2,
       s"resident caches grew across invocations: $after2 -> $after5")
+    // an external clearCache() must not poison the slot: the next
+    // invocation has to notice the cold entry and RE-cache, not keep
+    // returning the de-cached plan forever
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    TextOps.txtCcnetBuckets(spark, sf).collect()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "slot must re-cache after an external clearCache")
   }
 
   test("diversity eval: full pair sets per method, means replay from raw vectors") {

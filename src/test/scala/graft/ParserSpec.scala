@@ -428,6 +428,19 @@ class ControlFlowSpec extends AnyFunSuite {
     assert(ControlFlow.render("{{ flags.FULL_REFRESH }}") == "False")
   }
 
+  test("modules.datetime accepts keyword arguments like Python") {
+    assert(ControlFlow.render(
+      "{{ modules.datetime.date(year=2026, month=8, day=14) }}") == "2026-08-14")
+    assert(ControlFlow.render(
+      "{{ modules.datetime.datetime(2026, 8, 14, second=30) }}")
+      == "2026-08-14 00:00:30")
+    // missing required kw names the gap, Python-style — the span fails
+    // to evaluate, so the expression renders unresolved rather than as
+    // a zero-padded (invalid) date
+    assert(ControlFlow.render("{{ modules.datetime.date(year=2026) }}")
+      .contains("modules.datetime.date"), "must not render a fabricated date")
+  }
+
   test("print context member renders empty (reference base.py:672)") {
     assert(ControlFlow.render("a{{ print('side channel') }}b") == "ab")
     // still composes inside control flow without leaving residue
