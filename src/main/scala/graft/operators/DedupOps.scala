@@ -104,7 +104,8 @@ object DedupOps {
   def ngramJaccard(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
     // join on the 64-bit shingle hash, not the string: same counts
     // (collision odds ~1e-8 at 1M shingles), ~10x less shuffle volume
-    val sh = shingles(s, dir).select(col("doc_id"), xxhash64(col("s")).as("h")).cache()
+    val sh = ResidentCache(s, "dedup_ngram_sh",
+      shingles(s, dir).select(col("doc_id"), xxhash64(col("s")).as("h")))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // the guard's two-phase plan (candidate join on rare shingles +
     // exact re-score over candidate docs) costs ~2x the single-pass
@@ -166,7 +167,8 @@ object DedupOps {
     // shingles by 64-bit hash, WITH duplicates: min-hash is multiset-
     // invariant, so the signature pipeline skips the corpus-wide
     // distinct (a full shuffle of the largest intermediate) entirely
-    val sh = shinglesRaw(s, dir).select(col("doc_id"), md5Hash64(col("s")).as("h")).cache()
+    val sh = ResidentCache(s, "dedup_minhash_sh",
+      shinglesRaw(s, dir).select(col("doc_id"), md5Hash64(col("s")).as("h")))
     // one-pass signature via the custom Aggregator: one long[32] buffer
     // per document instead of 32 min() columns (graft.functions.MinHashAgg)
     val sigs = sh.groupBy(col("doc_id"))
@@ -175,11 +177,11 @@ object DedupOps {
     // cache: candidates feed three consumers (both sides of the doc
     // restriction + the final join) — uncached, the whole signature +
     // banding pipeline would recompute per consumer
-    val cand = banded.alias("x").join(banded.alias("y"), col("x.bk") === col("y.bk"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-      .cache()
+    val cand = ResidentCache(s, "dedup_minhash_cand",
+      banded.alias("x").join(banded.alias("y"), col("x.bk") === col("y.bk"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct())
     // exact-Jaccard verification of candidates only: restrict the
     // shingle self-join to documents that appear in some candidate pair
     // (semi-join first!) — otherwise verification would redo the full
@@ -339,14 +341,16 @@ object DedupOps {
     val fpsNew = newDocs.select(col("doc_id"), md5(TextOps.normalized(col("text"))).as("fp"))
     val exactDup = fpsNew.join(idx.fps, Seq("fp"), "left_semi")
       .select(col("doc_id"), lit(1L).as("exact_dup"))
-    val shNewRaw = shinglesOf(newDocs).select(col("doc_id"), md5Hash64(col("s")).as("h")).cache()
+    val ss = newDocs.sparkSession
+    val shNewRaw = ResidentCache(ss, "dedup_incr_sh",
+      shinglesOf(newDocs).select(col("doc_id"), md5Hash64(col("s")).as("h")))
     val sigsNew = shNewRaw.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg.minhashSig(col("h"), nPerm).as("sig"))
-    val cand = bandKeys(sigsNew, nBands = 8, rowsPerBand = 4).alias("x")
-      .join(idx.bands.alias("y"), col("x.bk") === col("y.bk"))
-      .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_idx"))
-      .distinct()
-      .cache()
+    val cand = ResidentCache(ss, "dedup_incr_cand",
+      bandKeys(sigsNew, nBands = 8, rowsPerBand = 4).alias("x")
+        .join(idx.bands.alias("y"), col("x.bk") === col("y.bk"))
+        .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_idx"))
+        .distinct())
     // verify join restricted to candidate documents on BOTH sides
     val shNew = shNewRaw.distinct()
       .join(cand.select(col("doc_new").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
@@ -422,7 +426,8 @@ object DedupOps {
   val SimHashMaxHamming = 3
 
   def dedupSimHashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sigs = dedupSimHash(s, dir).select(col("doc_id"), col("simhash")).cache()
+    val sigs = ResidentCache(s, "dedup_simhash_sigs",
+      dedupSimHash(s, dir).select(col("doc_id"), col("simhash")))
     hammingPairs(sigs, "simhash", SimHashMaxHamming)
   }
 

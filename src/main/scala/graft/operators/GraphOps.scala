@@ -127,7 +127,7 @@ object GraphOps {
     // degree pre-joined ONCE and cached: each iteration then touches a
     // single equi-join (edges⋈ranks) instead of re-joining deg — and
     // the cache cuts the SimHash pair pipeline to one execution
-    val edgesDeg = edges.join(deg, Seq("src")).cache()
+    val edgesDeg = ResidentCache(s, "graph_pr_edges", edges.join(deg, Seq("src")))
     var ranks = deg.select(col("src").as("id"), lit(1000000L).as("pr"))
     for (_ <- 1 to iters) {
       val contrib = edgesDeg
@@ -164,8 +164,9 @@ object GraphOps {
     * million so the oracle hashes exactly.
     */
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
-    val pairs = DedupOps.dedupSimHashPairs(s, dir)
-      .select(col("doc_a").as("a"), col("doc_b").as("b")).cache()
+    val pairs = ResidentCache(s, "graph_tri_pairs",
+      DedupOps.dedupSimHashPairs(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
     triangleCounts(pairs)
   }
 
@@ -188,10 +189,11 @@ object GraphOps {
     val directed = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("src"),
       when(aFirst, col("b")).otherwise(col("a")).as("dst"),
-      when(aFirst, col("deg_b")).otherwise(col("deg_a")).as("dst_deg")).cache()
+      when(aFirst, col("deg_b")).otherwise(col("deg_a")).as("dst_deg"))
+    val directedC = ResidentCache(pairs.sparkSession, "graph_tri_directed", directed)
     // wedges: ordered out-neighbor pairs (v ranked below w) of each src
-    val x = directed.select(col("src"), col("dst").as("v"), col("dst_deg").as("v_deg"))
-    val y = directed.select(col("src"), col("dst").as("w"), col("dst_deg").as("w_deg"))
+    val x = directedC.select(col("src"), col("dst").as("v"), col("dst_deg").as("v_deg"))
+    val y = directedC.select(col("src"), col("dst").as("w"), col("dst_deg").as("w_deg"))
     val wedges = x.join(y, Seq("src"))
       .filter(col("v_deg") < col("w_deg") ||
         (col("v_deg") === col("w_deg") && col("v") < col("w")))
@@ -200,7 +202,7 @@ object GraphOps {
     // execution of the wedge+closing pipeline (a 3-way union of
     // projections would run the join three times)
     val tris = wedges.join(
-      directed.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      directedC.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
       .select(explode(array(col("src"), col("v"), col("w"))).as("node"))
     val perNode = tris.groupBy(col("node")).agg(count(lit(1)).as("tri"))
     deg.join(perNode, Seq("node"), "left")

@@ -147,10 +147,16 @@ object Multimodal {
     * a 100 TB image corpus should stay at 3, or layer Manku's
     * multi-permutation tables for wider radii.
     */
-  def mmPhashPairs(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame =
-    DedupOps.hammingPairs(
-      // cached: both sides of the chunk join scan the signature table
-      mmPhash(s, dir).select(col("doc_id"), col("phash")).cache(), "phash", maxHamming)
+  def mmPhashPairs(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+    // both sides of the chunk join scan the signature table — resident
+    // slot, not a per-invocation .cache(): repeated invocations in a
+    // long-lived session must hold ONE cached copy, and the multimodal
+    // family ([[mmCanonical]]) shares the materialized pair table
+    val sig = ResidentCache(s, "mm_phash_sig",
+      mmPhash(s, dir).select(col("doc_id"), col("phash")))
+    ResidentCache(s, s"mm_phash_pairs_$maxHamming",
+      DedupOps.hammingPairs(sig, "phash", maxHamming))
+  }
 
   /** Canonical payload per near-duplicate cluster: cluster the
     * [[mmPhashPairs]] graph with the checkpointed connected-components

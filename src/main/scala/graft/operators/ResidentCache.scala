@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.SparkContext
+
+/** At most ONE resident cached plan per (SparkContext, operator slot):
+  * caching a new invocation's intermediate releases the previous one's —
+  * the [[graft.operators.SimilarityOps]] PQ-loop unpersist discipline
+  * applied to repeatedly-invoked two-pass operators, so a long-lived
+  * JVM (bench sweeps, verify drives, notebooks, session-per-job
+  * servers) holds bounded cache storage no matter how often the
+  * operator runs.
+  *
+  * Keyed on the CONTEXT, not the session: Spark's `CacheManager` lives
+  * in `SharedState`, shared by every `SparkSession.newSession()` child,
+  * so a session-scoped key would pin one cached plan per dead session
+  * until the JVM-wide context stops. Context-keying gives exactly
+  * #slots resident plans per JVM; identical plans submitted from
+  * sibling sessions reuse the one shared cache entry (`sameResult` is
+  * session-independent), and replacing a slot unpersists through the
+  * shared CacheManager regardless of which session wrote it.
+  */
+object ResidentCache {
+  private val slots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkContext, String), DataFrame]()
+
+  def apply(s: SparkSession, slot: String, df: DataFrame): DataFrame =
+    slots.synchronized {
+      // sweep entries of stopped contexts — their cached blocks died
+      // with the executors; holding the plans would pin dead contexts
+      // for the JVM lifetime
+      slots.keySet.removeIf(_._1.isStopped)
+      val key = (s.sparkContext, slot)
+      val prev = slots.get(key)
+      val prevWarm = prev != null &&
+        prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed) &&
+        // an external clearCache()/unpersist invalidates the entry —
+        // returning a de-cached prev would silently reinstate the
+        // double evaluation forever
+        prev.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+      if (prevWarm) {
+        // identical plan → the CacheManager already holds ONE shared
+        // entry for it; re-invocation must REUSE the warm cache, not
+        // cache-then-uncache it (unpersisting the "previous" df would
+        // evict the shared plan entry and silently de-cache this one)
+        prev
+      } else {
+        val cached = df.cache()
+        val old = slots.put(key, cached)
+        if (old != null && !(old eq cached) &&
+            !old.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
+          old.unpersist(false)
+        cached
+      }
+    }
+
+  /** Test/inspection hook: live slot count for a context. */
+  def liveSlots(sc: SparkContext): Int = slots.synchronized {
+    var n = 0
+    slots.keySet.forEach(k => if (k._1 eq sc) n += 1)
+    n
+  }
+}

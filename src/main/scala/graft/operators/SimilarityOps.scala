@@ -251,7 +251,7 @@ object SimilarityOps {
 
   def simIvfTopK(s: SparkSession, dir: String): DataFrame = {
     val nProbe = 4
-    val e = quantized(s, dir).cache()
+    val e = ResidentCache(s, "sim_quantized", quantized(s, dir))
     val (centroids, assigned) = kmeansCells(s, e)
     val cells = e.join(assigned, Seq("vec_id"))
     // queries probe their nProbe nearest cells
@@ -293,7 +293,7 @@ object SimilarityOps {
     * PartitionFilters and the pruned-scan equality).
     */
   def persistIvfIndex(s: SparkSession, dir: String, path: String): Unit = {
-    val e = quantized(s, dir).cache()
+    val e = ResidentCache(s, "sim_quantized", quantized(s, dir))
     val (centroids, assigned) = kmeansCells(s, e)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     e.join(assigned, Seq("vec_id"))
@@ -445,14 +445,14 @@ object SimilarityOps {
     val subDim = Dim / m
     val k = 8
     val iters = 2
-    val e = quantized(s, dir).cache()
+    val e = ResidentCache(s, "sim_quantized", quantized(s, dir))
     // (vec_id, m, sv, sn): the corpus re-shaped to subvectors — narrow
     // explode, no shuffle
-    val subs = e.select(col("vec_id"),
-        posexplode(expr(s"transform(sequence(0, ${m - 1}), j -> slice(q, j*$subDim+1, $subDim))"))
-          .as(Seq("m", "sv")))
-      .withColumn("sn", expr("dot_i64(sv, sv)"))
-      .cache()
+    val subs = ResidentCache(s, "sim_pq_subs",
+      e.select(col("vec_id"),
+          posexplode(expr(s"transform(sequence(0, ${m - 1}), j -> slice(q, j*$subDim+1, $subDim))"))
+            .as(Seq("m", "sv")))
+        .withColumn("sn", expr("dot_i64(sv, sv)")))
     // strided seed over the id range (order-independent, oracle-
     // replayable): seed vector i donates its m-th subvector to
     // subspace m's codebook, codeword id = seed vec_id
@@ -523,7 +523,7 @@ object SimilarityOps {
     */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
     val theta = 0.3
-    val e = quantized(s, dir).cache()
+    val e = ResidentCache(s, "sim_quantized", quantized(s, dir))
     val (_, assigned) = kmeansCells(s, e)
     val cells = e.join(assigned, Seq("vec_id"))
     val a = cells.select(col("vec_id").as("ida"), col("q").as("qa"), col("nq").as("na"), col("cell"))
@@ -611,7 +611,8 @@ object SimilarityOps {
     * (each already scale-shaped).
     */
   def simRecallEval(s: SparkSession, dir: String): DataFrame = {
-    val exact = simTopK(s, dir).select(col("qid"), col("cid")).cache()
+    val exact = ResidentCache(s, "sim_recall_exact",
+      simTopK(s, dir).select(col("qid"), col("cid")))
     val lsh = simLshTopK(s, dir).select(col("qid"), col("cid"))
     val ivf = simIvfTopK(s, dir).select(col("qid"), col("cid"))
     def hits(approx: DataFrame, name: String): DataFrame = approx
@@ -768,7 +769,7 @@ object SimilarityOps {
     */
   def simKcenterSelect(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import s.implicits._
-    val e = quantized(s, dir).cache()
+    val e = ResidentCache(s, "sim_quantized", quantized(s, dir))
     val seed = e.orderBy(col("vec_id")).limit(1)
       .select(col("vec_id"), col("q"), col("nq")).head()
     // (round, id, d2-at-selection, quantized vector, |c|²)

@@ -18,43 +18,12 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** At most ONE resident cached plan per (session, operator slot):
-    * caching a new invocation's intermediate releases the previous
-    * one's — the [[graft.operators.SimilarityOps]] PQ-loop unpersist
-    * discipline applied to repeatedly-invoked two-pass operators, so a
-    * long-lived session (bench sweeps, verify drives, notebooks) holds
-    * bounded cache storage no matter how often the operator runs.
+  /** Bounded resident caching for two-pass operators — see
+    * [[graft.operators.ResidentCache]] (context-keyed so
+    * `newSession()`-per-job servers hold bounded cache storage).
     */
-  private val residentCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def cacheResident(s: SparkSession, slot: String, df: DataFrame): DataFrame =
-    residentCache.synchronized {
-      // sweep entries of stopped sessions — a session-per-job server
-      // must not pin dead SparkSessions (and their plans) for the JVM
-      // lifetime
-      residentCache.keySet.removeIf(_._1.sparkContext.isStopped)
-      val prev = residentCache.get((s, slot))
-      val prevWarm = prev != null &&
-        prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed) &&
-        // an external clearCache()/unpersist invalidates the entry —
-        // returning a de-cached prev would silently reinstate the
-        // double evaluation forever
-        prev.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-      if (prevWarm) {
-        // identical plan → the CacheManager already holds ONE shared
-        // entry for it; re-invocation must REUSE the warm cache, not
-        // cache-then-uncache it (unpersisting the "previous" df would
-        // evict the shared plan entry and silently de-cache this one)
-        prev
-      } else {
-        val cached = df.cache()
-        val old = residentCache.put((s, slot), cached)
-        if (old != null && !(old eq cached) &&
-            !old.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
-          old.unpersist(false)
-        cached
-      }
-    }
+    ResidentCache(s, slot, df)
 
   /** lower + strip non-alphanumerics + collapse runs → canonical text. */
   def normalized(c: Column): Column = trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
@@ -779,12 +748,20 @@ object TextOps {
   /** Strike the frozen hash set from each document and re-join the
     * survivors in order — DataFrame-in, so the SAME plan serves batch
     * and each streaming micro-batch (stream ≡ batch by construction).
+    *
+    * No broadcast hint on the strike set: the df ≥ maxDf segment set
+    * grows roughly linearly with corpus size (billions of distinct
+    * repeated segments on a web-scale corpus — tens of GB of md5
+    * keys), so forcing a broadcast would OOM every executor at 100 TB.
+    * The anti-join key `h` hash-partitions both sides, and AQE still
+    * picks a broadcast at runtime whenever the strike set measures
+    * small — small corpora keep the cheap plan, large ones stay safe.
     */
   def boilerplateFilterWith(documents: DataFrame, boiler: DataFrame,
       width: Int = 8): DataFrame =
     segments(documents, width)
       .withColumn("h", md5(col("seg_text")))
-      .join(broadcast(boiler), Seq("h"), "left_anti")
+      .join(boiler, Seq("h"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("seg_id"), col("seg_text"))))
         .as("kept"))

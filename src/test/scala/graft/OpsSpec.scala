@@ -1512,4 +1512,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(enumerated < allCells,
       s"nProbe=1 filter should enumerate a strict cell subset: $enumerated of $allCells — ${m1.get}")
   }
+
+  test("resident cache: repeated sweeps and session-per-job hold bounded storage") {
+    import graft.operators._
+    def sweep(s: SparkSession): Unit = {
+      DedupOps.dedupSimHashPairs(s, sf).collect()
+      DedupOps.ngramJaccard(s, sf, maxDf = DedupOps.HotShingleMaxDf).collect()
+      Multimodal.mmPhashPairs(s, sf).collect()
+      GraphOps.graphTriangles(s, sf).collect()
+      TextOps.txtCcnetBuckets(s, sf).collect()
+    }
+    sweep(spark)
+    val rddsAfterFirst = spark.sparkContext.getPersistentRDDs.size
+    val slotsAfterFirst = ResidentCache.liveSlots(spark.sparkContext)
+    // second sweep from the SAME session: identical plans must reuse
+    // the warm entries — zero growth in either the slot map or the
+    // materialized RDD cache
+    sweep(spark)
+    assert(spark.sparkContext.getPersistentRDDs.size == rddsAfterFirst,
+      "same-session re-sweep must not grow the persisted-RDD set")
+    assert(ResidentCache.liveSlots(spark.sparkContext) == slotsAfterFirst,
+      "same-session re-sweep must not grow the resident slot map")
+    // session-per-job server: newSession() children share the context's
+    // CacheManager, so per-job sessions must not pin per-session copies
+    // (the slot key is the CONTEXT — dead sessions leave nothing behind)
+    for (_ <- 1 to 3) sweep(spark.newSession())
+    assert(spark.sparkContext.getPersistentRDDs.size == rddsAfterFirst,
+      "session-per-job sweeps must not accumulate cached plans per dead session")
+    assert(ResidentCache.liveSlots(spark.sparkContext) == slotsAfterFirst,
+      "slot count must stay one per (context, slot) across sessions")
+  }
 }

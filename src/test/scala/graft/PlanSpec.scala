@@ -483,18 +483,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "one distinct exchange + one term-keyed agg exchange expected")
   }
 
-  test("boilerplate removal: partial-agg df, broadcast anti-join strike set") {
-    val plan = executedPhysical(TextOps.txtBoilerplateRemove(spark, sf))
+  test("boilerplate removal: partial-agg df, unforced anti-join strike set") {
+    val df = TextOps.txtBoilerplateRemove(spark, sf)
+    // the strike set must NOT carry a forced broadcast hint: the df>=3
+    // segment set grows with the corpus (billions of distinct repeated
+    // segments at 100 TB), so the hint would OOM executors at scale —
+    // AQE decides at runtime from the measured size instead
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "strike set must not be force-broadcast — AQE chooses from runtime size")
+    val plan = executedPhysical(df)
     // segment df must be a map-side-combined count (a corpus-wide banner
     // ships one partial row per map task), never a window over the hash
     assert(plan.contains("partial_count"), "df needs map-side partial aggregation")
     assert(!plan.contains("windowspecdefinition(h"),
       "df must not be a window over the segment-hash partitioning")
-    // the strike set (df >= 3 hashes — small by the boilerplate definition)
-    // is the broadcast side of the anti-join; the corpus is never
-    // re-shuffled to apply it
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
-      plan.take(3000))
+    // without the hint the anti-join still applies on the segment-hash
+    // key `h`: either AQE broadcasts the (here tiny) strike set, or
+    // both sides hash-partition on h — co-partitioned, no extra corpus
+    // re-shuffle either way
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin") ||
+      "Exchange hashpartitioning\\(h".r.findAllIn(plan).nonEmpty,
+      "anti-join must broadcast (AQE) or co-partition on h:\n" + plan.take(3000))
   }
 
   test("topic tag: lexicon joins as a broadcast, hits map-side combined") {
