@@ -413,16 +413,29 @@ object Artifacts {
     * generate.py:59-122) — column name/type/stats per materialized
     * relation, from the Spark schema.
     */
-  def writeCatalog(targetDir: String, relations: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit = {
+  def writeCatalog(targetDir: String, relations: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit =
+    writeCatalogWithComments(targetDir,
+      relations.map { case (n, df) => (n, df, None, Map.empty[String, String]) })
+
+  /** Catalog with persisted docs (reference persist_docs → catalog
+    * comment fields): relation comment into metadata.comment, column
+    * comments into columns[].comment — the fields a catalog browser
+    * renders.
+    */
+  def writeCatalogWithComments(targetDir: String,
+      relations: Seq[(String, org.apache.spark.sql.DataFrame, Option[String], Map[String, String])]): Unit = {
     val doc = Map(
       "metadata" -> Map(
         "dbt_schema_version" -> "https://schemas.getdbt.com/dbt/catalog/v1.json",
         "generated_at" -> java.time.Instant.now().toString),
-      "nodes" -> relations.map { case (name, df) =>
+      "nodes" -> relations.map { case (name, df, relComment, colComments) =>
         name -> Map(
-          "metadata" -> Map("name" -> name, "type" -> "table"),
+          "metadata" -> (Map("name" -> name, "type" -> "table") ++
+            relComment.map("comment" -> _)),
           "columns" -> df.schema.fields.zipWithIndex.map { case (f, i) =>
-            f.name -> Map("name" -> f.name, "type" -> f.dataType.simpleString, "index" -> i)
+            f.name -> (Map[String, Any]("name" -> f.name,
+              "type" -> f.dataType.simpleString, "index" -> i) ++
+              colComments.get(f.name).map("comment" -> _))
           }.toMap)
       }.toMap)
     Files.createDirectories(Paths.get(targetDir))

@@ -55,6 +55,17 @@ object Main {
       cliVars0: Map[String, String],
       spark: SparkSession): Int = {
     if (cmd == "init") return initProject(projectDir)
+    if (cmd == "deps") {
+      // reference task/deps.py run(): lock when missing/stale/--upgrade,
+      // then install from the lock; --lock stops after the lock write
+      val lockOnly = flags.contains("lock")
+      val roots = graft.parser.ProjectLoader.deps(
+        Paths.get(projectDir), upgrade = flags.contains("upgrade"), lockOnly = lockOnly)
+      if (lockOnly) println(s"wrote $projectDir/package-lock.yml")
+      else if (roots.isEmpty) println("no packages found")
+      else roots.foreach(r => println(s"installed ${r.getFileName}"))
+      return 0
+    }
     // profiles.yml target resolution (reference config/profile.py):
     // --target overrides the profile's default; the resolved target
     // feeds `target.name`/`target.schema`/`target.threads` in the
@@ -328,8 +339,11 @@ object Main {
         Sources.registerAll(spark, project.manifest, project.vars ++ cliVars)
         attachAll()
         val rels = projectStores().flatMap(st =>
-          st.list().map(n => st.sqlName(n) -> st.read(n)))
-        Artifacts.writeCatalog(targetDir, rels)
+          st.list().map { n =>
+            val (relC, colC) = st.comments(n)
+            (st.sqlName(n), st.read(n), relC, colC)
+          })
+        Artifacts.writeCatalogWithComments(targetDir, rels)
         Artifacts.writeManifest(targetDir, project.manifest)
         println(s"catalog with ${rels.size} relations -> $targetDir/catalog.json")
         0

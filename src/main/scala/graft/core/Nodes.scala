@@ -138,7 +138,16 @@ final case class NodeConfig(
     /** Privilege → grantee roles (reference config.py grants; applied
       * post-materialization, full desired state each run).
       */
-    grants: Map[String, Seq[String]] = Map.empty)
+    grants: Map[String, Seq[String]] = Map.empty,
+    /** persist_docs (reference config.py:86): `relation` → persist the
+      * node description as a relation comment, `columns` → persist
+      * column descriptions as column comments. Surfaced by
+      * docs-generate's catalog.json, stored as relation metadata.
+      */
+    persistDocs: Map[String, Boolean] = Map.empty) {
+  def persistRelationDocs: Boolean = persistDocs.getOrElse("relation", false)
+  def persistColumnDocs: Boolean = persistDocs.getOrElse("columns", false)
+}
 
 /** Declared column info (reference components.py:59 ColumnInfo). */
 final case class ColumnInfo(

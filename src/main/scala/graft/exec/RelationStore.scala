@@ -523,6 +523,7 @@ final class RelationStore(
     Files.deleteIfExists(viewFile(name))
     Files.deleteIfExists(mvDefFile(name))
     Files.deleteIfExists(grantsFile(name))
+    Files.deleteIfExists(commentsFile(name))
     spark.catalog.dropTempView(sqlName(name))
   }
 
@@ -543,6 +544,46 @@ final class RelationStore(
       Files.writeString(grantsFile(name),
         graft.artifacts.Json.write(
           scala.collection.immutable.SortedMap.from(grants)))
+    }
+
+  // ---- persisted docs (reference config.py:86 persist_docs: relation/
+  // column comments — the warehouse analogue is COMMENT ON / column
+  // TBLPROPERTIES; with the store as the warehouse, the comment
+  // metadata lives next to the relation and docs-generate reads it) ----
+
+  private def commentsFile(name: String): Path = schemaDir.resolve(s"$name.comments.json")
+
+  /** Record the FULL persisted-docs state for a relation: optional
+    * relation comment + column → comment. Each write replaces the
+    * previous state, so disabling persist_docs clears the comments on
+    * the next run (same replace-the-desired-state semantics as grants).
+    */
+  def writeComments(name: String, relation: Option[String],
+      columns: Map[String, String]): Unit =
+    if (relation.isEmpty && columns.isEmpty) Files.deleteIfExists(commentsFile(name))
+    else {
+      Files.createDirectories(schemaDir)
+      Files.writeString(commentsFile(name),
+        graft.artifacts.Json.write(Map(
+          "relation" -> relation.getOrElse(""),
+          "columns" -> scala.collection.immutable.SortedMap.from(columns))))
+    }
+
+  /** (relation comment, column → comment) as persisted — empty when
+    * the node never enabled persist_docs.
+    */
+  def comments(name: String): (Option[String], Map[String, String]) =
+    if (!Files.exists(commentsFile(name))) (None, Map.empty)
+    else graft.artifacts.Json.parse(Files.readString(commentsFile(name))) match {
+      case m: Map[String @unchecked, Any @unchecked] =>
+        val rel = m.get("relation").map(_.toString).filter(_.nonEmpty)
+        val cols = m.get("columns") match {
+          case Some(cm: Map[String @unchecked, Any @unchecked]) =>
+            cm.map { case (k, v) => k -> v.toString }
+          case _ => Map.empty[String, String]
+        }
+        (rel, cols)
+      case _ => (None, Map.empty)
     }
 
   def grants(name: String): Map[String, Seq[String]] =

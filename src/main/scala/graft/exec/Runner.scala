@@ -235,6 +235,17 @@ final class Runner(
         () // ephemeral models have no relation to grant on
       case _: graft.core.ModelNode | _: graft.core.SeedNode | _: graft.core.SnapshotNode =>
         materializer.storeFor(node).writeGrants(materializer.relName(node), node.config.grants)
+        // persist_docs (reference config.py:86): relation/column
+        // comments written as relation metadata, full desired state
+        // each run — disabling the config clears persisted comments
+        val relDoc = if (node.config.persistRelationDocs && node.description.nonEmpty)
+          Some(node.description) else None
+        val colDocs = if (node.config.persistColumnDocs)
+          node.declaredColumns.collect {
+            case c if c.description.nonEmpty => c.name -> c.description
+          }.toMap
+        else Map.empty[String, String]
+        materializer.storeFor(node).writeComments(materializer.relName(node), relDoc, colDocs)
       case _ => ()
     }
     r

@@ -226,16 +226,44 @@ object ScaleOps {
     * min{v : 100·cum(v) ≥ q·N} — integer arithmetic end to end, so the
     * oracle replay hashes exactly.
     *
+    * `bucketWidth <= 0` (the default) derives the width from a min/max
+    * pre-pass targeting ≤ 2²⁰ coarse buckets: a fixed width is only
+    * driver-safe when the value domain is dense — on a sparse 64-bit
+    * domain (epoch-nanos) fixed-width non-empty buckets approach the
+    * distinct-value count and the coarse collect is unbounded. The
+    * derived width caps the coarse table at ~1M rows for ANY domain,
+    * and the fine pass stays bounded because it only ever reads the
+    * located buckets' actual values (≤ N rows of the quantile buckets,
+    * a vanishing fraction at 100 TB). An explicit positive width is
+    * honored for callers that know their domain. Quantile VALUES are
+    * width-independent (OpsSpec proves invariance across widths).
+    *
     * A `percentile`/`ntile` spelling would range-partition the full
     * column through a sort; this touches the corpus twice with only
     * bounded aggregates crossing the wire — the shape that survives a
     * 100 TB fact column.
     */
   def exactQuantiles(df: DataFrame, valueCol: Column, qs: Seq[Int],
-      bucketWidth: Long = 16384L): Seq[(Int, Long)] = {
+      bucketWidth: Long = 0L): Seq[(Int, Long)] = {
     // bucket by INTEGER division: a double `/` disagrees with the
     // driver's Long arithmetic above 2^53 (epoch-nanos territory)
     val v = valueCol.cast("long")
+    val derivedWidth = if (bucketWidth > 0) bucketWidth else {
+      val r = df.agg(min(v), max(v)).head()
+      if (r.isNullAt(0)) 1L
+      else {
+        // ceil(range / 2^20), floored at 1: dense small domains get
+        // width 1 (the coarse pass IS the exact histogram), sparse
+        // 64-bit domains get ≤ 2^20 + 1 coarse buckets
+        val range = r.getLong(1) - r.getLong(0)
+        math.max(1L, range / (1L << 20) + (if (range % (1L << 20) == 0) 0L else 1L))
+      }
+    }
+    exactQuantilesWidth(df, v, qs, derivedWidth)
+  }
+
+  private def exactQuantilesWidth(df: DataFrame, v: Column, qs: Seq[Int],
+      bucketWidth: Long): Seq[(Int, Long)] = {
     val coarse = df.select(v.as("__v"))
       .selectExpr(s"__v div ${bucketWidth}L as b")
       .groupBy(col("b")).agg(count(lit(1)).as("cnt"))

@@ -593,6 +593,16 @@ object ProjectLoader {
         }
       case _ => Map.empty
     }
+    // yml-config persist_docs, same precedence as grants
+    val ymlPersistDocs: Map[String, Boolean] = m.get("config") match {
+      case Some(cm: Map[String @unchecked, Any @unchecked]) =>
+        cm.get("persist_docs") match {
+          case Some(pm: Map[String @unchecked, Any @unchecked]) =>
+            pm.map { case (k, v) => k.toString -> (v == true || v == "true") }
+          case _ => Map.empty
+        }
+      case _ => Map.empty
+    }
     mn.copy(columns = declared,
       description = m.getOrElse("description", mn.description).toString,
       config = mn.config.copy(
@@ -600,7 +610,9 @@ object ProjectLoader {
         group = m.get("group").map(_.toString).orElse(mn.config.group),
         access = m.get("access").map(_.toString).orElse(mn.config.access),
         version = m.get("latest_version").map(_.toString).orElse(mn.config.version),
-        grants = if (mn.config.grants.nonEmpty) mn.config.grants else ymlGrants))
+        grants = if (mn.config.grants.nonEmpty) mn.config.grants else ymlGrants,
+        persistDocs =
+          if (mn.config.persistDocs.nonEmpty) mn.config.persistDocs else ymlPersistDocs))
   }
 
   /** Fine-grained partial re-parse of ONE changed root-project model
@@ -794,22 +806,106 @@ object ProjectLoader {
     * with the partial-parse cache so package edits invalidate it.
     */
   def localPackageDirs(dir: Path): Seq[Path] = {
+    // lock-respecting install (reference task/deps.py:206-218 run():
+    // a lock generated from the CURRENT spec pins hub versions until
+    // `deps --upgrade`; a stale lock — spec edited since — is ignored
+    // and the fresh spec resolves, exactly the reference's re-lock
+    // trigger condition)
+    val spec = packagesSpec(dir)
+    val entries = lockEntries(dir) match {
+      case Some((locked, hash)) if hash == specHash(spec) => locked
+      case _ => spec
+    }
+    entries.flatMap(resolvePackageEntry(dir, _)).map(_._1)
+  }
+
+  /** packages.yml entries as raw maps (empty when absent). */
+  def packagesSpec(dir: Path): Seq[Map[String, Any]] = {
     val pf = dir.resolve("packages.yml")
     if (!Files.exists(pf)) Nil
     else MiniYaml.parseMap(Files.readString(pf)).get("packages") match {
-      case Some(l: List[Any @unchecked]) => l.flatMap {
-        case m: Map[String @unchecked, Any @unchecked] if m.contains("local") =>
-          m.get("local").map(p => dir.resolve(p.toString).normalize)
-        case m: Map[String @unchecked, Any @unchecked] if m.contains("tarball") =>
-          Some(untarPackage(dir, m("tarball").toString,
-            m.getOrElse("name", "package").toString))
-        case m: Map[String @unchecked, Any @unchecked] if m.contains("package") =>
-          Some(hubPackage(dir, m("package").toString, m.get("version"),
-            m.get("hub").map(_.toString)))
-        case _ => None
+      case Some(l: List[Any @unchecked]) => l.collect {
+        case m: Map[String @unchecked, Any @unchecked] => m
       }
       case _ => Nil
     }
+  }
+
+  /** SHA-1 of the canonical spec (reference _create_sha1_hash,
+    * task/deps.py:42): decides whether an existing lock still
+    * corresponds to packages.yml.
+    */
+  def specHash(spec: Seq[Map[String, Any]]): String = {
+    val canon = spec.map(m => m.toSeq.map { case (k, v) => s"$k=$v" }.sorted.mkString("{", ",", "}"))
+      .mkString("[", ";", "]")
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Parsed package-lock.yml: (locked entries, recorded spec hash). */
+  def lockEntries(dir: Path): Option[(Seq[Map[String, Any]], String)] = {
+    val lf = dir.resolve("package-lock.yml")
+    if (!Files.exists(lf)) None
+    else {
+      val m = MiniYaml.parseMap(Files.readString(lf))
+      val entries = m.get("packages") match {
+        case Some(l: List[Any @unchecked]) => l.collect {
+          case e: Map[String @unchecked, Any @unchecked] => e
+        }
+        case _ => Nil
+      }
+      Some((entries, m.getOrElse("sha1_hash", "").toString))
+    }
+  }
+
+  /** Resolve ONE packages.yml/lock entry → (package root, pinned
+    * entry). The pinned entry echoes the input for local/tarball (they
+    * are already reproducible addresses) and pins hub entries to the
+    * exact version the range resolved to — what the lock records.
+    */
+  private def resolvePackageEntry(
+      dir: Path, m: Map[String, Any]): Option[(Path, Map[String, Any])] =
+    if (m.contains("local"))
+      Some((dir.resolve(m("local").toString).normalize, m))
+    else if (m.contains("tarball"))
+      Some((untarPackage(dir, m("tarball").toString,
+        m.getOrElse("name", "package").toString), m))
+    else if (m.contains("package")) {
+      val (p, pinned) = hubPackage(dir, m("package").toString, m.get("version"),
+        m.get("hub").map(_.toString))
+      Some((p, m + ("version" -> pinned)))
+    } else None
+
+  /** `deps` (reference task/deps.py:202-260 run()): write/refresh
+    * package-lock.yml when absent, `upgrade` is set, or packages.yml
+    * changed since the lock; then resolve every entry from the lock
+    * (no-op install: resolution IS materialization here — hub/tarball
+    * entries land under dbt_packages/). `lockOnly` stops after the
+    * lock write (reference --lock).
+    * Returns the resolved package roots.
+    */
+  def deps(dir: Path, upgrade: Boolean = false, lockOnly: Boolean = false): Seq[Path] = {
+    val spec = packagesSpec(dir)
+    val lf = dir.resolve("package-lock.yml")
+    val hash = specHash(spec)
+    val needLock = upgrade || (lockEntries(dir) match {
+      case Some((_, recorded)) => recorded != hash
+      case None => true
+    })
+    if (needLock) {
+      val pinned = spec.flatMap(resolvePackageEntry(dir, _)).map(_._2)
+      val yaml = new StringBuilder("packages:\n")
+      pinned.foreach { e =>
+        val keys = e.toSeq.sortBy(_._1)
+        yaml ++= s"  - ${keys.head._1}: ${keys.head._2}\n"
+        keys.tail.foreach { case (k, v) => yaml ++= s"    $k: $v\n" }
+      }
+      yaml ++= s"sha1_hash: $hash\n"
+      Files.writeString(lf, yaml.toString)
+    }
+    if (lockOnly) Nil
+    else lockEntries(dir).map(_._1).getOrElse(Nil)
+      .flatMap(resolvePackageEntry(dir, _)).map(_._1)
   }
 
   /** packages.yml `- package: org/name` + `version:` entries — the hub
@@ -829,7 +925,7 @@ object ProjectLoader {
     * errors listing the available versions when none does.
     */
   private def hubPackage(
-      dir: Path, spec: String, version: Option[Any], hub: Option[String]): Path = {
+      dir: Path, spec: String, version: Option[Any], hub: Option[String]): (Path, String) = {
     val base0 = hub.orElse(sys.env.get("DBT_PACKAGE_HUB_URL")).getOrElse(
       throw new IllegalArgumentException(
         s"hub package '$spec': no registry reachable in this environment — " +
@@ -859,9 +955,10 @@ object ProjectLoader {
     }).flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     avail.reverseIterator.find { case (v, _) => clauses.forall(satisfies(v, _)) } match {
       case Some((v, p)) =>
-        if (Files.isDirectory(p)) p
-        else untarPackage(dir, dir.relativize(p).toString,
-          spec.replace('/', '_') + "_" + v)
+        (if (Files.isDirectory(p)) p
+         else untarPackage(dir, dir.relativize(p).toString,
+           spec.replace('/', '_') + "_" + v),
+          v)
       case None => throw new IllegalArgumentException(
         s"hub package '$spec': no version matching ${clauses.mkString(", ")} " +
           s"(available: ${avail.map(_._1).mkString(", ")})")
@@ -1120,6 +1217,14 @@ object ProjectLoader {
           case (k, v) => k.toString -> Seq(v.toString)
         }
         case _ => Map.empty
+      },
+      persistDocs = cfg.get("persist_docs") match {
+        case Some(m: Map[String @unchecked, Any @unchecked]) =>
+          m.map { case (k, v) => k.toString -> (v == true || v == "true") }
+        case Some(other) => throw new IllegalArgumentException(
+          // reference PersistDocsValueTypeError (providers.py:470)
+          s"persist_docs must be a dict like {relation: true, columns: true}, got: $other")
+        case None => Map.empty
       })
   }
 

@@ -1186,6 +1186,113 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stg.grants("reporting") == Map("select" -> Seq("analyst")))
   }
 
+  test("43 package-lock.yml: deps locks resolved versions; lock pins until upgrade") {
+    // reference task/deps.py:176-260: `deps` writes package-lock.yml
+    // (resolved pins + sha1 of the spec); later installs respect the
+    // lock while the spec is unchanged; editing the spec or --upgrade
+    // re-resolves
+    val dl = Files.createTempDirectory("graft_lockpkg")
+    def wl(rel: String, c: String): Unit = {
+      val p = dl.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    for (v <- Seq("1.0.0", "1.2.0"))
+      wl(s"index/acme/util/$v/dbt_project.yml", "name: lockutil\n")
+    wl("dbt_project.yml", "name: lockroot\n")
+    wl("packages.yml",
+      """packages:
+        |  - package: acme/util
+        |    version: [">=1.0.0", "<2.0.0"]
+        |    hub: file://index
+        |""".stripMargin)
+    // deps resolves the range to 1.2.0 and records the pin + spec hash
+    val roots = ProjectLoader.deps(dl)
+    assert(roots.exists(_.toString.endsWith("1.2.0")), roots.mkString(","))
+    val lock = Files.readString(dl.resolve("package-lock.yml"))
+    assert(lock.contains("version: 1.2.0"), lock)
+    assert(lock.contains("sha1_hash:"), lock)
+    // a NEW version appearing in the index does not move the install
+    // while the lock stands (reproducible builds — slim CI's contract)
+    wl("index/acme/util/1.5.0/dbt_project.yml", "name: lockutil\n")
+    assert(ProjectLoader.deps(dl).exists(_.toString.endsWith("1.2.0")),
+      "locked install must keep the pinned version")
+    // parse-time resolution honors the lock too
+    assert(ProjectLoader.localPackageDirs(dl).exists(_.toString.endsWith("1.2.0")),
+      "load must resolve through the standing lock")
+    // --upgrade re-resolves the range and rewrites the lock
+    assert(ProjectLoader.deps(dl, upgrade = true).exists(_.toString.endsWith("1.5.0")))
+    assert(Files.readString(dl.resolve("package-lock.yml")).contains("version: 1.5.0"))
+    // editing packages.yml invalidates the lock (hash mismatch) → fresh
+    // resolution even without --upgrade; the tightened cap wins
+    wl("packages.yml",
+      "packages:\n  - package: acme/util\n    version: \">=1.0.0,<1.2.0\"\n    hub: file://index\n")
+    assert(ProjectLoader.deps(dl).exists(_.toString.endsWith("1.0.0")))
+    assert(Files.readString(dl.resolve("package-lock.yml")).contains("version: 1.0.0"))
+    // lockOnly (--lock) writes without installing
+    wl("packages.yml",
+      "packages:\n  - package: acme/util\n    version: \">=1.0.0\"\n    hub: file://index\n")
+    assert(ProjectLoader.deps(dl, lockOnly = true).isEmpty)
+    assert(Files.readString(dl.resolve("package-lock.yml")).contains("version: 1.5.0"))
+  }
+
+  test("42 persist_docs: descriptions round-trip into relation comments and catalog.json") {
+    val dp = Files.createTempDirectory("graft_docs_proj")
+    def wp(rel: String, c: String): Unit = {
+      val p = dp.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    wp("dbt_project.yml", "name: docsdemo\n")
+    wp("models/fact.sql", "{{ config(materialized='table') }}\nSELECT 1 AS k, 'x' AS label")
+    wp("models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: fact
+        |    description: "The central fact table"
+        |    config:
+        |      persist_docs:
+        |        relation: true
+        |        columns: true
+        |    columns:
+        |      - name: k
+        |        description: "surrogate key"
+        |      - name: label
+        |        description: "display label"
+        |""".stripMargin)
+    val stp = new RelationStore(spark, dp.resolve("wh").toString)
+    def run(): Unit = {
+      val pr = ProjectLoader.resolveRefs(ProjectLoader.load(dp.toString))
+      val r = new Runner(spark, pr, stp,
+        RunOptions(cmd = "run", threads = 1,
+          targetDir = dp.resolve("target").toString)).execute()
+      assert(r.forall(_.status == "success"), r.mkString("\n"))
+    }
+    run()
+    val (relC, colC) = stp.comments("fact")
+    assert(relC.contains("The central fact table"))
+    assert(colC == Map("k" -> "surrogate key", "label" -> "display label"))
+    // catalog surfaces the persisted comments in the v1 fields a
+    // catalog browser reads
+    val catDir = dp.resolve("target").toString
+    Artifacts.writeCatalogWithComments(catDir,
+      Seq(("fact", stp.read("fact"), relC, colC)))
+    val cat = Files.readString(dp.resolve("target/catalog.json"))
+    assert(cat.contains("\"comment\":\"The central fact table\"") ||
+      cat.contains("\"comment\": \"The central fact table\""), cat.take(800))
+    assert(cat.contains("surrogate key") && cat.contains("display label"))
+    // disabling persist_docs clears the recorded comments on the next
+    // run (replace-the-desired-state, like grants)
+    wp("models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: fact
+        |    description: "The central fact table"
+        |    columns:
+        |      - name: k
+        |        description: "surrogate key"
+        |""".stripMargin)
+    run()
+    assert(stp.comments("fact") == (None, Map.empty),
+      "disabling persist_docs must clear persisted comments")
+  }
+
   test("33 cross-run fingerprint dedup: incremental ledger survives batches") {
     // the fingerprint-store pattern: an incremental model IS the dedup
     // ledger — each run admits only fingerprints unseen in {{ this }},

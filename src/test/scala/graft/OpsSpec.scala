@@ -1043,11 +1043,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the distributed two-pass answer must not depend on bucketing:
     // width 1 (coarse pass IS the histogram), the default, and a width
     // larger than the domain (fine pass does all the work)
-    for (b <- Seq(1L, 16384L, 1L << 40)) {
+    for (b <- Seq(0L, 1L, 16384L, 1L << 40)) {
       val got = ScaleOps.exactQuantiles(li, centsCol, qs, b).toMap
       qs.foreach(q => assert(got(q) == ref(q),
         s"q$q at bucketWidth=$b: got ${got(q)}, sort says ${ref(q)}"))
     }
+  }
+
+  test("exact quantiles: adaptive width bounds the coarse pass on a sparse 64-bit domain") {
+    import org.apache.spark.sql.functions._
+    // epoch-nanos-shaped domain: microsecond event times scaled to
+    // nanos — range ~10^14 with only ~10^4 distinct values, the shape
+    // where a fixed 16384 width degenerates to one coarse bucket per
+    // value and the driver collect grows with the corpus
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+    val nanosCol = expr("ts_us * 1000")
+    val vals = ev.select(nanosCol.as("v")).collect().map(_.getLong(0)).sorted
+    val n = vals.length
+    def ref(q: Int) = vals((((q.toLong * n + 99) / 100).toInt - 1).max(0))
+    val qs = Seq(25, 50, 75, 99)
+    val got = ScaleOps.exactQuantiles(ev, nanosCol, qs).toMap
+    qs.foreach(q => assert(got(q) == ref(q),
+      s"q$q adaptive: got ${got(q)}, sort says ${ref(q)}"))
+    // the derived width actually coarsens (range/2^20 >> 1 here), so
+    // the coarse histogram is ≤ 2^20 + 1 rows by construction — the
+    // fixed default would have been range/16384 ≈ 10^10 possible slots
+    val r = ev.agg(min(nanosCol.cast("long")), max(nanosCol.cast("long"))).head()
+    val range = r.getLong(1) - r.getLong(0)
+    assert(range / (1L << 20) > 1L,
+      s"domain not sparse enough to exercise the adaptive path (range=$range)")
   }
 
   test("mm canonical: one keeper per phash cluster, keeper maximizes (bytes, -id)") {
