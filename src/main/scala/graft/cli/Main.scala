@@ -160,6 +160,8 @@ object Main {
       eventTimeEnd = flags.get("event-time-end").map(ProjectLoader.parseInstant),
       failFast = flags.contains("fail-fast"),
       warnError = flags.contains("warn-error"),
+      warnErrorOptions = flags.get("warn-error-options")
+        .map(graft.exec.WarnErrorOptions.parse),
       indirectSelection = flags.getOrElse("indirect-selection", "eager"),
       previousStatuses = Artifacts.readRunResultStatuses(targetDir),
       // source_status:fresher compares this run's sources.json with the
@@ -257,6 +259,14 @@ object Main {
         // and reports only its compiled SQL
         flags.get("inline") match {
           case Some(inline) =>
+            // the reference errors on combining node selection with an
+            // inline query (task/compile.py "cannot be used with") —
+            // silently ignoring --select would hand back only the
+            // inline output with no hint the narrowing was dropped
+            val conflicting = Seq("select", "exclude", "selector").filter(flags.contains)
+            if (conflicting.nonEmpty)
+              throw new IllegalArgumentException(
+                s"--inline cannot be combined with --${conflicting.mkString("/--")}")
             val fake = ModelNode("inline_query", project.name, inline,
               NodeConfig(), Nil, Nil, Nil)
             val compiled = compiler.compile(fake, inline).executable

@@ -12,6 +12,41 @@ import graft.core._
 import graft.graph.{Digraph, GraphQueue, Linker, Selector}
 import graft.parser.{ProjectLoader, Template}
 
+/** reference dbt_common WarnErrorOptions (cli/option_types.py:46):
+  * include/exclude/silence lists of warning-kind names; "all" or "*"
+  * in include matches every kind.
+  */
+final case class WarnErrorOptions(
+    include: Seq[String] = Nil,
+    exclude: Seq[String] = Nil,
+    silence: Seq[String] = Nil) {
+  private def allIncluded = include.exists(i => i == "all" || i == "*")
+  def silenced(kind: String): Boolean = silence.contains(kind)
+  def escalates(kind: String): Boolean =
+    !silenced(kind) && !exclude.contains(kind) &&
+      (allIncluded || include.contains(kind))
+}
+
+object WarnErrorOptions {
+  /** Parse the CLI's JSON/YAML-flow form:
+    * `{"include": ["TestWarn"], "exclude": [...], "silence": [...]}`.
+    */
+  def parse(s: String): WarnErrorOptions = {
+    def names(v: Any): Seq[String] = v match {
+      case l: Seq[Any @unchecked] => l.map(_.toString)
+      case other => Seq(other.toString)
+    }
+    graft.artifacts.Json.parse(s) match {
+      case m: Map[String @unchecked, Any @unchecked] => WarnErrorOptions(
+        include = m.get("include").map(names).getOrElse(Nil),
+        exclude = m.get("exclude").map(names).getOrElse(Nil),
+        silence = m.get("silence").map(names).getOrElse(Nil))
+      case other => throw new IllegalArgumentException(
+        s"--warn-error-options must be a JSON object, got: $other")
+    }
+  }
+}
+
 final case class RunOptions(
     cmd: String, // run | test | build | seed | snapshot | unit-test
     select: Seq[String] = Nil,
@@ -30,6 +65,15 @@ final case class RunOptions(
     failFast: Boolean = false,
     /** Promote warn statuses to errors (reference --warn-error). */
     warnError: Boolean = false,
+    /** Granular refinement (reference --warn-error-options, dbt_common
+      * WarnErrorOptions): escalate only the `include`d warning kinds
+      * ("all"/"*" = everything), never the `exclude`d ones, and
+      * suppress `silence`d warnings entirely (status becomes pass).
+      * Takes precedence over the blanket [[warnError]] when present.
+      * Engine warning kinds: TestWarn (warn-severity data tests),
+      * SourceFreshnessWarn (warn_after threshold).
+      */
+    warnErrorOptions: Option[WarnErrorOptions] = None,
     indirectSelection: String = "eager",
     previousStatuses: Map[String, String] = Map.empty,
     /** microbatch retry: node id → exact batch ids to (re)process,
@@ -158,12 +202,11 @@ final class Runner(
               val id = next.get
               events.nodeStart(id)
               val r0 = runNode(id)
-              // --warn-error (reference flags.py WARN_ERROR): a warning
-              // is promoted to a real failure, skipping descendants
-              val r =
-                if (opts.warnError && r0.status == "warn")
-                  r0.copy(status = "error", message = s"warn escalated: ${r0.message}")
-                else r0
+              // --warn-error / --warn-error-options (reference flags.py
+              // WARN_ERROR + WarnErrorOptions): a warning is promoted
+              // to a real failure (skipping descendants), excluded, or
+              // silenced — per warning kind when options are given
+              val r = if (r0.status == "warn") applyWarnPolicy(r0, warnKindOf(id)) else r0
               events.nodeFinished(r)
               results.add(r)
               if (r.status == "error" || r.status == "fail") {
@@ -194,16 +237,58 @@ final class Runner(
     out
   }
 
+  private def warnKindOf(id: String): String = manifest.get(id) match {
+    case Some(_: TestNode) => "TestWarn"
+    case _ => "NodeWarn"
+  }
+
+  /** Escalate / pass-through / silence one warn-status result. The
+    * granular options take precedence over the blanket --warn-error;
+    * with neither, the warning stands.
+    */
+  private def applyWarnPolicy(r: RunResult, kind: String): RunResult =
+    opts.warnErrorOptions match {
+      case Some(weo) if weo.silenced(kind) =>
+        r.copy(status = "pass", message = s"warn silenced ($kind): ${r.message}")
+      case Some(weo) if weo.escalates(kind) =>
+        r.copy(status = "error", message = s"warn escalated ($kind): ${r.message}")
+      case Some(_) => r
+      case None if opts.warnError =>
+        r.copy(status = "error", message = s"warn escalated: ${r.message}")
+      case None => r
+    }
+
   private def renderHook(sql: String): String =
     Template.render(sql,
       r => manifest.resolveRef(r).map(materializer.sqlName).getOrElse(r),
       (s, t) => manifest.resolveSource(s, t).map(Sources.viewName).getOrElse(s"$s.$t"),
       vars, context = runContext)
 
+  /** The audit header per node (reference query_comment,
+    * config/project.py:205): a custom project `query-comment` (with
+    * `{{ node_id }}` / `{{ invocation_id }}` interpolation) or the
+    * default `graft|<cmd>|<invocation_id>|<node_id>`.
+    */
+  private def queryCommentFor(id: String): String =
+    project.queryComment match {
+      case Some(tpl) => tpl
+        .replace("{{ node_id }}", id).replace("{{node_id}}", id)
+        .replace("{{ invocation_id }}", invocationId)
+        .replace("{{invocation_id}}", invocationId)
+      case None => s"graft|${opts.cmd}|$invocationId|$id"
+    }
+
   def runNode(id: String): RunResult = {
     val t0 = System.nanoTime()
     def elapsed = (System.nanoTime() - t0) / 1e9
     val node = manifest.get(id).get
+    // per-node Spark job attribution (query_comment analogue): every
+    // job this node submits carries the node's unique_id as its job
+    // group and the rendered comment as its description — the Spark UI
+    // / event log shows exactly which model each job belongs to, and a
+    // stuck node's jobs are cancelable by group. Thread-local, so
+    // concurrent workers don't clobber each other.
+    spark.sparkContext.setJobGroup(id, queryCommentFor(id), interruptOnCancel = false)
     try {
       node match {
         case m: ModelNode => runModel(m)
@@ -217,7 +302,7 @@ final class Runner(
     } catch {
       case e: Exception =>
         RunResult(id, "error", elapsed, Option(e.getMessage).getOrElse(e.toString).take(500))
-    } finally ()
+    } finally spark.sparkContext.clearJobGroup()
   }
 
   private def hooksAround[A](node: Node)(body: => A): A = {
@@ -597,7 +682,8 @@ final class Runner(
     // persist sources.json — the input to `source_status:fresher`
     Artifacts.writeSources(opts.targetDir,
       rows.map { case (loadedAt, r) => (r.uniqueId, loadedAt, r.status) })
-    rows.map(_._2)
+    rows.map(_._2).map(r =>
+      if (r.status == "warn") applyWarnPolicy(r, "SourceFreshnessWarn") else r)
   }
 
   /** Storage-metadata freshness for sources without a

@@ -71,6 +71,17 @@ object Modules {
     */
   private def positional(args: List[Any], kw: ListMap[String, Any],
       names: List[String], required: Int, what: String): List[Int] = {
+    // Python raises TypeError for both of these — surfacing them at
+    // parse time beats silently rendering midnight from a typo'd
+    // kwarg (minutes= for minute=) or dropping a duplicate binding
+    val unknown = kw.keys.filterNot(names.contains)
+    require(unknown.isEmpty,
+      s"$what got unexpected keyword argument${if (unknown.size > 1) "s" else ""}: " +
+        unknown.mkString(", "))
+    val dup = names.take(args.length).filter(kw.contains)
+    require(dup.isEmpty,
+      s"$what got multiple values for argument${if (dup.size > 1) "s" else ""}: " +
+        dup.mkString(", "))
     val bound = names.zipWithIndex.map { case (n, i) =>
       if (i < args.length) Some(args(i)) else kw.get(n)
     }
@@ -122,6 +133,10 @@ object Modules {
       val all = posNames.zip(args).toMap ++ kw
       val unknown = all.keySet -- posNames.toSet
       require(unknown.isEmpty, s"timedelta: unknown argument(s) $unknown")
+      val dup = posNames.take(args.length).filter(kw.contains)
+      require(dup.isEmpty,
+        s"timedelta got multiple values for argument${if (dup.size > 1) "s" else ""}: " +
+          dup.mkString(", "))
       def g(n: String) = all.get(n).map(asNum(_, s"timedelta($n)")).getOrElse(0.0)
       PyDelta(Math.round(
         g("weeks") * 7 * 86400e6 + g("days") * 86400e6 + g("hours") * 3600e6 +

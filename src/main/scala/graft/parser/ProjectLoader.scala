@@ -29,7 +29,15 @@ object ProjectLoader {
         * package (reference project.py restrict_access +
         * manifest.py is_invalid_protected_ref).
         */
-      restrictAccess: Set[String] = Set.empty)
+      restrictAccess: Set[String] = Set.empty,
+      /** query-comment (reference config/project.py:205
+        * _query_comment_from_cfg): the audit header dbt prepends to
+        * every warehouse statement. Engine analogue: the Spark job
+        * description/group set per node execution, so the Spark UI and
+        * event-log consumers attribute every job to its model.
+        * `{{ node_id }}` / `{{ invocation_id }}` interpolate.
+        */
+      queryComment: Option[String] = None)
 
   def load(projectDir: String, cliVars: Map[String, String] = Map.empty): Project =
     load0(projectDir, cliVars, inheritedMacros = None)
@@ -559,7 +567,14 @@ object ProjectLoader {
       restrictAccess =
         subs.foldLeft(Set.empty[String])(_ ++ _.restrictAccess) ++
           (if (proj.get("restrict-access").exists(v => String.valueOf(v).toBoolean)) Set(name)
-           else Set.empty[String]))
+           else Set.empty[String]),
+      // reference _query_comment_from_cfg: bare string or {comment: …}
+      queryComment = proj.get("query-comment") match {
+        case Some(m: Map[String @unchecked, Any @unchecked]) =>
+          m.get("comment").map(_.toString)
+        case Some(s) => Some(s.toString)
+        case None => None
+      })
   }
 
   /** Schema-yml patch for one model entry: declared columns, contract,

@@ -79,6 +79,12 @@ class CliSpec extends AnyFunSuite {
     assert(c9 == 0)
     assert(!inlineOut.contains("{{"), s"templating must be resolved: $inlineOut")
     assert(Files.exists(Paths.get(dir, "target/compiled/inline_query.sql")))
+
+    // --inline + node selection is a user error (reference mutual
+    // exclusion), not a silently dropped --select
+    val e = intercept[IllegalArgumentException](run("compile", dir,
+      Map("inline" -> "SELECT 1", "select" -> "my_first_model")))
+    assert(e.getMessage.contains("--inline cannot be combined"), e.getMessage)
   }
 
   test("run-operation executes a project macro; hooks expand macros") {

@@ -1186,6 +1186,115 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stg.grants("reporting") == Map("select" -> Seq("analyst")))
   }
 
+  test("45 warn-error-options: include escalates, exclude protects, silence passes") {
+    val dw = Files.createTempDirectory("graft_weo_proj")
+    def ww(rel: String, c: String): Unit = {
+      val p = dw.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    ww("dbt_project.yml", "name: weo\n")
+    ww("models/nullable.sql", "SELECT CAST(NULL AS BIGINT) AS id")
+    ww("models/schema.yml",
+      """version: 2
+        |models:
+        |  - name: nullable
+        |    columns:
+        |      - name: id
+        |        tests:
+        |          - not_null:
+        |              config:
+        |                severity: warn
+        |""".stripMargin)
+    val stw = new RelationStore(spark, dw.resolve("wh").toString)
+    val pw = ProjectLoader.resolveRefs(ProjectLoader.load(dw.toString))
+    def testStatus(weo: Option[graft.exec.WarnErrorOptions]) =
+      new Runner(spark, pw, stw, RunOptions(cmd = "build", threads = 1,
+        warnErrorOptions = weo, targetDir = dw.resolve("target").toString))
+        .execute().filter(_.uniqueId.startsWith("test.")).map(_.status).toSet
+    import graft.exec.WarnErrorOptions
+    // included kind escalates; an unrelated include leaves it a warn
+    assert(testStatus(Some(WarnErrorOptions(include = Seq("TestWarn")))) == Set("error"))
+    assert(testStatus(Some(WarnErrorOptions(include = Seq("SourceFreshnessWarn")))) == Set("warn"))
+    // "all" escalates everything — except excluded kinds
+    assert(testStatus(Some(WarnErrorOptions(include = Seq("all")))) == Set("error"))
+    assert(testStatus(Some(WarnErrorOptions(include = Seq("all"),
+      exclude = Seq("TestWarn")))) == Set("warn"))
+    // silenced warnings disappear from the failure surface entirely
+    assert(testStatus(Some(WarnErrorOptions(include = Seq("all"),
+      silence = Seq("TestWarn")))) == Set("pass"))
+    // the CLI's JSON form parses to the same behavior
+    val parsed = WarnErrorOptions.parse("""{"include": ["TestWarn"], "exclude": []}""")
+    assert(testStatus(Some(parsed)) == Set("error"))
+  }
+
+  test("44 query-comment: every Spark job carries its node's id and the audit header") {
+    // reference config/project.py:205 query_comment — the audit header
+    // on every warehouse statement; engine analogue: job group +
+    // description on every Spark job a node submits
+    val dq = Files.createTempDirectory("graft_qc_proj")
+    def wq(rel: String, c: String): Unit = {
+      val p = dq.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    wq("dbt_project.yml",
+      """name: qcdemo
+        |query-comment: "run by qcdemo node={{ node_id }} inv={{ invocation_id }}"
+        |""".stripMargin)
+    wq("models/attributed.sql", "{{ config(materialized='table') }}\nSELECT 42 AS v")
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val g = Option(j.properties.getProperty("spark.jobGroup.id")).getOrElse("")
+        val d = Option(j.properties.getProperty("spark.job.description")).getOrElse("")
+        seen.add((g, d))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pq = ProjectLoader.resolveRefs(ProjectLoader.load(dq.toString))
+      val stq = new RelationStore(spark, dq.resolve("wh").toString)
+      val runner = new Runner(spark, pq, stq,
+        RunOptions(cmd = "run", threads = 1, targetDir = dq.resolve("target").toString))
+      val r = runner.execute()
+      assert(r.forall(_.status == "success"), r.mkString("\n"))
+      // listener delivery is async — poll for the expected event
+      var waited = 0
+      while (waited < 10000 && !seen.toArray(Array.empty[(String, String)])
+          .exists(_._1 == "model.qcdemo.attributed")) { Thread.sleep(50); waited += 50 }
+      val forNode = seen.toArray(Array.empty[(String, String)])
+        .filter(_._1 == "model.qcdemo.attributed")
+      assert(forNode.nonEmpty,
+        s"no job attributed to the model; saw groups: ${seen.toArray.mkString(", ")}")
+      // the custom template interpolates node and invocation ids
+      assert(forNode.forall(_._2 ==
+        s"run by qcdemo node=model.qcdemo.attributed inv=${runner.invocationId}"),
+        forNode.mkString(", "))
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // default header (no query-comment config): graft|cmd|inv|node
+    val dq2 = Files.createTempDirectory("graft_qc2_proj")
+    Files.writeString(dq2.resolve("dbt_project.yml"), "name: qc2\n")
+    Files.createDirectories(dq2.resolve("models"))
+    Files.writeString(dq2.resolve("models/m.sql"),
+      "{{ config(materialized='table') }}\nSELECT 1 AS v")
+    val seen2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l2 = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        seen2.add(Option(j.properties.getProperty("spark.job.description")).getOrElse(""))
+    }
+    spark.sparkContext.addSparkListener(l2)
+    try {
+      val pr2 = ProjectLoader.resolveRefs(ProjectLoader.load(dq2.toString))
+      val runner2 = new Runner(spark, pr2, new RelationStore(spark, dq2.resolve("wh").toString),
+        RunOptions(cmd = "run", threads = 1, targetDir = dq2.resolve("target").toString))
+      assert(runner2.execute().forall(_.status == "success"))
+      var waited2 = 0
+      while (waited2 < 10000 && !seen2.toArray(Array.empty[String])
+          .exists(_.startsWith("graft|run|"))) { Thread.sleep(50); waited2 += 50 }
+      assert(seen2.toArray(Array.empty[String]).exists(
+        _ == s"graft|run|${runner2.invocationId}|model.qc2.m"),
+        seen2.toArray.mkString(", "))
+    } finally spark.sparkContext.removeSparkListener(l2)
+  }
+
   test("43 package-lock.yml: deps locks resolved versions; lock pins until upgrade") {
     // reference task/deps.py:176-260: `deps` writes package-lock.yml
     // (resolved pins + sha1 of the spec); later installs respect the
