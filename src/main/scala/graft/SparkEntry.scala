@@ -159,6 +159,11 @@ object SparkEntry {
     "curate_split_leakfree" -> (CurateOps.curateSplitLeakfree _),
     "curate_quality_drift" -> (CurateOps.curateQualityDrift _),
     "curate_datacard" -> (CurateOps.curateDatacard _),
+    "curate_quality_quantiles" -> (CurateOps.curateQualityQuantiles _),
+    "curate_dedup_weight" -> (CurateOps.curateDedupWeight _),
+    "curate_calibration" -> (CurateOps.curateCalibration _),
+    "curate_epochs" -> (CurateOps.curateEpochs _),
+    "txt_fertility" -> (TextOps.txtFertility _),
     // similarity search
     "sim_topk" -> (SimilarityOps.simTopK _),
     "emb_neardup" -> (SimilarityOps.embNearDup _),
@@ -279,6 +284,33 @@ object SparkEntry {
           FROM documents
         ) h
       ) p"""
+
+  /** Per-doc classifier score in milli-units — the quality-classify
+    * pipeline reduced to (doc_id, n_tokens, score), shared by the
+    * grouped-quantiles and calibration oracles. Positive-dividend
+    * offset (+2000·n_tokens) keeps Spark `div` (truncating) and DuckDB
+    * `//` (flooring) identical on the possibly-negative hit sums.
+    */
+  private lazy val QualityScoredSql: String = {
+    val vals = graft.operators.TextOps.QualityWeights
+      .map { case (t, w) => s"('$t', ${w}::BIGINT)" }.mkString(", ")
+    s"""WITH wts(term, w_milli) AS (VALUES $vals),
+      d AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS w
+        FROM documents
+      ), base AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM d
+      ), hits AS (
+        SELECT doc_id, CAST(SUM(w_milli) AS BIGINT) AS hit_milli
+        FROM (SELECT doc_id, unnest(w) AS term FROM d) t JOIN wts USING (term)
+        GROUP BY 1
+      )
+      SELECT b.doc_id, b.n_tokens,
+             (COALESCE(hit_milli, 0) + 2000 * b.n_tokens) // b.n_tokens - 2000 AS score
+      FROM base b LEFT JOIN hits USING (doc_id)
+      WHERE b.n_tokens > 0"""
+  }
 
   private lazy val GopherGateSql: String = """
       WITH toks AS (
@@ -1501,6 +1533,116 @@ object SparkEntry {
              nl.n_langs, tl.top_lang,
              (1000000 * tl.top_c) // b.n_docs AS top_lang_ppm
       FROM base b JOIN tl USING (source) JOIN nl USING (source)""",
+    "curate_quality_quantiles" -> s"""
+      WITH scored AS ($QualityScoredSql),
+      hist AS (
+        SELECT d.source, s.score, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM scored s JOIN documents d USING (doc_id) GROUP BY 1, 2
+      ), cum AS (
+        SELECT source, score,
+               SUM(cnt) OVER (PARTITION BY source ORDER BY score) AS cum,
+               SUM(cnt) OVER (PARTITION BY source) AS n
+        FROM hist
+      ), qs(q) AS (VALUES (25), (50), (75))
+      SELECT source, CAST(q AS BIGINT) AS q, MIN(score) AS score_milli
+      FROM cum CROSS JOIN qs
+      WHERE 100 * cum >= q * n
+      GROUP BY 1, 2""",
+    "curate_calibration" -> s"""
+      WITH scored AS ($QualityScoredSql),
+      gate AS ($GopherGateSql),
+      b AS (
+        SELECT s.doc_id,
+               (GREATEST(LEAST(s.score, 499), -500) + 500) // 100 - 5 AS bucket,
+               g.admitted
+        FROM scored s JOIN gate g USING (doc_id)
+      )
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(admitted) AS BIGINT) AS n_admitted,
+             (1000000 * CAST(SUM(admitted) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS admit_ppm
+      FROM b GROUP BY 1""",
+    "curate_dedup_weight" -> s"""
+      WITH RECURSIVE pairs AS ($SimhashPairsSql
+      ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ), reach(node, lab) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+      ), cl AS (
+        SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY 1
+      ), sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz FROM cl GROUP BY 1
+      ), mem AS (
+        SELECT cl.doc_id, s.sz FROM cl JOIN sizes s USING (cluster_id)
+      )
+      SELECT d.doc_id, d.source,
+             COALESCE(m.sz, 1) AS cluster_size,
+             1000000 // COALESCE(m.sz, 1) AS weight_ppm
+      FROM documents d LEFT JOIN mem m USING (doc_id)""",
+    "curate_epochs" -> s"""
+      WITH RECURSIVE pairs AS ($SimhashPairsSql
+      ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+      ), reach(node, lab) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+      ), cl AS (
+        SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY 1
+      ), sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz FROM cl GROUP BY 1
+      ), mem AS (
+        SELECT cl.doc_id, s.sz FROM cl JOIN sizes s USING (cluster_id)
+      ), w AS (
+        SELECT d.doc_id, d.source,
+               1000000 // COALESCE(m.sz, 1) AS weight_ppm
+        FROM documents d LEFT JOIN mem m USING (doc_id)
+      ), toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+      ), mass AS (
+        SELECT w.source, CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(w.weight_ppm * t.n_tokens) AS BIGINT) AS dedup_mass
+        FROM w JOIN toks t USING (doc_id) GROUP BY 1
+      ), tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+               CAST(SUM(dedup_mass) AS BIGINT) AS tot_mass
+        FROM mass
+      ), calc AS (
+        SELECT m.source, m.n_tokens,
+               (1000000 * m.dedup_mass) // t.tot_mass AS target_share_ppm,
+               (${graft.operators.CurateOps.BudgetMultiple} * t.tot_tokens * m.dedup_mass) // t.tot_mass AS target_tokens
+        FROM mass m CROSS JOIN tot t
+      )
+      SELECT source, n_tokens,
+             CAST(target_share_ppm AS BIGINT) AS target_share_ppm,
+             CAST(target_tokens AS BIGINT) AS target_tokens,
+             CAST(LEAST(${graft.operators.CurateOps.EpochCapMilli}, (1000 * target_tokens) // n_tokens) AS BIGINT) AS epochs_milli,
+             CAST((LEAST(${graft.operators.CurateOps.EpochCapMilli}, (1000 * target_tokens) // n_tokens) * n_tokens) // 1000 AS BIGINT) AS planned_tokens
+      FROM calc""",
+    "txt_fertility" -> s"""
+      WITH seg AS ($BpeSegmentSql),
+      occ AS (
+        SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS occ FROM (
+          SELECT lang,
+                 unnest(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS word
+          FROM documents) z
+        GROUP BY 1, 2
+      ), j AS (
+        SELECT o.lang, o.occ, s.n_pieces FROM occ o JOIN seg s USING (word)
+      )
+      SELECT lang,
+             CAST(SUM(occ) AS BIGINT) AS n_words,
+             CAST(SUM(occ * n_pieces) AS BIGINT) AS n_pieces,
+             (1000 * CAST(SUM(occ * n_pieces) AS BIGINT)) // CAST(SUM(occ) AS BIGINT) AS fertility_milli,
+             (1000000 * CAST(SUM(CASE WHEN n_pieces = 1 THEN occ ELSE 0 END) AS BIGINT)) // CAST(SUM(occ) AS BIGINT) AS whole_ppm
+      FROM j GROUP BY 1""",
     "txt_pii_scrub" -> """
       WITH a AS (
         SELECT doc_id,

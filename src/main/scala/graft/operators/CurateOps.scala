@@ -820,6 +820,134 @@ object CurateOps {
     * the lang argmax window runs over the sources×langs table
     * (metadata scale).
     */
+  /** Per-source EXACT quality-score quartiles WITHOUT a sort — the
+    * grouped form of [[ScaleOps.exactQuantiles]] and the number a
+    * curation pipeline actually tunes on ("what cutoff keeps the top
+    * half of THIS source?"). Score = the quality classifier's decision
+    * metric, mean token weight in milli-units (integer `div`, exact).
+    *
+    * Scale shape: the corpus collapses to a (source, score) histogram
+    * in ONE map-side-combined shuffle; the quantile pick is a
+    * cumulative window over that bounded table (distinct scores per
+    * source — the weight table bounds the score domain, so this is
+    * metadata-sized regardless of corpus rows). Compare: `ntile()`/
+    * `percentile()` would range-partition every row of every source
+    * through a sort.
+    */
+  def curateQualityQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(25, 50, 75)
+    // positive-dividend trick: hit_milli can be negative and Spark's
+    // `div` truncates toward zero while DuckDB's `//` floors — offset
+    // by 2000·n_tokens (weights are ≥ −1200 milli per hit) so both
+    // engines divide a non-negative dividend, then shift back
+    val scored = TextOps.txtQualityClassify(s, dir)
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"),
+        expr("(hit_milli + 2000 * n_tokens) div n_tokens - 2000").as("score"))
+    val hist = docs(s, dir).select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"))
+      .groupBy(col("source"), col("score")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val qdf = s.range(1).select(explode(lit(qs.toArray)).as("q"))
+    cum.crossJoin(broadcast(qdf))
+      .filter(lit(100L) * col("cum") >= col("q") * col("n"))
+      .groupBy(col("source"), col("q"))
+      .agg(min(col("score")).as("score_milli"))
+      .select(col("source"), col("q").cast("long").as("q"), col("score_milli"))
+  }
+
+  /** Near-dup-aware sampling weights (soft dedup — the SoftDeDup /
+    * D4-style alternative to dropping duplicates): every member of a
+    * near-dup cluster carries weight 1/cluster_size so the CLUSTER
+    * contributes one document's worth of sampling mass; unclustered
+    * documents keep weight 1. Emitted in exact ppm (integer div) plus
+    * the per-source deduplicated mass — the number that tells a mix
+    * designer how much UNIQUE content each source really has.
+    *
+    * Scale shape: cluster sizes come from the checkpointed
+    * connected-components fixpoint ([[GraphOps.dedupClusters]]); the
+    * weight is a co-partitioned left join back onto the corpus
+    * projection, and the source rollup is one map-side-combined
+    * aggregate.
+    */
+  def curateDedupWeight(s: SparkSession, dir: String): DataFrame = {
+    val clusters = GraphOps.dedupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_size"))
+    docs(s, dir).select(col("doc_id"), col("source"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_ppm", expr("1000000 div cluster_size"))
+  }
+
+  /** Quality-classifier calibration against the Gopher rule gate — the
+    * reliability diagram a pipeline owner reads before trusting a
+    * learned filter: documents bucketed by classifier score (mean token
+    * weight, milli-units, clamped deciles), each bucket reporting how
+    * many the rule gate admits. A well-calibrated classifier's
+    * admit-rate should rise monotonically with its score.
+    *
+    * Scale shape: both inputs are row-parallel/(doc,gram)-bounded
+    * scorers; the diagram is one map-side-combined groupBy over ≤ ~20
+    * buckets. Integer ppm so the oracle hashes exactly.
+    */
+  def curateCalibration(s: SparkSession, dir: String): DataFrame = {
+    val pred = TextOps.txtQualityClassify(s, dir)
+      .filter(col("n_tokens") > 0)
+      // positive-dividend score (see curateQualityQuantiles), clamped
+      // to [-500, 500) then bucketed per 100 milli → ≤ 10 buckets;
+      // the +500 offset keeps the bucket division non-negative too
+      .select(col("doc_id"),
+        expr("(hit_milli + 2000 * n_tokens) div n_tokens - 2000").as("score"))
+      .withColumn("bucket",
+        expr("(greatest(least(score, 499L), -500L) + 500L) div 100L - 5L"))
+    val gate = curateGopherGate(s, dir).select(col("doc_id"), col("admitted"))
+    pred.join(gate, Seq("doc_id"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("admitted")).as("n_admitted"))
+      .withColumn("admit_ppm", expr("(1000000 * n_admitted) div n_docs"))
+  }
+
+  /** Token-budget epoch allocation (the Llama-style data-recipe step):
+    * given a total training budget of `BudgetMultiple`× the corpus
+    * tokens and per-source target shares proportional to their
+    * DEDUPLICATED mass ([[curateDedupWeight]]), each source repeats for
+    * epochs_milli = min(cap, target_tokens·1000 div actual_tokens) —
+    * scarce high-value sources repeat (up to 4×), oversized sources
+    * downsample (epochs < 1000 milli). Pure integer arithmetic.
+    *
+    * Scale shape: two corpus-collapsing aggregates (tokens per source,
+    * dedup mass per source — both map-side combined) into a
+    * sources-bounded table; everything after is metadata-sized.
+    */
+  val EpochCapMilli = 4000L
+  val BudgetMultiple = 2L
+
+  def curateEpochs(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(s, dir).select(col("doc_id"),
+      size(col("w")).cast("long").as("n_tokens"))
+    val mass = curateDedupWeight(s, dir)
+      .join(toks, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("n_tokens"),
+        sum(col("weight_ppm") * col("n_tokens")).as("dedup_mass"))
+    // corpus totals: a 1-row broadcast aggregate
+    val total = mass.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("dedup_mass")).as("tot_mass"))
+    mass.crossJoin(broadcast(total))
+      .select(col("source"), col("n_tokens"),
+        expr("(1000000 * dedup_mass) div tot_mass").as("target_share_ppm"),
+        expr(s"($BudgetMultiple * tot_tokens * dedup_mass) div tot_mass").as("target_tokens"))
+      .withColumn("epochs_milli",
+        least(lit(EpochCapMilli), expr("(1000 * target_tokens) div n_tokens")))
+      .withColumn("planned_tokens", expr("(epochs_milli * n_tokens) div 1000"))
+  }
+
   def curateDatacard(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val gate = curateGopherGate(s, dir)

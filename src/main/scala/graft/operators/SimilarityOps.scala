@@ -323,6 +323,25 @@ object SimilarityOps {
     ivfRescore(s, e, probes, cells)
   }
 
+  /** Assign arbitrary raw (vec_id, embedding) rows to their nearest
+    * FROZEN centroid — the index-maintenance half of IVF: arriving
+    * vectors are cell-assigned against the persisted centroid table
+    * ([[persistIvfIndex]]'s `centroids/`) and appended to the
+    * cell-partitioned layout, with NO retraining in the ingest path.
+    * DataFrame-in, so the SAME plan serves batch backfill and each
+    * streaming micro-batch ([[graft.streaming.Streaming.runIvfAssign]])
+    * — stream ≡ batch by construction. Centroids are nCentroids-bounded
+    * → broadcast; the corpus side is one row-parallel pass.
+    */
+  def ivfAssignWith(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val e = vectors.select(
+      col("vec_id"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))").as("q"))
+      .withColumn("nq", expr("dot_i64(q, q)"))
+    pairScoresAgainst(vectors.sparkSession, e, centroids, topPerProbe = 1)
+      .select(col("qid").as("vec_id"), col("cid").as("cell"))
+  }
+
   /** Top-N centroid/candidate matches of `probe` against a SMALL,
     * bounded-by-construction `targets` table (collected + broadcast —
     * callers pass ≤ nCentroids rows, never the corpus) using the

@@ -270,6 +270,36 @@ object TextOps {
         size(col("syms")).cast("long").as("n_pieces"),
         array_join(col("syms"), " ").as("pieces"))
 
+  /** Tokenizer fertility by language — BPE pieces per word, the
+    * standard tokenizer-fairness metric (a language whose words
+    * fragment into many pieces pays more compute per content word and
+    * effectively sees a shorter context window). Uses the merge table
+    * [[txtBpeSegment]] learns on this corpus: fertility_milli =
+    * 1000·Σ(occurrences·pieces) div Σ(occurrences) per language, plus
+    * the share of word occurrences that stay whole (single piece).
+    *
+    * Scale shape: per-language word occurrences collapse map-side into
+    * a (lang, word) histogram; the piece count joins from the
+    * vocabulary-bounded segment table (broadcast); output is
+    * langs-bounded. The expensive part — BPE training — is the
+    * vocabulary-histogram pipeline txtBpeSegment already bounds.
+    */
+  def txtFertility(s: SparkSession, dir: String): DataFrame = {
+    val seg = txtBpeSegment(s, dir).select(col("word"), col("n_pieces"))
+    val occ = docs(s, dir)
+      .select(col("lang"), explode(split(normalized(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("occ"))
+    occ.join(broadcast(seg), Seq("word"))
+      .groupBy(col("lang"))
+      .agg(sum(col("occ")).as("n_words"),
+        sum(col("occ") * col("n_pieces")).as("n_pieces"),
+        sum(when(col("n_pieces") === 1L, col("occ")).otherwise(0L)).as("n_whole"))
+      .select(col("lang"), col("n_words"), col("n_pieces"),
+        expr("(1000 * n_pieces) div n_words").as("fertility_milli"),
+        expr("(1000000 * n_whole) div n_words").as("whole_ppm"))
+  }
+
   /** Character-bigram language-model quality score — the integer-exact
     * analogue of CCNet/KenLM perplexity filtering (Wenzek et al. 2020):
     * train a char-bigram model on the corpus itself, then score each

@@ -387,6 +387,38 @@ object Streaming {
     }
   }
 
+  /** Parquet stream of arriving embedding rows (vec_id, embedding,
+    * label) — the ANN ingest source.
+    */
+  def embeddingStream(spark: SparkSession, inputDir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.IntegerType)))
+    spark.readStream.schema(schema).parquet(inputDir)
+  }
+
+  /** IVF index maintenance over a stream of arriving vectors: each
+    * micro-batch cell-assigns against the FROZEN persisted centroid
+    * table via the exact batch plan
+    * ([[graft.operators.SimilarityOps.ivfAssignWith]]) and appends the
+    * assignments — continuous ANN ingest with NO retraining in the hot
+    * path (the production IVF pattern: rebuild centroids offline,
+    * assign online). Per-batch cost is O(batch)·nCentroids; stream ≡
+    * batch by construction (StreamingSpec proves it).
+    */
+  def runIvfAssign(
+      newVectors: DataFrame,
+      centroids: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit = {
+    runAppendScorer(newVectors, store, table, checkpointDir) { batch =>
+      graft.operators.SimilarityOps.ivfAssignWith(batch, centroids)
+    }
+  }
+
   /** Drive incremental (batch-vs-index) dedup over a stream of newly
     * arriving documents: each micro-batch probes a PREBUILT static
     * index via the exact same [[graft.operators.DedupOps.probeAgainstIndex]]

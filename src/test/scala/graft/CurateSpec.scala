@@ -647,4 +647,88 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(nKept == 2L && text.startsWith(s"w${id}x0"), s"doc $id lost content")
     }
   }
+
+  test("grouped quality quantiles equal a per-source driver-side sort") {
+    val got = CurateOps.curateQualityQuantiles(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val scored = TextOps.txtQualityClassify(spark, sf)
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), expr("(hit_milli + 2000 * n_tokens) div n_tokens - 2000").as("s"))
+      .join(graft.sources.Tables.load(spark, sf, "documents").select("doc_id", "source"), Seq("doc_id"))
+      .select("source", "s").collect().map(r => (r.getString(0), r.getLong(1)))
+    scored.groupBy(_._1).foreach { case (src, rows) =>
+      val vals = rows.map(_._2).sorted
+      val n = vals.length
+      for (q <- Seq(25, 50, 75)) {
+        val ref = vals((((q.toLong * n + 99) / 100).toInt - 1).max(0))
+        assert(got((src, q.toLong)) == ref,
+          s"$src q$q: got ${got((src, q.toLong))}, sort says $ref over $n rows")
+      }
+    }
+  }
+
+  test("dedup weights: each cluster carries ~one doc of mass; singletons exactly 1") {
+    val rows = CurateOps.curateDedupWeight(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // singletons (cluster_size 1) weigh exactly 1e6 ppm
+    rows.filter(_._2 == 1L).foreach { case (id, _, w) =>
+      assert(w == 1000000L, s"singleton $id weight $w")
+    }
+    // a cluster's total mass is size·(1e6 div size) — within integer-div
+    // slack of one document's mass, never more
+    rows.filter(_._2 > 1L).groupBy(_._2).foreach { case (sz, members) =>
+      members.foreach { case (id, _, w) =>
+        assert(w == 1000000L / sz, s"doc $id in cluster of $sz weighs $w")
+      }
+    }
+    // coverage: every document gets a weight
+    val docs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(rows.length == docs)
+  }
+
+  test("epoch allocation: cap respected, budget never exceeded, shares sum to ~1") {
+    val rows = CurateOps.curateEpochs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nTok, share, target, epochs, planned) =>
+      assert(epochs <= CurateOps.EpochCapMilli, s"$src epochs $epochs over cap")
+      assert(epochs >= 0 && planned == epochs * nTok / 1000, s"$src planned mismatch")
+      // uncapped sources plan to (almost) their target; capped ones fall short
+      if (epochs < CurateOps.EpochCapMilli)
+        assert(planned <= target, s"$src planned $planned over target $target")
+    }
+    val totalShare = rows.map(_._3).sum
+    assert(totalShare > 990000L && totalShare <= 1000000L,
+      s"target shares must sum to ~1e6 ppm (integer-div slack): $totalShare")
+  }
+
+  test("calibration buckets partition the scored corpus") {
+    val cal = CurateOps.curateCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val scoredDocs = TextOps.txtQualityClassify(spark, sf)
+      .filter(col("n_tokens") > 0).count()
+    assert(cal.map(_._2).sum == scoredDocs, "every scored doc lands in one bucket")
+    cal.foreach { case (b, n, adm, ppm) =>
+      assert(b >= -5L && b <= 4L, s"bucket $b out of the clamped range")
+      assert(adm <= n && ppm == 1000000L * adm / n)
+    }
+  }
+
+  test("fertility covers every word occurrence; whole-word share consistent") {
+    val rows = TextOps.txtFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // the BPE vocabulary is trained on this corpus, so every word
+    // occurrence must be covered by the segment join
+    val totalOcc = graft.sources.Tables.load(spark, sf, "documents")
+      .select(explode(split(TextOps.normalized(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").count()
+    assert(rows.map(_._2).sum == totalOcc, "fertility join dropped word occurrences")
+    rows.foreach { case (lang, nw, np, fert, whole) =>
+      assert(np >= nw, s"$lang: pieces below words")
+      assert(fert == 1000L * np / nw && fert >= 1000L, s"$lang fertility $fert")
+      assert(whole >= 0L && whole <= 1000000L)
+    }
+  }
 }

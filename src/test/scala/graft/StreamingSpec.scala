@@ -485,4 +485,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
     boiler.unpersist()
   }
+
+  test("streaming IVF assignment against frozen centroids equals the batch assign") {
+    import graft.operators.SimilarityOps
+    val store = new RelationStore(spark, s"$work/wh_ivf")
+    val newIn = s"$work/ivfvecs"
+    val idx = s"$work/ivf_index"
+    val sf = "/root/testdata/sf0.001"
+    // index (centroids + cell layout) built ONCE on the ingested corpus
+    SimilarityOps.persistIvfIndex(spark, sf, idx)
+    val centroids = spark.read.parquet(s"$idx/centroids")
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    // two arrivals of "new" vectors
+    val isNew = pmod(col("vec_id"), lit(10)) >= 8
+    vecs.filter(isNew && col("vec_id") < 300).write.mode("overwrite").parquet(newIn)
+    Streaming.runIvfAssign(Streaming.embeddingStream(spark, newIn), centroids,
+      store, "ivf_assign", s"$work/cp_ivf")
+    val afterFirst = store.read("ivf_assign").count()
+    vecs.filter(isNew && col("vec_id") >= 300).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runIvfAssign(Streaming.embeddingStream(spark, newIn), centroids,
+      store, "ivf_assign", s"$work/cp_ivf")
+    val streamed = store.read("ivf_assign")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    // assignment is per-vector under FROZEN centroids → the union over
+    // arrivals equals the one-shot batch assignment exactly
+    val batch = SimilarityOps.ivfAssignWith(vecs.filter(isNew), centroids)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // and the cells agree with the index's own layout for vectors the
+    // index already holds (same centroid table → same argmax)
+    val inIndex = spark.read.parquet(s"$idx/cells")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    val re = SimilarityOps.ivfAssignWith(vecs, centroids)
+    assert(re.join(inIndex, Seq("vec_id"))
+      .filter(re("cell") =!= inIndex("cell")).count() == 0,
+      "re-assignment must agree with the persisted layout")
+  }
 }
