@@ -172,6 +172,7 @@ object SparkEntry {
     "sim_rrf_fusion" -> (SimilarityOps.simRrfFusion _),
     "sim_filtered_topk" -> ((s, d) => SimilarityOps.simFilteredTopK(s, d)),
     "sim_pq_topk" -> (SimilarityOps.simPqTopK _),
+    "sim_ivfpq_topk" -> (SimilarityOps.simIvfPqTopK _),
     "sim_knn_graph" -> ((s, d) => SimilarityOps.simKnnGraph(s, d)),
     "sim_knn_classify" -> ((s, d) => SimilarityOps.simKnnClassify(s, d)),
     "sim_recall_eval" -> (SimilarityOps.simRecallEval _),
@@ -867,16 +868,16 @@ object SparkEntry {
   private val PqDist =
     "s.sn - 2 * CAST(list_sum(list_transform(range(1, 9), i -> s.sv[i] * c.cv[i])) AS BIGINT) + c.cn"
 
-  private def pqAssignCte(cbk: String, name: String) = s"""$name AS (
+  private def pqAssignCte(cbk: String, name: String, subs: String = "subsn") = s"""$name AS (
         SELECT vec_id, m, c FROM (
           SELECT s.vec_id, s.m, c.c,
                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                    ORDER BY $PqDist, c.c) AS rnk
-          FROM subsn s JOIN $cbk c ON s.m = c.m
+          FROM $subs s JOIN $cbk c ON s.m = c.m
         ) WHERE rnk = 1
       )"""
 
-  private def pqRefineCte(asg: String, name: String) = s"""$name AS (
+  private def pqRefineCte(asg: String, name: String, subs: String = "subsn") = s"""$name AS (
         SELECT m, c, cv,
                CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn
         FROM (
@@ -884,12 +885,86 @@ object SparkEntry {
           FROM (
             SELECT a.m, a.c, t.i AS pos,
                    CAST(SUM(s.sv[t.i]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mv
-            FROM $asg a JOIN subsn s ON s.vec_id = a.vec_id AND s.m = a.m,
+            FROM $asg a JOIN $subs s ON s.vec_id = a.vec_id AND s.m = a.m,
                  UNNEST(range(1, 9)) AS t(i)
             GROUP BY a.m, a.c, t.i
           ) GROUP BY m, c
         )
       )"""
+
+  /** IVF-PQ oracle (SimilarityOps.simIvfPqTopK): the IVF cell CTEs,
+    * integer residuals vs the refined centroids, residual PQ training
+    * (two unrolled Lloyd iterations over `psubsn`), per-(probe, cell)
+    * residual ADC LUTs, and candidate scoring restricted to the probed
+    * cells' members.
+    */
+  private lazy val IvfPqSql: String = {
+    val iters = (1 to 2).map { k =>
+      val prev = if (k == 1) "pcb0" else s"pcb${k - 1}"
+      pqAssignCte(prev, s"ppa$k", "psubsn") + ", " + pqRefineCte(s"ppa$k", s"pcb$k", "psubsn")
+    }.mkString(",\n      ")
+    s"""
+      WITH $IvfCellCtes,
+      resid AS (
+        SELECT en.vec_id,
+               list_transform(range(1, 65), i -> en.q[i] - c.cq[i]) AS q
+        FROM en JOIN cells sc ON sc.vec_id = en.vec_id
+        JOIN c3 c ON c.centroid_id = sc.cell
+      ), psubsn AS (
+        SELECT vec_id, CAST(t.j AS BIGINT) AS m,
+               q[CAST(t.j*8+1 AS INT):CAST(t.j*8+8 AS INT)] AS sv,
+               CAST(list_sum(list_transform(q[CAST(t.j*8+1 AS INT):CAST(t.j*8+8 AS INT)], x -> x * x)) AS BIGINT) AS sn
+        FROM resid, UNNEST(range(0, 8)) AS t(j)
+      ), pst AS (
+        SELECT MIN(vec_id) AS mn,
+               GREATEST(1, (MAX(vec_id) - MIN(vec_id) + 1) // 8) AS step
+        FROM resid
+      ), pcb0 AS (
+        SELECT m, vec_id AS c, sv AS cv, sn AS cn FROM psubsn, pst
+        WHERE (vec_id - mn) % step = 0 AND vec_id - mn < step * 8
+      ),
+      $iters,
+      ${pqAssignCte("pcb2", "pcodes", "psubsn")},
+      probes AS (
+        SELECT qid, cell FROM (
+          SELECT a.vec_id AS qid, c.centroid_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                   CAST($IvfDot AS DOUBLE) / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) DESC,
+                   c.centroid_id) AS rnk
+          FROM en a, c3 c WHERE a.vec_id < 10
+        ) WHERE rnk <= 4
+      ), qresid AS (
+        SELECT p.qid, p.cell,
+               list_transform(range(1, 65), i -> en.q[i] - c.cq[i]) AS qr
+        FROM probes p JOIN en ON en.vec_id = p.qid
+        JOIN c3 c ON c.centroid_id = p.cell
+      ), qsub AS (
+        SELECT qid, cell, CAST(t.j AS BIGINT) AS m,
+               qr[CAST(t.j*8+1 AS INT):CAST(t.j*8+8 AS INT)] AS sv,
+               CAST(list_sum(list_transform(qr[CAST(t.j*8+1 AS INT):CAST(t.j*8+8 AS INT)], x -> x * x)) AS BIGINT) AS sn
+        FROM qresid, UNNEST(range(0, 8)) AS t(j)
+      ), lut AS (
+        SELECT s.qid, s.cell, s.m, c.c,
+               $PqDist AS pd
+        FROM qsub s JOIN pcb2 c ON s.m = c.m
+      ), cand AS (
+        SELECT p.qid, p.cell, cl.vec_id AS cid
+        FROM probes p JOIN cells cl ON cl.cell = p.cell
+        WHERE cl.vec_id <> p.qid
+      ), scoredq AS (
+        SELECT cand.qid, cand.cid, CAST(SUM(l.pd) AS BIGINT) AS adist
+        FROM cand
+        JOIN pcodes k ON k.vec_id = cand.cid
+        JOIN lut l ON l.qid = cand.qid AND l.cell = cand.cell
+                  AND l.m = k.m AND l.c = k.c
+        GROUP BY 1, 2
+      )
+      SELECT qid, cid, adist, rn FROM (
+        SELECT qid, cid, adist,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn
+        FROM scoredq) t
+      WHERE rn <= 5"""
+  }
 
   /** WITH-body replaying SimilarityOps.simPqTopK's codebook training:
     * quantized subvectors (`subsn`), strided seed codebooks (`cb0`,
@@ -2740,6 +2815,7 @@ object SparkEntry {
         FROM s
       ) t WHERE rn <= 5""",
     "sim_ivf_topk" -> IvfTopkSql,
+    "sim_ivfpq_topk" -> IvfPqSql,
     "sim_knn_classify" -> """
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q

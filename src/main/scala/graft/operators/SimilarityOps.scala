@@ -459,23 +459,26 @@ object SimilarityOps {
     * double division anywhere), so the WHOLE pipeline including both
     * Lloyd iterations replays in the DuckDB oracle and hash-matches.
     */
-  def simPqTopK(s: SparkSession, dir: String): DataFrame = {
-    val m = 8
-    val subDim = Dim / m
-    val k = 8
-    val iters = 2
-    val e = ResidentCache(s, "sim_quantized", quantized(s, dir))
+  /** PQ codebook training + corpus encoding over any (vec_id, q)
+    * table — the shared trainer behind [[simPqTopK]] (raw vectors) and
+    * [[simIvfPqTopK]] (cell residuals). Returns (subvector table,
+    * trained codebook, per-(vector, subspace) codes). `slot` keys the
+    * subvector table's resident cache (it is scanned once per Lloyd
+    * iteration plus the final encode).
+    */
+  private def pqTrainEncode(s: SparkSession, vecs: DataFrame, m: Int,
+      subDim: Int, k: Int, iters: Int, slot: String): (DataFrame, DataFrame, DataFrame) = {
     // (vec_id, m, sv, sn): the corpus re-shaped to subvectors — narrow
     // explode, no shuffle
-    val subs = ResidentCache(s, "sim_pq_subs",
-      e.select(col("vec_id"),
+    val subs = ResidentCache(s, slot,
+      vecs.select(col("vec_id"),
           posexplode(expr(s"transform(sequence(0, ${m - 1}), j -> slice(q, j*$subDim+1, $subDim))"))
             .as(Seq("m", "sv")))
         .withColumn("sn", expr("dot_i64(sv, sv)")))
     // strided seed over the id range (order-independent, oracle-
     // replayable): seed vector i donates its m-th subvector to
     // subspace m's codebook, codeword id = seed vec_id
-    val bounds = e.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    val bounds = vecs.agg(min(col("vec_id")), max(col("vec_id"))).head()
     val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
     val step = math.max(1L, (maxId - minId + 1) / k)
     var cb = subs.filter((col("vec_id") - minId) % step === 0 &&
@@ -507,7 +510,17 @@ object SimilarityOps {
       prev.unpersist(false)
     }
     // corpus encoding: the PQ "index" a production system persists
-    val codes = nearestCode(subs, cb)
+    (subs, cb, nearestCode(subs, cb))
+  }
+
+  def simPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val m = 8
+    val subDim = Dim / m
+    val k = 8
+    val iters = 2
+    val e = ResidentCache(s, "sim_quantized", quantized(s, dir))
+    val (subs, cb, codes) = pqTrainEncode(s, e.select(col("vec_id"), col("q")),
+      m, subDim, k, iters, slot = "sim_pq_subs")
     // per-probe ADC lookup table: exact distance from each probe
     // subvector to every codeword (probes × M × K rows — bounded)
     val lut = subs.filter(col("vec_id") < 10)
@@ -519,6 +532,68 @@ object SimilarityOps {
       .join(broadcast(lut), Seq("m", "c"))
       .groupBy(col("qid"), col("cid")).agg(sum(col("pd")).as("adist"))
       .filter(col("qid") =!= col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("qid"), col("cid"), col("adist"), col("rn"))
+  }
+
+  /** IVF-PQ composite index (Jégou, Douze & Schmid, TPAMI 2011 §V —
+    * "IVFADC", the layout FAISS-style billion-vector serving ships):
+    * the coarse IVF quantizer ([[kmeansCells]], 16 cells) prunes the
+    * search to nProbe=4 cells, and PQ codes trained on the CELL
+    * RESIDUALS (q − centroid) compress each candidate to M=8 codes.
+    * A query builds one ADC lookup table per probed cell from its own
+    * residual in that cell, so candidate scoring is
+    * Σ_m LUT[cell, m, code_m] — integer squared-L2 in residual space,
+    * exactly the FAISS by-residual ADC contract.
+    *
+    * Scale shape: the coarse+PQ training touches the corpus once per
+    * Lloyd iteration (bounded centroid/codebook broadcasts); query
+    * time touches ONLY the probed cells' code lists (nProbe/nCells of
+    * the corpus) and joins them against a probes×nProbe×M×K-bounded
+    * broadcast LUT — memory per candidate is M codes, not the vector,
+    * which is the point at 10⁹+ vectors. Fully integer end to end →
+    * the oracle replays coarse k-means, residual PQ training, and ADC
+    * bit-identically.
+    */
+  def simIvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val nProbe = 4
+    val m = 8
+    val subDim = Dim / m
+    val k = 8
+    val e = ResidentCache(s, "sim_quantized", quantized(s, dir))
+    val (centroids, assigned) = kmeansCells(s, e)
+    val centCells = centroids.select(col("centroid_id").as("cell"), col("cq"))
+    // integer residuals r = q − centroid(cell) — the PQ training set
+    val resid = e.join(assigned, Seq("vec_id"))
+      .join(broadcast(centCells), Seq("cell"))
+      .select(col("vec_id"), expr("zip_with(q, cq, (a, b) -> a - b)").as("q"))
+    val (_, cb, codes) = pqTrainEncode(s, resid, m, subDim, k, iters = 2,
+      slot = "sim_ivfpq_subs")
+    // probes pick their nProbe nearest cells (the IVF probe step)
+    val probes = pairScoresAgainst(s, e.filter(col("vec_id") < 10), centroids,
+        topPerProbe = nProbe)
+      .select(col("qid"), col("cid").as("cell"))
+    // per-(probe, cell) query residual → subvectors → ADC LUT
+    val qsub = probes
+      .join(e.select(col("vec_id").as("qid"), col("q")), Seq("qid"))
+      .join(broadcast(centCells), Seq("cell"))
+      .select(col("qid"), col("cell"), expr("zip_with(q, cq, (a, b) -> a - b)").as("qr"))
+      .select(col("qid"), col("cell"),
+        posexplode(expr(s"transform(sequence(0, ${m - 1}), j -> slice(qr, j*$subDim+1, $subDim))"))
+          .as(Seq("m", "sv")))
+      .withColumn("sn", expr("dot_i64(sv, sv)"))
+    val lut = qsub.join(broadcast(cb), Seq("m"))
+      .select(col("qid"), col("cell"), col("m"), col("c"),
+        (col("sn") - lit(2L) * expr("dot_i64(sv, cv)") + col("cn")).as("pd"))
+    // candidates: members of probed cells, scored from their M codes
+    val cand = probes
+      .join(assigned.withColumnRenamed("vec_id", "cid"), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+    val scored = cand
+      .join(codes.withColumnRenamed("vec_id", "cid"), Seq("cid"))
+      .join(broadcast(lut), Seq("qid", "cell", "m", "c"))
+      .groupBy(col("qid"), col("cid")).agg(sum(col("pd")).as("adist"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
       .select(col("qid"), col("cid"), col("adist"), col("rn"))

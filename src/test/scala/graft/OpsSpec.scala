@@ -1537,6 +1537,56 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"nProbe=1 filter should enumerate a strict cell subset: $enumerated of $allCells — ${m1.get}")
   }
 
+  test("IVF-PQ: answers from probed cells only; PQ ranks within honest distortion") {
+    import org.apache.spark.sql.functions._
+    val ivfpq = SimilarityOps.simIvfPqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivfpq.keySet == (0L until 10L).toSet, "every probe answered")
+    assert(ivfpq.values.forall(_.size == 5), "full top-5 per probe")
+    // structural containment: every returned candidate lives in one of
+    // the probe's 4 cosine-probed cells (re-derived from the persisted
+    // index layout, which OpsSpec separately pins equal to kmeansCells)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    SimilarityOps.persistIvfIndex(spark, sf, idx)
+    val cellOf = spark.read.parquet(s"$idx/cells")
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents = spark.read.parquet(s"$idx/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(x => math.round(x * 1000.0).toLong)))
+    val byId = vecs.toMap
+    def dot(x: Array[Long], y: Array[Long]) = x.zip(y).map { case (a, b) => a * b }.sum
+    def l2(x: Array[Long], y: Array[Long]) = x.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum
+    val inCellRecalls = (0L until 10L).map { q =>
+      val qv = byId(q)
+      val nq = dot(qv, qv)
+      val probed = cents.map { case (cid, cq, cn) =>
+        (dot(qv, cq).toDouble / (math.sqrt(nq.toDouble) * math.sqrt(cn.toDouble)), -cid, cid)
+      }.sorted.reverse.take(4).map(_._3).toSet
+      ivfpq(q).foreach(c => assert(probed.contains(cellOf(c)),
+        s"probe $q returned $c from unprobed cell ${cellOf(c)}"))
+      // PQ distortion floor: vs the exact L2 top-5 WITHIN the probed
+      // cells. M=8 subspaces × K=8 (3-bit) codes on a near-isotropic
+      // synthetic corpus is deliberately coarse (the oracle replays 2
+      // Lloyd iterations bit-exactly; K=256 is the production setting)
+      // — measured macro ≈ 0.2 here; the floor guards against the
+      // scoring wiring breaking outright (a broken LUT join scores
+      // ~random ≈ 5/|cand| ≈ 0.04)
+      val candIds = vecs.filter(v => v._1 != q && probed.contains(cellOf(v._1))).map(_._1)
+      val exCell = candIds.map(id => (l2(qv, byId(id)), id)).sorted.take(5).map(_._2).toSet
+      ivfpq(q).intersect(exCell).size / 5.0
+    }
+    val macroAvg = inCellRecalls.sum / inCellRecalls.size
+    assert(macroAvg >= 0.1, s"in-cell PQ recall collapsed: $macroAvg")
+    // determinism: a second invocation reproduces the ranking exactly
+    val again = SimilarityOps.simIvfPqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(again == ivfpq, "IVF-PQ must be deterministic across invocations")
+  }
+
   test("resident cache: repeated sweeps and session-per-job hold bounded storage") {
     import graft.operators._
     def sweep(s: SparkSession): Unit = {
