@@ -160,6 +160,7 @@ object SparkEntry {
     "curate_quality_drift" -> (CurateOps.curateQualityDrift _),
     "curate_datacard" -> (CurateOps.curateDatacard _),
     "curate_quality_quantiles" -> (CurateOps.curateQualityQuantiles _),
+    "curate_filter_ensemble" -> (CurateOps.curateFilterEnsemble _),
     "curate_dedup_weight" -> (CurateOps.curateDedupWeight _),
     "curate_calibration" -> (CurateOps.curateCalibration _),
     "curate_epochs" -> (CurateOps.curateEpochs _),
@@ -193,6 +194,12 @@ object SparkEntry {
     "txt_readability" -> (TextOps.txtReadability _),
     "q_session_text" -> (Events.qSessionText _),
     "q_event_debounce" -> (Events.qEventDebounce _),
+    "q_rfm_segments" -> (Events.qRfmSegments _),
+    "txt_paragraph_dedup" -> ((s, d) => TextOps.txtParagraphDedup(s, d)),
+    "txt_trigram_lm" -> (TextOps.txtTrigramLm _),
+    "txt_heaps" -> (TextOps.txtHeaps _),
+    "emb_outliers" -> (SimilarityOps.embOutliers _),
+    "curate_snapshot_diff" -> (CurateOps.curateSnapshotDiff _),
     "dedup_source_matrix" -> (DedupOps.dedupSourceMatrix _),
     "dedup_threshold_histogram" -> (DedupOps.dedupThresholdHistogram _),
     // multimodal plumbing
@@ -1608,6 +1615,52 @@ object SparkEntry {
              nl.n_langs, tl.top_lang,
              (1000000 * tl.top_c) // b.n_docs AS top_lang_ppm
       FROM base b JOIN tl USING (source) JOIN nl USING (source)""",
+    "curate_filter_ensemble" -> {
+      val vals = graft.operators.TextOps.QualityWeights
+        .map { case (t, w) => s"('$t', ${w}::BIGINT)" }.mkString(", ")
+      val thr = graft.operators.TextOps.QualityThresholdMilli
+      s"""
+      WITH wts(term, w_milli) AS (VALUES $vals),
+      d AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS w
+        FROM documents
+      ), base AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM d
+      ), hits AS (
+        SELECT doc_id, CAST(SUM(w_milli) AS BIGINT) AS hit_milli
+        FROM (SELECT doc_id, unnest(w) AS term FROM d) t JOIN wts USING (term)
+        GROUP BY 1
+      ), clf AS (
+        SELECT b.doc_id,
+               CAST(COALESCE(hit_milli, 0) >= $thr * b.n_tokens AS BIGINT) AS clf_keep
+        FROM base b LEFT JOIN hits USING (doc_id)
+      ), gate AS ($GopherGateSql),
+      ccnet AS (
+        WITH scored AS ($CharLmSql),
+        c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
+        h AS (SELECT avg_millibits AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM scored GROUP BY 1),
+        cum AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cu FROM h),
+        t AS (SELECT MIN(CASE WHEN 3 * cu >= (SELECT n FROM c) THEN v END) AS t1,
+                     MIN(CASE WHEN 3 * cu >= 2 * (SELECT n FROM c) THEN v END) AS t2
+              FROM cum)
+        SELECT doc_id,
+               CASE WHEN avg_millibits <= t.t1 THEN 'head'
+                    WHEN avg_millibits <= t.t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored, t
+      ), joined AS (
+        SELECT clf.doc_id, clf.clf_keep, gate.admitted, ccnet.bucket
+        FROM clf JOIN gate USING (doc_id) JOIN ccnet USING (doc_id)
+      ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM joined)
+      SELECT clf_keep, admitted, bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             (1000000 * CAST(COUNT(*) AS BIGINT)) // tot.total AS share_ppm,
+             CAST(clf_keep = 1 AND admitted = 1 AND bucket = 'head' AS BIGINT) AS keep_strict,
+             CAST(clf_keep + admitted + (CASE WHEN bucket <> 'tail' THEN 1 ELSE 0 END) >= 2 AS BIGINT) AS keep_majority
+      FROM joined, tot
+      GROUP BY 1, 2, 3, tot.total"""
+    },
     "curate_quality_quantiles" -> s"""
       WITH scored AS ($QualityScoredSql),
       hist AS (
@@ -2469,6 +2522,114 @@ object SparkEntry {
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
              string_agg(seg_text, ' ' ORDER BY seg_id) AS clean_text
       FROM kept GROUP BY 1""",
+    "txt_paragraph_dedup" -> """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                           x -> x <> '') AS toks
+        FROM documents
+      ), s AS (
+        SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+      ), segs AS (
+        SELECT doc_id, CAST(st // 8 AS BIGINT) AS seg_id,
+               array_to_string(list_slice(toks, st + 1, st + 8), ' ') AS seg_text
+        FROM s, unnest(range(0, n, 8)) AS u(st)
+      ), agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+               CAST(COUNT(*) - COUNT(DISTINCT seg_text) AS BIGINT) AS n_dupes
+        FROM segs GROUP BY 1
+      ), firsts AS (
+        SELECT doc_id, seg_text, MIN(seg_id) AS seg_id FROM segs GROUP BY 1, 2
+      ), ct AS (
+        SELECT doc_id, string_agg(seg_text, ' ' ORDER BY seg_id) AS clean_text
+        FROM firsts GROUP BY 1
+      )
+      SELECT doc_id, n_segs, n_dupes, clean_text FROM agg JOIN ct USING (doc_id)""",
+    "txt_trigram_lm" -> """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                           x -> x <> '') AS toks
+        FROM documents
+      ), uni AS (
+        SELECT term AS w, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(toks) AS term FROM t) GROUP BY 1
+      ), bi AS (
+        SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+          SELECT toks[i-1] || ' ' || toks[i] AS bg
+          FROM t, unnest(range(2, len(toks) + 1)) AS u(i)
+          WHERE len(toks) >= 2
+        ) GROUP BY 1
+      ), tri AS (
+        SELECT tg, CAST(COUNT(*) AS BIGINT) AS c3 FROM (
+          SELECT toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i] AS tg
+          FROM t, unnest(range(3, len(toks) + 1)) AS u(i)
+          WHERE len(toks) >= 3
+        ) GROUP BY 1
+      ), tt AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS tot FROM uni
+      ), tg AS (
+        SELECT doc_id, toks[i-2] AS w1, toks[i-1] AS w2, toks[i] AS w3
+        FROM t, unnest(range(3, len(toks) + 1)) AS u(i)
+        WHERE len(toks) >= 3
+      ), sc AS (
+        SELECT g.doc_id, tri.c3,
+               CASE WHEN tri.c3 IS NOT NULL
+                      THEN length(bin(hbi.c2)) - length(bin(tri.c3))
+                    WHEN bi2.c2 IS NOT NULL
+                      THEN 1 + length(bin(mu.c1)) - length(bin(bi2.c2))
+                    ELSE 2 + length(bin(tt.tot)) - length(bin(COALESCE(wu.c1, 1)))
+               END AS bits
+        FROM tg g
+        LEFT JOIN tri ON tri.tg = g.w1 || ' ' || g.w2 || ' ' || g.w3
+        LEFT JOIN bi bi2 ON bi2.bg = g.w2 || ' ' || g.w3
+        LEFT JOIN bi hbi ON hbi.bg = g.w1 || ' ' || g.w2
+        LEFT JOIN uni mu ON mu.w = g.w2
+        LEFT JOIN uni wu ON wu.w = g.w3
+        CROSS JOIN tt
+      )
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+             CAST(SUM(bits) AS BIGINT) AS total_bits,
+             CAST(SUM(CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit3,
+             (1000 * CAST(SUM(bits) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS milli_bits_per_tri
+      FROM sc GROUP BY 1""",
+    "txt_heaps" -> """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                           x -> x <> '') AS toks
+        FROM documents
+      ), b AS (
+        SELECT MIN(doc_id) AS mn, MAX(doc_id) - MIN(doc_id) + 1 AS span FROM t
+      ), dd AS (
+        SELECT doc_id, CAST(LEAST(9, ((doc_id - mn) * 10) // span) AS BIGINT) AS dec, toks
+        FROM t, b
+      ), td AS (
+        SELECT dec, term, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT dec, unnest(toks) AS term FROM dd) GROUP BY 1, 2
+      ), axis AS (
+        SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS k
+      ), cum AS (
+        SELECT term, dec,
+               CAST(SUM(cnt) OVER (PARTITION BY term ORDER BY dec) AS BIGINT) AS cum
+        FROM td
+      ), state AS (
+        SELECT a.k, c.term, CAST(arg_max(c.cum, c.dec) AS BIGINT) AS cum
+        FROM cum c JOIN axis a ON c.dec <= a.k GROUP BY 1, 2
+      ), vh AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(CASE WHEN cum = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        FROM state GROUP BY 1
+      ), tok AS (
+        SELECT dec, CAST(SUM(len(toks)) AS BIGINT) AS dec_tokens,
+               CAST(COUNT(*) AS BIGINT) AS dec_docs
+        FROM dd GROUP BY 1
+      ), tc AS (
+        SELECT a.k, CAST(SUM(t2.dec_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(t2.dec_docs) AS BIGINT) AS n_docs
+        FROM tok t2 JOIN axis a ON t2.dec <= a.k GROUP BY 1
+      )
+      SELECT k, n_docs, n_tokens, vocab, hapax FROM tc JOIN vh USING (k)""",
     "txt_topic_tag" -> {
       val lexVals = graft.operators.TextOps.TopicLexicon
         .flatMap { case (t, ks) => ks.map(k => s"('$k', '$t')") }.mkString(", ")
@@ -2964,6 +3125,98 @@ object SparkEntry {
              CAST(SUM(nq) // COUNT(*) AS BIGINT) AS mean_nq,
              CAST(SUM(CASE WHEN nq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
       FROM e GROUP BY 1""",
+    "emb_outliers" -> s"""
+      WITH $IvfCellCtes,
+      dst AS (
+        SELECT en.vec_id, sc.cell,
+               CAST(en.nq
+                 - 2 * CAST(list_sum(list_transform(range(1, 65), i -> en.q[i] * c.cq[i])) AS BIGINT)
+                 + c.cn AS BIGINT) AS dist2
+        FROM en JOIN cells sc ON sc.vec_id = en.vec_id
+        JOIN c3 c ON c.centroid_id = sc.cell
+      ), hist AS (
+        SELECT cell, CAST(length(bin(dist2)) AS BIGINT) AS b,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM dst GROUP BY 1, 2
+      ), thr AS (
+        SELECT cell, MIN(b) AS thr_bits FROM (
+          SELECT cell, b,
+                 CAST(SUM(n) OVER (PARTITION BY cell ORDER BY b) AS BIGINT) AS cum,
+                 CAST(SUM(n) OVER (PARTITION BY cell) AS BIGINT) AS tot
+          FROM hist) h
+        WHERE cum * 10 >= tot * 9 GROUP BY 1
+      )
+      SELECT d.vec_id, d.cell, d.dist2,
+             CAST(length(bin(d.dist2)) > t.thr_bits AS BIGINT) AS is_outlier
+      FROM dst d JOIN thr t USING (cell)""",
+    "q_rfm_segments" -> """
+      WITH e AS (
+        SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+      ), mx AS (
+        SELECT MAX(ts_us) AS m FROM e
+      ), pu AS (
+        SELECT user_id,
+               MIN((m - ts_us) // 86400000000) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(cents) AS BIGINT) AS monetary_cents,
+               CAST(SUM(cents >> CAST(LEAST(((m - ts_us) // 86400000000) // 30, 62) AS INT)) AS BIGINT) AS decay_cents
+        FROM e, mx GROUP BY 1
+      ), sc AS (
+        SELECT user_id, recency_days, frequency, monetary_cents, decay_cents,
+               CASE WHEN recency_days <= 7 THEN 5 WHEN recency_days <= 30 THEN 4
+                    WHEN recency_days <= 90 THEN 3 WHEN recency_days <= 180 THEN 2
+                    ELSE 1 END AS r_score,
+               CASE WHEN frequency >= 50 THEN 5 WHEN frequency >= 20 THEN 4
+                    WHEN frequency >= 10 THEN 3 WHEN frequency >= 5 THEN 2
+                    ELSE 1 END AS f_score,
+               CASE WHEN monetary_cents >= 500000 THEN 5 WHEN monetary_cents >= 100000 THEN 4
+                    WHEN monetary_cents >= 20000 THEN 3 WHEN monetary_cents >= 5000 THEN 2
+                    ELSE 1 END AS m_score
+        FROM pu
+      )
+      SELECT user_id, recency_days, frequency, monetary_cents, decay_cents,
+             CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+             CAST(m_score AS BIGINT) AS m_score,
+             CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                  WHEN r_score >= 4 AND f_score >= 2 THEN 'loyal'
+                  WHEN r_score >= 3 THEN 'active'
+                  WHEN f_score >= 4 THEN 'at_risk'
+                  ELSE 'hibernating' END AS segment
+      FROM sc""",
+    "curate_snapshot_diff" -> """
+      WITH d AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM documents
+      ), o AS (
+        SELECT * FROM d WHERE doc_id % 7 <> 0
+      ), n AS (
+        SELECT * FROM d WHERE doc_id % 5 <> 0
+      ), j AS (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               COALESCE(o.source, n.source) AS source,
+               o.fp AS fp_o, n.fp AS fp_n
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      ), rm AS (
+        SELECT doc_id, source, fp_o AS fp FROM j
+        WHERE fp_o IS NOT NULL AND fp_n IS NULL
+      ), mv AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_moved
+        FROM rm WHERE fp IN (SELECT DISTINCT fp FROM n) GROUP BY 1
+      ), ag AS (
+        SELECT source,
+               CAST(SUM(CASE WHEN fp_o IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+               CAST(SUM(CASE WHEN fp_n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN fp_o IS NULL AND fp_n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+               CAST(SUM(CASE WHEN fp_o IS NOT NULL AND fp_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               CAST(SUM(CASE WHEN fp_o IS NOT NULL AND fp_n IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+        FROM j GROUP BY 1
+      )
+      SELECT ag.source, n_old, n_new, n_added, n_removed, n_common,
+             COALESCE(mv.n_moved, 0) AS n_moved
+      FROM ag LEFT JOIN mv ON ag.source = mv.source""",
     "sim_diversity_eval" -> s"""
       WITH kcsel AS MATERIALIZED (SELECT vec_id FROM ($KcenterSql) k),
       mmrsel AS MATERIALIZED (SELECT cid AS vec_id FROM ($MmrSql) mm),

@@ -948,6 +948,40 @@ object CurateOps {
       .withColumn("planned_tokens", expr("(epochs_milli * n_tokens) div 1000"))
   }
 
+  /** Filter-ensemble agreement matrix: the 2×2×3 contingency table of
+    * the three independent quality filters a production mix actually
+    * stacks — the learned classifier ([[TextOps.txtQualityClassify]]),
+    * the Gopher rule gate, and the CCNet perplexity tercile. The table
+    * tells a pipeline owner where the filters disagree (rule-pass but
+    * classifier-drop cells are the ones to audit) and what a
+    * conjunctive vs majority keep-policy would retain.
+    *
+    * Scale shape: all three inputs are row-parallel/(doc,gram)-bounded
+    * scorers; the matrix is one map-side-combined groupBy over ≤ 12
+    * cells, the total a 1-row broadcast.
+    */
+  def curateFilterEnsemble(s: SparkSession, dir: String): DataFrame = {
+    val clf = TextOps.txtQualityClassify(s, dir)
+      .select(col("doc_id"), (col("label") === "keep").cast("long").as("clf_keep"))
+    val gate = curateGopherGate(s, dir).select(col("doc_id"), col("admitted"))
+    val ccnet = TextOps.txtCcnetBuckets(s, dir).select(col("doc_id"), col("bucket"))
+    val joined = clf.join(gate, Seq("doc_id")).join(ccnet, Seq("doc_id"))
+    val total = joined.agg(count(lit(1)).as("total"))
+    joined.groupBy(col("clf_keep"), col("admitted"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .select(col("clf_keep"), col("admitted"), col("bucket"), col("n_docs"),
+        expr("(1000000 * n_docs) div total").as("share_ppm"),
+        // the two policies a mix designer compares: strict conjunction
+        // (all three favorable) vs 2-of-3 majority (head/middle counts
+        // as a ccnet pass)
+        (col("clf_keep") === 1L && col("admitted") === 1L && col("bucket") === "head")
+          .cast("long").as("keep_strict"),
+        (col("clf_keep") + col("admitted") +
+          when(col("bucket") =!= "tail", 1L).otherwise(0L) >= 2L)
+          .cast("long").as("keep_majority"))
+  }
+
   def curateDatacard(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val gate = curateGopherGate(s, dir)
@@ -978,5 +1012,44 @@ object CurateOps {
         expr("(1000000 * n_dup) div n_docs").as("dup_ppm"),
         col("n_langs"), col("top_lang"),
         expr("(1000000 * top_c) div n_docs").as("top_lang_ppm"))
+  }
+
+  /** Corpus snapshot diff — the dataset-versioning report a training
+    * pipeline runs between two ingest snapshots before re-training:
+    * per source, how many documents were added, removed, kept, and —
+    * the dedup-aware part — how many "removed" documents actually
+    * MOVED (their exact content hash still present under a different
+    * doc_id, i.e. a re-crawl assigned a new id, not a real content
+    * loss). Snapshots are deterministic id-residue views of the corpus
+    * (old = id % 7 ≠ 0, new = id % 5 ≠ 0) so the diff is replayable.
+    *
+    * Scale: the id diff is one co-partitioned full-outer join on
+    * doc_id; the moved check is a fingerprint-keyed left-semi join of
+    * the removed rows against the new snapshot's distinct hashes —
+    * both map-side-combinable hash joins, no windows, no collects.
+    */
+  def curateSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      md5(TextOps.normalized(col("text"))).as("fp"))
+    val old = d.filter(col("doc_id") % 7 =!= 0)
+    val nw = d.filter(col("doc_id") % 5 =!= 0)
+    val j = old.select(col("doc_id"), col("source").as("src_o"), col("fp").as("fp_o"))
+      .join(nw.select(col("doc_id"), col("source").as("src_n"), col("fp").as("fp_n")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), coalesce(col("src_o"), col("src_n")).as("source"),
+        col("fp_o"), col("fp_n"))
+    val removed = j.filter(col("fp_o").isNotNull && col("fp_n").isNull)
+      .select(col("doc_id"), col("source"), col("fp_o").as("fp"))
+    val moved = removed.join(nw.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_moved"))
+    j.groupBy(col("source")).agg(
+        sum(when(col("fp_o").isNotNull, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("fp_n").isNotNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("fp_o").isNull && col("fp_n").isNotNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("fp_o").isNotNull && col("fp_n").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("fp_o").isNotNull && col("fp_n").isNotNull, 1L).otherwise(0L)).as("n_common"))
+      .join(moved, Seq("source"), "left")
+      .select(col("source"), col("n_old"), col("n_new"), col("n_added"),
+        col("n_removed"), col("n_common"), coalesce(col("n_moved"), lit(0L)).as("n_moved"))
   }
 }

@@ -344,4 +344,53 @@ object Events {
       .filter(col("prev_us").isNull || col("gap_us") > DebounceMinGapUs)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"), col("gap_us"))
   }
+
+  /** RFM user segmentation with an integer time-decayed activity
+    * score — the classic marketing/engagement triage (recency,
+    * frequency, monetary) over the event log:
+    *
+    *   - recency_days   = days since the user's last event, against
+    *                      the corpus max timestamp (integer µs → days)
+    *   - frequency      = event count
+    *   - monetary_cents = Σ round(value·100) (exact integer cents)
+    *   - decay_cents    = Σ value_cents >> (age_days/30) — activity
+    *                      halving every 30 days as an exact integer
+    *                      SHIFT, not a float exp() (bit-replayable)
+    *
+    * Scores use fixed industry bands (not corpus quantiles) so the
+    * whole plan is ONE user-keyed aggregate + row-parallel banding —
+    * no corpus-wide window, no ordering; at 100 TB this is a single
+    * map-side-combined shuffle on user_id. The corpus max ts is a
+    * 1-row broadcast.
+    */
+  def qRfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val maxTs = ev(s, dir).agg(max(col("ts_us")).as("corpus_max_us"))
+    val perUser = ev(s, dir)
+      .crossJoin(broadcast(maxTs))
+      .select(col("user_id"),
+        expr("(corpus_max_us - ts_us) div 86400000000").as("age_days"),
+        Relational.cents(col("value")).as("cents"))
+      .groupBy(col("user_id"))
+      .agg(min(col("age_days")).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("cents")).as("monetary_cents"),
+        sum(expr("shiftright(cents, cast(least(age_days div 30, 62) as int))")).as("decay_cents"))
+    perUser.select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("decay_cents"),
+        when(col("recency_days") <= 7, 5L).when(col("recency_days") <= 30, 4L)
+          .when(col("recency_days") <= 90, 3L).when(col("recency_days") <= 180, 2L)
+          .otherwise(1L).as("r_score"),
+        when(col("frequency") >= 50, 5L).when(col("frequency") >= 20, 4L)
+          .when(col("frequency") >= 10, 3L).when(col("frequency") >= 5, 2L)
+          .otherwise(1L).as("f_score"),
+        when(col("monetary_cents") >= 500000L, 5L).when(col("monetary_cents") >= 100000L, 4L)
+          .when(col("monetary_cents") >= 20000L, 3L).when(col("monetary_cents") >= 5000L, 2L)
+          .otherwise(1L).as("m_score"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+          .when(col("r_score") >= 4 && col("f_score") >= 2, "loyal")
+          .when(col("r_score") >= 3, "active")
+          .when(col("f_score") >= 4, "at_risk")
+          .otherwise("hibernating"))
+  }
 }

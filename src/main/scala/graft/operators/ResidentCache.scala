@@ -60,4 +60,30 @@ object ResidentCache {
     slots.keySet.forEach(k => if (k._1 eq sc) n += 1)
     n
   }
+
+  /** Driver-side memo for SMALL trained models (centroid tables, PQ
+    * codebooks — tens of rows by construction): train once per
+    * (context, slot), then serve a LocalRelation rebuilt from the
+    * collected rows. Two reasons this beats caching the training
+    * plan: (1) the Lloyd-loop plans carry lambda expressions whose
+    * canonical forms differ per invocation, so `sameResult` caching
+    * misses and every consumer would retrain; (2) a LocalRelation
+    * canonicalizes BY DATA, so every downstream plan built on the
+    * model is `sameResult`-stable and the corpus-sized resident slots
+    * above it actually warm. Include the data dir in the slot — the
+    * memo pins the model for the JVM lifetime like a persisted index
+    * artifact would.
+    */
+  private val models =
+    new java.util.concurrent.ConcurrentHashMap[(SparkContext, String),
+      (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
+
+  def localModel(s: SparkSession, slot: String)(train: => DataFrame): DataFrame = {
+    models.synchronized { models.keySet.removeIf(_._1.isStopped) }
+    val (schema, rows) = models.computeIfAbsent((s.sparkContext, slot), _ => {
+      val d = train
+      (d.schema, d.collect())
+    })
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
 }

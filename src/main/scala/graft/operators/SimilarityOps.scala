@@ -195,12 +195,30 @@ object SimilarityOps {
     * shuffles per iteration, centroid table stays k rows. Means are
     * re-quantized to bigint so the integer dot kernel contract holds.
     */
+  /** Nearest-centroid assignment as a pure-Column plan: broadcast the
+    * (bounded) centroid table, score with the native integer kernel,
+    * argmax via max(struct(cos, −id)) — map-side combined, so the
+    * 16× candidate blowup collapses to one row per vector per map
+    * task BEFORE the shuffle. Pure expressions (no mapPartitions
+    * closure) keep the plan `sameResult`-canonical, so the resident
+    * cache actually reuses the trained assignment across the IVF
+    * family instead of re-running the Lloyd chain per consumer.
+    */
+  private def assignCells(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"),
+        (expr("dot_i64(q, cq)").cast("double") /
+          (sqrt(col("nq")) * sqrt(col("cn")))).as("cos"),
+        col("centroid_id"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("centroid_id")).as("neg"))).as("b"))
+      .select(col("vec_id"), (-col("b.neg")).as("cell"))
+
   private def kmeansRefine(
       s: SparkSession, e: DataFrame, centroids0: DataFrame, iters: Int): DataFrame = {
     var centroids = centroids0
     for (_ <- 1 to iters) {
-      val assign = pairScoresAgainst(s, e, centroids, topPerProbe = 1)
-        .select(col("qid").as("vec_id"), col("cid").as("cell"))
+      val assign = assignCells(e, centroids)
       centroids = e.join(assign, Seq("vec_id"))
         .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
         // exact long sum then ONE double division — bit-replayable in
@@ -231,7 +249,7 @@ object SimilarityOps {
     * assignment). `e` must be [[quantized]] output (cached by caller —
     * it is scanned once per Lloyd iteration).
     */
-  private def kmeansCells(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
+  private def kmeansCells(s: SparkSession, e: DataFrame, dir: String): (DataFrame, DataFrame) = {
     val nCentroids = 16
     // deterministic strided sample over the ID RANGE (no LIMIT — order-
     // independent and replayable by the SQL oracle; anchored at min so
@@ -242,17 +260,26 @@ object SimilarityOps {
     val seed = e.filter((col("vec_id") - minId) % step === 0 &&
         col("vec_id") - minId < step * nCentroids)
       .select(col("vec_id").as("centroid_id"), col("q").as("cq"), col("nq").as("cn"))
-    val centroids = kmeansRefine(s, e, seed, iters = 3)
+    // resident slots: the trained centroids + assignment are shared by
+    // the whole IVF family (simIvfTopK, semDedup, simIvfPqTopK, index
+    // persistence, diversity evals) — without them every consumer
+    // re-runs the 3-iteration Lloyd chain from the corpus scan
+    // the 16-row trained model memoizes driver-side (LocalRelation) so
+    // downstream plans are sameResult-stable — the Lloyd chain itself
+    // carries lambda expressions that defeat plan-cache canonical
+    // matching, which would silently retrain per consumer
+    val centroids = ResidentCache.localModel(s, s"sim_ivf_centroids@$dir") {
+      kmeansRefine(s, e, seed, iters = 3)
+    }
     // assign every vector to its nearest centroid (broadcast centroids)
-    val assigned = pairScoresAgainst(s, e, centroids, topPerProbe = 1)
-      .select(col("qid").as("vec_id"), col("cid").as("cell"))
+    val assigned = ResidentCache(s, s"sim_ivf_cells@$dir", assignCells(e, centroids))
     (centroids, assigned)
   }
 
   def simIvfTopK(s: SparkSession, dir: String): DataFrame = {
     val nProbe = 4
     val e = ResidentCache(s, "sim_quantized", quantized(s, dir))
-    val (centroids, assigned) = kmeansCells(s, e)
+    val (centroids, assigned) = kmeansCells(s, e, dir)
     val cells = e.join(assigned, Seq("vec_id"))
     // queries probe their nProbe nearest cells
     val probes = pairScoresAgainst(s, e.filter(col("vec_id") < 10), centroids, topPerProbe = nProbe)
@@ -294,11 +321,10 @@ object SimilarityOps {
     */
   def persistIvfIndex(s: SparkSession, dir: String, path: String): Unit = {
     val e = ResidentCache(s, "sim_quantized", quantized(s, dir))
-    val (centroids, assigned) = kmeansCells(s, e)
+    val (centroids, assigned) = kmeansCells(s, e, dir)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     e.join(assigned, Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
-    e.unpersist()
   }
 
   /** IVF probe against a [[persistIvfIndex]] layout: centroid scoring
@@ -338,8 +364,7 @@ object SimilarityOps {
       col("vec_id"),
       expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))").as("q"))
       .withColumn("nq", expr("dot_i64(q, q)"))
-    pairScoresAgainst(vectors.sparkSession, e, centroids, topPerProbe = 1)
-      .select(col("qid").as("vec_id"), col("cid").as("cell"))
+    assignCells(e, centroids)
   }
 
   /** Top-N centroid/candidate matches of `probe` against a SMALL,
@@ -468,13 +493,27 @@ object SimilarityOps {
     */
   private def pqTrainEncode(s: SparkSession, vecs: DataFrame, m: Int,
       subDim: Int, k: Int, iters: Int, slot: String): (DataFrame, DataFrame, DataFrame) = {
-    // (vec_id, m, sv, sn): the corpus re-shaped to subvectors — narrow
-    // explode, no shuffle
-    val subs = ResidentCache(s, slot,
+    val subs0 = pqSubs(s, vecs, m, subDim, slot)
+    // the 64-row codebook memoizes driver-side (see kmeansCells) so the
+    // corpus encode below is sameResult-stable and its resident slot
+    // actually warms across invocations
+    val cb = ResidentCache.localModel(s, s"${slot}_cb") {
+      pqTrainLoop(s, vecs, subs0, m, k, iters)
+    }
+    val codes = ResidentCache(s, s"${slot}_codes", nearestCode(subs0, cb))
+    (subs0, cb, codes)
+  }
+
+  private def pqSubs(s: SparkSession, vecs: DataFrame, m: Int, subDim: Int,
+      slot: String): DataFrame =
+    ResidentCache(s, slot,
       vecs.select(col("vec_id"),
           posexplode(expr(s"transform(sequence(0, ${m - 1}), j -> slice(q, j*$subDim+1, $subDim))"))
             .as(Seq("m", "sv")))
         .withColumn("sn", expr("dot_i64(sv, sv)")))
+
+  private def pqTrainLoop(s: SparkSession, vecs: DataFrame, subs: DataFrame,
+      m: Int, k: Int, iters: Int): DataFrame = {
     // strided seed over the id range (order-independent, oracle-
     // replayable): seed vector i donates its m-th subvector to
     // subspace m's codebook, codeword id = seed vec_id
@@ -509,8 +548,7 @@ object SimilarityOps {
       cb.count()
       prev.unpersist(false)
     }
-    // corpus encoding: the PQ "index" a production system persists
-    (subs, cb, nearestCode(subs, cb))
+    cb
   }
 
   def simPqTopK(s: SparkSession, dir: String): DataFrame = {
@@ -520,7 +558,7 @@ object SimilarityOps {
     val iters = 2
     val e = ResidentCache(s, "sim_quantized", quantized(s, dir))
     val (subs, cb, codes) = pqTrainEncode(s, e.select(col("vec_id"), col("q")),
-      m, subDim, k, iters, slot = "sim_pq_subs")
+      m, subDim, k, iters, slot = s"sim_pq_subs@$dir")
     // per-probe ADC lookup table: exact distance from each probe
     // subvector to every codeword (probes × M × K rows — bounded)
     val lut = subs.filter(col("vec_id") < 10)
@@ -562,14 +600,14 @@ object SimilarityOps {
     val subDim = Dim / m
     val k = 8
     val e = ResidentCache(s, "sim_quantized", quantized(s, dir))
-    val (centroids, assigned) = kmeansCells(s, e)
+    val (centroids, assigned) = kmeansCells(s, e, dir)
     val centCells = centroids.select(col("centroid_id").as("cell"), col("cq"))
     // integer residuals r = q − centroid(cell) — the PQ training set
     val resid = e.join(assigned, Seq("vec_id"))
       .join(broadcast(centCells), Seq("cell"))
       .select(col("vec_id"), expr("zip_with(q, cq, (a, b) -> a - b)").as("q"))
     val (_, cb, codes) = pqTrainEncode(s, resid, m, subDim, k, iters = 2,
-      slot = "sim_ivfpq_subs")
+      slot = s"sim_ivfpq_subs@$dir")
     // probes pick their nProbe nearest cells (the IVF probe step)
     val probes = pairScoresAgainst(s, e.filter(col("vec_id") < 10), centroids,
         topPerProbe = nProbe)
@@ -599,6 +637,102 @@ object SimilarityOps {
       .select(col("qid"), col("cid"), col("adist"), col("rn"))
   }
 
+  /** Persist the IVF-PQ index: centroids (16 rows), the residual PQ
+    * codebook (M×K = 64 rows), and the corpus CODES partitioned by
+    * cell — at 10⁹+ vectors the code table (M small ints per vector)
+    * IS the index payload a query-time scan touches, and the cell
+    * partitioning means a probe reads only its nProbe directories of
+    * codes (OpsSpec pins the PartitionFilters). The raw vectors are
+    * NOT in the serving layout — that is the memory story of IVFADC.
+    */
+  def persistIvfPqIndex(s: SparkSession, dir: String, path: String): Unit = {
+    val m = 8
+    val subDim = Dim / m
+    val e = ResidentCache(s, "sim_quantized", quantized(s, dir))
+    val (centroids, assigned) = kmeansCells(s, e, dir)
+    val centCells = centroids.select(col("centroid_id").as("cell"), col("cq"))
+    val resid = e.join(assigned, Seq("vec_id"))
+      .join(broadcast(centCells), Seq("cell"))
+      .select(col("vec_id"), expr("zip_with(q, cq, (a, b) -> a - b)").as("q"))
+    val (_, cb, codes) = pqTrainEncode(s, resid, m, subDim, k = 8, iters = 2,
+      slot = s"sim_ivfpq_subs@$dir")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    cb.write.mode("overwrite").parquet(s"$path/codebook")
+    codes.join(assigned, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** IVF-PQ probe against a [[persistIvfPqIndex]] layout: centroid and
+    * codebook reads are bounded broadcasts; the code scan reads ONLY
+    * the probed cells' partition directories. Scoring is the ADC plan
+    * of [[simIvfPqTopK]] verbatim, so the ranking is identical.
+    */
+  def simIvfPqTopKPersisted(s: SparkSession, dir: String, path: String,
+      nProbe: Int = 4): DataFrame = {
+    val m = 8
+    val subDim = Dim / m
+    val e = quantized(s, dir)
+    val centroids = s.read.parquet(s"$path/centroids")
+    val cb = s.read.parquet(s"$path/codebook")
+    val centCells = centroids.select(col("centroid_id").as("cell"), col("cq"))
+    val probes = pairScoresAgainst(s, e.filter(col("vec_id") < 10), centroids,
+        topPerProbe = nProbe)
+      .select(col("qid"), col("cid").as("cell"))
+    val probedCells = probes.select(col("cell")).distinct().collect().map(_.getLong(0))
+    val codes = s.read.parquet(s"$path/codes")
+      .filter(col("cell").cast("long").isInCollection(probedCells))
+      .withColumn("cell", col("cell").cast("long"))
+    val qsub = probes
+      .join(e.select(col("vec_id").as("qid"), col("q")), Seq("qid"))
+      .join(broadcast(centCells), Seq("cell"))
+      .select(col("qid"), col("cell"), expr("zip_with(q, cq, (a, b) -> a - b)").as("qr"))
+      .select(col("qid"), col("cell"),
+        posexplode(expr(s"transform(sequence(0, ${m - 1}), j -> slice(qr, j*$subDim+1, $subDim))"))
+          .as(Seq("m", "sv")))
+      .withColumn("sn", expr("dot_i64(sv, sv)"))
+    val lut = qsub.join(broadcast(cb), Seq("m"))
+      .select(col("qid"), col("cell"), col("m"), col("c"),
+        (col("sn") - lit(2L) * expr("dot_i64(sv, cv)") + col("cn")).as("pd"))
+    val scored = probes
+      .join(codes.withColumnRenamed("vec_id", "cid"), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .join(broadcast(lut), Seq("qid", "cell", "m", "c"))
+      .groupBy(col("qid"), col("cid")).agg(sum(col("pd")).as("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("qid"), col("cid"), col("adist"), col("rn"))
+  }
+
+  /** Cell-assign + PQ-encode arbitrary raw (vec_id, embedding) rows
+    * against FROZEN centroids and codebook — the ingest half of the
+    * persisted IVF-PQ index: arriving vectors become (vec_id, cell,
+    * m, c) code rows appended to the cell-partitioned layout, no
+    * retraining in the hot path. DataFrame-in → the same plan serves
+    * batch backfill and every streaming micro-batch
+    * ([[graft.streaming.Streaming.runIvfPqEncode]]).
+    */
+  def ivfPqEncodeWith(vectors: DataFrame, centroids: DataFrame,
+      codebook: DataFrame): DataFrame = {
+    val m = 8
+    val subDim = Dim / m
+    val e = vectors.select(
+      col("vec_id"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))").as("q"))
+      .withColumn("nq", expr("dot_i64(q, q)"))
+    val assigned = assignCells(e, centroids)
+    val centCells = centroids.select(col("centroid_id").as("cell"), col("cq"))
+    val subs = e.join(assigned, Seq("vec_id"))
+      .join(broadcast(centCells), Seq("cell"))
+      .select(col("vec_id"), col("cell"), expr("zip_with(q, cq, (a, b) -> a - b)").as("r"))
+      .select(col("vec_id"), col("cell"),
+        posexplode(expr(s"transform(sequence(0, ${m - 1}), j -> slice(r, j*$subDim+1, $subDim))"))
+          .as(Seq("m", "sv")))
+      .withColumn("sn", expr("dot_i64(sv, sv)"))
+    nearestCode(subs, codebook)
+      .join(assigned, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("m"), col("c"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): k-means the corpus into cells, then inside each
     * cell drop every vector whose cosine to a LOWER-id cell-mate is ≥ θ
@@ -618,7 +752,7 @@ object SimilarityOps {
   def semDedup(s: SparkSession, dir: String): DataFrame = {
     val theta = 0.3
     val e = ResidentCache(s, "sim_quantized", quantized(s, dir))
-    val (_, assigned) = kmeansCells(s, e)
+    val (_, assigned) = kmeansCells(s, e, dir)
     val cells = e.join(assigned, Seq("vec_id"))
     val a = cells.select(col("vec_id").as("ida"), col("q").as("qa"), col("nq").as("na"), col("cell"))
     val b = cells.select(col("vec_id").as("idb"), col("q").as("qb"), col("nq").as("nb"), col("cell"))
@@ -929,6 +1063,39 @@ object SimilarityOps {
         sum(when(col("nq") === 0L, 1L).otherwise(0L)).as("n_zero"))
       .select(col("label").cast("long").as("label"), col("n_vecs"),
         col("min_nq"), col("max_nq"), col("mean_nq"), col("n_zero"))
+  }
+
+  /** Embedding outlier QC: flag vectors unusually far from their
+    * assigned k-means centroid — the batch-ingest check that catches a
+    * corrupted embedding shard (wrong model version, truncated floats)
+    * before it poisons ANN indexes and dedup. Distance is the exact
+    * integer squared L2 to the assigned centroid; the per-cell p90
+    * cutoff comes from a bit-length histogram (cells × ≤64 buckets —
+    * a BOUNDED domain, so the threshold pass is metadata-scale and the
+    * window partitions over ≤64 rows per cell, never corpus rows).
+    * Flag = distance bit-length strictly above the cell's p90 bucket.
+    */
+  def embOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = ResidentCache(s, "sim_quantized", quantized(s, dir))
+    val (centroids, assigned) = kmeansCells(s, e, dir)
+    val centCells = centroids.select(col("centroid_id").as("cell"), col("cq"), col("cn"))
+    val dists = e.join(assigned, Seq("vec_id"))
+      .join(broadcast(centCells), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        (col("nq") - lit(2L) * expr("dot_i64(q, cq)") + col("cn")).as("dist2"))
+      .withColumn("b", length(bin(col("dist2"))).cast("long"))
+    val hist = dists.groupBy(col("cell"), col("b")).agg(count(lit(1)).as("n"))
+    val W = Window
+    val wCum = W.partitionBy(col("cell")).orderBy(col("b"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val thr = hist
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("tot", sum(col("n")).over(W.partitionBy(col("cell"))))
+      .filter(col("cum") * 10L >= col("tot") * 9L)
+      .groupBy(col("cell")).agg(min(col("b")).as("thr_bits"))
+    dists.join(broadcast(thr), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("dist2"),
+        (col("b") > col("thr_bits")).cast("long").as("is_outlier"))
   }
 
   /** Selection-diversity evaluation: mean pairwise cosine (micro-unit

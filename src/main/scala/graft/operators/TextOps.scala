@@ -975,4 +975,159 @@ object TextOps {
       (col("cnt") >= fStar).cast("long").as("in_vocab"),
       lit(fStar).as("cutoff_freq"))
   }
+
+  /** Intra-document paragraph dedup: drop repeated text segments
+    * WITHIN each document, keeping the first occurrence in order —
+    * the cleaner that strips nav bars / footers repeated inside one
+    * page (complements [[txtBoilerplateRemove]], which strikes
+    * cross-document repeats). Pure array expressions over one row —
+    * `array_distinct` preserves first-occurrence order — so the plan
+    * is a zero-shuffle row-parallel projection: throughput is linear
+    * in executors at 100 TB and PlanSpec pins the exchange-free plan.
+    */
+  def txtParagraphDedup(s: SparkSession, dir: String, width: Int = 8): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        filter(split(normalized(col("text")), " "), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("segs",
+        expr(s"transform(sequence(0, size(toks) - 1, $width), st -> array_join(slice(toks, st + 1, $width), ' '))"))
+      .withColumn("kept", array_distinct(col("segs")))
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_segs"),
+        (size(col("segs")) - size(col("kept"))).cast("long").as("n_dupes"),
+        array_join(col("kept"), " ").as("clean_text"))
+
+  /** Word-trigram LM with stupid backoff (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" §4 — the scheme
+    * built FOR distributed map-reduce LM training): per-trigram
+    * surprisal in floored-log2 "bits" (the [[charLmModel]] idiom —
+    * integer bit-length arithmetic, so scoring is bit-exact and
+    * oracle-replayable):
+    *
+    *   seen trigram:          bits = bl(c2(w1 w2)) − bl(c3(w1 w2 w3))
+    *   backoff to bigram:     bits = 1 + bl(c1(w2)) − bl(c2(w2 w3))
+    *   backoff to unigram:    bits = 2 + bl(T) − bl(c1(w3))
+    *
+    * Scale: the three count tables are gram-keyed map-side-combined
+    * aggregates (the trigram table is the big one — at 100 TB it
+    * stays distributed and the score joins hash-partition on the gram
+    * key; no driver collect, no forced broadcast). The corpus total T
+    * is a 1-row broadcast.
+    */
+  def txtTrigramLm(s: SparkSession, dir: String): DataFrame = {
+    val (m3, m2, m1, total) = trigramModel(s, dir)
+    trigramScoreWith(docs(s, dir), m3, m2, m1, total)
+  }
+
+  /** The frozen trigram model: (trigram, bigram, unigram) count tables
+    * + corpus token total — the artifact a production pipeline trains
+    * once and applies frozen to arriving text
+    * ([[graft.streaming.Streaming.runTrigramLmScore]]).
+    * Counts aggregate directly from the gram streams (map-side
+    * combine; see [[charLmModel]] for why not via per-doc counts).
+    */
+  def trigramModel(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"),
+        filter(split(normalized(col("text")), " "), t => t =!= "").as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr("transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))")).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val tri = toks.filter(size(col("toks")) >= 3)
+      .select(explode(expr("transform(sequence(2, size(toks) - 1), i -> concat(toks[i-2], ' ', toks[i-1], ' ', toks[i]))")).as("tg"))
+      .groupBy(col("tg")).agg(count(lit(1)).as("c3"))
+    val total = uni.agg(sum(col("c1")).as("t"))
+    (tri, bi, uni, total)
+  }
+
+  /** Score documents against a FROZEN trigram model — DataFrame-in, so
+    * the SAME plan serves batch and every streaming micro-batch
+    * (stream ≡ batch by construction). `bl(x)` = length(bin(x)) =
+    * floor(log2 x)+1 — exact integer arithmetic end to end.
+    */
+  def trigramScoreWith(documents: DataFrame, tri: DataFrame, bi: DataFrame,
+      uni: DataFrame, total: DataFrame): DataFrame = {
+    def bl(c: Column): Column = length(bin(c)).cast("long")
+    val trigrams = documents
+      .select(col("doc_id"),
+        filter(split(normalized(col("text")), " "), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(2, size(toks) - 1), i -> struct(toks[i-2] as w1, toks[i-1] as w2, toks[i] as w3))")).as("g"))
+      .select(col("doc_id"), col("g.w1"), col("g.w2"), col("g.w3"))
+      .withColumn("tg", concat_ws(" ", col("w1"), col("w2"), col("w3")))
+      .withColumn("hbg", concat_ws(" ", col("w1"), col("w2")))
+      .withColumn("bg", concat_ws(" ", col("w2"), col("w3")))
+    val scored = trigrams
+      .join(tri, Seq("tg"), "left")
+      .join(bi.select(col("bg"), col("c2")), Seq("bg"), "left")
+      .join(bi.select(col("bg").as("hbg"), col("c2").as("hc2")), Seq("hbg"), "left")
+      .join(uni.select(col("w").as("w2"), col("c1").as("mc1")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("c1").as("wc1")), Seq("w3"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("bits",
+        when(col("c3").isNotNull, bl(col("hc2")) - bl(col("c3")))
+          .when(col("c2").isNotNull, lit(1L) + bl(col("mc1")) - bl(col("c2")))
+          // coalesce: a word UNSEEN by the frozen model (streaming
+          // arrivals) scores as count-1 — the OOV floor
+          .otherwise(lit(2L) + bl(col("t")) - bl(coalesce(col("wc1"), lit(1L)))))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(col("bits")).as("total_bits"),
+        sum(when(col("c3").isNotNull, 1L).otherwise(0L)).as("n_hit3"))
+      .withColumn("milli_bits_per_tri",
+        expr("(total_bits * 1000) div n_tri"))
+  }
+
+  /** Vocabulary-growth (Heaps' law) and hapax curve: the corpus in
+    * doc_id order is cut into 10 equal-width deciles; for each prefix
+    * 1..k we report cumulative tokens, distinct vocabulary, and hapax
+    * legomena (terms seen exactly once so far). The shape diagnoses
+    * corpus diversity — a flattening vocab curve means new data stops
+    * contributing new language.
+    *
+    * Scale: one (term, decile) map-side-combined count; the cumulative
+    * window partitions BY TERM over ≤10 rows each (never a corpus-wide
+    * ordering); finals are decile-keyed sums of a 10-row-bounded
+    * domain. Token cumulative comes from a separate 10-row histogram.
+    */
+  def txtHeaps(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bounds = d.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+    val span = maxId - minId + 1
+    def decile: Column =
+      least(lit(9L), expr(s"((doc_id - $minId) * 10) div $span")).cast("long")
+    val termDec = d
+      .select(decile.as("dec"),
+        explode(filter(split(normalized(col("text")), " "), t => t =!= "")).as("term"))
+      .groupBy(col("term"), col("dec")).agg(count(lit(1)).as("cnt"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("term")).orderBy(col("dec"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val cum = termDec.withColumn("cum", sum(col("cnt")).over(w))
+    val axis = s.range(10).select(col("id").cast("long").as("k"))
+    // per checkpoint k: vocab = terms whose first decile <= k;
+    // hapax = terms whose cumulative count at their last state <= k is 1
+    val stateAtK = cum.join(broadcast(axis), col("dec") <= col("k"))
+      .groupBy(col("term"), col("k"))
+      .agg(max(struct(col("dec"), col("cum"))).as("last"))
+      .select(col("k"), col("last.cum").as("cum"))
+    val vocabHapax = stateAtK.groupBy(col("k"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("cum") === 1L, 1L).otherwise(0L)).as("hapax"))
+    val tokens = d
+      .select(decile.as("dec"),
+        size(filter(split(normalized(col("text")), " "), t => t =!= "")).cast("long").as("n_tok"))
+      .groupBy(col("dec")).agg(sum(col("n_tok")).as("dec_tokens"), count(lit(1)).as("dec_docs"))
+    val tokCum = tokens.join(broadcast(axis), col("dec") <= col("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("dec_tokens")).as("n_tokens"), sum(col("dec_docs")).as("n_docs"))
+    tokCum.join(vocabHapax, Seq("k"))
+      .select(col("k"), col("n_docs"), col("n_tokens"), col("vocab"), col("hapax"))
+  }
 }

@@ -419,6 +419,45 @@ object Streaming {
     }
   }
 
+  /** Score a stream of arriving documents under a FROZEN word-trigram
+    * stupid-backoff model (the three count tables + total trained by
+    * [[graft.operators.TextOps.trigramModel]]) via the exact batch
+    * scoring plan ([[graft.operators.TextOps.trigramScoreWith]]) —
+    * stream ≡ batch by construction; unseen words hit the OOV floor.
+    */
+  def runTrigramLmScore(
+      newDocs: DataFrame,
+      tri: DataFrame,
+      bi: DataFrame,
+      uni: DataFrame,
+      total: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit = {
+    runAppendScorer(newDocs, store, table, checkpointDir) { batch =>
+      graft.operators.TextOps.trigramScoreWith(batch, tri, bi, uni, total)
+    }
+  }
+
+  /** IVF-PQ ingest over a stream of arriving vectors: each micro-batch
+    * cell-assigns AND PQ-encodes against the FROZEN persisted centroids
+    * + codebook via the exact batch plan
+    * ([[graft.operators.SimilarityOps.ivfPqEncodeWith]]), appending
+    * (vec_id, cell, m, c) code rows — the codes, not the vectors, are
+    * what the serving layout stores. Stream ≡ batch by construction.
+    */
+  def runIvfPqEncode(
+      newVectors: DataFrame,
+      centroids: DataFrame,
+      codebook: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit = {
+    runAppendScorer(newVectors, store, table, checkpointDir) { batch =>
+      graft.operators.SimilarityOps.ivfPqEncodeWith(batch, centroids, codebook)
+    }
+  }
+
   /** Drive incremental (batch-vs-index) dedup over a stream of newly
     * arriving documents: each micro-batch probes a PREBUILT static
     * index via the exact same [[graft.operators.DedupOps.probeAgainstIndex]]

@@ -1493,16 +1493,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .findAllIn(fp).size
     assert(exchangesOverIndexScan == 0,
       s"index side re-exchanged:\n${fp.take(3000)}")
-    // and the bucketing must actually SAVE shuffles: the same probe
-    // against the in-memory (unbucketed) index exchanges strictly more
+    // and the bucketing must not COST shuffles vs the in-memory
+    // (unbucketed) index. NOTE: the probe's multi-consumer candidate
+    // table is resident-cached since r8, so its interior band-join
+    // exchanges print as InMemoryTableScan leaves in BOTH plans — the
+    // strict saving is pinned by the zero-exchange-over-index-scan
+    // assertion above; this comparison guards against a regression
+    // that ADDS visible exchanges to the bucketed path
     val memProbe = DedupOps.probeAgainstIndex(d.filter(isNew), mem)
     memProbe.collect()
     val mp = memProbe.queryExecution.executedPlan.toString
     val mcut = mp.indexOf("== Initial Plan ==")
     val mfp = if (mcut >= 0) mp.substring(0, mcut) else mp
     def nExch(p: String) = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(nExch(fp) < nExch(mfp),
-      s"bucketed probe should shuffle less: ${nExch(fp)} vs ${nExch(mfp)}")
+    assert(nExch(fp) <= nExch(mfp),
+      s"bucketed probe must not shuffle more: ${nExch(fp)} vs ${nExch(mfp)}")
   }
 
   test("persisted IVF index: probe equals in-memory IVF, scan pruned to probed cells") {
@@ -1585,6 +1590,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
     assert(again == ivfpq, "IVF-PQ must be deterministic across invocations")
+  }
+
+  test("persisted IVF-PQ: probe equals in-memory ranking, code scan pruned to probed cells") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    SimilarityOps.persistIvfPqIndex(spark, sf, path)
+    val persisted = SimilarityOps.simIvfPqTopKPersisted(spark, sf, path)
+    val got = persisted.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val mem = SimilarityOps.simIvfPqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == mem, "persisted IVF-PQ ranking drifted from the in-memory path")
+    // the codes scan must carry a cell partition filter — unprobed
+    // cells' code directories are never read
+    val plan = persisted.queryExecution.executedPlan.toString
+    val m = "PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r.findFirstIn(plan)
+    assert(m.isDefined, s"no cell partition filter on the code scan:\n${plan.take(3000)}")
+    // the layout holds codes only — M=8 rows of (m, c) per vector, no
+    // raw vector column in the serving payload
+    val codesSchema = spark.read.parquet(s"$path/codes").schema.fieldNames.toSet
+    assert(codesSchema == Set("vec_id", "cell", "m", "c"),
+      s"serving layout must hold codes, not vectors: $codesSchema")
+    // ingest-path encode agrees with the training-path codes
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val re = SimilarityOps.ivfPqEncodeWith(vecs,
+      spark.read.parquet(s"$path/centroids"), spark.read.parquet(s"$path/codebook"))
+    val stored = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("m"), col("c"))
+    assert(re.exceptAll(stored).count() == 0 && stored.exceptAll(re).count() == 0,
+      "re-encoding under the frozen model must reproduce the stored codes")
   }
 
   test("resident cache: repeated sweeps and session-per-job hold bounded storage") {

@@ -526,6 +526,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dup detection must not be a window over the fingerprint partitioning")
   }
 
+  test("grouped quality quantiles: histogram collapse, no corpus range-sort") {
+    val plan = executedPhysical(CurateOps.curateQualityQuantiles(spark, sf))
+    // the corpus must collapse to the (source, score) histogram via
+    // map-side partial aggregation; the quantile pick windows over that
+    // bounded table — a percentile()/ntile() spelling would show a
+    // range partitioning of corpus rows here
+    assert(plan.contains("partial_count"), "histogram needs map-side combine")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "no global range-sort of the corpus:\n" + plan.take(2000))
+    // the ≤3-row quantile table joins in as a broadcast
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(2000))
+  }
+
+  test("fertility: vocabulary joins as a broadcast; lang histogram map-side combined") {
+    val plan = executedPhysical(TextOps.txtFertility(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the vocabulary-bounded segment table must broadcast")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "(lang, word) occurrences need map-side combine")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("dedup weight: cluster sizes join back co-partitioned, no corpus window") {
+    val plan = executedPhysical(CurateOps.curateDedupWeight(spark, sf))
+    // the weight is a doc_id-keyed left join of the bounded cluster
+    // table — never a window over the full corpus partitioned by a
+    // hot key
+    assert(!plan.contains("windowspecdefinition(source"),
+      "no source-partitioned window over the corpus")
+    assert(plan.contains("LeftOuter") || plan.contains("BroadcastHashJoin"),
+      plan.take(2000))
+  }
+
   test("vocab coverage: cutoff is a literal predicate, no vocabulary sort") {
     val df = TextOps.txtVocabCoverage(spark, sf)
     val plan = executedPhysical(df)

@@ -522,4 +522,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(re("cell") =!= inIndex("cell")).count() == 0,
       "re-assignment must agree with the persisted layout")
   }
+
+  test("streaming IVF-PQ encode against the frozen index equals the batch encode") {
+    import graft.operators.SimilarityOps
+    val store = new RelationStore(spark, s"$work/wh_ivfpq")
+    val newIn = s"$work/ivfpqvecs"
+    val idx = s"$work/ivfpq_index"
+    val sf = "/root/testdata/sf0.001"
+    SimilarityOps.persistIvfPqIndex(spark, sf, idx)
+    val centroids = spark.read.parquet(s"$idx/centroids")
+    val codebook = spark.read.parquet(s"$idx/codebook")
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val isNew = pmod(col("vec_id"), lit(10)) >= 8
+    vecs.filter(isNew && col("vec_id") < 300).write.mode("overwrite").parquet(newIn)
+    Streaming.runIvfPqEncode(Streaming.embeddingStream(spark, newIn), centroids,
+      codebook, store, "ivfpq_codes", s"$work/cp_ivfpq")
+    val afterFirst = store.read("ivfpq_codes").count()
+    vecs.filter(isNew && col("vec_id") >= 300).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runIvfPqEncode(Streaming.embeddingStream(spark, newIn), centroids,
+      codebook, store, "ivfpq_codes", s"$work/cp_ivfpq")
+    val streamed = store.read("ivfpq_codes")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    // M=8 code rows per vector, frozen model → union over arrivals
+    // equals the one-shot batch encode
+    val batch = SimilarityOps.ivfPqEncodeWith(vecs.filter(isNew), centroids, codebook)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
 }
