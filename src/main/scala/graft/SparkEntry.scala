@@ -106,6 +106,7 @@ object SparkEntry {
     "txt_pipeline_clean" -> (TextOps.txtPipelineClean _),
     "txt_char_lm_score" -> (TextOps.txtCharLmScore _),
     "txt_ccnet_buckets" -> (TextOps.txtCcnetBuckets _),
+    "txt_ccnet_lang" -> (TextOps.txtCcnetLangBuckets _),
     "txt_quality_classify" -> (TextOps.txtQualityClassify _),
     "txt_bpe_train" -> (TextOps.txtBpeTrain _),
     "txt_bpe_segment" -> (TextOps.txtBpeSegment _),
@@ -195,6 +196,8 @@ object SparkEntry {
     "q_session_text" -> (Events.qSessionText _),
     "q_event_debounce" -> (Events.qEventDebounce _),
     "q_rfm_segments" -> (Events.qRfmSegments _),
+    "q_event_anomaly" -> (Events.qEventAnomaly _),
+    "txt_bitext_mine" -> ((s, d) => TextOps.txtBitextMine(s, d)),
     "txt_paragraph_dedup" -> ((s, d) => TextOps.txtParagraphDedup(s, d)),
     "txt_trigram_lm" -> (TextOps.txtTrigramLm _),
     "txt_heaps" -> (TextOps.txtHeaps _),
@@ -2743,6 +2746,30 @@ object SparkEntry {
                   WHEN avg_millibits <= t.t2 THEN 'middle'
                   ELSE 'tail' END AS bucket
       FROM scored, t""",
+    "txt_ccnet_lang" -> s"""
+      WITH scored AS ($CharLmSql),
+      sc AS (
+        SELECT s.doc_id, d.lang, s.avg_millibits
+        FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+      ), h AS (
+        SELECT lang, avg_millibits AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM sc GROUP BY 1, 2
+      ), cum AS (
+        SELECT lang, v,
+               CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cu,
+               CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        FROM h
+      ), t AS (
+        SELECT lang,
+               MIN(CASE WHEN 3 * cu >= n THEN v END) AS t1,
+               MIN(CASE WHEN 3 * cu >= 2 * n THEN v END) AS t2
+        FROM cum GROUP BY 1
+      )
+      SELECT sc.doc_id, sc.lang, sc.avg_millibits,
+             CASE WHEN sc.avg_millibits <= t.t1 THEN 'head'
+                  WHEN sc.avg_millibits <= t.t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM sc JOIN t ON sc.lang = t.lang""",
     "txt_quality_classify" -> {
       val vals = graft.operators.TextOps.QualityWeights
         .map { case (t, w) => s"('$t', ${w}::BIGINT)" }.mkString(", ")
@@ -3185,6 +3212,53 @@ object SparkEntry {
                   WHEN f_score >= 4 THEN 'at_risk'
                   ELSE 'hibernating' END AS segment
       FROM sc""",
+    "q_event_anomaly" -> """
+      WITH daily AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+      ), wnd AS (
+        SELECT event_type, day, n,
+               CAST(COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev7_sum,
+               CAST(COUNT(n) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev7_days
+        FROM daily
+      )
+      SELECT event_type, day, n, prev7_sum, prev7_days,
+             CAST(CASE WHEN prev7_days = 7 AND n * 7 > prev7_sum * 2
+                  THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+      FROM wnd""",
+    "txt_bitext_mine" -> """
+      WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                           x -> x <> '') AS toks
+        FROM documents
+      ), tk AS (
+        SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok, toks FROM t
+      ), p AS (
+        SELECT DISTINCT doc_id, lang, n_tok, gram FROM (
+          SELECT doc_id, lang, n_tok,
+                 array_to_string(toks[i:i+4], ' ') AS gram
+          FROM tk, unnest(range(1, len(toks) - 3)) AS u(i)
+          WHERE len(toks) >= 5
+        ) u
+      ), rare AS (
+        SELECT gram FROM p GROUP BY 1 HAVING COUNT(*) <= 5
+      ), rp AS (
+        SELECT p.* FROM p JOIN rare USING (gram)
+      ), pr AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.lang AS lang_a, b.lang AS lang_b,
+               a.n_tok AS n_a, b.n_tok AS n_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM rp a JOIN rp b ON a.gram = b.gram AND a.lang < b.lang
+        GROUP BY 1, 2, 3, 4, 5, 6
+      )
+      SELECT doc_a, doc_b, lang_a, lang_b, n_a, n_b, n_shared
+      FROM pr
+      WHERE n_shared >= 2 AND LEAST(n_a, n_b) * 2 >= GREATEST(n_a, n_b)""",
     "curate_snapshot_diff" -> """
       WITH d AS (
         SELECT doc_id, source,

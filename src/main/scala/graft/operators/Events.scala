@@ -345,6 +345,34 @@ object Events {
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"), col("gap_us"))
   }
 
+  /** Daily event-volume anomaly detection: flag a (event_type, day)
+    * whose count exceeds 2× its trailing-7-day daily mean — the
+    * telemetry-pipeline monitor that catches an instrumentation bug or
+    * incident spike before it contaminates downstream aggregates. The
+    * spike rule is exact integer arithmetic (7·n > 2·Σ_prev7), only
+    * evaluated where the full 7-day history exists.
+    *
+    * Scale: the corpus collapses FIRST to the (type, day) count grid
+    * (map-side combined — types × days, metadata-scale at any event
+    * volume); the trailing window then partitions over that bounded
+    * grid, never over raw events.
+    */
+  def qEventAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .groupBy(date_format(col("ts_t"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("prev7_sum", sum(col("n")).over(w))
+      .withColumn("prev7_days", count(col("n")).over(w))
+      .select(col("event_type"), col("day"), col("n"),
+        coalesce(col("prev7_sum"), lit(0L)).as("prev7_sum"),
+        col("prev7_days"),
+        when(col("prev7_days") === 7L && col("n") * 7L > col("prev7_sum") * 2L, 1L)
+          .otherwise(0L).as("is_spike"))
+  }
+
   /** RFM user segmentation with an integer time-decayed activity
     * score — the classic marketing/engagement triage (recency,
     * frequency, monetary) over the event log:

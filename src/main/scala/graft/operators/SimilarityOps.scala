@@ -668,15 +668,32 @@ object SimilarityOps {
     * of [[simIvfPqTopK]] verbatim, so the ranking is identical.
     */
   def simIvfPqTopKPersisted(s: SparkSession, dir: String, path: String,
+      nProbe: Int = 4): DataFrame =
+    ivfPqQueryWith(s,
+      Tables.load(s, dir, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding")),
+      path, nProbe)
+
+  /** Query the persisted IVF-PQ index with ARBITRARY probe vectors —
+    * the ANN SERVING path: DataFrame-in, so the same plan answers a
+    * batch backfill of queries and every streaming micro-batch of
+    * arriving probes ([[graft.streaming.Streaming.runIvfPqQuery]]).
+    * Per batch, the probed cell set is collected (≤ probes × nProbe
+    * literals) and pushed down as a partition filter so the code scan
+    * reads ONLY those cell directories.
+    */
+  def ivfPqQueryWith(s: SparkSession, probeVectors: DataFrame, path: String,
       nProbe: Int = 4): DataFrame = {
     val m = 8
     val subDim = Dim / m
-    val e = quantized(s, dir)
+    val e = probeVectors.select(
+      col("vec_id"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))").as("q"))
+      .withColumn("nq", expr("dot_i64(q, q)"))
     val centroids = s.read.parquet(s"$path/centroids")
     val cb = s.read.parquet(s"$path/codebook")
     val centCells = centroids.select(col("centroid_id").as("cell"), col("cq"))
-    val probes = pairScoresAgainst(s, e.filter(col("vec_id") < 10), centroids,
-        topPerProbe = nProbe)
+    val probes = pairScoresAgainst(s, e, centroids, topPerProbe = nProbe)
       .select(col("qid"), col("cid").as("cell"))
     val probedCells = probes.select(col("cell")).distinct().collect().map(_.getLong(0))
     val codes = s.read.parquet(s"$path/codes")

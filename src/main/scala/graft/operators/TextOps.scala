@@ -422,6 +422,101 @@ object TextOps {
         .when(col("avg_millibits") <= t2, lit("middle"))
         .otherwise(lit("tail")))
 
+  /** Per-LANGUAGE CCNet buckets — what CCNet actually ships (Wenzek
+    * et al. 2020 §3.3: perplexity percentiles are computed per
+    * language, because a well-formed French page scores "tail" against
+    * an English-dominated global distribution). Same bounded-histogram
+    * tercile device as [[txtCcnetBuckets]], grouped: the (lang,
+    * millibits) histogram stays bounded (langs × score domain), the
+    * per-lang thresholds resolve driver-side into a langs-sized
+    * literal table broadcast back — assignment is row-parallel.
+    */
+  def txtCcnetLangBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scored = cacheResident(s, "ccnet_scored", txtCharLmScore(s, dir)
+      .select(col("doc_id"), col("avg_millibits")))
+    val sc = scored.join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    ccnetLangBucketWith(sc, ccnetLangThresholds(sc))
+  }
+
+  /** Per-language tercile thresholds — the frozen model the streaming
+    * bucketer applies to new arrivals
+    * ([[graft.streaming.Streaming.runCcnetLangBuckets]]). Langs ×
+    * score-domain histogram, driver-resolved (same contract as
+    * [[ccnetThresholds]], per group).
+    */
+  def ccnetLangThresholds(sc: DataFrame): DataFrame = {
+    val hist = sc.groupBy(col("lang"), col("avg_millibits"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = hist.groupBy(_._1).toSeq.map { case (lang, vs) =>
+      val sorted = vs.sortBy(_._2)
+      val n = sorted.map(_._3).sum
+      def at(target: Long): Long = {
+        var cum = 0L
+        sorted.find { case (_, _, c) => cum += c; 3 * cum >= target }
+          .map(_._2).getOrElse(sorted.last._2)
+      }
+      (lang, at(n), at(2 * n))
+    }
+    val sp = sc.sparkSession
+    import sp.implicits._
+    rows.toDF("lang", "t1", "t2")
+  }
+
+  /** Row-parallel per-lang bucket assignment under a frozen threshold
+    * table — shared by batch and streaming (the table is langs-sized,
+    * so the broadcast is always safe).
+    */
+  def ccnetLangBucketWith(sc: DataFrame, thr: DataFrame): DataFrame =
+    sc.join(broadcast(thr), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("avg_millibits"),
+        when(col("avg_millibits") <= col("t1"), lit("head"))
+          .when(col("avg_millibits") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+
+  /** Cross-language parallel-text candidate mining (the bitext-mining
+    * prefilter of WMT-style pipelines): two documents in DIFFERENT
+    * languages sharing ≥ 2 rare 5-gram anchors (corpus df ≤ 5 —
+    * names, numbers, quoted phrases survive translation verbatim)
+    * with token lengths within 2× of each other are translation
+    * candidates for a downstream aligner.
+    *
+    * Scale: the df ≤ 5 guard bounds each anchor's join fanout at
+    * df² ≤ 25 pairs (the [[graft.operators.DedupOps]] hot-shingle
+    * device), so candidate generation is a gram-keyed equi-join that
+    * grows linearly with the corpus; the length-ratio and ≥ 2-shared
+    * filters are row-parallel on the bounded pair stream.
+    */
+  def txtBitextMine(s: SparkSession, dir: String, maxDf: Int = 5): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        filter(split(normalized(col("text")), " "), t => t =!= "").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+    val postings = toks
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        explode(array_distinct(
+          expr("transform(sequence(1, size(toks) - 4), i -> array_join(slice(toks, i, 5), ' '))")))
+          .as("gram"))
+    val rare = postings.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("gram"))
+    val rp = postings.join(rare, Seq("gram"))
+    val a = rp.select(col("gram"), col("doc_id").as("doc_a"),
+      col("lang").as("lang_a"), col("n_tok").as("n_a"))
+    val b = rp.select(col("gram"), col("doc_id").as("doc_b"),
+      col("lang").as("lang_b"), col("n_tok").as("n_b"))
+    a.join(b, Seq("gram"))
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("lang_a"), col("lang_b"),
+        col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2L &&
+        least(col("n_a"), col("n_b")) * 2L >= greatest(col("n_a"), col("n_b")))
+      .select(col("doc_a"), col("doc_b"), col("lang_a"), col("lang_b"),
+        col("n_a"), col("n_b"), col("n_shared"))
+  }
+
   /** The fixed query workload for [[txtBm25TopK]] — literal constants
     * shared verbatim with the oracle SQL (the [[graft.operators.SimilarityOps.planeSign]]
     * pattern: data-independent parameters live in ONE place).
@@ -1028,8 +1123,12 @@ object TextOps {
     * combine; see [[charLmModel]] for why not via per-doc counts).
     */
   def trigramModel(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    trigramModelOf(docs(s, dir))
+
+  def trigramModelOf(documents: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val toks = docs(s, dir)
+    val toks = documents
       .select(col("doc_id"),
         filter(split(normalized(col("text")), " "), t => t =!= "").as("toks"))
     val uni = toks.select(explode(col("toks")).as("w"))

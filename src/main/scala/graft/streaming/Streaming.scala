@@ -419,6 +419,27 @@ object Streaming {
     }
   }
 
+  /** Bucket a stream of arriving documents under the FROZEN per-LANG
+    * CCNet model (char-LM bits table + the per-language tercile
+    * threshold table trained by the batch pass) — the scoring and
+    * assignment are the exact batch plans, so stream ≡ batch.
+    */
+  def runCcnetLangBuckets(
+      newDocs: DataFrame,
+      model: DataFrame,
+      thr: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit = {
+    runAppendScorer(newDocs, store, table, checkpointDir) { batch =>
+      graft.operators.TextOps.ccnetLangBucketWith(
+        graft.operators.TextOps.charLmScoreWith(batch, model)
+          .select(col("doc_id"), col("avg_millibits"))
+          .join(batch.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        thr)
+    }
+  }
+
   /** Score a stream of arriving documents under a FROZEN word-trigram
     * stupid-backoff model (the three count tables + total trained by
     * [[graft.operators.TextOps.trigramModel]]) via the exact batch
@@ -455,6 +476,25 @@ object Streaming {
       checkpointDir: String): Unit = {
     runAppendScorer(newVectors, store, table, checkpointDir) { batch =>
       graft.operators.SimilarityOps.ivfPqEncodeWith(batch, centroids, codebook)
+    }
+  }
+
+  /** ANN serving over a stream of arriving QUERY vectors: each
+    * micro-batch answers its probes against the FROZEN persisted
+    * IVF-PQ index via the exact batch query plan
+    * ([[graft.operators.SimilarityOps.ivfPqQueryWith]]) — per batch
+    * the probed cell literals prune the code scan to nProbe
+    * directories. Per-probe results are batch-independent, so
+    * stream ≡ batch by construction.
+    */
+  def runIvfPqQuery(
+      probeVectors: DataFrame,
+      indexPath: String,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit = {
+    runAppendScorer(probeVectors, store, table, checkpointDir) { batch =>
+      graft.operators.SimilarityOps.ivfPqQueryWith(batch.sparkSession, batch, indexPath)
     }
   }
 

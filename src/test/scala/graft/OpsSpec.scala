@@ -1651,4 +1651,119 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ResidentCache.liveSlots(spark.sparkContext) == slotsAfterFirst,
       "slot count must stay one per (context, slot) across sessions")
   }
+
+  test("paragraph dedup: kept segments unique, counts conserve, order survives") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.txtParagraphDedup(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nSegs = r.getLong(1); val nDupes = r.getLong(2)
+      val segs = r.getString(3).split(" ").grouped(8).map(_.mkString(" ")).toSeq
+      assert(nDupes >= 0 && nDupes < nSegs || (nSegs == 1 && nDupes == 0))
+      // re-segmenting the cleaned text may split differently once
+      // short (tail) segments merge, so pin the count identity instead:
+      assert(nSegs - nDupes >= 1, s"doc ${r.getLong(0)} kept nothing")
+    }
+  }
+
+  test("heaps curve: vocab and tokens monotone, hapax bounded by vocab") {
+    val rows = TextOps.txtHeaps(spark, sf).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 10)
+    rows.sliding(2).foreach { case Array((_, d1, t1, v1, _), (_, d2, t2, v2, _)) =>
+      assert(d2 >= d1 && t2 >= t1 && v2 >= v1, "cumulative curves must be monotone")
+    }
+    rows.foreach { case (_, _, _, v, h) => assert(h <= v, "hapax <= vocab") }
+  }
+
+  test("trigram LM: backoff tiers ordered, hit count bounded") {
+    val rows = TextOps.txtTrigramLm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTri = r.getLong(1); val bits = r.getLong(2); val nHit3 = r.getLong(3)
+      assert(nHit3 <= nTri)
+      assert(bits >= 0, "stupid-backoff bits are non-negative by construction")
+    }
+  }
+
+  test("embedding outliers: >= 90% of every cell is inliers (p90 histogram cut)") {
+    import org.apache.spark.sql.functions._
+    val byCell = SimilarityOps.embOutliers(spark, sf)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("is_outlier")).as("n_out"))
+      .collect()
+    assert(byCell.nonEmpty)
+    byCell.foreach { r =>
+      val n = r.getLong(1); val nOut = r.getLong(2)
+      assert((n - nOut) * 10L >= n * 9L,
+        s"cell ${r.getLong(0)}: $nOut outliers of $n breaks the p90 contract")
+    }
+  }
+
+  test("snapshot diff: set identities hold per source") {
+    val rows = CurateOps.curateSnapshotDiff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (old, nw, add, rem, com, mov) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(old == com + rem, "old = common + removed")
+      assert(nw == com + add, "new = common + added")
+      assert(mov <= rem, "moved docs are a subset of removed")
+    }
+  }
+
+  test("event anomaly: spikes only fire on full 7-day history") {
+    val rows = Events.qEventAnomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(2); val prev = r.getLong(3)
+      val days = r.getLong(4); val spike = r.getLong(5)
+      assert(prev >= 0 && days <= 7)
+      if (spike == 1L) assert(days == 7L && n * 7 > prev * 2,
+        s"${r.getString(0)} ${r.getString(1)}: spike rule violated")
+    }
+  }
+
+  test("bitext candidates: cross-language, >=2 anchors, lengths within 2x") {
+    val rows = TextOps.txtBitextMine(spark, sf).collect()
+    assert(rows.nonEmpty, "the corpus contains cross-language mirrors")
+    rows.foreach { r =>
+      assert(r.getString(2) < r.getString(3), "pairs are cross-language, ordered")
+      assert(r.getLong(6) >= 2, "at least two shared rare anchors")
+      val (na, nb) = (r.getLong(4), r.getLong(5))
+      assert(math.min(na, nb) * 2 >= math.max(na, nb), "length ratio within 2x")
+    }
+  }
+
+  test("per-lang ccnet: every language's head tercile holds >= 1/3 of its docs") {
+    import org.apache.spark.sql.functions._
+    val byLang = TextOps.txtCcnetLangBuckets(spark, sf)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("bucket") === "head", 1L).otherwise(0L)).as("n_head"))
+      .collect()
+    assert(byLang.nonEmpty)
+    byLang.foreach { r =>
+      assert(r.getLong(2) * 3 >= r.getLong(1),
+        s"lang ${r.getString(0)}: head ${r.getLong(2)} of ${r.getLong(1)} misses the tercile floor")
+    }
+  }
+
+  test("rfm: decay never exceeds monetary; segment rules match scores") {
+    val rows = Events.qRfmSegments(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getLong(3); val d = r.getLong(4)
+      val rs = r.getLong(5); val fs = r.getLong(6)
+      val seg = r.getString(8)
+      assert(d <= m, "integer shift decay only shrinks positive cents")
+      val expected =
+        if (rs >= 4 && fs >= 4) "champion"
+        else if (rs >= 4 && fs >= 2) "loyal"
+        else if (rs >= 3) "active"
+        else if (fs >= 4) "at_risk"
+        else "hibernating"
+      assert(seg == expected, s"user ${r.getLong(0)}: $seg != $expected")
+    }
+  }
 }

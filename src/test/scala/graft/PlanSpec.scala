@@ -571,4 +571,93 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.queryExecution.optimizedPlan.toString.contains(">= "),
       "in_vocab flag must be a literal threshold projection")
   }
+
+  test("per-lang ccnet: threshold table broadcasts, no corpus-wide window") {
+    val plan = executedPhysical(TextOps.txtCcnetLangBuckets(spark, sf))
+    // the langs-sized threshold table must come back as a broadcast;
+    // the tercile resolution happened driver-side off the bounded
+    // (lang, millibits) histogram — no percentile window over docs
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("windowspecdefinition"),
+      "no corpus-window percentile spelling")
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(2000))
+  }
+
+  test("paragraph dedup: pure row-parallel projection, zero exchanges") {
+    val plan = executedPhysical(TextOps.txtParagraphDedup(spark, sf))
+    // array_distinct over in-row segments — no shuffle of any kind;
+    // throughput is linear in executors at any corpus size
+    assert(!plan.contains("Exchange"), s"paragraph dedup must not shuffle:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("trigram LM: gram counts map-side combined, no corpus window or sort") {
+    val plan = executedPhysical(TextOps.txtTrigramLm(spark, sf))
+    assert(plan.contains("partial_count"),
+      "gram count tables need map-side partial aggregation")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "no global ordering anywhere in LM scoring:\n" + plan.take(2000))
+    assert(!plan.contains("windowspecdefinition"),
+      "scoring is joins + one doc-keyed agg, not a window")
+  }
+
+  test("heaps curve: term windows are decile-bounded, finals are 10-row joins") {
+    val plan = executedPhysical(TextOps.txtHeaps(spark, sf))
+    // the only window partitions BY TERM (<=10 rows each), never a
+    // corpus-wide ordering
+    assert(plan.contains("windowspecdefinition(term"),
+      "cumulative counts must window per term")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "no corpus range-sort:\n" + plan.take(2000))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "(term, decile) counts need map-side combine")
+  }
+
+  test("embedding outliers: threshold table joins back as a broadcast") {
+    val plan = executedPhysical(SimilarityOps.embOutliers(spark, sf))
+    // the per-cell p90 table is cells-bounded — it must come back as a
+    // broadcast join, never a corpus re-shuffle on cell
+    assert(plan.contains("BroadcastHashJoin"),
+      "threshold join must broadcast:\n" + plan.take(2000))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(2000))
+  }
+
+  test("event anomaly: corpus collapses to the day grid before the window") {
+    val plan = executedPhysical(Events.qEventAnomaly(spark, sf))
+    // raw events aggregate map-side to (type, day) counts FIRST; the
+    // trailing-7 window runs over that bounded grid
+    assert(plan.contains("partial_count"), "daily counts need map-side combine")
+    assert(plan.contains("windowspecdefinition(event_type"),
+      "trailing window must partition by event_type over the day grid")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("bitext mining: df-guarded postings equi-join, no cartesian") {
+    val plan = executedPhysical(TextOps.txtBitextMine(spark, sf))
+    assert(plan.contains("partial_count"), "term df needs map-side combine")
+    assert(!plan.contains("CartesianProduct"),
+      "candidate gen must be a token-keyed equi-join:\n" + plan.take(2000))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(2000))
+  }
+
+  test("rfm segments: one user-keyed aggregate, no windows") {
+    val plan = executedPhysical(Events.qRfmSegments(spark, sf))
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      "per-user metrics need map-side combine")
+    assert(!plan.contains("windowspecdefinition"),
+      "banding is row-parallel after ONE user agg — no windows")
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(2000))
+  }
+
+  test("snapshot diff: id diff co-partitioned, moved check is a semi join") {
+    val df = CurateOps.curateSnapshotDiff(spark, sf)
+    // join SHAPES pin on the logical plan: at tiny SF the moved side
+    // can be runtime-empty and AQE's empty-relation propagation elides
+    // the physical semi join entirely (which is itself correct)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("FullOuter"), "id diff must be a full-outer join")
+    assert(logical.contains("LeftSemi"), "moved check must be a left-semi join")
+    val plan = executedPhysical(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }

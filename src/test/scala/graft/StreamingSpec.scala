@@ -180,6 +180,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming trigram-LM scoring under a frozen model equals the batch scorer") {
+    val store = new RelationStore(spark, s"$work/wh_tri")
+    val newIn = s"$work/tridocs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 8
+    // model trained ONCE on the already-ingested slice; arriving text
+    // containing words the model never saw hits the OOV floor
+    val (tri, bi, uni, total) = graft.operators.TextOps.trigramModelOf(docs.filter(!isNew))
+    docs.filter(isNew && col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runTrigramLmScore(Streaming.documentStream(spark, newIn), tri, bi, uni,
+      total, store, "tri_scores", s"$work/cp_tri")
+    val afterFirst = store.read("tri_scores").count()
+    docs.filter(isNew && col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runTrigramLmScore(Streaming.documentStream(spark, newIn), tri, bi, uni,
+      total, store, "tri_scores", s"$work/cp_tri")
+    val streamed = store.read("tri_scores")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    // per-doc scoring under a FIXED model — union over arrivals equals
+    // the one-shot batch scorer exactly
+    val batch = graft.operators.TextOps.trigramScoreWith(docs.filter(isNew), tri, bi, uni, total)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("event stream starts before any file lands (schema falls back)") {
     // consumer-before-producer: deriving the schema from an empty input
     // dir must not crash — the static fallback lets readStream start
@@ -214,6 +239,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // scoring + bucketing are per-document under the frozen artifacts,
     // so the union over arrivals equals the one-shot batch operator
     val batch = graft.operators.TextOps.txtCcnetBuckets(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("streaming per-lang ccnet bucketing under frozen thresholds equals batch") {
+    val store = new RelationStore(spark, s"$work/wh_ccnetl")
+    val newIn = s"$work/ccnetldocs"
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val model = graft.operators.TextOps.charLmModel(spark, sf)
+    val batchScored = graft.operators.TextOps.txtCharLmScore(spark, sf)
+      .select(col("doc_id"), col("avg_millibits"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val thr = graft.operators.TextOps.ccnetLangThresholds(batchScored)
+    docs.filter(col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runCcnetLangBuckets(Streaming.documentStream(spark, newIn), model, thr,
+      store, "ccnetl_buckets", s"$work/cp_ccnetl")
+    val afterFirst = store.read("ccnetl_buckets").count()
+    docs.filter(col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runCcnetLangBuckets(Streaming.documentStream(spark, newIn), model, thr,
+      store, "ccnetl_buckets", s"$work/cp_ccnetl")
+    val streamed = store.read("ccnetl_buckets")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    val batch = graft.operators.TextOps.txtCcnetLangBuckets(spark, sf)
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
@@ -521,6 +571,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(re.join(inIndex, Seq("vec_id"))
       .filter(re("cell") =!= inIndex("cell")).count() == 0,
       "re-assignment must agree with the persisted layout")
+  }
+
+  test("streaming ANN queries against the frozen IVF-PQ index equal the batch query") {
+    import graft.operators.SimilarityOps
+    val store = new RelationStore(spark, s"$work/wh_annq")
+    val newIn = s"$work/annprobes"
+    val idx = s"$work/annq_index"
+    val sf = "/root/testdata/sf0.001"
+    SimilarityOps.persistIvfPqIndex(spark, sf, idx)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    // probe stream = vectors 20..39 arriving in two batches
+    val isProbe = col("vec_id") >= 20 && col("vec_id") < 40
+    vecs.filter(isProbe && col("vec_id") < 30).write.mode("overwrite").parquet(newIn)
+    Streaming.runIvfPqQuery(Streaming.embeddingStream(spark, newIn), idx,
+      store, "ann_results", s"$work/cp_annq")
+    val afterFirst = store.read("ann_results").count()
+    vecs.filter(isProbe && col("vec_id") >= 30).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runIvfPqQuery(Streaming.embeddingStream(spark, newIn), idx,
+      store, "ann_results", s"$work/cp_annq")
+    val streamed = store.read("ann_results")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals answered")
+    // per-probe answers are independent of batching — union over
+    // arrivals equals the one-shot batch query of the same probes
+    val batch = SimilarityOps.ivfPqQueryWith(spark,
+      vecs.filter(isProbe).select(col("vec_id"), col("embedding")), idx)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
   }
 
   test("streaming IVF-PQ encode against the frozen index equals the batch encode") {
