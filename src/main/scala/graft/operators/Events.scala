@@ -357,10 +357,25 @@ object Events {
     * volume); the trailing window then partitions over that bounded
     * grid, never over raw events.
     */
-  def qEventAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val daily = ev(s, dir)
+  def qEventAnomaly(s: SparkSession, dir: String): DataFrame =
+    anomalyOf(dailyCounts(ev(s, dir)))
+
+  /** The bounded (event_type, day) count grid — the persisted state a
+    * streaming monitor maintains incrementally
+    * ([[graft.streaming.Streaming.runEventAnomaly]] sum-merges each
+    * micro-batch's counts into it).
+    */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events
       .groupBy(date_format(col("ts_t"), "yyyy-MM-dd").as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
+
+  /** Spike detection over an (event_type, day, n) grid — shared by the
+    * batch operator and the streaming monitor, so stream ≡ batch is by
+    * construction once the grids agree. The window runs over the
+    * bounded day grid, never raw events.
+    */
+  def anomalyOf(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(-7, -1)
     daily

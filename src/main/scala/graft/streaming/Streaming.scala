@@ -419,6 +419,39 @@ object Streaming {
     }
   }
 
+  /** Streaming volume-anomaly monitor: each micro-batch sum-merges its
+    * (event_type, day) counts into the persisted BOUNDED day grid
+    * (metadata-scale state — types × days, never per-event), then
+    * re-derives the spike table from the grid via the exact batch rule
+    * ([[graft.operators.Events.anomalyOf]]). Because the grid after
+    * all arrivals equals the batch grid, stream ≡ batch by
+    * construction — including retroactive un-spiking when a late
+    * partial day fills in.
+    */
+  def runEventAnomaly(
+      newEvents: DataFrame,
+      store: RelationStore,
+      gridTable: String,
+      anomalyTable: String,
+      checkpointDir: String): Unit = {
+    val q = newEvents.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = graft.operators.Events.dailyCounts(batch)
+        val merged =
+          if (store.exists(gridTable))
+            store.read(gridTable).unionByName(delta)
+              .groupBy(col("day"), col("event_type")).agg(sum(col("n")).as("n"))
+          else delta
+        store.write(merged, gridTable)
+        store.write(graft.operators.Events.anomalyOf(store.read(gridTable)), anomalyTable)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Bucket a stream of arriving documents under the FROZEN per-LANG
     * CCNet model (char-LM bits table + the per-language tercile
     * threshold table trained by the batch pass) — the scoring and

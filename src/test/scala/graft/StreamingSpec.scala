@@ -244,6 +244,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming event-anomaly monitor converges to the batch spike table") {
+    val store = new RelationStore(spark, s"$work/wh_anom")
+    val newIn = s"$work/anomevents"
+    val sf = "/root/testdata/sf0.001"
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    // two arrivals that do NOT align with day boundaries — partial
+    // days must merge correctly in the grid
+    events.filter(col("event_id") % 2 === 0).write.mode("overwrite").parquet(newIn)
+    Streaming.runEventAnomaly(Streaming.eventStream(spark, newIn), store,
+      "anom_grid", "anom_spikes", s"$work/cp_anom")
+    assert(store.read("anom_spikes").count() > 0, "first arrival produced a grid")
+    events.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runEventAnomaly(Streaming.eventStream(spark, newIn), store,
+      "anom_grid", "anom_spikes", s"$work/cp_anom")
+    val streamed = store.read("anom_spikes")
+    // the merged grid equals the batch grid, so the derived spike
+    // table equals the batch operator EXACTLY (spikes recompute, so a
+    // half-day spike from arrival one can legitimately un-spike)
+    val batch = graft.operators.Events.qEventAnomaly(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming per-lang ccnet bucketing under frozen thresholds equals batch") {
     val store = new RelationStore(spark, s"$work/wh_ccnetl")
     val newIn = s"$work/ccnetldocs"
