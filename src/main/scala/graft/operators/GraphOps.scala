@@ -89,15 +89,22 @@ object GraphOps {
     * no near-duplicate are not emitted — at scale you left-join this
     * table back to the corpus and treat null as "keep".
     */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = DedupOps.dedupSimHashPairs(s, dir)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val cc = connectedComponents(pairs)
-    val w = Window.partitionBy(col("cluster_id"))
-    cc.select(col("node").as("doc_id"), col("lab").as("cluster_id"))
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("long"))
-  }
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    // memo, not a sameResult slot: the CC fixpoint's lineage ends in
+    // per-invocation checkpoint RDDs, so its plan is never
+    // sameResult-stable even though the data is deterministic — and
+    // FIVE operators consume this table (cluster sizes, canonical
+    // quality, leak-free split, dedup weights, the capstone); without
+    // the memo each re-runs banding + the whole checkpointed fixpoint
+    ResidentCache.memo(s, s"dedup_clusters@$dir") {
+      val pairs = DedupOps.dedupSimHashPairs(s, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val cc = connectedComponents(pairs)
+      val w = Window.partitionBy(col("cluster_id"))
+      cc.select(col("node").as("doc_id"), col("lab").as("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("long"))
+    }
 
   /** PageRank (3 power iterations, damping 0.85) over the undirected
     * SimHash near-dup graph — the centrality signal a curation pipeline
@@ -371,12 +378,11 @@ object GraphOps {
     * cluster-count-sized table (≤ one row per cluster). Bucket =
     * floor(log2(size)) via the floored-bits device.
     */
-  def dedupClusterSizes(s: SparkSession, dir: String): DataFrame = {
-    val pairs = DedupOps.dedupSimHashPairs(s, dir)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    connectedComponents(pairs)
-      .groupBy(col("lab")).agg(count(lit(1)).as("sz"))
+  def dedupClusterSizes(s: SparkSession, dir: String): DataFrame =
+    // derives from the memoized [[dedupClusters]] table — the fixpoint
+    // runs once for the whole cluster-consumer family
+    dedupClusters(s, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
       .groupBy((length(bin(col("sz"))) - 1).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).cast("long").as("n_docs"))
-  }
 }

@@ -172,10 +172,14 @@ object Multimodal {
     * window over the corpus, co-partitioned with the membership join.
     */
   def mmCanonical(s: SparkSession, dir: String): DataFrame = {
-    val pairs = mmPhashPairs(s, dir)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val labels = graft.operators.GraphOps.connectedComponents(pairs)
-      .select(col("node").as("doc_id"), col("lab").as("cluster_id"))
+    // memo (not a sameResult slot): the CC fixpoint's lineage ends in
+    // per-invocation checkpoint RDDs — see GraphOps.dedupClusters
+    val labels = ResidentCache.memo(s, s"mm_cc@$dir") {
+      val pairs = mmPhashPairs(s, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      graft.operators.GraphOps.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("lab").as("cluster_id"))
+    }
     val sizes = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         expr("cast(octet_length(encode(text, 'UTF-8')) as bigint)").as("n_bytes"))

@@ -78,6 +78,36 @@ object ResidentCache {
     new java.util.concurrent.ConcurrentHashMap[(SparkContext, String),
       (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
 
+  /** Keyed memo for DETERMINISTIC-but-not-`sameResult`-stable results —
+    * fixpoint outputs whose lineage ends in per-invocation checkpoint
+    * RDDs (connected components, k-core): the plan differs every run
+    * even though the DATA is identical, so the slot cache above would
+    * recompute per consumer. The memo runs `build` once per (context,
+    * slot), materializes it eagerly (so the checkpoint blocks are
+    * captured while they surely exist), and serves the SAME cached
+    * DataFrame to every later consumer. MEMORY_AND_DISK — a
+    * corpus-sized cluster table spills rather than OOMs; on a real
+    * cluster this is the in-memory analogue of persisting the fixpoint
+    * table, which [[graft.exec.RelationStore]] does for durable reuse.
+    */
+  private val memos =
+    new java.util.concurrent.ConcurrentHashMap[(SparkContext, String), DataFrame]()
+
+  def memo(s: SparkSession, slot: String)(build: => DataFrame): DataFrame =
+    memos.synchronized {
+      memos.keySet.removeIf(_._1.isStopped)
+      val key = (s.sparkContext, slot)
+      val prev = memos.get(key)
+      if (prev != null &&
+          prev.storageLevel != org.apache.spark.storage.StorageLevel.NONE) prev
+      else {
+        val built = build.cache()
+        built.count()
+        memos.put(key, built)
+        built
+      }
+    }
+
   def localModel(s: SparkSession, slot: String)(train: => DataFrame): DataFrame = {
     models.synchronized { models.keySet.removeIf(_._1.isStopped) }
     val (schema, rows) = models.computeIfAbsent((s.sparkContext, slot), _ => {

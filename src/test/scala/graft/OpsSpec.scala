@@ -1652,6 +1652,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "slot count must stay one per (context, slot) across sessions")
   }
 
+  test("cluster fixpoint memo: one materialization serves the whole family") {
+    val a = GraphOps.dedupClusters(spark, sf)
+    a.count()
+    val persisted = spark.sparkContext.getPersistentRDDs.size
+    val b = GraphOps.dedupClusters(spark, sf)
+    assert(a eq b, "second invocation must serve the memoized table, not re-run the fixpoint")
+    b.count()
+    assert(spark.sparkContext.getPersistentRDDs.size == persisted,
+      "re-invocation must not materialize new state")
+    // consumers derive from the same memo — cluster sizes agree with
+    // the per-doc cluster_size column exactly
+    val viaSizes = GraphOps.dedupClusterSizes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = a.groupBy(org.apache.spark.sql.functions.col("cluster_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("sz"))
+      .groupBy((org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.bin(org.apache.spark.sql.functions.col("sz"))) - 1)
+        .cast("long").as("bucket"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_clusters"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("sz")).cast("long").as("n_docs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaSizes == direct)
+  }
+
   test("paragraph dedup: kept segments unique, counts conserve, order survives") {
     import org.apache.spark.sql.functions._
     val out = TextOps.txtParagraphDedup(spark, sf).collect()
