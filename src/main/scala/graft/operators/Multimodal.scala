@@ -111,9 +111,16 @@ object Multimodal {
     * Scale shape: one row-parallel projection, all codegen'd built-ins
     * (substring/hex/conv), no UDF, no shuffle.
     */
-  def mmPhash(s: SparkSession, dir: String): DataFrame = {
+  def mmPhash(s: SparkSession, dir: String): DataFrame =
+    mmPhashOf(Tables.load(s, dir, "documents"))
+
+  /** DataFrame-in aHash — the same signature plan serves the batch
+    * operator, index builds, and every streaming micro-batch of
+    * arriving payloads ([[graft.streaming.Streaming.runMmDedup]]).
+    */
+  def mmPhashOf(documents: DataFrame): DataFrame = {
     val n = 64
-    val base = Tables.load(s, dir, "documents")
+    val base = documents
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .withColumn("n", length(col("payload")).cast("long"))
       .filter(col("n") > 0)
@@ -156,6 +163,72 @@ object Multimodal {
       mmPhash(s, dir).select(col("doc_id"), col("phash")))
     ResidentCache(s, s"mm_phash_pairs_$maxHamming",
       DedupOps.hammingPairs(sig, "phash", maxHamming))
+  }
+
+  /** Persist the multimodal dedup index: the corpus phash signatures
+    * PRE-CHUNKED for the pigeonhole probe join and written bucketed by
+    * the (ci, chunk) join key — probes join the index without an
+    * index-side shuffle or re-chunk, the same storage discipline as
+    * [[graft.operators.DedupOps.persistDedupIndex]].
+    */
+  def persistMmPhashIndex(s: SparkSession, dir: String,
+      store: graft.exec.RelationStore, prefix: String,
+      maxHamming: Int = 8, buckets: Int = 32): Unit =
+    persistMmPhashIndexOf(Tables.load(s, dir, "documents"), store, prefix,
+      maxHamming, buckets)
+
+  def persistMmPhashIndexOf(documents: DataFrame,
+      store: graft.exec.RelationStore, prefix: String,
+      maxHamming: Int = 8, buckets: Int = 32): Unit = {
+    val sigs = mmPhashOf(documents).select(col("doc_id"), col("phash"))
+    store.writeBucketed(chunkedSigs(sigs, maxHamming), s"${prefix}_chunks",
+      Seq("ci", "chunk"), buckets)
+  }
+
+  private def chunkedSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val nChunks = maxHamming + 1
+    val width = 64 / nChunks
+    val mask = (1L << width) - 1
+    sigs
+      .select(col("doc_id"), col("phash"),
+        explode(expr(s"sequence(0, ${nChunks - 1})")).as("ci"))
+      .withColumn("chunk", expr(s"shiftright(phash, cast(ci * $width as int)) & $mask"))
+  }
+
+  /** Probe arriving payloads against a FROZEN phash index — the
+    * multimodal twin of [[graft.operators.DedupOps.probeAgainstIndex]]:
+    * per probe document, is it a ≤ maxHamming near-duplicate of an
+    * already-indexed payload, and of which (smallest matching id)?
+    * Pigeonhole chunk equi-join (recall 1 by construction) + exact
+    * bit_count verify; only the O(batch) probe side shuffles when the
+    * index is the [[persistMmPhashIndex]] bucketed layout.
+    * DataFrame-in → the same plan serves batch backfill and every
+    * streaming micro-batch.
+    */
+  def mmProbeAgainstIndex(newDocs: DataFrame, indexChunks: DataFrame,
+      maxHamming: Int = 8): DataFrame = {
+    val probeSigs = mmPhashOf(newDocs).select(col("doc_id"), col("phash"))
+    val probeChunks = chunkedSigs(probeSigs, maxHamming)
+      .select(col("doc_id").as("doc_new"), col("phash").as("sig_new"),
+        col("ci"), col("chunk"))
+    val idx = indexChunks
+      .select(col("doc_id").as("doc_idx"), col("phash").as("sig_idx"),
+        col("ci"), col("chunk"))
+    val matches = probeChunks.join(idx, Seq("ci", "chunk"))
+      .select(col("doc_new"), col("doc_idx"), col("sig_new"), col("sig_idx"))
+      .distinct()
+      .withColumn("hamming", expr("cast(bit_count(sig_new ^ sig_idx) as bigint)"))
+      .filter(col("hamming") <= maxHamming && col("doc_new") =!= col("doc_idx"))
+      .groupBy(col("doc_new"))
+      .agg(min(struct(col("hamming"), col("doc_idx"))).as("b"))
+      .select(col("doc_new").as("doc_id"),
+        col("b.doc_idx").as("dup_of"), col("b.hamming").as("hamming"))
+    probeSigs.select(col("doc_id"), col("phash"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        coalesce(col("hamming"), lit(-1L)).as("hamming"),
+        col("dup_of").isNotNull.cast("long").as("is_dup"))
   }
 
   /** Canonical payload per near-duplicate cluster: cluster the

@@ -720,6 +720,30 @@ object SimilarityOps {
       .select(col("qid"), col("cid"), col("adist"), col("rn"))
   }
 
+  /** Compact streamed code APPENDS back into the cell-partitioned
+    * IVF-PQ layout — the index-maintenance half of the serving story:
+    * [[graft.streaming.Streaming.runIvfPqEncode]] accumulates
+    * (vec_id, cell, m, c) rows in an append table; this merges them
+    * into `path/codes` touching ONLY the cell directories the delta
+    * actually hits (dynamic partition overwrite — at 10⁹ vectors a
+    * small delta rewrites a handful of directories, never the index).
+    * Idempotent: codes are distinct-merged, so replaying a delta is a
+    * no-op.
+    */
+  def compactIvfPqIndex(s: SparkSession, path: String, delta: DataFrame): Unit = {
+    val d = delta.select(col("vec_id"), col("cell").cast("long").as("cell"),
+      col("m"), col("c"))
+    val touched = d.select(col("cell")).distinct().collect().map(_.getLong(0))
+    val existing = s.read.parquet(s"$path/codes")
+      .withColumn("cell", col("cell").cast("long"))
+      .filter(col("cell").isInCollection(touched))
+      .select(col("vec_id"), col("cell"), col("m"), col("c"))
+    existing.unionByName(d).distinct()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$path/codes")
+  }
+
   /** Cell-assign + PQ-encode arbitrary raw (vec_id, embedding) rows
     * against FROZEN centroids and codebook — the ingest half of the
     * persisted IVF-PQ index: arriving vectors become (vec_id, cell,

@@ -419,6 +419,23 @@ object Streaming {
     }
   }
 
+  /** Multimodal dedup ingest: each micro-batch of arriving payloads
+    * probes the FROZEN bucketed phash index via the exact batch plan
+    * ([[graft.operators.Multimodal.mmProbeAgainstIndex]]) — per-doc
+    * verdicts join only the batch against the index, so stream ≡ batch
+    * by construction and only the O(batch) probe side shuffles.
+    */
+  def runMmDedup(
+      newDocs: DataFrame,
+      indexChunks: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit = {
+    runAppendScorer(newDocs, store, table, checkpointDir) { batch =>
+      graft.operators.Multimodal.mmProbeAgainstIndex(batch, indexChunks)
+    }
+  }
+
   /** Streaming volume-anomaly monitor: each micro-batch sum-merges its
     * (event_type, day) counts into the persisted BOUNDED day grid
     * (metadata-scale state — types × days, never per-event), then

@@ -1652,6 +1652,79 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "slot count must stay one per (context, slot) across sessions")
   }
 
+  test("mm probe against the bucketed phash index matches the pair-set ground truth") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // parity split: this corpus's phash pairs straddle it (the %10
+    // ingest split used elsewhere happens to put all pairs one side)
+    val isNew = pmod(col("doc_id"), lit(2)) === 1
+    val wh = java.nio.file.Files.createTempDirectory("graft_mmidx").toString
+    val store = new graft.exec.RelationStore(spark, wh)
+    Multimodal.persistMmPhashIndexOf(docs.filter(!isNew), store, "mmidx")
+    val verdicts = Multimodal
+      .mmProbeAgainstIndex(docs.filter(isNew), store.read("mmidx_chunks"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // ground truth: the full-corpus pair set restricted to (new, old)
+    val pairs = Multimodal.mmPhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val newSet = docs.filter(isNew).select("doc_id").collect().map(_.getLong(0)).toSet
+    val cross = pairs.flatMap { case (a, b, h) =>
+      Seq((a, b, h), (b, a, h)).filter { case (x, y, _) => newSet(x) && !newSet(y) } }
+    val best = cross.groupBy(_._1).map { case (d, vs) =>
+      d -> vs.map(v => (v._3, v._2)).min }
+    assert(best.nonEmpty, "the corpus contains cross-slice near-dup payloads")
+    best.foreach { case (d, (h, idx)) =>
+      assert(verdicts(d) == ((idx, h, 1L)),
+        s"probe verdict for $d: ${verdicts(d)} != ($idx, $h, dup)")
+    }
+    verdicts.foreach { case (d, (dupOf, _, isDup)) =>
+      if (isDup == 0L) assert(!best.contains(d), s"$d should have matched")
+      else assert(best(d)._2 == dupOf)
+    }
+  }
+
+  test("IVF-PQ compaction touches only delta cells and serves appended codes") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_cmp").toString
+    SimilarityOps.persistIvfPqIndex(spark, sf, path)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebook")
+    // "arriving" vectors: the first 20 embeddings re-ingested under new ids
+    val newVecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val delta = SimilarityOps.ivfPqEncodeWith(newVecs, centroids, cb)
+    val touched = delta.select(col("cell")).distinct().collect().map(_.getLong(0)).toSet
+    def cellFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$path/codes")
+      root.listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+      }.toMap
+    }
+    val before = cellFiles()
+    def codeSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id").cast("long"), col("cell").cast("long"),
+        col("m").cast("long"), col("c").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val beforeCodes = codeSet(spark.read.parquet(s"$path/codes"))
+    SimilarityOps.compactIvfPqIndex(spark, path, delta)
+    val after = cellFiles()
+    val untouched = before.keySet.filter(d => !touched.contains(d.stripPrefix("cell=").toLong))
+    assert(untouched.nonEmpty, "the 20-vector delta should leave some cells untouched")
+    untouched.foreach { d =>
+      assert(after(d) == before(d), s"untouched cell dir $d was rewritten")
+    }
+    // merged layout = old codes + delta codes, exactly
+    val afterCodes = codeSet(spark.read.parquet(s"$path/codes"))
+    val deltaSet = codeSet(delta)
+    assert(afterCodes == beforeCodes ++ deltaSet)
+    // idempotent: replaying the same delta changes nothing
+    SimilarityOps.compactIvfPqIndex(spark, path, delta)
+    val replay = codeSet(spark.read.parquet(s"$path/codes"))
+    assert(replay == afterCodes, "compaction must be idempotent")
+  }
+
   test("cluster fixpoint memo: one materialization serves the whole family") {
     val a = GraphOps.dedupClusters(spark, sf)
     a.count()

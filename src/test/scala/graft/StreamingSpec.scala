@@ -244,6 +244,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming multimodal dedup probes the bucketed phash index; stream equals batch") {
+    import graft.operators.Multimodal
+    val store = new RelationStore(spark, s"$work/wh_mmdedup")
+    val newIn = s"$work/mmdocs"
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val isNew = pmod(col("doc_id"), lit(2)) === 1
+    Multimodal.persistMmPhashIndexOf(docs.filter(!isNew), store, "mmidx")
+    val idx = store.read("mmidx_chunks")
+    docs.filter(isNew && col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runMmDedup(Streaming.documentStream(spark, newIn), idx,
+      store, "mm_verdicts", s"$work/cp_mmdedup")
+    val afterFirst = store.read("mm_verdicts").count()
+    docs.filter(isNew && col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runMmDedup(Streaming.documentStream(spark, newIn), idx,
+      store, "mm_verdicts", s"$work/cp_mmdedup")
+    val streamed = store.read("mm_verdicts")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    val batch = Multimodal.mmProbeAgainstIndex(docs.filter(isNew), idx)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming event-anomaly monitor converges to the batch spike table") {
     val store = new RelationStore(spark, s"$work/wh_anom")
     val newIn = s"$work/anomevents"
