@@ -198,6 +198,7 @@ object SparkEntry {
     "q_rfm_segments" -> (Events.qRfmSegments _),
     "q_event_anomaly" -> (Events.qEventAnomaly _),
     "txt_bitext_mine" -> ((s, d) => TextOps.txtBitextMine(s, d)),
+    "txt_bitext_align" -> (TextOps.txtBitextAlign _),
     "txt_paragraph_dedup" -> ((s, d) => TextOps.txtParagraphDedup(s, d)),
     "txt_trigram_lm" -> (TextOps.txtTrigramLm _),
     "txt_heaps" -> (TextOps.txtHeaps _),
@@ -3229,36 +3230,46 @@ object SparkEntry {
              CAST(CASE WHEN prev7_days = 7 AND n * 7 > prev7_sum * 2
                   THEN 1 ELSE 0 END AS BIGINT) AS is_spike
       FROM wnd""",
-    "txt_bitext_mine" -> """
-      WITH t AS (
-        SELECT doc_id, lang,
+    "txt_bitext_mine" -> BitextSql,
+    "txt_bitext_align" -> s"""
+      WITH cand AS ($BitextSql),
+      t2 AS (
+        SELECT doc_id,
                list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
                            x -> x <> '') AS toks
         FROM documents
-      ), tk AS (
-        SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok, toks FROM t
-      ), p AS (
-        SELECT DISTINCT doc_id, lang, n_tok, gram FROM (
-          SELECT doc_id, lang, n_tok,
-                 array_to_string(toks[i:i+4], ' ') AS gram
-          FROM tk, unnest(range(1, len(toks) - 3)) AS u(i)
-          WHERE len(toks) >= 5
-        ) u
-      ), rare AS (
-        SELECT gram FROM p GROUP BY 1 HAVING COUNT(*) <= 5
-      ), rp AS (
-        SELECT p.* FROM p JOIN rare USING (gram)
-      ), pr AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               a.lang AS lang_a, b.lang AS lang_b,
-               a.n_tok AS n_a, b.n_tok AS n_b,
-               CAST(COUNT(*) AS BIGINT) AS n_shared
-        FROM rp a JOIN rp b ON a.gram = b.gram AND a.lang < b.lang
-        GROUP BY 1, 2, 3, 4, 5, 6
+      ), s2 AS (
+        SELECT doc_id, toks, len(toks) AS n FROM t2 WHERE len(toks) > 0
+      ), segs AS (
+        SELECT doc_id, CAST(st // 8 AS BIGINT) AS seg_id,
+               array_to_string(list_slice(toks, st + 1, st + 8), ' ') AS seg_text
+        FROM s2, unnest(range(0, n, 8)) AS u(st)
+      ), ns AS (
+        SELECT doc_id, MAX(seg_id) + 1 AS n_segs FROM segs GROUP BY 1
+      ), aside AS (
+        SELECT c.doc_a, c.doc_b, sa.seg_id AS seg_a_id, sa.seg_text AS seg_a,
+               (sa.seg_id * nb.n_segs) // na.n_segs AS seg_b_id
+        FROM cand c
+        JOIN ns na ON na.doc_id = c.doc_a
+        JOIN ns nb ON nb.doc_id = c.doc_b
+        JOIN segs sa ON sa.doc_id = c.doc_a
+      ), j AS (
+        SELECT a.doc_a, a.doc_b, a.seg_a_id, a.seg_b_id, a.seg_a,
+               sb.seg_text AS seg_b
+        FROM aside a
+        JOIN segs sb ON sb.doc_id = a.doc_b AND sb.seg_id = a.seg_b_id
       )
-      SELECT doc_a, doc_b, lang_a, lang_b, n_a, n_b, n_shared
-      FROM pr
-      WHERE n_shared >= 2 AND LEAST(n_a, n_b) * 2 >= GREATEST(n_a, n_b)""",
+      SELECT doc_a, doc_b, seg_a_id, seg_b_id, seg_a, seg_b,
+             CAST(len(list_intersect(
+               CASE WHEN len(string_split(seg_a, ' ')) >= 5
+                 THEN list_transform(range(1, len(string_split(seg_a, ' ')) - 3),
+                      i -> array_to_string(string_split(seg_a, ' ')[i:i+4], ' '))
+                 ELSE [] END,
+               CASE WHEN len(string_split(seg_b, ' ')) >= 5
+                 THEN list_transform(range(1, len(string_split(seg_b, ' ')) - 3),
+                      i -> array_to_string(string_split(seg_b, ' ')[i:i+4], ' '))
+                 ELSE [] END)) AS BIGINT) AS n_anchor
+      FROM j""",
     "curate_snapshot_diff" -> """
       WITH d AS (
         SELECT doc_id, source,
@@ -3518,6 +3529,39 @@ object SparkEntry {
     * slicing, widened to 64 samples), bit k = 64*s_k > sum — integer
     * arithmetic identical to [[graft.operators.Multimodal.mmPhash]].
     */
+  /** Bitext candidate SQL — factored so the alignment oracle can
+    * nest it as a CTE (the CharLmSql pattern). */
+  private lazy val BitextSql: String = """
+      WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                           x -> x <> '') AS toks
+        FROM documents
+      ), tk AS (
+        SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok, toks FROM t
+      ), p AS (
+        SELECT DISTINCT doc_id, lang, n_tok, gram FROM (
+          SELECT doc_id, lang, n_tok,
+                 array_to_string(toks[i:i+4], ' ') AS gram
+          FROM tk, unnest(range(1, len(toks) - 3)) AS u(i)
+          WHERE len(toks) >= 5
+        ) u
+      ), rare AS (
+        SELECT gram FROM p GROUP BY 1 HAVING COUNT(*) <= 5
+      ), rp AS (
+        SELECT p.* FROM p JOIN rare USING (gram)
+      ), pr AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.lang AS lang_a, b.lang AS lang_b,
+               a.n_tok AS n_a, b.n_tok AS n_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM rp a JOIN rp b ON a.gram = b.gram AND a.lang < b.lang
+        GROUP BY 1, 2, 3, 4, 5, 6
+      )
+      SELECT doc_a, doc_b, lang_a, lang_b, n_a, n_b, n_shared
+      FROM pr
+      WHERE n_shared >= 2 AND LEAST(n_a, n_b) * 2 >= GREATEST(n_a, n_b)"""
+
   private lazy val PhashCte: String = {
     val samples = (0 until 64).map { k =>
       s"""(strpos('0123456789abcdef', hx[CAST(2*((n*$k)//64) + 1 AS INT)]) - 1) * 16

@@ -492,12 +492,15 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         filter(split(normalized(col("text")), " "), t => t =!= "").as("toks"))
       .withColumn("n_tok", size(col("toks")).cast("long"))
-    val postings = toks
+    // both the df guard and the pair join scan the gram postings —
+    // resident slot (the DedupOps shingle-table discipline), one
+    // cached copy per JVM however often the miner runs
+    val postings = cacheResident(s, "bitext_postings", toks
       .filter(size(col("toks")) >= 5)
       .select(col("doc_id"), col("lang"), col("n_tok"),
         explode(array_distinct(
           expr("transform(sequence(1, size(toks) - 4), i -> array_join(slice(toks, i, 5), ' '))")))
-          .as("gram"))
+          .as("gram")))
     val rare = postings.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("gram"))
@@ -515,6 +518,47 @@ object TextOps {
         least(col("n_a"), col("n_b")) * 2L >= greatest(col("n_a"), col("n_b")))
       .select(col("doc_a"), col("doc_b"), col("lang_a"), col("lang_b"),
         col("n_a"), col("n_b"), col("n_shared"))
+  }
+
+  /** Segment alignment over [[txtBitextMine]] candidates — the second
+    * stage of a bitext pipeline (Gale-Church's proportional heuristic,
+    * segment-granular): segment both documents into 8-token windows
+    * and align each a-segment to the b-segment at the same RELATIVE
+    * position (seg_b = (seg_a · n_b) div n_a), reporting how many
+    * 5-gram anchors the aligned pair shares — the per-pair evidence a
+    * downstream aligner thresholds on.
+    *
+    * Scale: candidates are the bounded [[txtBitextMine]] output; the
+    * b-side lookup is an EQUI-join on (doc_b, computed seg id) — per
+    * candidate pair the work is O(n_a), never O(n_a · n_b); the anchor
+    * count is an in-row array_intersect over ≤ 4 grams per segment.
+    */
+  def txtBitextAlign(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cands = txtBitextMine(s, dir).select(col("doc_a"), col("doc_b"))
+    val segs = segments(d, 8)
+    val nsegs = segs.groupBy(col("doc_id"))
+      .agg((max(col("seg_id")) + 1L).as("n_segs"))
+    // tail segments can hold < 5 tokens: guard the sequence bound
+    // (sequence(1, 0) in Spark DESCENDS rather than yielding empty)
+    def grams(name: String): Column = expr(
+      s"""CASE WHEN size(split($name, ' ')) >= 5
+          THEN transform(sequence(1, size(split($name, ' ')) - 4),
+               i -> array_join(slice(split($name, ' '), i, 5), ' '))
+          ELSE cast(array() as array<string>) END""")
+    val aSide = cands
+      .join(nsegs.select(col("doc_id").as("doc_a"), col("n_segs").as("n_a")), Seq("doc_a"))
+      .join(nsegs.select(col("doc_id").as("doc_b"), col("n_segs").as("n_b")), Seq("doc_b"))
+      .join(segs.select(col("doc_id").as("doc_a"), col("seg_id").as("seg_a_id"),
+        col("seg_text").as("seg_a")), Seq("doc_a"))
+      .withColumn("seg_b_id", expr("(seg_a_id * n_b) div n_a"))
+    aSide
+      .join(segs.select(col("doc_id").as("doc_b"), col("seg_id").as("seg_b_id"),
+        col("seg_text").as("seg_b")), Seq("doc_b", "seg_b_id"))
+      .withColumn("n_anchor",
+        size(array_intersect(grams("seg_a"), grams("seg_b"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("seg_a_id"), col("seg_b_id"),
+        col("seg_a"), col("seg_b"), col("n_anchor"))
   }
 
   /** The fixed query workload for [[txtBm25TopK]] — literal constants

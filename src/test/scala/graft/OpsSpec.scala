@@ -1835,6 +1835,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bitext align: proportional rule holds; every candidate pair aligns") {
+    val cands = TextOps.txtBitextMine(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val aligned = TextOps.txtBitextAlign(spark, sf).collect()
+    assert(aligned.nonEmpty)
+    // every candidate pair contributes at least one aligned segment
+    assert(aligned.map(r => (r.getLong(0), r.getLong(1))).toSet == cands)
+    aligned.foreach { r =>
+      val (segA, segB) = (r.getLong(2), r.getLong(3))
+      assert(segB >= 0 && r.getLong(6) >= 0)
+      assert(segA >= 0)
+    }
+  }
+
   test("per-lang ccnet: every language's head tercile holds >= 1/3 of its docs") {
     import org.apache.spark.sql.functions._
     val byLang = TextOps.txtCcnetLangBuckets(spark, sf)

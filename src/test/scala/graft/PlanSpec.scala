@@ -640,6 +640,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange rangepartitioning"), plan.take(2000))
   }
 
+  test("bitext align: b-side lookup is an equi-join on the computed seg id") {
+    val plan = executedPhysical(TextOps.txtBitextAlign(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "per-pair work must be O(n_a) via the computed-seg equi-join:\n" + plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("rfm segments: one user-keyed aggregate, no windows") {
     val plan = executedPhysical(Events.qRfmSegments(spark, sf))
     assert(plan.contains("partial_min") || plan.contains("partial_count"),
