@@ -419,6 +419,54 @@ object Streaming {
     }
   }
 
+  /** The composed INGEST TICK — the production shape where one stream
+    * pass runs the whole document-admission stack per micro-batch:
+    * near-dup probe against the frozen dedup index, Gopher rule gate,
+    * per-language CCNet bucketing under the frozen char-LM + threshold
+    * artifacts, and topic tagging — four verdict tables from ONE
+    * readStream (the batch is cached once and feeds all four plans, so
+    * arriving data is scanned once, not four times). Every member is
+    * the exact batch operator, so each table is stream ≡ batch by
+    * construction and the composition adds no new semantics — only the
+    * single-pass execution a 100 TB ingest loop actually wants.
+    */
+  def runIngestTick(
+      newDocs: DataFrame,
+      index: graft.operators.DedupOps.DedupIndex,
+      charLm: DataFrame,
+      langThresholds: DataFrame,
+      store: RelationStore,
+      prefix: String,
+      checkpointDir: String): Unit = {
+    val q = newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val batch = batch0.cache()
+        try {
+          def land(df: DataFrame, table: String): Unit =
+            if (store.exists(table)) store.write(store.read(table).unionByName(df), table)
+            else store.write(df, table)
+          land(graft.operators.DedupOps.probeAgainstIndex(batch, index),
+            s"${prefix}_dedup")
+          land(graft.operators.CurateOps.gopherGateOf(
+            batch.select(col("doc_id"),
+              split(graft.operators.TextOps.normalized(col("text")), " ").as("w"))),
+            s"${prefix}_gopher")
+          land(graft.operators.TextOps.ccnetLangBucketWith(
+            graft.operators.TextOps.charLmScoreWith(batch, charLm)
+              .select(col("doc_id"), col("avg_millibits"))
+              .join(batch.select(col("doc_id"), col("lang")), Seq("doc_id")),
+            langThresholds), s"${prefix}_ccnet")
+          land(graft.operators.TextOps.topicTagWith(batch.sparkSession, batch),
+            s"${prefix}_topics")
+        } finally batch.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Multimodal dedup ingest: each micro-batch of arriving payloads
     * probes the FROZEN bucketed phash index via the exact batch plan
     * ([[graft.operators.Multimodal.mmProbeAgainstIndex]]) — per-doc

@@ -244,6 +244,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("composed ingest tick: one stream pass lands all four verdict tables, each equal to batch") {
+    import graft.operators.{CurateOps, DedupOps, TextOps}
+    val store = new RelationStore(spark, s"$work/wh_tick")
+    val newIn = s"$work/tickdocs"
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 8
+    // frozen artifacts trained on the already-ingested slice
+    val index = DedupOps.buildDedupIndex(docs.filter(!isNew))
+    val charLm = TextOps.charLmModel(spark, sf)
+    val scored = TextOps.txtCharLmScore(spark, sf)
+      .select(col("doc_id"), col("avg_millibits"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val thr = TextOps.ccnetLangThresholds(scored)
+    docs.filter(isNew && col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runIngestTick(Streaming.documentStream(spark, newIn), index, charLm,
+      thr, store, "tick", s"$work/cp_tick")
+    docs.filter(isNew && col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runIngestTick(Streaming.documentStream(spark, newIn), index, charLm,
+      thr, store, "tick", s"$work/cp_tick")
+    val newDocs = docs.filter(isNew)
+    def mustEqual(table: String, batch: org.apache.spark.sql.DataFrame): Unit = {
+      val streamed = store.read(table)
+      assert(streamed.count() == batch.count(), s"$table count")
+      assert(streamed.exceptAll(batch).count() == 0, s"$table extra rows")
+      assert(batch.exceptAll(streamed).count() == 0, s"$table missing rows")
+    }
+    mustEqual("tick_dedup", DedupOps.probeAgainstIndex(newDocs, index))
+    mustEqual("tick_gopher", CurateOps.gopherGateOf(
+      newDocs.select(col("doc_id"), split(TextOps.normalized(col("text")), " ").as("w"))))
+    mustEqual("tick_ccnet", TextOps.ccnetLangBucketWith(
+      TextOps.charLmScoreWith(newDocs, charLm)
+        .select(col("doc_id"), col("avg_millibits"))
+        .join(newDocs.select(col("doc_id"), col("lang")), Seq("doc_id")), thr))
+    mustEqual("tick_topics", TextOps.topicTagWith(spark, newDocs))
+  }
+
   test("streaming multimodal dedup probes the bucketed phash index; stream equals batch") {
     import graft.operators.Multimodal
     val store = new RelationStore(spark, s"$work/wh_mmdedup")
