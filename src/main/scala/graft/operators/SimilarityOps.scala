@@ -349,6 +349,95 @@ object SimilarityOps {
     ivfRescore(s, e, probes, cells)
   }
 
+  /** Rebalance a persisted IVF index by SPLITTING oversized cells —
+    * the maintenance pass a long-lived ANN index needs after skewed
+    * ingest (one hot cell degrades every probe that touches it):
+    * cells holding more than `splitFactor`× the mean population are
+    * bisected around two deterministic poles (their min- and max-id
+    * members), members go to the nearer pole by cosine, and the two
+    * halves get fresh centroid ids with integer-mean centroids.
+    *
+    * Storage discipline: the new half-cells land via dynamic partition
+    * overwrite (new directories only), the split cells' old
+    * directories are then removed, and untouched cells are NEVER
+    * rewritten. The centroid table is tens of rows — collected and
+    * rewritten whole. Local-FS deletion here; a cluster deployment
+    * swaps in the Hadoop FileSystem call, the plan shapes are
+    * unchanged. Returns the split cell ids.
+    */
+  def rebalanceIvfIndex(s: SparkSession, path: String,
+      splitFactor: Long = 2L): Seq[Long] = {
+    val cells = s.read.parquet(s"$path/cells")
+      .withColumn("cell", col("cell").cast("long"))
+    val sizes = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mean = math.max(1L, sizes.map(_._2).sum / sizes.length)
+    val oversized = sizes.filter(_._2 > splitFactor * mean).map(_._1).sorted
+    if (oversized.isEmpty) return Seq.empty
+    val centroidRows = s.read.parquet(s"$path/centroids").collect()
+    val schema = s.read.parquet(s"$path/centroids").schema
+    val maxId = centroidRows.map(_.getLong(schema.fieldIndex("centroid_id"))).max
+    val members = cells.filter(col("cell").isInCollection(oversized))
+    val poles = members.groupBy(col("cell"))
+      .agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+    val poleVecs = members.join(broadcast(poles), Seq("cell"))
+      .filter(col("vec_id") === col("lo") || col("vec_id") === col("hi"))
+      .select(col("cell"), (col("vec_id") === col("lo")).cast("long").as("is_lo"),
+        col("q").as("pq"), col("nq").as("pn"))
+    val side = members.join(broadcast(poleVecs), Seq("cell"))
+      .withColumn("cos", expr("cast(dot_i64(q, pq) as double)") /
+        (sqrt(col("nq")) * sqrt(col("pn"))))
+      .groupBy(col("cell"), col("vec_id"))
+      .agg(max(struct(col("cos"), col("is_lo"))).as("b"))
+      .select(col("cell"), col("vec_id"), col("b.is_lo").as("side"))
+    val sp = s
+    import sp.implicits._
+    val idxDf = oversized.zipWithIndex.map { case (c, k) => (c, k.toLong) }
+      .toSeq.toDF("cell", "k")
+    val newAssign = side.join(broadcast(idxDf), Seq("cell"))
+      .select(col("cell"), col("vec_id"),
+        (lit(maxId + 1L) + col("k") * 2L + col("side")).as("new_cell"))
+    val newMembers = members.join(newAssign, Seq("cell", "vec_id"))
+    val newCentroids = newMembers
+      .select(col("new_cell"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("new_cell"), col("pos"))
+      .agg((sum(col("v")).cast("double") / count(col("v")).cast("double")).as("mv"))
+      .groupBy(col("new_cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), x -> cast(round(x.mv) as bigint))")
+        .as("cq"))
+      .select(col("new_cell").as("centroid_id"), col("cq"),
+        expr("dot_i64(cq, cq)").as("cn"))
+    // survivors + fresh centroids; table is tens of rows — safe to
+    // collect before overwriting the path we just read
+    val survivors = centroidRows.filterNot(r =>
+      oversized.contains(r.getLong(schema.fieldIndex("centroid_id"))))
+    val newCentRows = newCentroids.collect()
+    s.createDataFrame(
+        java.util.Arrays.asList(survivors ++ newCentRows: _*), schema)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    // stage the new half-cells OUTSIDE the directory being read (a
+    // same-path overwrite would race the scan feeding it), then swap
+    // directories — only the split cells' dirs are ever touched
+    val tmp = s"$path/cells_rebalance_tmp"
+    newMembers
+      .select(col("vec_id"), col("q"), col("nq"), col("new_cell").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val tmpRoot = new java.io.File(tmp)
+    tmpRoot.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .foreach { d =>
+        val dest = new java.io.File(s"$path/cells/${d.getName}")
+        if (!d.renameTo(dest))
+          throw new IllegalStateException(s"rebalance: could not move ${d.getName}")
+      }
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete()
+    }
+    rmTree(tmpRoot)
+    oversized.foreach { c => rmTree(new java.io.File(s"$path/cells/cell=$c")) }
+    oversized
+  }
+
   /** Assign arbitrary raw (vec_id, embedding) rows to their nearest
     * FROZEN centroid — the index-maintenance half of IVF: arriving
     * vectors are cell-assigned against the persisted centroid table

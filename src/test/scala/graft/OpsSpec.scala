@@ -1725,6 +1725,50 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(replay == afterCodes, "compaction must be idempotent")
   }
 
+  test("IVF rebalance: splits hot cells in place, preserves members, exact at full probe") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_rebal").toString
+    SimilarityOps.persistIvfIndex(spark, sf, path)
+    def sizes(): Map[Long, Long] = spark.read.parquet(s"$path/cells")
+      .groupBy(col("cell").cast("long").as("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def members(): Set[Long] = spark.read.parquet(s"$path/cells")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def cellFiles(): Map[String, Set[String]] = {
+      new java.io.File(s"$path/cells").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    val (sizesBefore, membersBefore, filesBefore) = (sizes(), members(), cellFiles())
+    // splitFactor 1: every above-mean cell splits — guarantees action
+    val split = SimilarityOps.rebalanceIvfIndex(spark, path, splitFactor = 1L)
+    assert(split.nonEmpty, "this corpus has above-mean cells")
+    val (sizesAfter, membersAfter, filesAfter) = (sizes(), members(), cellFiles())
+    assert(membersAfter == membersBefore, "rebalance must not lose or invent vectors")
+    assert(sizesAfter.values.max <= sizesBefore.values.max,
+      "the hottest cell must not grow")
+    split.foreach { c =>
+      assert(!filesAfter.contains(s"cell=$c"), s"split cell $c's directory must be gone")
+      assert(sizesAfter.keySet.intersect(Set(c)).isEmpty)
+    }
+    filesBefore.keySet.filterNot(d => split.contains(d.stripPrefix("cell=").toLong))
+      .foreach { d =>
+        assert(filesAfter(d) == filesBefore(d), s"untouched cell dir $d was rewritten")
+      }
+    // centroid table consistent with the directory layout
+    val centIds = spark.read.parquet(s"$path/centroids")
+      .select("centroid_id").collect().map(_.getLong(0)).toSet
+    assert(centIds == sizesAfter.keySet, "centroids must mirror the cell directories")
+    // probing EVERY cell after the rebalance is exactly brute force —
+    // the structural invariant that the split lost nothing
+    val full = SimilarityOps.simIvfTopKPersisted(spark, sf, path, nProbe = centIds.size)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val exact = SimilarityOps.simTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(full == exact, "full-probe IVF after rebalance must equal exact top-k")
+  }
+
   test("cluster fixpoint memo: one materialization serves the whole family") {
     val a = GraphOps.dedupClusters(spark, sf)
     a.count()
