@@ -150,6 +150,7 @@ object SparkEntry {
     "txt_inverted_index" -> (CurateOps.txtInvertedIndex _),
     "txt_bm25_topk" -> (TextOps.txtBm25TopK _),
     "curate_budget_select" -> ((s, dir) => CurateOps.curateBudgetSelect(s, dir)),
+    "curate_source_quota" -> ((s, dir) => CurateOps.curateSourceQuota(s, dir)),
     "curate_resample_lang" -> (CurateOps.curateResampleLang _),
     "curate_corpus_shuffle" -> (CurateOps.curateCorpusShuffle _),
     "curate_shard_assign" -> ((s, dir) => CurateOps.curateShardAssign(s, dir)),
@@ -1847,6 +1848,18 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before,
              CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 20000 AS BIGINT) AS selected
+      FROM toks""",
+    "curate_source_quota" -> """
+      WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+      )
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 1000 AS BIGINT) AS admitted
       FROM toks""",
     "curate_resample_lang" -> """
       SELECT doc_id, lang,

@@ -372,6 +372,52 @@ object CurateOps {
       .drop("__bk", "__v", "__bkbefore")
   }
 
+  /** GROUPED two-phase prefix sum — [[prefixSum]] with a group key:
+    * per-(group, bucket) partials, a per-group cumulative over the
+    * BOUNDED bucket grid, and in-bucket windows over bucket-width-
+    * bounded partitions. No group-partitioned window ever sees the
+    * full group's rows, so a hot group cannot create a straggler.
+    */
+  private def groupedPrefixSum(df: DataFrame, group: Column, bucket: Column,
+      order: Seq[Column], value: Column, out: String): DataFrame = {
+    val withBk = df.withColumn("__g", group).withColumn("__bk", bucket)
+      .withColumn("__v", value)
+    val prefixW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketPrefix = withBk.groupBy(col("__g"), col("__bk"))
+      .agg(sum(col("__v")).as("__bksum"))
+      .withColumn("__bkbefore", coalesce(sum(col("__bksum")).over(prefixW), lit(0L)))
+      .select(col("__g"), col("__bk"), col("__bkbefore"))
+    val inBucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g"), col("__bk")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withBk.join(bucketPrefix, Seq("__g", "__bk"))
+      .withColumn(out, col("__bkbefore") + coalesce(sum(col("__v")).over(inBucketW), lit(0L)))
+      .drop("__g", "__bk", "__v", "__bkbefore")
+  }
+
+  /** Per-source ingestion quota (arrival-order admission): admit each
+    * source's documents in doc_id (= ingest) order until the source's
+    * cumulative token budget is exhausted — the crawl-side cap that
+    * stops one hot feed from swamping the mixture BEFORE curation.
+    * The per-source running total uses the grouped two-phase prefix
+    * sum, so no source-keyed window ever scans a whole source.
+    * Streaming twin: [[graft.streaming.Streaming.streamingSourceQuota]]
+    * (O(sources) state — one counter per source).
+    */
+  def curateSourceQuota(s: SparkSession, dir: String,
+      quota: Long = 1000L): DataFrame = {
+    val toks = docs(s, dir).select(
+      col("doc_id"), col("source"),
+      size(split(TextOps.normalized(col("text")), " ")).cast("long").as("n_tokens"))
+    val d = rangeDivisor(toks, 1024)
+    groupedPrefixSum(toks, col("source"), expr(s"doc_id div $d"),
+        Seq(col("doc_id")), col("n_tokens"), "tok_before")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_before"),
+        (col("tok_before") < quota).cast("long").as("admitted"))
+  }
+
   /** Bucket divisor for range-keyed prefix sums: the smallest `d` with
     * `ceil(idRange / d) <= maxBuckets`, from a bounded 1-row min/max
     * aggregate (same strided-bounds pattern as `simIvfTopK`'s centroid

@@ -142,6 +142,7 @@ object Streaming {
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("lang", StringType),
+    StructField("source", StringType),
     StructField("text", StringType)))
 
   def documentStream(spark: SparkSession, inputDir: String): DataFrame =
@@ -196,6 +197,59 @@ object Streaming {
           state.update(ThrottleState(last))
           out.iterator
       }
+  }
+
+  final case class QuotaState(tokBefore: Long)
+  final case class QuotaVerdict(doc_id: Long, source: String, n_tokens: Long,
+      tok_before: Long, admitted: Long)
+
+  /** Streaming per-source ingestion quota — the stateful twin of
+    * [[graft.operators.CurateOps.curateSourceQuota]]: state is ONE
+    * running token total per source (O(sources) on an unbounded
+    * stream); each micro-batch's rows for a source are processed in
+    * doc_id order, so over doc_id-ordered arrivals the admissions
+    * equal the batch operator exactly.
+    */
+  def streamingSourceQuota(docs: DataFrame, quota: Long = 1000L): Dataset[QuotaVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(graft.operators.TextOps.normalized(col("text")), " "))
+          .cast("long").as("n_tokens"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[QuotaState, QuotaVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (source, rows, state: GroupState[QuotaState]) =>
+          var before = state.getOption.map(_.tokBefore).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { r =>
+            val v = QuotaVerdict(r._1, source, r._3, before,
+              if (before < quota) 1L else 0L)
+            before += r._3
+            v
+          }
+          state.update(QuotaState(before))
+          out.iterator
+      }
+  }
+
+  def runSourceQuota(
+      newDocs: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String,
+      quota: Long = 1000L): Unit = {
+    val q = streamingSourceQuota(newDocs, quota).toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (store.exists(table)) store.write(store.read(table).unionByName(batch), table)
+        else store.write(batch, table)
+      }
+      .start()
+    q.awaitTermination()
   }
 
   def streamingExactDedup(docs: DataFrame): Dataset[DedupVerdict] = {

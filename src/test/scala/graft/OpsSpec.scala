@@ -1123,7 +1123,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("two-pass text operators hold one resident cache across re-invocations") {
     // ccnet/vocab cache their shared intermediate (threshold pass +
     // output pass); re-invoking must FREE the previous copy — bounded
-    // storage however often a bench sweep or notebook calls them
+    // storage however often a bench sweep or notebook calls them.
+    // Start from a cleared SQL cache: another suite in this JVM may
+    // have pre-warmed the very slots whose growth this test measures
+    spark.catalog.clearCache()
     val before = spark.sparkContext.getPersistentRDDs.size
     TextOps.txtCcnetBuckets(spark, sf).collect()
     TextOps.txtVocabCoverage(spark, sf).collect()
@@ -1138,9 +1141,13 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"resident caches grew across invocations: $after2 -> $after5")
     // an external clearCache() must not poison the slot: the next
     // invocation has to notice the cold entry and RE-cache, not keep
-    // returning the de-cached plan forever
+    // returning the de-cached plan forever. (Fixpoint MEMOs keep their
+    // final localCheckpoint RDDs alive by design — the memoized table
+    // depends on those blocks — so only SQL-cache entries must clear.)
     spark.catalog.clearCache()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val nonMemo = spark.sparkContext.getPersistentRDDs.values
+      .filterNot(_.toString.contains("localCheckpoint"))
+    assert(nonMemo.isEmpty, s"SQL cache entries survived clearCache: $nonMemo")
     TextOps.txtCcnetBuckets(spark, sf).collect()
     assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
       "slot must re-cache after an external clearCache")

@@ -640,6 +640,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange rangepartitioning"), plan.take(2000))
   }
 
+  test("source quota: grouped prefix sum never windows a whole source") {
+    val plan = executedPhysical(CurateOps.curateSourceQuota(spark, sf))
+    // in-bucket windows must partition by (group, bucket) — bounded
+    // partitions — and the per-group cumulative runs over the bucket
+    // grid; a plain source-partitioned window would scan hot sources
+    // in one task
+    assert("windowspecdefinition\\(__g[^,]*, __bk".r.findFirstIn(plan).isDefined,
+      "in-bucket window must partition by (group, bucket):\n" + plan.take(2000))
+    assert(!plan.contains("windowspecdefinition(source"),
+      "no whole-source window")
+  }
+
   test("bitext align: b-side lookup is an equi-join on the computed seg id") {
     val plan = executedPhysical(TextOps.txtBitextAlign(spark, sf))
     assert(!plan.contains("CartesianProduct"),

@@ -244,6 +244,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming per-source quota over ordered arrivals equals the batch admission") {
+    val store = new RelationStore(spark, s"$work/wh_quota")
+    val newIn = s"$work/quotadocs"
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // doc_id-ordered arrivals (the ingest contract): two batches split
+    // on the id axis
+    docs.filter(col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runSourceQuota(Streaming.documentStream(spark, newIn), store,
+      "quota", s"$work/cp_quota", quota = 300L)
+    val afterFirst = store.read("quota").count()
+    docs.filter(col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runSourceQuota(Streaming.documentStream(spark, newIn), store,
+      "quota", s"$work/cp_quota", quota = 300L)
+    val streamed = store.read("quota")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    // the per-source counter carries across micro-batches, so the
+    // union over ordered arrivals equals the batch prefix sum exactly
+    val batch = graft.operators.CurateOps.curateSourceQuota(spark, sf, quota = 300L)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // and the cap actually bit: both admitted and rejected rows exist
+    assert(streamed.filter(col("admitted") === 1L).count() > 0)
+    assert(streamed.filter(col("admitted") === 0L).count() > 0)
+  }
+
   test("composed ingest tick: one stream pass lands all four verdict tables, each equal to batch") {
     import graft.operators.{CurateOps, DedupOps, TextOps}
     val store = new RelationStore(spark, s"$work/wh_tick")
