@@ -82,6 +82,7 @@ object SparkEntry {
     "q_events_json" -> (Events.qEventsJson _),
     "q_skew_salted_agg" -> (ScaleOps.qSkewSaltedAgg _),
     "q_exact_quantiles" -> (ScaleOps.qExactQuantiles _),
+    "q_quantile_sketch" -> (ScaleOps.qQuantileSketch _),
     "q_skew_salted_join" -> (ScaleOps.qSkewSaltedJoin _),
     "q_heavy_users" -> (ScaleOps.qHeavyUsers _),
     "q_approx_distinct" -> (ScaleOps.qApproxDistinct _),

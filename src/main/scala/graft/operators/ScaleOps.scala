@@ -308,4 +308,51 @@ object ScaleOps {
       cents.map { case (q, v) => ("price_cents", q.toLong, v) })
       .toDF("col_name", "q", "value")
   }
+
+  /** Streaming-mergeable approximate quantiles via the native
+    * Munro-Paterson sketch ([[graft.functions.QuantileSketch]]):
+    * per event_type, ONE pass builds an O(k log n) sketch whose
+    * (value, weight) support is then reduced to p50/p90/p99 by a
+    * bounded running-weight scan — the window partitions over the
+    * SKETCH (≤ k·levels rows per type), never raw events. The
+    * single-pass complement of [[exactQuantiles]]' two-pass exact
+    * form: at 100 TB this is what a monitoring loop affords every
+    * tick. Approximate (deterministic bounded rank error, proven
+    * under 1/4/32 partitionings in OpsSpec) → rows-only driver check,
+    * like the HLL/CMS/MG members of the sketch family.
+    */
+  def qQuantileSketch(s: SparkSession, dir: String): DataFrame =
+    quantileSketchOf(
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), Relational.cents(col("value")).as("cents")))
+
+  def quantileSketchOf(events: DataFrame, k: Int = 256): DataFrame =
+    quantileEstimatesOf(quantileSketchAgg(events, k))
+
+  /** The streaming-safe half: a plain grouped aggregate (runs in
+    * Complete mode over an unbounded stream — sketch merge IS the
+    * state). Extraction ([[quantileEstimatesOf]]) happens per
+    * micro-batch in foreachBatch, where windows are legal.
+    */
+  def quantileSketchAgg(events: DataFrame, k: Int = 256): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(graft.functions.QuantileSketch.quantileSketch(col("cents"), k).as("sk"),
+        count(lit(1)).as("n"))
+
+  def quantileEstimatesOf(sk: DataFrame): DataFrame = {
+    val pts = sk.select(col("event_type"), col("n"), explode(col("sk")).as("p"))
+      .select(col("event_type"), col("n"), col("p.v").as("v"), col("p.w").as("w"))
+    val W = org.apache.spark.sql.expressions.Window
+    val ord = W.partitionBy(col("event_type")).orderBy(col("v"), col("w"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    pts
+      .withColumn("tot", sum(col("w")).over(W.partitionBy(col("event_type"))))
+      .withColumn("cum", sum(col("w")).over(ord))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"),
+        min(when(col("cum") * 2L >= col("tot"), col("v"))).as("p50"),
+        min(when(col("cum") * 10L >= col("tot") * 9L, col("v"))).as("p90"),
+        min(when(col("cum") * 100L >= col("tot") * 99L, col("v"))).as("p99"))
+  }
 }

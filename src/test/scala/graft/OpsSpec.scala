@@ -1659,6 +1659,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "slot count must stay one per (context, slot) across sessions")
   }
 
+  test("quantile sketch: rank error bounded and partitioning-stable at 1/4/32") {
+    import org.apache.spark.sql.functions._
+    // amplify the event stream 100x so per-type groups far exceed k —
+    // the sketch must actually compact, not just hold everything
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"), Relational.cents(col("value")).as("cents"))
+      .withColumn("r", explode(sequence(lit(1L), lit(100L))))
+      .select(col("event_type"), (col("cents") + pmod(col("r"), lit(7L))).as("cents"))
+    val exact = ev.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    for (p <- Seq(1, 4, 32)) {
+      val est = ScaleOps.quantileSketchOf(ev.repartition(p)).collect()
+      assert(est.nonEmpty)
+      est.foreach { r =>
+        val t = r.getString(0); val n = r.getLong(1)
+        assert(n > 256 * 4, s"$t must be large enough to force compaction")
+        val sorted = exact(t)
+        for ((q, idx) <- Seq((0.5, 2), (0.9, 3), (0.99, 4))) {
+          val v = r.getLong(idx)
+          val rank = sorted.count(_ <= v).toLong
+          val target = (q * n).toLong
+          assert(math.abs(rank - target) <= math.max(4L, n / 20),
+            s"$t q=$q under $p partitions: rank $rank vs target $target of $n")
+        }
+      }
+    }
+  }
+
   test("mm probe against the bucketed phash index matches the pair-set ground truth") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")

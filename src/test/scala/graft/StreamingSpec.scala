@@ -539,6 +539,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.sameElements(batch))
   }
 
+  test("quantile sketch streams in complete mode within the batch rank bound") {
+    graft.functions.QuantileSketch.register(spark)
+    val store = new RelationStore(spark, s"$work/wh_qsk")
+    val src = Streaming.eventStream(spark, s"$work/in")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val q = graft.operators.ScaleOps.quantileSketchAgg(src).writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$work/cp_qsk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        store.write(graft.operators.ScaleOps.quantileEstimatesOf(batch), "qsk")
+      }
+      .start()
+    q.awaitTermination()
+    val streamed = store.read("qsk").collect()
+    assert(streamed.nonEmpty)
+    // the sketch is order-sensitive within its rank bound, so streamed
+    // estimates must satisfy the SAME guarantee the batch spec pins —
+    // ranks within 5% of target against the exact per-type sort
+    val exact = spark.read.parquet(s"$work/in")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    streamed.foreach { r =>
+      val t = r.getString(0); val n = r.getLong(1)
+      val sorted = exact(t)
+      assert(n == sorted.length.toLong)
+      for ((qq, idx) <- Seq((0.5, 2), (0.9, 3), (0.99, 4))) {
+        val rank = sorted.count(_ <= r.getLong(idx)).toLong
+        val target = (qq * n).toLong
+        assert(math.abs(rank - target) <= math.max(4L, n / 20),
+          s"$t q=$qq: rank $rank vs $target of $n")
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes in-window duplicate event ids") {
     // land the events plus a duplicated slice of themselves
     val in3 = s"$work/in3"
