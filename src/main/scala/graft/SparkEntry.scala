@@ -83,6 +83,8 @@ object SparkEntry {
     "q_skew_salted_agg" -> (ScaleOps.qSkewSaltedAgg _),
     "q_exact_quantiles" -> (ScaleOps.qExactQuantiles _),
     "q_quantile_sketch" -> (ScaleOps.qQuantileSketch _),
+    "q_equidepth_bins" -> (ScaleOps.qEquidepthBins _),
+    "q_attribution" -> (Events.qAttribution _),
     "q_skew_salted_join" -> (ScaleOps.qSkewSaltedJoin _),
     "q_heavy_users" -> (ScaleOps.qHeavyUsers _),
     "q_approx_distinct" -> (ScaleOps.qApproxDistinct _),
@@ -1484,6 +1486,61 @@ object SparkEntry {
       FROM cum JOIN c USING (col_name) CROSS JOIN qs
       WHERE 100 * cum.cu >= qs.q * c.n
       GROUP BY 1, 2""",
+    "q_equidepth_bins" -> """
+      WITH src AS (
+        SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
+      ), h AS (
+        SELECT cents, COUNT(*) AS cnt FROM src GROUP BY 1
+      ), c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src
+      ), cum AS (
+        SELECT cents, SUM(cnt) OVER (ORDER BY cents) AS cu FROM h
+      ), e AS (
+        SELECT (SELECT MIN(cents) FROM cum, c WHERE 100 * cu >= 25 * n) AS e1,
+               (SELECT MIN(cents) FROM cum, c WHERE 100 * cu >= 50 * n) AS e2,
+               (SELECT MIN(cents) FROM cum, c WHERE 100 * cu >= 75 * n) AS e3
+      ), b AS (
+        SELECT CAST(CASE WHEN cents <= e1 THEN 0 WHEN cents <= e2 THEN 1
+                         WHEN cents <= e3 THEN 2 ELSE 3 END AS BIGINT) AS bin,
+               cents
+        FROM src, e
+      )
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM b GROUP BY 1""",
+    "q_attribution" -> """
+      WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+      ), buys AS (
+        SELECT user_id, event_id AS purchase_id, us AS t_buy, cents
+        FROM e WHERE event_type = 'purchase'
+      ), views AS (
+        SELECT user_id, event_id AS view_id, us AS t_view
+        FROM e WHERE event_type = 'view'
+      ), t AS (
+        SELECT b.user_id, b.purchase_id, b.t_buy, b.cents, v.view_id, v.t_view
+        FROM buys b JOIN views v USING (user_id)
+        WHERE v.t_view <= b.t_buy AND b.t_buy - v.t_view <= 604800000000
+      ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY purchase_id
+                    ORDER BY t_view DESC, view_id DESC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touch
+        FROM t
+      ), a AS (
+        SELECT user_id, purchase_id, cents, n_touch,
+               view_id AS last_touch_id, t_buy - t_view AS last_touch_gap_us
+        FROM ranked WHERE rn = 1
+      )
+      SELECT b.user_id, b.purchase_id, b.cents,
+             COALESCE(a.n_touch, 0) AS n_touch,
+             COALESCE(a.last_touch_id, -1) AS last_touch_id,
+             COALESCE(a.last_touch_gap_us, -1) AS last_touch_gap_us,
+             COALESCE(b.cents // a.n_touch, 0) AS linear_cents_per_touch,
+             COALESCE(b.cents // a.n_touch + b.cents % a.n_touch, 0) AS last_touch_cents
+      FROM buys b LEFT JOIN a ON a.user_id = b.user_id AND a.purchase_id = b.purchase_id""",
     "q_rolling_window" -> """
       WITH e AS (
         SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,

@@ -388,6 +388,53 @@ object Events {
           .otherwise(0L).as("is_spike"))
   }
 
+  /** Marketing attribution: for each purchase, its LAST-TOUCH view
+    * (the latest preceding `view` by the same user within a 7-day
+    * window) plus the touch count the linear model would split
+    * revenue across — with the split done in exact integer cents
+    * (each touch gets cents div n, the last touch absorbs the
+    * remainder, so attributed revenue sums to revenue EXACTLY — a
+    * float split leaks cents at reconciliation).
+    *
+    * Scale: one user-keyed equi-join between the purchase and view
+    * event streams with the window predicate applied on the join
+    * output (per-user fan-in bounded by user activity; for heavy
+    * users the banded range-join rewrite in plans/RangeJoinRewrite
+    * applies); the per-purchase argmax is max(struct) — no window
+    * over raw events.
+    */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val windowUs = 7L * 86400000000L
+    val e = ev(s, dir)
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("t_buy"), Relational.cents(col("value")).as("cents"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts_us").as("t_view"))
+    val touches = buys.join(views, Seq("user_id"))
+      .filter(col("t_view") <= col("t_buy") &&
+        col("t_buy") - col("t_view") <= windowUs)
+    val attributed = touches.groupBy(col("user_id"), col("purchase_id"),
+        col("t_buy"), col("cents"))
+      .agg(count(lit(1)).as("n_touch"),
+        max(struct(col("t_view"), col("view_id"))).as("b"))
+      .select(col("user_id"), col("purchase_id"), col("cents"), col("n_touch"),
+        col("b.view_id").as("last_touch_id"),
+        (col("t_buy") - col("b.t_view")).as("last_touch_gap_us"),
+        expr("cents div n_touch").as("linear_cents_per_touch"),
+        // the last touch absorbs the integer remainder: per-touch
+        // shares sum back to cents exactly
+        (expr("cents div n_touch") + col("cents") % col("n_touch")).as("last_touch_cents"))
+    buys.join(attributed,
+        Seq("user_id", "purchase_id", "cents"), "left")
+      .select(col("user_id"), col("purchase_id"), col("cents"),
+        coalesce(col("n_touch"), lit(0L)).as("n_touch"),
+        coalesce(col("last_touch_id"), lit(-1L)).as("last_touch_id"),
+        coalesce(col("last_touch_gap_us"), lit(-1L)).as("last_touch_gap_us"),
+        coalesce(col("linear_cents_per_touch"), lit(0L)).as("linear_cents_per_touch"),
+        coalesce(col("last_touch_cents"), lit(0L)).as("last_touch_cents"))
+  }
+
   /** RFM user segmentation with an integer time-decayed activity
     * score — the classic marketing/engagement triage (recency,
     * frequency, monetary) over the event log:

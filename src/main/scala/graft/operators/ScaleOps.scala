@@ -309,6 +309,33 @@ object ScaleOps {
       .toDF("col_name", "q", "value")
   }
 
+  /** Equi-depth (quartile) binning WITHOUT a global sort: bin edges
+    * come from the exact two-pass quantile machinery (bounded
+    * histograms, driver-resolved literals), and bin assignment is a
+    * row-parallel comparison chain — the plan a statistics collector
+    * or layout optimizer wants at 100 TB, where the naive `NTILE(4)
+    * OVER (ORDER BY v)` spelling funnels the corpus through one
+    * range-sorted task (PlanSpec pins the absence of
+    * rangepartitioning). Output: per bin, row count + min/max/sum —
+    * counts within one value-tie of n/4 by construction.
+    */
+  def qEquidepthBins(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val v = expr("cast(round(l_extendedprice * 100) as bigint)")
+    val edges = exactQuantiles(li, v, Seq(25, 50, 75)).map(_._2)
+    val binned = li.select(v.as("cents"))
+      .withColumn("bin",
+        when(col("cents") <= edges(0), 0L)
+          .when(col("cents") <= edges(1), 1L)
+          .when(col("cents") <= edges(2), 2L)
+          .otherwise(3L))
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        sum(col("cents")).as("sum_cents"))
+  }
+
   /** Streaming-mergeable approximate quantiles via the native
     * Munro-Paterson sketch ([[graft.functions.QuantileSketch]]):
     * per event_type, ONE pass builds an O(k log n) sketch whose

@@ -1891,6 +1891,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("equi-depth bins: tile the domain, counts near n/4") {
+    val rows = ScaleOps.qEquidepthBins(spark, sf).orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    val n = rows.map(_._2).sum
+    rows.sliding(2).foreach { case Array((_, _, _, max1), (_, _, min2, _)) =>
+      assert(max1 < min2, "bins must not overlap")
+    }
+    rows.foreach { case (b, cnt, _, _) =>
+      // equi-depth up to value ties: each bin within 20% of n/4
+      assert(math.abs(cnt - n / 4) * 5 <= n,
+        s"bin $b holds $cnt of $n — not equi-depth")
+    }
+  }
+
+  test("attribution: integer split reconciles to revenue exactly") {
+    val rows = Events.qAttribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var attributed = 0
+    rows.foreach { r =>
+      val cents = r.getLong(2); val nTouch = r.getLong(3)
+      val perTouch = r.getLong(6); val lastCents = r.getLong(7)
+      if (nTouch > 0) {
+        attributed += 1
+        assert(lastCents + (nTouch - 1) * perTouch == cents,
+          s"purchase ${r.getLong(1)}: split leaks cents")
+        assert(r.getLong(5) >= 0 && r.getLong(5) <= 7L * 86400000000L,
+          "last touch inside the window")
+      } else {
+        assert(r.getLong(4) == -1L && lastCents == 0L)
+      }
+    }
+    assert(attributed > 0, "some purchases have preceding views")
+  }
+
   test("event anomaly: spikes only fire on full 7-day history") {
     val rows = Events.qEventAnomaly(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -640,6 +640,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange rangepartitioning"), plan.take(2000))
   }
 
+  test("equi-depth bins: literal edges, no corpus range-sort") {
+    val df = ScaleOps.qEquidepthBins(spark, sf)
+    val plan = executedPhysical(df)
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "binning must be a row-parallel comparison chain, not NTILE:\n" + plan.take(2000))
+    assert(!plan.contains("windowspecdefinition"), "no window at all")
+    // the quantile edges were resolved driver-side and appear as
+    // literal comparisons
+    assert(df.queryExecution.optimizedPlan.toString.contains("<= "),
+      "bin edges must be literals")
+  }
+
   test("source quota: grouped prefix sum never windows a whole source") {
     val plan = executedPhysical(CurateOps.curateSourceQuota(spark, sf))
     // in-bucket windows must partition by (group, bucket) — bounded
