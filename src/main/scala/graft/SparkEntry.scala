@@ -1799,17 +1799,23 @@ object SparkEntry {
         FROM documents
       ), mass AS (
         SELECT w.source, CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
-               CAST(SUM(w.weight_ppm * t.n_tokens) AS BIGINT) AS dedup_mass
+               CAST(SUM((w.weight_ppm * t.n_tokens) // 1000) AS BIGINT) AS dedup_mass
         FROM w JOIN toks t USING (doc_id) GROUP BY 1
       ), tot AS (
         SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
                CAST(SUM(dedup_mass) AS BIGINT) AS tot_mass
         FROM mass
-      ), calc AS (
-        SELECT m.source, m.n_tokens,
-               (1000000 * m.dedup_mass) // t.tot_mass AS target_share_ppm,
-               (${graft.operators.CurateOps.BudgetMultiple} * t.tot_tokens * m.dedup_mass) // t.tot_mass AS target_tokens
+      ), calc0 AS (
+        SELECT m.source, m.n_tokens, t.tot_tokens,
+               CASE WHEN t.tot_mass < 1000000
+                    THEN (1000000 * m.dedup_mass) // t.tot_mass
+                    ELSE m.dedup_mass // (t.tot_mass // 1000000) END AS target_share_ppm
         FROM mass m CROSS JOIN tot t
+      ), calc AS (
+        SELECT source, n_tokens, target_share_ppm,
+               ${graft.operators.CurateOps.BudgetMultiple} * ((tot_tokens // 1000000) * target_share_ppm
+                 + ((tot_tokens % 1000000) * target_share_ppm) // 1000000) AS target_tokens
+        FROM calc0
       )
       SELECT source, n_tokens,
              CAST(target_share_ppm AS BIGINT) AS target_share_ppm,
@@ -3289,13 +3295,18 @@ object SparkEntry {
         SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM events GROUP BY 1, 2
+      ), dn AS (
+        SELECT event_type, day, n,
+               CAST(date_diff('day', DATE '1970-01-01',
+                 CAST(strptime(day, '%Y-%m-%d') AS DATE)) AS BIGINT) AS day_num
+        FROM daily
       ), wnd AS (
         SELECT event_type, day, n,
-               CAST(COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY day
-                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev7_sum,
-               CAST(COUNT(n) OVER (PARTITION BY event_type ORDER BY day
-                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev7_days
-        FROM daily
+               CAST(COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY day_num
+                 RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev7_sum,
+               CAST(COUNT(n) OVER (PARTITION BY event_type ORDER BY day_num
+                 RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev7_days
+        FROM dn
       )
       SELECT event_type, day, n, prev7_sum, prev7_days,
              CAST(CASE WHEN prev7_days = 7 AND n * 7 > prev7_sum * 2

@@ -159,7 +159,16 @@ object Main {
       eventTimeStart = flags.get("event-time-start").map(ProjectLoader.parseInstant),
       eventTimeEnd = flags.get("event-time-end").map(ProjectLoader.parseInstant),
       failFast = flags.contains("fail-fast"),
-      warnError = flags.contains("warn-error"),
+      warnError = {
+        // the reference asserts WARN_ERROR and WARN_ERROR_OPTIONS
+        // mutually exclusive (cli/flags.py _assert_mutually_exclusive)
+        // — silent precedence would let a blanket --warn-error drop
+        // escalation for kinds outside the options' include list
+        if (flags.contains("warn-error") && flags.contains("warn-error-options"))
+          throw new IllegalArgumentException(
+            "--warn-error cannot be combined with --warn-error-options")
+        flags.contains("warn-error")
+      },
       warnErrorOptions = flags.get("warn-error-options")
         .map(graft.exec.WarnErrorOptions.parse),
       indirectSelection = flags.getOrElse("indirect-selection", "eager"),

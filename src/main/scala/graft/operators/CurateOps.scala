@@ -977,21 +977,40 @@ object CurateOps {
   def curateEpochs(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(s, dir).select(col("doc_id"),
       size(col("w")).cast("long").as("n_tokens"))
+    // dedup_mass in MILLI-token units (div 1000 per doc BEFORE the
+    // sum): the raw ppm·token sum reaches ~10⁶·corpus_tokens — past
+    // Long at a few million tokens, wrapping silently under non-ANSI
+    // Spark while the DuckDB oracle errors. Milli units keep the sum
+    // ≤ 10³·corpus_tokens (safe beyond 10¹⁵ tokens) at 1/1000-ppm
+    // cost per document.
     val mass = curateDedupWeight(s, dir)
       .join(toks, Seq("doc_id"))
       .groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("n_tokens"),
-        sum(col("weight_ppm") * col("n_tokens")).as("dedup_mass"))
+        sum(expr("(weight_ppm * n_tokens) div 1000")).as("dedup_mass"))
     // corpus totals: a 1-row broadcast aggregate
     val total = mass.agg(sum(col("n_tokens")).as("tot_tokens"),
       sum(col("dedup_mass")).as("tot_mass"))
     mass.crossJoin(broadcast(total))
-      .select(col("source"), col("n_tokens"),
-        expr("(1000000 * dedup_mass) div tot_mass").as("target_share_ppm"),
-        expr(s"($BudgetMultiple * tot_tokens * dedup_mass) div tot_mass").as("target_tokens"))
+      // small corpora multiply first (exact, product < 10¹²); big
+      // corpora divide the denominator first (ppm-resolution, no
+      // overflow at any scale) — the branch is on corpus size, so
+      // every engine takes the same one
+      .withColumn("target_share_ppm",
+        expr("""CASE WHEN tot_mass < 1000000
+                  THEN (1000000 * dedup_mass) div tot_mass
+                  ELSE dedup_mass div (tot_mass div 1000000) END"""))
+      // tot_tokens·share splits EXACTLY around the 10⁶ divisor:
+      // (q·10⁶ + r)·s div 10⁶ = q·s + (r·s div 10⁶) — both factors of
+      // every product stay ≤ 10⁷·10⁶, overflow-free to 10¹³ tokens
+      .withColumn("target_tokens",
+        expr(s"""$BudgetMultiple * ((tot_tokens div 1000000) * target_share_ppm
+                 + ((tot_tokens % 1000000) * target_share_ppm) div 1000000)"""))
       .withColumn("epochs_milli",
         least(lit(EpochCapMilli), expr("(1000 * target_tokens) div n_tokens")))
       .withColumn("planned_tokens", expr("(epochs_milli * n_tokens) div 1000"))
+      .select(col("source"), col("n_tokens"), col("target_share_ppm"),
+        col("target_tokens"), col("epochs_milli"), col("planned_tokens"))
   }
 
   /** Filter-ensemble agreement matrix: the 2×2×3 contingency table of

@@ -463,14 +463,26 @@ object DedupOps {
     * construction, then the exact `bit_count(xor)` filter gives
     * precision 1. Input: (doc_id, <sig>); output (doc_a, doc_b, hamming).
     */
-  private[graft] def hammingPairs(sigs: DataFrame, sig: String, maxHamming: Int): DataFrame = {
+  /** Pigeonhole chunking of a 64-bit signature: maxHamming+1 bands of
+    * width 64/(maxHamming+1) — ONE definition, because the recall-1
+    * contract of every consumer (the SimHash pair join, the multimodal
+    * phash probe, and any PERSISTED chunk index) depends on index side
+    * and probe side computing bit-identical (ci, chunk) keys; a second
+    * copy drifting silently breaks probes against already-written
+    * indexes. Output: (doc_id, __sig, ci, chunk).
+    */
+  private[graft] def chunkSigs(sigs: DataFrame, sig: String, maxHamming: Int): DataFrame = {
     val nChunks = maxHamming + 1 // pigeonhole needs maxHam+1 bands
     val width = 64 / nChunks
     val mask = (1L << width) - 1
-    val chunked = sigs
+    sigs
       .select(col("doc_id"), col(sig).as("__sig"),
         explode(expr(s"sequence(0, ${nChunks - 1})")).as("ci"))
       .withColumn("chunk", expr(s"shiftright(__sig, cast(ci * $width as int)) & $mask"))
+  }
+
+  private[graft] def hammingPairs(sigs: DataFrame, sig: String, maxHamming: Int): DataFrame = {
+    val chunked = chunkSigs(sigs, sig, maxHamming)
     val a = chunked.select(col("doc_id").as("doc_a"), col("__sig").as("sig_a"),
       col("ci"), col("chunk"))
     val b = chunked.select(col("doc_id").as("doc_b"), col("__sig").as("sig_b"),

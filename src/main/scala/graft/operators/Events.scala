@@ -373,12 +373,20 @@ object Events {
   /** Spike detection over an (event_type, day, n) grid — shared by the
     * batch operator and the streaming monitor, so stream ≡ batch is by
     * construction once the grids agree. The window runs over the
-    * bounded day grid, never raw events.
+    * bounded day grid, never raw events — and it is a RANGE frame on
+    * the integer day number, not a rows frame: zero-event days are
+    * simply absent from the grid, so a rows(-7,-1) frame would stretch
+    * across calendar gaps and compare today against a month-old
+    * baseline while still claiming "7 days of history". The range
+    * frame sees exactly the last 7 CALENDAR days; the full-history
+    * gate (prev7_days = 7) then genuinely means all of them had
+    * events.
     */
   def anomalyOf(daily: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-      .rowsBetween(-7, -1)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rangeBetween(-7, -1)
     daily
+      .withColumn("day_num", datediff(to_date(col("day")), to_date(lit("1970-01-01"))).cast("long"))
       .withColumn("prev7_sum", sum(col("n")).over(w))
       .withColumn("prev7_days", count(col("n")).over(w))
       .select(col("event_type"), col("day"), col("n"),

@@ -185,15 +185,13 @@ object Multimodal {
       Seq("ci", "chunk"), buckets)
   }
 
-  private def chunkedSigs(sigs: DataFrame, maxHamming: Int): DataFrame = {
-    val nChunks = maxHamming + 1
-    val width = 64 / nChunks
-    val mask = (1L << width) - 1
-    sigs
-      .select(col("doc_id"), col("phash"),
-        explode(expr(s"sequence(0, ${nChunks - 1})")).as("ci"))
-      .withColumn("chunk", expr(s"shiftright(phash, cast(ci * $width as int)) & $mask"))
-  }
+  /** Delegates to [[DedupOps.chunkSigs]] — the chunk math must stay
+    * bit-identical with the SimHash pair join and with already-written
+    * index layouts, so there is exactly one definition of it.
+    */
+  private def chunkedSigs(sigs: DataFrame, maxHamming: Int): DataFrame =
+    DedupOps.chunkSigs(sigs, "phash", maxHamming)
+      .withColumnRenamed("__sig", "phash")
 
   /** Probe arriving payloads against a FROZEN phash index — the
     * multimodal twin of [[graft.operators.DedupOps.probeAgainstIndex]]:

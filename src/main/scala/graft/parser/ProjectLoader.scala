@@ -908,17 +908,20 @@ object ProjectLoader {
       case None => true
     })
     if (needLock) {
-      val pinned = spec.flatMap(resolvePackageEntry(dir, _)).map(_._2)
+      // ONE resolution pass yields both the pins for the lock AND the
+      // materialized package roots — re-resolving from the just-written
+      // lock would repeat every tarball/hub untar for nothing
+      val resolved = spec.flatMap(resolvePackageEntry(dir, _))
       val yaml = new StringBuilder("packages:\n")
-      pinned.foreach { e =>
+      resolved.map(_._2).foreach { e =>
         val keys = e.toSeq.sortBy(_._1)
         yaml ++= s"  - ${keys.head._1}: ${keys.head._2}\n"
         keys.tail.foreach { case (k, v) => yaml ++= s"    $k: $v\n" }
       }
       yaml ++= s"sha1_hash: $hash\n"
       Files.writeString(lf, yaml.toString)
-    }
-    if (lockOnly) Nil
+      if (lockOnly) Nil else resolved.map(_._1)
+    } else if (lockOnly) Nil
     else lockEntries(dir).map(_._1).getOrElse(Nil)
       .flatMap(resolvePackageEntry(dir, _)).map(_._1)
   }

@@ -245,8 +245,7 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (store.exists(table)) store.write(store.read(table).unionByName(batch), table)
-        else store.write(batch, table)
+        landAppend(store, table, batch)
       }
       .start()
     q.awaitTermination()
@@ -305,6 +304,17 @@ object Streaming {
     * run* driver is this plus its transform, so a change to the
     * append/write semantics (restart dedup, write mode) lands ONCE.
     */
+  /** Land an append micro-batch into a store table: union with the
+    * already-landed rows (or create the table). ONE definition — the
+    * scorer scaffold, the ingest tick, and the quota driver all land
+    * through it, so a change to landing semantics (dedup-on-replay,
+    * ordering, schema evolution) has exactly one home.
+    */
+  private[streaming] def landAppend(store: RelationStore, table: String,
+      df: DataFrame): Unit =
+    if (store.exists(table)) store.write(store.read(table).unionByName(df), table)
+    else store.write(df, table)
+
   private def runAppendScorer(
       newDocs: DataFrame,
       store: RelationStore,
@@ -315,9 +325,7 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val out = transform(batch)
-        if (store.exists(table)) store.write(store.read(table).unionByName(out), table)
-        else store.write(out, table)
+        landAppend(store, table, transform(batch))
       }
       .start()
     q.awaitTermination()
@@ -499,22 +507,20 @@ object Streaming {
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         val batch = batch0.cache()
         try {
-          def land(df: DataFrame, table: String): Unit =
-            if (store.exists(table)) store.write(store.read(table).unionByName(df), table)
-            else store.write(df, table)
-          land(graft.operators.DedupOps.probeAgainstIndex(batch, index),
-            s"${prefix}_dedup")
-          land(graft.operators.CurateOps.gopherGateOf(
-            batch.select(col("doc_id"),
-              split(graft.operators.TextOps.normalized(col("text")), " ").as("w"))),
-            s"${prefix}_gopher")
-          land(graft.operators.TextOps.ccnetLangBucketWith(
-            graft.operators.TextOps.charLmScoreWith(batch, charLm)
-              .select(col("doc_id"), col("avg_millibits"))
-              .join(batch.select(col("doc_id"), col("lang")), Seq("doc_id")),
-            langThresholds), s"${prefix}_ccnet")
-          land(graft.operators.TextOps.topicTagWith(batch.sparkSession, batch),
-            s"${prefix}_topics")
+          landAppend(store, s"${prefix}_dedup",
+            graft.operators.DedupOps.probeAgainstIndex(batch, index))
+          landAppend(store, s"${prefix}_gopher",
+            graft.operators.CurateOps.gopherGateOf(
+              batch.select(col("doc_id"),
+                split(graft.operators.TextOps.normalized(col("text")), " ").as("w"))))
+          landAppend(store, s"${prefix}_ccnet",
+            graft.operators.TextOps.ccnetLangBucketWith(
+              graft.operators.TextOps.charLmScoreWith(batch, charLm)
+                .select(col("doc_id"), col("avg_millibits"))
+                .join(batch.select(col("doc_id"), col("lang")), Seq("doc_id")),
+              langThresholds))
+          landAppend(store, s"${prefix}_topics",
+            graft.operators.TextOps.topicTagWith(batch.sparkSession, batch))
         } finally batch.unpersist()
       }
       .start()

@@ -85,6 +85,14 @@ class CliSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](run("compile", dir,
       Map("inline" -> "SELECT 1", "select" -> "my_first_model")))
     assert(e.getMessage.contains("--inline cannot be combined"), e.getMessage)
+
+    // --warn-error + --warn-error-options is likewise a user error
+    // (reference flags.py asserts them mutually exclusive): silent
+    // precedence would drop the blanket escalation for kinds outside
+    // the options' include list
+    val w = intercept[IllegalArgumentException](run("run", dir,
+      Map("warn-error" -> "", "warn-error-options" -> "{\"include\": [\"TestWarn\"]}")))
+    assert(w.getMessage.contains("--warn-error cannot be combined"), w.getMessage)
   }
 
   test("run-operation executes a project macro; hooks expand macros") {

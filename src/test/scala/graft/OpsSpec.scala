@@ -1926,6 +1926,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(attributed > 0, "some purchases have preceding views")
   }
 
+  test("anomaly window is calendar-range: zero-event gaps break the history gate") {
+    val sp = spark
+    import sp.implicits._
+    // 7 consecutive active days, a silent month, then a burst: the
+    // burst must NOT be judged against the stale month-old baseline
+    val gapped = ((1 to 7).map(d => ("A", f"2026-01-$d%02d", 10L)) :+
+      (("A", "2026-02-10", 1000L))).toDF("event_type", "day", "n")
+    val out = Events.anomalyOf(gapped).collect()
+      .map(r => r.getString(1) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out("2026-02-10")._2 == 0L && out("2026-02-10")._3 == 0L,
+      "a calendar gap must empty the trailing frame, not stretch over it")
+    // whereas a burst on the genuine 8th consecutive day fires
+    val dense = ((1 to 7).map(d => ("A", f"2026-01-$d%02d", 10L)) :+
+      (("A", "2026-01-08", 1000L))).toDF("event_type", "day", "n")
+    val out2 = Events.anomalyOf(dense).collect()
+      .map(r => r.getString(1) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out2("2026-01-08") == ((70L, 7L, 1L)))
+  }
+
   test("event anomaly: spikes only fire on full 7-day history") {
     val rows = Events.qEventAnomaly(spark, sf).collect()
     assert(rows.nonEmpty)
