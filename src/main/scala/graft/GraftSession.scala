@@ -38,6 +38,12 @@ object GraftSession {
     // signature scan into a full sort of every shingle row. 100k
     // groups × 256-byte buffers ≈ 25 MB/task: cheap insurance.
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "100000")
+    // runtime Bloom-filter join pushdown: a selective build side
+    // injects a bloom predicate into the probe-side SCAN, so a 100 TB
+    // fact table skips row groups that cannot match — free selectivity
+    // the planner can only prove at runtime (PlanSpec pins it engages)
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "50MB")
     // engine Catalyst extensions (automatic range-join bucketing —
     // inert until spark.graft.rangeJoin.binSize is set)
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")

@@ -640,6 +640,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange rangepartitioning"), plan.take(2000))
   }
 
+  test("runtime bloom-filter join pushdown engages for a selective build side") {
+    // scoped session (the RangeJoinRuleSpec pattern): drop the 10 GB
+    // probe-scan threshold so the sf0.001 fixture demonstrates the
+    // same injection a 100 TB fact-table join gets for free, and
+    // disable broadcast so a shuffle join actually needs the bloom
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "50MB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = graft.sources.Tables.load(s2, sf, "lineitem")
+    val ord = graft.sources.Tables.load(s2, sf, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+    val j = li.join(ord,
+      org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+    val logical = j.queryExecution.optimizedPlan.toString
+    assert(logical.contains("might_contain"),
+      "the selective orders side must inject a bloom predicate into the lineitem scan:\n" +
+        logical.take(2000))
+  }
+
   test("equi-depth bins: literal edges, no corpus range-sort") {
     val df = ScaleOps.qEquidepthBins(spark, sf)
     val plan = executedPhysical(df)
