@@ -1807,7 +1807,7 @@ object SparkEntry {
         FROM mass
       ), calc0 AS (
         SELECT m.source, m.n_tokens, t.tot_tokens,
-               CASE WHEN t.tot_mass < 1000000
+               CASE WHEN t.tot_mass < 9000000000000
                     THEN (1000000 * m.dedup_mass) // t.tot_mass
                     ELSE m.dedup_mass // (t.tot_mass // 1000000) END AS target_share_ppm
         FROM mass m CROSS JOIN tot t

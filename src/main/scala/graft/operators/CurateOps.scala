@@ -992,12 +992,14 @@ object CurateOps {
     val total = mass.agg(sum(col("n_tokens")).as("tot_tokens"),
       sum(col("dedup_mass")).as("tot_mass"))
     mass.crossJoin(broadcast(total))
-      // small corpora multiply first (exact, product < 10¹²); big
-      // corpora divide the denominator first (ppm-resolution, no
-      // overflow at any scale) — the branch is on corpus size, so
-      // every engine takes the same one
+      // multiply-first is EXACT and overflow-safe while 10⁶·tot_mass
+      // fits a Long (tot_mass < 9·10¹² milli-units ≈ 9·10⁹ tokens ≈
+      // tens of TB of text); beyond that the denominator divides
+      // first — it is then ≥ 9·10⁶, so the rounding it introduces is
+      // ≤ ~10⁻⁷ relative. The branch is on corpus size, so every
+      // engine takes the same one
       .withColumn("target_share_ppm",
-        expr("""CASE WHEN tot_mass < 1000000
+        expr("""CASE WHEN tot_mass < 9000000000000
                   THEN (1000000 * dedup_mass) div tot_mass
                   ELSE dedup_mass div (tot_mass div 1000000) END"""))
       // tot_tokens·share splits EXACTLY around the 10⁶ divisor:
