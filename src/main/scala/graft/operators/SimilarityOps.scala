@@ -438,6 +438,39 @@ object SimilarityOps {
     oversized
   }
 
+  /** Index fsck: one-pass consistency report over a persisted IVF
+    * layout — the check a maintenance loop runs after compaction /
+    * rebalancing / a crashed writer, BEFORE serving traffic:
+    *
+    *   - orphan cell directories (data with no centroid — a probe can
+    *     never reach them: silent recall loss)
+    *   - empty centroids (centroid with no directory — probes pay a
+    *     scan that returns nothing)
+    *   - duplicate vec_ids across cells (a failed move left both
+    *     copies — dedup verdicts double-count)
+    *
+    * Everything is metadata-scale except the duplicate check, which is
+    * one map-side-combined count over the id column.
+    */
+  def checkIvfIndex(s: SparkSession, path: String): DataFrame = {
+    val cells = s.read.parquet(s"$path/cells")
+      .withColumn("cell", col("cell").cast("long"))
+    val dirCells = cells.select(col("cell")).distinct()
+    val centCells = s.read.parquet(s"$path/centroids")
+      .select(col("centroid_id").as("cell"))
+    val orphans = dirCells.join(centCells, Seq("cell"), "left_anti").count()
+    val empties = centCells.join(dirCells, Seq("cell"), "left_anti").count()
+    val dupIds = cells.groupBy(col("vec_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1L).count()
+    val nVecs = cells.count()
+    val sp = s
+    import sp.implicits._
+    Seq((nVecs, dirCells.count(), orphans, empties, dupIds,
+      if (orphans == 0 && empties == 0 && dupIds == 0) 1L else 0L))
+      .toDF("n_vectors", "n_cells", "orphan_dirs", "empty_centroids",
+        "duplicate_ids", "consistent")
+  }
+
   /** Assign arbitrary raw (vec_id, embedding) rows to their nearest
     * FROZEN centroid — the index-maintenance half of IVF: arriving
     * vectors are cell-assigned against the persisted centroid table

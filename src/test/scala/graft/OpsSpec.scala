@@ -1765,6 +1765,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(replay == afterCodes, "compaction must be idempotent")
   }
 
+  test("index fsck: clean after persist AND after rebalance; detects a planted orphan") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_fsck").toString
+    SimilarityOps.persistIvfIndex(spark, sf, path)
+    def report() = SimilarityOps.checkIvfIndex(spark, path).collect()(0)
+    assert(report().getLong(5) == 1L, "fresh index must be consistent")
+    SimilarityOps.rebalanceIvfIndex(spark, path, splitFactor = 1L)
+    val afterRebal = report()
+    assert(afterRebal.getLong(5) == 1L,
+      s"rebalance must leave the layout consistent: $afterRebal")
+    // plant an orphan directory (a crashed writer's leftover): copy an
+    // existing cell dir under an id no centroid knows
+    val cellsDir = new java.io.File(s"$path/cells")
+    val src = cellsDir.listFiles().filter(_.getName.startsWith("cell=")).head
+    val orphan = new java.io.File(cellsDir, "cell=999")
+    orphan.mkdir()
+    src.listFiles().filter(_.getName.endsWith(".parquet")).take(1).foreach { f =>
+      java.nio.file.Files.copy(f.toPath, orphan.toPath.resolve(f.getName))
+    }
+    val broken = report()
+    assert(broken.getLong(2) >= 1L && broken.getLong(5) == 0L,
+      s"the planted orphan must be reported: $broken")
+  }
+
   test("IVF rebalance: splits hot cells in place, preserves members, exact at full probe") {
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_rebal").toString
