@@ -141,9 +141,13 @@ case class QSketch(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
+  // containsNull = true although elements never are: parquet
+  // round-trips arrays as nullable, and a downstream engine
+  // materialization re-casting to a containsNull=false type is an
+  // illegal downcast — the permissive type survives CTAS unchanged
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("v", LongType), StructField("w", LongType))),
-    containsNull = false)
+    containsNull = true)
   override def prettyName: String = "quantile_sketch"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

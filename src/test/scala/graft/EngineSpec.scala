@@ -1856,4 +1856,38 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "packages:\n  - package: acme/util\n    hub: https://hub.getdbt.com\n")
     assertThrows[IllegalArgumentException](ProjectLoader.load(dh.toString))
   }
+
+  test("examples/curation showcase: the engine runs the pipeline; keepers match the operator library") {
+    val work = Files.createTempDirectory("graft_showcase")
+    val store = new RelationStore(spark, work.resolve("wh").toString)
+    val p = ProjectLoader.resolveRefs(ProjectLoader.load("examples/curation"))
+    val res = new Runner(spark, p, store, RunOptions(cmd = "build", threads = 2,
+      targetDir = work.resolve("target").toString)).execute()
+    assert(res.nonEmpty && res.forall(r => r.status == "success" || r.status == "pass"),
+      res.mkString("\n"))
+    // keeper election through the ENGINE's SQL path must agree with the
+    // operator library's dedupExact bit for bit
+    import org.apache.spark.sql.functions.col
+    val engineKeep = store.read("dedup_keepers")
+      .select(col("doc_id"), col("keep").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val opKeep = graft.operators.DedupOps.dedupExact(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("keep").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(engineKeep == opKeep, "engine SQL and operator library disagree on keepers")
+    // the clean corpus equals the quality-passing keepers exactly
+    val clean = store.read("corpus_clean").count()
+    val expected = store.read("doc_quality").filter(col("quality_pass") === 1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      .intersect(engineKeep.filter(_._2 == 1L).map(_._1))
+    assert(clean == expected.size.toLong, s"clean $clean != ${expected.size}")
+    // the datacard accounts for every document
+    val card = store.read("datacard")
+    assert(card.agg(org.apache.spark.sql.functions.sum("n_docs")).first().getLong(0)
+      == engineKeep.size.toLong)
+    // the native quantile_sketch aggregate flowed through engine SQL
+    val sk = store.read("token_quantiles").collect()
+    assert(sk.nonEmpty && sk.forall(_.getSeq[Any](1).nonEmpty),
+      "per-source token sketches must be non-empty")
+  }
 }
