@@ -218,6 +218,9 @@ object SparkEntry {
     "mm_phash" -> (Multimodal.mmPhash _),
     "mm_phash_pairs" -> ((s, d) => Multimodal.mmPhashPairs(s, d)),
     "mm_canonical" -> (Multimodal.mmCanonical _),
+    "curate_quality_distill" -> (CurateOps.curateQualityDistill _),
+    "curate_doremi_weights" -> (CurateOps.curateDoremiWeights _),
+    "emb_random_projection" -> (SimilarityOps.embRandomProjection _),
   )
 
   /** DuckDB-dialect oracle SQL per query (same column names as the Spark
@@ -3605,6 +3608,104 @@ object SparkEntry {
                PARTITION BY cl.cluster_id
                ORDER BY sizes.n_bytes DESC, cl.doc_id) = 1 AS BIGINT) AS keep
       FROM cl JOIN sizes USING (doc_id)"""),
+
+    // Gate distillation: exact-integer least squares (Cramer adjugate,
+    // multiply-through threshold) replayed over the shared gate SQL.
+    "curate_quality_distill" -> s"""
+      WITH gate AS ($GopherGateSql),
+      feat AS (
+        SELECT doc_id, admitted AS y,
+               least(n_tokens // 32, 7) AS x1,
+               least(mean_len_milli // 1000, 7) AS x2
+        FROM gate
+      ), st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+               CAST(SUM(x1*x1) AS BIGINT) AS s11, CAST(SUM(x1*x2) AS BIGINT) AS s12,
+               CAST(SUM(x2*x2) AS BIGINT) AS s22,
+               CAST(SUM(y) AS BIGINT) AS b0, CAST(SUM(x1*y) AS BIGINT) AS b1,
+               CAST(SUM(x2*y) AS BIGINT) AS b2
+        FROM feat
+      ), co AS (
+        SELECT *,
+               (s11*s22 - s12*s12) AS c00,
+               (s12*s2 - s1*s22) AS c01,
+               (s1*s12 - s11*s2) AS c02,
+               (n*s22 - s2*s2) AS c11,
+               (s1*s2 - n*s12) AS c12,
+               (n*s11 - s1*s1) AS c22
+        FROM st
+      ), w AS (
+        SELECT n, b0,
+               (n*c00 + s1*c01 + s2*c02) AS det,
+               (c00*b0 + c01*b1 + c02*b2) AS m0,
+               (c01*b0 + c11*b1 + c12*b2) AS m1,
+               (c02*b0 + c12*b1 + c22*b2) AS m2
+        FROM co
+      )
+      SELECT f.doc_id, f.y,
+             CAST(w.m0 + w.m1*f.x1 + w.m2*f.x2 AS BIGINT) AS score,
+             CAST(CASE WHEN w.det > 0
+                       THEN 2*(w.m0 + w.m1*f.x1 + w.m2*f.x2) >= w.det
+                       ELSE 2*w.b0 >= w.n END AS BIGINT) AS pred,
+             CAST((CASE WHEN w.det > 0
+                        THEN 2*(w.m0 + w.m1*f.x1 + w.m2*f.x2) >= w.det
+                        ELSE 2*w.b0 >= w.n END) = (f.y = 1) AS BIGINT) AS agree
+      FROM feat f CROSS JOIN w""",
+
+    // DoReMi-style source reweighting over the shared char-LM SQL:
+    // quarter-bit excess quantization, power-of-two weights by shift.
+    "curate_doremi_weights" -> s"""
+      WITH lm AS ($CharLmSql),
+      per AS (
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(lm.n_bigrams) AS BIGINT) AS nb,
+               CAST(SUM(lm.surprisal_bits) AS BIGINT) AS sb
+        FROM lm JOIN documents d USING (doc_id)
+        GROUP BY d.source
+      ), base AS (
+        SELECT CAST(SUM(sb) AS BIGINT) AS tsb, CAST(SUM(nb) AS BIGINT) AS tnb FROM per
+      ), ex AS (
+        SELECT per.source, per.n_docs,
+               (1000 * per.sb) // per.nb AS mean_millibits,
+               (1000 * base.tsb) // base.tnb AS baseline_millibits,
+               least(greatest(((1000 * per.sb) // per.nb - (1000 * base.tsb) // base.tnb) // 250,
+                     0), 12) AS excess_q
+        FROM per CROSS JOIN base
+      ), wt AS (
+        SELECT *, CAST(1 AS BIGINT) << excess_q AS w_raw FROM ex
+      )
+      SELECT source, n_docs,
+             CAST(mean_millibits AS BIGINT) AS mean_millibits,
+             CAST(baseline_millibits AS BIGINT) AS baseline_millibits,
+             CAST(excess_q AS BIGINT) AS excess_q,
+             CAST(w_raw AS BIGINT) AS w_raw,
+             CAST((1000000 * w_raw) // CAST(SUM(w_raw) OVER () AS BIGINT) AS BIGINT) AS weight_ppm
+      FROM wt""",
+
+    // JL signed projection: the 16x64 sign matrix materializes from the
+    // SAME Scala definition (SimilarityOps.jlSign) as literal lists.
+    "emb_random_projection" -> {
+      val rows = (0 until SimilarityOps.JlOutDim).map { k =>
+        val sgn = (0 until SimilarityOps.Dim)
+          .map(j => s"${SimilarityOps.jlSign(k, j)}::BIGINT")
+          .mkString("[", ",", "]")
+        s"($k::BIGINT, $sgn)"
+      }.mkString(",\n               ")
+      s"""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings
+      ), m(out_dim, sgn) AS (
+        SELECT * FROM (VALUES $rows)
+      )
+      SELECT e.vec_id, m.out_dim,
+             CAST(list_sum(list_transform(range(1, ${SimilarityOps.Dim + 1}),
+                  i -> e.q[i] * m.sgn[i])) AS BIGINT) AS proj
+      FROM e CROSS JOIN m"""
+    },
   )
 
   /** aHash oracle: 64 evenly-spaced payload bytes (the mm_resize hex

@@ -1119,4 +1119,111 @@ object CurateOps {
       .select(col("source"), col("n_old"), col("n_new"), col("n_added"),
         col("n_removed"), col("n_common"), coalesce(col("n_moved"), lit(0L)).as("n_moved"))
   }
+
+  /** Quality-gate distillation (the FineWeb-Edu pattern, Penedo et al.
+    * 2024 §3.2: run the expensive teacher once, train a cheap student,
+    * serve the student at scan throughput): an exact-integer
+    * least-squares linear probe is fit on two CHEAP per-row features
+    * (token-count band, mean token length) against the full
+    * [[curateGopherGate]] verdict — whose repetition signals need the
+    * 2/3-gram shuffles — so future corpus passes can gate row-parallel
+    * without any n-gram pass.
+    *
+    * Training is ONE aggregation: d=3 least squares needs only the
+    * sufficient statistics XᵀX (6 sums) and Xᵀy (3 sums) — a
+    * map-side-combined corpus pass reducing to a single row, the
+    * data-parallel "sufficient statistics, not gradients" discipline.
+    * The normal equations solve DRIVER-side by Cramer's rule in exact
+    * Long arithmetic (adjugate · Xᵀy over det), and prediction
+    * multiplies through by det — `2·(adj(G)b)ᵀx ≥ det` ⟺ ŷ ≥ ½ — so
+    * there is NO division anywhere and the oracle hashes bit-for-bit.
+    *
+    * Magnitude bound: features are capped at 7, so |G| ≤ 49n,
+    * |adj(G)| ≤ 2(49n)², |score| ≤ 3·7·|adj|·7n < 2·10⁵·n³ — inside
+    * Long through sf0.1 (n≈5·10³). A 100 TB run (n≈10¹²) divides the
+    * sufficient statistics by n before solving (still deterministic —
+    * one `div` per stat); kept unscaled here for the bit-exact replay.
+    */
+  def curateQualityDistill(s: SparkSession, dir: String): DataFrame =
+    qualityDistillOf(curateGopherGate(s, dir))
+
+  /** The distillation over any gate table carrying (doc_id, n_tokens,
+    * mean_len_milli, admitted) — factored so specs can feed synthetic
+    * teachers (constant labels, collinear features). */
+  def qualityDistillOf(gate: DataFrame): DataFrame = {
+    val feat = gate.select(col("doc_id"), col("admitted").as("y"),
+      expr("least(n_tokens div 32, 7L)").as("x1"),
+      expr("least(mean_len_milli div 1000, 7L)").as("x2"))
+    val st = feat.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("y")).as("b0"), sum(col("x1") * col("y")).as("b1"),
+      sum(col("x2") * col("y")).as("b2")).collect()(0)
+    val (n, s1, s2) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val (s11, s12, s22) = (st.getLong(3), st.getLong(4), st.getLong(5))
+    val (b0, b1, b2) = (st.getLong(6), st.getLong(7), st.getLong(8))
+    // adjugate of the symmetric Gram matrix [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]
+    val c00 = s11 * s22 - s12 * s12
+    val c01 = s12 * s2 - s1 * s22
+    val c02 = s1 * s12 - s11 * s2
+    val c11 = n * s22 - s2 * s2
+    val c12 = s1 * s2 - n * s12
+    val c22 = n * s11 - s1 * s1
+    val det = n * c00 + s1 * c01 + s2 * c02
+    val m0 = c00 * b0 + c01 * b1 + c02 * b2
+    val m1 = c01 * b0 + c11 * b1 + c12 * b2
+    val m2 = c02 * b0 + c12 * b1 + c22 * b2
+    val score = lit(m0) + lit(m1) * col("x1") + lit(m2) * col("x2")
+    // det = 0 ⟺ collinear features (e.g. a constant corpus): fall back
+    // to the majority label so the operator stays total and exact
+    val pred =
+      if (det > 0L) (score * 2L >= lit(det)).cast("long")
+      else lit(if (2L * b0 >= n) 1L else 0L)
+    feat.select(col("doc_id"), col("y"), score.as("score"), pred.as("pred"))
+      .withColumn("agree", (col("pred") === col("y")).cast("long"))
+  }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, simplified to
+    * the one-round heuristic production mixes actually start from):
+    * domains whose text the reference LM models WORSE than the corpus
+    * average get up-weighted exponentially in their excess loss, so
+    * under-represented/harder domains contribute more training mass.
+    * Here the reference model is the corpus's own char-bigram LM
+    * ([[TextOps.txtCharLmScore]]) and weights stay exact integers:
+    * excess surprisal is quantized to quarter-bits (capped at 3 bits)
+    * and the exponential is a LEFT SHIFT — `w = 2^excess_q` — so the
+    * softmax-shaped reweighting needs no floating exp and replays
+    * bit-for-bit.
+    *
+    * Scale shape: the per-doc scoring is the char-LM's corpus pass
+    * (broadcast model, map-side-combined gram shuffle); everything
+    * after collapses to the sources-bounded table — the baseline is a
+    * 1-row broadcast, the weight normalization a window over ≤
+    * |sources| rows. Output is metadata-sized at any corpus scale.
+    */
+  def curateDoremiWeights(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.txtCharLmScore(s, dir)
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val per = scored.join(src, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("nb"),
+        sum(col("surprisal_bits")).as("sb"))
+      .withColumn("mean_millibits", expr("(1000 * sb) div nb"))
+    val base = per.agg(sum(col("sb")).as("tsb"), sum(col("nb")).as("tnb"))
+    val weighted = per.crossJoin(broadcast(base))
+      .withColumn("baseline_millibits", expr("(1000 * tsb) div tnb"))
+      .withColumn("excess_q",
+        expr("least(greatest((mean_millibits - baseline_millibits) div 250, 0L), 12L)"))
+      .withColumn("w_raw", expr("shiftleft(cast(1 as bigint), cast(excess_q as int))"))
+    // normalization over the sources-bounded table as a 1-row broadcast,
+    // not an unpartitioned window (same numbers, no all-to-one window)
+    val wSum = weighted.agg(sum(col("w_raw")).as("w_sum"))
+    weighted.crossJoin(broadcast(wSum))
+      .withColumn("weight_ppm", expr("(1000000 * w_raw) div w_sum"))
+      .select(col("source"), col("n_docs"), col("mean_millibits"),
+        col("baseline_millibits"), col("excess_q"), col("w_raw"), col("weight_ppm"))
+  }
 }

@@ -1424,4 +1424,49 @@ object SimilarityOps {
     }
     selected.toDF("sel_round", "cid", "rel_cos", "mmr_score")
   }
+
+  /** Johnson-Lindenstrauss output width for [[embRandomProjection]]. */
+  val JlOutDim = 16
+
+  /** Deterministic ±1 sign for JL output dim `k`, input dim `j` — an
+    * LCG bit (Numerical Recipes constants) over the flattened index,
+    * the [[planeSign]] discipline without the MD5 cost: the "random"
+    * matrix is pure data-independent arithmetic, so Spark and the
+    * oracle materialize the SAME literal matrix from this one
+    * definition and no randomness crosses an engine boundary.
+    */
+  def jlSign(k: Int, j: Int): Long =
+    if ((((1103515245L * (j * JlOutDim + k) + 12345L) >> 16) & 1L) == 1L) 1L else -1L
+
+  /** Johnson-Lindenstrauss signed random projection (Achlioptas 2003:
+    * ±1 entries preserve pairwise distances in expectation like
+    * Gaussians do) — 64-dim integer vectors down to [[JlOutDim]]
+    * dims, E[‖p(a)−p(b)‖²] = (d_out/d_in)·‖a−b‖² up to the JL
+    * distortion. The cheap front half of a two-stage ANN: candidate
+    * generation in the narrow space (4× fewer multiplies per dot, 4×
+    * smaller shuffle payloads), exact re-score in the original space.
+    *
+    * Scale shape: the projection matrix is 16×64 CONSTANT literals
+    * folded into the expression tree, so the whole operator is one
+    * row-parallel codegen'd projection — zero shuffles, zero joins,
+    * scan throughput at any corpus size. (At larger d_in×d_out the
+    * matrix would move into a broadcast array + `aggregate`; at this
+    * size constant folding beats the interpreted higher-order path.)
+    * Long output shape (vec_id, out_dim, proj) keeps the oracle
+    * hash schema-stable.
+    */
+  def embRandomProjection(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings").select(
+      col("vec_id"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))").as("q"))
+    val projCols = (0 until JlOutDim).map { k =>
+      (0 until Dim).map(j => element_at(col("q"), j + 1) * lit(jlSign(k, j)))
+        .reduce(_ + _).as(s"p$k")
+    }
+    val stacked = s"stack($JlOutDim, " +
+      (0 until JlOutDim).map(k => s"cast($k as bigint), p$k").mkString(", ") +
+      ") as (out_dim, proj)"
+    e.select(col("vec_id") +: projCols: _*)
+      .selectExpr("vec_id", stacked)
+  }
 }

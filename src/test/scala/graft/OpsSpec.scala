@@ -2042,4 +2042,105 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(seg == expected, s"user ${r.getLong(0)}: $seg != $expected")
     }
   }
+
+  test("quality distill: driver replay of the normal-equations solve; constant teacher is fit exactly") {
+    val rows = CurateOps.curateQualityDistill(spark, sf)
+      .select("doc_id", "y", "score", "pred", "agree").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // replay: rebuild the sufficient statistics from the gate features
+    // and verify every per-doc score/pred against the Cramer solve
+    val feat = CurateOps.curateGopherGate(spark, sf)
+      .selectExpr("doc_id", "admitted as y",
+        "least(n_tokens div 32, 7L) as x1", "least(mean_len_milli div 1000, 7L) as x2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = feat.length.toLong
+    val s1 = feat.map(_._3).sum; val s2 = feat.map(_._4).sum
+    val s11 = feat.map(f => f._3 * f._3).sum; val s12 = feat.map(f => f._3 * f._4).sum
+    val s22 = feat.map(f => f._4 * f._4).sum
+    val b0 = feat.map(_._2).sum
+    val b1 = feat.map(f => f._3 * f._2).sum; val b2 = feat.map(f => f._4 * f._2).sum
+    val c00 = s11 * s22 - s12 * s12; val c01 = s12 * s2 - s1 * s22
+    val c02 = s1 * s12 - s11 * s2; val c11 = n * s22 - s2 * s2
+    val c12 = s1 * s2 - n * s12; val c22 = n * s11 - s1 * s1
+    val det = n * c00 + s1 * c01 + s2 * c02
+    val m0 = c00 * b0 + c01 * b1 + c02 * b2
+    val m1 = c01 * b0 + c11 * b1 + c12 * b2
+    val m2 = c02 * b0 + c12 * b1 + c22 * b2
+    assert(det > 0, "real corpus features must not be collinear")
+    val byId = feat.map(f => f._1 -> f).toMap
+    rows.foreach { case (id, y, score, pred, agree) =>
+      val f = byId(id)
+      assert(y == f._2)
+      assert(score == m0 + m1 * f._3 + m2 * f._4, s"doc $id score")
+      assert(pred == (if (2 * score >= det) 1L else 0L), s"doc $id pred")
+      assert(agree == (if (pred == y) 1L else 0L))
+    }
+    // a student this cheap must still beat coin-flipping on its teacher
+    val acc = rows.count(_._5 == 1L).toDouble / rows.length
+    assert(acc >= 0.5, s"in-sample agreement $acc")
+    // constant-label teacher: the LS fit (or the majority fallback when
+    // features are collinear) reproduces the teacher exactly
+    val sp = spark
+    import sp.implicits._
+    val const = Seq((1L, 10L, 4500L, 1L), (2L, 80L, 5000L, 1L), (3L, 300L, 3800L, 1L))
+      .toDF("doc_id", "n_tokens", "mean_len_milli", "admitted")
+    val out = CurateOps.qualityDistillOf(const).select("pred", "y").collect()
+    assert(out.forall(r => r.getLong(0) == r.getLong(1)), "constant teacher not fit exactly")
+  }
+
+  test("doremi weights: normalization mass, shift law, monotonicity in excess") {
+    val rows = CurateOps.curateDoremiWeights(spark, sf)
+      .select("source", "mean_millibits", "baseline_millibits", "excess_q", "w_raw", "weight_ppm")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // floor-division normalization: total mass within one ulp-per-source of 1e6
+    val mass = rows.map(_._6).sum
+    assert(mass <= 1000000L && mass > 1000000L - rows.length,
+      s"weight mass $mass over ${rows.length} sources")
+    rows.foreach { case (src, mean, base, ex, w, _) =>
+      assert(w == (1L << ex), s"$src: weight is not 2^excess")
+      val expectedEx = math.min(math.max((mean - base) / 250, 0L), 12L)
+      assert(ex == expectedEx, s"$src: excess_q $ex != $expectedEx")
+    }
+    // at-or-below-baseline sources all share the unit weight
+    assert(rows.filter(r => r._2 <= r._3).forall(_._5 == 1L))
+    // monotone: sorting by mean surprisal sorts excess_q
+    val sorted = rows.sortBy(_._2).map(_._4)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("JL projection: zero-shuffle plan, deterministic, distances preserved in the JL band") {
+    val df = SimilarityOps.embRandomProjection(spark, sf)
+    // the whole operator must be a row-parallel projection: no exchange
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "JL projection must not shuffle")
+    val proj = df.collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      }
+    val orig = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint)) as q")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(proj.keySet == orig.keySet)
+    assert(proj.values.forall(_.length == SimilarityOps.JlOutDim))
+    // JL distortion: for sampled pairs, the projected squared distance
+    // normalized by d_out (E[|Sx|^2] = d_out*|x|^2 for ±1 entries)
+    // tracks the original within a loose band — the property that
+    // makes the narrow space usable for candidate generation
+    val ids = orig.keys.toSeq.sorted.take(20)
+    val pairs = for { a <- ids; b <- ids if a < b } yield (a, b)
+    def d2(x: Array[Long], y: Array[Long]): Double =
+      x.zip(y).map { case (u, v) => val d = (u - v).toDouble; d * d }.sum
+    val ratios = pairs.map { case (a, b) =>
+      val od = d2(orig(a), orig(b))
+      val pd = d2(proj(a), proj(b)) / SimilarityOps.JlOutDim.toDouble
+      if (od == 0.0) 1.0 else pd / od
+    }
+    val inBand = ratios.count(r => r >= 0.3 && r <= 3.0).toDouble / ratios.length
+    assert(inBand >= 0.8, s"only ${(inBand * 100).round}% of pairs inside the distortion band")
+  }
 }
