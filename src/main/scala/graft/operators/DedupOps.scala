@@ -425,11 +425,19 @@ object DedupOps {
     */
   val SimHashMaxHamming = 3
 
-  def dedupSimHashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sigs = ResidentCache(s, "dedup_simhash_sigs",
-      dedupSimHash(s, dir).select(col("doc_id"), col("simhash")))
-    hammingPairs(sigs, "simhash", SimHashMaxHamming)
-  }
+  def dedupSimHashPairs(s: SparkSession, dir: String): DataFrame =
+    // memoized like the [[GraphOps.dedupClusters]] CC table: SEVEN
+    // operators consume this pair graph (clusters, source matrix,
+    // threshold histogram, PageRank, k-core, label prop, triangles) —
+    // without the memo each pays the banding join + distinct again.
+    // The pair table is near-dup-density-bounded (orders smaller than
+    // the corpus), so pinning it is the in-memory analogue of the
+    // persisted bucketed dedup index.
+    ResidentCache.memo(s, s"simhash_pairs@$dir") {
+      val sigs = ResidentCache(s, "dedup_simhash_sigs",
+        dedupSimHash(s, dir).select(col("doc_id"), col("simhash")))
+      hammingPairs(sigs, "simhash", SimHashMaxHamming)
+    }
 
   /** Cross-source near-duplication matrix: SimHash near-dup pairs
     * cross-tabulated by the (source, source) of their endpoints —

@@ -296,7 +296,9 @@ object GraphOps {
       .select(col("src").as("node"), col("deg0"))
     // removed_round = 0 while alive; set to the peel round on removal
     var state = save(deg0.select(col("node"), lit(0L).as("removed_round")))
-    for (r <- 1 to rounds) {
+    var r = 1
+    var stable = false
+    while (r <= rounds && !stable) {
       val alive = state.filter(col("removed_round") === 0L).select(col("node"))
       val aliveDeg = sym
         .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
@@ -306,9 +308,15 @@ object GraphOps {
       val dropped = alive.join(aliveDeg, Seq("node"), "left")
         .filter(coalesce(col("d"), lit(0L)) < k)
         .select(col("node"), lit(r.toLong).as("rr"))
-      state = save(state.join(dropped, Seq("node"), "left")
+      // peeling is monotone: an empty peel means every remaining round
+      // is a no-op, so exiting early returns EXACTLY the unrolled
+      // result while skipping the dead rounds' job overhead (a driver
+      // boolean per round, same discipline as connectedComponents)
+      if (dropped.isEmpty) stable = true
+      else state = save(state.join(dropped, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("rr"), col("removed_round")).as("removed_round")))
+      r += 1
     }
     state.join(deg0, Seq("node"))
       .select(col("node").as("doc_id"), col("deg0"), col("removed_round"),
