@@ -1154,27 +1154,44 @@ object CurateOps {
     val feat = gate.select(col("doc_id"), col("admitted").as("y"),
       expr("least(n_tokens div 32, 7L)").as("x1"),
       expr("least(mean_len_milli div 1000, 7L)").as("x2"))
+    // sums coalesced to 0: an EMPTY gate yields all-null sums (n=0),
+    // which must route through the det=0 majority fallback and return
+    // an empty frame cleanly, not NPE on Row.getLong
+    def z(c: Column) = coalesce(sum(c), lit(0L))
     val st = feat.agg(
       count(lit(1)).as("n"),
-      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
-      sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
-      sum(col("x2") * col("x2")).as("s22"),
-      sum(col("y")).as("b0"), sum(col("x1") * col("y")).as("b1"),
-      sum(col("x2") * col("y")).as("b2")).collect()(0)
+      z(col("x1")).as("s1"), z(col("x2")).as("s2"),
+      z(col("x1") * col("x1")).as("s11"), z(col("x1") * col("x2")).as("s12"),
+      z(col("x2") * col("x2")).as("s22"),
+      z(col("y")).as("b0"), z(col("x1") * col("y")).as("b1"),
+      z(col("x2") * col("y")).as("b2")).collect()(0)
     val (n, s1, s2) = (st.getLong(0), st.getLong(1), st.getLong(2))
     val (s11, s12, s22) = (st.getLong(3), st.getLong(4), st.getLong(5))
     val (b0, b1, b2) = (st.getLong(6), st.getLong(7), st.getLong(8))
-    // adjugate of the symmetric Gram matrix [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]
-    val c00 = s11 * s22 - s12 * s12
-    val c01 = s12 * s2 - s1 * s22
-    val c02 = s1 * s12 - s11 * s2
-    val c11 = n * s22 - s2 * s2
-    val c12 = s1 * s2 - n * s12
-    val c22 = n * s11 - s1 * s1
-    val det = n * c00 + s1 * c01 + s2 * c02
-    val m0 = c00 * b0 + c01 * b1 + c02 * b2
-    val m1 = c01 * b0 + c11 * b1 + c12 * b2
-    val m2 = c02 * b0 + c12 * b1 + c22 * b2
+    // adjugate of the symmetric Gram matrix [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]].
+    // Exact arithmetic throughout: the statistics grow ~n³ (docstring
+    // bound), and past the documented safe n Scala Long would WRAP
+    // silently where DuckDB BIGINT raises — multiplyExact/addExact
+    // make the engine fail as loudly as the oracle instead of emitting
+    // wrong scores without error.
+    def mul(a: Long, b: Long): Long = Math.multiplyExact(a, b)
+    def sub(a: Long, b: Long): Long = Math.subtractExact(a, b)
+    def add3(a: Long, b: Long, c: Long): Long = Math.addExact(Math.addExact(a, b), c)
+    val c00 = sub(mul(s11, s22), mul(s12, s12))
+    val c01 = sub(mul(s12, s2), mul(s1, s22))
+    val c02 = sub(mul(s1, s12), mul(s11, s2))
+    val c11 = sub(mul(n, s22), mul(s2, s2))
+    val c12 = sub(mul(s1, s2), mul(n, s12))
+    val c22 = sub(mul(n, s11), mul(s1, s1))
+    val det = add3(mul(n, c00), mul(s1, c01), mul(s2, c02))
+    val m0 = add3(mul(c00, b0), mul(c01, b1), mul(c02, b2))
+    val m1 = add3(mul(c01, b0), mul(c11, b1), mul(c12, b2))
+    val m2 = add3(mul(c02, b0), mul(c12, b1), mul(c22, b2))
+    // the executor-side 2·score = 2·(m0 + m1·x1 + m2·x2) (x ≤ 7) must
+    // also stay exact; |2·score| ≤ 2·(|m0| + 7|m1| + 7|m2|) < 30·max|m|
+    require(Seq(m0, m1, m2).forall(m => math.abs(m) < Long.MaxValue / 30),
+      "qualityDistillOf: sufficient statistics exceed the exact-Long score bound; " +
+        "divide the statistics by n before solving at this corpus scale")
     val score = lit(m0) + lit(m1) * col("x1") + lit(m2) * col("x2")
     // det = 0 ⟺ collinear features (e.g. a constant corpus): fall back
     // to the majority label so the operator stays total and exact
@@ -1196,6 +1213,16 @@ object CurateOps {
     * and the exponential is a LEFT SHIFT — `w = 2^excess_q` — so the
     * softmax-shaped reweighting needs no floating exp and replays
     * bit-for-bit.
+    *
+    * Domain note: a source whose documents ALL normalize to fewer
+    * than 2 characters has no char-LM bigrams to score, so it drops
+    * out of the weight table entirely (the inner join with the scored
+    * table removes its docs, and `n_docs` counts only scored docs per
+    * source). This is deliberate — a source with zero scorable text
+    * has no defined excess surprisal, and assigning it training mass
+    * would be arbitrary; callers who need such sources surfaced should
+    * left-join the output back onto the source list and treat the
+    * missing rows as "unscorable", not weight-0.
     *
     * Scale shape: the per-doc scoring is the char-LM's corpus pass
     * (broadcast model, map-side-combined gram shuffle); everything

@@ -305,9 +305,13 @@ object GraphOps {
         .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .groupBy(col("src")).agg(count(lit(1)).as("d"))
         .select(col("src").as("node"), col("d"))
-      val dropped = alive.join(aliveDeg, Seq("node"), "left")
+      // checkpoint the peel ONCE per round: `isEmpty` materializes the
+      // two-semi-join plan, and without the save the state-update join
+      // would recompute it from scratch — doubling every non-empty
+      // round's shuffle work to buy only the trailing no-op rounds
+      val dropped = save(alive.join(aliveDeg, Seq("node"), "left")
         .filter(coalesce(col("d"), lit(0L)) < k)
-        .select(col("node"), lit(r.toLong).as("rr"))
+        .select(col("node"), lit(r.toLong).as("rr")))
       // peeling is monotone: an empty peel means every remaining round
       // is a no-op, so exiting early returns EXACTLY the unrolled
       // result while skipping the dead rounds' job overhead (a driver

@@ -231,67 +231,110 @@ object ScaleOps {
     * driver-safe when the value domain is dense — on a sparse 64-bit
     * domain (epoch-nanos) fixed-width non-empty buckets approach the
     * distinct-value count and the coarse collect is unbounded. The
-    * derived width caps the coarse table at ~1M rows for ANY domain,
-    * and the fine pass stays bounded because it only ever reads the
-    * located buckets' actual values (≤ N rows of the quantile buckets,
-    * a vanishing fraction at 100 TB). An explicit positive width is
-    * honored for callers that know their domain. Quantile VALUES are
-    * width-independent (OpsSpec proves invariance across widths).
+    * derived width caps the coarse table at ~1M rows for ANY domain.
+    * An explicit positive width is honored for callers that know their
+    * domain (it applies to the TOP pass; refinement passes re-derive).
+    * Quantile VALUES are width-independent (OpsSpec proves invariance
+    * across widths).
+    *
+    * The fine pass is bounded by RECURSIVE REFINEMENT: a located
+    * bucket whose coarse count exceeds `fineLimit` is re-bucketed
+    * WITHIN its value range (the same derived-width device, one more
+    * bounded corpus-filter pass) instead of having its distinct values
+    * collected — the guard for dense-narrow-band domains (epoch-nanos
+    * within one day: derived width ~8·10⁷, so one hot bucket could
+    * otherwise put tens of millions of distinct values on the driver).
+    * Width-1 buckets resolve arithmetically (the bucket IS the value),
+    * so a single hot VALUE never reaches the driver at all. Every
+    * driver collect is therefore ≤ max(2²⁰ + 1, |quantiles|·fineLimit)
+    * rows by construction; `collectProbe` (test hook) observes each
+    * collect's size so OpsSpec can pin the bound.
     *
     * A `percentile`/`ntile` spelling would range-partition the full
-    * column through a sort; this touches the corpus twice with only
-    * bounded aggregates crossing the wire — the shape that survives a
+    * column through a sort; this touches the corpus O(log_2²⁰(range))
+    * times — 2 passes for any domain narrower than 2⁴⁰ — with only
+    * bounded aggregates crossing the wire: the shape that survives a
     * 100 TB fact column.
     */
   def exactQuantiles(df: DataFrame, valueCol: Column, qs: Seq[Int],
-      bucketWidth: Long = 0L): Seq[(Int, Long)] = {
+      bucketWidth: Long = 0L, fineLimit: Long = 1L << 20,
+      collectProbe: Long => Unit = _ => ()): Seq[(Int, Long)] = {
     // bucket by INTEGER division: a double `/` disagrees with the
     // driver's Long arithmetic above 2^53 (epoch-nanos territory)
     val v = valueCol.cast("long")
-    val derivedWidth = if (bucketWidth > 0) bucketWidth else {
-      val r = df.agg(min(v), max(v)).head()
-      if (r.isNullAt(0)) 1L
-      else {
-        // ceil(range / 2^20), floored at 1: dense small domains get
-        // width 1 (the coarse pass IS the exact histogram), sparse
-        // 64-bit domains get ≤ 2^20 + 1 coarse buckets
-        val range = r.getLong(1) - r.getLong(0)
-        math.max(1L, range / (1L << 20) + (if (range % (1L << 20) == 0) 0L else 1L))
-      }
-    }
-    exactQuantilesWidth(df, v, qs, derivedWidth)
+    val vals = df.select(v.as("__v")).filter(col("__v").isNotNull)
+    val mm = vals.agg(min(col("__v")), max(col("__v")), count(lit(1))).head()
+    require(!mm.isNullAt(0), "exactQuantiles: no non-null values")
+    val (lo, hi, n) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+    require(hi - lo >= 0L, "exactQuantiles: value range exceeds Long.MaxValue")
+    // the q-th quantile = the ceil(q·n/100)-th value (1-based) in
+    // sorted order; resolve all distinct ranks in one recursion
+    val ranks = qs.map(q => q -> math.max(1L, (q.toLong * n + 99L) / 100L))
+    val resolved = ranksWithin(vals, ranks.map(_._2).distinct.sorted, lo, hi,
+      bucketWidth, fineLimit, collectProbe)
+    ranks.map { case (q, r) => q -> resolved(r) }
   }
 
-  private def exactQuantilesWidth(df: DataFrame, v: Column, qs: Seq[Int],
-      bucketWidth: Long): Seq[(Int, Long)] = {
-    val coarse = df.select(v.as("__v"))
-      .selectExpr(s"__v div ${bucketWidth}L as b")
+  /** Resolve sorted-order ranks (1-based) among the rows of `vals`
+    * (one non-null long column `__v`, all values within [lo, hi]).
+    * Rebased bucketing — `(__v - lo) div width` — keeps bucket ids
+    * non-negative so truncating `div` is a true floor and bucket
+    * membership stays a contiguous value range on ANY signed domain.
+    */
+  private def ranksWithin(vals: DataFrame, ranks: Seq[Long], lo: Long, hi: Long,
+      forcedWidth: Long, fineLimit: Long, probe: Long => Unit): Map[Long, Long] = {
+    val range = hi - lo
+    val width =
+      if (forcedWidth > 0) forcedWidth
+      else math.max(1L, range / (1L << 20) + (if (range % (1L << 20) == 0) 0L else 1L))
+    val coarse = vals.select(expr(s"(__v - ${lo}L) div ${width}L").as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val n = coarse.map(_._2).sum
-    // locate each quantile's bucket via the coarse prefix sum
-    val targets = qs.map(q => q -> {
-      var cum = 0L
-      coarse.find { case (_, c) => cum += c; 100L * cum >= q.toLong * n }
-        .map(_._1).getOrElse(coarse.last._1)
-    })
-    val needed = targets.map(_._2).distinct
-    // bucket membership spelled as RANGE predicates on the value —
-    // min/max-pushable into the parquet scan when valueCol is a plain
-    // column (an `v div B in (...)` expression filter never is)
-    val inNeeded = needed.map(b =>
-      v.between(b * bucketWidth, b * bucketWidth + bucketWidth - 1)).reduce(_ || _)
-    val fine = df.filter(inNeeded).select(v.as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    // mass strictly below each needed bucket, from the coarse histogram
-    val below = needed.map(b => b -> coarse.filter(_._1 < b).map(_._2).sum).toMap
-    targets.map { case (q, b) =>
-      var cum = below(b)
-      val inBucket = fine.filter(_._1 / bucketWidth == b)
-      q -> inBucket.find { case (_, c) => cum += c; 100L * cum >= q.toLong * n }
-        .map(_._1).getOrElse(inBucket.last._1)
+    probe(coarse.length.toLong)
+    // locate each rank's bucket + rank-within-bucket via the driver
+    // prefix sum over the metadata-sized coarse histogram
+    val cum = coarse.scanLeft(0L)(_ + _._2).tail
+    val locs: Seq[(Long, Long, Long)] = ranks.map { r =>
+      val i = cum.indexWhere(_ >= r) match { case -1 => coarse.length - 1; case x => x }
+      val before = if (i == 0) 0L else cum(i - 1)
+      (r, coarse(i)._1, r - before)
     }
+    val cnts = coarse.toMap
+    val out = scala.collection.mutable.Map[Long, Long]()
+    if (width == 1L) {
+      // width-1 buckets hold exactly one value — arithmetic, no scan
+      locs.foreach { case (r, b, _) => out(r) = lo + b }
+    } else {
+      val (hot, small) = locs.partition { case (_, b, _) => cnts(b) > fineLimit }
+      if (small.nonEmpty) {
+        // bucket membership spelled as RANGE predicates on the value —
+        // min/max-pushable into the parquet scan when valueCol is a
+        // plain column (a `div`-expression filter never is)
+        val pred = small.map(_._2).distinct.map { b =>
+          col("__v").between(lo + b * width, math.min(hi, lo + b * width + width - 1))
+        }.reduce(_ || _)
+        val fine = vals.filter(pred)
+          .groupBy(col("__v")).agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        probe(fine.length.toLong)
+        small.foreach { case (r, b, rIn) =>
+          var c = 0L
+          val inB = fine.filter(x => (x._1 - lo) / width == b)
+          out(r) = inB.find { case (_, k) => c += k; c >= rIn }
+            .map(_._1).getOrElse(inB.last._1)
+        }
+      }
+      // recursive refinement: a denser-than-fineLimit bucket re-buckets
+      // within its own value range instead of collecting its values
+      hot.groupBy(_._2).foreach { case (b, rs) =>
+        val bLo = lo + b * width
+        val bHi = math.min(hi, bLo + width - 1)
+        val sub = ranksWithin(vals.filter(col("__v").between(bLo, bHi)),
+          rs.map(_._3).distinct.sorted, bLo, bHi, 0L, fineLimit, probe)
+        rs.foreach { case (r, _, rIn) => out(r) = sub(rIn) }
+      }
+    }
+    out.toMap
   }
 
   /** Oracle-checked demonstration over lineitem: exact p25/p50/p75/p99

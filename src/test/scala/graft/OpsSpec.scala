@@ -1074,6 +1074,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"domain not sparse enough to exercise the adaptive path (range=$range)")
   }
 
+  test("exact quantiles: recursive refinement bounds every driver collect on a dense narrow band") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    // the dense-narrow-band shape: a 2^50-wide domain (epoch-nanos
+    // across ~2 weeks) whose mass sits in one narrow dense band — the
+    // top-level derived width is 2^30, so ONE coarse bucket holds the
+    // whole band and the pre-refinement fine pass would have collected
+    // all ~50k distinct values of that bucket onto the driver
+    val base = 1L << 49
+    val band = sp.range(0L, 50001L).select((lit(base) + col("id")).as("v"))
+    val sentinels = Seq(0L, 1L << 50).toDF("v")
+    val df = band.unionByName(sentinels)
+    val vals = df.collect().map(_.getLong(0)).sorted
+    val n = vals.length
+    def ref(q: Int) = vals((((q.toLong * n + 99) / 100).toInt - 1).max(0))
+    val qs = Seq(25, 50, 75, 99)
+    val collects = scala.collection.mutable.ArrayBuffer[Long]()
+    val fineLimit = 1000L
+    val got = ScaleOps.exactQuantiles(df, col("v"), qs, 0L, fineLimit,
+      sz => collects.synchronized { collects += sz }).toMap
+    qs.foreach(q => assert(got(q) == ref(q),
+      s"q$q refined: got ${got(q)}, sort says ${ref(q)}"))
+    // the hot band forces ≥ 2 refinement levels (2^30 → 2^10 → 1), so
+    // strictly more collects than the two-pass shape's coarse+fine
+    assert(collects.length > 2, s"refinement did not recurse: $collects")
+    // EVERY driver collect stays under the construction bound — in
+    // particular no collect ever approaches the 50k distinct values of
+    // the hot bucket the old fine pass would have gathered
+    val bound = math.max((1L << 20) + 1, qs.length * fineLimit)
+    collects.foreach(c => assert(c <= bound, s"collect $c exceeds bound $bound"))
+    assert(collects.max < 50001L,
+      s"a collect gathered the whole hot band: ${collects.max}")
+  }
+
   test("mm canonical: one keeper per phash cluster, keeper maximizes (bytes, -id)") {
     val rows = Multimodal.mmCanonical(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -2087,6 +2122,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doc_id", "n_tokens", "mean_len_milli", "admitted")
     val out = CurateOps.qualityDistillOf(const).select("pred", "y").collect()
     assert(out.forall(r => r.getLong(0) == r.getLong(1)), "constant teacher not fit exactly")
+    // EMPTY teacher: all-null sums must coalesce to 0 and route through
+    // the det=0 fallback — an empty result, not an NPE on Row.getLong
+    val empty = const.filter(const("doc_id") < 0L)
+    assert(CurateOps.qualityDistillOf(empty).collect().isEmpty, "empty gate must yield empty")
   }
 
   test("doremi weights: normalization mass, shift law, monotonicity in excess") {
