@@ -411,7 +411,7 @@ object CurateOps {
     val toks = docs(s, dir).select(
       col("doc_id"), col("source"),
       size(split(TextOps.normalized(col("text")), " ")).cast("long").as("n_tokens"))
-    val d = rangeDivisor(toks, 1024)
+    val d = rangeDivisor(toks)
     groupedPrefixSum(toks, col("source"), expr(s"doc_id div $d"),
         Seq(col("doc_id")), col("n_tokens"), "tok_before")
       .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_before"),
@@ -419,18 +419,33 @@ object CurateOps {
   }
 
   /** Bucket divisor for range-keyed prefix sums: the smallest `d` with
-    * `ceil(idRange / d) <= maxBuckets`, from a bounded 1-row min/max
+    * `ceil(idRange / d) <= buckets`, from a bounded 1-row min/max/count
     * aggregate (same strided-bounds pattern as `simIvfTopK`'s centroid
     * seed). Truncating `div` is monotone non-decreasing, so
     * `key div d` preserves the prefix-sum caller contract for any `d`.
     * Empty input → 1 (nothing to bucket).
+    *
+    * `maxBuckets <= 0` (the default) derives the bucket COUNT from the
+    * input's row count as clamp(√n, 1024, 2²⁰): the two-phase prefix
+    * sum has two window shapes — the in-bucket cumsum over ~n/buckets
+    * rows per partition and the bucket-grid cumsum over `buckets` rows
+    * — and √n balances them, so BOTH stay ~10⁶ at a 10¹²-row corpus
+    * where a fixed 1024 would put 10⁹ rows in every in-bucket window
+    * partition. The result is divisor-invariant either way (CurateSpec
+    * proves it); only straggler shape changes. A positive `maxBuckets`
+    * is honored for callers that know their layout.
     */
-  private def rangeDivisor(df: DataFrame, maxBuckets: Int, key: String = "doc_id"): Long = {
-    val bounds = df.agg(min(col(key)), max(col(key))).head()
+  private[graft] def rangeDivisor(df: DataFrame, maxBuckets: Int = 0,
+      key: String = "doc_id"): Long = {
+    val bounds = df.agg(min(col(key)), max(col(key)), count(lit(1))).head()
     if (bounds.isNullAt(0)) 1L
     else {
       val range = bounds.getLong(1) - bounds.getLong(0) + 1
-      math.max(1L, (range + maxBuckets - 1) / maxBuckets)
+      val buckets =
+        if (maxBuckets > 0) maxBuckets.toLong
+        else math.min(1L << 20,
+          math.max(1024L, math.round(math.sqrt(bounds.getLong(2).toDouble))))
+      math.max(1L, (range + buckets - 1) / buckets)
     }
   }
 
@@ -456,7 +471,7 @@ object CurateOps {
     * window. The output is divisor-invariant (CurateSpec proves it).
     */
   def curatePackSequences(s: SparkSession, dir: String, block: Int = 256,
-      maxBuckets: Int = 4096): DataFrame = {
+      maxBuckets: Int = 0): DataFrame = {
     val toks = docs(s, dir).select(
       col("doc_id"),
       size(split(TextOps.normalized(col("text")), " ")).cast("long").as("n_tokens"))

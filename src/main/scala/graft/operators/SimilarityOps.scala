@@ -490,36 +490,36 @@ object SimilarityOps {
   }
 
   /** Top-N centroid/candidate matches of `probe` against a SMALL,
-    * bounded-by-construction `targets` table (collected + broadcast —
-    * callers pass ≤ nCentroids rows, never the corpus) using the
-    * integer kernel.
+    * bounded-by-construction `targets` table (broadcast — callers pass
+    * ≤ nCentroids rows, never the corpus) using the integer kernel.
+    *
+    * Spelled in pure Catalyst — broadcast nested-loop join + `dot_i64`
+    * + a row_number top-k (Spark's WindowGroupLimit caps each map task
+    * at topPerProbe rows per probe BEFORE the window exchange) — the
+    * same discipline as [[assignCells]]: whole-stage codegen on the
+    * scoring, a plan AQE can see, and zero driver-side candidate
+    * handling. Bit-identical to the former mapPartitions kernel: the
+    * Long dot, the √-then-multiply denominator, and the (cos desc,
+    * cid asc) tie-break are the same IEEE operations in the same order.
     */
-  private def pairScoresAgainst(
+  private[graft] def pairScoresAgainst(
       s: SparkSession,
       probe: DataFrame,
       targets: DataFrame,
       topPerProbe: Int): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    val tArr: Array[(Long, Array[Long], Double)] = targets.collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, math.sqrt(r.getLong(2).toDouble)))
-    val bc = s.sparkContext.broadcast(tArr)
-    val outSchema = StructType(Seq(StructField("qid", LongType), StructField("cid", LongType),
-      StructField("cos", DoubleType)))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    probe.select(col("vec_id"), col("q"), col("nq")).mapPartitions { rows =>
-      val cand = bc.value
-      rows.flatMap { r =>
-        val qid = r.getLong(0)
-        val qv = r.getSeq[Long](1).toArray
-        val sqrtNa = math.sqrt(r.getLong(2).toDouble)
-        cand.iterator.map { case (cid, cv, sqrtNb) =>
-          var dot = 0L; var i = 0
-          while (i < qv.length) { dot += qv(i) * cv(i); i += 1 }
-          Row(qid, cid, dot / (sqrtNa * sqrtNb))
-        }.toSeq.sortBy(x => (-x.getDouble(2), x.getLong(1))).take(topPerProbe)
-      }
-    }(enc)
+    val tc = targets.columns
+    val t = targets.select(col(tc(0)).as("cid"), col(tc(1)).as("__cv"),
+      col(tc(2)).as("__cn"))
+    val scored = probe
+      .select(col("vec_id").as("qid"), col("q").as("__q"), col("nq").as("__nq"))
+      .crossJoin(broadcast(t))
+      .select(col("qid"), col("cid"),
+        (expr("dot_i64(__q, __cv)").cast("double") /
+          (sqrt(col("__nq")) * sqrt(col("__cn")))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topPerProbe)
+      .select(col("qid"), col("cid"), col("cos"))
   }
 
   /** Deterministic ±1 hyperplane component for sign-LSH: md5("p:i")

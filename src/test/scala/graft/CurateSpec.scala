@@ -166,6 +166,28 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       val nBuckets = docs.select(expr(s"doc_id div ${d}L")).distinct().count()
       assert(nBuckets <= m, s"maxBuckets=$m produced $nBuckets buckets (divisor $d)")
     }
+    // the DERIVED bucket count (default) matches the fixed-divisor ref
+    assert(snapshot(0) == ref, "derived divisor diverged")
+  }
+
+  test("range divisor: derived bucket count scales with corpus size, balancing both window shapes") {
+    // dense synthetic ids at n and 100n: per-(bucket) window rows ==
+    // divisor, bucket-grid rows == range/divisor — √n keeps BOTH
+    // ~√n instead of letting one grow linearly with the corpus
+    for (n <- Seq(20000L, 2000000L)) {
+      val ids = spark.range(n).select(col("id").as("doc_id"))
+      val d = CurateOps.rangeDivisor(ids)
+      val buckets = (n + d - 1) / d
+      val root = math.round(math.sqrt(n.toDouble))
+      val cap = math.max(root, 1024L) + 1
+      assert(d <= cap, s"n=$n: per-bucket rows $d exceed ~max(sqrt,1024)=$cap")
+      assert(buckets <= cap + 1, s"n=$n: bucket grid $buckets exceeds $cap")
+      // and a 100x corpus must NOT inherit the small corpus's shape:
+      // the fixed-1024 layout would put n/1024 rows in every in-bucket
+      // window partition (2000 at 2M, 10^9 at 10^12)
+      if (n >= 2000000L) assert(d < n / 1024,
+        s"n=$n: derived divisor $d did not scale below the fixed-1024 shape")
+    }
   }
 
   test("weighted_sample: matches driver-side E-S computation, weight-scale invariant") {

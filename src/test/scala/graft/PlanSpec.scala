@@ -312,6 +312,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "block tiling must stay an equi-join")
   }
 
+  test("probe-vs-centroid kernel: broadcast nested-loop + codegen'd dot, map-side top-k") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    def quant(rows: Seq[(Long, Seq[Long])]) = rows.toDF("vec_id", "q")
+      .withColumn("nq", expr("dot_i64(q, q)"))
+    val probe = quant(Seq((1L, Seq(1L, 2L, 3L)), (2L, Seq(3L, 2L, 1L))))
+    val targets = quant(Seq((10L, Seq(1L, 0L, 0L)), (11L, Seq(0L, 1L, 0L)),
+      (12L, Seq(1L, 1L, 1L)))).toDF("centroid_id", "cq", "cn")
+    val df = SimilarityOps.pairScoresAgainst(spark, probe, targets, 2)
+    val plan = executedPhysical(df)
+    // the former mapPartitions kernel is now pure Catalyst: the tiny
+    // target table broadcasts under a nested-loop join (no shuffle on
+    // the probe side), the integer dot stays in whole-stage codegen,
+    // and the per-probe top-k limits map-side before the one bounded
+    // qid exchange (rows crossing it <= probes x topPerProbe)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert(plan.contains("dot_i64"), "integer kernel left the plan")
+    assert(!plan.contains("CartesianProduct"), "unbroadcast cartesian")
+    // correctness of the spelling: argmax by (cos desc, cid asc)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    got.groupBy(_._1).foreach { case (_, rs) => assert(rs.length == 2) }
+    val q1 = got.filter(_._1 == 1L).sortBy(x => (-x._3, x._2)).map(_._2).toSeq
+    // probe 1 = (1,2,3): cos vs (1,1,1) = 6/(sqrt(14)sqrt(3)) ~ .93 wins over (0,1,0) ~ .53
+    assert(q1.head == 12L, s"expected centroid 12 first, got $q1")
+  }
+
   test("q19: disjunctive predicates stay on ONE broadcast join, no cartesian") {
     val plan = physical(Relational.q19DisjunctiveRevenue(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
