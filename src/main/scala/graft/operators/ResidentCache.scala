@@ -3,33 +3,74 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.SparkContext
 
-/** At most ONE resident cached plan per (SparkContext, operator slot):
-  * caching a new invocation's intermediate releases the previous one's —
-  * the [[graft.operators.SimilarityOps]] PQ-loop unpersist discipline
-  * applied to repeatedly-invoked two-pass operators, so a long-lived
-  * JVM (bench sweeps, verify drives, notebooks, session-per-job
-  * servers) holds bounded cache storage no matter how often the
-  * operator runs.
+/** At most ONE resident cached plan per (SparkContext, operator slot),
+  * and at most `spark.graft.residentCache.maxSlots` slots per context
+  * (LRU): caching a new invocation's intermediate releases the
+  * previous one's — the [[graft.operators.SimilarityOps]] PQ-loop
+  * unpersist discipline applied to repeatedly-invoked two-pass
+  * operators — and a long-lived JVM sweeping MANY dataset dirs (slot
+  * names embed the dir) evicts its least-recently-used slots instead
+  * of accumulating one resident plan per dir for the JVM lifetime.
+  * Eviction unpersists; a later request for an evicted slot simply
+  * re-memoizes (the build closure re-runs), so results never change —
+  * only residency does.
   *
   * Keyed on the CONTEXT, not the session: Spark's `CacheManager` lives
   * in `SharedState`, shared by every `SparkSession.newSession()` child,
   * so a session-scoped key would pin one cached plan per dead session
-  * until the JVM-wide context stops. Context-keying gives exactly
-  * #slots resident plans per JVM; identical plans submitted from
-  * sibling sessions reuse the one shared cache entry (`sameResult` is
+  * until the JVM-wide context stops. Context-keying gives ≤ cap
+  * resident plans per JVM; identical plans submitted from sibling
+  * sessions reuse the one shared cache entry (`sameResult` is
   * session-independent), and replacing a slot unpersists through the
   * shared CacheManager regardless of which session wrote it.
   */
 object ResidentCache {
-  private val slots =
-    new java.util.concurrent.ConcurrentHashMap[(SparkContext, String), DataFrame]()
+  /** LRU cap per (context, map). Read per call from the session conf
+    * so tests can shrink it; 64 corpus-sized MEMORY_AND_DISK plans is
+    * far beyond any sweep's working set while still bounding a
+    * server that scans thousands of dataset dirs over its lifetime.
+    */
+  private def cap(s: SparkSession): Int =
+    s.conf.get("spark.graft.residentCache.maxSlots", "64").toInt
+
+  // access-ordered: iteration starts at the least-recently-used entry
+  private def lru[V]() =
+    new java.util.LinkedHashMap[(SparkContext, String), V](16, 0.75f, true)
+
+  private def sweepStopped[V](m: java.util.LinkedHashMap[(SparkContext, String), V]): Unit =
+    m.keySet.removeIf(_._1.isStopped)
+
+  private def liveCount[V](m: java.util.LinkedHashMap[(SparkContext, String), V],
+      sc: SparkContext): Int = {
+    var n = 0
+    m.keySet.forEach(k => if (k._1 eq sc) n += 1)
+    n
+  }
+
+  /** Drop this context's least-recently-used entries beyond `cap`,
+    * handing each evicted value to `release` (unpersist for cached
+    * plans, no-op for driver-held model rows).
+    */
+  private def trim[V](m: java.util.LinkedHashMap[(SparkContext, String), V],
+      sc: SparkContext, limit: Int)(release: V => Unit): Unit =
+    while (liveCount(m, sc) > limit) {
+      val it = m.entrySet().iterator()
+      var done = false
+      while (it.hasNext && !done) {
+        val e = it.next()
+        if (e.getKey._1 eq sc) { release(e.getValue); it.remove(); done = true }
+      }
+      if (!done) return // defensive: nothing evictable
+    }
+
+  private val slots = lru[DataFrame]()
 
   def apply(s: SparkSession, slot: String, df: DataFrame): DataFrame =
     slots.synchronized {
       // sweep entries of stopped contexts — their cached blocks died
       // with the executors; holding the plans would pin dead contexts
       // for the JVM lifetime
-      slots.keySet.removeIf(_._1.isStopped)
+      sweepStopped(slots)
       val key = (s.sparkContext, slot)
       val prev = slots.get(key)
       val prevWarm = prev != null &&
@@ -50,16 +91,14 @@ object ResidentCache {
         if (old != null && !(old eq cached) &&
             !old.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
           old.unpersist(false)
+        trim(slots, s.sparkContext, cap(s))(_.unpersist(false))
         cached
       }
     }
 
   /** Test/inspection hook: live slot count for a context. */
-  def liveSlots(sc: SparkContext): Int = slots.synchronized {
-    var n = 0
-    slots.keySet.forEach(k => if (k._1 eq sc) n += 1)
-    n
-  }
+  def liveSlots(sc: SparkContext): Int =
+    slots.synchronized { liveCount(slots, sc) }
 
   /** Driver-side memo for SMALL trained models (centroid tables, PQ
     * codebooks — tens of rows by construction): train once per
@@ -71,12 +110,11 @@ object ResidentCache {
     * canonicalizes BY DATA, so every downstream plan built on the
     * model is `sameResult`-stable and the corpus-sized resident slots
     * above it actually warm. Include the data dir in the slot — the
-    * memo pins the model for the JVM lifetime like a persisted index
-    * artifact would.
+    * memo holds the model like a persisted index artifact would,
+    * bounded by the same per-context LRU cap.
     */
   private val models =
-    new java.util.concurrent.ConcurrentHashMap[(SparkContext, String),
-      (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
+    lru[(org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
 
   /** Keyed memo for DETERMINISTIC-but-not-`sameResult`-stable results —
     * fixpoint outputs whose lineage ends in per-invocation checkpoint
@@ -89,13 +127,14 @@ object ResidentCache {
     * corpus-sized cluster table spills rather than OOMs; on a real
     * cluster this is the in-memory analogue of persisting the fixpoint
     * table, which [[graft.exec.RelationStore]] does for durable reuse.
+    * LRU-bounded like the slot cache: an evicted memo unpersists and a
+    * later consumer re-runs the fixpoint (re-memoization, not staleness).
     */
-  private val memos =
-    new java.util.concurrent.ConcurrentHashMap[(SparkContext, String), DataFrame]()
+  private val memos = lru[DataFrame]()
 
   def memo(s: SparkSession, slot: String)(build: => DataFrame): DataFrame =
     memos.synchronized {
-      memos.keySet.removeIf(_._1.isStopped)
+      sweepStopped(memos)
       val key = (s.sparkContext, slot)
       val prev = memos.get(key)
       if (prev != null &&
@@ -104,16 +143,33 @@ object ResidentCache {
         val built = build.cache()
         built.count()
         memos.put(key, built)
+        trim(memos, s.sparkContext, cap(s))(_.unpersist(false))
         built
       }
     }
 
+  /** Test/inspection hook: live memo count for a context. */
+  def liveMemos(sc: SparkContext): Int =
+    memos.synchronized { liveCount(memos, sc) }
+
   def localModel(s: SparkSession, slot: String)(train: => DataFrame): DataFrame = {
-    models.synchronized { models.keySet.removeIf(_._1.isStopped) }
-    val (schema, rows) = models.computeIfAbsent((s.sparkContext, slot), _ => {
-      val d = train
-      (d.schema, d.collect())
-    })
+    val (schema, rows) = models.synchronized {
+      sweepStopped(models)
+      val key = (s.sparkContext, slot)
+      val prev = models.get(key)
+      if (prev != null) prev
+      else {
+        val d = train
+        val v = (d.schema, d.collect())
+        models.put(key, v)
+        trim(models, s.sparkContext, cap(s))(_ => ())
+        v
+      }
+    }
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
+
+  /** Test/inspection hook: live model count for a context. */
+  def liveModels(sc: SparkContext): Int =
+    models.synchronized { liveCount(models, sc) }
 }

@@ -361,8 +361,9 @@ object SimilarityOps {
     * overwrite (new directories only), the split cells' old
     * directories are then removed, and untouched cells are NEVER
     * rewritten. The centroid table is tens of rows — collected and
-    * rewritten whole. Local-FS deletion here; a cluster deployment
-    * swaps in the Hadoop FileSystem call, the plan shapes are
+    * rewritten whole. The directory swap/delete goes through the
+    * Hadoop `FileSystem` API (scheme-resolved from the index path), so
+    * local file://, HDFS, and object-store connectors all work
     * unchanged. Returns the split cell ids.
     */
   def rebalanceIvfIndex(s: SparkSession, path: String,
@@ -417,24 +418,31 @@ object SimilarityOps {
       .write.mode("overwrite").parquet(s"$path/centroids")
     // stage the new half-cells OUTSIDE the directory being read (a
     // same-path overwrite would race the scan feeding it), then swap
-    // directories — only the split cells' dirs are ever touched
+    // directories — only the split cells' dirs are ever touched. The
+    // swap goes through the Hadoop FileSystem API resolved from the
+    // index path's scheme, so the same code runs against local file://
+    // (tests), HDFS, or an object-store connector on a real cluster;
+    // the fresh half-cell ids guarantee the rename destinations don't
+    // exist (HDFS rename refuses to clobber). A writer crash between
+    // the renames and the deletes leaves BOTH the old oversized dirs
+    // and the new half-cells visible — [[checkIvfIndex]] detects that
+    // state as duplicate vec_ids + orphan dirs (OpsSpec pins it).
+    import org.apache.hadoop.fs.{Path => HPath}
     val tmp = s"$path/cells_rebalance_tmp"
     newMembers
       .select(col("vec_id"), col("q"), col("nq"), col("new_cell").as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    val tmpRoot = new java.io.File(tmp)
-    tmpRoot.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
-      .foreach { d =>
-        val dest = new java.io.File(s"$path/cells/${d.getName}")
-        if (!d.renameTo(dest))
-          throw new IllegalStateException(s"rebalance: could not move ${d.getName}")
+    val cellsRoot = new HPath(s"$path/cells")
+    val fs = cellsRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(new HPath(tmp))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .foreach { st =>
+        if (!fs.rename(st.getPath, new HPath(cellsRoot, st.getPath.getName)))
+          throw new IllegalStateException(
+            s"rebalance: could not move ${st.getPath.getName}")
       }
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmTree)
-      f.delete()
-    }
-    rmTree(tmpRoot)
-    oversized.foreach { c => rmTree(new java.io.File(s"$path/cells/cell=$c")) }
+    fs.delete(new HPath(tmp), true)
+    oversized.foreach(c => fs.delete(new HPath(cellsRoot, s"cell=$c"), true))
     oversized
   }
 

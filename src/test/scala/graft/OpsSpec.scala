@@ -1699,6 +1699,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "slot count must stay one per (context, slot) across sessions")
   }
 
+  test("resident cache: per-context LRU cap evicts and re-memoizes; storage stays bounded") {
+    import graft.operators._
+    val sp = spark
+    import sp.implicits._
+    // a long-lived server sweeping many dataset dirs: slot names embed
+    // the dir, so without a cap the maps grow one corpus-sized resident
+    // plan per dir for the JVM lifetime
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.residentCache.maxSlots", "3")
+    def build(i: Int) = Seq((i.toLong, s"dir$i")).toDF("id", "dir")
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
+    (1 to 8).foreach(i => ResidentCache.memo(s2, s"lru-test@dir$i")(build(i)).collect())
+    assert(ResidentCache.liveMemos(spark.sparkContext) <= 3,
+      s"memo map exceeded the cap: ${ResidentCache.liveMemos(spark.sparkContext)}")
+    // eviction unpersisted — the 8 inserts can net at most cap new RDDs
+    assert(spark.sparkContext.getPersistentRDDs.size <= rddsBefore + 3,
+      "evicted memos left their cached RDDs behind")
+    // an evicted slot re-memoizes: same data, re-cached, no staleness
+    val r1 = ResidentCache.memo(s2, "lru-test@dir1")(build(1)).collect()
+    assert(r1.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "dir1")),
+      "re-memoized slot returned wrong data")
+    // driver-held models mirror the same cap + rebuild-on-miss
+    (1 to 8).foreach(i => ResidentCache.localModel(s2, s"lru-model@dir$i")(build(i)))
+    assert(ResidentCache.liveModels(spark.sparkContext) <= 3,
+      s"model map exceeded the cap: ${ResidentCache.liveModels(spark.sparkContext)}")
+    val m1 = ResidentCache.localModel(s2, "lru-model@dir1")(build(1)).collect()
+    assert(m1.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "dir1")),
+      "re-trained model returned wrong data")
+    // the resident slot cache trims the same way
+    (1 to 8).foreach(i => ResidentCache(s2, s"lru-slot@dir$i", build(i)).collect())
+    assert(ResidentCache.liveSlots(spark.sparkContext) <= 3,
+      s"slot map exceeded the cap: ${ResidentCache.liveSlots(spark.sparkContext)}")
+  }
+
   test("quantile sketch: rank error bounded and partitioning-stable at 1/4/32") {
     import org.apache.spark.sql.functions._
     // amplify the event stream 100x so per-type groups far exceed k —
@@ -1810,8 +1844,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val afterRebal = report()
     assert(afterRebal.getLong(5) == 1L,
       s"rebalance must leave the layout consistent: $afterRebal")
-    // plant an orphan directory (a crashed writer's leftover): copy an
-    // existing cell dir under an id no centroid knows
+    // simulate a rebalance interrupted BETWEEN the directory renames
+    // and the old-dir deletes: members of a cell become visible under
+    // a directory no centroid knows WHILE still living in their real
+    // cells — exactly the on-disk state a mid-swap writer crash leaves
     val cellsDir = new java.io.File(s"$path/cells")
     val src = cellsDir.listFiles().filter(_.getName.startsWith("cell=")).head
     val orphan = new java.io.File(cellsDir, "cell=999")
@@ -1821,7 +1857,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val broken = report()
     assert(broken.getLong(2) >= 1L && broken.getLong(5) == 0L,
-      s"the planted orphan must be reported: $broken")
+      s"the crashed-swap leftover dir must be reported as an orphan: $broken")
+    assert(broken.getLong(4) >= 1L,
+      s"the crashed-swap double-visibility must be reported as duplicate ids: $broken")
   }
 
   test("IVF rebalance: splits hot cells in place, preserves members, exact at full probe") {
