@@ -276,6 +276,10 @@ object Artifacts {
         "group" -> n.config.group,
         "docs" -> Map("show" -> true),
         "config" -> configDoc(n),
+        // engine extension of the v12 shape: the var() names this
+        // node's expanded text references, with their resolved values —
+        // the state_modified_compare_vars comparison facet
+        "vars_used" -> manifest.varsUsed.getOrElse(n.uniqueId, Map.empty[String, String]),
         "created_at" -> 0.0)
     }
     val (exposures, metrics, semanticModels, savedQueries, plainNodes) = {

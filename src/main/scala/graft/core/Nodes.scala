@@ -455,7 +455,23 @@ final case class Manifest(
     macroDeps: Map[String, Seq[String]] = Map.empty,
     /** macro name -> content checksum (reference Macro.checksum;
       * feeds state:modified.macros). */
-    macroSums: Map[String, String] = Map.empty) {
+    macroSums: Map[String, String] = Map.empty,
+    /** Project-level behavior flags (reference ProjectFlags,
+      * core/dbt/contracts/project.py:318-346, the `flags:` block of
+      * dbt_project.yml). String-valued as parsed; read via [[flag]].
+      */
+    flags: Map[String, String] = Map.empty,
+    /** node uniqueId -> var name -> resolved value, for every var()
+      * the node's macro-expanded text references — the comparison
+      * basis for the `state_modified_compare_vars` behavior flag.
+      */
+    varsUsed: Map[String, Map[String, String]] = Map.empty) {
+
+  /** A behavior flag's boolean value (absent → the reference's
+    * legacy-flag default, false).
+    */
+  def flag(name: String): Boolean =
+    flags.get(name).exists(v => v.equalsIgnoreCase("true"))
 
   def all: Map[String, Node] = nodes ++ sources ++ unitTests
 

@@ -183,10 +183,28 @@ final class Runner(
     val selected = selectedIds()
     val results = new ConcurrentLinkedQueue[RunResult]()
 
-    // on-run-start hooks (reference safe_run_hooks, run.py:605-716)
-    manifest.onRunStart.foreach(h => spark.sql(renderHook(h.rawCode)))
+    // on-run-start hooks (reference safe_run_hooks, run.py:605-716):
+    // a failing hook is caught and recorded as an error result, never
+    // a crash; under skip_nodes_if_on_run_start_fails (ProjectFlags,
+    // runnable.py:517) it additionally short-circuits every selected
+    // node to "skipped", otherwise the nodes still execute
+    val hookFailed = manifest.onRunStart.foldLeft(false) { (failed, h) =>
+      try { spark.sql(renderHook(h.rawCode)); failed }
+      catch {
+        case e: Exception =>
+          results.add(RunResult(h.uniqueId, "error", 0.0,
+            Option(e.getMessage).getOrElse("").take(300)))
+          true
+      }
+    }
+    val skipAll = hookFailed && manifest.flag("skip_nodes_if_on_run_start_fails")
+    if (skipAll)
+      selected.toSeq.sorted.foreach { id =>
+        events.nodeFinished(RunResult(id, "skipped", 0.0, "on-run-start hook failed"))
+        results.add(RunResult(id, "skipped", 0.0, "on-run-start hook failed"))
+      }
 
-    val queue = new GraphQueue(graph, selected)
+    val queue = new GraphQueue(graph, if (skipAll) Set.empty else selected)
     val pool = Executors.newFixedThreadPool(opts.threads)
     val latch = new CountDownLatch(opts.threads)
     (1 to opts.threads).foreach { workerId =>
@@ -645,6 +663,15 @@ final class Runner(
     */
   def sourceFreshness(): Seq[RunResult] = {
     Sources.registerAll(spark, manifest, vars)
+    // project hooks around freshness only under the behavior flag
+    // (reference freshness.py:253-259 get_hooks_by_type — without
+    // source_freshness_run_project_hooks the hooks are SKIPPED with a
+    // deprecation warning)
+    val runHooks = manifest.flag("source_freshness_run_project_hooks")
+    if (runHooks) manifest.onRunStart.foreach(h => spark.sql(renderHook(h.rawCode)))
+    else if (manifest.onRunStart.nonEmpty || manifest.onRunEnd.nonEmpty)
+      System.err.println("[graft] WARNING: project hooks are not run during " +
+        "source freshness; set flags.source_freshness_run_project_hooks to opt in")
     val rows = manifest.sources.values.toSeq
       .filter(s => s.loadedAtField.nonEmpty ||
         s.freshnessWarnAfter.nonEmpty || s.freshnessErrorAfter.nonEmpty)
@@ -679,6 +706,7 @@ final class Runner(
               Option(e.getMessage).getOrElse("").take(300)))
         }
       }
+    if (runHooks) manifest.onRunEnd.foreach(h => spark.sql(renderHook(h.rawCode)))
     // persist sources.json — the input to `source_status:fresher`
     Artifacts.writeSources(opts.targetDir,
       rows.map { case (loadedAt, r) => (r.uniqueId, loadedAt, r.status) })

@@ -146,7 +146,13 @@ object Selector {
         case Some(s) =>
           s.checksum != n.checksum || s.config != n.config ||
           s.relation != n.relation || s.descriptions != n.descriptions ||
-          s.contract != n.contract || macrosModified(n)
+          s.contract != n.contract || macrosModified(n) ||
+          // state_modified_compare_vars (reference ProjectFlags): var
+          // VALUE drift in the node's referenced vars counts as
+          // modified only when the project opts in — checksums cover
+          // the var-unrendered text, so without the flag a var change
+          // selects nothing (the reference's raw_code semantics)
+          (cur.compareVars && s.varsUsed != n.varsUsed)
       }
     value match {
       case "new" => check((o, _) => o.isEmpty)

@@ -16,12 +16,19 @@ import graft.core.Manifest
 final case class StateView(
     nodes: Map[String, StateView.NodeState],
     /** macro unique_id -> checksum (state:modified.macros). */
-    macroSums: Map[String, String])
+    macroSums: Map[String, String],
+    /** `state_modified_compare_vars` (reference ProjectFlags): when the
+      * CURRENT side's project sets it, var-value drift in a node's
+      * referenced vars counts as modified. Only meaningful on the
+      * current-side view (the state side is just compared against).
+      */
+    compareVars: Boolean = false)
 
 object StateView {
   /** The per-node facets the reference's `same_*` methods compare. */
   final case class NodeState(
-      /** same_body: content checksum (ours covers macro-expanded SQL). */
+      /** same_body: content checksum (ours covers macro-expanded SQL,
+        * var-unrendered — var drift is the [[varsUsed]] facet). */
       checksum: String,
       /** same_config: canonicalized config document. */
       config: String,
@@ -32,7 +39,10 @@ object StateView {
       /** same_contract: enforced flag + column name/type pairs. */
       contract: String,
       /** depends_on.macros (unique_ids). */
-      macros: Seq[String])
+      macros: Seq[String],
+      /** var name -> value for every var() the node references —
+        * compared only under state_modified_compare_vars. */
+      varsUsed: String = "{}")
 
   def read(manifestJsonPath: String): StateView = {
     val p = Paths.get(manifestJsonPath)
@@ -42,7 +52,9 @@ object StateView {
     })
   }
 
-  def of(manifest: Manifest): StateView = fromDoc(Artifacts.manifestDoc(manifest))
+  def of(manifest: Manifest): StateView =
+    fromDoc(Artifacts.manifestDoc(manifest))
+      .copy(compareVars = manifest.flag("state_modified_compare_vars"))
 
   /** Canonical rendering: maps sorted by key so comparison is
     * insensitive to JSON object order across writer versions.
@@ -94,7 +106,8 @@ object StateView {
                 case _ => Nil
               }
             case _ => Nil
-          })
+          },
+          varsUsed = canon(nd.getOrElse("vars_used", Map.empty)))
       }
     }.toMap
     val macros = obj(doc.getOrElse("macros", Map.empty)).map { case (id, md0) =>

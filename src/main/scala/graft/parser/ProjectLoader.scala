@@ -150,14 +150,38 @@ object ProjectLoader {
     // macro expansion, then parse-time control flow ({% if %}/{% for %};
     // reference get_rendered — refs inside untaken branches never reach
     // the DAG, exactly like rendered Jinja)
+    def expandSql(orig: String): String = Macros.expand(orig, macroTable)
     def renderSql(orig: String): String =
-      ControlFlow.render(Macros.expand(orig, macroTable), vars,
-        vars.getOrElse("target", "dev"))
+      ControlFlow.render(expandSql(orig), vars, vars.getOrElse("target", "dev"))
+
+    // project behavior flags (reference ProjectFlags legacy behaviors,
+    // core/dbt/contracts/project.py:318-346 — the `flags:` block)
+    val flags: Map[String, String] = proj.get("flags") match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) =>
+        m.map { case (k, v) => k -> String.valueOf(v) }
+      case _ => Map.empty
+    }
+
+    // per-node var() references, resolved to their CURRENT values —
+    // the comparison basis for `state_modified_compare_vars` (node
+    // checksums cover the macro-expanded but var-UNRENDERED text, so a
+    // var-value change flips state:modified only under the flag,
+    // matching the reference's raw_code-based same_body + the 1.9
+    // behavior flag). Scanned over the EXPANDED text so var() calls a
+    // macro body introduces are captured too.
+    val varRefRe = raw"""(?<![\w])var\(\s*['"]([^'"]+)['"]""".r
+    val varsUsed = scala.collection.mutable.Map[String, Map[String, String]]()
+    def recordVarsUsed(uniqueId: String, expandedText: String): Unit = {
+      val names = varRefRe.findAllMatchIn(expandedText).map(_.group(1)).toSet
+      if (names.nonEmpty)
+        varsUsed(uniqueId) = names.map(n => n -> vars.getOrElse(n, "")).toMap
+    }
 
     // ---- models (*.sql under model-paths) ----
     for (f <- files("models", ".sql")) {
       val orig = Files.readString(f)
-      val raw = renderSql(orig)
+      val expanded = expandSql(orig)
+      val raw = ControlFlow.render(expanded, vars, vars.getOrElse("target", "dev"))
       val scan = Template.scan(raw)
       val mname = f.getFileName.toString.stripSuffix(".sql")
       modelOrig(mname) = orig
@@ -165,15 +189,18 @@ object ProjectLoader {
       val deps =
         scan.refs.map(r => refId(r, name)) ++
         scan.sources.map { case (s, t) => s"source.$name.$s.$t" }
-      // checksum covers the EXPANDED text: a macro-body edit changes
-      // every caller's compiled SQL and must register as state:modified
-      // (the reference tracks this via depends_on.macros)
+      // checksum covers the EXPANDED (but var-unrendered) text: a
+      // macro-body edit changes every caller's compiled SQL and must
+      // register as state:modified (the reference tracks this via
+      // depends_on.macros), while a var-VALUE change only registers
+      // under state_modified_compare_vars (via the varsUsed facet)
       val node = ModelNode(
         name = mname, packageName = name, rawCode = raw, config = cfg,
         dependsOn = deps, refs = scan.refs, sources = scan.sources,
-        path = dir.relativize(f).toString, checksum = FileHash.of(raw))
+        path = dir.relativize(f).toString, checksum = FileHash.of(expanded))
       nodes(node.uniqueId) = node
       recordMacroDeps(node.uniqueId, orig)
+      recordVarsUsed(node.uniqueId, expanded)
     }
 
     // ---- python models (models/*.py; reference parser
@@ -218,7 +245,8 @@ object ProjectLoader {
     // ---- snapshots ----
     for (f <- files("snapshots", ".sql")) {
       val orig = Files.readString(f)
-      val raw = renderSql(orig)
+      val expanded = expandSql(orig)
+      val raw = ControlFlow.render(expanded, vars, vars.getOrElse("target", "dev"))
       val scan = Template.scan(raw)
       val sname = f.getFileName.toString.stripSuffix(".sql")
       val cfg = configFrom(scan.config).copy(materialized = Materialized.SnapshotMat)
@@ -226,23 +254,27 @@ object ProjectLoader {
         scan.refs.map(r => refId(r, name)) ++
         scan.sources.map { case (s, t) => s"source.$name.$s.$t" }
       val node = SnapshotNode(sname, name, raw, cfg, deps, scan.refs, scan.sources,
-        checksum = FileHash.of(raw))
+        checksum = FileHash.of(expanded))
       nodes(node.uniqueId) = node
       recordMacroDeps(node.uniqueId, orig)
+      recordVarsUsed(node.uniqueId, expanded)
     }
 
     // ---- analyses (compile-only; reference parser/analysis.py:9) ----
     for (f <- files("analyses", ".sql") ++ files("analysis", ".sql")) {
       val orig = Files.readString(f)
-      val raw = renderSql(orig)
+      val expanded = expandSql(orig)
+      val raw = ControlFlow.render(expanded, vars, vars.getOrElse("target", "dev"))
       val scan = Template.scan(raw)
       val aname = f.getFileName.toString.stripSuffix(".sql")
       val deps = scan.refs.map(r => refId(r, name)) ++
         scan.sources.map { case (s, t) => s"source.$name.$s.$t" }
       val node = AnalysisNode(aname, name, raw, configFrom(scan.config), deps,
-        scan.refs, scan.sources, checksum = FileHash.of(raw), path = dir.relativize(f).toString)
+        scan.refs, scan.sources, checksum = FileHash.of(expanded),
+        path = dir.relativize(f).toString)
       nodes(node.uniqueId) = node
       recordMacroDeps(node.uniqueId, orig)
+      recordVarsUsed(node.uniqueId, expanded)
     }
 
     // ---- seeds ----
@@ -257,16 +289,18 @@ object ProjectLoader {
     // ---- singular tests (tests/*.sql; reference singular_test.py) ----
     for (f <- files("tests", ".sql")) {
       val orig = Files.readString(f)
-      val raw = renderSql(orig)
+      val expanded = expandSql(orig)
+      val raw = ControlFlow.render(expanded, vars, vars.getOrElse("target", "dev"))
       val scan = Template.scan(raw)
       val tname = f.getFileName.toString.stripSuffix(".sql")
       val cfg = configFrom(scan.config).copy(materialized = Materialized.View)
       val deps = scan.refs.map(r => refId(r, name)) ++
         scan.sources.map { case (s, t) => s"source.$name.$s.$t" }
       val node = TestNode(tname, name, raw, cfg, deps, scan.refs,
-        checksum = FileHash.of(raw), path = dir.relativize(f).toString)
+        checksum = FileHash.of(expanded), path = dir.relativize(f).toString)
       nodes(node.uniqueId) = node
       recordMacroDeps(node.uniqueId, orig)
+      recordVarsUsed(node.uniqueId, expanded)
     }
 
     // ---- schema YAML: sources, model columns/tests, seeds, unit tests ----
@@ -554,6 +588,22 @@ object ProjectLoader {
         case _ => Map.empty
       }
     }
+    // resource names with spaces (reference manifest.py:607
+    // check_for_spaces_in_resource_names): deprecation warning by
+    // default; a hard error under require_resource_names_without_spaces
+    locally {
+      val spaced = nodes.values.collect {
+        case n if n.name.contains(" ") => n.uniqueId
+      }.toSeq.sorted
+      if (spaced.nonEmpty) {
+        if (flags.get("require_resource_names_without_spaces").exists(_.equalsIgnoreCase("true")))
+          throw new IllegalArgumentException(
+            s"Resource names cannot contain spaces: ${spaced.mkString(", ")}")
+        else System.err.println(
+          s"[graft] WARNING: resource names with spaces are deprecated: ${spaced.mkString(", ")}")
+      }
+    }
+
     Project(name, projectDir, mergedVars,
       Manifest(
         subs.foldLeft(nodes.toMap)((acc, sp) => acc ++ sp.manifest.nodes),
@@ -562,7 +612,9 @@ object ProjectLoader {
         onRunStart, onRunEnd, name,
         macroDeps = subs.foldLeft(macroDeps.toMap)((acc, sp) => acc ++ sp.manifest.macroDeps),
         macroSums = macroTable.map { case (k, d) =>
-          k -> FileHash.of(d.params.mkString(",") + "|" + d.body).checksum }),
+          k -> FileHash.of(d.params.mkString(",") + "|" + d.body).checksum },
+        flags = flags,
+        varsUsed = subs.foldLeft(varsUsed.toMap)((acc, sp) => acc ++ sp.manifest.varsUsed)),
       selectors, macroTable,
       restrictAccess =
         subs.foldLeft(Set.empty[String])(_ ++ _.restrictAccess) ++

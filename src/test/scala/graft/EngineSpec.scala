@@ -1890,4 +1890,129 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sk.nonEmpty && sk.forall(_.getSeq[Any](1).nonEmpty),
       "per-source token sketches must be non-empty")
   }
+
+  test("flags: skip_nodes_if_on_run_start_fails short-circuits nodes; off still runs them") {
+    def run(flagOn: Boolean) = {
+      val d = Files.createTempDirectory("graft_flags_skip")
+      def w(rel: String, c: String) = {
+        val p = d.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+      }
+      w("dbt_project.yml",
+        s"""name: flagdemo
+           |on-run-start:
+           |  - "SELECT definitely_broken FROM nowhere_at_all"
+           |${if (flagOn) "flags:\n  skip_nodes_if_on_run_start_fails: true\n" else ""}""".stripMargin)
+      w("models/simple.sql", "SELECT 1 AS x")
+      val p = ProjectLoader.resolveRefs(ProjectLoader.load(d.toString))
+      val st = new RelationStore(spark, d.resolve("wh").toString)
+      (new Runner(spark, p, st, RunOptions(cmd = "run", threads = 1,
+        targetDir = d.resolve("target").toString)).execute(), st)
+    }
+    // flag ON (reference runnable.py:517): the hook failure is an error
+    // result and every selected node is marked skipped, never executed
+    val (rOn, stOn) = run(true)
+    assert(rOn.exists(r => r.uniqueId.startsWith("operation.") && r.status == "error"),
+      rOn.mkString("\n"))
+    assert(rOn.exists(r => r.uniqueId == "model.flagdemo.simple" && r.status == "skipped"),
+      rOn.mkString("\n"))
+    assert(!stOn.exists("simple"), "skipped node must not materialize")
+    // flag OFF (the default): the hook failure is recorded but nodes run
+    val (rOff, stOff) = run(false)
+    assert(rOff.exists(r => r.uniqueId.startsWith("operation.") && r.status == "error"))
+    assert(rOff.exists(r => r.uniqueId == "model.flagdemo.simple" && r.status == "success"),
+      rOff.mkString("\n"))
+    assert(stOff.exists("simple"))
+  }
+
+  test("flags: source_freshness_run_project_hooks gates project hooks around freshness") {
+    def fresh(flagOn: Boolean, marker: String): Unit = {
+      val d = Files.createTempDirectory("graft_flags_fresh")
+      def w(rel: String, c: String) = {
+        val p = d.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+      }
+      w("dbt_project.yml",
+        s"""name: freshdemo
+           |vars:
+           |  data_dir: $sf
+           |on-run-start:
+           |  - "CREATE OR REPLACE TEMPORARY VIEW $marker AS SELECT 1 AS x"
+           |${if (flagOn) "flags:\n  source_freshness_run_project_hooks: true\n" else ""}""".stripMargin)
+      w("models/sources.yml",
+        """version: 2
+          |sources:
+          |  - name: tpch
+          |    tables:
+          |      - name: orders
+          |        location: "{data_dir}/orders.parquet"
+          |        loaded_at_field: o_orderdate
+          |        freshness:
+          |          warn_after:
+          |            count: 24
+          |            period: hour
+          |""".stripMargin)
+      val p = ProjectLoader.resolveRefs(ProjectLoader.load(d.toString))
+      val st = new RelationStore(spark, d.resolve("wh").toString)
+      new Runner(spark, p, st, RunOptions(cmd = "run", threads = 1,
+        targetDir = d.resolve("target").toString)).sourceFreshness()
+      ()
+    }
+    // flag OFF (the reference default): hooks are SKIPPED during
+    // freshness (freshness.py:253-259 returns [] + deprecation warning)
+    fresh(flagOn = false, marker = "fresh_hook_off")
+    assert(!spark.catalog.tableExists("fresh_hook_off"),
+      "freshness must not run project hooks without the flag")
+    // flag ON: on-run-start runs before the freshness checks
+    fresh(flagOn = true, marker = "fresh_hook_on")
+    assert(spark.catalog.tableExists("fresh_hook_on"),
+      "freshness must run project hooks under the flag")
+  }
+
+  test("flags: state_modified_compare_vars selects var-value drift only when set") {
+    import graft.graph.{Selector, StateView}
+    val d = Files.createTempDirectory("graft_flags_vars")
+    def w(rel: String, c: String) = {
+      val p = d.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    w("dbt_project.yml", "name: varsdemo\nvars:\n  cutoff: 5\n")
+    w("models/uses_var.sql", "SELECT {{ var('cutoff') }} AS cutoff")
+    w("models/no_var.sql", "SELECT 2 AS y")
+    val p1 = ProjectLoader.load(d.toString)
+    val stateDir = d.resolve("state").toString
+    Artifacts.writeManifest(stateDir, p1.manifest)
+    val state = StateView.read(s"$stateDir/manifest.json")
+    // unchanged vars: nothing is modified regardless of the flag
+    assert(Selector.stateMatch("modified", p1.manifest, state).isEmpty)
+    // var VALUE changed, flag off (default): checksums cover the
+    // var-UNRENDERED text, so nothing registers as modified — the
+    // reference's raw_code comparison semantics
+    val p2 = ProjectLoader.load(d.toString, Map("cutoff" -> "9"))
+    assert(Selector.stateMatch("modified", p2.manifest, state).isEmpty,
+      "var drift must not select without the flag")
+    // var VALUE changed, flag on: exactly the var-referencing node
+    w("dbt_project.yml",
+      "name: varsdemo\nvars:\n  cutoff: 5\nflags:\n  state_modified_compare_vars: true\n")
+    val p3 = ProjectLoader.load(d.toString, Map("cutoff" -> "9"))
+    assert(Selector.stateMatch("modified", p3.manifest, state)
+      == Set("model.varsdemo.uses_var"),
+      "var drift under the flag must select exactly the var-referencing node")
+    // the recorded facet carries the resolved values
+    assert(p3.manifest.varsUsed("model.varsdemo.uses_var") == Map("cutoff" -> "9"))
+  }
+
+  test("flags: require_resource_names_without_spaces errors on spaced names; off warns") {
+    val d = Files.createTempDirectory("graft_flags_spaces")
+    def w(rel: String, c: String) = {
+      val p = d.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    w("dbt_project.yml", "name: spacedemo\n")
+    w("models/bad name.sql", "SELECT 1 AS x")
+    // default: deprecation warning, the project still loads
+    val p = ProjectLoader.load(d.toString)
+    assert(p.manifest.nodes.contains("model.spacedemo.bad name"))
+    // flag on (reference manifest.py:643): a hard validation error
+    w("dbt_project.yml",
+      "name: spacedemo\nflags:\n  require_resource_names_without_spaces: true\n")
+    val e = intercept[IllegalArgumentException] { ProjectLoader.load(d.toString) }
+    assert(e.getMessage.contains("cannot contain spaces"), e.getMessage)
+  }
 }
