@@ -418,6 +418,33 @@ object CurateOps {
         (col("tok_before") < quota).cast("long").as("admitted"))
   }
 
+  /** Quota admission of an ARRIVING batch against running per-source
+    * totals — DataFrame-in, so the composed ingest tick
+    * ([[graft.streaming.Streaming.runIngestTick]]) serves the same
+    * semantics as [[curateSourceQuota]] one micro-batch at a time:
+    * `prevTotals` carries (source, tok_prev) from everything already
+    * landed, and over doc_id-ordered arrivals the union of per-batch
+    * verdicts equals the corpus-wide prefix sum exactly
+    * (StreamingSpec proves it). The source-partitioned window here is
+    * BATCH-sized (the corpus path uses the grouped two-phase prefix
+    * sum instead), so a hot source cannot create a straggler.
+    */
+  def sourceQuotaWith(batchDocs: DataFrame, prevTotals: DataFrame,
+      quota: Long = 1000L): DataFrame = {
+    val toks = batchDocs.select(col("doc_id"), col("source"),
+      size(split(TextOps.normalized(col("text")), " ")).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .join(prevTotals, Seq("source"), "left")
+      .withColumn("tok_before",
+        coalesce(col("tok_prev"), lit(0L)) +
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_before"),
+        (col("tok_before") < quota).cast("long").as("admitted"))
+  }
+
   /** Bucket divisor for range-keyed prefix sums: the smallest `d` with
     * `ceil(idRange / d) <= buckets`, from a bounded 1-row min/max/count
     * aggregate (same strided-bounds pattern as `simIvfTopK`'s centroid

@@ -148,6 +148,17 @@ object Streaming {
   def documentStream(spark: SparkSession, inputDir: String): DataFrame =
     spark.readStream.schema(documentsSchema).parquet(inputDir)
 
+  /** Enriched arrival schema: documents whose upstream embedding
+    * service already attached the vector — the input shape of the
+    * full-stack ingest tick (the ANN-encode member needs it).
+    */
+  val enrichedDocumentsSchema: StructType = StructType(
+    documentsSchema.fields :+
+      StructField("embedding", ArrayType(FloatType)))
+
+  def enrichedDocumentStream(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream.schema(enrichedDocumentsSchema).parquet(inputDir)
+
   /** Streaming exact dedup for corpus ingest: state is ONE keeper id per
     * content fingerprint (md5 of normalized text), so memory is
     * O(distinct documents) — the streaming twin of the batch
@@ -483,23 +494,37 @@ object Streaming {
 
   /** The composed INGEST TICK — the production shape where one stream
     * pass runs the whole document-admission stack per micro-batch:
+    * per-source quota admission against the landed running totals,
     * near-dup probe against the frozen dedup index, Gopher rule gate,
     * per-language CCNet bucketing under the frozen char-LM + threshold
-    * artifacts, and topic tagging — four verdict tables from ONE
-    * readStream (the batch is cached once and feeds all four plans, so
-    * arriving data is scanned once, not four times). Every member is
+    * artifacts, topic tagging, boilerplate strike filtering under the
+    * frozen strike set, and IVF-PQ encoding of the arriving embeddings
+    * under the frozen centroids + codebook — SEVEN verdict tables from
+    * ONE readStream (the batch is cached once and feeds every plan, so
+    * arriving data is scanned once, not seven times). Every member is
     * the exact batch operator, so each table is stream ≡ batch by
     * construction and the composition adds no new semantics — only the
     * single-pass execution a 100 TB ingest loop actually wants.
+    *
+    * Input: [[enrichedDocumentStream]] arrivals (documents + an
+    * `embedding` column the upstream embedding service attached).
+    * Quota state is ZERO extra bookkeeping: each tick derives the
+    * per-source running totals from the already-landed quota table
+    * (sources-bounded aggregate), so a restarted tick resumes exactly
+    * where the landed data says it is.
     */
   def runIngestTick(
       newDocs: DataFrame,
       index: graft.operators.DedupOps.DedupIndex,
       charLm: DataFrame,
       langThresholds: DataFrame,
+      boiler: DataFrame,
+      centroids: DataFrame,
+      codebook: DataFrame,
       store: RelationStore,
       prefix: String,
-      checkpointDir: String): Unit = {
+      checkpointDir: String,
+      quota: Long = 1000L): Unit = {
     val q = newDocs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -507,6 +532,18 @@ object Streaming {
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         val batch = batch0.cache()
         try {
+          // admission FIRST: totals derive from the landed table, so
+          // within a tick the quota verdict must land before anything
+          // else could observe it (ordering is per-table, not global)
+          val quotaTbl = s"${prefix}_quota"
+          val prevTotals =
+            if (store.exists(quotaTbl))
+              store.read(quotaTbl).groupBy(col("source"))
+                .agg(sum(col("n_tokens")).as("tok_prev"))
+            else batch.select(col("source")).where(lit(false))
+              .withColumn("tok_prev", lit(0L))
+          landAppend(store, quotaTbl,
+            graft.operators.CurateOps.sourceQuotaWith(batch, prevTotals, quota))
           landAppend(store, s"${prefix}_dedup",
             graft.operators.DedupOps.probeAgainstIndex(batch, index))
           landAppend(store, s"${prefix}_gopher",
@@ -521,6 +558,12 @@ object Streaming {
               langThresholds))
           landAppend(store, s"${prefix}_topics",
             graft.operators.TextOps.topicTagWith(batch.sparkSession, batch))
+          landAppend(store, s"${prefix}_boiler",
+            graft.operators.TextOps.boilerplateFilterWith(batch, boiler))
+          landAppend(store, s"${prefix}_codes",
+            graft.operators.SimilarityOps.ivfPqEncodeWith(
+              batch.select(col("doc_id").as("vec_id"), col("embedding")),
+              centroids, codebook))
         } finally batch.unpersist()
       }
       .start()

@@ -1862,9 +1862,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val store = new RelationStore(spark, work.resolve("wh").toString)
     val p = ProjectLoader.resolveRefs(ProjectLoader.load("examples/curation"))
     val res = new Runner(spark, p, store, RunOptions(cmd = "build", threads = 2,
-      targetDir = work.resolve("target").toString)).execute()
+      targetDir = work.resolve("target").toString,
+      eventTimeEnd = Some(java.time.Instant.parse("2024-03-01T00:00:00Z")))).execute()
     assert(res.nonEmpty && res.forall(r => r.status == "success" || r.status == "pass"),
       res.mkString("\n"))
+    // the build exercised every §2.1 node type: models, a microbatch
+    // incremental, a snapshot, generic data tests, and a unit test
+    assert(res.exists(_.uniqueId == "model.curation.events_daily"))
+    assert(res.exists(r => r.uniqueId.startsWith("snapshot.curation.source_stats_snap")))
+    assert(res.exists(r => r.uniqueId.startsWith("unit_test.") && r.status == "pass"),
+      res.filter(_.uniqueId.startsWith("unit_test.")).mkString("\n"))
     // keeper election through the ENGINE's SQL path must agree with the
     // operator library's dedupExact bit for bit
     import org.apache.spark.sql.functions.col
@@ -1889,6 +1896,19 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sk = store.read("token_quantiles").collect()
     assert(sk.nonEmpty && sk.forall(_.getSeq[Any](1).nonEmpty),
       "per-source token sketches must be non-empty")
+    // the microbatch rollup covers exactly the event-time window and
+    // matches a direct aggregation of the raw events
+    val daily = store.read("events_daily")
+    val directN = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .filter(col("ts") < org.apache.spark.sql.functions.lit("2024-03-01"))
+      .groupBy(org.apache.spark.sql.functions.to_date(col("ts")).as("day"),
+        col("event_type"))
+      .count().count()
+    assert(daily.count() == directN, s"events_daily ${daily.count()} != $directN")
+    // the snapshot opened one SCD-2 row per source, valid_to open
+    val snap = store.read("source_stats_snap")
+    assert(snap.filter(col("dbt_valid_to").isNull).count()
+      == store.read("datacard").count(), "snapshot must open one row per source")
   }
 
   test("flags: skip_nodes_if_on_run_start_fails short-circuits nodes; off still runs them") {

@@ -271,12 +271,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.filter(col("admitted") === 0L).count() > 0)
   }
 
-  test("composed ingest tick: one stream pass lands all four verdict tables, each equal to batch") {
-    import graft.operators.{CurateOps, DedupOps, TextOps}
+  test("composed ingest tick: one stream pass lands all seven verdict tables, each equal to batch") {
+    import graft.operators.{CurateOps, DedupOps, SimilarityOps, TextOps}
     val store = new RelationStore(spark, s"$work/wh_tick")
     val newIn = s"$work/tickdocs"
     val sf = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // enriched arrivals: the upstream embedding service attached vectors
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val enriched = docs.select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .join(emb, Seq("doc_id"))
     val isNew = pmod(col("doc_id"), lit(10)) >= 8
     // frozen artifacts trained on the already-ingested slice
     val index = DedupOps.buildDedupIndex(docs.filter(!isNew))
@@ -285,12 +290,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("doc_id"), col("avg_millibits"))
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
     val thr = TextOps.ccnetLangThresholds(scored)
-    docs.filter(isNew && col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
-    Streaming.runIngestTick(Streaming.documentStream(spark, newIn), index, charLm,
-      thr, store, "tick", s"$work/cp_tick")
-    docs.filter(isNew && col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
-    Streaming.runIngestTick(Streaming.documentStream(spark, newIn), index, charLm,
-      thr, store, "tick", s"$work/cp_tick")
+    val boiler = TextOps.boilerplateHashes(docs.filter(!isNew))
+    val idxPath = s"$work/tick_ivfpq"
+    SimilarityOps.persistIvfPqIndex(spark, sf, idxPath)
+    val centroids = spark.read.parquet(s"$idxPath/centroids")
+    val codebook = spark.read.parquet(s"$idxPath/codebook")
+    def tick(): Unit =
+      Streaming.runIngestTick(Streaming.enrichedDocumentStream(spark, newIn),
+        index, charLm, thr, boiler, centroids, codebook,
+        store, "tick", s"$work/cp_tick", quota = 300L)
+    enriched.filter(isNew && col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    tick()
+    enriched.filter(isNew && col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    tick()
     val newDocs = docs.filter(isNew)
     def mustEqual(table: String, batch: org.apache.spark.sql.DataFrame): Unit = {
       val streamed = store.read(table)
@@ -306,6 +318,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select(col("doc_id"), col("avg_millibits"))
         .join(newDocs.select(col("doc_id"), col("lang")), Seq("doc_id")), thr))
     mustEqual("tick_topics", TextOps.topicTagWith(spark, newDocs))
+    // the three full-stack members added in round 9:
+    mustEqual("tick_boiler", TextOps.boilerplateFilterWith(newDocs, boiler))
+    // quota admission over ordered arrivals == the batch prefix sum on
+    // the SAME arrival set (tok_prev carries across the two ticks)
+    val emptyPrev = newDocs.select(col("source")).where(lit(false))
+      .withColumn("tok_prev", lit(0L))
+    mustEqual("tick_quota", CurateOps.sourceQuotaWith(newDocs, emptyPrev, quota = 300L))
+    assert(store.read("tick_quota").filter(col("admitted") === 0L).count() > 0,
+      "the quota must actually bite across ticks")
+    mustEqual("tick_codes", SimilarityOps.ivfPqEncodeWith(
+      enriched.filter(isNew).select(col("doc_id").as("vec_id"), col("embedding")),
+      centroids, codebook))
   }
 
   test("streaming multimodal dedup probes the bucketed phash index; stream equals batch") {
