@@ -120,6 +120,7 @@ object SparkEntry {
     // dedup
     "dedup_exact" -> (DedupOps.dedupExact _),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
+    "dedup_containment" -> ((s, dir) => DedupOps.dedupContainment(s, dir)),
     "dedup_minhash_lsh" -> (DedupOps.dedupMinHashLsh _),
     "dedup_simhash" -> (DedupOps.dedupSimHash _),
     "dedup_simhash_pairs" -> (DedupOps.dedupSimHashPairs _),
@@ -157,6 +158,8 @@ object SparkEntry {
     "curate_resample_lang" -> (CurateOps.curateResampleLang _),
     "curate_corpus_shuffle" -> (CurateOps.curateCorpusShuffle _),
     "curate_shard_assign" -> ((s, dir) => CurateOps.curateShardAssign(s, dir)),
+    "curate_k_anonymity" -> ((s, dir) => CurateOps.curateKAnonymity(s, dir)),
+    "curate_curriculum" -> (CurateOps.curateCurriculum _),
     "emb_quantize" -> (CurateOps.embQuantize _),
     "curate_pipeline_full" -> (CurateOps.curatePipelineFull _),
     "curate_source_overlap" -> (CurateOps.curateSourceOverlap _),
@@ -259,7 +262,10 @@ object SparkEntry {
     * (ties by lower vec_id) — nested-CTE unrolling in the IvfCellCtes
     * style, integer-exact throughout.
     */
-  private lazy val NgramJaccardSql: String = """
+  /** Shared shingle-pair CTEs of the ngram-Jaccard and containment
+    * oracles — one definition so both replay the same mining core.
+    */
+  private lazy val ShinglePairCtes: String = """
       WITH toks AS (
         SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
         FROM documents
@@ -275,13 +281,26 @@ object SparkEntry {
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-      )
+      )"""
+
+  private lazy val NgramJaccardSql: String = ShinglePairCtes + """
       SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
              CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
       FROM inter
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE n_inter * 5 >= sa.n + sb.n - n_inter"""
+
+  private lazy val ContainmentSql: String = ShinglePairCtes + """
+      SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+             CAST((1000000 * n_inter) // LEAST(sa.n, sb.n) AS BIGINT) AS cont_ppm,
+             CAST(CASE WHEN sa.n < sb.n THEN doc_a
+                       WHEN sb.n < sa.n THEN doc_b
+                       ELSE GREATEST(doc_a, doc_b) END AS BIGINT) AS contained_doc
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE 5 * n_inter >= 4 * LEAST(sa.n, sb.n)"""
 
   private lazy val LangIdSql: String = """
       SELECT doc_id, lang, pred_lang,
@@ -2941,6 +2960,48 @@ object SparkEntry {
         FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp FROM documents) a
       ) b""",
     "dedup_ngram_jaccard" -> NgramJaccardSql,
+    "dedup_containment" -> ContainmentSql,
+    "curate_k_anonymity" -> """
+      WITH toks AS (
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+      ), b AS (
+        SELECT doc_id, lang, source, n_tokens // 32 AS tok_band FROM toks
+      ), c AS (
+        SELECT lang, source, tok_band, CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM b GROUP BY 1, 2, 3
+      )
+      SELECT doc_id, b.lang, b.source, b.tok_band, class_size,
+             CAST(class_size < 5 AS BIGINT) AS suppress
+      FROM b JOIN c USING (lang, source, tok_band)""",
+    "curate_curriculum" -> """
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS BIGINT) AS n_chars
+        FROM documents
+      ), d AS (
+        SELECT doc_id, n_tokens,
+               (1000 * n_chars) // GREATEST(n_tokens, 1) AS difficulty_milli
+        FROM t
+      ), h AS (
+        SELECT difficulty_milli AS v, COUNT(*) AS cnt FROM d GROUP BY 1
+      ), c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d
+      ), cum AS (
+        SELECT v, SUM(cnt) OVER (ORDER BY v) AS cu FROM h
+      ), e AS (
+        SELECT (SELECT MIN(v) FROM cum, c WHERE 100 * cu >= 25 * n) AS e1,
+               (SELECT MIN(v) FROM cum, c WHERE 100 * cu >= 50 * n) AS e2,
+               (SELECT MIN(v) FROM cum, c WHERE 100 * cu >= 75 * n) AS e3
+      )
+      SELECT doc_id, n_tokens, difficulty_milli,
+             CAST(CASE WHEN difficulty_milli <= e1 THEN 0
+                       WHEN difficulty_milli <= e2 THEN 1
+                       WHEN difficulty_milli <= e3 THEN 2 ELSE 3 END AS BIGINT) AS stage,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS shuffle_key
+      FROM d, e""",
     "dedup_threshold_histogram" -> s"""
       WITH pairs AS MATERIALIZED ($NgramJaccardSql
       ), b AS (

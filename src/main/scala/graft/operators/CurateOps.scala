@@ -418,6 +418,60 @@ object CurateOps {
         (col("tok_before") < quota).cast("long").as("admitted"))
   }
 
+  /** k-anonymity audit over release quasi-identifiers (Sweeney 2002):
+    * a document is re-identifiable when its quasi-identifier
+    * equivalence class — here (lang, source, token-count band of 32) —
+    * holds fewer than k corpus members, so a release pipeline
+    * suppresses (or generalizes) exactly those rows. Emits per doc its
+    * class, the class size, and the suppress verdict.
+    *
+    * Scale shape: one map-side-combined groupBy over the bounded
+    * quasi-identifier space, then an unhinted equi-join back onto the
+    * corpus — the class table is (langs × sources × bands)-bounded, so
+    * AQE broadcasts it when small and hash-joins co-keyed when not; no
+    * windows, no collects.
+    */
+  def curateKAnonymity(s: SparkSession, dir: String, k: Long = 5L): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+      size(split(TextOps.normalized(col("text")), " ")).cast("long").as("n_tokens"))
+      .withColumn("tok_band", expr("n_tokens div 32"))
+    val classes = base.groupBy(col("lang"), col("source"), col("tok_band"))
+      .agg(count(lit(1)).as("class_size"))
+    base.join(classes, Seq("lang", "source", "tok_band"))
+      .select(col("doc_id"), col("lang"), col("source"), col("tok_band"),
+        col("class_size"), (col("class_size") < k).cast("long").as("suppress"))
+  }
+
+  /** Curriculum schedule (Bengio et al. 2009: present easy examples
+    * first): difficulty = mean token length in milli-chars (longer
+    * words proxy harder text, deterministic integers), stage = its
+    * corpus quartile via the exact distributed quantiles — driver
+    * literals from bounded histograms, NO global sort — and the
+    * within-stage order is the md5 shuffle key, so a trainer reading
+    * (stage, shuffle_key) order sees easy → hard with i.i.d. order
+    * inside each stage. After the two bounded quantile passes the plan
+    * is a row-parallel projection: zero windows, zero joins.
+    */
+  def curateCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"),
+      size(split(TextOps.normalized(col("text")), " ")).cast("long").as("n_tokens"),
+      length(TextOps.normalized(col("text"))).cast("long").as("n_chars"))
+      .withColumn("difficulty_milli",
+        expr("(1000 * n_chars) div greatest(n_tokens, 1L)"))
+    val edges = ScaleOps.exactQuantiles(base, col("difficulty_milli"),
+      Seq(25, 50, 75)).map(_._2)
+    base
+      .withColumn("stage",
+        when(col("difficulty_milli") <= edges(0), 0L)
+          .when(col("difficulty_milli") <= edges(1), 1L)
+          .when(col("difficulty_milli") <= edges(2), 2L)
+          .otherwise(3L))
+      .withColumn("shuffle_key",
+        expr("substring(md5(cast(doc_id as string)), 1, 16)"))
+      .select(col("doc_id"), col("n_tokens"), col("difficulty_milli"),
+        col("stage"), col("shuffle_key"))
+  }
+
   /** Quota admission of an ARRIVING batch against running per-source
     * totals — DataFrame-in, so the composed ingest tick
     * ([[graft.streaming.Streaming.runIngestTick]]) serves the same

@@ -102,6 +102,24 @@ object DedupOps {
 
   /** maxDf <= 0 disables the guard (test reference plan). */
   def ngramJaccard(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
+    val (inter, sizes) = shingleIntersections(s, dir, maxDf)
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), Seq("doc_b"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .filter(col("n_inter") * 5 >= col("n_union"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
+  }
+
+  /** Shared pair-mining core of [[ngramJaccard]] and
+    * [[dedupContainment]]: exact shingle-set intersection counts for
+    * every document pair sharing at least one (rare) shingle, plus the
+    * per-document set sizes. Returns (intersections (doc_a < doc_b,
+    * n_inter), sizes (doc_id, n)).
+    */
+  private def shingleIntersections(s: SparkSession, dir: String,
+      maxDf: Int): (DataFrame, DataFrame) = {
     // join on the 64-bit shingle hash, not the string: same counts
     // (collision odds ~1e-8 at 1M shingles), ~10x less shuffle volume
     val sh = ResidentCache(s, "dedup_ngram_sh",
@@ -115,20 +133,13 @@ object DedupOps {
     val hasHot = maxDf > 0 &&
       !sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf).isEmpty
-    def scored(inter: DataFrame): DataFrame = inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), Seq("doc_b"))
-      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
-      .filter(col("n_inter") * 5 >= col("n_union"))
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
-        (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
     if (!hasHot) {
       // no hot shingles → the single self-join is already df-bounded
       val inter = sh.select(col("doc_id").as("doc_a"), col("h"))
         .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-      return scored(inter)
+      return (inter, sizes)
     }
     // hot shingles present: candidate generation joins only rare
     // shingles (per-key fanout capped at maxDf²), then exact scoring
@@ -148,7 +159,38 @@ object DedupOps {
       .join(shc.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-    scored(cand.join(inter, Seq("doc_a", "doc_b")))
+    (cand.join(inter, Seq("doc_a", "doc_b")), sizes)
+  }
+
+  /** Asymmetric CONTAINMENT dedup — the near-superset detector
+    * symmetric Jaccard misses entirely: a 50-shingle document embedded
+    * verbatim in a 5,000-shingle page has Jaccard ≈ 1% but containment
+    * 100%, and web corpora are full of exactly that shape (quoted
+    * articles, syndicated fragments, boilerplate-wrapped reposts).
+    * Broder's containment C(A,B) = |S(A)∩S(B)| / |S(A)| over the same
+    * 3-gram shingle sets as [[ngramJaccard]]; a pair is reported when
+    * the SMALLER side is ≥ 80% contained (5·n_inter ≥ 4·min(n_a,n_b)),
+    * and `contained_doc` names the duplicate to drop — the smaller
+    * set, the larger doc_id on ties (the later arrival is the copy).
+    * `cont_ppm` is the integer-exact containment of that smaller side.
+    *
+    * Scale shape: identical to [[ngramJaccard]] — the shared df-guarded
+    * postings join (fanout ≤ maxDf² per shingle key) feeds both
+    * operators through one resident shingle table, so running both
+    * costs one mining pass, not two.
+    */
+  def dedupContainment(s: SparkSession, dir: String,
+      maxDf: Int = HotShingleMaxDf): DataFrame = {
+    val (inter, sizes) = shingleIntersections(s, dir, maxDf)
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), Seq("doc_b"))
+      .filter(col("n_inter") * 5 >= least(col("n_a"), col("n_b")) * 4)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        expr("(1000000 * n_inter) div least(n_a, n_b)").as("cont_ppm"),
+        when(col("n_a") < col("n_b"), col("doc_a"))
+          .when(col("n_b") < col("n_a"), col("doc_b"))
+          .otherwise(greatest(col("doc_a"), col("doc_b"))).as("contained_doc"))
   }
 
   /** MinHash + LSH banding near-dup candidates, verified by exact

@@ -1109,6 +1109,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a collect gathered the whole hot band: ${collects.max}")
   }
 
+  test("containment dedup: smaller side >= 80% contained; complete vs a driver shingle replay") {
+    val rows = DedupOps.dedupContainment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty, "sf0.001 corpus must contain containment pairs")
+    val sets = DedupOps.shingles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    rows.foreach { case (a, b, nInter, nA, nB, ppm, contained) =>
+      val (sa, sb) = (sets(a), sets(b))
+      assert(nA == sa.size && nB == sb.size, s"($a,$b) set sizes")
+      assert(nInter == sa.intersect(sb).size, s"($a,$b) intersection")
+      assert(5 * nInter >= 4 * math.min(nA, nB), s"($a,$b) below threshold")
+      assert(ppm == 1000000L * nInter / math.min(nA, nB), s"($a,$b) cont_ppm")
+      val expect = if (nA < nB) a else if (nB < nA) b else math.max(a, b)
+      assert(contained == expect, s"($a,$b) contained_doc")
+    }
+    // completeness: every >= 80%-contained pair in the brute-force
+    // all-pairs replay is reported (the df guard can only drop pairs
+    // whose shared shingles are ALL hot — none at this corpus)
+    val found = rows.map(r => (r._1, r._2)).toSet
+    val ids = sets.keys.toSeq.sorted
+    for (i <- ids; j <- ids if i < j) {
+      val ni = sets(i).intersect(sets(j)).size
+      if (ni > 0 && 5L * ni >= 4L * math.min(sets(i).size, sets(j).size))
+        assert(found((i, j)), s"missing contained pair ($i,$j)")
+    }
+  }
+
   test("mm canonical: one keeper per phash cluster, keeper maximizes (bytes, -id)") {
     val rows = Multimodal.mmCanonical(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
