@@ -107,7 +107,7 @@ object SparkEntry {
     "txt_winnow" -> (TextOps.txtWinnow _),
     "txt_chunk_overlap" -> ((s, dir) => TextOps.txtChunkOverlap(s, dir)),
     "txt_pipeline_clean" -> (TextOps.txtPipelineClean _),
-    "txt_char_lm_score" -> (TextOps.txtCharLmScore _),
+    "txt_char_lm_score" -> (TextOps.charLmScoredResident _),
     "txt_ccnet_buckets" -> (TextOps.txtCcnetBuckets _),
     "txt_ccnet_lang" -> (TextOps.txtCcnetLangBuckets _),
     "txt_quality_classify" -> (TextOps.txtQualityClassify _),

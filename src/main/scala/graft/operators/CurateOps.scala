@@ -1327,7 +1327,7 @@ object CurateOps {
     * |sources| rows. Output is metadata-sized at any corpus scale.
     */
   def curateDoremiWeights(s: SparkSession, dir: String): DataFrame = {
-    val scored = TextOps.txtCharLmScore(s, dir)
+    val scored = TextOps.charLmScoredResident(s, dir)
     val src = docs(s, dir).select(col("doc_id"), col("source"))
     val per = scored.join(src, Seq("doc_id"))
       .groupBy(col("source"))

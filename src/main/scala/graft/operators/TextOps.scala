@@ -323,6 +323,18 @@ object TextOps {
   def txtCharLmScore(s: SparkSession, dir: String): DataFrame =
     charLmScoreWith(docs(s, dir), charLmModel(s, dir))
 
+  /** The FULL-WIDTH char-LM scored corpus as one resident table — the
+    * training pass (model aggregate + per-doc scoring join) is the
+    * expensive part, and FIVE consumers want its columns: the
+    * char_lm_score query itself, both CCNet bucketers (avg_millibits),
+    * and DoReMi (n_bigrams + surprisal_bits). One slot holding all
+    * four columns means whichever consumer runs first pays the
+    * training once and the family reuses it, instead of the 2-column
+    * slot forcing DoReMi to retrain for its own columns.
+    */
+  private[graft] def charLmScoredResident(s: SparkSession, dir: String): DataFrame =
+    cacheResident(s, "ccnet_scored", txtCharLmScore(s, dir))
+
   /** The trained char-LM: bigram → floored-bits surprisal — the
     * alphabet-bounded (≤ 37² rows) artifact a production pipeline
     * persists and reuses on new data (the streaming scorer applies it
@@ -390,8 +402,8 @@ object TextOps {
     // the final bucket projection — without it the whole char-LM
     // pipeline runs twice (measured 5.9 s -> 3.1 s at sf0.1); resident
     // slot so re-invocation frees the previous copy
-    val scored = cacheResident(s, "ccnet_scored", txtCharLmScore(s, dir)
-      .select(col("doc_id"), col("avg_millibits")))
+    val scored = charLmScoredResident(s, dir)
+      .select(col("doc_id"), col("avg_millibits"))
     val (t1, t2) = ccnetThresholds(scored)
     ccnetBucketWith(scored, t1, t2)
   }
@@ -432,8 +444,8 @@ object TextOps {
     * literal table broadcast back — assignment is row-parallel.
     */
   def txtCcnetLangBuckets(s: SparkSession, dir: String): DataFrame = {
-    val scored = cacheResident(s, "ccnet_scored", txtCharLmScore(s, dir)
-      .select(col("doc_id"), col("avg_millibits")))
+    val scored = charLmScoredResident(s, dir)
+      .select(col("doc_id"), col("avg_millibits"))
     val sc = scored.join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
     ccnetLangBucketWith(sc, ccnetLangThresholds(sc))
   }
