@@ -280,6 +280,11 @@ object Artifacts {
         // node's expanded text references, with their resolved values —
         // the state_modified_compare_vars comparison facet
         "vars_used" -> manifest.varsUsed.getOrElse(n.uniqueId, Map.empty[String, String]),
+        // v12 unrendered_config: the config as written (yml defaults +
+        // the file config() call pre-render) — the comparison basis for
+        // state_modified_compare_more_unrendered_values
+        "unrendered_config" -> manifest.unrenderedConfigs.getOrElse(
+          n.uniqueId, Map.empty[String, String]),
         "created_at" -> 0.0)
     }
     val (exposures, metrics, semanticModels, savedQueries, plainNodes) = {

@@ -443,6 +443,31 @@ final case class HookNode(
 }
 
 /** The manifest IR (reference contracts/graph/manifest.py). */
+/** A `{% materialization <name>, default %}` override block. The body
+  * is a text-level reduction of the reference's materialization macro:
+  * it renders with `{{ sql }}` (the compiled model SELECT, as a
+  * subquery) and `{{ this }}` (the target relation) bound, and the
+  * result is the SELECT the relation is built from — the same altitude
+  * as the engine's text-level macro system.
+  */
+final case class MatOverride(
+    name: String,
+    body: String,
+    packageName: String,
+    /** Root-project overrides always win (reference Locality.Root is
+      * always a valid locality); package (Imported) overrides of a
+      * BUILTIN materialization are gated by the behavior flag.
+      */
+    fromRoot: Boolean)
+
+object Manifest {
+  /** Reference defaults for absent legacy behavior flags
+    * (core/dbt/contracts/project.py:342-347).
+    */
+  val flagDefaults: Map[String, Boolean] = Map(
+    "require_explicit_package_overrides_for_builtin_materializations" -> true)
+}
+
 final case class Manifest(
     nodes: Map[String, Node],
     sources: Map[String, SourceNode],
@@ -465,13 +490,35 @@ final case class Manifest(
       * the node's macro-expanded text references — the comparison
       * basis for the `state_modified_compare_vars` behavior flag.
       */
-    varsUsed: Map[String, Map[String, String]] = Map.empty) {
+    varsUsed: Map[String, Map[String, String]] = Map.empty,
+    /** `{% materialization name, default %}` override blocks by
+      * materialization name (reference macro namespace Locality:
+      * Core = the engine's built-ins, Root = the root project,
+      * Imported = a dependency package). Dispatch is gated by the
+      * `require_explicit_package_overrides_for_builtin_materializations`
+      * behavior flag (manifest.py:1015-1036).
+      */
+    matOverrides: Map[String, MatOverride] = Map.empty,
+    /** node uniqueId -> config key -> UNRENDERED value text: the
+      * node's config as written (yml defaults + the file's config()
+      * call scanned from macro-expanded but var/control-flow-UNRENDERED
+      * text). The `state_modified_compare_more_unrendered_values`
+      * comparison basis (reference unrendered_config,
+      * context_config.py:315-335): under the flag, state:modified
+      * compares these instead of the rendered config, so a var/env
+      * rendering difference alone no longer reads as modified.
+      */
+    unrenderedConfigs: Map[String, Map[String, String]] = Map.empty) {
 
-  /** A behavior flag's boolean value (absent → the reference's
-    * legacy-flag default, false).
+  /** A behavior flag's boolean value. Absent flags take the
+    * REFERENCE's per-flag default (core/dbt/contracts/project.py:342-
+    * 347): every legacy behavior flag defaults false except
+    * require_explicit_package_overrides_for_builtin_materializations,
+    * which the reference flipped to true.
     */
   def flag(name: String): Boolean =
-    flags.get(name).exists(v => v.equalsIgnoreCase("true"))
+    flags.get(name).map(_.equalsIgnoreCase("true"))
+      .getOrElse(Manifest.flagDefaults.getOrElse(name, false))
 
   def all: Map[String, Node] = nodes ++ sources ++ unitTests
 

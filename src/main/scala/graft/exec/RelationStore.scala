@@ -38,11 +38,21 @@ final class RelationStore(
       * within it and [[vacuum]] trims below it on demand. Production
       * analogue: lakehouse table retention for time travel.
       */
-    val retainVersions: Int = 2) {
+    val retainVersions: Int = 2,
+    /** After how many live delta landings [[appendDelta]] folds the
+      * deltas into a new base version (a metadata-only hard-link fold —
+      * no data bytes are rewritten). Bounds the number of directories a
+      * read has to list without ever making a tick's write cost
+      * O(table).
+      */
+    val deltaFoldEvery: Int = 64) {
   private def schemaDir: Path = Paths.get(root, schema)
   private def tableDir(name: String): Path = schemaDir.resolve(name)
   private def pointer(name: String): Path = tableDir(name).resolve("_current")
   private def viewFile(name: String): Path = schemaDir.resolve(s"$name.view.sql")
+  private def deltaRoot(name: String): Path = tableDir(name).resolve("delta")
+  private def deltaDirOf(name: String, batchId: Long): Path =
+    deltaRoot(name).resolve(s"b$batchId")
 
   def relation(name: String): Relation = Relation(schema, name)
 
@@ -50,7 +60,8 @@ final class RelationStore(
   def sqlName(name: String): String = if (qualifyViews) s"${schema}__$name" else name
 
   def exists(name: String): Boolean =
-    Files.exists(pointer(name)) || Files.exists(viewFile(name))
+    Files.exists(pointer(name)) || Files.exists(viewFile(name)) ||
+      liveDeltaIds(name).nonEmpty
 
   def isView(name: String): Boolean = Files.exists(viewFile(name))
 
@@ -79,7 +90,9 @@ final class RelationStore(
       // would lose it and joins would re-shuffle
       spark.table(ensureBucketedRegistered(name))
     else {
-      val p = asOfVersion match {
+      // time travel addresses BASE commits only; delta landings are
+      // absorbed into the base by folds, not individually versioned
+      val paths: Seq[String] = asOfVersion match {
         case Some(v) =>
           val cur = currentVersion(name).getOrElse(-1)
           val dir = tableDir(name).resolve(s"v$v")
@@ -87,22 +100,29 @@ final class RelationStore(
           // a committed version — reading it would scan partial files
           if (v > cur || !Files.exists(dir)) throw new IllegalStateException(
             s"version $v of $schema.$name not found (have: ${versions(name).filter(_ <= cur).mkString(",")})")
-          dir.toString
-        case None => currentPath(name).getOrElse(
-          throw new IllegalStateException(s"relation not found: $schema.$name"))
+          Seq(dir.toString)
+        case None =>
+          val live = liveDeltaIds(name).map(id => deltaDirOf(name, id).toString)
+          val all = currentPath(name).toSeq ++ live
+          if (all.isEmpty)
+            throw new IllegalStateException(s"relation not found: $schema.$name")
+          all
       }
-      val df = spark.read.parquet(p)
+      val df = spark.read.parquet(paths: _*)
       // restore the exact written schema (column order + types): a
       // partitioned layout re-infers partition-column types on read,
       // which would otherwise drift (e.g. "2024-01-01" → DATE)
-      val schemaFile = Paths.get(p, "_graft_schema.json")
-      if (Files.exists(schemaFile)) {
-        val stored = org.apache.spark.sql.types.DataType
-          .fromJson(Files.readString(schemaFile))
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        df.select(stored.fields.toSeq.map(f =>
-          org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
-      } else df
+      val schemaFile = paths.map(p => Paths.get(p, "_graft_schema.json"))
+        .find(Files.exists(_))
+      schemaFile match {
+        case Some(f) =>
+          val stored = org.apache.spark.sql.types.DataType
+            .fromJson(Files.readString(f))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          df.select(stored.fields.toSeq.map(f =>
+            org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+        case None => df
+      }
     }
   }
 
@@ -129,6 +149,7 @@ final class RelationStore(
     * deployment vacuums on a schedule exactly like lakehouse VACUUM.
     */
   def vacuum(name: String, keepLast: Int = 2): Int = {
+    reapAbsorbedDeltas(name)
     val keep = math.max(1, keepLast)
     val cur = currentVersion(name).getOrElse(return 0)
     // anything above the pointer is a torn directory from a crashed
@@ -138,6 +159,185 @@ final class RelationStore(
     val candidates = torn ++ stale
     candidates.foreach(v => deleteRecursively(tableDir(name).resolve(s"v$v")))
     candidates.size
+  }
+
+  // ---- delta landing (streaming appends) ----
+  //
+  // A long-running ingest loop cannot afford the versioned full-rewrite
+  // commit: appending one micro-batch by rewriting the whole table costs
+  // O(landed history) per tick — quadratic cumulative I/O over the
+  // stream's life. Instead each micro-batch lands as its OWN immutable
+  // delta directory keyed by the foreachBatch batchId (a mini delta log
+  // in the store's copy-on-write idiom):
+  //
+  //  - per-tick write cost is O(batch), never O(table);
+  //  - landing is replay-idempotent: foreachBatch is at-least-once, and
+  //    a replayed epoch finds its batchId already committed and skips —
+  //    no double-append, and state derived FROM the landed table (e.g.
+  //    streaming quota admission totals) stays exact across crashes;
+  //  - commit is an atomic directory rename (write to a dot-tmp dir,
+  //    move into place) — a crash mid-write leaves an invisible tmp dir
+  //    that vacuum reclaims, never a torn committed delta.
+  //
+  // Every `deltaFoldEvery` landings the live deltas FOLD into a new base
+  // version by hard-linking data files (metadata-only — zero data bytes
+  // rewritten), bounding the directory count a read must list. The fold
+  // records a `_delta_watermark` in the version dir: deltas with id ≤
+  // watermark are absorbed (excluded from reads, reclaimed lazily), so
+  // a crash between pointer-commit and delta-delete never double-counts.
+
+  /** Batch ids of COMMITTED, not-yet-absorbed delta landings, ascending. */
+  def landedBatchIds(name: String): Seq[Long] = liveDeltaIds(name)
+
+  private def liveDeltaIds(name: String): Seq[Long] = {
+    val d = deltaRoot(name)
+    if (!Files.exists(d)) return Nil
+    val wm = currentWatermark(name)
+    val it = Files.list(d).iterator()
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    while (it.hasNext) {
+      val f = it.next().getFileName.toString
+      if (f.startsWith("b") && f.drop(1).forall(_.isDigit)) {
+        val id = f.drop(1).toLong
+        if (id > wm) out += id
+      }
+    }
+    out.toSeq.sorted
+  }
+
+  /** Highest batch id absorbed into (or invalidated by) the current base
+    * version; -1 when no base or the base predates any landing.
+    */
+  private def currentWatermark(name: String): Long =
+    currentVersion(name).map { v =>
+      val f = tableDir(name).resolve(s"v$v").resolve("_delta_watermark")
+      if (Files.exists(f)) Files.readString(f).trim.toLong else -1L
+    }.getOrElse(-1L)
+
+  /** Whether `batchId` has already been durably landed (committed delta
+    * dir, or absorbed below the base watermark). The replay guard:
+    * Structured Streaming's foreachBatch is at-least-once, and batch ids
+    * are monotone per checkpoint, so a replayed epoch answers true here
+    * and [[appendDelta]] skips it.
+    */
+  def batchLanded(name: String, batchId: Long): Boolean =
+    batchId <= currentWatermark(name) || Files.exists(deltaDirOf(name, batchId))
+
+  /** Land one micro-batch as an immutable delta directory. Returns false
+    * (and evaluates NOTHING — `df` stays lazy) when `batchId` already
+    * landed. Refuses bucketed/partitioned-layout bases: deltas are flat
+    * parquet dirs unioned into the read, which would silently discard a
+    * bucket spec or partition columns.
+    */
+  def appendDelta(df: DataFrame, name: String, batchId: Long): Boolean = {
+    require(!isView(name), s"cannot land deltas into view $schema.$name")
+    require(!isBucketed(name),
+      s"cannot land deltas into bucketed relation $schema.$name")
+    if (batchLanded(name, batchId)) return false
+    require(currentVersion(name).isEmpty || !isPartitionedLayout(name),
+      s"cannot land deltas into partitioned-layout relation $schema.$name")
+    // same column names + types as the landed content — the read path
+    // unions the dirs, so drift would surface as torn schemas later
+    storedSchemaOf(name).foreach { stored =>
+      val landed = stored.fields.toSeq.map(f => (f.name, f.dataType))
+      val incoming = df.schema.fields.toSeq.map(f => (f.name, f.dataType))
+      require(landed == incoming,
+        s"appendDelta($name): schema drift — landed $landed vs incoming $incoming")
+    }
+    Files.createDirectories(deltaRoot(name))
+    val tmp = deltaRoot(name).resolve(s".tmp_b$batchId")
+    if (Files.exists(tmp)) deleteRecursively(tmp)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    Files.writeString(tmp.resolve("_graft_schema.json"), df.schema.json)
+    Files.move(tmp, deltaDirOf(name, batchId), StandardCopyOption.ATOMIC_MOVE)
+    registerView(name)
+    if (liveDeltaIds(name).size >= math.max(2, deltaFoldEvery)) foldDeltas(name)
+    true
+  }
+
+  /** Fold all live deltas into a new base version by HARD-LINKING their
+    * data files (copy across filesystems) — a metadata-only commit:
+    * bytes written per fold are O(file count), not O(table), so the
+    * landing loop's cumulative I/O stays linear in data ingested. Delta
+    * file names are prefixed `b{id}_` so links never collide across
+    * folds. Returns the number of deltas folded.
+    */
+  def foldDeltas(name: String): Int = {
+    reapAbsorbedDeltas(name) // leftovers of a crashed previous fold
+    val live = liveDeltaIds(name)
+    if (live.isEmpty) return 0
+    val cur = currentVersion(name)
+    val next = cur.getOrElse(-1) + 1
+    val dest = tableDir(name).resolve(s"v$next")
+    if (Files.exists(dest)) deleteRecursively(dest) // torn leftover
+    Files.createDirectories(dest)
+    cur.foreach { v =>
+      val prev = tableDir(name).resolve(s"v$v")
+      dataFilesIn(prev).foreach(f => linkFile(f, dest.resolve(f.getFileName.toString)))
+    }
+    live.foreach { id =>
+      dataFilesIn(deltaDirOf(name, id)).foreach(f =>
+        linkFile(f, dest.resolve(s"b${id}_${f.getFileName}")))
+    }
+    val schemaSrc = (cur.map(v => tableDir(name).resolve(s"v$v")).toSeq ++
+      live.map(deltaDirOf(name, _)))
+      .map(_.resolve("_graft_schema.json")).find(Files.exists(_))
+    schemaSrc.foreach(s => Files.copy(s, dest.resolve("_graft_schema.json"),
+      StandardCopyOption.REPLACE_EXISTING))
+    Files.writeString(dest.resolve("_delta_watermark"), live.max.toString)
+    commitPointer(name, next)
+    reapAbsorbedDeltas(name)
+    live.size
+  }
+
+  /** Reclaim absorbed delta dirs (id ≤ watermark) and crashed dot-tmp
+    * landings. Linked data lives on in the base version's hard links.
+    */
+  private def reapAbsorbedDeltas(name: String): Unit = {
+    val d = deltaRoot(name)
+    if (!Files.exists(d)) return
+    val wm = currentWatermark(name)
+    val it = Files.list(d).iterator()
+    val victims = scala.collection.mutable.ArrayBuffer[Path]()
+    while (it.hasNext) {
+      val p = it.next()
+      val f = p.getFileName.toString
+      if (f.startsWith(".tmp_")) victims += p
+      else if (f.startsWith("b") && f.drop(1).forall(_.isDigit) && f.drop(1).toLong <= wm)
+        victims += p
+    }
+    victims.foreach(deleteRecursively)
+  }
+
+  /** Data files (non-meta regular files) directly inside `dir`. */
+  private def dataFilesIn(dir: Path): Seq[Path] = {
+    if (!Files.isDirectory(dir)) return Nil
+    val it = Files.list(dir).iterator()
+    val out = scala.collection.mutable.ListBuffer[Path]()
+    while (it.hasNext) {
+      val c = it.next()
+      val fn = c.getFileName.toString
+      if (Files.isRegularFile(c) && !fn.startsWith("_") && !fn.startsWith(".")) out += c
+    }
+    out.toSeq
+  }
+
+  private def linkFile(src: Path, dest: Path): Unit =
+    try Files.createLink(dest, src)
+    catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+      Files.copy(src, dest, StandardCopyOption.COPY_ATTRIBUTES)
+    }
+
+  /** The stored schema of the current landed content (base version's, or
+    * the oldest live delta's for a delta-only table).
+    */
+  private def storedSchemaOf(name: String): Option[org.apache.spark.sql.types.StructType] = {
+    val candidates = currentPath(name).map(Paths.get(_)).toSeq ++
+      liveDeltaIds(name).map(deltaDirOf(name, _))
+    candidates.map(_.resolve("_graft_schema.json")).find(Files.exists(_)).map { f =>
+      org.apache.spark.sql.types.DataType.fromJson(Files.readString(f))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
   }
 
   /** Write a new version and swap the pointer (the "commit").
@@ -151,7 +351,14 @@ final class RelationStore(
         * a column-pruned scan, not a recompute of the model plan. A
         * throw leaves the previous version current.
         */
-      validate: Option[DataFrame => Unit] = None): Unit = {
+      validate: Option[DataFrame => Unit] = None,
+      /** Exactly-once marker for merge-style streaming sinks: the batch
+        * id this commit applies, persisted IN the version dir so the
+        * marker and the data commit atomically together (pointer swap).
+        * A replayed foreachBatch epoch checks [[lastBatchTag]] ≥ its id
+        * and skips the non-idempotent merge.
+        */
+      batchTag: Option[Long] = None): Unit = {
     Files.createDirectories(tableDir(name))
     val next = currentVersion(name).getOrElse(-1) + 1
     val dest = tableDir(name).resolve(s"v$next")
@@ -160,13 +367,29 @@ final class RelationStore(
       .parquet(dest.toString)
     // leading "_" files are invisible to parquet FileIndex (like _SUCCESS)
     Files.writeString(dest.resolve("_graft_schema.json"), df.schema.json)
+    // a full write REPLACES the table's content, so any live delta
+    // landings are superseded — raise the watermark past them (they're
+    // reclaimed post-commit; pre-commit they must stay: the pointer may
+    // still end up naming the old version if validation throws)
+    val supersededWm = (currentWatermark(name) +: liveDeltaIds(name): Seq[Long]).max
+    if (supersededWm >= 0)
+      Files.writeString(dest.resolve("_delta_watermark"), supersededWm.toString)
+    batchTag.foreach(t => Files.writeString(dest.resolve("_graft_batch"), t.toString))
     validate.foreach { v =>
       try v(spark.read.parquet(dest.toString))
       catch { case e: Throwable => deleteRecursively(dest); throw e }
     }
     dropBucketing(name)
     commitPointer(name, next)
+    reapAbsorbedDeltas(name)
   }
+
+  /** Batch tag recorded by the current version's commit, if any. */
+  def lastBatchTag(name: String): Option[Long] =
+    currentVersion(name).flatMap { v =>
+      val f = tableDir(name).resolve(s"v$v").resolve("_graft_batch")
+      if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
+    }
 
   /** Bucketed CTAS (reference: warehouse clustering/bucketing DDL the
     * adapters render; Spark-side this is `CLUSTERED BY … INTO n BUCKETS`).
@@ -292,6 +515,11 @@ final class RelationStore(
         */
       touchedValues: Option[Array[org.apache.spark.sql.Row]] = None): Unit = {
     require(partitionBy.nonEmpty, "writePartitions requires partition columns")
+    // a partition-scoped commit replaces SOME content; live deltas are
+    // neither partition-addressed nor superseded — the combination is
+    // incoherent (delta landing targets flat append-only tables)
+    require(liveDeltaIds(name).isEmpty,
+      s"writePartitions($name): relation has live delta landings — fold or full-write first")
     val cur = currentVersion(name)
     if (cur.isEmpty) { write(df, name, partitionBy); return }
     val prev = tableDir(name).resolve(s"v${cur.get}")
@@ -470,10 +698,13 @@ final class RelationStore(
         .write.mode(SaveMode.Overwrite).parquet(dest.resolve(rel).toString)
     }
     for (rel <- units if !fragSet.contains(rel)) linkTree(prev.resolve(rel), dest.resolve(rel))
-    val schemaFile = prev.resolve("_graft_schema.json")
-    if (Files.exists(schemaFile))
-      Files.copy(schemaFile, dest.resolve("_graft_schema.json"),
-        StandardCopyOption.REPLACE_EXISTING)
+    // compaction rewrites the BASE only; carry the delta bookkeeping
+    // forward unchanged (live deltas stay live, absorbed stay absorbed)
+    Seq("_graft_schema.json", "_delta_watermark", "_graft_batch").foreach { meta =>
+      val f = prev.resolve(meta)
+      if (Files.exists(f))
+        Files.copy(f, dest.resolve(meta), StandardCopyOption.REPLACE_EXISTING)
+    }
     commitPointer(name, next)
     fragmented.size
   }
@@ -623,10 +854,11 @@ final class RelationStore(
       val sql = Files.readString(fromStore.viewFile(name))
       writeView(name, sql)
     } else {
-      val srcPath = fromStore.currentPath(name).getOrElse(
+      val src = fromStore.addressable(name).getOrElse(
         throw new IllegalStateException(s"cannot clone missing relation $name"))
       // pointer-only clone: a view over the source's current version dir
-      writeView(name, s"SELECT * FROM parquet.`$srcPath`")
+      // (plus any live delta landings — addressable() unions them in)
+      writeView(name, s"SELECT * FROM $src")
     }
   }
 
@@ -641,7 +873,15 @@ final class RelationStore(
   def addressable(name: String): Option[String] =
     if (isView(name)) viewSql(name).map(sql => s"(\n$sql\n)")
     else if (isBucketed(name)) Some(ensureBucketedRegistered(name))
-    else currentPath(name).map(p => s"parquet.`$p`")
+    else {
+      val live = liveDeltaIds(name).map(id => deltaDirOf(name, id).toString)
+      (currentPath(name).toSeq ++ live) match {
+        case Seq() => None
+        case Seq(p) => Some(s"parquet.`$p`")
+        case many => Some(many.map(p => s"SELECT * FROM parquet.`$p`")
+          .mkString("(\n", "\nUNION ALL\n", "\n)"))
+      }
+    }
 
   def list(): Seq[String] =
     if (!Files.exists(schemaDir)) Nil
@@ -651,7 +891,8 @@ final class RelationStore(
       while (ds.hasNext) {
         val p = ds.next()
         val fn = p.getFileName.toString
-        if (Files.isDirectory(p) && Files.exists(p.resolve("_current"))) out += fn
+        if (Files.isDirectory(p) &&
+          (Files.exists(p.resolve("_current")) || liveDeltaIds(fn).nonEmpty)) out += fn
         else if (fn.endsWith(".view.sql")) out += fn.stripSuffix(".view.sql")
       }
       out.toSeq.sorted

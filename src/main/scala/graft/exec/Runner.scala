@@ -189,7 +189,15 @@ final class Runner(
     // runnable.py:517) it additionally short-circuits every selected
     // node to "skipped", otherwise the nodes still execute
     val hookFailed = manifest.onRunStart.foldLeft(false) { (failed, h) =>
-      try { spark.sql(renderHook(h.rawCode)); failed }
+      // once one hook fails, the REMAINING hooks are recorded as
+      // skipped without executing (reference safe_run_hooks: failures
+      // flip `failed` and later hooks get status Skipped) — a
+      // side-effecting hook must not run after its predecessor failed
+      if (failed) {
+        results.add(RunResult(h.uniqueId, "skipped", 0.0, "previous hook failed"))
+        true
+      }
+      else try { spark.sql(renderHook(h.rawCode)); false }
       catch {
         case e: Exception =>
           results.add(RunResult(h.uniqueId, "error", 0.0,
@@ -360,6 +368,7 @@ final class Runner(
     if (m.config.meta.get("language").contains("python"))
       return hooksAround(m)(runPythonModel(m, elapsed))
     hooksAround(m) {
+      customMaterialization(m, elapsed).getOrElse {
       m.config.materialized match {
         case Materialized.Ephemeral =>
           RunResult(m.uniqueId, "success", elapsed, "EPHEMERAL (inlined downstream)")
@@ -398,8 +407,46 @@ final class Runner(
         case other =>
           throw new IllegalStateException(s"model ${m.name} has materialization $other")
       }
+      }
     }
   }
+
+  /** Materialization-override dispatch (reference manifest.py:1015-1036
+    * find_materialization_macro_by_name): a root-project
+    * `{% materialization %}` override always wins; an imported
+    * package's override of a builtin materialization dispatches only
+    * under legacy behavior — with
+    * require_explicit_package_overrides_for_builtin_materializations
+    * false, the override runs and a deprecation fires
+    * (package-materialization-override); with the flag true (the
+    * reference's default) the override is IGNORED and the builtin runs.
+    * The override body is the text-level reduction documented on
+    * [[graft.core.MatOverride]]: `{{ sql }}`/`{{ this }}` bind, the
+    * rendered text is the SELECT the relation is built from.
+    */
+  private def customMaterialization(m: ModelNode, elapsed: => Double): Option[RunResult] =
+    manifest.matOverrides.get(m.config.materialized.name).flatMap { ov =>
+      val explicitEra =
+        manifest.flag("require_explicit_package_overrides_for_builtin_materializations")
+      if (!ov.fromRoot && explicitEra) None // package override of a builtin: ignored
+      else {
+        if (!ov.fromRoot)
+          System.err.println(
+            s"[graft] WARNING: deprecated package-materialization-override: package " +
+              s"'${ov.packageName}' overrides builtin materialization '${ov.name}' — " +
+              "behavior kept because require_explicit_package_overrides_for_builtin_" +
+              "materializations is false")
+        val inner = compiler().compile(m, m.rawCode).executable
+        val q = java.util.regex.Matcher.quoteReplacement _
+        val rendered = ov.body
+          .replaceAll(raw"\{\{\s*sql\s*\}\}", q(s"(\n$inner\n)"))
+          .replaceAll(raw"\{\{\s*this\s*\}\}", q(materializer.sqlName(m)))
+        materializer.table(m, spark.sql(rendered))
+        Some(RunResult(m.uniqueId, "success", elapsed,
+          s"CUSTOM MATERIALIZATION ${ov.name} (" +
+            (if (ov.fromRoot) "root project" else s"package ${ov.packageName}") + ")"))
+      }
+    }
 
   /** Python model execution (reference ModelRunner → submit_python_job,
     * providers.py:1513): the declared refs/sources become the inputs
@@ -668,7 +715,26 @@ final class Runner(
     // source_freshness_run_project_hooks the hooks are SKIPPED with a
     // deprecation warning)
     val runHooks = manifest.flag("source_freshness_run_project_hooks")
-    if (runHooks) manifest.onRunStart.foreach(h => spark.sql(renderHook(h.rawCode)))
+    // a failing hook is an error RESULT, not a crash out of the task —
+    // the same safe_run_hooks discipline execute() applies, with the
+    // same skip-the-rest-after-a-failure ordering
+    val hookResults = scala.collection.mutable.ArrayBuffer[RunResult]()
+    if (runHooks) {
+      manifest.onRunStart.foldLeft(false) { (failed, h) =>
+        if (failed) {
+          hookResults += RunResult(h.uniqueId, "skipped", 0.0, "previous hook failed")
+          true
+        }
+        else try { spark.sql(renderHook(h.rawCode)); false }
+        catch {
+          case e: Exception =>
+            hookResults += RunResult(h.uniqueId, "error", 0.0,
+              Option(e.getMessage).getOrElse("").take(300))
+            true
+        }
+      }
+      ()
+    }
     else if (manifest.onRunStart.nonEmpty || manifest.onRunEnd.nonEmpty)
       System.err.println("[graft] WARNING: project hooks are not run during " +
         "source freshness; set flags.source_freshness_run_project_hooks to opt in")
@@ -706,11 +772,18 @@ final class Runner(
               Option(e.getMessage).getOrElse("").take(300)))
         }
       }
-    if (runHooks) manifest.onRunEnd.foreach(h => spark.sql(renderHook(h.rawCode)))
+    if (runHooks) manifest.onRunEnd.foreach { h =>
+      try spark.sql(renderHook(h.rawCode))
+      catch {
+        case e: Exception =>
+          hookResults += RunResult(h.uniqueId, "error", 0.0,
+            Option(e.getMessage).getOrElse("").take(300))
+      }
+    }
     // persist sources.json — the input to `source_status:fresher`
     Artifacts.writeSources(opts.targetDir,
       rows.map { case (loadedAt, r) => (r.uniqueId, loadedAt, r.status) })
-    rows.map(_._2).map(r =>
+    hookResults.toSeq ++ rows.map(_._2).map(r =>
       if (r.status == "warn") applyWarnPolicy(r, "SourceFreshnessWarn") else r)
   }
 

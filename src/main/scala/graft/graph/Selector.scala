@@ -140,11 +140,20 @@ object Selector {
       cur.nodes.collect { case (id, n) if f(old.nodes.get(id), n) => id }.toSet
     def macrosModified(n: StateView.NodeState): Boolean =
       n.macros.exists(m => !old.macroSums.get(m).contains(cur.macroSums.getOrElse(m, "")))
+    // state_modified_compare_more_unrendered_values (reference
+    // context_config.py:315-335): under the flag, compare the config AS
+    // WRITTEN (unrendered facet) when both sides carry one — so vars/
+    // target rendering drift alone is not "modified" — falling back to
+    // the rendered facet against manifests that predate the facet
+    def configModified(s: StateView.NodeState, n: StateView.NodeState): Boolean =
+      if (cur.compareUnrendered && s.unrenderedConfig.nonEmpty && n.unrenderedConfig.nonEmpty)
+        s.unrenderedConfig != n.unrenderedConfig
+      else s.config != n.config
     def contentModified(o: Option[StateView.NodeState], n: StateView.NodeState): Boolean =
       o match {
         case None => true // new node counts as modified
         case Some(s) =>
-          s.checksum != n.checksum || s.config != n.config ||
+          s.checksum != n.checksum || configModified(s, n) ||
           s.relation != n.relation || s.descriptions != n.descriptions ||
           s.contract != n.contract || macrosModified(n) ||
           // state_modified_compare_vars (reference ProjectFlags): var
@@ -160,7 +169,7 @@ object Selector {
       case "modified" => check(contentModified)
       case "unmodified" => check((o, n) => !contentModified(o, n))
       case "modified.body" => check((o, n) => !o.exists(_.checksum == n.checksum))
-      case "modified.configs" => check((o, n) => !o.exists(_.config == n.config))
+      case "modified.configs" => check((o, n) => !o.exists(s => !configModified(s, n)))
       case "modified.relation" => check((o, n) => !o.exists(_.relation == n.relation))
       case "modified.persisted_descriptions" =>
         check((o, n) => !o.exists(_.descriptions == n.descriptions))

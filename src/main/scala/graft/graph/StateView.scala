@@ -22,7 +22,16 @@ final case class StateView(
       * referenced vars counts as modified. Only meaningful on the
       * current-side view (the state side is just compared against).
       */
-    compareVars: Boolean = false)
+    compareVars: Boolean = false,
+    /** `state_modified_compare_more_unrendered_values` (reference
+      * ProjectFlags, context_config.py:315-335): when the CURRENT
+      * side's project sets it, the config comparison uses the
+      * UNRENDERED config facet where both sides carry one — so a
+      * rendering-only difference (vars/target changing which config
+      * renders) no longer reads as modified, while an edit to the
+      * config as written still does.
+      */
+    compareUnrendered: Boolean = false)
 
 object StateView {
   /** The per-node facets the reference's `same_*` methods compare. */
@@ -42,7 +51,13 @@ object StateView {
       macros: Seq[String],
       /** var name -> value for every var() the node references —
         * compared only under state_modified_compare_vars. */
-      varsUsed: String = "{}")
+      varsUsed: String = "{}",
+      /** Canonicalized unrendered_config — compared INSTEAD of
+        * [[config]] under state_modified_compare_more_unrendered_values
+        * when both sides carry one ("" = the manifest predates the
+        * facet, fall back to the rendered comparison — the reference's
+        * prefer-when-available rule, context_config.py:326-334). */
+      unrenderedConfig: String = "")
 
   def read(manifestJsonPath: String): StateView = {
     val p = Paths.get(manifestJsonPath)
@@ -54,7 +69,9 @@ object StateView {
 
   def of(manifest: Manifest): StateView =
     fromDoc(Artifacts.manifestDoc(manifest))
-      .copy(compareVars = manifest.flag("state_modified_compare_vars"))
+      .copy(compareVars = manifest.flag("state_modified_compare_vars"),
+        compareUnrendered =
+          manifest.flag("state_modified_compare_more_unrendered_values"))
 
   /** Canonical rendering: maps sorted by key so comparison is
     * insensitive to JSON object order across writer versions.
@@ -107,7 +124,11 @@ object StateView {
               }
             case _ => Nil
           },
-          varsUsed = canon(nd.getOrElse("vars_used", Map.empty)))
+          varsUsed = canon(nd.getOrElse("vars_used", Map.empty)),
+          // "" (not "{}") when absent: distinguishes a manifest written
+          // before this facet existed from an empty unrendered config,
+          // so the comparison can fall back to the rendered facet
+          unrenderedConfig = nd.get("unrendered_config").map(canon).getOrElse(""))
       }
     }.toMap
     val macros = obj(doc.getOrElse("macros", Map.empty)).map { case (id, md0) =>

@@ -91,7 +91,18 @@ object ResidentCache {
         if (old != null && !(old eq cached) &&
             !old.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
           old.unpersist(false)
-        trim(slots, s.sparkContext, cap(s))(_.unpersist(false))
+        trim(slots, s.sparkContext, cap(s)) { evicted =>
+          // mirror the replace-path guard above: a SURVIVING slot whose
+          // plan is sameResult with the evicted one shares the single
+          // CacheManager entry — unpersisting here would silently
+          // de-cache the survivor (re-cached on next apply, but every
+          // consumer in between would recompute)
+          var shared = false
+          slots.values.forEach(v => if (!shared && !(v eq evicted) &&
+            v.queryExecution.analyzed.sameResult(evicted.queryExecution.analyzed))
+            shared = true)
+          if (!shared) evicted.unpersist(false)
+        }
         cached
       }
     }

@@ -522,8 +522,12 @@ object SimilarityOps {
       .select(col("vec_id").as("qid"), col("q").as("__q"), col("nq").as("__nq"))
       .crossJoin(broadcast(t))
       .select(col("qid"), col("cid"),
-        (expr("dot_i64(__q, __cv)").cast("double") /
-          (sqrt(col("__nq")) * sqrt(col("__cn")))).as("cos"))
+        // a zero-norm probe or target makes 0/0 = NaN, which Spark's
+        // desc ordering ranks FIRST — pin degenerate vectors to the
+        // bottom of the ranking instead (cos = -1 sentinel), matching
+        // the former kernel's ranked-last behavior
+        nanvl(expr("dot_i64(__q, __cv)").cast("double") /
+          (sqrt(col("__nq")) * sqrt(col("__cn"))), lit(-1.0d)).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= topPerProbe)

@@ -33,6 +33,18 @@ object Macros {
   /** Names that look like calls but belong to the base template surface. */
   private val builtins = Set("ref", "source", "var", "config")
 
+  /** `{% materialization name, default %}` / `..., adapter='spark' %}`
+    * override blocks (reference core/dbt/parser/macros.py parses these
+    * into macros named `materialization_<name>_<adapter>`; dispatch in
+    * manifest.py:976-1036 find_materialization_macro_by_name).
+    */
+  private val matDefRe =
+    raw"(?s)\{%-?\s*materialization\s+([A-Za-z_]\w*)\s*(?:,[^%]*?)?-?%\}(.*?)\{%-?\s*endmaterialization\s*-?%\}".r
+
+  /** Parse every materialization-override block: name → body text. */
+  def parseMaterializations(text: String): Seq[(String, String)] =
+    matDefRe.findAllMatchIn(text).map(m => (m.group(1), m.group(2).trim)).toSeq
+
   /** Parse every macro + test-block definition in a macros-file's text. */
   def parse(text: String): Seq[MacroDef] = {
     def defs(re: scala.util.matching.Regex) = re.findAllMatchIn(text).map { m =>

@@ -124,6 +124,29 @@ object ProjectLoader {
     onRunStart = hooks("on-run-start", macroTable)
     onRunEnd = hooks("on-run-end", macroTable)
 
+    // ---- materialization override blocks ({% materialization %} in
+    // macros files) with LOCALITY provenance (reference manifest.py:
+    // 976-1036): root-project overrides always dispatch; an imported
+    // package's override of a builtin materialization is gated by the
+    // require_explicit_package_overrides_for_builtin_materializations
+    // behavior flag at dispatch time (Runner). Root parses last so it
+    // wins name collisions, like the reference's locality ordering.
+    val matOverrides: Map[String, graft.core.MatOverride] =
+      if (inheritedMacros.isDefined) Map.empty // assembled once, at the root
+      else {
+        val fromPkgs = localPkgDirs.flatMap { pd =>
+          filesUnder(pd.resolve("macros"), ".sql").flatMap(f =>
+            Macros.parseMaterializations(Files.readString(f)).map { case (n, b) =>
+              n -> graft.core.MatOverride(n, b, pd.getFileName.toString, fromRoot = false)
+            })
+        }
+        val fromRoot = files("macros", ".sql").flatMap(f =>
+          Macros.parseMaterializations(Files.readString(f)).map { case (n, b) =>
+            n -> graft.core.MatOverride(n, b, name, fromRoot = true)
+          })
+        (fromPkgs ++ fromRoot).toMap
+      }
+
     // Per-node macro dependencies (reference depends_on.macros,
     // manifest.py build_macro_edges): direct calls found in the
     // PRE-expansion text, transitively closed through macro bodies so
@@ -169,12 +192,43 @@ object ProjectLoader {
     // matching the reference's raw_code-based same_body + the 1.9
     // behavior flag). Scanned over the EXPANDED text so var() calls a
     // macro body introduces are captured too.
-    val varRefRe = raw"""(?<![\w])var\(\s*['"]([^'"]+)['"]""".r
+    // group 2 (optional): the var() call's default literal — an UNSET
+    // var resolves to its default, so the recorded value must too (the
+    // reference compares resolved values, defaults included)
+    val varRefRe =
+      raw"""(?<![\w])var\(\s*['"]([^'"]+)['"](?:\s*\)|\s*,\s*([^()]*)\))?""".r
     val varsUsed = scala.collection.mutable.Map[String, Map[String, String]]()
+    def stripQuotes(s: String): String =
+      if (s.length >= 2 && ((s.head == '\'' && s.last == '\'') ||
+        (s.head == '"' && s.last == '"'))) s.substring(1, s.length - 1)
+      else s
     def recordVarsUsed(uniqueId: String, expandedText: String): Unit = {
-      val names = varRefRe.findAllMatchIn(expandedText).map(_.group(1)).toSet
-      if (names.nonEmpty)
-        varsUsed(uniqueId) = names.map(n => n -> vars.getOrElse(n, "")).toMap
+      // cheap pre-check: most nodes reference no vars, and the regex
+      // scan over every node's expanded text is the dominant cost of a
+      // large parse — skip it outright when no var( appears
+      if (!expandedText.contains("var(")) return
+      val occ = varRefRe.findAllMatchIn(expandedText)
+        .map(m => (m.group(1), Option(m.group(2)).map(d => stripQuotes(d.trim)))).toSeq
+      if (occ.nonEmpty)
+        varsUsed(uniqueId) = occ.groupBy(_._1).map { case (n, os) =>
+          n -> vars.getOrElse(n, os.flatMap(_._2).headOption.getOrElse(""))
+        }
+    }
+
+    // per-node UNRENDERED config (reference unrendered_config,
+    // parser/base.py:377-388): yml-layer defaults plus the file's
+    // config() call scanned from the macro-expanded but var/control-
+    // flow-UNRENDERED text — the comparison basis for
+    // `state_modified_compare_more_unrendered_values`, under which a
+    // rendering-only difference (var/target drift changing which
+    // config renders) no longer reads as state:modified.
+    val unrenderedCfgs = scala.collection.mutable.Map[String, Map[String, String]]()
+    def recordUnrenderedConfig(uniqueId: String, defaults: Map[String, Any],
+        expandedText: String): Unit = {
+      val fileCfg = Template.scan(expandedText).config
+      val merged = defaults ++ fileCfg
+      if (merged.nonEmpty)
+        unrenderedCfgs(uniqueId) = merged.map { case (k, v) => k -> String.valueOf(v) }
     }
 
     // ---- models (*.sql under model-paths) ----
@@ -201,6 +255,7 @@ object ProjectLoader {
       nodes(node.uniqueId) = node
       recordMacroDeps(node.uniqueId, orig)
       recordVarsUsed(node.uniqueId, expanded)
+      recordUnrenderedConfig(node.uniqueId, modelDefaults, expanded)
     }
 
     // ---- python models (models/*.py; reference parser
@@ -258,6 +313,7 @@ object ProjectLoader {
       nodes(node.uniqueId) = node
       recordMacroDeps(node.uniqueId, orig)
       recordVarsUsed(node.uniqueId, expanded)
+      recordUnrenderedConfig(node.uniqueId, Map.empty, expanded)
     }
 
     // ---- analyses (compile-only; reference parser/analysis.py:9) ----
@@ -614,7 +670,10 @@ object ProjectLoader {
         macroSums = macroTable.map { case (k, d) =>
           k -> FileHash.of(d.params.mkString(",") + "|" + d.body).checksum },
         flags = flags,
-        varsUsed = subs.foldLeft(varsUsed.toMap)((acc, sp) => acc ++ sp.manifest.varsUsed)),
+        varsUsed = subs.foldLeft(varsUsed.toMap)((acc, sp) => acc ++ sp.manifest.varsUsed),
+        matOverrides = matOverrides,
+        unrenderedConfigs = subs.foldLeft(unrenderedCfgs.toMap)(
+          (acc, sp) => acc ++ sp.manifest.unrenderedConfigs)),
       selectors, macroTable,
       restrictAccess =
         subs.foldLeft(Set.empty[String])(_ ++ _.restrictAccess) ++

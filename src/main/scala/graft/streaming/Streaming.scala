@@ -255,8 +255,8 @@ object Streaming {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        landAppend(store, table, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landAppend(store, table, batch, batchId)
       }
       .start()
     q.awaitTermination()
@@ -291,9 +291,8 @@ object Streaming {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (store.exists(table)) store.write(store.read(table).unionByName(batch), table)
-        else store.write(batch, table)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landAppend(store, table, batch, batchId)
       }
       .start()
     q.awaitTermination()
@@ -315,16 +314,25 @@ object Streaming {
     * run* driver is this plus its transform, so a change to the
     * append/write semantics (restart dedup, write mode) lands ONCE.
     */
-  /** Land an append micro-batch into a store table: union with the
-    * already-landed rows (or create the table). ONE definition — the
-    * scorer scaffold, the ingest tick, and the quota driver all land
-    * through it, so a change to landing semantics (dedup-on-replay,
-    * ordering, schema evolution) has exactly one home.
+  /** Land an append micro-batch into a store table as an immutable
+    * per-batchId delta directory ([[RelationStore.appendDelta]]). ONE
+    * definition — the scorer scaffold, the ingest tick, and the quota
+    * driver all land through it, so a change to landing semantics has
+    * exactly one home. Two properties the 100 TB ingest loop needs:
+    *
+    *  - O(batch) bytes per tick (never a rewrite of the landed table —
+    *    cumulative I/O is linear in data ingested, with a periodic
+    *    hard-link fold that moves metadata, not data);
+    *  - replay idempotence: foreachBatch is at-least-once, and a
+    *    replayed epoch finds its batchId already committed and lands
+    *    nothing — `df` is lazy, so the skipped transform isn't even
+    *    computed, and landed-state consumers (quota totals) stay exact.
     */
   private[streaming] def landAppend(store: RelationStore, table: String,
-      df: DataFrame): Unit =
-    if (store.exists(table)) store.write(store.read(table).unionByName(df), table)
-    else store.write(df, table)
+      df: DataFrame, batchId: Long): Unit = {
+    store.appendDelta(df, table, batchId)
+    ()
+  }
 
   private def runAppendScorer(
       newDocs: DataFrame,
@@ -335,8 +343,8 @@ object Streaming {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        landAppend(store, table, transform(batch))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landAppend(store, table, transform(batch), batchId)
       }
       .start()
     q.awaitTermination()
@@ -529,12 +537,18 @@ object Streaming {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val batch = batch0.cache()
         try {
           // admission FIRST: totals derive from the landed table, so
           // within a tick the quota verdict must land before anything
-          // else could observe it (ordering is per-table, not global)
+          // else could observe it (ordering is per-table, not global).
+          // Replay safety: prevTotals must be computed from the landed
+          // state BEFORE this batchId — if the quota verdict for this
+          // epoch already landed (crash-replay), recomputing totals
+          // would double-count the batch, so landAppend's batchId skip
+          // keeps the already-landed (correct) verdict and the garbage
+          // recompute is never evaluated (DataFrames are lazy).
           val quotaTbl = s"${prefix}_quota"
           val prevTotals =
             if (store.exists(quotaTbl))
@@ -543,27 +557,31 @@ object Streaming {
             else batch.select(col("source")).where(lit(false))
               .withColumn("tok_prev", lit(0L))
           landAppend(store, quotaTbl,
-            graft.operators.CurateOps.sourceQuotaWith(batch, prevTotals, quota))
+            graft.operators.CurateOps.sourceQuotaWith(batch, prevTotals, quota),
+            batchId)
           landAppend(store, s"${prefix}_dedup",
-            graft.operators.DedupOps.probeAgainstIndex(batch, index))
+            graft.operators.DedupOps.probeAgainstIndex(batch, index), batchId)
           landAppend(store, s"${prefix}_gopher",
             graft.operators.CurateOps.gopherGateOf(
               batch.select(col("doc_id"),
-                split(graft.operators.TextOps.normalized(col("text")), " ").as("w"))))
+                split(graft.operators.TextOps.normalized(col("text")), " ").as("w"))),
+            batchId)
           landAppend(store, s"${prefix}_ccnet",
             graft.operators.TextOps.ccnetLangBucketWith(
               graft.operators.TextOps.charLmScoreWith(batch, charLm)
                 .select(col("doc_id"), col("avg_millibits"))
                 .join(batch.select(col("doc_id"), col("lang")), Seq("doc_id")),
-              langThresholds))
+              langThresholds),
+            batchId)
           landAppend(store, s"${prefix}_topics",
-            graft.operators.TextOps.topicTagWith(batch.sparkSession, batch))
+            graft.operators.TextOps.topicTagWith(batch.sparkSession, batch), batchId)
           landAppend(store, s"${prefix}_boiler",
-            graft.operators.TextOps.boilerplateFilterWith(batch, boiler))
+            graft.operators.TextOps.boilerplateFilterWith(batch, boiler), batchId)
           landAppend(store, s"${prefix}_codes",
             graft.operators.SimilarityOps.ivfPqEncodeWith(
               batch.select(col("doc_id").as("vec_id"), col("embedding")),
-              centroids, codebook))
+              centroids, codebook),
+            batchId)
         } finally batch.unpersist()
       }
       .start()
@@ -606,14 +624,22 @@ object Streaming {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val delta = graft.operators.Events.dailyCounts(batch)
-        val merged =
-          if (store.exists(gridTable))
-            store.read(gridTable).unionByName(delta)
-              .groupBy(col("day"), col("event_type")).agg(sum(col("n")).as("n"))
-          else delta
-        store.write(merged, gridTable)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // sum-merging is NOT replay-idempotent — a replayed epoch would
+        // double-count its events into the grid. The grid commit carries
+        // the batchId (atomic with the data), so a replay skips the
+        // merge; the anomaly table is a pure function of the grid and is
+        // rewritten unconditionally (idempotent overwrite) so a crash
+        // between the two writes still converges on replay.
+        if (!store.lastBatchTag(gridTable).exists(_ >= batchId)) {
+          val delta = graft.operators.Events.dailyCounts(batch)
+          val merged =
+            if (store.exists(gridTable))
+              store.read(gridTable).unionByName(delta)
+                .groupBy(col("day"), col("event_type")).agg(sum(col("n")).as("n"))
+            else delta
+          store.write(merged, gridTable, batchTag = Some(batchId))
+        }
         store.write(graft.operators.Events.anomalyOf(store.read(gridTable)), anomalyTable)
       }
       .start()

@@ -2019,6 +2019,98 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p3.manifest.varsUsed("model.varsdemo.uses_var") == Map("cutoff" -> "9"))
   }
 
+  test("flags: require_explicit_package_overrides_for_builtin_materializations gates package overrides") {
+    def build(flagOff: Boolean, rootOverride: Boolean = false) = {
+      val d = Files.createTempDirectory("graft_flags_matovr")
+      def w(rel: String, c: String) = {
+        val p = d.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+      }
+      w("dbt_project.yml",
+        "name: matdemo\n" + (if (flagOff)
+          "flags:\n  require_explicit_package_overrides_for_builtin_materializations: false\n"
+        else ""))
+      w("packages.yml", "packages:\n  - local: pkg_mat\n")
+      w("pkg_mat/dbt_project.yml", "name: matpkg\n")
+      w("pkg_mat/macros/override_table.sql",
+        "{% materialization table, default %}\nSELECT x + 100 AS x FROM {{ sql }}\n{% endmaterialization %}")
+      if (rootOverride)
+        w("macros/root_table.sql",
+          "{% materialization table, default %}\nSELECT x + 7 AS x FROM {{ sql }}\n{% endmaterialization %}")
+      w("models/simple.sql", "{{ config(materialized='table') }}\nSELECT 1 AS x")
+      val p = ProjectLoader.resolveRefs(ProjectLoader.load(d.toString))
+      val st = new RelationStore(spark, d.resolve("wh").toString)
+      val r = new Runner(spark, p, st, RunOptions(cmd = "run", threads = 1,
+        targetDir = d.resolve("target").toString)).execute()
+      (p, st, r)
+    }
+    // absent flag = the reference's default TRUE (project.py:342): a
+    // package's override of a BUILTIN materialization is ignored — the
+    // builtin table materialization runs
+    val (p1, st1, r1) = build(flagOff = false)
+    assert(p1.manifest.flag("require_explicit_package_overrides_for_builtin_materializations"),
+      "the flag must default TRUE")
+    assert(p1.manifest.matOverrides.contains("table"), "the override block must parse")
+    assert(r1.forall(_.status == "success"), r1.mkString("\n"))
+    assert(st1.read("simple").first().getInt(0) == 1, "builtin must win under the default")
+    // legacy FALSE: the package override dispatches (with a deprecation)
+    val (_, st2, r2) = build(flagOff = true)
+    assert(r2.exists(r => r.uniqueId == "model.matdemo.simple" &&
+      r.message.contains("CUSTOM MATERIALIZATION")), r2.mkString("\n"))
+    assert(st2.read("simple").first().getInt(0) == 101,
+      "the package override must run under legacy behavior")
+    // a ROOT-project override always dispatches (reference
+    // manifest.py:1032-1035: Locality.Root stays a valid locality even
+    // in the explicit-overrides era) — and root parses after packages,
+    // so it wins the name collision
+    val (_, st3, r3) = build(flagOff = false, rootOverride = true)
+    assert(r3.exists(r => r.uniqueId == "model.matdemo.simple" &&
+      r.message.contains("root project")), r3.mkString("\n"))
+    assert(st3.read("simple").first().getInt(0) == 8,
+      "the root override must dispatch regardless of the flag")
+  }
+
+  test("flags: state_modified_compare_more_unrendered_values ignores rendering-only config drift") {
+    import graft.graph.{Selector, StateView}
+    val d = Files.createTempDirectory("graft_flags_unrendered")
+    def w(rel: String, c: String) = {
+      val p = d.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    // the model's RENDERED config depends on a var (control flow picks
+    // the config call), but the config AS WRITTEN is stable
+    w("dbt_project.yml", "name: urdemo\nvars:\n  mode: fast\n")
+    w("models/env_cfg.sql",
+      """{% if var('mode') == 'fast' %}{{ config(tags=['hot']) }}{% else %}{{ config(tags=['cold']) }}{% endif %}
+        |SELECT 1 AS x""".stripMargin)
+    val p1 = ProjectLoader.load(d.toString)
+    assert(p1.manifest.nodes("model.urdemo.env_cfg").config.tags == Seq("hot"))
+    val stateDir = d.resolve("state").toString
+    Artifacts.writeManifest(stateDir, p1.manifest)
+    val state = StateView.read(s"$stateDir/manifest.json")
+    assert(Selector.stateMatch("modified", p1.manifest, state).isEmpty)
+    // var flips the RENDERED config; flag off (default): the rendered
+    // comparison reads that as modified
+    val p2 = ProjectLoader.load(d.toString, Map("mode" -> "slow"))
+    assert(p2.manifest.nodes("model.urdemo.env_cfg").config.tags == Seq("cold"))
+    assert(Selector.stateMatch("modified", p2.manifest, state)
+      == Set("model.urdemo.env_cfg"),
+      "rendered-config drift must select without the flag")
+    // flag on: the comparison uses the config AS WRITTEN — a rendering-
+    // only difference no longer reads as modified
+    w("dbt_project.yml",
+      "name: urdemo\nvars:\n  mode: fast\nflags:\n  state_modified_compare_more_unrendered_values: true\n")
+    val p3 = ProjectLoader.load(d.toString, Map("mode" -> "slow"))
+    assert(Selector.stateMatch("modified", p3.manifest, state).isEmpty,
+      "rendering-only drift must not select under the flag")
+    // but an edit to the config as written STILL selects under the flag
+    w("models/env_cfg.sql",
+      """{% if var('mode') == 'fast' %}{{ config(tags=['blazing']) }}{% else %}{{ config(tags=['cold']) }}{% endif %}
+        |SELECT 1 AS x""".stripMargin)
+    val p4 = ProjectLoader.load(d.toString, Map("mode" -> "slow"))
+    assert(Selector.stateMatch("modified", p4.manifest, state)
+      .contains("model.urdemo.env_cfg"),
+      "a real config edit must still select under the flag")
+  }
+
   test("flags: require_resource_names_without_spaces errors on spaced names; off warns") {
     val d = Files.createTempDirectory("graft_flags_spaces")
     def w(rel: String, c: String) = {

@@ -800,4 +800,107 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("delta landing: O(batch) per tick, replay-idempotent, hard-link fold, write supersedes") {
+    val s = spark
+    import s.implicits._
+    val store = new RelationStore(spark, s"$work/wh_delta", deltaFoldEvery = 3)
+    def batchDf(lo: Long, hi: Long) = (lo until hi).map(i => (i, s"doc$i")).toDF("id", "txt")
+
+    // tick 1 + 2: each landing creates ONE delta dir and NO base version
+    // — the structural pin that bytes written per tick are bounded by
+    // the batch, never a rewrite of the landed table
+    assert(store.appendDelta(batchDf(0, 10), "t", 0L))
+    assert(store.appendDelta(batchDf(10, 20), "t", 1L))
+    assert(store.versions("t").isEmpty, "no base rewrite below the fold threshold")
+    assert(store.landedBatchIds("t") == Seq(0L, 1L))
+    assert(store.read("t").count() == 20)
+
+    // at-least-once replay: the same epoch lands nothing and leaves the
+    // table byte-identical (same delta dirs, same rows)
+    assert(!store.appendDelta(batchDf(0, 10), "t", 0L), "replayed epoch must skip")
+    assert(store.landedBatchIds("t") == Seq(0L, 1L))
+    assert(store.read("t").count() == 20)
+
+    // third landing crosses deltaFoldEvery=3 → metadata-only fold into a
+    // base version; reads see everything, absorbed ids still skip
+    assert(store.appendDelta(batchDf(20, 30), "t", 2L))
+    assert(store.versions("t").nonEmpty, "fold committed a base version")
+    assert(store.landedBatchIds("t").isEmpty, "all deltas absorbed by the fold")
+    assert(store.read("t").count() == 30)
+    assert(!store.appendDelta(batchDf(0, 10), "t", 1L),
+      "absorbed epoch must still skip (watermark)")
+
+    // post-fold landings are deltas again, unioned with the base
+    assert(store.appendDelta(batchDf(30, 35), "t", 3L))
+    assert(store.landedBatchIds("t") == Seq(3L))
+    assert(store.read("t").count() == 35)
+    assert(store.read("t").select(sum(col("id"))).as[Long].head() == (0L until 35L).sum)
+
+    // schema drift is refused, not silently unioned
+    intercept[IllegalArgumentException] {
+      store.appendDelta(Seq((1L, 2L)).toDF("id", "other"), "t", 4L)
+    }
+
+    // a FULL write replaces the content: live deltas are superseded and
+    // a later replay of an old epoch still skips
+    store.write(batchDf(0, 5), "t")
+    assert(store.read("t").count() == 5)
+    assert(store.landedBatchIds("t").isEmpty)
+    assert(!store.appendDelta(batchDf(30, 35), "t", 3L),
+      "superseded epoch must not resurrect after an overwrite")
+    assert(store.appendDelta(batchDf(40, 42), "t", 4L), "landing resumes past the overwrite")
+    assert(store.read("t").count() == 7)
+  }
+
+  test("ingest tick crash-replay: re-running an epoch leaves all seven tables unchanged") {
+    import graft.operators.{DedupOps, SimilarityOps, TextOps}
+    val store = new RelationStore(spark, s"$work/wh_tick_replay")
+    val newIn = s"$work/tickdocs_replay"
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val enriched = docs.select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .join(emb, Seq("doc_id"))
+    val isNew = pmod(col("doc_id"), lit(10)) >= 8
+    val index = DedupOps.buildDedupIndex(docs.filter(!isNew))
+    val charLm = TextOps.charLmModel(spark, sf)
+    val scored = TextOps.txtCharLmScore(spark, sf)
+      .select(col("doc_id"), col("avg_millibits"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val thr = TextOps.ccnetLangThresholds(scored)
+    val boiler = TextOps.boilerplateHashes(docs.filter(!isNew))
+    val idxPath = s"$work/tick_replay_ivfpq"
+    SimilarityOps.persistIvfPqIndex(spark, sf, idxPath)
+    val centroids = spark.read.parquet(s"$idxPath/centroids")
+    val codebook = spark.read.parquet(s"$idxPath/codebook")
+    def tick(cp: String): Unit =
+      Streaming.runIngestTick(Streaming.enrichedDocumentStream(spark, newIn),
+        index, charLm, thr, boiler, centroids, codebook,
+        store, "tickr", cp, quota = 300L)
+    val tables = Seq("tickr_quota", "tickr_dedup", "tickr_gopher", "tickr_ccnet",
+      "tickr_topics", "tickr_boiler", "tickr_codes")
+
+    enriched.filter(isNew && col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    tick(s"$work/cp_tickr")
+    def contents(t: String): Seq[org.apache.spark.sql.Row] = {
+      val df = store.read(t)
+      df.orderBy(df.columns.toSeq.map(col): _*).collect().toSeq
+    }
+    val snapshot = tables.map(t => t -> contents(t)).toMap
+    tables.foreach(t => assert(store.landedBatchIds(t) == Seq(0L), s"$t landed epoch 0"))
+
+    // a crash before the checkpoint commit replays the SAME epoch with
+    // the same batchId (fresh checkpoint dir = un-committed offsets):
+    // every table must skip the replay — no new delta dirs, no new base
+    // versions, byte-identical content, quota verdicts unchanged
+    tick(s"$work/cp_tickr_replay")
+    tables.foreach { t =>
+      assert(store.landedBatchIds(t) == Seq(0L), s"$t must not double-land epoch 0")
+      assert(store.versions(t).isEmpty, s"$t must not rewrite its landed table")
+      assert(contents(t) == snapshot(t),
+        s"$t content must be byte-identical after replay")
+    }
+  }
 }
