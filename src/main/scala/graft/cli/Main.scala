@@ -66,6 +66,28 @@ object Main {
       else roots.foreach(r => println(s"installed ${r.getFileName}"))
       return 0
     }
+    if (cmd == "index") {
+      // ANN index maintenance autopilot (no project needed): one command
+      // drives a dirty persisted IVF layout (crashed-writer staging,
+      // orphan dirs, empty centroids, fragmented or oversized cells) to
+      // a clean fsck report — `graft index --path <dir> [--fsck-only]
+      // [--split-factor N] [--max-files-per-cell N]`
+      val idxPath = flags.getOrElse("path", throw new IllegalArgumentException(
+        "index requires --path <index dir> (a persistIvfIndex layout)"))
+      if (flags.contains("fsck-only")) {
+        val v = graft.operators.SimilarityOps.checkIvfIndex(spark, idxPath).first()
+        v.schema.fieldNames.foreach(f => println(f"$f%-18s ${v.get(v.fieldIndex(f))}"))
+        return if (v.getLong(v.fieldIndex("consistent")) == 1L) 0 else 1
+      }
+      val report = graft.operators.SimilarityOps.maintainIvfIndex(spark, idxPath,
+        splitFactor = flags.get("split-factor").map(_.toLong).getOrElse(2L),
+        maxFilesPerCell = flags.get("max-files-per-cell").map(_.toInt).getOrElse(8))
+        .collect()
+      report.foreach(r => println(f"${r.getString(0)}%-24s ${r.getLong(1)}"))
+      val ok = report.exists(r => r.getString(0) == "consistent" && r.getLong(1) == 1L)
+      println(if (ok) "index maintain: CONSISTENT" else "index maintain: STILL INCONSISTENT")
+      return if (ok) 0 else 1
+    }
     // profiles.yml target resolution (reference config/profile.py):
     // --target overrides the profile's default; the resolved target
     // feeds `target.name`/`target.schema`/`target.threads` in the

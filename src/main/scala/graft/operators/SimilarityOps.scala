@@ -479,6 +479,140 @@ object SimilarityOps {
         "duplicate_ids", "consistent")
   }
 
+  /** Index-maintenance autopilot: drive a dirty persisted IVF layout to
+    * a clean [[checkIvfIndex]] report in one pass — the `graft index`
+    * CLI verb. Steps, each touching ONLY the directories it must:
+    *
+    *  1. recover/reclaim staging left by a crashed writer: an
+    *     interrupted per-cell compaction whose original dir is already
+    *     gone is COMPLETED (rename the staged dir in — it is the only
+    *     copy of that cell's data); all other staging is garbage;
+    *  2. orphan cell dirs (data without a centroid): a vec also present
+    *     in a live cell is a crashed-rebalance duplicate — deleting the
+    *     orphan dir resolves the duplicate AND the orphan; a vec found
+    *     ONLY in an orphan dir is data no probe can reach — reassign it
+    *     against the live centroids and distinct-merge it into the
+    *     touched cells (the [[compactIvfPqIndex]] idiom);
+    *  3. empty centroids (no data dir): dropped from the centroid table
+    *     (tens of rows — rewritten whole);
+    *  4. fragmentation: any cell dir holding more than `maxFilesPerCell`
+    *     data files (the streaming assign path appends task files every
+    *     micro-batch) is rewritten coalesced through a staged rename —
+    *     O(fragmented cells), never O(index);
+    *  5. oversized cells → [[rebalanceIvfIndex]].
+    *
+    * Returns one (action, n) row per repair performed plus the final
+    * fsck verdict as ("consistent", 0|1).
+    */
+  def maintainIvfIndex(s: SparkSession, path: String,
+      splitFactor: Long = 2L, maxFilesPerCell: Int = 8): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val cellsRoot = new HPath(s"$path/cells")
+    val fs = cellsRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val actions = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    def cells() = s.read.parquet(s"$path/cells")
+      .withColumn("cell", col("cell").cast("long"))
+
+    // 1. staging recovery. Compaction's commit order is stage → delete
+    // original → rename in, so a staged cell whose original is MISSING
+    // is the interrupted rename of a completed compaction: finish it.
+    val compactTmp = new HPath(s"$path/cells_compact_tmp")
+    if (fs.exists(compactTmp)) {
+      fs.listStatus(compactTmp)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .foreach { st =>
+          val target = new HPath(cellsRoot, st.getPath.getName)
+          if (!fs.exists(target)) {
+            if (!fs.rename(st.getPath, target)) throw new IllegalStateException(
+              s"maintain: could not recover staged ${st.getPath.getName}")
+            actions += (("compactions_recovered", 1L))
+          }
+        }
+      fs.delete(compactTmp, true)
+    }
+    // rebalance stages BEFORE any swap — its leftovers are pure garbage
+    // (a crashed swap shows up as orphans/duplicates, repaired below)
+    val rebalTmp = new HPath(s"$path/cells_rebalance_tmp")
+    if (fs.exists(rebalTmp)) {
+      fs.delete(rebalTmp, true)
+      actions += (("staging_reclaimed", 1L))
+    }
+
+    // 2. orphan dirs: duplicates deleted, sole copies reassigned
+    val centroids = s.read.parquet(s"$path/centroids")
+    val centIds = centroids.select(col("centroid_id").as("cell"))
+    val orphanIds = cells().select(col("cell")).distinct()
+      .join(broadcast(centIds), Seq("cell"), "left_anti")
+      .collect().map(_.getLong(0)).sorted
+    if (orphanIds.nonEmpty) {
+      val live = cells().join(broadcast(centIds), Seq("cell"), "left_semi")
+      val lost = cells().filter(col("cell").isInCollection(orphanIds))
+        .join(live.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("q"), col("nq"))
+      val reassigned = assignCells(lost, centroids)
+      val moved = lost.join(reassigned, Seq("vec_id"))
+        .select(col("vec_id"), col("q"), col("nq"), col("cell"))
+      // pin the moved rows BEFORE the overwrite: their plan reads the
+      // path being rewritten, and a post-write re-evaluation would see
+      // the repaired state (lost = empty)
+      val movedRows = moved.collect() // bounded: sole-copy orphan vecs only
+      if (movedRows.nonEmpty) {
+        val movedDf = s.createDataFrame(
+          java.util.Arrays.asList(movedRows: _*), moved.schema)
+        val touched = movedRows.map(r => String.valueOf(r.get(3)).toLong).distinct
+        val existing = cells().filter(col("cell").isInCollection(touched))
+          .select(col("vec_id"), col("q"), col("nq"), col("cell"))
+        existing.unionByName(movedDf).distinct()
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell").parquet(s"$path/cells")
+        actions += (("vectors_reassigned", movedRows.length.toLong))
+      }
+      orphanIds.foreach(c => fs.delete(new HPath(cellsRoot, s"cell=$c"), true))
+      actions += (("orphan_dirs_removed", orphanIds.length.toLong))
+    }
+
+    // 3. empty centroids: drop (a probe that lands there scans nothing)
+    val emptyIds = centIds.join(cells().select(col("cell")).distinct(),
+        Seq("cell"), "left_anti").collect().map(_.getLong(0))
+    if (emptyIds.nonEmpty) {
+      val kept = centroids.filter(!col("centroid_id").isInCollection(emptyIds)).collect()
+      s.createDataFrame(java.util.Arrays.asList(kept: _*), centroids.schema)
+        .write.mode("overwrite").parquet(s"$path/centroids")
+      actions += (("empty_centroids_dropped", emptyIds.length.toLong))
+    }
+
+    // 4. per-cell small-file compaction (staged rename; see step 1 for
+    // the crash-recovery contract)
+    val fragmented = fs.listStatus(cellsRoot)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .filter { st =>
+        fs.listStatus(st.getPath).count(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) >
+          maxFilesPerCell
+      }
+    fragmented.foreach { st =>
+      val staged = new HPath(compactTmp, st.getPath.getName)
+      s.read.parquet(st.getPath.toString).coalesce(1)
+        .write.mode("overwrite").parquet(staged.toString)
+      fs.delete(st.getPath, true)
+      if (!fs.rename(staged, st.getPath)) throw new IllegalStateException(
+        s"maintain: could not swap compacted ${st.getPath.getName}")
+    }
+    if (fs.exists(compactTmp)) fs.delete(compactTmp, true)
+    if (fragmented.nonEmpty) actions += (("cells_compacted", fragmented.length.toLong))
+
+    // 5. oversized cells → split
+    val split = rebalanceIvfIndex(s, path, splitFactor)
+    if (split.nonEmpty) actions += (("cells_split", split.length.toLong))
+
+    val verdict = checkIvfIndex(s, path).first()
+    actions += (("consistent", verdict.getLong(verdict.fieldIndex("consistent"))))
+    val sp = s
+    import sp.implicits._
+    actions.toSeq.toDF("action", "n")
+  }
+
   /** Assign arbitrary raw (vec_id, embedding) rows to their nearest
     * FROZEN centroid — the index-maintenance half of IVF: arriving
     * vectors are cell-assigned against the persisted centroid table

@@ -258,4 +258,122 @@ class CliSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(dir, "target/compiled/other_model.sql")),
       "unselected model must not compile")
   }
+
+  test("showcase slim CI: state:modified over examples/curation, with and without compare_vars") {
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      Files.createDirectories(dst)
+      Files.list(src).forEach { c =>
+        if (Files.isDirectory(c)) copyTree(c, dst.resolve(c.getFileName.toString))
+        else Files.copy(c, dst.resolve(c.getFileName.toString))
+      }
+    }
+    val d = Files.createTempDirectory("cli_showcase_state").resolve("proj")
+    copyTree(Paths.get("examples/curation"), d)
+    val dir = d.toString
+    val noCache = Map("no-partial-parse" -> "true")
+
+    // baseline parse → persisted state manifest (the slim-CI artifact)
+    val (c1, _) = run("parse", dir, noCache)
+    assert(c1 == 0)
+    val state = Paths.get(dir, "state_manifest.json")
+    Files.copy(Paths.get(dir, "target/manifest.json"), state)
+    val (c2, out2) = run("list", dir,
+      noCache ++ Map("select" -> "state:modified", "state" -> state.toString))
+    assert(c2 == 0)
+    assert(!out2.contains("model.curation."), s"clean state must select nothing: $out2")
+
+    // edit a model + drift a var: without the flag only the EDITED
+    // model registers (checksums cover var-unrendered text, so var
+    // drift alone selects nothing — the reference raw_code semantics)
+    Files.writeString(d.resolve("models/corpus_clean.sql"),
+      Files.readString(d.resolve("models/corpus_clean.sql")) + "\n  AND q.n_tokens > 0\n")
+    Files.writeString(d.resolve("dbt_project.yml"),
+      "name: curation\nvars:\n  data_dir: /root/testdata/sf0.001\n  min_tokens: 9\n")
+    val (c3, out3) = run("list", dir,
+      noCache ++ Map("select" -> "state:modified", "state" -> state.toString))
+    assert(c3 == 0)
+    assert(out3.contains("model.curation.corpus_clean"), out3)
+    assert(!out3.contains("model.curation.doc_quality"),
+      s"var drift must not select without the flag: $out3")
+
+    // same drift under state_modified_compare_vars: the var-referencing
+    // model (doc_quality reads var('min_tokens')) is selected too —
+    // exactly the reference's selector_methods.py state:modified family
+    Files.writeString(d.resolve("dbt_project.yml"),
+      "name: curation\nvars:\n  data_dir: /root/testdata/sf0.001\n  min_tokens: 9\n" +
+        "flags:\n  state_modified_compare_vars: true\n")
+    val (c4, out4) = run("list", dir,
+      noCache ++ Map("select" -> "state:modified", "state" -> state.toString))
+    assert(c4 == 0)
+    assert(out4.contains("model.curation.corpus_clean"), out4)
+    assert(out4.contains("model.curation.doc_quality"),
+      s"var drift must select the var-referencing model under the flag: $out4")
+  }
+
+  test("index maintain drives a dirty IVF index to a clean fsck in one command") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SimilarityOps
+    val base = Files.createTempDirectory("cli_index")
+    val idx = base.resolve("ivf").toString
+    SimilarityOps.persistIvfIndex(spark, "/root/testdata/sf0.001", idx)
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      Files.createDirectories(dst)
+      Files.list(src).forEach { c =>
+        if (Files.isDirectory(c)) copyTree(c, dst.resolve(c.getFileName.toString))
+        else Files.copy(c, dst.resolve(c.getFileName.toString))
+      }
+    }
+    val cells = spark.read.parquet(s"$idx/cells").withColumn("cell", col("cell").cast("long"))
+    val ids = cells.select(col("cell")).distinct().orderBy(col("cell"))
+      .collect().map(_.getLong(0))
+    assert(ids.length >= 3)
+    val (cDup, cFrag, cEmpty) = (ids(0), ids(1), ids(2))
+
+    // plant: (a) crashed-rebalance leftover — a full duplicate of one
+    // cell dir under an id with no centroid (orphan + duplicate ids)
+    copyTree(Paths.get(idx, "cells", s"cell=$cDup"), Paths.get(idx, "cells", "cell=9999"))
+    // (b) a sole-copy orphan: one vector that exists nowhere else —
+    // maintenance must reassign it, not delete it
+    cells.filter(col("cell") === cDup).limit(1)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("q"), col("nq"))
+      .write.parquet(Paths.get(idx, "cells", "cell=9998").toString)
+    // (c) fragmentation: one cell rewritten as 12 tiny files
+    val fragDir = Paths.get(idx, "cells", s"cell=$cFrag")
+    val fragTmp = base.resolve("frag_tmp")
+    val fragRows = spark.read.parquet(fragDir.toString)
+    fragRows.repartition(12).write.parquet(fragTmp.toString)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rmTree)
+      Files.deleteIfExists(p)
+    }
+    rmTree(fragDir)
+    copyTree(fragTmp, fragDir)
+    // (d) an empty centroid: its data dir removed entirely
+    rmTree(Paths.get(idx, "cells", s"cell=$cEmpty"))
+    // (e) an oversized cell: 3 extra copies of cDup's rows (fresh ids)
+    (1 to 3).foreach { k =>
+      cells.filter(col("cell") === cDup)
+        .select((col("vec_id") + 2000000L * k).as("vec_id"), col("q"), col("nq"))
+        .write.mode("append").parquet(Paths.get(idx, "cells", s"cell=$cDup").toString)
+    }
+
+    val proj = base.toString // index verb needs no project
+    val (dirtyCode, dirtyOut) = run("index", proj, Map("path" -> idx, "fsck-only" -> "true"))
+    assert(dirtyCode == 1, dirtyOut)
+
+    val (code, out) = run("index", proj, Map("path" -> idx))
+    assert(code == 0, out)
+    assert(out.contains("index maintain: CONSISTENT"), out)
+    assert(out.contains("orphan_dirs_removed"), out)
+    assert(out.contains("vectors_reassigned"), out)
+    assert(out.contains("empty_centroids_dropped"), out)
+    assert(out.contains("cells_compacted"), out)
+
+    val (cleanCode, _) = run("index", proj, Map("path" -> idx, "fsck-only" -> "true"))
+    assert(cleanCode == 0)
+    // the sole-copy orphan survived the repair, reachable from a live cell
+    val after = spark.read.parquet(s"$idx/cells")
+    assert(after.filter(col("vec_id") >= 1000000L && col("vec_id") < 2000000L).count() == 1L,
+      "the sole-copy orphan vector must be reassigned, not dropped")
+  }
 }

@@ -842,6 +842,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       store.appendDelta(Seq((1L, 2L)).toDF("id", "other"), "t", 4L)
     }
 
+    // retention over a LONG landing loop: folds + version GC keep the
+    // on-disk directory count bounded (≤ retainVersions base versions +
+    // < deltaFoldEvery live deltas) no matter how many ticks land, and
+    // time travel still works inside the retention window
+    (4L until 20L).foreach(i => store.appendDelta(batchDf(35 + i, 36 + i), "t", i))
+    assert(store.read("t").count() == 51)
+    assert(store.landedBatchIds("t").size < 3, "live deltas stay under the fold threshold")
+    assert(store.versions("t").size <= 2, "version GC must bound retained base versions")
+    val curV = store.versions("t").max
+    assert(store.read("t", Some(curV)).count() >= 35, "time travel inside retention works")
+
     // a FULL write replaces the content: live deltas are superseded and
     // a later replay of an old epoch still skips
     store.write(batchDf(0, 5), "t")
@@ -849,7 +860,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.landedBatchIds("t").isEmpty)
     assert(!store.appendDelta(batchDf(30, 35), "t", 3L),
       "superseded epoch must not resurrect after an overwrite")
-    assert(store.appendDelta(batchDf(40, 42), "t", 4L), "landing resumes past the overwrite")
+    assert(store.appendDelta(batchDf(40, 42), "t", 20L), "landing resumes past the overwrite")
     assert(store.read("t").count() == 7)
   }
 
