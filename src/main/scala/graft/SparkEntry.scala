@@ -160,6 +160,7 @@ object SparkEntry {
     "curate_shard_assign" -> ((s, dir) => CurateOps.curateShardAssign(s, dir)),
     "curate_k_anonymity" -> ((s, dir) => CurateOps.curateKAnonymity(s, dir)),
     "curate_curriculum" -> (CurateOps.curateCurriculum _),
+    "curate_unimax" -> ((s, dir) => CurateOps.curateUnimax(s, dir)),
     "emb_quantize" -> (CurateOps.embQuantize _),
     "curate_pipeline_full" -> (CurateOps.curatePipelineFull _),
     "curate_source_overlap" -> (CurateOps.curateSourceOverlap _),
@@ -2961,6 +2962,47 @@ object SparkEntry {
       ) b""",
     "dedup_ngram_jaccard" -> NgramJaccardSql,
     "dedup_containment" -> ContainmentSql,
+    // UniMax water-fill replay (CurateOps.curateUnimax): languages
+    // sorted by capacity ascending; capped iff even granting every
+    // remaining language this capacity fits the budget; uncapped
+    // languages split the leftover equally, remainder to the smallest
+    // first. Integer-exact throughout (B=30000, E=2).
+    "curate_unimax" -> """
+      WITH t AS (
+        SELECT lang,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+      ), stats AS (
+        SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS tok_lang FROM t GROUP BY 1
+      ), ranked AS (
+        SELECT lang, tok_lang, CAST(tok_lang * 2 AS BIGINT) AS capacity,
+               CAST(ROW_NUMBER() OVER (ORDER BY tok_lang * 2, lang) AS BIGINT) AS i,
+               CAST(COALESCE(SUM(tok_lang * 2) OVER (
+                 ORDER BY tok_lang * 2, lang
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_langs
+        FROM stats
+      ), flagged AS (
+        SELECT *, CAST(cum_before + capacity * (n_langs - i + 1) <= 30000 AS BIGINT) AS capped
+        FROM ranked
+      ), agg AS (
+        SELECT *,
+               CAST(COALESCE(SUM(CASE WHEN capped = 1 THEN capacity END) OVER (), 0) AS BIGINT) AS used,
+               CAST(n_langs - CAST(SUM(capped) OVER () AS BIGINT) AS BIGINT) AS n_uncapped,
+               CAST(SUM(1 - capped) OVER (
+                 ORDER BY capacity, lang
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS u
+        FROM flagged
+      ), alloc AS (
+        SELECT *, CAST(CASE WHEN capped = 1 THEN capacity
+               ELSE (30000 - used) // n_uncapped +
+                    (CASE WHEN u <= (30000 - used) % n_uncapped THEN 1 ELSE 0 END)
+               END AS BIGINT) AS alloc
+        FROM agg
+      )
+      SELECT lang, tok_lang, capacity, capped, alloc,
+             CAST(CASE WHEN tok_lang > 0 THEN (alloc * 1000) // tok_lang ELSE 0 END AS BIGINT) AS epochs_permille
+      FROM alloc""",
     "curate_k_anonymity" -> """
       WITH toks AS (
         SELECT doc_id, lang, source,

@@ -759,6 +759,73 @@ object CurateOps {
         (col("u") < col("q")).cast("long").as("selected"))
   }
 
+  /** UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining", ICLR) — the third mixing strategy next
+    * to [[curateTemperatureSample]] and [[curateDoremiWeights]]: given
+    * a total token budget B and a per-language epoch cap E, allocate
+    * the budget as UNIFORMLY across languages as possible without
+    * repeating any language more than E times. Closed-form water-fill
+    * over languages sorted by capacity c_l = E·tok_l ascending:
+    * language i is CAPPED (fully allocated at c_i) iff
+    * `cumBefore_i + c_i·(L−i+1) ≤ B` — even granting every remaining
+    * language c_i each still fits — and the uncapped languages split
+    * the leftover equally (integer share; the remainder goes to the
+    * smallest-capacity uncapped languages first, deterministically).
+    * Every comparison and division is integer-exact, so the oracle
+    * hashes bit-for-bit.
+    *
+    * Scale shape: one map-side-combined per-language token aggregate
+    * (languages are a bounded vocabulary), then windows over the
+    * ≤-tens-of-rows language table — the corpus is scanned once and
+    * never shuffled.
+    */
+  def curateUnimax(s: SparkSession, dir: String,
+      budget: Long = 30000L, epochCap: Long = 2L): DataFrame =
+    unimaxOf(
+      docs(s, dir)
+        .select(col("lang"),
+          size(split(TextOps.normalized(col("text")), " ")).cast("long").as("n_tokens"))
+        .groupBy(col("lang")).agg(sum(col("n_tokens")).as("tok_lang")),
+      budget, epochCap)
+
+  /** The water-fill over a PRE-AGGREGATED (lang, tok_lang) table — the
+    * allocation is a pure function of the bounded language grid, so the
+    * streaming twin ([[graft.streaming.Streaming.runUnimaxMix]]) merges
+    * per-batch token counts into a persisted O(languages) grid and
+    * re-derives this verdict each tick: stream ≡ batch by construction.
+    */
+  def unimaxOf(langStats: DataFrame, budget: Long = 30000L,
+      epochCap: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = langStats.withColumn("capacity", col("tok_lang") * lit(epochCap))
+    val asc = Window.orderBy(col("capacity"), col("lang"))
+    val before = asc.rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(lit(1))
+    val ranked = stats
+      .withColumn("i", row_number().over(asc).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("capacity")).over(before), lit(0L)))
+      .withColumn("n_langs", count(lit(1)).over(whole))
+      .withColumn("capped",
+        (col("cum_before") + col("capacity") * (col("n_langs") - col("i") + 1L)
+          <= lit(budget)).cast("long"))
+    val alloc = ranked
+      .withColumn("used", coalesce(sum(when(col("capped") === 1L, col("capacity")))
+        .over(whole), lit(0L)))
+      .withColumn("n_uncapped", col("n_langs") - sum(col("capped")).over(whole))
+      .withColumn("u", sum(lit(1L) - col("capped")).over(
+        asc.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("leftover", lit(budget) - col("used"))
+      .withColumn("alloc",
+        when(col("capped") === 1L, col("capacity"))
+          .otherwise(expr("leftover div n_uncapped") +
+            when(col("u") <= expr("leftover % n_uncapped"), lit(1L)).otherwise(lit(0L))))
+      .withColumn("epochs_permille",
+        when(col("tok_lang") > 0L, expr("(alloc * 1000) div tok_lang")).otherwise(lit(0L)))
+    alloc.select(col("lang"), col("tok_lang"), col("capacity"), col("capped"),
+      col("alloc"), col("epochs_permille"))
+  }
+
   /** Deterministic global training-order shuffle: rank every document
     * by md5(doc_id) — uniform, seedable (concat a salt), reproducible
     * across runs. The global rank is two-phase like the prefix sums

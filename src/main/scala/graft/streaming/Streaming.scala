@@ -605,6 +605,52 @@ object Streaming {
     }
   }
 
+  /** Streaming UniMax mixing monitor: each micro-batch sum-merges its
+    * per-language token counts into a persisted BOUNDED language grid
+    * (O(languages) state — never per-document), then re-derives the
+    * water-fill allocation from the grid via the exact batch rule
+    * ([[graft.operators.CurateOps.unimaxOf]]). Because the grid after
+    * all arrivals equals the batch aggregate, stream ≡ batch by
+    * construction — a language crossing its capacity mid-stream
+    * re-allocates every other language's share on the next tick. The
+    * grid merge is NOT replay-idempotent, so the commit carries the
+    * foreachBatch batchId ([[RelationStore.write]] batchTag) and a
+    * replayed epoch skips the merge; the allocation table is a pure
+    * function of the grid and rewrites unconditionally.
+    */
+  def runUnimaxMix(
+      newDocs: DataFrame,
+      store: RelationStore,
+      gridTable: String,
+      allocTable: String,
+      checkpointDir: String,
+      budget: Long = 30000L,
+      epochCap: Long = 2L): Unit = {
+    val q = newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!store.lastBatchTag(gridTable).exists(_ >= batchId)) {
+          val delta = batch.select(col("lang"),
+            size(split(graft.operators.TextOps.normalized(col("text")), " "))
+              .cast("long").as("n_tokens"))
+            .groupBy(col("lang")).agg(sum(col("n_tokens")).as("tok_lang"))
+          val merged =
+            if (store.exists(gridTable))
+              store.read(gridTable).unionByName(delta)
+                .groupBy(col("lang")).agg(sum(col("tok_lang")).as("tok_lang"))
+            else delta
+          store.write(merged, gridTable, batchTag = Some(batchId))
+        }
+        store.write(
+          graft.operators.CurateOps.unimaxOf(store.read(gridTable), budget, epochCap),
+          allocTable)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming volume-anomaly monitor: each micro-batch sum-merges its
     * (event_type, day) counts into the persisted BOUNDED day grid
     * (metadata-scale state — types × days, never per-event), then

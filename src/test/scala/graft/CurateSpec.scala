@@ -737,6 +737,44 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("unimax water-fill: budget exact, caps respected, uncapped shares level") {
+    val sess = spark
+    import sess.implicits._
+    // hand-built language grid: one tiny language that must cap, a mid
+    // language near the water line, two large languages that must split
+    // the leftover evenly (with a deterministic remainder)
+    def check(grid: Seq[(String, Long)], budget: Long, epochCap: Long): Unit = {
+      val out = CurateOps.unimaxOf(grid.toDF("lang", "tok_lang"), budget, epochCap)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      val totalCap = out.map(_._3).sum
+      // allocations spend the budget exactly (or everything, if the
+      // whole corpus fits), and never exceed a language's capacity
+      assert(out.map(_._5).sum == math.min(budget, totalCap),
+        s"alloc sum ${out.map(_._5).sum} budget $budget cap $totalCap")
+      out.foreach { case (l, _, cap, capped, alloc, _) =>
+        assert(alloc <= cap, s"$l alloc $alloc over capacity $cap")
+        if (capped == 1L) assert(alloc == cap, s"$l capped but alloc $alloc != $cap")
+      }
+      // uncapped languages get level shares (within the ±1 remainder)
+      val un = out.filter(_._4 == 0L).map(_._5)
+      if (un.nonEmpty) assert(un.max - un.min <= 1L, s"shares not level: ${un.toSeq}")
+      // capping is a prefix of the capacity-ascending order
+      val byCap = out.sortBy(r => (r._3, r._1)).map(_._4)
+      assert(!byCap.sliding(2).exists(p => p.length == 2 && p(0) == 0L && p(1) == 1L),
+        s"capped set must be a capacity-ascending prefix: ${byCap.toSeq}")
+    }
+    check(Seq(("lo", 50L), ("mid", 400L), ("big_a", 5000L), ("big_b", 7000L)),
+      budget = 3000L, epochCap = 2L)
+    check(Seq(("lo", 50L), ("mid", 400L), ("big_a", 5000L), ("big_b", 7000L)),
+      budget = 100000L, epochCap = 2L) // everything fits: all capped
+    check(Seq(("a", 10L), ("b", 10L), ("c", 10L)), budget = 17L, epochCap = 1L)
+    // and over the real corpus: the oracle-checked defaults
+    val real = CurateOps.curateUnimax(spark, sf).collect()
+    assert(real.nonEmpty && real.map(_.getLong(4)).sum <=
+      math.min(30000L, real.map(_.getLong(2)).sum))
+  }
+
   test("fertility covers every word occurrence; whole-word share consistent") {
     val rows = TextOps.txtFertility(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -380,6 +380,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming unimax mix over the bounded language grid equals batch; replay skips the merge") {
+    val store = new RelationStore(spark, s"$work/wh_unimax")
+    val newIn = s"$work/unimaxdocs"
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(newIn)
+    Streaming.runUnimaxMix(Streaming.documentStream(spark, newIn), store,
+      "um_grid", "um_alloc", s"$work/cp_unimax", budget = 30000L)
+    assert(store.read("um_alloc").count() > 0, "first arrival produced an allocation")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runUnimaxMix(Streaming.documentStream(spark, newIn), store,
+      "um_grid", "um_alloc", s"$work/cp_unimax", budget = 30000L)
+    // the merged grid equals the batch aggregate, so the derived
+    // allocation equals the batch operator EXACTLY — a language that
+    // crossed capacity between ticks re-levels every other share
+    val streamed = store.read("um_alloc")
+    val batch = graft.operators.CurateOps.curateUnimax(spark, sf, budget = 30000L)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // at-least-once replay: a fresh checkpoint re-delivers everything
+    // as epoch 0; the grid's committed batchTag is 1 and the guard is
+    // tag >= batchId, so the replayed epoch skips the merge — the grid
+    // stays exact instead of double-counting every document
+    val gridBefore = store.read("um_grid").orderBy(col("lang")).collect().toSeq
+    Streaming.runUnimaxMix(Streaming.documentStream(spark, newIn), store,
+      "um_grid", "um_alloc", s"$work/cp_unimax_replay", budget = 30000L)
+    assert(store.read("um_grid").orderBy(col("lang")).collect().toSeq == gridBefore,
+      "replayed epoch must not double-merge the grid")
+    val afterReplay = store.read("um_alloc")
+    assert(afterReplay.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(afterReplay).count() == 0,
+      "the allocation stays exact across a replay")
+  }
+
   test("streaming per-lang ccnet bucketing under frozen thresholds equals batch") {
     val store = new RelationStore(spark, s"$work/wh_ccnetl")
     val newIn = s"$work/ccnetldocs"
