@@ -91,7 +91,12 @@ object Bench {
     val sentinelAfter = loadSentinelMs()
     val sentinelJson = s"""{"before_ms":$sentinelBefore,"after_ms":$sentinelAfter,""" +
       s""""work":"100e6 xorshift64 steps, 1 thread, median of 3"}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"load_sentinel":$sentinelJson,"sf":"$sfDir"}""")
+    // resident-cache telemetry: stable counters under a timing drift
+    // mean machine noise; rising evictions mean the working set
+    // outgrew the cap and queries re-pay warm-up (sweep-order effect)
+    val residentJson = graft.operators.ResidentCache.counters.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"load_sentinel":$sentinelJson,"resident":$residentJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -65,6 +65,22 @@ object ResidentCache {
 
   private val slots = lru[DataFrame]()
 
+  // telemetry: cumulative slot outcomes per JVM — warm hits vs
+  // cache-miss installs vs LRU evictions (and evictions skipped for a
+  // sameResult survivor). The bench emits these in its JSON line so a
+  // sweep-order timing drift is attributable from the artifact alone:
+  // a drift WITH stable counters is machine noise; rising evictions
+  // mean the working set outgrew the cap and queries re-pay warm-up.
+  private val hitN = new java.util.concurrent.atomic.AtomicLong
+  private val missN = new java.util.concurrent.atomic.AtomicLong
+  private val evictN = new java.util.concurrent.atomic.AtomicLong
+  private val evictSharedN = new java.util.concurrent.atomic.AtomicLong
+
+  /** (hits, misses, evictions, evictions-skipped-as-shared) so far. */
+  def counters: Map[String, Long] = Map(
+    "hits" -> hitN.get, "misses" -> missN.get,
+    "evictions" -> evictN.get, "evictions_shared_skip" -> evictSharedN.get)
+
   def apply(s: SparkSession, slot: String, df: DataFrame): DataFrame =
     slots.synchronized {
       // sweep entries of stopped contexts — their cached blocks died
@@ -84,8 +100,10 @@ object ResidentCache {
         // entry for it; re-invocation must REUSE the warm cache, not
         // cache-then-uncache it (unpersisting the "previous" df would
         // evict the shared plan entry and silently de-cache this one)
+        hitN.incrementAndGet()
         prev
       } else {
+        missN.incrementAndGet()
         val cached = df.cache()
         val old = slots.put(key, cached)
         if (old != null && !(old eq cached) &&
@@ -101,7 +119,8 @@ object ResidentCache {
           slots.values.forEach(v => if (!shared && !(v eq evicted) &&
             v.queryExecution.analyzed.sameResult(evicted.queryExecution.analyzed))
             shared = true)
-          if (!shared) evicted.unpersist(false)
+          if (shared) evictSharedN.incrementAndGet()
+          else { evictN.incrementAndGet(); evicted.unpersist(false) }
         }
         cached
       }

@@ -1000,7 +1000,63 @@ object ProjectLoader {
       val (p, pinned) = hubPackage(dir, m("package").toString, m.get("version"),
         m.get("hub").map(_.toString))
       Some((p, m + ("version" -> pinned)))
+    }
+    else if (m.contains("git")) {
+      val (p, sha) = gitPackage(dir, m("git").toString,
+        m.get("revision").map(_.toString), m.get("subdirectory").map(_.toString))
+      Some((p, m + ("revision" -> sha)))
     } else None
+
+  /** packages.yml `- git: URL` + `revision:`/`subdirectory:` entries
+    * (reference GitPackage, core/dbt/deps/git.py). Zero-egress subset:
+    * only LOCAL repositories resolve (`file://` URLs or plain paths —
+    * the git transport the sandbox can actually serve); remote schemes
+    * error with the reason. Semantics match the reference: clone (or
+    * fetch an existing checkout), check out the requested revision
+    * (branch / tag / sha; default = the remote HEAD), and PIN the lock
+    * entry to the exact commit sha the revision resolved to — a later
+    * install from the lock reproduces the same tree even if the source
+    * repository has moved on (the reference's warn-unpinned/pin flow).
+    */
+  private def gitPackage(dir: Path, url: String, revision: Option[String],
+      subdirectory: Option[String]): (Path, String) = {
+    def git(args: String*): String = {
+      val pb = new ProcessBuilder(("git" +: args): _*)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      if (p.waitFor() != 0) throw new IllegalStateException(
+        s"git ${args.mkString(" ")} failed:\n$out")
+      out.trim
+    }
+    val raw = url.stripPrefix("file://")
+    if (raw.matches("^[a-z+]+://.*") || raw.contains("@"))
+      throw new IllegalArgumentException(
+        s"git package '$url': only local repositories (file:// or a path) " +
+          "resolve in this zero-egress environment")
+    val srcPath = dir.resolve(raw).normalize
+    require(Files.exists(srcPath), s"git package: repository $srcPath not found")
+    val name = srcPath.getFileName.toString.stripSuffix(".git")
+    val dest = dir.resolve("dbt_packages").resolve(s"${name}_git")
+    Files.createDirectories(dest.getParent)
+    if (!Files.exists(dest.resolve(".git")))
+      git("clone", "--quiet", srcPath.toString, dest.toString)
+    else
+      git("-C", dest.toString, "fetch", "--quiet", "--tags", "origin")
+    // detached checkout: branch names resolve through origin/* so a
+    // fetch actually moves them; tags and shas resolve directly
+    val target = revision.getOrElse("origin/HEAD")
+    val resolved =
+      try git("-C", dest.toString, "rev-parse", "--verify", s"$target^{commit}")
+      catch { case _: IllegalStateException =>
+        git("-C", dest.toString, "rev-parse", "--verify", s"origin/$target^{commit}")
+      }
+    git("-C", dest.toString, "checkout", "--quiet", "--detach", resolved)
+    val root = subdirectory.map(dest.resolve).getOrElse(dest)
+    require(Files.exists(root.resolve("dbt_project.yml")),
+      s"git package '$url': no dbt_project.yml at ${subdirectory.getOrElse("repo root")}")
+    (root, resolved)
+  }
 
   /** `deps` (reference task/deps.py:202-260 run()): write/refresh
     * package-lock.yml when absent, `upgrade` is set, or packages.yml

@@ -507,9 +507,10 @@ object Streaming {
     * per-language CCNet bucketing under the frozen char-LM + threshold
     * artifacts, topic tagging, boilerplate strike filtering under the
     * frozen strike set, and IVF-PQ encoding of the arriving embeddings
-    * under the frozen centroids + codebook — SEVEN verdict tables from
-    * ONE readStream (the batch is cached once and feeds every plan, so
-    * arriving data is scanned once, not seven times). Every member is
+    * under the frozen centroids + codebook — EIGHT tables from ONE
+    * readStream: seven verdict/audit tables plus the quota-admitted
+    * CORPUS itself (the batch is cached once and feeds every plan, so
+    * arriving data is scanned once, not eight times). Every member is
     * the exact batch operator, so each table is stream ≡ batch by
     * construction and the composition adds no new semantics — only the
     * single-pass execution a 100 TB ingest loop actually wants.
@@ -550,14 +551,30 @@ object Streaming {
           // keeps the already-landed (correct) verdict and the garbage
           // recompute is never evaluated (DataFrames are lazy).
           val quotaTbl = s"${prefix}_quota"
+          // store.read pins its delta-path list at CONSTRUCTION, so
+          // prevTotals sees exactly the pre-tick landed state no matter
+          // when the plan evaluates within this tick
           val prevTotals =
             if (store.exists(quotaTbl))
               store.read(quotaTbl).groupBy(col("source"))
                 .agg(sum(col("n_tokens")).as("tok_prev"))
             else batch.select(col("source")).where(lit(false))
               .withColumn("tok_prev", lit(0L))
-          landAppend(store, quotaTbl,
-            graft.operators.CurateOps.sourceQuotaWith(batch, prevTotals, quota),
+          val verdict =
+            if (store.batchLanded(quotaTbl, batchId))
+              // crash-replay of a partially-landed epoch: this epoch's
+              // verdicts are already durable — recomputing them against
+              // totals that now INCLUDE the epoch would flip admissions,
+              // so downstream members reuse the landed rows instead
+              store.read(quotaTbl).join(batch.select(col("doc_id")), Seq("doc_id"))
+            else graft.operators.CurateOps.sourceQuotaWith(batch, prevTotals, quota)
+          landAppend(store, quotaTbl, verdict, batchId)
+          // the admitted CORPUS itself — the eighth table that makes the
+          // tick a complete ingest: quota-admitted documents land with
+          // their full enriched columns, everything else is audit trail
+          landAppend(store, s"${prefix}_corpus",
+            batch.join(verdict.filter(col("admitted") === 1L).select(col("doc_id")),
+              Seq("doc_id"), "left_semi"),
             batchId)
           landAppend(store, s"${prefix}_dedup",
             graft.operators.DedupOps.probeAgainstIndex(batch, index), batchId)

@@ -1560,6 +1560,67 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stj.read("shaped").first().getAs[Int]("x") == 30)
   }
 
+  test("38b git package deps: local repo clones, revision pins to a sha in the lock") {
+    // reference GitPackage (core/dbt/deps/git.py) — zero-egress subset:
+    // a LOCAL repository, tag/branch/sha revisions, lock pinning to the
+    // exact commit so installs reproduce after the source moves on
+    val dg = Files.createTempDirectory("graft_gitpkg")
+    def wg(rel: String, c: String): Unit = {
+      val p = dg.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    def sh(cwd: java.nio.file.Path, args: String*): String = {
+      val pb = new ProcessBuilder(args: _*)
+      pb.directory(cwd.toFile); pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor() == 0, s"${args.mkString(" ")}:\n$out"); out.trim
+    }
+    // fixture repo: v1 tags a model returning 7; HEAD then moves to 9
+    val repo = dg.resolve("gitpkg")
+    wg("gitpkg/dbt_project.yml", "name: gitpkg\n")
+    wg("gitpkg/models/git_base.sql", "SELECT 7 AS v")
+    sh(repo, "git", "init", "-q", "-b", "main")
+    sh(repo, "git", "config", "user.email", "t@t"); sh(repo, "git", "config", "user.name", "t")
+    sh(repo, "git", "add", "-A"); sh(repo, "git", "commit", "-q", "-m", "v1")
+    sh(repo, "git", "tag", "v1")
+    wg("gitpkg/models/git_base.sql", "SELECT 9 AS v")
+    sh(repo, "git", "commit", "-qam", "bump")
+    val v1sha = sh(repo, "git", "rev-parse", "v1^{commit}")
+
+    wg("dbt_project.yml", "name: gitroot\n")
+    wg("packages.yml", s"packages:\n  - git: file://$repo\n    revision: v1\n")
+    wg("models/uses_git.sql",
+      """{{ config(materialized='table') }}
+        |SELECT (SELECT v FROM {{ ref('gitpkg', 'git_base') }}) AS from_pkg""".stripMargin)
+    val roots = ProjectLoader.deps(dg)
+    assert(roots.nonEmpty)
+    // the lock pins the tag to its exact commit sha
+    val lock = Files.readString(dg.resolve("package-lock.yml"))
+    assert(lock.contains(s"revision: $v1sha"), lock)
+    val pg = ProjectLoader.resolveRefs(ProjectLoader.load(dg.toString))
+    assert(pg.manifest.nodes.contains("model.gitpkg.git_base"))
+    val stg = new RelationStore(spark, dg.resolve("wh").toString)
+    val rg = new Runner(spark, pg, stg, RunOptions(cmd = "run", threads = 2,
+      targetDir = dg.resolve("target").toString)).execute()
+    assert(rg.forall(_.status == "success"), rg.mkString("\n"))
+    assert(stg.read("uses_git").first().getInt(0) == 7,
+      "the v1 revision's model must build, not HEAD's")
+    // the source repo moves again; an install FROM THE LOCK still
+    // reproduces the pinned v1 tree (reference reproducibility contract)
+    wg("gitpkg/models/git_base.sql", "SELECT 11 AS v")
+    sh(repo, "git", "commit", "-qam", "bump2")
+    ProjectLoader.deps(dg)
+    val pg2 = ProjectLoader.resolveRefs(ProjectLoader.load(dg.toString))
+    assert(pg2.manifest.nodes("model.gitpkg.git_base")
+      .asInstanceOf[graft.core.ModelNode].rawCode.contains("7"),
+      "lock-pinned install must reproduce the pinned revision")
+    // a remote scheme refuses with the zero-egress reason
+    wg("packages.yml", "packages:\n  - git: https://example.com/x.git\n")
+    Files.deleteIfExists(dg.resolve("package-lock.yml"))
+    val e = intercept[Exception] { ProjectLoader.deps(dg) }
+    assert(e.getMessage.contains("zero-egress"), e.getMessage)
+  }
+
   test("38 tarball package deps: file:// archive resolves like a local package") {
     // reference TarballPinnedPackage (core/dbt/deps/tarball.py): the
     // archive must hold exactly one top-level folder = the package root

@@ -271,7 +271,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.filter(col("admitted") === 0L).count() > 0)
   }
 
-  test("composed ingest tick: one stream pass lands all seven verdict tables, each equal to batch") {
+  test("composed ingest tick: one stream pass lands all eight tables (verdicts + admitted corpus), each equal to batch") {
     import graft.operators.{CurateOps, DedupOps, SimilarityOps, TextOps}
     val store = new RelationStore(spark, s"$work/wh_tick")
     val newIn = s"$work/tickdocs"
@@ -327,6 +327,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     mustEqual("tick_quota", CurateOps.sourceQuotaWith(newDocs, emptyPrev, quota = 300L))
     assert(store.read("tick_quota").filter(col("admitted") === 0L).count() > 0,
       "the quota must actually bite across ticks")
+    // the landed corpus is exactly the admitted documents, full columns
+    mustEqual("tick_corpus", enriched.filter(isNew).join(
+      CurateOps.sourceQuotaWith(newDocs, emptyPrev, quota = 300L)
+        .filter(col("admitted") === 1L).select(col("doc_id")),
+      Seq("doc_id"), "left_semi"))
     mustEqual("tick_codes", SimilarityOps.ivfPqEncodeWith(
       enriched.filter(isNew).select(col("doc_id").as("vec_id"), col("embedding")),
       centroids, codebook))
@@ -897,9 +902,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "superseded epoch must not resurrect after an overwrite")
     assert(store.appendDelta(batchDf(40, 42), "t", 20L), "landing resumes past the overwrite")
     assert(store.read("t").count() == 7)
+
+    // an EMPTY epoch (heartbeat tick with no admitted rows) still lands
+    // and is still replay-guarded — and reads keep working through it
+    assert(store.appendDelta(batchDf(0, 0), "t", 21L))
+    assert(!store.appendDelta(batchDf(0, 0), "t", 21L))
+    assert(store.read("t").count() == 7)
   }
 
-  test("ingest tick crash-replay: re-running an epoch leaves all seven tables unchanged") {
+  test("ingest tick crash-replay: re-running an epoch leaves all eight tables unchanged") {
     import graft.operators.{DedupOps, SimilarityOps, TextOps}
     val store = new RelationStore(spark, s"$work/wh_tick_replay")
     val newIn = s"$work/tickdocs_replay"
@@ -925,8 +936,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Streaming.runIngestTick(Streaming.enrichedDocumentStream(spark, newIn),
         index, charLm, thr, boiler, centroids, codebook,
         store, "tickr", cp, quota = 300L)
-    val tables = Seq("tickr_quota", "tickr_dedup", "tickr_gopher", "tickr_ccnet",
-      "tickr_topics", "tickr_boiler", "tickr_codes")
+    val tables = Seq("tickr_quota", "tickr_corpus", "tickr_dedup", "tickr_gopher",
+      "tickr_ccnet", "tickr_topics", "tickr_boiler", "tickr_codes")
 
     enriched.filter(isNew && col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
     tick(s"$work/cp_tickr")
