@@ -103,6 +103,7 @@ object SparkEntry {
     "txt_quality" -> (TextOps.txtQuality _),
     "txt_langid" -> (TextOps.txtLangId _),
     "txt_fingerprint" -> (TextOps.txtFingerprint _),
+    "txt_char_entropy" -> (TextOps.txtCharEntropy _),
     "txt_bpe_tokens" -> (TextOps.txtBpeTokens _),
     "txt_winnow" -> (TextOps.txtWinnow _),
     "txt_chunk_overlap" -> ((s, dir) => TextOps.txtChunkOverlap(s, dir)),
@@ -2515,6 +2516,34 @@ object SparkEntry {
       SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
              LENGTH(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_len
       FROM documents""",
+    // floored-bits char-distribution entropy (TextOps.txtCharEntropy):
+    // H = n·bitlen(n) − Σ c·bitlen(c) over non-space normalized chars
+    "txt_char_entropy" -> """
+      WITH norm AS (
+        SELECT doc_id,
+               replace(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ', '') AS t
+        FROM documents
+      ), ch AS (
+        SELECT doc_id, substring(t, CAST(i AS INT), 1) AS ch
+        FROM norm, UNNEST(range(1, len(t) + 1)) AS u(i)
+        WHERE len(t) > 0
+      ), cnt AS (
+        SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2
+      ), agg AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+               CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+               CAST(SUM(c * len(bin(c))) AS BIGINT) AS sum_cb
+        FROM cnt GROUP BY 1
+      ), e AS (
+        SELECT doc_id, n_chars, distinct_chars,
+               CAST(n_chars * len(bin(n_chars)) - sum_cb AS BIGINT) AS entropy_bits
+        FROM agg
+      )
+      SELECT doc_id, n_chars, distinct_chars, entropy_bits,
+             CAST((1000 * entropy_bits) // n_chars AS BIGINT) AS entropy_millibits,
+             CAST((1000 * entropy_bits) // n_chars < 1500 AS BIGINT) AS low_entropy,
+             CAST((1000 * entropy_bits) // n_chars > 4500 AS BIGINT) AS high_entropy
+      FROM e""",
     "txt_bpe_tokens" -> """
       SELECT doc_id,
              CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s'']+')) AS BIGINT) AS n_pieces,

@@ -95,6 +95,55 @@ object TextOps {
       md5(normalized(col("text"))).as("fp"),
       length(normalized(col("text"))).as("norm_len"))
 
+  /** Per-document character-distribution entropy — the two-tailed
+    * gibberish signal the big crawl pipelines run next to the LM
+    * filters: character-spam / template filler sits at the LOW tail
+    * (few symbols dominate), base64/hash blobs at the HIGH tail (near-
+    * uniform over the alphabet), and natural language in between.
+    * Distinct from [[txtCharLmScore]]: that scores each doc under a
+    * CORPUS bigram model; this is the doc's own unigram distribution,
+    * model-free.
+    *
+    * Integer-exact floored-bits spelling (the char-LM idiom): with
+    * per-char counts c over n non-space normalized chars,
+    * Σ c·(bitlen(n) − bitlen(c)) = n·bitlen(n) − Σ c·bitlen(c) — so
+    * ONE (doc, char)-keyed count plus one doc-keyed aggregate computes
+    * it with no self-join, and the oracle replays it bit-for-bit with
+    * DuckDB's len(bin(x)). Per-char milli-bits by integer division;
+    * low/high verdicts at 1500/4500 millibits (alphabet ≤ 36 symbols →
+    * max ≈ 5.2 bits/char). Docs with zero normalized chars are absent
+    * by construction (no distribution to score).
+    *
+    * Scale shape: explode → (doc, char) partial-aggregated shuffle
+    * (value space ≤ 36·docs) → doc-keyed aggregate; no windows, no
+    * joins, no collects.
+    */
+  def txtCharEntropy(s: SparkSession, dir: String): DataFrame =
+    charEntropyOf(docs(s, dir))
+
+  /** The per-doc entropy plan over ANY documents DataFrame — stateless
+    * and row-local, so the SAME plan serves batch and each streaming
+    * micro-batch ([[graft.streaming.Streaming.runCharEntropy]]):
+    * stream ≡ batch by construction.
+    */
+  def charEntropyOf(documents: DataFrame): DataFrame = {
+    val chars = documents.select(col("doc_id"),
+        explode(split(regexp_replace(normalized(col("text")), " ", ""), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).cast("long").as("distinct_chars"),
+        sum(col("c") * length(expr("bin(c)")).cast("long")).as("sum_cb"))
+      .select(col("doc_id"), col("n_chars"), col("distinct_chars"),
+        (col("n_chars") * length(expr("bin(n_chars)")).cast("long") - col("sum_cb"))
+          .as("entropy_bits"))
+      .withColumn("entropy_millibits",
+        expr("(1000 * entropy_bits) div n_chars"))
+      .withColumn("low_entropy", (col("entropy_millibits") < 1500L).cast("long"))
+      .withColumn("high_entropy", (col("entropy_millibits") > 4500L).cast("long"))
+  }
+
   /** Capstone training-data-prep pipeline composing the text operators:
     * quality gate (letter ratio + length) → language agreement filter
     * (predicted == labeled) → exact dedup (keep only group keepers) →

@@ -622,6 +622,19 @@ object Streaming {
     }
   }
 
+  /** Streaming char-entropy gate: the per-doc distribution entropy is
+    * row-local (no corpus model), so each micro-batch scores under the
+    * EXACT batch plan ([[graft.operators.TextOps.charEntropyOf]]) —
+    * stream ≡ batch by construction, per-batch cost O(batch chars).
+    */
+  def runCharEntropy(
+      newDocs: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit =
+    runAppendScorer(newDocs, store, table, checkpointDir)(
+      graft.operators.TextOps.charEntropyOf)
+
   /** Streaming UniMax mixing monitor: each micro-batch sum-merges its
     * per-language token counts into a persisted BOUNDED language grid
     * (O(languages) state — never per-document), then re-derives the

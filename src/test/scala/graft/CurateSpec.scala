@@ -775,6 +775,43 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       math.min(30000L, real.map(_.getLong(2)).sum))
   }
 
+  test("char entropy: floored-bits driver replay; spam scores low, uniform scores high") {
+    val sess = spark
+    import sess.implicits._
+    // planted tails: single-symbol spam must floor at 0 bits; a
+    // one-of-each alphabet doc is maximally uniform (36·(bitlen(36)−1)
+    // = 180 bits over 36 chars = 5000 millibits > the 4500 high bar)
+    val dir = java.nio.file.Files.createTempDirectory("entropy")
+    Seq((1L, "aaaa aaaa aaaa aaaa"),
+        (2L, "abcdefghijklmnopqrstuvwxyz 0123456789"),
+        (3L, "some ordinary sentence with plain words in it"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val planted = TextOps.txtCharEntropy(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(planted(1L)._1 == 0L && planted(1L)._3 == 1L, s"spam: ${planted(1L)}")
+    assert(planted(2L)._2 == 5000L && planted(2L)._4 == 1L, s"uniform: ${planted(2L)}")
+    assert(planted(3L)._3 == 0L, s"natural text must not read as spam: ${planted(3L)}")
+
+    // full driver replay over the real corpus: the floored-bits
+    // identity H = n·bitlen(n) − Σ c·bitlen(c), recomputed in Scala
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val expected = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect().flatMap { r =>
+        val norm = r.getString(1).toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("[^a-z0-9]+", " ").trim.replace(" ", "")
+        if (norm.isEmpty) None
+        else {
+          val counts = norm.groupBy(identity).map(_._2.length.toLong)
+          val n = counts.sum
+          Some(r.getLong(0) -> (n * bitlen(n) - counts.map(c => c * bitlen(c)).sum))
+        }
+      }.toMap
+    val actual = TextOps.txtCharEntropy(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(actual == expected, "floored-bits entropy must replay exactly")
+  }
+
   test("fertility covers every word occurrence; whole-word share consistent") {
     val rows = TextOps.txtFertility(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

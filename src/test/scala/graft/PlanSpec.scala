@@ -729,6 +729,41 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange rangepartitioning"), plan.take(2000))
   }
 
+  test("unimax: corpus collapses to the language grid before any window") {
+    val df = CurateOps.curateUnimax(spark, sf)
+    val plan = executedPhysical(df)
+    // the ONLY corpus-wide work is one map-side-combined per-language
+    // token aggregate; every window in the plan operates on the
+    // bounded language table that aggregate produces
+    assert(plan.contains("partial_sum"), "lang token totals need map-side combine")
+    val firstWindow = plan.indexOf("Window")
+    val agg = plan.lastIndexOf("HashAggregate")
+    assert(firstWindow >= 0 && agg > firstWindow,
+      "windows must sit ABOVE the corpus aggregate (bounded input)")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("delta-landed table: filters still push down to the multi-delta scan") {
+    val work = java.nio.file.Files.createTempDirectory("plan_delta").toString
+    val store = new graft.exec.RelationStore(spark, s"$work/wh")
+    val sess = spark
+    import sess.implicits._
+    def b(lo: Long, hi: Long) = (lo until hi).map(i => (i, s"t$i")).toDF("id", "txt")
+    store.appendDelta(b(0, 100), "t", 0L)
+    store.appendDelta(b(100, 200), "t", 1L)
+    store.write(b(200, 250), "t2") // plain versioned table for contrast
+    val df = store.read("t").filter(org.apache.spark.sql.functions.col("id") > 150L)
+      .select("id")
+    val plan = physical(df)
+    // the read is a plain multi-root parquet scan, so predicate
+    // pushdown and column pruning apply exactly as on a base version —
+    // the serving-path scan quality the delta layout must not cost
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,150)"),
+      plan.take(2000))
+    assert(plan.contains("ReadSchema: struct<id:bigint>"),
+      "projection must prune the delta scan to the selected column")
+  }
+
   test("snapshot diff: id diff co-partitioned, moved check is a semi join") {
     val df = CurateOps.curateSnapshotDiff(spark, sf)
     // join SHAPES pin on the logical plan: at tiny SF the moved side

@@ -385,6 +385,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming char-entropy gate over two arrivals equals the batch scorer") {
+    val store = new RelationStore(spark, s"$work/wh_entropy")
+    val newIn = s"$work/entropydocs"
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.filter(col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runCharEntropy(Streaming.documentStream(spark, newIn), store,
+      "entropy", s"$work/cp_entropy")
+    val afterFirst = store.read("entropy").count()
+    docs.filter(col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runCharEntropy(Streaming.documentStream(spark, newIn), store,
+      "entropy", s"$work/cp_entropy")
+    val streamed = store.read("entropy")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    // row-local scoring → union over arrivals equals the batch operator
+    val batch = graft.operators.TextOps.txtCharEntropy(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming unimax mix over the bounded language grid equals batch; replay skips the merge") {
     val store = new RelationStore(spark, s"$work/wh_unimax")
     val newIn = s"$work/unimaxdocs"
@@ -908,6 +929,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.appendDelta(batchDf(0, 0), "t", 21L))
     assert(!store.appendDelta(batchDf(0, 0), "t", 21L))
     assert(store.read("t").count() == 7)
+
+    // cross-store addressability: a pointer clone of a delta-landed
+    // table sees base + live deltas (addressable() unions them)
+    val store2 = new RelationStore(spark, s"$work/wh_delta_clone")
+    store2.clone(store, "t")
+    assert(store2.read("t").count() == 7)
   }
 
   test("ingest tick crash-replay: re-running an epoch leaves all eight tables unchanged") {
