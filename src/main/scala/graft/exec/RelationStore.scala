@@ -419,12 +419,18 @@ final class RelationStore(
       .saveAsTable(staging)
     Files.writeString(dest.resolve("_graft_schema.json"), df.schema.json)
     spark.sql(s"DROP TABLE IF EXISTS $staging") // metadata only (external)
+    // a bucketed CTAS replaces the table's content wholly, exactly like
+    // write(): any live delta landings are superseded via the watermark
+    val supersededWm = (currentWatermark(name) +: liveDeltaIds(name): Seq[Long]).max
+    if (supersededWm >= 0)
+      Files.writeString(dest.resolve("_delta_watermark"), supersededWm.toString)
     // point of no return: data is durable at dest
     spark.sql(s"DROP TABLE IF EXISTS $cat")
     Files.writeString(bucketedFile(name), graft.artifacts.Json.write(Map(
       "catalog" -> cat, "bucket_by" -> bucketBy, "buckets" -> buckets)))
     registerCatalog(cat, dest, bucketBy, buckets)
     commitPointer(name, next)
+    reapAbsorbedDeltas(name)
   }
 
   private def bucketedFile(name: String): Path = tableDir(name).resolve("_bucketed")
@@ -662,6 +668,10 @@ final class RelationStore(
     require(!isView(name), s"cannot compact view $schema.$name")
     require(!isBucketed(name),
       s"cannot compact bucketed relation $schema.$name — rewrite via its model instead")
+    // a delta-landed table folds into a base version first: compaction
+    // operates on (and only on) committed base layouts, and the fold is
+    // metadata-only so this costs directory renames, not data bytes
+    foldDeltas(name)
     val cur = currentVersion(name).getOrElse(
       throw new IllegalStateException(s"relation not found: $schema.$name"))
     val prev = tableDir(name).resolve(s"v$cur")

@@ -123,4 +123,58 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(1)).distinct
     assert(labs.toSeq == Seq(0L))
   }
+
+  test("delta landing torture: random op interleavings match a driver-side model") {
+    // the durability layer's contract under ANY interleaving of
+    // landings, replays, folds, full overwrites, compactions and
+    // vacuums: read() always equals the model a correct single-node
+    // implementation would hold, and replayed epochs never double-land
+    val sess = spark
+    import sess.implicits._
+    val store = new graft.exec.RelationStore(spark,
+      java.nio.file.Files.createTempDirectory("prop_delta").resolve("wh").toString,
+      deltaFoldEvery = 4)
+    val rnd = new scala.util.Random(20260815L)
+    def rows(epoch: Long): Seq[(Long, Long)] =
+      (0 until 1 + rnd.nextInt(5)).map(i => (epoch * 100 + i, epoch))
+    var model = Map.empty[Long, Seq[(Long, Long)]] // epoch -> rows (None after overwrite)
+    var overwritten: Seq[(Long, Long)] = Nil
+    var landedEpochs = Set.empty[Long]
+    var nextEpoch = 0L
+    (1 to 60).foreach { _ =>
+      rnd.nextInt(10) match {
+        case k if k <= 4 => // land the next epoch
+          val r = rows(nextEpoch)
+          val did = store.appendDelta(r.toDF("id", "epoch"), "t", nextEpoch)
+          assert(did, s"fresh epoch $nextEpoch must land")
+          model += nextEpoch -> r; landedEpochs += nextEpoch; nextEpoch += 1
+        case 5 | 6 if landedEpochs.nonEmpty => // at-least-once replay
+          val e = landedEpochs.toSeq(rnd.nextInt(landedEpochs.size))
+          assert(!store.appendDelta(rows(999).toDF("id", "epoch"), "t", e),
+            s"replayed epoch $e must skip")
+        case 7 => // maintenance fold
+          store.foldDeltas("t")
+        case 8 if rnd.nextInt(4) == 0 => // rare full overwrite
+          val keep = Seq((-1L, -1L))
+          store.write(keep.toDF("id", "epoch"), "t")
+          model = Map.empty; overwritten = keep
+          // superseded epochs must stay skipped
+          if (landedEpochs.nonEmpty) {
+            val e = landedEpochs.toSeq(rnd.nextInt(landedEpochs.size))
+            assert(!store.appendDelta(rows(998).toDF("id", "epoch"), "t", e),
+              s"superseded epoch $e must not resurrect")
+          }
+        case 9 =>
+          if (rnd.nextBoolean()) store.compact("t") else store.vacuum("t")
+        case _ => ()
+      }
+      if (store.exists("t")) {
+        val expect = (overwritten ++ model.values.flatten).toSet
+        val got = store.read("t").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == expect,
+          s"read diverged from model: extra=${got -- expect} missing=${expect -- got}")
+      }
+    }
+    assert(nextEpoch > 10, "the walk must actually land epochs")
+  }
 }

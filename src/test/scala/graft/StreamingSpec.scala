@@ -935,6 +935,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val store2 = new RelationStore(spark, s"$work/wh_delta_clone")
     store2.clone(store, "t")
     assert(store2.read("t").count() == 7)
+
+    // warehouse OPTIMIZE over a table with live deltas: folds first
+    // (metadata-only), then compacts the base — never throws, and the
+    // content is unchanged
+    store.compact("t")
+    assert(store.landedBatchIds("t").isEmpty && store.read("t").count() == 7)
   }
 
   test("ingest tick crash-replay: re-running an epoch leaves all eight tables unchanged") {
