@@ -14,7 +14,8 @@ import graft.parser.ProjectLoader
 /** CLI verbs (reference core/dbt/cli/main.py commands §2.8):
   * parse, list, compile, run, seed, snapshot, test, build, show,
   * docs-generate, docs-serve, source-freshness, clone, retry,
-  * run-operation, optimize, vacuum, export, clean, init, debug.
+  * run-operation, optimize, vacuum, export, clean, init, debug, deps,
+  * index (ANN index maintenance autopilot).
   *
   * Usage:
   *   graft <cmd> --project-dir DIR [--select "..."] [--exclude "..."]

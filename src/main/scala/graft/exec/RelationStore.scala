@@ -230,10 +230,14 @@ final class RelationStore(
     * bucket spec or partition columns.
     */
   def appendDelta(df: DataFrame, name: String, batchId: Long): Boolean = {
+    // replay guard FIRST: an epoch that already landed must skip
+    // quietly even if the table has since changed shape (e.g. a
+    // bucketed CTAS superseded the landing loop) — crashing the stream
+    // on a replayed old epoch would wedge recovery
+    if (batchLanded(name, batchId)) return false
     require(!isView(name), s"cannot land deltas into view $schema.$name")
     require(!isBucketed(name),
       s"cannot land deltas into bucketed relation $schema.$name")
-    if (batchLanded(name, batchId)) return false
     require(currentVersion(name).isEmpty || !isPartitionedLayout(name),
       s"cannot land deltas into partitioned-layout relation $schema.$name")
     // same column names + types as the landed content — the read path

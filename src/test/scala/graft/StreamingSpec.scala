@@ -941,6 +941,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // content is unchanged
     store.compact("t")
     assert(store.landedBatchIds("t").isEmpty && store.read("t").count() == 7)
+
+    // bucketed CTAS replaces the content and supersedes live deltas,
+    // and a replayed old epoch still skips QUIETLY (no stream crash)
+    store.appendDelta(batchDf(50, 55), "t", 22L)
+    store.writeBucketed(batchDf(60, 64), "t", Seq("id"), 2)
+    assert(store.read("t").count() == 4)
+    assert(!store.appendDelta(batchDf(50, 55), "t", 22L),
+      "replay of a superseded epoch must skip, not throw, on a bucketed table")
   }
 
   test("ingest tick crash-replay: re-running an epoch leaves all eight tables unchanged") {
