@@ -74,15 +74,26 @@ object Main {
       // a clean fsck report — `graft index --path <dir> [--fsck-only]
       // [--split-factor N] [--max-files-per-cell N]`
       val idxPath = flags.getOrElse("path", throw new IllegalArgumentException(
-        "index requires --path <index dir> (a persistIvfIndex layout)"))
+        "index requires --path <index dir> (a persistIvfIndex or " +
+          "persistIvfPqIndex layout)"))
+      // layout auto-detection: the raw-vector layout keeps `cells/`,
+      // the PQ serving layout keeps `codes/` (+ codebook)
+      val hfs = new org.apache.hadoop.fs.Path(idxPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val isPq = hfs.exists(new org.apache.hadoop.fs.Path(idxPath, "codes"))
       if (flags.contains("fsck-only")) {
-        val v = graft.operators.SimilarityOps.checkIvfIndex(spark, idxPath).first()
+        val v = (if (isPq) graft.operators.SimilarityOps.checkIvfPqIndex(spark, idxPath)
+          else graft.operators.SimilarityOps.checkIvfIndex(spark, idxPath)).first()
         v.schema.fieldNames.foreach(f => println(f"$f%-18s ${v.get(v.fieldIndex(f))}"))
         return if (v.getLong(v.fieldIndex("consistent")) == 1L) 0 else 1
       }
-      val report = graft.operators.SimilarityOps.maintainIvfIndex(spark, idxPath,
-        splitFactor = flags.get("split-factor").map(_.toLong).getOrElse(2L),
-        maxFilesPerCell = flags.get("max-files-per-cell").map(_.toInt).getOrElse(8))
+      val maxFiles = flags.get("max-files-per-cell").map(_.toInt).getOrElse(8)
+      val report =
+        (if (isPq) graft.operators.SimilarityOps.maintainIvfPqIndex(spark, idxPath,
+          maxFilesPerCell = maxFiles)
+        else graft.operators.SimilarityOps.maintainIvfIndex(spark, idxPath,
+          splitFactor = flags.get("split-factor").map(_.toLong).getOrElse(2L),
+          maxFilesPerCell = maxFiles))
         .collect()
       report.foreach(r => println(f"${r.getString(0)}%-24s ${r.getLong(1)}"))
       val ok = report.exists(r => r.getString(0) == "consistent" && r.getLong(1) == 1L)

@@ -479,6 +479,159 @@ object SimilarityOps {
         "duplicate_ids", "consistent")
   }
 
+  /** fsck for the IVF-PQ codes layout ([[persistIvfPqIndex]]):
+    *
+    *   - orphan cell directories under `codes/` (a centroid-less cell's
+    *     codes are UNSERVABLE — ADC scoring needs the cell centroid's
+    *     residual space);
+    *   - duplicate (vec_id, m) code rows (a replayed append that bypassed
+    *     [[compactIvfPqIndex]]'s distinct-merge, or a failed move —
+    *     double-counted ADC sums);
+    *   - codebook completeness (every (m, c) codeword present — a torn
+    *     codebook write breaks decoding for every vector).
+    *
+    * Unlike the raw-vector layout, an EMPTY centroid is NOT flagged:
+    * the codes layout is append-over-time and a cell directory appears
+    * on its first assignment.
+    */
+  def checkIvfPqIndex(s: SparkSession, path: String): DataFrame = {
+    val codes = s.read.parquet(s"$path/codes")
+      .withColumn("cell", col("cell").cast("long"))
+    val centCells = s.read.parquet(s"$path/centroids")
+      .select(col("centroid_id").as("cell"))
+    val orphans = codes.select(col("cell")).distinct()
+      .join(centCells, Seq("cell"), "left_anti").count()
+    val dupCodes = codes.groupBy(col("vec_id"), col("m"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1L).count()
+    val cb = s.read.parquet(s"$path/codebook")
+    val cbRows = cb.select(col("m"), col("c")).distinct().count()
+    val cbExpected = 64L // 8 subspaces × 8 codewords (pqTrainEncode m=8, k=8)
+    val nVecs = codes.select(col("vec_id")).distinct().count()
+    val sp = s
+    import sp.implicits._
+    Seq((codes.count(), nVecs, orphans, dupCodes, cbRows,
+      if (orphans == 0 && dupCodes == 0 && cbRows == cbExpected) 1L else 0L))
+      .toDF("n_codes", "n_vectors", "orphan_dirs", "duplicate_codes",
+        "codebook_rows", "consistent")
+  }
+
+  /** Maintenance autopilot for the IVF-PQ codes layout — the serving
+    * index's counterpart of [[maintainIvfIndex]]:
+    *
+    *  1. reclaim crashed staging (`codes_compact_tmp`, recovering an
+    *     interrupted per-cell swap whose original dir is gone);
+    *  2. orphan cell dirs REMOVED (codes without a centroid cannot be
+    *     ADC-scored — the repair is honest removal, reported per dir;
+    *     re-encoding needs the raw vectors the codes layout by design
+    *     does not keep);
+    *  3. duplicate (vec_id, m) rows distinct-merged, rewriting ONLY the
+    *     cell directories that hold duplicates (the
+    *     [[compactIvfPqIndex]] dynamic-overwrite idiom);
+    *  4. per-cell small-file compaction over `maxFilesPerCell` (staged
+    *     rename with the step-1 crash-recovery contract).
+    */
+  def maintainIvfPqIndex(s: SparkSession, path: String,
+      maxFilesPerCell: Int = 8): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val codesRoot = new HPath(s"$path/codes")
+    val fs = codesRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val actions = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    def codes() = s.read.parquet(s"$path/codes")
+      .withColumn("cell", col("cell").cast("long"))
+
+    // 1. staging recovery (same contract as maintainIvfIndex step 1)
+    val compactTmp = new HPath(s"$path/codes_compact_tmp")
+    if (fs.exists(compactTmp)) {
+      fs.listStatus(compactTmp)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .foreach { st =>
+          val target = new HPath(codesRoot, st.getPath.getName)
+          if (!fs.exists(target)) {
+            if (!fs.rename(st.getPath, target)) throw new IllegalStateException(
+              s"maintain: could not recover staged ${st.getPath.getName}")
+            actions += (("compactions_recovered", 1L))
+          }
+        }
+      fs.delete(compactTmp, true)
+    }
+
+    // 2. orphan dirs: unservable — remove, reporting the vector count
+    val centCells = s.read.parquet(s"$path/centroids")
+      .select(col("centroid_id").as("cell"))
+    val orphanIds = codes().select(col("cell")).distinct()
+      .join(broadcast(centCells), Seq("cell"), "left_anti")
+      .collect().map(_.getLong(0)).sorted
+    if (orphanIds.nonEmpty) {
+      val lostVecs = codes().filter(col("cell").isInCollection(orphanIds))
+        .select(col("vec_id")).distinct().count()
+      orphanIds.foreach(c => fs.delete(new HPath(codesRoot, s"cell=$c"), true))
+      actions += (("orphan_dirs_removed", orphanIds.length.toLong))
+      actions += (("unservable_vectors_dropped", lostVecs))
+    }
+
+    // 3. duplicate codes — two shapes, repaired in one pass touching
+    // only the implicated cell directories: WITHIN a cell (a replayed
+    // append that bypassed the distinct-merge → distinct), and ACROSS
+    // cells (a move that never removed its source → keep the smallest
+    // cell id, deterministically)
+    val withinCells = codes().groupBy(col("vec_id"), col("m"), col("cell"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1L).select(col("cell"))
+    val crossKeep = codes().select(col("vec_id"), col("cell")).distinct()
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("nc"), min(col("cell")).as("keep_cell"))
+      .filter(col("nc") > 1L)
+      .select(col("vec_id"), col("keep_cell"))
+    val crossCells = codes()
+      .join(crossKeep.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("cell"))
+    val touchedCells = withinCells.unionByName(crossCells).distinct()
+      .collect().map(_.getLong(0))
+    if (touchedCells.nonEmpty) {
+      val kept = codes().filter(col("cell").isInCollection(touchedCells))
+        .join(broadcast(crossKeep), Seq("vec_id"), "left")
+        .filter(col("keep_cell").isNull || col("cell") === col("keep_cell"))
+        .select(col("vec_id"), col("cell"), col("m"), col("c")).distinct()
+      // pin the surviving-cell set BEFORE the overwrite (the plan reads
+      // the path being rewritten)
+      val keptCells = kept.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(s"$path/codes")
+      // a cell whose every row was a cross-cell loser produces no
+      // output partition under dynamic overwrite — its stale dir must
+      // go explicitly
+      touchedCells.filterNot(keptCells.contains)
+        .foreach(c => fs.delete(new HPath(codesRoot, s"cell=$c"), true))
+      actions += (("cells_deduplicated", touchedCells.length.toLong))
+    }
+
+    // 4. per-cell small-file compaction
+    val fragmented = fs.listStatus(codesRoot)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .filter { st =>
+        fs.listStatus(st.getPath).count(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) >
+          maxFilesPerCell
+      }
+    fragmented.foreach { st =>
+      val staged = new HPath(compactTmp, st.getPath.getName)
+      s.read.parquet(st.getPath.toString).coalesce(1)
+        .write.mode("overwrite").parquet(staged.toString)
+      fs.delete(st.getPath, true)
+      if (!fs.rename(staged, st.getPath)) throw new IllegalStateException(
+        s"maintain: could not swap compacted ${st.getPath.getName}")
+    }
+    if (fs.exists(compactTmp)) fs.delete(compactTmp, true)
+    if (fragmented.nonEmpty) actions += (("cells_compacted", fragmented.length.toLong))
+
+    val verdict = checkIvfPqIndex(s, path).first()
+    actions += (("consistent", verdict.getLong(verdict.fieldIndex("consistent"))))
+    val sp = s
+    import sp.implicits._
+    actions.toSeq.toDF("action", "n")
+  }
+
   /** Index-maintenance autopilot: drive a dirty persisted IVF layout to
     * a clean [[checkIvfIndex]] report in one pass — the `graft index`
     * CLI verb. Steps, each touching ONLY the directories it must:

@@ -376,4 +376,56 @@ class CliSpec extends AnyFunSuite {
     assert(after.filter(col("vec_id") >= 1000000L && col("vec_id") < 2000000L).count() == 1L,
       "the sole-copy orphan vector must be reassigned, not dropped")
   }
+
+  test("index maintain auto-detects the IVF-PQ codes layout and repairs it") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SimilarityOps
+    val base = Files.createTempDirectory("cli_index_pq")
+    val idx = base.resolve("ivfpq").toString
+    SimilarityOps.persistIvfPqIndex(spark, "/root/testdata/sf0.001", idx)
+    val codes = spark.read.parquet(s"$idx/codes").withColumn("cell", col("cell").cast("long"))
+    val ids = codes.select(col("cell")).distinct().orderBy(col("cell"))
+      .collect().map(_.getLong(0))
+    assert(ids.length >= 2)
+    val (cA, cB) = (ids(0), ids(1))
+    // plant: (a) within-cell duplicates — a replayed append
+    codes.filter(col("cell") === cA).limit(8)
+      .select(col("vec_id"), col("m"), col("c"))
+      .write.mode("append").parquet(Paths.get(idx, "codes", s"cell=$cA").toString)
+    // (b) cross-cell duplicates — a move that never removed its source:
+    // one vector's codes copied into a second live cell
+    val movedVec = codes.filter(col("cell") === cA).select(col("vec_id")).first().getLong(0)
+    codes.filter(col("cell") === cA && col("vec_id") === movedVec)
+      .select(col("vec_id"), col("m"), col("c"))
+      .write.mode("append").parquet(Paths.get(idx, "codes", s"cell=$cB").toString)
+    // (c) an orphan cell dir: codes with no centroid (unservable)
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      Files.createDirectories(dst)
+      Files.list(src).forEach { c =>
+        if (Files.isDirectory(c)) copyTree(c, dst.resolve(c.getFileName.toString))
+        else Files.copy(c, dst.resolve(c.getFileName.toString))
+      }
+    }
+    copyTree(Paths.get(idx, "codes", s"cell=$cB"), Paths.get(idx, "codes", "cell=9999"))
+
+    val proj = base.toString
+    val (dirtyCode, _) = run("index", proj, Map("path" -> idx, "fsck-only" -> "true"))
+    assert(dirtyCode == 1)
+    val (code, out) = run("index", proj, Map("path" -> idx))
+    assert(code == 0, out)
+    assert(out.contains("orphan_dirs_removed"), out)
+    assert(out.contains("cells_deduplicated"), out)
+    assert(out.contains("index maintain: CONSISTENT"), out)
+    val (cleanCode, _) = run("index", proj, Map("path" -> idx, "fsck-only" -> "true"))
+    assert(cleanCode == 0)
+    // the cross-cell loser kept exactly ONE home (the smallest cell id)
+    val afterCells = spark.read.parquet(s"$idx/codes")
+      .withColumn("cell", col("cell").cast("long"))
+      .filter(col("vec_id") === movedVec).select(col("cell")).distinct().collect()
+    assert(afterCells.map(_.getLong(0)).toSeq == Seq(math.min(cA, cB)),
+      s"moved vector must keep one home: ${afterCells.mkString(",")}")
+    // and the repaired index still SERVES: full ANN query path green
+    val q = SimilarityOps.simIvfPqTopKPersisted(spark, "/root/testdata/sf0.001", idx)
+    assert(q.count() > 0)
+  }
 }
