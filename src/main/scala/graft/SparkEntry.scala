@@ -118,9 +118,12 @@ object SparkEntry {
     "txt_ngram_diversity" -> (TextOps.txtNgramDiversity _),
     "txt_tfidf_topk" -> (TextOps.txtTfidfTopK _),
     "txt_tfidf_route" -> (TextOps.txtTfidfRoute _),
+    "txt_mojibake" -> (TextOps.txtMojibake _),
+    "txt_c4_gate" -> (TextOps.txtC4Gate _),
     // dedup
     "dedup_exact" -> (DedupOps.dedupExact _),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
+    "dedup_ppjoin" -> (DedupOps.dedupPpjoin _),
     "dedup_containment" -> ((s, dir) => DedupOps.dedupContainment(s, dir)),
     "dedup_minhash_lsh" -> (DedupOps.dedupMinHashLsh _),
     "dedup_simhash" -> (DedupOps.dedupSimHash _),
@@ -2550,6 +2553,48 @@ object SparkEntry {
              CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha_pieces,
              CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_pieces
       FROM documents""",
+    // ftfy-style encoding-artifact signatures (TextOps.txtMojibake);
+    // RE2 \x{...} classes match Java's on these BMP ranges
+    "txt_mojibake" -> """
+      WITH f AS (
+        SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, 'Ã[\x{0080}-\x{00BF}]')) AS BIGINT) AS n_latin1_sig,
+               CAST(len(regexp_extract_all(text, 'â€')) AS BIGINT) AS n_double_enc,
+               CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS BIGINT) AS n_replacement,
+               CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x{0080}-\x{009F}]')) AS BIGINT) AS n_control
+        FROM documents
+      )
+      SELECT doc_id, n_chars, n_latin1_sig, n_double_enc, n_replacement, n_control,
+             CAST(n_latin1_sig + n_double_enc + n_replacement + n_control AS BIGINT) AS bad_total,
+             CAST((1000 * (n_latin1_sig + n_double_enc + n_replacement + n_control))
+                  // GREATEST(n_chars, 1) AS BIGINT) AS bad_per_kchar,
+             CAST(n_latin1_sig + n_double_enc + n_replacement + n_control > 0 AS BIGINT) AS mojibake
+      FROM f""",
+    // C4 line-level gate (Raffel et al. 2020 §2.2): per-line keep rules
+    // replayed with list_filter, page verdict from the kept text
+    "txt_c4_gate" -> """
+      WITH l AS (
+        SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents
+      ), k AS (
+        SELECT doc_id, text, lines,
+               list_filter(lines, x ->
+                 regexp_matches(x, '[.!?"'']$')
+                 AND len(regexp_extract_all(x, '\S+')) >= 3
+                 AND NOT regexp_matches(lower(x), 'javascript')) AS kept
+        FROM l
+      ), p AS (
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS kept_lines,
+               CAST(len(COALESCE(array_to_string(kept, chr(10)), '')) AS BIGINT) AS kept_chars,
+               CAST(len(regexp_extract_all(COALESCE(array_to_string(kept, chr(10)), ''), '[.!?]')) AS BIGINT) AS n_sentences,
+               CAST(regexp_matches(lower(text), 'lorem ipsum') AS BIGINT) AS has_lorem,
+               CAST(contains(text, '{') AS BIGINT) AS has_brace
+        FROM k
+      )
+      SELECT doc_id, n_lines, kept_lines, kept_chars, n_sentences, has_lorem, has_brace,
+             CAST(n_sentences >= 5 AND has_lorem = 0 AND has_brace = 0 AS BIGINT) AS keep
+      FROM p""",
     // the ENTIRE MinHash-LSH pipeline replayed in DuckDB: md5-derived
     // base hash, the SAME affine permutation constants (MinHashAgg.A/B,
     // interpolated below), band keys, bucket join, exact-Jaccard verify
@@ -2990,6 +3035,16 @@ object SparkEntry {
         FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp FROM documents) a
       ) b""",
     "dedup_ngram_jaccard" -> NgramJaccardSql,
+    // PPJoin prefix-filtered EXACT J >= 0.8 self-join: the oracle is the
+    // brute-force all-pairs replay at the same threshold (the prefix/
+    // length/positional filters are lossless, so the sets must be equal)
+    "dedup_ppjoin" -> (ShinglePairCtes + """
+      SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+             CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE 9 * n_inter >= 4 * (sa.n + sb.n)"""),
     "dedup_containment" -> ContainmentSql,
     // UniMax water-fill replay (CurateOps.curateUnimax): languages
     // sorted by capacity ascending; capped iff even granting every

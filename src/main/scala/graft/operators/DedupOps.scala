@@ -193,6 +193,76 @@ object DedupOps {
           .otherwise(greatest(col("doc_a"), col("doc_b"))).as("contained_doc"))
   }
 
+  /** EXACT high-threshold Jaccard self-join via prefix filtering
+    * (PPJoin, Xiao et al. 2008/2011 — "Efficient Similarity Joins for
+    * Near-Duplicate Detection"): all pairs with J ≥ 0.8, with NO
+    * approximation and NO df-guard caveat. The prefix principle: order
+    * every document's shingle set by one global total order; if
+    * J(x,y) ≥ t then x and y MUST share a token inside their first
+    * |x| − ⌈t·|x|⌉ + 1 tokens — so candidate generation joins only
+    * those short prefixes. With the order chosen rarest-first
+    * (df asc, hash asc), prefix tokens are the corpus's RAREST, so the
+    * per-key join fanout collapses exactly where the df-guarded plan
+    * has to cap it; here the threshold itself makes the filter lossless.
+    *
+    * Two further exact filters prune candidates before scoring:
+    * length (⌈t·|x|⌉ ≤ |y|: a 0.8-Jaccard pair's sizes differ ≤ 25%)
+    * and the positional upper bound (matching prefix tokens at ranks
+    * r_a, r_b leave at most min(|x|−r_a, |y|−r_b)+1 shared tokens —
+    * candidates that cannot reach the required overlap
+    * α = ⌈t/(1+t)·(|x|+|y|)⌉ die before the scoring join).
+    *
+    * Scale shape: df is a vocab-bounded aggregate; per-doc prefix ranks
+    * are doc-partitioned windows (bounded by doc length, never corpus-
+    * wide); the candidate join runs on rare-token prefixes; exact
+    * scoring re-joins full shingle sets ONLY for candidate docs. At
+    * t = 0.8 the prefix is ~20% of each set — a 25× candidate-volume
+    * reduction over the raw postings self-join, by algorithm rather
+    * than by guard. OpsSpec pins pair-set equality against the
+    * unguarded brute-force plan at the same threshold.
+    */
+  def dedupPpjoin(s: SparkSession, dir: String): DataFrame = {
+    // t = 4/5; integer spellings: ceil(4n/5) = (4n+4) div 5,
+    // α = ceil(4(n_a+n_b)/9) = (4(n_a+n_b)+8) div 9
+    val sh = ResidentCache(s, "dedup_ngram_sh",
+      shingles(s, dir).select(col("doc_id"), xxhash64(col("s")).as("h")))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(df, Seq("h"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .join(sizes, Seq("doc_id"))
+    val prefix = ranked.filter(
+      col("r") <= col("n") - expr("(4 * n + 4) div 5") + 1L)
+      .select(col("doc_id"), col("h"), col("r"), col("n"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("h"),
+        col("r").as("r_a"), col("n").as("n_a"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("h"),
+        col("r").as("r_b"), col("n").as("n_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      // length filter: 4·max ≤ 5·min ⇔ sizes within 25%
+      .filter(greatest(col("n_a"), col("n_b")) * 4 <= least(col("n_a"), col("n_b")) * 5)
+      // positional filter: best-possible overlap from this match on
+      .filter(least(col("n_a") - col("r_a"), col("n_b") - col("r_b")) + 1L >=
+        expr("(4 * (n_a + n_b) + 8) div 9"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // exact scoring over the candidates' FULL shingle sets
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val inter = shc.select(col("doc_id").as("doc_a"), col("h"))
+      .join(shc.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    cand.join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .filter(col("n_inter") * 9 >= (col("n_a") + col("n_b")) * 4)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+  }
+
   /** MinHash + LSH banding near-dup candidates, verified by exact
     * Jaccard. 32 permutations (md5-derived base hash × the affine
     * permutation family in [[graft.functions.MinHashAgg]]), 8 bands ×

@@ -1334,4 +1334,88 @@ object TextOps {
     tokCum.join(vocabHapax, Seq("k"))
       .select(col("k"), col("n_docs"), col("n_tokens"), col("vocab"), col("hapax"))
   }
+
+  /** Mojibake / encoding-artifact gate — the ftfy-style signal every
+    * crawl pipeline runs before language ID (a double-encoded page
+    * language-IDs wrong AND scores wrong): counts of
+    *
+    *   - UTF-8-bytes-read-as-Latin-1 signatures: `Ã` followed by a
+    *     continuation-range char (U+0080-U+00BF) — "Ã©" where "é"
+    *     belongs;
+    *   - cp1252 double-encoding signatures: the literal pair `â€`
+    *     (every curly quote / dash U+2018-U+2014 mangles to it);
+    *   - U+FFFD replacement chars (a decoder already gave up);
+    *   - stray C0/C1 control chars (binary spill into text; tab/LF/CR
+    *     excepted).
+    *
+    * All four are `regexp_count` with Java-regex ≡ RE2 semantics — pure
+    * row-local projection, zero shuffles, linear at 100 TB. Verdict is
+    * any-hit: unlike statistical gates a single signature is already
+    * definitive corruption. `bad_per_kchar` (integer milli-rate) ranks
+    * fully-mangled docs over one-bad-quote docs for triage.
+    */
+  def txtMojibake(s: SparkSession, dir: String): DataFrame =
+    mojibakeOf(docs(s, dir))
+
+  /** The mojibake plan over ANY documents DataFrame — row-local, so the
+    * SAME plan serves batch and each streaming micro-batch
+    * ([[graft.streaming.Streaming.runMojibake]]): stream ≡ batch by
+    * construction.
+    */
+  def mojibakeOf(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        regexp_count(col("text"), lit("Ã[\\x{0080}-\\x{00BF}]")).cast("long").as("n_latin1_sig"),
+        regexp_count(col("text"), lit("â€")).cast("long").as("n_double_enc"),
+        regexp_count(col("text"), lit("\\x{FFFD}")).cast("long").as("n_replacement"),
+        regexp_count(col("text"),
+          lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x{0080}-\\x{009F}]")).cast("long")
+          .as("n_control"))
+      .withColumn("bad_total",
+        col("n_latin1_sig") + col("n_double_enc") + col("n_replacement") + col("n_control"))
+      .withColumn("bad_per_kchar",
+        expr("(1000 * bad_total) div greatest(n_chars, 1L)"))
+      .withColumn("mojibake", (col("bad_total") > 0L).cast("long"))
+
+  /** C4 line-level cleaning gate (Raffel et al. 2020 §2.2) — the
+    * canonical PAGE-STRUCTURE filter, complementary to the doc-level
+    * Gopher stats gate: C4 judges each LINE and then the page from its
+    * surviving lines. Faithful rule subset:
+    *
+    *   - keep only lines ending in a terminal punctuation mark
+    *     (`. ! ? "` or `'`);
+    *   - keep only lines with ≥ 3 whitespace tokens;
+    *   - drop lines containing the word "javascript" (boilerplate
+    *     "enable javascript" banners);
+    *   - drop the page when the kept text has < 5 sentences, or the
+    *     original page contains `{` (code) or "lorem ipsum" (filler).
+    *
+    * Spark shape: the line loop is a higher-order `filter` over
+    * `split(text, '\n')` — a single codegen'd row-local projection
+    * (no explode, no per-line shuffle, line ORDER preserved for the
+    * cleaned reassembly), so the gate is one linear scan at 100 TB.
+    */
+  def txtC4Gate(s: SparkSession, dir: String): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"']$") &&
+        regexp_count(l, lit("\\S+")) >= 3 &&
+        !lower(l).rlike("javascript"))
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("kept_lines"),
+        array_join(kept, "\n").as("cleaned"),
+        lower(col("text")).rlike("lorem ipsum").cast("long").as("has_lorem"),
+        col("text").contains("{").cast("long").as("has_brace"))
+      .select(col("doc_id"), col("n_lines"), col("kept_lines"),
+        length(col("cleaned")).cast("long").as("kept_chars"),
+        regexp_count(col("cleaned"), lit("[.!?]")).cast("long").as("n_sentences"),
+        col("has_lorem"), col("has_brace"))
+      .withColumn("keep",
+        (col("n_sentences") >= 5L && col("has_lorem") === 0L &&
+          col("has_brace") === 0L).cast("long"))
+  }
+
 }

@@ -635,6 +635,20 @@ object Streaming {
     runAppendScorer(newDocs, store, table, checkpointDir)(
       graft.operators.TextOps.charEntropyOf)
 
+  /** Streaming mojibake gate: the row-local encoding-artifact plan
+    * ([[graft.operators.TextOps.mojibakeOf]]) IS the batch plan, so
+    * stream ≡ batch by construction — the ingest-side guard that stops
+    * a double-encoded source the tick it appears instead of after the
+    * nightly sweep.
+    */
+  def runMojibake(
+      newDocs: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit =
+    runAppendScorer(newDocs, store, table, checkpointDir)(
+      graft.operators.TextOps.mojibakeOf)
+
   /** Streaming UniMax mixing monitor: each micro-batch sum-merges its
     * per-language token counts into a persisted BOUNDED language grid
     * (O(languages) state — never per-document), then re-derives the

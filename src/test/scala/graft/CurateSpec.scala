@@ -812,6 +812,61 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(actual == expected, "floored-bits entropy must replay exactly")
   }
 
+  test("mojibake: planted encoding artifacts hit the right counters; clean text passes") {
+    val sess = spark
+    import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mojibake")
+    Seq(
+      (1L, "a clean café sentence with correct accents — and a dash"),
+      (2L, "double-encoded cafÃ© and rÃ©sumÃ© here"), // Ã© ×3
+      (3L, "cp1252 mangle: â€œquotedâ€ and â€™s"), // â€ ×3
+      (4L, "decoder gave up � twice �"),
+      (5L, "binary spill \u0001 control \u001F chars \u0007"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val m = TextOps.txtMojibake(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(8))).toMap
+    // clean text — including a REAL é and an em dash — must not trip
+    assert(m(1L) == ((0L, 0L, 0L, 0L, 0L, 0L)), s"clean: ${m(1L)}")
+    assert(m(2L)._1 == 3L && m(2L)._6 == 1L, s"latin1 sigs: ${m(2L)}")
+    assert(m(3L)._2 == 3L && m(3L)._6 == 1L, s"double-enc sigs: ${m(3L)}")
+    assert(m(4L)._3 == 2L && m(4L)._6 == 1L, s"replacement chars: ${m(4L)}")
+    assert(m(5L)._4 == 3L && m(5L)._6 == 1L, s"control chars: ${m(5L)}")
+    // the real corpus is clean: the gate must not flag anything
+    val real = TextOps.txtMojibake(spark, sf)
+    assert(real.filter(col("mojibake") > 0L).isEmpty, "corpus must pass the gate")
+  }
+
+  test("c4 gate: each line rule and page rule fires exactly where Raffel §2.2 says") {
+    val sess = spark
+    import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("c4gate")
+    val goodPage = (1 to 6).map(i => s"This is proper sentence number $i.").mkString("\n")
+    Seq(
+      (1L, goodPage), // 6 kept lines, 6 sentences → keep
+      (2L, goodPage + "\nno terminal punctuation here\nonly two. words?\n" +
+        "Please enable javascript to view this page."), // extra lines all drop
+      (3L, goodPage + " { code block }"), // brace → page drop
+      (4L, goodPage + "\nLorem Ipsum dolor sit amet."), // filler → page drop
+      (5L, "Too short. Just two sentences here."))      // < 5 sentences → drop
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val g = TextOps.txtC4Gate(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(g(1L) == ((6L, 6L, 6L, 0L, 0L, 1L)), s"good page: ${g(1L)}")
+    // line rules: "no terminal punctuation" fails the $-anchor rule,
+    // "only two. words?" has < 3 tokens... wait it has 3 — it ends in
+    // '?' and has exactly 3 tokens so it is KEPT; the javascript line
+    // ends in '.' with 7 tokens but mentions javascript → dropped
+    assert(g(2L)._1 == 9L && g(2L)._2 == 7L, s"line rules: ${g(2L)}")
+    assert(g(2L)._6 == 1L, "page with enough kept sentences survives")
+    assert(g(3L)._5 == 1L && g(3L)._6 == 0L, s"brace drops the page: ${g(3L)}")
+    assert(g(4L)._4 == 1L && g(4L)._6 == 0L, s"lorem ipsum drops the page: ${g(4L)}")
+    assert(g(5L)._3 == 2L && g(5L)._6 == 0L, s"sentence minimum: ${g(5L)}")
+  }
+
   test("fertility covers every word occurrence; whole-word share consistent") {
     val rows = TextOps.txtFertility(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -55,6 +55,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tight.subsetOf(unguarded), s"two-phase emitted wrong values: ${tight -- unguarded}")
   }
 
+  test("ppjoin: prefix/length/positional filters are lossless at J >= 0.8") {
+    import org.apache.spark.sql.functions._
+    // ground truth: the UNGUARDED all-pairs plan at the same threshold
+    val brute = DedupOps.ngramJaccard(spark, sf, maxDf = 0)
+      .filter(col("n_inter") * 9 >= (col("n_a") + col("n_b")) * 4)
+      .select("doc_a", "doc_b", "n_inter", "n_a", "n_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(brute.nonEmpty, "corpus should contain J >= 0.8 pairs")
+    val pp = DedupOps.dedupPpjoin(spark, sf)
+      .select("doc_a", "doc_b", "n_inter", "n_a", "n_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(pp == brute,
+      s"ppjoin diverged: missing=${brute -- pp} extra=${pp -- brute}")
+
+    // planted boundary pairs: J exactly AT the threshold must survive
+    // the integer spelling, just-below must not (9I >= 4(na+nb) at
+    // na=nb=9, I=8: J=0.8 exactly; at I=7: J ~ 0.636 < 0.8)
+    val sess = spark
+    import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ppjoin")
+    // 11 words -> 9 word-3-gram shingles; the pair differs in the last
+    // word only -> 8 shared shingles, J = 8/10 = 0.8 exactly... but
+    // sets of size 9 sharing 8: J = 8/(9+9-8) = 0.8 - AT threshold
+    val w = (1 to 10).map(i => s"w$i").mkString(" ")
+    Seq((1L, s"$w tail1"), (2L, s"$w tail2"), // share 8 of 9 shingles
+        (3L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val planted = DedupOps.dedupPpjoin(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(planted == Set((1L, 2L, 8L)),
+      s"boundary pair must survive at exactly J = 0.8: $planted")
+  }
+
   test("PQ ADC: distances are non-negative and recall vs exact L2 top-5 is useful") {
     import org.apache.spark.sql.functions._
     val pq = SimilarityOps.simPqTopK(spark, sf).collect()

@@ -122,6 +122,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "corpus must not be join-broadcast")
   }
 
+  test("ppjoin: prefix-filtered candidate join stays equi-join, windows stay doc-partitioned") {
+    val plan = executedPhysical(graft.operators.DedupOps.dedupPpjoin(spark, sf))
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "candidate generation must be an equi-join on the prefix-token hash")
+    // prefix ranks come from per-DOC windows, never a corpus-wide sort
+    assert(!plan.contains("Sort [df"), "global sort on df would be a scale bug")
+    assert(plan.contains("Window"), "expected the per-doc rank window")
+  }
+
   test("as-of join: one shuffle + window scan, never a per-row probe join") {
     val plan = executedPhysical(Events.qAsofJoin(spark, sf))
     assert(plan.contains("Window"), "as-of should be the union-and-scan window plan")

@@ -406,6 +406,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming mojibake gate equals the batch operator across two arrivals") {
+    val store = new RelationStore(spark, s"$work/wh_mojibake")
+    val newIn = s"$work/mojibakedocs"
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.filter(col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runMojibake(Streaming.documentStream(spark, newIn), store,
+      "mojibake", s"$work/cp_mojibake")
+    val afterFirst = store.read("mojibake").count()
+    docs.filter(col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runMojibake(Streaming.documentStream(spark, newIn), store,
+      "mojibake", s"$work/cp_mojibake")
+    val streamed = store.read("mojibake")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    val batch = graft.operators.TextOps.txtMojibake(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming unimax mix over the bounded language grid equals batch; replay skips the merge") {
     val store = new RelationStore(spark, s"$work/wh_unimax")
     val newIn = s"$work/unimaxdocs"
