@@ -186,18 +186,42 @@ object CurateOps {
     * the oracle joins the string itself so the comparison stays exact.
     */
   def dedupDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val n = 8
-    val grams = tokens(s, dir).filter(size(col("w")) >= n)
+    val isEval = pmod(col("doc_id"), lit(20)) === 0
+    val d = docs(s, dir)
+    decontaminateOf(d.filter(!isEval), evalGramsOf(d.filter(isEval)))
+  }
+
+  /** The eval side's distinct 8-gram set — build ONCE per eval suite
+    * (it is benchmark-sized, not corpus-sized) and reuse across every
+    * batch sweep or streaming tick that gates against it.
+    */
+  def evalGramsOf(evalDocs: DataFrame): DataFrame =
+    gramsOf(evalDocs).select(col("g")).distinct()
+
+  private def gramsOf(d: DataFrame, n: Int = 8): DataFrame =
+    d.select(col("doc_id"), split(TextOps.normalized(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= n)
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))")).as("g"))
       .distinct()
-    val isEval = pmod(col("doc_id"), lit(20)) === 0
-    val evalGrams = grams.filter(isEval).select(col("g")).distinct()
-    val trainGrams = grams.filter(!isEval)
+
+  /** 8-gram decontamination of ANY train-docs DataFrame against a fixed
+    * eval-gram set — the shared core of [[dedupDecontaminate]] and the
+    * streaming ingest gate
+    * ([[graft.streaming.Streaming.runDecontaminate]]). Each document's
+    * verdict depends only on its own text and the STATIC eval set, so
+    * applying this per micro-batch equals the batch sweep by
+    * construction. The eval side is suite-bounded → AQE broadcasts the
+    * shared-gram join at any corpus scale; compose with the Bloom
+    * prefilter ([[dedupDecontaminateBloom]]) when even shipping the
+    * gram strings is too much.
+    */
+  def decontaminateOf(trainDocs: DataFrame, evalGrams: DataFrame): DataFrame = {
+    val trainGrams = gramsOf(trainDocs)
     val shared = trainGrams.join(evalGrams, Seq("g"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
     val perDoc = trainGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_8grams"))
-    docs(s, dir).select(col("doc_id")).filter(!isEval)
+    trainDocs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .join(shared, Seq("doc_id"), "left")
       .select(col("doc_id"),

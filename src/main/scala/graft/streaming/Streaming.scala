@@ -649,6 +649,25 @@ object Streaming {
     runAppendScorer(newDocs, store, table, checkpointDir)(
       graft.operators.TextOps.mojibakeOf)
 
+  /** Streaming eval-set decontamination: every arriving document is
+    * gated against a STATIC eval-suite 8-gram set
+    * ([[graft.operators.CurateOps.decontaminateOf]]) the tick it
+    * lands — contamination never enters the corpus instead of being
+    * swept out later. The verdict depends only on the document and the
+    * fixed eval side, so the union over micro-batches equals the batch
+    * sweep. Build `evalGrams` ONCE via
+    * [[graft.operators.CurateOps.evalGramsOf]] (suite-bounded, AQE
+    * broadcasts it under every tick's join).
+    */
+  def runDecontaminate(
+      newDocs: DataFrame,
+      evalGrams: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit =
+    runAppendScorer(newDocs, store, table, checkpointDir)(
+      b => graft.operators.CurateOps.decontaminateOf(b, evalGrams))
+
   /** Streaming UniMax mixing monitor: each micro-batch sum-merges its
     * per-language token counts into a persisted BOUNDED language grid
     * (O(languages) state — never per-document), then re-derives the

@@ -426,6 +426,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming decontamination against a static eval set equals the batch sweep") {
+    val store = new RelationStore(spark, s"$work/wh_decon")
+    val newIn = s"$work/decondocs"
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the batch operator's split: doc_id % 20 == 0 is the eval suite
+    val evalGrams = graft.operators.CurateOps.evalGramsOf(
+      docs.filter(pmod(col("doc_id"), lit(20)) === 0))
+    val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    train.filter(col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runDecontaminate(Streaming.documentStream(spark, newIn), evalGrams,
+      store, "decon", s"$work/cp_decon")
+    val afterFirst = store.read("decon").count()
+    train.filter(col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runDecontaminate(Streaming.documentStream(spark, newIn), evalGrams,
+      store, "decon", s"$work/cp_decon")
+    val streamed = store.read("decon")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    // per-doc verdicts against the fixed eval side → union over
+    // arrivals equals the batch operator, contaminated flags included
+    val batch = graft.operators.CurateOps.dedupDecontaminate(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.filter(col("contaminated") === 1L).count() > 0,
+      "the corpus plants contaminated train docs — the gate must catch them")
+  }
+
   test("streaming unimax mix over the bounded language grid equals batch; replay skips the merge") {
     val store = new RelationStore(spark, s"$work/wh_unimax")
     val newIn = s"$work/unimaxdocs"
