@@ -507,10 +507,10 @@ object Streaming {
     * per-language CCNet bucketing under the frozen char-LM + threshold
     * artifacts, topic tagging, boilerplate strike filtering under the
     * frozen strike set, and IVF-PQ encoding of the arriving embeddings
-    * under the frozen centroids + codebook — EIGHT tables from ONE
-    * readStream: seven verdict/audit tables plus the quota-admitted
+    * under the frozen centroids + codebook — NINE tables from ONE
+    * readStream: eight verdict/audit tables plus the quota-admitted
     * CORPUS itself (the batch is cached once and feeds every plan, so
-    * arriving data is scanned once, not eight times). Every member is
+    * arriving data is scanned once, not nine times). Every member is
     * the exact batch operator, so each table is stream ≡ batch by
     * construction and the composition adds no new semantics — only the
     * single-pass execution a 100 TB ingest loop actually wants.
@@ -594,6 +594,8 @@ object Streaming {
             graft.operators.TextOps.topicTagWith(batch.sparkSession, batch), batchId)
           landAppend(store, s"${prefix}_boiler",
             graft.operators.TextOps.boilerplateFilterWith(batch, boiler), batchId)
+          landAppend(store, s"${prefix}_mojibake",
+            graft.operators.TextOps.mojibakeOf(batch), batchId)
           landAppend(store, s"${prefix}_codes",
             graft.operators.SimilarityOps.ivfPqEncodeWith(
               batch.select(col("doc_id").as("vec_id"), col("embedding")),

@@ -271,7 +271,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.filter(col("admitted") === 0L).count() > 0)
   }
 
-  test("composed ingest tick: one stream pass lands all eight tables (verdicts + admitted corpus), each equal to batch") {
+  test("composed ingest tick: one stream pass lands all nine tables (verdicts + admitted corpus), each equal to batch") {
     import graft.operators.{CurateOps, DedupOps, SimilarityOps, TextOps}
     val store = new RelationStore(spark, s"$work/wh_tick")
     val newIn = s"$work/tickdocs"
@@ -335,6 +335,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     mustEqual("tick_codes", SimilarityOps.ivfPqEncodeWith(
       enriched.filter(isNew).select(col("doc_id").as("vec_id"), col("embedding")),
       centroids, codebook))
+    // r10: the encoding-artifact gate rides the same cached batch scan
+    mustEqual("tick_mojibake", TextOps.mojibakeOf(
+      newDocs.select(col("doc_id"), col("text"))))
   }
 
   test("streaming multimodal dedup probes the bucketed phash index; stream equals batch") {
@@ -999,7 +1002,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replay of a superseded epoch must skip, not throw, on a bucketed table")
   }
 
-  test("ingest tick crash-replay: re-running an epoch leaves all eight tables unchanged") {
+  test("ingest tick crash-replay: re-running an epoch leaves all nine tables unchanged") {
     import graft.operators.{DedupOps, SimilarityOps, TextOps}
     val store = new RelationStore(spark, s"$work/wh_tick_replay")
     val newIn = s"$work/tickdocs_replay"
@@ -1026,7 +1029,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         index, charLm, thr, boiler, centroids, codebook,
         store, "tickr", cp, quota = 300L)
     val tables = Seq("tickr_quota", "tickr_corpus", "tickr_dedup", "tickr_gopher",
-      "tickr_ccnet", "tickr_topics", "tickr_boiler", "tickr_codes")
+      "tickr_ccnet", "tickr_topics", "tickr_boiler", "tickr_codes", "tickr_mojibake")
 
     enriched.filter(isNew && col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
     tick(s"$work/cp_tickr")
