@@ -163,6 +163,7 @@ object SparkEntry {
     "curate_corpus_shuffle" -> (CurateOps.curateCorpusShuffle _),
     "curate_shard_assign" -> ((s, dir) => CurateOps.curateShardAssign(s, dir)),
     "curate_k_anonymity" -> ((s, dir) => CurateOps.curateKAnonymity(s, dir)),
+    "curate_l_diversity" -> ((s, dir) => CurateOps.curateLDiversity(s, dir)),
     "curate_curriculum" -> (CurateOps.curateCurriculum _),
     "curate_unimax" -> ((s, dir) => CurateOps.curateUnimax(s, dir)),
     "emb_quantize" -> (CurateOps.embQuantize _),
@@ -3101,6 +3102,44 @@ object SparkEntry {
       SELECT doc_id, b.lang, b.source, b.tok_band, class_size,
              CAST(class_size < 5 AS BIGINT) AS suppress
       FROM b JOIN c USING (lang, source, tok_band)""",
+    // l-diversity over the same QI space; sensitive attr = argmax
+    // lexicon topic ('none' when the doc hits no lexicon term)
+    "curate_l_diversity" -> {
+      val lexVals = graft.operators.TextOps.TopicLexicon
+        .flatMap { case (t, ks) => ks.map(k => s"('$k', '$t')") }.mkString(", ")
+      s"""
+      WITH b AS (
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) // 32 AS tok_band
+        FROM documents
+      ), toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                      x -> x <> '')) AS term
+        FROM documents
+      ), lex(term, topic) AS (
+        SELECT * FROM (VALUES $lexVals) v(term, topic)
+      ), hits AS (
+        SELECT doc_id, topic, CAST(COUNT(*) AS BIGINT) AS hits
+        FROM toks JOIN lex USING (term) GROUP BY 1, 2
+      ), tt AS (
+        SELECT doc_id, topic
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, topic) AS rn FROM hits) t
+        WHERE rn = 1
+      ), sens AS (
+        SELECT b.lang, b.source, b.tok_band, COALESCE(tt.topic, 'none') AS topic
+        FROM b LEFT JOIN tt USING (doc_id)
+      ), per_topic AS (
+        SELECT lang, source, tok_band, topic, CAST(COUNT(*) AS BIGINT) AS n
+        FROM sens GROUP BY 1, 2, 3, 4
+      )
+      SELECT lang, source, tok_band,
+             CAST(SUM(n) AS BIGINT) AS class_size,
+             CAST(COUNT(*) AS BIGINT) AS distinct_topics,
+             CAST((1000000 * MAX(n)) // SUM(n) AS BIGINT) AS top_share_ppm,
+             CAST(COUNT(*) >= 3 AS BIGINT) AS l_diverse
+      FROM per_topic GROUP BY 1, 2, 3"""
+    },
     "curate_curriculum" -> """
       WITH t AS (
         SELECT doc_id,

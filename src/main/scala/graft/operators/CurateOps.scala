@@ -466,6 +466,44 @@ object CurateOps {
         col("class_size"), (col("class_size") < k).cast("long").as("suppress"))
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the disclosure
+    * check k-anonymity provably misses: a class can be large (so
+    * k-anonymous) yet reveal the sensitive attribute exactly because
+    * every member SHARES it (the homogeneity attack). Over the SAME
+    * quasi-identifier space as [[curateKAnonymity]] (lang × source ×
+    * 32-token band), the sensitive attribute is the document's lexicon
+    * topic ([[TextOps.topicTagWith]]'s argmax; topicless docs read
+    * "none" — absence is itself a disclosure, so it counts as a
+    * value). A class is l-diverse when it holds ≥ l DISTINCT sensitive
+    * values; `top_share_ppm` (the modal topic's integer ppm share)
+    * diagnoses how close a technically-diverse class sits to
+    * homogeneity.
+    *
+    * Scale shape: the QI space is bounded (langs × sources × bands),
+    * so the whole audit is one map-side-combined (QI, topic) count →
+    * one QI-keyed aggregate over that bounded domain — no windows, no
+    * per-doc join-back, output rows = |classes|.
+    */
+  def curateLDiversity(s: SparkSession, dir: String, l: Long = 3L): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+      size(split(TextOps.normalized(col("text")), " ")).cast("long").as("n_tokens"))
+      .withColumn("tok_band", expr("n_tokens div 32"))
+    val sens = base
+      .join(TextOps.topicTagWith(s, docs(s, dir)).select(col("doc_id"), col("topic")),
+        Seq("doc_id"), "left")
+      .withColumn("topic", coalesce(col("topic"), lit("none")))
+    sens.groupBy(col("lang"), col("source"), col("tok_band"), col("topic"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"), col("source"), col("tok_band"))
+      .agg(sum(col("n")).as("class_size"),
+        count(lit(1)).cast("long").as("distinct_topics"),
+        max(col("n")).as("top_n"))
+      .select(col("lang"), col("source"), col("tok_band"), col("class_size"),
+        col("distinct_topics"),
+        expr("(1000000 * top_n) div class_size").as("top_share_ppm"),
+        (col("distinct_topics") >= l).cast("long").as("l_diverse"))
+  }
+
   /** Curriculum schedule (Bengio et al. 2009: present easy examples
     * first): difficulty = mean token length in milli-chars (longer
     * words proxy harder text, deterministic integers), stage = its

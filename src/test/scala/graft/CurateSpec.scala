@@ -812,6 +812,44 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(actual == expected, "floored-bits entropy must replay exactly")
   }
 
+  test("l-diversity: homogeneous class is k-anonymous yet fails; corpus invariants hold") {
+    val sess = spark
+    import sess.implicits._
+    // planted homogeneity attack: one QI class of 10 docs (well past
+    // k = 5) where every member carries the SAME sensitive topic — the
+    // exact disclosure k-anonymity cannot see. TopicLexicon terms make
+    // the topic deterministic; a second class mixes topics.
+    val sports = "join hash scan table row query join hash scan table"
+    val mixed = Seq("agg group sort order filter", "stream batch window line")
+    val dir = java.nio.file.Files.createTempDirectory("ldiv")
+    ((1 to 10).map(i => (i.toLong, "en", "web", sports)) ++
+      (1 to 10).map(i => (100L + i, "en", "books", mixed(i % 2))))
+      .toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val planted = CurateOps.curateLDiversity(spark, dir.toString, l = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val k = CurateOps.curateKAnonymity(spark, dir.toString).collect()
+    assert(k.forall(_.getLong(5) == 0L), "both planted classes are k-anonymous")
+    assert(planted(("en", "web")) == ((10L, 1L, 1000000L, 0L)),
+      s"homogeneous class must fail l-diversity: ${planted(("en", "web"))}")
+    val (bSize, bDistinct, bShare, bDiverse) = planted(("en", "books"))
+    assert(bSize == 10L && bDistinct == 2L && bDiverse == 1L && bShare == 500000L,
+      s"mixed class: ${planted(("en", "books"))}")
+
+    // corpus invariants: classes partition the corpus; shares bounded;
+    // the verdict is exactly the distinct-count rule
+    val rows = CurateOps.curateLDiversity(spark, sf).collect()
+    val docsN = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(3)).sum == docsN, "classes must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 1L && r.getLong(4) <= r.getLong(3))
+      assert(r.getLong(5) >= (1000000L / math.max(r.getLong(4), 1L)) &&
+        r.getLong(5) <= 1000000L)
+      assert((r.getLong(6) == 1L) == (r.getLong(4) >= 3L))
+    }
+  }
+
   test("mojibake: planted encoding artifacts hit the right counters; clean text passes") {
     val sess = spark
     import sess.implicits._
