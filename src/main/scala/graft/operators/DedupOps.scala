@@ -220,6 +220,11 @@ object DedupOps {
     * reduction over the raw postings self-join, by algorithm rather
     * than by guard. OpsSpec pins pair-set equality against the
     * unguarded brute-force plan at the same threshold.
+    *
+    * "Exact" is relative to the 64-bit shingle-hash space, the same
+    * basis as [[ngramJaccard]] (collision odds ~1e-8 at 1M distinct
+    * shingles — see [[shingleIntersections]]); the algorithmic filters
+    * themselves drop nothing.
     */
   def dedupPpjoin(s: SparkSession, dir: String): DataFrame = {
     // t = 4/5; integer spellings: ceil(4n/5) = (4n+4) div 5,

@@ -1396,13 +1396,21 @@ object TextOps {
     * (no explode, no per-line shuffle, line ORDER preserved for the
     * cleaned reassembly), so the gate is one linear scan at 100 TB.
     */
-  def txtC4Gate(s: SparkSession, dir: String): DataFrame = {
+  def txtC4Gate(s: SparkSession, dir: String): DataFrame =
+    c4GateOf(docs(s, dir))
+
+  /** The C4 gate over ANY documents DataFrame — row-local, so the SAME
+    * plan serves batch and each streaming micro-batch
+    * ([[graft.streaming.Streaming.runC4Gate]]): stream ≡ batch by
+    * construction.
+    */
+  def c4GateOf(documents: DataFrame): DataFrame = {
     val lines = split(col("text"), "\n")
     val kept = filter(lines, l =>
       l.rlike("[.!?\"']$") &&
         regexp_count(l, lit("\\S+")) >= 3 &&
         !lower(l).rlike("javascript"))
-    docs(s, dir)
+    documents
       .select(col("doc_id"),
         size(lines).cast("long").as("n_lines"),
         size(kept).cast("long").as("kept_lines"),

@@ -651,6 +651,18 @@ object Streaming {
     runAppendScorer(newDocs, store, table, checkpointDir)(
       graft.operators.TextOps.mojibakeOf)
 
+  /** Streaming C4 line-level gate: the row-local page-structure plan
+    * ([[graft.operators.TextOps.c4GateOf]]) IS the batch plan — each
+    * arriving page gets its Raffel §2.2 verdict the tick it lands.
+    */
+  def runC4Gate(
+      newDocs: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit =
+    runAppendScorer(newDocs, store, table, checkpointDir)(
+      graft.operators.TextOps.c4GateOf)
+
   /** Streaming eval-set decontamination: every arriving document is
     * gated against a STATIC eval-suite 8-gram set
     * ([[graft.operators.CurateOps.decontaminateOf]]) the tick it

@@ -122,6 +122,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "corpus must not be join-broadcast")
   }
 
+  test("mojibake and c4 gates are single row-local scans: zero exchanges, zero joins") {
+    Seq(graft.operators.TextOps.txtMojibake(spark, sf),
+        graft.operators.TextOps.txtC4Gate(spark, sf)).foreach { q =>
+      val plan = executedPhysical(q)
+      assert(!plan.contains("Exchange"), "row-local gate must not shuffle:\n" + plan.take(2000))
+      assert(!plan.contains("Join"), "row-local gate must not join")
+      assert(plan.contains("*(1)"), "gate should stay inside one codegen stage")
+    }
+  }
+
   test("ppjoin: prefix-filtered candidate join stays equi-join, windows stay doc-partitioned") {
     val plan = executedPhysical(graft.operators.DedupOps.dedupPpjoin(spark, sf))
     assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),

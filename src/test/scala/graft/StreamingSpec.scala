@@ -429,6 +429,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming c4 gate equals the batch operator across two arrivals") {
+    val store = new RelationStore(spark, s"$work/wh_c4")
+    val newIn = s"$work/c4docs"
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.filter(col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runC4Gate(Streaming.documentStream(spark, newIn), store,
+      "c4", s"$work/cp_c4")
+    val afterFirst = store.read("c4").count()
+    docs.filter(col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runC4Gate(Streaming.documentStream(spark, newIn), store,
+      "c4", s"$work/cp_c4")
+    val streamed = store.read("c4")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    val batch = graft.operators.TextOps.txtC4Gate(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming decontamination against a static eval set equals the batch sweep") {
     val store = new RelationStore(spark, s"$work/wh_decon")
     val newIn = s"$work/decondocs"
