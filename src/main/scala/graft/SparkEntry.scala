@@ -164,6 +164,7 @@ object SparkEntry {
     "curate_shard_assign" -> ((s, dir) => CurateOps.curateShardAssign(s, dir)),
     "curate_k_anonymity" -> ((s, dir) => CurateOps.curateKAnonymity(s, dir)),
     "curate_l_diversity" -> ((s, dir) => CurateOps.curateLDiversity(s, dir)),
+    "curate_t_closeness" -> ((s, dir) => CurateOps.curateTCloseness(s, dir)),
     "curate_curriculum" -> (CurateOps.curateCurriculum _),
     "curate_unimax" -> ((s, dir) => CurateOps.curateUnimax(s, dir)),
     "emb_quantize" -> (CurateOps.embQuantize _),
@@ -3139,6 +3140,58 @@ object SparkEntry {
              CAST((1000000 * MAX(n)) // SUM(n) AS BIGINT) AS top_share_ppm,
              CAST(COUNT(*) >= 3 AS BIGINT) AS l_diverse
       FROM per_topic GROUP BY 1, 2, 3"""
+    },
+    // t-closeness: per-class TV distance to the corpus topic
+    // distribution over FLOORED ppm shares (absent topics contribute
+    // their full global share via the class × topic grid)
+    "curate_t_closeness" -> {
+      val lexVals = graft.operators.TextOps.TopicLexicon
+        .flatMap { case (t, ks) => ks.map(k => s"('$k', '$t')") }.mkString(", ")
+      s"""
+      WITH b AS (
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) // 32 AS tok_band
+        FROM documents
+      ), toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                      x -> x <> '')) AS term
+        FROM documents
+      ), lex(term, topic) AS (
+        SELECT * FROM (VALUES $lexVals) v(term, topic)
+      ), hits AS (
+        SELECT doc_id, topic, CAST(COUNT(*) AS BIGINT) AS hits
+        FROM toks JOIN lex USING (term) GROUP BY 1, 2
+      ), tt AS (
+        SELECT doc_id, topic
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, topic) AS rn FROM hits) t
+        WHERE rn = 1
+      ), sens AS (
+        SELECT b.lang, b.source, b.tok_band, COALESCE(tt.topic, 'none') AS topic
+        FROM b LEFT JOIN tt USING (doc_id)
+      ), pct AS (
+        SELECT lang, source, tok_band, topic, CAST(COUNT(*) AS BIGINT) AS n
+        FROM sens GROUP BY 1, 2, 3, 4
+      ), tg AS (
+        SELECT topic, CAST(SUM(n) AS BIGINT) AS n_global FROM pct GROUP BY 1
+      ), g AS (
+        SELECT topic, n_global,
+               CAST((1000000 * n_global) // (SELECT CAST(SUM(n_global) AS BIGINT) FROM tg) AS BIGINT) AS share_global_ppm
+        FROM tg
+      ), cs AS (
+        SELECT lang, source, tok_band, CAST(SUM(n) AS BIGINT) AS class_size
+        FROM pct GROUP BY 1, 2, 3
+      ), grid AS (
+        SELECT cs.lang, cs.source, cs.tok_band, cs.class_size, g.topic, g.share_global_ppm,
+               CAST((1000000 * COALESCE(pct.n, 0)) // cs.class_size AS BIGINT) AS share_class_ppm
+        FROM cs CROSS JOIN g
+        LEFT JOIN pct ON pct.lang = cs.lang AND pct.source = cs.source
+                     AND pct.tok_band = cs.tok_band AND pct.topic = g.topic
+      )
+      SELECT lang, source, tok_band, class_size,
+             CAST(SUM(ABS(share_class_ppm - share_global_ppm)) // 2 AS BIGINT) AS tv_ppm,
+             CAST(CAST(SUM(ABS(share_class_ppm - share_global_ppm)) // 2 AS BIGINT) <= 500000 AS BIGINT) AS t_close
+      FROM grid GROUP BY 1, 2, 3, 4"""
     },
     "curate_curriculum" -> """
       WITH t AS (

@@ -504,6 +504,57 @@ object CurateOps {
         (col("distinct_topics") >= l).cast("long").as("l_diverse"))
   }
 
+  /** t-closeness audit (Li et al. 2007) — completes the privacy trio:
+    * l-diversity still leaks when a class's sensitive-value
+    * DISTRIBUTION differs sharply from the corpus's (skewness attack:
+    * "3 distinct topics" hides that one rare-everywhere topic is 90%
+    * of THIS class). Per QI class (the [[curateKAnonymity]] space),
+    * distance = total variation between the class's topic distribution
+    * and the corpus-wide one — the categorical EMD under uniform
+    * ground distance — over floored integer ppm shares:
+    * tv_ppm = Σ_topic |⌊10⁶·n/class⌋ − ⌊10⁶·N_topic/N⌋| div 2.
+    * Flooring per topic keeps every magnitude ≤ 10⁶·N (no overflow at
+    * any corpus size, unlike the multiply-first spelling whose
+    * n·N_corpus term wraps past ~10⁹ docs) and is deterministic in
+    * both engines, within |topics| ppm of the real-valued TV — noise-
+    * level for an audit thresholded at 0.5. Verdict: close when
+    * tv_ppm ≤ t (default 500000).
+    *
+    * Scale shape: (QI, topic) and (topic) counts are bounded-domain
+    * map-side-combined aggregates; the absent-topic terms come from a
+    * (classes × ≤6 topics) grid built by crossing the two BOUNDED
+    * tables (never the corpus) with the observed counts left-joined in.
+    */
+  def curateTCloseness(s: SparkSession, dir: String,
+      tPpm: Long = 500000L): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+      size(split(TextOps.normalized(col("text")), " ")).cast("long").as("n_tokens"))
+      .withColumn("tok_band", expr("n_tokens div 32"))
+    val sens = base
+      .join(TextOps.topicTagWith(s, docs(s, dir)).select(col("doc_id"), col("topic")),
+        Seq("doc_id"), "left")
+      .withColumn("topic", coalesce(col("topic"), lit("none")))
+    val perClassTopic = sens
+      .groupBy(col("lang"), col("source"), col("tok_band"), col("topic"))
+      .agg(count(lit(1)).as("n"))
+    val topicTotals = perClassTopic.groupBy(col("topic")).agg(sum(col("n")).as("n_global"))
+    val corpusTotal = topicTotals.agg(sum(col("n_global")).as("n_corpus"))
+    val global = topicTotals.crossJoin(broadcast(corpusTotal))
+      .withColumn("share_global_ppm", expr("(1000000 * n_global) div n_corpus"))
+    val classSizes = perClassTopic.groupBy(col("lang"), col("source"), col("tok_band"))
+      .agg(sum(col("n")).as("class_size"))
+    // a topic ABSENT from a class still contributes its full global
+    // share to the distance: enumerate (class × topic) over the two
+    // bounded tables, left-join the observed counts
+    classSizes.crossJoin(broadcast(global))
+      .join(perClassTopic, Seq("lang", "source", "tok_band", "topic"), "left")
+      .withColumn("share_class_ppm",
+        expr("(1000000 * coalesce(n, 0L)) div class_size"))
+      .groupBy(col("lang"), col("source"), col("tok_band"), col("class_size"))
+      .agg(expr("sum(abs(share_class_ppm - share_global_ppm)) div 2").as("tv_ppm"))
+      .withColumn("t_close", (col("tv_ppm") <= tPpm).cast("long"))
+  }
+
   /** Curriculum schedule (Bengio et al. 2009: present easy examples
     * first): difficulty = mean token length in milli-chars (longer
     * words proxy harder text, deterministic integers), stage = its

@@ -850,6 +850,44 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("t-closeness: planted skew class passes l-diversity yet fails; floored TV is exact") {
+    val sess = spark
+    import sess.implicits._
+    val analytics = "agg group sort order filter"
+    val relational = "join hash scan table row query"
+    val streaming = "stream batch window line"
+    val dir = java.nio.file.Files.createTempDirectory("tclose")
+    // corpus: 40 docs; global topic shares analytics 31/40, relational
+    // 8/40, streaming 1/40. Class (en, books) holds 3 DISTINCT topics
+    // (l-diverse at l = 3) but its distribution is 80% relational —
+    // the skewness attack l-diversity cannot see.
+    ((1 to 30).map(i => (i.toLong, "en", "web", analytics)) ++
+      (1 to 8).map(i => (100L + i, "en", "books", relational)) ++
+      Seq((109L, "en", "books", analytics), (110L, "en", "books", streaming)))
+      .toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val ld = CurateOps.curateLDiversity(spark, dir.toString).collect()
+      .map(r => r.getString(1) -> r.getLong(6)).toMap
+    assert(ld("books") == 1L, "the books class IS l-diverse (3 topics)")
+    val tc = CurateOps.curateTCloseness(spark, dir.toString).collect()
+      .map(r => r.getString(1) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // hand-computed floored-ppm TV: books (|800000-200000| +
+    // |100000-775000| + |100000-25000|) div 2 = 675000 > 500000;
+    // web (225000 + 200000 + 25000) div 2 = 225000 <= 500000
+    assert(tc("books") == ((10L, 675000L, 0L)), s"skewed class: ${tc("books")}")
+    assert(tc("web") == ((30L, 225000L, 1L)), s"modal class: ${tc("web")}")
+
+    // corpus invariants: TV bounded by [0, 1e6]; classes partition the
+    // corpus; verdict is exactly the threshold rule
+    val rows = CurateOps.curateTCloseness(spark, sf).collect()
+    val docsN = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(3)).sum == docsN)
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L)
+      assert((r.getLong(5) == 1L) == (r.getLong(4) <= 500000L))
+    }
+  }
+
   test("mojibake: planted encoding artifacts hit the right counters; clean text passes") {
     val sess = spark
     import sess.implicits._
