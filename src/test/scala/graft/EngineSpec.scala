@@ -1949,6 +1949,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
       .intersect(engineKeep.filter(_._2 == 1L).map(_._1))
     assert(clean == expected.size.toLong, s"clean $clean != ${expected.size}")
+    // the engine-SQL encoding gate must agree with the operator
+    // library's mojibake verdicts bit for bit (same regex arithmetic
+    // through two surfaces)
+    val engineEnc = store.read("encoding_gate")
+      .select(col("doc_id"), col("encoding_pass").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val opEnc = graft.operators.TextOps.txtMojibake(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        (org.apache.spark.sql.functions.lit(1L) - col("mojibake")).as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(engineEnc == opEnc, "engine SQL and operator library disagree on encoding")
     // the datacard accounts for every document
     val card = store.read("datacard")
     assert(card.agg(org.apache.spark.sql.functions.sum("n_docs")).first().getLong(0)
