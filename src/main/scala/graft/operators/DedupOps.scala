@@ -226,9 +226,22 @@ object DedupOps {
     * shingles — see [[shingleIntersections]]); the algorithmic filters
     * themselves drop nothing.
     */
-  def dedupPpjoin(s: SparkSession, dir: String): DataFrame = {
-    // t = 4/5; integer spellings: ceil(4n/5) = (4n+4) div 5,
-    // α = ceil(4(n_a+n_b)/9) = (4(n_a+n_b)+8) div 9
+  def dedupPpjoin(s: SparkSession, dir: String): DataFrame =
+    dedupPpjoinAt(s, dir, 4L, 5L)
+
+  /** [[dedupPpjoin]] at an arbitrary rational threshold t = p/q
+    * (0 < p ≤ q), all filters in exact integer form:
+    *
+    *   - prefix length: |x| − ⌈p·|x|/q⌉ + 1, with
+    *     ⌈p·n/q⌉ = (p·n + q − 1) div q;
+    *   - length filter: p·max ≤ q·min (J ≥ t ⟹ min/max ≥ t);
+    *   - minimal overlap α = ⌈p·(|x|+|y|)/(p+q)⌉ (from
+    *     J = I/(|x|+|y|−I) ≥ p/q ⇔ (p+q)·I ≥ p·(|x|+|y|));
+    *   - final verdict: (p+q)·n_inter ≥ p·(n_a+n_b).
+    */
+  def dedupPpjoinAt(s: SparkSession, dir: String, p: Long, q: Long): DataFrame = {
+    require(p > 0 && p <= q, s"threshold p/q must be in (0,1]: $p/$q")
+    val pq = p + q
     val sh = ResidentCache(s, "dedup_ngram_sh",
       shingles(s, dir).select(col("doc_id"), xxhash64(col("s")).as("h")))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -238,18 +251,18 @@ object DedupOps {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
       .join(sizes, Seq("doc_id"))
     val prefix = ranked.filter(
-      col("r") <= col("n") - expr("(4 * n + 4) div 5") + 1L)
+      col("r") <= col("n") - expr(s"($p * n + ${q - 1}) div $q") + 1L)
       .select(col("doc_id"), col("h"), col("r"), col("n"))
     val cand = prefix.select(col("doc_id").as("doc_a"), col("h"),
         col("r").as("r_a"), col("n").as("n_a"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("h"),
         col("r").as("r_b"), col("n").as("n_b")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
-      // length filter: 4·max ≤ 5·min ⇔ sizes within 25%
-      .filter(greatest(col("n_a"), col("n_b")) * 4 <= least(col("n_a"), col("n_b")) * 5)
+      // length filter: sizes within the threshold's ratio
+      .filter(greatest(col("n_a"), col("n_b")) * p <= least(col("n_a"), col("n_b")) * q)
       // positional filter: best-possible overlap from this match on
       .filter(least(col("n_a") - col("r_a"), col("n_b") - col("r_b")) + 1L >=
-        expr("(4 * (n_a + n_b) + 8) div 9"))
+        expr(s"($p * (n_a + n_b) + ${pq - 1}) div $pq"))
       .select(col("doc_a"), col("doc_b")).distinct()
     // exact scoring over the candidates' FULL shingle sets
     val candDocs = cand.select(col("doc_a").as("doc_id"))
@@ -262,7 +275,7 @@ object DedupOps {
     cand.join(inter, Seq("doc_a", "doc_b"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
-      .filter(col("n_inter") * 9 >= (col("n_a") + col("n_b")) * 4)
+      .filter(col("n_inter") * pq >= (col("n_a") + col("n_b")) * p)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
         (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
           .as("jaccard"))

@@ -87,6 +87,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(planted == Set((1L, 2L, 8L)),
       s"boundary pair must survive at exactly J = 0.8: $planted")
+
+    // the rational-threshold form is lossless at OTHER thresholds too:
+    // the same brute-force comparison at t = 1/2 and t = 9/10
+    for ((p, q) <- Seq((1L, 2L), (9L, 10L))) {
+      val bruteT = DedupOps.ngramJaccard(spark, sf, maxDf = 0)
+        .filter(col("n_inter") * (p + q) >= (col("n_a") + col("n_b")) * p)
+        .select("doc_a", "doc_b", "n_inter").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val ppT = DedupOps.dedupPpjoinAt(spark, sf, p, q)
+        .select("doc_a", "doc_b", "n_inter").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(ppT == bruteT,
+        s"t=$p/$q diverged: missing=${bruteT -- ppT} extra=${ppT -- bruteT}")
+    }
   }
 
   test("PQ ADC: distances are non-negative and recall vs exact L2 top-5 is useful") {
