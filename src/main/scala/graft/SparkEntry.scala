@@ -134,6 +134,8 @@ object SparkEntry {
     "graph_pagerank" -> ((s, d) => GraphOps.graphPageRank(s, d)),
     "graph_triangles" -> (GraphOps.graphTriangles _),
     "graph_kcore" -> ((s, d) => GraphOps.graphKCore(s, d)),
+    "graph_linkpred" -> ((s, d) => GraphOps.graphLinkPred(s, d)),
+    "graph_modularity" -> (GraphOps.graphModularity _),
     "dedup_canonical_quality" -> (GraphOps.dedupCanonicalQuality _),
     "dedup_decontaminate" -> (CurateOps.dedupDecontaminate _),
     "dedup_decontaminate_bloom" -> (CurateOps.dedupDecontaminateBloom _),
@@ -216,6 +218,7 @@ object SparkEntry {
     "txt_paragraph_dedup" -> ((s, d) => TextOps.txtParagraphDedup(s, d)),
     "txt_trigram_lm" -> (TextOps.txtTrigramLm _),
     "txt_heaps" -> (TextOps.txtHeaps _),
+    "txt_zipf" -> (TextOps.txtZipf _),
     "emb_outliers" -> (SimilarityOps.embOutliers _),
     "curate_snapshot_diff" -> (CurateOps.curateSnapshotDiff _),
     "dedup_source_matrix" -> (DedupOps.dedupSourceMatrix _),
@@ -2301,6 +2304,59 @@ object SparkEntry {
                ELSE 0 END AS cc_ppm
       FROM deg d LEFT JOIN cnt c ON c.node = d.node""",
     "graph_kcore" -> KcoreSql,
+    // link prediction replayed neighbor-set-first: wedges through every
+    // common neighbor w with deg(w) <= 64 (the hub guard), grouped on
+    // the (u, v) candidate pair, existing edges anti-joined away; edge
+    // basis = the rare-shingle co-occurrence graph (n_inter >= 2)
+    "graph_linkpred" -> (ShinglePairCtes + s""",
+      e AS (
+        SELECT doc_a AS a, doc_b AS b FROM inter WHERE n_inter >= 2
+      ), nb AS (
+        SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e
+      ), deg AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS deg FROM nb GROUP BY w
+      ), nbc AS (
+        SELECT nb.w, nb.n, d.deg FROM nb JOIN deg d USING (w) WHERE d.deg <= 64
+      ), sc AS (
+        SELECT x.n AS u, y.n AS v,
+               CAST(COUNT(*) AS BIGINT) AS cn,
+               CAST(SUM(1000000 // x.deg) AS BIGINT) AS ra_ppm
+        FROM nbc x JOIN nbc y ON x.w = y.w AND x.n < y.n
+        GROUP BY 1, 2
+      ), ne AS (
+        SELECT sc.* FROM sc
+        LEFT JOIN e ON e.a = sc.u AND e.b = sc.v
+        WHERE e.a IS NULL AND sc.cn >= 2
+      )
+      SELECT ne.u AS doc_u, ne.v AS doc_v, ne.cn, ne.ra_ppm,
+             CAST(1000000 * ne.cn // (du.deg + dv.deg - ne.cn) AS BIGINT) AS jac_ppm
+      FROM ne JOIN deg du ON du.w = ne.u JOIN deg dv ON dv.w = ne.v"""),
+    // modularity terms per source over the shingle-share graph; exp_ppm
+    // in HUGEINT mirrors Spark's DECIMAL(38) (d_sum^2 can pass a long)
+    "graph_modularity" -> (ShinglePairCtes + s""",
+      e AS (
+        SELECT doc_a AS a, doc_b AS b FROM inter WHERE n_inter >= 2
+      ), tagged AS (
+        SELECT sa.source AS src_a, sb.source AS src_b
+        FROM e p
+        JOIN documents sa ON sa.doc_id = p.a
+        JOIN documents sb ON sb.doc_id = p.b
+      ), halves AS (
+        SELECT src_a AS source FROM tagged
+        UNION ALL SELECT src_b FROM tagged
+      ), dsum AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS d_sum FROM halves GROUP BY 1
+      ), mi AS (
+        SELECT src_a AS source, CAST(COUNT(*) AS BIGINT) AS m_intra
+        FROM tagged WHERE src_a = src_b GROUP BY 1
+      ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m FROM tagged
+      )
+      SELECT d.source, t.m, COALESCE(mi.m_intra, 0) AS m_intra, d.d_sum,
+             CAST(1000000 * COALESCE(mi.m_intra, 0) // t.m AS BIGINT) AS cov_ppm,
+             CAST((1000000 * CAST(d.d_sum AS HUGEINT) * d.d_sum)
+                  // (4 * CAST(t.m AS HUGEINT) * t.m) AS BIGINT) AS exp_ppm
+      FROM dsum d LEFT JOIN mi USING (source) CROSS JOIN tot t"""),
     "dedup_canonical_quality" -> s"""
       WITH RECURSIVE pairs AS ($SimhashPairsSql
       ), edges AS (
@@ -2810,6 +2866,33 @@ object SparkEntry {
         FROM tok t2 JOIN axis a ON t2.dec <= a.k GROUP BY 1
       )
       SELECT k, n_docs, n_tokens, vocab, hapax FROM tc JOIN vh USING (k)""",
+    "txt_zipf" -> """
+      WITH toks AS (
+        SELECT unnest(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                      x -> x <> '')) AS term
+        FROM documents
+      ), tf AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1
+      ), hist AS (
+        SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_terms FROM tf GROUP BY 1
+      ), iv AS (
+        SELECT cnt, n_terms,
+               CAST(SUM(n_terms) OVER (ORDER BY cnt DESC) AS BIGINT) AS hi,
+               CAST(SUM(n_terms) OVER (ORDER BY cnt DESC) AS BIGINT) - n_terms + 1 AS lo
+        FROM hist
+      ), axis AS (
+        SELECT CAST(k AS BIGINT) AS k,
+               (1::BIGINT << k) AS blo,
+               (1::BIGINT << (k + 1)) - 1 AS bhi
+        FROM (SELECT unnest(range(0, 41)) AS k)
+      )
+      SELECT a.k,
+             CAST(SUM(LEAST(iv.hi, a.bhi) - GREATEST(iv.lo, a.blo) + 1) AS BIGINT) AS n_terms,
+             CAST(SUM((LEAST(iv.hi, a.bhi) - GREATEST(iv.lo, a.blo) + 1) * iv.cnt) AS BIGINT) AS total_cnt,
+             CAST(MAX(iv.cnt) AS BIGINT) AS max_cnt,
+             CAST(MIN(iv.cnt) AS BIGINT) AS min_cnt
+      FROM iv JOIN axis a ON a.blo <= iv.hi AND iv.lo <= a.bhi
+      GROUP BY 1""",
     "txt_topic_tag" -> {
       val lexVals = graft.operators.TextOps.TopicLexicon
         .flatMap { case (t, ks) => ks.map(k => s"('$k', '$t')") }.mkString(", ")

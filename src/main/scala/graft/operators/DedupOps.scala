@@ -118,6 +118,21 @@ object DedupOps {
     * per-document set sizes. Returns (intersections (doc_a < doc_b,
     * n_inter), sizes (doc_id, n)).
     */
+  /** Rare-shingle co-occurrence edges (doc_a < doc_b, canonical `a`/`b`
+    * columns): document pairs sharing at least `minShared` distinct
+    * df-guarded 3-gram shingles. The TOPICAL graph the near-dup
+    * detectors leave behind — much denser than the J >= 0.2 pair set —
+    * and the edge basis for [[GraphOps.graphLinkPred]] /
+    * [[GraphOps.graphModularity]]. Same mining core as
+    * [[dedupNgramJaccard]]/[[dedupContainment]] through the resident
+    * shingle table, so running all of them costs one postings pass.
+    */
+  def shingleShareEdges(s: SparkSession, dir: String,
+      minShared: Long = 2L): DataFrame =
+    shingleIntersections(s, dir, HotShingleMaxDf)._1
+      .filter(col("n_inter") >= minShared)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+
   private def shingleIntersections(s: SparkSession, dir: String,
       maxDf: Int): (DataFrame, DataFrame) = {
     // join on the 64-bit shingle hash, not the string: same counts

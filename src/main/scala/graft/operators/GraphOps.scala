@@ -397,4 +397,115 @@ object GraphOps {
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
       .groupBy((length(bin(col("sz"))) - 1).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).cast("long").as("n_docs"))
+
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003)
+    * over the SimHash near-dup graph: score each NON-edge pair (u, v)
+    * that shares ≥ `minCn` neighbors by
+    *   cn      = |N(u) ∩ N(v)|
+    *   ra_ppm  = Σ_{w ∈ N(u)∩N(v)} 10⁶ div deg(w)    (resource allocation)
+    *   jac_ppm = 10⁶·cn div (deg(u) + deg(v) − cn)   (neighborhood Jaccard)
+    * The classic Adamic-Adar 1/ln(deg) weight is deliberately replaced
+    * by resource allocation (Zhou, Lü & Zhang 2009 — RA dominates AA on
+    * dense graphs) because RA is integer-exact in ppm, so the oracle
+    * hashes bit-for-bit. In a curation pipeline these are the "missed
+    * duplicate" candidates: pairs the LSH banding did not emit but whose
+    * shared near-dup neighborhoods say to re-check with a full verify.
+    *
+    * Scale shape: wedges are generated per COMMON NEIGHBOR w as pairs
+    * of w's neighbors — deg(w)² fanout — so wedge CENTERS are capped at
+    * `maxDeg` (a hub contributes ≤ 10⁶/maxDeg per pair to RA and mostly
+    * noise to CN; dropping high-degree centers is the standard LP hub
+    * guard and bounds per-node fanout at maxDeg²). Endpoint degrees in
+    * the Jaccard denominator stay UNCAPPED (true degrees). After the
+    * wedge groupBy, one left-anti equi-join removes existing edges and
+    * two degree equi-joins finish the score — no cartesian anywhere.
+    *
+    * Edge basis: [[DedupOps.shingleShareEdges]] (docs sharing ≥ 2 rare
+    * shingles) — the SimHash hamming ≤ 3 graph is near-transitively
+    * closed (exact-dup cliques), so it has no open wedges to predict
+    * over; the topical shingle-share graph does.
+    */
+  def graphLinkPred(s: SparkSession, dir: String,
+      minCn: Long = 2L, maxDeg: Long = 64L): DataFrame = {
+    val pairs = ResidentCache(s, "graph_lp_edges",
+      DedupOps.shingleShareEdges(s, dir))
+    linkPredScores(pairs, minCn, maxDeg)
+  }
+
+  /** Kernel over a canonical (a < b) undirected edge list — split out
+    * so the spec can drive it with a brute-forceable fixture.
+    */
+  private[graft] def linkPredScores(pairs: DataFrame,
+      minCn: Long, maxDeg: Long): DataFrame = {
+    val nb = pairs.select(col("a").as("w"), col("b").as("n"))
+      .unionByName(pairs.select(col("b").as("w"), col("a").as("n")))
+    val deg = nb.groupBy(col("w")).agg(count(lit(1)).as("deg"))
+    // wedge centers: hub guard ON the center only
+    val nbc = nb.join(deg, Seq("w")).filter(col("deg") <= maxDeg)
+    val wedges = nbc.select(col("w"), col("n").as("u"), col("deg"))
+      .join(nbc.select(col("w"), col("n").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+    val scored = wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div deg")).as("ra_ppm"))
+      .filter(col("cn") >= minCn)
+    val nonEdge = scored.join(pairs,
+      scored("u") === pairs("a") && scored("v") === pairs("b"), "left_anti")
+    nonEdge
+      .join(deg.select(col("w").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("w").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .select(col("u").as("doc_u"), col("v").as("doc_v"), col("cn"),
+        col("ra_ppm"),
+        expr("1000000 * cn div (deg_u + deg_v - cn)").as("jac_ppm"))
+  }
+
+  /** Source-partition modularity terms (Newman & Girvan 2004) over the
+    * rare-shingle co-occurrence graph ([[DedupOps.shingleShareEdges]]):
+    * for each `source`, how many content-overlap edges stay INSIDE the
+    * source vs what a degree-preserving random graph would predict.
+    * Q = Σ_s (cov_s − exp_s) with
+    *   cov_ppm = 10⁶·m_s div m          (intra-source edge fraction)
+    *   exp_ppm = 10⁶·d_s² div (4m²)     (random expectation)
+    * High cov−exp ⇒ duplication is an intra-source phenomenon (crawl
+    * re-fetches; dedup per source suffices); cov ≈ exp ⇒ cross-source
+    * mirror contamination — dedup must run globally. Both terms are
+    * nonnegative integers (exp in DECIMAL(38) internally: d_s² overflows
+    * a long once d_s > 3·10⁹ half-edges, real at 100 TB), so the oracle
+    * hashes exactly and truncation direction never matters.
+    *
+    * Scale shape: two corpus-keyed equi-joins tag edge endpoints with
+    * sources, then everything aggregates to ≤ |sources| rows; the two
+    * graph totals (m, Σd) ride in on a broadcast 1-row cross join.
+    */
+  def graphModularity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ResidentCache(s, "graph_lp_edges",
+      DedupOps.shingleShareEdges(s, dir))
+    val src = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    modularityTerms(pairs, src)
+  }
+
+  /** Kernel over a canonical (a < b) edge list + (doc_id, source)
+    * labels — split out so the spec can brute-force a fixture.
+    */
+  private[graft] def modularityTerms(pairs: DataFrame, src: DataFrame): DataFrame = {
+    val tagged = pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), Seq("a"))
+      .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), Seq("b"))
+    // half-edge view: every edge contributes one half-edge per endpoint,
+    // so SUM(deg) per source == d_s without materializing per-node degree
+    val halves = tagged.select(col("src_a").as("source"))
+      .unionByName(tagged.select(col("src_b").as("source")))
+    val dSum = halves.groupBy(col("source")).agg(count(lit(1)).as("d_sum"))
+    val mIntra = tagged.filter(col("src_a") === col("src_b"))
+      .groupBy(col("src_a").as("source")).agg(count(lit(1)).as("m_intra"))
+    val totals = tagged.agg(count(lit(1)).as("m"))
+    dSum.join(mIntra, Seq("source"), "left")
+      .na.fill(0L, Seq("m_intra"))
+      .crossJoin(broadcast(totals))
+      .select(col("source"), col("m"), col("m_intra"), col("d_sum"),
+        expr("1000000 * m_intra div m").as("cov_ppm"),
+        expr("CAST((1000000 * CAST(d_sum AS DECIMAL(38,0)) * d_sum) div (4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)")
+          .as("exp_ppm"))
+  }
 }

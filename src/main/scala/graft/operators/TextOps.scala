@@ -1426,4 +1426,55 @@ object TextOps {
           col("has_brace") === 0L).cast("long"))
   }
 
+  /** Zipf rank-decade profile — the log-log rank/frequency diagnostic
+    * every corpus datacard plots (Zipf 1949; Piantadosi 2014 review):
+    * bucket k aggregates the terms of frequency-rank [2^k, 2^(k+1)),
+    * reporting how many terms, how much token mass, and the count range
+    * each rank decade holds. A healthy natural-language crawl shows
+    * near-constant mass per decade (slope ≈ -1); boilerplate-heavy or
+    * template corpora bulge in the head decades.
+    *
+    * Exactness WITHOUT a vocab-wide sort: bucket aggregates are
+    * tie-INVARIANT (terms of equal count are interchangeable within and
+    * across the decade boundary — n_terms / total_cnt / min / max are
+    * unchanged by any tie ordering), so ranks are derived from the
+    * COUNT HISTOGRAM (cnt → how many terms have it), which is tiny
+    * (distinct frequency values ≪ vocab ≪ corpus). A cnt value whose
+    * cumulative rank interval [lo, hi] straddles a decade boundary
+    * contributes the exact integer overlap to each side.
+    *
+    * Scale shape: corpus scan → vocab-keyed groupBy (map-side combined)
+    * → histogram groupBy (bounded by distinct counts) → window + decade
+    * join over that bounded table. No corpus- or vocab-sized sort
+    * anywhere; decade index = length(bin(rank)) - 1, pure integer.
+    */
+  def txtZipf(s: SparkSession, dir: String): DataFrame = {
+    val terms = docs(s, dir)
+      .select(explode(filter(split(normalized(col("text")), " "), t => t =!= "")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    // count histogram: how many distinct terms occur exactly cnt times
+    val hist = terms.groupBy(col("cnt")).agg(count(lit(1)).as("n_terms"))
+    val W = org.apache.spark.sql.expressions.Window
+    // ranks are 1-based, assigned count-descending; [lo, hi] = the rank
+    // interval the terms of this cnt occupy (window over the BOUNDED
+    // histogram — partitionBy() is deliberate and safe here)
+    val w = W.orderBy(col("cnt").desc).rowsBetween(W.unboundedPreceding, W.currentRow)
+    val ranked = hist
+      .withColumn("hi", sum(col("n_terms")).over(w))
+      .withColumn("lo", col("hi") - col("n_terms") + 1L)
+    import s.implicits._
+    val axis = (0 until 41).map(k => (k.toLong, 1L << k, (1L << (k + 1)) - 1L))
+      .toDF("k", "blo", "bhi")
+    ranked.join(broadcast(axis), col("blo") <= col("hi") && col("lo") <= col("bhi"))
+      .withColumn("ov",
+        least(col("hi"), col("bhi")) - greatest(col("lo"), col("blo")) + 1L)
+      .groupBy(col("k"))
+      .agg(sum(col("ov")).as("n_terms"),
+        sum(col("ov") * col("cnt")).as("total_cnt"),
+        max(col("cnt")).as("max_cnt"),
+        min(col("cnt")).as("min_cnt"))
+      .select(col("k").cast("long").as("k"), col("n_terms"),
+        col("total_cnt"), col("max_cnt"), col("min_cnt"))
+  }
+
 }

@@ -2297,4 +2297,74 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val inBand = ratios.count(r => r >= 0.3 && r <= 3.0).toDouble / ratios.length
     assert(inBand >= 0.8, s"only ${(inBand * 100).round}% of pairs inside the distortion band")
   }
+
+  test("link prediction: wedge-join scores == brute force (hub guard exercised)") {
+    val ss = spark
+    import ss.implicits._
+    // hub(0)-plus-sparse fixture from the triangle test: hub degree 39
+    // exceeds maxDeg=5 so the hub is excluded as a wedge CENTER but
+    // still counts in endpoint degrees — exactly the guard contract
+    val n = 40
+    val hub = (1 until n).map(i => (0L, i.toLong))
+    val sparse = for {
+      i <- 1 until n; j <- i + 1 until n
+      if (i * 31 + j * 17) % 13 == 0
+    } yield (i.toLong, j.toLong)
+    val all = (hub ++ sparse).distinct
+    val (minCn, maxDeg) = (2L, 5L)
+    val got = GraphOps.linkPredScores(all.toDF("a", "b"), minCn, maxDeg)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // driver brute force
+    val adj = all.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val edgeSet = all.toSet
+    val want = (for {
+      u <- adj.keys; v <- adj.keys
+      if u < v && !edgeSet((u, v))
+      centers = adj(u).intersect(adj(v)).filter(w => adj(w).size <= maxDeg)
+      if centers.size >= minCn
+    } yield {
+      val cn = centers.size.toLong
+      val ra = centers.toSeq.map(w => 1000000L / adj(w).size).sum
+      val jac = 1000000L * cn / (adj(u).size + adj(v).size - cn)
+      (u, v) -> (cn, ra, jac)
+    }).toMap
+    assert(got == want, s"diff: ${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+    assert(want.nonEmpty, "fixture must produce candidates")
+    // the guard must be doing work: unguarded brute force differs
+    val unguarded = (for {
+      u <- adj.keys; v <- adj.keys
+      if u < v && !edgeSet((u, v)) && adj(u).intersect(adj(v)).size >= minCn
+    } yield (u, v)).toSet
+    assert(unguarded != want.keySet)
+  }
+
+  test("modularity terms: kernel == brute force; edges conserved") {
+    val ss = spark
+    import ss.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val srcOf = Map(1L -> "x", 2L -> "x", 3L -> "x", 4L -> "y", 5L -> "y", 6L -> "z")
+    val out = GraphOps.modularityTerms(
+      edges.toDF("a", "b"),
+      srcOf.toSeq.toDF("doc_id", "source")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val m = edges.size.toLong
+    val dSum = edges.flatMap { case (a, b) => Seq(srcOf(a), srcOf(b)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val mIntra = edges.filter { case (a, b) => srcOf(a) == srcOf(b) }
+      .groupBy { case (a, _) => srcOf(a) }.map { case (k, v) => k -> v.size.toLong }
+    assert(out.keySet == dSum.keySet)
+    out.foreach { case (src, (mTot, mi, ds, cov, exp)) =>
+      assert(mTot == m)
+      assert(mi == mIntra.getOrElse(src, 0L), s"m_intra($src)")
+      assert(ds == dSum(src), s"d_sum($src)")
+      assert(cov == 1000000L * mi / m)
+      assert(exp == 1000000L * ds * ds / (4L * m * m))
+    }
+    // every edge is someone's intra or a cross edge; half-edges conserve
+    assert(out.values.map(_._3).sum == 2 * m)
+  }
 }
