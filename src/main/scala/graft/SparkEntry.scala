@@ -167,6 +167,7 @@ object SparkEntry {
     "curate_k_anonymity" -> ((s, dir) => CurateOps.curateKAnonymity(s, dir)),
     "curate_l_diversity" -> ((s, dir) => CurateOps.curateLDiversity(s, dir)),
     "curate_t_closeness" -> ((s, dir) => CurateOps.curateTCloseness(s, dir)),
+    "curate_dp_release" -> (CurateOps.curateDpRelease _),
     "curate_curriculum" -> (CurateOps.curateCurriculum _),
     "curate_unimax" -> ((s, dir) => CurateOps.curateUnimax(s, dir)),
     "emb_quantize" -> (CurateOps.embQuantize _),
@@ -3223,6 +3224,28 @@ object SparkEntry {
              CAST((1000000 * MAX(n)) // SUM(n) AS BIGINT) AS top_share_ppm,
              CAST(COUNT(*) >= 3 AS BIGINT) AS l_diverse
       FROM per_topic GROUP BY 1, 2, 3"""
+    },
+    // geometric-mechanism release replayed from the SAME threshold
+    // constants the engine uses (interpolated from DpGeomThresholds —
+    // one source of truth for the inverse CDF in both engines)
+    "curate_dp_release" -> {
+      val rows = graft.operators.CurateOps.DpGeomThresholds
+        .map { case (k, lo, hi) => s"($k, $lo, $hi)" }.mkString(", ")
+      s"""
+      WITH thr(noise, lo, hi) AS (VALUES $rows),
+      c AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_true
+        FROM documents GROUP BY 1, 2
+      ), u AS (
+        SELECT source, lang, n_true,
+               (('0x' || substr(md5('dpv1:' || source || ':' || lang), 1, 8))::BIGINT
+                 & 2147483647) * 3 AS t
+        FROM c
+      )
+      SELECT source, lang,
+             CAST(GREATEST(0, n_true + thr.noise) AS BIGINT) AS n_released,
+             CAST(693 AS BIGINT) AS eps_milli
+      FROM u JOIN thr ON u.t >= thr.lo AND u.t < thr.hi"""
     },
     // t-closeness: per-class TV distance to the corpus topic
     // distribution over FLOORED ppm shares (absent topics contribute

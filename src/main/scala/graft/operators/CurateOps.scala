@@ -1529,4 +1529,59 @@ object CurateOps {
       .select(col("source"), col("n_docs"), col("mean_millibits"),
         col("baseline_millibits"), col("excess_q"), col("w_raw"), col("weight_ppm"))
   }
+
+  /** Inverse-CDF thresholds of the TRUNCATED two-sided geometric
+    * distribution with α = 1/2 (ε = ln 2), support [−16, 16], tails
+    * folded into the extremes: noise = k when the scaled uniform draw
+    * t ∈ [lo_k, hi_k), t ranging over [0, 3·2³¹). All masses are exact
+    * dyadic rationals at α = 1/2 — P(0)·3·2³¹ = 2³¹, P(±k)·3·2³¹ =
+    * 2³¹⁻ᵏ, folded tails 2¹⁶ each — so every threshold is an exact
+    * integer and the mechanism replays bit-identically in any engine.
+    */
+  val DpGeomThresholds: Seq[(Long, Long, Long)] = {
+    val masses = (-16 to 16).map { k =>
+      (k.toLong, if (math.abs(k) == 16) 1L << 16 else 1L << (31 - math.abs(k)))
+    }
+    val cum = masses.scanLeft((0L, 0L, 0L)) {
+      case ((_, _, hi), (k, m)) => (k, hi, hi + m)
+    }.tail
+    require(cum.last._3 == 3L * (1L << 31))
+    cum
+  }
+
+  /** Differentially-private count release per (source, lang) cell —
+    * the geometric mechanism (Ghosh, Roughgarden & Sundararajan 2009,
+    * the universally utility-maximizing ε-DP mechanism for counts),
+    * truncated to ±16 (bounded-noise variant): each document sits in
+    * exactly one cell, so histogram sensitivity is 1 and releasing
+    * n + Z with Z ~ two-sided-geometric(α = e^{−ε}) is ε-DP; the
+    * max(0, ·) clamp is post-processing and costs nothing. ε = ln 2
+    * (α = 1/2) makes every CDF threshold an exact dyadic integer
+    * ([[DpGeomThresholds]]).
+    *
+    * The uniform draw is a KEYED-HASH REPLAY DEVICE for this test
+    * harness: u = md5("dpv1:" ‖ cell-key) & (2³¹−1), so the oracle
+    * reproduces the draw bit-for-bit (CDF quantization ≤ 2⁻³¹ per
+    * bucket from the ×3 scaling). A production release swaps that one
+    * line for a real DRBG draw per cell — the mechanism, clamping, and
+    * plan shape are what this operator carries.
+    *
+    * Scale shape: one map-side-combined groupBy over the bounded
+    * (source × lang) space, then a broadcast join against the 33-row
+    * threshold table — no windows, no collects, no shuffle beyond the
+    * histogram's own.
+    */
+  def curateDpRelease(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val thr = DpGeomThresholds.toDF("noise", "lo", "hi")
+    docs(s, dir).groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("t",
+        expr("CAST(conv(substring(md5(concat('dpv1:', source, ':', lang)), 1, 8), 16, 10) AS BIGINT)")
+          .bitwiseAND(lit(2147483647L)) * lit(3L))
+      .join(broadcast(thr), col("t") >= col("lo") && col("t") < col("hi"))
+      .select(col("source"), col("lang"),
+        greatest(lit(0L), col("n_true") + col("noise")).as("n_released"),
+        lit(693L).as("eps_milli"))
+  }
 }

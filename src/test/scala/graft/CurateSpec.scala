@@ -959,4 +959,50 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(whole >= 0L && whole <= 1000000L)
     }
   }
+
+  test("dp release: thresholds partition the draw space; mechanism bounded + calibrated") {
+    // (a) the inverse-CDF table tiles [0, 3·2^31) with no gap/overlap
+    val thr = CurateOps.DpGeomThresholds
+    assert(thr.head._2 == 0L && thr.last._3 == 3L * (1L << 31))
+    thr.sliding(2).foreach { case Seq((_, _, hi), (_, lo, _)) => assert(hi == lo) }
+    assert(thr.map(_._1) == (-16L to 16L))
+    // symmetric masses: P(k) == P(-k)
+    val mass = thr.map { case (k, lo, hi) => k -> (hi - lo) }.toMap
+    (1L to 16L).foreach(k => assert(mass(k) == mass(-k)))
+    assert(mass(0L) == (1L << 31))
+
+    // (b) the released table: bounded noise, nonneg counts, exact clamp
+    val rel = CurateOps.curateDpRelease(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val truth = graft.sources.Tables.load(spark, sf, "documents")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rel.keySet == truth.keySet)
+    rel.foreach { case (k, n) =>
+      assert(n >= 0L, s"$k released negative")
+      assert(math.abs(n - truth(k)) <= 16L, s"$k noise out of bounds")
+    }
+
+    // (c) calibration: over many synthetic cells the keyed-hash draw
+    // lands noise=0 with frequency ~ 1/3 and |noise|<=1 with ~ 2/3
+    // (exact masses 1/3 and 2/3 at alpha=1/2)
+    val s2 = spark
+    import s2.implicits._
+    val many = (0 until 4096).map(i => s"cell$i").toDF("source")
+      .withColumn("lang", lit("xx"))
+      .withColumn("t",
+        expr("CAST(conv(substring(md5(concat('dpv1:', source, ':', lang)), 1, 8), 16, 10) AS BIGINT)")
+          .bitwiseAND(lit(2147483647L)) * lit(3L))
+      .join(broadcast(thr.toDF("noise", "lo", "hi")),
+        col("t") >= col("lo") && col("t") < col("hi"))
+      .groupBy(col("noise")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = many.values.sum.toDouble
+    val p0 = many.getOrElse(0L, 0L) / n
+    val p1 = (many.getOrElse(-1L, 0L) + many.getOrElse(0L, 0L) + many.getOrElse(1L, 0L)) / n
+    assert(math.abs(p0 - 1.0 / 3) < 0.03, s"P(0) = $p0")
+    assert(math.abs(p1 - 2.0 / 3) < 0.03, s"P(|Z|<=1) = $p1")
+    // no mass escapes the truncation
+    assert(many.keys.forall(k => k >= -16L && k <= 16L))
+  }
 }
