@@ -54,6 +54,7 @@ object GraftSession {
     val s = tune(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.RollingMinHash.register(s)
+    graft.functions.CdcChunks.register(s)
     graft.functions.DotI64.register(s)
     graft.functions.MinHashAgg.register(s)
     graft.functions.MinKAgg.register(s)

@@ -122,6 +122,7 @@ object SparkEntry {
     "txt_c4_gate" -> (TextOps.txtC4Gate _),
     // dedup
     "dedup_exact" -> (DedupOps.dedupExact _),
+    "dedup_cdc" -> (DedupOps.dedupCdc _),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
     "dedup_ppjoin" -> (DedupOps.dedupPpjoin _),
     "dedup_containment" -> ((s, dir) => DedupOps.dedupContainment(s, dir)),
@@ -3120,6 +3121,50 @@ object SparkEntry {
                COUNT(*) OVER (PARTITION BY fp) AS group_size
         FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp FROM documents) a
       ) b""",
+    // CDC replayed positionally: boundary at 1-based end position p2
+    // when the Karp-Rabin hash of the trailing 16 chars masks to zero —
+    // coefficients Base^(16-j) mod 2^64 interpolated from the SAME
+    // RollingMinHash.Base constant the engine's expression uses
+    "dedup_cdc" -> {
+      val w = 16
+      val coefs = (1 to w).map { j =>
+        var v = 1L
+        (0 until (w - j)).foreach(_ => v *= graft.functions.RollingMinHash.Base)
+        java.lang.Long.toUnsignedString(v) + "::HUGEINT"
+      }.mkString("[", ", ", "]")
+      s"""
+      WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        FROM documents
+      ), p AS (
+        SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) > 0
+      ), bnd AS (
+        SELECT doc_id, t, n,
+          list_filter(range(16, GREATEST(n + 1, 16)), p2 ->
+            (list_sum(list_transform(range(1, 17), j -> ord(t[CAST(p2-16+j AS INT)]) * ($coefs)[CAST(j AS INT)]))
+             % 18446744073709551616::HUGEINT) % 64 = 0) AS bs
+        FROM p
+      ), cs AS (
+        SELECT doc_id, t,
+          CASE WHEN len(bs) > 0 AND bs[-1] = n
+               THEN list_concat([CAST(0 AS BIGINT)], bs)
+               ELSE list_concat(list_concat([CAST(0 AS BIGINT)], bs), [CAST(n AS BIGINT)]) END AS cuts
+        FROM bnd
+      ), ch AS (
+        SELECT doc_id, t[CAST(cuts[CAST(i AS INT)] + 1 AS INT):CAST(cuts[CAST(i+1 AS INT)] AS INT)] AS chunk
+        FROM cs, UNNEST(range(1, len(cuts))) AS u(i)
+      ), f AS (
+        SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY 1
+      )
+      SELECT ch.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             CAST(SUM(len(ch.chunk)) AS BIGINT) AS chars_total,
+             CAST(SUM(CASE WHEN f.nd >= 2 THEN len(ch.chunk) ELSE 0 END) AS BIGINT) AS chars_shared,
+             CAST((1000 * SUM(CASE WHEN f.nd >= 2 THEN len(ch.chunk) ELSE 0 END))
+                  // SUM(len(ch.chunk)) AS BIGINT) AS shared_millis
+      FROM ch JOIN f USING (chunk) GROUP BY 1"""
+    },
     "dedup_ngram_jaccard" -> NgramJaccardSql,
     // PPJoin prefix-filtered EXACT J >= 0.8 self-join: the oracle is the
     // brute-force all-pairs replay at the same threshold (the prefix/

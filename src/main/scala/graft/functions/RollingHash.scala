@@ -84,3 +84,85 @@ object RollingMinHash {
       })
   }
 }
+
+/** Content-defined chunking (LBFS, Muthitacharoen et al. SOSP'01): cut
+  * the input wherever the Karp-Rabin hash of the trailing `w`-byte
+  * window masks to zero — `maskBits` low bits, so expected chunk length
+  * ≈ 2^maskBits — and return the chunk substrings. Because boundaries
+  * depend only on LOCAL content, an insertion early in a document
+  * shifts every byte offset but re-synchronizes the chunk stream within
+  * one window: the property that makes chunk-level dedup robust where
+  * fixed-size blocks are not.
+  *
+  * Boundaries never depend on previous cuts (the window rolls straight
+  * across a cut), so the cut set is a pure function of the text — what
+  * lets the DuckDB oracle replay chunking positionally. Byte-oriented:
+  * intended for normalized ASCII text (bytes == chars); same Base as
+  * [[RollingMinHash]].
+  */
+case class CdcChunks(child: Expression, w: Int, maskBits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcChunks.compute(input.asInstanceOf[UTF8String].getBytes, w, maskBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CdcChunks.compute($c.getBytes(), $w, $maskBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
+object CdcChunks {
+  /** Chunk list: cuts AFTER every position p (0-based, p >= w-1) where
+    * hash(bytes[p-w+1..p]) & (2^maskBits - 1) == 0; trailing remainder
+    * is the final chunk. Empty input → empty array; input shorter than
+    * w → one whole-string chunk. O(n), no allocation beyond the output.
+    */
+  def compute(bytes: Array[Byte], w: Int, maskBits: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val mask = (1L << maskBits) - 1L
+    val n = bytes.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    if (n == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    if (n < w) {
+      out += UTF8String.fromBytes(bytes)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+    var basePow = 1L
+    var i = 0
+    while (i < w - 1) { basePow *= RollingMinHash.Base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * RollingMinHash.Base + (bytes(i) & 0xff); i += 1 }
+    var start = 0
+    var p = w - 1
+    while (p < n) {
+      if ((h & mask) == 0L) {
+        out += UTF8String.fromBytes(bytes, start, p + 1 - start)
+        start = p + 1
+      }
+      p += 1
+      if (p < n)
+        h = (h - (bytes(p - w) & 0xff) * basePow) * RollingMinHash.Base + (bytes(p) & 0xff)
+    }
+    if (start < n) out += UTF8String.fromBytes(bytes, start, n - start)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** Register `cdc_chunks(str[, w, maskBits])`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => CdcChunks(Cast(c, StringType), 16, 6)
+        case Seq(c, Literal(w: Int, IntegerType), Literal(m: Int, IntegerType)) =>
+          CdcChunks(Cast(c, StringType), w, m)
+        case other => throw new IllegalArgumentException(
+          s"cdc_chunks(str[, w, maskBits]) got ${other.size} args")
+      })
+  }
+}

@@ -118,6 +118,49 @@ object DedupOps {
     * per-document set sizes. Returns (intersections (doc_a < doc_b,
     * n_inter), sizes (doc_id, n)).
     */
+  /** Content-defined-chunking dedup (LBFS, Muthitacharoen et al.
+    * SOSP'01; [[graft.functions.CdcChunks]]): chunk every normalized
+    * document at content-defined boundaries (16-byte Karp-Rabin window,
+    * 6 mask bits → ~64-char expected chunks), then measure per document
+    * how much of its content lives in chunks that ALSO occur in other
+    * documents. The partial-overlap detector between exact dedup (whole
+    * doc) and shingle Jaccard (set estimate): CDC finds the verbatim
+    * shared SPANS — syndicated paragraphs, boilerplate blocks, shifted
+    * copies — because an insertion re-synchronizes the chunk stream
+    * within one window instead of shifting every block like fixed-size
+    * blocking would.
+    *
+    * shared_millis = 1000·chars_shared div chars_total, where a chunk
+    * occurrence is shared when its chunk text appears in ≥ 2 DISTINCT
+    * documents (repeats inside one doc don't count as shared).
+    *
+    * Scale shape: one narrow scan + explode (codegen'd Catalyst
+    * expression, no UDF), one groupBy on the 64-bit chunk hash for the
+    * cross-doc frequency (map-side combined; a boilerplate chunk in
+    * every doc is just a hot GROUP, never a join fanout), one equi-join
+    * back on that hash, one per-doc aggregate. Chunk identity travels
+    * as xxhash64(chunk) — the string never shuffles twice.
+    */
+  def dedupCdc(s: SparkSession, dir: String): DataFrame = {
+    val ch = docs(s, dir)
+      .select(col("doc_id"),
+        explode(expr(
+          "cdc_chunks(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), 16, 6)")).as("chunk"))
+      .select(col("doc_id"), xxhash64(col("chunk")).as("h"),
+        length(col("chunk")).cast("long").as("len"))
+    val freq = ch.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+    ch.join(freq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum((col("n_docs_with") >= 2L).cast("long")).as("n_shared"),
+        sum(col("len")).as("chars_total"),
+        sum(when(col("n_docs_with") >= 2L, col("len")).otherwise(0L)).as("chars_shared"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+        col("chars_total"), col("chars_shared"),
+        expr("(1000 * chars_shared) div chars_total").as("shared_millis"))
+  }
+
   /** Rare-shingle co-occurrence edges (doc_a < doc_b, canonical `a`/`b`
     * columns): document pairs sharing at least `minShared` distinct
     * df-guarded 3-gram shingles. The TOPICAL graph the near-dup

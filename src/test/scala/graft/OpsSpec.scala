@@ -2341,6 +2341,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(unguarded != want.keySet)
   }
 
+  test("cdc chunks: lossless, boundary-deterministic, re-synchronizing") {
+    import graft.functions.CdcChunks
+    def chunksOf(s: String): Seq[String] = {
+      val a = CdcChunks.compute(s.getBytes("UTF-8"), 16, 6)
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    // deterministic pseudo-text long enough for many boundaries
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 600).map(_ => "abcdefgh "(rnd.nextInt(9))).mkString
+    val cs = chunksOf(base)
+    // lossless: chunks concatenate back to the input
+    assert(cs.mkString == base)
+    assert(cs.size > 3, s"expected several chunks, got ${cs.size}")
+    // edge cases: empty and shorter-than-window inputs
+    assert(chunksOf("").isEmpty)
+    assert(chunksOf("short") == Seq("short"))
+    // re-synchronization (the CDC property): a prefix insertion shifts
+    // every byte offset, yet all but the first few chunks realign
+    val shifted = "INSERTED PREFIX " + base
+    val cs2 = chunksOf(shifted)
+    val common = cs.toSet.intersect(cs2.toSet)
+    assert(common.size >= cs.size - 2,
+      s"only ${common.size}/${cs.size} chunks survived a prefix shift")
+    // registered function agrees with the direct call (codegen path)
+    val ss = spark
+    import ss.implicits._
+    val viaSql = Seq(base).toDF("t")
+      .selectExpr("cdc_chunks(t, 16, 6) AS c").collect()(0).getSeq[String](0)
+    assert(viaSql == cs)
+  }
+
   test("modularity terms: kernel == brute force; edges conserved") {
     val ss = spark
     import ss.implicits._
