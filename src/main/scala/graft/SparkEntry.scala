@@ -189,6 +189,7 @@ object SparkEntry {
     "emb_neardup" -> (SimilarityOps.embNearDup _),
     "sim_lsh_topk" -> (SimilarityOps.simLshTopK _),
     "sim_ivf_topk" -> (SimilarityOps.simIvfTopK _),
+    "sim_ivf_radius" -> ((s, d) => SimilarityOps.simIvfRadius(s, d)),
     "sim_rrf_fusion" -> (SimilarityOps.simRrfFusion _),
     "sim_filtered_topk" -> ((s, d) => SimilarityOps.simFilteredTopK(s, d)),
     "sim_pq_topk" -> (SimilarityOps.simPqTopK _),
@@ -3514,6 +3515,32 @@ object SparkEntry {
         FROM s
       ) t WHERE rn <= 5""",
     "sim_ivf_topk" -> IvfTopkSql,
+    // radius search: identical probes + exact re-score as the IVF
+    // top-k oracle, with a cosine-bar filter instead of the window
+    "sim_ivf_radius" -> s"""
+      WITH $IvfCellCtes,
+      probes AS (
+        SELECT qid, cell FROM (
+          SELECT a.vec_id AS qid, c.centroid_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                   CAST($IvfDot AS DOUBLE) / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) DESC,
+                   c.centroid_id) AS rnk
+          FROM en a, c3 c WHERE a.vec_id < 10
+        ) WHERE rnk <= 4
+      ), cand AS (
+        SELECT p.qid, en2.vec_id AS cid,
+               CAST(list_sum(list_transform(range(1, 65), i -> q1.q[i] * en2.q[i])) AS BIGINT) AS dot,
+               q1.nq AS qn, en2.nq AS cn2
+        FROM probes p
+        JOIN en q1 ON q1.vec_id = p.qid
+        JOIN cells cl ON cl.cell = p.cell
+        JOIN en en2 ON en2.vec_id = cl.vec_id
+        WHERE en2.vec_id <> p.qid
+      )
+      SELECT qid, cid,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS cos
+      FROM cand
+      WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) >= 0.3""",
     "sim_ivfpq_topk" -> IvfPqSql,
     "sim_knn_classify" -> """
       WITH e AS (

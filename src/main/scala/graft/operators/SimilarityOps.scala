@@ -293,11 +293,22 @@ object SimilarityOps {
     */
   private def ivfRescore(s: SparkSession, e: DataFrame, probes: DataFrame,
       cells: DataFrame): DataFrame = {
+    val cand = ivfCandidates(e, probes, cells)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("qid"), col("cid"), col("cos"), col("rn"))
+  }
+
+  /** Exact-scored candidates of the probed cells (qid, cid, cos) —
+    * the shared front half of the IVF top-k and radius paths.
+    */
+  private def ivfCandidates(e: DataFrame, probes: DataFrame,
+      cells: DataFrame): DataFrame = {
     val qside = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("q").as("qv"), col("nq").as("qn"))
       .join(probes, Seq("qid"))
     // candidates = vectors in probed cells only, then exact re-score
-    val cand = qside.join(
+    qside.join(
         cells.select(col("vec_id").as("cid"), col("q").as("cv"), col("nq").as("cn2"), col("cell")),
         Seq("cell"))
       .filter(col("qid") =!= col("cid"))
@@ -306,9 +317,29 @@ object SimilarityOps {
         col("qn"), col("cn2"))
       .withColumn("cos", col("dot") / (sqrt(col("qn")) * sqrt(col("cn2"))))
       .dropDuplicates("qid", "cid")
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-      .select(col("qid"), col("cid"), col("cos"), col("rn"))
+  }
+
+  /** Radius (range) search on the IVF path: every corpus vector within
+    * cosine ≥ τ of each probe, restricted to the probe's nProbe nearest
+    * cells — the "find ALL matches above a similarity bar" query that
+    * top-k cannot express (k is unknown a priori: a dedup sweep wants
+    * every near-copy, not the best 5). Same probes, same exact
+    * re-score, same plan shape as [[simIvfTopK]]; only the tail differs
+    * (a filter instead of a per-probe window), so the radius query
+    * inherits the index's scan-pruning story unchanged — at 100 TB the
+    * persisted layout reads nProbe partition directories per probe and
+    * the filter is row-local, no window at all.
+    */
+  def simIvfRadius(s: SparkSession, dir: String, tauMilli: Long = 300L,
+      nProbe: Int = 4): DataFrame = {
+    val e = ResidentCache(s, "sim_quantized", quantized(s, dir))
+    val (centroids, assigned) = kmeansCells(s, e, dir)
+    val cells = e.join(assigned, Seq("vec_id"))
+    val probes = pairScoresAgainst(s, e.filter(col("vec_id") < 10), centroids, topPerProbe = nProbe)
+      .select(col("qid"), col("cid").as("cell"))
+    ivfCandidates(e, probes, cells)
+      .filter(col("cos") >= tauMilli.toDouble / 1000.0)
+      .select(col("qid"), col("cid"), col("cos"))
   }
 
   /** Persist the IVF index: the 16-row centroid table plus the

@@ -2341,6 +2341,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(unguarded != want.keySet)
   }
 
+  test("ivf radius: exactly the thresholded candidate set; consistent with top-k") {
+    val tau = 300L
+    val radius = SimilarityOps.simIvfRadius(spark, sf, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val topk = SimilarityOps.simIvfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every radius hit clears the bar
+    radius.values.foreach(c => assert(c >= tau / 1000.0))
+    // a top-k row above the bar MUST be in the radius set with the
+    // same score (both read the same probed-cell candidates)
+    topk.foreach { case (k, c) =>
+      if (c >= tau / 1000.0) assert(radius.get(k).contains(c), s"top-k pair $k missing")
+    }
+    // and the radius set reaches beyond top-5 when the data allows it,
+    // or at minimum is nonempty on this corpus
+    assert(radius.nonEmpty)
+  }
+
   test("cdc chunks: lossless, boundary-deterministic, re-synchronizing") {
     import graft.functions.CdcChunks
     def chunksOf(s: String): Seq[String] = {
