@@ -794,4 +794,54 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = executedPhysical(df)
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("link prediction: wedge/edge/degree joins are all equi, anti join for non-edges") {
+    val df = GraphOps.graphLinkPred(spark, sf)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("LeftAnti"), "existing edges must leave via an anti join")
+    val plan = executedPhysical(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "wedge generation must be an equi join on the center key")
+  }
+
+  test("cdc dedup: codegen'd chunker, no UDF, chunk-hash equi join only") {
+    val df = DedupOps.dedupCdc(spark, sf)
+    val plan = executedPhysical(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "chunker must be the native expression, not a UDF")
+    // the chunk explode runs inside whole-stage codegen (cdc_chunks
+    // implements doGenCode, so the generate's child projection fuses)
+    assert(plan.contains("cdc_chunks"), "native expression missing from plan")
+    // "*(n)" prefixes mark whole-stage-codegen spans in the final plan
+    assert(plan.contains("*("), "hot path fell out of codegen")
+  }
+
+  test("dp release: threshold table joins as a broadcast, histogram is one aggregate") {
+    val df = CurateOps.curateDpRelease(spark, sf)
+    val plan = executedPhysical(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "33-row threshold table must broadcast")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "range join against 33 rows must never sort-merge")
+    // exactly one shuffle: the (source, lang) histogram's own exchange
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"unexpected shuffles ($exchanges):\n${plan.take(2000)}")
+  }
+
+  test("ivf radius: filter tail, one fewer ranking stage than top-k") {
+    val radius = executedPhysical(SimilarityOps.simIvfRadius(spark, sf, 300L))
+    assert(!radius.contains("CartesianProduct"), radius.take(2000))
+    // the probe stage ranks (top-nProbe cells) in BOTH paths; the
+    // radius TAIL is a row-local filter, so it must have strictly
+    // fewer window stages than top-k's candidate ranking
+    def wins(p: String) = "WindowGroupLimit|WindowExec|RunningWindowFunction|\\bWindow\\b".r
+      .findAllIn(p).size
+    val topk = executedPhysical(SimilarityOps.simIvfTopK(spark, sf))
+    assert(wins(radius) < wins(topk),
+      s"radius has ${wins(radius)} window stages vs top-k ${wins(topk)} — filter tail lost")
+  }
 }
