@@ -123,6 +123,7 @@ object SparkEntry {
     // dedup
     "dedup_exact" -> (DedupOps.dedupExact _),
     "dedup_cdc" -> (DedupOps.dedupCdc _),
+    "dedup_cdc_incremental" -> (DedupOps.dedupCdcIncremental _),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
     "dedup_ppjoin" -> (DedupOps.dedupPpjoin _),
     "dedup_containment" -> ((s, dir) => DedupOps.dedupContainment(s, dir)),
@@ -295,6 +296,44 @@ object SparkEntry {
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
       )"""
+
+  /** Shared CDC chunking CTEs: per-document chunk list replayed
+    * positionally — boundary at 1-based end position p2 when the
+    * Karp-Rabin hash of the trailing 16 chars masks to zero, with the
+    * coefficients Base^(16-j) mod 2^64 interpolated from the SAME
+    * RollingMinHash.Base constant the engine's cdc_chunks expression
+    * uses. Yields CTE `ch(doc_id, chunk)`.
+    */
+  private lazy val CdcChunkCtes: String = {
+    val w = 16
+    val coefs = (1 to w).map { j =>
+      var v = 1L
+      (0 until (w - j)).foreach(_ => v *= graft.functions.RollingMinHash.Base)
+      java.lang.Long.toUnsignedString(v) + "::HUGEINT"
+    }.mkString("[", ", ", "]")
+    s"""
+      WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        FROM documents
+      ), p AS (
+        SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) > 0
+      ), bnd AS (
+        SELECT doc_id, t, n,
+          list_filter(range(16, GREATEST(n + 1, 16)), p2 ->
+            (list_sum(list_transform(range(1, 17), j -> ord(t[CAST(p2-16+j AS INT)]) * ($coefs)[CAST(j AS INT)]))
+             % 18446744073709551616::HUGEINT) % 64 = 0) AS bs
+        FROM p
+      ), cs AS (
+        SELECT doc_id, t,
+          CASE WHEN len(bs) > 0 AND bs[-1] = n
+               THEN list_concat([CAST(0 AS BIGINT)], bs)
+               ELSE list_concat(list_concat([CAST(0 AS BIGINT)], bs), [CAST(n AS BIGINT)]) END AS cuts
+        FROM bnd
+      ), ch AS (
+        SELECT doc_id, t[CAST(cuts[CAST(i AS INT)] + 1 AS INT):CAST(cuts[CAST(i+1 AS INT)] AS INT)] AS chunk
+        FROM cs, UNNEST(range(1, len(cuts))) AS u(i)
+      )"""
+  }
 
   private lazy val NgramJaccardSql: String = ShinglePairCtes + """
       SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
@@ -3126,35 +3165,8 @@ object SparkEntry {
     // when the Karp-Rabin hash of the trailing 16 chars masks to zero —
     // coefficients Base^(16-j) mod 2^64 interpolated from the SAME
     // RollingMinHash.Base constant the engine's expression uses
-    "dedup_cdc" -> {
-      val w = 16
-      val coefs = (1 to w).map { j =>
-        var v = 1L
-        (0 until (w - j)).foreach(_ => v *= graft.functions.RollingMinHash.Base)
-        java.lang.Long.toUnsignedString(v) + "::HUGEINT"
-      }.mkString("[", ", ", "]")
-      s"""
-      WITH d AS (
-        SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
-        FROM documents
-      ), p AS (
-        SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) > 0
-      ), bnd AS (
-        SELECT doc_id, t, n,
-          list_filter(range(16, GREATEST(n + 1, 16)), p2 ->
-            (list_sum(list_transform(range(1, 17), j -> ord(t[CAST(p2-16+j AS INT)]) * ($coefs)[CAST(j AS INT)]))
-             % 18446744073709551616::HUGEINT) % 64 = 0) AS bs
-        FROM p
-      ), cs AS (
-        SELECT doc_id, t,
-          CASE WHEN len(bs) > 0 AND bs[-1] = n
-               THEN list_concat([CAST(0 AS BIGINT)], bs)
-               ELSE list_concat(list_concat([CAST(0 AS BIGINT)], bs), [CAST(n AS BIGINT)]) END AS cuts
-        FROM bnd
-      ), ch AS (
-        SELECT doc_id, t[CAST(cuts[CAST(i AS INT)] + 1 AS INT):CAST(cuts[CAST(i+1 AS INT)] AS INT)] AS chunk
-        FROM cs, UNNEST(range(1, len(cuts))) AS u(i)
-      ), f AS (
+    "dedup_cdc" -> (CdcChunkCtes + """,
+      f AS (
         SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY 1
       )
       SELECT ch.doc_id,
@@ -3164,8 +3176,25 @@ object SparkEntry {
              CAST(SUM(CASE WHEN f.nd >= 2 THEN len(ch.chunk) ELSE 0 END) AS BIGINT) AS chars_shared,
              CAST((1000 * SUM(CASE WHEN f.nd >= 2 THEN len(ch.chunk) ELSE 0 END))
                   // SUM(len(ch.chunk)) AS BIGINT) AS shared_millis
-      FROM ch JOIN f USING (chunk) GROUP BY 1"""
-    },
+      FROM ch JOIN f USING (chunk) GROUP BY 1"""),
+    // incremental CDC probe: new slice (doc_id % 10 >= 8) scored
+    // against the DISTINCT chunk set of the reference slice
+    "dedup_cdc_incremental" -> (CdcChunkCtes + """,
+      ref AS (
+        SELECT DISTINCT chunk FROM ch WHERE doc_id % 10 < 8
+      ), nu AS (
+        SELECT ch.doc_id, ch.chunk,
+               CASE WHEN ref.chunk IS NOT NULL THEN 1 ELSE 0 END AS seen
+        FROM ch LEFT JOIN ref ON ref.chunk = ch.chunk
+        WHERE ch.doc_id % 10 >= 8
+      )
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(seen) AS BIGINT) AS n_shared,
+             CAST(SUM(len(chunk)) AS BIGINT) AS chars_total,
+             CAST(SUM(seen * len(chunk)) AS BIGINT) AS chars_shared,
+             CAST((1000 * SUM(seen * len(chunk))) // SUM(len(chunk)) AS BIGINT) AS shared_millis
+      FROM nu GROUP BY 1"""),
     "dedup_ngram_jaccard" -> NgramJaccardSql,
     // PPJoin prefix-filtered EXACT J >= 0.8 self-join: the oracle is the
     // brute-force all-pairs replay at the same threshold (the prefix/

@@ -161,6 +161,61 @@ object DedupOps {
         expr("(1000 * chars_shared) div chars_total").as("shared_millis"))
   }
 
+  /** Batch entry for the CDC probe: the doc_id % 10 >= 8 slice arrives
+    * as "new" and probes the chunk index built from the rest — same
+    * split convention as [[dedupIncremental]], and the plan the
+    * streaming twin runs per micro-batch.
+    */
+  def dedupCdcIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isNew = pmod(col("doc_id"), lit(10)) >= 8
+    cdcProbeWith(d.filter(isNew), cdcChunkIndexOf(d.filter(!isNew)))
+  }
+
+  /** Distinct CDC chunk hashes of a corpus — the frozen reference side
+    * of [[cdcProbeWith]]. At scale this is a persisted index table
+    * (like [[buildDedupIndex]]'s fps), re-read per micro-batch, never
+    * recomputed from the corpus.
+    */
+  def cdcChunkIndex(s: SparkSession, dir: String): DataFrame =
+    cdcChunkIndexOf(docs(s, dir))
+
+  /** Same over an arbitrary documents DataFrame. */
+  def cdcChunkIndexOf(d: DataFrame): DataFrame =
+    d.select(explode(expr(
+        "cdc_chunks(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), 16, 6)")).as("chunk"))
+      .select(xxhash64(col("chunk")).as("h")).distinct()
+
+  /** CDC shared-span accounting of NEW documents against a frozen
+    * reference chunk set: the incremental twin of [[dedupCdc]] —
+    * "shared" here means the chunk already exists in the REFERENCE
+    * corpus (left-semi membership), so a stream of arriving documents
+    * gets per-doc verbatim-overlap verdicts at O(batch) cost per tick.
+    * Chunking, hashing, and the output shape are identical to the
+    * batch operator; only the frequency side differs (frozen index vs
+    * same-batch cross-doc counts), which is exactly the stream-static
+    * join pattern every other probe driver uses.
+    */
+  def cdcProbeWith(newDocs: DataFrame, refChunks: DataFrame): DataFrame = {
+    val ch = newDocs
+      .select(col("doc_id"),
+        explode(expr(
+          "cdc_chunks(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), 16, 6)")).as("chunk"))
+      .select(col("doc_id"), xxhash64(col("chunk")).as("h"),
+        length(col("chunk")).cast("long").as("len"))
+    // ONE left join (ref side is distinct, so no fanout), null → unseen
+    ch.join(refChunks.select(col("h"), lit(1L).as("seen")).distinct(), Seq("h"), "left")
+      .na.fill(0L, Seq("seen"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("seen")).as("n_shared"),
+        sum(col("len")).as("chars_total"),
+        sum(col("seen") * col("len")).as("chars_shared"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+        col("chars_total"), col("chars_shared"),
+        expr("(1000 * chars_shared) div chars_total").as("shared_millis"))
+  }
+
   /** Rare-shingle co-occurrence edges (doc_a < doc_b, canonical `a`/`b`
     * columns): document pairs sharing at least `minShared` distinct
     * df-guarded 3-gram shingles. The TOPICAL graph the near-dup

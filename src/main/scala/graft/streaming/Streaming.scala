@@ -869,6 +869,24 @@ object Streaming {
     }
   }
 
+  /** CDC shared-span probe over a stream of arriving documents against
+    * a frozen chunk index ([[graft.operators.DedupOps.cdcProbeWith]]):
+    * per-doc verbatim-overlap verdicts at O(batch) per tick via the
+    * same stream-static join pattern as [[runIncrementalDedup]] —
+    * chunking is the codegen'd `cdc_chunks` expression, the index is a
+    * persisted table re-read per micro-batch, never recomputed.
+    */
+  def runCdcProbe(
+      newDocs: DataFrame,
+      refChunks: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit = {
+    runAppendScorer(newDocs, store, table, checkpointDir) { batch =>
+      graft.operators.DedupOps.cdcProbeWith(batch, refChunks)
+    }
+  }
+
   /** Watermarked stream-stream interval join: every purchase matched to
     * the same user's clicks in the preceding hour (last-touch
     * attribution). BOTH sides carry watermarks and the join condition

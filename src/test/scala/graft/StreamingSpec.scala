@@ -156,6 +156,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming CDC probe over two arrivals equals the batch probe") {
+    val store = new RelationStore(spark, s"$work/wh_cdc")
+    val newIn = s"$work/cdcdocs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 8
+    // frozen chunk index from the already-ingested slice, persisted and
+    // re-read — each micro-batch probes storage, never a recompute
+    store.write(graft.operators.DedupOps.cdcChunkIndexOf(docs.filter(!isNew)), "cdc_idx")
+    val ref = store.read("cdc_idx")
+    docs.filter(isNew && col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runCdcProbe(Streaming.documentStream(spark, newIn), ref,
+      store, "cdc_probe", s"$work/cp_cdc")
+    val afterFirst = store.read("cdc_probe").count()
+    docs.filter(isNew && col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runCdcProbe(Streaming.documentStream(spark, newIn), ref,
+      store, "cdc_probe", s"$work/cp_cdc")
+    val streamed = store.read("cdc_probe")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    // per-doc verdicts join only the batch against the frozen index, so
+    // the union over arrivals equals the one-shot batch operator
+    val batch = graft.operators.DedupOps.dedupCdcIncremental(spark, "/root/testdata/sf0.001")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming DSIR scoring over two arrivals equals the batch scorer") {
     val store = new RelationStore(spark, s"$work/wh_dsir")
     val newIn = s"$work/dsirdocs"
