@@ -148,14 +148,22 @@ object DedupOps {
           "cdc_chunks(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), 16, 6)")).as("chunk"))
       .select(col("doc_id"), xxhash64(col("chunk")).as("h"),
         length(col("chunk")).cast("long").as("len"))
-    val freq = ch.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("n_docs_with"))
-    ch.join(freq, Seq("h"))
+    // pre-aggregate per (h, doc) and pin it resident: the chunk/scan
+    // pipeline then runs ONCE — the frequency branch and the join
+    // branch get re-aliased subtrees a ReuseExchange cannot unify, so
+    // without the cache the corpus is chunked twice (the same reason
+    // the shingle table is resident). Cached rows are the REDUCED
+    // table (~1/expected-chunk-len of the corpus, fixed-width).
+    val perDoc = ResidentCache(s, "dedup_cdc_perdoc",
+      ch.groupBy(col("h"), col("doc_id"))
+        .agg(count(lit(1)).as("cnt"), sum(col("len")).as("len_sum")))
+    val freq = perDoc.groupBy(col("h")).agg(count(lit(1)).as("n_docs_with"))
+    perDoc.join(freq, Seq("h"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum((col("n_docs_with") >= 2L).cast("long")).as("n_shared"),
-        sum(col("len")).as("chars_total"),
-        sum(when(col("n_docs_with") >= 2L, col("len")).otherwise(0L)).as("chars_shared"))
+      .agg(sum(col("cnt")).as("n_chunks"),
+        sum(when(col("n_docs_with") >= 2L, col("cnt")).otherwise(0L)).as("n_shared"),
+        sum(col("len_sum")).as("chars_total"),
+        sum(when(col("n_docs_with") >= 2L, col("len_sum")).otherwise(0L)).as("chars_shared"))
       .select(col("doc_id"), col("n_chunks"), col("n_shared"),
         col("chars_total"), col("chars_shared"),
         expr("(1000 * chars_shared) div chars_total").as("shared_millis"))

@@ -492,17 +492,20 @@ object GraphOps {
     val tagged = pairs
       .join(src.select(col("doc_id").as("a"), col("source").as("src_a")), Seq("a"))
       .join(src.select(col("doc_id").as("b"), col("source").as("src_b")), Seq("b"))
-    // half-edge view: every edge contributes one half-edge per endpoint,
-    // so SUM(deg) per source == d_s without materializing per-node degree
-    val halves = tagged.select(col("src_a").as("source"))
-      .unionByName(tagged.select(col("src_b").as("source")))
-    val dSum = halves.groupBy(col("source")).agg(count(lit(1)).as("d_sum"))
-    val mIntra = tagged.filter(col("src_a") === col("src_b"))
-      .groupBy(col("src_a").as("source")).agg(count(lit(1)).as("m_intra"))
-    val totals = tagged.agg(count(lit(1)).as("m"))
-    dSum.join(mIntra, Seq("source"), "left")
-      .na.fill(0L, Seq("m_intra"))
-      .crossJoin(broadcast(totals))
+    // half-edge view: every edge contributes one half per endpoint, each
+    // carrying an intra flag — so ONE source-keyed aggregate yields both
+    // d_s (= half count) and m_s (= Σ intra div 2: an intra edge donates
+    // two flagged halves), and m falls out of Σ d_s = 2m. The edge
+    // tagging therefore runs ONCE; a per-term spelling (separate dSum /
+    // mIntra / totals scans) would re-join the corpus three times.
+    val halves = tagged.select(col("src_a").as("source"),
+        (col("src_a") === col("src_b")).cast("long").as("intra"))
+      .unionByName(tagged.select(col("src_b").as("source"),
+        (col("src_a") === col("src_b")).cast("long").as("intra")))
+    val bySrc = halves.groupBy(col("source"))
+      .agg(count(lit(1)).as("d_sum"), expr("sum(intra) div 2").as("m_intra"))
+    val totals = bySrc.agg(expr("sum(d_sum) div 2").as("m"))
+    bySrc.crossJoin(broadcast(totals))
       .select(col("source"), col("m"), col("m_intra"), col("d_sum"),
         expr("1000000 * m_intra div m").as("cov_ppm"),
         expr("CAST((1000000 * CAST(d_sum AS DECIMAL(38,0)) * d_sum) div (4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)")

@@ -817,6 +817,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("cdc_chunks"), "native expression missing from plan")
     // "*(n)" prefixes mark whole-stage-codegen spans in the final plan
     assert(plan.contains("*("), "hot path fell out of codegen")
+    // the corpus is chunked ONCE: the per-(h, doc) pre-aggregate is
+    // resident, so both consumers (cross-doc frequency + join back)
+    // read the in-memory table instead of re-running the scan+chunk
+    // pipeline. In the AQE final-plan text, materialized stages print
+    // as bare QueryStage references, so the pin is: the chunk Generate
+    // appears at most once (only inside the cached lineage) and an
+    // InMemoryTableScan serves it.
+    val generates = "Generate explode".r.findAllIn(plan).size
+    assert(generates <= 1, s"corpus chunked $generates times:\n${plan.take(3000)}")
+    assert(plan.contains("InMemoryTableScan"),
+      s"per-(h, doc) table must be resident:\n${plan.take(3000)}")
   }
 
   test("dp release: threshold table joins as a broadcast, histogram is one aggregate") {
