@@ -112,12 +112,6 @@ object DedupOps {
         (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
   }
 
-  /** Shared pair-mining core of [[ngramJaccard]] and
-    * [[dedupContainment]]: exact shingle-set intersection counts for
-    * every document pair sharing at least one (rare) shingle, plus the
-    * per-document set sizes. Returns (intersections (doc_a < doc_b,
-    * n_inter), sizes (doc_id, n)).
-    */
   /** Content-defined-chunking dedup (LBFS, Muthitacharoen et al.
     * SOSP'01; [[graft.functions.CdcChunks]]): chunk every normalized
     * document at content-defined boundaries (16-byte Karp-Rabin window,
@@ -239,6 +233,12 @@ object DedupOps {
       .filter(col("n_inter") >= minShared)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
 
+  /** Shared pair-mining core of [[ngramJaccard]] and
+    * [[dedupContainment]]: exact shingle-set intersection counts for
+    * every document pair sharing at least one (rare) shingle, plus the
+    * per-document set sizes. Returns (intersections (doc_a < doc_b,
+    * n_inter), sizes (doc_id, n)).
+    */
   private def shingleIntersections(s: SparkSession, dir: String,
       maxDf: Int): (DataFrame, DataFrame) = {
     // join on the 64-bit shingle hash, not the string: same counts
