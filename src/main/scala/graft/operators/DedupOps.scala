@@ -147,7 +147,11 @@ object DedupOps {
     // branch get re-aliased subtrees a ReuseExchange cannot unify, so
     // without the cache the corpus is chunked twice (the same reason
     // the shingle table is resident). Cached rows are the REDUCED
-    // table (~1/expected-chunk-len of the corpus, fixed-width).
+    // fixed-width table (~1/expected-chunk-len of the corpus chars);
+    // Spark's MEMORY_AND_DISK default spills what executors can't
+    // hold — at a scale where even that is unwanted, swap the slot
+    // for an explicit checkpoint of the same table (one write, two
+    // reads) rather than reverting to the double chunking.
     val perDoc = ResidentCache(s, "dedup_cdc_perdoc",
       ch.groupBy(col("h"), col("doc_id"))
         .agg(count(lit(1)).as("cnt"), sum(col("len")).as("len_sum")))

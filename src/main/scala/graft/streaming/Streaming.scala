@@ -506,11 +506,12 @@ object Streaming {
     * near-dup probe against the frozen dedup index, Gopher rule gate,
     * per-language CCNet bucketing under the frozen char-LM + threshold
     * artifacts, topic tagging, boilerplate strike filtering under the
-    * frozen strike set, and IVF-PQ encoding of the arriving embeddings
-    * under the frozen centroids + codebook — NINE tables from ONE
-    * readStream: eight verdict/audit tables plus the quota-admitted
+    * frozen strike set, CDC shared-span probing against the frozen
+    * chunk index, and IVF-PQ encoding of the arriving embeddings
+    * under the frozen centroids + codebook — TEN tables from ONE
+    * readStream: nine verdict/audit tables plus the quota-admitted
     * CORPUS itself (the batch is cached once and feeds every plan, so
-    * arriving data is scanned once, not nine times). Every member is
+    * arriving data is scanned once, not ten times). Every member is
     * the exact batch operator, so each table is stream ≡ batch by
     * construction and the composition adds no new semantics — only the
     * single-pass execution a 100 TB ingest loop actually wants.
@@ -530,6 +531,7 @@ object Streaming {
       boiler: DataFrame,
       centroids: DataFrame,
       codebook: DataFrame,
+      cdcRef: DataFrame,
       store: RelationStore,
       prefix: String,
       checkpointDir: String,
@@ -596,6 +598,8 @@ object Streaming {
             graft.operators.TextOps.boilerplateFilterWith(batch, boiler), batchId)
           landAppend(store, s"${prefix}_mojibake",
             graft.operators.TextOps.mojibakeOf(batch), batchId)
+          landAppend(store, s"${prefix}_cdc",
+            graft.operators.DedupOps.cdcProbeWith(batch, cdcRef), batchId)
           landAppend(store, s"${prefix}_codes",
             graft.operators.SimilarityOps.ivfPqEncodeWith(
               batch.select(col("doc_id").as("vec_id"), col("embedding")),

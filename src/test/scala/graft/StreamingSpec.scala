@@ -297,7 +297,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.filter(col("admitted") === 0L).count() > 0)
   }
 
-  test("composed ingest tick: one stream pass lands all nine tables (verdicts + admitted corpus), each equal to batch") {
+  test("composed ingest tick: one stream pass lands all ten tables (verdicts + admitted corpus), each equal to batch") {
     import graft.operators.{CurateOps, DedupOps, SimilarityOps, TextOps}
     val store = new RelationStore(spark, s"$work/wh_tick")
     val newIn = s"$work/tickdocs"
@@ -321,9 +321,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     SimilarityOps.persistIvfPqIndex(spark, sf, idxPath)
     val centroids = spark.read.parquet(s"$idxPath/centroids")
     val codebook = spark.read.parquet(s"$idxPath/codebook")
+    val cdcRef = DedupOps.cdcChunkIndexOf(docs.filter(!isNew))
     def tick(): Unit =
       Streaming.runIngestTick(Streaming.enrichedDocumentStream(spark, newIn),
-        index, charLm, thr, boiler, centroids, codebook,
+        index, charLm, thr, boiler, centroids, codebook, cdcRef,
         store, "tick", s"$work/cp_tick", quota = 300L)
     enriched.filter(isNew && col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
     tick()
@@ -364,6 +365,8 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // r10: the encoding-artifact gate rides the same cached batch scan
     mustEqual("tick_mojibake", TextOps.mojibakeOf(
       newDocs.select(col("doc_id"), col("text"))))
+    // r10: CDC shared-span probe against the frozen chunk index
+    mustEqual("tick_cdc", DedupOps.cdcProbeWith(newDocs, cdcRef))
   }
 
   test("streaming multimodal dedup probes the bucketed phash index; stream equals batch") {
@@ -1048,7 +1051,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replay of a superseded epoch must skip, not throw, on a bucketed table")
   }
 
-  test("ingest tick crash-replay: re-running an epoch leaves all nine tables unchanged") {
+  test("ingest tick crash-replay: re-running an epoch leaves all ten tables unchanged") {
     import graft.operators.{DedupOps, SimilarityOps, TextOps}
     val store = new RelationStore(spark, s"$work/wh_tick_replay")
     val newIn = s"$work/tickdocs_replay"
@@ -1070,12 +1073,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     SimilarityOps.persistIvfPqIndex(spark, sf, idxPath)
     val centroids = spark.read.parquet(s"$idxPath/centroids")
     val codebook = spark.read.parquet(s"$idxPath/codebook")
+    val cdcRef = DedupOps.cdcChunkIndexOf(docs.filter(!isNew))
     def tick(cp: String): Unit =
       Streaming.runIngestTick(Streaming.enrichedDocumentStream(spark, newIn),
-        index, charLm, thr, boiler, centroids, codebook,
+        index, charLm, thr, boiler, centroids, codebook, cdcRef,
         store, "tickr", cp, quota = 300L)
     val tables = Seq("tickr_quota", "tickr_corpus", "tickr_dedup", "tickr_gopher",
-      "tickr_ccnet", "tickr_topics", "tickr_boiler", "tickr_codes", "tickr_mojibake")
+      "tickr_ccnet", "tickr_topics", "tickr_boiler", "tickr_codes", "tickr_mojibake",
+      "tickr_cdc")
 
     enriched.filter(isNew && col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
     tick(s"$work/cp_tickr")
