@@ -1960,6 +1960,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         (org.apache.spark.sql.functions.lit(1L) - col("mojibake")).as("p"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(engineEnc == opEnc, "engine SQL and operator library disagree on encoding")
+    // the engine-SQL CDC overlap report must agree with the operator
+    // library's dedupCdc bit for bit (the native cdc_chunks expression
+    // flowing through the model surface)
+    val engineCdc = store.read("doc_overlap")
+      .select(col("doc_id"), col("n_shared"), col("shared_millis")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val opCdc = graft.operators.DedupOps.dedupCdc(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("n_shared"), col("shared_millis")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(engineCdc == opCdc, "engine SQL and operator library disagree on CDC overlap")
     // the datacard accounts for every document
     val card = store.read("datacard")
     assert(card.agg(org.apache.spark.sql.functions.sum("n_docs")).first().getLong(0)
