@@ -223,6 +223,7 @@ object SparkEntry {
     "txt_trigram_lm" -> (TextOps.txtTrigramLm _),
     "txt_heaps" -> (TextOps.txtHeaps _),
     "txt_zipf" -> (TextOps.txtZipf _),
+    "txt_rake" -> (TextOps.txtRake _),
     "emb_outliers" -> (SimilarityOps.embOutliers _),
     "curate_snapshot_diff" -> (CurateOps.curateSnapshotDiff _),
     "dedup_source_matrix" -> (DedupOps.dedupSourceMatrix _),
@@ -2908,6 +2909,50 @@ object SparkEntry {
         FROM tok t2 JOIN axis a ON t2.dec <= a.k GROUP BY 1
       )
       SELECT k, n_docs, n_tokens, vocab, hapax FROM tc JOIN vh USING (k)""",
+    // RAKE replayed with the identical double-space phrase splitter
+    // (stopword pattern interpolated from the same constant)
+    "txt_rake" -> {
+      val stopPat = graft.operators.TextOps.RakeStopwords.mkString(" (", "|", ") ")
+      s"""
+      WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        FROM documents
+      ), segs AS (
+        SELECT doc_id,
+               unnest(string_split(
+                 regexp_replace(replace(' ' || t || ' ', ' ', '  '), '$stopPat', '|', 'g'),
+                 '|')) AS seg
+        FROM d WHERE t <> ''
+      ), ph AS (
+        SELECT doc_id, trim(regexp_replace(seg, ' +', ' ', 'g')) AS phrase FROM segs
+      ), php AS (
+        SELECT doc_id, phrase FROM ph
+        WHERE phrase <> '' AND len(string_split(phrase, ' ')) <= 4
+      ), words AS (
+        SELECT doc_id, unnest(string_split(phrase, ' ')) AS w,
+               CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen
+        FROM php
+      ), stats AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(plen) AS BIGINT) AS deg
+        FROM words GROUP BY 1, 2
+      ), phd AS (
+        SELECT DISTINCT doc_id, phrase FROM php
+      ), wordsd AS (
+        SELECT doc_id, phrase, unnest(string_split(phrase, ' ')) AS w FROM phd
+      ), scored AS (
+        SELECT wd.doc_id, wd.phrase,
+               CAST(SUM((1000 * s.deg) // s.freq) AS BIGINT) AS score_milli
+        FROM wordsd wd JOIN stats s ON s.doc_id = wd.doc_id AND s.w = wd.w
+        GROUP BY 1, 2
+      )
+      SELECT doc_id, rank, phrase, score_milli FROM (
+        SELECT doc_id, phrase, score_milli,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY score_milli DESC, phrase) AS BIGINT) AS rank
+        FROM scored
+      ) r WHERE rank <= 3"""
+    },
     "txt_zipf" -> """
       WITH toks AS (
         SELECT unnest(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -1448,6 +1449,75 @@ object TextOps {
     * join over that bounded table. No corpus- or vocab-sized sort
     * anywhere; decade index = length(bin(rank)) - 1, pure integer.
     */
+  /** Stopword delimiter set for RAKE phrase extraction — fixed and
+    * interpolated into the DuckDB oracle so both engines split phrases
+    * identically.
+    */
+  val RakeStopwords: Seq[String] = Seq(
+    "the", "of", "and", "a", "an", "in", "to", "is", "was", "it", "for",
+    "on", "with", "as", "by", "at", "from", "that", "this", "be", "are",
+    "were", "or", "not", "but", "its", "their", "his", "her", "they",
+    "we", "you", "i", "he", "she", "has", "have", "had", "will", "would",
+    "can", "could", "should", "may", "might", "do", "does", "did", "than",
+    "then", "so", "if", "no", "all", "any", "each", "into", "about")
+
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are the
+    * maximal stopword-free word runs (capped at 4 words); per document,
+    * word freq = phrase occurrences containing w, word deg = Σ phrase
+    * lengths over those occurrences, word score = deg/freq (rare words
+    * that travel in long phrases win), phrase score = Σ word scores.
+    * Top-3 phrases per doc — the per-document keyword datacard column.
+    * Integer milli-scores (1000·deg div freq per word, summed) so the
+    * oracle hashes exactly.
+    *
+    * Phrase splitting is pure string arithmetic replayable in any
+    * regex engine WITHOUT lookahead: every space is doubled first, so
+    * each " stopword " match owns its delimiters and adjacent
+    * stopwords cannot swallow each other's boundary (the same
+    * double-space device as the BPE oracle).
+    *
+    * Scale shape: row-local phrase extraction (no explode until the
+    * phrase table), then two (doc, key)-keyed aggregates and one
+    * equi-join back — everything is per-document bounded, and the
+    * top-3 window partitions by doc_id (never a global sort).
+    */
+  def txtRake(s: SparkSession, dir: String): DataFrame =
+    rakeOf(docs(s, dir))
+
+  /** Same over an arbitrary documents DataFrame (spec fixtures,
+    * streaming micro-batches).
+    */
+  def rakeOf(d: DataFrame): DataFrame = {
+    val stopPat = RakeStopwords.mkString(" (", "|", ") ")
+    val ph = d
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(concat(lit(" "), normalized(col("text")), lit(" ")), " ", "  "),
+          stopPat, "|").as("segs"))
+      .select(col("doc_id"), explode(split(col("segs"), "\\|")).as("seg"))
+      .select(col("doc_id"), trim(regexp_replace(col("seg"), " +", " ")).as("phrase"))
+      .filter(col("phrase") =!= "" && size(split(col("phrase"), " ")) <= 4)
+    val words = ph.select(col("doc_id"), col("phrase"),
+        explode(split(col("phrase"), " ")).as("w"),
+        size(split(col("phrase"), " ")).cast("long").as("plen"))
+    val stats = words.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    // score each DISTINCT phrase once (repeated phrases feed stats but
+    // must not double their own score)
+    val wordsD = ph.select(col("doc_id"), col("phrase")).distinct()
+      .select(col("doc_id"), col("phrase"),
+        explode(split(col("phrase"), " ")).as("w"))
+    val scored = wordsD.join(stats, Seq("doc_id", "w"))
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(sum(expr("(1000 * deg) div freq")).as("score_milli"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_milli").desc, col("phrase"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("phrase"), col("score_milli"))
+  }
+
   def txtZipf(s: SparkSession, dir: String): DataFrame = {
     val terms = docs(s, dir)
       .select(explode(filter(split(normalized(col("text")), " "), t => t =!= "")).as("term"))

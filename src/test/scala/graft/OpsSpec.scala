@@ -2359,6 +2359,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(radius.nonEmpty)
   }
 
+  test("rake keywords: wedge pipeline == driver brute force on planted docs") {
+    val ss = spark
+    import ss.implicits._
+    val fixture = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and the quick brown fox returns"),
+      (2L, "deep learning of neural networks and deep learning for vision"),
+      (3L, "the of and"), // stopwords only: no phrases, no output rows
+      (4L, "solo")).toDF("doc_id", "text")
+    val got = TextOps.rakeOf(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    // driver brute force: same normalization, phrase runs, RAKE scores
+    val stop = TextOps.RakeStopwords.toSet
+    def brute(text: String): Seq[(String, Long)] = {
+      val wordsAll = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ").filter(_.nonEmpty)
+      val phrases = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      var run = List.empty[String]
+      for (w <- wordsAll) {
+        if (stop(w)) { if (run.nonEmpty) phrases += run.reverse; run = Nil }
+        else run = w :: run
+      }
+      if (run.nonEmpty) phrases += run.reverse
+      val kept = phrases.filter(_.size <= 4).toSeq
+      val freq = kept.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val deg = kept.flatMap(p => p.map(_ -> p.size.toLong))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      kept.map(p => (p.mkString(" "), p.map(w => 1000L * deg(w) / freq(w)).sum))
+        .distinct
+        .sortBy { case (ph, sc) => (-sc, ph) }.take(3)
+        .zipWithIndex.map { case ((ph, sc), i) => (ph, sc) }
+    }
+    for (docId <- Seq(1L, 2L, 4L)) {
+      val text = Seq("", "the quick brown fox jumps over the lazy dog and the quick brown fox returns",
+        "deep learning of neural networks and deep learning for vision", "", "solo")(docId.toInt)
+      val want = brute(text).zipWithIndex.map { case (v, i) => (docId, i + 1L) -> v }.toMap
+      val gotDoc = got.filter(_._1._1 == docId)
+      assert(gotDoc == want, s"doc $docId: $gotDoc vs $want")
+    }
+    assert(!got.keys.exists(_._1 == 3L), "stopword-only doc must emit nothing")
+  }
+
   test("cdc chunks: lossless, boundary-deterministic, re-synchronizing") {
     import graft.functions.CdcChunks
     def chunksOf(s: String): Seq[String] = {
