@@ -170,6 +170,7 @@ object SparkEntry {
     "curate_l_diversity" -> ((s, dir) => CurateOps.curateLDiversity(s, dir)),
     "curate_t_closeness" -> ((s, dir) => CurateOps.curateTCloseness(s, dir)),
     "curate_dp_release" -> (CurateOps.curateDpRelease _),
+    "curate_source_concentration" -> (CurateOps.curateSourceConcentration _),
     "curate_curriculum" -> (CurateOps.curateCurriculum _),
     "curate_unimax" -> ((s, dir) => CurateOps.curateUnimax(s, dir)),
     "emb_quantize" -> (CurateOps.embQuantize _),
@@ -3345,6 +3346,30 @@ object SparkEntry {
              CAST(COUNT(*) >= 3 AS BIGINT) AS l_diverse
       FROM per_topic GROUP BY 1, 2, 3"""
     },
+    // concentration: rank window + divisions over the bounded source
+    // table; HHI in HUGEINT mirrors Spark's DECIMAL(38)
+    "curate_source_concentration" -> """
+      WITH bysrc AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+      ), ranked AS (
+        SELECT n_docs,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_docs, source) AS BIGINT) AS i
+        FROM bysrc
+      ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+               CAST(SUM(n_docs) AS BIGINT) AS n_total,
+               CAST(MAX(n_docs) AS BIGINT) AS n_top,
+               CAST(SUM((2 * i - 1) * n_docs) AS BIGINT) AS gini_num0,
+               CAST(SUM(n_docs * n_docs) AS BIGINT) AS sq_sum
+        FROM ranked
+      )
+      SELECT n_sources,
+             CAST(1000000 * n_top // n_total AS BIGINT) AS top_share_ppm,
+             CAST(1000000 * (gini_num0 - n_sources * n_total)
+                  // (n_sources * n_total) AS BIGINT) AS gini_ppm,
+             CAST((1000000 * CAST(sq_sum AS HUGEINT))
+                  // (CAST(n_total AS HUGEINT) * n_total) AS BIGINT) AS hhi_ppm
+      FROM agg""",
     // geometric-mechanism release replayed from the SAME threshold
     // constants the engine uses (interpolated from DpGeomThresholds —
     // one source of truth for the inverse CDF in both engines)

@@ -1530,6 +1530,45 @@ object CurateOps {
         col("baseline_millibits"), col("excess_q"), col("w_raw"), col("weight_ppm"))
   }
 
+  /** Source-concentration audit — the datacard numbers that say whether
+    * the corpus is a few-source monoculture (Hirschman/Herfindahl index,
+    * antitrust's concentration measure, in ppm of the max; Gini 1912
+    * exactly over the bounded source table; top-source share). A
+    * training mix dominated by one crawl inherits its biases wholesale —
+    * these three integers are the standard triage before reweighting
+    * ([[curateDoremiWeights]] / [[curateUnimax]] fix what this flags).
+    *
+    *   hhi_ppm  = Σ_s (10⁶·share_s)² div 10⁶       (10⁶ ⇔ monopoly)
+    *   gini_ppm = 10⁶·Σ_s (2i − n − 1)·x_(i) div (n·Σx)  (sorted shares)
+    *   top_share_ppm, n_sources
+    *
+    * Scale shape: ONE map-side-combined groupBy collapses the corpus to
+    * ≤ |sources| rows; the Gini rank window and every division run over
+    * that bounded table (the window's unpartitioned sort is |sources|
+    * rows — deliberate and safe, same device as the zipf histogram).
+    */
+  def curateSourceConcentration(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = docs(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy(col("n_docs"), col("source"))
+    val ranked = bySrc.withColumn("i", row_number().over(w))
+    ranked.agg(
+        count(lit(1)).as("n_sources"),
+        sum(col("n_docs")).as("n_total"),
+        max(col("n_docs")).as("n_top"),
+        sum(expr("(2 * i - 1) * n_docs")).as("gini_num0"),
+        sum(expr("n_docs * n_docs")).as("sq_sum"))
+      .select(col("n_sources"),
+        expr("(1000000 * n_top) div n_total").as("top_share_ppm"),
+        // Σ(2i−n−1)x = Σ(2i−1)x − n·Σx, all integer
+        expr("(1000000 * (gini_num0 - n_sources * n_total)) div (n_sources * n_total)")
+          .as("gini_ppm"),
+        // Σ (10⁶·x/N)² / 10⁶ = 10⁶·Σx² div N² — DECIMAL(38) headroom:
+        // Σx² passes a long once a source holds > 3·10⁹ docs
+        expr("CAST((1000000 * CAST(sq_sum AS DECIMAL(38,0))) div (CAST(n_total AS DECIMAL(38,0)) * n_total) AS BIGINT)")
+          .as("hhi_ppm"))
+  }
+
   /** Inverse-CDF thresholds of the TRUNCATED two-sided geometric
     * distribution with α = 1/2 (ε = ln 2), support [−16, 16], tails
     * folded into the extremes: noise = k when the scaled uniform draw

@@ -891,6 +891,21 @@ object Streaming {
     }
   }
 
+  /** RAKE keyword tagging over arriving documents: the score is
+    * entirely DOC-LOCAL (phrase runs, word deg/freq, top-3 all within
+    * one document), so the streaming gate IS the batch plan per
+    * micro-batch — no frozen artifact, no cross-batch state.
+    */
+  def runRake(
+      newDocs: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit = {
+    runAppendScorer(newDocs, store, table, checkpointDir) { batch =>
+      graft.operators.TextOps.rakeOf(batch)
+    }
+  }
+
   /** Watermarked stream-stream interval join: every purchase matched to
     * the same user's clicks in the preceding hour (last-touch
     * attribution). BOTH sides carry watermarks and the join condition

@@ -960,6 +960,25 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("source concentration: exact Gini/HHI against a driver replay") {
+    val row = CurateOps.curateSourceConcentration(spark, sf).collect()(0)
+    val counts = graft.sources.Tables.load(spark, sf, "documents")
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(t => (t._2, t._1))
+    val n = counts.size.toLong
+    val tot = counts.map(_._2).sum
+    val giniNum = counts.zipWithIndex.map { case ((_, x), i0) =>
+      (2L * (i0 + 1) - n - 1) * x
+    }.sum
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == 1000000L * counts.map(_._2).max / tot)
+    assert(row.getLong(2) == 1000000L * giniNum / (n * tot))
+    assert(row.getLong(3) == 1000000L * counts.map(x => x._2 * x._2).sum / (tot * tot))
+    // sanity bands: Gini in [0, 1), HHI >= 1/n (uniform floor)
+    assert(row.getLong(2) >= 0L && row.getLong(2) < 1000000L)
+    assert(row.getLong(3) >= 1000000L / n)
+  }
+
   test("dp release: thresholds partition the draw space; mechanism bounded + calibrated") {
     // (a) the inverse-CDF table tiles [0, 3·2^31) with no gap/overlap
     val thr = CurateOps.DpGeomThresholds

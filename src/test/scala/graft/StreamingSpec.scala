@@ -156,6 +156,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming RAKE tagging over two arrivals equals the batch operator") {
+    val store = new RelationStore(spark, s"$work/wh_rake")
+    val newIn = s"$work/rakedocs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.filter(col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runRake(Streaming.documentStream(spark, newIn),
+      store, "rake_tags", s"$work/cp_rake")
+    val afterFirst = store.read("rake_tags").count()
+    docs.filter(col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runRake(Streaming.documentStream(spark, newIn),
+      store, "rake_tags", s"$work/cp_rake")
+    val streamed = store.read("rake_tags")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    // RAKE is doc-local, so the union over arrivals == the batch op
+    val batch = graft.operators.TextOps.rakeOf(docs)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming CDC probe over two arrivals equals the batch probe") {
     val store = new RelationStore(spark, s"$work/wh_cdc")
     val newIn = s"$work/cdcdocs"
