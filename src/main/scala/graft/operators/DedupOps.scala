@@ -375,9 +375,14 @@ object DedupOps {
       .withColumn("r", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
       .join(sizes, Seq("doc_id"))
-    val prefix = ranked.filter(
-      col("r") <= col("n") - expr(s"($p * n + ${q - 1}) div $q") + 1L)
-      .select(col("doc_id"), col("h"), col("r"), col("n"))
+    // pinned resident: the prefix table is ~p/q-reduced and feeds BOTH
+    // sides of the candidate self-join — without the pin the per-doc
+    // ranking window (a corpus-sized sort) runs once per join side per
+    // execution (the same re-aliased-subtree reuse failure as dedupCdc)
+    val prefix = ResidentCache(s, s"dedup_ppjoin_prefix_${p}_$q",
+      ranked.filter(
+        col("r") <= col("n") - expr(s"($p * n + ${q - 1}) div $q") + 1L)
+        .select(col("doc_id"), col("h"), col("r"), col("n")))
     val cand = prefix.select(col("doc_id").as("doc_a"), col("h"),
         col("r").as("r_a"), col("n").as("n_a"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("h"),
