@@ -440,7 +440,12 @@ object GraphOps {
     val nb = pairs.select(col("a").as("w"), col("b").as("n"))
       .unionByName(pairs.select(col("b").as("w"), col("a").as("n")))
     val deg = nb.groupBy(col("w")).agg(count(lit(1)).as("deg"))
-    // wedge centers: hub guard ON the center only
+    // wedge centers: hub guard ON the center only. NOT pinned resident:
+    // unlike dedupCdc/ppjoin, recomputing this from the cached edge
+    // table is cheaper than a cache round-trip (measured 5.4 s vs
+    // 8.4 s pinned at sf0.1 — the wedge self-join pipelines straight
+    // out of the union+join, and materializing 100k rows per rep costs
+    // more than the recompute it saves)
     val nbc = nb.join(deg, Seq("w")).filter(col("deg") <= maxDeg)
     val wedges = nbc.select(col("w"), col("n").as("u"), col("deg"))
       .join(nbc.select(col("w"), col("n").as("v")), Seq("w"))
