@@ -38,6 +38,52 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CdcChunks: lossless + boundary-deterministic + naive-boundary agreement (300 cases)") {
+    import graft.functions.CdcChunks
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 300).foreach { _ =>
+      val n = rnd.nextInt(400) // includes 0 and sub-window lengths
+      // ASCII-range bytes (the expression's documented domain)
+      val bytes = Array.fill(n)((32 + rnd.nextInt(95)).toByte)
+      val w = 2 + rnd.nextInt(24)
+      val mb = 1 + rnd.nextInt(8)
+      val a = CdcChunks.compute(bytes, w, mb)
+      val chunks = (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      val s = new String(bytes, "UTF-8")
+      // lossless reconstruction, no empty chunks
+      assert(chunks.mkString == s, s"n=$n w=$w mb=$mb")
+      assert(chunks.forall(_.nonEmpty))
+      // boundaries agree with a naive per-window hash scan
+      if (n >= w) {
+        val mask = (1L << mb) - 1L
+        def windowHash(end: Int): Long = { // end inclusive, 0-based
+          var h = 0L
+          (end - w + 1 to end).foreach(i => h = h * RollingMinHash.Base + (bytes(i) & 0xff))
+          h
+        }
+        val cuts = (w - 1 until n).filter(p => (windowHash(p) & mask) == 0L).map(_ + 1)
+        val expectLens = (Seq(0) ++ cuts ++ (if (cuts.lastOption.contains(n)) Nil else Seq(n)))
+          .sliding(2).map { case Seq(x, y) => y - x }.toSeq
+        assert(chunks.map(_.length) == expectLens, s"n=$n w=$w mb=$mb")
+      } else if (n > 0) assert(chunks == Seq(s))
+    }
+  }
+
+  test("DP geometric thresholds: every 31-bit draw maps to exactly one noise value") {
+    val thr = graft.operators.CurateOps.DpGeomThresholds
+    val rnd = new scala.util.Random(7L)
+    // random draws + the exact boundary values of every bucket
+    val probes = Seq.fill(2000)(rnd.nextLong().abs % (1L << 31)) ++
+      thr.flatMap { case (_, lo, hi) => Seq(lo / 3, (hi - 1) / 3, hi / 3) }
+        .filter(u => u >= 0 && u < (1L << 31))
+    probes.foreach { u =>
+      val t = u * 3
+      val hits = thr.filter { case (_, lo, hi) => t >= lo && t < hi }
+      assert(hits.size == 1, s"u=$u t=$t hits=${hits.map(_._1)}")
+      assert(math.abs(hits.head._1) <= 16)
+    }
+  }
+
   test("minhash signature is multiset-invariant (order + duplication, 100 cases)") {
     // the affine-permutation signature formula (the one the DuckDB
     // oracle replays): sig[p] = min over h of (h * A(p) + B(p))
