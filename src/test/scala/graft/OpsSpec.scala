@@ -2359,6 +2359,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(radius.nonEmpty)
   }
 
+  test("zipf decades conserve vocabulary, token mass, and rank capacity") {
+    import org.apache.spark.sql.functions._
+    val z = TextOps.txtZipf(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val terms = graft.sources.Tables.load(spark, sf, "documents")
+      .select(explode(split(TextOps.normalized(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val vocab = terms.select(countDistinct(col("t"))).first().getLong(0)
+    val mass = terms.count()
+    // every term lands in exactly one decade; every token is accounted
+    assert(z.values.map(_._1).sum == vocab, "vocabulary conservation")
+    assert(z.values.map(_._2).sum == mass, "token-mass conservation")
+    z.foreach { case (k, (nTerms, _, maxC, minC)) =>
+      assert(nTerms <= (1L << k), s"decade $k over capacity") // [2^k, 2^(k+1)) holds 2^k ranks
+      assert(maxC >= minC && minC >= 1L, s"decade $k count range")
+    }
+    // counts are non-increasing across decades (rank-sorted)
+    val byK = z.toSeq.sortBy(_._1)
+    byK.sliding(2).foreach { case Seq((_, (_, _, _, lo)), (_, (_, _, hi2, _))) =>
+      assert(lo >= hi2, "decade count ordering")
+    }
+  }
+
   test("rake keywords: wedge pipeline == driver brute force on planted docs") {
     val ss = spark
     import ss.implicits._
