@@ -331,7 +331,7 @@ object SparkEntry {
                THEN list_concat([CAST(0 AS BIGINT)], bs)
                ELSE list_concat(list_concat([CAST(0 AS BIGINT)], bs), [CAST(n AS BIGINT)]) END AS cuts
         FROM bnd
-      ), ch AS (
+      ), ch AS MATERIALIZED (
         SELECT doc_id, t[CAST(cuts[CAST(i AS INT)] + 1 AS INT):CAST(cuts[CAST(i+1 AS INT)] AS INT)] AS chunk
         FROM cs, UNNEST(range(1, len(cuts))) AS u(i)
       )"""
