@@ -124,6 +124,7 @@ object SparkEntry {
     "dedup_exact" -> (DedupOps.dedupExact _),
     "dedup_cdc" -> (DedupOps.dedupCdc _),
     "dedup_cdc_incremental" -> (DedupOps.dedupCdcIncremental _),
+    "dedup_cdc_pairs" -> ((s, d) => DedupOps.dedupCdcPairs(s, d)),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
     "dedup_ppjoin" -> (DedupOps.dedupPpjoin _),
     "dedup_containment" -> ((s, dir) => DedupOps.dedupContainment(s, dir)),
@@ -3223,6 +3224,25 @@ object SparkEntry {
              CAST((1000 * SUM(CASE WHEN f.nd >= 2 THEN len(ch.chunk) ELSE 0 END))
                   // SUM(len(ch.chunk)) AS BIGINT) AS shared_millis
       FROM ch JOIN f USING (chunk) GROUP BY 1"""),
+    // CDC pair mining: distinct (doc, chunk) postings, df <= 100 guard,
+    // self-join, pair aggregate at minShared >= 2 — chunk identity is
+    // the chunk STRING here (collisionless-hash equivalence, same as
+    // the shingle oracles)
+    "dedup_cdc_pairs" -> (CdcChunkCtes + """,
+      chd AS (
+        SELECT doc_id, chunk, MAX(len(chunk)) AS len
+        FROM ch GROUP BY 1, 2
+      ), rare AS (
+        SELECT chd.* FROM chd
+        JOIN (SELECT chunk, COUNT(*) AS df FROM chd GROUP BY 1) f
+          ON f.chunk = chd.chunk AND f.df <= 100
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared,
+             CAST(SUM(a.len) AS BIGINT) AS chars_shared
+      FROM rare a JOIN rare b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2"""),
     // incremental CDC probe: new slice (doc_id % 10 >= 8) scored
     // against the DISTINCT chunk set of the reference slice
     "dedup_cdc_incremental" -> (CdcChunkCtes + """,

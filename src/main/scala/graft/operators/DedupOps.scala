@@ -167,6 +167,40 @@ object DedupOps {
         expr("(1000 * chars_shared) div chars_total").as("shared_millis"))
   }
 
+  /** CDC near-dup PAIR mining — the chunk-granularity candidate
+    * generator (rsync/LBFS's actual dedup use): document pairs sharing
+    * at least `minShared` distinct content-defined chunks, with the
+    * exact shared-span mass. Catches edit-shifted copies the exact
+    * fingerprint misses and reports VERBATIM overlap (not the set
+    * estimate Jaccard gives). Same df guard as the shingle postings
+    * join: a boilerplate chunk in d docs would contribute d² candidate
+    * rows, so pair GENERATION only joins chunks with df ≤ `maxDf` —
+    * per-key fanout capped at maxDf²; n_shared/chars_shared then count
+    * only the df-guarded chunks BOTH sides carry (documented estimator:
+    * rare-chunk overlap, the signal that matters — corpus boilerplate
+    * is exactly what dedup must NOT count as copying).
+    */
+  def dedupCdcPairs(s: SparkSession, dir: String,
+      minShared: Long = 2L, maxDf: Int = HotShingleMaxDf): DataFrame = {
+    val ch = docs(s, dir)
+      .select(col("doc_id"),
+        explode(expr(
+          "cdc_chunks(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), 16, 6)")).as("chunk"))
+      .select(col("doc_id"), xxhash64(col("chunk")).as("h"),
+        length(col("chunk")).cast("long").as("len"))
+      // distinct (doc, chunk): repeats inside one doc are one postings row
+      .groupBy(col("doc_id"), col("h")).agg(max(col("len")).as("len"))
+    val rare = ch.join(
+      ch.groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
+      Seq("h"), "left_semi")
+    rare.select(col("doc_id").as("doc_a"), col("h"), col("len"))
+      .join(rare.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"), sum(col("len")).as("chars_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Batch entry for the CDC probe: the doc_id % 10 >= 8 slice arrives
     * as "new" and probes the chunk index built from the rest — same
     * split convention as [[dedupIncremental]], and the plan the

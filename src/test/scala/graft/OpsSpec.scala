@@ -2424,6 +2424,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.keys.exists(_._1 == 3L), "stopword-only doc must emit nothing")
   }
 
+  test("cdc pair mining == driver brute force (df guard included)") {
+    import graft.functions.CdcChunks
+    val got = DedupOps.dedupCdcPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // driver brute force over the same normalization/chunking
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def chunksOf(text: String): Map[String, Int] = {
+      val norm = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      val a = CdcChunks.compute(norm.getBytes("UTF-8"), 16, 6)
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+        .groupBy(identity).map { case (c, _) => c -> c.length }
+    }
+    val perDoc = docs.map { case (id, t) => id -> chunksOf(t) }.filter(_._2.nonEmpty)
+    val df = perDoc.flatMap(_._2.keys).groupBy(identity).map { case (c, v) => c -> v.size }
+    val rareOf = perDoc.map { case (id, m) => id -> m.filter { case (c, _) => df(c) <= 100 } }.toMap
+    val want = (for {
+      (a, ca) <- rareOf; (b, cb) <- rareOf
+      if a < b
+      shared = ca.keySet.intersect(cb.keySet)
+      if shared.size >= 2
+    } yield (a, b) -> (shared.size.toLong, shared.toSeq.map(ca(_).toLong).sum)).toMap
+    assert(got == want,
+      s"extra: ${(got.keySet diff want.keySet).take(5)}, missing: ${(want.keySet diff got.keySet).take(5)}")
+    assert(want.nonEmpty, "corpus must contain CDC pairs")
+  }
+
   test("cdc chunks: lossless, boundary-deterministic, re-synchronizing") {
     import graft.functions.CdcChunks
     def chunksOf(s: String): Seq[String] = {
