@@ -136,25 +136,7 @@ object DedupOps {
     * as xxhash64(chunk) — the string never shuffles twice.
     */
   def dedupCdc(s: SparkSession, dir: String): DataFrame = {
-    val ch = docs(s, dir)
-      .select(col("doc_id"),
-        explode(expr(
-          "cdc_chunks(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), 16, 6)")).as("chunk"))
-      .select(col("doc_id"), xxhash64(col("chunk")).as("h"),
-        length(col("chunk")).cast("long").as("len"))
-    // pre-aggregate per (h, doc) and pin it resident: the chunk/scan
-    // pipeline then runs ONCE — the frequency branch and the join
-    // branch get re-aliased subtrees a ReuseExchange cannot unify, so
-    // without the cache the corpus is chunked twice (the same reason
-    // the shingle table is resident). Cached rows are the REDUCED
-    // fixed-width table (~1/expected-chunk-len of the corpus chars);
-    // Spark's MEMORY_AND_DISK default spills what executors can't
-    // hold — at a scale where even that is unwanted, swap the slot
-    // for an explicit checkpoint of the same table (one write, two
-    // reads) rather than reverting to the double chunking.
-    val perDoc = ResidentCache(s, "dedup_cdc_perdoc",
-      ch.groupBy(col("h"), col("doc_id"))
-        .agg(count(lit(1)).as("cnt"), sum(col("len")).as("len_sum")))
+    val perDoc = cdcPerDoc(s, dir)
     val freq = perDoc.groupBy(col("h")).agg(count(lit(1)).as("n_docs_with"))
     perDoc.join(freq, Seq("h"))
       .groupBy(col("doc_id"))
@@ -165,6 +147,29 @@ object DedupOps {
       .select(col("doc_id"), col("n_chunks"), col("n_shared"),
         col("chars_total"), col("chars_shared"),
         expr("(1000 * chars_shared) div chars_total").as("shared_millis"))
+  }
+
+  /** Resident per-(chunk-hash, doc) aggregate — the ONE chunking pass
+    * the whole CDC family reads. Pinned because every consumer uses it
+    * at least twice (frequency/df branch + join/self-join branch) and
+    * the re-aliased subtrees defeat exchange reuse, so without the pin
+    * each consumer chunks the corpus twice. Cached rows are the
+    * REDUCED fixed-width table (~1/expected-chunk-len of the corpus
+    * chars); Spark's MEMORY_AND_DISK default spills what executors
+    * can't hold — at a scale where even that is unwanted, swap the
+    * slot for an explicit checkpoint (one write, N reads) rather than
+    * reverting to repeated chunking.
+    */
+  private def cdcPerDoc(s: SparkSession, dir: String): DataFrame = {
+    val ch = docs(s, dir)
+      .select(col("doc_id"),
+        explode(expr(
+          "cdc_chunks(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), 16, 6)")).as("chunk"))
+      .select(col("doc_id"), xxhash64(col("chunk")).as("h"),
+        length(col("chunk")).cast("long").as("len"))
+    ResidentCache(s, "dedup_cdc_perdoc",
+      ch.groupBy(col("h"), col("doc_id"))
+        .agg(count(lit(1)).as("cnt"), sum(col("len")).as("len_sum")))
   }
 
   /** CDC near-dup PAIR mining — the chunk-granularity candidate
@@ -182,14 +187,10 @@ object DedupOps {
     */
   def dedupCdcPairs(s: SparkSession, dir: String,
       minShared: Long = 2L, maxDf: Int = HotShingleMaxDf): DataFrame = {
-    val ch = docs(s, dir)
-      .select(col("doc_id"),
-        explode(expr(
-          "cdc_chunks(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), 16, 6)")).as("chunk"))
-      .select(col("doc_id"), xxhash64(col("chunk")).as("h"),
-        length(col("chunk")).cast("long").as("len"))
-      // distinct (doc, chunk): repeats inside one doc are one postings row
-      .groupBy(col("doc_id"), col("h")).agg(max(col("len")).as("len"))
+    // postings from the family's shared resident chunking pass; equal
+    // chunk text ⟹ equal length, so len = len_sum div cnt exactly
+    val ch = cdcPerDoc(s, dir)
+      .select(col("doc_id"), col("h"), expr("len_sum div cnt").as("len"))
     val rare = ch.join(
       ch.groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
       Seq("h"), "left_semi")
