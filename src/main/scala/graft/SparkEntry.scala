@@ -338,6 +338,23 @@ object SparkEntry {
       )"""
   }
 
+  /** Guard-faithful rare-shingle edge CTEs (appended after
+    * [[ShinglePairCtes]], whose `sh` it reuses): document pairs sharing
+    * >= 2 distinct df <= 100 shingles — the same count
+    * `DedupOps.shingleShareEdges` computes, hot shingles excluded from
+    * the count itself. Yields CTE `e(a, b)`.
+    */
+  private lazy val RareShareEdgeCtes: String = """
+      rare_sh AS (
+        SELECT sh.doc_id, sh.s FROM sh
+        JOIN (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1) f
+          ON f.s = sh.s AND f.df <= 100
+      ), e AS (
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM rare_sh x JOIN rare_sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      )"""
+
   private lazy val NgramJaccardSql: String = ShinglePairCtes + """
       SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
              CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
@@ -2352,11 +2369,11 @@ object SparkEntry {
     // link prediction replayed neighbor-set-first: wedges through every
     // common neighbor w with deg(w) <= 64 (the hub guard), grouped on
     // the (u, v) candidate pair, existing edges anti-joined away; edge
-    // basis = the rare-shingle co-occurrence graph (n_inter >= 2)
+    // basis = the rare-shingle co-occurrence graph (>= 2 shared shingles
+    // of df <= 100 — guard-faithful: hot shingles excluded from the
+    // count, exactly like shingleShareEdges)
     "graph_linkpred" -> (ShinglePairCtes + s""",
-      e AS (
-        SELECT doc_a AS a, doc_b AS b FROM inter WHERE n_inter >= 2
-      ), nb AS (
+      $RareShareEdgeCtes, nb AS (
         SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e
       ), deg AS (
         SELECT w, CAST(COUNT(*) AS BIGINT) AS deg FROM nb GROUP BY w
@@ -2379,9 +2396,7 @@ object SparkEntry {
     // modularity terms per source over the shingle-share graph; exp_ppm
     // in HUGEINT mirrors Spark's DECIMAL(38) (d_sum^2 can pass a long)
     "graph_modularity" -> (ShinglePairCtes + s""",
-      e AS (
-        SELECT doc_a AS a, doc_b AS b FROM inter WHERE n_inter >= 2
-      ), tagged AS (
+      $RareShareEdgeCtes, tagged AS (
         SELECT sa.source AS src_a, sb.source AS src_b
         FROM e p
         JOIN documents sa ON sa.doc_id = p.a
@@ -3385,8 +3400,8 @@ object SparkEntry {
       )
       SELECT n_sources,
              CAST(1000000 * n_top // n_total AS BIGINT) AS top_share_ppm,
-             CAST(1000000 * (gini_num0 - n_sources * n_total)
-                  // (n_sources * n_total) AS BIGINT) AS gini_ppm,
+             CAST((1000000 * (CAST(gini_num0 AS HUGEINT) - CAST(n_sources AS HUGEINT) * n_total))
+                  // (CAST(n_sources AS HUGEINT) * n_total) AS BIGINT) AS gini_ppm,
              CAST((1000000 * CAST(sq_sum AS HUGEINT))
                   // (CAST(n_total AS HUGEINT) * n_total) AS BIGINT) AS hhi_ppm
       FROM agg""",

@@ -102,6 +102,13 @@ object RollingMinHash {
   */
 case class CdcChunks(child: Expression, w: Int, maskBits: Int)
     extends UnaryExpression {
+  // construction happens at parse/registration time, so bad literals
+  // fail as a clean analysis error, not an executor crash: w < 1 would
+  // index before the buffer, maskBits outside [0, 62] would shift into
+  // the sign bit (maskBits = 0 is legal: every position cuts)
+  require(w >= 1 && w <= 1024, s"cdc_chunks window must be in [1, 1024], got $w")
+  require(maskBits >= 0 && maskBits <= 62,
+    s"cdc_chunks maskBits must be in [0, 62], got $maskBits")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "cdc_chunks"
 

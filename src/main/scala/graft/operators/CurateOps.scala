@@ -1560,8 +1560,10 @@ object CurateOps {
         sum(expr("n_docs * n_docs")).as("sq_sum"))
       .select(col("n_sources"),
         expr("(1000000 * n_top) div n_total").as("top_share_ppm"),
-        // Σ(2i−n−1)x = Σ(2i−1)x − n·Σx, all integer
-        expr("(1000000 * (gini_num0 - n_sources * n_total)) div (n_sources * n_total)")
+        // Σ(2i−n−1)x = Σ(2i−1)x − n·Σx; DECIMAL(38) like the HHI term —
+        // 10⁶·n·Σx wraps a long once n_sources·n_total > 9.2·10¹²,
+        // well inside the scale the operator targets
+        expr("CAST((1000000 * (CAST(gini_num0 AS DECIMAL(38,0)) - CAST(n_sources AS DECIMAL(38,0)) * n_total)) div (CAST(n_sources AS DECIMAL(38,0)) * n_total) AS BIGINT)")
           .as("gini_ppm"),
         // Σ (10⁶·x/N)² / 10⁶ = 10⁶·Σx² div N² — DECIMAL(38) headroom:
         // Σx² passes a long once a source holds > 3·10⁹ docs

@@ -259,18 +259,40 @@ object DedupOps {
 
   /** Rare-shingle co-occurrence edges (doc_a < doc_b, canonical `a`/`b`
     * columns): document pairs sharing at least `minShared` distinct
-    * df-guarded 3-gram shingles. The TOPICAL graph the near-dup
+    * RARE (df ≤ [[HotShingleMaxDf]]) 3-gram shingles — hot corpus
+    * boilerplate is excluded from the COUNT, not just from candidate
+    * generation, so the contract is exact at any corpus and the oracle
+    * replays it guard-faithfully. The TOPICAL graph the near-dup
     * detectors leave behind — much denser than the J >= 0.2 pair set —
     * and the edge basis for [[GraphOps.graphLinkPred]] /
-    * [[GraphOps.graphModularity]]. Same mining core as
-    * [[dedupNgramJaccard]]/[[dedupContainment]] through the resident
-    * shingle table, so running all of them costs one postings pass.
+    * [[GraphOps.graphModularity]]. Reads the same resident shingle
+    * table as [[dedupNgramJaccard]]/[[dedupContainment]], so running
+    * the whole family costs one shingling pass; the postings self-join
+    * fanout is ≤ maxDf² per shingle key by construction.
     */
   def shingleShareEdges(s: SparkSession, dir: String,
       minShared: Long = 2L): DataFrame =
-    shingleIntersections(s, dir, HotShingleMaxDf)._1
-      .filter(col("n_inter") >= minShared)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    shingleShareEdgesOf(
+      ResidentCache(s, "dedup_ngram_sh",
+        shingles(s, dir).select(col("doc_id"), xxhash64(col("s")).as("h"))),
+      minShared, HotShingleMaxDf)
+
+  /** Kernel over a distinct (doc_id, h) shingle-posting table — split
+    * out so the spec can drive it with a planted-hot-shingle fixture.
+    */
+  private[graft] def shingleShareEdgesOf(sh: DataFrame,
+      minShared: Long, maxDf: Long): DataFrame = {
+    val rare = sh.join(
+      sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf),
+      Seq("h"), "left_semi")
+    rare.select(col("doc_id").as("a"), col("h"))
+      .join(rare.select(col("doc_id").as("b"), col("h")), Seq("h"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_rare"))
+      .filter(col("n_rare") >= minShared)
+      .select(col("a"), col("b"))
+  }
 
   /** Shared pair-mining core of [[ngramJaccard]] and
     * [[dedupContainment]]: exact shingle-set intersection counts for

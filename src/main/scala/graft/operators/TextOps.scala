@@ -1427,28 +1427,6 @@ object TextOps {
           col("has_brace") === 0L).cast("long"))
   }
 
-  /** Zipf rank-decade profile — the log-log rank/frequency diagnostic
-    * every corpus datacard plots (Zipf 1949; Piantadosi 2014 review):
-    * bucket k aggregates the terms of frequency-rank [2^k, 2^(k+1)),
-    * reporting how many terms, how much token mass, and the count range
-    * each rank decade holds. A healthy natural-language crawl shows
-    * near-constant mass per decade (slope ≈ -1); boilerplate-heavy or
-    * template corpora bulge in the head decades.
-    *
-    * Exactness WITHOUT a vocab-wide sort: bucket aggregates are
-    * tie-INVARIANT (terms of equal count are interchangeable within and
-    * across the decade boundary — n_terms / total_cnt / min / max are
-    * unchanged by any tie ordering), so ranks are derived from the
-    * COUNT HISTOGRAM (cnt → how many terms have it), which is tiny
-    * (distinct frequency values ≪ vocab ≪ corpus). A cnt value whose
-    * cumulative rank interval [lo, hi] straddles a decade boundary
-    * contributes the exact integer overlap to each side.
-    *
-    * Scale shape: corpus scan → vocab-keyed groupBy (map-side combined)
-    * → histogram groupBy (bounded by distinct counts) → window + decade
-    * join over that bounded table. No corpus- or vocab-sized sort
-    * anywhere; decade index = length(bin(rank)) - 1, pure integer.
-    */
   /** Stopword delimiter set for RAKE phrase extraction — fixed and
     * interpolated into the DuckDB oracle so both engines split phrases
     * identically.
@@ -1518,6 +1496,29 @@ object TextOps {
         col("phrase"), col("score_milli"))
   }
 
+  /** Zipf rank-decade profile — the log-log rank/frequency diagnostic
+    * every corpus datacard plots (Zipf 1949; Piantadosi 2014 review):
+    * bucket k aggregates the terms of frequency-rank [2^k, 2^(k+1)),
+    * reporting how many terms, how much token mass, and the count range
+    * each rank decade holds. A healthy natural-language crawl shows
+    * near-constant mass per decade (slope ≈ -1); boilerplate-heavy or
+    * template corpora bulge in the head decades.
+    *
+    * Exactness WITHOUT a vocab-wide sort: bucket aggregates are
+    * tie-INVARIANT (terms of equal count are interchangeable within and
+    * across the decade boundary — n_terms / total_cnt / min / max are
+    * unchanged by any tie ordering), so ranks are derived from the
+    * COUNT HISTOGRAM (cnt → how many terms have it), which is tiny
+    * (distinct frequency values ≪ vocab ≪ corpus). A cnt value whose
+    * cumulative rank interval [lo, hi] straddles a decade boundary
+    * contributes the exact integer overlap to each side.
+    *
+    * Scale shape: corpus scan → vocab-keyed groupBy (map-side combined)
+    * → histogram groupBy (bounded by distinct counts) → window + decade
+    * join over that bounded table. No corpus- or vocab-sized sort
+    * anywhere; decades arrive as a broadcast 41-row interval table and
+    * each histogram row contributes its exact integer rank overlap.
+    */
   def txtZipf(s: SparkSession, dir: String): DataFrame = {
     val terms = docs(s, dir)
       .select(explode(filter(split(normalized(col("text")), " "), t => t =!= "")).as("term"))

@@ -2298,6 +2298,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inBand >= 0.8, s"only ${(inBand * 100).round}% of pairs inside the distortion band")
   }
 
+  test("shingle-share edges: hot shingles are excluded from the COUNT, not just candidacy") {
+    val ss = spark
+    import ss.implicits._
+    // 20 docs all share hot shingle 999 (df = 20 > maxDf = 10); docs
+    // 0/1 additionally share rare shingles {1, 2}; docs 2/3 share only
+    // ONE rare shingle {3} (plus the hot one — the pre-fix semantics
+    // counted hot+rare = 2 and would emit this edge)
+    val postings =
+      (0 until 20).map(i => (i.toLong, 999L)) ++
+        Seq((0L, 1L), (1L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 3L))
+    val edges = DedupOps.shingleShareEdgesOf(
+      postings.toDF("doc_id", "h"), minShared = 2L, maxDf = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((0L, 1L)),
+      s"only the >=2-RARE-shingle pair may be an edge, got $edges")
+  }
+
+  test("cdc_chunks rejects degenerate window/mask at analysis time") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq("some text").toDF("t")
+    intercept[Exception](df.selectExpr("cdc_chunks(t, 0, 6)").collect())
+    intercept[Exception](df.selectExpr("cdc_chunks(t, -1, 6)").collect())
+    intercept[Exception](df.selectExpr("cdc_chunks(t, 16, 63)").collect())
+    // legal extremes still work: w=1 (every byte a window), maskBits=0
+    // (every position cuts -> 1-char chunks)
+    val one = df.selectExpr("cdc_chunks(t, 1, 0) AS c").collect()(0).getSeq[String](0)
+    assert(one.mkString == "some text" && one.forall(_.length == 1))
+  }
+
   test("link prediction: wedge-join scores == brute force (hub guard exercised)") {
     val ss = spark
     import ss.implicits._
