@@ -84,6 +84,53 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("RAKE == driver brute force on 200 randomized stopword-laced docs") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.col
+    val stop = graft.operators.TextOps.RakeStopwords
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val rnd = new scala.util.Random(20260815L)
+    // random mixes: stopwords anywhere incl. start/end, adjacent
+    // stopwords, runs longer than the 4-word cap, repeated phrases
+    val docs = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      val toks = Seq.fill(n)(
+        if (rnd.nextBoolean()) stop(rnd.nextInt(stop.size))
+        else words(rnd.nextInt(words.size)))
+      (i.toLong, toks.mkString(" "))
+    }
+    val got = graft.operators.TextOps.rakeOf(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    val stopSet = stop.toSet
+    val want = docs.flatMap { case (id, text) =>
+      val ws = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty)
+      val phrases = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      var run = List.empty[String]
+      for (w <- ws) {
+        if (stopSet(w)) { if (run.nonEmpty) phrases += run.reverse; run = Nil }
+        else run = w :: run
+      }
+      if (run.nonEmpty) phrases += run.reverse
+      val kept = phrases.filter(_.size <= 4).toSeq
+      if (kept.isEmpty) Nil
+      else {
+        val freq = kept.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        val deg = kept.flatMap(p => p.map(_ -> p.size.toLong))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+        kept.map(p => (p.mkString(" "), p.map(w => 1000L * deg(w) / freq(w)).sum))
+          .distinct.sortBy { case (ph, sc) => (-sc, ph) }.take(3)
+          .zipWithIndex.map { case ((ph, sc), j) => (id, j + 1L) -> (ph, sc) }
+      }
+    }.toMap
+    assert(got == want,
+      s"extra: ${(got.toSet diff want.toSet).take(3)}, missing: ${(want.toSet diff got.toSet).take(3)}")
+    assert(want.size > 100, "fixture must produce plenty of keyword rows")
+  }
+
   test("minhash signature is multiset-invariant (order + duplication, 100 cases)") {
     // the affine-permutation signature formula (the one the DuckDB
     // oracle replays): sig[p] = min over h of (h * A(p) + B(p))
