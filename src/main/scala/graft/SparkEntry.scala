@@ -170,7 +170,7 @@ object SparkEntry {
     "curate_k_anonymity" -> ((s, dir) => CurateOps.curateKAnonymity(s, dir)),
     "curate_l_diversity" -> ((s, dir) => CurateOps.curateLDiversity(s, dir)),
     "curate_t_closeness" -> ((s, dir) => CurateOps.curateTCloseness(s, dir)),
-    "curate_dp_release" -> (CurateOps.curateDpRelease _),
+    "curate_dp_release" -> ((s, dir) => CurateOps.curateDpRelease(s, dir)),
     "curate_source_concentration" -> (CurateOps.curateSourceConcentration _),
     "curate_curriculum" -> (CurateOps.curateCurriculum _),
     "curate_unimax" -> ((s, dir) => CurateOps.curateUnimax(s, dir)),
@@ -3424,7 +3424,7 @@ object SparkEntry {
       )
       SELECT source, lang,
              CAST(GREATEST(0, n_true + thr.noise) AS BIGINT) AS n_released,
-             CAST(693 AS BIGINT) AS eps_milli
+             CAST(693 AS BIGINT) AS eps_milli_nominal
       FROM u JOIN thr ON u.t >= thr.lo AND u.t < thr.hi"""
     },
     // t-closeness: per-class TV distance to the corpus topic

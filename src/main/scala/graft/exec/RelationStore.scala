@@ -1,25 +1,48 @@
 package graft.exec
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicLong
 
+import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Options, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 import graft.core.Relation
 
 /** Versioned parquet relation store — the engine's warehouse.
   *
-  * Every write creates a NEW immutable version directory and then
-  * atomically swaps a pointer file, exactly the copy-on-write commit
-  * discipline lakehouse table formats use. Consequences:
+  * Every write creates a NEW immutable version and then atomically swaps
+  * a pointer file, exactly the copy-on-write commit discipline lakehouse
+  * table formats use. All I/O goes through the Hadoop `FileSystem` /
+  * `FileContext` API, so the same store runs against `file://`, HDFS, or
+  * an object store — the root's scheme picks the filesystem.
+  *
+  * A committed FLAT version is a MANIFEST (`_manifest.json` listing
+  * table-relative data-file paths), not a directory of copies: data
+  * files live where they were first written (a full write's own version
+  * dir, or a streaming delta dir) and later versions reference them.
+  * Consequences:
   *
   *  - a materialization can read the current version of its own target
   *    while writing the next (incremental merge = read + join + write,
   *    no read-overwrite conflict);
   *  - failed writes never corrupt the table (pointer still names the
   *    old version);
-  *  - at cluster scale the same layout works on any Hadoop FS; only the
-  *    pointer swap needs an atomic rename, which object stores provide
-  *    for single keys.
+  *  - folding streaming deltas into a base version writes ZERO data
+  *    bytes on ANY filesystem — the new version is one manifest file
+  *    (no hard links, so no POSIX dependence and no copy fallback);
+  *  - GC is reference-counted: a data file is reclaimable only when no
+  *    retained version's manifest references it (lakehouse snapshot
+  *    expiry semantics).
+  *
+  * PARTITIONED layouts remain directory-self-contained versions (their
+  * read path needs the `col=value` directory structure for partition
+  * inference and pruning — Spark refuses partition discovery over file
+  * lists spanning version dirs, CONFLICTING_DIRECTORY_STRUCTURES).
+  * Untouched partitions carry over by hard link on a local filesystem
+  * and by a COUNTED copy elsewhere ([[copiedFallbackBytes]]) — the
+  * manifest treatment for partitioned commits needs a custom FileIndex
+  * and is the one remaining local-FS affordance.
   *
   * Views are stored as SQL text (`<name>.view.sql`) and re-registered as
   * session temp views on attach — mirroring `CREATE OR REPLACE VIEW`.
@@ -40,19 +63,124 @@ final class RelationStore(
       */
     val retainVersions: Int = 2,
     /** After how many live delta landings [[appendDelta]] folds the
-      * deltas into a new base version (a metadata-only hard-link fold —
-      * no data bytes are rewritten). Bounds the number of directories a
-      * read has to list without ever making a tick's write cost
-      * O(table).
+      * deltas into a new base version (a manifest-only commit — zero
+      * data bytes written). Bounds the number of directories a read has
+      * to list without ever making a tick's write cost O(table).
       */
-    val deltaFoldEvery: Int = 64) {
-  private def schemaDir: Path = Paths.get(root, schema)
-  private def tableDir(name: String): Path = schemaDir.resolve(name)
-  private def pointer(name: String): Path = tableDir(name).resolve("_current")
-  private def viewFile(name: String): Path = schemaDir.resolve(s"$name.view.sql")
-  private def deltaRoot(name: String): Path = tableDir(name).resolve("delta")
-  private def deltaDirOf(name: String, batchId: Long): Path =
-    deltaRoot(name).resolve(s"b$batchId")
+    val deltaFoldEvery: Int = 64,
+    /** Landing-loop auto-OPTIMIZE: when a fold leaves the table's
+      * manifest with at least this many data files, [[compact]] runs
+      * automatically, so a long-running ingest's file count stays
+      * bounded without operator action. Bytes rewritten per compaction
+      * are bounded by the under-sized files only (see [[compact]]).
+      */
+    val autoCompactMinFiles: Int = 512,
+    /** Target data-file size for auto-compaction (files at or above it
+      * are never rewritten).
+      */
+    val autoCompactTargetBytes: Long = 128L << 20) {
+
+  // ---- filesystem layer (Hadoop FS — scheme-portable) ----
+
+  private val hconf = spark.sessionState.newHadoopConf()
+  // keep the caller's path form (a scheme-less root stays scheme-less in
+  // currentPath/addressable strings); the filesystem is still resolved
+  // from the root's scheme, so file://, hdfs://, s3a:// all work
+  private val rootPath: HPath = new HPath(root)
+  private val fs: FileSystem = rootPath.getFileSystem(hconf)
+  // FileContext gives rename-with-OVERWRITE (the pointer swap); plain
+  // FileSystem.rename refuses an existing destination on most schemes
+  private lazy val fctx: FileContext = FileContext.getFileContext(fs.getUri, hconf)
+  private val isLocalFs: Boolean = "file" == fs.getScheme
+
+  /** Bytes copied (not linked) carrying untouched partitions into a new
+    * partitioned version on a filesystem without hard links — observable
+    * so a deployment can alarm on the degraded complexity class instead
+    * of discovering it in the bill.
+    */
+  val copiedFallbackBytes = new AtomicLong(0L)
+
+  /** Cumulative data bytes rewritten by [[compact]] (manual or auto) —
+    * lets specs pin that compaction cost is bounded by the fragmented
+    * files, never the table.
+    */
+  val compactedBytes = new AtomicLong(0L)
+
+  private def fsExists(p: HPath): Boolean = fs.exists(p)
+
+  private def readStr(p: HPath): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, UTF_8)
+    } finally in.close()
+  }
+
+  private def writeStr(p: HPath, s: String): Unit = {
+    val parent = p.getParent
+    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(UTF_8)) finally out.close()
+  }
+
+  /** Write-then-rename(OVERWRITE): the atomic pointer swap. */
+  private def writeStrAtomic(p: HPath, s: String): Unit = {
+    val tmp = new HPath(p.getParent, s".${p.getName}.tmp")
+    writeStr(tmp, s)
+    fctx.rename(tmp, p, Options.Rename.OVERWRITE)
+  }
+
+  private def listNames(dir: HPath): Seq[FileStatus] =
+    if (!fs.exists(dir)) Nil else fs.listStatus(dir).toSeq
+
+  private def deleteRec(p: HPath): Unit = if (fs.exists(p)) fs.delete(p, true)
+
+  /** Data files (non-meta regular files) directly inside `dir`. */
+  private def dataFilesIn(dir: HPath): Seq[FileStatus] =
+    listNames(dir).filter { st =>
+      val fn = st.getPath.getName
+      st.isFile && !fn.startsWith("_") && !fn.startsWith(".")
+    }
+
+  /** Data files anywhere under `dir` (partitioned layouts nest). */
+  private def dataFilesUnder(dir: HPath): Seq[FileStatus] =
+    listNames(dir).flatMap { st =>
+      val fn = st.getPath.getName
+      if (st.isDirectory) dataFilesUnder(st.getPath)
+      else if (!fn.startsWith("_") && !fn.startsWith(".")) Seq(st)
+      else Nil
+    }
+
+  private def relTo(base: HPath, p: HPath): String = relToOn(fs, base, p)
+
+  private def relToOn(onFs: FileSystem, base: HPath, p: HPath): String = {
+    // listings return fully-qualified paths; the base may be scheme-less
+    val b = onFs.makeQualified(base).toString + "/"
+    val s = onFs.makeQualified(p).toString
+    require(s.startsWith(b), s"$p not under $base")
+    s.substring(b.length)
+  }
+
+  private def deleteIfEmptyTree(dir: HPath): Boolean = {
+    if (!fs.exists(dir)) return true
+    val children = listNames(dir)
+    val allGone = children.forall(c => c.isDirectory && deleteIfEmptyTree(c.getPath))
+    if (allGone && listNames(dir).isEmpty) { fs.delete(dir, false); true } else false
+  }
+
+  // ---- layout ----
+
+  private def schemaDir: HPath = new HPath(rootPath, schema)
+  private def tableDir(name: String): HPath = new HPath(schemaDir, name)
+  private def verDir(name: String, v: Int): HPath = new HPath(tableDir(name), s"v$v")
+  private def pointer(name: String): HPath = new HPath(tableDir(name), "_current")
+  private def viewFile(name: String): HPath = new HPath(schemaDir, s"$name.view.sql")
+  private def deltaRoot(name: String): HPath = new HPath(tableDir(name), "delta")
+  private def deltaDirOf(name: String, batchId: Long): HPath =
+    new HPath(deltaRoot(name), s"b$batchId")
 
   def relation(name: String): Relation = Relation(schema, name)
 
@@ -60,105 +188,208 @@ final class RelationStore(
   def sqlName(name: String): String = if (qualifyViews) s"${schema}__$name" else name
 
   def exists(name: String): Boolean =
-    Files.exists(pointer(name)) || Files.exists(viewFile(name)) ||
-      liveDeltaIds(name).nonEmpty
+    fsExists(pointer(name)) || fsExists(viewFile(name)) || liveDeltaIds(name).nonEmpty
 
-  def isView(name: String): Boolean = Files.exists(viewFile(name))
+  def isView(name: String): Boolean = fsExists(viewFile(name))
 
   private def currentVersion(name: String): Option[Int] =
-    if (Files.exists(pointer(name))) Some(Files.readString(pointer(name)).trim.toInt) else None
+    if (fsExists(pointer(name))) Some(readStr(pointer(name)).trim.toInt) else None
 
   def currentPath(name: String): Option[String] =
-    currentVersion(name).map(v => tableDir(name).resolve(s"v$v").toString)
+    currentVersion(name).map(v => verDir(name, v).toString)
+
+  // ---- manifests ----
+
+  /** `layout` of a committed version: "files" (manifest-listed flat
+    * data), "partitioned", or "bucketed" (directory-self-contained).
+    */
+  private def manifestFile(name: String, v: Int): HPath =
+    new HPath(verDir(name, v), "_manifest.json")
+
+  private def hasManifest(name: String, v: Int): Boolean = fsExists(manifestFile(name, v))
+
+  /** (layout, table-relative data-file entries) — entries empty for
+    * directory layouts.
+    */
+  private def manifestOf(name: String, v: Int): Option[(String, Seq[String])] =
+    if (!hasManifest(name, v)) None
+    else graft.artifacts.Json.parse(readStr(manifestFile(name, v))) match {
+      case m: Map[String @unchecked, Any @unchecked] =>
+        val layout = m.getOrElse("layout", "files").toString
+        val files = m.get("files") match {
+          case Some(s: Seq[Any @unchecked]) => s.map(String.valueOf(_))
+          case _ => Nil
+        }
+        Some((layout, files))
+      case _ => None
+    }
+
+  private def writeFilesManifest(name: String, v: Int, entries: Seq[String]): Unit =
+    writeStr(manifestFile(name, v),
+      graft.artifacts.Json.write(Map("layout" -> "files", "files" -> entries)))
+
+  private def writeDirManifest(name: String, v: Int, kind: String): Unit =
+    writeStr(manifestFile(name, v), graft.artifacts.Json.write(Map("layout" -> kind)))
+
+  /** Table-relative data files of version `v`: manifest entries for flat
+    * versions; the physical listing for directory layouts and (legacy)
+    * manifest-less dirs — either way, the files a fold may reference.
+    */
+  private def versionEntries(name: String, v: Int): Seq[String] =
+    manifestOf(name, v) match {
+      case Some(("files", entries)) => entries
+      case _ =>
+        dataFilesUnder(verDir(name, v)).map(st => relTo(tableDir(name), st.getPath))
+    }
+
+  // ---- reads ----
 
   def read(name: String): DataFrame = read(name, None)
 
-  /** Read a table, optionally a PAST version (time travel). Versions
-    * are immutable commit directories, so reading an old one is just a
-    * scan of its path — the lakehouse time-travel model. Old versions
-    * live until [[vacuum]] reclaims them.
+  /** Read a table, optionally a PAST version (time travel). Versions are
+    * immutable commits (manifests for flat tables), so reading an old
+    * one is a scan of the files it references — the lakehouse
+    * time-travel model. Old versions live until [[vacuum]] reclaims
+    * them; reference-counted GC keeps every file a retained manifest
+    * still names.
     */
   def read(name: String, asOfVersion: Option[Int]): DataFrame = {
     if (isView(name)) {
       // a view has no versioned storage — silently returning current
       // data labeled as a past version would be wrong
       require(asOfVersion.isEmpty, s"$schema.$name is a view; views have no version history")
-      spark.sql(Files.readString(viewFile(name)))
+      return spark.sql(readStr(viewFile(name)))
     }
-    else if (isBucketed(name) && asOfVersion.isEmpty)
+    if (isBucketed(name) && asOfVersion.isEmpty)
       // the catalog relation carries the bucket spec; a raw path read
       // would lose it and joins would re-shuffle
-      spark.table(ensureBucketedRegistered(name))
-    else {
-      // time travel addresses BASE commits only; delta landings are
-      // absorbed into the base by folds, not individually versioned
-      val paths: Seq[String] = asOfVersion match {
-        case Some(v) =>
-          val cur = currentVersion(name).getOrElse(-1)
-          val dir = tableDir(name).resolve(s"v$v")
-          // v > cur means a torn directory from a crashed write, never
-          // a committed version — reading it would scan partial files
-          if (v > cur || !Files.exists(dir)) throw new IllegalStateException(
-            s"version $v of $schema.$name not found (have: ${versions(name).filter(_ <= cur).mkString(",")})")
-          Seq(dir.toString)
-        case None =>
-          val live = liveDeltaIds(name).map(id => deltaDirOf(name, id).toString)
-          val all = currentPath(name).toSeq ++ live
-          if (all.isEmpty)
-            throw new IllegalStateException(s"relation not found: $schema.$name")
-          all
+      return spark.table(ensureBucketedRegistered(name))
+
+    val cur = currentVersion(name)
+    val (dataPaths, schemaDirs): (Seq[String], Seq[HPath]) = asOfVersion match {
+      case Some(v) =>
+        // time travel addresses committed versions only: v ≤ pointer AND
+        // manifest present (a dir above the pointer is a torn leftover
+        // from a crashed write; one below without a manifest is a
+        // GC-gutted data pool — both would scan partial content)
+        if (v > cur.getOrElse(-1) || !hasManifest(name, v))
+          throw new IllegalStateException(
+            s"version $v of $schema.$name not found (have: " +
+              s"${versions(name).filter(_ <= cur.getOrElse(-1)).mkString(",")})")
+        (versionDataPaths(name, v), Seq(verDir(name, v)))
+      case None =>
+        val live = liveDeltaIds(name)
+        val base = cur.toSeq.flatMap(v => versionDataPaths(name, v))
+        if (cur.isEmpty && live.isEmpty)
+          throw new IllegalStateException(s"relation not found: $schema.$name")
+        (base ++ live.map(id => deltaDirOf(name, id).toString),
+          cur.map(verDir(name, _)).toSeq ++ live.map(deltaDirOf(name, _)))
+    }
+    val stored = schemaDirs.map(d => new HPath(d, "_graft_schema.json"))
+      .find(fsExists).map { f =>
+        org.apache.spark.sql.types.DataType.fromJson(readStr(f)).asInstanceOf[StructType]
       }
-      val df = spark.read.parquet(paths: _*)
-      // restore the exact written schema (column order + types): a
-      // partitioned layout re-infers partition-column types on read,
-      // which would otherwise drift (e.g. "2024-01-01" → DATE)
-      val schemaFile = paths.map(p => Paths.get(p, "_graft_schema.json"))
-        .find(Files.exists(_))
-      schemaFile match {
-        case Some(f) =>
-          val stored = org.apache.spark.sql.types.DataType
-            .fromJson(Files.readString(f))
-            .asInstanceOf[org.apache.spark.sql.types.StructType]
-          df.select(stored.fields.toSeq.map(f =>
-            org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
-        case None => df
-      }
+    if (dataPaths.isEmpty)
+      // zero data files (empty table / empty epoch landings only): an
+      // empty frame in the exact stored schema
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        stored.getOrElse(throw new IllegalStateException(
+          s"relation $schema.$name has no data and no stored schema")))
+    val df = spark.read.parquet(dataPaths: _*)
+    // restore the exact written schema (column order + types): a
+    // partitioned layout re-infers partition-column types on read,
+    // which would otherwise drift (e.g. "2024-01-01" → DATE)
+    stored match {
+      case Some(st) =>
+        df.select(st.fields.toSeq.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+      case None => df
     }
   }
 
-  /** All version directories of a table, ascending — committed ones
-    * are those ≤ the current pointer; anything above it is a torn
-    * leftover from a crashed write (vacuum reclaims those).
+  /** Scan inputs for one committed version: the manifest's files for
+    * flat layouts, the version directory for partitioned layouts.
     */
-  def versions(name: String): Seq[Int] =
-    if (!Files.exists(tableDir(name))) Nil
-    else {
-      val it = Files.list(tableDir(name)).iterator()
-      val vs = scala.collection.mutable.ArrayBuffer[Int]()
-      while (it.hasNext) {
-        val f = it.next().getFileName.toString
-        if (f.startsWith("v") && f.drop(1).forall(_.isDigit)) vs += f.drop(1).toInt
-      }
-      vs.toSeq.sorted
+  private def versionDataPaths(name: String, v: Int): Seq[String] =
+    manifestOf(name, v) match {
+      case Some(("files", entries)) =>
+        entries.map(e => new HPath(tableDir(name), e).toString)
+      case _ => Seq(verDir(name, v).toString)
     }
 
-  /** Retention: delete all version directories except the newest
-    * `keepLast` (the current pointer target always survives — keepLast
-    * is clamped to ≥ 1). Returns the number of versions reclaimed.
-    * Old versions pin disk linearly in commit count; a production
-    * deployment vacuums on a schedule exactly like lakehouse VACUUM.
+  /** Version directories of a table, ascending: committed ones (those ≤
+    * the current pointer, carrying a manifest) plus any torn leftover
+    * above the pointer from a crashed write (vacuum reclaims those). A
+    * gutted dir below the pointer — manifest expired, files retained
+    * only because newer manifests still reference them — is a data
+    * pool, not a version, and is not listed.
     */
-  def vacuum(name: String, keepLast: Int = 2): Int = {
-    reapAbsorbedDeltas(name)
-    val keep = math.max(1, keepLast)
-    val cur = currentVersion(name).getOrElse(return 0)
-    // anything above the pointer is a torn directory from a crashed
-    // write — always garbage; retention counts committed versions only
-    val (torn, committed) = versions(name).partition(_ > cur)
-    val stale = committed.filter(_ < cur).sorted.reverse.drop(keep - 1)
-    val candidates = torn ++ stale
-    candidates.foreach(v => deleteRecursively(tableDir(name).resolve(s"v$v")))
-    candidates.size
+  def versions(name: String): Seq[Int] = {
+    val cur = currentVersion(name).getOrElse(-1)
+    physicalVersionDirs(name).filter(v => v > cur || hasManifest(name, v)).sorted
+  }
+
+  private def physicalVersionDirs(name: String): Seq[Int] =
+    listNames(tableDir(name)).flatMap { st =>
+      val f = st.getPath.getName
+      if (st.isDirectory && f.startsWith("v") && f.length > 1 && f.drop(1).forall(_.isDigit))
+        Some(f.drop(1).toInt)
+      else None
+    }
+
+  /** Retention: expire all committed versions except the newest
+    * `keepLast` (the current pointer target always survives — keepLast
+    * is clamped to ≥ 1), plus torn dirs above the pointer. Returns the
+    * number of versions reclaimed. Reference-counted: a DATA FILE is
+    * deleted only when no retained manifest references it, so expiring
+    * a full-write version whose files later folds still name reclaims
+    * the metadata now and the bytes when the last referencing manifest
+    * expires — exactly lakehouse snapshot expiry.
+    */
+  def vacuum(name: String, keepLast: Int = 2): Int = gcTable(name, math.max(1, keepLast))
+
+  private def gcTable(name: String, keep: Int): Int = {
+    val td = tableDir(name)
+    if (!fsExists(td)) return 0
+    val curOpt = currentVersion(name)
+    // always reap crashed dot-tmp landings
+    listNames(deltaRoot(name)).foreach { st =>
+      if (st.getPath.getName.startsWith(".tmp_")) deleteRec(st.getPath)
+    }
+    val cur = curOpt.getOrElse(return 0)
+    val all = physicalVersionDirs(name)
+    val committed = all.filter(v => v <= cur && hasManifest(name, v)).sorted
+    val retained = committed.takeRight(math.max(1, keep)).toSet
+    val referenced: Set[String] =
+      retained.flatMap(v => manifestOf(name, v) match {
+        case Some(("files", entries)) => entries
+        case _ => Nil // dir layouts are kept wholesale; nothing cross-references into them
+      })
+    var reclaimed = 0
+    for (v <- all if !retained.contains(v)) {
+      val dir = verDir(name, v)
+      // torn (> pointer) and expired-committed dirs both count as
+      // reclaimed versions; an already-gutted data pool does not
+      val wasVersion = v > cur || hasManifest(name, v)
+      dataFilesUnder(dir).foreach { st =>
+        if (!referenced.contains(relTo(td, st.getPath))) fs.delete(st.getPath, false)
+      }
+      Seq("_manifest.json", "_graft_schema.json", "_delta_watermark", "_graft_batch",
+        "_SUCCESS").foreach(m => fs.delete(new HPath(dir, m), false))
+      deleteIfEmptyTree(dir)
+      if (wasVersion) reclaimed += 1
+    }
+    // absorbed deltas (id ≤ watermark) are reclaimable only when no
+    // retained manifest references a file inside them
+    val wm = currentWatermark(name)
+    listNames(deltaRoot(name)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("b") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong <= wm &&
+        !referenced.exists(_.startsWith(s"delta/$n/")))
+        deleteRec(st.getPath)
+    }
+    reclaimed
   }
 
   // ---- delta landing (streaming appends) ----
@@ -177,32 +408,27 @@ final class RelationStore(
   //    streaming quota admission totals) stays exact across crashes;
   //  - commit is an atomic directory rename (write to a dot-tmp dir,
   //    move into place) — a crash mid-write leaves an invisible tmp dir
-  //    that vacuum reclaims, never a torn committed delta.
+  //    that GC reclaims, never a torn committed delta.
   //
   // Every `deltaFoldEvery` landings the live deltas FOLD into a new base
-  // version by hard-linking data files (metadata-only — zero data bytes
-  // rewritten), bounding the directory count a read must list. The fold
-  // records a `_delta_watermark` in the version dir: deltas with id ≤
-  // watermark are absorbed (excluded from reads, reclaimed lazily), so
-  // a crash between pointer-commit and delta-delete never double-counts.
+  // version: ONE manifest file naming the previous base's entries plus
+  // the delta files — zero data bytes written, on any filesystem. The
+  // fold records a `_delta_watermark` in the version dir: deltas with
+  // id ≤ watermark are absorbed (excluded from reads, reclaimed when no
+  // retained manifest references them), so a crash between
+  // pointer-commit and delta-reap never double-counts.
 
   /** Batch ids of COMMITTED, not-yet-absorbed delta landings, ascending. */
   def landedBatchIds(name: String): Seq[Long] = liveDeltaIds(name)
 
   private def liveDeltaIds(name: String): Seq[Long] = {
-    val d = deltaRoot(name)
-    if (!Files.exists(d)) return Nil
     val wm = currentWatermark(name)
-    val it = Files.list(d).iterator()
-    val out = scala.collection.mutable.ArrayBuffer[Long]()
-    while (it.hasNext) {
-      val f = it.next().getFileName.toString
-      if (f.startsWith("b") && f.drop(1).forall(_.isDigit)) {
-        val id = f.drop(1).toLong
-        if (id > wm) out += id
-      }
-    }
-    out.toSeq.sorted
+    listNames(deltaRoot(name)).flatMap { st =>
+      val f = st.getPath.getName
+      if (f.startsWith("b") && f.drop(1).forall(_.isDigit) && f.drop(1).toLong > wm)
+        Some(f.drop(1).toLong)
+      else None
+    }.sorted
   }
 
   /** Highest batch id absorbed into (or invalidated by) the current base
@@ -210,8 +436,8 @@ final class RelationStore(
     */
   private def currentWatermark(name: String): Long =
     currentVersion(name).map { v =>
-      val f = tableDir(name).resolve(s"v$v").resolve("_delta_watermark")
-      if (Files.exists(f)) Files.readString(f).trim.toLong else -1L
+      val f = new HPath(verDir(name, v), "_delta_watermark")
+      if (fsExists(f)) readStr(f).trim.toLong else -1L
     }.getOrElse(-1L)
 
   /** Whether `batchId` has already been durably landed (committed delta
@@ -221,7 +447,7 @@ final class RelationStore(
     * and [[appendDelta]] skips it.
     */
   def batchLanded(name: String, batchId: Long): Boolean =
-    batchId <= currentWatermark(name) || Files.exists(deltaDirOf(name, batchId))
+    batchId <= currentWatermark(name) || fsExists(deltaDirOf(name, batchId))
 
   /** Land one micro-batch as an immutable delta directory. Returns false
     * (and evaluates NOTHING — `df` stays lazy) when `batchId` already
@@ -241,106 +467,65 @@ final class RelationStore(
     require(currentVersion(name).isEmpty || !isPartitionedLayout(name),
       s"cannot land deltas into partitioned-layout relation $schema.$name")
     // same column names + types as the landed content — the read path
-    // unions the dirs, so drift would surface as torn schemas later
+    // unions the files, so drift would surface as torn schemas later
     storedSchemaOf(name).foreach { stored =>
       val landed = stored.fields.toSeq.map(f => (f.name, f.dataType))
       val incoming = df.schema.fields.toSeq.map(f => (f.name, f.dataType))
       require(landed == incoming,
         s"appendDelta($name): schema drift — landed $landed vs incoming $incoming")
     }
-    Files.createDirectories(deltaRoot(name))
-    val tmp = deltaRoot(name).resolve(s".tmp_b$batchId")
-    if (Files.exists(tmp)) deleteRecursively(tmp)
+    fs.mkdirs(deltaRoot(name))
+    val tmp = new HPath(deltaRoot(name), s".tmp_b$batchId")
+    deleteRec(tmp)
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    Files.writeString(tmp.resolve("_graft_schema.json"), df.schema.json)
-    Files.move(tmp, deltaDirOf(name, batchId), StandardCopyOption.ATOMIC_MOVE)
+    writeStr(new HPath(tmp, "_graft_schema.json"), df.schema.json)
+    fctx.rename(tmp, deltaDirOf(name, batchId))
     registerView(name)
-    if (liveDeltaIds(name).size >= math.max(2, deltaFoldEvery)) foldDeltas(name)
+    if (liveDeltaIds(name).size >= math.max(2, deltaFoldEvery)) {
+      foldDeltas(name)
+      // landing-loop auto-OPTIMIZE: bound the file count a scan opens
+      // without operator action; rewrites only under-sized files
+      if (versionEntries(name, currentVersion(name).get).size >= autoCompactMinFiles)
+        compact(name, autoCompactTargetBytes)
+    }
     true
   }
 
-  /** Fold all live deltas into a new base version by HARD-LINKING their
-    * data files (copy across filesystems) — a metadata-only commit:
-    * bytes written per fold are O(file count), not O(table), so the
-    * landing loop's cumulative I/O stays linear in data ingested. Delta
-    * file names are prefixed `b{id}_` so links never collide across
-    * folds. Returns the number of deltas folded.
+  /** Fold all live deltas into a new base version — ONE manifest file
+    * naming the previous base's entries plus the live deltas' data
+    * files. Zero data bytes are written, on any filesystem: the fold is
+    * O(1) data, O(live deltas) metadata. Returns the number of deltas
+    * folded.
     */
   def foldDeltas(name: String): Int = {
-    reapAbsorbedDeltas(name) // leftovers of a crashed previous fold
     val live = liveDeltaIds(name)
     if (live.isEmpty) return 0
     val cur = currentVersion(name)
     val next = cur.getOrElse(-1) + 1
-    val dest = tableDir(name).resolve(s"v$next")
-    if (Files.exists(dest)) deleteRecursively(dest) // torn leftover
-    Files.createDirectories(dest)
-    cur.foreach { v =>
-      val prev = tableDir(name).resolve(s"v$v")
-      dataFilesIn(prev).foreach(f => linkFile(f, dest.resolve(f.getFileName.toString)))
+    val dest = verDir(name, next)
+    deleteRec(dest) // torn leftover of a crashed previous fold
+    fs.mkdirs(dest)
+    val prevEntries = cur.toSeq.flatMap(v => versionEntries(name, v))
+    val deltaEntries = live.flatMap { id =>
+      dataFilesIn(deltaDirOf(name, id)).map(st => relTo(tableDir(name), st.getPath))
     }
-    live.foreach { id =>
-      dataFilesIn(deltaDirOf(name, id)).foreach(f =>
-        linkFile(f, dest.resolve(s"b${id}_${f.getFileName}")))
-    }
-    val schemaSrc = (cur.map(v => tableDir(name).resolve(s"v$v")).toSeq ++
-      live.map(deltaDirOf(name, _)))
-      .map(_.resolve("_graft_schema.json")).find(Files.exists(_))
-    schemaSrc.foreach(s => Files.copy(s, dest.resolve("_graft_schema.json"),
-      StandardCopyOption.REPLACE_EXISTING))
-    Files.writeString(dest.resolve("_delta_watermark"), live.max.toString)
+    writeFilesManifest(name, next, prevEntries ++ deltaEntries)
+    val schemaSrc = (cur.map(verDir(name, _)).toSeq ++ live.map(deltaDirOf(name, _)))
+      .map(d => new HPath(d, "_graft_schema.json")).find(fsExists)
+    schemaSrc.foreach(s => writeStr(new HPath(dest, "_graft_schema.json"), readStr(s)))
+    writeStr(new HPath(dest, "_delta_watermark"), live.max.toString)
     commitPointer(name, next)
-    reapAbsorbedDeltas(name)
     live.size
   }
-
-  /** Reclaim absorbed delta dirs (id ≤ watermark) and crashed dot-tmp
-    * landings. Linked data lives on in the base version's hard links.
-    */
-  private def reapAbsorbedDeltas(name: String): Unit = {
-    val d = deltaRoot(name)
-    if (!Files.exists(d)) return
-    val wm = currentWatermark(name)
-    val it = Files.list(d).iterator()
-    val victims = scala.collection.mutable.ArrayBuffer[Path]()
-    while (it.hasNext) {
-      val p = it.next()
-      val f = p.getFileName.toString
-      if (f.startsWith(".tmp_")) victims += p
-      else if (f.startsWith("b") && f.drop(1).forall(_.isDigit) && f.drop(1).toLong <= wm)
-        victims += p
-    }
-    victims.foreach(deleteRecursively)
-  }
-
-  /** Data files (non-meta regular files) directly inside `dir`. */
-  private def dataFilesIn(dir: Path): Seq[Path] = {
-    if (!Files.isDirectory(dir)) return Nil
-    val it = Files.list(dir).iterator()
-    val out = scala.collection.mutable.ListBuffer[Path]()
-    while (it.hasNext) {
-      val c = it.next()
-      val fn = c.getFileName.toString
-      if (Files.isRegularFile(c) && !fn.startsWith("_") && !fn.startsWith(".")) out += c
-    }
-    out.toSeq
-  }
-
-  private def linkFile(src: Path, dest: Path): Unit =
-    try Files.createLink(dest, src)
-    catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-      Files.copy(src, dest, StandardCopyOption.COPY_ATTRIBUTES)
-    }
 
   /** The stored schema of the current landed content (base version's, or
     * the oldest live delta's for a delta-only table).
     */
-  private def storedSchemaOf(name: String): Option[org.apache.spark.sql.types.StructType] = {
-    val candidates = currentPath(name).map(Paths.get(_)).toSeq ++
+  private def storedSchemaOf(name: String): Option[StructType] = {
+    val candidates = currentVersion(name).map(verDir(name, _)).toSeq ++
       liveDeltaIds(name).map(deltaDirOf(name, _))
-    candidates.map(_.resolve("_graft_schema.json")).find(Files.exists(_)).map { f =>
-      org.apache.spark.sql.types.DataType.fromJson(Files.readString(f))
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    candidates.map(d => new HPath(d, "_graft_schema.json")).find(fsExists).map { f =>
+      org.apache.spark.sql.types.DataType.fromJson(readStr(f)).asInstanceOf[StructType]
     }
   }
 
@@ -363,36 +548,38 @@ final class RelationStore(
         * and skips the non-idempotent merge.
         */
       batchTag: Option[Long] = None): Unit = {
-    Files.createDirectories(tableDir(name))
+    fs.mkdirs(tableDir(name))
     val next = currentVersion(name).getOrElse(-1) + 1
-    val dest = tableDir(name).resolve(s"v$next")
+    val dest = verDir(name, next)
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dest.toString)
     // leading "_" files are invisible to parquet FileIndex (like _SUCCESS)
-    Files.writeString(dest.resolve("_graft_schema.json"), df.schema.json)
+    writeStr(new HPath(dest, "_graft_schema.json"), df.schema.json)
+    if (partitionBy.nonEmpty) writeDirManifest(name, next, "partitioned")
+    else writeFilesManifest(name, next,
+      dataFilesIn(dest).map(st => relTo(tableDir(name), st.getPath)))
     // a full write REPLACES the table's content, so any live delta
     // landings are superseded — raise the watermark past them (they're
     // reclaimed post-commit; pre-commit they must stay: the pointer may
     // still end up naming the old version if validation throws)
     val supersededWm = (currentWatermark(name) +: liveDeltaIds(name): Seq[Long]).max
     if (supersededWm >= 0)
-      Files.writeString(dest.resolve("_delta_watermark"), supersededWm.toString)
-    batchTag.foreach(t => Files.writeString(dest.resolve("_graft_batch"), t.toString))
+      writeStr(new HPath(dest, "_delta_watermark"), supersededWm.toString)
+    batchTag.foreach(t => writeStr(new HPath(dest, "_graft_batch"), t.toString))
     validate.foreach { v =>
       try v(spark.read.parquet(dest.toString))
-      catch { case e: Throwable => deleteRecursively(dest); throw e }
+      catch { case e: Throwable => deleteRec(dest); throw e }
     }
     dropBucketing(name)
     commitPointer(name, next)
-    reapAbsorbedDeltas(name)
   }
 
   /** Batch tag recorded by the current version's commit, if any. */
   def lastBatchTag(name: String): Option[Long] =
     currentVersion(name).flatMap { v =>
-      val f = tableDir(name).resolve(s"v$v").resolve("_graft_batch")
-      if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
+      val f = new HPath(verDir(name, v), "_graft_batch")
+      if (fsExists(f)) Some(readStr(f).trim.toLong) else None
     }
 
   /** Bucketed CTAS (reference: warehouse clustering/bucketing DDL the
@@ -407,9 +594,9 @@ final class RelationStore(
     */
   def writeBucketed(df: DataFrame, name: String, bucketBy: Seq[String], buckets: Int): Unit = {
     require(bucketBy.nonEmpty && buckets > 0, "bucketed write needs keys and a bucket count")
-    Files.createDirectories(tableDir(name))
+    fs.mkdirs(tableDir(name))
     val next = currentVersion(name).getOrElse(-1) + 1
-    val dest = tableDir(name).resolve(s"v$next")
+    val dest = verDir(name, next)
     val cat = catalogName(name)
     // Stage through a scratch catalog name: the LIVE table (and the
     // pointer) stay intact until the data write has fully succeeded —
@@ -421,29 +608,29 @@ final class RelationStore(
       .sortBy(bucketBy.head, bucketBy.tail: _*)
       .option("path", dest.toString)
       .saveAsTable(staging)
-    Files.writeString(dest.resolve("_graft_schema.json"), df.schema.json)
+    writeStr(new HPath(dest, "_graft_schema.json"), df.schema.json)
+    writeDirManifest(name, next, "bucketed")
     spark.sql(s"DROP TABLE IF EXISTS $staging") // metadata only (external)
     // a bucketed CTAS replaces the table's content wholly, exactly like
     // write(): any live delta landings are superseded via the watermark
     val supersededWm = (currentWatermark(name) +: liveDeltaIds(name): Seq[Long]).max
     if (supersededWm >= 0)
-      Files.writeString(dest.resolve("_delta_watermark"), supersededWm.toString)
+      writeStr(new HPath(dest, "_delta_watermark"), supersededWm.toString)
     // point of no return: data is durable at dest
     spark.sql(s"DROP TABLE IF EXISTS $cat")
-    Files.writeString(bucketedFile(name), graft.artifacts.Json.write(Map(
+    writeStr(bucketedFile(name), graft.artifacts.Json.write(Map(
       "catalog" -> cat, "bucket_by" -> bucketBy, "buckets" -> buckets)))
     registerCatalog(cat, dest, bucketBy, buckets)
     commitPointer(name, next)
-    reapAbsorbedDeltas(name)
   }
 
-  private def bucketedFile(name: String): Path = tableDir(name).resolve("_bucketed")
+  private def bucketedFile(name: String): HPath = new HPath(tableDir(name), "_bucketed")
 
-  def isBucketed(name: String): Boolean = Files.exists(bucketedFile(name))
+  def isBucketed(name: String): Boolean = fsExists(bucketedFile(name))
 
   /** Catalog name + spec recorded by the last bucketed commit. */
   private def bucketSpec(name: String): (String, Seq[String], Int) =
-    graft.artifacts.Json.parse(Files.readString(bucketedFile(name))) match {
+    graft.artifacts.Json.parse(readStr(bucketedFile(name))) match {
       case m: Map[String @unchecked, Any @unchecked] =>
         (m("catalog").toString,
           m.getOrElse("bucket_by", Nil).asInstanceOf[Seq[Any]].map(String.valueOf(_)),
@@ -463,15 +650,15 @@ final class RelationStore(
     if (!spark.catalog.tableExists(cat)) {
       val p = currentPath(name).getOrElse(
         throw new IllegalStateException(s"bucketed relation without version: $schema.$name"))
-      registerCatalog(cat, Paths.get(p), keys, n)
+      registerCatalog(cat, new HPath(p), keys, n)
     }
     cat
   }
 
-  private def registerCatalog(cat: String, dest: Path, keys: Seq[String], n: Int): Unit = {
+  private def registerCatalog(cat: String, dest: HPath, keys: Seq[String], n: Int): Unit = {
     val stored = org.apache.spark.sql.types.DataType
-      .fromJson(Files.readString(dest.resolve("_graft_schema.json")))
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fromJson(readStr(new HPath(dest, "_graft_schema.json")))
+      .asInstanceOf[StructType]
     val keyList = keys.mkString(", ")
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS $cat (${stored.toDDL}) USING parquet
@@ -486,7 +673,7 @@ final class RelationStore(
   private def dropBucketing(name: String): Unit =
     if (isBucketed(name)) {
       spark.sql(s"DROP TABLE IF EXISTS ${bucketSpec(name)._1}")
-      Files.delete(bucketedFile(name))
+      fs.delete(bucketedFile(name), false)
     }
 
   /** Session-catalog identifier for a bucketed relation — root-hashed so
@@ -502,16 +689,16 @@ final class RelationStore(
   /** Partition-scoped commit: `df` holds the FULL replacement content of
     * the partitions it touches (and nothing else); every leaf partition
     * directory of the current version that the write did not produce is
-    * hard-linked into the new version unchanged. This is what makes
+    * carried into the new version unchanged — by hard link on a local
+    * filesystem, by a counted copy elsewhere. This is what makes
     * incremental strategies O(touched partitions) physically, not just
     * logically — a microbatch that lands in one day's partition commits
     * one partition's worth of bytes no matter how big the table is
-    * (the lakehouse `replaceWhere` commit shape; on a cluster the links
-    * become manifest entries referencing the previous version's files).
+    * (the lakehouse `replaceWhere` commit shape).
     *
     * Falls back to a full [[write]] when the table doesn't exist yet or
-    * the schema changed (on_schema_change) — linked old files must share
-    * the table schema or readers would see torn schemas.
+    * the schema changed (on_schema_change) — carried old files must
+    * share the table schema or readers would see torn schemas.
     */
   def writePartitions(
       df: DataFrame,
@@ -532,124 +719,133 @@ final class RelationStore(
       s"writePartitions($name): relation has live delta landings — fold or full-write first")
     val cur = currentVersion(name)
     if (cur.isEmpty) { write(df, name, partitionBy); return }
-    val prev = tableDir(name).resolve(s"v${cur.get}")
+    val prev = verDir(name, cur.get)
     if (!schemaMatches(name, df.schema))
-      // linked old files must share the table schema; callers guard with
-      // schemaMatches and take the full-write path on on_schema_change
+      // carried old files must share the table schema; callers guard
+      // with schemaMatches and take the full-write path on
+      // on_schema_change
       throw new IllegalStateException(
         s"writePartitions($name): schema drift — use write() for schema-changing commits")
     val next = cur.get + 1
-    val dest = tableDir(name).resolve(s"v$next")
+    val dest = verDir(name, next)
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(dest.toString)
-    Files.writeString(dest.resolve("_graft_schema.json"), df.schema.json)
-    val dropped: Set[Path] = touchedValues match {
+    writeStr(new HPath(dest, "_graft_schema.json"), df.schema.json)
+    val dropped: Set[String] = touchedValues match {
       case Some(vals) if vals.nonEmpty => touchedLeafDirs(df.schema, partitionBy, vals)
       case _ => Set.empty
     }
-    // link every previous leaf dir that was neither re-written (present
+    // carry every previous leaf dir that was neither re-written (present
     // in dest) nor touched-to-empty (in `dropped`)
     leafPartitionDirs(prev, partitionBy.length).foreach { rel =>
-      val target = dest.resolve(rel)
-      if (!Files.exists(target) && !dropped.contains(rel)) linkTree(prev.resolve(rel), target)
+      val target = new HPath(dest, rel)
+      if (!fsExists(target) && !dropped.contains(rel)) linkOrCopyTree(prev, rel, dest)
     }
+    writeDirManifest(name, next, "partitioned")
     dropBucketing(name)
     commitPointer(name, next)
   }
 
   /** Escaped leaf-dir names for partition-value tuples, derived by
     * writing the tuples through Spark's own partitioned writer into a
-    * scratch dir — value escaping/formatting is guaranteed to match the
-    * data write (no hand-rolled Hive-path escaping to drift).
+    * DRIVER-LOCAL scratch dir — value escaping/formatting is guaranteed
+    * to match the data write (no hand-rolled Hive-path escaping to
+    * drift).
     */
   private def touchedLeafDirs(
-      schema: org.apache.spark.sql.types.StructType,
+      schema: StructType,
       partitionBy: Seq[String],
-      vals: Array[org.apache.spark.sql.Row]): Set[Path] = {
+      vals: Array[org.apache.spark.sql.Row]): Set[String] = {
     import scala.jdk.CollectionConverters._
-    val scratch = Files.createTempDirectory("graft_touched")
-    val pf = org.apache.spark.sql.types.StructType(
-      partitionBy.map(p => schema(p).copy(nullable = true)))
+    val scratch = java.nio.file.Files.createTempDirectory("graft_touched")
+    val pf = StructType(partitionBy.map(p => schema(p).copy(nullable = true)))
     spark.createDataFrame(vals.toSeq.asJava, pf)
       .withColumn("__one", org.apache.spark.sql.functions.lit(1))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
       .parquet(scratch.toString)
-    val out = leafPartitionDirs(scratch, partitionBy.length).toSet
-    deleteRecursively(scratch)
+    val local = FileSystem.getLocal(hconf)
+    val base = local.makeQualified(new HPath(scratch.toString))
+    val out = leafPartitionDirsOn(local, base, base, partitionBy.length).toSet
+    local.delete(base, true)
     out
   }
 
   /** Whether the current version is laid out as partitioned parquet —
     * the other precondition for a partition-scoped commit. A table
-    * first written WITHOUT partition_by has no partition dirs to link,
+    * first written WITHOUT partition_by has no partition dirs to carry,
     * so a partition-scoped commit against it would silently drop every
     * untouched row; callers must full-write once to re-layout.
     */
   def isPartitionedLayout(name: String): Boolean =
-    currentPath(name).exists { p =>
-      val d = Paths.get(p)
-      Files.exists(d) && {
-        val ds = Files.list(d).iterator()
-        var found = false
-        while (ds.hasNext && !found) {
-          val c = ds.next()
-          found = Files.isDirectory(c) && c.getFileName.toString.contains("=")
-        }
-        found
+    currentVersion(name).exists { v =>
+      manifestOf(name, v) match {
+        case Some(("partitioned", _)) => true
+        case Some(_) => false
+        case None => // legacy manifest-less dir: physical check
+          listNames(verDir(name, v)).exists(st =>
+            st.isDirectory && st.getPath.getName.contains("="))
       }
     }
 
   /** Whether `schema` is byte-identical to the current version's stored
     * schema (the precondition for a partition-scoped commit).
     */
-  def schemaMatches(name: String, schema: org.apache.spark.sql.types.StructType): Boolean =
+  def schemaMatches(name: String, schema: StructType): Boolean =
     currentVersion(name).exists { v =>
-      val f = tableDir(name).resolve(s"v$v").resolve("_graft_schema.json")
-      Files.exists(f) && {
+      val f = new HPath(verDir(name, v), "_graft_schema.json")
+      fsExists(f) && {
         val stored = org.apache.spark.sql.types.DataType
-          .fromJson(Files.readString(f))
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fromJson(readStr(f)).asInstanceOf[StructType]
         // nullability is read-compatible either way (parquet fills nulls);
-        // names + types + order are what linked files must agree on
+        // names + types + order are what carried files must agree on
         stored.fields.toSeq.map(x => (x.name, x.dataType)) ==
           schema.fields.toSeq.map(x => (x.name, x.dataType))
       }
     }
 
-  /** Leaf partition dirs (depth = #partition cols) relative to `base`. */
-  private def leafPartitionDirs(base: Path, depth: Int): Seq[Path] = {
-    def walk(p: Path, d: Int): Seq[Path] =
-      if (!Files.isDirectory(p)) Nil
-      else if (d == 0) Seq(base.relativize(p))
-      else {
-        val ds = Files.list(p).iterator()
-        val out = scala.collection.mutable.ListBuffer[Path]()
-        while (ds.hasNext) {
-          val c = ds.next()
-          val fn = c.getFileName.toString
-          if (Files.isDirectory(c) && fn.contains("=")) out ++= walk(c, d - 1)
-        }
-        out.toSeq
-      }
-    walk(base, depth)
-  }
+  /** Leaf partition dirs (depth = #partition cols) relative to `base`,
+    * as '/'-joined `col=value` strings.
+    */
+  private def leafPartitionDirs(base: HPath, depth: Int): Seq[String] =
+    leafPartitionDirsOn(fs, base, base, depth)
 
-  /** Hard-link a directory tree (fall back to copy across filesystems). */
-  private def linkTree(src: Path, dest: Path): Unit = {
-    Files.createDirectories(dest.getParent)
-    if (Files.isDirectory(src)) {
-      Files.createDirectories(dest)
-      val ds = Files.list(src).iterator()
-      while (ds.hasNext) {
-        val c = ds.next()
-        linkTree(c, dest.resolve(c.getFileName))
-      }
-    } else {
-      try Files.createLink(dest, src)
-      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-        Files.copy(src, dest, StandardCopyOption.COPY_ATTRIBUTES)
+  private def leafPartitionDirsOn(
+      onFs: FileSystem, base: HPath, p: HPath, depth: Int): Seq[String] =
+    if (!onFs.exists(p) || !onFs.getFileStatus(p).isDirectory) Nil
+    else if (depth == 0) Seq(relToOn(onFs, base, p))
+    else onFs.listStatus(p).toSeq.flatMap { st =>
+      if (st.isDirectory && st.getPath.getName.contains("="))
+        leafPartitionDirsOn(onFs, base, st.getPath, depth - 1)
+      else Nil
+    }
+
+  /** Carry `prev/rel` into `dest/rel`: hard links on a local filesystem
+    * (zero-copy), a COUNTED byte copy elsewhere — the one remaining
+    * operation whose complexity class depends on the filesystem
+    * (partitioned versions are directory-self-contained; see the class
+    * doc for why they can't be manifests yet).
+    */
+  private def linkOrCopyTree(prev: HPath, rel: String, dest: HPath): Unit = {
+    def walk(src: HPath, dst: HPath): Unit = {
+      val st = fs.getFileStatus(src)
+      if (st.isDirectory) {
+        fs.mkdirs(dst)
+        fs.listStatus(src).foreach(c => walk(c.getPath, new HPath(dst, c.getPath.getName)))
+      } else if (isLocalFs) {
+        val s = java.nio.file.Paths.get(fs.makeQualified(src).toUri)
+        val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri)
+        java.nio.file.Files.createDirectories(d.getParent)
+        try java.nio.file.Files.createLink(d, s)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          copiedFallbackBytes.addAndGet(st.getLen)
+          java.nio.file.Files.copy(s, d)
+        }
+      } else {
+        copiedFallbackBytes.addAndGet(st.getLen)
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, hconf)
       }
     }
+    walk(new HPath(prev, rel), new HPath(dest, rel))
   }
 
   /** Selective small-file compaction — the lakehouse OPTIMIZE shape.
@@ -657,16 +853,22 @@ final class RelationStore(
     * Incremental commits write up to `spark.sql.shuffle.partitions`
     * task files into every touched partition; after enough microbatches
     * a 100 TB table's scan cost is dominated by file opens, not bytes.
-    * This rewrites ONLY over-fragmented leaf partitions (more files
-    * than `ceil(bytes / targetBytes)`) down to their ideal file count
-    * and hard-links every well-sized partition unchanged into the new
-    * version — O(fragmented partitions), not O(table), and a no-op
-    * commit is skipped entirely.
+    *
+    * FLAT (manifest) layouts binpack: manifest entries smaller than
+    * `targetBytes` are rewritten into ideally-sized files; entries at or
+    * above it carry over as manifest references untouched — bytes
+    * rewritten are bounded by the under-sized files, never the table,
+    * and [[compactedBytes]] exposes the running total. PARTITIONED
+    * layouts rewrite ONLY over-fragmented leaf partitions (more files
+    * than `ceil(bytes / targetBytes)`) and carry every well-sized
+    * partition unchanged — O(fragmented partitions), not O(table). A
+    * no-op compaction commits nothing.
     *
     * Bucketed relations are refused: their file names carry bucket ids
     * and coalescing would silently break the shuffle-free join contract.
     *
-    * @return number of partitions rewritten (0 ⇒ no new version)
+    * @return number of partitions rewritten (0 ⇒ no new version;
+    *         flat layouts count as one partition)
     */
   def compact(name: String, targetBytes: Long = 128L << 20): Int = {
     require(!isView(name), s"cannot compact view $schema.$name")
@@ -674,107 +876,127 @@ final class RelationStore(
       s"cannot compact bucketed relation $schema.$name — rewrite via its model instead")
     // a delta-landed table folds into a base version first: compaction
     // operates on (and only on) committed base layouts, and the fold is
-    // metadata-only so this costs directory renames, not data bytes
+    // manifest-only so this costs one metadata file, not data bytes
     foldDeltas(name)
     val cur = currentVersion(name).getOrElse(
       throw new IllegalStateException(s"relation not found: $schema.$name"))
-    val prev = tableDir(name).resolve(s"v$cur")
-    val depth = partitionDepth(prev)
-    val units: Seq[Path] =
-      if (depth == 0) Seq(prev.relativize(prev)) else leafPartitionDirs(prev, depth)
-    def dataFiles(dir: Path): Seq[Path] = {
-      val ds = Files.list(dir).iterator()
-      val out = scala.collection.mutable.ListBuffer[Path]()
-      while (ds.hasNext) {
-        val c = ds.next()
-        val fn = c.getFileName.toString
-        if (Files.isRegularFile(c) && fn.endsWith(".parquet") && !fn.startsWith("_")
-          && !fn.startsWith(".")) out += c
-      }
-      out.toSeq
+    manifestOf(name, cur) match {
+      case Some(("files", entries)) => compactFlat(name, cur, entries, targetBytes)
+      case _ => compactPartitioned(name, cur, targetBytes)
     }
+  }
+
+  private def compactFlat(
+      name: String, cur: Int, entries: Seq[String], targetBytes: Long): Int = {
+    val td = tableDir(name)
+    val sized = entries.map { e =>
+      val p = new HPath(td, e)
+      (e, fs.getFileStatus(p).getLen)
+    }
+    val (small, big) = sized.partition(_._2 < targetBytes)
+    val smallBytes = small.map(_._2).sum
+    val ideal = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes)
+    if (small.size <= ideal) return 0
+    val next = cur + 1
+    val dest = verDir(name, next)
+    deleteRec(dest)
+    spark.read.parquet(small.map(e => new HPath(td, e._1).toString): _*)
+      .coalesce(ideal.toInt)
+      .write.mode(SaveMode.Overwrite).parquet(dest.toString)
+    compactedBytes.addAndGet(smallBytes)
+    val newEntries = dataFilesIn(dest).map(st => relTo(td, st.getPath))
+    writeFilesManifest(name, next, big.map(_._1) ++ newEntries)
+    carryVersionMeta(name, cur, next)
+    commitPointer(name, next)
+    1
+  }
+
+  private def compactPartitioned(name: String, cur: Int, targetBytes: Long): Int = {
+    val prev = verDir(name, cur)
+    val depth = partitionDepth(prev)
+    val units: Seq[String] = if (depth == 0) Seq("") else leafPartitionDirs(prev, depth)
+    def files(rel: String): Seq[FileStatus] =
+      dataFilesIn(if (rel.isEmpty) prev else new HPath(prev, rel))
+        .filter(_.getPath.getName.endsWith(".parquet"))
     val fragmented = units.filter { rel =>
-      val fs = dataFiles(prev.resolve(rel))
-      val ideal = math.max(1L, (fs.map(Files.size).sum + targetBytes - 1) / targetBytes)
-      fs.size > ideal
+      val fsizes = files(rel).map(_.getLen)
+      val ideal = math.max(1L, (fsizes.sum + targetBytes - 1) / targetBytes)
+      fsizes.size > ideal
     }
     if (fragmented.isEmpty) return 0
     val next = cur + 1
-    val dest = tableDir(name).resolve(s"v$next")
+    val dest = verDir(name, next)
+    deleteRec(dest)
     val fragSet = fragmented.toSet
     for (rel <- fragmented) {
-      val src = prev.resolve(rel)
-      val fs = dataFiles(src)
-      val ideal = math.max(1L, (fs.map(Files.size).sum + targetBytes - 1) / targetBytes)
+      val src = if (rel.isEmpty) prev else new HPath(prev, rel)
+      val sizes = files(rel).map(_.getLen)
+      val ideal = math.max(1L, (sizes.sum + targetBytes - 1) / targetBytes)
       // leaf files exclude partition columns, so a per-leaf round-trip
       // preserves the written data schema exactly
       spark.read.parquet(src.toString).coalesce(ideal.toInt)
-        .write.mode(SaveMode.Overwrite).parquet(dest.resolve(rel).toString)
+        .write.mode(SaveMode.Overwrite)
+        .parquet((if (rel.isEmpty) dest else new HPath(dest, rel)).toString)
+      compactedBytes.addAndGet(sizes.sum)
     }
-    for (rel <- units if !fragSet.contains(rel)) linkTree(prev.resolve(rel), dest.resolve(rel))
-    // compaction rewrites the BASE only; carry the delta bookkeeping
-    // forward unchanged (live deltas stay live, absorbed stay absorbed)
-    Seq("_graft_schema.json", "_delta_watermark", "_graft_batch").foreach { meta =>
-      val f = prev.resolve(meta)
-      if (Files.exists(f))
-        Files.copy(f, dest.resolve(meta), StandardCopyOption.REPLACE_EXISTING)
-    }
+    for (rel <- units if !fragSet.contains(rel)) linkOrCopyTree(prev, rel, dest)
+    if (depth == 0) // legacy manifest-less flat dir compacted in place
+      writeFilesManifest(name, next, dataFilesIn(dest).map(st => relTo(tableDir(name), st.getPath)))
+    else writeDirManifest(name, next, "partitioned")
+    carryVersionMeta(name, cur, next)
     commitPointer(name, next)
     fragmented.size
   }
 
+  /** Compaction rewrites the BASE only; carry the delta bookkeeping
+    * forward unchanged (live deltas stay live, absorbed stay absorbed).
+    */
+  private def carryVersionMeta(name: String, from: Int, to: Int): Unit =
+    Seq("_graft_schema.json", "_delta_watermark", "_graft_batch").foreach { meta =>
+      val f = new HPath(verDir(name, from), meta)
+      if (fsExists(f)) writeStr(new HPath(verDir(name, to), meta), readStr(f))
+    }
+
   /** Partition-dir nesting depth of a version layout (0 = unpartitioned),
     * inferred by walking the first `col=value` chain.
     */
-  private def partitionDepth(base: Path): Int = {
-    def firstEqDir(p: Path): Option[Path] = {
-      val ds = Files.list(p).iterator()
-      while (ds.hasNext) {
-        val c = ds.next()
-        if (Files.isDirectory(c) && c.getFileName.toString.contains("=")) return Some(c)
+  private def partitionDepth(base: HPath): Int = {
+    def firstEqDir(p: HPath): Option[HPath] =
+      listNames(p).collectFirst {
+        case st if st.isDirectory && st.getPath.getName.contains("=") => st.getPath
       }
-      None
-    }
     var d = 0
-    var p = base
-    var next = firstEqDir(p)
-    while (next.isDefined) { d += 1; p = next.get; next = firstEqDir(p) }
+    var next = firstEqDir(base)
+    while (next.isDefined) { d += 1; next = firstEqDir(next.get) }
     d
   }
 
-  /** Atomic pointer swap + stale-version GC + session re-register. */
+  /** Atomic pointer swap + reference-counted GC + session re-register. */
   private def commitPointer(name: String, next: Int): Unit = {
-    val tmp = tableDir(name).resolve(s"_current.tmp$next")
-    Files.writeString(tmp, next.toString)
-    Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    // versions beyond the retention window are garbage; hard links keep
-    // shared file data alive across version deletes.
-    val keep = math.max(1, retainVersions)
-    val stale = (0 to next - keep).map(v => tableDir(name).resolve(s"v$v")).filter(Files.exists(_))
-    stale.foreach(deleteRecursively)
+    writeStrAtomic(pointer(name), next.toString)
+    gcTable(name, retainVersions)
     registerView(name)
   }
 
   /** Store a logical view (SQL text) and register it in the session. */
   def writeView(name: String, sql: String): Unit = {
-    Files.createDirectories(schemaDir)
-    Files.writeString(viewFile(name), sql)
+    fs.mkdirs(schemaDir)
+    writeStr(viewFile(name), sql)
     spark.sql(sql).createOrReplaceTempView(sqlName(name))
   }
 
   def drop(name: String): Unit = {
-    if (Files.exists(tableDir(name))) deleteRecursively(tableDir(name))
-    Files.deleteIfExists(viewFile(name))
-    Files.deleteIfExists(mvDefFile(name))
-    Files.deleteIfExists(grantsFile(name))
-    Files.deleteIfExists(commentsFile(name))
+    deleteRec(tableDir(name))
+    fs.delete(viewFile(name), false)
+    fs.delete(mvDefFile(name), false)
+    fs.delete(grantsFile(name), false)
+    fs.delete(commentsFile(name), false)
     spark.catalog.dropTempView(sqlName(name))
   }
 
   // ---- grants bookkeeping (reference: adapter apply_grants) ----
 
-  private def grantsFile(name: String): Path = schemaDir.resolve(s"$name.grants.json")
+  private def grantsFile(name: String): HPath = new HPath(schemaDir, s"$name.grants.json")
 
   /** Record the FULL desired grant state for a relation (privilege →
     * grantee roles). Each write replaces the previous state — the
@@ -783,10 +1005,10 @@ final class RelationStore(
     * same semantics.
     */
   def writeGrants(name: String, grants: Map[String, Seq[String]]): Unit =
-    if (grants.isEmpty) Files.deleteIfExists(grantsFile(name))
+    if (grants.isEmpty) fs.delete(grantsFile(name), false)
     else {
-      Files.createDirectories(schemaDir)
-      Files.writeString(grantsFile(name),
+      fs.mkdirs(schemaDir)
+      writeStr(grantsFile(name),
         graft.artifacts.Json.write(
           scala.collection.immutable.SortedMap.from(grants)))
     }
@@ -796,7 +1018,7 @@ final class RelationStore(
   // TBLPROPERTIES; with the store as the warehouse, the comment
   // metadata lives next to the relation and docs-generate reads it) ----
 
-  private def commentsFile(name: String): Path = schemaDir.resolve(s"$name.comments.json")
+  private def commentsFile(name: String): HPath = new HPath(schemaDir, s"$name.comments.json")
 
   /** Record the FULL persisted-docs state for a relation: optional
     * relation comment + column → comment. Each write replaces the
@@ -805,10 +1027,10 @@ final class RelationStore(
     */
   def writeComments(name: String, relation: Option[String],
       columns: Map[String, String]): Unit =
-    if (relation.isEmpty && columns.isEmpty) Files.deleteIfExists(commentsFile(name))
+    if (relation.isEmpty && columns.isEmpty) fs.delete(commentsFile(name), false)
     else {
-      Files.createDirectories(schemaDir)
-      Files.writeString(commentsFile(name),
+      fs.mkdirs(schemaDir)
+      writeStr(commentsFile(name),
         graft.artifacts.Json.write(Map(
           "relation" -> relation.getOrElse(""),
           "columns" -> scala.collection.immutable.SortedMap.from(columns))))
@@ -818,8 +1040,8 @@ final class RelationStore(
     * the node never enabled persist_docs.
     */
   def comments(name: String): (Option[String], Map[String, String]) =
-    if (!Files.exists(commentsFile(name))) (None, Map.empty)
-    else graft.artifacts.Json.parse(Files.readString(commentsFile(name))) match {
+    if (!fsExists(commentsFile(name))) (None, Map.empty)
+    else graft.artifacts.Json.parse(readStr(commentsFile(name))) match {
       case m: Map[String @unchecked, Any @unchecked] =>
         val rel = m.get("relation").map(_.toString).filter(_.nonEmpty)
         val cols = m.get("columns") match {
@@ -832,8 +1054,8 @@ final class RelationStore(
     }
 
   def grants(name: String): Map[String, Seq[String]] =
-    if (!Files.exists(grantsFile(name))) Map.empty
-    else graft.artifacts.Json.parse(Files.readString(grantsFile(name))) match {
+    if (!fsExists(grantsFile(name))) Map.empty
+    else graft.artifacts.Json.parse(readStr(grantsFile(name))) match {
       case m: Map[String @unchecked, Any @unchecked] => m.map {
         case (k, v: Seq[Any @unchecked]) => k -> v.map(_.toString)
         case (k, v) => k -> Seq(v.toString)
@@ -843,7 +1065,7 @@ final class RelationStore(
 
   // ---- materialized-view definition bookkeeping ----
 
-  private def mvDefFile(name: String): Path = schemaDir.resolve(s"$name.mv.sql")
+  private def mvDefFile(name: String): HPath = new HPath(schemaDir, s"$name.mv.sql")
 
   /** Record a materialized view's defining SQL alongside its table data
     * (the piece that distinguishes an MV from a plain table: the engine
@@ -851,12 +1073,12 @@ final class RelationStore(
     * on_configuration_change).
     */
   def writeMvDefinition(name: String, sql: String): Unit = {
-    Files.createDirectories(schemaDir)
-    Files.writeString(mvDefFile(name), sql)
+    fs.mkdirs(schemaDir)
+    writeStr(mvDefFile(name), sql)
   }
 
   def mvDefinition(name: String): Option[String] =
-    if (Files.exists(mvDefFile(name))) Some(Files.readString(mvDefFile(name))) else None
+    if (fsExists(mvDefFile(name))) Some(readStr(mvDefFile(name))) else None
 
   /** Shallow clone: new relation pointing at the same data version
     * (reference CloneRunner, core/dbt/task/clone.py:19-161; Spark-side
@@ -865,12 +1087,12 @@ final class RelationStore(
     */
   def clone(fromStore: RelationStore, name: String): Unit = {
     if (fromStore.isView(name)) {
-      val sql = Files.readString(fromStore.viewFile(name))
+      val sql = fromStore.readStr(fromStore.viewFile(name))
       writeView(name, sql)
     } else {
       val src = fromStore.addressable(name).getOrElse(
         throw new IllegalStateException(s"cannot clone missing relation $name"))
-      // pointer-only clone: a view over the source's current version dir
+      // pointer-only clone: a view over the source's current version
       // (plus any live delta landings — addressable() unions them in)
       writeView(name, s"SELECT * FROM $src")
     }
@@ -878,18 +1100,26 @@ final class RelationStore(
 
   /** View definition text, if this relation is a view. */
   def viewSql(name: String): Option[String] =
-    if (isView(name)) Some(Files.readString(viewFile(name))) else None
+    if (isView(name)) Some(readStr(viewFile(name))) else None
 
   /** SQL-addressable reference to this relation usable from ANOTHER
-    * session/store (defer/clone): a direct parquet path for tables, an
-    * inline subquery for views.
+    * session/store (defer/clone): a direct parquet path for
+    * directory-layout tables, per-file selects for manifest versions
+    * whose files span dirs, an inline subquery for views.
     */
   def addressable(name: String): Option[String] =
     if (isView(name)) viewSql(name).map(sql => s"(\n$sql\n)")
     else if (isBucketed(name)) Some(ensureBucketedRegistered(name))
     else {
       val live = liveDeltaIds(name).map(id => deltaDirOf(name, id).toString)
-      (currentPath(name).toSeq ++ live) match {
+      val base: Seq[String] = currentVersion(name).toSeq.flatMap { v =>
+        manifestOf(name, v) match {
+          case Some(("files", entries)) if !entries.forall(_.startsWith(s"v$v/")) =>
+            entries.map(e => new HPath(tableDir(name), e).toString)
+          case _ => Seq(verDir(name, v).toString) // self-contained version dir
+        }
+      }
+      (base ++ live) match {
         case Seq() => None
         case Seq(p) => Some(s"parquet.`$p`")
         case many => Some(many.map(p => s"SELECT * FROM parquet.`$p`")
@@ -898,19 +1128,13 @@ final class RelationStore(
     }
 
   def list(): Seq[String] =
-    if (!Files.exists(schemaDir)) Nil
-    else {
-      val ds = Files.list(schemaDir).iterator()
-      val out = scala.collection.mutable.ListBuffer[String]()
-      while (ds.hasNext) {
-        val p = ds.next()
-        val fn = p.getFileName.toString
-        if (Files.isDirectory(p) &&
-          (Files.exists(p.resolve("_current")) || liveDeltaIds(fn).nonEmpty)) out += fn
-        else if (fn.endsWith(".view.sql")) out += fn.stripSuffix(".view.sql")
-      }
-      out.toSeq.sorted
-    }
+    listNames(schemaDir).flatMap { st =>
+      val fn = st.getPath.getName
+      if (st.isDirectory &&
+        (fsExists(new HPath(st.getPath, "_current")) || liveDeltaIds(fn).nonEmpty)) Some(fn)
+      else if (fn.endsWith(".view.sql")) Some(fn.stripSuffix(".view.sql"))
+      else None
+    }.sorted
 
   /** Register one relation as a session temp view (SQL addressability). */
   def registerView(name: String): Unit =
@@ -933,13 +1157,5 @@ final class RelationStore(
       pending = failed
     }
     pending.foreach(n => System.err.println(s"[store] failed to attach $n"))
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val ds = Files.list(p).iterator()
-      while (ds.hasNext) deleteRecursively(ds.next())
-    }
-    Files.deleteIfExists(p)
   }
 }

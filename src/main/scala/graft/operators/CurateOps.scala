@@ -1590,39 +1590,93 @@ object CurateOps {
     cum
   }
 
+  /** The noise source behind [[curateDpRelease]] — an explicit seam in
+    * CODE, not prose, between the replayable test device and a real
+    * mechanism.
+    */
+  sealed trait DpNoiseSource
+
+  /** Keyed-hash draw u = md5("dpv1:" ‖ cell-key) & (2³¹−1): the oracle
+    * reproduces it bit-for-bit, which is exactly why it provides NO
+    * privacy — anyone who knows the public cell key recomputes the
+    * noise and inverts the release. Test harness only.
+    */
+  case object DpReplayDevice extends DpNoiseSource
+
+  /** SecureRandom-backed DRBG draw per cell (one executor-resident
+    * CSPRNG per JVM) — the production path. With this source the
+    * truncated mechanism below is (ε = ln 2, δ = 2¹⁶/(3·2³¹) ≈
+    * 1.02·10⁻⁵)-DP; see [[curateDpRelease]].
+    */
+  case object DpSecureDrbg extends DpNoiseSource
+
+  /** One CSPRNG per executor JVM; uniform on [0, 2³¹). */
+  private object DpRng {
+    private lazy val rng = new java.security.SecureRandom()
+    def next31(): Long = synchronized { rng.nextLong() & 0x7FFFFFFFL }
+  }
+
+  /** One scaled DRBG draw t ∈ [0, 3·2³¹), as the [[DpSecureDrbg]] path
+    * produces it — public so specs can χ²-test the actual production
+    * noise source, not a stand-in.
+    */
+  def dpSecureDraw(): Long = DpRng.next31() * 3L
+
+  /** Map a scaled uniform draw to its truncated-geometric noise value —
+    * the pure inverse-CDF kernel of the mechanism.
+    */
+  def dpGeomNoiseOf(t: Long): Long =
+    DpGeomThresholds.find(th => t >= th._2 && t < th._3)
+      .getOrElse(throw new IllegalArgumentException(s"draw $t outside [0, 3·2³¹)"))._1
+
   /** Differentially-private count release per (source, lang) cell —
     * the geometric mechanism (Ghosh, Roughgarden & Sundararajan 2009,
     * the universally utility-maximizing ε-DP mechanism for counts),
-    * truncated to ±16 (bounded-noise variant): each document sits in
-    * exactly one cell, so histogram sensitivity is 1 and releasing
-    * n + Z with Z ~ two-sided-geometric(α = e^{−ε}) is ε-DP; the
-    * max(0, ·) clamp is post-processing and costs nothing. ε = ln 2
-    * (α = 1/2) makes every CDF threshold an exact dyadic integer
-    * ([[DpGeomThresholds]]).
+    * truncated to ±16 with folded tails: each document sits in exactly
+    * one cell, so histogram sensitivity is 1 and releasing n + Z with
+    * Z ~ two-sided-geometric(α = e^{−ε}) is ε-DP; the max(0, ·) clamp
+    * is post-processing and costs nothing. ε = ln 2 (α = 1/2) makes
+    * every CDF threshold an exact dyadic integer ([[DpGeomThresholds]]).
     *
-    * The uniform draw is a KEYED-HASH REPLAY DEVICE for this test
-    * harness: u = md5("dpv1:" ‖ cell-key) & (2³¹−1), so the oracle
-    * reproduces the draw bit-for-bit (CDF quantization ≤ 2⁻³¹ per
-    * bucket from the ×3 scaling). A production release swaps that one
-    * line for a real DRBG draw per cell — the mechanism, clamping, and
-    * plan shape are what this operator carries.
+    * TRUNCATION CAVEAT (why the output column is `eps_milli_nominal`):
+    * folding the tails into ±16 breaks pure ε-DP at the boundary — a
+    * release 17 beyond a neighbor's reachable band separates the two
+    * datasets with an unbounded likelihood ratio — so the shipped
+    * mechanism is (ε = ln 2, δ)-DP with δ = P(|Z| hits a folded tail
+    * from the wrong side) = 2¹⁶/(3·2³¹) ≈ 1.02·10⁻⁵. The column
+    * records the NOMINAL untruncated ε, milli-units; consumers owning
+    * a real privacy budget must account (ε, δ).
+    *
+    * The `noise` parameter is the draw seam: [[DpReplayDevice]]
+    * (default) is the keyed-hash device the DuckDB oracle replays —
+    * deterministic, invertible, NOT private; [[DpSecureDrbg]] draws
+    * from a per-executor SecureRandom and is the only source under
+    * which any DP claim holds (OpsSpec χ²-tests its noise histogram
+    * against the exact dyadic masses).
     *
     * Scale shape: one map-side-combined groupBy over the bounded
     * (source × lang) space, then a broadcast join against the 33-row
     * threshold table — no windows, no collects, no shuffle beyond the
-    * histogram's own.
+    * histogram's own. The DRBG UDF runs on the post-aggregate bounded
+    * table, never the corpus.
     */
-  def curateDpRelease(s: SparkSession, dir: String): DataFrame = {
+  def curateDpRelease(s: SparkSession, dir: String,
+      noise: DpNoiseSource = DpReplayDevice): DataFrame = {
     import s.implicits._
     val thr = DpGeomThresholds.toDF("noise", "lo", "hi")
+    val draw = noise match {
+      case DpReplayDevice =>
+        expr("CAST(conv(substring(md5(concat('dpv1:', source, ':', lang)), 1, 8), 16, 10) AS BIGINT)")
+          .bitwiseAND(lit(2147483647L)) * lit(3L)
+      case DpSecureDrbg =>
+        udf(() => DpRng.next31() * 3L).apply()
+    }
     docs(s, dir).groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_true"))
-      .withColumn("t",
-        expr("CAST(conv(substring(md5(concat('dpv1:', source, ':', lang)), 1, 8), 16, 10) AS BIGINT)")
-          .bitwiseAND(lit(2147483647L)) * lit(3L))
+      .withColumn("t", draw)
       .join(broadcast(thr), col("t") >= col("lo") && col("t") < col("hi"))
       .select(col("source"), col("lang"),
         greatest(lit(0L), col("n_true") + col("noise")).as("n_released"),
-        lit(693L).as("eps_milli"))
+        lit(693L).as("eps_milli_nominal"))
   }
 }

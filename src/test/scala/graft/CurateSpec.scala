@@ -1024,4 +1024,41 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no mass escapes the truncation
     assert(many.keys.forall(k => k >= -16L && k <= 16L))
   }
+
+  test("dp release DRBG path: noise histogram matches the exact dyadic masses (chi-squared)") {
+    // the PRODUCTION noise source (SecureRandom-backed), drawn through
+    // the same public seam the operator uses — 3·10⁶ draws keep the
+    // rarest buckets (±16, expected mass 2¹⁶/(3·2³¹)) at ~30 expected
+    // observations, enough for a chi-squared fit over all 33 buckets
+    val n = 3000000
+    val counts = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    var i = 0
+    while (i < n) {
+      val z = CurateOps.dpGeomNoiseOf(CurateOps.dpSecureDraw())
+      counts(z) += 1L
+      i += 1
+    }
+    val total = 3.0 * (1L << 31)
+    val chi2 = CurateOps.DpGeomThresholds.map { case (k, lo, hi) =>
+      val exp = n * (hi - lo) / total
+      val obs = counts(k).toDouble
+      (obs - exp) * (obs - exp) / exp
+    }.sum
+    // df = 32; chi2_{32} has 99.99th percentile ~ 66 — 80 keeps the
+    // flake rate ~ 1e-6 while still catching any mis-calibrated bucket
+    assert(chi2 < 80.0, s"chi-squared $chi2 over 33 buckets — DRBG noise mis-calibrated")
+    assert(counts.keys.forall(k => k >= -16L && k <= 16L))
+
+    // and the DataFrame path under the seam: bounded noise, exact cell
+    // set, schema identical to the replay-device release
+    val rel = CurateOps.curateDpRelease(spark, sf, CurateOps.DpSecureDrbg).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val truth = graft.sources.Tables.load(spark, sf, "documents")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rel.keySet == truth.keySet)
+    rel.foreach { case (k, v) =>
+      assert(v >= 0L && math.abs(v - truth(k)) <= 16L, s"$k DRBG noise out of bounds")
+    }
+  }
 }

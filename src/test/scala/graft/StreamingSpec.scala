@@ -1123,4 +1123,139 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$t content must be byte-identical after replay")
     }
   }
+
+  /** (relative path, size, mtime) of every data file under a table dir —
+    * the instrument for the zero-copy fold pins below.
+    */
+  private def dataFileStates(tableDir: String): Map[String, (Long, Long)] = {
+    val base = Paths.get(tableDir)
+    if (!Files.exists(base)) return Map.empty
+    val out = scala.collection.mutable.Map[String, (Long, Long)]()
+    Files.walk(base).forEach { p =>
+      val fn = p.getFileName.toString
+      if (Files.isRegularFile(p) && !fn.startsWith("_") && !fn.startsWith("."))
+        out(base.relativize(p).toString) =
+          (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    }
+    out.toMap
+  }
+
+  test("fold writes ZERO data bytes, through the Hadoop FS API against file://") {
+    val s = spark
+    import s.implicits._
+    // explicit file:// root: every store operation goes through the
+    // Hadoop FileSystem/FileContext resolved from the scheme — the same
+    // code path an hdfs:// or s3a:// root would take
+    val localDir = Files.createTempDirectory("wh_fold_bytes")
+    val store = new RelationStore(spark, s"file://$localDir", deltaFoldEvery = 3)
+    def batchDf(lo: Long, hi: Long) = (lo until hi).map(i => (i, s"doc$i")).toDF("id", "txt")
+    val tdir = s"$localDir/main/t"
+
+    assert(store.appendDelta(batchDf(0, 200), "t", 0L))
+    assert(store.appendDelta(batchDf(200, 400), "t", 1L))
+    val before = dataFileStates(tdir)
+    assert(before.nonEmpty && before.keySet.forall(_.startsWith("delta/")))
+
+    // third landing crosses deltaFoldEvery → fold. The pin: afterwards,
+    // every pre-existing data file is byte-identical in place (same
+    // size, same mtime), the only NEW data files are the third batch's
+    // own delta, and the committed version contains no data files at
+    // all — the fold wrote one manifest, not a table
+    assert(store.appendDelta(batchDf(400, 600), "t", 2L))
+    assert(store.versions("t").nonEmpty, "fold committed a base version")
+    val after = dataFileStates(tdir)
+    before.foreach { case (rel, st) =>
+      assert(after.get(rel).contains(st), s"$rel was rewritten or moved by the fold")
+    }
+    val added = after.keySet -- before.keySet
+    assert(added.nonEmpty && added.forall(_.startsWith("delta/b2/")),
+      s"fold must add no data files beyond the landing batch itself, got $added")
+    val v = store.versions("t").max
+    val verFiles = after.keySet.filter(_.startsWith(s"v$v/"))
+    assert(verFiles.isEmpty, s"version dir must hold metadata only, found $verFiles")
+    assert(store.copiedFallbackBytes.get() == 0L, "no copy fallback on the landing path")
+    assert(store.read("t").count() == 600)
+    assert(store.read("t").select(sum(col("id"))).as[Long].head() == (0L until 600L).sum)
+  }
+
+  test("reference-counted GC: files live while any retained manifest names them") {
+    val s = spark
+    import s.implicits._
+    val store = new RelationStore(spark, s"$work/wh_refcount",
+      deltaFoldEvery = 2, retainVersions = 2)
+    def batchDf(lo: Long, hi: Long) = (lo until hi).map(i => (i, s"doc$i")).toDF("id", "txt")
+    val tdir = s"$work/wh_refcount/main/t"
+
+    // v0: full write (physical files). Folds v1, v2 reference v0's
+    // files forever after — expiring v0 from retention must reclaim its
+    // MANIFEST but keep its data files until the last referencing
+    // manifest expires too (lakehouse snapshot-expiry semantics)
+    store.write(batchDf(0, 100), "t")
+    val v0Files = dataFileStates(tdir).keySet.filter(_.startsWith("v0/"))
+    assert(v0Files.nonEmpty)
+    store.appendDelta(batchDf(100, 110), "t", 0L)
+    store.appendDelta(batchDf(110, 120), "t", 1L) // fold → v1 (refs v0 + deltas)
+    store.appendDelta(batchDf(120, 130), "t", 2L)
+    store.appendDelta(batchDf(130, 140), "t", 3L) // fold → v2; retention expires v0
+    assert(store.versions("t") == Seq(1, 2), "v0 expired from the version list")
+    val files = dataFileStates(tdir).keySet
+    v0Files.foreach(f => assert(files.contains(f), s"$f still referenced — must survive GC"))
+    assert(store.read("t").count() == 140, "reads stay whole through the gutted version")
+    intercept[IllegalStateException](store.read("t", Some(0)))
+
+    // a full write supersedes everything; once the referencing fold
+    // manifests expire below retention, v0's bytes are finally reclaimed
+    store.write(batchDf(0, 5), "t")
+    store.write(batchDf(0, 6), "t")
+    assert(store.vacuum("t", keepLast = 1) >= 1)
+    val remaining = dataFileStates(tdir).keySet
+    v0Files.foreach(f =>
+      assert(!remaining.contains(f), s"$f unreferenced after expiry — must be reclaimed"))
+    assert(remaining.forall(!_.startsWith("delta/")), "absorbed unreferenced deltas reclaimed")
+    assert(store.read("t").count() == 6)
+  }
+
+  test("landing-loop auto-compaction bounds file count; big files are never rewritten") {
+    val s = spark
+    import s.implicits._
+    // fold every 2 landings; compact when the manifest reaches 6 files;
+    // a file ≥ 20 KiB counts as well-sized and must never be rewritten.
+    // Row text is distinct hex (incompressible) so file sizes track rows.
+    val store = new RelationStore(spark, s"$work/wh_autocompact", deltaFoldEvery = 2,
+      autoCompactMinFiles = 6, autoCompactTargetBytes = 20L << 10)
+    def batchDf(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, f"${i * 0x9E3779B97F4A7C15L}%016x" * 4)).toDF("id", "txt")
+
+    val perBatch = 200L
+    var landed = 0L
+    var stableBig: Option[(String, (Long, Long))] = None
+    (0L until 24L).foreach { b =>
+      store.appendDelta(batchDf(landed, landed + perBatch).coalesce(1), "t", b)
+      landed += perBatch
+      // once a compaction has produced a well-sized file, pin it: all
+      // later folds/compactions must leave it byte-identical in place
+      val bigs = dataFileStates(s"$work/wh_autocompact/main/t")
+        .filter { case (rel, (sz, _)) => sz >= (20L << 10) && !rel.startsWith("delta/") }
+      stableBig match {
+        case Some((rel, st)) =>
+          assert(bigs.get(rel).contains(st),
+            s"well-sized file $rel was rewritten by a later compaction")
+        case None => stableBig = bigs.headOption
+      }
+    }
+    assert(stableBig.nonEmpty, "auto-compaction produced at least one well-sized file")
+    // file-count bound: live deltas < fold threshold, manifest entries
+    // under the compaction trigger + one fold's worth of new files
+    val cur = store.versions("t").max
+    val scanned = store.read("t").inputFiles.length
+    assert(scanned <= 6 + 2, s"scan must open a bounded file set, opened $scanned")
+    assert(store.read("t").count() == landed)
+    assert(store.read("t").select(sum(col("id"))).as[Long].head() == (0L until landed).sum)
+    // rewrite amplification: compaction consumed only under-sized files,
+    // so cumulative rewritten bytes stay a small multiple of the data
+    val totalBytes = dataFileStates(s"$work/wh_autocompact/main/t").values.map(_._1).sum
+    assert(store.compactedBytes.get() <= totalBytes * 6,
+      s"compaction rewrote ${store.compactedBytes.get()} bytes over a $totalBytes-byte table")
+    assert(store.versions("t") == Seq(cur) || store.versions("t").size <= 2)
+  }
 }
