@@ -55,6 +55,7 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     graft.functions.RollingMinHash.register(s)
     graft.functions.CdcChunks.register(s)
+    graft.functions.SuffixBound.register(s)
     graft.functions.DotI64.register(s)
     graft.functions.MinHashAgg.register(s)
     graft.functions.MinKAgg.register(s)

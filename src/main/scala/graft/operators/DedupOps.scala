@@ -440,7 +440,45 @@ object DedupOps {
       ranked.filter(
         col("r") <= col("n") - expr(s"($p * n + ${q - 1}) div $q") + 1L)
         .select(col("doc_id"), col("h"), col("r"), col("n")))
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("h"),
+    val cand = ppjoinPrefixCandidates(prefix, p, q)
+    // Verification, the distributed-PPJoin way (Vernica, Carey & Li
+    // SIGMOD'10): ship each CANDIDATE doc's sorted shingle-hash array
+    // onto its pairs, then everything per pair is row-local inside one
+    // codegen stage — first the PPJoin+ suffix filter (Xiao et al.
+    // 2008, [[graft.functions.SuffixOverlapBound]]: a depth-limited
+    // partition bound that prunes pairs which cannot reach α even
+    // optimistically, admissible so the join stays exact), then the
+    // exact merge-count ([[graft.functions.SortedIntersectCount]]) for
+    // survivors. No postings self-join, no per-pair shuffle aggregate:
+    // the old scoring join materialized one row PER SHARED SHINGLE
+    // OCCURRENCE before aggregating — strictly more intermediate volume
+    // than the arrays themselves. OpsSpec re-pins pair-set equality vs
+    // brute force; the suffix bound's pruning is pinned by
+    // [[ppjoinCandidateCounts]].
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val arrs = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("h"))).as("hs"))
+    cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .filter(expr("suffix_overlap_bound(hs_a, hs_b, 3)") * pq >=
+        (size(col("hs_a")) + size(col("hs_b"))).cast("long") * p)
+      .withColumn("n_inter", expr("sorted_intersect_count(hs_a, hs_b)"))
+      .withColumn("n_a", size(col("hs_a")).cast("long"))
+      .withColumn("n_b", size(col("hs_b")).cast("long"))
+      .filter(col("n_inter") * pq >= (col("n_a") + col("n_b")) * p)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+  }
+
+  /** Prefix-principle candidate pairs with the length + positional
+    * filters (PPJoin proper) — the stage the suffix filter then prunes.
+    */
+  private def ppjoinPrefixCandidates(prefix: DataFrame, p: Long, q: Long): DataFrame = {
+    val pq = p + q
+    prefix.select(col("doc_id").as("doc_a"), col("h"),
         col("r").as("r_a"), col("n").as("n_a"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("h"),
         col("r").as("r_b"), col("n").as("n_b")), Seq("h"))
@@ -451,21 +489,38 @@ object DedupOps {
       .filter(least(col("n_a") - col("r_a"), col("n_b") - col("r_b")) + 1L >=
         expr(s"($p * (n_a + n_b) + ${pq - 1}) div $pq"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    // exact scoring over the candidates' FULL shingle sets
+  }
+
+  /** Candidate-pair count at threshold p/q, before vs after the suffix
+    * filter — the spec counter pinning that the PPJoin+ stage strictly
+    * prunes (and never below the true result-pair count).
+    */
+  def ppjoinCandidateCounts(s: SparkSession, dir: String, p: Long, q: Long): (Long, Long) = {
+    val pq = p + q
+    val sh = ResidentCache(s, "dedup_ngram_sh",
+      shingles(s, dir).select(col("doc_id"), xxhash64(col("s")).as("h")))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(df, Seq("h"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .join(sizes, Seq("doc_id"))
+    val prefix = ResidentCache(s, s"dedup_ppjoin_prefix_${p}_$q",
+      ranked.filter(
+        col("r") <= col("n") - expr(s"($p * n + ${q - 1}) div $q") + 1L)
+        .select(col("doc_id"), col("h"), col("r"), col("n")))
+    val cand = ppjoinPrefixCandidates(prefix, p, q)
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
-    val inter = shc.select(col("doc_id").as("doc_a"), col("h"))
-      .join(shc.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-    cand.join(inter, Seq("doc_a", "doc_b"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
-      .filter(col("n_inter") * pq >= (col("n_a") + col("n_b")) * p)
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
-        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-          .as("jaccard"))
+    val arrs = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("h"))).as("hs"))
+    val bound = expr("suffix_overlap_bound(hs_a, hs_b, 3)")
+    val withArrs = cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+    (cand.count(),
+      withArrs.filter(bound * pq >=
+        (size(col("hs_a")) + size(col("hs_b"))).cast("long") * p).count())
   }
 
   /** MinHash + LSH banding near-dup candidates, verified by exact

@@ -259,12 +259,46 @@ object ControlFlow {
         var k = j
         while (k < s.length && s(k).isWhitespace) k += 1
         val headPrefix = dotted.takeWhile(_ != '.')
+        // a single `|` (not SQL's `||` concat) after the head means a
+        // pipe-filter span — evaluate it like any rendered expression
+        def pipeAt(p: Int): Boolean =
+          p < s.length && s(p) == '|' && (p + 1 >= s.length || s(p + 1) != '|')
+        val literalPiped = ident.isEmpty && idStart < s.length &&
+          (s(idStart) == '\'' || s(idStart) == '"') && {
+            val q = s(idStart)
+            var e = idStart + 1
+            while (e < s.length && s(e) != q) e += 1
+            e += 1
+            while (e < s.length && s(e).isWhitespace) e += 1
+            pipeAt(e)
+          }
+        // `{{ var('x') | upper }}`: a PIPED var() call evaluates here
+        // (the filter needs the value); a plain `{{ var('x') }}` span
+        // stays Template.render's job — resolution semantics unchanged
+        val varPiped = ident == "var" && dotted == ident &&
+          k < s.length && s(k) == '(' && {
+            var e = k + 1
+            var depth = 1
+            var inQ: Char = 0
+            while (e < s.length && depth > 0) {
+              val c = s(e)
+              if (inQ != 0) { if (c == inQ) inQ = 0 }
+              else if (c == '\'' || c == '"') inQ = c
+              else if (c == '(') depth += 1
+              else if (c == ')') depth -= 1
+              e += 1
+            }
+            while (e < s.length && s(e).isWhitespace) e += 1
+            pipeAt(e)
+          }
         val span =
           if (((ContextFuncs.names.contains(ident) || Expr.RewrapCalls.contains(ident)) &&
                 k < s.length && s(k) == '(' && dotted == ident) ||
-              (env.contains(ident) && k < s.length && s(k) == '[' && dotted == ident) ||
+              (env.contains(ident) && k < s.length &&
+                (s(k) == '[' || pipeAt(k)) && dotted == ident) ||
               (Modules.handles(dotted) && k < s.length && s(k) == '(') ||
-              (dotted.contains('.') && env.contains(headPrefix)))
+              (dotted.contains('.') && env.contains(headPrefix)) ||
+              literalPiped || varPiped)
             Expr.evalSpan(s, idStart, env, vars)
           else None
         span match {
@@ -284,6 +318,114 @@ object ControlFlow {
     case l: Seq[_] => l.nonEmpty
     case null => false
     case _ => true
+  }
+
+  /** The Jinja pipe-filters real macro code actually hits (reference
+    * renders full Jinja, core/dbt/clients/jinja.py; our static scope
+    * carries the working set: `| upper`, `| join(', ')`,
+    * `| default(…)`, `| trim`, chained freely). One deliberate
+    * deviation: an UNKNOWN IDENTIFIER still errors at parse time
+    * (static-analysis philosophy) — `default` rescues null/missing
+    * VALUES (a subscript miss, a var() without default), not
+    * identifiers that exist nowhere.
+    */
+  private[parser] object Filters {
+    private def str(v: Any): String = v match {
+      case null => ""
+      case s: String => s
+      case other => ContextFuncs.show(other)
+    }
+    private def items(v: Any): Seq[Any] = v match {
+      case l: Seq[_] => l
+      case m: Map[_, _] => m.keys.toSeq
+      case s: String => s.map(_.toString)
+      case null => Nil
+      case other => throw new IllegalArgumentException(s"not iterable: $other")
+    }
+    private def num(v: Any): Double = v match {
+      case l: Long => l.toDouble
+      case d: Double => d
+      case s: String => s.toDouble
+      case b: Boolean => if (b) 1.0 else 0.0
+      case other => throw new IllegalArgumentException(s"not numeric: $other")
+    }
+
+    def apply(name: String, v: Any, pos: List[Any], kw: Map[String, Any]): Any = {
+      def arg(idx: Int, kwName: String, default: => Any): Any =
+        pos.lift(idx).orElse(kw.get(kwName)).getOrElse(default)
+      name match {
+        case "upper" => str(v).toUpperCase
+        case "lower" => str(v).toLowerCase
+        case "title" => str(v).split("(?<= )|(?<=-)").map(w =>
+          if (w.isEmpty) w else w.head.toUpper + w.tail.toLowerCase).mkString
+        case "capitalize" =>
+          val s0 = str(v)
+          if (s0.isEmpty) s0 else s0.head.toUpper + s0.tail.toLowerCase
+        case "trim" => str(v).strip
+        case "replace" =>
+          str(v).replace(String.valueOf(arg(0, "old", "")), String.valueOf(arg(1, "new", "")))
+        case "join" => items(v).map(str).mkString(String.valueOf(arg(0, "d", "")))
+        case "default" | "d" =>
+          // boolean=true extends the rescue to all falsy values (Jinja)
+          val fallback = arg(0, "default_value", "")
+          val alsoFalsy = truthy(arg(1, "boolean", false))
+          if (v == null || (alsoFalsy && !truthy(v))) fallback else v
+        case "length" | "count" => v match {
+          case s: String => s.length.toLong
+          case other => items(other).length.toLong
+        }
+        case "first" => items(v).headOption.orNull
+        case "last" => items(v).lastOption.orNull
+        case "list" => items(v).toVector
+        case "string" => str(v)
+        case "int" =>
+          try {
+            v match {
+              case l: Long => l
+              case d: Double => d.toLong
+              case b: Boolean => if (b) 1L else 0L
+              case s: String => s.trim.toDouble.toLong
+              case _ => num(v).toLong
+            }
+          } catch { case _: Exception => arg(0, "default", 0L) }
+        case "round" =>
+          val prec = num(arg(0, "precision", 0L)).toInt
+          val scale = math.pow(10, prec)
+          val r = math.round(num(v) * scale) / scale
+          if (prec <= 0 && r == math.floor(r)) r else r
+        case "abs" => v match {
+          case l: Long => math.abs(l)
+          case other => math.abs(num(other))
+        }
+        case "min" => items(v).minByOption(num).orNull
+        case "max" => items(v).maxByOption(num).orNull
+        case "sum" =>
+          val xs = items(v).map(num)
+          if (xs.forall(_.isWhole)) xs.sum.toLong else xs.sum
+        case "unique" =>
+          val seen = scala.collection.mutable.LinkedHashSet[Any]()
+          items(v).foreach(seen += _)
+          seen.toVector
+        case "sort" =>
+          val xs = items(v)
+          val sorted =
+            if (xs.forall(x => x.isInstanceOf[Long] || x.isInstanceOf[Double]))
+              xs.sortBy(num)
+            else xs.sortBy(str)
+          if (truthy(arg(1, "reverse", false))) sorted.reverse else sorted
+        case "reverse" => items(v).reverse
+        case "map" =>
+          // `| map('trim')` applies a named filter per item (extra args
+          // pass through: `| map('replace', '-', '_')`)
+          val inner = String.valueOf(pos.headOption.getOrElse(
+            throw new IllegalArgumentException("map needs a filter name")))
+          items(v).map(x => apply(inner, x, pos.tail, kw)).toVector
+        case other => throw new IllegalArgumentException(
+          s"unsupported filter '| $other' (supported: upper lower title capitalize trim " +
+            "replace join default length count first last list string int round abs " +
+            "min max sum unique sort reverse map)")
+      }
+    }
   }
 
   /** Tiny recursive-descent expression evaluator for tag conditions. */
@@ -347,19 +489,44 @@ object ControlFlow {
       private def parseNot(): (Any, P) =
         if (kw("not")) { val (v, _) = parseNot(); (!truthy(v), this) } else parseCmp()
       private def parseCmp(): (Any, P) = {
-        val (l, _) = parseAdd()
+        val (l, _) = parseFilter()
         ws()
         val ops = Seq("==", "!=", "<=", ">=", "<", ">")
         ops.find(o => s.startsWith(o, i)) match {
           case Some(op) =>
             i += op.length
-            val (r, _) = parseAdd()
+            val (r, _) = parseFilter()
             (compare(op, l, r), this)
           case None =>
-            if (kw("not") && kw("in")) { val (r, _) = parseAdd(); (!isIn(l, r), this) }
-            else if (kw("in")) { val (r, _) = parseAdd(); (isIn(l, r), this) }
+            if (kw("not") && kw("in")) { val (r, _) = parseFilter(); (!isIn(l, r), this) }
+            else if (kw("in")) { val (r, _) = parseFilter(); (isIn(l, r), this) }
             else (l, this)
         }
+      }
+      /** Jinja pipe-filters: `x | upper`, `xs | join(', ') | trim`, …
+        * ([[Filters]]). Binding sits between comparison and arithmetic,
+        * so `x | length > 3` reads ((x|length) > 3) and `a + b | upper`
+        * reads ((a+b)|upper) — the practical macro idioms; Jinja's own
+        * tighter-than-arithmetic corner case is out of static scope.
+        */
+      private def parseFilter(): (Any, P) = {
+        var (v, _) = parseAdd()
+        ws()
+        while (i < s.length && s(i) == '|' &&
+            (i + 1 >= s.length || s(i + 1) != '|')) { // never eat SQL ||
+          i += 1; ws()
+          val start = i
+          while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+          require(i > start, s"missing filter name after | in $s")
+          val name = s.substring(start, i)
+          ws()
+          val (posArgs, kwArgs) =
+            if (i < s.length && s(i) == '(') { i += 1; parseArgs(s"$name(") }
+            else (Nil, ListMap.empty[String, Any])
+          v = Filters.apply(name, v, posArgs, kwArgs)
+          ws()
+        }
+        (v, this)
       }
       /** Binary `+`/`-` — numeric, string/list concat, and the
         * datetime ± timedelta algebra ([[Modules.arith]]).

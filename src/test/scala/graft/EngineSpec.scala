@@ -1970,6 +1970,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("doc_id"), col("n_shared"), col("shared_millis")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(engineCdc == opCdc, "engine SQL and operator library disagree on CDC overlap")
+    // the pipe-filter macro (macros/lang_utils.sql) normalized the
+    // sloppy ' EN, de ,en' literal into IN ('de', 'en') — the slice
+    // must equal the staged docs filtered to exactly those two langs
+    val slice = store.read("lang_slice")
+    val expectLangs = store.read("stg_documents")
+      .filter(col("lang").isin("de", "en")).count()
+    assert(slice.count() == expectLangs && slice.count() > 0,
+      s"lang_slice ${slice.count()} != $expectLangs")
+    assert(slice.select(col("lang")).distinct().collect().map(_.getString(0)).toSet
+      == Set("de", "en"))
     // the datacard accounts for every document
     val card = store.read("datacard")
     assert(card.agg(org.apache.spark.sql.functions.sum("n_docs")).first().getLong(0)

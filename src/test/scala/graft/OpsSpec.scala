@@ -103,6 +103,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ppjoin+ suffix filter: admissible bound, strict candidate shrink at sf0.1") {
+    // (a) admissibility on adversarial arrays: the depth-limited bound
+    // must NEVER undercount the true intersection (undercounting would
+    // silently drop true pairs) — deterministic pseudo-random sweep
+    val rnd = new scala.util.Random(42)
+    (0 until 500).foreach { _ =>
+      val a = Array.fill(1 + rnd.nextInt(60))(rnd.nextInt(80).toLong).distinct.sorted
+      val b = Array.fill(1 + rnd.nextInt(60))(rnd.nextInt(80).toLong).distinct.sorted
+      val exact = a.toSet.intersect(b.toSet).size.toLong
+      (0 to 5).foreach { d =>
+        val bd = graft.functions.SuffixBound.compute(a, b, d)
+        assert(bd >= exact, s"depth-$d bound $bd < exact $exact")
+        assert(bd <= math.min(a.length, b.length), "bound above trivial cap")
+      }
+    }
+    // identical arrays: bound is tight at every depth
+    val same = (1L to 40L).toArray
+    assert(graft.functions.SuffixBound.compute(same, same, 3) == 40L)
+    // disjoint interleaved arrays: depth exposes the emptiness
+    val odd = Array.tabulate(32)(i => 2L * i + 1)
+    val even = Array.tabulate(32)(i => 2L * i)
+    assert(graft.functions.SuffixBound.compute(odd, even, 5) < 32L)
+
+    // (b) the counter pin on the sf0.1 corpus: the suffix filter keeps
+    // every true pair (>= the result count) while STRICTLY shrinking
+    // the candidate set the scoring join must pay for
+    val big = "/root/testdata/sf0.1"
+    val (before, after) = DedupOps.ppjoinCandidateCounts(spark, big, 4L, 5L)
+    val results = DedupOps.dedupPpjoin(spark, big).count()
+    assert(after < before, s"suffix filter must prune: $after !< $before")
+    assert(after >= results, s"suffix filter dropped true pairs: $after < $results")
+  }
+
   test("PQ ADC: distances are non-negative and recall vs exact L2 top-5 is useful") {
     import org.apache.spark.sql.functions._
     val pq = SimilarityOps.simPqTopK(spark, sf).collect()

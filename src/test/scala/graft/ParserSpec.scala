@@ -497,4 +497,75 @@ class ControlFlowSpec extends AnyFunSuite {
     assert(ControlFlow.render(
       "{% if 'x'.upper() == 'X' and 10 - 3 > 5 %}Y{% endif %}") == "Y")
   }
+
+  test("pipe filters: the working Jinja set, one case per filter") {
+    def r(t: String, vars: Map[String, String] = Map.empty) = ControlFlow.render(t, vars)
+    assert(r("{% set s = 'Ab c' | upper %}{{ s }}") == "AB C")
+    assert(r("{% set s = 'Ab C' | lower %}{{ s }}") == "ab c")
+    assert(r("{% set s = 'hello world' | title %}{{ s }}") == "Hello World")
+    assert(r("{% set s = 'hELLO' | capitalize %}{{ s }}") == "Hello")
+    assert(r("{% set s = '  pad  ' | trim %}{{ s }}") == "pad")
+    assert(r("{% set s = 'a-b-c' | replace('-', '_') %}{{ s }}") == "a_b_c")
+    assert(r("{% set s = ['x', 'y', 'z'] | join(', ') %}{{ s }}") == "x, y, z")
+    assert(r("{% set s = ['x', 'y'] | join %}{{ s }}") == "xy")
+    assert(r("{% set n = ['a', 'b', 'c'] | length %}{{ n }}") == "3")
+    assert(r("{% set n = 'abcd' | count %}{{ n }}") == "4")
+    assert(r("{% set s = ['p', 'q'] | first %}{{ s }}") == "p")
+    assert(r("{% set s = ['p', 'q'] | last %}{{ s }}") == "q")
+    assert(r("{% set l = 'ab' | list %}{{ l }}") == "['a', 'b']")
+    assert(r("{% set s = 42 | string %}{{ s }}") == "42")
+    assert(r("{% set n = '17' | int %}{{ n }}") == "17")
+    assert(r("{% set n = 'zz' | int %}{{ n }}") == "0")
+    assert(r("{% set n = 'zz' | int(9) %}{{ n }}") == "9")
+    assert(r("{% set n = 2.678 | round(1) %}{{ n }}") == "2.7")
+    assert(r("{% set n = -4 | abs %}{{ n }}") == "4")
+    assert(r("{% set n = [3, 1, 2] | min %}{{ n }}") == "1")
+    assert(r("{% set n = [3, 1, 2] | max %}{{ n }}") == "3")
+    assert(r("{% set n = [3, 1, 2] | sum %}{{ n }}") == "6")
+    assert(r("{% set l = ['b', 'a', 'b'] | unique %}{{ l }}") == "['b', 'a']")
+    assert(r("{% set l = [3, 1, 2] | sort %}{{ l }}") == "[1, 2, 3]")
+    assert(r("{% set l = ['a', 'b'] | reverse %}{{ l }}") == "['b', 'a']")
+    // map applies a named filter per item, extra args pass through
+    assert(r("{% set l = [' a ', 'B'] | map('trim') | map('lower') %}{{ l }}")
+      == "['a', 'b']")
+    assert(r("{% set l = ['x-y'] | map('replace', '-', '_') %}{{ l }}") == "['x_y']")
+    // the showcase idiom end to end: sloppy CSV → normalized IN-list
+    assert(r("{% set langs = ' EN, de ,en'.split(',') | map('trim') | map('lower') " +
+      "| unique | sort %}{{ langs | join(', ') }}") == "de, en")
+  }
+
+  test("pipe filters: default rescues null/missing values, not unknown identifiers") {
+    def r(t: String, vars: Map[String, String] = Map.empty) = ControlFlow.render(t, vars)
+    // a subscript miss and a defaultless var() miss are null → rescued
+    assert(r("{% set m = {'a': 1} %}{{ m['zz'] | default('fallback') }}") == "fallback")
+    assert(r("{% set v = var('nope') | default('dv') %}{{ v }}") == "dv")
+    assert(r("{% set v = var('yes') | default('dv') %}{{ v }}", Map("yes" -> "real")) == "real")
+    // boolean=true extends the rescue to falsy values (Jinja semantics)
+    assert(r("{% set s = '' | default('x') %}{{ s }}") == "")
+    assert(r("{% set s = '' | default('x', true) %}{{ s }}") == "x")
+    // an unknown IDENTIFIER still errors — static-analysis philosophy
+    intercept[IllegalArgumentException](r("{% set s = nosuch | default('x') %}{{ s }}"))
+    // and an unknown filter names the supported set
+    val e = intercept[IllegalArgumentException](r("{% set s = 'x' | frobnicate %}{{ s }}"))
+    assert(e.getMessage.contains("unsupported filter"))
+  }
+
+  test("pipe filters: chaining, precedence, and {{ }} spans") {
+    def r(t: String, vars: Map[String, String] = Map.empty) = ControlFlow.render(t, vars)
+    // chaining left-to-right
+    assert(r("{% set s = '  a-b  ' | trim | replace('-', '_') | upper %}{{ s }}") == "A_B")
+    // binds looser than arithmetic, tighter than comparison
+    assert(r("{% if ['a', 'b'] | length > 1 %}Y{% endif %}") == "Y")
+    assert(r("{% set s = 'a' + 'b' | upper %}{{ s }}") == "AB")
+    // inside {{ }} spans: env-bound heads, literals, loop vars, var()
+    assert(r("{% set x = 'mixed Case' %}{{ x | upper }}") == "MIXED CASE")
+    assert(r("{{ 'raw text' | title }}") == "Raw Text")
+    assert(r("{% for c in ['x', 'y'] %}{{ c | upper }}{% endfor %}") == "XY")
+    assert(r("{{ var('v') | upper | replace('A', '@') }}", Map("v" -> "data")) == "D@T@")
+    // SQL || concat is never mistaken for a filter
+    assert(r("{% set x = 'a' %}select {{ x }} || 'b' as c") == "select a || 'b' as c")
+    assert(r("select col_a || col_b from t") == "select col_a || col_b from t")
+    // a filtered list drives a for loop
+    assert(r("{% for c in ['b', 'a'] | sort %}{{ c }}{% endfor %}") == "ab")
+  }
 }
