@@ -1980,6 +1980,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"lang_slice ${slice.count()} != $expectLangs")
     assert(slice.select(col("lang")).distinct().collect().map(_.getString(0)).toSet
       == Set("de", "en"))
+    // the round's analyst-facing operators through ENGINE SQL must
+    // agree with the operator library bit for bit (same arithmetic,
+    // two surfaces): zipf rank decades, source concentration, and
+    // common-neighbor link prediction
+    val engineZipf = store.read("zipf_profile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val opZipf = graft.operators.TextOps.txtZipf(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(engineZipf == opZipf, "engine SQL and operator library disagree on zipf")
+    val engineConc = store.read("source_concentration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val opConc = graft.operators.CurateOps
+      .curateSourceConcentration(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(engineConc == opConc,
+      s"engine SQL and operator library disagree on concentration: $engineConc vs $opConc")
+    val engineLp = store.read("link_candidates").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val opLp = graft.operators.GraphOps.graphLinkPred(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(engineLp == opLp, "engine SQL and operator library disagree on link prediction")
+    assert(engineLp.nonEmpty, "link prediction should score wedges on this corpus")
     // the datacard accounts for every document
     val card = store.read("datacard")
     assert(card.agg(org.apache.spark.sql.functions.sum("n_docs")).first().getLong(0)
