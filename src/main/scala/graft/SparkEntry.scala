@@ -126,6 +126,7 @@ object SparkEntry {
     "dedup_cdc_incremental" -> (DedupOps.dedupCdcIncremental _),
     "dedup_cdc_pairs" -> ((s, d) => DedupOps.dedupCdcPairs(s, d)),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
+    "dedup_edges_incremental" -> (DedupOps.shingleShareEdgesIncremental _),
     "dedup_ppjoin" -> (DedupOps.dedupPpjoin _),
     "dedup_containment" -> ((s, dir) => DedupOps.dedupContainment(s, dir)),
     "dedup_minhash_lsh" -> (DedupOps.dedupMinHashLsh _),
@@ -3277,6 +3278,23 @@ object SparkEntry {
              CAST((1000 * SUM(seen * len(chunk))) // SUM(len(chunk)) AS BIGINT) AS shared_millis
       FROM nu GROUP BY 1"""),
     "dedup_ngram_jaccard" -> NgramJaccardSql,
+    // incremental rare-shingle edge mining: the % 10 >= 8 slice probes
+    // the postings index of the rest; "rare" = df <= 100 over the
+    // FROZEN reference (the probe's documented contract), edges need
+    // >= 2 shared rare shingles
+    "dedup_edges_incremental" -> (ShinglePairCtes + """
+      , old_sh AS (
+        SELECT doc_id, s FROM sh WHERE doc_id % 10 < 8
+      ), rare_ref AS (
+        SELECT doc_id, s FROM old_sh
+        WHERE s IN (SELECT s FROM old_sh GROUP BY s HAVING COUNT(*) <= 100)
+      )
+      SELECT n.doc_id AS doc_new, r.doc_id AS doc_ref,
+             CAST(COUNT(*) AS BIGINT) AS n_rare
+      FROM (SELECT doc_id, s FROM sh WHERE doc_id % 10 >= 8) n
+      JOIN rare_ref r ON n.s = r.s
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2"""),
     // PPJoin prefix-filtered EXACT J >= 0.8 self-join: the oracle is the
     // brute-force all-pairs replay at the same threshold (the prefix/
     // length/positional filters are lossless, so the sets must be equal)

@@ -96,9 +96,12 @@ object RollingMinHash {
   *
   * Boundaries never depend on previous cuts (the window rolls straight
   * across a cut), so the cut set is a pure function of the text — what
-  * lets the DuckDB oracle replay chunking positionally. Byte-oriented:
-  * intended for normalized ASCII text (bytes == chars); same Base as
-  * [[RollingMinHash]].
+  * lets the DuckDB oracle replay chunking positionally. Byte-oriented
+  * (the hash rolls over UTF-8 bytes), but a cut position is SNAPPED
+  * FORWARD to the next UTF-8 codepoint boundary before slicing, so
+  * arbitrary input never yields a malformed chunk; on ASCII (every
+  * normalized-text caller, and the oracle's replay domain) the snap is
+  * a no-op and chunking is byte-exact. Same Base as [[RollingMinHash]].
   */
 case class CdcChunks(child: Expression, w: Int, maskBits: Int)
     extends UnaryExpression {
@@ -148,8 +151,16 @@ object CdcChunks {
     var p = w - 1
     while (p < n) {
       if ((h & mask) == 0L) {
-        out += UTF8String.fromBytes(bytes, start, p + 1 - start)
-        start = p + 1
+        // snap the cut forward past any UTF-8 continuation bytes
+        // (0b10xxxxxx) so a multi-byte codepoint is never split;
+        // ASCII input (the normalized-text domain) never snaps. A cut
+        // snapped onto/behind an earlier one collapses to a no-op.
+        var cut = p + 1
+        while (cut < n && (bytes(cut) & 0xc0) == 0x80) cut += 1
+        if (cut > start) {
+          out += UTF8String.fromBytes(bytes, start, cut - start)
+          start = cut
+        }
       }
       p += 1
       if (p < n)
@@ -159,15 +170,28 @@ object CdcChunks {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
-  /** Register `cdc_chunks(str[, w, maskBits])`. */
+  /** Register `cdc_chunks(str[, w, maskBits])`. w/maskBits shape the
+    * generated code, so they must be integer LITERALS — any other
+    * expression gets a dedicated error naming the offender, not an
+    * arity complaint.
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    def intLit(e: Expression, name: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType) if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
+      case Literal(v: Short, ShortType) => v.toInt
+      case Literal(v: Byte, ByteType) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"cdc_chunks: $name must be an integer literal (it shapes the generated " +
+          s"code), got: ${other.sql}")
+    }
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
       (children: Seq[Expression]) => children match {
         case Seq(c) => CdcChunks(Cast(c, StringType), 16, 6)
-        case Seq(c, Literal(w: Int, IntegerType), Literal(m: Int, IntegerType)) =>
-          CdcChunks(Cast(c, StringType), w, m)
+        case Seq(c, wE, mE) =>
+          CdcChunks(Cast(c, StringType), intLit(wE, "w"), intLit(mE, "maskBits"))
         case other => throw new IllegalArgumentException(
           s"cdc_chunks(str[, w, maskBits]) got ${other.size} args")
       })

@@ -294,6 +294,59 @@ object DedupOps {
       .select(col("a"), col("b"))
   }
 
+  /** Rare-shingle postings INDEX of a corpus: distinct (doc_id, h)
+    * postings restricted to shingles with document frequency ≤ maxDf
+    * over this corpus — the frozen reference side of [[edgeProbeWith]].
+    * At scale this is a PERSISTED table (like [[buildDedupIndex]]'s
+    * fingerprints and [[cdcChunkIndex]]), re-read per micro-batch,
+    * never recomputed; baking the df guard into the index keeps the
+    * probe's per-key join fanout ≤ maxDf by construction.
+    */
+  def shinglePostingsIndex(s: SparkSession, dir: String,
+      maxDf: Long = HotShingleMaxDf): DataFrame =
+    shinglePostingsIndexOf(docs(s, dir), maxDf)
+
+  /** Same over an arbitrary documents DataFrame. */
+  def shinglePostingsIndexOf(d: DataFrame, maxDf: Long = HotShingleMaxDf): DataFrame = {
+    val sh = shinglesOf(d).distinct().select(col("doc_id"), xxhash64(col("s")).as("h"))
+    sh.join(
+      sh.groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
+      Seq("h"), "left_semi")
+  }
+
+  /** Missed-duplicate edge candidates of NEW documents against a frozen
+    * rare-shingle postings index: (doc_new, doc_ref, n_rare) pairs
+    * sharing at least `minShared` shingles that are rare IN THE
+    * REFERENCE — the incremental twin of [[shingleShareEdges]], closing
+    * the graph family's maintenance story the same way [[cdcProbeWith]]
+    * closes CDC's: a stream of arriving documents gets its topical-
+    * overlap edges at O(batch · maxDf) per tick via a stream-static
+    * equi-join, so [[GraphOps.graphLinkPred]]-style scoring never waits
+    * on a full-corpus shingling pass. Only the frequency side differs
+    * from the batch operator (frozen reference df vs whole-corpus df) —
+    * the same documented contract shift as every other probe driver.
+    */
+  def edgeProbeWith(newDocs: DataFrame, refPostings: DataFrame,
+      minShared: Long = 2L): DataFrame = {
+    val newSh = shinglesOf(newDocs).distinct()
+      .select(col("doc_id").as("doc_new"), xxhash64(col("s")).as("h"))
+    newSh.join(refPostings.select(col("doc_id").as("doc_ref"), col("h")), Seq("h"))
+      .groupBy(col("doc_new"), col("doc_ref"))
+      .agg(count(lit(1)).as("n_rare"))
+      .filter(col("n_rare") >= minShared)
+  }
+
+  /** Batch entry for the edge probe: the doc_id % 10 >= 8 slice arrives
+    * as "new" and probes the postings index built from the rest — same
+    * split convention as [[dedupIncremental]]/[[dedupCdcIncremental]],
+    * and the plan the streaming twin runs per micro-batch.
+    */
+  def shingleShareEdgesIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isNew = pmod(col("doc_id"), lit(10)) >= 8
+    edgeProbeWith(d.filter(isNew), shinglePostingsIndexOf(d.filter(!isNew)))
+  }
+
   /** Shared pair-mining core of [[ngramJaccard]] and
     * [[dedupContainment]]: exact shingle-set intersection counts for
     * every document pair sharing at least one (rare) shingle, plus the

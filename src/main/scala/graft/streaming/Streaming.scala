@@ -507,14 +507,16 @@ object Streaming {
     * per-language CCNet bucketing under the frozen char-LM + threshold
     * artifacts, topic tagging, boilerplate strike filtering under the
     * frozen strike set, CDC shared-span probing against the frozen
-    * chunk index, and IVF-PQ encoding of the arriving embeddings
-    * under the frozen centroids + codebook — TEN tables from ONE
-    * readStream: nine verdict/audit tables plus the quota-admitted
-    * CORPUS itself (the batch is cached once and feeds every plan, so
-    * arriving data is scanned once, not ten times). Every member is
-    * the exact batch operator, so each table is stream ≡ batch by
-    * construction and the composition adds no new semantics — only the
-    * single-pass execution a 100 TB ingest loop actually wants.
+    * chunk index, missed-duplicate edge mining against the frozen
+    * rare-shingle postings index, and IVF-PQ encoding of the arriving
+    * embeddings under the frozen centroids + codebook — ELEVEN tables
+    * from ONE readStream: ten verdict/audit tables plus the
+    * quota-admitted CORPUS itself (the batch is cached once and feeds
+    * every plan, so arriving data is scanned once, not eleven times).
+    * Every member is the exact batch operator, so each table is
+    * stream ≡ batch by construction and the composition adds no new
+    * semantics — only the single-pass execution a 100 TB ingest loop
+    * actually wants.
     *
     * Input: [[enrichedDocumentStream]] arrivals (documents + an
     * `embedding` column the upstream embedding service attached).
@@ -522,6 +524,15 @@ object Streaming {
     * per-source running totals from the already-landed quota table
     * (sources-bounded aggregate), so a restarted tick resumes exactly
     * where the landed data says it is.
+    *
+    * FROZEN-ARTIFACT CONTRACT: every reference-side DataFrame here
+    * (`charLm`, `langThresholds`, `boiler`, `centroids`, `codebook`,
+    * `cdcRef`, `edgeRef`) must be a PERSISTED/static table — a parquet
+    * read of a written artifact, the pattern the specs follow. The
+    * tick re-evaluates each plan per micro-batch, so a live plan over
+    * the corpus would re-derive the reference every tick (O(corpus)
+    * per tick instead of O(batch)) and could drift mid-stream if the
+    * corpus moves.
     */
   def runIngestTick(
       newDocs: DataFrame,
@@ -532,6 +543,7 @@ object Streaming {
       centroids: DataFrame,
       codebook: DataFrame,
       cdcRef: DataFrame,
+      edgeRef: DataFrame,
       store: RelationStore,
       prefix: String,
       checkpointDir: String,
@@ -600,6 +612,8 @@ object Streaming {
             graft.operators.TextOps.mojibakeOf(batch), batchId)
           landAppend(store, s"${prefix}_cdc",
             graft.operators.DedupOps.cdcProbeWith(batch, cdcRef), batchId)
+          landAppend(store, s"${prefix}_edges",
+            graft.operators.DedupOps.edgeProbeWith(batch, edgeRef), batchId)
           landAppend(store, s"${prefix}_codes",
             graft.operators.SimilarityOps.ivfPqEncodeWith(
               batch.select(col("doc_id").as("vec_id"), col("embedding")),
@@ -888,6 +902,26 @@ object Streaming {
       checkpointDir: String): Unit = {
     runAppendScorer(newDocs, store, table, checkpointDir) { batch =>
       graft.operators.DedupOps.cdcProbeWith(batch, refChunks)
+    }
+  }
+
+  /** Missed-duplicate edge mining over arriving documents against a
+    * frozen rare-shingle postings index
+    * ([[graft.operators.DedupOps.edgeProbeWith]]): each micro-batch
+    * lands its (doc_new, doc_ref, n_rare) topical-overlap edges at
+    * O(batch · maxDf) via the stream-static join pattern — the
+    * incremental maintenance path for the link-prediction/modularity
+    * graph family. `refPostings` must be a PERSISTED/static table
+    * (parquet read), like every frozen index here.
+    */
+  def runEdgeProbe(
+      newDocs: DataFrame,
+      refPostings: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit = {
+    runAppendScorer(newDocs, store, table, checkpointDir) { batch =>
+      graft.operators.DedupOps.edgeProbeWith(batch, refPostings)
     }
   }
 

@@ -2359,6 +2359,49 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (every position cuts -> 1-char chunks)
     val one = df.selectExpr("cdc_chunks(t, 1, 0) AS c").collect()(0).getSeq[String](0)
     assert(one.mkString == "some text" && one.forall(_.length == 1))
+    // non-literal / non-integer w and maskBits get a DEDICATED error
+    // naming the offending argument, not an arity complaint
+    val e1 = intercept[Exception](df.selectExpr("cdc_chunks(t, length(t), 6)").collect())
+    assert(e1.getMessage.contains("w must be an integer literal"), e1.getMessage)
+    val e2 = intercept[Exception](df.selectExpr("cdc_chunks(t, 16, '6')").collect())
+    assert(e2.getMessage.contains("maskBits must be an integer literal"), e2.getMessage)
+    // a long literal that fits an int is accepted (the advisor's
+    // cdc_chunks(t, 16L, 6) case); arity errors still say arity
+    assert(df.selectExpr("cdc_chunks(t, 16L, 0)").collect().nonEmpty)
+    val e3 = intercept[Exception](df.selectExpr("cdc_chunks(t, 16)").collect())
+    assert(e3.getMessage.contains("got 2 args"), e3.getMessage)
+  }
+
+  test("cdc_chunks never splits a UTF-8 codepoint: cuts snap to boundaries") {
+    val ss = spark
+    import ss.implicits._
+    // mixed ASCII + multi-byte text at an aggressive mask (cut often):
+    // chunks must re-concatenate to the input AND every chunk must be
+    // valid standalone UTF-8 (no leading continuation byte, no split
+    // trailing codepoint) — round-tripping through String would corrupt
+    // a malformed slice, so equality IS the validity check
+    val texts = Seq(
+      "héllo wörld ünïcode ça va être très bon",
+      "日本語のテキストと English mixed 中文内容",
+      "emoji 😀 in 🌉 the stream ééé",
+      "a" * 40 + "é" * 40 + "字" * 20)
+    for (t <- texts; mask <- Seq(0, 2, 4); w <- Seq(1, 4, 16)) {
+      val chunks = Seq(t).toDF("t")
+        .selectExpr(s"cdc_chunks(t, $w, $mask) AS c")
+        .collect()(0).getSeq[String](0)
+      assert(chunks.mkString == t, s"w=$w mask=$mask round-trip failed for: $t")
+      chunks.foreach { c =>
+        val bytes = c.getBytes("UTF-8")
+        assert((bytes(0) & 0xc0) != 0x80, s"chunk starts mid-codepoint: $c")
+        assert(new String(bytes, "UTF-8") == c, s"chunk not valid UTF-8: $c")
+      }
+    }
+    // pure-ASCII chunking is byte-identical to the pre-snap contract
+    // (the oracle's replay domain): cuts at every hash-zero position
+    val ascii = "the quick brown fox jumps over the lazy dog again and again"
+    val before = Seq(ascii).toDF("t")
+      .selectExpr("cdc_chunks(t, 16, 2) AS c").collect()(0).getSeq[String](0)
+    assert(before.mkString == ascii && before.length > 1)
   }
 
   test("link prediction: wedge-join scores == brute force (hub guard exercised)") {

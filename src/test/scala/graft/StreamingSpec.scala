@@ -202,6 +202,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming edge probe over two arrivals equals the batch edge mining") {
+    val store = new RelationStore(spark, s"$work/wh_edges")
+    val newIn = s"$work/edgedocs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 8
+    // frozen rare-shingle postings index from the already-ingested
+    // slice, persisted and re-read — probes hit storage, never recompute
+    store.write(
+      graft.operators.DedupOps.shinglePostingsIndexOf(docs.filter(!isNew)), "edge_idx")
+    val ref = store.read("edge_idx")
+    docs.filter(isNew && col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runEdgeProbe(Streaming.documentStream(spark, newIn), ref,
+      store, "edge_cands", s"$work/cp_edges")
+    val afterFirst = store.read("edge_cands").count()
+    docs.filter(isNew && col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runEdgeProbe(Streaming.documentStream(spark, newIn), ref,
+      store, "edge_cands", s"$work/cp_edges")
+    val streamed = store.read("edge_cands")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    // edges pair the batch against the frozen index only (never batch
+    // vs batch), so the union over arrivals equals the one-shot batch
+    val batch = graft.operators.DedupOps
+      .shingleShareEdgesIncremental(spark, "/root/testdata/sf0.001")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming DSIR scoring over two arrivals equals the batch scorer") {
     val store = new RelationStore(spark, s"$work/wh_dsir")
     val newIn = s"$work/dsirdocs"
@@ -317,7 +345,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.filter(col("admitted") === 0L).count() > 0)
   }
 
-  test("composed ingest tick: one stream pass lands all ten tables (verdicts + admitted corpus), each equal to batch") {
+  test("composed ingest tick: one stream pass lands all eleven tables (verdicts + admitted corpus), each equal to batch") {
     import graft.operators.{CurateOps, DedupOps, SimilarityOps, TextOps}
     val store = new RelationStore(spark, s"$work/wh_tick")
     val newIn = s"$work/tickdocs"
@@ -341,10 +369,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     SimilarityOps.persistIvfPqIndex(spark, sf, idxPath)
     val centroids = spark.read.parquet(s"$idxPath/centroids")
     val codebook = spark.read.parquet(s"$idxPath/codebook")
-    val cdcRef = DedupOps.cdcChunkIndexOf(docs.filter(!isNew))
+    // frozen-artifact contract: reference sides are PERSISTED tables
+    // re-read per micro-batch (never a live plan over the corpus)
+    DedupOps.cdcChunkIndexOf(docs.filter(!isNew))
+      .write.mode("overwrite").parquet(s"$work/tick_cdc_idx")
+    val cdcRef = spark.read.parquet(s"$work/tick_cdc_idx")
+    DedupOps.shinglePostingsIndexOf(docs.filter(!isNew))
+      .write.mode("overwrite").parquet(s"$work/tick_edge_idx")
+    val edgeRef = spark.read.parquet(s"$work/tick_edge_idx")
     def tick(): Unit =
       Streaming.runIngestTick(Streaming.enrichedDocumentStream(spark, newIn),
-        index, charLm, thr, boiler, centroids, codebook, cdcRef,
+        index, charLm, thr, boiler, centroids, codebook, cdcRef, edgeRef,
         store, "tick", s"$work/cp_tick", quota = 300L)
     enriched.filter(isNew && col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
     tick()
@@ -387,6 +422,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       newDocs.select(col("doc_id"), col("text"))))
     // r10: CDC shared-span probe against the frozen chunk index
     mustEqual("tick_cdc", DedupOps.cdcProbeWith(newDocs, cdcRef))
+    // r11: missed-duplicate edge mining against the frozen postings
+    // index — the graph family's incremental maintenance path
+    mustEqual("tick_edges", DedupOps.edgeProbeWith(newDocs, edgeRef))
+    assert(store.read("tick_edges").count() > 0, "edge probe should fire on this corpus")
   }
 
   test("streaming multimodal dedup probes the bucketed phash index; stream equals batch") {
@@ -1071,7 +1110,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replay of a superseded epoch must skip, not throw, on a bucketed table")
   }
 
-  test("ingest tick crash-replay: re-running an epoch leaves all ten tables unchanged") {
+  test("ingest tick crash-replay: re-running an epoch leaves all eleven tables unchanged") {
     import graft.operators.{DedupOps, SimilarityOps, TextOps}
     val store = new RelationStore(spark, s"$work/wh_tick_replay")
     val newIn = s"$work/tickdocs_replay"
@@ -1093,14 +1132,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     SimilarityOps.persistIvfPqIndex(spark, sf, idxPath)
     val centroids = spark.read.parquet(s"$idxPath/centroids")
     val codebook = spark.read.parquet(s"$idxPath/codebook")
-    val cdcRef = DedupOps.cdcChunkIndexOf(docs.filter(!isNew))
+    DedupOps.cdcChunkIndexOf(docs.filter(!isNew))
+      .write.mode("overwrite").parquet(s"$work/tickr_cdc_idx")
+    val cdcRef = spark.read.parquet(s"$work/tickr_cdc_idx")
+    DedupOps.shinglePostingsIndexOf(docs.filter(!isNew))
+      .write.mode("overwrite").parquet(s"$work/tickr_edge_idx")
+    val edgeRef = spark.read.parquet(s"$work/tickr_edge_idx")
     def tick(cp: String): Unit =
       Streaming.runIngestTick(Streaming.enrichedDocumentStream(spark, newIn),
-        index, charLm, thr, boiler, centroids, codebook, cdcRef,
+        index, charLm, thr, boiler, centroids, codebook, cdcRef, edgeRef,
         store, "tickr", cp, quota = 300L)
     val tables = Seq("tickr_quota", "tickr_corpus", "tickr_dedup", "tickr_gopher",
       "tickr_ccnet", "tickr_topics", "tickr_boiler", "tickr_codes", "tickr_mojibake",
-      "tickr_cdc")
+      "tickr_cdc", "tickr_edges")
 
     enriched.filter(isNew && col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
     tick(s"$work/cp_tickr")
