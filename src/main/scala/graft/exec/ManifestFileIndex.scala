@@ -1,0 +1,140 @@
+package graft.exec
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, Expression, Literal, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A [[FileIndex]] over an EXPLICIT file list — how a manifest-listed
+  * table version becomes a scan without touching the filesystem.
+  *
+  * This is the read half of the store's manifest commits (the shape
+  * lakehouse formats use: Delta's TahoeFileIndex, Iceberg's manifest
+  * scan): the manifest already knows every data file's path, size, and
+  * partition values, so
+  *
+  *  - a scan does ZERO directory listing and ZERO per-file stat calls
+  *    — on an object store at 100 TB, listing is the metadata
+  *    bottleneck manifests exist to delete;
+  *  - files of ONE logical version may live in MANY physical
+  *    directories (a partition carried from version 3, a fresh write
+  *    in version 7) — partition discovery over such a set is exactly
+  *    what Spark's directory-based inference refuses
+  *    (CONFLICTING_DIRECTORY_STRUCTURES), and what listFiles here
+  *    serves trivially;
+  *  - partition PRUNING still works: `listFiles` evaluates the pushed
+  *    partition filters against each entry's typed partition values,
+  *    so a pruned scan opens only the matching entries' files.
+  */
+final class ManifestFileIndex(
+    table: HPath,
+    override val partitionSchema: StructType,
+    /** (partition values in partitionSchema order, files) per leaf. */
+    entries: Seq[(InternalRow, Seq[FileStatus])]) extends FileIndex {
+
+  override def rootPaths: Seq[HPath] = Seq(table)
+  override def refresh(): Unit = ()
+  override lazy val sizeInBytes: Long =
+    entries.iterator.flatMap(_._2).map(_.getLen).sum
+  override def inputFiles: Array[String] =
+    entries.flatMap(_._2.map(_.getPath.toString)).toArray
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val live =
+      if (partitionFilters.isEmpty || partitionSchema.isEmpty) entries
+      else {
+        // bind the pushed filters to the partition-value row layout and
+        // evaluate per leaf — interpreted, over a bounded leaf count
+        val bound = partitionFilters.reduce(And).transform {
+          case a: AttributeReference =>
+            val idx = partitionSchema.indexWhere(_.name == a.name)
+            require(idx >= 0, s"partition filter over unknown column ${a.name}")
+            BoundReference(idx, partitionSchema(idx).dataType, nullable = true)
+        }
+        val pred = Predicate.createInterpreted(bound)
+        entries.filter { case (values, _) => pred.eval(values) }
+      }
+    live.map { case (values, files) => PartitionDirectory(values, files.toArray) }
+  }
+}
+
+object ManifestFileIndex {
+  /** Hive path-segment unescaping (%XX) — the inverse of the escaping
+    * Spark's partitioned writer applies to partition values in paths.
+    */
+  def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code = try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb += code.toChar; i += 3 } else { sb += c; i += 1 }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** `col=value` segments of a relative file path, in path order —
+    * the leaf-partition key a manifest entry belongs to (the segments
+    * survive verbatim from the partitioned writer, so equality on the
+    * joined string is equality on the partition tuple).
+    */
+  def leafKeyOf(relPath: String): String =
+    relPath.split('/').filter(_.contains('=')).mkString("/")
+
+  /** Parse a leaf key's values in `partitionBy` order, cast to the
+    * stored column types (Catalyst internal values, ready for an
+    * InternalRow).
+    */
+  def partitionValuesOf(leafKey: String, partitionBy: Seq[String],
+      schema: StructType, zoneId: String): InternalRow = {
+    val byName = leafKey.split('/').filter(_.contains('=')).map { seg =>
+      val eq = seg.indexOf('=')
+      unescapePathName(seg.take(eq)) -> unescapePathName(seg.drop(eq + 1))
+    }.toMap
+    InternalRow.fromSeq(partitionBy.map { name =>
+      val raw = byName.getOrElse(name,
+        throw new IllegalStateException(s"manifest entry missing partition $name: $leafKey"))
+      if (raw == HiveDefaultPartition) null
+      else Cast(Literal(UTF8String.fromString(raw), StringType),
+        schema(name).dataType, Option(zoneId)).eval(null)
+    })
+  }
+
+  /** Build the scan DataFrame for a manifest-listed version: data
+    * columns from the parquet files, partition columns (possibly none)
+    * from the manifest's typed values. `files` carry the manifest's
+    * recorded sizes — no filesystem metadata calls on the read path.
+    */
+  def datasetFor(
+      spark: SparkSession,
+      table: HPath,
+      storedSchema: StructType,
+      partitionBy: Seq[String],
+      filesByLeaf: Seq[(String, Seq[FileStatus])]): DataFrame = {
+    def nullable(st: StructType): StructType =
+      StructType(st.map(f => f.copy(nullable = true)))
+    val partitionSchema = nullable(StructType(partitionBy.map(n => storedSchema(n))))
+    val dataSchema = nullable(StructType(
+      storedSchema.filterNot(f => partitionBy.contains(f.name))))
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val entries = filesByLeaf.map { case (leafKey, files) =>
+      (partitionValuesOf(leafKey, partitionBy, storedSchema, zone), files)
+    }
+    val index = new ManifestFileIndex(table, partitionSchema, entries)
+    val relation = HadoopFsRelation(index, partitionSchema, dataSchema,
+      None, new ParquetFileFormat(), Map.empty[String, String])(spark)
+    org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      LogicalRelation(relation, isStreaming = false))
+  }
+}

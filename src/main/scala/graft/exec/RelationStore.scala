@@ -35,14 +35,15 @@ import graft.core.Relation
   *    retained version's manifest references it (lakehouse snapshot
   *    expiry semantics).
   *
-  * PARTITIONED layouts remain directory-self-contained versions (their
-  * read path needs the `col=value` directory structure for partition
-  * inference and pruning — Spark refuses partition discovery over file
-  * lists spanning version dirs, CONFLICTING_DIRECTORY_STRUCTURES).
-  * Untouched partitions carry over by hard link on a local filesystem
-  * and by a COUNTED copy elsewhere ([[copiedFallbackBytes]]) — the
-  * manifest treatment for partitioned commits needs a custom FileIndex
-  * and is the one remaining local-FS affordance.
+  * PARTITIONED layouts are manifests too: each entry carries its leaf
+  * partition key and size, and the read path is a [[ManifestFileIndex]]
+  * scan (Spark's directory-based partition discovery refuses file
+  * lists spanning version dirs — CONFLICTING_DIRECTORY_STRUCTURES —
+  * so the index serves the typed partition values and the pruning
+  * itself, the Delta/Iceberg read shape). A partition-scoped commit
+  * therefore CARRIES untouched partitions by reference: zero data
+  * bytes, zero hard links, on any filesystem. Reads also never list
+  * directories or stat files — the manifest records sizes.
   *
   * Views are stored as SQL text (`<name>.view.sql`) and re-registered as
   * session temp views on attach — mirroring `CREATE OR REPLACE VIEW`.
@@ -92,13 +93,6 @@ final class RelationStore(
   // FileSystem.rename refuses an existing destination on most schemes
   private lazy val fctx: FileContext = FileContext.getFileContext(fs.getUri, hconf)
   private val isLocalFs: Boolean = "file" == fs.getScheme
-
-  /** Bytes copied (not linked) carrying untouched partitions into a new
-    * partitioned version on a filesystem without hard links — observable
-    * so a deployment can alarm on the degraded complexity class instead
-    * of discovering it in the bill.
-    */
-  val copiedFallbackBytes = new AtomicLong(0L)
 
   /** Cumulative data bytes rewritten by [[compact]] (manual or auto) —
     * lets specs pin that compaction cost is bounded by the fragmented
@@ -200,18 +194,27 @@ final class RelationStore(
 
   // ---- manifests ----
 
-  /** `layout` of a committed version: "files" (manifest-listed flat
-    * data), "partitioned", or "bucketed" (directory-self-contained).
+  /** One manifest data file: table-relative path + recorded size (so
+    * reads never stat the filesystem).
     */
+  private[exec] final case class MEntry(rel: String, size: Long) {
+    def leafKey: String = ManifestFileIndex.leafKeyOf(rel)
+  }
+
+  /** A committed version's manifest. `layout`: "files" (flat),
+    * "partitioned" (entries carry `col=value` leaf keys in their
+    * paths), or "bucketed" (directory-self-contained; no entries
+    * cross-reference into it).
+    */
+  private[exec] final case class VersionManifest(
+      layout: String, partitionBy: Seq[String], entries: Seq[MEntry])
+
   private def manifestFile(name: String, v: Int): HPath =
     new HPath(verDir(name, v), "_manifest.json")
 
   private def hasManifest(name: String, v: Int): Boolean = fsExists(manifestFile(name, v))
 
-  /** (layout, table-relative data-file entries) — entries empty for
-    * directory layouts.
-    */
-  private def manifestOf(name: String, v: Int): Option[(String, Seq[String])] =
+  private def manifestOf(name: String, v: Int): Option[VersionManifest] =
     if (!hasManifest(name, v)) None
     else graft.artifacts.Json.parse(readStr(manifestFile(name, v))) match {
       case m: Map[String @unchecked, Any @unchecked] =>
@@ -220,27 +223,51 @@ final class RelationStore(
           case Some(s: Seq[Any @unchecked]) => s.map(String.valueOf(_))
           case _ => Nil
         }
-        Some((layout, files))
+        val sizes = m.get("sizes") match {
+          case Some(s: Seq[Any @unchecked]) => s.map(x => String.valueOf(x).toDouble.toLong)
+          case _ => files.map(_ => -1L) // pre-size manifests: stat on demand
+        }
+        val pby = m.get("partition_by") match {
+          case Some(s: Seq[Any @unchecked]) => s.map(String.valueOf(_))
+          case _ => Nil
+        }
+        Some(VersionManifest(layout,
+          pby, files.zip(sizes).map { case (f, sz) => MEntry(f, sz) }))
       case _ => None
     }
 
-  private def writeFilesManifest(name: String, v: Int, entries: Seq[String]): Unit =
-    writeStr(manifestFile(name, v),
-      graft.artifacts.Json.write(Map("layout" -> "files", "files" -> entries)))
+  private def writeManifest(name: String, v: Int, layout: String,
+      partitionBy: Seq[String], entries: Seq[MEntry]): Unit =
+    writeStr(manifestFile(name, v), graft.artifacts.Json.write(Map(
+      "layout" -> layout,
+      "partition_by" -> partitionBy,
+      "files" -> entries.map(_.rel),
+      "sizes" -> entries.map(_.size))))
 
-  private def writeDirManifest(name: String, v: Int, kind: String): Unit =
-    writeStr(manifestFile(name, v), graft.artifacts.Json.write(Map("layout" -> kind)))
+  /** Physical data files under a version dir as manifest entries. */
+  private def physicalEntries(name: String, v: Int): Seq[MEntry] =
+    dataFilesUnder(verDir(name, v))
+      .map(st => MEntry(relTo(tableDir(name), st.getPath), st.getLen))
 
-  /** Table-relative data files of version `v`: manifest entries for flat
-    * versions; the physical listing for directory layouts and (legacy)
-    * manifest-less dirs — either way, the files a fold may reference.
+  /** Data-file entries of version `v`: the manifest's for manifest
+    * versions, the physical listing for legacy/bucketed dirs — either
+    * way, the files a later version may carry by reference.
     */
-  private def versionEntries(name: String, v: Int): Seq[String] =
+  private def versionEntries(name: String, v: Int): Seq[MEntry] =
     manifestOf(name, v) match {
-      case Some(("files", entries)) => entries
-      case _ =>
-        dataFilesUnder(verDir(name, v)).map(st => relTo(tableDir(name), st.getPath))
+      case Some(m) if m.layout != "bucketed" => m.entries
+      case _ => physicalEntries(name, v)
     }
+
+  /** A manifest entry as a Hadoop FileStatus (no filesystem call —
+    * the manifest recorded the size; pre-size manifests stat once).
+    */
+  private def entryStatus(name: String, e: MEntry): FileStatus = {
+    val p = fs.makeQualified(new HPath(tableDir(name), e.rel))
+    if (e.size >= 0)
+      new FileStatus(e.size, false, 1, 128L << 20, 0L, p)
+    else fs.getFileStatus(p)
+  }
 
   // ---- reads ----
 
@@ -266,7 +293,7 @@ final class RelationStore(
       return spark.table(ensureBucketedRegistered(name))
 
     val cur = currentVersion(name)
-    val (dataPaths, schemaDirs): (Seq[String], Seq[HPath]) = asOfVersion match {
+    val (baseVer, live): (Option[Int], Seq[Long]) = asOfVersion match {
       case Some(v) =>
         // time travel addresses committed versions only: v ≤ pointer AND
         // manifest present (a dir above the pointer is a torn leftover
@@ -276,30 +303,57 @@ final class RelationStore(
           throw new IllegalStateException(
             s"version $v of $schema.$name not found (have: " +
               s"${versions(name).filter(_ <= cur.getOrElse(-1)).mkString(",")})")
-        (versionDataPaths(name, v), Seq(verDir(name, v)))
+        (Some(v), Nil)
       case None =>
-        val live = liveDeltaIds(name)
-        val base = cur.toSeq.flatMap(v => versionDataPaths(name, v))
-        if (cur.isEmpty && live.isEmpty)
+        val l = liveDeltaIds(name)
+        if (cur.isEmpty && l.isEmpty)
           throw new IllegalStateException(s"relation not found: $schema.$name")
-        (base ++ live.map(id => deltaDirOf(name, id).toString),
-          cur.map(verDir(name, _)).toSeq ++ live.map(deltaDirOf(name, _)))
+        (cur, l)
     }
+    val schemaDirs = baseVer.map(verDir(name, _)).toSeq ++ live.map(deltaDirOf(name, _))
     val stored = schemaDirs.map(d => new HPath(d, "_graft_schema.json"))
       .find(fsExists).map { f =>
         org.apache.spark.sql.types.DataType.fromJson(readStr(f)).asInstanceOf[StructType]
       }
-    if (dataPaths.isEmpty)
-      // zero data files (empty table / empty epoch landings only): an
-      // empty frame in the exact stored schema
-      return spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        stored.getOrElse(throw new IllegalStateException(
-          s"relation $schema.$name has no data and no stored schema")))
-    val df = spark.read.parquet(dataPaths: _*)
-    // restore the exact written schema (column order + types): a
-    // partitioned layout re-infers partition-column types on read,
-    // which would otherwise drift (e.g. "2024-01-01" → DATE)
+    // the base version scans through the manifest index: no directory
+    // listing, no stat calls, and partition values/pruning served from
+    // the manifest itself (legacy manifest-less dirs scan as paths)
+    val base: Option[DataFrame] = baseVer.flatMap { v =>
+      manifestOf(name, v) match {
+        case Some(m) if m.layout == "files" || m.layout == "partitioned" =>
+          if (m.entries.isEmpty) None
+          else {
+            val st = stored.getOrElse(throw new IllegalStateException(
+              s"manifest version without stored schema: $schema.$name v$v"))
+            val byLeaf = m.entries.groupBy(_.leafKey).toSeq.sortBy(_._1)
+              .map { case (k, es) => k -> es.map(entryStatus(name, _)) }
+            Some(ManifestFileIndex.datasetFor(
+              spark, fs.makeQualified(tableDir(name)), st, m.partitionBy, byLeaf))
+          }
+        case _ => Some(spark.read.parquet(verDir(name, v).toString))
+      }
+    }
+    val deltas: Option[DataFrame] =
+      if (live.isEmpty) None
+      else {
+        val reader = stored.fold(spark.read)(st => spark.read.schema(st))
+        Some(reader.parquet(live.map(id => deltaDirOf(name, id).toString): _*))
+      }
+    val df = (base, deltas) match {
+      case (Some(b), Some(d)) => b.unionByName(d)
+      case (Some(b), None) => b
+      case (None, Some(d)) => d
+      case (None, None) =>
+        // zero data files (empty table / empty epoch landings only):
+        // an empty frame in the exact stored schema
+        return spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          stored.getOrElse(throw new IllegalStateException(
+            s"relation $schema.$name has no data and no stored schema")))
+    }
+    // restore the exact written schema (column order + types): the
+    // manifest index serves stored types already, so for manifest
+    // versions the casts collapse to column reordering
     stored match {
       case Some(st) =>
         df.select(st.fields.toSeq.map(f =>
@@ -307,16 +361,6 @@ final class RelationStore(
       case None => df
     }
   }
-
-  /** Scan inputs for one committed version: the manifest's files for
-    * flat layouts, the version directory for partitioned layouts.
-    */
-  private def versionDataPaths(name: String, v: Int): Seq[String] =
-    manifestOf(name, v) match {
-      case Some(("files", entries)) =>
-        entries.map(e => new HPath(tableDir(name), e).toString)
-      case _ => Seq(verDir(name, v).toString)
-    }
 
   /** Version directories of a table, ascending: committed ones (those ≤
     * the current pointer, carrying a manifest) plus any torn leftover
@@ -363,8 +407,10 @@ final class RelationStore(
     val retained = committed.takeRight(math.max(1, keep)).toSet
     val referenced: Set[String] =
       retained.flatMap(v => manifestOf(name, v) match {
-        case Some(("files", entries)) => entries
-        case _ => Nil // dir layouts are kept wholesale; nothing cross-references into them
+        // bucketed versions are directory-self-contained; nothing
+        // cross-references into them
+        case Some(m) if m.layout != "bucketed" => m.entries.map(_.rel)
+        case _ => Nil
       })
     var reclaimed = 0
     for (v <- all if !retained.contains(v)) {
@@ -507,9 +553,10 @@ final class RelationStore(
     fs.mkdirs(dest)
     val prevEntries = cur.toSeq.flatMap(v => versionEntries(name, v))
     val deltaEntries = live.flatMap { id =>
-      dataFilesIn(deltaDirOf(name, id)).map(st => relTo(tableDir(name), st.getPath))
+      dataFilesIn(deltaDirOf(name, id))
+        .map(st => MEntry(relTo(tableDir(name), st.getPath), st.getLen))
     }
-    writeFilesManifest(name, next, prevEntries ++ deltaEntries)
+    writeManifest(name, next, "files", Nil, prevEntries ++ deltaEntries)
     val schemaSrc = (cur.map(verDir(name, _)).toSeq ++ live.map(deltaDirOf(name, _)))
       .map(d => new HPath(d, "_graft_schema.json")).find(fsExists)
     schemaSrc.foreach(s => writeStr(new HPath(dest, "_graft_schema.json"), readStr(s)))
@@ -556,9 +603,9 @@ final class RelationStore(
       .parquet(dest.toString)
     // leading "_" files are invisible to parquet FileIndex (like _SUCCESS)
     writeStr(new HPath(dest, "_graft_schema.json"), df.schema.json)
-    if (partitionBy.nonEmpty) writeDirManifest(name, next, "partitioned")
-    else writeFilesManifest(name, next,
-      dataFilesIn(dest).map(st => relTo(tableDir(name), st.getPath)))
+    if (partitionBy.nonEmpty)
+      writeManifest(name, next, "partitioned", partitionBy, physicalEntries(name, next))
+    else writeManifest(name, next, "files", Nil, physicalEntries(name, next))
     // a full write REPLACES the table's content, so any live delta
     // landings are superseded — raise the watermark past them (they're
     // reclaimed post-commit; pre-commit they must stay: the pointer may
@@ -609,7 +656,7 @@ final class RelationStore(
       .option("path", dest.toString)
       .saveAsTable(staging)
     writeStr(new HPath(dest, "_graft_schema.json"), df.schema.json)
-    writeDirManifest(name, next, "bucketed")
+    writeManifest(name, next, "bucketed", Nil, Nil)
     spark.sql(s"DROP TABLE IF EXISTS $staging") // metadata only (external)
     // a bucketed CTAS replaces the table's content wholly, exactly like
     // write(): any live delta landings are superseded via the watermark
@@ -688,13 +735,14 @@ final class RelationStore(
 
   /** Partition-scoped commit: `df` holds the FULL replacement content of
     * the partitions it touches (and nothing else); every leaf partition
-    * directory of the current version that the write did not produce is
-    * carried into the new version unchanged — by hard link on a local
-    * filesystem, by a counted copy elsewhere. This is what makes
-    * incremental strategies O(touched partitions) physically, not just
-    * logically — a microbatch that lands in one day's partition commits
-    * one partition's worth of bytes no matter how big the table is
-    * (the lakehouse `replaceWhere` commit shape).
+    * of the current version that the write did not produce is CARRIED
+    * into the new version's manifest by reference — zero data bytes, on
+    * any filesystem. This is what makes incremental strategies
+    * O(touched partitions) physically, not just logically — a
+    * microbatch that lands in one day's partition commits one
+    * partition's worth of bytes no matter how big the table is (the
+    * lakehouse `replaceWhere` commit shape, with the manifest playing
+    * the delta-log role).
     *
     * Falls back to a full [[write]] when the table doesn't exist yet or
     * the schema changed (on_schema_change) — carried old files must
@@ -719,7 +767,6 @@ final class RelationStore(
       s"writePartitions($name): relation has live delta landings — fold or full-write first")
     val cur = currentVersion(name)
     if (cur.isEmpty) { write(df, name, partitionBy); return }
-    val prev = verDir(name, cur.get)
     if (!schemaMatches(name, df.schema))
       // carried old files must share the table schema; callers guard
       // with schemaMatches and take the full-write path on
@@ -734,13 +781,13 @@ final class RelationStore(
       case Some(vals) if vals.nonEmpty => touchedLeafDirs(df.schema, partitionBy, vals)
       case _ => Set.empty
     }
-    // carry every previous leaf dir that was neither re-written (present
-    // in dest) nor touched-to-empty (in `dropped`)
-    leafPartitionDirs(prev, partitionBy.length).foreach { rel =>
-      val target = new HPath(dest, rel)
-      if (!fsExists(target) && !dropped.contains(rel)) linkOrCopyTree(prev, rel, dest)
-    }
-    writeDirManifest(name, next, "partitioned")
+    // carry every previous entry whose leaf was neither re-written
+    // (present among the new physical files) nor touched-to-empty
+    val newEntries = physicalEntries(name, next)
+    val written = newEntries.map(_.leafKey).toSet
+    val carried = versionEntries(name, cur.get)
+      .filter(e => !written.contains(e.leafKey) && !dropped.contains(e.leafKey))
+    writeManifest(name, next, "partitioned", partitionBy, newEntries ++ carried)
     dropBucketing(name)
     commitPointer(name, next)
   }
@@ -779,8 +826,7 @@ final class RelationStore(
   def isPartitionedLayout(name: String): Boolean =
     currentVersion(name).exists { v =>
       manifestOf(name, v) match {
-        case Some(("partitioned", _)) => true
-        case Some(_) => false
+        case Some(m) => m.layout == "partitioned"
         case None => // legacy manifest-less dir: physical check
           listNames(verDir(name, v)).exists(st =>
             st.isDirectory && st.getPath.getName.contains("="))
@@ -804,11 +850,10 @@ final class RelationStore(
     }
 
   /** Leaf partition dirs (depth = #partition cols) relative to `base`,
-    * as '/'-joined `col=value` strings.
+    * as '/'-joined `col=value` strings — used only on the DRIVER-LOCAL
+    * scratch dir that derives escaped leaf names for touched-partition
+    * tuples; store versions are enumerated via manifests.
     */
-  private def leafPartitionDirs(base: HPath, depth: Int): Seq[String] =
-    leafPartitionDirsOn(fs, base, base, depth)
-
   private def leafPartitionDirsOn(
       onFs: FileSystem, base: HPath, p: HPath, depth: Int): Seq[String] =
     if (!onFs.exists(p) || !onFs.getFileStatus(p).isDirectory) Nil
@@ -818,35 +863,6 @@ final class RelationStore(
         leafPartitionDirsOn(onFs, base, st.getPath, depth - 1)
       else Nil
     }
-
-  /** Carry `prev/rel` into `dest/rel`: hard links on a local filesystem
-    * (zero-copy), a COUNTED byte copy elsewhere — the one remaining
-    * operation whose complexity class depends on the filesystem
-    * (partitioned versions are directory-self-contained; see the class
-    * doc for why they can't be manifests yet).
-    */
-  private def linkOrCopyTree(prev: HPath, rel: String, dest: HPath): Unit = {
-    def walk(src: HPath, dst: HPath): Unit = {
-      val st = fs.getFileStatus(src)
-      if (st.isDirectory) {
-        fs.mkdirs(dst)
-        fs.listStatus(src).foreach(c => walk(c.getPath, new HPath(dst, c.getPath.getName)))
-      } else if (isLocalFs) {
-        val s = java.nio.file.Paths.get(fs.makeQualified(src).toUri)
-        val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri)
-        java.nio.file.Files.createDirectories(d.getParent)
-        try java.nio.file.Files.createLink(d, s)
-        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-          copiedFallbackBytes.addAndGet(st.getLen)
-          java.nio.file.Files.copy(s, d)
-        }
-      } else {
-        copiedFallbackBytes.addAndGet(st.getLen)
-        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, hconf)
-      }
-    }
-    walk(new HPath(prev, rel), new HPath(dest, rel))
-  }
 
   /** Selective small-file compaction — the lakehouse OPTIMIZE shape.
     *
@@ -880,69 +896,72 @@ final class RelationStore(
     foldDeltas(name)
     val cur = currentVersion(name).getOrElse(
       throw new IllegalStateException(s"relation not found: $schema.$name"))
-    manifestOf(name, cur) match {
-      case Some(("files", entries)) => compactFlat(name, cur, entries, targetBytes)
-      case _ => compactPartitioned(name, cur, targetBytes)
-    }
+    val m = manifestOf(name, cur)
+    val entries = versionEntries(name, cur)
+    val partitioned = m.exists(_.layout == "partitioned") ||
+      (m.isEmpty && entries.exists(_.leafKey.nonEmpty)) // legacy dir
+    if (partitioned) {
+      val pby = m.map(_.partitionBy).filter(_.nonEmpty).getOrElse(
+        // legacy manifests/dirs: derive the partition columns from a
+        // leaf key's `col=` names (order preserved by the path)
+        entries.head.leafKey.split('/').toSeq.map(_.takeWhile(_ != '=')))
+      compactPartitioned(name, cur, pby, entries, targetBytes)
+    } else compactFlat(name, cur, entries, targetBytes)
   }
 
   private def compactFlat(
-      name: String, cur: Int, entries: Seq[String], targetBytes: Long): Int = {
+      name: String, cur: Int, entries: Seq[MEntry], targetBytes: Long): Int = {
     val td = tableDir(name)
-    val sized = entries.map { e =>
-      val p = new HPath(td, e)
-      (e, fs.getFileStatus(p).getLen)
-    }
-    val (small, big) = sized.partition(_._2 < targetBytes)
-    val smallBytes = small.map(_._2).sum
+    val sized = entries.map(e =>
+      if (e.size >= 0) e
+      else e.copy(size = fs.getFileStatus(new HPath(td, e.rel)).getLen))
+    val (small, big) = sized.partition(_.size < targetBytes)
+    val smallBytes = small.map(_.size).sum
     val ideal = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes)
     if (small.size <= ideal) return 0
     val next = cur + 1
     val dest = verDir(name, next)
     deleteRec(dest)
-    spark.read.parquet(small.map(e => new HPath(td, e._1).toString): _*)
+    spark.read.parquet(small.map(e => new HPath(td, e.rel).toString): _*)
       .coalesce(ideal.toInt)
       .write.mode(SaveMode.Overwrite).parquet(dest.toString)
     compactedBytes.addAndGet(smallBytes)
-    val newEntries = dataFilesIn(dest).map(st => relTo(td, st.getPath))
-    writeFilesManifest(name, next, big.map(_._1) ++ newEntries)
+    writeManifest(name, next, "files", Nil, big ++ physicalEntries(name, next))
     carryVersionMeta(name, cur, next)
     commitPointer(name, next)
     1
   }
 
-  private def compactPartitioned(name: String, cur: Int, targetBytes: Long): Int = {
-    val prev = verDir(name, cur)
-    val depth = partitionDepth(prev)
-    val units: Seq[String] = if (depth == 0) Seq("") else leafPartitionDirs(prev, depth)
-    def files(rel: String): Seq[FileStatus] =
-      dataFilesIn(if (rel.isEmpty) prev else new HPath(prev, rel))
-        .filter(_.getPath.getName.endsWith(".parquet"))
-    val fragmented = units.filter { rel =>
-      val fsizes = files(rel).map(_.getLen)
-      val ideal = math.max(1L, (fsizes.sum + targetBytes - 1) / targetBytes)
-      fsizes.size > ideal
+  private def compactPartitioned(name: String, cur: Int, partitionBy: Seq[String],
+      entries: Seq[MEntry], targetBytes: Long): Int = {
+    val td = tableDir(name)
+    val sized = entries.map(e =>
+      if (e.size >= 0) e
+      else e.copy(size = fs.getFileStatus(new HPath(td, e.rel)).getLen))
+    val byLeaf = sized.groupBy(_.leafKey)
+    val fragmented = byLeaf.filter { case (_, es) =>
+      val ideal = math.max(1L, (es.map(_.size).sum + targetBytes - 1) / targetBytes)
+      es.size > ideal
     }
     if (fragmented.isEmpty) return 0
     val next = cur + 1
     val dest = verDir(name, next)
     deleteRec(dest)
-    val fragSet = fragmented.toSet
-    for (rel <- fragmented) {
-      val src = if (rel.isEmpty) prev else new HPath(prev, rel)
-      val sizes = files(rel).map(_.getLen)
-      val ideal = math.max(1L, (sizes.sum + targetBytes - 1) / targetBytes)
+    for ((leaf, es) <- fragmented.toSeq.sortBy(_._1)) {
+      val bytes = es.map(_.size).sum
+      val ideal = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
       // leaf files exclude partition columns, so a per-leaf round-trip
-      // preserves the written data schema exactly
-      spark.read.parquet(src.toString).coalesce(ideal.toInt)
-        .write.mode(SaveMode.Overwrite)
-        .parquet((if (rel.isEmpty) dest else new HPath(dest, rel)).toString)
-      compactedBytes.addAndGet(sizes.sum)
+      // preserves the written data schema exactly; the rewritten files
+      // land under the SAME `col=value` leaf path in the new version
+      spark.read.parquet(es.map(e => new HPath(td, e.rel).toString): _*)
+        .coalesce(ideal.toInt)
+        .write.mode(SaveMode.Overwrite).parquet(new HPath(dest, leaf).toString)
+      compactedBytes.addAndGet(bytes)
     }
-    for (rel <- units if !fragSet.contains(rel)) linkOrCopyTree(prev, rel, dest)
-    if (depth == 0) // legacy manifest-less flat dir compacted in place
-      writeFilesManifest(name, next, dataFilesIn(dest).map(st => relTo(tableDir(name), st.getPath)))
-    else writeDirManifest(name, next, "partitioned")
+    // well-sized leaves carry by reference, fragmented ones re-list
+    val carried = sized.filterNot(e => fragmented.contains(e.leafKey))
+    writeManifest(name, next, "partitioned", partitionBy,
+      physicalEntries(name, next) ++ carried)
     carryVersionMeta(name, cur, next)
     commitPointer(name, next)
     fragmented.size
@@ -956,20 +975,6 @@ final class RelationStore(
       val f = new HPath(verDir(name, from), meta)
       if (fsExists(f)) writeStr(new HPath(verDir(name, to), meta), readStr(f))
     }
-
-  /** Partition-dir nesting depth of a version layout (0 = unpartitioned),
-    * inferred by walking the first `col=value` chain.
-    */
-  private def partitionDepth(base: HPath): Int = {
-    def firstEqDir(p: HPath): Option[HPath] =
-      listNames(p).collectFirst {
-        case st if st.isDirectory && st.getPath.getName.contains("=") => st.getPath
-      }
-    var d = 0
-    var next = firstEqDir(base)
-    while (next.isDefined) { d += 1; next = firstEqDir(next.get) }
-    d
-  }
 
   /** Atomic pointer swap + reference-counted GC + session re-register. */
   private def commitPointer(name: String, next: Int): Unit = {
@@ -1111,19 +1116,48 @@ final class RelationStore(
     if (isView(name)) viewSql(name).map(sql => s"(\n$sql\n)")
     else if (isBucketed(name)) Some(ensureBucketedRegistered(name))
     else {
-      val live = liveDeltaIds(name).map(id => deltaDirOf(name, id).toString)
+      def dirSel(p: String) = s"SELECT * FROM parquet.`$p`"
+      val live = liveDeltaIds(name).map(id => dirSel(deltaDirOf(name, id).toString))
       val base: Seq[String] = currentVersion(name).toSeq.flatMap { v =>
         manifestOf(name, v) match {
-          case Some(("files", entries)) if !entries.forall(_.startsWith(s"v$v/")) =>
-            entries.map(e => new HPath(tableDir(name), e).toString)
-          case _ => Seq(verDir(name, v).toString) // self-contained version dir
+          case Some(m) if m.layout == "files" =>
+            if (m.entries.isEmpty) Nil
+            else if (m.entries.forall(_.rel.startsWith(s"v$v/")))
+              Seq(dirSel(verDir(name, v).toString)) // self-contained
+            else m.entries.map(e => dirSel(new HPath(tableDir(name), e.rel).toString))
+          case Some(m) if m.layout == "partitioned" =>
+            // partition columns don't live in the data files: project
+            // each entry's leaf values back as typed literals, in the
+            // stored column order
+            val st = storedSchemaOf(name).getOrElse(
+              throw new IllegalStateException(s"no stored schema for $schema.$name"))
+            m.entries.map { e =>
+              val vals = e.leafKey.split('/').filter(_.contains('=')).map { seg =>
+                val eq = seg.indexOf('=')
+                ManifestFileIndex.unescapePathName(seg.take(eq)) ->
+                  ManifestFileIndex.unescapePathName(seg.drop(eq + 1))
+              }.toMap
+              val cols = st.fields.map { f =>
+                vals.get(f.name) match {
+                  case Some("__HIVE_DEFAULT_PARTITION__") =>
+                    s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"
+                  case Some(raw) =>
+                    s"CAST('${raw.replace("'", "''")}' AS ${f.dataType.sql}) AS `${f.name}`"
+                  case None => s"`${f.name}`"
+                }
+              }
+              s"SELECT ${cols.mkString(", ")} FROM parquet.`" +
+                s"${new HPath(tableDir(name), e.rel)}`"
+            }
+          case _ => Seq(dirSel(verDir(name, v).toString)) // legacy/bucketed dir
         }
       }
       (base ++ live) match {
         case Seq() => None
-        case Seq(p) => Some(s"parquet.`$p`")
-        case many => Some(many.map(p => s"SELECT * FROM parquet.`$p`")
-          .mkString("(\n", "\nUNION ALL\n", "\n)"))
+        case Seq(one) if one.startsWith("SELECT * FROM parquet.`") =>
+          // bare table reference for the simple single-dir case
+          Some(one.stripPrefix("SELECT * FROM "))
+        case many => Some(many.mkString("(\n", "\nUNION ALL\n", "\n)"))
       }
     }
 

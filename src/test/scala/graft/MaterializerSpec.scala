@@ -72,23 +72,33 @@ class MaterializerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[IllegalStateException](mat.incremental(n, wider, fullRefresh = false))
   }
 
-  private def partFiles(version: java.nio.file.Path, part: String): Seq[java.nio.file.Path] = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.list(version.resolve(part)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.getFileName.toString)
+  /** A version's manifest data files per leaf-partition key, resolved
+    * to absolute paths against the table dir.
+    */
+  private def manifestByLeaf(version: java.nio.file.Path): Map[String, Seq[java.nio.file.Path]] = {
+    val table = version.getParent
+    val m = graft.artifacts.Json.parse(
+      java.nio.file.Files.readString(version.resolve("_manifest.json")))
+      .asInstanceOf[Map[String, Any]]
+    val files = m.getOrElse("files", Nil).asInstanceOf[Seq[Any]].map(String.valueOf(_))
+    files.groupBy(f => f.split('/').filter(_.contains('=')).mkString("/"))
+      .map { case (leaf, fs) => leaf -> fs.map(table.resolve(_)).sorted }
   }
 
-  /** Untouched partitions must be the SAME files (hard links) across
-    * versions — the physical proof that the commit was O(touched).
+  private def partFiles(version: java.nio.file.Path, part: String): Seq[java.nio.file.Path] =
+    manifestByLeaf(version).getOrElse(part, Nil)
+
+  /** Untouched partitions must be the SAME physical files (manifest
+    * carry-by-reference) across versions — the proof that the commit
+    * wrote O(touched) bytes: the old leaf's files are not rewritten,
+    * the new manifest just names them again.
     */
   private def assertLinked(v0: java.nio.file.Path, v1: java.nio.file.Path, parts: Seq[String]): Unit =
     parts.foreach { p =>
       val (olds, news) = (partFiles(v0, p), partFiles(v1, p))
-      assert(olds.nonEmpty && olds.size == news.size, s"$p: ${olds.size} vs ${news.size}")
-      olds.zip(news).foreach { case (o, n) =>
-        assert(java.nio.file.Files.isSameFile(o, n), s"$p: $o not linked")
-      }
+      assert(olds.nonEmpty, s"$p: no files in the old version's manifest")
+      assert(olds == news, s"$p: carried files differ — $olds vs $news")
+      news.foreach(f => assert(java.nio.file.Files.exists(f), s"$p: carried file $f missing"))
     }
 
   test("insert_overwrite commit is partition-scoped: untouched dirs linked byte-identical") {
@@ -223,6 +233,53 @@ class MaterializerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter("id = 1").count() == 2) // frozen original + inserted batch row
     assert(out.filter("id = 1 AND v = 'a'").count() == 1)
     assert(out.count() == 4)
+  }
+
+  test("partition-scoped commit writes ZERO bytes for untouched partitions; store reads prune") {
+    import spark.implicits._
+    def fileStates(dir: java.nio.file.Path): Map[String, (Long, Long)] = {
+      val out = scala.collection.mutable.Map[String, (Long, Long)]()
+      java.nio.file.Files.walk(dir).forEach { p =>
+        val fn = p.getFileName.toString
+        if (java.nio.file.Files.isRegularFile(p) && !fn.startsWith("_") && !fn.startsWith("."))
+          out(dir.relativize(p).toString) =
+            (java.nio.file.Files.size(p), java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      }
+      out.toMap
+    }
+    val n = ModelNode("t_zerocopy", "p", "", NodeConfig(
+      materialized = Materialized.Incremental,
+      incrementalStrategy = Some("merge"),
+      uniqueKey = Seq("id"), partitionBy = Seq("day")), Nil, Nil, Nil)
+    val init = Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"), (3L, "c", "2024-01-03"))
+      .toDF("id", "v", "day")
+    mat.incremental(n, init, fullRefresh = false)
+    val table = java.nio.file.Paths.get(store.currentPath("t_zerocopy").get).getParent
+    val before = fileStates(table)
+    // touch day 02 only
+    mat.incremental(n, Seq((2L, "b2", "2024-01-02")).toDF("id", "v", "day"),
+      fullRefresh = false)
+    val after = fileStates(table)
+    // every pre-existing data file is byte-identical IN PLACE (same
+    // size, same mtime — nothing was copied, linked, or rewritten)
+    before.foreach { case (rel, st) =>
+      assert(after.get(rel).contains(st), s"$rel was rewritten/copied by the commit")
+    }
+    // the only new data files belong to the touched partition
+    val added = after.keySet -- before.keySet
+    assert(added.nonEmpty && added.forall(_.contains("day=2024-01-02")),
+      s"commit must add only the touched partition's files, got $added")
+    // and the read PRUNES through the manifest index: a day filter
+    // scans exactly that day's files
+    val pruned = store.read("t_zerocopy").filter(col("day") === "2024-01-01")
+    assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.metrics.get("numFiles").exists(_.value ==
+      partFiles(java.nio.file.Paths.get(store.currentPath("t_zerocopy").get),
+        "day=2024-01-01").size),
+      s"partition filter must prune the manifest scan: ${scan.metrics.get("numFiles")}")
+    assert(scan.toString.contains("PartitionFilters"),
+      "pushed partition filter missing from the scan")
   }
 
   test("insert_overwrite replaces only the incoming partitions") {
