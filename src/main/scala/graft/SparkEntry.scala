@@ -127,6 +127,8 @@ object SparkEntry {
     "dedup_cdc_pairs" -> ((s, d) => DedupOps.dedupCdcPairs(s, d)),
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
     "dedup_edges_incremental" -> (DedupOps.shingleShareEdgesIncremental _),
+    "dedup_span_pairs" -> ((s, d) => DedupOps.dedupSpanPairs(s, d)),
+    "dedup_recall_eval" -> (DedupOps.dedupRecallEval _),
     "dedup_ppjoin" -> (DedupOps.dedupPpjoin _),
     "dedup_containment" -> ((s, dir) => DedupOps.dedupContainment(s, dir)),
     "dedup_minhash_lsh" -> (DedupOps.dedupMinHashLsh _),
@@ -194,6 +196,7 @@ object SparkEntry {
     "sim_lsh_topk" -> (SimilarityOps.simLshTopK _),
     "sim_ivf_topk" -> (SimilarityOps.simIvfTopK _),
     "sim_ivf_radius" -> ((s, d) => SimilarityOps.simIvfRadius(s, d)),
+    "sim_index_drift" -> (SimilarityOps.simIndexDrift _),
     "sim_rrf_fusion" -> (SimilarityOps.simRrfFusion _),
     "sim_filtered_topk" -> ((s, d) => SimilarityOps.simFilteredTopK(s, d)),
     "sim_pq_topk" -> (SimilarityOps.simPqTopK _),
@@ -565,6 +568,84 @@ object SparkEntry {
     * dedup_incremental (new-batch % 10 split) and
     * dedup_decontaminate_fuzzy (eval-set % 20 split).
     */
+  /** LSH recall-evaluation oracle: the full signature/band replay (same
+    * HUGEINT mixing as minhashProbeSql), the unguarded exact-Jaccard
+    * truth at J >= 0.5, per-decile catch counts, and the analytic
+    * S-curve constants interpolated from the SAME Scala computation the
+    * operator broadcasts ([[graft.operators.DedupOps.lshTheoryPpm]]).
+    */
+  private lazy val RecallEvalSql: String = {
+    val al = graft.functions.MinHashAgg.A.take(32)
+      .map(a => s"$a::HUGEINT").mkString("[", ",", "]")
+    val mask = (BigInt(1) << 64) - 1
+    val bl = graft.functions.MinHashAgg.B.take(32)
+      .map(b => s"${BigInt(b) & mask}::HUGEINT").mkString("[", ",", "]")
+    val bandKey = (0 until 8).map { b =>
+      val str = s"CAST($b AS VARCHAR) || ',' || " + (1 to 4).map(r =>
+        s"CAST(sig[${4 * b + r}] AS VARCHAR)").mkString(" || ',' || ")
+      val hi = s"('0x' || substr(md5($str), 1, 8))::BIGINT"
+      s"($hi - CASE WHEN $hi >= 2147483648 THEN 4294967296 ELSE 0 END)" +
+        s" * 4294967296 + ('0x' || substr(md5($str), 9, 8))::BIGINT"
+    }.map(k => s"SELECT doc_id, $k AS bk FROM sigs")
+      .mkString("\n        UNION ALL ")
+    val theoryVals = graft.operators.DedupOps.lshTheoryPpm(8, 4)
+      .map { case (b, t) => s"($b, $t)" }.mkString(", ")
+    s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id, g FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          FROM toks WHERE len(w) >= 3) x
+      ), dh AS (
+        SELECT doc_id, list(('0x' || substr(md5(g), 1, 8))::BIGINT::HUGEINT * 4294967296
+                          + ('0x' || substr(md5(g), 9, 8))::BIGINT::HUGEINT) AS hs
+        FROM sh GROUP BY 1
+      ), sigs AS (
+        SELECT doc_id,
+          list_transform(range(0, 32), p ->
+            list_min(list_transform(
+              list_transform(hs, x -> (x * $al[p+1] + $bl[p+1]) % 18446744073709551616::HUGEINT),
+              m -> CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+                             THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT)))) AS sig
+        FROM dh
+      ), bands AS (
+        $bandKey
+      ), sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1
+      ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ), truth AS (
+        SELECT doc_a, doc_b,
+               CAST((10 * n_inter) // (sa.n + sb.n - n_inter) AS BIGINT) AS bucket
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_inter * 3 >= sa.n + sb.n
+      ), cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
+      ), caught AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_caught
+        FROM truth t
+        WHERE EXISTS (SELECT 1 FROM cand c
+                      WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+        GROUP BY 1
+      ), tb AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth GROUP BY 1
+      )
+      SELECT tb.bucket, tb.n_truth,
+             CAST(COALESCE(ca.n_caught, 0) AS BIGINT) AS n_caught,
+             CAST((1000000 * COALESCE(ca.n_caught, 0)) // tb.n_truth AS BIGINT) AS recall_ppm,
+             CAST(th.theory_ppm AS BIGINT) AS theory_ppm
+      FROM tb
+      LEFT JOIN caught ca USING (bucket)
+      JOIN (VALUES $theoryVals) th(bucket, theory_ppm) ON th.bucket = tb.bucket"""
+  }
+
   private def minhashProbeSql(probePred: String, indexPred: String): String = {
     val al = graft.functions.MinHashAgg.A.take(32)
       .map(a => s"$a::HUGEINT").mkString("[", ",", "]")
@@ -919,25 +1000,25 @@ object SparkEntry {
     */
   private val IvfDot = "CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * c.cq[i])) AS BIGINT)"
 
-  private def ivfAssignCte(cent: String, name: String) = s"""$name AS (
+  private def ivfAssignCte(cent: String, name: String, src: String = "en") = s"""$name AS (
         SELECT vec_id, cell FROM (
           SELECT a.vec_id, c.centroid_id AS cell,
                  ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
                    CAST($IvfDot AS DOUBLE) / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) DESC,
                    c.centroid_id) AS rnk
-          FROM en a, $cent c
+          FROM $src a, $cent c
         ) WHERE rnk = 1
       )"""
 
-  private def ivfRefineCte(asg: String, name: String) = s"""$name AS (
+  private def ivfRefineCte(asg: String, name: String, src: String = "en") = s"""$name AS (
         SELECT cell AS centroid_id, cq,
                CAST(list_sum(list_transform(range(1, 65), i -> cq[i] * cq[i])) AS BIGINT) AS cn
         FROM (
           SELECT cell, list(CAST(ROUND(m) AS BIGINT) ORDER BY pos) AS cq
           FROM (
             SELECT s.cell, t.i AS pos,
-                   CAST(SUM(en.q[t.i]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
-            FROM $asg s JOIN en ON en.vec_id = s.vec_id,
+                   CAST(SUM($src.q[t.i]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+            FROM $asg s JOIN $src ON $src.vec_id = s.vec_id,
                  UNNEST(range(1, 65)) AS t(i)
             GROUP BY s.cell, t.i
           ) GROUP BY cell
@@ -969,6 +1050,62 @@ object SparkEntry {
       ),
       $iters,
       ${ivfAssignCte("c3", "cells")}"""
+  }
+
+  /** Index-drift oracle: the Lloyd chain trained on the % 10 < 8 slice
+    * only (src = `eno`), the scored assignment of ALL vectors against
+    * the frozen c3 centroids, and the per-cell old/new coverage
+    * aggregates — ppm-floored cosines summed as integers, sentinel −1/0
+    * for cells without new members.
+    */
+  private lazy val IndexDriftSql: String = {
+    val iters = (1 to 3).map { k =>
+      val prev = if (k == 1) "c0" else s"c${k - 1}"
+      ivfAssignCte(prev, s"a$k", "eno") + ", " + ivfRefineCte(s"a$k", s"c$k", "eno")
+    }.mkString(",\n      ")
+    val cos = s"CAST($IvfDot AS DOUBLE) / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE)))"
+    s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+        FROM embeddings
+      ), en AS (
+        SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq FROM e
+      ), eno AS (
+        SELECT * FROM en WHERE vec_id % 10 < 8
+      ), st AS (
+        SELECT MIN(vec_id) AS mn,
+               GREATEST(1, (MAX(vec_id) - MIN(vec_id) + 1) // 16) AS step
+        FROM eno
+      ), c0 AS (
+        SELECT vec_id AS centroid_id, q AS cq, nq AS cn FROM eno, st
+        WHERE (vec_id - mn) % step = 0 AND vec_id - mn < step * 16
+      ),
+      $iters,
+      asg AS (
+        SELECT vec_id, cell, CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_ppm FROM (
+          SELECT a.vec_id, c.centroid_id AS cell, $cos AS cos,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY $cos DESC, c.centroid_id) AS rnk
+          FROM en a, c3 c
+        ) WHERE rnk = 1
+      ), o AS (
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_old, CAST(SUM(cos_ppm) AS BIGINT) AS sum_old
+        FROM asg WHERE vec_id % 10 < 8 GROUP BY 1
+      ), nn AS (
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_new, CAST(SUM(cos_ppm) AS BIGINT) AS sum_new
+        FROM asg WHERE vec_id % 10 >= 8 GROUP BY 1
+      ), tot AS (
+        SELECT (SELECT SUM(n_old) FROM o) AS tot_old,
+               (SELECT SUM(n_new) FROM nn) AS tot_new
+      )
+      SELECT o.cell, o.n_old,
+             CAST(COALESCE(nn.n_new, 0) AS BIGINT) AS n_new,
+             CAST(o.sum_old // o.n_old AS BIGINT) AS avg_cos_old_ppm,
+             CAST(COALESCE(nn.sum_new // nn.n_new, -1) AS BIGINT) AS avg_cos_new_ppm,
+             CAST(COALESCE(o.sum_old // o.n_old - nn.sum_new // nn.n_new, -1) AS BIGINT) AS cos_drift_ppm,
+             CAST(COALESCE((1000000::HUGEINT * nn.n_new * tot.tot_old)
+                           // (CAST(o.n_old AS HUGEINT) * tot.tot_new), 0) AS BIGINT) AS load_ratio_ppm
+      FROM o LEFT JOIN nn USING (cell), tot"""
   }
 
   /** Integer squared-L2 distance of subvector row `s` against codeword
@@ -2775,6 +2912,7 @@ object SparkEntry {
     // incremental (batch-vs-index) dedup: the SAME minhash pipeline
     // constants as dedup_minhash_lsh, restricted to (new=doc_id%10>=8,
     // index) pairs, plus the exact-fingerprint probe — replayed 1:1
+    "dedup_recall_eval" -> RecallEvalSql,
     "dedup_incremental" -> minhashProbeSql("doc_id % 10 >= 8", "doc_id % 10 < 8"),
     "dedup_decontaminate_fuzzy" -> minhashProbeSql("doc_id % 20 <> 0", "doc_id % 20 = 0"),
     // txt_winnow's rolling Karp-Rabin hash (functions.RollingMinHash:
@@ -3599,6 +3737,39 @@ object SparkEntry {
       FROM toks t
       LEFT JOIN perdoc USING (doc_id)
       LEFT JOIN cov USING (doc_id)""",
+    // pair-level span localization: shared rare-8-gram matches grouped
+    // into contiguous runs per (pair, diagonal i_a − i_b) — the islands
+    // trick replayed verbatim
+    "dedup_span_pairs" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        FROM documents
+      ), starts AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i, array_to_string(w[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ') AS g
+        FROM toks, UNNEST(range(0, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8
+      ), rare AS (
+        SELECT doc_id, i, g FROM starts
+        WHERE g IN (SELECT g FROM (
+          SELECT g, COUNT(DISTINCT doc_id) AS nd FROM starts GROUP BY g) x
+          WHERE nd > 1 AND nd <= 100)
+      ), m AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.i AS i_a, b.i AS i_b
+        FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+      ), isl AS (
+        SELECT doc_a, doc_b, i_a - i_b AS d,
+               i_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, i_a - i_b ORDER BY i_a) AS grp
+        FROM m
+      ), rl AS (
+        SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS run
+        FROM isl GROUP BY doc_a, doc_b, d, grp
+      )
+      SELECT doc_a, doc_b,
+             CAST(SUM(run) AS BIGINT) AS n_shared_grams,
+             CAST(MAX(run) AS BIGINT) AS longest_run_grams,
+             CAST(MAX(run) + 7 AS BIGINT) AS longest_span_tokens
+      FROM rl GROUP BY 1, 2
+      HAVING SUM(run) >= 3""",
     "dedup_substring_remove" -> """
       WITH toks AS (
         SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
@@ -3669,6 +3840,7 @@ object SparkEntry {
     "sim_ivf_topk" -> IvfTopkSql,
     // radius search: identical probes + exact re-score as the IVF
     // top-k oracle, with a cosine-bar filter instead of the window
+    "sim_index_drift" -> IndexDriftSql,
     "sim_ivf_radius" -> s"""
       WITH $IvfCellCtes,
       probes AS (

@@ -639,6 +639,70 @@ object DedupOps {
     * so the oracle replays it exactly. Shared by [[dedupMinHashLsh]]
     * (full self-dedup) and [[dedupIncremental]] (batch-vs-index).
     */
+  /** LSH DESIGN evaluation — the tuning artifact for the banding
+    * parameters: per Jaccard decile (J ≥ 0.5, the b=8/r=4 design
+    * point's operating range), how many TRUE near-dup pairs exist, how
+    * many the band join catches as candidates, the empirical recall,
+    * and the analytic S-curve expectation 1 − (1 − s⁴)⁸ at the decile
+    * midpoint. Truth is the UNGUARDED exact-Jaccard pair set (this is
+    * the one deliberate all-pairs ground-truth operator, like
+    * ngramJaccard at maxDf=0); candidates are the exact band keys the
+    * production pipeline joins on, so the recall measured here is the
+    * recall shipped.
+    *
+    * Every output is integer (counts + ppm), so the DuckDB oracle
+    * hash-verifies the whole evaluation including the replayed
+    * signature/band arithmetic.
+    */
+  def dedupRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val nPerm = 32
+    val rowsPerBand = 4
+    val nBands = nPerm / rowsPerBand
+    val sh = ResidentCache(s, "dedup_minhash_sh",
+      shinglesRaw(s, dir).select(col("doc_id"), md5Hash64(col("s")).as("h")))
+    val shd = sh.distinct()
+    val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = shd.select(col("doc_id").as("doc_a"), col("h"))
+      .join(shd.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    // truth: J >= 0.5 ⇔ 3·I >= n_a + n_b, decile bucket in exact ints
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .filter(col("n_inter") * 3 >= col("n_a") + col("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("(10 * n_inter) div (n_a + n_b - n_inter)").as("bucket"))
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhashSig(col("h"), nPerm).as("sig"))
+    val banded = bandKeys(sigs, nBands, rowsPerBand)
+    val cand = banded.alias("x").join(banded.alias("y"), col("x.bk") === col("y.bk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val caught = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_caught"))
+    import s.implicits._
+    val theory = DedupOps.lshTheoryPpm(nBands, rowsPerBand).toDF("bucket", "theory_ppm")
+    truth.groupBy(col("bucket")).agg(count(lit(1)).as("n_truth"))
+      .join(caught, Seq("bucket"), "left")
+      .join(broadcast(theory), Seq("bucket"))
+      .select(col("bucket"), col("n_truth"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+        expr("(1000000 * coalesce(n_caught, 0L)) div n_truth").as("recall_ppm"),
+        col("theory_ppm"))
+  }
+
+  /** Analytic band-recall 1 − (1 − s^r)^b at each decile midpoint
+    * (bucket 10 = exact duplicates, s = 1), in ppm — constants shared
+    * verbatim with the DuckDB oracle (interpolated as literals).
+    */
+  private[graft] def lshTheoryPpm(b: Int, r: Int): Seq[(Long, Long)] =
+    (5L to 10L).map { bucket =>
+      val sMid = if (bucket == 10L) 1.0 else (bucket + 0.5) / 10.0
+      bucket -> math.round(1e6 * (1.0 - math.pow(1.0 - math.pow(sMid, r), b)))
+    }
+
   private def bandKeys(sigs: DataFrame, nBands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until nBands).map { b =>
       val slots = (0 until rowsPerBand).map(r => s"sig[${b * rowsPerBand + r}]").mkString(", ")
@@ -973,6 +1037,57 @@ object DedupOps {
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
         coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
         expr("(1000 * coalesce(n_dup_positions, 0L)) div n_tokens").as("dup_frac_millis"))
+  }
+
+  /** Pair-level verbatim-span LOCALIZATION — the provenance view the
+    * per-document totals of [[dedupSubstringSpans]] cannot give: for
+    * each document pair sharing rare 8-token grams, the longest
+    * CONTIGUOUS run of shared grams (the plagiarism-detection diagonal
+    * method: a shared gram at positions (i_a, i_b) extends a run iff
+    * the next shared gram sits at (i_a+1, i_b+1), i.e. same diagonal
+    * d = i_a − i_b with consecutive i_a — gaps-and-islands per
+    * (pair, diagonal)). longest_span_tokens = longest_run_grams + 7:
+    * an L-gram run of 8-token grams covers L+7 tokens verbatim.
+    *
+    * Scale shape: the same df-guarded gram-postings join as
+    * [[dedupCdcPairs]] (pair generation only over grams in ≤ maxDf
+    * docs → per-key fanout ≤ maxDf²); the islands window partitions by
+    * (pair, diagonal) — strictly pair-local, no global sort. Gram
+    * identity travels as xxhash64.
+    */
+  def dedupSpanPairs(s: SparkSession, dir: String,
+      minShared: Long = 3L, maxDf: Int = HotShingleMaxDf): DataFrame = {
+    val n = 8
+    val starts = docs(s, dir)
+      .select(col("doc_id"), split(TextOps.normalized(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))"))
+        .as(Seq("i", "g")))
+      .select(col("doc_id"), col("i").cast("long").as("i"), xxhash64(col("g")).as("h"))
+    // df guard on DISTINCT docs per gram (a repeated gram inside one
+    // doc is one "document occurrence" for rarity)
+    val rareGrams = starts.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1 && col("nd") <= maxDf)
+      .select(col("h"))
+    val rare = starts.join(rareGrams, Seq("h"), "left_semi")
+    val matches = rare.select(col("doc_id").as("doc_a"), col("h"), col("i").as("i_a"))
+      .join(rare.select(col("doc_id").as("doc_b"), col("h"), col("i").as("i_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("i_a"), col("i_b")).distinct()
+    val wd = Window.partitionBy(col("doc_a"), col("doc_b"), col("d")).orderBy(col("i_a"))
+    val runs = matches
+      .withColumn("d", col("i_a") - col("i_b"))
+      .withColumn("grp", col("i_a") - row_number().over(wd))
+      .groupBy(col("doc_a"), col("doc_b"), col("d"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+    runs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("run")).as("n_shared_grams"), max(col("run")).as("longest_run_grams"))
+      .filter(col("n_shared_grams") >= minShared)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_grams"),
+        col("longest_run_grams"),
+        (col("longest_run_grams") + lit((n - 1).toLong)).as("longest_span_tokens"))
   }
 
   /** Duplicated-span REMOVAL — the rewrite half of Lee et al. 2022

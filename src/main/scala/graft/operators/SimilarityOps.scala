@@ -205,6 +205,12 @@ object SimilarityOps {
     * family instead of re-running the Lloyd chain per consumer.
     */
   private def assignCells(e: DataFrame, centroids: DataFrame): DataFrame =
+    assignCellsScored(e, centroids).select(col("vec_id"), col("cell"))
+
+  /** Nearest-centroid assignment WITH the winning cosine — the drift
+    * monitor needs the distance, the plain assignment does not.
+    */
+  private def assignCellsScored(e: DataFrame, centroids: DataFrame): DataFrame =
     e.crossJoin(broadcast(centroids))
       .select(col("vec_id"),
         (expr("dot_i64(q, cq)").cast("double") /
@@ -212,7 +218,7 @@ object SimilarityOps {
         col("centroid_id"))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("cos"), (-col("centroid_id")).as("neg"))).as("b"))
-      .select(col("vec_id"), (-col("b.neg")).as("cell"))
+      .select(col("vec_id"), (-col("b.neg")).as("cell"), col("b.cos").as("cos"))
 
   private def kmeansRefine(
       s: SparkSession, e: DataFrame, centroids0: DataFrame, iters: Int): DataFrame = {
@@ -249,7 +255,15 @@ object SimilarityOps {
     * assignment). `e` must be [[quantized]] output (cached by caller —
     * it is scanned once per Lloyd iteration).
     */
-  private def kmeansCells(s: SparkSession, e: DataFrame, dir: String): (DataFrame, DataFrame) = {
+  private def kmeansCells(s: SparkSession, e: DataFrame, dir: String): (DataFrame, DataFrame) =
+    kmeansCellsOf(s, e, dir)
+
+  /** Same, keyed by an explicit cache tag — lets the drift monitor
+    * train a FROZEN index on a corpus subset without colliding with
+    * the full-corpus IVF family's resident slots.
+    */
+  private def kmeansCellsOf(s: SparkSession, e: DataFrame, cacheTag: String)
+      : (DataFrame, DataFrame) = {
     val nCentroids = 16
     // deterministic strided sample over the ID RANGE (no LIMIT — order-
     // independent and replayable by the SQL oracle; anchored at min so
@@ -268,11 +282,11 @@ object SimilarityOps {
     // downstream plans are sameResult-stable — the Lloyd chain itself
     // carries lambda expressions that defeat plan-cache canonical
     // matching, which would silently retrain per consumer
-    val centroids = ResidentCache.localModel(s, s"sim_ivf_centroids@$dir") {
+    val centroids = ResidentCache.localModel(s, s"sim_ivf_centroids@$cacheTag") {
       kmeansRefine(s, e, seed, iters = 3)
     }
     // assign every vector to its nearest centroid (broadcast centroids)
-    val assigned = ResidentCache(s, s"sim_ivf_cells@$dir", assignCells(e, centroids))
+    val assigned = ResidentCache(s, s"sim_ivf_cells@$cacheTag", assignCells(e, centroids))
     (centroids, assigned)
   }
 
@@ -340,6 +354,55 @@ object SimilarityOps {
     ivfCandidates(e, probes, cells)
       .filter(col("cos") >= tauMilli.toDouble / 1000.0)
       .select(col("qid"), col("cid"), col("cos"))
+  }
+
+  /** IVF index STALENESS monitor — the observability half of the index
+    * lifecycle (train → persist → fsck/compact/rebalance → and now:
+    * know WHEN to rebalance): a frozen index trained on the
+    * already-ingested slice (vec_id % 10 < 8, the suite's split
+    * convention) is probed by the new arrivals, and each cell reports
+    * how well it covers them vs its own training members:
+    *
+    *   - `cos_drift_ppm` = avg assignment cosine of training members −
+    *     avg of new members (positive ⇒ new data sits farther from the
+    *     centroid: distribution shift the index wasn't trained for);
+    *   - `load_ratio_ppm` = the cell's share of new vectors relative
+    *     to its training share (≫ 10⁶ ⇒ a hot cell filling up — the
+    *     rebalance trigger).
+    *
+    * All outputs are exact integers (per-vector cosines floor-scaled
+    * to ppm BEFORE summing — never a float sum), so the DuckDB oracle
+    * hash-verifies the monitor end to end. Cells no new vector reaches
+    * report −1 averages and 0 load (sentinels, not NULLs, for exact
+    * replay). Scale shape: two broadcast assignments + two bounded
+    * (≤ 16-row) aggregates; the quadratic load numerator takes
+    * DECIMAL(38) headroom.
+    */
+  def simIndexDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = ResidentCache(s, "sim_quantized", quantized(s, dir))
+    val isNew = pmod(col("vec_id"), lit(10)) >= 8
+    val (centroids, _) = kmeansCellsOf(s, e.filter(!isNew), s"drift@$dir")
+    def scored(side: DataFrame): DataFrame =
+      assignCellsScored(side, centroids)
+        .select(col("cell"), expr("CAST(FLOOR(cos * 1000000) AS BIGINT)").as("cos_ppm"))
+    val oldAgg = scored(e.filter(!isNew)).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_old"), sum(col("cos_ppm")).as("sum_old"))
+    val newAgg = scored(e.filter(isNew)).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_new"), sum(col("cos_ppm")).as("sum_new"))
+    val totals = oldAgg.agg(sum(col("n_old")).as("tot_old"))
+      .crossJoin(newAgg.agg(sum(col("n_new")).as("tot_new")))
+    oldAgg.join(newAgg, Seq("cell"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("cell"), col("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        expr("sum_old div n_old").as("avg_cos_old_ppm"),
+        coalesce(expr("sum_new div n_new"), lit(-1L)).as("avg_cos_new_ppm"),
+        coalesce(expr("sum_old div n_old - sum_new div n_new"), lit(-1L))
+          .as("cos_drift_ppm"),
+        coalesce(
+          expr("CAST((1000000 * CAST(n_new AS DECIMAL(38,0)) * tot_old) div " +
+            "(CAST(n_old AS DECIMAL(38,0)) * tot_new) AS BIGINT)"), lit(0L))
+          .as("load_ratio_ppm"))
   }
 
   /** Persist the IVF index: the 16-row centroid table plus the

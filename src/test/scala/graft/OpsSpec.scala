@@ -2348,6 +2348,160 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"only the >=2-RARE-shingle pair may be an edge, got $edges")
   }
 
+  test("index drift: assignment accounting, sentinel cells, planted hot-cell detection") {
+    import org.apache.spark.sql.functions._
+    // (a) accounting invariants on the real corpus: every vector is
+    // assigned exactly once per side; cosines stay in [-1e6, 1e6] ppm
+    val out = SimilarityOps.simIndexDrift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val nOld = emb.filter(pmod(col("vec_id"), lit(10)) < 8).count()
+    val nNew = emb.filter(pmod(col("vec_id"), lit(10)) >= 8).count()
+    assert(out.map(_._2).sum == nOld, "old vectors must partition across cells")
+    assert(out.map(_._3).sum == nNew, "new vectors must partition across cells")
+    out.foreach { case (cell, _, nn, ao, an, drift, load) =>
+      assert(ao >= -1000000L && ao <= 1000000L, s"cell $cell avg_old $ao")
+      if (nn > 0) {
+        assert(an >= -1000000L && an <= 1000000L, s"cell $cell avg_new $an")
+        assert(drift == ao - an, s"cell $cell drift arithmetic")
+        assert(load > 0, s"cell $cell load ratio")
+      } else assert(an == -1L && drift == -1L && load == 0L, s"cell $cell sentinels")
+    }
+
+    // (b) planted shift: 160 old vectors in 16 tight clusters, 40 new
+    // vectors all near cluster 0's center — the monitor must flag that
+    // cell as hot (load ratio >> 1e6) and keep its drift small, while
+    // other cells report the no-new sentinels
+    val ss = spark
+    import ss.implicits._
+    val dim = SimilarityOps.Dim
+    def vec(center: Int, jitter: Int): Seq[Float] =
+      (0 until dim).map { i =>
+        val base = if (i == center % dim) 1.0f else 0.0f
+        base + (if (i == (center + jitter) % dim) 0.05f else 0.0f)
+      }
+    // ids DENSE in [0, 200) so the strided centroid seeding lands ~16
+    // seeds: old ids fill the % 10 < 8 slots, new ids the 8/9 slots
+    val old = (0 until 160).map(i => ((i / 8) * 10L + i % 8, vec(i % 16, i / 16)))
+    val fresh = (0 until 40).map(i => ((i / 2) * 10L + 8 + i % 2, vec(0, i % 7)))
+    val dir = java.nio.file.Files.createTempDirectory("drift")
+    (old ++ fresh).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir.resolve("embeddings.parquet").toString)
+    val planted = SimilarityOps.simIndexDrift(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(6)))
+    val hot = planted.filter(_._2 > 0)
+    assert(hot.map(_._2).sum == 40L, "all new vectors land somewhere")
+    assert(hot.exists(_._3 > 2000000L),
+      s"the shifted cell must report a hot load ratio: ${planted.toSeq}")
+    assert(planted.count(_._2 == 0) >= 8, "most cells see no new vectors (sentinel path)")
+  }
+
+  test("LSH recall eval: planted deciles, exact truth counts, guaranteed exact-dup catch") {
+    val ss = spark
+    import ss.implicits._
+    // planted corpus: pairs engineered into distinct Jaccard deciles by
+    // shared-prefix construction (shared prefix of k+2 tokens ⇒ k shared
+    // word-3-gram shingles), plus exact duplicates (bucket 10)
+    def tokens(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+    def doc(shared: Seq[String], tag: String, extra: Int) =
+      (shared ++ tokens(tag, extra)).mkString(" ")
+    val sharedA = tokens("sa", 15) // 13 shared shingles when both continue differently
+    val sharedB = tokens("sb", 21) // 19 shared shingles
+    val exact = doc(tokens("ex", 20), "none", 0)
+    val dir = java.nio.file.Files.createTempDirectory("recalleval")
+    Seq(
+      // J = 13/(18+18-13) = 0.565 → bucket 5
+      (1L, doc(sharedA, "p", 5)), (2L, doc(sharedA, "q", 5)),
+      // J = 19/(22+22-19) = 0.76 → bucket 7
+      (3L, doc(sharedB, "r", 3)), (4L, doc(sharedB, "s", 3)),
+      // exact duplicates → bucket 10
+      (5L, exact), (6L, exact),
+      // unrelated filler (no truth pairs)
+      (7L, doc(tokens("u", 25), "none", 0)), (8L, doc(tokens("v", 25), "none", 0)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val out = DedupOps.dedupRecallEval(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // exact truth counts per decile (one planted pair each)
+    assert(out.keySet == Set(5L, 7L, 10L), s"buckets: ${out.keySet}")
+    assert(out(5L)._1 == 1L && out(7L)._1 == 1L && out(10L)._1 == 1L)
+    // catches never exceed truth, recall_ppm is exact integer arithmetic
+    out.foreach { case (b, (t, c, r, _)) =>
+      assert(c <= t, s"bucket $b caught $c > truth $t")
+      assert(r == 1000000L * c / t, s"bucket $b recall_ppm mismatch")
+    }
+    // identical documents have identical signatures, hence identical
+    // band keys: the exact-dup bucket is ALWAYS caught
+    assert(out(10L)._2 == 1L && out(10L)._3 == 1000000L)
+    // the analytic S-curve constants ride along exactly as computed
+    val theory = DedupOps.lshTheoryPpm(8, 4).toMap
+    out.foreach { case (b, (_, _, _, th)) => assert(th == theory(b), s"bucket $b theory") }
+    // theory is monotone in the decile (sanity of the constant table)
+    assert(theory.toSeq.sortBy(_._1).map(_._2) == theory.values.toSeq.sorted)
+  }
+
+  test("span pairs: planted shared spans localize exactly; random docs match brute force") {
+    val ss = spark
+    import ss.implicits._
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val shared20 = (1 to 20).map(i => s"sh$i").mkString(" ")
+    val span10 = (1 to 10).map(i => s"xa$i").mkString(" ")
+    val span15 = (1 to 15).map(i => s"xb$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("spanpairs")
+    Seq(
+      (1L, s"${words("a", 10)} $shared20 ${words("b", 10)} $span10 $span15"),
+      (2L, s"${words("c", 10)} $shared20 ${words("d", 10)}"),
+      (3L, s"${words("e", 10)} $span10 ${words("f", 10)} $span15 ${words("g", 10)}"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val out = DedupOps.dedupSpanPairs(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // docs 1-2 share ONE 20-token span: 13 consecutive 8-gram matches
+    assert(out((1L, 2L)) == ((13L, 13L, 20L)), s"got ${out((1L, 2L))}")
+    // docs 1-3 share TWO disjoint spans (10 and 15 tokens): runs of 3
+    // and 8 grams, longest span 15 tokens
+    assert(out((1L, 3L)) == ((11L, 8L, 15L)), s"got ${out((1L, 3L))}")
+
+    // randomized property vs a driver brute force (tiny vocab so grams
+    // collide): longest-run and total-match arithmetic must agree
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 24).map { id =>
+      (id.toLong, (0 until 30 + rnd.nextInt(30)).map(_ => s"w${rnd.nextInt(6)}").mkString(" "))
+    }
+    val dir2 = java.nio.file.Files.createTempDirectory("spanpairs_rnd")
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir2.resolve("documents.parquet").toString)
+    val got = DedupOps.dedupSpanPairs(spark, dir2.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // brute force: grams, df guard, diagonal runs
+    val grams = docs.map { case (id, t) =>
+      id -> t.split(" ").sliding(8).map(_.mkString(" ")).toVector
+    }.toMap
+    val df = grams.flatMap { case (id, gs) => gs.distinct.map(g => (g, id)) }
+      .groupBy(_._1).map { case (g, occ) => g -> occ.map(_._2).toSet.size }
+    val expected = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    for (a <- docs.map(_._1); b <- docs.map(_._1) if a < b) {
+      val matches = for {
+        (ga, ia) <- grams(a).zipWithIndex
+        (gb, ib) <- grams(b).zipWithIndex
+        if ga == gb && df(ga) > 1 && df(ga) <= 100
+      } yield (ia.toLong, ib.toLong)
+      if (matches.nonEmpty) {
+        val runs = matches.distinct.groupBy { case (ia, ib) => ia - ib }.values.flatMap { ms =>
+          val sorted = ms.map(_._1).sorted
+          sorted.zipWithIndex.groupBy { case (ia, k) => ia - k }.values.map(_.size.toLong)
+        }.toSeq
+        val total = runs.sum
+        if (total >= 3L) expected((a, b)) = (total, runs.max)
+      }
+    }
+    assert(got == expected.toMap,
+      s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+  }
+
   test("cdc_chunks rejects degenerate window/mask at analysis time") {
     val ss = spark
     import ss.implicits._

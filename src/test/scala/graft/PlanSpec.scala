@@ -132,6 +132,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("span pairs / recall eval / index drift: plan shapes hold") {
+    // span pairs: gram-postings equi-join, pair-local islands window
+    val sp = executedPhysical(graft.operators.DedupOps.dedupSpanPairs(spark, sf))
+    assert(!sp.contains("NestedLoopJoin") && !sp.contains("CartesianProduct"),
+      "span matching must stay an equi-join on the gram hash")
+    assert(sp.contains("Window"), "expected the islands window")
+    assert(!sp.contains("Window [") || sp.contains("windowspecdefinition(doc_a"),
+      "islands window must partition by the pair, never run global")
+    // recall eval: band join + truth join are equi; the one all-pairs
+    // intersection is the DELIBERATE unguarded ground truth
+    val re = executedPhysical(graft.operators.DedupOps.dedupRecallEval(spark, sf))
+    assert(!re.contains("NestedLoopJoin") && !re.contains("CartesianProduct"),
+      "band/truth joins must stay equi-joins")
+    // index drift: centroids broadcast against the corpus; no shuffle
+    // wider than the 16-row cell aggregates
+    val dr = executedPhysical(graft.operators.SimilarityOps.simIndexDrift(spark, sf))
+    assert(dr.contains("BroadcastNestedLoopJoin") || dr.contains("BroadcastExchange"),
+      "centroid table must broadcast")
+    assert(!dr.contains("SortMergeJoin"), "nothing in the drift plan may sort-merge")
+  }
+
   test("ppjoin: prefix-filtered candidate join stays equi-join, windows stay doc-partitioned") {
     val plan = executedPhysical(graft.operators.DedupOps.dedupPpjoin(spark, sf))
     assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
