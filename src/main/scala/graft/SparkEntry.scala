@@ -128,6 +128,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (DedupOps.dedupNgramJaccard _),
     "dedup_edges_incremental" -> (DedupOps.shingleShareEdgesIncremental _),
     "dedup_span_pairs" -> ((s, d) => DedupOps.dedupSpanPairs(s, d)),
+    "dedup_span_incremental" -> (DedupOps.dedupSpanIncremental _),
     "dedup_recall_eval" -> (DedupOps.dedupRecallEval _),
     "dedup_ppjoin" -> (DedupOps.dedupPpjoin _),
     "dedup_containment" -> ((s, dir) => DedupOps.dedupContainment(s, dir)),
@@ -3765,6 +3766,40 @@ object SparkEntry {
         FROM isl GROUP BY doc_a, doc_b, d, grp
       )
       SELECT doc_a, doc_b,
+             CAST(SUM(run) AS BIGINT) AS n_shared_grams,
+             CAST(MAX(run) AS BIGINT) AS longest_run_grams,
+             CAST(MAX(run) + 7 AS BIGINT) AS longest_span_tokens
+      FROM rl GROUP BY 1, 2
+      HAVING SUM(run) >= 3""",
+    // incremental span probe: new slice vs the positional index of the
+    // rest; rarity over the REFERENCE only (the probe's contract)
+    "dedup_span_incremental" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        FROM documents
+      ), starts AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i, array_to_string(w[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ') AS g
+        FROM toks, UNNEST(range(0, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8
+      ), ref AS (
+        SELECT doc_id, i, g FROM starts WHERE doc_id % 10 < 8
+          AND g IN (SELECT g FROM (
+            SELECT g, COUNT(DISTINCT doc_id) AS nd FROM starts
+            WHERE doc_id % 10 < 8 GROUP BY g) x WHERE nd <= 100)
+      ), m AS (
+        SELECT DISTINCT n.doc_id AS doc_new, r.doc_id AS doc_ref,
+               n.i AS i_new, r.i AS i_ref
+        FROM starts n JOIN ref r ON n.g = r.g
+        WHERE n.doc_id % 10 >= 8
+      ), isl AS (
+        SELECT doc_new, doc_ref, i_new - i_ref AS d,
+               i_new - ROW_NUMBER() OVER (PARTITION BY doc_new, doc_ref, i_new - i_ref ORDER BY i_new) AS grp
+        FROM m
+      ), rl AS (
+        SELECT doc_new, doc_ref, CAST(COUNT(*) AS BIGINT) AS run
+        FROM isl GROUP BY doc_new, doc_ref, d, grp
+      )
+      SELECT doc_new, doc_ref,
              CAST(SUM(run) AS BIGINT) AS n_shared_grams,
              CAST(MAX(run) AS BIGINT) AS longest_run_grams,
              CAST(MAX(run) + 7 AS BIGINT) AS longest_span_tokens

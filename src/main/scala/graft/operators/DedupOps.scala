@@ -1090,6 +1090,74 @@ object DedupOps {
         (col("longest_run_grams") + lit((n - 1).toLong)).as("longest_span_tokens"))
   }
 
+  /** POSITIONAL rare-gram postings index (doc_id, position, hash) of a
+    * corpus — the frozen reference side of [[spanProbeWith]]: unlike
+    * [[shinglePostingsIndex]] it keeps every occurrence's token
+    * position, which is what lets the probe reconstruct CONTIGUOUS
+    * runs. Rarity (df ≤ maxDf over this corpus) is baked into the
+    * index, so probe fanout per gram key is ≤ maxDf.
+    */
+  def spanPostingsIndexOf(d: DataFrame, maxDf: Long = HotShingleMaxDf): DataFrame = {
+    val n = 8
+    val starts = d
+      .select(col("doc_id"), split(TextOps.normalized(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))"))
+        .as(Seq("i", "g")))
+      .select(col("doc_id"), col("i").cast("long").as("i"), xxhash64(col("g")).as("h"))
+    starts.join(
+      starts.select(col("h"), col("doc_id")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") <= maxDf).select(col("h")),
+      Seq("h"), "left_semi")
+  }
+
+  /** Verbatim-span localization of NEW documents against a frozen
+    * positional gram index — the incremental twin of
+    * [[dedupSpanPairs]]: per (new doc, reference doc) pair, the same
+    * diagonal islands arithmetic over the matches between the batch's
+    * grams and the index. Spans only ever pair new-vs-reference, so a
+    * stream of arrivals lands its provenance report at O(batch · maxDf)
+    * per tick and the union over arrivals equals the one-shot batch.
+    */
+  def spanProbeWith(newDocs: DataFrame, refPostings: DataFrame,
+      minShared: Long = 3L): DataFrame = {
+    val n = 8
+    val newStarts = newDocs
+      .select(col("doc_id"), split(TextOps.normalized(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id").as("doc_new"), posexplode(
+        expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))"))
+        .as(Seq("i", "g")))
+      .select(col("doc_new"), col("i").cast("long").as("i_new"), xxhash64(col("g")).as("h"))
+    val matches = newStarts
+      .join(refPostings.select(col("doc_id").as("doc_ref"), col("i").as("i_ref"), col("h")),
+        Seq("h"))
+      .select(col("doc_new"), col("doc_ref"), col("i_new"), col("i_ref")).distinct()
+    val wd = Window.partitionBy(col("doc_new"), col("doc_ref"), col("d")).orderBy(col("i_new"))
+    val runs = matches
+      .withColumn("d", col("i_new") - col("i_ref"))
+      .withColumn("grp", col("i_new") - row_number().over(wd))
+      .groupBy(col("doc_new"), col("doc_ref"), col("d"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+    runs.groupBy(col("doc_new"), col("doc_ref"))
+      .agg(sum(col("run")).as("n_shared_grams"), max(col("run")).as("longest_run_grams"))
+      .filter(col("n_shared_grams") >= minShared)
+      .select(col("doc_new"), col("doc_ref"), col("n_shared_grams"),
+        col("longest_run_grams"),
+        (col("longest_run_grams") + lit((n - 1).toLong)).as("longest_span_tokens"))
+  }
+
+  /** Batch entry for the span probe: the doc_id % 10 >= 8 slice probes
+    * the positional index of the rest (the suite's split convention).
+    */
+  def dedupSpanIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isNew = pmod(col("doc_id"), lit(10)) >= 8
+    spanProbeWith(d.filter(isNew), spanPostingsIndexOf(d.filter(!isNew)))
+  }
+
   /** Duplicated-span REMOVAL — the rewrite half of Lee et al. 2022
     * (ExactSubstr deduplication): [[dedupSubstringSpans]] measures
     * cross-document duplicated 8-token grams; this operator actually

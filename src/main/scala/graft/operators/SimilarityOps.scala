@@ -378,6 +378,29 @@ object SimilarityOps {
     * (≤ 16-row) aggregates; the quadratic load numerator takes
     * DECIMAL(38) headroom.
     */
+  /** The drift monitor's frozen index: centroids trained on the
+    * already-ingested slice only. Public so the streaming twin can
+    * persist the exact model [[simIndexDrift]] scores against.
+    */
+  def driftCentroids(s: SparkSession, dir: String): DataFrame = {
+    val e = ResidentCache(s, "sim_quantized", quantized(s, dir))
+    kmeansCellsOf(s, e.filter(pmod(col("vec_id"), lit(10)) < 8), s"drift@$dir")._1
+  }
+
+  /** Scored assignment of raw (vec_id, embedding) rows against frozen
+    * centroids → (vec_id, cell, cos_ppm): the per-vector record the
+    * streaming drift monitor lands each tick; [[simIndexDrift]]'s cell
+    * aggregates derive from exactly these values.
+    */
+  def driftAssignWith(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val e = vectors.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))").as("q"))
+      .withColumn("nq", expr("dot_i64(q, q)"))
+    assignCellsScored(e, centroids)
+      .select(col("vec_id"), col("cell"),
+        expr("CAST(FLOOR(cos * 1000000) AS BIGINT)").as("cos_ppm"))
+  }
+
   def simIndexDrift(s: SparkSession, dir: String): DataFrame = {
     val e = ResidentCache(s, "sim_quantized", quantized(s, dir))
     val isNew = pmod(col("vec_id"), lit(10)) >= 8

@@ -925,6 +925,40 @@ object Streaming {
     }
   }
 
+  /** Verbatim-span provenance over arriving documents against a frozen
+    * POSITIONAL gram index ([[graft.operators.DedupOps.spanProbeWith]]):
+    * each micro-batch lands its (doc_new, doc_ref, longest span)
+    * report via the stream-static join pattern. `refPostings` must be
+    * a persisted/static table, like every frozen index here.
+    */
+  def runSpanProbe(
+      newDocs: DataFrame,
+      refPostings: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit = {
+    runAppendScorer(newDocs, store, table, checkpointDir) { batch =>
+      graft.operators.DedupOps.spanProbeWith(batch, refPostings)
+    }
+  }
+
+  /** Scored IVF assignment of arriving vectors against FROZEN centroids
+    * — the landing half of the index-drift monitor
+    * ([[graft.operators.SimilarityOps.simIndexDrift]]'s aggregates then
+    * derive from the landed per-vector (cell, cos_ppm) table plus the
+    * index's training-side aggregates, both bounded).
+    */
+  def runDriftAssign(
+      newVectors: DataFrame,
+      centroids: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String): Unit = {
+    runAppendScorer(newVectors, store, table, checkpointDir) { batch =>
+      graft.operators.SimilarityOps.driftAssignWith(batch, centroids)
+    }
+  }
+
   /** RAKE keyword tagging over arriving documents: the score is
     * entirely DOC-LOCAL (phrase runs, word deg/freq, top-3 all within
     * one document), so the streaming gate IS the batch plan per

@@ -230,6 +230,69 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming span probe over two arrivals equals the batch span mining") {
+    val store = new RelationStore(spark, s"$work/wh_spans")
+    val newIn = s"$work/spandocs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isNew = pmod(col("doc_id"), lit(10)) >= 8
+    store.write(
+      graft.operators.DedupOps.spanPostingsIndexOf(docs.filter(!isNew)), "span_idx")
+    val ref = store.read("span_idx")
+    docs.filter(isNew && col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runSpanProbe(Streaming.documentStream(spark, newIn), ref,
+      store, "span_report", s"$work/cp_spans")
+    val afterFirst = store.read("span_report").count()
+    docs.filter(isNew && col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runSpanProbe(Streaming.documentStream(spark, newIn), ref,
+      store, "span_report", s"$work/cp_spans")
+    val streamed = store.read("span_report")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    // span islands are (new doc, ref doc)-local and documents arrive
+    // whole, so the union over arrivals equals the one-shot batch
+    val batch = graft.operators.DedupOps
+      .dedupSpanIncremental(spark, "/root/testdata/sf0.001")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("streaming drift assignment over two arrivals equals batch; aggregates derive") {
+    import graft.operators.SimilarityOps
+    val store = new RelationStore(spark, s"$work/wh_drift")
+    val newIn = s"$work/driftvecs"
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val isNew = pmod(col("vec_id"), lit(10)) >= 8
+    // freeze + persist the drift index (centroids trained on the
+    // ingested slice), exactly what a production monitor reloads
+    store.write(SimilarityOps.driftCentroids(spark, sf), "drift_centroids")
+    val centroids = store.read("drift_centroids")
+    emb.filter(isNew && col("vec_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runDriftAssign(Streaming.embeddingStream(spark, newIn), centroids,
+      store, "drift_assign", s"$work/cp_drift")
+    val afterFirst = store.read("drift_assign").count()
+    emb.filter(isNew && col("vec_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runDriftAssign(Streaming.embeddingStream(spark, newIn), centroids,
+      store, "drift_assign", s"$work/cp_drift")
+    val streamed = store.read("drift_assign")
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    val batch = SimilarityOps.driftAssignWith(emb.filter(isNew), centroids)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // the monitor's new-side aggregates derive from the LANDED table:
+    // per cell, count and floored-ppm average equal simIndexDrift's
+    val landedAgg = streamed.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_new"), expr("sum(cos_ppm) div count(1)").as("avg_new"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val monitor = SimilarityOps.simIndexDrift(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    monitor.filter(_._2._1 > 0).foreach { case (cell, (n, avg)) =>
+      assert(landedAgg.get(cell).contains((n, avg)),
+        s"cell $cell: landed ${landedAgg.get(cell)} vs monitor ($n, $avg)")
+    }
+  }
+
   test("streaming DSIR scoring over two arrivals equals the batch scorer") {
     val store = new RelationStore(spark, s"$work/wh_dsir")
     val newIn = s"$work/dsirdocs"
