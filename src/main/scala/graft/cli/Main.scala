@@ -98,6 +98,28 @@ object Main {
       report.foreach(r => println(f"${r.getString(0)}%-24s ${r.getLong(1)}"))
       val ok = report.exists(r => r.getString(0) == "consistent" && r.getLong(1) == 1L)
       println(if (ok) "index maintain: CONSISTENT" else "index maintain: STILL INCONSISTENT")
+      // staleness monitor: `--drift <parquet of (vec_id, embedding)>`
+      // scores the given arrivals against the persisted centroids and
+      // prints per-cell coverage drift + load ratio — the rebalance
+      // trigger, from the same command that performs the rebalance
+      flags.get("drift").foreach { newPath =>
+        if (isPq)
+          println("index drift: PQ layouts store codes only — drift needs " +
+            "the raw-vector (cells/) layout")
+        else {
+          val drift = graft.operators.SimilarityOps
+            .indexDriftReport(spark, idxPath, spark.read.parquet(newPath))
+            .orderBy(org.apache.spark.sql.functions.col("cos_drift_ppm").desc)
+            .collect()
+          println(f"${"cell"}%-8s${"n_old"}%-8s${"n_new"}%-8s" +
+            f"${"avg_old_ppm"}%-13s${"avg_new_ppm"}%-13s${"drift_ppm"}%-11s${"load_ppm"}%-10s")
+          drift.foreach(r => println(
+            f"${r.getLong(0)}%-8d${r.getLong(1)}%-8d${r.getLong(2)}%-8d" +
+              f"${r.getLong(3)}%-13d${r.getLong(4)}%-13d${r.getLong(5)}%-11d${r.getLong(6)}%-10d"))
+          val hot = drift.count(_.getLong(6) > 2000000L)
+          println(s"index drift: ${drift.length} cell(s), $hot hot (load > 2x share)")
+        }
+      }
       return if (ok) 0 else 1
     }
     // profiles.yml target resolution (reference config/profile.py):

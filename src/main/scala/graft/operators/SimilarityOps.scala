@@ -408,9 +408,16 @@ object SimilarityOps {
     def scored(side: DataFrame): DataFrame =
       assignCellsScored(side, centroids)
         .select(col("cell"), expr("CAST(FLOOR(cos * 1000000) AS BIGINT)").as("cos_ppm"))
-    val oldAgg = scored(e.filter(!isNew)).groupBy(col("cell"))
+    driftAggregates(scored(e.filter(!isNew)), scored(e.filter(isNew)))
+  }
+
+  /** The drift monitor's aggregate tail over two (cell, cos_ppm) sides
+    * — shared by the corpus operator and the persisted-index CLI report.
+    */
+  private def driftAggregates(oldScored: DataFrame, newScored: DataFrame): DataFrame = {
+    val oldAgg = oldScored.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_old"), sum(col("cos_ppm")).as("sum_old"))
-    val newAgg = scored(e.filter(isNew)).groupBy(col("cell"))
+    val newAgg = newScored.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_new"), sum(col("cos_ppm")).as("sum_new"))
     val totals = oldAgg.agg(sum(col("n_old")).as("tot_old"))
       .crossJoin(newAgg.agg(sum(col("n_new")).as("tot_new")))
@@ -426,6 +433,23 @@ object SimilarityOps {
           expr("CAST((1000000 * CAST(n_new AS DECIMAL(38,0)) * tot_old) div " +
             "(CAST(n_old AS DECIMAL(38,0)) * tot_new) AS BIGINT)"), lit(0L))
           .as("load_ratio_ppm"))
+  }
+
+  /** Drift report of arriving vectors against a PERSISTED
+    * [[persistIvfIndex]] layout: the training side re-scores the
+    * index's own cell members (their quantized vectors are stored in
+    * the layout), the new side scores the given (vec_id, embedding)
+    * rows — both against the persisted centroids, no retraining.
+    * The `graft index --drift` CLI surface.
+    */
+  def indexDriftReport(s: SparkSession, idxPath: String, newVecs: DataFrame): DataFrame = {
+    val centroids = s.read.parquet(s"$idxPath/centroids")
+    val members = s.read.parquet(s"$idxPath/cells").select(col("vec_id"), col("q"), col("nq"))
+    val oldScored = assignCellsScored(members, centroids)
+      .select(col("cell"), expr("CAST(FLOOR(cos * 1000000) AS BIGINT)").as("cos_ppm"))
+    val newScored = driftAssignWith(newVecs, centroids)
+      .select(col("cell"), col("cos_ppm"))
+    driftAggregates(oldScored, newScored)
   }
 
   /** Persist the IVF index: the 16-row centroid table plus the

@@ -375,6 +375,18 @@ class CliSpec extends AnyFunSuite {
     val after = spark.read.parquet(s"$idx/cells")
     assert(after.filter(col("vec_id") >= 1000000L && col("vec_id") < 2000000L).count() == 1L,
       "the sole-copy orphan vector must be reassigned, not dropped")
+
+    // staleness monitor from the same command: --drift scores arriving
+    // vectors against the persisted centroids and prints per-cell rows
+    val newVecs = base.resolve("arriving").toString
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.pmod(col("vec_id"),
+        org.apache.spark.sql.functions.lit(10L)) >= 8)
+      .write.mode("overwrite").parquet(newVecs)
+    val (dCode, dOut) = run("index", proj, Map("path" -> idx, "drift" -> newVecs))
+    assert(dCode == 0, dOut)
+    assert(dOut.contains("index drift:") && dOut.contains("drift_ppm"), dOut)
+    assert(dOut.linesIterator.exists(l => l.contains("cell(s)")), dOut)
   }
 
   test("index maintain auto-detects the IVF-PQ codes layout and repairs it") {
