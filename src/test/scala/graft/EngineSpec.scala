@@ -2003,6 +2003,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
     assert(engineLp == opLp, "engine SQL and operator library disagree on link prediction")
     assert(engineLp.nonEmpty, "link prediction should score wedges on this corpus")
+    val engineSpan = store.read("span_report").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val opSpan = graft.operators.DedupOps.dedupSpanPairs(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(engineSpan == opSpan, "engine SQL and operator library disagree on span pairs")
     // the datacard accounts for every document
     val card = store.read("datacard")
     assert(card.agg(org.apache.spark.sql.functions.sum("n_docs")).first().getLong(0)
