@@ -1099,14 +1099,16 @@ object SparkEntry {
         SELECT (SELECT SUM(n_old) FROM o) AS tot_old,
                (SELECT SUM(n_new) FROM nn) AS tot_new
       )
-      SELECT o.cell, o.n_old,
+      SELECT cell,
+             CAST(COALESCE(o.n_old, 0) AS BIGINT) AS n_old,
              CAST(COALESCE(nn.n_new, 0) AS BIGINT) AS n_new,
-             CAST(o.sum_old // o.n_old AS BIGINT) AS avg_cos_old_ppm,
+             CAST(COALESCE(o.sum_old // o.n_old, -1) AS BIGINT) AS avg_cos_old_ppm,
              CAST(COALESCE(nn.sum_new // nn.n_new, -1) AS BIGINT) AS avg_cos_new_ppm,
              CAST(COALESCE(o.sum_old // o.n_old - nn.sum_new // nn.n_new, -1) AS BIGINT) AS cos_drift_ppm,
-             CAST(COALESCE((1000000::HUGEINT * nn.n_new * tot.tot_old)
-                           // (CAST(o.n_old AS HUGEINT) * tot.tot_new), 0) AS BIGINT) AS load_ratio_ppm
-      FROM o LEFT JOIN nn USING (cell), tot"""
+             CAST(CASE WHEN o.n_old IS NULL THEN -1
+                       ELSE COALESCE((1000000::HUGEINT * nn.n_new * tot.tot_old)
+                             // (CAST(o.n_old AS HUGEINT) * tot.tot_new), 0) END AS BIGINT) AS load_ratio_ppm
+      FROM o FULL JOIN nn USING (cell), tot"""
   }
 
   /** Integer squared-L2 distance of subvector row `s` against codeword

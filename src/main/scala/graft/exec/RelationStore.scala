@@ -92,7 +92,6 @@ final class RelationStore(
   // FileContext gives rename-with-OVERWRITE (the pointer swap); plain
   // FileSystem.rename refuses an existing destination on most schemes
   private lazy val fctx: FileContext = FileContext.getFileContext(fs.getUri, hconf)
-  private val isLocalFs: Boolean = "file" == fs.getScheme
 
   /** Cumulative data bytes rewritten by [[compact]] (manual or auto) —
     * lets specs pin that compaction cost is bounded by the fragmented
@@ -162,7 +161,9 @@ final class RelationStore(
     if (!fs.exists(dir)) return true
     val children = listNames(dir)
     val allGone = children.forall(c => c.isDirectory && deleteIfEmptyTree(c.getPath))
-    if (allGone && listNames(dir).isEmpty) { fs.delete(dir, false); true } else false
+    // recursive delete: a VISIBLY empty dir may still hold filesystem
+    // bookkeeping a checksum FS hides from listings (.crc siblings)
+    if (allGone && listNames(dir).isEmpty) { fs.delete(dir, true); true } else false
   }
 
   // ---- layout ----
@@ -213,6 +214,17 @@ final class RelationStore(
     new HPath(verDir(name, v), "_manifest.json")
 
   private def hasManifest(name: String, v: Int): Boolean = fsExists(manifestFile(name, v))
+
+  /** Whether version dir `v` reads as a COMMITTED version: a manifest
+    * commit, or a LEGACY pre-manifest directory (data, no manifest, no
+    * `_gutted` tombstone). A gutted dir — manifest expired, files kept
+    * only because newer manifests reference them — is a data pool, not
+    * a version.
+    */
+  private def isCommitted(name: String, v: Int): Boolean =
+    hasManifest(name, v) ||
+      (!fsExists(new HPath(verDir(name, v), "_gutted")) &&
+        dataFilesUnder(verDir(name, v)).nonEmpty)
 
   private def manifestOf(name: String, v: Int): Option[VersionManifest] =
     if (!hasManifest(name, v)) None
@@ -299,7 +311,7 @@ final class RelationStore(
         // manifest present (a dir above the pointer is a torn leftover
         // from a crashed write; one below without a manifest is a
         // GC-gutted data pool — both would scan partial content)
-        if (v > cur.getOrElse(-1) || !hasManifest(name, v))
+        if (v > cur.getOrElse(-1) || !isCommitted(name, v))
           throw new IllegalStateException(
             s"version $v of $schema.$name not found (have: " +
               s"${versions(name).filter(_ <= cur.getOrElse(-1)).mkString(",")})")
@@ -371,7 +383,7 @@ final class RelationStore(
     */
   def versions(name: String): Seq[Int] = {
     val cur = currentVersion(name).getOrElse(-1)
-    physicalVersionDirs(name).filter(v => v > cur || hasManifest(name, v)).sorted
+    physicalVersionDirs(name).filter(v => v > cur || isCommitted(name, v)).sorted
   }
 
   private def physicalVersionDirs(name: String): Seq[Int] =
@@ -403,7 +415,7 @@ final class RelationStore(
     }
     val cur = curOpt.getOrElse(return 0)
     val all = physicalVersionDirs(name)
-    val committed = all.filter(v => v <= cur && hasManifest(name, v)).sorted
+    val committed = all.filter(v => v <= cur && isCommitted(name, v)).sorted
     val retained = committed.takeRight(math.max(1, keep)).toSet
     val referenced: Set[String] =
       retained.flatMap(v => manifestOf(name, v) match {
@@ -417,13 +429,18 @@ final class RelationStore(
       val dir = verDir(name, v)
       // torn (> pointer) and expired-committed dirs both count as
       // reclaimed versions; an already-gutted data pool does not
-      val wasVersion = v > cur || hasManifest(name, v)
+      val wasVersion = v > cur || isCommitted(name, v)
       dataFilesUnder(dir).foreach { st =>
         if (!referenced.contains(relTo(td, st.getPath))) fs.delete(st.getPath, false)
       }
       Seq("_manifest.json", "_graft_schema.json", "_delta_watermark", "_graft_batch",
         "_SUCCESS").foreach(m => fs.delete(new HPath(dir, m), false))
-      deleteIfEmptyTree(dir)
+      if (!deleteIfEmptyTree(dir))
+        // referenced files remain: mark the dir as a gutted data pool so
+        // it never again reads as a committed version (the tombstone is
+        // what tells an expired version apart from a LEGACY pre-manifest
+        // committed dir, which must keep reading as a version)
+        writeStr(new HPath(dir, "_gutted"), "")
       if (wasVersion) reclaimed += 1
     }
     // absorbed deltas (id ≤ watermark) are reclaimable only when no

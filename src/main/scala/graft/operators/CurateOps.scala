@@ -1669,7 +1669,11 @@ object CurateOps {
         expr("CAST(conv(substring(md5(concat('dpv1:', source, ':', lang)), 1, 8), 16, 10) AS BIGINT)")
           .bitwiseAND(lit(2147483647L)) * lit(3L)
       case DpSecureDrbg =>
-        udf(() => DpRng.next31() * 3L).apply()
+        // nondeterministic is load-bearing: a "deterministic" UDF may be
+        // duplicated/pushed by the optimizer, drawing DIFFERENT noise at
+        // each evaluation site — a cell could then match zero or two
+        // threshold rows (same contract as rand())
+        udf(() => DpRng.next31() * 3L).asNondeterministic().apply()
     }
     docs(s, dir).groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_true"))

@@ -1055,16 +1055,39 @@ object DedupOps {
     * (pair, diagonal) — strictly pair-local, no global sort. Gram
     * identity travels as xxhash64.
     */
-  def dedupSpanPairs(s: SparkSession, dir: String,
-      minShared: Long = 3L, maxDf: Int = HotShingleMaxDf): DataFrame = {
-    val n = 8
-    val starts = docs(s, dir)
-      .select(col("doc_id"), split(TextOps.normalized(col("text")), " ").as("w"))
+  /** Positional 8-token-gram starts (doc_id, i, h) of a documents
+    * frame — ONE definition so the span family shares the exact token
+    * arithmetic (the [[shinglesOf]] convention).
+    */
+  private def gramStartsOf(d: DataFrame, n: Int = 8): DataFrame =
+    d.select(col("doc_id"), split(TextOps.normalized(col("text")), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"), posexplode(
         expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))"))
         .as(Seq("i", "g")))
       .select(col("doc_id"), col("i").cast("long").as("i"), xxhash64(col("g")).as("h"))
+
+  /** Diagonal-islands aggregate shared by [[dedupSpanPairs]] and
+    * [[spanProbeWith]]: distinct gram matches (pa, pb, ia, ib) → per
+    * (pa, pb) totals and the longest contiguous run.
+    */
+  private def spanRunsOf(matches: DataFrame, minShared: Long, n: Int = 8): DataFrame = {
+    val wd = Window.partitionBy(col("pa"), col("pb"), col("d")).orderBy(col("ia"))
+    matches
+      .withColumn("d", col("ia") - col("ib"))
+      .withColumn("grp", col("ia") - row_number().over(wd))
+      .groupBy(col("pa"), col("pb"), col("d"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(sum(col("run")).as("n_shared_grams"), max(col("run")).as("longest_run_grams"))
+      .filter(col("n_shared_grams") >= minShared)
+      .select(col("pa"), col("pb"), col("n_shared_grams"), col("longest_run_grams"),
+        (col("longest_run_grams") + lit((n - 1).toLong)).as("longest_span_tokens"))
+  }
+
+  def dedupSpanPairs(s: SparkSession, dir: String,
+      minShared: Long = 3L, maxDf: Int = HotShingleMaxDf): DataFrame = {
+    val starts = gramStartsOf(docs(s, dir))
     // df guard on DISTINCT docs per gram (a repeated gram inside one
     // doc is one "document occurrence" for rarity)
     val rareGrams = starts.select(col("h"), col("doc_id")).distinct()
@@ -1072,22 +1095,12 @@ object DedupOps {
       .filter(col("nd") > 1 && col("nd") <= maxDf)
       .select(col("h"))
     val rare = starts.join(rareGrams, Seq("h"), "left_semi")
-    val matches = rare.select(col("doc_id").as("doc_a"), col("h"), col("i").as("i_a"))
-      .join(rare.select(col("doc_id").as("doc_b"), col("h"), col("i").as("i_b")), Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("i_a"), col("i_b")).distinct()
-    val wd = Window.partitionBy(col("doc_a"), col("doc_b"), col("d")).orderBy(col("i_a"))
-    val runs = matches
-      .withColumn("d", col("i_a") - col("i_b"))
-      .withColumn("grp", col("i_a") - row_number().over(wd))
-      .groupBy(col("doc_a"), col("doc_b"), col("d"), col("grp"))
-      .agg(count(lit(1)).as("run"))
-    runs.groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("run")).as("n_shared_grams"), max(col("run")).as("longest_run_grams"))
-      .filter(col("n_shared_grams") >= minShared)
-      .select(col("doc_a"), col("doc_b"), col("n_shared_grams"),
-        col("longest_run_grams"),
-        (col("longest_run_grams") + lit((n - 1).toLong)).as("longest_span_tokens"))
+    val matches = rare.select(col("doc_id").as("pa"), col("h"), col("i").as("ia"))
+      .join(rare.select(col("doc_id").as("pb"), col("h"), col("i").as("ib")), Seq("h"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb"), col("ia"), col("ib")).distinct()
+    spanRunsOf(matches, minShared)
+      .withColumnRenamed("pa", "doc_a").withColumnRenamed("pb", "doc_b")
   }
 
   /** POSITIONAL rare-gram postings index (doc_id, position, hash) of a
@@ -1098,14 +1111,7 @@ object DedupOps {
     * index, so probe fanout per gram key is ≤ maxDf.
     */
   def spanPostingsIndexOf(d: DataFrame, maxDf: Long = HotShingleMaxDf): DataFrame = {
-    val n = 8
-    val starts = d
-      .select(col("doc_id"), split(TextOps.normalized(col("text")), " ").as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), posexplode(
-        expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))"))
-        .as(Seq("i", "g")))
-      .select(col("doc_id"), col("i").cast("long").as("i"), xxhash64(col("g")).as("h"))
+    val starts = gramStartsOf(d)
     starts.join(
       starts.select(col("h"), col("doc_id")).distinct()
         .groupBy(col("h")).agg(count(lit(1)).as("nd"))
@@ -1123,30 +1129,13 @@ object DedupOps {
     */
   def spanProbeWith(newDocs: DataFrame, refPostings: DataFrame,
       minShared: Long = 3L): DataFrame = {
-    val n = 8
-    val newStarts = newDocs
-      .select(col("doc_id"), split(TextOps.normalized(col("text")), " ").as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id").as("doc_new"), posexplode(
-        expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))"))
-        .as(Seq("i", "g")))
-      .select(col("doc_new"), col("i").cast("long").as("i_new"), xxhash64(col("g")).as("h"))
-    val matches = newStarts
-      .join(refPostings.select(col("doc_id").as("doc_ref"), col("i").as("i_ref"), col("h")),
+    val matches = gramStartsOf(newDocs)
+      .select(col("doc_id").as("pa"), col("i").as("ia"), col("h"))
+      .join(refPostings.select(col("doc_id").as("pb"), col("i").as("ib"), col("h")),
         Seq("h"))
-      .select(col("doc_new"), col("doc_ref"), col("i_new"), col("i_ref")).distinct()
-    val wd = Window.partitionBy(col("doc_new"), col("doc_ref"), col("d")).orderBy(col("i_new"))
-    val runs = matches
-      .withColumn("d", col("i_new") - col("i_ref"))
-      .withColumn("grp", col("i_new") - row_number().over(wd))
-      .groupBy(col("doc_new"), col("doc_ref"), col("d"), col("grp"))
-      .agg(count(lit(1)).as("run"))
-    runs.groupBy(col("doc_new"), col("doc_ref"))
-      .agg(sum(col("run")).as("n_shared_grams"), max(col("run")).as("longest_run_grams"))
-      .filter(col("n_shared_grams") >= minShared)
-      .select(col("doc_new"), col("doc_ref"), col("n_shared_grams"),
-        col("longest_run_grams"),
-        (col("longest_run_grams") + lit((n - 1).toLong)).as("longest_span_tokens"))
+      .select(col("pa"), col("pb"), col("ia"), col("ib")).distinct()
+    spanRunsOf(matches, minShared)
+      .withColumnRenamed("pa", "doc_new").withColumnRenamed("pb", "doc_ref")
   }
 
   /** Batch entry for the span probe: the doc_id % 10 >= 8 slice probes

@@ -421,17 +421,23 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_new"), sum(col("cos_ppm")).as("sum_new"))
     val totals = oldAgg.agg(sum(col("n_old")).as("tot_old"))
       .crossJoin(newAgg.agg(sum(col("n_new")).as("tot_new")))
-    oldAgg.join(newAgg, Seq("cell"), "left")
+    // FULL outer: a cell only NEW vectors reach (its centroid ended up
+    // with zero training members) is the STRONGEST drift signal and
+    // must appear in the report — n_old = 0 with -1 ratio sentinels
+    // (no training baseline), the mirror of the no-new sentinels
+    oldAgg.join(newAgg, Seq("cell"), "full_outer")
       .crossJoin(broadcast(totals))
-      .select(col("cell"), col("n_old"),
+      .select(col("cell"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"),
-        expr("sum_old div n_old").as("avg_cos_old_ppm"),
+        coalesce(expr("sum_old div n_old"), lit(-1L)).as("avg_cos_old_ppm"),
         coalesce(expr("sum_new div n_new"), lit(-1L)).as("avg_cos_new_ppm"),
         coalesce(expr("sum_old div n_old - sum_new div n_new"), lit(-1L))
           .as("cos_drift_ppm"),
-        coalesce(
-          expr("CAST((1000000 * CAST(n_new AS DECIMAL(38,0)) * tot_old) div " +
-            "(CAST(n_old AS DECIMAL(38,0)) * tot_new) AS BIGINT)"), lit(0L))
+        when(col("n_old").isNull, lit(-1L))
+          .otherwise(coalesce(
+            expr("CAST((1000000 * CAST(n_new AS DECIMAL(38,0)) * tot_old) div " +
+              "(CAST(n_old AS DECIMAL(38,0)) * tot_new) AS BIGINT)"), lit(0L)))
           .as("load_ratio_ppm"))
   }
 

@@ -391,8 +391,7 @@ object ControlFlow {
         case "round" =>
           val prec = num(arg(0, "precision", 0L)).toInt
           val scale = math.pow(10, prec)
-          val r = math.round(num(v) * scale) / scale
-          if (prec <= 0 && r == math.floor(r)) r else r
+          math.round(num(v) * scale) / scale
         case "abs" => v match {
           case l: Long => math.abs(l)
           case other => math.abs(num(other))
@@ -407,12 +406,14 @@ object ControlFlow {
           items(v).foreach(seen += _)
           seen.toVector
         case "sort" =>
+          // Jinja signature: sort(reverse=False, ...) — reverse is the
+          // FIRST positional argument
           val xs = items(v)
           val sorted =
             if (xs.forall(x => x.isInstanceOf[Long] || x.isInstanceOf[Double]))
               xs.sortBy(num)
             else xs.sortBy(str)
-          if (truthy(arg(1, "reverse", false))) sorted.reverse else sorted
+          if (truthy(arg(0, "reverse", false))) sorted.reverse else sorted
         case "reverse" => items(v).reverse
         case "map" =>
           // `| map('trim')` applies a named filter per item (extra args

@@ -398,6 +398,37 @@ class MaterializerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.read("t_ret", Some(1)).collect().map(_.getString(1)).toSeq == Seq("b"))
   }
 
+  test("legacy pre-manifest versions survive GC, read as committed, upgrade in place") {
+    // a store written BEFORE the manifest format: committed version
+    // dirs with data but no _manifest.json. GC must treat them as
+    // committed (they are below the pointer and not gutted) — the
+    // failure mode being pinned: reference-counted GC seeing "no
+    // manifest" and reclaiming the LIVE current version's data files
+    val lw = new graft.exec.RelationStore(spark,
+      java.nio.file.Files.createTempDirectory("legacy_wh").toString, retainVersions = 10)
+    lw.write(df(Seq((1L, "v0"))), "t_legacy")
+    lw.write(df(Seq((1L, "v1"), (2L, "v1"))), "t_legacy")
+    val table = java.nio.file.Paths.get(lw.currentPath("t_legacy").get).getParent
+    Seq("v0", "v1").foreach(v =>
+      java.nio.file.Files.delete(table.resolve(v).resolve("_manifest.json")))
+    assert(lw.versions("t_legacy") == Seq(0, 1))
+    assert(lw.read("t_legacy").count() == 2, "legacy dir must scan as the current version")
+    assert(lw.read("t_legacy", Some(0)).first().getString(1) == "v0")
+    // wide-retention vacuum reclaims NOTHING and data stays whole
+    assert(lw.vacuum("t_legacy", keepLast = 5) == 0)
+    assert(lw.read("t_legacy").count() == 2)
+    // tight retention reclaims only the OLD legacy version
+    assert(lw.vacuum("t_legacy", keepLast = 1) == 1)
+    assert(lw.versions("t_legacy") == Seq(1))
+    assert(lw.read("t_legacy").count() == 2)
+    // upgrade in place: a new (manifest) commit coexists with the
+    // legacy version under the same retention accounting
+    lw.write(df(Seq((3L, "v2"))), "t_legacy")
+    assert(lw.versions("t_legacy") == Seq(1, 2))
+    assert(lw.read("t_legacy").first().getString(1) == "v2")
+    assert(lw.read("t_legacy", Some(1)).count() == 2)
+  }
+
   test("vacuum reclaims torn (uncommitted) versions, never committed history") {
     val tv = new graft.exec.RelationStore(spark,
       java.nio.file.Files.createTempDirectory("torn_wh").toString, retainVersions = 10)

@@ -2360,13 +2360,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nNew = emb.filter(pmod(col("vec_id"), lit(10)) >= 8).count()
     assert(out.map(_._2).sum == nOld, "old vectors must partition across cells")
     assert(out.map(_._3).sum == nNew, "new vectors must partition across cells")
-    out.foreach { case (cell, _, nn, ao, an, drift, load) =>
-      assert(ao >= -1000000L && ao <= 1000000L, s"cell $cell avg_old $ao")
-      if (nn > 0) {
+    out.foreach { case (cell, no, nn, ao, an, drift, load) =>
+      if (no > 0) assert(ao >= -1000000L && ao <= 1000000L, s"cell $cell avg_old $ao")
+      else assert(ao == -1L && load == -1L, s"cell $cell new-only sentinels")
+      if (nn > 0 && no > 0) {
         assert(an >= -1000000L && an <= 1000000L, s"cell $cell avg_new $an")
         assert(drift == ao - an, s"cell $cell drift arithmetic")
         assert(load > 0, s"cell $cell load ratio")
-      } else assert(an == -1L && drift == -1L && load == 0L, s"cell $cell sentinels")
+      } else if (nn == 0L)
+        assert(an == -1L && drift == -1L && load == 0L, s"cell $cell no-new sentinels")
+      else assert(drift == -1L, s"cell $cell new-only drift sentinel")
     }
 
     // (b) planted shift: 160 old vectors in 16 tight clusters, 40 new

@@ -524,6 +524,9 @@ class ControlFlowSpec extends AnyFunSuite {
     assert(r("{% set n = [3, 1, 2] | sum %}{{ n }}") == "6")
     assert(r("{% set l = ['b', 'a', 'b'] | unique %}{{ l }}") == "['b', 'a']")
     assert(r("{% set l = [3, 1, 2] | sort %}{{ l }}") == "[1, 2, 3]")
+    // Jinja's first positional arg to sort IS reverse
+    assert(r("{% set l = [3, 1, 2] | sort(true) %}{{ l }}") == "[3, 2, 1]")
+    assert(r("{% set l = [3, 1, 2] | sort(reverse=true) %}{{ l }}") == "[3, 2, 1]")
     assert(r("{% set l = ['a', 'b'] | reverse %}{{ l }}") == "['b', 'a']")
     // map applies a named filter per item, extra args pass through
     assert(r("{% set l = [' a ', 'B'] | map('trim') | map('lower') %}{{ l }}")

@@ -138,7 +138,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!sp.contains("NestedLoopJoin") && !sp.contains("CartesianProduct"),
       "span matching must stay an equi-join on the gram hash")
     assert(sp.contains("Window"), "expected the islands window")
-    assert(!sp.contains("Window [") || sp.contains("windowspecdefinition(doc_a"),
+    assert(!sp.contains("Window [") || sp.contains("windowspecdefinition(pa"),
       "islands window must partition by the pair, never run global")
     // recall eval: band join + truth join are equi; the one all-pairs
     // intersection is the DELIBERATE unguarded ground truth
@@ -150,7 +150,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dr = executedPhysical(graft.operators.SimilarityOps.simIndexDrift(spark, sf))
     assert(dr.contains("BroadcastNestedLoopJoin") || dr.contains("BroadcastExchange"),
       "centroid table must broadcast")
-    assert(!dr.contains("SortMergeJoin"), "nothing in the drift plan may sort-merge")
+    // the one permitted sort-merge is the FULL OUTER old⋈new cell join
+    // (Spark cannot broadcast a full outer), over ≤ n_centroids rows
+    assert("SortMergeJoin".r.findAllIn(dr).size <= 1 &&
+      (!dr.contains("SortMergeJoin") || dr.contains("FullOuter")),
+      "only the bounded full-outer cell join may sort-merge")
   }
 
   test("ppjoin: prefix-filtered candidate join stays equi-join, windows stay doc-partitioned") {
