@@ -160,10 +160,16 @@ final class RelationStore(
   private def deleteIfEmptyTree(dir: HPath): Boolean = {
     if (!fs.exists(dir)) return true
     val children = listNames(dir)
-    val allGone = children.forall(c => c.isDirectory && deleteIfEmptyTree(c.getPath))
-    // recursive delete: a VISIBLY empty dir may still hold filesystem
-    // bookkeeping a checksum FS hides from listings (.crc siblings)
-    if (allGone && listNames(dir).isEmpty) { fs.delete(dir, true); true } else false
+    // a `_gutted` tombstone marks a fully-drained data pool — it must
+    // not keep the (otherwise empty) dir alive forever, so it counts as
+    // deletable; the final delete is recursive, sweeping the tombstone
+    // plus any filesystem bookkeeping a checksum FS hides from listings
+    // (.crc siblings)
+    val allGone = children.forall { c =>
+      if (c.isDirectory) deleteIfEmptyTree(c.getPath)
+      else c.getPath.getName == "_gutted"
+    }
+    if (allGone) { fs.delete(dir, true); true } else false
   }
 
   // ---- layout ----
@@ -430,17 +436,22 @@ final class RelationStore(
       // torn (> pointer) and expired-committed dirs both count as
       // reclaimed versions; an already-gutted data pool does not
       val wasVersion = v > cur || isCommitted(name, v)
+      // crash-safe gut ordering: tombstone FIRST, then metadata, then
+      // data. Every crash window then reads as either a still-committed
+      // version (manifest intact, nothing deleted yet) or a cleanly
+      // refused gutted pool — never a manifest-less dir with partial
+      // data that isCommitted() would mistake for a LEGACY version.
+      // (The tombstone is also what tells an expired version apart from
+      // a LEGACY pre-manifest committed dir, which must keep reading as
+      // a version; deleteIfEmptyTree sweeps it once the pool drains.)
+      if (fsExists(dir) && !fsExists(new HPath(dir, "_gutted")))
+        writeStr(new HPath(dir, "_gutted"), "")
+      Seq("_manifest.json", "_graft_schema.json", "_delta_watermark", "_graft_batch",
+        "_SUCCESS").foreach(m => fs.delete(new HPath(dir, m), false))
       dataFilesUnder(dir).foreach { st =>
         if (!referenced.contains(relTo(td, st.getPath))) fs.delete(st.getPath, false)
       }
-      Seq("_manifest.json", "_graft_schema.json", "_delta_watermark", "_graft_batch",
-        "_SUCCESS").foreach(m => fs.delete(new HPath(dir, m), false))
-      if (!deleteIfEmptyTree(dir))
-        // referenced files remain: mark the dir as a gutted data pool so
-        // it never again reads as a committed version (the tombstone is
-        // what tells an expired version apart from a LEGACY pre-manifest
-        // committed dir, which must keep reading as a version)
-        writeStr(new HPath(dir, "_gutted"), "")
+      deleteIfEmptyTree(dir)
       if (wasVersion) reclaimed += 1
     }
     // absorbed deltas (id ≤ watermark) are reclaimable only when no
@@ -822,15 +833,22 @@ final class RelationStore(
     import scala.jdk.CollectionConverters._
     val scratch = java.nio.file.Files.createTempDirectory("graft_touched")
     val pf = StructType(partitionBy.map(p => schema(p).copy(nullable = true)))
+    // write through an explicit file: URI — a scheme-less path would
+    // resolve against fs.defaultFS (HDFS/object store on a cluster)
+    // while the read-back below is pinned to the local FS; the silent
+    // empty listing would carry touched-to-empty partitions forward
     spark.createDataFrame(vals.toSeq.asJava, pf)
       .withColumn("__one", org.apache.spark.sql.functions.lit(1))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
-      .parquet(scratch.toString)
+      .parquet(scratch.toUri.toString)
     val local = FileSystem.getLocal(hconf)
     val base = local.makeQualified(new HPath(scratch.toString))
     val out = leafPartitionDirsOn(local, base, base, partitionBy.length).toSet
     local.delete(base, true)
+    require(vals.isEmpty || out.nonEmpty,
+      s"touched-partition derivation listed no leaf dirs for ${vals.length} tuples — " +
+        "scratch write and read-back disagree on the filesystem")
     out
   }
 
@@ -932,7 +950,13 @@ final class RelationStore(
     val sized = entries.map(e =>
       if (e.size >= 0) e
       else e.copy(size = fs.getFileStatus(new HPath(td, e.rel)).getLen))
-    val (small, big) = sized.partition(_.size < targetBytes)
+    // small-file cutoff at HALF the target (the Delta OPTIMIZE
+    // convention): coalesce outputs average just UNDER targetBytes, so
+    // classifying by `< targetBytes` would re-rewrite prior compaction
+    // outputs on every trigger — O(table) per trigger instead of
+    // amortizing. Files in [target/2, target) are good enough to keep.
+    val smallCutoff = math.max(1L, targetBytes / 2)
+    val (small, big) = sized.partition(_.size < smallCutoff)
     val smallBytes = small.map(_.size).sum
     val ideal = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes)
     if (small.size <= ideal) return 0

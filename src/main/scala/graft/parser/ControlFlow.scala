@@ -490,28 +490,29 @@ object ControlFlow {
       private def parseNot(): (Any, P) =
         if (kw("not")) { val (v, _) = parseNot(); (!truthy(v), this) } else parseCmp()
       private def parseCmp(): (Any, P) = {
-        val (l, _) = parseFilter()
+        val (l, _) = parseAdd()
         ws()
         val ops = Seq("==", "!=", "<=", ">=", "<", ">")
         ops.find(o => s.startsWith(o, i)) match {
           case Some(op) =>
             i += op.length
-            val (r, _) = parseFilter()
+            val (r, _) = parseAdd()
             (compare(op, l, r), this)
           case None =>
-            if (kw("not") && kw("in")) { val (r, _) = parseFilter(); (!isIn(l, r), this) }
-            else if (kw("in")) { val (r, _) = parseFilter(); (isIn(l, r), this) }
+            if (kw("not") && kw("in")) { val (r, _) = parseAdd(); (!isIn(l, r), this) }
+            else if (kw("in")) { val (r, _) = parseAdd(); (isIn(l, r), this) }
             else (l, this)
         }
       }
       /** Jinja pipe-filters: `x | upper`, `xs | join(', ') | trim`, …
-        * ([[Filters]]). Binding sits between comparison and arithmetic,
-        * so `x | length > 3` reads ((x|length) > 3) and `a + b | upper`
-        * reads ((a+b)|upper) — the practical macro idioms; Jinja's own
-        * tighter-than-arithmetic corner case is out of static scope.
+        * ([[Filters]]). Binding matches real Jinja: TIGHTER than
+        * arithmetic/concat, looser than postfix — so `a + b | upper`
+        * reads (a + (b|upper)) exactly as Jinja renders it, and
+        * `x | length > 3` still reads ((x|length) > 3) because
+        * comparison sits above arithmetic.
         */
       private def parseFilter(): (Any, P) = {
-        var (v, _) = parseAdd()
+        var (v, _) = parsePostfix()
         ws()
         while (i < s.length && s(i) == '|' &&
             (i + 1 >= s.length || s(i + 1) != '|')) { // never eat SQL ||
@@ -533,11 +534,11 @@ object ControlFlow {
         * datetime ± timedelta algebra ([[Modules.arith]]).
         */
       private def parseAdd(): (Any, P) = {
-        var (v, _) = parsePostfix()
+        var (v, _) = parseFilter()
         ws()
         while (i < s.length && (s(i) == '+' || s(i) == '-')) {
           val op = s(i); i += 1
-          val (r, _) = parsePostfix()
+          val (r, _) = parseFilter()
           v = Modules.arith(op, v, r)
           ws()
         }

@@ -369,6 +369,68 @@ class MaterializerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.read("t_compact_flat").collect().map(_.toString).sorted.sameElements(before))
   }
 
+  test("flat compaction converges: near-target outputs are never re-rewritten") {
+    import spark.implicits._
+    val cw = new RelationStore(spark,
+      java.nio.file.Files.createTempDirectory("conv_wh").toString)
+    val rnd = new scala.util.Random(7)
+    def payloadDf(n: Int, files: Int, tag: String) =
+      (1 to n).map(i => (s"$tag$i", rnd.alphanumeric.take(4096).mkString))
+        .toDF("id", "payload").repartition(files)
+    cw.write(payloadDf(64, 16, "init"), "t_conv")
+    val table = java.nio.file.Paths.get(cw.currentPath("t_conv").get).getParent
+    def manifestEntries(): Seq[String] = {
+      val v = java.nio.file.Paths.get(cw.currentPath("t_conv").get)
+      graft.artifacts.Json.parse(
+        java.nio.file.Files.readString(v.resolve("_manifest.json"))) match {
+        case m: Map[String @unchecked, Any @unchecked] =>
+          m("files").asInstanceOf[Seq[Any]].map(String.valueOf(_))
+      }
+    }
+    // target sized so the first compaction emits ~3 outputs that land
+    // just under targetBytes — the exact regime where a `< target`
+    // small-file cutoff would re-rewrite them forever
+    val initialBytes = manifestEntries()
+      .map(r => java.nio.file.Files.size(table.resolve(r))).sum
+    val target = initialBytes / 3
+    assert(cw.compact("t_conv", target) == 1)
+    val outputs = manifestEntries().toSet
+    val firstPass = cw.compactedBytes.get()
+    assert(firstPass >= initialBytes, "first pass rewrites the fragmented files")
+    // land a few fresh small files, then compact again: ONLY they are
+    // rewritten; the near-target outputs carry over by reference
+    (0 to 3).foreach(b => cw.appendDelta(payloadDf(4, 1, s"d$b"), "t_conv", b.toLong))
+    assert(cw.compact("t_conv", target) == 1)
+    val after = manifestEntries().toSet
+    assert(outputs.subsetOf(after),
+      s"prior compaction outputs must carry by reference: ${outputs -- after}")
+    val secondPass = cw.compactedBytes.get() - firstPass
+    assert(secondPass > 0 && secondPass < firstPass / 2,
+      s"second pass must rewrite only the fresh small files ($secondPass vs $firstPass)")
+    // converged: nothing left under the small cutoff
+    assert(cw.compact("t_conv", target) == 0)
+  }
+
+  test("a gutted data pool's directory is swept once its last referencing manifest expires") {
+    val gp = new RelationStore(spark,
+      java.nio.file.Files.createTempDirectory("pool_wh").toString,
+      retainVersions = 2, deltaFoldEvery = 2)
+    gp.write(df(Seq((1L, "a"))), "t_pool") // v0: physical data files
+    gp.appendDelta(df(Seq((2L, "b"))), "t_pool", 0L)
+    gp.appendDelta(df(Seq((3L, "c"))), "t_pool", 1L) // fold → v1 references v0's files
+    val table = java.nio.file.Paths.get(gp.currentPath("t_pool").get).getParent
+    gp.write(df(Seq((9L, "z"))), "t_pool") // v2; GC expires v0 → gutted pool
+    assert(java.nio.file.Files.exists(table.resolve("v0").resolve("_gutted")),
+      "expired version with still-referenced files must become a tombstoned pool")
+    assert(gp.versions("t_pool") == Seq(1, 2))
+    assert(gp.read("t_pool", Some(1)).count() == 3) // v1 still reads through the pool
+    gp.write(df(Seq((10L, "y"))), "t_pool") // v3; v1 expires → v0's files dereferenced
+    assert(!java.nio.file.Files.exists(table.resolve("v0")),
+      "a fully-drained pool dir (tombstone only) must be deleted, not leak forever")
+    assert(!java.nio.file.Files.exists(table.resolve("v1")))
+    assert(gp.read("t_pool").collect().map(_.getString(1)).toSeq == Seq("y"))
+  }
+
   test("time travel reads past versions; vacuum reclaims beyond retention") {
     // wide retention: commits keep history, vacuum trims on demand
     val tt = new graft.exec.RelationStore(spark,

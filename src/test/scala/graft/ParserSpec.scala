@@ -557,9 +557,11 @@ class ControlFlowSpec extends AnyFunSuite {
     def r(t: String, vars: Map[String, String] = Map.empty) = ControlFlow.render(t, vars)
     // chaining left-to-right
     assert(r("{% set s = '  a-b  ' | trim | replace('-', '_') | upper %}{{ s }}") == "A_B")
-    // binds looser than arithmetic, tighter than comparison
+    // real Jinja precedence: filters bind TIGHTER than arithmetic
+    // ('a' + ('b'|upper)), looser than comparison ((x|length) > 1)
     assert(r("{% if ['a', 'b'] | length > 1 %}Y{% endif %}") == "Y")
-    assert(r("{% set s = 'a' + 'b' | upper %}{{ s }}") == "AB")
+    assert(r("{% set s = 'a' + 'b' | upper %}{{ s }}") == "aB")
+    assert(r("{% set s = ('a' + 'b') | upper %}{{ s }}") == "AB")
     // inside {{ }} spans: env-bound heads, literals, loop vars, var()
     assert(r("{% set x = 'mixed Case' %}{{ x | upper }}") == "MIXED CASE")
     assert(r("{{ 'raw text' | title }}") == "Raw Text")
