@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, Expression, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -14,8 +15,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * This is the read half of the store's manifest commits (the shape
   * lakehouse formats use: Delta's TahoeFileIndex, Iceberg's manifest
-  * scan): the manifest already knows every data file's path, size, and
-  * partition values, so
+  * scan): the manifest already knows every data file's path, size,
+  * partition values, and per-column min/max stats, so
   *
   *  - a scan does ZERO directory listing and ZERO per-file stat calls
   *    — on an object store at 100 TB, listing is the metadata
@@ -28,23 +29,37 @@ import org.apache.spark.unsafe.types.UTF8String
   *    serves trivially;
   *  - partition PRUNING still works: `listFiles` evaluates the pushed
   *    partition filters against each entry's typed partition values,
-  *    so a pruned scan opens only the matching entries' files.
+  *    so a pruned scan opens only the matching entries' files;
+  *  - DATA SKIPPING works below the partition grain: the pushed data
+  *    filters are evaluated against each FILE's manifest-recorded
+  *    column bounds ([[FileStats.mayMatch]]), so a selective predicate
+  *    on an unpartitioned column opens only the files whose min/max
+  *    ranges overlap it — at 100 TB the difference between reading 3
+  *    files and 30,000.
   */
 final class ManifestFileIndex(
     table: HPath,
     override val partitionSchema: StructType,
-    /** (partition values in partitionSchema order, files) per leaf. */
-    entries: Seq[(InternalRow, Seq[FileStatus])]) extends FileIndex {
+    /** (partition values in partitionSchema order, files with their
+      * optional per-column stats) per leaf.
+      */
+    entries: Seq[(InternalRow, Seq[(FileStatus, Option[FileStats])])]) extends FileIndex {
 
   override def rootPaths: Seq[HPath] = Seq(table)
   override def refresh(): Unit = ()
   override lazy val sizeInBytes: Long =
-    entries.iterator.flatMap(_._2).map(_.getLen).sum
+    entries.iterator.flatMap(_._2).map(_._1.getLen).sum
   override def inputFiles: Array[String] =
-    entries.flatMap(_._2.map(_.getPath.toString)).toArray
+    entries.flatMap(_._2.map(_._1.getPath.toString)).toArray
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // Spark resolves case-insensitively unless spark.sql.caseSensitive;
+    // name binding here must agree or a differently-cased pushed filter
+    // would miss (partition case) or silently no-op (stats case)
+    val caseSensitive = SQLConf.get.caseSensitiveAnalysis
+    def sameName(a: String, b: String): Boolean =
+      if (caseSensitive) a == b else a.equalsIgnoreCase(b)
     val live =
       if (partitionFilters.isEmpty || partitionSchema.isEmpty) entries
       else {
@@ -52,14 +67,30 @@ final class ManifestFileIndex(
         // evaluate per leaf — interpreted, over a bounded leaf count
         val bound = partitionFilters.reduce(And).transform {
           case a: AttributeReference =>
-            val idx = partitionSchema.indexWhere(_.name == a.name)
+            val idx = partitionSchema.indexWhere(f => sameName(f.name, a.name))
             require(idx >= 0, s"partition filter over unknown column ${a.name}")
             BoundReference(idx, partitionSchema(idx).dataType, nullable = true)
         }
         val pred = Predicate.createInterpreted(bound)
         entries.filter { case (values, _) => pred.eval(values) }
       }
-    live.map { case (values, files) => PartitionDirectory(values, files.toArray) }
+    // file-level data skipping: a file survives only if EVERY pushed
+    // data filter may match its recorded bounds; files without stats
+    // always survive (mayMatch is strictly conservative)
+    val skippable = dataFilters.filter(_.deterministic)
+    live.map { case (values, files) =>
+      val kept =
+        if (skippable.isEmpty) files.map(_._1)
+        else files.collect {
+          case (st, None) => st
+          case (st, Some(fstats)) if skippable.forall(f =>
+            FileStats.mayMatch(f, fstats,
+              name => fstats.cols.collectFirst {
+                case (n, cs) if sameName(n, name) => cs
+              })) => st
+        }
+      PartitionDirectory(values, kept.toArray)
+    }.filter(_.files.nonEmpty)
   }
 }
 
@@ -111,17 +142,28 @@ object ManifestFileIndex {
     })
   }
 
-  /** Build the scan DataFrame for a manifest-listed version: data
-    * columns from the parquet files, partition columns (possibly none)
-    * from the manifest's typed values. `files` carry the manifest's
-    * recorded sizes — no filesystem metadata calls on the read path.
-    */
+  /** Stats-less convenience overload (tests, simple callers). */
   def datasetFor(
       spark: SparkSession,
       table: HPath,
       storedSchema: StructType,
       partitionBy: Seq[String],
-      filesByLeaf: Seq[(String, Seq[FileStatus])]): DataFrame = {
+      filesByLeaf: Seq[(String, Seq[FileStatus])]): DataFrame =
+    datasetWithStatsFor(spark, table, storedSchema, partitionBy,
+      filesByLeaf.map { case (k, fs) => k -> fs.map(st => (st, None: Option[FileStats])) })
+
+  /** Build the scan DataFrame for a manifest-listed version: data
+    * columns from the parquet files, partition columns (possibly none)
+    * from the manifest's typed values. `files` carry the manifest's
+    * recorded sizes and column bounds — no filesystem metadata calls
+    * on the read path.
+    */
+  def datasetWithStatsFor(
+      spark: SparkSession,
+      table: HPath,
+      storedSchema: StructType,
+      partitionBy: Seq[String],
+      filesByLeaf: Seq[(String, Seq[(FileStatus, Option[FileStats])])]): DataFrame = {
     def nullable(st: StructType): StructType =
       StructType(st.map(f => f.copy(nullable = true)))
     val partitionSchema = nullable(StructType(partitionBy.map(n => storedSchema(n))))

@@ -202,9 +202,11 @@ final class RelationStore(
   // ---- manifests ----
 
   /** One manifest data file: table-relative path + recorded size (so
-    * reads never stat the filesystem).
+    * reads never stat the filesystem) + optional per-column min/max
+    * stats (so selective scans skip whole files — [[FileStats]]).
     */
-  private[exec] final case class MEntry(rel: String, size: Long) {
+  private[exec] final case class MEntry(rel: String, size: Long,
+      stats: Option[FileStats] = None) {
     def leafKey: String = ManifestFileIndex.leafKeyOf(rel)
   }
 
@@ -249,8 +251,24 @@ final class RelationStore(
           case Some(s: Seq[Any @unchecked]) => s.map(String.valueOf(_))
           case _ => Nil
         }
-        Some(VersionManifest(layout,
-          pby, files.zip(sizes).map { case (f, sz) => MEntry(f, sz) }))
+        // per-file stats re-type against the version's stored schema;
+        // pre-stats manifests (or a missing schema file) read as
+        // stats-less entries — never skipped, always correct
+        val stats: Seq[Option[FileStats]] = m.get("stats") match {
+          case Some(s: Seq[Any @unchecked]) if s.nonEmpty =>
+            val schemaFile = new HPath(verDir(name, v), "_graft_schema.json")
+            if (!fsExists(schemaFile)) files.map(_ => None)
+            else {
+              val st = org.apache.spark.sql.types.DataType
+                .fromJson(readStr(schemaFile)).asInstanceOf[StructType]
+              s.map(x => if (x == null) None else FileStats.fromJsonValue(x, st))
+            }
+          case _ => files.map(_ => None)
+        }
+        Some(VersionManifest(layout, pby,
+          files.lazyZip(sizes).lazyZip(stats).map {
+            case (f, sz, fst) => MEntry(f, sz, fst)
+          }.toSeq))
       case _ => None
     }
 
@@ -260,12 +278,20 @@ final class RelationStore(
       "layout" -> layout,
       "partition_by" -> partitionBy,
       "files" -> entries.map(_.rel),
-      "sizes" -> entries.map(_.size))))
+      "sizes" -> entries.map(_.size),
+      "stats" -> entries.map(_.stats.map(FileStats.toJsonValue).orNull))))
 
-  /** Physical data files under a version dir as manifest entries. */
-  private def physicalEntries(name: String, v: Int): Seq[MEntry] =
-    dataFilesUnder(verDir(name, v))
-      .map(st => MEntry(relTo(tableDir(name), st.getPath), st.getLen))
+  /** Physical data files under a version dir as manifest entries.
+    * `statsSchema` turns on per-file column-stats collection — one
+    * parquet FOOTER read per new file at commit time (metadata only),
+    * which is what buys file-level data skipping on every later scan.
+    */
+  private def physicalEntries(name: String, v: Int,
+      statsSchema: Option[StructType] = None): Seq[MEntry] =
+    dataFilesUnder(verDir(name, v)).map { st =>
+      MEntry(relTo(tableDir(name), st.getPath), st.getLen,
+        statsSchema.flatMap(sc => FileStats.collect(st, sc, hconf)))
+    }
 
   /** Data-file entries of version `v`: the manifest's for manifest
     * versions, the physical listing for legacy/bucketed dirs — either
@@ -344,8 +370,10 @@ final class RelationStore(
             val st = stored.getOrElse(throw new IllegalStateException(
               s"manifest version without stored schema: $schema.$name v$v"))
             val byLeaf = m.entries.groupBy(_.leafKey).toSeq.sortBy(_._1)
-              .map { case (k, es) => k -> es.map(entryStatus(name, _)) }
-            Some(ManifestFileIndex.datasetFor(
+              .map { case (k, es) =>
+                k -> es.map(e => (entryStatus(name, e), e.stats))
+              }
+            Some(ManifestFileIndex.datasetWithStatsFor(
               spark, fs.makeQualified(tableDir(name)), st, m.partitionBy, byLeaf))
           }
         case _ => Some(spark.read.parquet(verDir(name, v).toString))
@@ -580,13 +608,19 @@ final class RelationStore(
     deleteRec(dest) // torn leftover of a crashed previous fold
     fs.mkdirs(dest)
     val prevEntries = cur.toSeq.flatMap(v => versionEntries(name, v))
-    val deltaEntries = live.flatMap { id =>
-      dataFilesIn(deltaDirOf(name, id))
-        .map(st => MEntry(relTo(tableDir(name), st.getPath), st.getLen))
-    }
-    writeManifest(name, next, "files", Nil, prevEntries ++ deltaEntries)
     val schemaSrc = (cur.map(verDir(name, _)).toSeq ++ live.map(deltaDirOf(name, _)))
       .map(d => new HPath(d, "_graft_schema.json")).find(fsExists)
+    val foldSchema = schemaSrc.map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(readStr(s)).asInstanceOf[StructType])
+    // delta files gain their column stats HERE (one footer read each,
+    // once per file's lifetime) — the fold still writes zero data bytes
+    val deltaEntries = live.flatMap { id =>
+      dataFilesIn(deltaDirOf(name, id)).map { st =>
+        MEntry(relTo(tableDir(name), st.getPath), st.getLen,
+          foldSchema.flatMap(sc => FileStats.collect(st, sc, hconf)))
+      }
+    }
+    writeManifest(name, next, "files", Nil, prevEntries ++ deltaEntries)
     schemaSrc.foreach(s => writeStr(new HPath(dest, "_graft_schema.json"), readStr(s)))
     writeStr(new HPath(dest, "_delta_watermark"), live.max.toString)
     commitPointer(name, next)
@@ -631,9 +665,10 @@ final class RelationStore(
       .parquet(dest.toString)
     // leading "_" files are invisible to parquet FileIndex (like _SUCCESS)
     writeStr(new HPath(dest, "_graft_schema.json"), df.schema.json)
+    val entries = physicalEntries(name, next, statsSchema = Some(df.schema))
     if (partitionBy.nonEmpty)
-      writeManifest(name, next, "partitioned", partitionBy, physicalEntries(name, next))
-    else writeManifest(name, next, "files", Nil, physicalEntries(name, next))
+      writeManifest(name, next, "partitioned", partitionBy, entries)
+    else writeManifest(name, next, "files", Nil, entries)
     // a full write REPLACES the table's content, so any live delta
     // landings are superseded — raise the watermark past them (they're
     // reclaimed post-commit; pre-commit they must stay: the pointer may
@@ -811,7 +846,7 @@ final class RelationStore(
     }
     // carry every previous entry whose leaf was neither re-written
     // (present among the new physical files) nor touched-to-empty
-    val newEntries = physicalEntries(name, next)
+    val newEntries = physicalEntries(name, next, statsSchema = Some(df.schema))
     val written = newEntries.map(_.leafKey).toSet
     val carried = versionEntries(name, cur.get)
       .filter(e => !written.contains(e.leafKey) && !dropped.contains(e.leafKey))
@@ -963,15 +998,35 @@ final class RelationStore(
     val next = cur + 1
     val dest = verDir(name, next)
     deleteRec(dest)
-    spark.read.parquet(small.map(e => new HPath(td, e.rel).toString): _*)
-      .coalesce(ideal.toInt)
-      .write.mode(SaveMode.Overwrite).parquet(dest.toString)
+    val packed = spark.read.parquet(small.map(e => new HPath(td, e.rel).toString): _*)
+    // Z-order-lite: cluster the rewrite by the leading indexed column so
+    // each output file covers a NARROW value range — data skipping gets
+    // sharper as the table ages instead of degrading (shuffle cost is
+    // bounded by the under-sized files being rewritten anyway)
+    val clustered = clusterBy(packed, ideal.toInt)
+    clustered.write.mode(SaveMode.Overwrite).parquet(dest.toString)
     compactedBytes.addAndGet(smallBytes)
-    writeManifest(name, next, "files", Nil, big ++ physicalEntries(name, next))
+    writeManifest(name, next, "files", Nil,
+      big ++ physicalEntries(name, next, statsSchema = storedSchemaOf(name)))
     carryVersionMeta(name, cur, next)
     commitPointer(name, next)
     1
   }
+
+  /** Cluster a compaction rewrite by its leading stats-indexed column:
+    * range-partition into `n` outputs (each covering a disjoint value
+    * range) and sort inside each, so both file-level min/max skipping
+    * and parquet row-group pruning stay selective. No indexed column ⇒
+    * plain coalesce.
+    */
+  private def clusterBy(df: DataFrame, n: Int): DataFrame =
+    FileStats.indexedColumns(df.schema).headOption match {
+      case Some(f) =>
+        val c = org.apache.spark.sql.functions.col(f.name)
+        if (n > 1) df.repartitionByRange(n, c).sortWithinPartitions(c)
+        else df.coalesce(1).sortWithinPartitions(c)
+      case None => df.coalesce(n)
+    }
 
   private def compactPartitioned(name: String, cur: Int, partitionBy: Seq[String],
       entries: Seq[MEntry], targetBytes: Long): Int = {
@@ -994,15 +1049,15 @@ final class RelationStore(
       // leaf files exclude partition columns, so a per-leaf round-trip
       // preserves the written data schema exactly; the rewritten files
       // land under the SAME `col=value` leaf path in the new version
-      spark.read.parquet(es.map(e => new HPath(td, e.rel).toString): _*)
-        .coalesce(ideal.toInt)
+      clusterBy(spark.read.parquet(es.map(e => new HPath(td, e.rel).toString): _*),
+        ideal.toInt)
         .write.mode(SaveMode.Overwrite).parquet(new HPath(dest, leaf).toString)
       compactedBytes.addAndGet(bytes)
     }
     // well-sized leaves carry by reference, fragmented ones re-list
     val carried = sized.filterNot(e => fragmented.contains(e.leafKey))
     writeManifest(name, next, "partitioned", partitionBy,
-      physicalEntries(name, next) ++ carried)
+      physicalEntries(name, next, statsSchema = storedSchemaOf(name)) ++ carried)
     carryVersionMeta(name, cur, next)
     commitPointer(name, next)
     fragmented.size

@@ -79,6 +79,136 @@ class ManifestIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ndf.filter(col("bucket") > 15L).select(sum(col("id"))).first().getLong(0) == 2L)
   }
 
+  /** numFiles metric of the (single) scan leaf after executing `df`. */
+  private def filesOpened(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collectLeaves()
+      .head.metrics("numFiles").value
+  }
+
+  test("file-level data skipping: selective predicates open only overlapping files") {
+    val ss = spark
+    import ss.implicits._
+    val store = new graft.exec.RelationStore(spark,
+      java.nio.file.Files.createTempDirectory("skip_wh").toString)
+    // four files with DISJOINT id ranges (range-clustered write) and
+    // range-correlated strings
+    val data = (0L until 400L).map(i => (i, f"k$i%04d")).toDF("id", "v")
+    store.write(data.repartitionByRange(4, col("id")), "t_skip")
+    val t = store.read("t_skip")
+    assert(t.inputFiles.length == 4)
+    // point lookup on an unpartitioned column: ONE file opened
+    assert(filesOpened(t.filter(col("id") === 7L)) == 1)
+    assert(t.filter(col("id") === 7L).select(col("v")).first().getString(0) == "k0007")
+    // range predicate: only the top file overlaps
+    assert(filesOpened(t.filter(col("id") >= 350L)) == 1)
+    assert(t.filter(col("id") >= 350L).count() == 50)
+    // string bounds skip too
+    assert(filesOpened(t.filter(col("v") === "k0399")) == 1)
+    // IN list spanning two disjoint ranges opens exactly those two
+    assert(filesOpened(t.filter(col("id").isin(5L, 395L))) == 2)
+    assert(t.filter(col("id").isin(5L, 395L)).count() == 2)
+    // a non-selective predicate still reads everything, and the answer
+    // is identical to the in-memory filter (skipping is sound)
+    assert(t.filter(col("id") >= 0L).count() == 400)
+    assert(t.filter(col("id") % 100 === 3L).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 103L, 203L, 303L))
+  }
+
+  test("data skipping through folds: landed delta files keep their ranges") {
+    val ss = spark
+    import ss.implicits._
+    val store = new graft.exec.RelationStore(spark,
+      java.nio.file.Files.createTempDirectory("skipf_wh").toString, deltaFoldEvery = 3)
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"d$i")).toDF("id", "txt").coalesce(1)
+    (0 to 2).foreach(b => store.appendDelta(batch(b * 100L, b * 100L + 100L), "t", b.toLong))
+    // fold happened (3 landings): manifest entries carry footer stats
+    assert(store.versions("t").nonEmpty)
+    val t = store.read("t")
+    assert(t.inputFiles.length == 3)
+    assert(filesOpened(t.filter(col("id") === 205L)) == 1)
+    assert(t.filter(col("id") === 205L).count() == 1)
+    assert(t.count() == 300)
+  }
+
+  test("compaction range-clusters rewrites: selective scans open fewer files than before") {
+    val ss = spark
+    import ss.implicits._
+    val store = new graft.exec.RelationStore(spark,
+      java.nio.file.Files.createTempDirectory("skipc_wh").toString)
+    // hash-scattered small files: every file spans nearly the full id
+    // range, so a selective scan can skip nothing
+    val data = (0L until 400L).map(i => (i, s"r$i")).toDF("id", "v")
+    store.write(data.repartition(8), "t_clu")
+    val before = store.read("t_clu")
+    val openedBefore = filesOpened(before.filter(col("id") < 50L))
+    assert(openedBefore >= 4, s"hash layout must defeat skipping, opened $openedBefore")
+    assert(store.compact("t_clu") == 1)
+    val after = store.read("t_clu")
+    val openedAfter = filesOpened(after.filter(col("id") < 50L))
+    assert(openedAfter < openedBefore,
+      s"post-compaction scan must open fewer files ($openedAfter vs $openedBefore)")
+    assert(after.filter(col("id") < 50L).count() == 50)
+    assert(after.count() == 400)
+  }
+
+  test("listFiles binds partition filters per spark.sql.caseSensitive") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val pSchema = StructType(Seq(StructField("Day", StringType)))
+    val entries = Seq(
+      (org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString("a")),
+        filesUnder("v0/day=2024-01-01").map(st => (st, None: Option[graft.exec.FileStats]))),
+      (org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString("b")),
+        filesUnder("v1/day=2024-01-02").map(st => (st, None: Option[graft.exec.FileStats]))))
+    val idx = new ManifestFileIndex(new HPath(table), pSchema, entries)
+    // a filter arriving with different case binds under the default
+    // case-insensitive resolution
+    val filt = EqualTo(AttributeReference("dAY", StringType)(),
+      Literal(UTF8String.fromString("b"), StringType))
+    val dirs = idx.listFiles(Seq(filt), Nil)
+    assert(dirs.size == 1 && dirs.head.files.nonEmpty)
+  }
+
+  test("mayMatch is conservative: nulls, Not-equality, prefixes, missing stats") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.exec.{ColumnStats, FileStats}
+    val a = AttributeReference("x", LongType)()
+    val s = AttributeReference("v", StringType)()
+    val fs = FileStats(100L, Map(
+      "x" -> ColumnStats(Some(10L), Some(20L), 0L),
+      "v" -> ColumnStats(Some(UTF8String.fromString("mm")),
+        Some(UTF8String.fromString("pz")), 5L)))
+    def m(e: Expression) = FileStats.mayMatch(e, fs, fs.cols.get)
+    assert(!m(EqualTo(a, Literal(5L))))
+    assert(m(EqualTo(a, Literal(15L))))
+    assert(!m(GreaterThan(a, Literal(20L))))
+    assert(m(GreaterThanOrEqual(a, Literal(20L))))
+    assert(!m(LessThan(a, Literal(10L))))
+    // null-count driven
+    assert(!m(IsNull(a)))
+    assert(m(IsNull(s)))
+    assert(m(IsNotNull(a)))
+    // Not(=) skips only constant files
+    assert(m(Not(EqualTo(a, Literal(15L)))))
+    val const = FileStats(10L, Map("x" -> ColumnStats(Some(7L), Some(7L), 0L)))
+    assert(!FileStats.mayMatch(Not(EqualTo(a, Literal(7L))), const, const.cols.get))
+    // StartsWith prefix windows
+    def sw(p: String) = m(StartsWith(s, Literal(UTF8String.fromString(p), StringType)))
+    assert(sw("n") && sw("mm") && sw("p"))
+    assert(!sw("a") && !sw("q"))
+    // unknown column / unknown shape ⇒ pass
+    assert(m(EqualTo(AttributeReference("zz", LongType)(), Literal(1L))))
+    assert(m(EqualTo(Cast(a, StringType), Literal(UTF8String.fromString("1"), StringType))))
+    // And/Or composition
+    assert(!m(And(EqualTo(a, Literal(15L)), EqualTo(a, Literal(5L)))))
+    assert(m(Or(EqualTo(a, Literal(15L)), EqualTo(a, Literal(5L)))))
+  }
+
   test("flat (unpartitioned) manifest scan and escaped partition values") {
     val ss = spark
     import ss.implicits._
