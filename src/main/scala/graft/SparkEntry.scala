@@ -130,6 +130,8 @@ object SparkEntry {
     "dedup_span_pairs" -> ((s, d) => DedupOps.dedupSpanPairs(s, d)),
     "dedup_span_incremental" -> (DedupOps.dedupSpanIncremental _),
     "dedup_recall_eval" -> (DedupOps.dedupRecallEval _),
+    "dedup_recall_sampled" -> ((s: SparkSession, dir: String) =>
+      DedupOps.dedupRecallEvalSampled(s, dir, pct = 50, seed = 42)),
     "dedup_ppjoin" -> (DedupOps.dedupPpjoin _),
     "dedup_containment" -> ((s, dir) => DedupOps.dedupContainment(s, dir)),
     "dedup_minhash_lsh" -> (DedupOps.dedupMinHashLsh _),
@@ -149,6 +151,7 @@ object SparkEntry {
     "dedup_semantic" -> (SimilarityOps.semDedup _),
     "dedup_substring_spans" -> (DedupOps.dedupSubstringSpans _),
     "dedup_substring_remove" -> (DedupOps.dedupSubstringRemove _),
+    "dedup_span_remove_incremental" -> (DedupOps.dedupSpanRemoveIncremental _),
     "dedup_fuzzy_parts" -> (DedupOps.dedupFuzzyParts _),
     "dedup_incremental" -> (DedupOps.dedupIncremental _),
     "dedup_decontaminate_fuzzy" -> (DedupOps.dedupDecontaminateFuzzy _),
@@ -575,7 +578,24 @@ object SparkEntry {
     * S-curve constants interpolated from the SAME Scala computation the
     * operator broadcasts ([[graft.operators.DedupOps.lshTheoryPpm]]).
     */
-  private lazy val RecallEvalSql: String = {
+  /** [[graft.operators.DedupOps.md5Hash64]] replayed in DuckDB SQL. */
+  private def duckMd5Hash64(x: String): String = {
+    val hi = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
+    s"(($hi - CASE WHEN $hi >= 2147483648 THEN 4294967296 ELSE 0 END)" +
+      s" * 4294967296 + ('0x' || substr(md5($x), 9, 8))::BIGINT)"
+  }
+
+  private lazy val RecallEvalSql: String = recallEvalSql("TRUE")
+
+  /** Sampled variant: same evaluation restricted to the seeded document
+    * sample (pct=50, seed=42 — must mirror the Spark call exactly).
+    */
+  private lazy val RecallEvalSampledSql: String = {
+    val h = duckMd5Hash64(s"CAST(doc_id AS VARCHAR) || ':' || '42'")
+    recallEvalSql(s"(($h % 100) + 100) % 100 < 50")
+  }
+
+  private def recallEvalSql(docPred: String): String = {
     val al = graft.functions.MinHashAgg.A.take(32)
       .map(a => s"$a::HUGEINT").mkString("[", ",", "]")
     val mask = (BigInt(1) << 64) - 1
@@ -595,6 +615,7 @@ object SparkEntry {
       WITH toks AS (
         SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
         FROM documents
+        WHERE $docPred
       ), sh AS (
         SELECT DISTINCT doc_id, g FROM (
           SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
@@ -2916,6 +2937,7 @@ object SparkEntry {
     // constants as dedup_minhash_lsh, restricted to (new=doc_id%10>=8,
     // index) pairs, plus the exact-fingerprint probe — replayed 1:1
     "dedup_recall_eval" -> RecallEvalSql,
+    "dedup_recall_sampled" -> RecallEvalSampledSql,
     "dedup_incremental" -> minhashProbeSql("doc_id % 10 >= 8", "doc_id % 10 < 8"),
     "dedup_decontaminate_fuzzy" -> minhashProbeSql("doc_id % 20 <> 0", "doc_id % 20 = 0"),
     // txt_winnow's rolling Karp-Rabin hash (functions.RollingMinHash:
@@ -3822,6 +3844,37 @@ object SparkEntry {
         SELECT DISTINCT s.doc_id, p
         FROM starts s JOIN gstat t USING (g), UNNEST(range(s.i, s.i + 8)) AS u(p)
         WHERE s.doc_id <> t.keeper
+      ), pos AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS p, w[CAST(i+1 AS INT)] AS tok
+        FROM toks, UNNEST(range(0, len(w))) AS t(i)
+      ), kept AS (
+        SELECT pos.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(pos.tok, ' ' ORDER BY pos.p) AS cleaned
+        FROM pos LEFT JOIN rm ON pos.doc_id = rm.doc_id AND pos.p = rm.p
+        WHERE rm.p IS NULL
+        GROUP BY pos.doc_id
+      )
+      SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(w) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+             COALESCE(cleaned, '') AS cleaned_text
+      FROM toks t LEFT JOIN kept USING (doc_id)""",
+    "dedup_span_remove_incremental" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        FROM documents WHERE doc_id % 10 >= 8
+      ), refg AS (
+        SELECT DISTINCT array_to_string(w[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ') AS g
+        FROM (SELECT string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+              FROM documents WHERE doc_id % 10 < 8) r,
+             UNNEST(range(0, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8
+      ), starts AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i, array_to_string(w[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ') AS g
+        FROM toks, UNNEST(range(0, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8
+      ), rm AS (
+        SELECT DISTINCT s.doc_id, p
+        FROM starts s JOIN refg USING (g), UNNEST(range(s.i, s.i + 8)) AS u(p)
       ), pos AS (
         SELECT doc_id, CAST(i AS BIGINT) AS p, w[CAST(i+1 AS INT)] AS tok
         FROM toks, UNNEST(range(0, len(w))) AS t(i)

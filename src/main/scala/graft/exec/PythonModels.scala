@@ -27,6 +27,35 @@ object PythonModels {
   def get(name: String): Option[Impl] = impls.get(name)
 }
 
+/** Operator-library surface for models: a python model configured with
+  * `graft_op="<name>"` materializes the named library operator over its
+  * DECLARED inputs — no per-project JVM registration, no subprocess.
+  * This is how a dbt-style project materializes operators whose logic
+  * lives in native code (k-means training, codegen'd expressions)
+  * rather than expressible SQL: the model file documents the inputs
+  * and config, the library supplies the plan.
+  */
+object GraftOps {
+  /** Resolve an operator name to a model implementation. The single
+    * declared source/ref is the operator's input table (operators that
+    * need several take them in declaration order).
+    */
+  def impl(op: String): Option[PythonModels.Impl] = op match {
+    case "sim_index_drift" => Some { (s, inputs) =>
+      val emb = one(op, inputs)
+      graft.operators.SimilarityOps.simIndexDriftOf(
+        s, graft.operators.SimilarityOps.quantizedOf(emb), s"drift@graft_op")
+    }
+    case _ => None
+  }
+
+  private def one(op: String, inputs: Map[String, DataFrame]): DataFrame = {
+    require(inputs.size == 1,
+      s"graft_op $op expects exactly one declared input, got ${inputs.keys.mkString(", ")}")
+    inputs.values.head
+  }
+}
+
 /** Local `python3` executor for python models configured with
   * `submission_method="subprocess"` — the concrete stand-in for the
   * reference's job submission (`submit_python_job`, providers.py:1513,

@@ -11,11 +11,19 @@ import graft.core.Relation
 
 /** Versioned parquet relation store — the engine's warehouse.
   *
-  * Every write creates a NEW immutable version and then atomically swaps
-  * a pointer file, exactly the copy-on-write commit discipline lakehouse
-  * table formats use. All I/O goes through the Hadoop `FileSystem` /
-  * `FileContext` API, so the same store runs against `file://`, HDFS, or
-  * an object store — the root's scheme picks the filesystem.
+  * Every write creates a NEW immutable version and commits it with an
+  * optimistic-concurrency protocol (reserve a version slot via atomic
+  * no-overwrite marker creation → stage → publish the manifest → verify
+  * linearizability, re-basing on conflict), exactly the copy-on-write
+  * commit discipline lakehouse table formats use. Two sessions
+  * committing to one table serialize into a linear version chain with
+  * no lost updates; a crashed writer's slot ages into GC. All I/O goes
+  * through the Hadoop `FileSystem` / `FileContext` API, so the same
+  * store runs against `file://`, HDFS, or an object store — the root's
+  * scheme picks the filesystem (cross-process reservation atomicity is
+  * the FS's no-overwrite rename, the capability lakehouse commit
+  * protocols likewise require; same-JVM writers additionally arbitrate
+  * on a process lock).
   *
   * A committed FLAT version is a MANIFEST (`_manifest.json` listing
   * table-relative data-file paths), not a directory of copies: data
@@ -60,7 +68,11 @@ final class RelationStore(
     /** How many committed versions each table retains (≥ 1). Commits GC
       * beyond this automatically; [[read]]`(name, Some(v))` time-travels
       * within it and [[vacuum]] trims below it on demand. Production
-      * analogue: lakehouse table retention for time travel.
+      * analogue: lakehouse table retention for time travel. Under
+      * CONCURRENT writers this is also the snapshot-isolation window: a
+      * scan still executing when its version falls out of retention can
+      * hit reclaimed files (the same reader-vs-vacuum contract Delta
+      * documents) — size retention to cover the longest reader.
       */
     val retainVersions: Int = 2,
     /** After how many live delta landings [[appendDelta]] folds the
@@ -79,7 +91,15 @@ final class RelationStore(
     /** Target data-file size for auto-compaction (files at or above it
       * are never rewritten).
       */
-    val autoCompactTargetBytes: Long = 128L << 20) {
+    val autoCompactTargetBytes: Long = 128L << 20,
+    /** How long a RESERVED in-flight version slot (a `_rsv_v{N}` marker
+      * without a committed manifest) is protected from GC. A crashed
+      * writer's reservation older than this reads as a torn leftover
+      * and is reclaimed; a live concurrent writer commits well inside
+      * it. The lakehouse vacuum-retention-horizon idea, applied to
+      * uncommitted writes.
+      */
+    val tornRetainMs: Long = 3_600_000L) {
 
   // ---- filesystem layer (Hadoop FS — scheme-portable) ----
 
@@ -119,15 +139,23 @@ final class RelationStore(
     try out.write(s.getBytes(UTF_8)) finally out.close()
   }
 
-  /** Write-then-rename(OVERWRITE): the atomic pointer swap. */
+  /** Write-then-rename(OVERWRITE): atomic single-file replace. The tmp
+    * name carries a nonce so CONCURRENT replacers of one target never
+    * share a staging file (each rename installs a complete value; last
+    * one wins).
+    */
   private def writeStrAtomic(p: HPath, s: String): Unit = {
-    val tmp = new HPath(p.getParent, s".${p.getName}.tmp")
+    val tmp = new HPath(p.getParent,
+      s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     writeStr(tmp, s)
     fctx.rename(tmp, p, Options.Rename.OVERWRITE)
   }
 
   private def listNames(dir: HPath): Seq[FileStatus] =
-    if (!fs.exists(dir)) Nil else fs.listStatus(dir).toSeq
+    // exists+list is TOCTOU under concurrent GC: a dir swept between
+    // the two calls lists as empty, which is exactly what it is
+    try { if (!fs.exists(dir)) Nil else fs.listStatus(dir).toSeq }
+    catch { case _: java.io.FileNotFoundException => Nil }
 
   private def deleteRec(p: HPath): Unit = if (fs.exists(p)) fs.delete(p, true)
 
@@ -189,15 +217,207 @@ final class RelationStore(
   def sqlName(name: String): String = if (qualifyViews) s"${schema}__$name" else name
 
   def exists(name: String): Boolean =
-    fsExists(pointer(name)) || fsExists(viewFile(name)) || liveDeltaIds(name).nonEmpty
+    fsExists(pointer(name)) || fsExists(viewFile(name)) ||
+      liveDeltaIds(name).nonEmpty || currentVersion(name).nonEmpty
 
   def isView(name: String): Boolean = fsExists(viewFile(name))
 
-  private def currentVersion(name: String): Option[Int] =
-    if (fsExists(pointer(name))) Some(readStr(pointer(name)).trim.toInt) else None
+  /** The table HEAD as READERS see it: the highest PUBLISHED version —
+    * manifest present AND reservation marker gone. A manifest whose
+    * writer still holds its marker is a commit in flight (it may yet be
+    * withdrawn on a verification conflict), so readers never resolve
+    * it; [[finalizeCommit]] deleting the marker is the publish step.
+    * The `_current` pointer file survives as a legacy floor:
+    * pre-manifest stores have no manifests at all, and their pointer
+    * names the committed legacy version.
+    */
+  private def currentVersion(name: String): Option[Int] = {
+    val published = physicalVersionDirs(name)
+      .filter(v => hasManifest(name, v) && !isReserved(name, v))
+    // legacy floor read tolerates a concurrent atomic replace mid-flight
+    val legacy = scala.util.Try(readStr(pointer(name)).trim.toInt).toOption
+    (published ++ legacy).maxOption
+  }
+
+  /** The RAW head: highest manifest regardless of markers — what commit
+    * VERIFICATION orders against (an in-flight competitor's manifest
+    * above ours means our commit would be invisible history).
+    */
+  private def rawHeadVersion(name: String): Option[Int] =
+    (physicalVersionDirs(name).filter(hasManifest(name, _)) ++
+      scala.util.Try(readStr(pointer(name)).trim.toInt).toOption).maxOption
 
   def currentPath(name: String): Option[String] =
     currentVersion(name).map(v => verDir(name, v).toString)
+
+  // ---- optimistic concurrency (version slots) ----
+  //
+  // Two sessions committing to one table race on the version number.
+  // The protocol is the lakehouse one (Delta on HDFS / Iceberg commit):
+  //
+  //  1. RESERVE a slot: atomically create `_rsv_v{N}` (rename WITHOUT
+  //     the OVERWRITE option — fails if the marker exists). The winner
+  //     owns verDir(N) exclusively; losers probe upward.
+  //  2. Stage data + per-version metadata into the owned slot.
+  //  3. COMMIT: rename the manifest into place (atomic visibility) and
+  //     verify the slot became the table head. If a competitor
+  //     committed ABOVE meanwhile, withdraw the manifest, reserve a
+  //     fresh slot above the new head, and retry the manifest only —
+  //     the staged data files stay put and the retried manifest
+  //     references them cross-dir (zero data movement, the same carry
+  //     mechanism folds use).
+  //
+  // A crashed writer leaves a reservation without a manifest: GC treats
+  // it as a torn leftover once it ages past `tornRetainMs`.
+
+  private def rsvFile(name: String, v: Int): HPath =
+    new HPath(tableDir(name), s"_rsv_v$v")
+
+  private def isReserved(name: String, v: Int): Boolean = fsExists(rsvFile(name, v))
+
+  /** Reserve the first free slot ≥ `from`. A slot is free when it has
+    * neither a committed manifest nor a reservation marker (a
+    * marker-less torn dir from a pre-OCC crash is claimable — its junk
+    * is cleaned here). Returns the owned version number.
+    */
+  private def reserveVersion(name: String, from: Int): Int = {
+    fs.mkdirs(tableDir(name))
+    var n = math.max(0, from)
+    var attempts = 0
+    while (attempts < 10000) {
+      attempts += 1
+      val rsv = rsvFile(name, n)
+      // same-JVM writers arbitrate on a process lock (a local-FS rename
+      // silently replaces, so the no-overwrite contract alone can
+      // double-grant under thread interleaving); CROSS-process safety
+      // is the filesystem's atomic create-no-overwrite rename — the
+      // same capability lakehouse commit protocols require of the FS
+      val won = RelationStore.slotLock(fs.makeQualified(rsv).toString).synchronized {
+        if (hasManifest(name, n) || isReserved(name, n)) false
+        else {
+          val token = java.util.UUID.randomUUID().toString
+          val tmp = new HPath(tableDir(name), s"._rsv_v$n.$token.tmp")
+          writeStr(tmp, token)
+          try {
+            fctx.rename(tmp, rsv) // no OVERWRITE: a cross-process loser throws
+            readStr(rsv) == token // read-back arbitrates a replaced rename
+          } catch {
+            case _: java.io.IOException => fs.delete(tmp, false); false
+          }
+        }
+      }
+      if (won) {
+        deleteRec(verDir(name, n)) // claimable pre-OCC junk
+        return n
+      }
+      n += 1
+    }
+    throw new IllegalStateException(s"could not reserve a version slot for $schema.$name")
+  }
+
+  private def releaseSlot(name: String, v: Int): Unit = {
+    deleteRec(verDir(name, v))
+    fs.delete(rsvFile(name, v), false)
+  }
+
+  /** Atomic-visibility manifest write into an OWNED slot: readers see
+    * the full file or nothing — the rename is the commit.
+    */
+  private def writeManifestCommit(name: String, v: Int, layout: String,
+      partitionBy: Seq[String], entries: Seq[MEntry]): Unit = {
+    val tmp = new HPath(verDir(name, v), "._manifest.json.tmp")
+    writeStr(tmp, graft.artifacts.Json.write(Map(
+      "layout" -> layout,
+      "partition_by" -> partitionBy,
+      "files" -> entries.map(_.rel),
+      "sizes" -> entries.map(_.size),
+      "stats" -> entries.map(_.stats.map(FileStats.toJsonValue).orNull))))
+    fctx.rename(tmp, manifestFile(name, v), Options.Rename.OVERWRITE)
+  }
+
+  /** Commit a staged slot as the new table HEAD, retrying on conflict.
+    *
+    * `build(slot, base)` recomputes everything base-dependent for the
+    * attempt — carried entries, watermark files — and returns the
+    * manifest content, or None to ABORT (the staged slot is discarded;
+    * compaction uses this when its inputs vanished under it). The
+    * head check after the manifest rename closes the remaining window:
+    * a competitor that committed ABOVE us never saw our manifest, so
+    * letting ours stand would silently drop it from the history — we
+    * withdraw, re-slot above the new head (data stays put, the manifest
+    * re-references it cross-dir), and rebuild against the new base.
+    *
+    * @return the committed head version, or None when `build` aborted
+    */
+  private def commitHead(name: String, firstSlot: Int,
+      build: (Int, Option[Int]) => Option[(String, Seq[String], Seq[MEntry])]): Option[Int] = {
+    def committedBelow(n: Int): Option[Int] =
+      physicalVersionDirs(name).filter(v => v < n && hasManifest(name, v))
+        .maxOption orElse {
+          val legacy = scala.util.Try(readStr(pointer(name)).trim.toInt).toOption
+          legacy.filter(_ < n)
+        }
+    var n = firstSlot
+    var priorSlots = List.empty[Int] // shadowed slots whose data the final manifest references
+    var attempts = 0
+    while (attempts < 64) {
+      attempts += 1
+      if (attempts > 1) Thread.sleep(3L * attempts) // contention backoff
+      val head = rawHeadVersion(name)
+      if (head.exists(_ > n)) {
+        // a competitor committed ABOVE our slot: committing below the
+        // head would be silently invisible — re-slot above it (staged
+        // data stays put; the new manifest references it cross-dir)
+        val m = reserveVersion(name, head.get + 1)
+        carryVersionMeta(name, n, m)
+        priorSlots ::= n
+        n = m
+      } else {
+        val base = committedBelow(n)
+        build(n, base) match {
+          case None =>
+            // abort: nothing references any staged slot — discard them all
+            (n :: priorSlots).foreach(releaseSlot(name, _))
+            return None
+          case Some((layout, pby, entries)) =>
+            writeManifestCommit(name, n, layout, pby, entries)
+            // linearizability check (RAW view): we are the head AND
+            // nobody slipped a commit in between our base and our slot —
+            // otherwise our carried state is stale (lost update) and
+            // must be rebuilt. Publish-then-verify is sound: two
+            // mutually-unaware commits would each need to verify before
+            // the other's rename, which the rename→verify order forbids.
+            if (rawHeadVersion(name).contains(n) && committedBelow(n) == base) {
+              // shadowed slots demote to gutted data pools: the committed
+              // manifest references their files cross-dir; the tombstone
+              // keeps them from ever reading as legacy committed versions
+              priorSlots.foreach { p =>
+                if (fsExists(verDir(name, p)))
+                  writeStr(new HPath(verDir(name, p), "_gutted"), "")
+                fs.delete(rsvFile(name, p), false)
+              }
+              finalizeCommit(name, n)
+              return Some(n)
+            }
+            // conflict: withdraw and retry (the loop head decides whether
+            // the slot is still usable or must move above a new head)
+            fs.delete(manifestFile(name, n), false)
+        }
+      }
+    }
+    throw new IllegalStateException(
+      s"commit contention on $schema.$name did not settle in $attempts attempts")
+  }
+
+  /** Post-commit bookkeeping: legacy pointer floor (discovery + the
+    * pre-manifest fallback), retention GC, session re-register.
+    */
+  private def finalizeCommit(name: String, n: Int): Unit = {
+    fs.delete(rsvFile(name, n), false) // committed: the slot is no longer in-flight
+    writeStrAtomic(pointer(name), n.toString)
+    gcTable(name, retainVersions)
+    registerView(name)
+  }
 
   // ---- manifests ----
 
@@ -225,18 +445,25 @@ final class RelationStore(
 
   /** Whether version dir `v` reads as a COMMITTED version: a manifest
     * commit, or a LEGACY pre-manifest directory (data, no manifest, no
-    * `_gutted` tombstone). A gutted dir — manifest expired, files kept
-    * only because newer manifests reference them — is a data pool, not
-    * a version.
+    * `_gutted` tombstone, no reservation marker). A gutted dir —
+    * manifest expired, files kept only because newer manifests
+    * reference them — is a data pool, not a version; a RESERVED dir is
+    * an in-flight (or shadowed/crashed) write, never a version.
     */
   private def isCommitted(name: String, v: Int): Boolean =
-    hasManifest(name, v) ||
-      (!fsExists(new HPath(verDir(name, v), "_gutted")) &&
+    (hasManifest(name, v) && !isReserved(name, v)) ||
+      (!isReserved(name, v) &&
+        !fsExists(new HPath(verDir(name, v), "_gutted")) &&
         dataFilesUnder(verDir(name, v)).nonEmpty)
 
   private def manifestOf(name: String, v: Int): Option[VersionManifest] =
-    if (!hasManifest(name, v)) None
-    else graft.artifacts.Json.parse(readStr(manifestFile(name, v))) match {
+    // exists+read is TOCTOU under a concurrent retention pass: a
+    // manifest swept between the calls reads as the expired version it
+    // just became
+    scala.util.Try(readStr(manifestFile(name, v))).toOption.flatMap(parseManifest(name, v, _))
+
+  private def parseManifest(name: String, v: Int, raw: String): Option[VersionManifest] =
+    graft.artifacts.Json.parse(raw) match {
       case m: Map[String @unchecked, Any @unchecked] =>
         val layout = m.getOrElse("layout", "files").toString
         val files = m.get("files") match {
@@ -271,15 +498,6 @@ final class RelationStore(
           }.toSeq))
       case _ => None
     }
-
-  private def writeManifest(name: String, v: Int, layout: String,
-      partitionBy: Seq[String], entries: Seq[MEntry]): Unit =
-    writeStr(manifestFile(name, v), graft.artifacts.Json.write(Map(
-      "layout" -> layout,
-      "partition_by" -> partitionBy,
-      "files" -> entries.map(_.rel),
-      "sizes" -> entries.map(_.size),
-      "stats" -> entries.map(_.stats.map(FileStats.toJsonValue).orNull))))
 
   /** Physical data files under a version dir as manifest entries.
     * `statsSchema` turns on per-file column-stats collection — one
@@ -325,6 +543,33 @@ final class RelationStore(
     * still names.
     */
   def read(name: String, asOfVersion: Option[Int]): DataFrame = {
+    // a HEAD read racing a concurrent writer's retention pass can
+    // resolve a version that expires before its scan is built — retry
+    // from a fresh head (time travel does NOT retry: an expired past
+    // version is a real error)
+    var attempts = 0
+    while (asOfVersion.isEmpty && attempts < 5) {
+      try return readResolved(name, asOfVersion)
+      catch {
+        case e: Throwable if attempts < 4 && isStaleReadRace(e) => attempts += 1
+      }
+    }
+    readResolved(name, asOfVersion)
+  }
+
+  private def isStaleReadRace(e: Throwable): Boolean = {
+    val seen = scala.collection.mutable.Set[Throwable]()
+    def walk(t: Throwable): Boolean =
+      t != null && seen.add(t) && (t match {
+        case _: java.io.FileNotFoundException => true
+        case a: org.apache.spark.sql.AnalysisException
+            if String.valueOf(a.getMessage).contains("PATH_NOT_FOUND") => true
+        case other => walk(other.getCause)
+      })
+    walk(e)
+  }
+
+  private def readResolved(name: String, asOfVersion: Option[Int]): DataFrame = {
     if (isView(name)) {
       // a view has no versioned storage — silently returning current
       // data labeled as a past version would be wrong
@@ -376,7 +621,18 @@ final class RelationStore(
             Some(ManifestFileIndex.datasetWithStatsFor(
               spark, fs.makeQualified(tableDir(name)), st, m.partitionBy, byLeaf))
           }
-        case _ => Some(spark.read.parquet(verDir(name, v).toString))
+        case _ =>
+          // legacy manifest-less dir. If the dir itself is gone, the
+          // head resolution was stale (a concurrent retention pass) —
+          // surface it as the retryable race it is
+          if (!fsExists(verDir(name, v))) {
+            val state = listNames(tableDir(name)).map(_.getPath.getName).sorted
+            throw new java.io.FileNotFoundException(
+              s"$schema.$name v$v vanished during read (concurrent retention); " +
+                s"tableDir=$state pointer=" +
+                scala.util.Try(readStr(pointer(name)).trim).getOrElse("<none>"))
+          }
+          Some(spark.read.parquet(verDir(name, v).toString))
       }
     }
     val deltas: Option[DataFrame] =
@@ -442,12 +698,31 @@ final class RelationStore(
   private def gcTable(name: String, keep: Int): Int = {
     val td = tableDir(name)
     if (!fsExists(td)) return 0
-    val curOpt = currentVersion(name)
     // always reap crashed dot-tmp landings
     listNames(deltaRoot(name)).foreach { st =>
       if (st.getPath.getName.startsWith(".tmp_")) deleteRec(st.getPath)
     }
-    val cur = curOpt.getOrElse(return 0)
+    // a LIVE writer's reserved slot must survive a concurrent commit's
+    // GC — reservations younger than the retention horizon are skipped
+    // WHETHER OR NOT a manifest is present (a manifest under a live
+    // marker is a commit mid-verification, not an expired version);
+    // stale ones read as crashed/shadowed torn leftovers
+    def reservedLive(v: Int): Boolean =
+      scala.util.Try(
+        isReserved(name, v) &&
+          (System.currentTimeMillis() -
+            fs.getFileStatus(rsvFile(name, v)).getModificationTime) < tornRetainMs
+      ).getOrElse(false) // marker vanished mid-check: a competitor swept it
+    // ADOPT a crashed finalize: manifest written + verification passed
+    // but the crash hit before the marker delete. If the orphan sits
+    // exactly where the next commit would go, it IS the next commit —
+    // publish it; a conflicted orphan stays torn and ages into GC.
+    // (Runs before retention accounting so an adopted head is retained.)
+    for (v <- physicalVersionDirs(name).sorted
+        if isReserved(name, v) && hasManifest(name, v) && !reservedLive(v))
+      if (v == currentVersion(name).getOrElse(-1) + 1)
+        fs.delete(rsvFile(name, v), false)
+    val cur = currentVersion(name).getOrElse(return 0)
     val all = physicalVersionDirs(name)
     val committed = all.filter(v => v <= cur && isCommitted(name, v)).sorted
     val retained = committed.takeRight(math.max(1, keep)).toSet
@@ -459,9 +734,14 @@ final class RelationStore(
         case _ => Nil
       })
     var reclaimed = 0
-    for (v <- all if !retained.contains(v)) {
+    // NEVER gut a manifest-bearing version above this pass's head
+    // snapshot: it is a commit that landed while we were sweeping — a
+    // competitor's fresh head, not a torn leftover. (Its own retention
+    // is the NEXT pass's job, when it is below that pass's head.)
+    for (v <- all if !retained.contains(v) && !reservedLive(v) &&
+        !(v > cur && hasManifest(name, v))) {
       val dir = verDir(name, v)
-      // torn (> pointer) and expired-committed dirs both count as
+      // torn (> head) and expired-committed dirs both count as
       // reclaimed versions; an already-gutted data pool does not
       val wasVersion = v > cur || isCommitted(name, v)
       // crash-safe gut ordering: tombstone FIRST, then metadata, then
@@ -472,15 +752,29 @@ final class RelationStore(
       // (The tombstone is also what tells an expired version apart from
       // a LEGACY pre-manifest committed dir, which must keep reading as
       // a version; deleteIfEmptyTree sweeps it once the pool drains.)
-      if (fsExists(dir) && !fsExists(new HPath(dir, "_gutted")))
-        writeStr(new HPath(dir, "_gutted"), "")
-      Seq("_manifest.json", "_graft_schema.json", "_delta_watermark", "_graft_batch",
-        "_SUCCESS").foreach(m => fs.delete(new HPath(dir, m), false))
-      dataFilesUnder(dir).foreach { st =>
-        if (!referenced.contains(relTo(td, st.getPath))) fs.delete(st.getPath, false)
-      }
-      deleteIfEmptyTree(dir)
+      // every step below is idempotent and tolerates a CONCURRENT GC
+      // (two sessions' retention passes sweeping the same expired dir)
+      try {
+        if (fsExists(dir) && !fsExists(new HPath(dir, "_gutted")))
+          writeStr(new HPath(dir, "_gutted"), "")
+        Seq("_manifest.json", "_graft_schema.json", "_delta_watermark", "_graft_batch",
+          "_SUCCESS").foreach(m => fs.delete(new HPath(dir, m), false))
+        dataFilesUnder(dir).foreach { st =>
+          if (!referenced.contains(relTo(td, st.getPath))) fs.delete(st.getPath, false)
+        }
+        deleteIfEmptyTree(dir)
+      } catch { case _: java.io.IOException => () } // competitor swept it under us
+      fs.delete(rsvFile(name, v), false) // reclaimed slot: marker goes too
       if (wasVersion) reclaimed += 1
+    }
+    // markers whose slot dir is fully gone (crashed before any write)
+    listNames(td).foreach { st =>
+      val f = st.getPath.getName
+      if (st.isFile && f.startsWith("_rsv_v") && f.drop(6).forall(_.isDigit)) {
+        val v = f.drop(6).toInt
+        if (!retained.contains(v) && !reservedLive(v) && !fsExists(verDir(name, v)))
+          fs.delete(st.getPath, false)
+      }
     }
     // absorbed deltas (id ≤ watermark) are reclaimable only when no
     // retained manifest references a file inside them
@@ -539,7 +833,7 @@ final class RelationStore(
   private def currentWatermark(name: String): Long =
     currentVersion(name).map { v =>
       val f = new HPath(verDir(name, v), "_delta_watermark")
-      if (fsExists(f)) readStr(f).trim.toLong else -1L
+      scala.util.Try(readStr(f).trim.toLong).getOrElse(-1L)
     }.getOrElse(-1L)
 
   /** Whether `batchId` has already been durably landed (committed delta
@@ -577,11 +871,19 @@ final class RelationStore(
         s"appendDelta($name): schema drift — landed $landed vs incoming $incoming")
     }
     fs.mkdirs(deltaRoot(name))
-    val tmp = new HPath(deltaRoot(name), s".tmp_b$batchId")
-    deleteRec(tmp)
+    // tmp name carries a nonce: two sessions replaying the SAME epoch
+    // must not share a staging dir; the no-OVERWRITE rename below then
+    // arbitrates — exactly one landing commits, the loser discards
+    val tmp = new HPath(deltaRoot(name),
+      s".tmp_b${batchId}_${java.util.UUID.randomUUID().toString.take(8)}")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     writeStr(new HPath(tmp, "_graft_schema.json"), df.schema.json)
-    fctx.rename(tmp, deltaDirOf(name, batchId))
+    try fctx.rename(tmp, deltaDirOf(name, batchId))
+    catch {
+      case _: java.io.IOException =>
+        deleteRec(tmp)
+        return false // concurrent replay landed this batch first
+    }
     registerView(name)
     if (liveDeltaIds(name).size >= math.max(2, deltaFoldEvery)) {
       foldDeltas(name)
@@ -600,31 +902,38 @@ final class RelationStore(
     * folded.
     */
   def foldDeltas(name: String): Int = {
-    val live = liveDeltaIds(name)
-    if (live.isEmpty) return 0
-    val cur = currentVersion(name)
-    val next = cur.getOrElse(-1) + 1
-    val dest = verDir(name, next)
-    deleteRec(dest) // torn leftover of a crashed previous fold
-    fs.mkdirs(dest)
-    val prevEntries = cur.toSeq.flatMap(v => versionEntries(name, v))
-    val schemaSrc = (cur.map(verDir(name, _)).toSeq ++ live.map(deltaDirOf(name, _)))
-      .map(d => new HPath(d, "_graft_schema.json")).find(fsExists)
-    val foldSchema = schemaSrc.map(s =>
-      org.apache.spark.sql.types.DataType.fromJson(readStr(s)).asInstanceOf[StructType])
-    // delta files gain their column stats HERE (one footer read each,
-    // once per file's lifetime) — the fold still writes zero data bytes
-    val deltaEntries = live.flatMap { id =>
-      dataFilesIn(deltaDirOf(name, id)).map { st =>
-        MEntry(relTo(tableDir(name), st.getPath), st.getLen,
-          foldSchema.flatMap(sc => FileStats.collect(st, sc, hconf)))
+    if (liveDeltaIds(name).isEmpty) return 0
+    val slot = reserveVersion(name, currentVersion(name).getOrElse(-1) + 1)
+    fs.mkdirs(verDir(name, slot))
+    var folded = 0
+    commitHead(name, slot, { (n, base) =>
+      // everything base-dependent recomputes per attempt: a competitor
+      // commit between attempts changes both the carried entries and
+      // (for a full write that superseded them) the live delta set
+      val live = liveDeltaIds(name)
+      if (live.isEmpty) None // superseded mid-flight: fold is a no-op
+      else {
+        val prevEntries = base.toSeq.flatMap(v => versionEntries(name, v))
+        val schemaSrc = (base.map(verDir(name, _)).toSeq ++ live.map(deltaDirOf(name, _)))
+          .map(d => new HPath(d, "_graft_schema.json")).find(fsExists)
+        val foldSchema = schemaSrc.map(s =>
+          org.apache.spark.sql.types.DataType.fromJson(readStr(s)).asInstanceOf[StructType])
+        // delta files gain their column stats HERE (one footer read
+        // each, once per file's lifetime) — the fold still writes zero
+        // data bytes
+        val deltaEntries = live.flatMap { id =>
+          dataFilesIn(deltaDirOf(name, id)).map { st =>
+            MEntry(relTo(tableDir(name), st.getPath), st.getLen,
+              foldSchema.flatMap(sc => FileStats.collect(st, sc, hconf)))
+          }
+        }
+        schemaSrc.foreach(s =>
+          writeStr(new HPath(verDir(name, n), "_graft_schema.json"), readStr(s)))
+        writeStr(new HPath(verDir(name, n), "_delta_watermark"), live.max.toString)
+        folded = live.size
+        Some(("files", Nil, prevEntries ++ deltaEntries))
       }
-    }
-    writeManifest(name, next, "files", Nil, prevEntries ++ deltaEntries)
-    schemaSrc.foreach(s => writeStr(new HPath(dest, "_graft_schema.json"), readStr(s)))
-    writeStr(new HPath(dest, "_delta_watermark"), live.max.toString)
-    commitPointer(name, next)
-    live.size
+    }).fold(0)(_ => folded)
   }
 
   /** The stored schema of the current landed content (base version's, or
@@ -638,7 +947,8 @@ final class RelationStore(
     }
   }
 
-  /** Write a new version and swap the pointer (the "commit").
+  /** Write a new version and commit it (stage into a reserved slot,
+    * publish the manifest, verify headship — [[commitHead]]).
     * `partitionBy` lays the version out as partitioned parquet dirs —
     * on a cluster that's what makes event-time `replaceWhere` windows
     * and partition-pruned scans O(touched partitions), not O(table).
@@ -657,39 +967,39 @@ final class RelationStore(
         * and skips the non-idempotent merge.
         */
       batchTag: Option[Long] = None): Unit = {
-    fs.mkdirs(tableDir(name))
-    val next = currentVersion(name).getOrElse(-1) + 1
-    val dest = verDir(name, next)
-    val writer = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(dest.toString)
-    // leading "_" files are invisible to parquet FileIndex (like _SUCCESS)
-    writeStr(new HPath(dest, "_graft_schema.json"), df.schema.json)
-    val entries = physicalEntries(name, next, statsSchema = Some(df.schema))
-    if (partitionBy.nonEmpty)
-      writeManifest(name, next, "partitioned", partitionBy, entries)
-    else writeManifest(name, next, "files", Nil, entries)
-    // a full write REPLACES the table's content, so any live delta
-    // landings are superseded — raise the watermark past them (they're
-    // reclaimed post-commit; pre-commit they must stay: the pointer may
-    // still end up naming the old version if validation throws)
-    val supersededWm = (currentWatermark(name) +: liveDeltaIds(name): Seq[Long]).max
-    if (supersededWm >= 0)
-      writeStr(new HPath(dest, "_delta_watermark"), supersededWm.toString)
-    batchTag.foreach(t => writeStr(new HPath(dest, "_graft_batch"), t.toString))
-    validate.foreach { v =>
-      try v(spark.read.parquet(dest.toString))
-      catch { case e: Throwable => deleteRec(dest); throw e }
-    }
+    val slot = reserveVersion(name, currentVersion(name).getOrElse(-1) + 1)
+    val dest = verDir(name, slot)
+    try {
+      val writer = df.write.mode(SaveMode.Overwrite)
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(dest.toString)
+      // leading "_" files are invisible to parquet FileIndex (like _SUCCESS)
+      writeStr(new HPath(dest, "_graft_schema.json"), df.schema.json)
+      batchTag.foreach(t => writeStr(new HPath(dest, "_graft_batch"), t.toString))
+      // validation runs pre-commit over the STAGED files: a throw
+      // releases the slot and the previous version stays current
+      validate.foreach(v => v(spark.read.parquet(dest.toString)))
+    } catch { case e: Throwable => releaseSlot(name, slot); throw e }
+    val entries = physicalEntries(name, slot, statsSchema = Some(df.schema))
+    val layout = if (partitionBy.nonEmpty) "partitioned" else "files"
     dropBucketing(name)
-    commitPointer(name, next)
+    commitHead(name, slot, { (n, _) =>
+      // a full write REPLACES the table's content: every delta landed
+      // up to the commit moment is superseded — re-derived per attempt
+      // so a delta landing concurrently with a slow commit still gets
+      // superseded rather than unioned onto the replaced content
+      val supersededWm = (currentWatermark(name) +: liveDeltaIds(name): Seq[Long]).max
+      if (supersededWm >= 0)
+        writeStr(new HPath(verDir(name, n), "_delta_watermark"), supersededWm.toString)
+      Some((layout, partitionBy, entries))
+    })
   }
 
   /** Batch tag recorded by the current version's commit, if any. */
   def lastBatchTag(name: String): Option[Long] =
     currentVersion(name).flatMap { v =>
       val f = new HPath(verDir(name, v), "_graft_batch")
-      if (fsExists(f)) Some(readStr(f).trim.toLong) else None
+      scala.util.Try(readStr(f).trim.toLong).toOption
     }
 
   /** Bucketed CTAS (reference: warehouse clustering/bucketing DDL the
@@ -704,34 +1014,41 @@ final class RelationStore(
     */
   def writeBucketed(df: DataFrame, name: String, bucketBy: Seq[String], buckets: Int): Unit = {
     require(bucketBy.nonEmpty && buckets > 0, "bucketed write needs keys and a bucket count")
-    fs.mkdirs(tableDir(name))
-    val next = currentVersion(name).getOrElse(-1) + 1
-    val dest = verDir(name, next)
+    val slot = reserveVersion(name, currentVersion(name).getOrElse(-1) + 1)
+    val dest = verDir(name, slot)
     val cat = catalogName(name)
-    // Stage through a scratch catalog name: the LIVE table (and the
-    // pointer) stay intact until the data write has fully succeeded —
-    // same failed-writes-never-corrupt discipline as write().
+    // Stage through a scratch catalog name: the LIVE table stays intact
+    // until the data write has fully succeeded — same
+    // failed-writes-never-corrupt discipline as write().
     val staging = cat + "__staging"
-    spark.sql(s"DROP TABLE IF EXISTS $staging")
-    df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, bucketBy.head, bucketBy.tail: _*)
-      .sortBy(bucketBy.head, bucketBy.tail: _*)
-      .option("path", dest.toString)
-      .saveAsTable(staging)
-    writeStr(new HPath(dest, "_graft_schema.json"), df.schema.json)
-    writeManifest(name, next, "bucketed", Nil, Nil)
-    spark.sql(s"DROP TABLE IF EXISTS $staging") // metadata only (external)
-    // a bucketed CTAS replaces the table's content wholly, exactly like
-    // write(): any live delta landings are superseded via the watermark
-    val supersededWm = (currentWatermark(name) +: liveDeltaIds(name): Seq[Long]).max
-    if (supersededWm >= 0)
-      writeStr(new HPath(dest, "_delta_watermark"), supersededWm.toString)
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+      df.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, bucketBy.head, bucketBy.tail: _*)
+        .sortBy(bucketBy.head, bucketBy.tail: _*)
+        .option("path", dest.toString)
+        .saveAsTable(staging)
+      writeStr(new HPath(dest, "_graft_schema.json"), df.schema.json)
+      spark.sql(s"DROP TABLE IF EXISTS $staging") // metadata only (external)
+    } catch { case e: Throwable => releaseSlot(name, slot); throw e }
     // point of no return: data is durable at dest
     spark.sql(s"DROP TABLE IF EXISTS $cat")
     writeStr(bucketedFile(name), graft.artifacts.Json.write(Map(
       "catalog" -> cat, "bucket_by" -> bucketBy, "buckets" -> buckets)))
     registerCatalog(cat, dest, bucketBy, buckets)
-    commitPointer(name, next)
+    commitHead(name, slot, { (n, _) =>
+      // a bucketed version is directory-self-contained (the catalog
+      // relation points at ITS dir), so it cannot re-slot by manifest
+      // reference — a concurrent commit racing a bucketed CTAS of the
+      // same table is refused rather than silently shadowed
+      if (n != slot)
+        throw new IllegalStateException(
+          s"concurrent commit raced bucketed CTAS of $schema.$name — rerun the model")
+      val supersededWm = (currentWatermark(name) +: liveDeltaIds(name): Seq[Long]).max
+      if (supersededWm >= 0)
+        writeStr(new HPath(verDir(name, n), "_delta_watermark"), supersededWm.toString)
+      Some(("bucketed", Nil, Nil))
+    })
   }
 
   private def bucketedFile(name: String): HPath = new HPath(tableDir(name), "_bucketed")
@@ -836,23 +1153,38 @@ final class RelationStore(
       // on_schema_change
       throw new IllegalStateException(
         s"writePartitions($name): schema drift — use write() for schema-changing commits")
-    val next = cur.get + 1
-    val dest = verDir(name, next)
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(dest.toString)
-    writeStr(new HPath(dest, "_graft_schema.json"), df.schema.json)
-    val dropped: Set[String] = touchedValues match {
-      case Some(vals) if vals.nonEmpty => touchedLeafDirs(df.schema, partitionBy, vals)
-      case _ => Set.empty
-    }
-    // carry every previous entry whose leaf was neither re-written
-    // (present among the new physical files) nor touched-to-empty
-    val newEntries = physicalEntries(name, next, statsSchema = Some(df.schema))
-    val written = newEntries.map(_.leafKey).toSet
-    val carried = versionEntries(name, cur.get)
-      .filter(e => !written.contains(e.leafKey) && !dropped.contains(e.leafKey))
-    writeManifest(name, next, "partitioned", partitionBy, newEntries ++ carried)
+    val slot = reserveVersion(name, cur.get + 1)
+    val dest = verDir(name, slot)
+    val (newEntries, written, dropped) =
+      try {
+        df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(dest.toString)
+        writeStr(new HPath(dest, "_graft_schema.json"), df.schema.json)
+        val dr: Set[String] = touchedValues match {
+          case Some(vals) if vals.nonEmpty => touchedLeafDirs(df.schema, partitionBy, vals)
+          case _ => Set.empty
+        }
+        val ne = physicalEntries(name, slot, statsSchema = Some(df.schema))
+        (ne, ne.map(_.leafKey).toSet, dr)
+      } catch { case e: Throwable => releaseSlot(name, slot); throw e }
     dropBucketing(name)
-    commitPointer(name, next)
+    commitHead(name, slot, { (_, base) =>
+      // carry every BASE entry whose leaf was neither re-written
+      // (present among the new physical files) nor touched-to-empty —
+      // recomputed per attempt so a competitor's commits to OTHER
+      // partitions carry through rather than being lost
+      base match {
+        case Some(b) =>
+          if (!schemaMatches(name, df.schema))
+            throw new IllegalStateException(
+              s"writePartitions($name): concurrent schema change under a " +
+                "partition-scoped commit — rerun the model")
+          val carried = versionEntries(name, b)
+            .filter(e => !written.contains(e.leafKey) && !dropped.contains(e.leafKey))
+          Some(("partitioned", partitionBy, newEntries ++ carried))
+        case None => // table vanished mid-flight: commit our partitions alone
+          Some(("partitioned", partitionBy, newEntries))
+      }
+    })
   }
 
   /** Escaped leaf-dir names for partition-value tuples, derived by
@@ -995,22 +1327,22 @@ final class RelationStore(
     val smallBytes = small.map(_.size).sum
     val ideal = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes)
     if (small.size <= ideal) return 0
-    val next = cur + 1
-    val dest = verDir(name, next)
-    deleteRec(dest)
+    val slot = reserveVersion(name, cur + 1)
+    val dest = verDir(name, slot)
     val packed = spark.read.parquet(small.map(e => new HPath(td, e.rel).toString): _*)
     // Z-order-lite: cluster the rewrite by the leading indexed column so
     // each output file covers a NARROW value range — data skipping gets
     // sharper as the table ages instead of degrading (shuffle cost is
     // bounded by the under-sized files being rewritten anyway)
-    val clustered = clusterBy(packed, ideal.toInt)
-    clustered.write.mode(SaveMode.Overwrite).parquet(dest.toString)
-    compactedBytes.addAndGet(smallBytes)
-    writeManifest(name, next, "files", Nil,
-      big ++ physicalEntries(name, next, statsSchema = storedSchemaOf(name)))
-    carryVersionMeta(name, cur, next)
-    commitPointer(name, next)
-    1
+    try clusterBy(packed, ideal.toInt).write.mode(SaveMode.Overwrite).parquet(dest.toString)
+    catch { case e: Throwable => releaseSlot(name, slot); throw e }
+    carryVersionMeta(name, cur, slot)
+    val outEntries = big ++ physicalEntries(name, slot, statsSchema = storedSchemaOf(name))
+    commitHead(name, slot, { (_, base) =>
+      // compaction is an OPTIMIZATION: if a competitor committed under
+      // it, the rewritten content is stale — abort rather than resurrect
+      if (base.contains(cur)) Some(("files", Nil, outEntries)) else None
+    }).fold(0) { _ => compactedBytes.addAndGet(smallBytes); 1 }
   }
 
   /** Cluster a compaction rewrite by its leading stats-indexed column:
@@ -1040,27 +1372,30 @@ final class RelationStore(
       es.size > ideal
     }
     if (fragmented.isEmpty) return 0
-    val next = cur + 1
-    val dest = verDir(name, next)
-    deleteRec(dest)
-    for ((leaf, es) <- fragmented.toSeq.sortBy(_._1)) {
-      val bytes = es.map(_.size).sum
-      val ideal = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
-      // leaf files exclude partition columns, so a per-leaf round-trip
-      // preserves the written data schema exactly; the rewritten files
-      // land under the SAME `col=value` leaf path in the new version
-      clusterBy(spark.read.parquet(es.map(e => new HPath(td, e.rel).toString): _*),
-        ideal.toInt)
-        .write.mode(SaveMode.Overwrite).parquet(new HPath(dest, leaf).toString)
-      compactedBytes.addAndGet(bytes)
-    }
+    val slot = reserveVersion(name, cur + 1)
+    val dest = verDir(name, slot)
+    var rewrittenBytes = 0L
+    try {
+      for ((leaf, es) <- fragmented.toSeq.sortBy(_._1)) {
+        val bytes = es.map(_.size).sum
+        val ideal = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+        // leaf files exclude partition columns, so a per-leaf round-trip
+        // preserves the written data schema exactly; the rewritten files
+        // land under the SAME `col=value` leaf path in the new version
+        clusterBy(spark.read.parquet(es.map(e => new HPath(td, e.rel).toString): _*),
+          ideal.toInt)
+          .write.mode(SaveMode.Overwrite).parquet(new HPath(dest, leaf).toString)
+        rewrittenBytes += bytes
+      }
+    } catch { case e: Throwable => releaseSlot(name, slot); throw e }
+    carryVersionMeta(name, cur, slot)
     // well-sized leaves carry by reference, fragmented ones re-list
     val carried = sized.filterNot(e => fragmented.contains(e.leafKey))
-    writeManifest(name, next, "partitioned", partitionBy,
-      physicalEntries(name, next, statsSchema = storedSchemaOf(name)) ++ carried)
-    carryVersionMeta(name, cur, next)
-    commitPointer(name, next)
-    fragmented.size
+    val outEntries =
+      physicalEntries(name, slot, statsSchema = storedSchemaOf(name)) ++ carried
+    commitHead(name, slot, { (_, base) =>
+      if (base.contains(cur)) Some(("partitioned", partitionBy, outEntries)) else None
+    }).fold(0) { _ => compactedBytes.addAndGet(rewrittenBytes); fragmented.size }
   }
 
   /** Compaction rewrites the BASE only; carry the delta bookkeeping
@@ -1071,13 +1406,6 @@ final class RelationStore(
       val f = new HPath(verDir(name, from), meta)
       if (fsExists(f)) writeStr(new HPath(verDir(name, to), meta), readStr(f))
     }
-
-  /** Atomic pointer swap + reference-counted GC + session re-register. */
-  private def commitPointer(name: String, next: Int): Unit = {
-    writeStrAtomic(pointer(name), next.toString)
-    gcTable(name, retainVersions)
-    registerView(name)
-  }
 
   /** Store a logical view (SQL text) and register it in the session. */
   def writeView(name: String, sql: String): Unit = {
@@ -1288,4 +1616,14 @@ final class RelationStore(
     }
     pending.foreach(n => System.err.println(s"[store] failed to attach $n"))
   }
+}
+
+object RelationStore {
+  /** Per-slot arbitration for SAME-JVM concurrent writers, keyed by the
+    * qualified reservation-marker path. One object per slot ever
+    * contended — negligible footprint, never cleared.
+    */
+  private val slotLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def slotLock(key: String): Object =
+    slotLocks.computeIfAbsent(key, _ => new Object)
 }

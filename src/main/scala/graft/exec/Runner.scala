@@ -461,8 +461,16 @@ final class Runner(
     val subprocess =
       m.config.meta.get("submission_method").contains("subprocess") &&
         PythonModels.get(m.name).isEmpty
+    // graft_op: the operator-library surface — the model's declared
+    // inputs flow into a named library operator (GraftOps), so native
+    // operators (k-means drift, codegen'd kernels) are model-callable
+    // without per-project registration
+    val libraryOp: Option[PythonModels.Impl] =
+      m.config.meta.get("graft_op").map(op => GraftOps.impl(op.toString).getOrElse(
+        throw new IllegalArgumentException(
+          s"python model ${m.name}: unknown graft_op '$op'")))
     val impl: PythonModels.Impl =
-      PythonModels.get(m.name).getOrElse {
+      PythonModels.get(m.name).orElse(libraryOp).getOrElse {
         if (subprocess)
           (sp, ins) => PythonSubprocess.run(sp, m.name, m.rawCode, ins)
         else throw new IllegalStateException(

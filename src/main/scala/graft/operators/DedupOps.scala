@@ -654,12 +654,38 @@ object DedupOps {
     * hash-verifies the whole evaluation including the replayed
     * signature/band arithmetic.
     */
-  def dedupRecallEval(s: SparkSession, dir: String): DataFrame = {
+  def dedupRecallEval(s: SparkSession, dir: String): DataFrame =
+    recallEvalCore(s, ResidentCache(s, "dedup_minhash_sh",
+      shinglesRaw(s, dir).select(col("doc_id"), md5Hash64(col("s")).as("h"))))
+
+  /** Sampled recall evaluation — the 100 TB spelling of
+    * [[dedupRecallEval]]: exact ground truth is computed only over a
+    * seeded, deterministic DOCUMENT sample, so the one deliberately
+    * unguarded shingle self-join shrinks by frac² per hot key and the
+    * evaluation runs at any corpus size. Recall is estimated on the
+    * sampled subgraph (pairs with BOTH endpoints sampled) — unbiased
+    * for pair recall, because whether the band join catches a pair
+    * depends only on the two documents' own signatures, never on which
+    * other documents were sampled. The sampling hash is md5-derived
+    * ([[md5Hash64]]) so the DuckDB oracle replays the exact subset.
+    *
+    * @param pct  per-document inclusion percentage (0–100)
+    * @param seed replayable sampling seed
+    */
+  def dedupRecallEvalSampled(s: SparkSession, dir: String,
+      pct: Int = 50, seed: Int = 42): DataFrame = {
+    val sh = ResidentCache(s, "dedup_minhash_sh",
+      shinglesRaw(s, dir).select(col("doc_id"), md5Hash64(col("s")).as("h")))
+    val keep = pmod(
+      md5Hash64(concat_ws(":", col("doc_id").cast("string"), lit(seed.toString))),
+      lit(100L)) < lit(pct.toLong)
+    recallEvalCore(s, sh.filter(keep))
+  }
+
+  private def recallEvalCore(s: SparkSession, sh: DataFrame): DataFrame = {
     val nPerm = 32
     val rowsPerBand = 4
     val nBands = nPerm / rowsPerBand
-    val sh = ResidentCache(s, "dedup_minhash_sh",
-      shinglesRaw(s, dir).select(col("doc_id"), md5Hash64(col("s")).as("h")))
     val shd = sh.distinct()
     val sizes = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = shd.select(col("doc_id").as("doc_a"), col("h"))
@@ -1170,12 +1196,8 @@ object DedupOps {
     */
   def dedupSubstringRemove(s: SparkSession, dir: String): DataFrame = {
     val n = 8
-    val toks = docs(s, dir)
-      .select(col("doc_id"), split(TextOps.normalized(col("text")), " ").as("w"))
-    val starts = toks.filter(size(col("w")) >= n)
-      .select(col("doc_id"), posexplode(
-        expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))"))
-        .as(Seq("i", "g")))
+    val toks = tokensOf(docs(s, dir))
+    val starts = gramStringStartsOf(toks, n)
     // df and keeper in ONE pass over the gram key
     val gramStats = starts.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("ndocs"), min(col("doc_id")).as("keeper"))
@@ -1185,6 +1207,25 @@ object DedupOps {
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
       .distinct()
+    rebuildWithout(toks, removedPos)
+  }
+
+  private def tokensOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(TextOps.normalized(col("text")), " ").as("w"))
+
+  /** (doc_id, start position, n-gram STRING) — the string-keyed twin of
+    * [[gramStartsOf]] (removal oracles replay gram strings directly).
+    */
+  private def gramStringStartsOf(toks: DataFrame, n: Int): DataFrame =
+    toks.filter(size(col("w")) >= n)
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))"))
+        .as(Seq("i", "g")))
+
+  /** Reassemble each document without the marked positions, with token
+    * accounting — shared by the batch and clean-on-ingest removers.
+    */
+  private def rebuildWithout(toks: DataFrame, removedPos: DataFrame): DataFrame = {
     val rebuilt = toks
       .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tok")))
       .join(removedPos, Seq("doc_id", "p"), "left_anti")
@@ -1197,6 +1238,44 @@ object DedupOps {
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  /** Distinct n-gram set of a frozen corpus — the span-REMOVAL index.
+    * Existence is all removal needs (unlike pair localization, which
+    * needs positions and a rarity guard), so the index is one distinct
+    * over the corpus grams and probe fanout per arriving gram is
+    * exactly 1 whatever the gram's document frequency.
+    */
+  def spanGramSetOf(d: DataFrame, n: Int = 8): DataFrame =
+    gramStringStartsOf(tokensOf(d), n).select(col("g")).distinct()
+
+  /** Clean-on-ingest span removal — the streaming shape of
+    * [[dedupSubstringRemove]]: every n-gram occurrence in an ARRIVING
+    * document whose gram the frozen reference corpus already contains
+    * marks its n positions for removal (keeper = the reference side BY
+    * DEFINITION — the corpus owns the span), and the survivors
+    * reassemble in order. Per tick this is O(batch grams) probe work
+    * against [[spanGramSetOf]]; arrivals never pair with each other, so
+    * the union over ticks equals the one-shot batch run — the
+    * stream ≡ batch contract the ingest pipeline's other probes share.
+    */
+  def spanRemoveWith(newDocs: DataFrame, refGrams: DataFrame, n: Int = 8): DataFrame = {
+    val toks = tokensOf(newDocs)
+    val removedPos = gramStringStartsOf(toks, n)
+      .join(refGrams, Seq("g"), "left_semi")
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
+      .distinct()
+    rebuildWithout(toks, removedPos)
+  }
+
+  /** Batch entry for clean-on-ingest removal: the doc_id % 10 >= 8
+    * slice arrives against the frozen gram set of the rest (the suite's
+    * split convention).
+    */
+  def dedupSpanRemoveIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val isNew = pmod(col("doc_id"), lit(10)) >= 8
+    spanRemoveWith(d.filter(isNew), spanGramSetOf(d.filter(!isNew)))
   }
 
   /** Blocked fuzzy matching (record-linkage / entity-resolution shape):

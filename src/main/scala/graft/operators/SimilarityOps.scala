@@ -401,15 +401,32 @@ object SimilarityOps {
         expr("CAST(FLOOR(cos * 1000000) AS BIGINT)").as("cos_ppm"))
   }
 
-  def simIndexDrift(s: SparkSession, dir: String): DataFrame = {
-    val e = ResidentCache(s, "sim_quantized", quantized(s, dir))
+  def simIndexDrift(s: SparkSession, dir: String): DataFrame =
+    simIndexDriftOf(s,
+      ResidentCache(s, "sim_quantized", quantized(s, dir)), s"drift@$dir")
+
+  /** [[simIndexDrift]] over an ALREADY-QUANTIZED (vec_id, q, nq) input —
+    * the model-callable surface ([[graft.exec.GraftOps]] routes a
+    * `graft_op: sim_index_drift` model here over its declared
+    * embeddings input).
+    */
+  def simIndexDriftOf(s: SparkSession, e: DataFrame, cacheTag: String): DataFrame = {
     val isNew = pmod(col("vec_id"), lit(10)) >= 8
-    val (centroids, _) = kmeansCellsOf(s, e.filter(!isNew), s"drift@$dir")
+    val (centroids, _) = kmeansCellsOf(s, e.filter(!isNew), cacheTag)
     def scored(side: DataFrame): DataFrame =
       assignCellsScored(side, centroids)
         .select(col("cell"), expr("CAST(FLOOR(cos * 1000000) AS BIGINT)").as("cos_ppm"))
     driftAggregates(scored(e.filter(!isNew)), scored(e.filter(isNew)))
   }
+
+  /** Quantize raw (vec_id, embedding) rows to the integer-exact (q, nq)
+    * shape every cosine operator here consumes.
+    */
+  def quantizedOf(vectors: DataFrame): DataFrame =
+    vectors.select(
+      col("vec_id"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))").as("q"))
+      .withColumn("nq", expr("dot_i64(q, q)"))
 
   /** The drift monitor's aggregate tail over two (cell, cos_ppm) sides
     * — shared by the corpus operator and the persisted-index CLI report.

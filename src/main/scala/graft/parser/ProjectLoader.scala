@@ -283,7 +283,10 @@ object ProjectLoader {
           // submission_method (reference python-model config, e.g.
           // dataproc cluster/serverless): "subprocess" selects the
           // local python3 executor seam (exec.PythonSubprocess)
-          cfgMap.get("submission_method").map(v => "submission_method" -> v.toString),
+          cfgMap.get("submission_method").map(v => "submission_method" -> v.toString) ++
+          // graft_op: route the model's declared inputs into a named
+          // operator-library implementation (exec.GraftOps)
+          cfgMap.get("graft_op").map(v => "graft_op" -> v.toString),
         // python models default to table (view is invalid for them in
         // the reference, parser/models.py)
         materialized =

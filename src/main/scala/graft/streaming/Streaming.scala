@@ -509,10 +509,10 @@ object Streaming {
     * frozen strike set, CDC shared-span probing against the frozen
     * chunk index, missed-duplicate edge mining against the frozen
     * rare-shingle postings index, and IVF-PQ encoding of the arriving
-    * embeddings under the frozen centroids + codebook — ELEVEN tables
+    * embeddings under the frozen centroids + codebook — TWELVE tables
     * from ONE readStream: ten verdict/audit tables plus the
     * quota-admitted CORPUS itself (the batch is cached once and feeds
-    * every plan, so arriving data is scanned once, not eleven times).
+    * every plan, so arriving data is scanned once, not twelve times).
     * Every member is the exact batch operator, so each table is
     * stream ≡ batch by construction and the composition adds no new
     * semantics — only the single-pass execution a 100 TB ingest loop
@@ -527,12 +527,16 @@ object Streaming {
     *
     * FROZEN-ARTIFACT CONTRACT: every reference-side DataFrame here
     * (`charLm`, `langThresholds`, `boiler`, `centroids`, `codebook`,
-    * `cdcRef`, `edgeRef`) must be a PERSISTED/static table — a parquet
-    * read of a written artifact, the pattern the specs follow. The
-    * tick re-evaluates each plan per micro-batch, so a live plan over
-    * the corpus would re-derive the reference every tick (O(corpus)
-    * per tick instead of O(batch)) and could drift mid-stream if the
-    * corpus moves.
+    * `cdcRef`, `edgeRef`, `spanGrams`) must be a PERSISTED/static
+    * table — a parquet read of a written artifact, the pattern the
+    * specs follow. The tick re-evaluates each plan per micro-batch, so
+    * a live plan over the corpus would re-derive the reference every
+    * tick (O(corpus) per tick instead of O(batch)) and could drift
+    * mid-stream if the corpus moves. The contract is EXECUTABLE: with
+    * `spark.graft.ingest.validateFrozen=true` each reference plan must
+    * analyze to a bare relation scan (projections/filters over a
+    * file/local relation) or the tick fails fast naming the offender —
+    * see [[requireFrozen]].
     */
   def runIngestTick(
       newDocs: DataFrame,
@@ -544,10 +548,17 @@ object Streaming {
       codebook: DataFrame,
       cdcRef: DataFrame,
       edgeRef: DataFrame,
+      spanGrams: DataFrame,
       store: RelationStore,
       prefix: String,
       checkpointDir: String,
       quota: Long = 1000L): Unit = {
+    if (newDocs.sparkSession.conf
+        .getOption("spark.graft.ingest.validateFrozen").contains("true"))
+      Seq("charLm" -> charLm, "langThresholds" -> langThresholds,
+        "boiler" -> boiler, "centroids" -> centroids, "codebook" -> codebook,
+        "cdcRef" -> cdcRef, "edgeRef" -> edgeRef, "spanGrams" -> spanGrams)
+        .foreach { case (n, df) => requireFrozen(n, df) }
     val q = newDocs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -619,10 +630,44 @@ object Streaming {
               batch.select(col("doc_id").as("vec_id"), col("embedding")),
               centroids, codebook),
             batchId)
+          // clean-on-ingest span removal: arriving docs drop every span
+          // the frozen corpus already owns (keeper = reference side by
+          // definition) — the twelfth table, and the one that rewrites
+          // content rather than scoring it
+          landAppend(store, s"${prefix}_cleaned",
+            graft.operators.DedupOps.spanRemoveWith(
+              batch.select(col("doc_id"), col("text")), spanGrams),
+            batchId)
         } finally batch.unpersist()
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** The executable half of the ingest tick's frozen-artifact contract:
+    * a reference DataFrame must analyze to a BARE relation scan —
+    * projections/filters/aliases over a file or local relation — never
+    * a plan with joins/aggregates that would re-derive the artifact per
+    * micro-batch (O(corpus) per tick) and drift mid-stream. Enabled via
+    * `spark.graft.ingest.validateFrozen=true` (debug mode; the check
+    * walks analyzed plans, so it costs an analysis pass per reference).
+    */
+  private[graft] def requireFrozen(name: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def bare(p: LogicalPlan): Boolean = p match {
+      case _: LogicalRelation | _: LocalRelation => true
+      case pr: Project => bare(pr.child)
+      case f: Filter => bare(f.child)
+      case a: SubqueryAlias => bare(a.child)
+      case _ => false
+    }
+    val plan = df.queryExecution.analyzed
+    if (!bare(plan))
+      throw new IllegalArgumentException(
+        s"ingest tick reference '$name' violates the frozen-artifact contract: " +
+          s"its plan is not a bare relation scan and would re-derive per tick " +
+          s"(persist the artifact and read it back).\n${plan.treeString}")
   }
 
   /** Multimodal dedup ingest: each micro-batch of arriving payloads

@@ -2009,6 +2009,18 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
     assert(engineSpan == opSpan, "engine SQL and operator library disagree on span pairs")
+    // the drift monitor through the MODEL surface (graft_op routing the
+    // declared embeddings source into the operator library) must agree
+    // with the library's corpus operator bit for bit
+    val engineDrift = store.read("drift_report").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val opDrift = graft.operators.SimilarityOps
+      .simIndexDrift(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(engineDrift == opDrift, "engine model and operator library disagree on drift")
+    assert(engineDrift.nonEmpty, "drift report should cover the centroid cells")
     // the datacard accounts for every document
     val card = store.read("datacard")
     assert(card.agg(org.apache.spark.sql.functions.sum("n_docs")).first().getLong(0)

@@ -34,6 +34,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(found >= 0.9, s"recall $found on ${strong.size} strong pairs")
   }
 
+  test("sampled recall evaluation tracks full recall and is subset-consistent") {
+    def byBucket(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val full = byBucket(DedupOps.dedupRecallEval(spark, sf))
+    val sampled = byBucket(DedupOps.dedupRecallEvalSampled(spark, sf, pct = 50, seed = 42))
+    assert(full.nonEmpty, "corpus should contain truth pairs")
+    assert(sampled.nonEmpty, "seeded 50% sample should retain truth pairs")
+    // the sampled subgraph is a SUBSET of the truth: per bucket its
+    // pair count never exceeds the full count
+    sampled.foreach { case (b, (nTruth, _)) =>
+      assert(full.contains(b) && nTruth <= full(b)._1,
+        s"bucket $b sampled truth $nTruth vs full ${full.get(b)}")
+    }
+    // recall estimate stays in a tolerance band of the full measurement
+    // on buckets the sample retains meaningfully (small-n buckets are
+    // legitimately noisy); the hash seed is fixed so this is a stable
+    // property of the corpus, not a flaky sample
+    sampled.foreach { case (b, (nTruth, recallPpm)) =>
+      if (nTruth >= 10) {
+        val fullPpm = full(b)._2
+        assert(math.abs(recallPpm - fullPpm) <= 200000L,
+          s"bucket $b sampled recall $recallPpm vs full $fullPpm (n=$nTruth)")
+      }
+    }
+    // determinism: same seed → identical result
+    val replay = byBucket(DedupOps.dedupRecallEvalSampled(spark, sf, pct = 50, seed = 42))
+    assert(replay == sampled)
+  }
+
   test("hot-shingle df guard leaves the Jaccard pair set invariant") {
     def pairs(maxDf: Int) = DedupOps.ngramJaccard(spark, sf, maxDf)
       .select("doc_a", "doc_b", "n_inter", "n_a", "n_b").collect()

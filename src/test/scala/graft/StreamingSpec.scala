@@ -408,7 +408,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.filter(col("admitted") === 0L).count() > 0)
   }
 
-  test("composed ingest tick: one stream pass lands all eleven tables (verdicts + admitted corpus), each equal to batch") {
+  test("composed ingest tick: one stream pass lands all twelve tables (verdicts + admitted corpus), each equal to batch") {
     import graft.operators.{CurateOps, DedupOps, SimilarityOps, TextOps}
     val store = new RelationStore(spark, s"$work/wh_tick")
     val newIn = s"$work/tickdocs"
@@ -440,9 +440,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     DedupOps.shinglePostingsIndexOf(docs.filter(!isNew))
       .write.mode("overwrite").parquet(s"$work/tick_edge_idx")
     val edgeRef = spark.read.parquet(s"$work/tick_edge_idx")
+    DedupOps.spanGramSetOf(docs.filter(!isNew))
+      .write.mode("overwrite").parquet(s"$work/tick_span_idx")
+    val spanGrams = spark.read.parquet(s"$work/tick_span_idx")
     def tick(): Unit =
       Streaming.runIngestTick(Streaming.enrichedDocumentStream(spark, newIn),
-        index, charLm, thr, boiler, centroids, codebook, cdcRef, edgeRef,
+        index, charLm, thr, boiler, centroids, codebook, cdcRef, edgeRef, spanGrams,
         store, "tick", s"$work/cp_tick", quota = 300L)
     enriched.filter(isNew && col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
     tick()
@@ -489,6 +492,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // index — the graph family's incremental maintenance path
     mustEqual("tick_edges", DedupOps.edgeProbeWith(newDocs, edgeRef))
     assert(store.read("tick_edges").count() > 0, "edge probe should fire on this corpus")
+    // r12: clean-on-ingest span removal against the frozen gram set
+    mustEqual("tick_cleaned", DedupOps.spanRemoveWith(
+      newDocs.select(col("doc_id"), col("text")), spanGrams))
+    assert(store.read("tick_cleaned").filter(col("n_removed") > 0L).count() > 0,
+      "span removal should fire on this corpus")
+  }
+
+  test("frozen-artifact contract is executable: live recompute plans are rejected by name") {
+    import graft.operators.DedupOps
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // an aggregate plan over the corpus = re-derivation per tick
+    val live = DedupOps.spanGramSetOf(docs)
+    val e = intercept[IllegalArgumentException](Streaming.requireFrozen("spanGrams", live))
+    assert(e.getMessage.contains("spanGrams") &&
+      e.getMessage.contains("frozen-artifact"), e.getMessage)
+    // persisted artifacts pass — including pruned/filtered reads of them
+    live.write.mode("overwrite").parquet(s"$work/frozen_ok")
+    Streaming.requireFrozen("spanGrams",
+      spark.read.parquet(s"$work/frozen_ok").filter(col("g") =!= "").select(col("g")))
+    // and the tick enforces the contract under the debug flag, failing
+    // fast (before any stream starts) naming the offending reference
+    val idx = DedupOps.buildDedupIndex(docs.limit(5))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    docs.select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .join(emb, Seq("doc_id")).limit(3)
+      .write.mode("overwrite").parquet(s"$work/fz_input")
+    spark.conf.set("spark.graft.ingest.validateFrozen", "true")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        Streaming.runIngestTick(
+          Streaming.enrichedDocumentStream(spark, s"$work/fz_input"),
+          idx, live, live, live, live, live, live, live, live,
+          new RelationStore(spark, s"$work/wh_frozen"), "fz", s"$work/cp_fz")
+      }
+      assert(err.getMessage.contains("charLm"), err.getMessage)
+    } finally spark.conf.unset("spark.graft.ingest.validateFrozen")
   }
 
   test("streaming multimodal dedup probes the bucketed phash index; stream equals batch") {
@@ -1173,7 +1214,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replay of a superseded epoch must skip, not throw, on a bucketed table")
   }
 
-  test("ingest tick crash-replay: re-running an epoch leaves all eleven tables unchanged") {
+  test("ingest tick crash-replay: re-running an epoch leaves all twelve tables unchanged") {
     import graft.operators.{DedupOps, SimilarityOps, TextOps}
     val store = new RelationStore(spark, s"$work/wh_tick_replay")
     val newIn = s"$work/tickdocs_replay"
@@ -1201,13 +1242,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     DedupOps.shinglePostingsIndexOf(docs.filter(!isNew))
       .write.mode("overwrite").parquet(s"$work/tickr_edge_idx")
     val edgeRef = spark.read.parquet(s"$work/tickr_edge_idx")
+    DedupOps.spanGramSetOf(docs.filter(!isNew))
+      .write.mode("overwrite").parquet(s"$work/tickr_span_idx")
+    val spanGrams = spark.read.parquet(s"$work/tickr_span_idx")
     def tick(cp: String): Unit =
       Streaming.runIngestTick(Streaming.enrichedDocumentStream(spark, newIn),
-        index, charLm, thr, boiler, centroids, codebook, cdcRef, edgeRef,
+        index, charLm, thr, boiler, centroids, codebook, cdcRef, edgeRef, spanGrams,
         store, "tickr", cp, quota = 300L)
     val tables = Seq("tickr_quota", "tickr_corpus", "tickr_dedup", "tickr_gopher",
       "tickr_ccnet", "tickr_topics", "tickr_boiler", "tickr_codes", "tickr_mojibake",
-      "tickr_cdc", "tickr_edges")
+      "tickr_cdc", "tickr_edges", "tickr_cleaned")
 
     enriched.filter(isNew && col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
     tick(s"$work/cp_tickr")
