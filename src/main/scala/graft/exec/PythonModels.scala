@@ -38,13 +38,15 @@ object PythonModels {
 object GraftOps {
   /** Resolve an operator name to a model implementation. The single
     * declared source/ref is the operator's input table (operators that
-    * need several take them in declaration order).
+    * need several take them in declaration order). `modelId` keys any
+    * per-model memoization — two drift models over different sources
+    * must never share trained centroids.
     */
-  def impl(op: String): Option[PythonModels.Impl] = op match {
+  def impl(op: String, modelId: String): Option[PythonModels.Impl] = op match {
     case "sim_index_drift" => Some { (s, inputs) =>
       val emb = one(op, inputs)
       graft.operators.SimilarityOps.simIndexDriftOf(
-        s, graft.operators.SimilarityOps.quantizedOf(emb), s"drift@graft_op")
+        s, graft.operators.SimilarityOps.quantizedOf(emb), s"drift@graft_op:$modelId")
     }
     case _ => None
   }

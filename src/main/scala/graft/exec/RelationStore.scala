@@ -92,14 +92,17 @@ final class RelationStore(
       * are never rewritten).
       */
     val autoCompactTargetBytes: Long = 128L << 20,
-    /** How long a RESERVED in-flight version slot (a `_rsv_v{N}` marker
-      * without a committed manifest) is protected from GC. A crashed
-      * writer's reservation older than this reads as a torn leftover
-      * and is reclaimed; a live concurrent writer commits well inside
-      * it. The lakehouse vacuum-retention-horizon idea, applied to
-      * uncommitted writes.
+    /** How long a RESERVED in-flight version slot (a `_rsv_v{N}`
+      * marker) is protected from GC. A crashed writer's reservation
+      * older than this reads as a torn leftover and is reclaimed. The
+      * CONTRACT mirrors Delta's vacuum retention vs writers: this must
+      * exceed the longest staging write against the table — a write
+      * still staging past the horizon can be swept mid-write by a
+      * concurrent commit's GC (the marker is touched at each commit
+      * attempt, but a single multi-hour parquet write has no heartbeat).
+      * Default: 24 h.
       */
-    val tornRetainMs: Long = 3_600_000L) {
+    val tornRetainMs: Long = 86_400_000L) {
 
   // ---- filesystem layer (Hadoop FS — scheme-portable) ----
 
@@ -291,16 +294,38 @@ final class RelationStore(
       // silently replaces, so the no-overwrite contract alone can
       // double-grant under thread interleaving); CROSS-process safety
       // is the filesystem's atomic create-no-overwrite rename — the
-      // same capability lakehouse commit protocols require of the FS
+      // same capability lakehouse commit protocols require of the FS.
+      // A tombstoned dir is a DATA POOL (its files may be referenced by
+      // committed manifests) — its slot number is never claimable.
       val won = RelationStore.slotLock(fs.makeQualified(rsv).toString).synchronized {
-        if (hasManifest(name, n) || isReserved(name, n)) false
-        else {
+        if (hasManifest(name, n) || isReserved(name, n) ||
+          fsExists(new HPath(verDir(name, n), "_gutted"))) false
+        else if (fs.getUri.getScheme == "file") {
+          // local FS: FileContext's no-overwrite rename is check-then-
+          // rename (POSIX rename(2) replaces silently), so cross-PROCESS
+          // arbitration needs a genuinely exclusive create — O_EXCL via
+          // NIO createFile
+          try {
+            val p = java.nio.file.Paths.get(fs.makeQualified(rsv).toUri)
+            java.nio.file.Files.createDirectories(p.getParent)
+            java.nio.file.Files.createFile(p)
+            java.nio.file.Files.write(p, System.currentTimeMillis().toString
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: java.io.IOException => false
+          }
+        } else {
+          // HDFS/object stores: rename without OVERWRITE is the atomic
+          // create-no-overwrite primitive (the same capability lakehouse
+          // commit protocols require of the FS)
           val token = java.util.UUID.randomUUID().toString
           val tmp = new HPath(tableDir(name), s"._rsv_v$n.$token.tmp")
           writeStr(tmp, token)
           try {
-            fctx.rename(tmp, rsv) // no OVERWRITE: a cross-process loser throws
-            readStr(rsv) == token // read-back arbitrates a replaced rename
+            fctx.rename(tmp, rsv)
+            readStr(rsv) == token // belt-and-braces read-back
           } catch {
             case _: java.io.IOException => fs.delete(tmp, false); false
           }
@@ -315,8 +340,28 @@ final class RelationStore(
     throw new IllegalStateException(s"could not reserve a version slot for $schema.$name")
   }
 
+  /** Discard a staged slot that NO manifest was ever published for —
+    * safe to delete outright, because entries only become referencable
+    * through a manifest. Slots whose manifest was ever visible (even
+    * transiently, pre-withdrawal) must go through [[demoteSlot]]: a
+    * competitor may have built its carried set on the transient
+    * manifest and committed entries that reference this slot's files.
+    */
   private def releaseSlot(name: String, v: Int): Unit = {
     deleteRec(verDir(name, v))
+    fs.delete(rsvFile(name, v), false)
+  }
+
+  /** Demote a slot to a gutted DATA POOL: tombstone + marker removal,
+    * files left in place for reference-counted GC (referenced files
+    * survive as long as any retained manifest names them; unreferenced
+    * ones are reclaimed on the next retention pass).
+    */
+  private def demoteSlot(name: String, v: Int): Unit = {
+    if (fsExists(verDir(name, v))) {
+      fs.delete(manifestFile(name, v), false)
+      writeStr(new HPath(verDir(name, v), "_gutted"), "")
+    }
     fs.delete(rsvFile(name, v), false)
   }
 
@@ -362,7 +407,14 @@ final class RelationStore(
     var attempts = 0
     while (attempts < 64) {
       attempts += 1
-      if (attempts > 1) Thread.sleep(3L * attempts) // contention backoff
+      if (attempts > 1)
+        // randomized backoff: two mutually-withdrawing writers on a
+        // deterministic schedule could re-collide in lockstep forever
+        Thread.sleep(2L + java.util.concurrent.ThreadLocalRandom.current()
+          .nextLong(4L * attempts))
+      // heartbeat: a long verify/retry phase must not age the
+      // reservation past the GC horizon
+      scala.util.Try(fs.setTimes(rsvFile(name, n), System.currentTimeMillis(), -1))
       val head = rawHeadVersion(name)
       if (head.exists(_ > n)) {
         // a competitor committed ABOVE our slot: committing below the
@@ -376,8 +428,14 @@ final class RelationStore(
         val base = committedBelow(n)
         build(n, base) match {
           case None =>
-            // abort: nothing references any staged slot — discard them all
-            (n :: priorSlots).foreach(releaseSlot(name, _))
+            // abort. Slots that ever published a manifest — every prior
+            // slot, and the current one after a failed verify — may be
+            // REFERENCED: a competitor could have carried their entries
+            // off the transient manifest into a commit that stuck. They
+            // demote to gutted pools (reference-counted GC reclaims the
+            // unreferenced bytes); outright deletion here would tear a
+            // committed competitor head ([[demoteSlot]]).
+            (n :: priorSlots).foreach(demoteSlot(name, _))
             return None
           case Some((layout, pby, entries)) =>
             writeManifestCommit(name, n, layout, pby, entries)
@@ -388,15 +446,18 @@ final class RelationStore(
             // mutually-unaware commits would each need to verify before
             // the other's rename, which the rename→verify order forbids.
             if (rawHeadVersion(name).contains(n) && committedBelow(n) == base) {
-              // shadowed slots demote to gutted data pools: the committed
-              // manifest references their files cross-dir; the tombstone
-              // keeps them from ever reading as legacy committed versions
+              // PUBLISH FIRST (marker off, head visible), THEN demote the
+              // shadowed slots to gutted pools. The other order opens a
+              // window where a prior slot has neither marker nor manifest
+              // while the head is still unpublished — a competitor's
+              // reserveVersion could claim that slot number and wipe pool
+              // files our just-committed manifest references.
+              finalizeCommit(name, n)
               priorSlots.foreach { p =>
                 if (fsExists(verDir(name, p)))
                   writeStr(new HPath(verDir(name, p), "_gutted"), "")
                 fs.delete(rsvFile(name, p), false)
               }
-              finalizeCommit(name, n)
               return Some(n)
             }
             // conflict: withdraw and retry (the loop head decides whether
@@ -594,7 +655,8 @@ final class RelationStore(
               s"${versions(name).filter(_ <= cur.getOrElse(-1)).mkString(",")})")
         (Some(v), Nil)
       case None =>
-        val l = liveDeltaIds(name)
+        // reuse the head resolution above instead of re-listing
+        val l = liveDeltaIdsAt(name, currentWatermarkAt(name, cur))
         if (cur.isEmpty && l.isEmpty)
           throw new IllegalStateException(s"relation not found: $schema.$name")
         (cur, l)
@@ -698,9 +760,13 @@ final class RelationStore(
   private def gcTable(name: String, keep: Int): Int = {
     val td = tableDir(name)
     if (!fsExists(td)) return 0
-    // always reap crashed dot-tmp landings
+    // reap crashed dot-tmp landings — but only past the retention
+    // horizon: a CONCURRENT writer may be staging its micro-batch in
+    // one right now, and sweeping it mid-write would fail that landing
     listNames(deltaRoot(name)).foreach { st =>
-      if (st.getPath.getName.startsWith(".tmp_")) deleteRec(st.getPath)
+      if (st.getPath.getName.startsWith(".tmp_") &&
+          System.currentTimeMillis() - st.getModificationTime >= tornRetainMs)
+        deleteRec(st.getPath)
     }
     // a LIVE writer's reserved slot must survive a concurrent commit's
     // GC — reservations younger than the retention horizon are skipped
@@ -817,21 +883,30 @@ final class RelationStore(
   /** Batch ids of COMMITTED, not-yet-absorbed delta landings, ascending. */
   def landedBatchIds(name: String): Seq[Long] = liveDeltaIds(name)
 
-  private def liveDeltaIds(name: String): Seq[Long] = {
-    val wm = currentWatermark(name)
+  private def liveDeltaIds(name: String): Seq[Long] =
+    liveDeltaIdsAt(name, currentWatermark(name))
+
+  /** [[liveDeltaIds]] against an already-resolved watermark — callers
+    * that hold a head resolution avoid re-listing the table dir (the
+    * manifest-based head costs one listing + per-version probes, so
+    * hot paths resolve once and thread it through).
+    */
+  private def liveDeltaIdsAt(name: String, wm: Long): Seq[Long] =
     listNames(deltaRoot(name)).flatMap { st =>
       val f = st.getPath.getName
       if (f.startsWith("b") && f.drop(1).forall(_.isDigit) && f.drop(1).toLong > wm)
         Some(f.drop(1).toLong)
       else None
     }.sorted
-  }
 
   /** Highest batch id absorbed into (or invalidated by) the current base
     * version; -1 when no base or the base predates any landing.
     */
   private def currentWatermark(name: String): Long =
-    currentVersion(name).map { v =>
+    currentWatermarkAt(name, currentVersion(name))
+
+  private def currentWatermarkAt(name: String, cur: Option[Int]): Long =
+    cur.map { v =>
       val f = new HPath(verDir(name, v), "_delta_watermark")
       scala.util.Try(readStr(f).trim.toLong).getOrElse(-1L)
     }.getOrElse(-1L)
@@ -909,9 +984,30 @@ final class RelationStore(
     commitHead(name, slot, { (n, base) =>
       // everything base-dependent recomputes per attempt: a competitor
       // commit between attempts changes both the carried entries and
-      // (for a full write that superseded them) the live delta set
-      val live = liveDeltaIds(name)
-      if (live.isEmpty) None // superseded mid-flight: fold is a no-op
+      // (for a full write that superseded them) the live delta set.
+      // CRITICAL: "live" is judged against the watermark of the BASE
+      // this attempt builds on (the raw committedBelow), never the
+      // published head's — a competitor's committed-but-unpublished
+      // fold already absorbed some deltas into the base entries, and
+      // re-listing those as live would duplicate their files in the
+      // manifest
+      val baseWm = currentWatermarkAt(name, base)
+      val liveAll = liveDeltaIdsAt(name, baseWm)
+      // absorb only the DENSE id prefix: `absorbed ⇔ id ≤ watermark` is
+      // the replay guard's contract, so a GAP in the landed ids (two
+      // producers interleaving ids, an out-of-order arrival racing this
+      // fold) must stall the watermark — raising it over the gap would
+      // make the late landing read as already-landed and silently
+      // swallow its batch. The tail above the gap stays live until the
+      // gap fills; the next fold absorbs it.
+      val denseWm = {
+        val landed = liveAll.toSet
+        var w = baseWm
+        while (landed.contains(w + 1)) w += 1
+        w
+      }
+      val live = liveAll.filter(_ <= denseWm)
+      if (live.isEmpty) None // superseded mid-flight or gapped: no-op
       else {
         val prevEntries = base.toSeq.flatMap(v => versionEntries(name, v))
         val schemaSrc = (base.map(verDir(name, _)).toSeq ++ live.map(deltaDirOf(name, _)))
@@ -931,7 +1027,10 @@ final class RelationStore(
           writeStr(new HPath(verDir(name, n), "_graft_schema.json"), readStr(s)))
         writeStr(new HPath(verDir(name, n), "_delta_watermark"), live.max.toString)
         folded = live.size
-        Some(("files", Nil, prevEntries ++ deltaEntries))
+        // belt-and-braces: never list one physical file twice even if
+        // a future base/watermark skew slips through
+        val prevRels = prevEntries.map(_.rel).toSet
+        Some(("files", Nil, prevEntries ++ deltaEntries.filterNot(e => prevRels(e.rel))))
       }
     }).fold(0)(_ => folded)
   }
@@ -983,12 +1082,14 @@ final class RelationStore(
     val entries = physicalEntries(name, slot, statsSchema = Some(df.schema))
     val layout = if (partitionBy.nonEmpty) "partitioned" else "files"
     dropBucketing(name)
-    commitHead(name, slot, { (n, _) =>
+    commitHead(name, slot, { (n, base) =>
       // a full write REPLACES the table's content: every delta landed
       // up to the commit moment is superseded — re-derived per attempt
-      // so a delta landing concurrently with a slow commit still gets
+      // (against the BASE watermark, raw view: see foldDeltas) so a
+      // delta landing concurrently with a slow commit still gets
       // superseded rather than unioned onto the replaced content
-      val supersededWm = (currentWatermark(name) +: liveDeltaIds(name): Seq[Long]).max
+      val baseWm = currentWatermarkAt(name, base)
+      val supersededWm = (baseWm +: liveDeltaIdsAt(name, baseWm): Seq[Long]).max
       if (supersededWm >= 0)
         writeStr(new HPath(verDir(name, n), "_delta_watermark"), supersededWm.toString)
       Some((layout, partitionBy, entries))
@@ -1031,24 +1132,34 @@ final class RelationStore(
       writeStr(new HPath(dest, "_graft_schema.json"), df.schema.json)
       spark.sql(s"DROP TABLE IF EXISTS $staging") // metadata only (external)
     } catch { case e: Throwable => releaseSlot(name, slot); throw e }
-    // point of no return: data is durable at dest
+    // a bucketed version is directory-self-contained (the catalog
+    // relation points at ITS dir), so it cannot re-slot by manifest
+    // reference — a concurrent commit racing a bucketed CTAS aborts
+    // cleanly (staged slot demoted, LIVE table and its catalog/marker
+    // untouched) and asks for a rerun
+    val committed = commitHead(name, slot, { (n, _) =>
+      if (n != slot) None
+      else {
+        // bucketed CTAS refuses re-slots, so the base is whatever the
+        // published head says; supersede every delta live against it
+        val headWm = currentWatermark(name)
+        val supersededWm = (headWm +: liveDeltaIdsAt(name, headWm): Seq[Long]).max
+        if (supersededWm >= 0)
+          writeStr(new HPath(verDir(name, n), "_delta_watermark"), supersededWm.toString)
+        Some(("bucketed", Nil, Nil))
+      }
+    })
+    if (committed.isEmpty)
+      throw new IllegalStateException(
+        s"concurrent commit raced bucketed CTAS of $schema.$name — rerun the model")
+    // the version is committed: NOW swap the catalog metadata (doing it
+    // pre-commit would leave a dropped catalog + a marker pointing at
+    // an uncommitted slot if the commit aborted)
     spark.sql(s"DROP TABLE IF EXISTS $cat")
     writeStr(bucketedFile(name), graft.artifacts.Json.write(Map(
       "catalog" -> cat, "bucket_by" -> bucketBy, "buckets" -> buckets)))
     registerCatalog(cat, dest, bucketBy, buckets)
-    commitHead(name, slot, { (n, _) =>
-      // a bucketed version is directory-self-contained (the catalog
-      // relation points at ITS dir), so it cannot re-slot by manifest
-      // reference — a concurrent commit racing a bucketed CTAS of the
-      // same table is refused rather than silently shadowed
-      if (n != slot)
-        throw new IllegalStateException(
-          s"concurrent commit raced bucketed CTAS of $schema.$name — rerun the model")
-      val supersededWm = (currentWatermark(name) +: liveDeltaIds(name): Seq[Long]).max
-      if (supersededWm >= 0)
-        writeStr(new HPath(verDir(name, n), "_delta_watermark"), supersededWm.toString)
-      Some(("bucketed", Nil, Nil))
-    })
+    registerView(name) // re-register through the (new) bucketed path
   }
 
   private def bucketedFile(name: String): HPath = new HPath(tableDir(name), "_bucketed")

@@ -466,9 +466,10 @@ final class Runner(
     // operators (k-means drift, codegen'd kernels) are model-callable
     // without per-project registration
     val libraryOp: Option[PythonModels.Impl] =
-      m.config.meta.get("graft_op").map(op => GraftOps.impl(op.toString).getOrElse(
-        throw new IllegalArgumentException(
-          s"python model ${m.name}: unknown graft_op '$op'")))
+      m.config.meta.get("graft_op").map(op =>
+        GraftOps.impl(op.toString, m.uniqueId).getOrElse(
+          throw new IllegalArgumentException(
+            s"python model ${m.name}: unknown graft_op '$op'")))
     val impl: PythonModels.Impl =
       PythonModels.get(m.name).orElse(libraryOp).getOrElse {
         if (subprocess)

@@ -655,11 +655,17 @@ object Streaming {
   private[graft] def requireFrozen(name: String, df: DataFrame): Unit = {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // a UNION of bare scans is frozen too: a store.read() of a
+    // delta-landed artifact is (manifest scan ∪ delta dirs) under a
+    // column-order Project. A cache()d computed plan is DELIBERATELY
+    // rejected: eviction re-derives it mid-stream — exactly the drift
+    // the contract exists to prevent; persist the artifact instead.
     def bare(p: LogicalPlan): Boolean = p match {
       case _: LogicalRelation | _: LocalRelation => true
       case pr: Project => bare(pr.child)
       case f: Filter => bare(f.child)
       case a: SubqueryAlias => bare(a.child)
+      case u: Union => u.children.forall(bare)
       case _ => false
     }
     val plan = df.queryExecution.analyzed
