@@ -153,6 +153,7 @@ object SparkEntry {
     "dedup_substring_remove" -> (DedupOps.dedupSubstringRemove _),
     "dedup_span_remove_incremental" -> (DedupOps.dedupSpanRemoveIncremental _),
     "dedup_fuzzy_parts" -> (DedupOps.dedupFuzzyParts _),
+    "dedup_token_share" -> (DedupOps.dedupTokenShare _),
     "dedup_incremental" -> (DedupOps.dedupIncremental _),
     "dedup_decontaminate_fuzzy" -> (DedupOps.dedupDecontaminateFuzzy _),
     // corpus curation
@@ -201,6 +202,8 @@ object SparkEntry {
     "sim_ivf_topk" -> (SimilarityOps.simIvfTopK _),
     "sim_ivf_radius" -> ((s, d) => SimilarityOps.simIvfRadius(s, d)),
     "sim_index_drift" -> (SimilarityOps.simIndexDrift _),
+    "sim_cluster_sample" -> ((s: SparkSession, dir: String) =>
+      SimilarityOps.simClusterSample(s, dir, budget = 800L)),
     "sim_rrf_fusion" -> (SimilarityOps.simRrfFusion _),
     "sim_filtered_topk" -> ((s, d) => SimilarityOps.simFilteredTopK(s, d)),
     "sim_pq_topk" -> (SimilarityOps.simPqTopK _),
@@ -3347,6 +3350,29 @@ object SparkEntry {
       FROM (SELECT l_partkey, l_suppkey, ($z) >> ${2 * bits - fb} AS file_id FROM n) t
       GROUP BY 1"""
     },
+    "dedup_token_share" -> """
+      WITH toks AS (
+        SELECT doc_id, source,
+               string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        FROM documents
+      ), starts AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i, array_to_string(w[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ') AS g
+        FROM toks, UNNEST(range(0, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8
+      ), dup AS (
+        SELECT g FROM starts GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+      ), covered AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup FROM (
+          SELECT DISTINCT s.doc_id, p
+          FROM starts s JOIN dup USING (g), UNNEST(range(s.i, s.i + 8)) AS u(p)
+        ) x GROUP BY doc_id
+      )
+      SELECT t.source,
+             CAST(SUM(len(w)) AS BIGINT) AS n_tokens,
+             CAST(SUM(COALESCE(n_dup, 0)) AS BIGINT) AS n_dup_tokens,
+             CAST((1000000 * SUM(COALESCE(n_dup, 0))) // SUM(len(w)) AS BIGINT) AS dup_ppm
+      FROM toks t LEFT JOIN covered USING (doc_id)
+      GROUP BY t.source""",
     "dedup_fuzzy_parts" -> """
       WITH counts AS (
         SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts FROM part GROUP BY 1
@@ -3889,6 +3915,22 @@ object SparkEntry {
              CAST(len(w) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
              COALESCE(cleaned, '') AS cleaned_text
       FROM toks t LEFT JOIN kept USING (doc_id)""",
+    "sim_cluster_sample" -> {
+      // cluster-balanced sampling replay: the shared k-means CTEs give
+      // each vector's cell; per-cell admission = ROW_NUMBER by vec_id
+      // within the cell, admitted iff ≤ ceil(800 / 16) = 50 (vec_ids
+      // are distinct, so rank order equals the engine's min_k set)
+      s"""
+      WITH $IvfCellCtes,
+      rk AS (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+        FROM cells
+      )
+      SELECT vec_id, cell,
+             CAST(CASE WHEN rn <= 50 THEN 1 ELSE 0 END AS BIGINT) AS picked
+      FROM rk"""
+    },
     "dedup_semantic" -> {
       // SemDeDup replay: same k-means CTEs as sim_ivf_topk, then the
       // within-cell pair join — a vector is dropped iff some lower-id

@@ -566,11 +566,22 @@ final class RelationStore(
     * which is what buys file-level data skipping on every later scan.
     */
   private def physicalEntries(name: String, v: Int,
-      statsSchema: Option[StructType] = None): Seq[MEntry] =
-    dataFilesUnder(verDir(name, v)).map { st =>
-      MEntry(relTo(tableDir(name), st.getPath), st.getLen,
-        statsSchema.flatMap(sc => FileStats.collect(st, sc, hconf)))
+      statsSchema: Option[StructType] = None): Seq[MEntry] = {
+    val files = dataFilesUnder(verDir(name, v))
+    statsSchema match {
+      case None => files.map(st => MEntry(relTo(tableDir(name), st.getPath), st.getLen))
+      case Some(sc) =>
+        // footer reads are independent metadata fetches — run them on
+        // the common pool so a many-file commit's stats collection is
+        // bounded by the slowest footer, not the sum (at 100 TB a
+        // commit writes hundreds of files)
+        import scala.jdk.CollectionConverters._
+        files.asJava.parallelStream().map[MEntry] { st =>
+          MEntry(relTo(tableDir(name), st.getPath), st.getLen,
+            FileStats.collect(st, sc, hconf))
+        }.collect(java.util.stream.Collectors.toList[MEntry]).asScala.toSeq
     }
+  }
 
   /** Data-file entries of version `v`: the manifest's for manifest
     * versions, the physical listing for legacy/bucketed dirs — either
@@ -609,10 +620,12 @@ final class RelationStore(
     // from a fresh head (time travel does NOT retry: an expired past
     // version is a real error)
     var attempts = 0
-    while (asOfVersion.isEmpty && attempts < 5) {
+    while (asOfVersion.isEmpty && attempts < 8) {
       try return readResolved(name, asOfVersion)
       catch {
-        case e: Throwable if attempts < 4 && isStaleReadRace(e) => attempts += 1
+        case e: Throwable if attempts < 7 && isStaleReadRace(e) =>
+          attempts += 1
+          Thread.sleep(5L * attempts) // let the concurrent retention pass settle
       }
     }
     readResolved(name, asOfVersion)

@@ -1278,6 +1278,39 @@ object DedupOps {
     spanRemoveWith(d.filter(isNew), spanGramSetOf(d.filter(!isNew)))
   }
 
+  /** Duplicate-token accounting per source — the data-card number a
+    * corpus team actually watches: what fraction of each source's
+    * tokens sits inside a CROSS-document duplicated n-gram (df ≥ 2)?
+    * Deliberately KEEPER-FREE: both copies of a duplicated span count,
+    * so this measures duplicated MATERIAL (an upper bound on any
+    * removal pass's yield), not one pass's deletions. Scale shape: one
+    * map-side-combined groupBy on the gram key, a semi-join whose
+    * fanout is the occurrence count (never count²), and a doc-keyed
+    * distinct bounded by document length — no pair materialization
+    * anywhere.
+    */
+  def dedupTokenShare(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val d = docs(s, dir)
+    val toks = tokensOf(d)
+    val starts = gramStringStartsOf(toks, n)
+    val dupGrams = starts.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select(col("g"))
+    val covered = starts.join(dupGrams, Seq("g"), "left_semi")
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .join(covered, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("n_tokens"),
+        sum(coalesce(col("n_dup"), lit(0L))).as("n_dup_tokens"))
+      .select(col("source"), col("n_tokens"), col("n_dup_tokens"),
+        expr("(1000000 * n_dup_tokens) div n_tokens").as("dup_ppm"))
+  }
+
   /** Blocked fuzzy matching (record-linkage / entity-resolution shape):
     * near-identical part names by edit distance, with a blocking key so
     * the pair join NEVER goes cartesian. Candidate pairs must share

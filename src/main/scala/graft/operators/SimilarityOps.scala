@@ -419,6 +419,31 @@ object SimilarityOps {
     driftAggregates(scored(e.filter(!isNew)), scored(e.filter(isNew)))
   }
 
+  /** Cluster-balanced subsample — the diversity-preserving budget
+    * selection training-data pipelines use instead of uniform random
+    * sampling (mode collapse: mega-clusters swamp rare ones). Every
+    * vector joins its IVF cell (shared resident assignment), each cell
+    * gets an EQUAL share of the budget, and within a cell the lowest
+    * vec_ids are admitted (deterministic, oracle-replayable).
+    *
+    * Scale shape: centroids broadcast; per-cell admission runs through
+    * the bounded `min_k` TypedImperativeAggregate — state is O(quota)
+    * per cell, so there is never a per-cell sort no matter how large a
+    * cell grows (k=16 cells would make a rank window catastrophically
+    * skewed at 100 TB).
+    */
+  def simClusterSample(s: SparkSession, dir: String, budget: Long = 800L): DataFrame = {
+    val e = ResidentCache(s, "sim_quantized", quantized(s, dir))
+    val (_, assigned) = kmeansCells(s, e, dir)
+    val perCell = (budget + 15L) / 16L
+    val picked = assigned.groupBy(col("cell"))
+      .agg(expr(s"min_k(vec_id, $perCell)").as("ids"))
+      .select(explode(col("ids")).as("vec_id"), lit(1L).as("picked"))
+    assigned.join(picked, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("picked"), lit(0L)).as("picked"))
+  }
+
   /** Quantize raw (vec_id, embedding) rows to the integer-exact (q, nq)
     * shape every cosine operator here consumes.
     */

@@ -153,6 +153,27 @@ class ManifestIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.count() == 400)
   }
 
+  test("partition pruning composes with file-level skipping inside the surviving partition") {
+    val ss = spark
+    import ss.implicits._
+    val store = new graft.exec.RelationStore(spark,
+      java.nio.file.Files.createTempDirectory("skipp_wh").toString)
+    // two day-partitions, each range-clustered into two id-disjoint files
+    val data = (0L until 200L).map(i => (i, if (i < 100) "d1" else "d2")).toDF("id", "day")
+      .repartitionByRange(4, col("day"), col("id"))
+    store.write(data, "t_pp", partitionBy = Seq("day"))
+    val t = store.read("t_pp")
+    assert(t.inputFiles.length == 4)
+    // partition filter alone halves the files; adding a selective id
+    // predicate prunes WITHIN the surviving partition too
+    assert(filesOpened(t.filter(col("day") === "d1")) == 2)
+    val both = t.filter(col("day") === "d1" && col("id") < 25L)
+    assert(filesOpened(both) == 1, "partition pruning + stats skipping must compose")
+    assert(both.count() == 25)
+    // and the combined plan's answer matches the unpruned computation
+    assert(t.filter(col("id") < 25L).count() == 25)
+  }
+
   test("listFiles binds partition filters per spark.sql.caseSensitive") {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
     import org.apache.spark.sql.types._
