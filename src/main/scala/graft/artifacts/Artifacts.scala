@@ -113,7 +113,14 @@ final case class RunResult(
     message: String = "",
     failures: Option[Long] = None,
     batchesSucceeded: Seq[String] = Nil,
-    batchesFailed: Seq[String] = Nil)
+    batchesFailed: Seq[String] = Nil,
+    /** Engine-specific execution stats (the reference's
+      * adapter_response field): for nodes whose inputs are
+      * manifest-backed store scans, files/bytes the manifests listed vs
+      * what pruning + data skipping left open — skipping effectiveness
+      * made visible per materialization.
+      */
+    adapterResponse: Map[String, Long] = Map.empty)
 
 object Artifacts {
   /** run_results.json (reference schema v5, trimmed to executed fields). */
@@ -132,6 +139,7 @@ object Artifacts {
         "execution_time" -> r.executionTime,
         "message" -> r.message,
         "failures" -> r.failures,
+        "adapter_response" -> scala.collection.immutable.SortedMap.from(r.adapterResponse),
         "batch_results" -> (if (r.batchesSucceeded.isEmpty && r.batchesFailed.isEmpty) null
           else Map("successful" -> r.batchesSucceeded, "failed" -> r.batchesFailed)))))
     Files.createDirectories(Paths.get(targetDir))

@@ -15,7 +15,8 @@ import graft.parser.ProjectLoader
   * parse, list, compile, run, seed, snapshot, test, build, show,
   * docs-generate, docs-serve, source-freshness, clone, retry,
   * run-operation, optimize, vacuum, export, clean, init, debug, deps,
-  * index (ANN index maintenance autopilot).
+  * index (ANN index maintenance autopilot), recall (LSH banding recall
+  * evaluation — sampled ground truth by default, --full opt-in).
   *
   * Usage:
   *   graft <cmd> --project-dir DIR [--select "..."] [--exclude "..."]
@@ -121,6 +122,38 @@ object Main {
         }
       }
       return if (ok) 0 else 1
+    }
+    if (cmd == "recall") {
+      // LSH banding-design recall evaluation over a documents table (no
+      // project needed). SAMPLED by default — the scale-safe spelling:
+      // exact ground truth only over a seeded md5 document sample, so
+      // the one deliberately-unguarded shingle self-join shrinks
+      // quadratically with the sampling fraction and the evaluation
+      // runs at any corpus size, unbiased for pair recall. `--full`
+      // opts into the exact all-pairs ground truth for small corpora.
+      val data = flags.getOrElse("data", throw new IllegalArgumentException(
+        "recall requires --data <dir containing documents.parquet> " +
+          "[--pct N, default 50] [--seed N] [--full]"))
+      val df =
+        if (flags.contains("full")) {
+          System.err.println("[graft] recall --full computes the EXACT all-pairs " +
+            "ground truth (quadratic in per-shingle document frequency) — for " +
+            "small corpora only; the default sampled evaluation is unbiased for " +
+            "pair recall at any scale")
+          graft.operators.DedupOps.dedupRecallEval(spark, data)
+        } else graft.operators.DedupOps.dedupRecallEvalSampled(spark, data,
+          pct = flags.get("pct").map(_.toInt).getOrElse(50),
+          seed = flags.get("seed").map(_.toInt).getOrElse(42))
+      val rows = df.orderBy(org.apache.spark.sql.functions.col("bucket")).collect()
+      println(f"${"bucket"}%-8s${"n_truth"}%-10s${"n_caught"}%-10s" +
+        f"${"recall_ppm"}%-12s${"theory_ppm"}%-12s")
+      rows.foreach(r => println(
+        f"${r.getLong(0)}%-8d${r.getLong(1)}%-10d${r.getLong(2)}%-10d" +
+          f"${r.getLong(3)}%-12d${r.getLong(4)}%-12d"))
+      val mode = if (flags.contains("full")) "full ground truth"
+        else s"sampled pct=${flags.getOrElse("pct", "50")} seed=${flags.getOrElse("seed", "42")}"
+      println(s"recall: ${rows.length} decile bucket(s), $mode")
+      return 0
     }
     // profiles.yml target resolution (reference config/profile.py):
     // --target overrides the profile's default; the resolved target
@@ -485,16 +518,26 @@ object Main {
         // the versioned store (see RelationStore.compact). `--select`
         // names specific relations; default is every table in every
         // schema the project writes. `--target-file-mb` tunes the goal.
+        // `--zorder c1,c2` Morton-interleaves the rewrite by two
+        // columns (the OPTIMIZE ZORDER BY shape) so file-level
+        // skipping stays selective on BOTH predicate dimensions —
+        // requires --select (clustering columns are per-table).
         val targetBytes =
           flags.get("target-file-mb").map(_.toLong << 20).getOrElse(128L << 20)
+        val zorderCols = flags.get("zorder")
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+        if (zorderCols.nonEmpty && !flags.contains("select"))
+          throw new IllegalArgumentException(
+            "--zorder names per-table columns; pair it with --select <relation>")
         val stores = projectStores()
         val wanted = flags.get("select").map(_.split(",").toSet)
         var rewritten = 0
         for (st <- stores; rel <- st.list()
             if !st.isView(rel) && !st.isBucketed(rel)
             if wanted.forall(_.contains(rel))) {
-          val n = st.compact(rel, targetBytes)
-          if (n > 0) println(s"optimize ${st.schema}.$rel: rewrote $n partition(s)")
+          val n = st.compact(rel, targetBytes, zorderCols)
+          if (n > 0) println(s"optimize ${st.schema}.$rel: rewrote $n partition(s)" +
+            (if (zorderCols.nonEmpty) s" zordered by ${zorderCols.mkString(",")}" else ""))
           rewritten += n
         }
         println(s"optimize complete: $rewritten partition(s) rewritten")

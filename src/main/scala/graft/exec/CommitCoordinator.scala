@@ -1,0 +1,152 @@
+package graft.exec
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Path => HPath}
+
+/** The store's commit-arbitration primitive — the seam where
+  * [[RelationStore]]'s optimistic concurrency meets the filesystem's
+  * actual atomicity guarantees (the role Delta's LogStore and Iceberg's
+  * catalog play: the table format is portable, the COMMIT primitive is
+  * per-store).
+  *
+  * The OCC protocol needs exactly one cross-process primitive: an
+  * atomic CREATE-NO-OVERWRITE of the version-slot reservation marker
+  * (two writers racing one slot, exactly one wins). That primitive
+  * genuinely exists on a local filesystem (O_EXCL) and on HDFS-family
+  * stores (namenode-serialized rename without OVERWRITE) — and does
+  * NOT exist on plain S3, where "rename" is a client-side copy+delete
+  * and two concurrent writers can both believe they created the
+  * marker. Pretending otherwise is how tables get torn, which is why
+  * Delta requires an external LogStore (DynamoDB) for concurrent S3
+  * writers. So each coordinator DECLARES [[atomicReservation]], and the
+  * store REFUSES concurrent-writer mode on stores that can't back it —
+  * loudly at the first commit, not silently at the first lost update.
+  * An external arbiter (a DynamoDB/ZooKeeper-style lock service) plugs
+  * in by implementing this trait and passing it to the store.
+  *
+  * Liveness ([[heartbeat]]) is an in-place rewrite of the marker's
+  * content, NOT `FileSystem.setTimes` (unsupported on object stores)
+  * and NOT write-tmp-then-rename (on object stores that rename is
+  * copy+delete, with a window where the marker doesn't exist — a
+  * concurrent GC would misread the slot as free mid-commit). An
+  * in-place create-overwrite is a truncate on POSIX/HDFS and an atomic
+  * PUT on object stores: the marker is never absent.
+  */
+trait CommitCoordinator {
+
+  /** Whether [[reserve]] is genuinely atomic across PROCESSES on this
+    * store. When false, two concurrent writers can both win one slot —
+    * the store refuses concurrent-writer mode.
+    */
+  def atomicReservation: Boolean
+
+  /** Store description for refusal/error messages. */
+  def describe: String
+
+  /** Atomically create `marker` with content `token` iff it does not
+    * exist. Returns true exactly when THIS call created it.
+    */
+  def reserve(marker: HPath, token: String): Boolean
+
+  /** Refresh the marker's liveness clock (its modification time, read
+    * by GC's torn-reservation horizon) by rewriting its content in
+    * place. The caller owns the slot; the marker must never be absent
+    * at any instant during the rewrite.
+    */
+  def heartbeat(marker: HPath): Unit
+}
+
+object CommitCoordinator {
+
+  /** Schemes whose `FileContext.rename` WITHOUT the OVERWRITE option is
+    * a genuine namenode/metadata-server-serialized create-no-overwrite.
+    * Deliberately conservative: object-store connectors (s3a, gs, wasb,
+    * abfs, oss, cos, …) are NOT listed even where some offer
+    * conditional writes, because the Hadoop connector surface doesn't
+    * expose them as atomic rename — those stores need an external
+    * coordinator (or single-writer mode).
+    */
+  private val AtomicRenameSchemes = Set("hdfs", "viewfs", "webhdfs", "swebhdfs")
+
+  /** The built-in coordinator for a store root: O_EXCL on the local
+    * filesystem, no-overwrite rename on HDFS-family schemes, and a
+    * best-effort (declared NON-atomic) fallback everywhere else.
+    */
+  def forStore(fs: FileSystem, fctx: FileContext): CommitCoordinator = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") new LocalExclusiveCreate(fs)
+    else new RenameNoOverwrite(fs, fctx, scheme,
+      atomic = AtomicRenameSchemes.contains(scheme))
+  }
+
+  /** Local filesystem: cross-process atomicity is the kernel's O_EXCL
+    * exclusive create (FileContext's no-overwrite rename is
+    * check-then-rename there — POSIX rename(2) replaces silently).
+    */
+  private final class LocalExclusiveCreate(fs: FileSystem) extends CommitCoordinator {
+    override def atomicReservation: Boolean = true
+    override def describe: String = "local filesystem (O_EXCL exclusive create)"
+    override def reserve(marker: HPath, token: String): Boolean =
+      try {
+        val p = java.nio.file.Paths.get(fs.makeQualified(marker).toUri)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.createFile(p) // O_EXCL: fails iff it exists
+        java.nio.file.Files.write(p, token.getBytes(UTF_8))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    override def heartbeat(marker: HPath): Unit =
+      rewriteInPlace(fs, marker)
+  }
+
+  /** HDFS-family stores: rename without OVERWRITE is the atomic
+    * create-no-overwrite primitive (serialized by the namenode). The
+    * same code path doubles as the declared-non-atomic best-effort
+    * fallback for unknown schemes — where [[atomicReservation]] is
+    * false and the store only allows single-writer mode.
+    */
+  private final class RenameNoOverwrite(
+      fs: FileSystem, fctx: FileContext, scheme: String, atomic: Boolean)
+      extends CommitCoordinator {
+    override def atomicReservation: Boolean = atomic
+    override def describe: String =
+      if (atomic) s"$scheme (atomic no-overwrite rename)"
+      else s"$scheme (NO atomic create-no-overwrite primitive)"
+    override def reserve(marker: HPath, token: String): Boolean = {
+      val tmp = new HPath(marker.getParent,
+        s".${marker.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(token.getBytes(UTF_8)) finally out.close()
+      try {
+        fctx.rename(tmp, marker)
+        // belt-and-braces read-back: the winner's token is in the marker
+        val in = fs.open(marker)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val b = new Array[Byte](256)
+          var n = in.read(b)
+          while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+          new String(buf.toByteArray, UTF_8) == token
+        } finally in.close()
+      } catch {
+        case _: java.io.IOException => fs.delete(tmp, false); false
+      }
+    }
+    override def heartbeat(marker: HPath): Unit =
+      rewriteInPlace(fs, marker)
+  }
+
+  /** In-place overwrite with the current timestamp: refreshes the
+    * marker's mtime on every store (POSIX truncate, HDFS re-create,
+    * object-store PUT) without any instant where the marker is absent.
+    */
+  private def rewriteInPlace(fs: FileSystem, marker: HPath): Unit =
+    scala.util.Try {
+      val out = fs.create(marker, true)
+      try out.write(System.currentTimeMillis().toString.getBytes(UTF_8))
+      finally out.close()
+    }
+}

@@ -50,15 +50,25 @@ object FileStats {
     * deliberately EXCLUDED: Spark orders NaN greater than any value and
     * NaN = NaN is true, while parquet footers omit NaN from min/max —
     * a file holding {1.0, NaN} has max=1.0, so `x > 5` would wrongly
-    * skip the NaN row. Integer-family, date/timestamp-micros, string
-    * and boolean bounds have no such semantic gap.
+    * skip the NaN row. Integer-family, DECIMAL (the warehouse measure
+    * type — TPC-H's quantities and prices; exact unscaled bounds, no
+    * NaN hazard), date/timestamp-micros, string and boolean bounds
+    * have no such semantic gap.
     */
   def eligible(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | BooleanType |
          DateType | TimestampType | TimestampNTZType => true
     case _: StringType => true
+    case _: DecimalType => true
     case _ => false
   }
+
+  /** Test/observability hook: parquet footer opens performed by
+    * [[collect]]. Lets specs pin that read/fold paths do ZERO footer
+    * I/O (delta stats come from the landing-time sidecar; manifest
+    * stats from the manifest itself).
+    */
+  val footerReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Columns of `schema` the collector indexes, in schema order. */
   def indexedColumns(schema: StructType): Seq[StructField] =
@@ -76,6 +86,7 @@ object FileStats {
     */
   def collect(status: FileStatus, schema: StructType, conf: Configuration): Option[FileStats] =
     Try {
+      footerReads.incrementAndGet()
       val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(status, conf))
       try {
         val footer = reader.getFooter
@@ -161,6 +172,27 @@ object FileStats {
           ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
         Some(UTF8String.fromString(
           v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8))
+      case d: DecimalType => ann match {
+        // parquet decimal bounds are exact unscaled values (INT32 for
+        // precision ≤ 9, INT64 ≤ 18, fixed/binary two's-complement
+        // beyond — the encodings Spark's writer emits). The file's
+        // scale must equal the table's for the unscaled interpretation;
+        // a lower file precision is fine (the value still fits).
+        case dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation
+            if dec.getScale == d.scale && dec.getPrecision <= d.precision =>
+          prim match {
+            case INT32 | INT64 =>
+              Some(Decimal(v.asInstanceOf[Number].longValue(), d.precision, d.scale))
+            case FIXED_LEN_BYTE_ARRAY | BINARY =>
+              val unscaled = new java.math.BigInteger(
+                v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+              Some(Decimal(
+                BigDecimal(new java.math.BigDecimal(unscaled, d.scale)),
+                d.precision, d.scale))
+            case _ => None
+          }
+        case _ => None
+      }
       case _ => None
     }
   }
@@ -198,6 +230,7 @@ object FileStats {
 
   private def internalToString(v: Any): String = v match {
     case s: UTF8String => s.toString
+    case d: Decimal => d.toJavaBigDecimal.toPlainString // exact round-trip
     case other => String.valueOf(other)
   }
 
@@ -208,6 +241,7 @@ object FileStats {
     case LongType | TimestampType | TimestampNTZType => s.toLong
     case BooleanType => s.toBoolean
     case _: StringType => UTF8String.fromString(s)
+    case d: DecimalType => Decimal(BigDecimal(s), d.precision, d.scale)
     case other => throw new IllegalStateException(s"non-indexable stats type $other")
   }
 

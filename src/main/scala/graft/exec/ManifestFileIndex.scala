@@ -78,7 +78,7 @@ final class ManifestFileIndex(
     // data filter may match its recorded bounds; files without stats
     // always survive (mayMatch is strictly conservative)
     val skippable = dataFilters.filter(_.deterministic)
-    live.map { case (values, files) =>
+    val out = live.map { case (values, files) =>
       val kept =
         if (skippable.isEmpty) files.map(_._1)
         else files.collect {
@@ -91,10 +91,40 @@ final class ManifestFileIndex(
         }
       PartitionDirectory(values, kept.toArray)
     }.filter(_.files.nonEmpty)
+    // observability: what this scan CONSIDERED (every file the version
+    // manifests) vs what pruning+skipping left OPEN — surfaced per node
+    // in run_results' adapter_response so skipping effectiveness is
+    // visible, not just real
+    ManifestFileIndex.filesConsidered.addAndGet(entries.iterator.map(_._2.size).sum)
+    ManifestFileIndex.bytesConsidered.addAndGet(
+      entries.iterator.flatMap(_._2).map(_._1.getLen).sum)
+    ManifestFileIndex.filesOpened.addAndGet(out.iterator.map(_.files.size).sum)
+    ManifestFileIndex.bytesOpened.addAndGet(
+      out.iterator.flatMap(_.files).map(_.getLen).sum)
+    out
   }
 }
 
 object ManifestFileIndex {
+
+  /** JVM-cumulative scan-planning observability: across every
+    * manifest-backed scan, the data files the version manifest listed
+    * ("considered") vs the files partition pruning + data skipping left
+    * for the scan to open, and their bytes. The Runner snapshots these
+    * around each node to report per-materialization skipping
+    * effectiveness in run_results (exact under single-threaded
+    * scheduling; totals always exact — concurrent nodes may attribute
+    * a competitor's planning to each other, never lose it).
+    */
+  val filesConsidered = new java.util.concurrent.atomic.AtomicLong(0L)
+  val filesOpened = new java.util.concurrent.atomic.AtomicLong(0L)
+  val bytesConsidered = new java.util.concurrent.atomic.AtomicLong(0L)
+  val bytesOpened = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** (filesConsidered, filesOpened, bytesConsidered, bytesOpened) now. */
+  def scanCounters(): (Long, Long, Long, Long) =
+    (filesConsidered.get(), filesOpened.get(), bytesConsidered.get(), bytesOpened.get())
+
   /** Hive path-segment unescaping (%XX) — the inverse of the escaping
     * Spark's partitioned writer applies to partition values in paths.
     */

@@ -20,10 +20,14 @@ import graft.core.Relation
   * no lost updates; a crashed writer's slot ages into GC. All I/O goes
   * through the Hadoop `FileSystem` / `FileContext` API, so the same
   * store runs against `file://`, HDFS, or an object store — the root's
-  * scheme picks the filesystem (cross-process reservation atomicity is
-  * the FS's no-overwrite rename, the capability lakehouse commit
-  * protocols likewise require; same-JVM writers additionally arbitrate
-  * on a process lock).
+  * scheme picks the filesystem. Cross-process reservation atomicity is
+  * the [[CommitCoordinator]]'s declared capability (O_EXCL locally,
+  * no-overwrite rename on HDFS-family stores); on stores WITHOUT an
+  * atomic create-no-overwrite primitive (plain S3 and friends) the
+  * store refuses concurrent-writer commits outright — run single-writer
+  * (`concurrentWriters = false`) or plug in an external lock-service
+  * coordinator. Same-JVM writers additionally arbitrate on a process
+  * lock.
   *
   * A committed FLAT version is a MANIFEST (`_manifest.json` listing
   * table-relative data-file paths), not a directory of copies: data
@@ -102,7 +106,24 @@ final class RelationStore(
       * attempt, but a single multi-hour parquet write has no heartbeat).
       * Default: 24 h.
       */
-    val tornRetainMs: Long = 86_400_000L) {
+    val tornRetainMs: Long = 86_400_000L,
+    /** Whether MULTIPLE processes may commit to this warehouse
+      * concurrently. When true (the default) the store requires a
+      * [[CommitCoordinator]] with a genuinely atomic cross-process
+      * reservation primitive and REFUSES to commit without one — on a
+      * store like plain S3 (rename = copy+delete, no create-no-
+      * overwrite), two writers could otherwise both win a version slot
+      * and tear the table. Set false when exactly one writer process
+      * ever commits here (same-JVM threads still arbitrate on the
+      * process lock); reads are unaffected either way.
+      */
+    val concurrentWriters: Boolean = true,
+    /** Override the built-in commit arbitration — the LogStore-shaped
+      * seam: an external lock service (DynamoDB/ZooKeeper-style) makes
+      * concurrent writers safe on stores whose filesystem can't
+      * ([[CommitCoordinator]]).
+      */
+    val coordinator: Option[CommitCoordinator] = None) {
 
   // ---- filesystem layer (Hadoop FS — scheme-portable) ----
 
@@ -115,6 +136,12 @@ final class RelationStore(
   // FileContext gives rename-with-OVERWRITE (the pointer swap); plain
   // FileSystem.rename refuses an existing destination on most schemes
   private lazy val fctx: FileContext = FileContext.getFileContext(fs.getUri, hconf)
+
+  /** Commit arbitration for this root's filesystem (or the caller's
+    * external coordinator). Lazy: read-only stores never need it.
+    */
+  private lazy val commitCoord: CommitCoordinator =
+    coordinator.getOrElse(CommitCoordinator.forStore(fs, fctx))
 
   /** Cumulative data bytes rewritten by [[compact]] (manual or auto) —
     * lets specs pin that compaction cost is bounded by the fragmented
@@ -235,11 +262,36 @@ final class RelationStore(
     * names the committed legacy version.
     */
   private def currentVersion(name: String): Option[Int] = {
-    val published = physicalVersionDirs(name)
-      .filter(v => hasManifest(name, v) && !isReserved(name, v))
-    // legacy floor read tolerates a concurrent atomic replace mid-flight
-    val legacy = scala.util.Try(readStr(pointer(name)).trim.toInt).toOption
-    (published ++ legacy).maxOption
+    // POINTER FAST PATH: finalizeCommit atomically rewrites the pointer
+    // at every commit (right after the publishing marker delete), so
+    // the only published versions ABOVE it live in that tiny
+    // marker-delete→pointer-write window. Probe upward from the pointer
+    // — a handful of existence checks — instead of listing the table
+    // dir and probing manifest+marker for EVERY version dir (O(dirs)
+    // metadata round-trips per head resolution, and head resolution
+    // runs on every read/exists/commit — material latency on an object
+    // store). The probe stops at the first slot with no trace at all
+    // (no manifest, no marker, no dir): reservations are taken densely
+    // upward from the head, so a trace-less slot means nothing ever
+    // committed above it. The RAW head used by commit verification
+    // ([[rawHeadVersion]]) deliberately keeps the full listing — a
+    // missed in-flight manifest there would break linearizability,
+    // while here it could only mean serving the committed head of a
+    // moment ago (snapshot semantics readers already have).
+    scala.util.Try(readStr(pointer(name)).trim.toInt).toOption match {
+      case Some(p) =>
+        var best = p // the pointer target is always a committed version
+        var v = p + 1
+        while (hasManifest(name, v) || isReserved(name, v) || fsExists(verDir(name, v))) {
+          if (hasManifest(name, v) && !isReserved(name, v)) best = v
+          v += 1
+        }
+        Some(best)
+      case None => // pre-pointer table (or none yet): full listing
+        physicalVersionDirs(name)
+          .filter(v => hasManifest(name, v) && !isReserved(name, v))
+          .maxOption
+    }
   }
 
   /** The RAW head: highest manifest regardless of markers — what commit
@@ -284,52 +336,37 @@ final class RelationStore(
     * is cleaned here). Returns the owned version number.
     */
   private def reserveVersion(name: String, from: Int): Int = {
+    // CAPABILITY GATE: concurrent-writer mode is only safe when the
+    // coordinator's reservation is genuinely atomic cross-process.
+    // Refusing HERE — loudly, at the first commit — is the whole
+    // point: on a store like plain S3 the failure mode is otherwise a
+    // silent double-granted slot and a torn table under load.
+    if (concurrentWriters && !commitCoord.atomicReservation)
+      throw new IllegalStateException(
+        s"cannot commit to $schema.$name: warehouse '$root' is on " +
+          s"${commitCoord.describe}, which has no atomic create-no-overwrite " +
+          "primitive — optimistic concurrent commits could double-grant a " +
+          "version slot (on S3-style stores, rename is a non-atomic " +
+          "copy+delete). Construct the store with concurrentWriters=false " +
+          "if exactly one writer process ever commits to this warehouse, " +
+          "or supply an external CommitCoordinator (lock-service-backed) " +
+          "for safe multi-writer commits.")
     fs.mkdirs(tableDir(name))
     var n = math.max(0, from)
     var attempts = 0
     while (attempts < 10000) {
       attempts += 1
       val rsv = rsvFile(name, n)
-      // same-JVM writers arbitrate on a process lock (a local-FS rename
-      // silently replaces, so the no-overwrite contract alone can
-      // double-grant under thread interleaving); CROSS-process safety
-      // is the filesystem's atomic create-no-overwrite rename — the
-      // same capability lakehouse commit protocols require of the FS.
+      // same-JVM writers arbitrate on a process lock (thread
+      // interleaving could otherwise double-grant before the
+      // filesystem primitive is even reached); CROSS-process safety is
+      // the coordinator's atomic reservation ([[CommitCoordinator]]).
       // A tombstoned dir is a DATA POOL (its files may be referenced by
       // committed manifests) — its slot number is never claimable.
       val won = RelationStore.slotLock(fs.makeQualified(rsv).toString).synchronized {
         if (hasManifest(name, n) || isReserved(name, n) ||
           fsExists(new HPath(verDir(name, n), "_gutted"))) false
-        else if (fs.getUri.getScheme == "file") {
-          // local FS: FileContext's no-overwrite rename is check-then-
-          // rename (POSIX rename(2) replaces silently), so cross-PROCESS
-          // arbitration needs a genuinely exclusive create — O_EXCL via
-          // NIO createFile
-          try {
-            val p = java.nio.file.Paths.get(fs.makeQualified(rsv).toUri)
-            java.nio.file.Files.createDirectories(p.getParent)
-            java.nio.file.Files.createFile(p)
-            java.nio.file.Files.write(p, System.currentTimeMillis().toString
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            true
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException => false
-            case _: java.io.IOException => false
-          }
-        } else {
-          // HDFS/object stores: rename without OVERWRITE is the atomic
-          // create-no-overwrite primitive (the same capability lakehouse
-          // commit protocols require of the FS)
-          val token = java.util.UUID.randomUUID().toString
-          val tmp = new HPath(tableDir(name), s"._rsv_v$n.$token.tmp")
-          writeStr(tmp, token)
-          try {
-            fctx.rename(tmp, rsv)
-            readStr(rsv) == token // belt-and-braces read-back
-          } catch {
-            case _: java.io.IOException => fs.delete(tmp, false); false
-          }
-        }
+        else commitCoord.reserve(rsv, java.util.UUID.randomUUID().toString)
       }
       if (won) {
         deleteRec(verDir(name, n)) // claimable pre-OCC junk
@@ -369,11 +406,16 @@ final class RelationStore(
     * the full file or nothing — the rename is the commit.
     */
   private def writeManifestCommit(name: String, v: Int, layout: String,
-      partitionBy: Seq[String], entries: Seq[MEntry]): Unit = {
+      partitionBy: Seq[String], entries: Seq[MEntry], base: Option[Int]): Unit = {
     val tmp = new HPath(verDir(name, v), "._manifest.json.tmp")
     writeStr(tmp, graft.artifacts.Json.write(Map(
       "layout" -> layout,
       "partition_by" -> partitionBy,
+      // the version this commit was BUILT AGAINST (carried entries,
+      // watermark) — what crash ADOPTION checks: an orphan whose base
+      // is no longer the head would have failed verification, so
+      // publishing it would lose the competitor's update
+      "base" -> base.getOrElse(-1),
       "files" -> entries.map(_.rel),
       "sizes" -> entries.map(_.size),
       "stats" -> entries.map(_.stats.map(FileStats.toJsonValue).orNull))))
@@ -413,8 +455,11 @@ final class RelationStore(
         Thread.sleep(2L + java.util.concurrent.ThreadLocalRandom.current()
           .nextLong(4L * attempts))
       // heartbeat: a long verify/retry phase must not age the
-      // reservation past the GC horizon
-      scala.util.Try(fs.setTimes(rsvFile(name, n), System.currentTimeMillis(), -1))
+      // reservation past the GC horizon. In-place content rewrite —
+      // supported on every store, and the marker is never absent
+      // mid-refresh (setTimes is unsupported on object stores, and a
+      // tmp+rename refresh would open an exists=false window there)
+      commitCoord.heartbeat(rsvFile(name, n))
       val head = rawHeadVersion(name)
       if (head.exists(_ > n)) {
         // a competitor committed ABOVE our slot: committing below the
@@ -438,7 +483,7 @@ final class RelationStore(
             (n :: priorSlots).foreach(demoteSlot(name, _))
             return None
           case Some((layout, pby, entries)) =>
-            writeManifestCommit(name, n, layout, pby, entries)
+            writeManifestCommit(name, n, layout, pby, entries, base)
             // linearizability check (RAW view): we are the head AND
             // nobody slipped a commit in between our base and our slot —
             // otherwise our carried state is stale (lost update) and
@@ -497,7 +542,13 @@ final class RelationStore(
     * cross-reference into it).
     */
   private[exec] final case class VersionManifest(
-      layout: String, partitionBy: Seq[String], entries: Seq[MEntry])
+      layout: String, partitionBy: Seq[String], entries: Seq[MEntry],
+      /** The committed version this manifest was built against:
+        * Some(-1) for a first commit (no base), Some(n) otherwise, None
+        * for a pre-base manifest — whose orphans are never adopted,
+        * conservatively.
+        */
+      baseVersion: Option[Int] = None)
 
   private def manifestFile(name: String, v: Int): HPath =
     new HPath(verDir(name, v), "_manifest.json")
@@ -556,7 +607,8 @@ final class RelationStore(
         Some(VersionManifest(layout, pby,
           files.lazyZip(sizes).lazyZip(stats).map {
             case (f, sz, fst) => MEntry(f, sz, fst)
-          }.toSeq))
+          }.toSeq,
+          m.get("base").map(x => String.valueOf(x).toDouble.toInt)))
       case _ => None
     }
 
@@ -582,6 +634,35 @@ final class RelationStore(
         }.collect(java.util.stream.Collectors.toList[MEntry]).asScala.toSeq
     }
   }
+
+  /** Per-file stats keyed by file NAME (names survive the delta dir's
+    * tmp→committed rename; paths don't). Parallel footer reads, like
+    * the commit path — bounded by the slowest footer, not the sum.
+    */
+  private def collectStatsByName(files: Seq[FileStatus],
+      sc: StructType): Map[String, FileStats] = {
+    import scala.jdk.CollectionConverters._
+    files.asJava.parallelStream()
+      .map[(String, Option[FileStats])](st =>
+        st.getPath.getName -> FileStats.collect(st, sc, hconf))
+      .collect(java.util.stream.Collectors
+        .toList[(String, Option[FileStats])]).asScala
+      .collect { case (n, Some(fst)) => n -> fst }.toMap
+  }
+
+  /** The `_graft_stats.json` sidecar a delta landing wrote, re-typed
+    * against the fold schema. None ⇒ a pre-sidecar landing.
+    */
+  private def readStatsSidecar(dir: HPath,
+      sc: StructType): Option[Map[String, FileStats]] =
+    scala.util.Try(readStr(new HPath(dir, "_graft_stats.json"))).toOption
+      .flatMap(raw => graft.artifacts.Json.parse(raw) match {
+        case m: Map[String @unchecked, Any @unchecked] =>
+          Some(m.flatMap { case (n, v) =>
+            FileStats.fromJsonValue(v, sc).map(n -> _)
+          })
+        case _ => None
+      })
 
   /** Data-file entries of version `v`: the manifest's for manifest
     * versions, the physical listing for legacy/bucketed dirs — either
@@ -669,7 +750,7 @@ final class RelationStore(
         (Some(v), Nil)
       case None =>
         // reuse the head resolution above instead of re-listing
-        val l = liveDeltaIdsAt(name, currentWatermarkAt(name, cur))
+        val l = liveDeltaIdsAt(name, markAt(name, cur))
         if (cur.isEmpty && l.isEmpty)
           throw new IllegalStateException(s"relation not found: $schema.$name")
         (cur, l)
@@ -793,14 +874,22 @@ final class RelationStore(
             fs.getFileStatus(rsvFile(name, v)).getModificationTime) < tornRetainMs
       ).getOrElse(false) // marker vanished mid-check: a competitor swept it
     // ADOPT a crashed finalize: manifest written + verification passed
-    // but the crash hit before the marker delete. If the orphan sits
-    // exactly where the next commit would go, it IS the next commit —
-    // publish it; a conflicted orphan stays torn and ages into GC.
+    // but the crash hit before the marker delete. Adoption must be
+    // exactly as strict as the verification it replays: the orphan sits
+    // where the next commit would go AND its recorded BASE is the
+    // current head — an orphan built on an older base crashed in the
+    // rename→verify window where verify would have FAILED (a competitor
+    // committed in between), and publishing it would silently lose that
+    // competitor's update. Such an orphan stays torn and ages into GC;
+    // adoption is an optimization, never required for correctness.
     // (Runs before retention accounting so an adopted head is retained.)
     for (v <- physicalVersionDirs(name).sorted
-        if isReserved(name, v) && hasManifest(name, v) && !reservedLive(v))
-      if (v == currentVersion(name).getOrElse(-1) + 1)
+        if isReserved(name, v) && hasManifest(name, v) && !reservedLive(v)) {
+      val cur0 = currentVersion(name)
+      if (v == cur0.getOrElse(-1) + 1 &&
+          manifestOf(name, v).exists(_.baseVersion.contains(cur0.getOrElse(-1))))
         fs.delete(rsvFile(name, v), false)
+    }
     val cur = currentVersion(name).getOrElse(return 0)
     val all = physicalVersionDirs(name)
     val committed = all.filter(v => v <= cur && isCommitted(name, v)).sorted
@@ -813,12 +902,17 @@ final class RelationStore(
         case _ => Nil
       })
     var reclaimed = 0
-    // NEVER gut a manifest-bearing version above this pass's head
-    // snapshot: it is a commit that landed while we were sweeping — a
-    // competitor's fresh head, not a torn leftover. (Its own retention
-    // is the NEXT pass's job, when it is below that pass's head.)
+    // NEVER gut a PUBLISHED manifest above this pass's head snapshot
+    // (manifest, marker gone): it is a commit that landed while we were
+    // sweeping — a competitor's fresh head, not a torn leftover. (Its
+    // own retention is the NEXT pass's job, when it is below that
+    // pass's head.) A manifest still UNDER a marker above the head is
+    // different: young markers are protected by reservedLive (a commit
+    // mid-verification), but a STALE one is a crashed finalize that
+    // just failed adoption (conflicted base) — it ages into GC here,
+    // demoting to a gutted pool like any other torn leftover.
     for (v <- all if !retained.contains(v) && !reservedLive(v) &&
-        !(v > cur && hasManifest(name, v))) {
+        !(v > cur && hasManifest(name, v) && !isReserved(name, v))) {
       val dir = verDir(name, v)
       // torn (> head) and expired-committed dirs both count as
       // reclaimed versions; an already-gutted data pool does not
@@ -836,8 +930,9 @@ final class RelationStore(
       try {
         if (fsExists(dir) && !fsExists(new HPath(dir, "_gutted")))
           writeStr(new HPath(dir, "_gutted"), "")
-        Seq("_manifest.json", "_graft_schema.json", "_delta_watermark", "_graft_batch",
-          "_SUCCESS").foreach(m => fs.delete(new HPath(dir, m), false))
+        Seq("_manifest.json", "_graft_schema.json", "_delta_watermark",
+          "_delta_absorbed", "_graft_batch", "_SUCCESS")
+          .foreach(m => fs.delete(new HPath(dir, m), false))
         dataFilesUnder(dir).foreach { st =>
           if (!referenced.contains(relTo(td, st.getPath))) fs.delete(st.getPath, false)
         }
@@ -855,12 +950,14 @@ final class RelationStore(
           fs.delete(st.getPath, false)
       }
     }
-    // absorbed deltas (id ≤ watermark) are reclaimable only when no
-    // retained manifest references a file inside them
-    val wm = currentWatermark(name)
+    // absorbed deltas (id ≤ watermark, or in the above-gap absorbed
+    // set) are reclaimable only when no retained manifest references a
+    // file inside them
+    val mark = currentMark(name)
     listNames(deltaRoot(name)).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith("b") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong <= wm &&
+      if (n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
+        mark.absorbed(n.drop(1).toLong) &&
         !referenced.exists(_.startsWith(s"delta/$n/")))
         deleteRec(st.getPath)
     }
@@ -897,32 +994,50 @@ final class RelationStore(
   def landedBatchIds(name: String): Seq[Long] = liveDeltaIds(name)
 
   private def liveDeltaIds(name: String): Seq[Long] =
-    liveDeltaIdsAt(name, currentWatermark(name))
+    liveDeltaIdsAt(name, currentMark(name))
 
-  /** [[liveDeltaIds]] against an already-resolved watermark — callers
-    * that hold a head resolution avoid re-listing the table dir (the
-    * manifest-based head costs one listing + per-version probes, so
-    * hot paths resolve once and thread it through).
+  /** [[liveDeltaIds]] against an already-resolved absorption mark —
+    * callers that hold a head resolution avoid re-listing the table dir
+    * (the manifest-based head costs one listing + per-version probes,
+    * so hot paths resolve once and thread it through).
     */
-  private def liveDeltaIdsAt(name: String, wm: Long): Seq[Long] =
+  private def liveDeltaIdsAt(name: String, mark: DeltaMark): Seq[Long] =
     listNames(deltaRoot(name)).flatMap { st =>
       val f = st.getPath.getName
-      if (f.startsWith("b") && f.drop(1).forall(_.isDigit) && f.drop(1).toLong > wm)
+      if (f.startsWith("b") && f.drop(1).forall(_.isDigit) &&
+          !mark.absorbed(f.drop(1).toLong))
         Some(f.drop(1).toLong)
       else None
     }.sorted
 
-  /** Highest batch id absorbed into (or invalidated by) the current base
-    * version; -1 when no base or the base predates any landing.
+  /** Delta-absorption state of a base version. `wm` is the watermark:
+    * every id ≤ wm is absorbed (and, the replay-guard contract, was
+    * genuinely landed — the watermark never rises over an id that never
+    * landed). `above` is the explicit set of absorbed ids ABOVE the
+    * watermark: with two producers interleaving ids, one stalling
+    * leaves a permanent GAP in the landed sequence, and without the
+    * set, folds could absorb nothing past it forever (unbounded live
+    * deltas + per-fold abort churn) — the set lets a fold absorb the
+    * tail beyond the gap while the gap id itself stays landable.
     */
-  private def currentWatermark(name: String): Long =
-    currentWatermarkAt(name, currentVersion(name))
+  private final case class DeltaMark(wm: Long, above: Set[Long]) {
+    def absorbed(id: Long): Boolean = id <= wm || above(id)
+    def maxAbsorbed: Long = (wm +: above.toSeq).max
+  }
 
-  private def currentWatermarkAt(name: String, cur: Option[Int]): Long =
+  private def currentMark(name: String): DeltaMark =
+    markAt(name, currentVersion(name))
+
+  private def markAt(name: String, cur: Option[Int]): DeltaMark =
     cur.map { v =>
-      val f = new HPath(verDir(name, v), "_delta_watermark")
-      scala.util.Try(readStr(f).trim.toLong).getOrElse(-1L)
-    }.getOrElse(-1L)
+      val d = verDir(name, v)
+      val wm = scala.util.Try(
+        readStr(new HPath(d, "_delta_watermark")).trim.toLong).getOrElse(-1L)
+      val above = scala.util.Try(readStr(new HPath(d, "_delta_absorbed")).trim)
+        .toOption.filter(_.nonEmpty)
+        .map(_.split(',').map(_.toLong).toSet).getOrElse(Set.empty[Long])
+      DeltaMark(wm, above)
+    }.getOrElse(DeltaMark(-1L, Set.empty))
 
   /** Whether `batchId` has already been durably landed (committed delta
     * dir, or absorbed below the base watermark). The replay guard:
@@ -931,7 +1046,7 @@ final class RelationStore(
     * and [[appendDelta]] skips it.
     */
   def batchLanded(name: String, batchId: Long): Boolean =
-    batchId <= currentWatermark(name) || fsExists(deltaDirOf(name, batchId))
+    currentMark(name).absorbed(batchId) || fsExists(deltaDirOf(name, batchId))
 
   /** Land one micro-batch as an immutable delta directory. Returns false
     * (and evaluates NOTHING — `df` stays lazy) when `batchId` already
@@ -966,11 +1081,28 @@ final class RelationStore(
       s".tmp_b${batchId}_${java.util.UUID.randomUUID().toString.take(8)}")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     writeStr(new HPath(tmp, "_graft_schema.json"), df.schema.json)
+    // per-file column stats are collected ONCE, here at landing time —
+    // the landing just wrote these files, and the parallel footer fetch
+    // rides the same metadata path as the commit's. The fold then reads
+    // this sidecar instead of re-opening footers serially per delta
+    // (fold latency would otherwise grow linearly in landed deltas on
+    // an object store). The sidecar renames into place atomically WITH
+    // the delta dir, so a committed delta always has its stats.
+    writeStr(new HPath(tmp, "_graft_stats.json"), graft.artifacts.Json.write(
+      collectStatsByName(dataFilesIn(tmp), df.schema)
+        .map { case (n, fst) => n -> FileStats.toJsonValue(fst) }))
     try fctx.rename(tmp, deltaDirOf(name, batchId))
     catch {
-      case _: java.io.IOException =>
+      case e: java.io.IOException =>
         deleteRec(tmp)
-        return false // concurrent replay landed this batch first
+        // a rename refusal reads as "concurrent replay landed first"
+        // ONLY when the landed dir is actually there — a transient
+        // filesystem failure must rethrow so the stream fails and
+        // REPLAYS the epoch (foreachBatch commits the epoch on a false
+        // return, so swallowing a hiccup here would drop the batch
+        // permanently)
+        if (fsExists(deltaDirOf(name, batchId))) return false
+        throw e
     }
     registerView(name)
     if (liveDeltaIds(name).size >= math.max(2, deltaFoldEvery)) {
@@ -1004,41 +1136,50 @@ final class RelationStore(
       // fold already absorbed some deltas into the base entries, and
       // re-listing those as live would duplicate their files in the
       // manifest
-      val baseWm = currentWatermarkAt(name, base)
-      val liveAll = liveDeltaIdsAt(name, baseWm)
-      // absorb only the DENSE id prefix: `absorbed ⇔ id ≤ watermark` is
-      // the replay guard's contract, so a GAP in the landed ids (two
-      // producers interleaving ids, an out-of-order arrival racing this
-      // fold) must stall the watermark — raising it over the gap would
-      // make the late landing read as already-landed and silently
-      // swallow its batch. The tail above the gap stays live until the
-      // gap fills; the next fold absorbs it.
-      val denseWm = {
-        val landed = liveAll.toSet
-        var w = baseWm
-        while (landed.contains(w + 1)) w += 1
-        w
-      }
-      val live = liveAll.filter(_ <= denseWm)
-      if (live.isEmpty) None // superseded mid-flight or gapped: no-op
+      val baseMark = markAt(name, base)
+      val live = liveDeltaIdsAt(name, baseMark)
+      if (live.isEmpty) None // superseded mid-flight: no-op
       else {
+        // absorb EVERY live id. The watermark advances only over the
+        // dense prefix of absorbed ids (`id ≤ wm ⇒ landed` is the
+        // replay guard's contract — raising it over a GAP in the landed
+        // sequence would make the gap id's late landing read as
+        // already-landed and silently swallow its batch); absorbed ids
+        // beyond a gap are recorded explicitly in `_delta_absorbed`, so
+        // one stalled producer never wedges folding for the other
+        // (before the set, every fold past a gap was a no-op — version
+        // churn plus unboundedly growing live-delta listings).
+        val absorbedAll = baseMark.above ++ live
+        var w = baseMark.wm
+        while (absorbedAll.contains(w + 1)) w += 1
+        val above = absorbedAll.filter(_ > w)
         val prevEntries = base.toSeq.flatMap(v => versionEntries(name, v))
         val schemaSrc = (base.map(verDir(name, _)).toSeq ++ live.map(deltaDirOf(name, _)))
           .map(d => new HPath(d, "_graft_schema.json")).find(fsExists)
         val foldSchema = schemaSrc.map(s =>
           org.apache.spark.sql.types.DataType.fromJson(readStr(s)).asInstanceOf[StructType])
-        // delta files gain their column stats HERE (one footer read
-        // each, once per file's lifetime) — the fold still writes zero
-        // data bytes
+        // delta files carry the column stats their LANDING collected
+        // (the `_graft_stats.json` sidecar) into the manifest — the
+        // fold reads one tiny sidecar per delta and ZERO parquet
+        // footers, and still writes zero data bytes. Pre-sidecar deltas
+        // (older landings) fall back to a one-time footer read.
         val deltaEntries = live.flatMap { id =>
-          dataFilesIn(deltaDirOf(name, id)).map { st =>
-            MEntry(relTo(tableDir(name), st.getPath), st.getLen,
-              foldSchema.flatMap(sc => FileStats.collect(st, sc, hconf)))
+          val dir = deltaDirOf(name, id)
+          val sidecar = foldSchema.flatMap(sc => readStatsSidecar(dir, sc))
+          dataFilesIn(dir).map { st =>
+            val stats = sidecar match {
+              case Some(m) => m.get(st.getPath.getName) // absent ⇒ unknown, never skipped
+              case None => foldSchema.flatMap(sc => FileStats.collect(st, sc, hconf))
+            }
+            MEntry(relTo(tableDir(name), st.getPath), st.getLen, stats)
           }
         }
         schemaSrc.foreach(s =>
           writeStr(new HPath(verDir(name, n), "_graft_schema.json"), readStr(s)))
-        writeStr(new HPath(verDir(name, n), "_delta_watermark"), live.max.toString)
+        writeStr(new HPath(verDir(name, n), "_delta_watermark"), w.toString)
+        if (above.nonEmpty)
+          writeStr(new HPath(verDir(name, n), "_delta_absorbed"),
+            above.toSeq.sorted.mkString(","))
         folded = live.size
         // belt-and-braces: never list one physical file twice even if
         // a future base/watermark skew slips through
@@ -1101,8 +1242,13 @@ final class RelationStore(
       // (against the BASE watermark, raw view: see foldDeltas) so a
       // delta landing concurrently with a slow commit still gets
       // superseded rather than unioned onto the replaced content
-      val baseWm = currentWatermarkAt(name, base)
-      val supersededWm = (baseWm +: liveDeltaIdsAt(name, baseWm): Seq[Long]).max
+      val baseMark = markAt(name, base)
+      // a single watermark (no absorbed set) is right here: a full
+      // write supersedes EVERYTHING at or below it — including a gap
+      // id's late landing, which would be stale against the replaced
+      // content (the documented supersede semantics)
+      val supersededWm =
+        (baseMark.maxAbsorbed +: liveDeltaIdsAt(name, baseMark): Seq[Long]).max
       if (supersededWm >= 0)
         writeStr(new HPath(verDir(name, n), "_delta_watermark"), supersededWm.toString)
       Some((layout, partitionBy, entries))
@@ -1155,8 +1301,9 @@ final class RelationStore(
       else {
         // bucketed CTAS refuses re-slots, so the base is whatever the
         // published head says; supersede every delta live against it
-        val headWm = currentWatermark(name)
-        val supersededWm = (headWm +: liveDeltaIdsAt(name, headWm): Seq[Long]).max
+        val headMark = currentMark(name)
+        val supersededWm =
+          (headMark.maxAbsorbed +: liveDeltaIdsAt(name, headMark): Seq[Long]).max
         if (supersededWm >= 0)
           writeStr(new HPath(verDir(name, n), "_delta_watermark"), supersededWm.toString)
         Some(("bucketed", Nil, Nil))
@@ -1412,7 +1559,17 @@ final class RelationStore(
     * @return number of partitions rewritten (0 ⇒ no new version;
     *         flat layouts count as one partition)
     */
-  def compact(name: String, targetBytes: Long = 128L << 20): Int = {
+  def compact(name: String, targetBytes: Long = 128L << 20,
+      /** Columns the rewrite clusters by (the Delta `OPTIMIZE … ZORDER
+        * BY` shape): ONE column ⇒ range-partition + sort (sharpest
+        * single-dimension skipping); TWO OR MORE ⇒ Morton-interleave
+        * the first two, so file min/max envelopes stay tight in BOTH
+        * dimensions — a single-column sort makes skipping on the
+        * second predicate column strictly WORSE after compaction
+        * (every output file spans its full range). Empty ⇒ the leading
+        * stats-indexed column (the default single-dimension policy).
+        */
+      clusterColumns: Seq[String] = Nil): Int = {
     require(!isView(name), s"cannot compact view $schema.$name")
     require(!isBucketed(name),
       s"cannot compact bucketed relation $schema.$name — rewrite via its model instead")
@@ -1431,12 +1588,13 @@ final class RelationStore(
         // legacy manifests/dirs: derive the partition columns from a
         // leaf key's `col=` names (order preserved by the path)
         entries.head.leafKey.split('/').toSeq.map(_.takeWhile(_ != '=')))
-      compactPartitioned(name, cur, pby, entries, targetBytes)
-    } else compactFlat(name, cur, entries, targetBytes)
+      compactPartitioned(name, cur, pby, entries, targetBytes, clusterColumns)
+    } else compactFlat(name, cur, entries, targetBytes, clusterColumns)
   }
 
   private def compactFlat(
-      name: String, cur: Int, entries: Seq[MEntry], targetBytes: Long): Int = {
+      name: String, cur: Int, entries: Seq[MEntry], targetBytes: Long,
+      clusterColumns: Seq[String]): Int = {
     val td = tableDir(name)
     val sized = entries.map(e =>
       if (e.size >= 0) e
@@ -1458,7 +1616,8 @@ final class RelationStore(
     // each output file covers a NARROW value range — data skipping gets
     // sharper as the table ages instead of degrading (shuffle cost is
     // bounded by the under-sized files being rewritten anyway)
-    try clusterBy(packed, ideal.toInt).write.mode(SaveMode.Overwrite).parquet(dest.toString)
+    try clusterBy(packed, ideal.toInt, clusterColumns)
+      .write.mode(SaveMode.Overwrite).parquet(dest.toString)
     catch { case e: Throwable => releaseSlot(name, slot); throw e }
     carryVersionMeta(name, cur, slot)
     val outEntries = big ++ physicalEntries(name, slot, statsSchema = storedSchemaOf(name))
@@ -1469,23 +1628,82 @@ final class RelationStore(
     }).fold(0) { _ => compactedBytes.addAndGet(smallBytes); 1 }
   }
 
-  /** Cluster a compaction rewrite by its leading stats-indexed column:
-    * range-partition into `n` outputs (each covering a disjoint value
-    * range) and sort inside each, so both file-level min/max skipping
-    * and parquet row-group pruning stay selective. No indexed column ⇒
-    * plain coalesce.
+  /** Cluster a compaction rewrite so the output files' min/max
+    * envelopes stay selective.
+    *
+    * ONE cluster column (explicit, or the leading stats-indexed column
+    * by default): range-partition into `n` outputs — each file covers a
+    * disjoint value range, the sharpest single-dimension layout for
+    * both file-level skipping and parquet row-group pruning.
+    *
+    * TWO cluster columns: Morton-interleave their normalized positions
+    * (the Delta OPTIMIZE ZORDER shape; the same [[graft.operators
+    * .ScaleOps.zValue]] kernel as the q_zorder_layout operator). A
+    * fixed Z-prefix is a RECTANGLE of the two-dimensional key space, so
+    * each range-partitioned output file gets a tight envelope in BOTH
+    * dimensions — where a single-column sort makes every file span the
+    * second column's full range, i.e. skipping on the second predicate
+    * column gets strictly worse as the table compacts. Positions are
+    * computed from one metadata-sized bounds aggregate broadcast to
+    * every row; normalization is positional only (it shapes the
+    * layout, never the data), so the double arithmetic is exact
+    * enough for any orderable type.
     */
-  private def clusterBy(df: DataFrame, n: Int): DataFrame =
-    FileStats.indexedColumns(df.schema).headOption match {
+  private def clusterBy(df: DataFrame, n: Int, clusterColumns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // a cluster position: the column as an order-preserving number
+    // (strings have no bounded numeric position — not Z-orderable)
+    def zpos(f: org.apache.spark.sql.types.StructField): Option[org.apache.spark.sql.Column] =
+      f.dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.BooleanType =>
+          Some(col(f.name).cast("long").cast("double"))
+        case org.apache.spark.sql.types.DateType => Some(unix_date(col(f.name)).cast("double"))
+        case org.apache.spark.sql.types.TimestampType => Some(unix_micros(col(f.name)).cast("double"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          Some(col(f.name).cast("timestamp_ltz").cast("long").cast("double"))
+        case _: org.apache.spark.sql.types.DecimalType => Some(col(f.name).cast("double"))
+        case _ => None
+      }
+    val chosen: Seq[org.apache.spark.sql.types.StructField] =
+      if (clusterColumns.nonEmpty) clusterColumns.map { c =>
+        df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"cluster column '$c' not in schema ${df.columns.mkString(", ")}"))
+      }
+      else FileStats.indexedColumns(df.schema).headOption.toSeq
+    val zorderable = chosen.filter(f => zpos(f).isDefined)
+    if (chosen.size >= 2 && zorderable.size >= 2) {
+      val Seq(fa, fb) = zorderable.take(2)
+      val (pa, pb) = (zpos(fa).get, zpos(fb).get)
+      val bounds = df.agg(min(pa).as("__mna"), max(pa).as("__mxa"),
+        min(pb).as("__mnb"), max(pb).as("__mxb"))
+      val gmax = (1L << graft.operators.ScaleOps.ZorderBits) - 1L
+      def grid(p: org.apache.spark.sql.Column, mn: String, mx: String) =
+        coalesce(
+          when(col(mx) > col(mn),
+            least(floor((p - col(mn)) / (col(mx) - col(mn)) * gmax), lit(gmax)))
+            .otherwise(lit(0L)).cast("long"),
+          lit(0L)) // null positions cluster at the origin
+      val withZ = df.crossJoin(broadcast(bounds))
+        .withColumn("__zc", graft.operators.ScaleOps.zValue(
+          grid(pa, "__mna", "__mxa"), grid(pb, "__mnb", "__mxb")))
+      val z = col("__zc")
+      (if (n > 1) withZ.repartitionByRange(n, z) else withZ.coalesce(1))
+        .sortWithinPartitions(z)
+        .select(df.columns.map(col): _*)
+    } else chosen.headOption match {
       case Some(f) =>
-        val c = org.apache.spark.sql.functions.col(f.name)
+        val c = col(f.name)
         if (n > 1) df.repartitionByRange(n, c).sortWithinPartitions(c)
         else df.coalesce(1).sortWithinPartitions(c)
       case None => df.coalesce(n)
     }
+  }
 
   private def compactPartitioned(name: String, cur: Int, partitionBy: Seq[String],
-      entries: Seq[MEntry], targetBytes: Long): Int = {
+      entries: Seq[MEntry], targetBytes: Long, clusterColumns: Seq[String]): Int = {
     val td = tableDir(name)
     val sized = entries.map(e =>
       if (e.size >= 0) e
@@ -1506,8 +1724,10 @@ final class RelationStore(
         // leaf files exclude partition columns, so a per-leaf round-trip
         // preserves the written data schema exactly; the rewritten files
         // land under the SAME `col=value` leaf path in the new version
+        // partition columns live in the leaf path, not the data files —
+        // they can't cluster the in-file layout
         clusterBy(spark.read.parquet(es.map(e => new HPath(td, e.rel).toString): _*),
-          ideal.toInt)
+          ideal.toInt, clusterColumns.filterNot(partitionBy.contains))
           .write.mode(SaveMode.Overwrite).parquet(new HPath(dest, leaf).toString)
         rewrittenBytes += bytes
       }
@@ -1526,7 +1746,8 @@ final class RelationStore(
     * forward unchanged (live deltas stay live, absorbed stay absorbed).
     */
   private def carryVersionMeta(name: String, from: Int, to: Int): Unit =
-    Seq("_graft_schema.json", "_delta_watermark", "_graft_batch").foreach { meta =>
+    Seq("_graft_schema.json", "_delta_watermark", "_delta_absorbed",
+      "_graft_batch").foreach { meta =>
       val f = new HPath(verDir(name, from), meta)
       if (fsExists(f)) writeStr(new HPath(verDir(name, to), meta), readStr(f))
     }

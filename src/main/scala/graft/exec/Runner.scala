@@ -315,8 +315,21 @@ final class Runner(
     // stuck node's jobs are cancelable by group. Thread-local, so
     // concurrent workers don't clobber each other.
     spark.sparkContext.setJobGroup(id, queryCommentFor(id), interruptOnCancel = false)
+    // snapshot the manifest-scan counters so this node's run_results can
+    // report skipping effectiveness (files/bytes considered vs opened
+    // across its input scans). Deltas are exact under single-threaded
+    // scheduling; with concurrent workers a competitor's planning may
+    // attribute here — totals across the run stay exact either way.
+    val (fc0, fo0, bc0, bo0) = graft.exec.ManifestFileIndex.scanCounters()
+    def scanStats(): Map[String, Long] = {
+      val (fc, fo, bc, bo) = graft.exec.ManifestFileIndex.scanCounters()
+      if (fc == fc0) Map.empty // no manifest-backed scan planned
+      else Map(
+        "files_considered" -> (fc - fc0), "files_opened" -> (fo - fo0),
+        "bytes_considered" -> (bc - bc0), "bytes_opened" -> (bo - bo0))
+    }
     try {
-      node match {
+      val r = node match {
         case m: ModelNode => runModel(m)
         case s: SeedNode =>
           hooksAround(s)(materializer.seed(s)); RunResult(id, "success", elapsed, "SEED")
@@ -325,6 +338,7 @@ final class Runner(
         case u: UnitTestNode => runUnitTest(u)
         case other => RunResult(id, "success", elapsed, s"noop ${other.resourceType.name}")
       }
+      r.copy(adapterResponse = r.adapterResponse ++ scanStats())
     } catch {
       case e: Exception =>
         RunResult(id, "error", elapsed, Option(e.getMessage).getOrElse(e.toString).take(500))

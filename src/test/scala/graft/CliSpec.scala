@@ -440,4 +440,26 @@ class CliSpec extends AnyFunSuite {
     val q = SimilarityOps.simIvfPqTopKPersisted(spark, "/root/testdata/sf0.001", idx)
     assert(q.count() > 0)
   }
+
+  test("recall verb defaults to the sampled ground truth; --full opts into exact") {
+    val dir = Files.createTempDirectory("cli_recall").toString
+    // default: sampled — the scale-safe path nobody has to opt into
+    val (c0, out0) = run("recall", dir, Map("data" -> "/root/testdata/sf0.001"))
+    assert(c0 == 0, out0)
+    assert(out0.contains("recall_ppm") && out0.contains("theory_ppm"), out0)
+    assert(out0.contains("sampled pct=50 seed=42"), out0)
+    // parameterized sample replays deterministically
+    val (c1, out1) = run("recall", dir,
+      Map("data" -> "/root/testdata/sf0.001", "pct" -> "30", "seed" -> "7"))
+    assert(c1 == 0 && out1.contains("sampled pct=30 seed=7"), out1)
+    val (c2, out2) = run("recall", dir,
+      Map("data" -> "/root/testdata/sf0.001", "pct" -> "30", "seed" -> "7"))
+    assert(out1 == out2, "seeded sampling must replay identically")
+    // --full: the exact all-pairs ground truth, explicitly opted into
+    val (c3, out3) = run("recall", dir,
+      Map("data" -> "/root/testdata/sf0.001", "full" -> ""))
+    assert(c3 == 0 && out3.contains("full ground truth"), out3)
+    // --data is required
+    intercept[IllegalArgumentException](run("recall", dir))
+  }
 }

@@ -166,6 +166,157 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sweeper.read("t").collect().map(_.getString(1)).toSeq == Seq("b"))
   }
 
+  test("fold absorbs past a gap in landed ids; the gap id still lands later") {
+    val root = newRoot()
+    val store = new RelationStore(spark, root, deltaFoldEvery = 3)
+    // two producers with interleaved ids: the even producer stalled
+    // before landing id 2, the others landed 0, 1, 3
+    Seq(0L, 1L, 3L).foreach(i => store.appendDelta(df(Seq((i, s"x$i"))), "t", i))
+    // the third landing triggered a fold: ALL THREE absorbed — the tail
+    // beyond the gap goes into the absorbed set instead of staying live
+    // forever (pre-set behavior: id 3 could never fold while 2 was open)
+    assert(store.landedBatchIds("t").isEmpty,
+      s"stranded live deltas: ${store.landedBatchIds("t")}")
+    assert(store.read("t").count() == 3)
+    assert(store.batchLanded("t", 3L), "absorbed-above-gap id must read as landed")
+    assert(!store.batchLanded("t", 2L), "the gap id must stay landable")
+    // the stalled producer finally lands the gap id — accepted as new
+    assert(store.appendDelta(df(Seq((2L, "x2"))), "t", 2L))
+    assert(store.read("t").count() == 4)
+    // a replay of the absorbed tail still skips (no double-append)
+    assert(!store.appendDelta(df(Seq((3L, "dup"))), "t", 3L))
+    // the next fold absorbs the gap id and the watermark catches up
+    store.foldDeltas("t")
+    assert(store.landedBatchIds("t").isEmpty)
+    assert(store.read("t").collect().map(_.getLong(0)).sorted.toSeq == (0L to 3L))
+    assert((0L to 3L).forall(store.batchLanded("t", _)))
+  }
+
+  test("crashed finalize is adopted only when its recorded base is still the head") {
+    val root = newRoot()
+    val store = new RelationStore(spark, root, tornRetainMs = 0L)
+    store.write(df(Seq((1L, "A"))), "t") // v0
+    store.write(df(Seq((2L, "B"))), "t") // v1 (base 0)
+    store.write(df(Seq((3L, "C"))), "t") // v2 (base 1)
+    val td = new HPath(s"$root/main/t")
+    val fs = td.getFileSystem(spark.sessionState.newHadoopConf())
+    def plantCrashAtV2(): Unit = {
+      // the "verify passed, crash before marker delete" window: manifest
+      // in place, reservation marker back, pointer still at the old head
+      val o = fs.create(new HPath(td, "_rsv_v2"), true)
+      o.write("crashed".getBytes); o.close()
+      val p = fs.create(new HPath(td, "_current"), true)
+      p.write("1".getBytes); p.close()
+    }
+    plantCrashAtV2()
+    // readers must NOT resolve the unpublished orphan
+    assert(new RelationStore(spark, root).read("t").first().getString(1) == "B")
+    // GC adopts: the orphan sits at head+1 AND records base 1 == head
+    store.vacuum("t", keepLast = 10)
+    assert(!fs.exists(new HPath(td, "_rsv_v2")), "matching-base orphan must be adopted")
+    assert(new RelationStore(spark, root).read("t").first().getString(1) == "C")
+  }
+
+  test("crashed finalize with a conflicted base is demoted, never adopted") {
+    val root = newRoot()
+    val store = new RelationStore(spark, root, tornRetainMs = 0L)
+    store.write(df(Seq((1L, "A"))), "t") // v0
+    store.write(df(Seq((2L, "B"))), "t") // v1 (base 0) — the committed head
+    store.write(df(Seq((3L, "C"))), "t") // v2 (base 1)
+    val td = new HPath(s"$root/main/t")
+    val fs = td.getFileSystem(spark.sessionState.newHadoopConf())
+    // plant the ADVICE scenario: the v2 writer actually built on v0 and
+    // never saw v1's commit (its verify would have FAILED); it crashed
+    // in the rename→verify window — rewrite v2's recorded base to 0
+    val mf = new HPath(td, "v2/_manifest.json")
+    val raw = {
+      val in = fs.open(mf)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    assert(raw.contains("\"base\":1"), raw.take(200))
+    val out = fs.create(mf, true)
+    out.write(raw.replace("\"base\":1", "\"base\":0").getBytes); out.close()
+    val o = fs.create(new HPath(td, "_rsv_v2"), true)
+    o.write("crashed".getBytes); o.close()
+    val p = fs.create(new HPath(td, "_current"), true)
+    p.write("1".getBytes); p.close()
+    // adoption must refuse (publishing would silently lose v1 = B), and
+    // the stale orphan demotes into GC instead of leaking forever
+    store.vacuum("t", keepLast = 10)
+    val after = new RelationStore(spark, root)
+    assert(after.read("t").first().getString(1) == "B",
+      "conflicted orphan must never resurrect over the committed head")
+    assert(!after.versions("t").contains(2), s"orphan leaked: ${after.versions("t")}")
+    assert(!fs.exists(mf), "demoted orphan keeps no manifest")
+  }
+
+  test("stores without atomic create-no-overwrite refuse concurrent-writer commits") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.mockobj.impl", classOf[MockObjectStoreFs].getName)
+    hc.set("fs.AbstractFileSystem.mockobj.impl",
+      classOf[MockObjectStoreAbstractFs].getName)
+    val root = "mockobj://" + newRoot()
+    // default (concurrent-writer) mode: the first commit refuses with a
+    // capability error that NAMES the problem and the ways out
+    val occ = new RelationStore(spark, root)
+    val e = intercept[IllegalStateException](occ.write(df(Seq((1L, "a"))), "t"))
+    assert(e.getMessage.contains("create-no-overwrite") &&
+      e.getMessage.contains("mockobj") &&
+      e.getMessage.contains("concurrentWriters=false") &&
+      e.getMessage.contains("CommitCoordinator"), e.getMessage)
+    // single-writer mode works end-to-end on the very same root:
+    // commit, overwrite, fold-free read-back, time travel
+    val single = new RelationStore(spark, root, concurrentWriters = false)
+    single.write(df(Seq((1L, "a"))), "t")
+    single.write(df(Seq((2L, "b"))), "t")
+    assert(single.read("t").collect().map(_.getString(1)).toSeq == Seq("b"))
+    val fresh = new RelationStore(spark, root, concurrentWriters = false)
+    assert(fresh.versions("t").size == 2)
+    assert(fresh.read("t", Some(fresh.versions("t").head))
+      .first().getString(1) == "a")
+    // an external coordinator that DECLARES atomicity re-enables
+    // concurrent-writer mode on the same scheme (the pluggable seam)
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val ext = new graft.exec.CommitCoordinator {
+      val inner = graft.exec.CommitCoordinator.forStore(fs,
+        org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri,
+          spark.sessionState.newHadoopConf()))
+      override def atomicReservation = true // e.g. DynamoDB-backed
+      override def describe = "test lock service"
+      override def reserve(m: HPath, t: String) = inner.reserve(m, t)
+      override def heartbeat(m: HPath) = inner.heartbeat(m)
+    }
+    val withExt = new RelationStore(spark, root, coordinator = Some(ext))
+    withExt.write(df(Seq((3L, "c"))), "t")
+    assert(withExt.read("t").first().getString(1) == "c")
+  }
+
+  test("reservation heartbeat rewrites the marker in place — never an absent instant") {
+    val root = newRoot()
+    val p = new HPath(s"$root/_rsv_v1")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    val coord = graft.exec.CommitCoordinator.forStore(fs,
+      org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf))
+    assert(coord.atomicReservation, "local FS coordinator must declare atomicity")
+    assert(coord.reserve(p, "tok1"))
+    assert(!coord.reserve(p, "tok2"), "second reserve of one slot must lose")
+    def content(): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    assert(content() == "tok1")
+    val before = fs.getFileStatus(p).getModificationTime
+    Thread.sleep(20)
+    coord.heartbeat(p)
+    // liveness clock advanced via CONTENT rewrite (works on stores
+    // where setTimes throws), marker still present and still reserved
+    assert(fs.exists(p))
+    assert(content() != "tok1", "heartbeat must rewrite the marker content")
+    assert(fs.getFileStatus(p).getModificationTime >= before)
+    assert(!coord.reserve(p, "tok3"))
+  }
+
   test("contended many-writer burst settles into a linear readable chain") {
     val root = newRoot()
     val writers = (0 until 4).map(_ => new RelationStore(spark, root))

@@ -2260,4 +2260,45 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[IllegalArgumentException] { ProjectLoader.load(d.toString) }
     assert(e.getMessage.contains("cannot contain spaces"), e.getMessage)
   }
+
+  test("run_results surfaces skipping effectiveness: files considered vs opened") {
+    val d = Files.createTempDirectory("graft_skipobs")
+    def w(rel: String, c: String): Unit = {
+      val p = d.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    w("dbt_project.yml", "name: skipobs\n")
+    // a range-clustered base table (4 id-disjoint files) and a
+    // planted-selective downstream point lookup over it
+    w("models/base.sql",
+      """{{ config(materialized='table') }}
+        |SELECT /*+ REPARTITION_BY_RANGE(4, id) */ id, id * 2 AS v
+        |FROM range(400)""".stripMargin)
+    w("models/lookup.sql",
+      """{{ config(materialized='table') }}
+        |SELECT id, v FROM {{ ref('base') }} WHERE id = 7""".stripMargin)
+    val st = new RelationStore(spark, d.resolve("wh").toString)
+    val pr = ProjectLoader.resolveRefs(ProjectLoader.load(d.toString))
+    val rs = new Runner(spark, pr, st,
+      RunOptions(cmd = "run", threads = 1,
+        targetDir = d.resolve("target").toString)).execute()
+    assert(rs.forall(_.status == "success"), rs.mkString("\n"))
+    val look = rs.find(_.uniqueId.endsWith(".lookup")).get
+    assert(look.adapterResponse.get("files_considered").contains(4L),
+      look.adapterResponse.toString)
+    assert(look.adapterResponse.get("files_opened").contains(1L),
+      "the point lookup must OPEN only the one id-overlapping file: " +
+        look.adapterResponse.toString)
+    assert(look.adapterResponse("bytes_opened") < look.adapterResponse("bytes_considered"))
+    // and the numbers land in the run_results artifact itself
+    val raw = Files.readString(d.resolve("target/run_results.json"))
+    val parsed = graft.artifacts.Json.parse(raw)
+      .asInstanceOf[Map[String, Any]]("results").asInstanceOf[List[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+      .find(_("unique_id").toString.endsWith(".lookup")).get
+    val ar = parsed("adapter_response").asInstanceOf[Map[String, Any]]
+    assert(ar("files_considered").toString.toDouble.toLong == 4L, raw.take(400))
+    assert(ar("files_opened").toString.toDouble.toLong == 1L)
+    // answer unchanged by skipping
+    assert(st.read("lookup").collect().map(_.getLong(1)).toSeq == Seq(14L))
+  }
 }

@@ -132,6 +132,68 @@ class ManifestIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.count() == 300)
   }
 
+  test("decimal column stats: skipping works on the warehouse measure type") {
+    val ss = spark
+    import ss.implicits._
+    val store = new graft.exec.RelationStore(spark,
+      java.nio.file.Files.createTempDirectory("skipd_wh").toString)
+    // TPC-H-shaped measures: DECIMAL(12,2) (INT64-encoded) and a
+    // >18-precision DECIMAL(22,4) (fixed-len-byte-array-encoded), both
+    // range-correlated with the clustering column
+    val data = (0L until 400L).map(i => (i, s"r$i")).toDF("id", "v")
+      .withColumn("qty", expr("CAST(id AS DECIMAL(12,2)) + 0.25"))
+      .withColumn("price", expr("CAST(id AS DECIMAL(22,4)) * 1000 + 0.5"))
+      .repartitionByRange(4, col("id"))
+    store.write(data, "t_dec")
+    val t = store.read("t_dec")
+    assert(t.inputFiles.length == 4)
+    // q6's shape — a range predicate on a decimal measure — opens only
+    // the overlapping file
+    assert(filesOpened(t.filter(expr("qty < CAST(24 AS DECIMAL(12,2))"))) == 1)
+    assert(t.filter(expr("qty < CAST(24 AS DECIMAL(12,2))")).count() == 24)
+    // point lookup on the INT64-encoded decimal
+    assert(filesOpened(t.filter(expr("qty = CAST(307.25 AS DECIMAL(12,2))"))) == 1)
+    assert(t.filter(expr("qty = CAST(307.25 AS DECIMAL(12,2))")).count() == 1)
+    // range on the FLBA-encoded high-precision decimal
+    assert(filesOpened(t.filter(expr("price >= CAST(350000 AS DECIMAL(22,4))"))) == 1)
+    assert(t.filter(expr("price >= CAST(350000 AS DECIMAL(22,4))")).count() == 50)
+    // soundness: a non-selective decimal predicate loses no rows
+    assert(t.filter(expr("qty >= CAST(0 AS DECIMAL(12,2))")).count() == 400)
+  }
+
+  test("decimal stats survive folds via the landing-time sidecar") {
+    val ss = spark
+    import ss.implicits._
+    val store = new graft.exec.RelationStore(spark,
+      java.nio.file.Files.createTempDirectory("skipdf_wh").toString, deltaFoldEvery = 3)
+    def batch(lo: Long) = (lo until lo + 100L).map(i => (i, s"d$i")).toDF("id", "txt")
+      .withColumn("amt", expr("CAST(id AS DECIMAL(12,2))")).coalesce(1)
+    (0 to 2).foreach(b => store.appendDelta(batch(b * 100L), "t", b.toLong))
+    assert(store.versions("t").nonEmpty) // fold happened
+    val t = store.read("t")
+    assert(t.inputFiles.length == 3)
+    assert(filesOpened(t.filter(expr("amt = CAST(205 AS DECIMAL(12,2))"))) == 1)
+    assert(t.filter(expr("amt = CAST(205 AS DECIMAL(12,2))")).count() == 1)
+  }
+
+  test("folds take their stats from the landing sidecar — zero footer opens") {
+    val ss = spark
+    import ss.implicits._
+    val store = new graft.exec.RelationStore(spark,
+      java.nio.file.Files.createTempDirectory("skips_wh").toString, deltaFoldEvery = 64)
+    def batch(lo: Long) =
+      (lo until lo + 100L).map(i => (i, s"d$i")).toDF("id", "txt").coalesce(1)
+    (0 to 2).foreach(b => store.appendDelta(batch(b * 100L), "t", b.toLong))
+    val before = graft.exec.FileStats.footerReads.get()
+    assert(store.foldDeltas("t") == 3)
+    assert(graft.exec.FileStats.footerReads.get() == before,
+      "fold must read sidecars, not parquet footers")
+    // and the carried stats still skip
+    val t = store.read("t")
+    assert(filesOpened(t.filter(col("id") === 205L)) == 1)
+    assert(t.count() == 300)
+  }
+
   test("compaction range-clusters rewrites: selective scans open fewer files than before") {
     val ss = spark
     import ss.implicits._
@@ -151,6 +213,50 @@ class ManifestIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"post-compaction scan must open fewer files ($openedAfter vs $openedBefore)")
     assert(after.filter(col("id") < 50L).count() == 50)
     assert(after.count() == 400)
+  }
+
+  test("two-column Z-order compaction keeps skipping selective on BOTH predicate columns") {
+    val ss = spark
+    import ss.implicits._
+    val store = new graft.exec.RelationStore(spark,
+      java.nio.file.Files.createTempDirectory("skipz_wh").toString)
+    // two INDEPENDENT predicate dimensions (a 64×64 grid), hash-
+    // scattered into 16 small files: before compaction neither
+    // dimension can skip anything
+    val rows = for { i <- 0L until 64L; j <- 0L until 64L } yield (i, j)
+    val data = rows.toDF("x", "y").repartition(16)
+    store.write(data, "t_sorted")
+    store.write(data, "t_z")
+    val hconf = spark.sessionState.newHadoopConf()
+    def bytesOf(df: org.apache.spark.sql.DataFrame): Long = df.inputFiles.map { f =>
+      val p = new HPath(f); p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
+    // target ≈ a quarter of the table ⇒ ~4 output files either way
+    val target = bytesOf(store.read("t_sorted")) / 4 + 1
+    // the single-column default: sorted by the leading column only
+    assert(store.compact("t_sorted", target) == 1)
+    val sorted = store.read("t_sorted")
+    val nSorted = sorted.inputFiles.length
+    assert(nSorted >= 3, s"expected a multi-file rewrite, got $nSorted")
+    assert(filesOpened(sorted.filter(col("x") < 8L)) < nSorted)
+    // … and the SECOND dimension regresses to zero selectivity: every
+    // x-sorted output file spans the full y range
+    assert(filesOpened(sorted.filter(col("y") < 8L)) == nSorted,
+      "single-column sort must leave no y selectivity (the motivating regression)")
+    // Z-order: Morton-interleaved rewrite — tight envelopes in BOTH dims
+    assert(store.compact("t_z", target, clusterColumns = Seq("x", "y")) == 1)
+    val z = store.read("t_z")
+    val nZ = z.inputFiles.length
+    assert(nZ >= 3, s"expected a multi-file rewrite, got $nZ")
+    assert(filesOpened(z.filter(col("x") < 8L)) < nZ,
+      "zorder must keep x-skipping selective")
+    assert(filesOpened(z.filter(col("y") < 8L)) < nZ,
+      "zorder must make y-skipping selective too")
+    // soundness: clustered layouts change which files hold which rows,
+    // never the answer
+    assert(z.filter(col("x") < 8L).count() == 8 * 64)
+    assert(z.filter(col("y") < 8L).count() == 8 * 64)
+    assert(z.count() == 64 * 64)
   }
 
   test("partition pruning composes with file-level skipping inside the surviving partition") {

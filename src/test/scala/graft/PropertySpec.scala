@@ -217,6 +217,109 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labs.toSeq == Seq(0L))
   }
 
+  test("mayMatch conservativeness: skipped ⇒ truly empty, under fuzzed files + predicates") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.exec.{ColumnStats, FileStats}
+    val rnd = new scala.util.Random(20260816L)
+    val xA = AttributeReference("x", LongType)()
+    val dA = AttributeReference("d", DecimalType(12, 2))()
+    val sA = AttributeReference("s", StringType)()
+    val attrs = Seq(xA, dA, sA)
+    def randDec(): Decimal = Decimal(BigDecimal(rnd.nextInt(20000) - 10000, 2), 12, 2)
+    def randStr(): UTF8String = UTF8String.fromString(
+      // lengths past the 96-char bound exercise truncated-min /
+      // dropped-max stats; varied alphabet exercises prefix windows
+      (0 until rnd.nextInt(120)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    def randVal(dt: DataType): Any = dt match {
+      case LongType => rnd.nextInt(200).toLong - 100L
+      case _: DecimalType => randDec()
+      case StringType => randStr()
+    }
+    // exact per-column stats from the rows, with the collector's string
+    // bound policy applied (truncated min stays a prefix lower bound;
+    // an over-long max is dropped)
+    def statsOf(rows: Seq[InternalRow]): FileStats = {
+      val cols = attrs.zipWithIndex.map { case (a, i) =>
+        val vs = rows.map(_.get(i, a.dataType))
+        val nulls = vs.count(_ == null).toLong
+        val present = vs.filter(_ != null)
+        val cs =
+          if (present.isEmpty) ColumnStats(None, None, nulls)
+          else {
+            val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+              .getInterpretedOrdering(a.dataType)
+            val (mn0, mx0) = (present.min(ord), present.max(ord))
+            if (a.dataType == StringType) {
+              val mnS = mn0.asInstanceOf[UTF8String]
+              val mn = if (mnS.numChars() > 96) mnS.substring(0, 96) else mnS
+              val mx = if (mx0.asInstanceOf[UTF8String].numChars() > 96) None else Some(mx0)
+              ColumnStats(Some(mn), mx, nulls)
+            } else ColumnStats(Some(mn0), Some(mx0), nulls)
+          }
+        a.name -> cs
+      }
+      FileStats(rows.size.toLong, cols.toMap)
+    }
+    def randPredicate(depth: Int): Expression = {
+      val a = attrs(rnd.nextInt(attrs.length))
+      def lit(): Literal = {
+        // mostly in-range values, sometimes out-of-range, sometimes null
+        if (rnd.nextInt(10) == 0) Literal(null, a.dataType)
+        else Literal(randVal(a.dataType), a.dataType)
+      }
+      if (depth > 0 && rnd.nextInt(3) == 0) {
+        if (rnd.nextBoolean()) And(randPredicate(depth - 1), randPredicate(depth - 1))
+        else Or(randPredicate(depth - 1), randPredicate(depth - 1))
+      } else rnd.nextInt(11) match {
+        case 0 => EqualTo(a, lit())
+        case 1 => EqualTo(lit(), a)
+        case 2 => LessThan(a, lit())
+        case 3 => LessThanOrEqual(a, lit())
+        case 4 => GreaterThan(a, lit())
+        case 5 => GreaterThanOrEqual(lit(), a)
+        case 6 => EqualNullSafe(a, lit())
+        case 7 => In(a, Seq.fill(1 + rnd.nextInt(3))(lit()))
+        case 8 => if (rnd.nextBoolean()) IsNull(a) else IsNotNull(a)
+        case 9 => Not(EqualTo(a, lit()))
+        case _ => StartsWith(sA,
+          Literal(UTF8String.fromString(
+            (0 until rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString),
+            StringType))
+      }
+    }
+    var skipped = 0
+    (1 to 150).foreach { _ =>
+      val rows = (0 until 1 + rnd.nextInt(30)).map { _ =>
+        InternalRow.fromSeq(attrs.map(a =>
+          if (rnd.nextInt(8) == 0) null else randVal(a.dataType)))
+      }
+      val fstats = statsOf(rows)
+      (1 to 40).foreach { _ =>
+        val p = randPredicate(2)
+        val may = FileStats.mayMatch(p, fstats, fstats.cols.get)
+        if (!may) {
+          skipped += 1
+          // a skipped file must contain NO row satisfying the predicate
+          val bound = p.transform {
+            case a: AttributeReference =>
+              BoundReference(attrs.indexWhere(_.name == a.name), a.dataType, nullable = true)
+          }
+          val pred = Predicate.createInterpreted(bound)
+          rows.foreach { r =>
+            assert(!pred.eval(r),
+              s"UNSOUND SKIP: predicate $p eliminated a file holding a matching row $r " +
+                s"(stats: ${fstats.cols})")
+          }
+        }
+      }
+    }
+    // the fuzz must actually exercise the skip path, not vacuously pass
+    assert(skipped > 200, s"only $skipped skips — generator too conservative to test anything")
+  }
+
   test("delta landing torture: random op interleavings match a driver-side model") {
     // the durability layer's contract under ANY interleaving of
     // landings, replays, folds, full overwrites, compactions and
