@@ -284,15 +284,24 @@ object FileStats {
         case Some(cs) => Try(test(cs, ord(a.dataType))).getOrElse(true)
         case None => true
       }
+    // like withStats, but for NULL-REJECTING predicates (comparisons,
+    // IN, prefixes, !=): a column that is entirely null in this file
+    // (nullCount == rows, exactly known) cannot satisfy any of them —
+    // the null-count completeness of the skipper
+    def withValues(a: AttributeReference)(test: (ColumnStats, Ordering[Any]) => Boolean): Boolean =
+      withStats(a) { (cs, o) =>
+        if (stats.rows > 0 && cs.nullCount == stats.rows) false else test(cs, o)
+      }
     def overlapsEq(a: AttributeReference, v: Any): Boolean =
       if (v == null) true
-      else withStats(a) { (cs, o) =>
+      else withValues(a) { (cs, o) =>
         cs.min.forall(m => o.lteq(m, v)) && cs.max.forall(x => o.gteq(x, v))
       }
-    def litOf(e: Expression): Option[Any] = e match {
-      case Literal(v, _) => Option(v)
-      case _ => None
-    }
+    // a file CONSTANT at value v with no nulls — the only layout where
+    // `a != v` (or `a NOT IN (…, v, …)`) has no satisfying row
+    def constantAt(cs: ColumnStats, o: Ordering[Any], v: Any): Boolean =
+      cs.nullCount == 0L &&
+        cs.min.exists(m => o.equiv(m, v)) && cs.max.exists(x => o.equiv(x, v))
     filter match {
       case And(l, r) => mayMatch(l, stats, lookup) && mayMatch(r, stats, lookup)
       case Or(l, r) => mayMatch(l, stats, lookup) || mayMatch(r, stats, lookup)
@@ -304,23 +313,23 @@ object FileStats {
         else overlapsEq(a, v)
 
       case LessThan(a: AttributeReference, Literal(v, t)) if v != null && t == a.dataType =>
-        withStats(a)((cs, o) => cs.min.forall(m => o.lt(m, v)))
+        withValues(a)((cs, o) => cs.min.forall(m => o.lt(m, v)))
       case LessThan(Literal(v, t), a: AttributeReference) if v != null && t == a.dataType =>
-        withStats(a)((cs, o) => cs.max.forall(x => o.gt(x, v)))
+        withValues(a)((cs, o) => cs.max.forall(x => o.gt(x, v)))
       case LessThanOrEqual(a: AttributeReference, Literal(v, t)) if v != null && t == a.dataType =>
-        withStats(a)((cs, o) => cs.min.forall(m => o.lteq(m, v)))
+        withValues(a)((cs, o) => cs.min.forall(m => o.lteq(m, v)))
       case LessThanOrEqual(Literal(v, t), a: AttributeReference) if v != null && t == a.dataType =>
-        withStats(a)((cs, o) => cs.max.forall(x => o.gteq(x, v)))
+        withValues(a)((cs, o) => cs.max.forall(x => o.gteq(x, v)))
       case GreaterThan(a: AttributeReference, Literal(v, t)) if v != null && t == a.dataType =>
-        withStats(a)((cs, o) => cs.max.forall(x => o.gt(x, v)))
+        withValues(a)((cs, o) => cs.max.forall(x => o.gt(x, v)))
       case GreaterThan(Literal(v, t), a: AttributeReference) if v != null && t == a.dataType =>
-        withStats(a)((cs, o) => cs.min.forall(m => o.lt(m, v)))
+        withValues(a)((cs, o) => cs.min.forall(m => o.lt(m, v)))
       case GreaterThanOrEqual(a: AttributeReference, Literal(v, t))
           if v != null && t == a.dataType =>
-        withStats(a)((cs, o) => cs.max.forall(x => o.gteq(x, v)))
+        withValues(a)((cs, o) => cs.max.forall(x => o.gteq(x, v)))
       case GreaterThanOrEqual(Literal(v, t), a: AttributeReference)
           if v != null && t == a.dataType =>
-        withStats(a)((cs, o) => cs.min.forall(m => o.lteq(m, v)))
+        withValues(a)((cs, o) => cs.min.forall(m => o.lteq(m, v)))
 
       case In(a: AttributeReference, values) if values.forall(_.isInstanceOf[Literal]) =>
         values.exists(v => overlapsEq(a, v.asInstanceOf[Literal].value))
@@ -333,18 +342,27 @@ object FileStats {
         withStats(a)((cs, _) => cs.nullCount == -1L || cs.nullCount < stats.rows)
 
       case StartsWith(a: AttributeReference, Literal(p: UTF8String, _)) if p != null =>
-        withStats(a) { (cs, o) =>
+        withValues(a) { (cs, o) =>
           cs.max.forall(x => o.gteq(x, p)) &&
             cs.min.forall(m =>
               o.lteq(m.asInstanceOf[UTF8String].substring(0, p.numChars()), p))
         }
 
       case Not(EqualTo(a: AttributeReference, Literal(v, t))) if v != null && t == a.dataType =>
-        // skippable only when the file is constant-v with no nulls
-        withStats(a) { (cs, o) =>
-          !(cs.nullCount == 0L &&
-            cs.min.exists(m => o.equiv(m, v)) && cs.max.exists(x => o.equiv(x, v)))
+        withValues(a)((cs, o) => !constantAt(cs, o, v))
+      // NOT IN is null-rejecting AND excludes each listed value: only a
+      // no-null file constant at one of the values has no matching row.
+      // (A null anywhere in the list makes the whole predicate never
+      // true, but Catalyst folds that case to null/false before
+      // pushdown — the guard below just declines to reason about it.)
+      case Not(In(a: AttributeReference, values))
+          if values.forall(e => e.isInstanceOf[Literal] &&
+            e.asInstanceOf[Literal].value != null) =>
+        withValues(a) { (cs, o) =>
+          !values.exists(e => constantAt(cs, o, e.asInstanceOf[Literal].value))
         }
+      case Not(InSet(a: AttributeReference, hset)) if !hset.contains(null) =>
+        withValues(a)((cs, o) => !hset.exists(v => constantAt(cs, o, v)))
 
       case _ => true
     }

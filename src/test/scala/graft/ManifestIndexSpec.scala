@@ -324,6 +324,19 @@ class ManifestIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(Not(EqualTo(a, Literal(15L)))))
     val const = FileStats(10L, Map("x" -> ColumnStats(Some(7L), Some(7L), 0L)))
     assert(!FileStats.mayMatch(Not(EqualTo(a, Literal(7L))), const, const.cols.get))
+    // NOT IN: skips exactly when the file is constant at a listed value
+    assert(!FileStats.mayMatch(Not(In(a, Seq(Literal(7L), Literal(9L)))),
+      const, const.cols.get))
+    assert(FileStats.mayMatch(Not(In(a, Seq(Literal(8L)))), const, const.cols.get))
+    // null-count completeness: an ALL-null column satisfies no value
+    // predicate (comparisons, In, !=) but still answers IS NULL
+    val allNull = FileStats(50L, Map("x" -> ColumnStats(None, None, 50L)))
+    def an(e: Expression) = FileStats.mayMatch(e, allNull, allNull.cols.get)
+    assert(!an(EqualTo(a, Literal(15L))))
+    assert(!an(GreaterThan(a, Literal(0L))))
+    assert(!an(Not(EqualTo(a, Literal(15L)))))
+    assert(!an(In(a, Seq(Literal(1L), Literal(2L)))))
+    assert(an(IsNull(a)) && !an(IsNotNull(a)))
     // StartsWith prefix windows
     def sw(p: String) = m(StartsWith(s, Literal(UTF8String.fromString(p), StringType)))
     assert(sw("n") && sw("mm") && sw("p"))

@@ -281,7 +281,13 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         case 4 => GreaterThan(a, lit())
         case 5 => GreaterThanOrEqual(lit(), a)
         case 6 => EqualNullSafe(a, lit())
-        case 7 => In(a, Seq.fill(1 + rnd.nextInt(3))(lit()))
+        case 7 =>
+          val in = In(a, Seq.fill(1 + rnd.nextInt(3))(lit()))
+          // NOT IN only over non-null lists (with a null the predicate
+          // is never true and Catalyst folds it before pushdown)
+          if (rnd.nextBoolean() && in.list.forall(_.asInstanceOf[Literal].value != null))
+            Not(in)
+          else in
         case 8 => if (rnd.nextBoolean()) IsNull(a) else IsNotNull(a)
         case 9 => Not(EqualTo(a, lit()))
         case _ => StartsWith(sA,
@@ -292,9 +298,14 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     var skipped = 0
     (1 to 150).foreach { _ =>
+      // with some probability a column is ALL-null in this file —
+      // exercising the null-count completeness path (an all-null
+      // column satisfies no value predicate)
+      val allNull = attrs.map(_ => rnd.nextInt(8) == 0)
       val rows = (0 until 1 + rnd.nextInt(30)).map { _ =>
-        InternalRow.fromSeq(attrs.map(a =>
-          if (rnd.nextInt(8) == 0) null else randVal(a.dataType)))
+        InternalRow.fromSeq(attrs.zipWithIndex.map { case (a, i) =>
+          if (allNull(i) || rnd.nextInt(8) == 0) null else randVal(a.dataType)
+        })
       }
       val fstats = statsOf(rows)
       (1 to 40).foreach { _ =>
