@@ -99,12 +99,12 @@ final class RelationStore(
     /** How long a RESERVED in-flight version slot (a `_rsv_v{N}`
       * marker) is protected from GC. A crashed writer's reservation
       * older than this reads as a torn leftover and is reclaimed. The
-      * CONTRACT mirrors Delta's vacuum retention vs writers: this must
-      * exceed the longest staging write against the table — a write
-      * still staging past the horizon can be swept mid-write by a
-      * concurrent commit's GC (the marker is touched at each commit
-      * attempt, but a single multi-hour parquet write has no heartbeat).
-      * Default: 24 h.
+      * CONTRACT mirrors Delta's vacuum retention vs writers — with the
+      * classic failure window closed by a heartbeat: the marker is
+      * refreshed at each commit attempt AND on a horizon/4 cadence
+      * throughout staging writes ([[withStagingHeartbeat]]), so even a
+      * multi-hour parquet write never ages into a concurrent commit's
+      * GC while its writer is alive. Default: 24 h.
       */
     val tornRetainMs: Long = 86_400_000L,
     /** Whether MULTIPLE processes may commit to this warehouse
@@ -375,6 +375,38 @@ final class RelationStore(
       n += 1
     }
     throw new IllegalStateException(s"could not reserve a version slot for $schema.$name")
+  }
+
+  /** Run `body` (a staging write into slot `v`) with a background
+    * liveness heartbeat on the slot's reservation marker. This is what
+    * lets a SINGLE multi-hour parquet write survive a concurrent
+    * commit's GC: the torn-reservation horizon (`tornRetainMs`)
+    * otherwise only refreshes between commit attempts, so a staging
+    * write longer than the horizon could be swept mid-write. Cadence:
+    * horizon/4, clamped to [1 s, 60 s] — a marker rewrite is one tiny
+    * metadata write, so a fixed sub-minute cadence is free and keeps
+    * even short custom horizons honest. The task is cancelled (and the
+    * shared daemon scheduler survives) no matter how the staging exits.
+    */
+  private def withStagingHeartbeat[A](name: String, v: Int)(body: => A): A = {
+    val interval = math.min(math.max(tornRetainMs / 4, 1_000L), 60_000L)
+    // stop-flag handshake, not just cancel(): a heartbeat already IN
+    // FLIGHT at cancel time could otherwise re-create the marker AFTER
+    // the commit's publishing delete — a resurrected marker makes the
+    // committed version read as still-reserved (stale heads until GC
+    // adoption heals it). Acquiring the lock after setting the flag
+    // guarantees no rewrite straddles the return.
+    val lock = new Object
+    @volatile var stopped = false
+    val task = RelationStore.heartbeats.scheduleAtFixedRate(
+      () => lock.synchronized {
+        if (!stopped) scala.util.Try(commitCoord.heartbeat(rsvFile(name, v)))
+      },
+      interval, interval, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try body finally {
+      task.cancel(false)
+      lock.synchronized { stopped = true }
+    }
   }
 
   /** Discard a staged slot that NO manifest was ever published for —
@@ -1222,7 +1254,7 @@ final class RelationStore(
       batchTag: Option[Long] = None): Unit = {
     val slot = reserveVersion(name, currentVersion(name).getOrElse(-1) + 1)
     val dest = verDir(name, slot)
-    try {
+    try withStagingHeartbeat(name, slot) {
       val writer = df.write.mode(SaveMode.Overwrite)
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .parquet(dest.toString)
@@ -1281,7 +1313,7 @@ final class RelationStore(
     // until the data write has fully succeeded — same
     // failed-writes-never-corrupt discipline as write().
     val staging = cat + "__staging"
-    try {
+    try withStagingHeartbeat(name, slot) {
       spark.sql(s"DROP TABLE IF EXISTS $staging")
       df.write.mode(SaveMode.Overwrite)
         .bucketBy(buckets, bucketBy.head, bucketBy.tail: _*)
@@ -1427,7 +1459,7 @@ final class RelationStore(
     val slot = reserveVersion(name, cur.get + 1)
     val dest = verDir(name, slot)
     val (newEntries, written, dropped) =
-      try {
+      try withStagingHeartbeat(name, slot) {
         df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(dest.toString)
         writeStr(new HPath(dest, "_graft_schema.json"), df.schema.json)
         val dr: Set[String] = touchedValues match {
@@ -1616,9 +1648,10 @@ final class RelationStore(
     // each output file covers a NARROW value range — data skipping gets
     // sharper as the table ages instead of degrading (shuffle cost is
     // bounded by the under-sized files being rewritten anyway)
-    try clusterBy(packed, ideal.toInt, clusterColumns)
-      .write.mode(SaveMode.Overwrite).parquet(dest.toString)
-    catch { case e: Throwable => releaseSlot(name, slot); throw e }
+    try withStagingHeartbeat(name, slot) {
+      clusterBy(packed, ideal.toInt, clusterColumns)
+        .write.mode(SaveMode.Overwrite).parquet(dest.toString)
+    } catch { case e: Throwable => releaseSlot(name, slot); throw e }
     carryVersionMeta(name, cur, slot)
     val outEntries = big ++ physicalEntries(name, slot, statsSchema = storedSchemaOf(name))
     commitHead(name, slot, { (_, base) =>
@@ -1717,7 +1750,7 @@ final class RelationStore(
     val slot = reserveVersion(name, cur + 1)
     val dest = verDir(name, slot)
     var rewrittenBytes = 0L
-    try {
+    try withStagingHeartbeat(name, slot) {
       for ((leaf, es) <- fragmented.toSeq.sortBy(_._1)) {
         val bytes = es.map(_.size).sum
         val ideal = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
@@ -1971,4 +2004,18 @@ object RelationStore {
   private val slotLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def slotLock(key: String): Object =
     slotLocks.computeIfAbsent(key, _ => new Object)
+
+  /** Shared daemon scheduler for staging-write heartbeats (one thread
+    * serves every store in the JVM — heartbeats are sub-millisecond
+    * marker rewrites on a multi-second-to-hours cadence).
+    */
+  private val heartbeats = {
+    val t = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+      val th = new Thread(r, "graft-store-heartbeat")
+      th.setDaemon(true)
+      th
+    })
+    t.setRemoveOnCancelPolicy(true)
+    t
+  }
 }

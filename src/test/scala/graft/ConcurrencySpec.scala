@@ -317,6 +317,30 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!coord.reserve(p, "tok3"))
   }
 
+  test("staging writes heartbeat their reservation against the GC horizon") {
+    val root = newRoot()
+    // horizon 8 s ⇒ heartbeat cadence 2 s (horizon/4, clamped ≥ 1 s)
+    val store = new RelationStore(spark, root, tornRetainMs = 8000L)
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    // the validate callback runs mid-staging (slot reserved, data
+    // written, manifest not yet committed) — exactly where a long
+    // write used to age toward the torn-reservation horizon
+    store.write(df(Seq((1L, "a"))), "t", validate = Some { _ =>
+      val rsv = new HPath(s"$root/main/t/_rsv_v0")
+      def content(): String = {
+        val in = fs.open(rsv)
+        try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      }
+      seen += content()
+      Thread.sleep(3200) // one heartbeat interval (2 s) + slack
+      seen += content()
+    })
+    assert(seen.size == 2 && seen(0) != seen(1),
+      s"marker must be rewritten during a long staging write: $seen")
+    assert(store.read("t").count() == 1) // and the commit still lands
+  }
+
   test("contended many-writer burst settles into a linear readable chain") {
     val root = newRoot()
     val writers = (0 until 4).map(_ => new RelationStore(spark, root))
