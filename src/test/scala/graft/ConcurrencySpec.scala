@@ -317,6 +317,54 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!coord.reserve(p, "tok3"))
   }
 
+  test("concurrent op chaos with gapped ids: the exact union survives folds, compaction, vacuum") {
+    // three writers over one root, interleaved batch ids (id % 3 ==
+    // writer), each HOLDING BACK a random subset to land late — so
+    // folds keep hitting gaps in the landed sequence while compaction
+    // and retention run underneath. The durability contract under this
+    // storm: every fresh id lands (even when folds already absorbed
+    // PAST it), every replay skips, and the final content is EXACTLY
+    // the union of landed rows.
+    val root = newRoot()
+    val stores = (0 until 3).map(_ => new RelationStore(spark, root, deltaFoldEvery = 4))
+    val perThread = 10
+    val landed = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    inParallel(stores.zipWithIndex.map { case (st, t) =>
+      () => {
+        val rnd = new scala.util.Random(1000 + t)
+        val ids = (0 until perThread).map(k => (t + 3 * k).toLong)
+        val (now, late) = ids.partition(_ => rnd.nextInt(4) > 0)
+        def land(id: Long): Unit = {
+          assert(st.appendDelta(df(Seq((id, s"t$t"))), "t", id), s"fresh id $id must land")
+          landed.add(id)
+          assert(!st.appendDelta(df(Seq((id, "dup"))), "t", id), s"replay of $id must skip")
+        }
+        now.foreach { id =>
+          land(id)
+          rnd.nextInt(6) match {
+            case 0 => st.foldDeltas("t")
+            case 1 => st.vacuum("t")
+            case 2 => st.compact("t")
+            case _ => ()
+          }
+        }
+        late.foreach(land) // the gap ids arrive last
+      }
+    }: _*)
+    val fresh = new RelationStore(spark, root)
+    fresh.foldDeltas("t")
+    val got = fresh.read("t").collect().map(_.getLong(0)).sorted.toSeq
+    import scala.jdk.CollectionConverters._
+    val want = landed.iterator().asScala.map(_.toLong).toSeq.sorted
+    assert(want.size == 3 * perThread, s"every id must have landed: ${want.size}")
+    assert(got == want, s"extra=${got.diff(want)} missing=${want.diff(got)}")
+    // quiesced retention: no leaked reservations, content still exact
+    val sweeper = new RelationStore(spark, root, tornRetainMs = 0L)
+    sweeper.vacuum("t", keepLast = 1)
+    assert(markers(root, "t").isEmpty, s"leaked: ${markers(root, "t")}")
+    assert(sweeper.read("t").count() == want.size)
+  }
+
   test("staging writes heartbeat their reservation against the GC horizon") {
     val root = newRoot()
     // horizon 8 s ⇒ heartbeat cadence 2 s (horizon/4, clamped ≥ 1 s)
