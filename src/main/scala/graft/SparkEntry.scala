@@ -90,6 +90,7 @@ object SparkEntry {
     "q_approx_distinct" -> (ScaleOps.qApproxDistinct _),
     "q_cms_counts" -> ((s, d) => ScaleOps.qCmsCounts(s, d)),
     "q_zorder_layout" -> (ScaleOps.qZorderLayout _),
+    "q_store_skipping" -> (ScaleOps.qStoreSkipping _),
     "q_asof_join" -> (Events.qAsofJoin _),
     "q_asof_forward" -> (Events.qAsofForward _),
     "q_range_join" -> (Events.qRangeJoin _),
@@ -3326,6 +3327,13 @@ object SparkEntry {
     },
     "txt_bpe_train" -> BpeTrainSql,
     "txt_bpe_segment" -> BpeSegmentSql,
+    // the Spark side round-trips through the versioned store (write
+    // range-clustered + stats, read through the manifest index with
+    // file skipping); the oracle filters the raw parquet — equality
+    // proves skipping and the store round trip change nothing
+    "q_store_skipping" -> """
+      SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem WHERE l_orderkey < 1000""",
     "q_zorder_layout" -> {
       val bits = graft.operators.ScaleOps.ZorderBits
       val fb = graft.operators.ScaleOps.ZorderFileBits

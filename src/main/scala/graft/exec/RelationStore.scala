@@ -1051,6 +1051,15 @@ final class RelationStore(
     * set, folds could absorb nothing past it forever (unbounded live
     * deltas + per-fold abort churn) — the set lets a fold absorb the
     * tail beyond the gap while the gap id itself stays landable.
+    *
+    * Size bound: the set holds only ids between the oldest open gap
+    * and the newest landing, and DRAINS as gaps fill (the watermark
+    * catches up and absorbs it). A producer that stalls TEMPORARILY —
+    * the realistic case — costs a bounded set; a PERMANENTLY dead
+    * producer in an interleaved-id scheme grows it by one id per
+    * surviving-producer landing, so long-lived ingests should re-key
+    * producers (or full-write, which resets the mark) rather than
+    * leave a dead id lane open forever.
     */
   private final case class DeltaMark(wm: Long, above: Set[Long]) {
     def absorbed(id: Long): Boolean = id <= wm || above(id)

@@ -193,6 +193,31 @@ object ScaleOps {
     * exchange, no global sort); this query returns the deterministic
     * layout stats the pruning argument rests on.
     */
+  /** Store write→stats→skip→read round trip as an ORACLE-checked query:
+    * land lineitem RANGE-CLUSTERED into a versioned store table (the
+    * commit collects per-file min/max column stats into the manifest),
+    * then answer a selective key predicate through the manifest-backed
+    * scan — file-level data skipping opens only the range-overlapping
+    * files. ManifestIndexSpec pins the opened-file COUNTS; this query
+    * pins, inside the DuckDB correctness gate, that skipping never
+    * changes the ANSWER: the oracle filters the raw parquet directly,
+    * so any unsound skip (a dropped row) or store round-trip drift
+    * hash-mismatches. The key predicate is an ABSOLUTE range, so its
+    * row count is scale-invariant while its selectivity — the skipping
+    * win — grows with the table.
+    */
+  def qStoreSkipping(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val store = new graft.exec.RelationStore(s,
+      java.nio.file.Files.createTempDirectory("graft_store_skip").toString)
+    store.write(li.repartitionByRange(8, col("l_orderkey")), "li_clustered")
+    store.read("li_clustered")
+      .filter(col("l_orderkey") < 1000L)
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"))
+  }
+
   def qZorderLayout(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
     // column bounds: one metadata-sized aggregate, broadcast to every row
