@@ -3333,7 +3333,8 @@ object SparkEntry {
     // proves skipping and the store round trip change nothing
     "q_store_skipping" -> """
       SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT) AS qty
-      FROM lineitem WHERE l_orderkey < 1000""",
+      FROM lineitem
+      WHERE l_orderkey < 1000 AND CAST(l_quantity AS DECIMAL(12,2)) < 24""",
     "q_zorder_layout" -> {
       val bits = graft.operators.ScaleOps.ZorderBits
       val fb = graft.operators.ScaleOps.ZorderFileBits

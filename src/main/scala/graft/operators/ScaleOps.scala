@@ -209,11 +209,15 @@ object ScaleOps {
   def qStoreSkipping(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      // a DECIMAL measure column (q6's shape) so the scan's pushed
+      // decimal predicate exercises the decimal file-stats path too
+      .withColumn("l_qty_dec", col("l_quantity").cast("decimal(12,2)"))
     val store = new graft.exec.RelationStore(s,
       java.nio.file.Files.createTempDirectory("graft_store_skip").toString)
     store.write(li.repartitionByRange(8, col("l_orderkey")), "li_clustered")
     store.read("li_clustered")
-      .filter(col("l_orderkey") < 1000L)
+      .filter(col("l_orderkey") < 1000L &&
+        expr("l_qty_dec < CAST(24 AS DECIMAL(12,2))"))
       .select(col("l_orderkey"), col("l_partkey"),
         col("l_quantity").cast("long").as("qty"))
   }
