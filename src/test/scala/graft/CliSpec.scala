@@ -441,6 +441,21 @@ class CliSpec extends AnyFunSuite {
     assert(q.count() > 0)
   }
 
+  test("optimize --zorder requires --select and passes through to compaction") {
+    val dir = Files.createTempDirectory("cli_zorder").resolve("proj").toString
+    assert(run("init", dir)._1 == 0)
+    assert(run("run", dir)._1 == 0)
+    // --zorder without --select: clustering columns are per-table
+    intercept[IllegalArgumentException](
+      run("optimize", dir, Map("zorder" -> "o_orderkey,o_custkey")))
+    // with --select: the verb completes (tiny tables are already
+    // well-packed, so this exercises the wiring, not a rewrite)
+    val (c, out) = run("optimize", dir,
+      Map("zorder" -> "o_orderkey,o_custkey", "select" -> "my_first_model"))
+    assert(c == 0, out)
+    assert(out.contains("optimize complete"), out)
+  }
+
   test("recall verb defaults to the sampled ground truth; --full opts into exact") {
     val dir = Files.createTempDirectory("cli_recall").toString
     // default: sampled — the scale-safe path nobody has to opt into
