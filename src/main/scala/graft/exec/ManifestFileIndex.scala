@@ -94,15 +94,22 @@ final class ManifestFileIndex(
     // observability: what this scan CONSIDERED (every file the version
     // manifests) vs what pruning+skipping left OPEN — surfaced per node
     // in run_results' adapter_response so skipping effectiveness is
-    // visible, not just real
-    ManifestFileIndex.filesConsidered.addAndGet(entries.iterator.map(_._2.size).sum)
-    ManifestFileIndex.bytesConsidered.addAndGet(
-      entries.iterator.flatMap(_._2).map(_._1.getLen).sum)
-    ManifestFileIndex.filesOpened.addAndGet(out.iterator.map(_.files.size).sum)
-    ManifestFileIndex.bytesOpened.addAndGet(
-      out.iterator.flatMap(_.files).map(_.getLen).sum)
+    // visible, not just real. Counted ONCE per index instance: Spark
+    // may call listFiles again on the same scan (dynamic partition
+    // pruning's second evaluation, AQE re-planning), and re-adding
+    // would double-report the table's files
+    if (counted.compareAndSet(false, true)) {
+      ManifestFileIndex.filesConsidered.addAndGet(entries.iterator.map(_._2.size).sum)
+      ManifestFileIndex.bytesConsidered.addAndGet(
+        entries.iterator.flatMap(_._2).map(_._1.getLen).sum)
+      ManifestFileIndex.filesOpened.addAndGet(out.iterator.map(_.files.size).sum)
+      ManifestFileIndex.bytesOpened.addAndGet(
+        out.iterator.flatMap(_.files).map(_.getLen).sum)
+    }
     out
   }
+
+  private val counted = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
 
 object ManifestFileIndex {

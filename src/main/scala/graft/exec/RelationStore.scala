@@ -262,36 +262,26 @@ final class RelationStore(
     * names the committed legacy version.
     */
   private def currentVersion(name: String): Option[Int] = {
-    // POINTER FAST PATH: finalizeCommit atomically rewrites the pointer
-    // at every commit (right after the publishing marker delete), so
-    // the only published versions ABOVE it live in that tiny
-    // marker-delete→pointer-write window. Probe upward from the pointer
-    // — a handful of existence checks — instead of listing the table
-    // dir and probing manifest+marker for EVERY version dir (O(dirs)
-    // metadata round-trips per head resolution, and head resolution
-    // runs on every read/exists/commit — material latency on an object
-    // store). The probe stops at the first slot with no trace at all
-    // (no manifest, no marker, no dir): reservations are taken densely
-    // upward from the head, so a trace-less slot means nothing ever
-    // committed above it. The RAW head used by commit verification
-    // ([[rawHeadVersion]]) deliberately keeps the full listing — a
-    // missed in-flight manifest there would break linearizability,
-    // while here it could only mean serving the committed head of a
-    // moment ago (snapshot semantics readers already have).
-    scala.util.Try(readStr(pointer(name)).trim.toInt).toOption match {
-      case Some(p) =>
-        var best = p // the pointer target is always a committed version
-        var v = p + 1
-        while (hasManifest(name, v) || isReserved(name, v) || fsExists(verDir(name, v))) {
-          if (hasManifest(name, v) && !isReserved(name, v)) best = v
-          v += 1
-        }
-        Some(best)
-      case None => // pre-pointer table (or none yet): full listing
-        physicalVersionDirs(name)
-          .filter(v => hasManifest(name, v) && !isReserved(name, v))
-          .maxOption
-    }
+    // POINTER FLOOR: finalizeCommit atomically rewrites the pointer at
+    // every commit (right after the publishing marker delete), so the
+    // pointer target is always a committed version and only versions
+    // ABOVE it can change the answer. Head resolution therefore does
+    // ONE directory listing and probes manifest+marker ONLY for dirs
+    // above the floor — in steady state that's zero probes (retained
+    // old versions all sit at or below the pointer), vs the previous
+    // two metadata round-trips per version dir on every
+    // read/exists/commit. The listing itself stays: a probe-only walk
+    // upward from the pointer would go blind across a TRACE-LESS slot
+    // (a released failed staging between the stale pointer and a
+    // crashed finalize's published head), permanently hiding a
+    // committed version. The RAW head used by commit verification
+    // ([[rawHeadVersion]]) keeps its own full view for the same
+    // reason — linearizability cannot tolerate a missed manifest.
+    val legacy = scala.util.Try(readStr(pointer(name)).trim.toInt).toOption
+    val floor = legacy.getOrElse(-1)
+    val published = physicalVersionDirs(name)
+      .filter(v => v > floor && hasManifest(name, v) && !isReserved(name, v))
+    (published ++ legacy).maxOption
   }
 
   /** The RAW head: highest manifest regardless of markers — what commit
@@ -1074,9 +1064,24 @@ final class RelationStore(
       val d = verDir(name, v)
       val wm = scala.util.Try(
         readStr(new HPath(d, "_delta_watermark")).trim.toLong).getOrElse(-1L)
-      val above = scala.util.Try(readStr(new HPath(d, "_delta_absorbed")).trim)
-        .toOption.filter(_.nonEmpty)
-        .map(_.split(',').map(_.toLong).toSet).getOrElse(Set.empty[Long])
+      // a MISSING absorbed-set file is normal (no gap ever opened) and
+      // reads as empty; a PRESENT-but-unparseable one must fail LOUDLY,
+      // not degrade — treating absorbed ids as live would union their
+      // delta dirs on top of the manifest entries that already carry
+      // the same files (silent row duplication), and treating unknown
+      // ids as absorbed would swallow unlanded batches. Neither silent
+      // direction is safe, so name the file and stop.
+      val above = scala.util.Try(readStr(new HPath(d, "_delta_absorbed")))
+        .toOption match {
+          case None => Set.empty[Long]
+          case Some(raw) =>
+            try raw.trim.split(',').filter(_.nonEmpty).map(_.toLong).toSet
+            catch {
+              case e: NumberFormatException => throw new IllegalStateException(
+                s"corrupt ${new HPath(d, "_delta_absorbed")}: '${raw.take(120)}' — " +
+                  "restore it or full-write the table to reset delta bookkeeping", e)
+            }
+        }
       DeltaMark(wm, above)
     }.getOrElse(DeltaMark(-1L, Set.empty))
 
@@ -1716,6 +1721,17 @@ final class RelationStore(
       }
       else FileStats.indexedColumns(df.schema).headOption.toSeq
     val zorderable = chosen.filter(f => zpos(f).isDefined)
+    // an EXPLICIT multi-column request must not silently degrade to a
+    // single-column sort — that produces exactly the second-dimension
+    // skipping regression the caller asked to avoid (and the CLI would
+    // report "zordered by c1,c2" for a layout that isn't)
+    if (clusterColumns.size >= 2 && zorderable.size < 2)
+      throw new IllegalArgumentException(
+        s"zorder needs two orderable-position columns; " +
+          chosen.filterNot(f => zpos(f).isDefined)
+            .map(f => s"'${f.name}' (${f.dataType.simpleString})").mkString(", ") +
+          " cannot be Z-ordered (strings have no bounded numeric position) — " +
+          "cluster by a single column instead")
     if (chosen.size >= 2 && zorderable.size >= 2) {
       val Seq(fa, fb) = zorderable.take(2)
       val (pa, pb) = (zpos(fa).get, zpos(fb).get)
@@ -1767,9 +1783,11 @@ final class RelationStore(
         // preserves the written data schema exactly; the rewritten files
         // land under the SAME `col=value` leaf path in the new version
         // partition columns live in the leaf path, not the data files —
-        // they can't cluster the in-file layout
+        // they can't cluster the in-file layout (matched
+        // case-insensitively, like cluster-column resolution itself)
         clusterBy(spark.read.parquet(es.map(e => new HPath(td, e.rel).toString): _*),
-          ideal.toInt, clusterColumns.filterNot(partitionBy.contains))
+          ideal.toInt,
+          clusterColumns.filterNot(c => partitionBy.exists(_.equalsIgnoreCase(c))))
           .write.mode(SaveMode.Overwrite).parquet(new HPath(dest, leaf).toString)
         rewrittenBytes += bytes
       }

@@ -206,14 +206,29 @@ object ScaleOps {
     * row count is scale-invariant while its selectivity — the skipping
     * win — grows with the table.
     */
+  /** One JVM-wide scratch warehouse for [[qStoreSkipping]]: repeat
+    * invocations (bench reps, repeated sweeps) re-WRITE the same table
+    * — the store's own retention GC bounds the versions kept — instead
+    * of leaking a fresh lineitem copy per call, and a shutdown hook
+    * removes the whole root when the JVM exits.
+    */
+  private lazy val skipBenchRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_store_skip")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scala.util.Try {
+        java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      }))
+    d.toString
+  }
+
   def qStoreSkipping(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
       // a DECIMAL measure column (q6's shape) so the scan's pushed
       // decimal predicate exercises the decimal file-stats path too
       .withColumn("l_qty_dec", col("l_quantity").cast("decimal(12,2)"))
-    val store = new graft.exec.RelationStore(s,
-      java.nio.file.Files.createTempDirectory("graft_store_skip").toString)
+    val store = new graft.exec.RelationStore(s, skipBenchRoot)
     store.write(li.repartitionByRange(8, col("l_orderkey")), "li_clustered")
     store.read("li_clustered")
       .filter(col("l_orderkey") < 1000L &&

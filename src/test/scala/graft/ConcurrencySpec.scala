@@ -317,6 +317,27 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!coord.reserve(p, "tok3"))
   }
 
+  test("a published head above a stale pointer and a trace-less gap stays visible") {
+    // the adversarial layout a probe-upward head resolution would go
+    // blind on: pointer stale at v0 (crash in the marker-delete→
+    // pointer-write window), slot v1 fully released by a failed
+    // staging (no dir, no marker — trace-less), committed head at v2
+    val root = newRoot()
+    val store = new RelationStore(spark, root, retainVersions = 10)
+    store.write(df(Seq((1L, "A"))), "t") // v0
+    store.write(df(Seq((2L, "B"))), "t") // v1
+    store.write(df(Seq((3L, "C"))), "t") // v2
+    val td = new HPath(s"$root/main/t")
+    val fs = td.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new HPath(td, "v1"), true) // released slot: zero trace
+    val p = fs.create(new HPath(td, "_current"), true)
+    p.write("0".getBytes); p.close()
+    // head resolution must still find v2 across the gap
+    val fresh = new RelationStore(spark, root)
+    assert(fresh.read("t").first().getString(1) == "C",
+      "committed head above a trace-less gap must stay visible")
+  }
+
   test("concurrent op chaos with gapped ids: the exact union survives folds, compaction, vacuum") {
     // three writers over one root, interleaved batch ids (id % 3 ==
     // writer), each HOLDING BACK a random subset to land late — so

@@ -257,6 +257,17 @@ class ManifestIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(z.filter(col("x") < 8L).count() == 8 * 64)
     assert(z.filter(col("y") < 8L).count() == 8 * 64)
     assert(z.count() == 64 * 64)
+    // an explicit two-column request including a non-orderable column
+    // REFUSES instead of silently degrading to a one-column sort (which
+    // would produce exactly the second-dimension regression the flag
+    // exists to avoid)
+    val sdata = (0L until 400L).map(i => (i, s"s$i")).toDF("id", "label")
+    store.write(sdata.repartition(8), "t_strz")
+    val e = intercept[IllegalArgumentException](
+      store.compact("t_strz", bytesOf(store.read("t_strz")) / 4 + 1,
+        clusterColumns = Seq("id", "label")))
+    assert(e.getMessage.contains("label") && e.getMessage.contains("Z-order"),
+      e.getMessage)
   }
 
   test("partition pruning composes with file-level skipping inside the surviving partition") {
