@@ -537,7 +537,7 @@ object Main {
             if wanted.forall(_.contains(rel))) {
           val n = st.compact(rel, targetBytes, zorderCols)
           if (n > 0) println(s"optimize ${st.schema}.$rel: rewrote $n partition(s)" +
-            (if (zorderCols.nonEmpty) s" zordered by ${zorderCols.mkString(",")}" else ""))
+            (if (zorderCols.nonEmpty) s" (zorder requested: ${zorderCols.mkString(",")})" else ""))
           rewritten += n
         }
         println(s"optimize complete: $rewritten partition(s) rewritten")

@@ -94,34 +94,35 @@ final class ManifestFileIndex(
     // observability: what this scan CONSIDERED (every file the version
     // manifests) vs what pruning+skipping left OPEN — surfaced per node
     // in run_results' adapter_response so skipping effectiveness is
-    // visible, not just real. Counted ONCE per index instance: Spark
-    // may call listFiles again on the same scan (dynamic partition
-    // pruning's second evaluation, AQE re-planning), and re-adding
-    // would double-report the table's files
-    if (counted.compareAndSet(false, true)) {
-      ManifestFileIndex.filesConsidered.addAndGet(entries.iterator.map(_._2.size).sum)
-      ManifestFileIndex.bytesConsidered.addAndGet(
-        entries.iterator.flatMap(_._2).map(_._1.getLen).sum)
-      ManifestFileIndex.filesOpened.addAndGet(out.iterator.map(_.files.size).sum)
-      ManifestFileIndex.bytesOpened.addAndGet(
-        out.iterator.flatMap(_.files).map(_.getLen).sum)
-    }
+    // visible, not just real. Counted per PLANNING EVENT (every
+    // listFiles call): one index instance serves every query over its
+    // registered view, so an instance-once guard would silently drop
+    // all but the first reader's stats; the cost is that a
+    // dynamically-pruned scan plans twice (static then DPP-refined) and
+    // contributes twice — completeness over uniqueness, documented in
+    // [[ManifestFileIndex.scanCounters]]
+    ManifestFileIndex.filesConsidered.addAndGet(entries.iterator.map(_._2.size).sum)
+    ManifestFileIndex.bytesConsidered.addAndGet(
+      entries.iterator.flatMap(_._2).map(_._1.getLen).sum)
+    ManifestFileIndex.filesOpened.addAndGet(out.iterator.map(_.files.size).sum)
+    ManifestFileIndex.bytesOpened.addAndGet(
+      out.iterator.flatMap(_.files).map(_.getLen).sum)
     out
   }
-
-  private val counted = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
 
 object ManifestFileIndex {
 
   /** JVM-cumulative scan-planning observability: across every
-    * manifest-backed scan, the data files the version manifest listed
-    * ("considered") vs the files partition pruning + data skipping left
-    * for the scan to open, and their bytes. The Runner snapshots these
-    * around each node to report per-materialization skipping
-    * effectiveness in run_results (exact under single-threaded
-    * scheduling; totals always exact — concurrent nodes may attribute
-    * a competitor's planning to each other, never lose it).
+    * manifest-backed scan PLANNING EVENT, the data files the version
+    * manifest listed ("considered") vs the files partition pruning +
+    * data skipping left for the scan to open, and their bytes. The
+    * Runner snapshots these around each node to report
+    * per-materialization skipping effectiveness in run_results.
+    * Attribution caveats: exact under single-threaded scheduling
+    * (concurrent nodes may attribute a competitor's planning to each
+    * other, never lose it), and a dynamically-pruned scan plans twice
+    * (static, then DPP-refined) so it contributes two events.
     */
   val filesConsidered = new java.util.concurrent.atomic.AtomicLong(0L)
   val filesOpened = new java.util.concurrent.atomic.AtomicLong(0L)

@@ -1106,6 +1106,19 @@ final class RelationStore(
     // bucketed CTAS superseded the landing loop) — crashing the stream
     // on a replayed old epoch would wedge recovery
     if (batchLanded(name, batchId)) return false
+    // delta landings are COMMITS too: two sessions replaying one epoch
+    // arbitrate on the delta dir's no-overwrite rename, which is only
+    // atomic where the coordinator says reservations are — on a plain
+    // object store, two copy+delete "renames" could interleave their
+    // part files under one delta dir (the batch's rows land twice).
+    // Same capability gate as versioned commits, same ways out.
+    if (concurrentWriters && !commitCoord.atomicReservation)
+      throw new IllegalStateException(
+        s"cannot land deltas into $schema.$name: warehouse '$root' is on " +
+          s"${commitCoord.describe}, which has no atomic rename to arbitrate " +
+          "concurrent epoch replays. Construct the store with " +
+          "concurrentWriters=false if exactly one writer process lands here, " +
+          "or supply an external CommitCoordinator.")
     require(!isView(name), s"cannot land deltas into view $schema.$name")
     require(!isBucketed(name),
       s"cannot land deltas into bucketed relation $schema.$name")
@@ -1614,6 +1627,11 @@ final class RelationStore(
         * second predicate column strictly WORSE after compaction
         * (every output file spans its full range). Empty ⇒ the leading
         * stats-indexed column (the default single-dimension policy).
+        * On a PARTITIONED table, partition columns named here are
+        * satisfied by partition pruning itself (they live in leaf
+        * paths, not data files) and are excluded before clustering —
+        * `(partition_col, x)` legitimately becomes a single-column
+        * sort by `x` within each leaf.
         */
       clusterColumns: Seq[String] = Nil): Int = {
     require(!isView(name), s"cannot compact view $schema.$name")

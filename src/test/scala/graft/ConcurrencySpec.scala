@@ -264,12 +264,20 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
       e.getMessage.contains("mockobj") &&
       e.getMessage.contains("concurrentWriters=false") &&
       e.getMessage.contains("CommitCoordinator"), e.getMessage)
+    // delta landings are commits too: the same gate fires before any
+    // epoch-dir rename could race another session's replay
+    val eDelta = intercept[IllegalStateException](
+      occ.appendDelta(df(Seq((1L, "a"))), "t_d", 0L))
+    assert(eDelta.getMessage.contains("atomic rename") &&
+      eDelta.getMessage.contains("mockobj"), eDelta.getMessage)
     // single-writer mode works end-to-end on the very same root:
-    // commit, overwrite, fold-free read-back, time travel
+    // commit, overwrite, delta landing, fold-free read-back, time travel
     val single = new RelationStore(spark, root, concurrentWriters = false)
     single.write(df(Seq((1L, "a"))), "t")
     single.write(df(Seq((2L, "b"))), "t")
     assert(single.read("t").collect().map(_.getString(1)).toSeq == Seq("b"))
+    assert(single.appendDelta(df(Seq((9L, "d"))), "t_d", 0L))
+    assert(single.read("t_d").count() == 1)
     val fresh = new RelationStore(spark, root, concurrentWriters = false)
     assert(fresh.versions("t").size == 2)
     assert(fresh.read("t", Some(fresh.versions("t").head))
