@@ -55,6 +55,16 @@ trait CommitCoordinator {
     * at any instant during the rewrite.
     */
   def heartbeat(marker: HPath): Unit
+
+  /** Release a reservation: remove the marker file AND any arbitration
+    * state the coordinator holds for it elsewhere. Every store-side
+    * marker delete (publish, slot release, GC reclaim) routes through
+    * here so an out-of-domain coordinator's lock state cannot outlive
+    * the marker it arbitrates — a leaked lock would make the slot
+    * unreservable forever. Idempotent; tolerates an already-absent
+    * marker (concurrent GC passes race benignly).
+    */
+  def release(marker: HPath): Unit
 }
 
 object CommitCoordinator {
@@ -100,6 +110,8 @@ object CommitCoordinator {
       }
     override def heartbeat(marker: HPath): Unit =
       rewriteInPlace(fs, marker)
+    override def release(marker: HPath): Unit =
+      scala.util.Try(fs.delete(marker, false))
   }
 
   /** HDFS-family stores: rename without OVERWRITE is the atomic
@@ -137,16 +149,95 @@ object CommitCoordinator {
     }
     override def heartbeat(marker: HPath): Unit =
       rewriteInPlace(fs, marker)
+    override def release(marker: HPath): Unit =
+      scala.util.Try(fs.delete(marker, false))
   }
 
   /** In-place overwrite with the current timestamp: refreshes the
     * marker's mtime on every store (POSIX truncate, HDFS re-create,
     * object-store PUT) without any instant where the marker is absent.
     */
-  private def rewriteInPlace(fs: FileSystem, marker: HPath): Unit =
+  private[exec] def rewriteInPlace(fs: FileSystem, marker: HPath): Unit =
     scala.util.Try {
       val out = fs.create(marker, true)
       try out.write(System.currentTimeMillis().toString.getBytes(UTF_8))
       finally out.close()
     }
+}
+
+/** External commit arbitration in a SEPARATE domain: a lock DIRECTORY
+  * on a filesystem that HAS an atomic create-no-overwrite primitive
+  * (a shared local/NFS dir, an HDFS path) arbitrating commits for a
+  * store root whose own filesystem does NOT (an object store). This
+  * is the simplest real member of the lock-service family Delta's
+  * S3DynamoDBLogStore belongs to — the decision lives where atomicity
+  * exists, the state the store protocol READS lives in the store.
+  *
+  * THE MARKER-MATERIALIZATION CONTRACT (binding on every external
+  * coordinator, not just this one): winning [[reserve]] MUST also
+  * create the store-side marker file, and [[heartbeat]] MUST refresh
+  * that marker's mtime — the lock only DECIDES; the store protocol
+  * reads reservation state from the marker itself (`isReserved`
+  * probes its existence; GC's `reservedLive` horizon reads its
+  * mtime; crash adoption checks it). A coordinator that arbitrates
+  * without materializing the marker makes every reserved slot look
+  * free to readers and sweepable to GC.
+  *
+  * Every coordinator instance arbitrating one warehouse must be
+  * configured with the SAME lock root — that shared directory IS the
+  * lock service. Known leak window: a crash between winning the lock
+  * and materializing the marker strands that lock file, permanently
+  * skipping one version-slot number (writers probe upward past it);
+  * harmless to correctness, bounded by crash count.
+  */
+final class DirectoryLockCoordinator(
+    lockRoot: HPath,
+    lockConf: org.apache.hadoop.conf.Configuration,
+    storeFs: FileSystem) extends CommitCoordinator {
+  private val lockFs: FileSystem = lockRoot.getFileSystem(lockConf)
+  private val inner: CommitCoordinator = CommitCoordinator.forStore(
+    lockFs, FileContext.getFileContext(lockFs.getUri, lockConf))
+  require(inner.atomicReservation,
+    s"lock root $lockRoot is on ${inner.describe} — a lock domain must " +
+      "itself have an atomic create-no-overwrite primitive")
+
+  override def atomicReservation: Boolean = true
+  override def describe: String =
+    s"directory-lock coordinator ($lockRoot arbitrating ${storeFs.getUri})"
+
+  /** One lock file per arbitrated marker, named by the marker's
+    * qualified-path hash (store paths aren't valid single path
+    * segments; the hash is stable across sessions by construction).
+    */
+  private def lockFor(marker: HPath): HPath = {
+    val key = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(storeFs.makeQualified(marker).toString.getBytes(UTF_8))
+      .map("%02x".format(_)).mkString
+    new HPath(lockRoot, s"lk_$key")
+  }
+
+  override def reserve(marker: HPath, token: String): Boolean = {
+    val won = inner.reserve(lockFor(marker), token)
+    if (won) {
+      // materialize the store-side marker (see the contract above) —
+      // a plain overwrite-create is fine: this process owns the slot
+      val out = storeFs.create(marker, true)
+      try out.write(token.getBytes(UTF_8)) finally out.close()
+    }
+    won
+  }
+
+  /** The liveness clock lives in the STORE domain (GC reads the
+    * marker's mtime there), so the heartbeat rewrites the marker, not
+    * the lock.
+    */
+  override def heartbeat(marker: HPath): Unit =
+    CommitCoordinator.rewriteInPlace(storeFs, marker)
+
+  override def release(marker: HPath): Unit = {
+    // marker first: the lock must never vanish while the marker still
+    // claims the slot (a competitor could double-grant it)
+    scala.util.Try(storeFs.delete(marker, false))
+    scala.util.Try(lockFs.delete(lockFor(marker), false))
+  }
 }

@@ -162,6 +162,27 @@ final class RelationStore(
     } finally in.close()
   }
 
+  /** Read a metadata file, distinguishing ABSENCE (None — the normal
+    * "never written" case) from a FAILED READ of a present file (loud).
+    * Collapsing the two is how bookkeeping silently degrades: e.g. an
+    * absorbed-set read hiccup re-listing absorbed deltas as live would
+    * union their files on top of the manifest entries that already
+    * carry them — silent row duplication. A FileNotFoundException IS
+    * absence (exists+read is TOCTOU under concurrent GC); any other
+    * IOException on a file that still exists rethrows.
+    */
+  private def readStrIfExists(p: HPath): Option[String] =
+    try Some(readStr(p))
+    catch {
+      case _: java.io.FileNotFoundException => None
+      case e: java.io.IOException =>
+        if (fsExists(p))
+          throw new IllegalStateException(
+            s"failed to read present metadata file $p — refusing to treat a " +
+              "read failure as absence (bookkeeping would silently degrade)", e)
+        else None // swept between the failed read and the probe: absent
+    }
+
   private def writeStr(p: HPath, s: String): Unit = {
     val parent = p.getParent
     if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
@@ -408,7 +429,7 @@ final class RelationStore(
     */
   private def releaseSlot(name: String, v: Int): Unit = {
     deleteRec(verDir(name, v))
-    fs.delete(rsvFile(name, v), false)
+    commitCoord.release(rsvFile(name, v))
   }
 
   /** Demote a slot to a gutted DATA POOL: tombstone + marker removal,
@@ -421,7 +442,7 @@ final class RelationStore(
       fs.delete(manifestFile(name, v), false)
       writeStr(new HPath(verDir(name, v), "_gutted"), "")
     }
-    fs.delete(rsvFile(name, v), false)
+    commitCoord.release(rsvFile(name, v))
   }
 
   /** Atomic-visibility manifest write into an OWNED slot: readers see
@@ -523,7 +544,7 @@ final class RelationStore(
               priorSlots.foreach { p =>
                 if (fsExists(verDir(name, p)))
                   writeStr(new HPath(verDir(name, p), "_gutted"), "")
-                fs.delete(rsvFile(name, p), false)
+                commitCoord.release(rsvFile(name, p))
               }
               return Some(n)
             }
@@ -541,7 +562,7 @@ final class RelationStore(
     * pre-manifest fallback), retention GC, session re-register.
     */
   private def finalizeCommit(name: String, n: Int): Unit = {
-    fs.delete(rsvFile(name, n), false) // committed: the slot is no longer in-flight
+    commitCoord.release(rsvFile(name, n)) // committed: the slot is no longer in-flight
     writeStrAtomic(pointer(name), n.toString)
     gcTable(name, retainVersions)
     registerView(name)
@@ -910,7 +931,7 @@ final class RelationStore(
       val cur0 = currentVersion(name)
       if (v == cur0.getOrElse(-1) + 1 &&
           manifestOf(name, v).exists(_.baseVersion.contains(cur0.getOrElse(-1))))
-        fs.delete(rsvFile(name, v), false)
+        commitCoord.release(rsvFile(name, v))
     }
     val cur = currentVersion(name).getOrElse(return 0)
     val all = physicalVersionDirs(name)
@@ -960,7 +981,7 @@ final class RelationStore(
         }
         deleteIfEmptyTree(dir)
       } catch { case _: java.io.IOException => () } // competitor swept it under us
-      fs.delete(rsvFile(name, v), false) // reclaimed slot: marker goes too
+      commitCoord.release(rsvFile(name, v)) // reclaimed slot: marker goes too
       if (wasVersion) reclaimed += 1
     }
     // markers whose slot dir is fully gone (crashed before any write)
@@ -969,8 +990,19 @@ final class RelationStore(
       if (st.isFile && f.startsWith("_rsv_v") && f.drop(6).forall(_.isDigit)) {
         val v = f.drop(6).toInt
         if (!retained.contains(v) && !reservedLive(v) && !fsExists(verDir(name, v)))
-          fs.delete(st.getPath, false)
+          commitCoord.release(st.getPath)
       }
+    }
+    // delta-landing reservations ([[appendDelta]]): released on
+    // success; a leftover is reclaimable once its delta dir exists
+    // (landed, the release just never ran) or it ages past the horizon
+    // (crashed between reserve and rename)
+    listNames(deltaRoot(name)).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.startsWith("_rsv_b") && n.drop(6).forall(_.isDigit) &&
+          (fsExists(deltaDirOf(name, n.drop(6).toLong)) ||
+            System.currentTimeMillis() - st.getModificationTime >= tornRetainMs))
+        commitCoord.release(st.getPath)
     }
     // absorbed deltas (id ≤ watermark, or in the above-gap absorbed
     // set) are reclaimable only when no retained manifest references a
@@ -1036,24 +1068,36 @@ final class RelationStore(
     * every id ≤ wm is absorbed (and, the replay-guard contract, was
     * genuinely landed — the watermark never rises over an id that never
     * landed). `above` is the explicit set of absorbed ids ABOVE the
-    * watermark: with two producers interleaving ids, one stalling
-    * leaves a permanent GAP in the landed sequence, and without the
-    * set, folds could absorb nothing past it forever (unbounded live
-    * deltas + per-fold abort churn) — the set lets a fold absorb the
-    * tail beyond the gap while the gap id itself stays landable.
+    * watermark, held as SORTED DISJOINT inclusive ranges: with two
+    * producers interleaving ids, one stalling leaves a permanent GAP
+    * in the landed sequence, and without the set, folds could absorb
+    * nothing past it forever (unbounded live deltas + per-fold abort
+    * churn) — the set lets a fold absorb the tail beyond the gap while
+    * the gap id itself stays landable.
     *
-    * Size bound: the set holds only ids between the oldest open gap
-    * and the newest landing, and DRAINS as gaps fill (the watermark
-    * catches up and absorbs it). A producer that stalls TEMPORARILY —
-    * the realistic case — costs a bounded set; a PERMANENTLY dead
-    * producer in an interleaved-id scheme grows it by one id per
-    * surviving-producer landing, so long-lived ingests should re-key
-    * producers (or full-write, which resets the mark) rather than
-    * leave a dead id lane open forever.
+    * Size bound: the RANGE encoding makes the set O(#open gaps), not
+    * O(absorbed ids) — a PERMANENTLY dead producer lane (the worst
+    * case: every surviving landing adds one id above the oldest gap
+    * forever) costs one range endpoint per gap, so the serialized
+    * `_delta_absorbed` file and every fold's metadata stay O(1) for a
+    * single dead lane no matter how many ids land past it. Ranges
+    * DRAIN as gaps fill: the watermark catches up and absorbs the
+    * leading range.
     */
-  private final case class DeltaMark(wm: Long, above: Set[Long]) {
-    def absorbed(id: Long): Boolean = id <= wm || above(id)
-    def maxAbsorbed: Long = (wm +: above.toSeq).max
+  private final case class DeltaMark(wm: Long, above: Seq[(Long, Long)]) {
+    def absorbed(id: Long): Boolean = id <= wm || {
+      // binary search the sorted disjoint ranges
+      var lo = 0; var hi = above.length - 1; var found = false
+      while (lo <= hi && !found) {
+        val mid = (lo + hi) >>> 1
+        val (a, b) = above(mid)
+        if (id < a) hi = mid - 1
+        else if (id > b) lo = mid + 1
+        else found = true
+      }
+      found
+    }
+    def maxAbsorbed: Long = above.lastOption.map(_._2).getOrElse(wm)
   }
 
   private def currentMark(name: String): DeltaMark =
@@ -1062,28 +1106,37 @@ final class RelationStore(
   private def markAt(name: String, cur: Option[Int]): DeltaMark =
     cur.map { v =>
       val d = verDir(name, v)
-      val wm = scala.util.Try(
-        readStr(new HPath(d, "_delta_watermark")).trim.toLong).getOrElse(-1L)
-      // a MISSING absorbed-set file is normal (no gap ever opened) and
-      // reads as empty; a PRESENT-but-unparseable one must fail LOUDLY,
-      // not degrade — treating absorbed ids as live would union their
-      // delta dirs on top of the manifest entries that already carry
-      // the same files (silent row duplication), and treating unknown
-      // ids as absorbed would swallow unlanded batches. Neither silent
-      // direction is safe, so name the file and stop.
-      val above = scala.util.Try(readStr(new HPath(d, "_delta_absorbed")))
-        .toOption match {
-          case None => Set.empty[Long]
-          case Some(raw) =>
-            try raw.trim.split(',').filter(_.nonEmpty).map(_.toLong).toSet
-            catch {
-              case e: NumberFormatException => throw new IllegalStateException(
-                s"corrupt ${new HPath(d, "_delta_absorbed")}: '${raw.take(120)}' — " +
-                  "restore it or full-write the table to reset delta bookkeeping", e)
-            }
+      // a MISSING watermark/absorbed file is normal (no fold / no gap
+      // yet) and reads as empty; a PRESENT one that cannot be READ or
+      // PARSED must fail LOUDLY, not degrade — treating absorbed ids
+      // as live would union their delta dirs on top of the manifest
+      // entries that already carry the same files (silent row
+      // duplication), and treating unknown ids as absorbed would
+      // swallow unlanded batches. Neither silent direction is safe, so
+      // name the file and stop ([[readStrIfExists]] rethrows read
+      // failures of present files; parse failures throw here).
+      val wmFile = new HPath(d, "_delta_watermark")
+      val wm = readStrIfExists(wmFile).map { raw =>
+        try raw.trim.toLong
+        catch {
+          case e: NumberFormatException => throw new IllegalStateException(
+            s"corrupt $wmFile: '${raw.take(120)}' — restore it or full-write " +
+              "the table to reset delta bookkeeping", e)
         }
+      }.getOrElse(-1L)
+      val abFile = new HPath(d, "_delta_absorbed")
+      val above = readStrIfExists(abFile) match {
+        case None => Nil
+        case Some(raw) =>
+          try RelationStore.parseRanges(raw)
+          catch {
+            case e: NumberFormatException => throw new IllegalStateException(
+              s"corrupt $abFile: '${raw.take(120)}' — restore it or " +
+                "full-write the table to reset delta bookkeeping", e)
+          }
+      }
       DeltaMark(wm, above)
-    }.getOrElse(DeltaMark(-1L, Set.empty))
+    }.getOrElse(DeltaMark(-1L, Nil))
 
   /** Whether `batchId` has already been durably landed (committed delta
     * dir, or absorbed below the base watermark). The replay guard:
@@ -1150,19 +1203,54 @@ final class RelationStore(
     writeStr(new HPath(tmp, "_graft_stats.json"), graft.artifacts.Json.write(
       collectStatsByName(dataFilesIn(tmp), df.schema)
         .map { case (n, fst) => n -> FileStats.toJsonValue(fst) }))
-    try fctx.rename(tmp, deltaDirOf(name, batchId))
+    // ARBITRATE through the coordinator, not the dest-dir rename: two
+    // sessions replaying one epoch race on a per-batch reservation
+    // marker (the coordinator's atomic primitive — on an object store
+    // with an external lock service, the dest "rename" is a
+    // copy+delete that two replayers could interleave). The marker is
+    // held only across the rename itself (the batch write above ran
+    // unreserved), so the crash window that strands it is tiny; GC
+    // reclaims a stranded one at the torn horizon, and the wait loop
+    // below reclaims it inline for a blocked replayer.
+    val dest = deltaDirOf(name, batchId)
+    val landRsv = new HPath(deltaRoot(name), s"_rsv_b$batchId")
+    var won = false
+    var waitedMs = 0L
+    while (!won) {
+      won = RelationStore.slotLock(fs.makeQualified(landRsv).toString).synchronized {
+        !fsExists(dest) &&
+          commitCoord.reserve(landRsv, java.util.UUID.randomUUID().toString)
+      }
+      if (!won) {
+        if (fsExists(dest)) { deleteRec(tmp); return false } // competitor landed
+        // a competitor holds the landing reservation: its rename is
+        // imminent (the hold spans only the rename), it failed cleanly
+        // (marker released, dest absent — retry the reserve), or it
+        // crashed (marker ages past the horizon — reclaim inline)
+        val age = scala.util.Try(System.currentTimeMillis() -
+          fs.getFileStatus(landRsv).getModificationTime).getOrElse(Long.MaxValue)
+        if (age >= tornRetainMs) commitCoord.release(landRsv)
+        else if (waitedMs >= 60_000L) {
+          deleteRec(tmp)
+          throw new IllegalStateException(
+            s"concurrent landing of batch $batchId into $schema.$name still " +
+              "in flight after 60 s — failing so the stream replays the epoch")
+        } else { Thread.sleep(50L); waitedMs += 50L }
+      }
+    }
+    try fctx.rename(tmp, dest)
     catch {
       case e: java.io.IOException =>
+        // we OWN the landing reservation, so a refused rename is a real
+        // filesystem failure, never a lost race — clean up and rethrow
+        // so the stream fails and REPLAYS the epoch (foreachBatch
+        // commits the epoch on a false return; swallowing a hiccup
+        // here would drop the batch permanently)
         deleteRec(tmp)
-        // a rename refusal reads as "concurrent replay landed first"
-        // ONLY when the landed dir is actually there — a transient
-        // filesystem failure must rethrow so the stream fails and
-        // REPLAYS the epoch (foreachBatch commits the epoch on a false
-        // return, so swallowing a hiccup here would drop the batch
-        // permanently)
-        if (fsExists(deltaDirOf(name, batchId))) return false
+        commitCoord.release(landRsv)
         throw e
     }
+    commitCoord.release(landRsv)
     registerView(name)
     if (liveDeltaIds(name).size >= math.max(2, deltaFoldEvery)) {
       foldDeltas(name)
@@ -1204,14 +1292,20 @@ final class RelationStore(
         // replay guard's contract — raising it over a GAP in the landed
         // sequence would make the gap id's late landing read as
         // already-landed and silently swallow its batch); absorbed ids
-        // beyond a gap are recorded explicitly in `_delta_absorbed`, so
-        // one stalled producer never wedges folding for the other
-        // (before the set, every fold past a gap was a no-op — version
-        // churn plus unboundedly growing live-delta listings).
-        val absorbedAll = baseMark.above ++ live
+        // beyond a gap are recorded explicitly in `_delta_absorbed` as
+        // merged RANGES, so one stalled producer never wedges folding
+        // for the other (before the set, every fold past a gap was a
+        // no-op — version churn plus unboundedly growing live-delta
+        // listings) and a permanently dead lane costs O(#gaps) bytes
+        // per fold, not O(ids landed past it).
+        val merged = RelationStore.mergeRanges(
+          baseMark.above ++ live.map(id => (id, id)))
         var w = baseMark.wm
-        while (absorbedAll.contains(w + 1)) w += 1
-        val above = absorbedAll.filter(_ > w)
+        var above = merged
+        while (above.nonEmpty && above.head._1 == w + 1) {
+          w = above.head._2
+          above = above.tail
+        }
         val prevEntries = base.toSeq.flatMap(v => versionEntries(name, v))
         val schemaSrc = (base.map(verDir(name, _)).toSeq ++ live.map(deltaDirOf(name, _)))
           .map(d => new HPath(d, "_graft_schema.json")).find(fsExists)
@@ -1238,7 +1332,7 @@ final class RelationStore(
         writeStr(new HPath(verDir(name, n), "_delta_watermark"), w.toString)
         if (above.nonEmpty)
           writeStr(new HPath(verDir(name, n), "_delta_absorbed"),
-            above.toSeq.sorted.mkString(","))
+            RelationStore.formatRanges(above))
         folded = live.size
         // belt-and-braces: never list one physical file twice even if
         // a future base/watermark skew slips through
@@ -1675,15 +1769,26 @@ final class RelationStore(
     if (small.size <= ideal) return 0
     val slot = reserveVersion(name, cur + 1)
     val dest = verDir(name, slot)
-    val packed = spark.read.parquet(small.map(e => new HPath(td, e.rel).toString): _*)
     // Z-order-lite: cluster the rewrite by the leading indexed column so
     // each output file covers a NARROW value range — data skipping gets
     // sharper as the table ages instead of degrading (shuffle cost is
     // bounded by the under-sized files being rewritten anyway)
     try withStagingHeartbeat(name, slot) {
+      val packed = spark.read.parquet(small.map(e => new HPath(td, e.rel).toString): _*)
       clusterBy(packed, ideal.toInt, clusterColumns)
         .write.mode(SaveMode.Overwrite).parquet(dest.toString)
-    } catch { case e: Throwable => releaseSlot(name, slot); throw e }
+    } catch {
+      case e: Throwable =>
+        releaseSlot(name, slot)
+        // a rewrite input vanishing mid-read means a competitor's
+        // commit + retention superseded this compaction's snapshot —
+        // the same conflict commitHead aborts on, just surfaced at the
+        // scan instead of the verify. Compaction is an OPTIMIZATION:
+        // abort cleanly (the next trigger re-plans on the fresh head)
+        // rather than failing the caller's landing loop.
+        if (isStaleReadRace(e)) return 0
+        throw e
+    }
     carryVersionMeta(name, cur, slot)
     val outEntries = big ++ physicalEntries(name, slot, statsSchema = storedSchemaOf(name))
     commitHead(name, slot, { (_, base) =>
@@ -1738,20 +1843,24 @@ final class RelationStore(
             s"cluster column '$c' not in schema ${df.columns.mkString(", ")}"))
       }
       else FileStats.indexedColumns(df.schema).headOption.toSeq
-    val zorderable = chosen.filter(f => zpos(f).isDefined)
-    // an EXPLICIT multi-column request must not silently degrade to a
-    // single-column sort — that produces exactly the second-dimension
-    // skipping regression the caller asked to avoid (and the CLI would
-    // report "zordered by c1,c2" for a layout that isn't)
-    if (clusterColumns.size >= 2 && zorderable.size < 2)
-      throw new IllegalArgumentException(
-        s"zorder needs two orderable-position columns; " +
-          chosen.filterNot(f => zpos(f).isDefined)
-            .map(f => s"'${f.name}' (${f.dataType.simpleString})").mkString(", ") +
-          " cannot be Z-ordered (strings have no bounded numeric position) — " +
-          "cluster by a single column instead")
-    if (chosen.size >= 2 && zorderable.size >= 2) {
-      val Seq(fa, fb) = zorderable.take(2)
+    // an EXPLICIT multi-column request must not silently cluster a
+    // DIFFERENT pair than requested: the Z-ordered pair is the FIRST
+    // TWO requested columns, and if either has no orderable position
+    // the request errors — skipping over a non-orderable first column
+    // to a later orderable pair would produce a layout the CLI then
+    // misreports (and exactly the second-dimension regression the
+    // caller asked to avoid for the column they named first)
+    if (chosen.size >= 2) {
+      val pair = chosen.take(2)
+      val bad = pair.filterNot(f => zpos(f).isDefined)
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"zorder interleaves the first two requested columns " +
+            s"(${pair.map(_.name).mkString(", ")}); " +
+            bad.map(f => s"'${f.name}' (${f.dataType.simpleString})").mkString(", ") +
+            " cannot be Z-ordered (strings have no bounded numeric position) — " +
+            "reorder the request or cluster by a single column instead")
+      val Seq(fa, fb) = pair
       val (pa, pb) = (zpos(fa).get, zpos(fb).get)
       val bounds = df.agg(min(pa).as("__mna"), max(pa).as("__mxa"),
         min(pb).as("__mnb"), max(pb).as("__mxb"))
@@ -1809,7 +1918,13 @@ final class RelationStore(
           .write.mode(SaveMode.Overwrite).parquet(new HPath(dest, leaf).toString)
         rewrittenBytes += bytes
       }
-    } catch { case e: Throwable => releaseSlot(name, slot); throw e }
+    } catch {
+      case e: Throwable =>
+        releaseSlot(name, slot)
+        // vanished rewrite input = superseded snapshot (see compactFlat)
+        if (isStaleReadRace(e)) return 0
+        throw e
+    }
     carryVersionMeta(name, cur, slot)
     // well-sized leaves carry by reference, fragmented ones re-list
     val carried = sized.filterNot(e => fragmented.contains(e.leafKey))
@@ -2042,6 +2157,50 @@ final class RelationStore(
 }
 
 object RelationStore {
+
+  /** Merge id intervals into sorted, disjoint, NON-ADJACENT inclusive
+    * ranges — the `_delta_absorbed` encoding. Adjacency coalesces
+    * ((1,3),(4,6) → (1,6)) so the watermark advance over the leading
+    * range is complete and the serialized form is canonical: O(#gaps)
+    * entries no matter how many ids were absorbed.
+    */
+  private[graft] def mergeRanges(rs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    if (rs.isEmpty) Nil
+    else {
+      val sorted = rs.sortBy(_._1)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)](sorted.head)
+      sorted.tail.foreach { case (a, b) =>
+        val (pa, pb) = out.last
+        if (a <= pb + 1) out(out.length - 1) = (pa, math.max(pb, b))
+        else out += ((a, b))
+      }
+      out.toSeq
+    }
+
+  /** Serialize merged ranges: `lo-hi` per range, singletons as the bare
+    * id — which makes the PRE-RANGE format (a comma list of single ids)
+    * a valid instance of this one, so old `_delta_absorbed` files parse
+    * unchanged.
+    */
+  private[graft] def formatRanges(rs: Seq[(Long, Long)]): String =
+    rs.map { case (a, b) => if (a == b) a.toString else s"$a-$b" }.mkString(",")
+
+  /** Parse `_delta_absorbed` content (range or legacy single-id form)
+    * into merged ranges. Throws NumberFormatException on malformed
+    * content — the caller surfaces it loudly.
+    */
+  private[graft] def parseRanges(raw: String): Seq[(Long, Long)] =
+    mergeRanges(raw.trim.split(',').filter(_.nonEmpty).toSeq.map { tok =>
+      // a leading '-' is a (malformed) negative id, not a separator
+      val cut = tok.indexOf('-', 1)
+      if (cut < 0) { val v = tok.trim.toLong; (v, v) }
+      else {
+        val (a, b) = (tok.take(cut).trim.toLong, tok.drop(cut + 1).trim.toLong)
+        if (a > b) throw new NumberFormatException(s"inverted range '$tok'")
+        (a, b)
+      }
+    })
+
   /** Per-slot arbitration for SAME-JVM concurrent writers, keyed by the
     * qualified reservation-marker path. One object per slot ever
     * contended — negligible footprint, never cleared.

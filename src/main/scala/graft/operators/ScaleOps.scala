@@ -226,23 +226,29 @@ object ScaleOps {
     * write is SETUP (deterministic content, one immutable version), so
     * bench reps 2+ time the thing the query exists to show: the
     * manifest-index read with file skipping, not parquet write
-    * throughput.
+    * throughput. `computeIfAbsent` is the per-dir build lock: a
+    * concurrent first invocation BLOCKS until the landing commits
+    * (instead of reading a not-yet-committed table), and a FAILED
+    * landing records nothing — the next invocation rebuilds rather
+    * than failing forever on a poisoned "already built" entry.
     */
-  private val skipBenchBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val skipBenchBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 
   def qStoreSkipping(s: SparkSession, dir: String): DataFrame = {
     val store = new graft.exec.RelationStore(s, skipBenchRoot)
     // table name keyed by source dir: a JVM driving two scale factors
     // (verify + smoke) must not serve one dir's landing for the other
     val table = "li_clustered_" + Integer.toHexString(dir.hashCode)
-    if (skipBenchBuilt.add(dir)) {
+    skipBenchBuilt.computeIfAbsent(dir, _ => {
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
         // a DECIMAL measure column (q6's shape) so the scan's pushed
         // decimal predicate exercises the decimal file-stats path too
         .withColumn("l_qty_dec", col("l_quantity").cast("decimal(12,2)"))
       store.write(li.repartitionByRange(8, col("l_orderkey")), table)
-    }
+      true
+    })
     store.read(table)
       .filter(col("l_orderkey") < 1000L &&
         expr("l_qty_dec < CAST(24 AS DECIMAL(12,2))"))

@@ -293,6 +293,7 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
       override def describe = "test lock service"
       override def reserve(m: HPath, t: String) = inner.reserve(m, t)
       override def heartbeat(m: HPath) = inner.heartbeat(m)
+      override def release(m: HPath) = inner.release(m)
     }
     val withExt = new RelationStore(spark, root, coordinator = Some(ext))
     withExt.write(df(Seq((3L, "c"))), "t")
@@ -416,6 +417,153 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seen.size == 2 && seen(0) != seen(1),
       s"marker must be rewritten during a long staging write: $seen")
     assert(store.read("t").count() == 1) // and the commit still lands
+  }
+
+  test("absorbed-range encoding stays O(#gaps) at 10k+ landed ids and round-trips") {
+    // the pure encoding kernel at dead-lane scale: 20k absorbed ids
+    // around two permanent gaps cost TWO ranges, not 20k entries
+    val ids = ((1L to 10000L) ++ (20001L to 30000L)).reverse
+    val merged = RelationStore.mergeRanges(ids.map(i => (i, i)))
+    assert(merged == Seq((1L, 10000L), (20001L, 30000L)))
+    val s = RelationStore.formatRanges(merged)
+    assert(s == "1-10000,20001-30000" && s.length < 25, s)
+    assert(RelationStore.parseRanges(s) == merged)
+    // overlap + adjacency coalesce; singletons serialize bare, which
+    // makes legacy single-id files a valid instance of the format
+    assert(RelationStore.mergeRanges(Seq((1L, 3L), (4L, 6L), (5L, 9L), (12L, 12L))) ==
+      Seq((1L, 9L), (12L, 12L)))
+    assert(RelationStore.formatRanges(Seq((7L, 7L), (9L, 11L))) == "7,9-11")
+    assert(RelationStore.parseRanges("3,4,5,9") == Seq((3L, 5L), (9L, 9L)))
+    intercept[NumberFormatException](RelationStore.parseRanges("5-2"))
+    intercept[NumberFormatException](RelationStore.parseRanges("1,x"))
+  }
+
+  test("a dead producer lane keeps _delta_absorbed interval-encoded and tiny") {
+    val root = newRoot()
+    val store = new RelationStore(spark, root, deltaFoldEvery = 4)
+    // lane id 0 never lands; survivors land a dense band and a far band
+    // (folds keep firing under the open gap the whole time)
+    (1L to 24L).foreach(i => store.appendDelta(df(Seq((i, s"x$i"))), "t", i))
+    (100000L to 100011L).foreach(i => store.appendDelta(df(Seq((i, s"y$i"))), "t", i))
+    store.foldDeltas("t")
+    def absorbedFile(): String = {
+      val v = store.versions("t").max
+      val p = java.nio.file.Paths.get(root, "main", "t", s"v$v", "_delta_absorbed")
+      if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p).trim else ""
+    }
+    // 36 absorbed ids above the open gap → exactly two ranges, O(1) bytes
+    assert(absorbedFile() == "1-24,100000-100011", absorbedFile())
+    assert(store.read("t").count() == 36)
+    // replay of an absorbed id skips; the gap id itself still lands
+    assert(!store.appendDelta(df(Seq((24L, "dup"))), "t", 24L))
+    assert(store.appendDelta(df(Seq((0L, "late"))), "t", 0L))
+    store.foldDeltas("t")
+    // the filled gap drains the leading range into the watermark
+    assert(absorbedFile() == "100000-100011", absorbedFile())
+    assert(store.read("t").count() == 37)
+    assert((0L to 24L).forall(store.batchLanded("t", _)))
+    assert(store.batchLanded("t", 100011L) && !store.batchLanded("t", 50000L))
+  }
+
+  test("a failed read of a PRESENT _delta_absorbed fails loudly, never as row duplication") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.flaky.impl", classOf[FlakyReadFs].getName)
+    hc.set("fs.AbstractFileSystem.flaky.impl", classOf[FlakyReadAbstractFs].getName)
+    val root = "flaky://" + newRoot()
+    // flaky is an unknown scheme (declared non-atomic) → single-writer
+    val store = new RelationStore(spark, root,
+      deltaFoldEvery = 3, concurrentWriters = false)
+    // land with a gap so the fold writes a real _delta_absorbed
+    Seq(0L, 1L, 3L).foreach(i => store.appendDelta(df(Seq((i, s"x$i"))), "t", i))
+    assert(store.read("t").count() == 3)
+    FlakyReadFs.failSubstring = "_delta_absorbed"
+    try {
+      // treating the unreadable set as EMPTY would re-list absorbed
+      // deltas as live and union their files over the manifest entries
+      // that already carry them — silent duplication; the store must
+      // name the file and stop instead
+      val e = intercept[IllegalStateException](store.read("t").count())
+      assert(e.getMessage.contains("_delta_absorbed") &&
+        e.getMessage.contains("refusing"), e.getMessage)
+    } finally FlakyReadFs.failSubstring = ""
+    // with reads healthy again the table is intact
+    assert(store.read("t").count() == 3)
+  }
+
+  test("out-of-domain directory-lock coordinator: chaos storm on a non-atomic store") {
+    // THE deployment shape the coordinator seam exists for: the store
+    // root is on a scheme with NO atomic create-no-overwrite (mockobj,
+    // standing in for plain S3), and arbitration happens in a SEPARATE
+    // domain — a lock directory on the local filesystem shared by all
+    // writers. reserve() must still materialize the store-side marker
+    // (GC's reservedLive reads its mtime) — the full gapped-id storm
+    // plus retention exercises exactly that contract.
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.mockobj.impl", classOf[MockObjectStoreFs].getName)
+    hc.set("fs.AbstractFileSystem.mockobj.impl",
+      classOf[MockObjectStoreAbstractFs].getName)
+    val root = "mockobj://" + newRoot()
+    val lockDir = new HPath(
+      java.nio.file.Files.createTempDirectory("graft_locks").toUri.toString)
+    val conf = spark.sessionState.newHadoopConf()
+    def mkStore(foldEvery: Int): RelationStore = {
+      val storeFs = new HPath(root).getFileSystem(conf)
+      new RelationStore(spark, root, deltaFoldEvery = foldEvery,
+        coordinator = Some(new graft.exec.DirectoryLockCoordinator(
+          lockDir, conf, storeFs)))
+    }
+    val stores = (0 until 3).map(_ => mkStore(4))
+    val perThread = 8
+    val landed = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    inParallel(stores.zipWithIndex.map { case (st, t) =>
+      () => {
+        val rnd = new scala.util.Random(2000 + t)
+        val ids = (0 until perThread).map(k => (t + 3 * k).toLong)
+        val (now, late) = ids.partition(_ => rnd.nextInt(4) > 0)
+        def land(id: Long): Unit = {
+          assert(st.appendDelta(df(Seq((id, s"t$t"))), "t", id), s"fresh id $id must land")
+          landed.add(id)
+          assert(!st.appendDelta(df(Seq((id, "dup"))), "t", id), s"replay of $id must skip")
+        }
+        now.foreach { id =>
+          land(id)
+          rnd.nextInt(6) match {
+            case 0 => st.foldDeltas("t")
+            case 1 => st.vacuum("t")
+            case 2 => st.compact("t")
+            case _ => ()
+          }
+        }
+        late.foreach(land)
+      }
+    }: _*)
+    val readerFs = new HPath(root).getFileSystem(conf)
+    val fresh = mkStore(4)
+    fresh.foldDeltas("t")
+    val got = fresh.read("t").collect().map(_.getLong(0)).sorted.toSeq
+    import scala.jdk.CollectionConverters._
+    val want = landed.iterator().asScala.map(_.toLong).toSeq.sorted
+    assert(want.size == 3 * perThread, s"every id must have landed: ${want.size}")
+    assert(got == want, s"extra=${got.diff(want)} missing=${want.diff(got)}")
+    // concurrent full writes arbitrated by the external domain commit a
+    // linear chain too (the versioned-commit half of the protocol)
+    val (wa, wb) = (mkStore(64), mkStore(64))
+    inParallel(
+      () => wa.write(df(Seq((1L, "A"))), "u"),
+      () => wb.write(df(Seq((2L, "B"))), "u"))
+    assert(fresh.versions("u").size == 2)
+    assert(mkStore(64).read("u").count() == 1)
+    // quiesced retention releases BOTH domains: no store markers, no locks
+    val sweeper = new RelationStore(spark, root, tornRetainMs = 0L,
+      coordinator = Some(new graft.exec.DirectoryLockCoordinator(
+        lockDir, conf, readerFs)))
+    sweeper.vacuum("t", keepLast = 1)
+    sweeper.vacuum("u", keepLast = 1)
+    assert(sweeper.read("t").count() == want.size)
+    val lockFiles = java.nio.file.Files.list(
+      java.nio.file.Paths.get(new java.net.URI(lockDir.toString)))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(lockFiles.isEmpty, s"leaked external locks: $lockFiles")
   }
 
   test("contended many-writer burst settles into a linear readable chain") {

@@ -268,6 +268,16 @@ class ManifestIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         clusterColumns = Seq("id", "label")))
     assert(e.getMessage.contains("label") && e.getMessage.contains("Z-order"),
       e.getMessage)
+    // a non-orderable FIRST column with two orderable LATER ones must
+    // refuse too: the Z pair is the first two REQUESTED columns — a
+    // silently substituted later pair would cluster a different layout
+    // than the one the CLI reports
+    val mixed = (0L until 400L).map(i => (s"s$i", i, i % 20)).toDF("label", "x", "y")
+    store.write(mixed.repartition(8), "t_mix")
+    val e2 = intercept[IllegalArgumentException](
+      store.compact("t_mix", bytesOf(store.read("t_mix")) / 4 + 1,
+        clusterColumns = Seq("label", "x", "y")))
+    assert(e2.getMessage.contains("'label'"), e2.getMessage)
   }
 
   test("partition pruning composes with file-level skipping inside the surviving partition") {

@@ -15,6 +15,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   var spark: SparkSession = _
   override def beforeAll(): Unit = { spark = GraftSession.local(4) }
 
+  test("q_store_skipping: a failed landing never poisons the memoized build") {
+    // the landing is memoized per source dir; a FAILED build (bogus
+    // dir) must leave no "already built" record — otherwise every later
+    // invocation would fail with 'relation not found' instead of
+    // retrying the landing
+    val bogus = "/nonexistent/graft_sf_dir"
+    val e1 = intercept[Exception](ScaleOps.qStoreSkipping(spark, bogus).count())
+    val e2 = intercept[Exception](ScaleOps.qStoreSkipping(spark, bogus).count())
+    // both failures are the SOURCE-load failure, not a poisoned-cache
+    // store miss
+    Seq(e1, e2).foreach { e =>
+      assert(!String.valueOf(e.getMessage).contains("relation not found"),
+        s"poisoned build cache: ${e.getMessage}")
+    }
+    // and a good dir still builds + answers after the failed attempts
+    assert(ScaleOps.qStoreSkipping(spark, sf).count() > 0)
+  }
+
   test("minhash LSH: precision 1.0 (exact verify) and high recall on strong pairs") {
     val exact = DedupOps.dedupNgramJaccard(spark, sf)
       .select("doc_a", "doc_b", "jaccard").collect()
