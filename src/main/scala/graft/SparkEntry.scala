@@ -91,6 +91,7 @@ object SparkEntry {
     "q_cms_counts" -> ((s, d) => ScaleOps.qCmsCounts(s, d)),
     "q_zorder_layout" -> (ScaleOps.qZorderLayout _),
     "q_store_skipping" -> (ScaleOps.qStoreSkipping _),
+    "q_store_zorder" -> (ScaleOps.qStoreZorder _),
     "q_asof_join" -> (Events.qAsofJoin _),
     "q_asof_forward" -> (Events.qAsofForward _),
     "q_range_join" -> (Events.qRangeJoin _),
@@ -3335,6 +3336,14 @@ object SparkEntry {
       SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT) AS qty
       FROM lineitem
       WHERE l_orderkey < 1000 AND CAST(l_quantity AS DECIMAL(12,2)) < 24""",
+    // the Spark side lands lineitem PARTITIONED by returnflag, OPTIMIZEs
+    // with a two-column Z-order, and answers through partition pruning +
+    // file skipping; the oracle filters the raw parquet — equality
+    // proves the whole layout pipeline changes nothing
+    "q_store_zorder" -> """
+      SELECT l_orderkey, l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_returnflag = 'A' AND l_partkey < 200 AND l_suppkey < 15""",
     "q_zorder_layout" -> {
       val bits = graft.operators.ScaleOps.ZorderBits
       val fb = graft.operators.ScaleOps.ZorderFileBits

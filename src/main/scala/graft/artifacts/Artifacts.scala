@@ -440,15 +440,29 @@ object Artifacts {
     * renders.
     */
   def writeCatalogWithComments(targetDir: String,
-      relations: Seq[(String, org.apache.spark.sql.DataFrame, Option[String], Map[String, String])]): Unit = {
+      relations: Seq[(String, org.apache.spark.sql.DataFrame, Option[String], Map[String, String])]): Unit =
+    writeCatalogWithStats(targetDir,
+      relations.map { case (n, df, rc, cc) => (n, df, rc, cc, Map.empty[String, Any]) })
+
+  /** Catalog with per-relation STORE HEALTH in the node's `stats` map
+    * (the dbt catalog field adapters fill from warehouse metadata):
+    * versions retained, live vs pool files/bytes, delta backlog — the
+    * visibility OPTIMIZE/VACUUM decisions need (reference task/docs/
+    * generate.py:59-122 populates stats from the adapter's catalog
+    * query; the store IS this engine's warehouse).
+    */
+  def writeCatalogWithStats(targetDir: String,
+      relations: Seq[(String, org.apache.spark.sql.DataFrame, Option[String],
+        Map[String, String], Map[String, Any])]): Unit = {
     val doc = Map(
       "metadata" -> Map(
         "dbt_schema_version" -> "https://schemas.getdbt.com/dbt/catalog/v1.json",
         "generated_at" -> java.time.Instant.now().toString),
-      "nodes" -> relations.map { case (name, df, relComment, colComments) =>
+      "nodes" -> relations.map { case (name, df, relComment, colComments, stats) =>
         name -> Map(
           "metadata" -> (Map("name" -> name, "type" -> "table") ++
             relComment.map("comment" -> _)),
+          "stats" -> stats,
           "columns" -> df.schema.fields.zipWithIndex.map { case (f, i) =>
             f.name -> (Map[String, Any]("name" -> f.name,
               "type" -> f.dataType.simpleString, "index" -> i) ++

@@ -417,31 +417,51 @@ object Main {
         // manifest compile (reference main.py:374 ShowTaskDirect)
         Sources.registerAll(spark, project.manifest, project.vars ++ cliVars)
         attachAll()
-        val compiler = adHocCompiler()
-        val sql = flags.get("inline-direct") match {
-          case Some(direct) => direct
-          case None => flags.get("inline") match {
-            case Some(inline) =>
-              val fake = ModelNode("__inline__", project.name, inline, NodeConfig(), Nil, Nil, Nil)
-              compiler.compile(fake, inline).executable
-            case None =>
-              val name = flags.getOrElse("select",
-                throw new IllegalArgumentException("show requires --inline SQL or --select model"))
-              val node = project.manifest.resolveRef(name).getOrElse(
-                throw new IllegalArgumentException(s"model not found: $name"))
-              node match {
-                case m: ModelNode => compiler.compile(m, m.rawCode).executable
-                case other => s"SELECT * FROM ${other.config.alias.getOrElse(other.name)}"
+        val limitN = flags.getOrElse("limit", "5").toInt
+        val previewDf: org.apache.spark.sql.DataFrame = flags.get("as-of") match {
+          case Some(tsRaw) =>
+            // timestamp time travel: preview the relation's SNAPSHOT as
+            // of a wall-clock instant, straight from the versioned
+            // store (compiled SQL reads the registered head view, which
+            // has no history)
+            val name = flags.getOrElse("select",
+              throw new IllegalArgumentException(
+                "show --as-of requires --select <relation>"))
+            val rel = project.manifest.resolveRef(name)
+              .map(n => n.config.alias.getOrElse(n.name)).getOrElse(name)
+            val st = projectStores().find(s => s.exists(rel) && !s.isView(rel))
+              .getOrElse(throw new IllegalArgumentException(
+                s"no stored (non-view) relation named $rel — --as-of " +
+                  "addresses versioned store snapshots"))
+            st.readAsOf(rel, parseAsOf(tsRaw))
+          case None =>
+            val compiler = adHocCompiler()
+            val sql = flags.get("inline-direct") match {
+              case Some(direct) => direct
+              case None => flags.get("inline") match {
+                case Some(inline) =>
+                  val fake = ModelNode("__inline__", project.name, inline, NodeConfig(), Nil, Nil, Nil)
+                  compiler.compile(fake, inline).executable
+                case None =>
+                  val name = flags.getOrElse("select",
+                    throw new IllegalArgumentException("show requires --inline SQL or --select model"))
+                  val node = project.manifest.resolveRef(name).getOrElse(
+                    throw new IllegalArgumentException(s"model not found: $name"))
+                  node match {
+                    case m: ModelNode => compiler.compile(m, m.rawCode).executable
+                    case other => s"SELECT * FROM ${other.config.alias.getOrElse(other.name)}"
+                  }
               }
-          }
+            }
+            spark.sql(sql)
         }
         // --output json emits one JSON object per row (reference
         // task/show.py: preview as JSON for programmatic consumers);
         // default stays the tabular preview
-        val preview = spark.sql(sql).limit(flags.getOrElse("limit", "5").toInt)
+        val preview = previewDf.limit(limitN)
         if (flags.get("output").contains("json"))
           preview.toJSON.collect().foreach(println)
-        else preview.show(flags.getOrElse("limit", "5").toInt, truncate = false)
+        else preview.show(limitN, truncate = false)
         0
       case "docs-generate" =>
         Sources.registerAll(spark, project.manifest, project.vars ++ cliVars)
@@ -449,9 +469,12 @@ object Main {
         val rels = projectStores().flatMap(st =>
           st.list().map { n =>
             val (relC, colC) = st.comments(n)
-            (st.sqlName(n), st.read(n), relC, colC)
+            // per-relation store health (versions, live vs pool bytes,
+            // delta backlog) into the catalog's stats field — the
+            // OPTIMIZE/VACUUM visibility a warehouse catalog carries
+            (st.sqlName(n), st.read(n), relC, colC, st.health(n))
           })
-        Artifacts.writeCatalogWithComments(targetDir, rels)
+        Artifacts.writeCatalogWithStats(targetDir, rels)
         Artifacts.writeManifest(targetDir, project.manifest)
         println(s"catalog with ${rels.size} relations -> $targetDir/catalog.json")
         0
@@ -491,7 +514,12 @@ object Main {
           .getOrElse(projectStores().flatMap(_.list()))
         var n = 0
         for (st <- projectStores(); rel <- st.list() if names.contains(rel)) {
-          val df = st.read(rel)
+          // --as-of exports the timestamp-resolved SNAPSHOT (views have
+          // no history and keep exporting their current definition)
+          val df = flags.get("as-of") match {
+            case Some(ts) if !st.isView(rel) => st.readAsOf(rel, parseAsOf(ts))
+            case _ => st.read(rel)
+          }
           var w = df.write.mode("overwrite").format(format)
           if (format == "csv") w = w.option("header", "true")
           flags.get("partition-by").foreach(cols =>
@@ -598,6 +626,29 @@ object Main {
   }
 
   /** `init` — scaffold a starter project (reference cli/main.py init:461). */
+  /** `--as-of` instant: epoch millis, an ISO-8601 instant
+    * (`2026-08-16T07:00:00Z`), or a UTC `yyyy-MM-dd[ HH:mm[:ss]]`
+    * timestamp / bare date.
+    */
+  private def parseAsOf(raw: String): Long = {
+    val t = raw.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else {
+      val base = if (t.contains("T")) t else if (t.contains(" ")) t.replace(" ", "T") else s"${t}T00:00:00"
+      val withSec = if (base.count(_ == ':') == 1) base + ":00" else base
+      val zoned =
+        if (withSec.endsWith("Z") || withSec.matches(".*[+-]\\d\\d:\\d\\d$")) withSec
+        else withSec + "Z"
+      try java.time.Instant.parse(zoned).toEpochMilli
+      catch {
+        case e: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"--as-of '$raw' is not epoch millis, an ISO-8601 instant, or " +
+              "a UTC yyyy-MM-dd[ HH:mm[:ss]] timestamp", e)
+      }
+    }
+  }
+
   private def initProject(projectDir: String): Int = {
     val dir = Paths.get(projectDir)
     if (Files.exists(dir.resolve("dbt_project.yml"))) {

@@ -94,21 +94,34 @@ final class ManifestFileIndex(
     // observability: what this scan CONSIDERED (every file the version
     // manifests) vs what pruning+skipping left OPEN — surfaced per node
     // in run_results' adapter_response so skipping effectiveness is
-    // visible, not just real. Counted per PLANNING EVENT (every
-    // listFiles call): one index instance serves every query over its
-    // registered view, so an instance-once guard would silently drop
-    // all but the first reader's stats; the cost is that a
-    // dynamically-pruned scan plans twice (static then DPP-refined) and
-    // contributes twice — completeness over uniqueness, documented in
-    // [[ManifestFileIndex.scanCounters]]
-    ManifestFileIndex.filesConsidered.addAndGet(entries.iterator.map(_._2.size).sum)
-    ManifestFileIndex.bytesConsidered.addAndGet(
-      entries.iterator.flatMap(_._2).map(_._1.getLen).sum)
-    ManifestFileIndex.filesOpened.addAndGet(out.iterator.map(_.files.size).sum)
-    ManifestFileIndex.bytesOpened.addAndGet(
-      out.iterator.flatMap(_.files).map(_.getLen).sum)
+    // visible, not just real. The JVM-global counters count every
+    // PLANNING EVENT (run totals, exact); per-NODE attribution buckets
+    // by the Spark job group the Runner sets per node — exact under
+    // concurrent scheduling — keeping only the LAST event per (group,
+    // index instance), which collapses a DPP re-plan (static then
+    // refined) to the refined set that is actually read. The collapse
+    // also means two DISTINCT scans of one table version inside one
+    // node report the later planning only — acceptable for a
+    // skipping-effectiveness report, documented here.
+    val fc = entries.iterator.map(_._2.size).sum.toLong
+    val bc = entries.iterator.flatMap(_._2).map(_._1.getLen).sum
+    val fo = out.iterator.map(_.files.size).sum.toLong
+    val bo = out.iterator.flatMap(_.files).map(_.getLen).sum
+    ManifestFileIndex.filesConsidered.addAndGet(fc)
+    ManifestFileIndex.bytesConsidered.addAndGet(bc)
+    ManifestFileIndex.filesOpened.addAndGet(fo)
+    ManifestFileIndex.bytesOpened.addAndGet(bo)
+    // job-group local properties are inherited into Spark's planning
+    // helper threads (SQLExecution captures them), so the group read
+    // here is the node whose plan requested this listing
+    val group = org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => Option(s.sparkContext.getLocalProperty("spark.jobGroup.id")))
+      .getOrElse("")
+    ManifestFileIndex.record(group, indexId, fc, fo, bc, bo)
     out
   }
+
+  private val indexId: Long = ManifestFileIndex.nextIndexId.incrementAndGet()
 }
 
 object ManifestFileIndex {
@@ -132,6 +145,48 @@ object ManifestFileIndex {
   /** (filesConsidered, filesOpened, bytesConsidered, bytesOpened) now. */
   def scanCounters(): (Long, Long, Long, Long) =
     (filesConsidered.get(), filesOpened.get(), bytesConsidered.get(), bytesOpened.get())
+
+  private val nextIndexId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Per-job-group planning events, recorded ONLY for groups a Runner
+    * announced via [[resetGroup]] (unannounced groups — bench sweeps,
+    * ad-hoc reads — are covered by the global counters; recording them
+    * per-index here would grow without bound over a long JVM). Keyed by
+    * (group, index instance), last event wins.
+    */
+  private val groupEvents = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[Long, Array[Long]]]()
+
+  private[exec] def record(group: String, indexId: Long,
+      fc: Long, fo: Long, bc: Long, bo: Long): Unit = {
+    val m = groupEvents.get(group)
+    if (m != null) m.put(indexId, Array(fc, fo, bc, bo))
+  }
+
+  /** Open per-group attribution for a node: clears any stale events
+    * (a retried node id) and registers the group for recording.
+    */
+  def resetGroup(group: String): Unit =
+    groupEvents.put(group,
+      new java.util.concurrent.ConcurrentHashMap[Long, Array[Long]]())
+
+  /** Drain a node's attributed planning events: per-index last events
+    * summed across the node's input indexes. Empty ⇒ no manifest-backed
+    * scan planned under this group.
+    */
+  def takeGroupStats(group: String): Map[String, Long] = {
+    val m = groupEvents.remove(group)
+    if (m == null || m.isEmpty) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val vs = m.values.asScala.toSeq
+      Map(
+        "files_considered" -> vs.map(_(0)).sum,
+        "files_opened" -> vs.map(_(1)).sum,
+        "bytes_considered" -> vs.map(_(2)).sum,
+        "bytes_opened" -> vs.map(_(3)).sum)
+    }
+  }
 
   /** Hive path-segment unescaping (%XX) — the inverse of the escaping
     * Spark's partitioned writer applies to partition values in paths.

@@ -454,6 +454,11 @@ final class RelationStore(
     writeStr(tmp, graft.artifacts.Json.write(Map(
       "layout" -> layout,
       "partition_by" -> partitionBy,
+      // commit wall-clock — what timestamp time travel ([[readAsOf]])
+      // and age-based retention resolve against. Writer-clock skew is
+      // inherent to the contract (same as Delta/Iceberg snapshot
+      // timestamps); resolution clamps to the version ORDER below.
+      "ts" -> System.currentTimeMillis(),
       // the version this commit was BUILT AGAINST (carried entries,
       // watermark) — what crash ADOPTION checks: an orphan whose base
       // is no longer the head would have failed verification, so
@@ -591,7 +596,11 @@ final class RelationStore(
         * for a pre-base manifest — whose orphans are never adopted,
         * conservatively.
         */
-      baseVersion: Option[Int] = None)
+      baseVersion: Option[Int] = None,
+      /** Commit wall-clock (epoch ms); None for pre-ts manifests, which
+        * fall back to the manifest file's mtime.
+        */
+      commitTs: Option[Long] = None)
 
   private def manifestFile(name: String, v: Int): HPath =
     new HPath(verDir(name, v), "_manifest.json")
@@ -651,7 +660,8 @@ final class RelationStore(
           files.lazyZip(sizes).lazyZip(stats).map {
             case (f, sz, fst) => MEntry(f, sz, fst)
           }.toSeq,
-          m.get("base").map(x => String.valueOf(x).toDouble.toInt)))
+          m.get("base").map(x => String.valueOf(x).toDouble.toInt),
+          m.get("ts").map(x => String.valueOf(x).toDouble.toLong)))
       case _ => None
     }
 
@@ -883,6 +893,45 @@ final class RelationStore(
       else None
     }
 
+  /** Commit wall-clock of a committed version: the manifest's recorded
+    * ts, or (pre-ts manifests / legacy dirs) the manifest file's or
+    * version dir's mtime. None only when the version has vanished.
+    */
+  def commitTimestamp(name: String, v: Int): Option[Long] =
+    manifestOf(name, v).flatMap(_.commitTs)
+      .orElse(scala.util.Try(
+        fs.getFileStatus(manifestFile(name, v)).getModificationTime).toOption)
+      .orElse(scala.util.Try(
+        fs.getFileStatus(verDir(name, v)).getModificationTime).toOption)
+
+  /** Resolve "as of this wall-clock instant" to a committed version:
+    * the NEWEST committed version whose commit timestamp is at or
+    * before `tsMillis` — the Delta/Iceberg timestamp-travel contract.
+    * Timestamps are clamped to version ORDER (commit ts is monotone up
+    * to writer clock skew; resolution walks versions newest-first and
+    * takes the first at-or-before, so skewed clocks can never resolve
+    * to a version NEWER than a later-stamped one). None when every
+    * retained version is newer than the instant.
+    */
+  def versionAsOf(name: String, tsMillis: Long): Option[Int] = {
+    val cur = currentVersion(name).getOrElse(return None)
+    physicalVersionDirs(name)
+      .filter(v => v <= cur && isCommitted(name, v)).sorted.reverse
+      .find(v => commitTimestamp(name, v).exists(_ <= tsMillis))
+  }
+
+  /** Timestamp time travel: read the table as of a wall-clock instant.
+    * Errors when the instant predates every retained version (the
+    * snapshot is gone — size `retainVersions` / vacuum horizons to
+    * cover the travel window you need).
+    */
+  def readAsOf(name: String, tsMillis: Long): DataFrame =
+    read(name, Some(versionAsOf(name, tsMillis).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version of $schema.$name at or before " +
+          s"${java.time.Instant.ofEpochMilli(tsMillis)} — older snapshots " +
+          "have been vacuumed or the table is newer than the instant"))))
+
   /** Retention: expire all committed versions except the newest
     * `keepLast` (the current pointer target always survives — keepLast
     * is clamped to ≥ 1), plus torn dirs above the pointer. Returns the
@@ -892,9 +941,19 @@ final class RelationStore(
     * the metadata now and the bytes when the last referencing manifest
     * expires — exactly lakehouse snapshot expiry.
     */
-  def vacuum(name: String, keepLast: Int = 2): Int = gcTable(name, math.max(1, keepLast))
+  def vacuum(name: String, keepLast: Int = 2,
+      /** Age horizon (the Delta `RETAIN n HOURS` contract): committed
+        * versions YOUNGER than this are retained even beyond
+        * `keepLast`, so "keep a week of time travel" is
+        * `vacuum(t, 1, Some(7.days))` — the pointer floor (newest
+        * `keepLast`, min 1) always survives regardless of age.
+        */
+      olderThanMs: Option[Long] = None): Int =
+    gcTable(name, math.max(1, keepLast),
+      olderThanMs.map(h => System.currentTimeMillis() - h))
 
-  private def gcTable(name: String, keep: Int): Int = {
+  private def gcTable(name: String, keep: Int,
+      minKeepTs: Option[Long] = None): Int = {
     val td = tableDir(name)
     if (!fsExists(td)) return 0
     // reap crashed dot-tmp landings — but only past the retention
@@ -936,7 +995,12 @@ final class RelationStore(
     val cur = currentVersion(name).getOrElse(return 0)
     val all = physicalVersionDirs(name)
     val committed = all.filter(v => v <= cur && isCommitted(name, v)).sorted
-    val retained = committed.takeRight(math.max(1, keep)).toSet
+    // retention = the newest `keep` (the pointer floor) PLUS, under an
+    // age horizon, every committed version younger than it — versions
+    // inside the horizon stay time-travelable regardless of count
+    val retained = committed.takeRight(math.max(1, keep)).toSet ++
+      minKeepTs.fold(Set.empty[Int])(ts =>
+        committed.filter(v => commitTimestamp(name, v).exists(_ >= ts)).toSet)
     val referenced: Set[String] =
       retained.flatMap(v => manifestOf(name, v) match {
         // bucketed versions are directory-self-contained; nothing
@@ -2122,6 +2186,37 @@ final class RelationStore(
         case many => Some(many.mkString("(\n", "\nUNION ALL\n", "\n)"))
       }
     }
+
+  /** Store-health snapshot for one relation — the numbers an
+    * OPTIMIZE/VACUUM decision needs, surfaced per relation by
+    * `docs generate`: versions retained, the head's file count/bytes
+    * ("live") vs everything on disk ("pool" — old snapshots + data
+    * pools awaiting reference-counted GC), and the delta-landing
+    * backlog (live landings not yet folded, open id gaps). `pool_*`
+    * WALK the table directory — the one listing-heavy operation kept
+    * in the store, acceptable for an explicit offline docs/maintenance
+    * pass and never on a read path. A pool/live bytes ratio well above
+    * the retention count signals vacuum; live_files far above
+    * pool_bytes/128 MB signals OPTIMIZE; a delta backlog with open
+    * gaps names a stalled producer lane.
+    */
+  def health(name: String): Map[String, Any] = {
+    if (isView(name)) return Map("kind" -> "view")
+    val cur = currentVersion(name)
+    val entries = cur.toSeq.flatMap(v => versionEntries(name, v))
+    val pool = dataFilesUnder(tableDir(name))
+    val mark = currentMark(name)
+    Map(
+      "kind" -> (if (isBucketed(name)) "bucketed" else "table"),
+      "versions_retained" -> versions(name).size,
+      "current_version" -> cur.getOrElse(-1),
+      "live_files" -> entries.size,
+      "live_bytes" -> entries.map(e => math.max(0L, e.size)).sum,
+      "pool_files" -> pool.size,
+      "pool_bytes" -> pool.map(_.getLen).sum,
+      "delta_live" -> liveDeltaIdsAt(name, mark).size,
+      "delta_open_gaps" -> mark.above.size)
+  }
 
   def list(): Seq[String] =
     listNames(schemaDir).flatMap { st =>

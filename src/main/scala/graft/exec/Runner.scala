@@ -315,19 +315,14 @@ final class Runner(
     // stuck node's jobs are cancelable by group. Thread-local, so
     // concurrent workers don't clobber each other.
     spark.sparkContext.setJobGroup(id, queryCommentFor(id), interruptOnCancel = false)
-    // snapshot the manifest-scan counters so this node's run_results can
-    // report skipping effectiveness (files/bytes considered vs opened
-    // across its input scans). Deltas are exact under single-threaded
-    // scheduling; with concurrent workers a competitor's planning may
-    // attribute here — totals across the run stay exact either way.
-    val (fc0, fo0, bc0, bo0) = graft.exec.ManifestFileIndex.scanCounters()
-    def scanStats(): Map[String, Long] = {
-      val (fc, fo, bc, bo) = graft.exec.ManifestFileIndex.scanCounters()
-      if (fc == fc0) Map.empty // no manifest-backed scan planned
-      else Map(
-        "files_considered" -> (fc - fc0), "files_opened" -> (fo - fo0),
-        "bytes_considered" -> (bc - bc0), "bytes_opened" -> (bo - bo0))
-    }
+    // per-node skipping effectiveness (files/bytes considered vs
+    // opened): planning events are bucketed by the job group set above,
+    // so the numbers are EXACT under concurrent workers — a competitor
+    // node's planning lands in its own bucket, and a DPP-refined scan's
+    // re-plan collapses to the refined set ([[ManifestFileIndex]]).
+    graft.exec.ManifestFileIndex.resetGroup(id)
+    def scanStats(): Map[String, Long] =
+      graft.exec.ManifestFileIndex.takeGroupStats(id)
     try {
       val r = node match {
         case m: ModelNode => runModel(m)
@@ -342,7 +337,12 @@ final class Runner(
     } catch {
       case e: Exception =>
         RunResult(id, "error", elapsed, Option(e.getMessage).getOrElse(e.toString).take(500))
-    } finally spark.sparkContext.clearJobGroup()
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      // error paths never drained the group — drop it (no-op after a
+      // successful drain) so failed nodes don't leak attribution state
+      graft.exec.ManifestFileIndex.takeGroupStats(id)
+    }
   }
 
   private def hooksAround[A](node: Node)(body: => A): A = {

@@ -256,6 +256,45 @@ object ScaleOps {
         col("l_quantity").cast("long").as("qty"))
   }
 
+  /** Partitioned + Z-ordered store round trip as an ORACLE-checked
+    * query — the composition `q_store_skipping` leaves uncovered: land
+    * lineitem PARTITIONED by l_returnflag with deliberately
+    * hash-fragmented files, OPTIMIZE with a two-column Morton
+    * interleave (the Delta `OPTIMIZE … ZORDER BY` shape), then answer
+    * predicates on the partition column AND both Z columns through the
+    * manifest-backed scan. Partition pruning × file skipping × Z-order
+    * opened-file counts are pinned in ManifestIndexSpec; THIS query
+    * pins — inside the DuckDB gate — that the full composition never
+    * changes the ANSWER (the oracle filters the raw parquet directly,
+    * so an unsound prune/skip or a compaction row loss
+    * hash-mismatches). Landing memoized per source dir like
+    * q_store_skipping, so bench reps time the steady-state
+    * pruned+skipped read.
+    */
+  private val zorderBenchBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  def qStoreZorder(s: SparkSession, dir: String): DataFrame = {
+    val store = new graft.exec.RelationStore(s, skipBenchRoot)
+    val table = "li_zorder_" + Integer.toHexString(dir.hashCode)
+    zorderBenchBuilt.computeIfAbsent(dir, _ => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_returnflag"))
+      // hash-scattered small files per partition: the pre-OPTIMIZE
+      // state where neither Z dimension can skip anything
+      store.write(li.repartition(16), table, partitionBy = Seq("l_returnflag"))
+      store.compact(table, targetBytes = 256L << 20,
+        clusterColumns = Seq("l_partkey", "l_suppkey"))
+      true
+    })
+    store.read(table)
+      .filter(col("l_returnflag") === "A" &&
+        col("l_partkey") < 200L && col("l_suppkey") < 15L)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"))
+  }
+
   def qZorderLayout(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
     // column bounds: one metadata-sized aggregate, broadcast to every row

@@ -456,6 +456,65 @@ class CliSpec extends AnyFunSuite {
     assert(out.contains("optimize complete"), out)
   }
 
+  test("docs generate surfaces store health (versions, live vs pool, backlog) per relation") {
+    val dir = Files.createTempDirectory("cli_health").resolve("proj").toString
+    assert(run("init", dir)._1 == 0)
+    // a deliberately FRAGMENTED table (8 small files), committed twice
+    // so the pool holds a retained old snapshot on top of the head
+    Files.writeString(Paths.get(dir, "models/my_first_model.sql"),
+      "{{ config(materialized='table') }}\n" +
+        "SELECT /*+ REPARTITION(8) */ id, id * 2 AS v FROM range(400)\n")
+    assert(run("run", dir)._1 == 0)
+    assert(run("run", dir)._1 == 0)
+    val (c, out) = run("docs-generate", dir)
+    assert(c == 0, out)
+    val raw = Files.readString(Paths.get(dir, "target/catalog.json"))
+    val node = graft.artifacts.Json.parse(raw).asInstanceOf[Map[String, Any]]("nodes")
+      .asInstanceOf[Map[String, Any]]("my_first_model").asInstanceOf[Map[String, Any]]
+    val stats = node("stats").asInstanceOf[Map[String, Any]]
+    def n(k: String): Long = stats(k).toString.toDouble.toLong
+    assert(n("versions_retained") == 2, stats.toString)
+    assert(n("live_files") == 8, stats.toString)
+    assert(n("pool_files") == 16, "pool must count the retained old snapshot too: " + stats)
+    assert(n("pool_bytes") > n("live_bytes") && n("live_bytes") > 0, stats.toString)
+    assert(n("delta_live") == 0 && n("delta_open_gaps") == 0, stats.toString)
+  }
+
+  test("show/export --as-of read the timestamp-resolved snapshot") {
+    val dir = Files.createTempDirectory("cli_asof").resolve("proj").toString
+    assert(run("init", dir)._1 == 0)
+    Files.writeString(Paths.get(dir, "models/my_first_model.sql"),
+      "{{ config(materialized='table') }}\nSELECT 7 AS answer\n")
+    assert(run("run", dir)._1 == 0)
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    Files.writeString(Paths.get(dir, "models/my_first_model.sql"),
+      "{{ config(materialized='table') }}\nSELECT 42 AS answer\n")
+    assert(run("run", dir)._1 == 0)
+    // head preview sees the new content; --as-of the instant BETWEEN
+    // the two runs previews the earlier snapshot
+    val (cH, outH) = run("show", dir, Map("select" -> "my_first_model"))
+    assert(cH == 0 && outH.contains("42"), outH)
+    val (cA, outA) = run("show", dir,
+      Map("select" -> "my_first_model", "as-of" -> between.toString))
+    assert(cA == 0 && outA.contains("7") && !outA.contains("42"), outA)
+    // export --as-of lands the snapshot for downstream consumers
+    val exp = Files.createTempDirectory("cli_asof_exp").toString
+    val (cE, _) = run("export", dir, Map("out" -> exp, "format" -> "json",
+      "select" -> "my_first_model", "as-of" -> between.toString))
+    assert(cE == 0)
+    import scala.jdk.CollectionConverters._
+    val landed = Files.walk(Paths.get(exp, "my_first_model")).iterator().asScala
+      .filter(p => p.toString.endsWith(".json")).map(Files.readString(_)).mkString
+    assert(landed.contains("7") && !landed.contains("42"), landed)
+    // ISO / date forms parse; malformed instants error with the formats
+    assert(run("show", dir,
+      Map("select" -> "my_first_model", "as-of" -> "2100-01-01"))._2.contains("42"))
+    intercept[IllegalArgumentException](run("show", dir,
+      Map("select" -> "my_first_model", "as-of" -> "not-a-time")))
+  }
+
   test("recall verb defaults to the sampled ground truth; --full opts into exact") {
     val dir = Files.createTempDirectory("cli_recall").toString
     // default: sampled — the scale-safe path nobody has to opt into

@@ -566,6 +566,37 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lockFiles.isEmpty, s"leaked external locks: $lockFiles")
   }
 
+  test("timestamp time travel resolves the newest commit at-or-before; age vacuum retains") {
+    val root = newRoot()
+    val store = new RelationStore(spark, root, retainVersions = 10)
+    store.write(df(Seq((1L, "A"))), "t") // v0
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    store.write(df(Seq((2L, "B"))), "t") // v1
+    // "as of yesterday" resolves to the newest commit AT OR BEFORE the
+    // instant — the Delta/Iceberg timestamp-travel contract
+    assert(store.readAsOf("t", between).first().getString(1) == "A")
+    assert(store.readAsOf("t", System.currentTimeMillis()).first().getString(1) == "B")
+    // an instant predating every retained snapshot is a real error, not
+    // a silent earliest-version read
+    val e = intercept[IllegalStateException](store.readAsOf("t", between - 600_000L))
+    assert(e.getMessage.contains("no committed version"), e.getMessage)
+    val Seq(v0, v1) = store.versions("t")
+    assert(store.commitTimestamp("t", v0).get <= store.commitTimestamp("t", v1).get)
+    assert(store.versionAsOf("t", between).contains(v0))
+    // age-based retention: a generous horizon retains BOTH versions
+    // even at keepLast=1 (versions inside the horizon stay travelable)…
+    assert(store.vacuum("t", keepLast = 1, olderThanMs = Some(3_600_000L)) == 0)
+    assert(store.versions("t").size == 2)
+    assert(store.readAsOf("t", between).first().getString(1) == "A")
+    // …and a zero horizon trims to the pointer floor, which always
+    // survives regardless of age
+    assert(store.vacuum("t", keepLast = 1, olderThanMs = Some(0L)) == 1)
+    assert(store.versions("t") == Seq(v1))
+    assert(store.read("t").first().getString(1) == "B")
+  }
+
   test("contended many-writer burst settles into a linear readable chain") {
     val root = newRoot()
     val writers = (0 until 4).map(_ => new RelationStore(spark, root))

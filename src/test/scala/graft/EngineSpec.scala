@@ -2301,4 +2301,46 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // answer unchanged by skipping
     assert(st.read("lookup").collect().map(_.getLong(1)).toSeq == Seq(14L))
   }
+
+  test("scan attribution is exact per node under CONCURRENT scheduling") {
+    val d = Files.createTempDirectory("graft_skipconc")
+    def w(rel: String, c: String): Unit = {
+      val p = d.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    w("dbt_project.yml", "name: skipconc\n")
+    // two independent base tables with DIFFERENT file counts (4 vs 8
+    // id-disjoint files) and a selective lookup over each — scheduled
+    // concurrently, each lookup's adapter_response must report ITS OWN
+    // table's numbers exactly (job-group bucketing; the old JVM-global
+    // snapshot could attribute a competitor's planning across)
+    w("models/base_a.sql",
+      """{{ config(materialized='table') }}
+        |SELECT /*+ REPARTITION_BY_RANGE(4, id) */ id, id * 2 AS v
+        |FROM range(400)""".stripMargin)
+    w("models/base_b.sql",
+      """{{ config(materialized='table') }}
+        |SELECT /*+ REPARTITION_BY_RANGE(8, id) */ id, id * 3 AS v
+        |FROM range(800)""".stripMargin)
+    w("models/look_a.sql",
+      """{{ config(materialized='table') }}
+        |SELECT id, v FROM {{ ref('base_a') }} WHERE id = 7""".stripMargin)
+    w("models/look_b.sql",
+      """{{ config(materialized='table') }}
+        |SELECT id, v FROM {{ ref('base_b') }} WHERE id = 7""".stripMargin)
+    val st = new RelationStore(spark, d.resolve("wh").toString)
+    val pr = ProjectLoader.resolveRefs(ProjectLoader.load(d.toString))
+    // threads=4: both lookups run in the same scheduler wave
+    val rs = new Runner(spark, pr, st,
+      RunOptions(cmd = "run", threads = 4,
+        targetDir = d.resolve("target").toString)).execute()
+    assert(rs.forall(_.status == "success"), rs.mkString("\n"))
+    val la = rs.find(_.uniqueId.endsWith(".look_a")).get.adapterResponse
+    val lb = rs.find(_.uniqueId.endsWith(".look_b")).get.adapterResponse
+    assert(la.get("files_considered").contains(4L) &&
+      la.get("files_opened").contains(1L), s"look_a attribution: $la")
+    assert(lb.get("files_considered").contains(8L) &&
+      lb.get("files_opened").contains(1L), s"look_b attribution: $lb")
+    assert(st.read("look_a").collect().map(_.getLong(1)).toSeq == Seq(14L))
+    assert(st.read("look_b").collect().map(_.getLong(1)).toSeq == Seq(21L))
+  }
 }
