@@ -59,6 +59,7 @@ object GraftSession {
     graft.functions.DotI64.register(s)
     graft.functions.MinHashAgg.register(s)
     graft.functions.MinKAgg.register(s)
+    graft.functions.TopKByAgg.register(s)
     graft.functions.FreqSketch.register(s)
     graft.functions.QuantileSketch.register(s)
     s

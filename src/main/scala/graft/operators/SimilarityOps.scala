@@ -174,18 +174,28 @@ object SimilarityOps {
     // pair): the union re-executes the block join per branch, but the
     // branches run as independent parallel stages and project-collapse
     // duplicates the dot into both struct arms of the explode anyway —
-    // union: 3.5 s vs explode: 5.8 s at sf0.1/local[32]. Each branch
-    // still carries its own map-side WindowGroupLimit.
+    // union: 3.5 s vs explode: 5.8 s at sf0.1/local[32].
     val directed = pairs.select(col("ida").as("src"), col("idb").as("nbr"),
         col("dot"), col("na").as("ns"), col("nb").as("nn"))
       .unionByName(pairs.select(col("idb").as("src"), col("ida").as("nbr"),
         col("dot"), col("nb").as("ns"), col("na").as("nn")))
       .withColumn("cos", col("dot") / (sqrt(col("ns")) * sqrt(col("nn"))))
-    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr"))
+    // Rank-limit as a BOUNDED HASH AGGREGATE, not a window: the
+    // row_number spelling locally sorts every scored candidate before
+    // WindowGroupLimit can drop any (measured 595 s at sf1 — the
+    // scaling probe's first super-linear find, BENCH_SCALE.md), while
+    // knn_topk keeps one k-slot buffer per src with map-side partial
+    // merge, so nothing ever sorts and the shuffle carries ≤ k
+    // neighbors per (partition, src). Ordering and tie-breaks are the
+    // window spelling's exactly ((cos DESC, nbr ASC) inside the
+    // buffer), so the oracle hash is unchanged.
     directed
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("src"), col("nbr"), col("dot"), col("cos"), col("rn"))
+      .groupBy(col("src"))
+      .agg(graft.functions.TopKByAgg.knnTopK(
+        col("cos"), col("nbr"), col("dot"), k).as("nb"))
+      .select(col("src"), posexplode(col("nb")).as(Seq("pos", "e")))
+      .select(col("src"), col("e.nbr").as("nbr"), col("e.dot").as("dot"),
+        col("e.cos").as("cos"), (col("pos") + 1).as("rn"))
   }
 
   /** Lloyd iterations refining IVF centroids, expressed as DataFrame
@@ -1590,8 +1600,11 @@ object SimilarityOps {
     * train partitions into `nBlocks` by id, each test vector replicates
     * once per block (test·nBlocks + train shuffled rows, never N²
     * through one task), scoring stays inside codegen via the native dot
-    * kernel, and the per-test top-k rank-filter compiles to a map-side
-    * WindowGroupLimit before the vote. The vote argmax is one
+    * kernel, and the per-test top-k is the bounded `knn_topk` hash
+    * aggregate — the row_number window spelling locally sorts every
+    * test×train scored pair before its group limit can drop any, the
+    * same super-linear sort the sf1 scaling probe caught on the knn
+    * graph (BENCH_SCALE.md). The vote argmax is one
     * `max(struct(votes, -label))` aggregate — co-keyed, no window over
     * the candidate set.
     */
@@ -1607,12 +1620,14 @@ object SimilarityOps {
       .withColumn("blk", pmod(col("vec_id"), lit(nBlocks)).cast("int"))
       .select(col("vec_id").as("nbr"), col("q").as("qb"), col("nq").as("nn"), col("blk"))
     val scoredPairs = test.join(train, Seq("blk"))
+      .withColumn("dot", expr("dot_i64(qa, qb)"))
       .withColumn("cos",
-        expr("dot_i64(qa, qb)").cast("double") / (sqrt(col("na")) * sqrt(col("nn"))))
-    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr"))
+        col("dot").cast("double") / (sqrt(col("na")) * sqrt(col("nn"))))
     val topk = scoredPairs
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("src"), col("nbr"))
+      .groupBy(col("src"))
+      .agg(graft.functions.TopKByAgg.knnTopK(
+        col("cos"), col("nbr"), col("dot"), k).as("nb"))
+      .select(col("src"), explode(col("nb.nbr")).as("nbr"))
     topk.join(lbl.select(col("vec_id").as("nbr"), col("label").as("nbr_label")), Seq("nbr"))
       .groupBy(col("src"), col("nbr_label")).agg(count(lit(1)).as("votes"))
       .groupBy(col("src"))

@@ -347,11 +347,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"), "lateral must not plan as cartesian")
   }
 
-  test("knn graph: per-src top-k map-side limits (WindowGroupLimit), no cartesian") {
+  test("knn graph: per-src top-k is a bounded hash aggregate, no window sort, no cartesian") {
     val plan = physical(graft.operators.SimilarityOps.simKnnGraph(spark, sf))
-    // the rank <= k filter must push a partial group limit below the
-    // src shuffle — shuffled bytes O(N*k*partitions), not O(N^2)
-    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    // the top-k must be the knn_topk ObjectHashAggregate (k-slot buffer
+    // per src, map-side partial merge) — the row_number window spelling
+    // locally sorts EVERY scored candidate before WindowGroupLimit can
+    // drop any, which the sf1 scaling probe measured at 595 s
+    // (BENCH_SCALE.md); shuffled bytes O(N*k*partitions), not O(N^2)
+    assert(plan.contains("knn_topk") && plan.contains("ObjectHashAggregate"),
+      plan.take(2000))
+    assert(!plan.contains("Window"), "rank-limit must not plan as a window sort")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "block tiling must stay an equi-join")
   }
@@ -538,11 +543,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("windowspecdefinition(doc_id"), plan.take(3000))
   }
 
-  test("knn classify: rectangular block equi-join with map-side group limit") {
+  test("knn classify: rectangular block equi-join with bounded top-k aggregate") {
     val plan = physical(SimilarityOps.simKnnClassify(spark, sf))
     assert(!plan.contains("CartesianProduct"), "test×train must block-tile, not cross")
-    assert(plan.contains("WindowGroupLimit"),
-      "per-test top-k must rank-limit map-side before the shuffle")
+    assert(plan.contains("knn_topk") && plan.contains("ObjectHashAggregate"),
+      "per-test top-k must be the bounded knn_topk hash aggregate")
+    assert(!plan.contains("Window"),
+      "rank-limit must not plan as a window (sorts every scored pair)")
     assert(plan.contains("dot_i64"), "scoring must stay on the native kernel")
   }
 
