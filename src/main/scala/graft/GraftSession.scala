@@ -60,6 +60,7 @@ object GraftSession {
     graft.functions.MinHashAgg.register(s)
     graft.functions.MinKAgg.register(s)
     graft.functions.TopKByAgg.register(s)
+    graft.functions.SimHashAgg.register(s)
     graft.functions.FreqSketch.register(s)
     graft.functions.QuantileSketch.register(s)
     s

@@ -133,7 +133,7 @@ object SparkEntry {
     "dedup_span_incremental" -> (DedupOps.dedupSpanIncremental _),
     "dedup_recall_eval" -> (DedupOps.dedupRecallEval _),
     "dedup_recall_sampled" -> ((s: SparkSession, dir: String) =>
-      DedupOps.dedupRecallEvalSampled(s, dir, pct = 50, seed = 42)),
+      DedupOps.dedupRecallEvalSampledN(s, dir, targetDocs = 2000L, seed = 42)),
     "dedup_ppjoin" -> (DedupOps.dedupPpjoin _),
     "dedup_containment" -> ((s, dir) => DedupOps.dedupContainment(s, dir)),
     "dedup_minhash_lsh" -> (DedupOps.dedupMinHashLsh _),
@@ -592,12 +592,16 @@ object SparkEntry {
 
   private lazy val RecallEvalSql: String = recallEvalSql("TRUE")
 
-  /** Sampled variant: same evaluation restricted to the seeded document
-    * sample (pct=50, seed=42 — must mirror the Spark call exactly).
+  /** Sampled variant: same evaluation restricted to the seeded
+    * FIXED-SIZE document sample (targetDocs=2000, seed=42 — must mirror
+    * the Spark call exactly: keep iff pmod(md5(doc_id:seed), n_docs) <
+    * min(n_docs, 2000); corpora at or below the target evaluate in
+    * full).
     */
   private lazy val RecallEvalSampledSql: String = {
     val h = duckMd5Hash64(s"CAST(doc_id AS VARCHAR) || ':' || '42'")
-    recallEvalSql(s"(($h % 100) + 100) % 100 < 50")
+    val n = "(SELECT COUNT(*) FROM documents)"
+    recallEvalSql(s"(($h % $n) + $n) % $n < LEAST($n, 2000)")
   }
 
   private def recallEvalSql(docPred: String): String = {
@@ -4676,30 +4680,39 @@ object SparkEntry {
       FROM pr
       WHERE n_shared >= 2 AND LEAST(n_a, n_b) * 2 >= GREATEST(n_a, n_b)"""
 
-  private lazy val PhashCte: String = {
-    val samples = (0 until 64).map { k =>
-      s"""(strpos('0123456789abcdef', hx[CAST(2*((n*$k)//64) + 1 AS INT)]) - 1) * 16
-           + strpos('0123456789abcdef', hx[CAST(2*((n*$k)//64) + 2 AS INT)]) - 1 AS s$k"""
-    }.mkString(",\n")
-    val tot = (0 until 64).map(k => s"s$k").mkString(" + ")
-    val bits = (0 until 64).map { k =>
-      val term = if (k == 63) "-9223372036854775807 - 1" else s"(1::BIGINT << $k)"
-      s"(CASE WHEN s$k * 64 > tot THEN $term ELSE 0::BIGINT END)"
-    }.mkString("\n           + ")
-    s"""
-      WITH h AS (
-        SELECT doc_id, lower(hex(encode(text))) AS hx,
+  /** Byte-4-gram simhash over the raw payload, mirroring
+    * `Multimodal.mmPhashOf` exactly: grams are 8-hex-char windows of
+    * `hex(payload)` (both engines' hex() is uppercase), md5-mixed to a
+    * signed 64-bit hash, one ±1 vote per gram per bit.
+    */
+  private lazy val PhashCte: String = s"""
+      WITH pay AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
                CAST(octet_length(encode(text)) AS BIGINT) AS n
         FROM documents
-      ), s AS (
+      ), g AS (
         SELECT doc_id,
-        $samples
-        FROM h WHERE n > 0
-      ), t AS (
-        SELECT *, $tot AS tot FROM s
+               unnest(list_transform(range(1, CAST(n - 3 AS INT) + 1),
+                 i -> substr(hx, CAST(2*i - 1 AS INT), 8))) AS g
+        FROM pay WHERE n >= 4
+      ), hh AS (
+        SELECT doc_id,
+               (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END) * 4294967296 + lo AS h
+        FROM (
+          SELECT doc_id,
+                 ('0x' || substr(md5(g), 1, 8))::BIGINT AS hi,
+                 ('0x' || substr(md5(g), 9, 8))::BIGINT AS lo
+          FROM g) x
+      ), bits AS (
+        SELECT doc_id, i, SUM(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+        FROM hh, (SELECT unnest(range(0, 64)) AS i) r
+        GROUP BY 1, 2
       ), ph AS (
-        SELECT doc_id, CAST($bits AS BIGINT) AS phash FROM t
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN sgn > 0
+                 THEN CASE WHEN i = 63 THEN -9223372036854775807 - 1 ELSE 1::BIGINT << CAST(i AS INT) END
+                 ELSE 0 END) AS BIGINT) AS phash
+        FROM bits GROUP BY doc_id
       )
       """
-  }
 }

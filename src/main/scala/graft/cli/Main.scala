@@ -125,15 +125,17 @@ object Main {
     }
     if (cmd == "recall") {
       // LSH banding-design recall evaluation over a documents table (no
-      // project needed). SAMPLED by default — the scale-safe spelling:
-      // exact ground truth only over a seeded md5 document sample, so
-      // the one deliberately-unguarded shingle self-join shrinks
-      // quadratically with the sampling fraction and the evaluation
-      // runs at any corpus size, unbiased for pair recall. `--full`
-      // opts into the exact all-pairs ground truth for small corpora.
+      // project needed). FIXED-SIZE SAMPLED by default — the scale-safe
+      // spelling: exact ground truth only over a seeded md5 document
+      // sample CAPPED IN COUNT (default 2000 docs), so the one
+      // deliberately-unguarded shingle self-join costs a constant at
+      // any corpus size, unbiased for pair recall. `--pct N` opts into
+      // a fraction sample (still grows with the corpus); `--full` opts
+      // into the exact all-pairs ground truth for small corpora.
       val data = flags.getOrElse("data", throw new IllegalArgumentException(
         "recall requires --data <dir containing documents.parquet> " +
-          "[--pct N, default 50] [--seed N] [--full]"))
+          "[--sample N, default 2000] [--pct N] [--seed N] [--full]"))
+      val seed = flags.get("seed").map(_.toInt).getOrElse(42)
       val df =
         if (flags.contains("full")) {
           System.err.println("[graft] recall --full computes the EXACT all-pairs " +
@@ -141,9 +143,12 @@ object Main {
             "small corpora only; the default sampled evaluation is unbiased for " +
             "pair recall at any scale")
           graft.operators.DedupOps.dedupRecallEval(spark, data)
-        } else graft.operators.DedupOps.dedupRecallEvalSampled(spark, data,
-          pct = flags.get("pct").map(_.toInt).getOrElse(50),
-          seed = flags.get("seed").map(_.toInt).getOrElse(42))
+        } else if (flags.contains("pct"))
+          graft.operators.DedupOps.dedupRecallEvalSampled(spark, data,
+            pct = flags("pct").toInt, seed = seed)
+        else graft.operators.DedupOps.dedupRecallEvalSampledN(spark, data,
+          targetDocs = flags.get("sample").map(_.toLong).getOrElse(2000L),
+          seed = seed)
       val rows = df.orderBy(org.apache.spark.sql.functions.col("bucket")).collect()
       println(f"${"bucket"}%-8s${"n_truth"}%-10s${"n_caught"}%-10s" +
         f"${"recall_ppm"}%-12s${"theory_ppm"}%-12s")
@@ -151,7 +156,8 @@ object Main {
         f"${r.getLong(0)}%-8d${r.getLong(1)}%-10d${r.getLong(2)}%-10d" +
           f"${r.getLong(3)}%-12d${r.getLong(4)}%-12d"))
       val mode = if (flags.contains("full")) "full ground truth"
-        else s"sampled pct=${flags.getOrElse("pct", "50")} seed=${flags.getOrElse("seed", "42")}"
+        else if (flags.contains("pct")) s"sampled pct=${flags("pct")} seed=$seed"
+        else s"sampled n=${flags.getOrElse("sample", "2000")} seed=$seed"
       println(s"recall: ${rows.length} decile bucket(s), $mode")
       return 0
     }

@@ -17,7 +17,7 @@ import graft.sources.Tables
   */
 object CurateOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadFanout(s, dir, "documents")
 
   private def tokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), split(TextOps.normalized(col("text")), " ").as("w"))

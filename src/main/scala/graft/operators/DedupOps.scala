@@ -19,7 +19,7 @@ import graft.sources.Tables
   */
 object DedupOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadFanout(s, dir, "documents")
 
   /** doc_id → word-3-gram shingles WITH duplicates (no shuffle — one
     * narrow scan). Min-hash signatures and band keys are multiset-
@@ -682,6 +682,33 @@ object DedupOps {
     recallEvalCore(s, sh.filter(keep))
   }
 
+  /** Fixed-SIZE sampled recall — the default production spelling. A
+    * fixed FRACTION ([[dedupRecallEvalSampled]]) shrinks the exact
+    * ground-truth join by frac² per hot key but still GROWS with the
+    * corpus: when per-shingle document frequency scales with corpus
+    * size, a 50% sample's all-pairs join is ∝ (frac·N)² — the sf1
+    * scaling probe measured it at 34 s and climbing (BENCH_SCALE.md).
+    * Capping the sample COUNT instead makes the evaluation cost a
+    * CONSTANT at any corpus size, and the recall estimate stays
+    * unbiased for pair recall for exactly the fraction-sample reason:
+    * whether the band join catches a pair depends only on the two
+    * documents' own signatures. Sampling keeps doc_id iff
+    * pmod(md5(doc_id:seed), n_docs) < min(n_docs, targetDocs) — fully
+    * replayable by the DuckDB oracle (corpora at or below the target
+    * evaluate in full).
+    */
+  def dedupRecallEvalSampledN(s: SparkSession, dir: String,
+      targetDocs: Long = 2000L, seed: Int = 42): DataFrame = {
+    val sh = ResidentCache(s, "dedup_minhash_sh",
+      shinglesRaw(s, dir).select(col("doc_id"), md5Hash64(col("s")).as("h")))
+    val n = docs(s, dir).count()
+    val t = math.min(n, targetDocs)
+    val keep = pmod(
+      md5Hash64(concat_ws(":", col("doc_id").cast("string"), lit(seed.toString))),
+      lit(n)) < lit(t)
+    recallEvalCore(s, sh.filter(keep))
+  }
+
   private def recallEvalCore(s: SparkSession, sh: DataFrame): DataFrame = {
     val nPerm = 32
     val rowsPerBand = 4
@@ -915,14 +942,11 @@ object DedupOps {
       .select(col("doc_id"), explode(split(TextOps.normalized(col("text")), " ")).as("t"))
       .filter(col("t") =!= "")
       .select(col("doc_id"), md5Hash64(col("t")).as("h"))
-    // for each of 64 bits: +1 if set else -1; simhash bit = (sum > 0)
-    val bitSums = tok.groupBy(col("doc_id")).agg(
-      sum(when(expr("shiftright(h, 0) & 1") === 1, 1L).otherwise(-1L)).as("b0"),
-      (1 until 64).map(i =>
-        sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1L).otherwise(-1L)).as(s"b$i")): _*)
-    bitSums.select(col("doc_id"),
-      (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
-        .reduce(_.bitwiseOR(_)).as("simhash"))
+    // for each of 64 bits: +1 if set else -1; simhash bit = (sum > 0).
+    // One bit-vote aggregate (tight 64-slot loop), not 64 separate
+    // sum(when(...)) columns — see graft.functions.SimHashAgg
+    tok.groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("simhash"))
       .withColumn("popcnt", expr("bit_count(simhash)").cast("long"))
   }
 
@@ -1004,20 +1028,62 @@ object DedupOps {
       .withColumn("chunk", expr(s"shiftright(__sig, cast(ci * $width as int)) & $mask"))
   }
 
+  /** Pair-of-chunks keys for the WIDE-radius hamming join (the
+    * multi-index refinement of single-chunk pigeonhole): split the
+    * 64-bit signature into `c = maxHamming + 2` chunks — a pair within
+    * hamming ≤ d agrees EXACTLY on ≥ c − d = 2 chunks, hence on at
+    * least one unordered PAIR of chunk positions — and key each doc by
+    * every C(c,2) (position-pair, value-pair) combination. Recall stays
+    * 100% by the same pigeonhole argument; the join key widens from
+    * one ~64/(d+1)-bit chunk to two (~12-13 bits at d = 8), so bucket
+    * sizes — and the N²/2^bits candidate volume — shrink by the extra
+    * chunk's width.
+    */
+  private[graft] def chunkPairSigs(sigs: DataFrame, sig: String, maxHamming: Int): DataFrame = {
+    val c = maxHamming + 2
+    val width = 64 / c
+    val mask = (1L << width) - 1
+    val combos = for (i <- 0 until c; j <- i + 1 until c) yield (i, j)
+    val comboCol = explode(array(combos.map { case (i, j) =>
+      struct(lit(i * c + j).as("ci"),
+        expr(s"shiftright(__sig, ${i * width}) & $mask").as("ca"),
+        expr(s"shiftright(__sig, ${j * width}) & $mask").as("cb"))
+    }: _*))
+    sigs.select(col("doc_id"), col(sig).as("__sig"))
+      .select(col("doc_id"), col("__sig"), comboCol.as("k"))
+      .select(col("doc_id"), col("__sig"), col("k.ci").as("ci"),
+        (col("k.ca") * (mask + 1) + col("k.cb")).as("chunk"))
+  }
+
+  /** All pairs within `maxHamming` bit flips of each other — EXACT
+    * (100% recall, pigeonhole) at any radius. Narrow radii use
+    * single-chunk pigeonhole (maxHam+1 chunks stay ≥ 12 bits wide
+    * through d = 4, e.g. SimHash's d = 3 → 16-bit chunks); wide radii
+    * switch to the pair-of-chunks multi-index ([[chunkPairSigs]]) —
+    * at d = 8 the single-chunk key is only 7 bits, so bucket sizes
+    * grow ∝ N/128 and the candidate join ∝ N²/128 (the sf2 scaling
+    * probe measured the phash family at 710 s, BENCH_SCALE.md); the
+    * paired key restores ~13 bits of selectivity and the same corpus
+    * joins in a few seconds. Verification is the same codegen'd
+    * map-side bit_count filter either way, so the distinct's shuffle
+    * carries only TRUE pairs.
+    */
   private[graft] def hammingPairs(sigs: DataFrame, sig: String, maxHamming: Int): DataFrame = {
-    val chunked = chunkSigs(sigs, sig, maxHamming)
+    val singleWidth = 64 / (maxHamming + 1)
+    val chunked =
+      if (singleWidth >= 12) chunkSigs(sigs, sig, maxHamming)
+      else chunkPairSigs(sigs, sig, maxHamming)
     val a = chunked.select(col("doc_id").as("doc_a"), col("__sig").as("sig_a"),
       col("ci"), col("chunk"))
     val b = chunked.select(col("doc_id").as("doc_b"), col("__sig").as("sig_b"),
       col("ci"), col("chunk"))
     a.join(b, Seq("ci", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
-      .distinct() // a pair may collide in several chunks
       .withColumn("hamming",
         expr("cast(bit_count(sig_a ^ sig_b) as bigint)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** Duplicated-span detection (the word-gram form of Lee et al. 2022

@@ -98,43 +98,55 @@ object Multimodal {
     base.select(col("doc_id") +: col("n").as("n_bytes") +: samples: _*)
   }
 
-  /** Perceptual average-hash (aHash) per payload — the image-dedup
-    * signature web-scale multimodal pipelines compute per image (LAION
-    * dedups on exactly this 64-bit shape): sample 64 evenly-spaced
-    * "pixels" (bytes) from the payload, bit k = sample_k above the
-    * payload mean. The mean compare is kept integer-exact
-    * (`64 * s_k > sum(s)`) so the oracle hashes bit-for-bit. A real
-    * image pipeline swaps the byte sampler for decode + 8×8 grayscale
-    * downsample; the hash arithmetic and everything downstream is
-    * unchanged.
+  /** Perceptual signature per payload — the image-dedup signature
+    * web-scale multimodal pipelines compute per asset (LAION dedups on
+    * exactly this 64-bit shape). Spelled as a SimHash over byte
+    * 4-grams ([[mmPhashOf]]); a real image pipeline swaps the byte
+    * grams for decoded-pixel patches — the hash arithmetic and
+    * everything downstream is unchanged.
     *
-    * Scale shape: one row-parallel projection, all codegen'd built-ins
-    * (substring/hex/conv), no UDF, no shuffle.
+    * Scale shape: row-parallel gram explode (fanout-spread scan) +
+    * one doc-keyed bit-vote aggregate, no UDF.
     */
   def mmPhash(s: SparkSession, dir: String): DataFrame =
-    mmPhashOf(Tables.load(s, dir, "documents"))
+    mmPhashOf(Tables.loadFanout(s, dir, "documents"))
 
-  /** DataFrame-in aHash — the same signature plan serves the batch
+  /** DataFrame-in payload signature — a SimHash over byte 4-grams of
+    * the raw payload. The same signature plan serves the batch
     * operator, index builds, and every streaming micro-batch of
     * arriving payloads ([[graft.streaming.Streaming.runMmDedup]]).
+    *
+    * Gram-vote simhash, not strided-sample aHash: the earlier
+    * mean-threshold aHash sampled 64 bytes at fixed strides, which is
+    * (a) not edit-robust on byte streams — one inserted byte shifts
+    * every later sample, so near-identical payloads hash far apart —
+    * and (b) bit-BIASED on text-like payloads (most bytes beat the
+    * space-dragged mean, Bernoulli(~0.83) bits), which concentrated
+    * ~27% of the corpus into ONE chunk value of the hamming join's
+    * pigeonhole key: the candidate join went skew-quadratic no matter
+    * how the bits were chunked (the sf2 scaling probe measured the
+    * family at 710 s, BENCH_SCALE.md). Hashed-gram bit votes give
+    * ~Bernoulli(½) bits on ANY payload distribution (the N²/2^bits
+    * join design holds) and locality: a local edit changes only the
+    * ≤ 4 grams covering it, so near-duplicate payloads stay within a
+    * small hamming radius — content-defined robustness, the byte-level
+    * analogue of token SimHash ([[graft.operators.DedupOps.dedupSimHash]]).
     */
   def mmPhashOf(documents: DataFrame): DataFrame = {
-    val n = 64
     val base = documents
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .withColumn("n", length(col("payload")).cast("long"))
-      .filter(col("n") > 0)
-    val samples = (0 until n).map { k =>
-      conv(hex(expr(s"substring(payload, cast((n * $k div $n) + 1 as int), 1)")), 16, 10)
-        .cast("long").as(s"s$k")
-    }
-    val sampled = base.select(col("doc_id") +: samples: _*)
-    val total = (0 until n).map(k => col(s"s$k")).reduce(_ + _)
-    sampled.withColumn("tot", total)
-      .select(col("doc_id"),
-        (0 until n).map(k =>
-          when(col(s"s$k") * n > col("tot"), lit(1L << k)).otherwise(0L))
-          .reduce(_.bitwiseOR(_)).as("phash"))
+      .filter(col("n") >= 4)
+      .withColumn("hx", hex(col("payload")))
+    // byte 4-grams via their hex spelling (8 hex chars), md5-hashed —
+    // bit-replayable by the DuckDB oracle
+    val h = base.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, cast(n - 3 as int)), i -> substring(hx, 2*i - 1, 8))")).as("g"))
+      .select(col("doc_id"), graft.operators.DedupOps.md5Hash64(col("g")).as("h"))
+    // single bit-vote aggregate (tight 64-slot loop), not 64 separate
+    // sum(when(...)) columns — see graft.functions.SimHashAgg
+    h.groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("phash"))
       .withColumn("popcnt", expr("bit_count(phash)").cast("long"))
   }
 
@@ -146,13 +158,13 @@ object Multimodal {
     * same banding machinery, image-hash signature instead of text-hash.
     *
     * Threshold vs fanout at scale: `maxHamming` = 3 gives 16-bit
-    * chunks (64 K values — the Manku et al. web-dedup setting and the
-    * right one at 100 TB). The registered query uses 8 (9 chunks × 7
-    * bits) because synthetic text payloads shift under edits — unlike
-    * spatially-stable image rasters — so no pair lands under 4; 7-bit
-    * chunks (128 values) still bound per-bucket fanout at this SF but
-    * a 100 TB image corpus should stay at 3, or layer Manku's
-    * multi-permutation tables for wider radii.
+    * single chunks (64 K values — the Manku et al. web-dedup setting).
+    * The registered query uses 8 — wide enough that a near-duplicate
+    * payload's handful of flipped vote bits still lands — which routes
+    * through the chunk-PAIR multi-index ([[graft.operators.DedupOps
+    * .hammingPairs]]): ~13-bit keys keep per-bucket fanout bounded at
+    * any corpus size, where the single 7-bit chunk key's buckets grew
+    * ∝ N/128 (the sf2 scaling probe's worst offender, BENCH_SCALE.md).
     */
   def mmPhashPairs(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
     // both sides of the chunk join scan the signature table — resident
@@ -174,7 +186,7 @@ object Multimodal {
   def persistMmPhashIndex(s: SparkSession, dir: String,
       store: graft.exec.RelationStore, prefix: String,
       maxHamming: Int = 8, buckets: Int = 32): Unit =
-    persistMmPhashIndexOf(Tables.load(s, dir, "documents"), store, prefix,
+    persistMmPhashIndexOf(Tables.loadFanout(s, dir, "documents"), store, prefix,
       maxHamming, buckets)
 
   def persistMmPhashIndexOf(documents: DataFrame,

@@ -26,8 +26,8 @@ object SimilarityOps {
     * (not per candidate pair — at N×N pair scale that would redo N× the
     * work and dominate the scan).
     */
-  private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings").select(
+  private[graft] def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.loadFanout(s, dir, "embeddings").select(
       col("vec_id"),
       expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))").as("q"))
       .withColumn("nq", expr("dot_i64(q, q)")) // native codegen'd dot (functions.DotI64)
@@ -127,7 +127,7 @@ object SimilarityOps {
     * no collect/broadcast of the corpus. Emits (ida, idb, dot, na, nb);
     * ida < idb is NOT guaranteed (cross-block order is by block, not id).
     */
-  private def triangularPairs(e0: DataFrame, nBlocks: Int): DataFrame = {
+  private[graft] def triangularPairs(e0: DataFrame, nBlocks: Int): DataFrame = {
     val e = e0.withColumn("blk", pmod(col("vec_id"), lit(nBlocks)).cast("int"))
     // i-side: a row in block b serves every pair (b, j) with j >= b
     val left = e
@@ -169,26 +169,28 @@ object SimilarityOps {
     */
   def simKnnGraph(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val pairs = triangularPairs(quantized(s, dir), nBlocks = 8)
-    // Both orientations as a UNION of two selects. Measured against the
-    // explode-of-two-structs alternative (one Generate over the scored
-    // pair): the union re-executes the block join per branch, but the
-    // branches run as independent parallel stages and project-collapse
-    // duplicates the dot into both struct arms of the explode anyway —
-    // union: 3.5 s vs explode: 5.8 s at sf0.1/local[32].
-    val directed = pairs.select(col("ida").as("src"), col("idb").as("nbr"),
-        col("dot"), col("na").as("ns"), col("nb").as("nn"))
-      .unionByName(pairs.select(col("idb").as("src"), col("ida").as("nbr"),
-        col("dot"), col("nb").as("ns"), col("na").as("nn")))
+    // Both orientations by EXPLODING each scored pair into two structs
+    // (one Generate): the union-of-two-selects alternative re-executes
+    // the whole block join + dot scan per branch — with the rank-limit
+    // now a streaming aggregate (below) the join IS the dominant cost,
+    // and the single-pass explode measured 3.8 s vs the union's 6.6 s
+    // at sf1 (ProfileKnn, BENCH_SCALE.md).
+    val directed = pairs.select(explode(array(
+        struct(col("ida").as("src"), col("idb").as("nbr"), col("dot"),
+          col("na").as("ns"), col("nb").as("nn")),
+        struct(col("idb").as("src"), col("ida").as("nbr"), col("dot"),
+          col("nb").as("ns"), col("na").as("nn")))).as("e"))
+      .select(col("e.*"))
       .withColumn("cos", col("dot") / (sqrt(col("ns")) * sqrt(col("nn"))))
     // Rank-limit as a BOUNDED HASH AGGREGATE, not a window: the
     // row_number spelling locally sorts every scored candidate before
-    // WindowGroupLimit can drop any (measured 595 s at sf1 — the
-    // scaling probe's first super-linear find, BENCH_SCALE.md), while
-    // knn_topk keeps one k-slot buffer per src with map-side partial
-    // merge, so nothing ever sorts and the shuffle carries ≤ k
-    // neighbors per (partition, src). Ordering and tie-breaks are the
-    // window spelling's exactly ((cos DESC, nbr ASC) inside the
-    // buffer), so the oracle hash is unchanged.
+    // WindowGroupLimit can drop any (measured 150 s at sf1 vs the
+    // aggregate's 7 s — the scaling probe's first super-linear find,
+    // BENCH_SCALE.md), while knn_topk keeps one k-slot buffer per src
+    // with map-side partial merge, so nothing ever sorts and the
+    // shuffle carries ≤ k neighbors per (partition, src). Ordering and
+    // tie-breaks are the window spelling's exactly ((cos DESC, nbr
+    // ASC) inside the buffer), so the oracle hash is unchanged.
     directed
       .groupBy(col("src"))
       .agg(graft.functions.TopKByAgg.knnTopK(

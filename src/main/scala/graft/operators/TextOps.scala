@@ -17,7 +17,7 @@ import graft.sources.Tables
   */
 object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadFanout(s, dir, "documents")
 
   /** Bounded resident caching for two-pass operators — see
     * [[graft.operators.ResidentCache]] (context-keyed so

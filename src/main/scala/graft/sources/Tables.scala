@@ -47,6 +47,25 @@ object Tables {
     if (name == "events") normalizeEventTs(df) else df
   }
 
+  /** [[load]] + guaranteed scan parallelism for FANOUT consumers. The
+    * explode-heavy pipelines (shingles, grams, per-char streams,
+    * per-dimension vector ops) multiply the row count 30–300×, so a
+    * source that scans as fewer partitions than the session's
+    * parallelism — a single parquet row group: a small corpus, or one
+    * fat crawl file — pins the ENTIRE fanout pipeline to one task (the
+    * sf1 scaling probe measured the signature stage of the payload
+    * simhash at 30 s single-task for this reason, BENCH_SCALE.md).
+    * One cheap pre-fanout round-robin shuffle of the RAW rows (corpus
+    * bytes, not exploded bytes) restores parallelism; when the scan is
+    * already wide — any real multi-file table — this is a no-op with
+    * zero added shuffle.
+    */
+  def loadFanout(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Register every table as a temp view named after itself (for spark.sql paths). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

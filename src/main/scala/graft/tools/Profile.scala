@@ -51,3 +51,85 @@ object Profile {
     spark.stop()
   }
 }
+
+/** Stage decomposition of the multimodal phash pipeline (dev tool):
+  * `sbt "runMain graft.tools.ProfileMm [sfDir]"`.
+  */
+object ProfileMm {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.GraftSession.local(32)
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val sig = graft.operators.Multimodal.mmPhash(spark, dir)
+      .select(col("doc_id"), col("phash"))
+    time("signatures")(sig.count())
+    time("signatures again")(sig.count())
+    val cached = sig.cache()
+    time("signatures cache fill")(cached.count())
+    val pairs = graft.operators.DedupOps.hammingPairs(cached, "phash", 8)
+    time("hamming pairs (radius 8)")(pairs.count())
+    time("hamming pairs warm")(pairs.count())
+    val cc = graft.operators.GraphOps.connectedComponents(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    time("connected components")(cc.count())
+    time("mm_canonical full")(graft.operators.Multimodal.mmCanonical(spark, dir).count())
+    time("mm_canonical warm")(graft.operators.Multimodal.mmCanonical(spark, dir).count())
+    spark.stop()
+  }
+}
+
+/** Stage decomposition of the exact knn-graph pipeline (dev tool):
+  * `sbt "runMain graft.tools.ProfileKnn [sfDir]"` times the block
+  * join, the directed scoring pass, and the two top-k spellings
+  * (bounded knn_topk aggregate vs row_number window) in isolation.
+  */
+object ProfileKnn {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.SimilarityOps
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.GraftSession.local(32)
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val e = SimilarityOps.quantized(spark, dir)
+    val pairs = SimilarityOps.triangularPairs(e, nBlocks = 8)
+    time("pairs count")(pairs.count())
+    time("pairs count warm")(pairs.count())
+    val directed = pairs.select(col("ida").as("src"), col("idb").as("nbr"),
+        col("dot"), col("na").as("ns"), col("nb").as("nn"))
+      .unionByName(pairs.select(col("idb").as("src"), col("ida").as("nbr"),
+        col("dot"), col("nb").as("ns"), col("na").as("nn")))
+      .withColumn("cos", col("dot") / (sqrt(col("ns")) * sqrt(col("nn"))))
+    time("directed count (2x join)")(directed.count())
+    val agged = directed.groupBy(col("src"))
+      .agg(graft.functions.TopKByAgg.knnTopK(col("cos"), col("nbr"), col("dot"), 5).as("nb"))
+    time("knn_topk aggregate")(agged.count())
+    time("knn_topk aggregate warm")(agged.count())
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr"))
+    val windowed = directed.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    time("row_number window")(windowed.count())
+    // single-pass spelling: each scored pair explodes into both
+    // directions — half the join/dot work, one Generate
+    val exploded = pairs.select(explode(array(
+        struct(col("ida").as("src"), col("idb").as("nbr"), col("dot"),
+          col("na").as("ns"), col("nb").as("nn")),
+        struct(col("idb").as("src"), col("ida").as("nbr"), col("dot"),
+          col("nb").as("ns"), col("na").as("nn")))).as("e"))
+      .select(col("e.*"))
+      .withColumn("cos", col("dot") / (sqrt(col("ns")) * sqrt(col("nn"))))
+      .groupBy(col("src"))
+      .agg(graft.functions.TopKByAgg.knnTopK(col("cos"), col("nbr"), col("dot"), 5).as("nb"))
+    time("explode + knn_topk")(exploded.count())
+    time("explode + knn_topk warm")(exploded.count())
+    spark.stop()
+  }
+}

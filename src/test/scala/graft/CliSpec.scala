@@ -521,7 +521,9 @@ class CliSpec extends AnyFunSuite {
     val (c0, out0) = run("recall", dir, Map("data" -> "/root/testdata/sf0.001"))
     assert(c0 == 0, out0)
     assert(out0.contains("recall_ppm") && out0.contains("theory_ppm"), out0)
-    assert(out0.contains("sampled pct=50 seed=42"), out0)
+    // default: a FIXED-SIZE sample (cost constant at any corpus size),
+    // not a fraction (which still grows with the corpus)
+    assert(out0.contains("sampled n=2000 seed=42"), out0)
     // parameterized sample replays deterministically
     val (c1, out1) = run("recall", dir,
       Map("data" -> "/root/testdata/sf0.001", "pct" -> "30", "seed" -> "7"))

@@ -358,6 +358,44 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(brute.nonEmpty, "corpus should contain simhash near-dups")
   }
 
+  test("wide-radius hamming join (chunk-pair multi-index) retrieves EXACTLY brute force") {
+    // maxHamming = 8 routes through the pair-of-chunks scheme (the
+    // single 7-bit chunk key's N²/128 candidate volume was the sf2
+    // probe's worst offender, BENCH_SCALE.md) — recall must still be
+    // exactly 1 by the pigeonhole argument (c=10 chunks, ≤8 errors ⇒
+    // ≥2 chunks agree ⇒ some chunk PAIR agrees). Fixture plants pairs
+    // at hamming exactly 8 (must appear) and exactly 9 (must not),
+    // plus clusters of small perturbations.
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    def flip(v: Long, k: Int): Long = {
+      var x = v
+      val picked = scala.collection.mutable.Set[Int]()
+      while (picked.size < k) picked += rnd.nextInt(64)
+      picked.foreach(b => x ^= 1L << b)
+      x
+    }
+    val bases = Seq.fill(40)(rnd.nextLong())
+    val sigs = bases.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i * 10L, v), (i * 10L + 1, flip(v, 8)), (i * 10L + 2, flip(v, 9)),
+        (i * 10L + 3, flip(v, 2)), (i * 10L + 4, flip(v, 5)))
+    }
+    val df = sigs.toDF("doc_id", "sg")
+    val got = DedupOps.hammingPairs(df, "sg", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= 8
+    } yield {
+      val (a, b) = (sigs(i), sigs(j))
+      (math.min(a._1, b._1), math.max(a._1, b._1), h.toLong)
+    }).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    assert(brute.exists(_._3 == 8L), "fixture must contain hamming-8 pairs")
+  }
+
   test("IVF top-k: meaningful overlap with brute-force top-k") {
     val exact = SimilarityOps.simTopK(spark, sf)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
