@@ -25,9 +25,13 @@ import org.apache.spark.sql.functions.{call_function, lit}
   * only the survivors" — the shuffle carries candidate rows only.
   */
 object BloomOps {
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(
+  private[graft] lazy val descriptions: Seq[FunctionDefs.Desc] = {
+    val b = Seq.newBuilder[FunctionDefs.Desc]
+    def entry(id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+        info: ExpressionInfo,
+        builder: Seq[Expression] => Expression): Unit = b += ((id, info, builder))
+
+    entry(
       FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_agg"),
       (children: Seq[Expression]) => children match {
@@ -37,7 +41,7 @@ object BloomOps {
         case other => throw new IllegalArgumentException(
           s"bloom_agg(hash[, estItems[, numBits]]) got ${other.size} args")
       })
-    reg.registerFunction(
+    entry(
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "bloom_might_contain"),
       (children: Seq[Expression]) => children match {
@@ -45,7 +49,11 @@ object BloomOps {
         case other => throw new IllegalArgumentException(
           s"bloom_might_contain(filter, hash) got ${other.size} args")
       })
+    b.result()
   }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    FunctionDefs.registerAll(spark, descriptions)
 
   /** Membership probe against a driver-held serialized filter (the
     * binary is a Literal → constant-folded and shipped with the plan).

@@ -39,8 +39,13 @@ object CountMin {
   final val Depth = 4
   final val DefaultWidth = 512
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
+  private[graft] lazy val descriptions: Seq[FunctionDefs.Desc] = {
+    val b = Seq.newBuilder[FunctionDefs.Desc]
+    def entry(id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+        info: ExpressionInfo,
+        builder: Seq[Expression] => Expression): Unit = b += ((id, info, builder))
+
+    entry(
       FunctionIdentifier("cms_sketch"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "cms_sketch"),
       (children: Seq[Expression]) => children match {
@@ -53,7 +58,11 @@ object CountMin {
         case other => throw new IllegalArgumentException(
           s"cms_sketch(item[, w]) got ${other.size} args")
       })
+    b.result()
   }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    FunctionDefs.registerAll(spark, descriptions)
 
   def cmsSketch(item: Column, w: Int = DefaultWidth): Column =
     call_function("cms_sketch", item, lit(w))

@@ -35,8 +35,13 @@ import org.apache.spark.sql.types._
 object FreqSketch {
   final val DefaultK = 32
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
+  private[graft] lazy val descriptions: Seq[FunctionDefs.Desc] = {
+    val b = Seq.newBuilder[FunctionDefs.Desc]
+    def entry(id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+        info: ExpressionInfo,
+        builder: Seq[Expression] => Expression): Unit = b += ((id, info, builder))
+
+    entry(
       FunctionIdentifier("freq_sketch"),
       new ExpressionInfo(classOf[FreqSketchAgg].getName, "freq_sketch"),
       (children: Seq[Expression]) => children match {
@@ -49,7 +54,11 @@ object FreqSketch {
         case other => throw new IllegalArgumentException(
           s"freq_sketch(item[, k]) got ${other.size} args")
       })
+    b.result()
   }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    FunctionDefs.registerAll(spark, descriptions)
 
   def freqSketch(item: Column, k: Int = DefaultK): Column =
     call_function("freq_sketch", item, lit(k))

@@ -48,8 +48,13 @@ object MinHashAgg {
   def mix(h: Long, p: Int): Long = h * A(p) + B(p)
 
   /** Register `minhash_sig(hashCol, nPerm)` (GraftSession does this). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
+  private[graft] lazy val descriptions: Seq[FunctionDefs.Desc] = {
+    val b = Seq.newBuilder[FunctionDefs.Desc]
+    def entry(id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+        info: ExpressionInfo,
+        builder: Seq[Expression] => Expression): Unit = b += ((id, info, builder))
+
+    entry(
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => children match {
@@ -60,7 +65,11 @@ object MinHashAgg {
         case other => throw new IllegalArgumentException(
           s"minhash_sig(hash[, nPerm]) got ${other.size} args")
       })
+    b.result()
   }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    FunctionDefs.registerAll(spark, descriptions)
 
   /** Column form: minhash_sig(hashCol) → array<long> of length nPerm. */
   def minhashSig(hashCol: Column, nPerm: Int = DefaultPerms): Column =

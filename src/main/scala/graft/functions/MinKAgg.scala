@@ -30,8 +30,13 @@ import org.apache.spark.sql.types._
   */
 object MinKAgg {
   /** Register `min_k(col, k)` (GraftSession does this). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
+  private[graft] lazy val descriptions: Seq[FunctionDefs.Desc] = {
+    val b = Seq.newBuilder[FunctionDefs.Desc]
+    def entry(id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+        info: ExpressionInfo,
+        builder: Seq[Expression] => Expression): Unit = b += ((id, info, builder))
+
+    entry(
       FunctionIdentifier("min_k"),
       new ExpressionInfo(classOf[MinK].getName, "min_k"),
       (children: Seq[Expression]) => children match {
@@ -43,7 +48,11 @@ object MinKAgg {
         case other => throw new IllegalArgumentException(
           s"min_k(col, k) got ${other.size} args")
       })
+    b.result()
   }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    FunctionDefs.registerAll(spark, descriptions)
 
   /** Column form: minK(col, k) → array<long>, ascending, size ≤ k. */
   def minK(c: Column, k: Int): Column = call_function("min_k", c, lit(k))

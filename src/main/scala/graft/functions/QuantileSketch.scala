@@ -37,8 +37,13 @@ import org.apache.spark.sql.types._
   * quantile extraction via a bounded sort + running weight.
   */
 object QuantileSketch {
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
+  private[graft] lazy val descriptions: Seq[FunctionDefs.Desc] = {
+    val b = Seq.newBuilder[FunctionDefs.Desc]
+    def entry(id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+        info: ExpressionInfo,
+        builder: Seq[Expression] => Expression): Unit = b += ((id, info, builder))
+
+    entry(
       FunctionIdentifier("quantile_sketch"),
       new ExpressionInfo(classOf[QSketch].getName, "quantile_sketch"),
       (children: Seq[Expression]) => children match {
@@ -51,7 +56,11 @@ object QuantileSketch {
         case other => throw new IllegalArgumentException(
           s"quantile_sketch(col, k) got ${other.size} args")
       })
+    b.result()
   }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    FunctionDefs.registerAll(spark, descriptions)
 
   /** Column form: array<struct<v, w>> of sketch support points. */
   def quantileSketch(c: Column, k: Int): Column =

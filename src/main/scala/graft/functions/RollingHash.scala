@@ -72,8 +72,13 @@ object RollingMinHash {
   /** Register `rolling_min_hash(str[, k])` in a session's function
     * registry (the injectFunction seam of SparkSessionExtensions).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
+  private[graft] lazy val descriptions: Seq[FunctionDefs.Desc] = {
+    val b = Seq.newBuilder[FunctionDefs.Desc]
+    def entry(id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+        info: ExpressionInfo,
+        builder: Seq[Expression] => Expression): Unit = b += ((id, info, builder))
+
+    entry(
       FunctionIdentifier("rolling_min_hash"),
       new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),
       (children: Seq[Expression]) => children match {
@@ -82,7 +87,11 @@ object RollingMinHash {
         case other => throw new IllegalArgumentException(
           s"rolling_min_hash(str[, k]) got ${other.size} args")
       })
+    b.result()
   }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    FunctionDefs.registerAll(spark, descriptions)
 }
 
 /** Content-defined chunking (LBFS, Muthitacharoen et al. SOSP'01): cut
@@ -175,7 +184,12 @@ object CdcChunks {
     * expression gets a dedicated error naming the offender, not an
     * arity complaint.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+  private[graft] lazy val descriptions: Seq[FunctionDefs.Desc] = {
+    val b = Seq.newBuilder[FunctionDefs.Desc]
+    def entry(id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+        info: ExpressionInfo,
+        builder: Seq[Expression] => Expression): Unit = b += ((id, info, builder))
+
     def intLit(e: Expression, name: String): Int = e match {
       case Literal(v: Int, IntegerType) => v
       case Literal(v: Long, LongType) if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
@@ -185,7 +199,7 @@ object CdcChunks {
         s"cdc_chunks: $name must be an integer literal (it shapes the generated " +
           s"code), got: ${other.sql}")
     }
-    spark.sessionState.functionRegistry.registerFunction(
+    entry(
       FunctionIdentifier("cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
       (children: Seq[Expression]) => children match {
@@ -195,5 +209,9 @@ object CdcChunks {
         case other => throw new IllegalArgumentException(
           s"cdc_chunks(str[, w, maskBits]) got ${other.size} args")
       })
+    b.result()
   }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    FunctionDefs.registerAll(spark, descriptions)
 }

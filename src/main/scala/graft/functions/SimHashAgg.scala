@@ -26,8 +26,13 @@ import org.apache.spark.sql.types._
   */
 object SimHashAgg {
   /** Register `simhash_agg(h)` (GraftSession does this). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
+  private[graft] lazy val descriptions: Seq[FunctionDefs.Desc] = {
+    val b = Seq.newBuilder[FunctionDefs.Desc]
+    def entry(id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+        info: ExpressionInfo,
+        builder: Seq[Expression] => Expression): Unit = b += ((id, info, builder))
+
+    entry(
       FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[SimHashVotes].getName, "simhash_agg"),
       (children: Seq[Expression]) => children match {
@@ -35,7 +40,11 @@ object SimHashAgg {
         case other => throw new IllegalArgumentException(
           s"simhash_agg(hash) got ${other.size} args")
       })
+    b.result()
   }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    FunctionDefs.registerAll(spark, descriptions)
 
   /** Column form: `simhashAgg(h)` → BIGINT packed signature. */
   def simhashAgg(h: Column): Column = call_function("simhash_agg", h)

@@ -78,8 +78,13 @@ object SuffixBound {
     * (depth must be an integer literal — it shapes the generated code)
     * and `sorted_intersect_count(sorted_arr_a, sorted_arr_b)`.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
+  private[graft] lazy val descriptions: Seq[FunctionDefs.Desc] = {
+    val b = Seq.newBuilder[FunctionDefs.Desc]
+    def entry(id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+        info: ExpressionInfo,
+        builder: Seq[Expression] => Expression): Unit = b += ((id, info, builder))
+
+    entry(
       org.apache.spark.sql.catalyst.FunctionIdentifier("suffix_overlap_bound"),
       new ExpressionInfo(classOf[SuffixOverlapBound].getName, "suffix_overlap_bound"),
       (children: Seq[Expression]) => children match {
@@ -88,7 +93,7 @@ object SuffixBound {
           "suffix_overlap_bound(arr_a, arr_b, depth) needs two sorted bigint arrays " +
             s"and an integer-literal depth, got ${other.size} args")
       })
-    spark.sessionState.functionRegistry.registerFunction(
+    entry(
       org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (children: Seq[Expression]) => children match {
@@ -96,7 +101,11 @@ object SuffixBound {
         case other => throw new IllegalArgumentException(
           s"sorted_intersect_count(arr_a, arr_b) got ${other.size} args")
       })
+    b.result()
   }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    FunctionDefs.registerAll(spark, descriptions)
 
   /** Exact intersection size of two sorted long arrays (linear merge). */
   def intersectCount(a: Array[Long], b: Array[Long]): Long = {

@@ -35,8 +35,13 @@ import org.apache.spark.sql.types._
   */
 object TopKByAgg {
   /** Register `knn_topk(cos, nbr, dot, k)` (GraftSession does this). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
+  private[graft] lazy val descriptions: Seq[FunctionDefs.Desc] = {
+    val b = Seq.newBuilder[FunctionDefs.Desc]
+    def entry(id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+        info: ExpressionInfo,
+        builder: Seq[Expression] => Expression): Unit = b += ((id, info, builder))
+
+    entry(
       FunctionIdentifier("knn_topk"),
       new ExpressionInfo(classOf[KnnTopK].getName, "knn_topk"),
       (children: Seq[Expression]) => children match {
@@ -48,7 +53,11 @@ object TopKByAgg {
         case other => throw new IllegalArgumentException(
           s"knn_topk(cos, nbr, dot, k) got ${other.size} args")
       })
+    b.result()
   }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    FunctionDefs.registerAll(spark, descriptions)
 
   /** Column form: `knnTopK(cos, nbr, dot, k)` → array<struct<nbr, dot, cos>>. */
   def knnTopK(cos: Column, nbr: Column, dot: Column, k: Int): Column =

@@ -46,8 +46,13 @@ object DotI64 {
   }
 
   /** Register `dot_i64(a, b)` in a session's function registry. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
+  private[graft] lazy val descriptions: Seq[FunctionDefs.Desc] = {
+    val b = Seq.newBuilder[FunctionDefs.Desc]
+    def entry(id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+        info: ExpressionInfo,
+        builder: Seq[Expression] => Expression): Unit = b += ((id, info, builder))
+
+    entry(
       FunctionIdentifier("dot_i64"),
       new ExpressionInfo(classOf[DotI64].getName, "dot_i64"),
       (children: Seq[Expression]) => children match {
@@ -59,5 +64,9 @@ object DotI64 {
         case other => throw new IllegalArgumentException(
           s"dot_i64(array<bigint>, array<bigint>) got ${other.size} args")
       })
+    b.result()
   }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    FunctionDefs.registerAll(spark, descriptions)
 }

@@ -163,7 +163,9 @@ object CurateOps {
     val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val phone = "\\b\\d{3}-\\d{4}\\b"
     val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-    docs(s, dir)
+    // plain load, not the fanout-spread default: pure row-local
+    // projection (PlanSpec pins zero exchanges)
+    Tables.load(s, dir, "documents")
       .select(col("doc_id"), ann.as("t"))
       .select(col("doc_id"),
         regexp_count(col("t"), lit(email)).cast("long").as("n_emails"),
@@ -300,7 +302,8 @@ object CurateOps {
     * reproducible holdouts. Row-parallel projection, zero shuffles.
     */
   def splitAssign(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
+    // plain load: pure row-local projection (PlanSpec pins zero exchanges)
+    Tables.load(s, dir, "documents").select(
       col("doc_id"),
       md5Bucket100.as("bucket"))
       .withColumn("split",

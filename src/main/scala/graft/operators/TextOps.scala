@@ -1187,7 +1187,9 @@ object TextOps {
     * in executors at 100 TB and PlanSpec pins the exchange-free plan.
     */
   def txtParagraphDedup(s: SparkSession, dir: String, width: Int = 8): DataFrame =
-    docs(s, dir)
+    // plain load, not the fanout-spread default: this is a pure
+    // row-local projection (PlanSpec pins ZERO exchanges)
+    Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         filter(split(normalized(col("text")), " "), t => t =!= "").as("toks"))
       .filter(size(col("toks")) > 0)
@@ -1356,7 +1358,8 @@ object TextOps {
     * fully-mangled docs over one-bad-quote docs for triage.
     */
   def txtMojibake(s: SparkSession, dir: String): DataFrame =
-    mojibakeOf(docs(s, dir))
+    // plain load: pure row-local projection (PlanSpec pins zero exchanges)
+    mojibakeOf(Tables.load(s, dir, "documents"))
 
   /** The mojibake plan over ANY documents DataFrame — row-local, so the
     * SAME plan serves batch and each streaming micro-batch
@@ -1398,7 +1401,8 @@ object TextOps {
     * cleaned reassembly), so the gate is one linear scan at 100 TB.
     */
   def txtC4Gate(s: SparkSession, dir: String): DataFrame =
-    c4GateOf(docs(s, dir))
+    // plain load: pure row-local projection (PlanSpec pins zero exchanges)
+    c4GateOf(Tables.load(s, dir, "documents"))
 
   /** The C4 gate over ANY documents DataFrame — row-local, so the SAME
     * plan serves batch and each streaming micro-batch

@@ -8,12 +8,17 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, LongType}
 
 /** Engine extensions, registered via `spark.sql.extensions`
-  * (GraftSession sets it for every session). Currently one optimizer
-  * rule: automatic range-join bucketing.
+  * (GraftSession sets it for every session): the range-join bucketing
+  * optimizer rule, plus the engine's custom function catalog
+  * ([[graft.functions.FunctionDefs]]) — injected here so `newSession()`
+  * children of a session-per-job server resolve `dot_i64`/`minhash_sig`/
+  * `knn_topk`/… without any per-session imperative registration.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RangeJoinRewrite)
+    graft.functions.FunctionDefs.injectAll(e)
+  }
 }
 
 /** Rewrites inner joins whose only usable predicate is an interval
