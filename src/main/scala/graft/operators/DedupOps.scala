@@ -699,14 +699,21 @@ object DedupOps {
     */
   def dedupRecallEvalSampledN(s: SparkSession, dir: String,
       targetDocs: Long = 2000L, seed: Int = 42): DataFrame = {
-    val sh = ResidentCache(s, "dedup_minhash_sh",
-      shinglesRaw(s, dir).select(col("doc_id"), md5Hash64(col("s")).as("h")))
     val n = docs(s, dir).count()
     val t = math.min(n, targetDocs)
     val keep = pmod(
       md5Hash64(concat_ws(":", col("doc_id").cast("string"), lit(seed.toString))),
       lit(n)) < lit(t)
-    recallEvalCore(s, sh.filter(keep))
+    // sample the DOCUMENTS, then shingle only the sample — routing
+    // through the corpus-wide resident shingle slot would materialize
+    // ALL shingles to read back a fixed 2000-doc subset (the sf10 spot
+    // check measured that cache fill at ~2 minutes for an evaluation
+    // whose own work is constant, BENCH_SCALE.md). The scan still
+    // reads every row once (the sampling hash can't push to parquet);
+    // the 30-300× shingle fanout + hashing run on the sample only.
+    val sh = shinglesOf(docs(s, dir).filter(keep))
+      .select(col("doc_id"), md5Hash64(col("s")).as("h"))
+    recallEvalCore(s, sh)
   }
 
   private def recallEvalCore(s: SparkSession, sh: DataFrame): DataFrame = {

@@ -47,23 +47,48 @@ object Tables {
     if (name == "events") normalizeEventTs(df) else df
   }
 
+  /** Source rows per fanout task: 8 k docs × 30–300× explode ≈ 0.25–2 M
+    * exploded rows per task — a healthy task size for the gram/shingle/
+    * char pipelines. Rows, not bytes: columnar compression makes file
+    * size a ~10×-off proxy for the per-row work the fanout multiplies.
+    */
+  private val RowsPerFanoutTask = 8192L
+
+  /** Memoized per (dir, table) fanout decision — the row count (one
+    * metadata-cheap parquet count) and scan-partition probe run once
+    * per JVM per source, not once per query invocation.
+    */
+  private val fanoutTarget =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   /** [[load]] + guaranteed scan parallelism for FANOUT consumers. The
     * explode-heavy pipelines (shingles, grams, per-char streams,
     * per-dimension vector ops) multiply the row count 30–300×, so a
-    * source that scans as fewer partitions than the session's
-    * parallelism — a single parquet row group: a small corpus, or one
-    * fat crawl file — pins the ENTIRE fanout pipeline to one task (the
-    * sf1 scaling probe measured the signature stage of the payload
-    * simhash at 30 s single-task for this reason, BENCH_SCALE.md).
-    * One cheap pre-fanout round-robin shuffle of the RAW rows (corpus
-    * bytes, not exploded bytes) restores parallelism; when the scan is
-    * already wide — any real multi-file table — this is a no-op with
-    * zero added shuffle.
+    * source that scans as fewer partitions than its SIZE warrants — a
+    * single parquet row group: one fat crawl file — pins the ENTIRE
+    * fanout pipeline to one task (the sf1 scaling probe measured the
+    * signature stage of the payload simhash at 30 s single-task for
+    * this reason, BENCH_SCALE.md). One cheap pre-fanout round-robin
+    * shuffle of the RAW rows (corpus bytes, not exploded bytes)
+    * restores parallelism.
+    *
+    * SIZE-AWARE, not unconditional: the target is one task per
+    * [[RowsPerFanoutTask]] source rows (capped at session
+    * parallelism), so a corpus small enough for one task keeps its
+    * zero-shuffle single-task plan — an unconditional spread measured
+    * +0.2–1.8 s per query across the sf0.1 bench (tiny corpus, pure
+    * exchange + planning overhead) — and any real multi-file table is
+    * already wider than the target: a no-op with zero added shuffle.
     */
   def loadFanout(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = load(spark, dir, name)
-    val p = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val target: Int = fanoutTarget.computeIfAbsent(s"$dir/$name", _ => {
+      val rows = df.count()
+      val t = math.min(spark.sparkContext.defaultParallelism.toLong,
+        (rows + RowsPerFanoutTask - 1) / RowsPerFanoutTask).toInt
+      if (t > 1 && df.rdd.getNumPartitions < t) t else 1
+    })
+    if (target > 1) df.repartition(target) else df
   }
 
   /** Register every table as a temp view named after itself (for spark.sql paths). */
