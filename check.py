@@ -12,6 +12,7 @@ float tolerance fallback reported separately).
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -50,7 +51,12 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver corpus ships single parquet FILES; ScaleGen writes
+        # parquet DIRECTORIES (part files) — glob the latter
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     if len(sys.argv) > 3:  # optional query-name filter for dev iteration
         only = set(sys.argv[3].split(","))

@@ -96,7 +96,17 @@ object Bench {
     // outgrew the cap and queries re-pay warm-up (sweep-order effect)
     val residentJson = graft.operators.ResidentCache.counters.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"load_sentinel":$sentinelJson,"resident":$residentJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"load_sentinel":$sentinelJson,"resident":$residentJson,"sf":"$sfDir"}"""
+    // stdout keeps the driver's ONE-JSON-LINE contract; the same record
+    // is ALSO written to a file because the driver's tail capture has
+    // truncated the giant line before (BENCH_r14.json "parsed": null —
+    // per-query history survived for only 64 of 224 queries). The file
+    // is the durable artifact; stderr gets a human summary.
+    val outPath = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
+    Files.writeString(outPath, json + "\n")
+    println(json)
+    System.err.println(f"[bench] wrote ${outPath.toAbsolutePath}: total=$total%.1f s, " +
+      s"${results.size} queries, ${failed.size} failed")
     spark.stop()
   }
 

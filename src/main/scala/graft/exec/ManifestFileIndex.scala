@@ -97,12 +97,14 @@ final class ManifestFileIndex(
     // visible, not just real. The JVM-global counters count every
     // PLANNING EVENT (run totals, exact); per-NODE attribution buckets
     // by the Spark job group the Runner sets per node — exact under
-    // concurrent scheduling — keeping only the LAST event per (group,
-    // index instance), which collapses a DPP re-plan (static then
-    // refined) to the refined set that is actually read. The collapse
-    // also means two DISTINCT scans of one table version inside one
-    // node report the later planning only — acceptable for a
-    // skipping-effectiveness report, documented here.
+    // concurrent scheduling. Within (group, index instance) events are
+    // reconciled by their pushed FILTER SET ([[ManifestFileIndex.record]]):
+    // a strict-superset re-listing (a DPP refinement adds evaluated
+    // dynamic filters on top of the static set) REPLACES the static
+    // event it refines, while an equal-or-incomparable filter set is a
+    // DISTINCT scan of the same index (a self-join's two sides) and
+    // ACCUMULATES — so a self-join's considered files are the sum of
+    // both scans, measured, not halved.
     val fc = entries.iterator.map(_._2.size).sum.toLong
     val bc = entries.iterator.flatMap(_._2).map(_._1.getLen).sum
     val fo = out.iterator.map(_.files.size).sum.toLong
@@ -117,7 +119,9 @@ final class ManifestFileIndex(
     val group = org.apache.spark.sql.SparkSession.getActiveSession
       .flatMap(s => Option(s.sparkContext.getLocalProperty("spark.jobGroup.id")))
       .getOrElse("")
-    ManifestFileIndex.record(group, indexId, fc, fo, bc, bo)
+    val filterKey = (partitionFilters ++ dataFilters)
+      .map(_.canonicalized.semanticHash()).toSet
+    ManifestFileIndex.record(group, indexId, filterKey, fc, fo, bc, bo)
     out
   }
 
@@ -134,8 +138,11 @@ object ManifestFileIndex {
     * per-materialization skipping effectiveness in run_results.
     * Attribution caveats: exact under single-threaded scheduling
     * (concurrent nodes may attribute a competitor's planning to each
-    * other, never lose it), and a dynamically-pruned scan plans twice
-    * (static, then DPP-refined) so it contributes two events.
+    * other, never lose it), and a dynamically-pruned scan MAY plan
+    * twice (static, then DPP-refined — measured once-refined on this
+    * Spark version, but the static listing is planner-version
+    * dependent) so these raw totals can carry both events; the
+    * per-group attribution below reconciles that pair instead.
     */
   val filesConsidered = new java.util.concurrent.atomic.AtomicLong(0L)
   val filesOpened = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -148,19 +155,55 @@ object ManifestFileIndex {
 
   private val nextIndexId = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** One recorded planning event: the pushed-filter fingerprint
+    * (semantic hashes of the canonicalized partition + data filters)
+    * and the (fc, fo, bc, bo) counts it produced.
+    */
+  private final case class PlanEvent(filters: Set[Int], counts: Array[Long])
+
   /** Per-job-group planning events, recorded ONLY for groups a Runner
     * announced via [[resetGroup]] (unannounced groups — bench sweeps,
     * ad-hoc reads — are covered by the global counters; recording them
     * per-index here would grow without bound over a long JVM). Keyed by
-    * (group, index instance), last event wins.
+    * (group, index instance); events of one index reconcile by filter
+    * set (see [[record]]).
     */
   private val groupEvents = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.ConcurrentHashMap[Long, Array[Long]]]()
+    String, java.util.concurrent.ConcurrentHashMap[Long, java.util.ArrayList[PlanEvent]]]()
 
-  private[exec] def record(group: String, indexId: Long,
+  /** Record one planning event. Reconciliation within (group, index):
+    * a listing whose filter set STRICTLY CONTAINS a previous event's is
+    * a refinement of that same scan — DPP re-lists with the evaluated
+    * dynamic filters appended to the static set — and REPLACES the most
+    * recent such event (the refined set is what the scan actually
+    * reads). Any other listing (equal filter set, or incomparable) is a
+    * DISTINCT scan of the same index — the two sides of a self-join,
+    * two actions of one node — and APPENDS, so the node's totals are
+    * the sum over every scan it planned. Known degradation, accepted:
+    * two genuinely distinct scans where one's filters strictly contain
+    * the other's (x WHERE a=1 joined to x WHERE a=1 AND b=2) collapse
+    * to the tighter scan; preferring that rare undercount keeps DPP
+    * refinement from double-counting, which would poison every
+    * partitioned-join report.
+    */
+  private[exec] def record(group: String, indexId: Long, filterKey: Set[Int],
       fc: Long, fo: Long, bc: Long, bo: Long): Unit = {
     val m = groupEvents.get(group)
-    if (m != null) m.put(indexId, Array(fc, fo, bc, bo))
+    if (m == null) return
+    val lst = m.computeIfAbsent(indexId, _ => new java.util.ArrayList[PlanEvent]())
+    val ev = PlanEvent(filterKey, Array(fc, fo, bc, bo))
+    lst.synchronized {
+      var i = lst.size - 1
+      var replaced = false
+      while (i >= 0 && !replaced) {
+        val prev = lst.get(i)
+        if (prev.filters.size < filterKey.size && prev.filters.subsetOf(filterKey)) {
+          lst.set(i, ev); replaced = true
+        }
+        i -= 1
+      }
+      if (!replaced) lst.add(ev)
+    }
   }
 
   /** Open per-group attribution for a node: clears any stale events
@@ -168,18 +211,20 @@ object ManifestFileIndex {
     */
   def resetGroup(group: String): Unit =
     groupEvents.put(group,
-      new java.util.concurrent.ConcurrentHashMap[Long, Array[Long]]())
+      new java.util.concurrent.ConcurrentHashMap[Long, java.util.ArrayList[PlanEvent]]())
 
-  /** Drain a node's attributed planning events: per-index last events
-    * summed across the node's input indexes. Empty ⇒ no manifest-backed
-    * scan planned under this group.
+  /** Drain a node's attributed planning events: reconciled events
+    * summed across every scan of every input index. Empty ⇒ no
+    * manifest-backed scan planned under this group.
     */
   def takeGroupStats(group: String): Map[String, Long] = {
     val m = groupEvents.remove(group)
     if (m == null || m.isEmpty) Map.empty
     else {
       import scala.jdk.CollectionConverters._
-      val vs = m.values.asScala.toSeq
+      val vs = m.values.asScala.toSeq.flatMap(l => l.synchronized {
+        l.asScala.map(_.counts).toSeq
+      })
       Map(
         "files_considered" -> vs.map(_(0)).sum,
         "files_opened" -> vs.map(_(1)).sum,

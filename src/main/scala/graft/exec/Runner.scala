@@ -318,8 +318,9 @@ final class Runner(
     // per-node skipping effectiveness (files/bytes considered vs
     // opened): planning events are bucketed by the job group set above,
     // so the numbers are EXACT under concurrent workers — a competitor
-    // node's planning lands in its own bucket, and a DPP-refined scan's
-    // re-plan collapses to the refined set ([[ManifestFileIndex]]).
+    // node's planning lands in its own bucket, a DPP-refined scan's
+    // re-plan collapses to the refined set, and two distinct scans of
+    // one table (a self-join) both count ([[ManifestFileIndex.record]]).
     graft.exec.ManifestFileIndex.resetGroup(id)
     def scanStats(): Map[String, Long] =
       graft.exec.ManifestFileIndex.takeGroupStats(id)

@@ -75,9 +75,18 @@ final class TopKByBuffer(val k: Int) {
   val dot: Array[Long] = new Array[Long](k)
   var n: Int = 0
 
-  /** True when (c1, n1) orders strictly before (c2, n2). */
-  @inline private def before(c1: Double, n1: Long, c2: Double, n2: Long): Boolean =
-    c1 > c2 || (c1 == c2 && n1 < n2)
+  /** True when (c1, n1) orders strictly before (c2, n2). Compared via
+    * `java.lang.Double.compare`, NOT primitive `>`/`==`: Spark's sort
+    * order for DoubleType is Double.compare semantics (NaN greater
+    * than every value, -0.0 < 0.0), so a degenerate NaN cosine (a
+    * zero-norm quantized vector dividing dot by 0) ranks FIRST under
+    * cos DESC exactly as the replaced row_number window ordered it —
+    * primitive comparison would silently drop NaN rows instead.
+    */
+  @inline private def before(c1: Double, n1: Long, c2: Double, n2: Long): Boolean = {
+    val c = java.lang.Double.compare(c1, c2)
+    c > 0 || (c == 0 && n1 < n2)
+  }
 
   def insert(c: Double, nb: Long, d: Long): Unit = {
     if (n == k && !before(c, nb, cos(k - 1), nbr(k - 1))) return

@@ -699,7 +699,14 @@ object DedupOps {
     */
   def dedupRecallEvalSampledN(s: SparkSession, dir: String,
       targetDocs: Long = 2000L, seed: Int = 42): DataFrame = {
-    val n = docs(s, dir).count()
+    // memoized per file listing (Tables.rowCount) — the probe is not an
+    // extra full scan per invocation; and n == 0 would make the
+    // pmod(h, n) predicate a modulo-by-zero, so an empty corpus short-
+    // circuits to the (empty) eval of an empty shingle set directly.
+    val n = Tables.rowCount(s, dir, "documents")
+    if (n == 0L)
+      return recallEvalCore(s,
+        docs(s, dir).select(col("doc_id"), col("doc_id").as("h")).limit(0))
     val t = math.min(n, targetDocs)
     val keep = pmod(
       md5Hash64(concat_ws(":", col("doc_id").cast("string"), lit(seed.toString))),

@@ -131,6 +131,12 @@ object Multimodal {
     * ≤ 4 grams covering it, so near-duplicate payloads stay within a
     * small hamming radius — content-defined robustness, the byte-level
     * analogue of token SimHash ([[graft.operators.DedupOps.dedupSimHash]]).
+    *
+    * MINIMUM-PAYLOAD CONTRACT: payloads shorter than 4 bytes have no
+    * byte 4-gram, carry no signature row, and therefore never
+    * participate in payload dedup, pair generation, or canonical
+    * grouping downstream (each such asset is trivially its own
+    * canonical). The DuckDB oracle mirrors the same `n >= 4` cut.
     */
   def mmPhashOf(documents: DataFrame): DataFrame = {
     val base = documents

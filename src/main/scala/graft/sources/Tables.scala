@@ -54,12 +54,40 @@ object Tables {
     */
   private val RowsPerFanoutTask = 8192L
 
-  /** Memoized per (dir, table) fanout decision — the row count (one
-    * metadata-cheap parquet count) and scan-partition probe run once
-    * per JVM per source, not once per query invocation.
+  /** Memoized fanout decision / row count, keyed by the source's
+    * CONCRETE FILE LISTING (not its path): a table rewritten in place
+    * (ScaleGen regenerating a scratch dir, OPTIMIZE compacting a
+    * store) produces new part-file names, so the rewrite gets a fresh
+    * probe instead of a stale target that would silently drop the
+    * parallelism guard or add a useless shuffle. The probe itself runs
+    * OUTSIDE any map lock (plain get / putIfAbsent — losers of a rare
+    * duplicate race discard an identical deterministic value), so a
+    * slow count can never block concurrent loads of other sources
+    * hashing to the same bin.
     */
   private val fanoutTarget =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val rowCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Memo key = path + hash of the sorted file listing (driver-side
+    * metadata, no Spark job). */
+  private def listingKey(df: DataFrame, dir: String, name: String): String =
+    s"$dir/$name#${java.util.Arrays.hashCode(df.inputFiles.sorted.asInstanceOf[Array[AnyRef]])}"
+
+  /** Row count of a source table, memoized per concrete file listing
+    * (one metadata-cheap parquet count per listing per JVM). */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val df = load(spark, dir, name)
+    val key = listingKey(df, dir, name)
+    val cached = rowCounts.get(key)
+    if (cached != null) cached.longValue()
+    else {
+      val n = df.count()
+      rowCounts.putIfAbsent(key, n)
+      n
+    }
+  }
 
   /** [[load]] + guaranteed scan parallelism for FANOUT consumers. The
     * explode-heavy pipelines (shingles, grams, per-char streams,
@@ -82,12 +110,18 @@ object Tables {
     */
   def loadFanout(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = load(spark, dir, name)
-    val target: Int = fanoutTarget.computeIfAbsent(s"$dir/$name", _ => {
-      val rows = df.count()
-      val t = math.min(spark.sparkContext.defaultParallelism.toLong,
-        (rows + RowsPerFanoutTask - 1) / RowsPerFanoutTask).toInt
-      if (t > 1 && df.rdd.getNumPartitions < t) t else 1
-    })
+    val key = listingKey(df, dir, name)
+    val cached = fanoutTarget.get(key)
+    val target: Int =
+      if (cached != null) cached.intValue()
+      else {
+        val rows = rowCount(spark, dir, name)
+        val t0 = math.min(spark.sparkContext.defaultParallelism.toLong,
+          (rows + RowsPerFanoutTask - 1) / RowsPerFanoutTask).toInt
+        val t = if (t0 > 1 && df.rdd.getNumPartitions < t0) t0 else 1
+        fanoutTarget.putIfAbsent(key, t)
+        t
+      }
     if (target > 1) df.repartition(target) else df
   }
 

@@ -2343,4 +2343,36 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.read("look_a").collect().map(_.getLong(1)).toSeq == Seq(14L))
     assert(st.read("look_b").collect().map(_.getLong(1)).toSeq == Seq(21L))
   }
+
+  test("scan attribution counts BOTH scans of a self-join, not just the last") {
+    val d = Files.createTempDirectory("graft_skipself")
+    def w(rel: String, c: String): Unit = {
+      val p = d.resolve(rel); Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    w("dbt_project.yml", "name: skipself\n")
+    w("models/base.sql",
+      """{{ config(materialized='table') }}
+        |SELECT /*+ REPARTITION_BY_RANGE(4, id) */ id, id * 2 AS v
+        |FROM range(400)""".stripMargin)
+    // the two sides share ONE table version (one FileIndex instance)
+    // with IDENTICAL pushed filters — the last-event-wins collapse used
+    // to report the 4-file table once (files_considered = 4); each side
+    // is a real planning event and must count: sum of both scans = 8
+    w("models/pairs.sql",
+      """{{ config(materialized='table') }}
+        |SELECT x.id AS a, y.id AS b
+        |FROM {{ ref('base') }} x JOIN {{ ref('base') }} y ON x.id = y.v""".stripMargin)
+    val st = new RelationStore(spark, d.resolve("wh").toString)
+    val pr = ProjectLoader.resolveRefs(ProjectLoader.load(d.toString))
+    val rs = new Runner(spark, pr, st,
+      RunOptions(cmd = "run", threads = 1,
+        targetDir = d.resolve("target").toString)).execute()
+    assert(rs.forall(_.status == "success"), rs.mkString("\n"))
+    val pa = rs.find(_.uniqueId.endsWith(".pairs")).get.adapterResponse
+    assert(pa.get("files_considered").contains(8L),
+      s"self-join must attribute the sum of both scans: $pa")
+    assert(pa.get("files_opened").contains(8L), s"pairs attribution: $pa")
+    // answer unchanged: id = 2k joins k in [0,400) ∩ even ids
+    assert(st.read("pairs").count() == 200L)
+  }
 }
