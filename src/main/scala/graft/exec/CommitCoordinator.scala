@@ -65,6 +65,17 @@ trait CommitCoordinator {
     * marker (concurrent GC passes race benignly).
     */
   def release(marker: HPath): Unit
+
+  /** Reclaim arbitration state STRANDED by a crash — lock records older
+    * than `horizonMs` whose arbitrated store-side marker is ABSENT (the
+    * crash windows: between lock-win and marker materialization, and
+    * between release's marker delete and lock delete). Returns the
+    * number reclaimed. Default no-op: the built-in coordinators' only
+    * artifact IS the marker, which the store's own GC already sweeps;
+    * only out-of-domain coordinators hold state elsewhere. The store's
+    * GC calls this on every pass with its torn-reservation horizon.
+    */
+  def reclaimStranded(horizonMs: Long): Int = 0
 }
 
 object CommitCoordinator {
@@ -185,10 +196,17 @@ object CommitCoordinator {
   *
   * Every coordinator instance arbitrating one warehouse must be
   * configured with the SAME lock root — that shared directory IS the
-  * lock service. Known leak window: a crash between winning the lock
-  * and materializing the marker strands that lock file, permanently
-  * skipping one version-slot number (writers probe upward past it);
-  * harmless to correctness, bounded by crash count.
+  * lock service. Crash windows (between winning the lock and
+  * materializing the marker; between release's marker delete and its
+  * lock delete) strand a lock file whose marker is absent — the
+  * version-slot number stays skipped (writers probe upward past it;
+  * correctness unaffected), and [[reclaimStranded]] sweeps the FILE
+  * once it ages past the GC horizon: each lock records its arbitrated
+  * marker's qualified path, so "marker absent + older than horizon"
+  * is checkable from the lock alone. Live commits are never at risk:
+  * a fresh reservation is younger than the horizon, and a long-running
+  * one keeps its marker PRESENT (the heartbeat refreshes the marker,
+  * which is exactly what reclaim probes).
   */
 final class DirectoryLockCoordinator(
     lockRoot: HPath,
@@ -217,7 +235,11 @@ final class DirectoryLockCoordinator(
   }
 
   override def reserve(marker: HPath, token: String): Boolean = {
-    val won = inner.reserve(lockFor(marker), token)
+    // the lock records the marker path it arbitrates (line 2) so
+    // reclaimStranded can probe marker absence from the lock alone —
+    // the lock NAME is a one-way hash of that path
+    val won = inner.reserve(lockFor(marker),
+      token + "\n" + storeFs.makeQualified(marker).toString)
     if (won) {
       // materialize the store-side marker (see the contract above) —
       // a plain overwrite-create is fine: this process owns the slot
@@ -239,5 +261,42 @@ final class DirectoryLockCoordinator(
     // claims the slot (a competitor could double-grant it)
     scala.util.Try(storeFs.delete(marker, false))
     scala.util.Try(lockFs.delete(lockFor(marker), false))
+  }
+
+  /** Sweep lock files stranded by the crash windows documented above:
+    * older than `horizonMs` (by lock-file mtime — never refreshed after
+    * reserve, so age means "reserved long ago") AND whose recorded
+    * marker is absent from the store. Marker present ⇒ the reservation
+    * is live or GC-adoptable and its lifecycle belongs to [[release]];
+    * unreadable/legacy lock content (no recorded path) is left alone —
+    * provably-stranded only.
+    */
+  override def reclaimStranded(horizonMs: Long): Int = {
+    val sts =
+      try lockFs.listStatus(lockRoot)
+      catch { case _: java.io.FileNotFoundException => return 0 }
+    val now = System.currentTimeMillis()
+    var n = 0
+    sts.foreach { st =>
+      if (st.getPath.getName.startsWith("lk_") &&
+          now - st.getModificationTime >= horizonMs) {
+        val recordedMarker = scala.util.Try {
+          val in = lockFs.open(st.getPath)
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val b = new Array[Byte](256)
+            var r = in.read(b)
+            while (r >= 0) { buf.write(b, 0, r); r = in.read(b) }
+            new String(buf.toByteArray, UTF_8)
+          } finally in.close()
+        }.toOption.map(_.split('\n')).filter(_.length >= 2).map(_(1).trim)
+          .filter(_.nonEmpty)
+        val stranded = recordedMarker.exists(mp =>
+          scala.util.Try(!storeFs.exists(new HPath(mp))).getOrElse(false))
+        if (stranded && scala.util.Try(lockFs.delete(st.getPath, false)).getOrElse(false))
+          n += 1
+      }
+    }
+    n
   }
 }

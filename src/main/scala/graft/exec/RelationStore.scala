@@ -964,6 +964,11 @@ final class RelationStore(
           System.currentTimeMillis() - st.getModificationTime >= tornRetainMs)
         deleteRec(st.getPath)
     }
+    // reclaim coordinator state stranded by crash windows (a lock file
+    // whose arbitrated marker never materialized / whose release lost
+    // its second delete) — no-op for the built-in coordinators, an
+    // age-horizon sweep of the lock directory for out-of-domain ones
+    commitCoord.reclaimStranded(tornRetainMs)
     // a LIVE writer's reserved slot must survive a concurrent commit's
     // GC — reservations younger than the retention horizon are skipped
     // WHETHER OR NOT a manifest is present (a manifest under a live

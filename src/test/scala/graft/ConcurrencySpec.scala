@@ -566,6 +566,62 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lockFiles.isEmpty, s"leaked external locks: $lockFiles")
   }
 
+  test("stranded external lock files are reclaimed past the age horizon") {
+    // the two crash windows: (a) between lock-win and marker
+    // materialization, (b) between release's marker delete and its lock
+    // delete — both leave a lock file whose arbitrated marker is absent
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.mockobj.impl", classOf[MockObjectStoreFs].getName)
+    hc.set("fs.AbstractFileSystem.mockobj.impl",
+      classOf[MockObjectStoreAbstractFs].getName)
+    val root = "mockobj://" + newRoot()
+    val lockDir = new HPath(
+      java.nio.file.Files.createTempDirectory("graft_locks_gc").toUri.toString)
+    val conf = spark.sessionState.newHadoopConf()
+    val storeFs = new HPath(root).getFileSystem(conf)
+    val coord = new graft.exec.DirectoryLockCoordinator(lockDir, conf, storeFs)
+    def lockNames(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(
+        java.nio.file.Paths.get(new java.net.URI(lockDir.toString)))
+        .iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+    }
+    // simulate crash window (b): win + materialize, then lose only the
+    // marker (release's first delete landed, the crash hit before the
+    // second) — equivalently window (a)'s end state
+    val stranded = new HPath(root + "/locksgc/_rsv_stranded")
+    assert(coord.reserve(stranded, "tok-a"))
+    assert(storeFs.delete(stranded, false))
+    // a LIVE reservation for contrast: marker present (heartbeats
+    // refresh the MARKER, so lock-file age alone must never reclaim it)
+    val live = new HPath(root + "/locksgc/_rsv_live")
+    assert(coord.reserve(live, "tok-b"))
+    assert(lockNames().size == 2)
+    // even at horizon 0, marker-present locks survive; the stranded one goes
+    assert(coord.reclaimStranded(0L) == 1)
+    assert(lockNames().size == 1, s"locks after reclaim: ${lockNames()}")
+    assert(storeFs.exists(live))
+    // idempotent: nothing else is provably stranded
+    assert(coord.reclaimStranded(0L) == 0)
+    // the store's GC pass routes the reclaim: strand another lock, then
+    // vacuum a real table on a store built with tornRetainMs = 0
+    val store = new RelationStore(spark, root, tornRetainMs = 0L,
+      coordinator = Some(coord))
+    store.write(df(Seq((1L, "A"))), "t")
+    store.write(df(Seq((2L, "B"))), "t")
+    val stranded2 = new HPath(root + "/locksgc/_rsv_stranded2")
+    assert(coord.reserve(stranded2, "tok-c"))
+    assert(storeFs.delete(stranded2, false))
+    store.vacuum("t", keepLast = 1)
+    assert(lockNames().size == 1,
+      s"vacuum must sweep the stranded lock and keep the live one: ${lockNames()}")
+    assert(storeFs.exists(live))
+    // release still clears both domains for the live reservation
+    coord.release(live)
+    assert(lockNames().isEmpty, s"leaked locks: ${lockNames()}")
+    assert(store.read("t").count() == 1)
+  }
+
   test("timestamp time travel resolves the newest commit at-or-before; age vacuum retains") {
     val root = newRoot()
     val store = new RelationStore(spark, root, retainVersions = 10)
