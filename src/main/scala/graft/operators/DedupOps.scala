@@ -1069,6 +1069,58 @@ object DedupOps {
         (col("k.ca") * (mask + 1) + col("k.cb")).as("chunk"))
   }
 
+  /** Triple-of-chunks keys — the g = 3 member of the multi-index
+    * family, the documented escalation past the chunk-PAIR keys'
+    * bucket-growth knee: at d = 8 the ~12-bit pair key's buckets grow
+    * ∝ N/4096, so past ~10⁶ payloads the candidate join is quadratic
+    * again; three-position keys restore ~15-18 bits of selectivity at
+    * C(c,3) explode fanout. Pigeonhole with c = maxHamming + 3 chunks:
+    * ≤ d flipped bits leave ≥ 3 chunks agreeing, hence at least one
+    * agreeing unordered TRIPLE of positions — recall stays exactly 1.
+    *
+    * Unlike the g ≤ 2 chunkers (whose layouts are FROZEN — persisted
+    * index compatibility), the triple chunking spreads ALL 64 bits
+    * across the c chunks (base width 64/c, the first 64 mod c chunks
+    * one bit wider): at c ≥ 10 equal truncated widths would discard
+    * 9+ signature bits the key selectivity needs. Values pack into
+    * fixed 7-bit fields (width ≤ 7 whenever c ≥ 10, enforced), so the
+    * key is one long like every other chunker's.
+    */
+  private[graft] def chunkTripleSigs(sigs: DataFrame, sig: String, maxHamming: Int): DataFrame = {
+    val c = maxHamming + 3
+    require(c >= 10,
+      s"chunk-triple index needs chunk width <= 7 (c >= 10); maxHamming=$maxHamming")
+    val base = 64 / c
+    val extra = 64 % c
+    val widths = Array.tabulate(c)(i => if (i < extra) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def chunkExpr(i: Int) =
+      expr(s"shiftright(__sig, ${offsets(i)}) & ${(1L << widths(i)) - 1}")
+    val combos = for {
+      i <- 0 until c; j <- i + 1 until c; k <- j + 1 until c
+    } yield (i, j, k)
+    val comboCol = explode(array(combos.zipWithIndex.map { case ((i, j, k), n) =>
+      struct(lit(n).as("ci"),
+        (chunkExpr(i) * lit(1L << 14) + chunkExpr(j) * lit(1L << 7) + chunkExpr(k))
+          .as("v"))
+    }: _*))
+    sigs.select(col("doc_id"), col(sig).as("__sig"))
+      .select(col("doc_id"), col("__sig"), comboCol.as("k"))
+      .select(col("doc_id"), col("__sig"), col("k.ci").as("ci"),
+        col("k.v").as("chunk"))
+  }
+
+  /** Corpus-size knee where [[hammingPairs]] escalates from pair keys
+    * to triple keys (conf `spark.graft.hamming.tripleMinRows`): below
+    * it the pair join's candidate volume is cheaper than the 3-4×
+    * larger triple explode fanout; above it the ~8× smaller buckets
+    * dominate. ~10⁶ matches the measured pair-key bucket arithmetic
+    * (N/4096 per bucket → ~250-row buckets → candidate volume back in
+    * N² territory) — see BENCH_SCALE.md.
+    */
+  private def tripleMinRows(s: SparkSession): Long =
+    s.conf.get("spark.graft.hamming.tripleMinRows", "1000000").toLong
+
   /** All pairs within `maxHamming` bit flips of each other — EXACT
     * (100% recall, pigeonhole) at any radius. Narrow radii use
     * single-chunk pigeonhole (maxHam+1 chunks stay ≥ 12 bits wide
@@ -1078,15 +1130,60 @@ object DedupOps {
     * grow ∝ N/128 and the candidate join ∝ N²/128 (the sf2 scaling
     * probe measured the phash family at 710 s, BENCH_SCALE.md); the
     * paired key restores ~13 bits of selectivity and the same corpus
-    * joins in a few seconds. Verification is the same codegen'd
-    * map-side bit_count filter either way, so the distinct's shuffle
-    * carries only TRUE pairs.
+    * joins in a few seconds. Past the pair keys' own bucket knee
+    * (`nRows` ≥ [[tripleMinRows]], ~10⁶ payloads) wide radii escalate
+    * once more to triple keys ([[chunkTripleSigs]]) — selection needs
+    * the corpus size, which only the caller knows (a DataFrame has no
+    * cheap row count at plan time), so callers with a table-backed
+    * corpus pass the memoized `Tables.rowCount`; `None` keeps the
+    * width-only rule. Verification is the same codegen'd map-side
+    * bit_count filter in every arm, so the index choice can never
+    * change RESULTS — only cost — and the distinct's shuffle carries
+    * only TRUE pairs.
     */
-  private[graft] def hammingPairs(sigs: DataFrame, sig: String, maxHamming: Int): DataFrame = {
+  /** Index-arm selection shared by [[hammingPairs]] and
+    * [[hammingPairsAcross]] — ONE definition so a self-join and the
+    * incremental across-join of the same corpus always pick the same
+    * (bit-identical) chunk keys.
+    */
+  private def chunkedFor(sigs: DataFrame, sig: String, maxHamming: Int,
+      nRows: Option[Long]): DataFrame = {
     val singleWidth = 64 / (maxHamming + 1)
-    val chunked =
-      if (singleWidth >= 12) chunkSigs(sigs, sig, maxHamming)
-      else chunkPairSigs(sigs, sig, maxHamming)
+    if (singleWidth >= 12) chunkSigs(sigs, sig, maxHamming)
+    else if (maxHamming + 3 >= 10 &&
+        nRows.exists(_ >= tripleMinRows(sigs.sparkSession)))
+      chunkTripleSigs(sigs, sig, maxHamming)
+    else chunkPairSigs(sigs, sig, maxHamming)
+  }
+
+  /** Exact hamming-≤-d pairs ACROSS two signature sets — the
+    * incremental/streaming face of [[hammingPairs]]: arriving payloads
+    * chunk-join only against the already-landed corpus (O(batch ·
+    * bucket) per tick, never a re-join of the landed set with itself).
+    * Same selected index arm on both sides (recall-1 needs
+    * bit-identical keys); output one row per (doc_new, doc_ref) pair
+    * within the radius. `nRows` should reflect the LARGER side (the
+    * landed corpus) — it drives the pair→triple escalation.
+    */
+  private[graft] def hammingPairsAcross(newSigs: DataFrame, refSigs: DataFrame,
+      sig: String, maxHamming: Int, nRows: Option[Long] = None): DataFrame = {
+    val a = chunkedFor(newSigs, sig, maxHamming, nRows)
+      .select(col("doc_id").as("doc_new"), col("__sig").as("sig_new"),
+        col("ci"), col("chunk"))
+    val b = chunkedFor(refSigs, sig, maxHamming, nRows)
+      .select(col("doc_id").as("doc_ref"), col("__sig").as("sig_ref"),
+        col("ci"), col("chunk"))
+    a.join(b, Seq("ci", "chunk"))
+      .filter(col("doc_new") =!= col("doc_ref"))
+      .withColumn("hamming", expr("cast(bit_count(sig_new ^ sig_ref) as bigint)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_new"), col("doc_ref"), col("hamming"))
+      .distinct()
+  }
+
+  private[graft] def hammingPairs(sigs: DataFrame, sig: String, maxHamming: Int,
+      nRows: Option[Long] = None): DataFrame = {
+    val chunked = chunkedFor(sigs, sig, maxHamming, nRows)
     val a = chunked.select(col("doc_id").as("doc_a"), col("__sig").as("sig_a"),
       col("ci"), col("chunk"))
     val b = chunked.select(col("doc_id").as("doc_b"), col("__sig").as("sig_b"),

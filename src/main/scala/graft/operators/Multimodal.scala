@@ -179,8 +179,12 @@ object Multimodal {
     // family ([[mmCanonical]]) shares the materialized pair table
     val sig = ResidentCache(s, "mm_phash_sig",
       mmPhash(s, dir).select(col("doc_id"), col("phash")))
+    // corpus size (memoized metadata count) drives the pair→triple
+    // multi-index escalation past ~10⁶ payloads — see
+    // [[DedupOps.hammingPairs]]; either index yields identical pairs
     ResidentCache(s, s"mm_phash_pairs_$maxHamming",
-      DedupOps.hammingPairs(sig, "phash", maxHamming))
+      DedupOps.hammingPairs(sig, "phash", maxHamming,
+        nRows = Some(Tables.rowCount(s, dir, "documents"))))
   }
 
   /** Persist the multimodal dedup index: the corpus phash signatures

@@ -1616,12 +1616,32 @@ object SimilarityOps {
     val lbl = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"))
     val test = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val train = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    knnClassifyCore(test, train, lbl, k, nBlocks)
+      .join(lbl, Seq("vec_id"))
+      .select(col("vec_id"), col("label").as("true_label"),
+        col("pred_label"), col("votes"))
+  }
+
+  /** The rectangular-block knn-vote core over already-quantized sides
+    * — one definition serving the batch operator ([[simKnnClassify]])
+    * and the streaming label-transfer driver
+    * ([[graft.streaming.Streaming.runKnnClassify]]), so the bounded
+    * `knn_topk` aggregate spelling (never a rank window) is pinned for
+    * both. `test`/`train`: (vec_id, q, nq); `trainLbl`: (vec_id,
+    * label). Output (vec_id, pred_label, votes) — majority label of
+    * the k nearest train vectors, ties by more votes then smaller
+    * label.
+    */
+  private[graft] def knnClassifyCore(test: DataFrame, train: DataFrame,
+      trainLbl: DataFrame, k: Int, nBlocks: Int): DataFrame = {
+    val testB = test
       .withColumn("blk", explode(expr(s"sequence(0, ${nBlocks - 1})")))
       .select(col("vec_id").as("src"), col("q").as("qa"), col("nq").as("na"), col("blk"))
-    val train = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val trainB = train
       .withColumn("blk", pmod(col("vec_id"), lit(nBlocks)).cast("int"))
       .select(col("vec_id").as("nbr"), col("q").as("qb"), col("nq").as("nn"), col("blk"))
-    val scoredPairs = test.join(train, Seq("blk"))
+    val scoredPairs = testB.join(trainB, Seq("blk"))
       .withColumn("dot", expr("dot_i64(qa, qb)"))
       .withColumn("cos",
         col("dot").cast("double") / (sqrt(col("na")) * sqrt(col("nn"))))
@@ -1630,15 +1650,13 @@ object SimilarityOps {
       .agg(graft.functions.TopKByAgg.knnTopK(
         col("cos"), col("nbr"), col("dot"), k).as("nb"))
       .select(col("src"), explode(col("nb.nbr")).as("nbr"))
-    topk.join(lbl.select(col("vec_id").as("nbr"), col("label").as("nbr_label")), Seq("nbr"))
+    topk.join(trainLbl.select(col("vec_id").as("nbr"), col("label").as("nbr_label")),
+        Seq("nbr"))
       .groupBy(col("src"), col("nbr_label")).agg(count(lit(1)).as("votes"))
       .groupBy(col("src"))
       .agg(max(struct(col("votes"), (-col("nbr_label")).as("neg"))).as("top"))
       .select(col("src").as("vec_id"), (-col("top.neg")).as("pred_label"),
         col("top.votes").as("votes"))
-      .join(lbl, Seq("vec_id"))
-      .select(col("vec_id"), col("label").as("true_label"),
-        col("pred_label"), col("votes"))
   }
 
   /** Greedy k-center (max-min / farthest-point) diversity selection —

@@ -159,6 +159,16 @@ object Streaming {
   def enrichedDocumentStream(spark: SparkSession, inputDir: String): DataFrame =
     spark.readStream.schema(enrichedDocumentsSchema).parquet(inputDir)
 
+  /** embeddings schema (the vector landing zone — arriving query
+    * vectors for the knn label-transfer driver). */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  def vectorStream(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream.schema(embeddingsSchema).parquet(inputDir)
+
   /** Streaming exact dedup for corpus ingest: state is ONE keeper id per
     * content fingerprint (md5 of normalized text), so memory is
     * O(distinct documents) — the streaming twin of the batch
@@ -690,6 +700,91 @@ object Streaming {
       checkpointDir: String): Unit = {
     runAppendScorer(newDocs, store, table, checkpointDir) { batch =>
       graft.operators.Multimodal.mmProbeAgainstIndex(batch, indexChunks)
+    }
+  }
+
+  /** Streaming near-duplicate PAIR mining at wide hamming radius — the
+    * incremental face of the multi-index chunk join
+    * ([[graft.operators.DedupOps.hammingPairs]]) rather than a probe
+    * against a frozen index: each micro-batch of arriving payloads
+    * computes its phash signatures, emits (a) pairs WITHIN the batch
+    * via the exact batch operator and (b) pairs against every
+    * PREVIOUSLY LANDED signature via the across-join
+    * ([[graft.operators.DedupOps.hammingPairsAcross]] — O(batch ·
+    * bucket) per tick, the landed set never re-joins itself), then
+    * lands its own signatures for later ticks. Stream ≡ batch exactly:
+    * within + across over ANY arrival split partitions the full pair
+    * set — an unordered pair lands once, in the tick its later member
+    * arrives. Landing order is pairs THEN signatures, so a replayed
+    * epoch (crash between the two appends) recomputes pairs against
+    * the same pre-batch landed set and the batchId dedup skips
+    * whichever append already committed. The index arm (pair vs triple
+    * keys) follows the landed-corpus size, exactly as the batch
+    * operator's `nRows` hint would at that scale.
+    */
+  def runMmPairs(
+      newDocs: DataFrame,
+      store: RelationStore,
+      sigTable: String,
+      pairTable: String,
+      checkpointDir: String,
+      maxHamming: Int = 8): Unit = {
+    import graft.operators.{DedupOps, Multimodal}
+    val q = newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sigsB = Multimodal.mmPhashOf(batch)
+          .select(col("doc_id"), col("phash")).cache()
+        try {
+          val nB = sigsB.count()
+          val (seen, nSeen) =
+            if (store.exists(sigTable)) {
+              val t = store.read(sigTable); (Some(t), t.count())
+            } else (None, 0L)
+          val nRows = Some(nSeen + nB)
+          val within = DedupOps.hammingPairs(sigsB, "phash", maxHamming, nRows)
+          val across = seen.map { sg =>
+            DedupOps.hammingPairsAcross(sigsB, sg, "phash", maxHamming, nRows)
+              .select(least(col("doc_new"), col("doc_ref")).as("doc_a"),
+                greatest(col("doc_new"), col("doc_ref")).as("doc_b"),
+                col("hamming"))
+          }
+          val pairs = across.fold(within)(within.unionByName(_))
+          landAppend(store, pairTable, pairs, batchId)
+          landAppend(store, sigTable, sigsB, batchId)
+        } finally sigsB.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming knn label transfer: each micro-batch of arriving
+    * vectors is classified against a FROZEN labeled reference table
+    * (persisted parquet, like every frozen index here) through the
+    * EXACT batch core ([[graft.operators.SimilarityOps
+    * .knnClassifyCore]]) — the bounded `knn_topk` hash aggregate, the
+    * rectangular block tiling, never a rank window — so stream ≡ batch
+    * holds by construction (each query's top-k depends only on the
+    * query and the frozen reference). Per-tick cost O(batch ·
+    * reference / blocks) scored rows, the same shape the batch
+    * operator pays per test vector.
+    */
+  def runKnnClassify(
+      newVectors: DataFrame,
+      refVectors: DataFrame,
+      store: RelationStore,
+      table: String,
+      checkpointDir: String,
+      k: Int = 5,
+      nBlocks: Int = 8): Unit = {
+    import graft.operators.SimilarityOps
+    val train = SimilarityOps.quantizedOf(refVectors)
+    val lbl = refVectors.select(col("vec_id"), col("label").cast("long").as("label"))
+    runAppendScorer(newVectors, store, table, checkpointDir) { batch =>
+      SimilarityOps.knnClassifyCore(
+        SimilarityOps.quantizedOf(batch), train, lbl, k, nBlocks)
     }
   }
 

@@ -83,6 +83,48 @@ object ProfileMm {
   }
 }
 
+/** Pair-vs-triple hamming multi-index probe (dev tool):
+  * `sbt "runMain graft.tools.ProfileHamming [sfDir]"` — for the mm
+  * phash corpus at radius 8, measures per index arm the explode
+  * fanout (keyed rows), the candidate-join volume Σ C(n_bucket, 2)
+  * over (ci, chunk) buckets (the exact number of same-bucket ordered
+  * pairs the equi-join materializes before the bit_count verify), and
+  * the wall time of the full exact pair query. The escalation story in
+  * numbers: pair buckets grow ∝ N/2^12 so candidate volume bends
+  * quadratic; triple keys pay a ~3.7× fanout constant to keep it flat.
+  */
+object ProfileHamming {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.GraftSession.local(32)
+    import graft.operators.DedupOps
+    val sig = graft.operators.Multimodal.mmPhash(spark, dir)
+      .select(col("doc_id"), col("phash")).cache()
+    val n = sig.count()
+    println(s"corpus: $dir, $n signatures")
+    def volume(chunked: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val byBucket = chunked.groupBy(col("ci"), col("chunk"))
+        .agg(count(lit(1)).as("nb"))
+      val r = byBucket.agg(
+        sum(col("nb")).as("rows"),
+        sum(expr("(nb * (nb - 1)) div 2")).as("cand")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    for (arm <- Seq("pair", "triple")) {
+      val chunked =
+        if (arm == "pair") DedupOps.chunkPairSigs(sig, "phash", 8)
+        else DedupOps.chunkTripleSigs(sig, "phash", 8)
+      val (fanout, cand) = volume(chunked)
+      val t0 = System.nanoTime()
+      val nPairs = DedupOps.hammingPairs(sig, "phash", 8,
+        nRows = Some(if (arm == "triple") Long.MaxValue else 0L)).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$arm%-7s fanout_rows=$fanout%12d candidates=$cand%14d pairs=$nPairs%9d wall=$sec%7.2f s")
+    }
+    spark.stop()
+  }
+}
+
 /** Stage decomposition of the exact knn-graph pipeline (dev tool):
   * `sbt "runMain graft.tools.ProfileKnn [sfDir]"` times the block
   * join, the directed scoring pass, and the two top-k spellings

@@ -396,6 +396,50 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(brute.exists(_._3 == 8L), "fixture must contain hamming-8 pairs")
   }
 
+  test("chunk-TRIPLE multi-index (the >1M-payload escalation) retrieves EXACTLY brute force") {
+    // nRows above the escalation knee routes hammingPairs through the
+    // C(c,3) position-triple keys (c = d+3 full-64-bit uneven chunks).
+    // Pigeonhole: ≤ d errors over d+3 chunks leave ≥ 3 agreeing chunks
+    // ⇒ some chunk TRIPLE agrees ⇒ recall exactly 1. Planted pairs at
+    // hamming exactly d (must appear) and d+1 (must not), same shape
+    // as the pair-index fixture, at BOTH d = 8 and d = 9.
+    val sp = spark
+    import sp.implicits._
+    for (d <- Seq(8, 9)) {
+      val rnd = new scala.util.Random(100 + d)
+      def flip(v: Long, k: Int): Long = {
+        var x = v
+        val picked = scala.collection.mutable.Set[Int]()
+        while (picked.size < k) picked += rnd.nextInt(64)
+        picked.foreach(b => x ^= 1L << b)
+        x
+      }
+      val bases = Seq.fill(40)(rnd.nextLong())
+      val sigs = bases.zipWithIndex.flatMap { case (v, i) =>
+        Seq((i * 10L, v), (i * 10L + 1, flip(v, d)), (i * 10L + 2, flip(v, d + 1)),
+          (i * 10L + 3, flip(v, 2)), (i * 10L + 4, flip(v, 5)))
+      }
+      val df = sigs.toDF("doc_id", "sg")
+      // force the triple arm: claim a corpus size past the knee
+      val got = DedupOps.hammingPairs(df, "sg", d, nRows = Some(5_000_000L))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val brute = (for {
+        i <- sigs.indices; j <- (i + 1) until sigs.length
+        h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+        if h <= d
+      } yield {
+        val (a, b) = (sigs(i), sigs(j))
+        (math.min(a._1, b._1), math.max(a._1, b._1), h.toLong)
+      }).toSet
+      assert(got == brute, s"d=$d missing=${brute -- got} extra=${got -- brute}")
+      assert(brute.exists(_._3 == d.toLong), s"fixture must contain hamming-$d pairs")
+      // and below the knee the SAME call keeps the pair index: results identical
+      val gotPair = DedupOps.hammingPairs(df, "sg", d, nRows = Some(1000L))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotPair == brute, s"d=$d pair-arm drift")
+    }
+  }
+
   test("IVF top-k: meaningful overlap with brute-force top-k") {
     val exact = SimilarityOps.simTopK(spark, sf)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

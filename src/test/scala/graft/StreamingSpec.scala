@@ -556,6 +556,74 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming mm PAIR mining (multi-index chunk join) equals batch hammingPairs — pair AND triple arms") {
+    import graft.operators.{DedupOps, Multimodal}
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val batchSigs = Multimodal.mmPhashOf(docs).select(col("doc_id"), col("phash"))
+    for ((arm, conf) <- Seq(("pair", "1000000000"), ("triple", "1"))) {
+      // the triple arm is forced via the escalation knee so BOTH index
+      // shapes are pinned stream ≡ batch (the r14 index rewrite changed
+      // the shared plans under the streaming drivers; this pins the
+      // NEW spellings specifically, including the g=3 escalation)
+      spark.conf.set("spark.graft.hamming.tripleMinRows", conf)
+      try {
+        val store = new RelationStore(spark, s"$work/wh_mmpairs_$arm")
+        val newIn = s"$work/mmpairs_in_$arm"
+        // two arrivals splitting the corpus: cross-tick pairs must come
+        // from the ACROSS join, same-tick pairs from the batch operator
+        docs.filter(col("doc_id") < 250).write.mode("overwrite").parquet(newIn)
+        Streaming.runMmPairs(Streaming.documentStream(spark, newIn),
+          store, "mm_sigs", "mm_pairs", s"$work/cp_mmpairs_$arm")
+        val afterFirst = store.read("mm_pairs").count()
+        docs.filter(col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+        Streaming.runMmPairs(Streaming.documentStream(spark, newIn),
+          store, "mm_sigs", "mm_pairs", s"$work/cp_mmpairs_$arm")
+        val streamed = store.read("mm_pairs")
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+        val batch = DedupOps.hammingPairs(batchSigs, "phash", 8,
+          nRows = Some(docs.count()))
+        assert(streamed.count() > afterFirst, s"$arm: second tick landed pairs")
+        assert(streamed.count() == batch.count(), s"$arm: pair counts")
+        assert(streamed.exceptAll(batch).count() == 0, s"$arm: stream ⊆ batch")
+        assert(batch.exceptAll(streamed).count() == 0, s"$arm: batch ⊆ stream")
+        // landed signatures cover the corpus exactly once
+        assert(store.read("mm_sigs").count() == batchSigs.count())
+      } finally spark.conf.unset("spark.graft.hamming.tripleMinRows")
+    }
+  }
+
+  test("streaming knn label transfer (bounded knn_topk aggregate) equals batch classify") {
+    import graft.operators.SimilarityOps
+    val sf = "/root/testdata/sf0.001"
+    val store = new RelationStore(spark, s"$work/wh_knncls")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // same split the batch operator uses: queries pmod 5 == 0, frozen
+    // labeled reference = the rest (persisted, read back — the frozen-
+    // artifact contract every stream-static driver requires)
+    val refPath = s"$work/knn_ref"
+    emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      .write.mode("overwrite").parquet(refPath)
+    val ref = spark.read.parquet(refPath)
+    val newIn = s"$work/knn_queries"
+    val queries = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    queries.filter(col("vec_id") < 250).write.mode("overwrite").parquet(newIn)
+    Streaming.runKnnClassify(Streaming.vectorStream(spark, newIn), ref,
+      store, "knn_preds", s"$work/cp_knncls")
+    val afterFirst = store.read("knn_preds").count()
+    queries.filter(col("vec_id") >= 250).coalesce(1).write.mode("append").parquet(newIn)
+    Streaming.runKnnClassify(Streaming.vectorStream(spark, newIn), ref,
+      store, "knn_preds", s"$work/cp_knncls")
+    val streamed = store.read("knn_preds")
+      .select(col("vec_id"), col("pred_label"), col("votes"))
+    val batch = SimilarityOps.simKnnClassify(spark, sf)
+      .select(col("vec_id"), col("pred_label"), col("votes"))
+    assert(afterFirst > 0 && streamed.count() > afterFirst, "two arrivals landed")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0, "stream ⊆ batch")
+    assert(batch.exceptAll(streamed).count() == 0, "batch ⊆ stream")
+  }
+
   test("streaming event-anomaly monitor converges to the batch spike table") {
     val store = new RelationStore(spark, s"$work/wh_anom")
     val newIn = s"$work/anomevents"
