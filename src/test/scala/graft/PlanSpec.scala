@@ -166,6 +166,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("Window"), "expected the per-doc rank window")
   }
 
+  test("hamming triple arm: equi-join on (ci, chunk), no cartesian, no window") {
+    // the >1M-payload escalation must keep the exact plan discipline of
+    // the pair arm: candidate generation is a plain equi-join on the
+    // exploded triple keys, verification a codegen'd bit_count filter
+    val sp = spark
+    import sp.implicits._
+    val sigs = (0L until 64L).map(i => (i, i * 0x9e3779b97f4a7c15L)).toDF("doc_id", "sg")
+    val plan = executedPhysical(
+      graft.operators.DedupOps.hammingPairs(sigs, "sg", 8, nRows = Some(Long.MaxValue)))
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "triple-key candidates must come from an equi-join")
+    assert(!plan.contains("Window"), "no rank window anywhere in the pair path")
+    assert(plan.contains("Generate"), "expected the combo explode")
+  }
+
   test("as-of join: one shuffle + window scan, never a per-row probe join") {
     val plan = executedPhysical(Events.qAsofJoin(spark, sf))
     assert(plan.contains("Window"), "as-of should be the union-and-scan window plan")
