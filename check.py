@@ -50,6 +50,10 @@ def celleq(a, b):
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # at-scale sweeps run many compares in parallel (check_scale.py);
+    # uncapped per-process DuckDB thread pools oversubscribe the box
+    if os.environ.get("DUCKDB_THREADS"):
+        con.sql(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
     for t in TABLES:
         # driver corpus ships single parquet FILES; ScaleGen writes
         # parquet DIRECTORIES (part files) — glob the latter
