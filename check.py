@@ -54,6 +54,14 @@ def main():
     # uncapped per-process DuckDB thread pools oversubscribe the box
     if os.environ.get("DUCKDB_THREADS"):
         con.sql(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
+    # likewise cap per-process memory: DuckDB's default budget is a
+    # fraction of TOTAL RAM, so N parallel workers oversubscribe and
+    # the kernel OOM-kills the biggest one mid-compare (observed on the
+    # sf1 mm_canonical CTE at ~39 GB RSS); a cap makes DuckDB spill
+    # instead
+    if os.environ.get("DUCKDB_MEMORY"):
+        con.sql(f"SET memory_limit='{os.environ['DUCKDB_MEMORY']}'")
+        con.sql(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
     for t in TABLES:
         # driver corpus ships single parquet FILES; ScaleGen writes
         # parquet DIRECTORIES (part files) — glob the latter

@@ -368,21 +368,46 @@ object SparkEntry {
         GROUP BY 1, 2 HAVING COUNT(*) >= 2
       )"""
 
-  private lazy val NgramJaccardSql: String = ShinglePairCtes + """
+  /** Guard-faithful membership CTEs for the shingle-intersection
+    * family (appended after [[ShinglePairCtes]], whose `sh`/`inter`
+    * they reuse): replay of `DedupOps.shingleIntersections`' candidate
+    * rule — a pair is reported iff the documents share at least one
+    * shingle with df <= 100 (`DedupOps.HotShingleMaxDf`); surviving
+    * pairs keep the exact FULL-set counts from `inter`. Until r15 the
+    * jaccard/containment oracles computed the UNGUARDED join — the
+    * sf2 spot gate (CORRECTNESS_SCALE.md) caught the divergence the
+    * first time the corpus df crossed the cap, so the membership rule
+    * is now hash-checked like the values are. Yields CTE
+    * `ginter(doc_a, doc_b, n_inter)`.
+    */
+  private lazy val GuardedInterCtes: String = """
+      , rare2 AS (
+        SELECT sh.doc_id, sh.s FROM sh
+        JOIN (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1) f
+          ON f.s = sh.s AND f.df <= 100
+      ), gcand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM rare2 x JOIN rare2 y ON x.s = y.s AND x.doc_id < y.doc_id
+      ), ginter AS (
+        SELECT i.doc_a, i.doc_b, i.n_inter
+        FROM inter i JOIN gcand USING (doc_a, doc_b)
+      )"""
+
+  private lazy val NgramJaccardSql: String = ShinglePairCtes + GuardedInterCtes + """
       SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
              CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
-      FROM inter
+      FROM ginter
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE n_inter * 5 >= sa.n + sb.n - n_inter"""
 
-  private lazy val ContainmentSql: String = ShinglePairCtes + """
+  private lazy val ContainmentSql: String = ShinglePairCtes + GuardedInterCtes + """
       SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
              CAST((1000000 * n_inter) // LEAST(sa.n, sb.n) AS BIGINT) AS cont_ppm,
              CAST(CASE WHEN sa.n < sb.n THEN doc_a
                        WHEN sb.n < sa.n THEN doc_b
                        ELSE GREATEST(doc_a, doc_b) END AS BIGINT) AS contained_doc
-      FROM inter
+      FROM ginter
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE 5 * n_inter >= 4 * LEAST(sa.n, sb.n)"""

@@ -70,11 +70,23 @@ object DedupOps {
     * df <= [[HotShingleMaxDf]] (stop-shingle removal); the per-key join
     * fanout is capped at df² <= maxDf². Scoring then recomputes the
     * intersection over ALL shingles of candidate documents, so every
-    * reported pair carries exact unguarded values — the only pairs the
-    * guard can drop are those whose shared shingles are ALL hotter than
-    * maxDf, which at J >= 0.2 means ~20% of either document is corpus
-    * boilerplate (and on this corpus drops nothing: OpsSpec asserts
-    * pair-set invariance against the unguarded plan).
+    * reported pair carries exact unguarded values.
+    *
+    * MEMBERSHIP CONTRACT (shared with [[dedupContainment]]): a pair is
+    * reported iff the documents share at least one shingle with
+    * df <= maxDf — pairs whose entire overlap is corpus boilerplate
+    * (every shared shingle hotter than the cap) are NOT near-dups under
+    * this operator, by design (the prefix-filtering/stop-word precedent:
+    * sharing text that a hundred other documents also carry is not
+    * duplication evidence). The DuckDB oracle replays this rule with the
+    * same rare-candidate semi-join, so the contract is hash-checked, not
+    * asserted: the r15 sf2 spot gate caught the pre-r15 oracle computing
+    * the UNGUARDED pair set instead — at sf2's closed-vocab df (~186 vs
+    * the cap) the two answers first diverge, while at
+    * every df regime below the cap the guard provably drops nothing
+    * (OpsSpec asserts pair-set invariance against the unguarded plan on
+    * the test corpus). Exact-regardless-of-df semantics at J >= 0.8 live
+    * in [[dedupPpjoin]] (prefix filtering keeps THAT guard lossless).
     */
   val HotShingleMaxDf = 100
 
@@ -989,7 +1001,8 @@ object DedupOps {
     ResidentCache.memo(s, s"simhash_pairs@$dir") {
       val sigs = ResidentCache(s, "dedup_simhash_sigs",
         dedupSimHash(s, dir).select(col("doc_id"), col("simhash")))
-      hammingPairs(sigs, "simhash", SimHashMaxHamming)
+      hammingPairs(sigs, "simhash", SimHashMaxHamming,
+        Some(Tables.rowCount(s, dir, "documents")))
     }
 
   /** Cross-source near-duplication matrix: SimHash near-dup pairs
@@ -1144,16 +1157,55 @@ object DedupOps {
   /** Index-arm selection shared by [[hammingPairs]] and
     * [[hammingPairsAcross]] — ONE definition so a self-join and the
     * incremental across-join of the same corpus always pick the same
-    * (bit-identical) chunk keys.
+    * (bit-identical) chunk keys. Returns the chunked frame plus the
+    * arm's exact explode fanout (keys per input row) — the TRUE
+    * multiplier Catalyst's size estimator ignores (see
+    * [[candidateJoinPlan]]).
     */
   private def chunkedFor(sigs: DataFrame, sig: String, maxHamming: Int,
-      nRows: Option[Long]): DataFrame = {
+      nRows: Option[Long]): (DataFrame, Int) = {
     val singleWidth = 64 / (maxHamming + 1)
-    if (singleWidth >= 12) chunkSigs(sigs, sig, maxHamming)
+    if (singleWidth >= 12)
+      (chunkSigs(sigs, sig, maxHamming), maxHamming + 1)
     else if (maxHamming + 3 >= 10 &&
-        nRows.exists(_ >= tripleMinRows(sigs.sparkSession)))
-      chunkTripleSigs(sigs, sig, maxHamming)
-    else chunkPairSigs(sigs, sig, maxHamming)
+        nRows.exists(_ >= tripleMinRows(sigs.sparkSession))) {
+      val c = maxHamming + 3
+      (chunkTripleSigs(sigs, sig, maxHamming), c * (c - 1) * (c - 2) / 6)
+    } else {
+      val c = maxHamming + 2
+      (chunkPairSigs(sigs, sig, maxHamming), c * (c - 1) / 2)
+    }
+  }
+
+  /** Join-strategy guard for the chunk-key candidate join: Catalyst's
+    * size estimate for a Generate (explode) node passes the CHILD's
+    * size through unchanged, so the exploded key table of a large
+    * corpus is estimated at the (small) signature table's size and the
+    * planner happily BROADCASTS it — the 500 k-doc probe arm built an
+    * ~82 M-row broadcast table and died on driver memory
+    * (BENCH_SCALE.md, round 15). We know the TRUE exploded size
+    * exactly (`nRows` × the arm's key fanout × ~28 B/row), so when the
+    * caller supplied a count and that size exceeds the session's own
+    * broadcast threshold, pin the join to sort-merge — the same
+    * decision the planner itself would make if its stats saw the
+    * fanout. Below the threshold (or with no count — ad-hoc/fixture
+    * callers) the planner keeps its choice: broadcasting a genuinely
+    * small exploded side saves the shuffle and is measurably right at
+    * bench scale.
+    */
+  private def candidateJoinPlan(chunked: DataFrame, keysPerRow: Int,
+      nRows: Option[Long]): DataFrame = {
+    val threshold =
+      chunked.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        .stripSuffix("b").stripSuffix("B") match {
+        case s if s.endsWith("k") || s.endsWith("K") => s.dropRight(1).toLong << 10
+        case s if s.endsWith("m") || s.endsWith("M") => s.dropRight(1).toLong << 20
+        case s if s.endsWith("g") || s.endsWith("G") => s.dropRight(1).toLong << 30
+        case s => s.toLong
+      }
+    val tooBigToBroadcast = threshold >= 0 &&
+      nRows.exists(n => n * keysPerRow.toLong * 28L > threshold)
+    if (tooBigToBroadcast) chunked.hint("merge") else chunked
   }
 
   /** Exact hamming-≤-d pairs ACROSS two signature sets — the
@@ -1167,10 +1219,15 @@ object DedupOps {
     */
   private[graft] def hammingPairsAcross(newSigs: DataFrame, refSigs: DataFrame,
       sig: String, maxHamming: Int, nRows: Option[Long] = None): DataFrame = {
-    val a = chunkedFor(newSigs, sig, maxHamming, nRows)
+    // no candidateJoinPlan pin here: the NEW side is a bounded
+    // micro-batch whose (under)estimate is also its true size, so the
+    // planner's broadcast choice lands on the correct (small) side;
+    // pinning merge would force a shuffle of the landed corpus every
+    // tick
+    val a = chunkedFor(newSigs, sig, maxHamming, nRows)._1
       .select(col("doc_id").as("doc_new"), col("__sig").as("sig_new"),
         col("ci"), col("chunk"))
-    val b = chunkedFor(refSigs, sig, maxHamming, nRows)
+    val b = chunkedFor(refSigs, sig, maxHamming, nRows)._1
       .select(col("doc_id").as("doc_ref"), col("__sig").as("sig_ref"),
         col("ci"), col("chunk"))
     a.join(b, Seq("ci", "chunk"))
@@ -1183,7 +1240,8 @@ object DedupOps {
 
   private[graft] def hammingPairs(sigs: DataFrame, sig: String, maxHamming: Int,
       nRows: Option[Long] = None): DataFrame = {
-    val chunked = chunkedFor(sigs, sig, maxHamming, nRows)
+    val (raw, keysPerRow) = chunkedFor(sigs, sig, maxHamming, nRows)
+    val chunked = candidateJoinPlan(raw, keysPerRow, nRows)
     val a = chunked.select(col("doc_id").as("doc_a"), col("__sig").as("sig_a"),
       col("ci"), col("chunk"))
     val b = chunked.select(col("doc_id").as("doc_b"), col("__sig").as("sig_b"),

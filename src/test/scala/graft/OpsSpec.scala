@@ -440,6 +440,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hamming candidate join: large corpora pin sort-merge, small keep broadcast") {
+    // Catalyst estimates a Generate (explode) at its CHILD's size, so
+    // the exploded chunk-key table of a large corpus looks broadcast-
+    // able to the planner — the r15 500k-doc probe arm built an ~82M-row
+    // broadcast and died on driver memory. candidateJoinPlan knows the
+    // TRUE exploded size (nRows × key fanout) and pins sort-merge past
+    // the session broadcast threshold; below it the planner's broadcast
+    // stays (it saves the shuffle and genuinely fits).
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(64)(rnd.nextLong()).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("doc_id", "sg")
+    def planOf(nRows: Long): String =
+      DedupOps.hammingPairs(df, "sg", 8, nRows = Some(nRows))
+        .queryExecution.executedPlan.toString
+    // claimed-huge corpus (still pair arm: below the triple knee):
+    // 500k × C(10,2) keys × 28B ≈ 630 MB ≫ 10 MB threshold
+    val big = planOf(500_000L)
+    assert(big.contains("SortMergeJoin"), s"expected SMJ pin, got:\n$big")
+    assert(!big.contains("BroadcastHashJoin"), "broadcast must be pinned away")
+    // claimed-small corpus: exploded side ~2.5 MB < threshold — the
+    // planner keeps its broadcast (results already proven identical by
+    // the planted fixtures above)
+    val small = planOf(2_000L)
+    assert(small.contains("BroadcastHashJoin"),
+      s"small corpora should keep the broadcast plan, got:\n$small")
+  }
+
   test("IVF top-k: meaningful overlap with brute-force top-k") {
     val exact = SimilarityOps.simTopK(spark, sf)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
