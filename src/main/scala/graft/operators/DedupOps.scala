@@ -1238,21 +1238,53 @@ object DedupOps {
       .distinct()
   }
 
+  /** Exact hamming-≤-d doc pairs, computed COLLAPSE-EXACT-FIRST: the
+    * chunk-key index join runs over DISTINCT signature VALUES, each
+    * surviving signature pair is bit_count-verified once, and doc
+    * pairs are produced by expansion joins afterwards. The r15 probe
+    * measured why (BENCH_SCALE.md): on a dup-heavy corpus every
+    * exact-duplicate cluster co-occurs in ALL of the arm's keys, so the
+    * raw-sig join's candidate volume carried each cluster² TIMES the
+    * key fanout (≥45× pure waste at d = 8), and the output-side
+    * `distinct` shuffled every one of the N²-growing true pairs. After
+    * the collapse the index join sees only the distinct-signature
+    * collision volume (the regime the multi-index family actually
+    * targets), identical-signature pairs expand directly with
+    * hamming 0, and no doc-pair distinct is needed — each unordered
+    * pair is produced exactly once. Output is bit-identical to the
+    * raw-sig spelling (planted fixtures + the oracle gate pin it).
+    */
   private[graft] def hammingPairs(sigs: DataFrame, sig: String, maxHamming: Int,
       nRows: Option[Long] = None): DataFrame = {
-    val (raw, keysPerRow) = chunkedFor(sigs, sig, maxHamming, nRows)
+    // one row per distinct signature; the signature value doubles as
+    // its own join id through the shared chunkers
+    val uniq = sigs.select(col(sig)).distinct()
+      .select(col(sig).as("doc_id"), col(sig))
+    val (raw, keysPerRow) = chunkedFor(uniq, sig, maxHamming, nRows)
     val chunked = candidateJoinPlan(raw, keysPerRow, nRows)
-    val a = chunked.select(col("doc_id").as("doc_a"), col("__sig").as("sig_a"),
-      col("ci"), col("chunk"))
-    val b = chunked.select(col("doc_id").as("doc_b"), col("__sig").as("sig_b"),
-      col("ci"), col("chunk"))
-    a.join(b, Seq("ci", "chunk"))
-      .filter(col("doc_a") < col("doc_b"))
+    val a = chunked.select(col("doc_id").as("sig_a"), col("ci"), col("chunk"))
+    val b = chunked.select(col("doc_id").as("sig_b"), col("ci"), col("chunk"))
+    val sigPairs = a.join(b, Seq("ci", "chunk"))
+      .filter(col("sig_a") < col("sig_b"))
       .withColumn("hamming",
         expr("cast(bit_count(sig_a ^ sig_b) as bigint)"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("sig_a"), col("sig_b"), col("hamming"))
       .distinct()
+    // expansion: ACROSS distinct-signature pairs (hamming verified
+    // above, both orientations ordered per doc id)...
+    val da = sigs.select(col(sig).as("sig_a"), col("doc_id").as("__da"))
+    val db = sigs.select(col(sig).as("sig_b"), col("doc_id").as("__db"))
+    val across = sigPairs.join(da, Seq("sig_a")).join(db, Seq("sig_b"))
+      .select(least(col("__da"), col("__db")).as("doc_a"),
+        greatest(col("__da"), col("__db")).as("doc_b"), col("hamming"))
+    // ...plus WITHIN identical-signature groups (hamming 0 by identity)
+    val within = sigs.select(col(sig).as("__s"), col("doc_id").as("__da"))
+      .join(sigs.select(col(sig).as("__s"), col("doc_id").as("__db")), Seq("__s"))
+      .filter(col("__da") < col("__db"))
+      .select(col("__da").as("doc_a"), col("__db").as("doc_b"),
+        lit(0L).as("hamming"))
+    across.union(within)
   }
 
   /** Duplicated-span detection (the word-gram form of Lee et al. 2022

@@ -51,6 +51,13 @@ object HammingProbe {
       val sigs = Multimodal.mmPhashOf(ScaleGen.documents(spark, sf))
         .select(col("doc_id"), col("phash")).cache()
       sigs.count()
+      // the index join runs over DISTINCT signatures since the r15
+      // collapse-exact-first rewrite — bucket stats on the distinct
+      // set are the volumes the candidate join actually processes
+      val uniq = sigs.select(col("phash")).distinct()
+        .select(col("phash").as("doc_id"), col("phash")).cache()
+      val nUniq = uniq.count()
+      println(f"$n%9d docs, $nUniq%9d distinct signatures")
       // joins whose pre-filter candidate volume exceeds the budget are
       // reported stats-only (pairs/wall "—"): on this corpus the TRUE
       // pair count itself grows ∝ N² (planted dup clusters scale with
@@ -60,8 +67,8 @@ object HammingProbe {
       val joinBudget = sys.env.getOrElse(
         "SPARK_GRAFT_PROBE_MAX_JOIN_CANDVOL", "300000000000").toLong
       for ((arm, chunked, minRows) <- Seq(
-          ("pair", DedupOps.chunkPairSigs(sigs, "phash", D), Long.MaxValue),
-          ("triple", DedupOps.chunkTripleSigs(sigs, "phash", D), 0L))) {
+          ("pair", DedupOps.chunkPairSigs(uniq, "phash", D), Long.MaxValue),
+          ("triple", DedupOps.chunkTripleSigs(uniq, "phash", D), 0L))) {
         val (vol, mx, nb) = bucketStats(chunked)
         if (vol <= joinBudget) {
           spark.conf.set("spark.graft.hamming.tripleMinRows", minRows.toString)
@@ -73,6 +80,7 @@ object HammingProbe {
           println(f"$n%9d $arm%7s $nb%12d $mx%9d $vol%14d ${"—"}%9s ${"—"}%7s")
       }
       sigs.unpersist()
+      uniq.unpersist()
       spark.conf.set("spark.graft.hamming.tripleMinRows", "1000000")
     }
     spark.stop()

@@ -456,17 +456,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     def planOf(nRows: Long): String =
       DedupOps.hammingPairs(df, "sg", 8, nRows = Some(nRows))
         .queryExecution.executedPlan.toString
+    // the CANDIDATE join is the one keyed on (ci, chunk) — the
+    // post-verify expansion joins broadcast the (small) verified
+    // sig-pair side by design, so the pin is asserted per join key
     // claimed-huge corpus (still pair arm: below the triple knee):
     // 500k × C(10,2) keys × 28B ≈ 630 MB ≫ 10 MB threshold
     val big = planOf(500_000L)
-    assert(big.contains("SortMergeJoin"), s"expected SMJ pin, got:\n$big")
-    assert(!big.contains("BroadcastHashJoin"), "broadcast must be pinned away")
+    assert(big.contains("SortMergeJoin [ci"), s"expected SMJ pin, got:\n$big")
+    assert(!big.contains("BroadcastHashJoin [ci"),
+      "candidate join broadcast must be pinned away")
     // claimed-small corpus: exploded side ~2.5 MB < threshold — the
     // planner keeps its broadcast (results already proven identical by
     // the planted fixtures above)
     val small = planOf(2_000L)
-    assert(small.contains("BroadcastHashJoin"),
-      s"small corpora should keep the broadcast plan, got:\n$small")
+    assert(small.contains("BroadcastHashJoin [ci"),
+      s"small corpora should keep the broadcast candidate plan, got:\n$small")
   }
 
   test("IVF top-k: meaningful overlap with brute-force top-k") {
