@@ -950,12 +950,13 @@ object DedupOps {
     * (signed hi32) * 2^32 + lo32, which cannot overflow and matches
     * `('0x' || substr(md5(x), 1, 8))::BIGINT` arithmetic in DuckDB.
     */
-  private[graft] def md5Hash64(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val hex = md5(c)
-    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
-    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
-    (hi - when(hi >= 2147483648L, lit(4294967296L)).otherwise(lit(0L))) * lit(4294967296L) + lo
-  }
+  private[graft] def md5Hash64(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // fused digest kernel — same value as the legacy
+    // conv(substring(md5(c),1,8),...) arithmetic (the digest's first
+    // 16 hex chars ARE bytes 0-7), without re-running MD5 per
+    // sub-expression or round-tripping through hex strings; pinned
+    // against the column spelling in OpsSpec
+    graft.functions.HashOps.md5LongCol(c)
 
   /** SimHash (64-bit) per document: sign-sum of per-token hash bits.
     * Output is the signature + its popcount; near-dup = low Hamming

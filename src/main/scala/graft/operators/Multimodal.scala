@@ -105,11 +105,15 @@ object Multimodal {
     * grams for decoded-pixel patches — the hash arithmetic and
     * everything downstream is unchanged.
     *
-    * Scale shape: row-parallel gram explode (fanout-spread scan) +
-    * one doc-keyed bit-vote aggregate, no UDF.
+    * Scale shape: one row-local codegen'd kernel per payload
+    * (fanout-spread scan), zero exchanges, no UDF. The fanout spread
+    * uses the byte-gram weight — each source row carries ~n_bytes
+    * grams of kernel work, an order of magnitude more than the token
+    * pipelines the default rows-per-task constant is sized for.
     */
   def mmPhash(s: SparkSession, dir: String): DataFrame =
-    mmPhashOf(Tables.loadFanout(s, dir, "documents"))
+    mmPhashOf(Tables.loadFanout(s, dir, "documents",
+      rowsPerTask = Tables.RowsPerGramFanoutTask))
 
   /** DataFrame-in payload signature — a SimHash over byte 4-grams of
     * the raw payload. The same signature plan serves the batch
@@ -138,23 +142,22 @@ object Multimodal {
     * grouping downstream (each such asset is trivially its own
     * canonical). The DuckDB oracle mirrors the same `n >= 4` cut.
     */
-  def mmPhashOf(documents: DataFrame): DataFrame = {
-    val base = documents
+  def mmPhashOf(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .withColumn("n", length(col("payload")).cast("long"))
-      .filter(col("n") >= 4)
-      .withColumn("hx", hex(col("payload")))
-    // byte 4-grams via their hex spelling (8 hex chars), md5-hashed —
-    // bit-replayable by the DuckDB oracle
-    val h = base.select(col("doc_id"), explode(expr(
-        "transform(sequence(1, cast(n - 3 as int)), i -> substring(hx, 2*i - 1, 8))")).as("g"))
-      .select(col("doc_id"), graft.operators.DedupOps.md5Hash64(col("g")).as("h"))
-    // single bit-vote aggregate (tight 64-slot loop), not 64 separate
-    // sum(when(...)) columns — see graft.functions.SimHashAgg
-    h.groupBy(col("doc_id"))
-      .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("phash"))
+      .filter(length(col("payload")) >= 4)
+      // the gram walk, md5 votes and bit election all happen inside one
+      // codegen'd per-row kernel (graft.functions.PayloadSimHash): the
+      // signature is a PER-ROW reduction, so the former
+      // explode → exchange → bit-vote-aggregate plan paid a generator,
+      // a gram-row shuffle and two aggregate passes for values this
+      // single pass computes in place — zero exchanges, and scan
+      // parallelism alone (loadFanout) bounds the stage. Signatures are
+      // bit-identical with the aggregate spelling (OpsSpec pin) and the
+      // DuckDB oracle CTE.
+      .select(col("doc_id"),
+        graft.functions.HashOps.payloadSimHashCol(col("payload")).as("phash"))
       .withColumn("popcnt", expr("bit_count(phash)").cast("long"))
-  }
 
   /** Near-duplicate payload pairs by Hamming distance on the aHash —
     * candidate generation and exact verification reuse the pigeonhole
@@ -196,7 +199,8 @@ object Multimodal {
   def persistMmPhashIndex(s: SparkSession, dir: String,
       store: graft.exec.RelationStore, prefix: String,
       maxHamming: Int = 8, buckets: Int = 32): Unit =
-    persistMmPhashIndexOf(Tables.loadFanout(s, dir, "documents"), store, prefix,
+    persistMmPhashIndexOf(Tables.loadFanout(s, dir, "documents",
+      rowsPerTask = Tables.RowsPerGramFanoutTask), store, prefix,
       maxHamming, buckets)
 
   def persistMmPhashIndexOf(documents: DataFrame,

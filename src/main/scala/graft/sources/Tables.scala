@@ -48,11 +48,23 @@ object Tables {
   }
 
   /** Source rows per fanout task: 8 k docs × 30–300× explode ≈ 0.25–2 M
-    * exploded rows per task — a healthy task size for the gram/shingle/
-    * char pipelines. Rows, not bytes: columnar compression makes file
-    * size a ~10×-off proxy for the per-row work the fanout multiplies.
+    * exploded rows per task — a healthy task size for the token-level
+    * shingle/char pipelines. Rows, not bytes: columnar compression makes
+    * file size a ~10×-off proxy for the per-row work the fanout
+    * multiplies.
     */
   private val RowsPerFanoutTask = 8192L
+
+  /** Fanout weight for BYTE-gram consumers (the payload-simhash
+    * kernel): ~n_bytes ≈ 1–2 k hash computations per source row, an
+    * order of magnitude above the token pipelines, so the per-task row
+    * budget shrinks accordingly (512 docs × ~1–2 k grams ≈ 0.5–1 M
+    * digests per task). Without this weight the row-count threshold
+    * keeps a 5 k-doc corpus single-task while it runs millions of
+    * digests (the sf0.1 bench measured the signature stage at ~3.2 s
+    * pinned to one core).
+    */
+  private[graft] val RowsPerGramFanoutTask = 512L
 
   /** Memoized fanout decision / row count, keyed by the source's
     * CONCRETE FILE LISTING (not its path): a table rewritten in place
@@ -108,16 +120,17 @@ object Tables {
     * exchange + planning overhead) — and any real multi-file table is
     * already wider than the target: a no-op with zero added shuffle.
     */
-  def loadFanout(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def loadFanout(spark: SparkSession, dir: String, name: String,
+      rowsPerTask: Long = RowsPerFanoutTask): DataFrame = {
     val df = load(spark, dir, name)
-    val key = listingKey(df, dir, name)
+    val key = s"${listingKey(df, dir, name)}@$rowsPerTask"
     val cached = fanoutTarget.get(key)
     val target: Int =
       if (cached != null) cached.intValue()
       else {
         val rows = rowCount(spark, dir, name)
         val t0 = math.min(spark.sparkContext.defaultParallelism.toLong,
-          (rows + RowsPerFanoutTask - 1) / RowsPerFanoutTask).toInt
+          (rows + rowsPerTask - 1) / rowsPerTask).toInt
         val t = if (t0 > 1 && df.rdd.getNumPartitions < t0) t0 else 1
         fanoutTarget.putIfAbsent(key, t)
         t

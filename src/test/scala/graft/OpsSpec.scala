@@ -2934,4 +2934,60 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every edge is someone's intra or a cross edge; half-edges conserve
     assert(out.values.map(_._3).sum == 2 * m)
   }
+
+  test("md5_long kernel is bit-identical to the conv(substring(md5)) column spelling") {
+    import org.apache.spark.sql.functions._
+    val ss = spark
+    import ss.implicits._
+    // adversarial inputs: empty, sign-bit digests, multi-byte UTF-8,
+    // separators the band keys use, plus a deterministic spray
+    val cases = Seq("", "a", "0", "the quick brown fox", "häßlich ❄ 汉字",
+      "1:xyz", "b0,123,456", "doc:42") ++ (0 until 500).map(i => s"s$i:${i * i}")
+    val df = cases.toDF("s")
+    val legacy = {
+      val hex = md5(col("s"))
+      val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+      val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+      (hi - when(hi >= 2147483648L, lit(4294967296L)).otherwise(lit(0L))) * lit(4294967296L) + lo
+    }
+    val rows = df.select(col("s"), legacy.as("old"),
+      graft.functions.HashOps.md5LongCol(col("s")).as("nw")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"md5_long mismatch on '${r.getString(0)}'")
+    }
+    // null passes through
+    assert(Seq[Option[String]](None).toDF("s")
+      .select(graft.functions.HashOps.md5LongCol(col("s"))).collect()(0).isNullAt(0))
+  }
+
+  test("payload_simhash kernel is bit-identical to the explode + simhash_agg spelling") {
+    import org.apache.spark.sql.functions._
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(7)
+    // 4-byte minimum through multi-KB payloads, including repeated and
+    // binary-ish content (all byte values reachable through UTF-8 text
+    // is not required: encode() output is what the operator hashes)
+    val texts = Seq("abcd", "aaaaaaaaaa", "x" * 4097, "päyload ❄ bits") ++
+      (0 until 200).map(i => rnd.alphanumeric.take(4 + rnd.nextInt(300)).mkString)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val base = docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("n", length(col("payload")).cast("long"))
+      .filter(col("n") >= 4)
+      .withColumn("hx", hex(col("payload")))
+    val agg = base.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, cast(n - 3 as int)), i -> substring(hx, 2*i - 1, 8))")).as("g"))
+      .select(col("doc_id"), DedupOps.md5Hash64(col("g")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("phash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernel = operators.Multimodal.mmPhashOf(docs)
+      .select(col("doc_id"), col("phash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel.keySet == agg.keySet)
+    kernel.foreach { case (id, sig) =>
+      assert(sig == agg(id), s"payload_simhash mismatch on doc $id")
+    }
+  }
 }
