@@ -329,7 +329,7 @@ object ScaleOps {
     * oracle replay hashes exactly.
     *
     * `bucketWidth <= 0` (the default) derives the width from a min/max
-    * pre-pass targeting ≤ 2²⁰ coarse buckets: a fixed width is only
+    * pre-pass targeting ≤ 2¹⁶ coarse buckets: a fixed width is only
     * driver-safe when the value domain is dense — on a sparse 64-bit
     * domain (epoch-nanos) fixed-width non-empty buckets approach the
     * distinct-value count and the coarse collect is unbounded. The
@@ -348,13 +348,13 @@ object ScaleOps {
     * otherwise put tens of millions of distinct values on the driver).
     * Width-1 buckets resolve arithmetically (the bucket IS the value),
     * so a single hot VALUE never reaches the driver at all. Every
-    * driver collect is therefore ≤ max(2²⁰ + 1, |quantiles|·fineLimit)
+    * driver collect is therefore ≤ max(2¹⁶ + 1, |quantiles|·fineLimit)
     * rows by construction; `collectProbe` (test hook) observes each
     * collect's size so OpsSpec can pin the bound.
     *
     * A `percentile`/`ntile` spelling would range-partition the full
-    * column through a sort; this touches the corpus O(log_2²⁰(range))
-    * times — 2 passes for any domain narrower than 2⁴⁰ — with only
+    * column through a sort; this touches the corpus O(log_2¹⁶(range))
+    * times — 2 passes for any domain narrower than 2³² and ≤ 5 ever — with only
     * bounded aggregates crossing the wire: the shape that survives a
     * 100 TB fact column.
     */
@@ -386,9 +386,17 @@ object ScaleOps {
   private def ranksWithin(vals: DataFrame, ranks: Seq[Long], lo: Long, hi: Long,
       forcedWidth: Long, fineLimit: Long, probe: Long => Unit): Map[Long, Long] = {
     val range = hi - lo
+    // coarse target 2^16 buckets: the histogram collect is driver-side
+    // row decode, and 2^20 buckets measured ~1 M collected rows per
+    // invocation on a ~2^24-wide cents domain (the sf0.1 bench charged
+    // q_exact_quantiles ~2.8 s, mostly this collect) — 2^16 keeps every
+    // level's collect ≤ 65 k rows and the recursion still resolves any
+    // domain in ≤ ceil(64/16) = 4 bounded passes, quantile values
+    // unchanged (exactness never depended on the bucketing; OpsSpec
+    // drives widths 1 / 16384 / 2^40 / adaptive to the same answers)
     val width =
       if (forcedWidth > 0) forcedWidth
-      else math.max(1L, range / (1L << 20) + (if (range % (1L << 20) == 0) 0L else 1L))
+      else math.max(1L, range / (1L << 16) + (if (range % (1L << 16) == 0) 0L else 1L))
     val coarse = vals.select(expr(s"(__v - ${lo}L) div ${width}L").as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -446,8 +454,21 @@ object ScaleOps {
   def qExactQuantiles(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
     val qs = Seq(25, 50, 75, 99)
-    val qty = exactQuantiles(li, col("l_quantity"), qs)
-    val cents = exactQuantiles(li, expr("cast(round(l_extendedprice * 100) as bigint)"), qs)
+    // the two columns' quantile recursions are independent chains of
+    // small driver-blocking jobs (min/max, coarse histogram, fine
+    // pass); submitted from one thread they serialize ~6 jobs of
+    // mostly fixed latency. Overlapping them (guide-standard driver
+    // thread pool; the scheduler backfills each chain's idle gaps with
+    // the other's tasks) cuts the wall to the slower chain — results
+    // are unchanged, each chain is deterministic in isolation.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val qtyF = Future(exactQuantiles(li, col("l_quantity"), qs))
+    val centsF = Future(
+      exactQuantiles(li, expr("cast(round(l_extendedprice * 100) as bigint)"), qs))
+    val qty = Await.result(qtyF, Duration.Inf)
+    val cents = Await.result(centsF, Duration.Inf)
     import s.implicits._
     (qty.map { case (q, v) => ("quantity", q.toLong, v) } ++
       cents.map { case (q, v) => ("price_cents", q.toLong, v) })

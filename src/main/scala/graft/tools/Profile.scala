@@ -175,3 +175,44 @@ object ProfileKnn {
     spark.stop()
   }
 }
+
+/** Stage decomposition of the exact-quantile machinery (dev tool):
+  * `sbt "runMain graft.tools.ProfileQuantiles [sfDir]"`.
+  */
+object ProfileQuantiles {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.GraftSession.local(32)
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+    val cents = expr("cast(round(l_extendedprice * 100) as bigint)")
+    val vals = li.select(cents.cast("long").as("__v")).filter(col("__v").isNotNull)
+    time("min/max/count")(vals.agg(min(col("__v")), max(col("__v")), count(lit(1))).head())
+    time("min/max/count warm")(vals.agg(min(col("__v")), max(col("__v")), count(lit(1))).head())
+    val mm = vals.agg(min(col("__v")), max(col("__v"))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = math.max(1L, (hi - lo) / (1L << 16) + 1)
+    time("coarse histogram collect")(
+      vals.select(expr(s"(__v - ${lo}L) div ${width}L").as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("cnt")).collect().length)
+    time("coarse histogram warm")(
+      vals.select(expr(s"(__v - ${lo}L) div ${width}L").as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("cnt")).collect().length)
+    time("quantity quantiles")(
+      graft.operators.ScaleOps.exactQuantiles(li, col("l_quantity"), Seq(25, 50, 75, 99)))
+    time("cents quantiles")(
+      graft.operators.ScaleOps.exactQuantiles(li, cents, Seq(25, 50, 75, 99)))
+    time("cents quantiles warm")(
+      graft.operators.ScaleOps.exactQuantiles(li, cents, Seq(25, 50, 75, 99)))
+    time("full q_exact_quantiles")(
+      graft.operators.ScaleOps.qExactQuantiles(spark, dir).count())
+    time("full q_exact_quantiles warm")(
+      graft.operators.ScaleOps.qExactQuantiles(spark, dir).count())
+    spark.stop()
+  }
+}
