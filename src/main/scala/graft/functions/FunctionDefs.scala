@@ -28,7 +28,8 @@ object FunctionDefs {
       MinHashAgg.descriptions ++ MinKAgg.descriptions ++
       TopKByAgg.descriptions ++ SimHashAgg.descriptions ++
       FreqSketch.descriptions ++ QuantileSketch.descriptions ++
-      CountMin.descriptions ++ BloomOps.descriptions ++ HashOps.descriptions
+      CountMin.descriptions ++ BloomOps.descriptions ++ HashOps.descriptions ++
+      GramStats.descriptions
 
   def registerAll(spark: SparkSession, ds: Seq[Desc]): Unit =
     ds.foreach { case (id, info, b) =>

@@ -60,32 +60,24 @@ object CurateOps {
     * → groupBy(doc_id). Per-key fanout is O(doc length); no join ever
     * crosses documents, so the plan is embarrassingly scalable.
     */
-  def txtRepetition(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(s, dir)
-    val g2 = toks.filter(size(col("w")) >= 2)
+  def txtRepetition(s: SparkSession, dir: String): DataFrame =
+    // same row-local gram_stats kernel as [[gopherGateOf]] — the
+    // explode + groupBy + countDistinct + join-back spelling computed
+    // these per-document counters through three shuffles
+    tokens(s, dir)
+      // coalesce mirrors the old left-join zeros for a null token array
       .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_2gram_n"), sum(col("c")).as("n_2grams"))
-    val g3 = toks.filter(size(col("w")) >= 3)
+        graft.functions.GramStats.gramStats(coalesce(col("w"), array())).as("gs"))
       .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("g"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_3grams"), countDistinct(col("g")).as("n_distinct_3grams"))
-    docs(s, dir).select(col("doc_id"))
-      .join(g2, Seq("doc_id"), "left")
-      .join(g3, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
-        coalesce(col("top_2gram_n"), lit(0L)).as("top_2gram_n"),
-        when(col("n_2grams") > 0, col("top_2gram_n").cast("double") / col("n_2grams"))
+        col("gs.n2").as("n_2grams"),
+        col("gs.top2").as("top_2gram_n"),
+        when(col("gs.n2") > 0, col("gs.top2").cast("double") / col("gs.n2"))
           .otherwise(0.0).as("top_2gram_frac"),
-        coalesce(col("n_3grams"), lit(0L)).as("n_3grams"),
-        coalesce(col("n_3grams") - col("n_distinct_3grams"), lit(0L)).as("n_dup_3grams"),
-        when(col("n_3grams") > 0,
-          (col("n_3grams") - col("n_distinct_3grams")).cast("double") / col("n_3grams"))
+        col("gs.n3").as("n_3grams"),
+        (col("gs.n3") - col("gs.nd3")).as("n_dup_3grams"),
+        when(col("gs.n3") > 0,
+          (col("gs.n3") - col("gs.nd3")).cast("double") / col("gs.n3"))
           .otherwise(0.0).as("dup_3gram_frac"))
-  }
 
   /** Gopher-rules quality GATE (Rae et al. 2021, Appendix A1.1 —
     * the rule set production corpus filters actually ship, adapted to
@@ -114,29 +106,26 @@ object CurateOps {
     * per-document, so stream ≡ batch holds by construction.
     */
   def gopherGateOf(toks: DataFrame): DataFrame = {
+    // rules 4-5's counters (top 2-gram multiplicity, 2/3-gram totals,
+    // distinct 3-grams) are per-document reductions over the token
+    // array — one row-local gram_stats kernel instead of the former
+    // two explode generators + three shuffles + two joins (whose cost
+    // the gate's own count() probe hid via left-join elimination but
+    // every real consumer — the ensemble matrix, the datacard — paid)
     val base = toks.select(col("doc_id"),
       size(col("w")).cast("long").as("n_tokens"),
       expr("aggregate(w, 0L, (acc, t) -> acc + length(t))").as("sum_len"),
-      expr("cast(size(filter(w, t -> t rlike '[a-z]')) as long)").as("n_alpha"))
-    val g2 = toks.filter(size(col("w")) >= 2)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top2"), sum(col("c")).as("n2"))
-    val g3 = toks.filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("g"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n3"), countDistinct(col("g")).as("nd3"))
-    base.join(g2, Seq("doc_id"), "left").join(g3, Seq("doc_id"), "left")
+      expr("cast(size(filter(w, t -> t rlike '[a-z]')) as long)").as("n_alpha"),
+      graft.functions.GramStats.gramStats(col("w")).as("gs"))
+    base
       .select(col("doc_id"), col("n_tokens"),
         expr("case when n_tokens > 0 then (1000 * sum_len) div n_tokens else 0 end")
           .as("mean_len_milli"),
         expr("case when n_tokens > 0 then (1000 * n_alpha) div n_tokens else 0 end")
           .as("alpha_milli"),
-        expr("case when coalesce(n2, 0) > 0 then (1000 * top2) div n2 else 0 end")
+        expr("case when gs.n2 > 0 then (1000 * gs.top2) div gs.n2 else 0 end")
           .as("top2_milli"),
-        expr("case when coalesce(n3, 0) > 0 then (1000 * (n3 - nd3)) div n3 else 0 end")
+        expr("case when gs.n3 > 0 then (1000 * (gs.n3 - gs.nd3)) div gs.n3 else 0 end")
           .as("dup3_milli"))
       .withColumn("admitted",
         (col("n_tokens").between(50L, 100000L) &&
@@ -1312,10 +1301,16 @@ object CurateOps {
     val gate = curateGopherGate(s, dir).select(col("doc_id"), col("admitted"))
     val ccnet = TextOps.txtCcnetBuckets(s, dir).select(col("doc_id"), col("bucket"))
     val joined = clf.join(gate, Seq("doc_id")).join(ccnet, Seq("doc_id"))
-    val total = joined.agg(count(lit(1)).as("total"))
+    // total = Σ over the ≤ 12 contingency cells — an unpartitioned
+    // window over the CELL table, not a second corpus aggregate: the
+    // former crossJoin(broadcast(joined.agg(count))) spelling
+    // re-evaluated the entire three-scorer join pipeline a second time
+    // (the bench plan carried 29 parquet scans / 74 exchanges;
+    // re-aliased subtrees never share stages)
     joined.groupBy(col("clf_keep"), col("admitted"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"))
-      .crossJoin(broadcast(total))
+      .withColumn("total", sum(col("n_docs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(col("clf_keep"), col("admitted"), col("bucket"), col("n_docs"),
         expr("(1000000 * n_docs) div total").as("share_ppm"),
         // the two policies a mix designer compares: strict conjunction

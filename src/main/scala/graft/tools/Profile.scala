@@ -216,3 +216,33 @@ object ProfileQuantiles {
     spark.stop()
   }
 }
+
+/** Stage decomposition of curate_filter_ensemble (dev tool). */
+object ProfileEnsemble {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.GraftSession.local(32)
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    import graft.operators._
+    val clf = TextOps.txtQualityClassify(spark, dir)
+      .select(col("doc_id"), (col("label") === "keep").cast("long").as("clf_keep"))
+    val gate = CurateOps.curateGopherGate(spark, dir).select(col("doc_id"), col("admitted"))
+    val ccnet = TextOps.txtCcnetBuckets(spark, dir).select(col("doc_id"), col("bucket"))
+    time("clf")(clf.count()); time("clf warm")(clf.count())
+    time("gate")(gate.count()); time("gate warm")(gate.count())
+    time("ccnet")(TextOps.txtCcnetBuckets(spark, dir).count())
+    time("ccnet warm")(TextOps.txtCcnetBuckets(spark, dir).count())
+    val joined = clf.join(gate, Seq("doc_id"))
+      .join(TextOps.txtCcnetBuckets(spark, dir).select(col("doc_id"), col("bucket")), Seq("doc_id"))
+    time("joined")(joined.count()); time("joined warm")(joined.count())
+    time("full ensemble")(CurateOps.curateFilterEnsemble(spark, dir).count())
+    time("full ensemble warm")(CurateOps.curateFilterEnsemble(spark, dir).count())
+    time("full ensemble warm2")(CurateOps.curateFilterEnsemble(spark, dir).count())
+    spark.stop()
+  }
+}

@@ -2935,6 +2935,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.values.map(_._3).sum == 2 * m)
   }
 
+  test("gram_stats kernel is bit-identical to the explode + groupBy + countDistinct spelling") {
+    import org.apache.spark.sql.functions._
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(11)
+    // repeated-phrase docs (real top2 > 1), tiny docs below the 2/3
+    // token minima, single-token, and random streams over a small
+    // vocabulary so 2/3-gram collisions actually occur
+    val texts = Seq("", "one", "a b", "a b a b a b", "x y z",
+      "the cat sat on the mat the cat sat") ++
+      (0 until 150).map(_ => (0 until rnd.nextInt(60))
+        .map(_ => s"w${rnd.nextInt(7)}").mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val g2 = toks.filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top2"), sum(col("c")).as("n2"))
+    val g3 = toks.filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n3"), countDistinct(col("g")).as("nd3"))
+    val legacy = toks.select(col("doc_id"))
+      .join(g2, Seq("doc_id"), "left").join(g3, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("top2"), lit(0L)), coalesce(col("n2"), lit(0L)),
+        coalesce(col("n3"), lit(0L)), coalesce(col("nd3"), lit(0L)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val kernel = toks
+      .select(col("doc_id"), graft.functions.GramStats.gramStats(col("w")).as("gs"))
+      .select(col("doc_id"), col("gs.top2"), col("gs.n2"), col("gs.n3"), col("gs.nd3"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(kernel.keySet == legacy.keySet)
+    kernel.foreach { case (id, v) =>
+      assert(v == legacy(id), s"gram_stats mismatch on doc $id: $v vs ${legacy(id)}")
+    }
+  }
+
   test("md5_long kernel is bit-identical to the conv(substring(md5)) column spelling") {
     import org.apache.spark.sql.functions._
     val ss = spark
