@@ -87,6 +87,14 @@ object Tables {
   private def listingKey(df: DataFrame, dir: String, name: String): String =
     s"$dir/$name#${java.util.Arrays.hashCode(df.inputFiles.sorted.asInstanceOf[Array[AnyRef]])}"
 
+  /** Concrete-listing fingerprint of a source table — the same
+    * staleness key the fanout/row-count memos use, for operator-side
+    * memos (e.g. the hot-shingle probe) that must re-derive when a
+    * table is rewritten in place.
+    */
+  private[graft] def listingFingerprint(spark: SparkSession, dir: String,
+      name: String): String = listingKey(load(spark, dir, name), dir, name)
+
   /** Row count of a source table, memoized per concrete file listing
     * (one metadata-cheap parquet count per listing per JVM). */
   def rowCount(spark: SparkSession, dir: String, name: String): Long = {
