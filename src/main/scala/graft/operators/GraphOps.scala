@@ -305,21 +305,22 @@ object GraphOps {
         .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .groupBy(col("src")).agg(count(lit(1)).as("d"))
         .select(col("src").as("node"), col("d"))
-      // checkpoint the peel ONCE per round: `isEmpty` materializes the
-      // two-semi-join plan, and without the save the state-update join
-      // would recompute it from scratch — doubling every non-empty
-      // round's shuffle work to buy only the trailing no-op rounds
-      val dropped = save(alive.join(aliveDeg, Seq("node"), "left")
-        .filter(coalesce(col("d"), lit(0L)) < k)
-        .select(col("node"), lit(r.toLong).as("rr")))
+      // ONE checkpointed job per round: the peel verdict folds straight
+      // into the state update (alive node under-degree ⇒ stamped with
+      // this round; aliveDeg only carries alive keys, so removed nodes
+      // pass through untouched) — the former separate `dropped`
+      // checkpoint re-paid a second eager job per round for the same
+      // semi-join work
+      state = save(state.join(aliveDeg, Seq("node"), "left")
+        .select(col("node"),
+          when(col("removed_round") === 0L && coalesce(col("d"), lit(0L)) < k,
+            lit(r.toLong)).otherwise(col("removed_round")).as("removed_round")))
       // peeling is monotone: an empty peel means every remaining round
       // is a no-op, so exiting early returns EXACTLY the unrolled
       // result while skipping the dead rounds' job overhead (a driver
-      // boolean per round, same discipline as connectedComponents)
-      if (dropped.isEmpty) stable = true
-      else state = save(state.join(dropped, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("rr"), col("removed_round")).as("removed_round")))
+      // boolean per round, same discipline as connectedComponents); the
+      // probe is a scan of the just-checkpointed node-sized state
+      if (state.filter(col("removed_round") === r.toLong).isEmpty) stable = true
       r += 1
     }
     state.join(deg0, Seq("node"))
