@@ -33,12 +33,18 @@ object CurateOps {
     */
   def curateSourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val n = 8
+    // one gram-keyed exchange: hash(g) clusters (source, g) for the
+    // dedup aggregate AND is exactly the self-join's required
+    // distribution, so the join reuses the same exchange instead of
+    // re-shuffling both sides (the plain .distinct() spelling shuffled
+    // the gram table three times)
     val grams = docs(s, dir)
       .select(col("source"), split(TextOps.normalized(col("text")), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("source"),
         explode(expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))")).as("g"))
-      .distinct()
+      .repartition(col("g"))
+      .dropDuplicates("source", "g")
     val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
     val inter = grams.select(col("source").as("src_a"), col("g"))
       .join(grams.select(col("source").as("src_b"), col("g")), Seq("g"))

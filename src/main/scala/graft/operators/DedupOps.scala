@@ -662,8 +662,12 @@ object DedupOps {
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     // set semantics (distinct) restored AFTER the candidate restriction:
     // the distinct shuffle now covers only candidate docs' shingles, and
-    // sizes are only ever joined for candidate docs
-    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").distinct()
+    // sizes are only ever joined for candidate docs. Keyed by h so ONE
+    // exchange serves the dedup aggregate and both sides of the
+    // intersection self-join (hash(h) clusters (doc_id, h), and the
+    // self-join's required distribution IS hash(h) — exchange reuse)
+    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .repartition(col("h")).dropDuplicates("doc_id", "h")
     val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = shc.select(col("doc_id").as("doc_a"), col("h"))
     val b = shc.select(col("doc_id").as("doc_b"), col("h"))

@@ -1121,14 +1121,21 @@ object TextOps {
     */
   def txtNovelty(s: SparkSession, dir: String): DataFrame = {
     val n = 8
-    val grams = docs(s, dir)
+    // ONE gram-keyed exchange serves dedup, first-doc attribution and
+    // the flag: hash(g) clusters (g, doc_id) too, so the dropDuplicates
+    // aggregate reuses the partitioning, and the per-gram min window
+    // runs in place of the former groupBy(g) + join-back (which
+    // re-shuffled the gram table twice more). Values unchanged: min
+    // over the gram partition IS the joined first_doc.
+    docs(s, dir)
       .select(col("doc_id"), split(normalized(col("text")), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))")).as("g"))
-      .distinct()
-    val firstDoc = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
-    grams.join(firstDoc, Seq("g"))
+      .repartition(col("g"))
+      .dropDuplicates("g", "doc_id")
+      .withColumn("first_doc",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
