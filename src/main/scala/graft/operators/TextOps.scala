@@ -572,6 +572,13 @@ object TextOps {
     * filters are row-parallel on the bounded pair stream.
     */
   def txtBitextMine(s: SparkSession, dir: String, maxDf: Int = 5): DataFrame = {
+    // the candidate pair table is near-dup-density-bounded and feeds
+    // BOTH this query and the aligner (which re-ran the whole miner
+    // per invocation) — resident output, the mmPhashPairs discipline
+    cacheResident(s, s"bitext_pairs_$maxDf", txtBitextMineUncached(s, dir, maxDf))
+  }
+
+  private def txtBitextMineUncached(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"), col("lang"),
         filter(split(normalized(col("text")), " "), t => t =!= "").as("toks"))
