@@ -686,7 +686,13 @@ object TextOps {
     * distributed BM25 evaluation loop a retrieval-quality harness
     * runs over a 100 TB corpus.
     */
-  def txtBm25TopK(s: SparkSession, dir: String): DataFrame = {
+  def txtBm25TopK(s: SparkSession, dir: String): DataFrame =
+    // bounded output (|queries| × top-5 rows) consumed by this query
+    // AND the hybrid fusion — resident so the postings/stats pipeline
+    // runs once per corpus
+    cacheResident(s, "bm25_topk", txtBm25TopKUncached(s, dir))
+
+  private def txtBm25TopKUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def flog2(c: Column): Column = (length(bin(c)) - lit(1)).cast("long")
     val toks = docs(s, dir)
