@@ -41,6 +41,32 @@ object Bench {
     math.round(ts(1) * 10) / 10.0
   }
 
+  /** Multi-core load sentinel: wall time of `threads` concurrent
+    * copies of the same fixed spin. The 1-thread sentinel above
+    * CANNOT see a co-tenant that leaves one core free — a process
+    * using half the machine's cores leaves the 1-thread spin at its
+    * idle constant while a 32-task Spark stage loses half its
+    * throughput (exactly the r15 driver pattern: c32 3-30x slower
+    * than c8 on unchanged queries, sentinels clean). On an idle box
+    * this reads ≈ the 1-thread constant; under an n-core co-tenant it
+    * inflates by ~machine_cores/(machine_cores-n). Sampled before,
+    * after, AND every 32 queries during the sweep so episodic bursts
+    * are localized in time by the artifact itself.
+    */
+  private def mtSentinelMs(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val ws = (1 to threads).map { t =>
+      new Thread(() => {
+        var x = 88172645463325252L + t
+        var i = 0
+        while (i < 100000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        sink = x
+      })
+    }
+    ws.foreach(_.start()); ws.foreach(_.join())
+    math.round((System.nanoTime() - t0) / 1e6 * 10) / 10.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -48,6 +74,8 @@ object Bench {
     // dev iteration on one slow query without a 120-query sweep
     val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
     val sentinelBefore = loadSentinelMs()
+    val mtSamples = scala.collection.mutable.ListBuffer[(String, Double)]()
+    mtSamples += (("before", mtSentinelMs(cpus)))
     val spark = GraftSession.local(cpus)
     // untimed warmup: JIT + codegen + parquet footer caches, so the
     // first timed query isn't charged for JVM cold start
@@ -58,8 +86,10 @@ object Bench {
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val times = (1 to Reps).map { _ =>
+      .zipWithIndex
+      .map { case ((name, fn), qi) =>
+      if (qi % 32 == 0 && qi > 0) mtSamples += ((name, mtSentinelMs(cpus)))
+      val raw = (1 to Reps).map { _ =>
         val t0 = System.nanoTime()
         // a failed rep must NOT masquerade as a fast time — record the
         // query as failed and pin its reported time to a sentinel
@@ -71,32 +101,60 @@ object Bench {
             }
         }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
+      }
+      val times = raw.sorted
       // lower-middle median: for even n this picks the faster half —
       // rep 1 pays one-time codegen/JIT for the whole pipeline (10s+
       // for the deep LSH plan), so the upper-middle of n=2 would
-      // report pure cold-start cost, not steady-state throughput
-      name -> (if (failed.contains(name)) -1.0 else times((times.size - 1) / 2))
+      // report pure cold-start cost, not steady-state throughput.
+      // raw.head is ALSO kept (queries_cold below): for queries whose
+      // first rep builds a resident-cache slot, the median hides that
+      // one-time cost — the cold column makes the amortization visible
+      // in the artifact instead of discarding it.
+      (name,
+        if (failed.contains(name)) -1.0 else times((times.size - 1) / 2),
+        if (failed.contains(name)) -1.0 else raw.head)
     }
     // filtered runs are dev iteration on specific queries — skip the
     // fixed-cost engine benches
     val all =
       if (only.isDefined) results
-      else results :+ ("parse_2000_models" -> parse2000Bench()) :+
-        ("engine_run_60_models" -> runProjectBench(spark, sfDir))
-    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
+      else {
+        val p = parse2000Bench(); val r = runProjectBench(spark, sfDir)
+        results :+ (("parse_2000_models", p, p)) :+ (("engine_run_60_models", r, r))
+      }
+    val qs = all.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val qsCold = all.map { case (k, _, c) => s"\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val failedJson = failed.sorted.map(n => s"\"$n\"").mkString("[", ",", "]")
     val sentinelAfter = loadSentinelMs()
+    mtSamples += (("after", mtSentinelMs(cpus)))
     val sentinelJson = s"""{"before_ms":$sentinelBefore,"after_ms":$sentinelAfter,""" +
       s""""work":"100e6 xorshift64 steps, 1 thread, median of 3"}"""
+    val mtJson = s"""{"threads":$cpus,"work":"100e6 xorshift64 steps per thread, wall ms",""" +
+      s""""samples":[${mtSamples.map { case (at, ms) => s"""["$at",$ms]""" }.mkString(",")}]}"""
     // resident-cache telemetry: stable counters under a timing drift
     // mean machine noise; rising evictions mean the working set
     // outgrew the cap and queries re-pay warm-up (sweep-order effect)
     val residentJson = graft.operators.ResidentCache.counters.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"load_sentinel":$sentinelJson,"resident":$residentJson,"sf":"$sfDir"}"""
+    // end-of-sweep heap/storage telemetry: cumulative GC ms for the
+    // whole run (a slow sweep with low gc_ms is NOT memory pressure)
+    // and the block-manager storage footprint of every cached/
+    // checkpointed RDD still live — together they separate "resident
+    // caches outgrew the heap" from machine-state slowdowns in the
+    // artifact itself.
+    val gcMs = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    val storage = spark.sparkContext.getRDDStorageInfo
+    val storageJson = s"""{"mem_bytes":${storage.map(_.memSize).sum},""" +
+      s""""disk_bytes":${storage.map(_.diskSize).sum},"n_rdds":${storage.length}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"failed":$failedJson,"load_sentinel":$sentinelJson,"load_sentinel_mt":$mtJson,"resident":$residentJson,"gc_ms":$gcMs,"storage":$storageJson,"sf":"$sfDir"}"""
     // stdout keeps the driver's ONE-JSON-LINE contract; the same record
     // is ALSO written to a file because the driver's tail capture has
     // truncated the giant line before (BENCH_r14.json "parsed": null —

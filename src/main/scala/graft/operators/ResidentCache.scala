@@ -25,6 +25,12 @@ import org.apache.spark.SparkContext
   * shared CacheManager regardless of which session wrote it.
   */
 object ResidentCache {
+  /** One monitor for all three maps: the byte-budget trim walks slots
+    * AND memos in one sweep, so per-map monitors would need a lock
+    * order; a single lock removes the question.
+    */
+  private val lock = new Object
+
   /** LRU cap per (context, map). Read per call from the session conf
     * so tests can shrink it; 64 corpus-sized MEMORY_AND_DISK plans is
     * far beyond any sweep's working set while still bounding a
@@ -32,6 +38,30 @@ object ResidentCache {
     */
   private def cap(s: SparkSession): Int =
     s.conf.get("spark.graft.residentCache.maxSlots", "64").toInt
+
+  /** Byte budget (r15 verdict item 1): the slot COUNT above bounds how
+    * many plans can be resident, but says nothing about heap — at 32
+    * concurrent tasks a storage pool full of corpus-sized cached
+    * tables starves execution memory (guide §5: cached data competes
+    * with execution; unified-memory eviction only reclaims down to
+    * `spark.memory.storageFraction`). This cap bounds the TOTAL
+    * block-manager memory footprint (cached plans, memoized
+    * fixpoints, and localCheckpoint state all included — pressure is
+    * pressure regardless of who allocated it): when exceeded,
+    * resident slots yield LRU-first, then memos. Yielding unpersists;
+    * a later consumer re-memoizes from the parquet inputs, so results
+    * never change — only residency does. Default 40% of the driver
+    * heap: at the bench's 8 g that is ~3.2 g, above the full sweep's
+    * measured working set (so idle-sweep numbers stay comparable)
+    * while capping a pathological working set at well under the
+    * unified-memory pool. 0 disables. On a real cluster the same
+    * fraction scales with executor heap — the point is the RATIO of
+    * convenience cache to execution memory, not a local constant.
+    */
+  private def maxStorageBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.residentCache.maxStorageBytes")
+      .map(_.toLong)
+      .getOrElse((Runtime.getRuntime.maxMemory * 0.4).toLong)
 
   // access-ordered: iteration starts at the least-recently-used entry
   private def lru[V]() =
@@ -75,14 +105,69 @@ object ResidentCache {
   private val missN = new java.util.concurrent.atomic.AtomicLong
   private val evictN = new java.util.concurrent.atomic.AtomicLong
   private val evictSharedN = new java.util.concurrent.atomic.AtomicLong
+  private val evictBytesN = new java.util.concurrent.atomic.AtomicLong
 
-  /** (hits, misses, evictions, evictions-skipped-as-shared) so far. */
+  /** (hits, misses, evictions, evictions-skipped-as-shared,
+    * byte-budget evictions) so far.
+    */
   def counters: Map[String, Long] = Map(
     "hits" -> hitN.get, "misses" -> missN.get,
-    "evictions" -> evictN.get, "evictions_shared_skip" -> evictSharedN.get)
+    "evictions" -> evictN.get, "evictions_shared_skip" -> evictSharedN.get,
+    "evictions_bytes" -> evictBytesN.get)
+
+  /** Unpersist the context's LRU entry — slots first (two-pass
+    * intermediates, cheapest to rebuild), then memos (fixpoints) —
+    * with the shared-plan guard (a `sameResult` survivor shares the
+    * one CacheManager entry; unpersisting would de-cache it too).
+    * Blocking unpersist so the caller's next storage poll sees the
+    * release. Returns false when nothing of this context is left.
+    */
+  private def evictOneLru(sc: SparkContext): Boolean = {
+    def evictFrom(m: java.util.LinkedHashMap[(SparkContext, String), DataFrame]): Boolean = {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 eq sc) {
+          val evicted = e.getValue
+          it.remove()
+          var shared = false
+          slots.values.forEach(v => if (!shared && !(v eq evicted) &&
+            v.queryExecution.analyzed.sameResult(evicted.queryExecution.analyzed))
+            shared = true)
+          memos.values.forEach(v => if (!shared && !(v eq evicted) &&
+            v.queryExecution.analyzed.sameResult(evicted.queryExecution.analyzed))
+            shared = true)
+          if (shared) evictSharedN.incrementAndGet()
+          else { evictBytesN.incrementAndGet(); evicted.unpersist(true) }
+          return true
+        }
+      }
+      false
+    }
+    evictFrom(slots) || evictFrom(memos)
+  }
+
+  /** Enforce the byte budget after an install: while the block
+    * manager's total cached memory exceeds the cap, yield this
+    * context's resident entries LRU-first. The poll counts EVERY
+    * cached/checkpointed RDD (not just ours) deliberately — if
+    * fixpoint checkpoints fill storage, the convenience caches are
+    * what should give way (guide §5).
+    */
+  private def trimBytes(s: SparkSession): Unit = {
+    val sc = s.sparkContext
+    val capB = maxStorageBytes(s)
+    if (capB <= 0) return
+    def used: Long = sc.getRDDStorageInfo.map(_.memSize).sum
+    var evictable = liveCount(slots, sc) + liveCount(memos, sc)
+    while (evictable > 0 && used > capB) {
+      if (!evictOneLru(sc)) return
+      evictable -= 1
+    }
+  }
 
   def apply(s: SparkSession, slot: String, df: DataFrame): DataFrame =
-    slots.synchronized {
+    lock.synchronized {
       // sweep entries of stopped contexts — their cached blocks died
       // with the executors; holding the plans would pin dead contexts
       // for the JVM lifetime
@@ -122,13 +207,14 @@ object ResidentCache {
           if (shared) evictSharedN.incrementAndGet()
           else { evictN.incrementAndGet(); evicted.unpersist(false) }
         }
+        trimBytes(s)
         cached
       }
     }
 
   /** Test/inspection hook: live slot count for a context. */
   def liveSlots(sc: SparkContext): Int =
-    slots.synchronized { liveCount(slots, sc) }
+    lock.synchronized { liveCount(slots, sc) }
 
   /** Driver-side memo for SMALL trained models (centroid tables, PQ
     * codebooks — tens of rows by construction): train once per
@@ -163,7 +249,7 @@ object ResidentCache {
   private val memos = lru[DataFrame]()
 
   def memo(s: SparkSession, slot: String)(build: => DataFrame): DataFrame =
-    memos.synchronized {
+    lock.synchronized {
       sweepStopped(memos)
       val key = (s.sparkContext, slot)
       val prev = memos.get(key)
@@ -174,16 +260,17 @@ object ResidentCache {
         built.count()
         memos.put(key, built)
         trim(memos, s.sparkContext, cap(s))(_.unpersist(false))
+        trimBytes(s)
         built
       }
     }
 
   /** Test/inspection hook: live memo count for a context. */
   def liveMemos(sc: SparkContext): Int =
-    memos.synchronized { liveCount(memos, sc) }
+    lock.synchronized { liveCount(memos, sc) }
 
   def localModel(s: SparkSession, slot: String)(train: => DataFrame): DataFrame = {
-    val (schema, rows) = models.synchronized {
+    val (schema, rows) = lock.synchronized {
       sweepStopped(models)
       val key = (s.sparkContext, slot)
       val prev = models.get(key)
@@ -201,5 +288,5 @@ object ResidentCache {
 
   /** Test/inspection hook: live model count for a context. */
   def liveModels(sc: SparkContext): Int =
-    models.synchronized { liveCount(models, sc) }
+    lock.synchronized { liveCount(models, sc) }
 }

@@ -2005,6 +2005,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"slot map exceeded the cap: ${ResidentCache.liveSlots(spark.sparkContext)}")
   }
 
+  test("resident cache: byte budget yields residency, never results") {
+    import graft.operators._
+    val sp = spark
+    import sp.implicits._
+    val s2 = spark.newSession()
+    // a 1-byte budget: any materialized cached block puts the block
+    // manager over it, so the next install must shed resident entries
+    s2.conf.set("spark.graft.residentCache.maxStorageBytes", "1")
+    def build(i: Int) = Seq((i.toLong, s"bytes$i")).toDF("id", "tag")
+    val evictionsBefore = ResidentCache.counters("evictions_bytes")
+    ResidentCache(s2, "bb-a", build(1)).collect() // materializes slot a
+    ResidentCache(s2, "bb-b", build(2)).collect() // install sees a's bytes > budget
+    assert(ResidentCache.counters("evictions_bytes") > evictionsBefore,
+      "over-budget storage must trigger byte-budget evictions")
+    // an evicted slot re-memoizes — identical data, only residency changed
+    val r = ResidentCache(s2, "bb-a", build(1)).collect()
+    assert(r.map(x => (x.getLong(0), x.getString(1))).toSeq == Seq((1L, "bytes1")),
+      "byte-budget eviction must not change results")
+    // budget 0 disables the byte trim (slot-count LRU still applies)
+    s2.conf.set("spark.graft.residentCache.maxStorageBytes", "0")
+    val n0 = ResidentCache.counters("evictions_bytes")
+    ResidentCache(s2, "bb-c", build(3)).collect()
+    ResidentCache(s2, "bb-d", build(4)).collect()
+    assert(ResidentCache.counters("evictions_bytes") == n0,
+      "budget 0 must disable byte-budget evictions")
+  }
+
   test("quantile sketch: rank error bounded and partitioning-stable at 1/4/32") {
     import org.apache.spark.sql.functions._
     // amplify the event stream 100x so per-type groups far exceed k —
