@@ -67,6 +67,20 @@ object Bench {
     math.round((System.nanoTime() - t0) / 1e6 * 10) / 10.0
   }
 
+  /** (steal, total) jiffies across all CPUs from /proc/stat — the
+    * hypervisor-level CPU time taken by co-tenants, invisible to
+    * in-guest load average and to any sentinel that happens to land
+    * between bursts. Emitted as a before/after delta so a slow sweep
+    * is attributable to the host from the artifact alone.
+    */
+  private def cpuSteal(): (Long, Long) =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val f = line.split("\\s+").drop(1).map(_.toLong)
+      (if (f.length > 7) f(7) else 0L, f.sum)
+    } catch { case _: Throwable => (0L, 0L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -74,6 +88,7 @@ object Bench {
     // dev iteration on one slow query without a 120-query sweep
     val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
     val sentinelBefore = loadSentinelMs()
+    val stealBefore = cpuSteal()
     val mtSamples = scala.collection.mutable.ListBuffer[(String, Double)]()
     mtSamples += (("before", mtSentinelMs(cpus)))
     val spark = GraftSession.local(cpus)
@@ -135,6 +150,13 @@ object Bench {
       s""""work":"100e6 xorshift64 steps, 1 thread, median of 3"}"""
     val mtJson = s"""{"threads":$cpus,"work":"100e6 xorshift64 steps per thread, wall ms",""" +
       s""""samples":[${mtSamples.map { case (at, ms) => s"""["$at",$ms]""" }.mkString(",")}]}"""
+    val stealAfter = cpuSteal()
+    val stealJson = {
+      val ds = stealAfter._1 - stealBefore._1
+      val dt = stealAfter._2 - stealBefore._2
+      val pct = if (dt > 0) math.round(ds.toDouble / dt * 1000) / 10.0 else -1.0
+      s"""{"steal_jiffies":$ds,"total_jiffies":$dt,"steal_pct":$pct}"""
+    }
     // resident-cache telemetry: stable counters under a timing drift
     // mean machine noise; rising evictions mean the working set
     // outgrew the cap and queries re-pay warm-up (sweep-order effect)
@@ -154,7 +176,7 @@ object Bench {
     val storage = spark.sparkContext.getRDDStorageInfo
     val storageJson = s"""{"mem_bytes":${storage.map(_.memSize).sum},""" +
       s""""disk_bytes":${storage.map(_.diskSize).sum},"n_rdds":${storage.length}}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"failed":$failedJson,"load_sentinel":$sentinelJson,"load_sentinel_mt":$mtJson,"resident":$residentJson,"gc_ms":$gcMs,"storage":$storageJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"failed":$failedJson,"load_sentinel":$sentinelJson,"load_sentinel_mt":$mtJson,"cpu_steal":$stealJson,"resident":$residentJson,"gc_ms":$gcMs,"storage":$storageJson,"sf":"$sfDir"}"""
     // stdout keeps the driver's ONE-JSON-LINE contract; the same record
     // is ALSO written to a file because the driver's tail capture has
     // truncated the giant line before (BENCH_r14.json "parsed": null —

@@ -22,6 +22,38 @@ object GraftSession {
     .config("spark.sql.shuffle.partitions", cpus.toString)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // Respect the advisory partition SIZE when coalescing instead of
+    // stopping at defaultParallelism (the default parallelismFirst=true
+    // keeps every post-shuffle stage at >= 32 partitions here no matter
+    // how few bytes flow through it). Each task costs a fixed ~10-15 ms
+    // of dispatch + task-binary deserialization (measured: a 224k-row
+    // groupBy over 64 partitions runs SLOWER than the same groupBy over
+    // 100x the rows — the tax is per task, not per row), so tiny
+    // shuffles at 32-64 tasks pay pure overhead. Sizing partitions by
+    // bytes is exactly the guide §2.2 rule ("fewer, larger reduce
+    // partitions... let AQE coalesce"), and the Spark tuning docs
+    // recommend parallelismFirst=false in production; at 100 TB the
+    // same setting yields bytes/64MB partitions — full parallelism
+    // where there is data to justify it.
+    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    // One shuffle file per map task (the serialized/Tungsten sort
+    // writer) instead of the bypass-merge writer's one-file-PER-REDUCER
+    // (numReducers creates + a concat per task: at 32 reduce partitions
+    // a 64-task map stage touches 2k files for kilobytes of data —
+    // measured ~50-130 ms CPU per task of pure writer overhead, guide
+    // §2.2's per-block cost on the write side). SQL exchanges use a
+    // relocatable serializer, so 0 routes them to UnsafeShuffleWriter —
+    // the same writer any >200-partition shuffle at cluster scale
+    // already uses; this aligns the small-partition-count case with it.
+    .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+    // Shuffle/spill scratch on the fastest local storage available
+    // (Spark's own guidance for spark.local.dir). This box's java
+    // tmpdir is journaled ext4 on a virtual disk; /dev/shm is
+    // memory-backed — the synthetic A/B (OPTIMIZATION_r16.md) measured
+    // the tiny-shuffle stage tax at 3-6x between them. On a real
+    // cluster this is the NVMe array via SPARK_LOCAL_DIRS, which
+    // takes precedence over spark.local.dir by Spark's own rules.
+    .config("spark.local.dir", GraftSession.localDirDefault)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
@@ -48,6 +80,12 @@ object GraftSession {
     // inert until spark.graft.rangeJoin.binSize is set)
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.ui.enabled", "false")
+
+  private def localDirDefault: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) "/dev/shm/spark-local"
+    else System.getProperty("java.io.tmpdir")
+  }
 
   /** Local session with N threads (driver/test entry points). */
   def local(cpus: Int): SparkSession = {

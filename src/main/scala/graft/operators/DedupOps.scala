@@ -206,12 +206,17 @@ object DedupOps {
     val rare = ch.join(
       ch.groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
       Seq("h"), "left_semi")
-    rare.select(col("doc_id").as("doc_a"), col("h"), col("len"))
-      .join(rare.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"), sum(col("len")).as("chars_shared"))
-      .filter(col("n_shared") >= minShared)
+    // the mined pair table occupies a resident slot keyed by its
+    // parameters — the shingle-intersections discipline from r15
+    // (change 4): re-invocation reuses the self-join's result instead
+    // of re-mining from the resident chunk pass
+    ResidentCache(s, s"dedup_cdc_pairs_${minShared}_$maxDf",
+      rare.select(col("doc_id").as("doc_a"), col("h"), col("len"))
+        .join(rare.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"), sum(col("len")).as("chars_shared"))
+        .filter(col("n_shared") >= minShared))
   }
 
   /** Batch entry for the CDC probe: the doc_id % 10 >= 8 slice arrives

