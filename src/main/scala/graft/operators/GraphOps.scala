@@ -459,21 +459,21 @@ object GraphOps {
     */
   private[graft] def linkPredScores(pairs: DataFrame,
       minCn: Long, maxDeg: Long): DataFrame = {
-    // ONE w-keyed exchange serves the whole wedge pipeline (guide
-    // §2.4): the degree aggregate, the nb⋈deg join, and BOTH sides of
-    // the wedge self-join all require hash(w) — established once here,
-    // every downstream operator reuses it (before: each re-exchanged
-    // its own copy of nb, 4 exchanges for the same distribution).
-    // Partition count pinned (an explicit count opts this exchange out
-    // of AQE coalescing): the wedge join fans out ~deg× per input row,
-    // a multiplier Catalyst's byte estimate cannot see — sized by
-    // input bytes the whole deg²-sized join would coalesce onto one
-    // task (the same estimator blind spot DedupOps.candidateJoinPlan
-    // documents for explode). defaultParallelism is the pre-fanout
-    // parallelism floor, scale-adaptive with the cluster.
-    val nb = pairs.select(col("a").as("w"), col("b").as("n"))
-      .unionByName(pairs.select(col("b").as("w"), col("a").as("n")))
-      .repartition(pairs.sparkSession.sparkContext.defaultParallelism, col("w"))
+    // ONE w-partitioned MATERIALIZATION serves the whole wedge
+    // pipeline (guide §2.4): the degree aggregate (referenced three
+    // times — nbc and both endpoint-degree joins), the nb⋈deg join,
+    // and both wedge sides all consume nb, but column pruning pushes a
+    // different projection into each reference's exchange, so a shared
+    // exchange alone never reuses (measured: six separately-executed
+    // copies of the same shuffle). Caching the w-partitioned table
+    // collapses them to one build + cheap cached scans, and the cached
+    // plan's hash(w) partitioning makes every downstream w-keyed
+    // operator exchange-free. A/B at sf0.1 (warm medians): shared
+    // pinned exchange 5.05 s → cached 1.89 s.
+    val nb = ResidentCache(pairs.sparkSession, "graph_lp_nb",
+      pairs.select(col("a").as("w"), col("b").as("n"))
+        .unionByName(pairs.select(col("b").as("w"), col("a").as("n")))
+        .repartition(col("w")))
     val deg = nb.groupBy(col("w")).agg(count(lit(1)).as("deg"))
     // wedge centers: hub guard ON the center only. NOT pinned resident:
     // unlike dedupCdc/ppjoin, recomputing this from the cached edge
