@@ -90,6 +90,7 @@ object Bench {
     val sentinelBefore = loadSentinelMs()
     val stealBefore = cpuSteal()
     val mtSamples = scala.collection.mutable.ListBuffer[(String, Double)]()
+    mtSentinelMs(cpus) // discarded: first spin pays JIT for the loop body
     mtSamples += (("before", mtSentinelMs(cpus)))
     val spark = GraftSession.local(cpus)
     // untimed warmup: JIT + codegen + parquet footer caches, so the

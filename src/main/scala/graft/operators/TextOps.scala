@@ -1185,12 +1185,16 @@ object TextOps {
     // runs in place of the former groupBy(g) + join-back (which
     // re-shuffled the gram table twice more). Values unchanged: min
     // over the gram partition IS the joined first_doc.
-    docs(s, dir)
+    // partition count pinned (opts out of AQE coalescing): the dedup +
+    // per-gram window + aggregate downstream are gram-volume work that
+    // AQE's byte estimate under-sizes onto one task (same estimator
+    // blind spot as curateSourceOverlap — measured there)
+    Tables.loadFanout(s, dir, "documents", rowsPerTask = 64)
       .select(col("doc_id"), split(normalized(col("text")), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))")).as("g"))
-      .repartition(col("g"))
+      .repartition(s.sparkContext.defaultParallelism, col("g"))
       .dropDuplicates("g", "doc_id")
       .withColumn("first_doc",
         min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
